@@ -1,0 +1,805 @@
+"""Query catalog — the operator inventory (SURVEY.md §2) as runnable,
+oracle-checked queries.
+
+Each :class:`QuerySpec` pairs a Spark callable ``(spark, sf_dir) ->
+DataFrame`` with the ANSI-SQL DuckDB oracle computing the same result on
+the same parquet tables.  Conventions that make the comparison exact:
+
+* every computed column is aliased identically on both sides;
+* double aggregates go through exact decimal accumulation
+  (``CAST(x AS DECIMAL(18,6))`` → SUM → ``CAST AS DOUBLE``) so results are
+  independent of partition count / accumulation order — bit-identical
+  across engines (operators/aggregate.py:dsum);
+* integer SUMs are CAST to BIGINT on both sides (DuckDB sums to HUGEINT,
+  Spark to BIGINT);
+* ROW_NUMBER ranks are CAST to BIGINT (Spark emits INT, DuckDB BIGINT);
+* timestamps are emitted as epoch-second BIGINTs or extracted INT fields
+  (the events fixture is nanos; Spark reads micros — epoch output
+  sidesteps the precision mismatch);
+* hash-based operators (MinHash/SimHash/fingerprints) are dual-dialect SQL
+  built from shared md5 primitives (functions/portable.py) so the
+  algorithm is common by construction.
+
+Queries tagged ``oracle=None`` are partition-diagnostic or approximate
+operators whose output is not SQL-expressible; the driver records a
+rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import BigDataTable
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as X
+from .functions.portable import DUCK, SPARK
+from .operators import joins as J
+from .operators import windows as W
+from .operators.aggregate import davg, dsum, partials
+from .operators.setops import rbindlist
+from .sources.readers import FIXTURE_TABLES, Tables, ensure_session_confs, load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (the engine analogue of
+    named datasets resident per node, reference big.data.table.R:281-291).
+    ``events.ts`` is registered post-conversion (nanos → timestamp)."""
+    ensure_session_confs(spark)
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _sql_query(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return fn
+
+
+def _dual(builder: Callable[[str], str], doc: str = "") -> QuerySpec:
+    """A dual-dialect SQL operator: one builder, two dialects — the Spark
+    query and its oracle share the algorithm by construction."""
+    return QuerySpec(fn=_sql_query(builder(SPARK)), oracle=builder(DUCK), doc=doc)
+
+
+# ------------------------------------------------------------------ #
+# core relational queries (DataFrame API, reference Layer B parity)
+# ------------------------------------------------------------------ #
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary — the reference's
+    canonical grouped-aggregation shape (``x[, .(value=sum(value)), by]``,
+    README.md:84-94) at full width.  Catalyst runs partial→final agg; the
+    scan reads only the 7 referenced columns with the shipdate filter
+    pushed down."""
+    li = Tables(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single global aggregate.  The whole
+    predicate set pushes into the parquet scan; at 100 TB this is a
+    scan-dominated query with a one-row shuffle."""
+    li = Tables(spark, sf_dir).lineitem
+    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * F.col("l_discount").cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def grouped_sum_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bdt[, .(value=sum(value)), by=year]`` — the reference's canonical
+    query (README.md:84-94) on lineitem."""
+    li = Tables(spark, sf_dir).lineitem
+    bdt = BigDataTable(li.withColumn("year", F.year("l_shipdate").cast("int")))
+    return bdt.q(j={"value": dsum("l_extendedprice")}, by="year").df
+
+
+def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bdt[, .N, by]`` (reference README.md:176-178) — global,
+    correct-by-default (the reference's outer.aggregate=TRUE form of this
+    is pinned *wrong*; SURVEY.md §4.2)."""
+    li = Tables(spark, sf_dir).lineitem
+    return BigDataTable(li).q(by="l_returnflag").df  # bare .N
+
+
+def grouped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_linestatus")
+        .agg(davg("l_quantity").alias("avg_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def agg_all_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lapply(.SD, sum)`` — aggregate every (numeric) non-group column
+    (reference README.md:220-224)."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.sum("l_linenumber").cast("bigint").alias("sum_linenumber"),
+        dsum("l_quantity").alias("sum_quantity"),
+        dsum("l_extendedprice").alias("sum_extendedprice"),
+        dsum("l_discount").alias("sum_discount"),
+        dsum("l_tax").alias("sum_tax"),
+    )
+
+
+def multi_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-key grouped sum + count — the reference's local-vs-distributed
+    equivalence oracle (tests-03-as.big.data.table.R:53-60)."""
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.withColumn("year", F.year("l_shipdate").cast("int"))
+        .withColumn("pk", (F.col("l_partkey") % 10).cast("bigint"))
+        .groupBy("l_returnflag", "l_linestatus", "year", "pk")
+        .agg(dsum("l_extendedprice").alias("value"), F.count(F.lit(1)).alias("N"))
+    )
+
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bdt[i, j]`` — filter in ``i``, project in ``j``.  Both the
+    predicate and the 3-column pruning reach the parquet scan."""
+    li = Tables(spark, sf_dir).lineitem
+    return BigDataTable(li).q(
+        i=F.col("l_quantity") > 45,
+        j=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).df
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered top-k (head over a sort) — physical plan is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    o = Tables(spark, sf_dir).orders
+    return W.topk(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+def lookup_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data.table ``y[x, on=]`` lookup join (reference README.md:226-227):
+    LEFT join of x=nation against y=region, small side broadcast."""
+    t = Tables(spark, sf_dir)
+    x = t.nation.withColumnRenamed("n_regionkey", "r_regionkey")
+    return J.lookup_join(x, t.region, on="r_regionkey", broadcast=True).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+def join3_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table join beyond the reference's node-local joins:
+    lineitem ⋈ orders ⋈ customer, revenue per market segment.  customer is
+    broadcast; the lineitem⋈orders join shuffles on the orderkey."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_JOIN3_ORACLE = """
+SELECT c_mktsegment,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-by-join / ``nomatch=0L`` existence semantics (reference
+    big.data.table.R:196-198): orders of high-balance customers."""
+    t = Tables(spark, sf_dir)
+    rich = t.customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        J.semi_join(t.orders, rich, on="o_custkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderstatus
+"""
+
+
+def anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``x[!y]`` anti join (reference big.data.table.R:241): customers with
+    no orders, counted per segment."""
+    t = Tables(spark, sf_dir)
+    keys = t.orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        J.anti_join(t.customer, keys, on="c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def cross_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CJ(a, b)`` cartesian (reference README.md:117)."""
+    t = Tables(spark, sf_dir)
+    return J.cross_join(t.region.select("r_name"), t.nation.select("n_name"))
+
+
+def distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unique(x, by=)`` (reference as.big.data.table.R:110)."""
+    c = Tables(spark, sf_dir).customer
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+def union_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rbindlist`` gather-side union (reference big.data.table.R:139)."""
+    t = Tables(spark, sf_dir)
+    a = t.orders.select(F.col("o_orderkey").alias("id"), F.lit("orders").alias("src"))
+    b = t.lineitem.select(F.col("l_orderkey").alias("id"), F.lit("lineitem").alias("src"))
+    return rbindlist([a, b]).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").cast("bigint").alias("n_ids"),
+    )
+
+
+_UNION_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey AS id, 'orders' AS src FROM orders
+  UNION ALL
+  SELECT l_orderkey AS id, 'lineitem' AS src FROM lineitem
+)
+SELECT src, COUNT(*) AS n, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids FROM u GROUP BY src
+"""
+
+
+def intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.select(F.col("c_custkey").alias("k")).intersect(
+        t.orders.select(F.col("o_custkey").alias("k"))
+    )
+
+
+def except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.select(F.col("c_custkey").alias("k")).exceptAll(
+        t.orders.select(F.col("o_custkey").alias("k")).distinct()
+    ).distinct()
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lineitems per returnflag by price — row_number window with a
+    total-order tie-break."""
+    li = Tables(spark, sf_dir).lineitem
+    out = W.topk_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        by="l_returnflag",
+        order=[
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        k=3,
+    )
+    return out.withColumn("rn", F.col("rn").cast("bigint"))
+
+
+_WTOPK_ORACLE = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem) t
+WHERE rn <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-supplier revenue in shipdate order (exact decimal
+    accumulation over a total-order frame → deterministic)."""
+    li = Tables(spark, sf_dir).lineitem.filter(F.col("l_suppkey") <= 3)
+    out = W.running(
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
+        by="l_suppkey",
+        order=[F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        aggs={
+            "running_rev": F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
+            "rn": F.row_number(),
+        },
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("running_rev").cast("double").alias("running_rev"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+_WRUN_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_rev,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+FROM lineitem WHERE l_suppkey <= 3
+WINDOW w AS (PARTITION BY l_suppkey
+  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus → columns (engine extension; oracle via CASE
+    aggregation)."""
+    li = Tables(spark, sf_dir).lineitem
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_o"),
+        F.col("F").alias("qty_f"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_o,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def two_phase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's manual two-phase aggregation
+    ``bdt[, .(v=sum(v)), year][, .(v=sum(v)), year]``
+    (README.md:166-178): per-shard partials (``.node`` ×  key) re-aggregated
+    to the global result.  Partials stay in exact decimal so the final sum
+    is independent of the partitioning; oracle = plain global GROUP BY."""
+    li = Tables(spark, sf_dir).lineitem.withColumn(
+        "year", F.year("l_shipdate").cast("int")
+    )
+    phase1 = partials(
+        li,
+        by="year",
+        aggs={
+            "v": F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
+            "n": F.count(F.lit(1)),
+        },
+    )
+    return phase1.groupBy("year").agg(
+        F.sum("v").cast("double").alias("value"),
+        F.sum("n").cast("bigint").alias("N"),
+    )
+
+
+_TWOPHASE_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INT) AS year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value,
+  COUNT(*) AS N
+FROM lineitem GROUP BY 1
+"""
+
+
+def count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+    )
+
+
+def partials_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's *default* result shape — per-shard partials
+    (``outer.aggregate=FALSE``, big.data.table.R:138-151; row-count law
+    pinned by tests-04:23-32).  Hash-partitioned on the orderkey so every
+    shard holds all groups; output rows = shards × groups.  Not
+    SQL-expressible (depends on physical partitioning) → rows-only check."""
+    li = Tables(spark, sf_dir).lineitem.repartition(8, "l_orderkey")
+    return partials(
+        li, by="l_returnflag", aggs={"n": F.count(F.lit(1))}
+    )
+
+
+def generator_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function source (reference as.big.data.table.R:35-45, the
+    ``gen.data`` pattern tests-04:11-15): deterministic per-partition data
+    generation via mapInPandas, then a grouped count.  Seeded per
+    partition id → deterministic; oracle-expressible because the generator
+    is a pure function of (pid, row index)."""
+    from .sources.readers import from_generator
+    import numpy as np
+    import pandas as pd
+
+    def gen(pid: int, n: int = 1000):
+        idx = np.arange(n)
+        return pd.DataFrame(
+            {
+                "pid": np.full(n, pid, dtype="int64"),
+                "year": 2011 + ((pid * 7 + idx * 13) % 4),
+                "value": ((pid * 31 + idx * 17) % 100).astype("float64"),
+            }
+        )
+
+    df = from_generator(spark, gen, schema="pid long, year long, value double", n_partitions=4)
+    return df.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+
+
+_GEN_ORACLE = """
+WITH g AS (
+  SELECT pid, idx,
+    2011 + ((pid * 7 + idx * 13) % 4) AS year,
+    CAST((pid * 31 + idx * 17) % 100 AS DOUBLE) AS value
+  FROM (SELECT UNNEST(range(0, 4)) AS pid), (SELECT UNNEST(range(0, 1000)) AS idx)
+)
+SELECT year, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM g GROUP BY year
+"""
+
+
+# ------------------------------------------------------------------ #
+# events queries (JSON, windows, sessionization, as-of)
+# ------------------------------------------------------------------ #
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from ``events.props`` + grouped aggregate."""
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+_EVJSON_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling 5-minute windows (epoch-bucketed)."""
+    ev = Tables(spark, sf_dir).events
+    bucket = (F.unix_timestamp("ts") / 300).cast("bigint") * 300
+    return (
+        ev.withColumn("ws", bucket)
+        .groupBy("ws", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
+    )
+
+
+_EVTUMBLE_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS ws, event_type,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) → per-session stats."""
+    ev = Tables(spark, sf_dir).events
+    sess = W.sessionize(ev, user="user_id", ts="ts", gap_seconds=1800)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "dur_seconds"
+        ),
+        dsum("value").alias("v"),
+    )
+
+
+_EVSESS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL THEN 1
+    WHEN CAST(floor(epoch(ts)) AS BIGINT)
+      - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1
+    ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_seconds,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest same-user 'purchase'
+    at-or-before it (union+window implementation, operators/joins.py;
+    oracle: DuckDB native ASOF JOIN)."""
+    ev = Tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = J.asof_join(
+        left, purchases, on="ts", by="user_id", right_cols=["purchase_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        F.unix_timestamp("ts").alias("ets"),
+    )
+
+
+_EVASOF_ORACLE = """
+SELECT e.event_id, e.user_id, p.purchase_id,
+  CAST(floor(epoch(e.ts)) AS BIGINT) AS ets
+FROM events e ASOF LEFT JOIN
+  (SELECT user_id, ts, event_id AS purchase_id FROM events
+   WHERE event_type = 'purchase') p
+ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling windows driven to completion over the
+    bounded fixture — result equals the batch tumbling aggregation."""
+    from .streaming.events import tumbling_counts
+
+    return tumbling_counts(spark, sf_dir, minutes=5)
+
+
+_STREAM_TUMBLE_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS ws, event_type,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): final
+    per-user running counts equal the batch aggregate on bounded input."""
+    from .streaming.events import stateful_running_counts
+
+    return stateful_running_counts(spark, sf_dir)
+
+
+_STREAM_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# catalog assembly
+# ------------------------------------------------------------------ #
+
+CATALOG: dict[str, QuerySpec] = {
+    # --- core relational (reference Layer B parity) ---
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_ORACLE),
+    "q6_revenue": QuerySpec(q6_revenue, _Q6_ORACLE),
+    "grouped_sum_by_year": QuerySpec(
+        grouped_sum_by_year,
+        """SELECT CAST(year(l_shipdate) AS INT) AS year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
+           FROM lineitem GROUP BY 1""",
+    ),
+    "group_count": QuerySpec(
+        group_count,
+        "SELECT l_returnflag, COUNT(*) AS N FROM lineitem GROUP BY l_returnflag",
+    ),
+    "grouped_mean": QuerySpec(
+        grouped_mean,
+        """SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           COUNT(*) AS n FROM lineitem GROUP BY l_linestatus""",
+    ),
+    "agg_all_sd": QuerySpec(
+        agg_all_sd,
+        """SELECT l_returnflag,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_extendedprice,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_discount,
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sum_tax
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "multi_key_group": QuerySpec(
+        multi_key_group,
+        """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS year,
+           CAST(l_partkey % 10 AS BIGINT) AS pk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value,
+           COUNT(*) AS N
+           FROM lineitem GROUP BY 1, 2, 3, 4""",
+    ),
+    "filter_project": QuerySpec(
+        filter_project,
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           WHERE l_quantity > 45""",
+    ),
+    "topk_orders": QuerySpec(
+        topk_orders,
+        """SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    ),
+    "lookup_join_nation_region": QuerySpec(
+        lookup_join_nation_region,
+        """SELECT n_nationkey, n_name, r_name
+           FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""",
+    ),
+    "join3_revenue_by_segment": QuerySpec(join3_revenue_by_segment, _JOIN3_ORACLE),
+    "semi_join_orders": QuerySpec(semi_join_q, _SEMI_ORACLE),
+    "anti_join_customers": QuerySpec(anti_join_q, _ANTI_ORACLE),
+    "cross_join_region_nation": QuerySpec(
+        cross_join_q,
+        "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    ),
+    "distinct_segments": QuerySpec(
+        distinct_q,
+        "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    ),
+    "union_all_counts": QuerySpec(union_all_q, _UNION_ORACLE),
+    "intersect_custkeys": QuerySpec(
+        intersect_q,
+        """SELECT c_custkey AS k FROM customer
+           INTERSECT SELECT o_custkey AS k FROM orders""",
+    ),
+    "except_custkeys": QuerySpec(
+        except_q,
+        """SELECT c_custkey AS k FROM customer
+           EXCEPT SELECT o_custkey AS k FROM orders""",
+    ),
+    "window_topk_per_group": QuerySpec(window_topk_per_group, _WTOPK_ORACLE),
+    "window_running_sum": QuerySpec(window_running_sum, _WRUN_ORACLE),
+    "rollup_agg": QuerySpec(rollup_q, _ROLLUP_ORACLE),
+    "cube_agg": QuerySpec(
+        cube_q,
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    ),
+    "pivot_linestatus": QuerySpec(pivot_q, _PIVOT_ORACLE),
+    "two_phase_agg": QuerySpec(two_phase_q, _TWOPHASE_ORACLE),
+    "count_distinct": QuerySpec(
+        count_distinct_q,
+        """SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "partials_diag": QuerySpec(partials_diag, None),
+    "generator_source": QuerySpec(generator_source_q, _GEN_ORACLE),
+    # --- events ---
+    "events_json_extract": QuerySpec(events_json_extract, _EVJSON_ORACLE),
+    "events_tumbling_5min": QuerySpec(events_tumbling, _EVTUMBLE_ORACLE),
+    "events_sessionize": QuerySpec(events_sessionize, _EVSESS_ORACLE),
+    "events_asof_purchase": QuerySpec(events_asof_purchase, _EVASOF_ORACLE),
+    "stream_tumbling_5min": QuerySpec(stream_tumbling, _STREAM_TUMBLE_ORACLE),
+    "stream_stateful_counts": QuerySpec(stream_stateful, _STREAM_STATEFUL_ORACLE),
+    # --- documents: dedup + text analysis (dual-dialect) ---
+    "dedup_exact": _dual(D.exact_dedup_sql),
+    "dedup_minhash_signature": _dual(D.minhash_signature_sql),
+    "dedup_minhash_lsh_pairs": _dual(D.minhash_lsh_pairs_sql),
+    "dedup_simhash": _dual(D.simhash_sql),
+    "dedup_simhash_candidates": _dual(D.simhash_candidates_sql),
+    "dedup_ngram_jaccard": _dual(D.ngram_jaccard_pairs_sql),
+    "text_token_count": _dual(X.token_count_sql),
+    "text_lang_id": _dual(X.lang_id_sql),
+    "text_quality_score": _dual(X.quality_score_sql),
+    "text_fingerprint": _dual(X.fingerprint_sql),
+    # --- embeddings: similarity search (dual-dialect) ---
+    "embedding_neardup": _dual(S.embedding_neardup_sql),
+    "ann_topk_cosine": _dual(S.ann_topk_sql),
+    "ann_lsh_pairs": _dual(S.ann_lsh_pairs_sql),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle}

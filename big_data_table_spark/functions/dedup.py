@@ -1,0 +1,179 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline extensions (BASELINE.json north-star; beyond the
+reference's surface, whose only dedup is ``unique(x, by=)``,
+as.big.data.table.R:110).
+
+Every operator is a *dual-dialect SQL builder*: ``sql(dialect)`` returns the
+Spark SQL text and the DuckDB oracle text from the same code path, so the
+algorithm (shingling, hashing, banding) is shared by construction — see
+``portable.py``.
+
+Scale design (100 TB of documents):
+
+* exact dedup — one hash-aggregate on ``md5(text)``; map-side partial
+  aggregation makes this a single shuffle of (hash, partial-count) pairs,
+  not of document text.
+* MinHash/LSH — signatures are per-document aggregates (shuffle keyed by
+  doc_id, balanced); candidate generation joins on (band, band-signature),
+  i.e. only documents sharing a band bucket meet — the classic
+  sub-quadratic LSH join.  Hot buckets (boilerplate docs) are the skew
+  risk; AQE skew-join splitting handles moderate cases, and the band
+  signature includes r=3 hashes so bucket sizes stay small.
+* SimHash — 16 bit-majority aggregates per doc from ONE md5 per token
+  (each hex nibble's high bit is one hyperplane side), then band-join on
+  signature quarters for hamming-adjacent candidates.
+* n-gram Jaccard — exact verification join on shared shingles; intended
+  as the *verify* stage after LSH candidates at scale (here also exposed
+  standalone with a language blocking key).
+"""
+
+from __future__ import annotations
+
+from .portable import DUCK, SPARK, arr_el, arr_len, lateral_arr, lateral_seq, split_ws
+
+# MinHash parameters: 12 hash functions in 4 bands × 3 rows.
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+
+
+def _words_cte(dialect: str, table: str = "documents") -> str:
+    w = split_ws("lower(text)", dialect)
+    return (
+        f"words AS (SELECT doc_id, {w} AS w FROM {table}), "
+        f"docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= 3)"
+    )
+
+
+def _shingles_cte(dialect: str) -> str:
+    """Distinct word-3-gram shingles per document."""
+    el = lambda i: arr_el("w", i, dialect)  # noqa: E731
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - 2", "i", dialect)
+    return (
+        "shingles AS (SELECT DISTINCT doc_id, sh FROM ("
+        f"SELECT doc_id, concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')}) AS sh "
+        f"FROM docs {lat}) _s)"
+    )
+
+
+def exact_dedup_sql(dialect: str) -> str:
+    """Exact duplicate groups by content hash: one row per distinct text,
+    keeper = min doc_id.  ``unique(x, by=)`` lifted to content identity."""
+    return (
+        "SELECT md5(text) AS content_hash, "
+        "CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_copies "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+
+def minhash_signature_sql(dialect: str) -> str:
+    """Per-document MinHash signature (N_HASHES seeded-md5 minima over the
+    shingle set).  The minimum is taken over 16-hex-char strings — a
+    deterministic total order shared by both engines."""
+    mins = ", ".join(
+        f"MIN(substr(md5(concat('{k}|', sh)), 1, 16)) AS h{k}" for k in range(N_HASHES)
+    )
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)} "
+        f"SELECT doc_id, {mins} FROM shingles GROUP BY doc_id"
+    )
+
+
+def minhash_lsh_pairs_sql(dialect: str) -> str:
+    """LSH candidate pairs: documents agreeing on ≥1 of N_BANDS bands
+    (each band = concat of ROWS_PER_BAND signature rows).  Output is the
+    deduplicated (doc_a < doc_b) candidate set."""
+    mins = ", ".join(
+        f"MIN(substr(md5(concat('{k}|', sh)), 1, 16)) AS h{k}" for k in range(N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM minh".format(
+            b=b,
+            cols=", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)}, "
+        f"minh AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id), "
+        f"bands AS ({band_selects}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+def simhash_sql(dialect: str, nbits: int = 16) -> str:
+    """Per-document SimHash: one md5 per token occurrence; hex nibble k's
+    high bit (nibble in 8..f) is hyperplane k's side; bit k of the
+    signature is the sign of the ±1 majority vote.  Ties (sum == 0) break
+    to '1' deterministically."""
+    tok = lateral_arr("w", "tok", dialect)
+    bits = ", ".join(
+        "CASE WHEN SUM(CASE WHEN substr(h, {p}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 "
+        "THEN '1' ELSE '0' END".format(p=p + 1)
+        for p in range(nbits)
+    )
+    return (
+        f"WITH {_words_cte(dialect)}, "
+        f"tokens AS (SELECT doc_id, tok FROM docs {tok}), "
+        "hashed AS (SELECT doc_id, md5(tok) AS h FROM tokens) "
+        f"SELECT doc_id, concat({bits}) AS simhash FROM hashed GROUP BY doc_id"
+    )
+
+
+def simhash_candidates_sql(dialect: str, nbits: int = 16, nbands: int = 4) -> str:
+    """Hamming-adjacent candidates: pairs agreeing on ≥1 of ``nbands``
+    signature quarters (≥1 band equal ⇒ hamming distance ≤ nbits·(nbands-1)/nbands
+    is *possible*; it is the standard recall-oriented blocking step)."""
+    width = nbits // nbands
+    sig = simhash_sql(dialect, nbits)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash, {b * width + 1}, {width}) AS bs FROM sigs"
+        for b in range(nbands)
+    )
+    return (
+        f"WITH sigs AS ({sig}), bands AS ({band_selects}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bs = b.bs "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+def ngram_jaccard_pairs_sql(dialect: str, threshold: float = 0.5) -> str:
+    """Exact word-3-gram Jaccard similarity for same-language pairs sharing
+    ≥1 shingle; emits pairs with similarity ≥ threshold.  The
+    shared-shingle join is the exact-verification stage of the LSH
+    pipeline; language is the blocking key."""
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)}, "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id), "
+        "langs AS (SELECT doc_id, lang FROM documents), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "  JOIN langs la ON la.doc_id = a.doc_id JOIN langs lb ON lb.doc_id = b.doc_id "
+        "  AND la.lang = lb.lang "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}"
+    )
+
+
+__all__ = [
+    "exact_dedup_sql",
+    "minhash_signature_sql",
+    "minhash_lsh_pairs_sql",
+    "simhash_sql",
+    "simhash_candidates_sql",
+    "ngram_jaccard_pairs_sql",
+    "N_HASHES",
+    "N_BANDS",
+    "ROWS_PER_BAND",
+    "SPARK",
+    "DUCK",
+]

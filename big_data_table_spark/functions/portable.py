@@ -1,0 +1,96 @@
+"""Dialect-portable SQL fragments (Spark SQL + DuckDB).
+
+The dedup / text-analysis operators are *algorithmically defined* — MinHash
+signatures, SimHash bits, shingle sets.  Their correctness gate is a DuckDB
+oracle that must reproduce the same values, so the hash primitives are
+deliberately built only from functions with identical semantics in both
+engines:
+
+* ``md5`` — identical lowercase hex in Spark and DuckDB (standard MD5);
+* ``substr`` / ``concat`` / ``lower`` / ``trim`` — identical;
+* ``min`` over fixed-length lowercase-hex strings — plain byte-wise
+  ordering in both, so MinHash "minimum hash" is computed on the hex
+  string itself (a deterministic total order; no hex→int conversion, which
+  the two engines do NOT share);
+* regex split / extract-all — Java regex vs RE2, restricted here to the
+  shared subset (``\\s`` ``\\w`` classes, ``\\b``, alternation).
+
+Each helper emits the fragment for ``dialect in {"spark", "duck"}``; a
+query builder calls the same helpers for both dialects, so the Spark query
+and its oracle are *the same algorithm by construction*.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def split_ws(expr: str, dialect: str) -> str:
+    """Whitespace-tokenize into an array (leading/trailing trimmed)."""
+    if dialect == SPARK:
+        return f"split(trim({expr}), '\\\\s+')"
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def arr_len(expr: str, dialect: str) -> str:
+    return f"size({expr})" if dialect == SPARK else f"len({expr})"
+
+
+def arr_el(expr: str, i: str, dialect: str) -> str:
+    """1-based element access (both engines are 1-based here)."""
+    return f"element_at({expr}, {i})" if dialect == SPARK else f"{expr}[{i}]"
+
+
+def lateral_seq(lo: str, hi_inclusive: str, alias: str, dialect: str) -> str:
+    """FROM-clause fragment exploding integers lo..hi (inclusive) as
+    ``alias``.  Guard hi >= lo at the call site (Spark ``sequence`` with
+    hi < lo counts *down*)."""
+    if dialect == SPARK:
+        return f"LATERAL VIEW explode(sequence({lo}, {hi_inclusive})) _t AS {alias}"
+    return f", UNNEST(range({lo}, ({hi_inclusive}) + 1)) AS _t({alias})"
+
+
+def lateral_arr(expr: str, alias: str, dialect: str) -> str:
+    """FROM-clause fragment exploding an array column as ``alias``."""
+    if dialect == SPARK:
+        return f"LATERAL VIEW explode({expr}) _tok AS {alias}"
+    return f", UNNEST({expr}) AS _tok({alias})"
+
+
+def regexp_count(expr: str, pattern: str, dialect: str) -> str:
+    """Number of non-overlapping matches of ``pattern``."""
+    if dialect == SPARK:
+        return f"size(regexp_extract_all({expr}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+def json_get(expr: str, key: str, dialect: str) -> str:
+    """Extract a scalar JSON field as a string."""
+    if dialect == SPARK:
+        return f"get_json_object({expr}, '$.{key}')"
+    return f"json_extract_string({expr}, '$.{key}')"
+
+
+def epoch_seconds(expr: str, dialect: str) -> str:
+    """Unix seconds (floored) of a timestamp."""
+    if dialect == SPARK:
+        return f"unix_timestamp({expr})"
+    return f"CAST(floor(epoch({expr})) AS BIGINT)"
+
+
+def dsum(expr: str, scale: int = 6) -> str:
+    """Deterministic double sum via exact decimal accumulation — identical
+    SQL in both dialects.  See operators/aggregate.py:dsum for rationale
+    (float sum is partition-order dependent; decimal sum is exact)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg(expr: str, scale: int = 6) -> str:
+    return f"{dsum(expr, scale)} / COUNT({expr})"
+
+
+def md5_min_hash(expr: str, seed: int, nhex: int = 16) -> str:
+    """One MinHash family member: seeded md5, first ``nhex`` hex chars.
+    Identical SQL in both dialects."""
+    return f"substr(md5(concat('{seed}|', {expr})), 1, {nhex})"

@@ -1,0 +1,116 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting (training-data-pipeline
+extensions; the reference has no string function library of its own,
+SURVEY.md §2 "Scalar functions").
+
+All dual-dialect SQL (see ``portable.py``): regex patterns are restricted
+to the Java-regex ∩ RE2 subset, arithmetic is int-ratio → double (IEEE
+deterministic), and outputs are rounded where composed from multiple float
+ops.
+
+Scale: each operator is a narrow per-row projection — no shuffle at all;
+at 100 TB these run as a single map stage fused into the parquet scan by
+whole-stage codegen (regexp on the JVM, no Python).
+"""
+
+from __future__ import annotations
+
+from .portable import DUCK, SPARK, regexp_count, split_ws, arr_len
+
+# marker stopwords per language for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": r"\\b(the|and|of|to|in|is|that|for|with|was)\\b",
+    "de": r"\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b",
+    "fr": r"\\b(le|la|les|et|est|une|des|que|pour|dans)\\b",
+    "es": r"\\b(el|la|los|las|es|una|que|por|para|con)\\b",
+}
+
+_STOPWORDS = r"\\b(the|a|an|and|or|of|to|in|is|it|that|for)\\b"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+_BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _pat(p: str, dialect: str) -> str:
+    """Spark SQL string literals need ``\\\\b``; DuckDB needs ``\\b``."""
+    return p if dialect == SPARK else p.replace("\\\\", "\\")
+
+
+def token_count_sql(dialect: str) -> str:
+    """Whitespace token count + BPE-ish subword-piece count per doc."""
+    ws = arr_len(split_ws("text", dialect), dialect)
+    bpe = regexp_count("text", _pat(_BPE_TOKEN, dialect), dialect)
+    return (
+        f"SELECT doc_id, CAST({ws} AS BIGINT) AS n_ws_tokens, "
+        f"CAST({bpe} AS BIGINT) AS n_bpe_tokens FROM documents"
+    )
+
+
+def lang_id_sql(dialect: str) -> str:
+    """Marker-stopword language ID: per-language marker hit counts,
+    argmax with deterministic precedence (en > de > fr > es), 'und'
+    (undetermined) when no marker hits at all."""
+    scores = {
+        lang: regexp_count("lower(text)", _pat(pat, dialect), dialect)
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    langs = list(_LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return (
+        f"WITH scored AS (SELECT doc_id, {score_cols} FROM documents), "
+        f"m AS (SELECT *, {best} AS best FROM scored) "
+        f"SELECT doc_id, CASE WHEN best = 0 THEN 'und' {cases} END AS pred_lang, "
+        "CAST(best AS BIGINT) AS marker_hits FROM m"
+    )
+
+
+def quality_score_sql(dialect: str) -> str:
+    """Heuristic quality score from length / punctuation / stopword /
+    alpha ratios — the standard cheap pre-filter for pipeline text.
+
+    score = 0.4·stopword_ratio + 0.3·alpha_ratio + 0.2·clamp(n_tokens/100)
+            + 0.1·(1 - punct_ratio), rounded to 6 dp.
+    """
+    n_tok = arr_len(split_ws("text", dialect), dialect)
+    n_stop = regexp_count("lower(text)", _pat(_STOPWORDS, dialect), dialect)
+    n_alpha = regexp_count("text", "[A-Za-z]", dialect)
+    n_punct = regexp_count("text", _pat(r"[^A-Za-z0-9\\s]", dialect), dialect)
+    return (
+        "WITH feats AS (SELECT doc_id, n_chars, "
+        f"CAST({n_tok} AS DOUBLE) AS n_tok, CAST({n_stop} AS DOUBLE) AS n_stop, "
+        f"CAST({n_alpha} AS DOUBLE) AS n_alpha, CAST({n_punct} AS DOUBLE) AS n_punct "
+        "FROM documents) "
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+        "ROUND(n_stop / n_tok, 6) AS stopword_ratio, "
+        "ROUND(n_punct / n_chars, 6) AS punct_ratio, "
+        "ROUND(n_alpha / n_chars, 6) AS alpha_ratio, "
+        "ROUND(0.4 * (n_stop / n_tok) + 0.3 * (n_alpha / n_chars) "
+        "+ 0.2 * LEAST(n_tok / 100.0, 1.0) + 0.1 * (1.0 - n_punct / n_chars), 6) "
+        "AS quality_score FROM feats"
+    )
+
+
+def fingerprint_sql(dialect: str) -> str:
+    """Content fingerprint of whitespace-normalized lowercase text — the
+    canonical-form hash used for near-exact dedup (case/whitespace
+    insensitive).  Also emits the first-shingle "anchor" prefix used as a
+    cheap locality key."""
+    if dialect == SPARK:
+        norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    else:
+        norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return (
+        f"SELECT doc_id, md5({norm}) AS fingerprint, "
+        f"substr(md5({norm}), 1, 8) AS fp_bucket FROM documents"
+    )
+
+
+__all__ = [
+    "token_count_sql",
+    "lang_id_sql",
+    "quality_score_sql",
+    "fingerprint_sql",
+    "SPARK",
+    "DUCK",
+]

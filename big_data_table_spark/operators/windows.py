@@ -1,0 +1,79 @@
+"""Window / ordering operators (engine extensions; SURVEY.md §2 notes the
+reference has no window functions — its head/tail preview,
+big.data.table.R:62-66, is the closest thing).
+
+Scale notes: a window with ``partitionBy`` shuffles once on the partition
+keys; an *unpartitioned* ordered window collapses to a single task and is
+forbidden in the hot path here (global top-k uses the
+per-partition-then-merge form Spark implements for ``orderBy().limit()``,
+i.e. TakeOrderedAndProject — no global sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global ordered top-k.  Physical plan is TakeOrderedAndProject:
+    per-partition heap + driver merge of k·P rows — O(k) memory, no global
+    sort shuffle."""
+    return df.orderBy(*order).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    by: str | Iterable[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group via ``row_number`` over a partitioned window.
+    Deterministic only when ``order`` is a total order within each group —
+    callers must include a tie-break key."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def running(
+    df: DataFrame,
+    by: str | Iterable[str],
+    order: list[Column],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Running (cumulative) aggregates over an ordered per-group frame."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select("*", *[v.over(w).alias(k) for k, v in aggs.items()])
+
+
+def sessionize(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same ``user`` exceeds ``gap_seconds``.
+    lag → gap flag → cumulative sum, two window passes over one shuffle on
+    ``user``.  (Streaming equivalent: ``F.session_window`` — see
+    ``streaming/events.py``.)"""
+    w = Window.partitionBy(user).orderBy(F.col(ts).asc())
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("__new", is_new).withColumn(
+        session_col,
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new")

@@ -1,0 +1,92 @@
+"""Plan introspection + query observability.
+
+Two reference capabilities re-expressed:
+
+* ``bdt.eval.log`` per-query row-count/timing audit (reference
+  big.data.table.R:156-175; tests-08-logging.R pins 1 client + N node log
+  rows) → ``observed()`` (``df.observe`` row metrics) and
+  :class:`QueryLog` (a QueryExecutionListener writing one log row per
+  query — the "client row"; per-task grain lives in the Spark event log).
+* plan-shape assertions used by the test-suite and bench to keep the
+  *physical* plans honest at scale: filters pushed into the parquet scan,
+  broadcast joins where expected, whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if the parquet scan carries pushed predicates."""
+    plan = formatted_plan(df)
+    return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("BroadcastHashJoin")
+
+
+def sortmerge_join_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("SortMergeJoin")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the metric to
+    minimize; every unit is a full network/disk rewrite of its input."""
+    plan = formatted_plan(df)
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    ) + plan.count("Exchange RoundRobinPartitioning")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("WholeStageCodegen")
+
+
+def observed(df: DataFrame, name: str = "q") -> tuple[DataFrame, Observation]:
+    """Attach row-count metrics to a plan (reference ``out_rows`` audit,
+    big.data.table.R:168-171).  ``obs.get`` after an action returns the
+    metrics without a second job."""
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("out_rows")), obs
+
+
+@dataclass
+class QueryLogRow:
+    name: str
+    started: float
+    elapsed: float
+    out_rows: int | None
+
+
+@dataclass
+class QueryLog:
+    """Client-side transactional query log (reference logR integration,
+    tests-08-logging.R:60-71: errors are captured per query, the log keeps
+    appending).  One row per logged query."""
+
+    rows: list[QueryLogRow] = field(default_factory=list)
+
+    def run(self, name: str, df: DataFrame) -> list:
+        t0 = time.time()
+        observed_df, obs = observed(df, name)
+        try:
+            out = observed_df.collect()
+        except Exception:
+            self.rows.append(QueryLogRow(name, t0, time.time() - t0, None))
+            raise
+        self.rows.append(
+            QueryLogRow(name, t0, time.time() - t0, obs.get["out_rows"])
+        )
+        return out

@@ -1,0 +1,157 @@
+"""Structured Streaming over the ``events`` fixture — the streaming
+extension (SURVEY.md §2 "Streaming": absent from the reference, whose only
+asynchrony is fire-and-forget eval, rscl.R:63-65).
+
+Patterns covered: file-source streams with an explicit schema, watermarks,
+tumbling/sliding windows, session windows, and a stateful per-key operator
+via ``applyInPandasWithState``.  Local tests drive a bounded parquet batch
+through the stream with ``processAllAvailable`` + a memory sink; on a real
+cluster the same plans run over kafka/file sources unchanged.
+
+The events fixture stores TIMESTAMP(NANOS); like the batch reader we scan
+nanos-as-long and convert to micros in-plan (lossless — fixture values are
+micro-precision).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import ensure_session_confs
+
+_qid = itertools.count()
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    # the file-stream source requires a directory; point it at sf_dir with
+    # a glob filter selecting only the events file
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a bounded stream to completion through a memory sink and
+    return the final result as a batch DataFrame."""
+    name = f"bdt_stream_{next(_qid)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str, minutes: int = 5) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    Complete-mode aggregation (every window emitted at end-of-stream), so
+    the bounded-input result equals the batch tumbling aggregation — the
+    oracle-comparable contract.  Window start is emitted as epoch seconds
+    (bigint) for cross-engine comparability.  The value sum uses exact
+    decimal accumulation (see operators/aggregate.py:dsum).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", f"{minutes} minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"),
+        )
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("ws"),
+        "event_type",
+        "n",
+        "v",
+    )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str, minutes: int = 10, slide: int = 5) -> DataFrame:
+    """Sliding-window event counts (window length > slide → overlapping)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", f"{minutes} minutes", f"{slide} minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(F.unix_timestamp(F.col("window.start")).alias("ws"), "n")
+
+
+def session_windows(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session windows with a ``gap_minutes`` inactivity gap
+    (``F.session_window`` — the streaming-native form of
+    operators/windows.py:sessionize)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        F.unix_timestamp(F.col("session_window.start")).alias("ss"),
+        F.unix_timestamp(F.col("session_window.end")).alias("se"),
+        "user_id",
+        "n_events",
+    )
+
+
+def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + max value carried in explicit state.  The
+    bounded fixture arrives as one micro-batch, so the final emission per
+    user equals the batch group aggregate (deterministic, oracle-comparable
+    on (user_id, n_events))."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.streaming.state import GroupState
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+    return _run_to_completion(agg, "update")

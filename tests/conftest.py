@@ -1,0 +1,86 @@
+"""Shared pytest fixtures: one local SparkSession per test run + a DuckDB
+oracle connection with the fixture tables registered as views — the same
+comparison the driver harness performs (TESTDATA.md: t1 smoke at sf0.001,
+t2 correctness at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from big_data_table_spark.session import connect
+from big_data_table_spark.sources.readers import FIXTURE_TABLES
+
+SF_SMOKE = os.environ.get("BDT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = connect(app_name="bdt-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form: columns sorted by name, rows
+    sorted by all columns — mirrors the driver's value-hash comparison."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        # DuckDB hands back int32/decimal columns where Spark gives int64/float
+        if pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("Int64")
+        elif pdf[c].dtype == object and len(pdf) and isinstance(pdf[c].iloc[0], (list, np.ndarray)):
+            pdf[c] = pdf[c].apply(lambda v: tuple(v))
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = av.isna() & bv.isna()
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                bad = (~eq).idxmax()
+                raise AssertionError(
+                    f"{name}: float col {c} differs at row {bad}: "
+                    f"{av[bad]!r} vs {bv[bad]!r} (maxdiff="
+                    f"{np.nanmax(np.abs(av - bv))})"
+                )
+        else:
+            if not av.equals(bv):
+                neq = av.astype(object) != bv.astype(object)
+                bad = neq.idxmax()
+                raise AssertionError(
+                    f"{name}: col {c} differs at row {bad}: {av[bad]!r} vs {bv[bad]!r}"
+                )
