@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Execution is measured end-to-end with the ``noop`` sink — the full plan
+runs distributed (scan → shuffle → agg) without a driver-side collect, so
+the timing reflects engine throughput, not result-transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # name in catalog -> short bench key
+    ("q1_pricing_summary", "q1"),
+    ("q6_revenue", "q6"),
+    ("join3_revenue_by_segment", "join3"),
+    ("multi_key_group", "groupby4"),
+    ("window_topk_per_group", "wtopk"),
+    ("two_phase_agg", "twophase"),
+    ("events_sessionize", "sessionize"),
+    ("events_asof_purchase", "asof"),
+    ("events_tumbling_5min", "tumble"),
+    ("dedup_minhash_lsh_pairs", "minhash"),
+    ("dedup_simhash", "simhash"),
+    ("text_quality_score", "quality"),
+    ("embedding_neardup", "neardup"),
+    ("ann_topk_cosine", "ann"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from big_data_table_spark.catalog import CATALOG, register_views
+    from big_data_table_spark.session import connect
+
+    spark = connect(app_name="bdt-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # warm the JVM + register views once (catalog fns re-register cheaply)
+    register_views(spark, sf_dir)
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+
+    timings: dict[str, float] = {}
+    for name, key in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -38,9 +38,12 @@ ROWS_PER_BAND = 3
 
 
 def _words_cte(dialect: str, table: str = "documents") -> str:
+    # The REPARTITION hint spreads the (single-file, hence single-partition)
+    # documents scan across the cluster before the expensive shingle
+    # explode; DuckDB parses the hint as a plain comment.
     w = split_ws("lower(text)", dialect)
     return (
-        f"words AS (SELECT doc_id, {w} AS w FROM {table}), "
+        f"words AS (SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w FROM {table}), "
         f"docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= 3)"
     )
 
@@ -54,6 +57,15 @@ def _shingles_cte(dialect: str) -> str:
         f"SELECT doc_id, concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')}) AS sh "
         f"FROM docs {lat}) _s)"
     )
+
+
+def _minhash_expr(k: int) -> str:
+    """Hash-family member k: one seeded md5 yields TWO independent
+    16-hex-char members (halves of the 32-hex digest) — half the md5
+    calls of the naive one-md5-per-member scheme.  Identical SQL in both
+    dialects."""
+    seed, half = divmod(k, 2)
+    return f"substr(md5(concat('{seed}|', sh)), {1 + 16 * half}, 16)"
 
 
 def exact_dedup_sql(dialect: str) -> str:
@@ -71,9 +83,7 @@ def minhash_signature_sql(dialect: str) -> str:
     """Per-document MinHash signature (N_HASHES seeded-md5 minima over the
     shingle set).  The minimum is taken over 16-hex-char strings — a
     deterministic total order shared by both engines."""
-    mins = ", ".join(
-        f"MIN(substr(md5(concat('{k}|', sh)), 1, 16)) AS h{k}" for k in range(N_HASHES)
-    )
+    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
     return (
         f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)} "
         f"SELECT doc_id, {mins} FROM shingles GROUP BY doc_id"
@@ -84,9 +94,7 @@ def minhash_lsh_pairs_sql(dialect: str) -> str:
     """LSH candidate pairs: documents agreeing on ≥1 of N_BANDS bands
     (each band = concat of ROWS_PER_BAND signature rows).  Output is the
     deduplicated (doc_a < doc_b) candidate set."""
-    mins = ", ".join(
-        f"MIN(substr(md5(concat('{k}|', sh)), 1, 16)) AS h{k}" for k in range(N_HASHES)
-    )
+    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM minh".format(
             b=b,

