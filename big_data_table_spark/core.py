@@ -285,16 +285,19 @@ class BigDataTable:
 
         ``fn(iterator_of_pandas_batches) -> iterator_of_pandas_batches``
         runs once per partition via ``mapInPandas`` (Arrow-batched — the
-        fast Python path).  ``combine=False`` (reference ``rbind=FALSE``,
-        tests-06-readme.R:279-296) tags rows with their partition id
-        instead of returning a detached per-node list — the caller can
-        ``groupBy('.node')`` to recover per-shard results.
+        fast Python path).  Note the iterator may carry *several* batches
+        per shard (Arrow batch size), so per-shard aggregation inside
+        ``fn`` must fold over the whole iterator, not emit per batch.  ``combine=False`` (reference ``rbind=FALSE``,
+        tests-06-readme.R:279-296) tags output rows with their partition
+        id instead of returning a detached per-node list — the caller can
+        ``groupBy('.node')`` to recover per-shard results.  The tag is
+        added *after* ``fn`` (mapInPandas preserves partitioning, so the
+        id is still the shard that produced the row) — ``fn`` never sees
+        or manages the bookkeeping column.
         """
-        df = self.df
+        out = self.df.mapInPandas(fn, schema=schema)
         if with_node_id or not combine:
-            df = df.withColumn(NODE_COL, F.spark_partition_id())
-            schema = f"`{NODE_COL}` int, " + schema if NODE_COL not in schema else schema
-        out = df.mapInPandas(fn, schema=schema)
+            out = out.withColumn(NODE_COL, F.spark_partition_id())
         return BigDataTable(out)
 
     def apply_by_group(self, by, fn: Callable, schema: str) -> "BigDataTable":
@@ -313,7 +316,7 @@ class BigDataTable:
         data lineage."""
         df = self.df.withColumn(NODE_COL, F.spark_partition_id())
         if nodes is not None:
-            df = df.filter(F.col(NODE_COL).isin(nodes))
+            df = df.filter(F.col(NODE_REF).isin(nodes))
         return expr_fn(df.drop(NODE_COL))
 
     # ------------------------------------------------------------------ #
