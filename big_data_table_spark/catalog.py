@@ -27,6 +27,7 @@ rows-only check for them.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -675,6 +676,320 @@ FROM events GROUP BY user_id
 
 
 # ------------------------------------------------------------------ #
+# batch 2: sources round-trips, more SQL surface, dims, multimodal
+# ------------------------------------------------------------------ #
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip (reference write.csv/fread,
+    tests-06-readme.R:87-98): project lineitem → CSV → read back with an
+    explicit schema (no inference pass) → aggregate."""
+    import tempfile
+
+    from .sources.readers import read_csv, write_csv
+
+    li = Tables(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "bdt_csv_roundtrip")
+    write_csv(li, path)
+    back = read_csv(
+        spark,
+        path,
+        schema="l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double",
+        infer_schema=False,
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+    )
+
+
+_CSV_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink + source round-trip with explicit schema."""
+    import tempfile
+
+    from .sources.readers import read_json
+
+    o = Tables(spark, sf_dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(tempfile.gettempdir(), "bdt_json_roundtrip")
+    o.write.mode("overwrite").json(path)
+    back = read_json(
+        spark, path, schema="o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+_JSON_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+def percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    — both linear-interpolation, verified bit-identical).  At 100 TB the
+    approximate form (``percentile_approx``) is the right tool; exact is
+    the oracle-checkable baseline."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+  quantile_cont(l_extendedprice, 0.5) AS p50,
+  quantile_cont(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_distinct_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB path for count-distinct.
+    Sketch values are engine-specific → rows-only check."""
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+def range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/joins.py:range_join): orders priced
+    into 20k-wide bands derived from the nation table.  The bucketize +
+    equi-join plan replaces the nested-loop a naive BETWEEN join gets."""
+    t = Tables(spark, sf_dir)
+    bands = t.nation.select(
+        F.col("n_name").alias("band"),
+        (F.col("n_nationkey").cast("double") * 20000.0).alias("lo"),
+        (F.col("n_nationkey").cast("double") * 20000.0 + 19999.99).alias("hi"),
+    )
+    joined = J.range_join(
+        t.orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        left_val="o_totalprice",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=20000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+_RANGE_ORACLE = """
+WITH bands AS (
+  SELECT n_name AS band, CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
+         CAST(n_nationkey AS DOUBLE) * 20000.0 + 19999.99 AS hi
+  FROM nation)
+SELECT band, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
+GROUP BY band
+"""
+
+
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event matched to the *next* same-user purchase
+    at-or-after it."""
+    ev = Tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("next_purchase_id")
+    )
+    out = J.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["next_purchase_id"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase_id")
+
+
+_EVASOF_FWD_ORACLE = """
+SELECT e.event_id, e.user_id, p.next_purchase_id
+FROM events e ASOF LEFT JOIN
+  (SELECT user_id, ts, event_id AS next_purchase_id FROM events
+   WHERE event_type = 'purchase') p
+ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: month × priority (date_trunc emitted as epoch
+    seconds for cross-engine comparability)."""
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.withColumn("month", F.unix_timestamp(F.date_trunc("month", "o_orderdate")))
+        .groupBy("month", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+_MONTH_ORACLE = """
+SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month,
+  o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Tables(spark, sf_dir).part
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg("p_retailprice").alias("avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.countDistinct("p_type").cast("bigint").alias("n_types"),
+    )
+
+
+_PART_ORACLE = """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
+  MIN(p_size) AS min_size, MAX(p_size) AS max_size,
+  CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part GROUP BY p_brand
+"""
+
+
+def supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level dimension chain supplier→nation→region, both dims
+    broadcast (no shuffle of the fact side at all)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.supplier.join(F.broadcast(t.nation), t.supplier.s_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal").alias("acctbal"))
+    )
+
+
+_SUPPLIER_CHAIN_ORACLE = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def keyby_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``keyby`` — grouped aggregate with sorted output (data.table keyby
+    sorts; plain ``by`` order is unobservable distributed)."""
+    li = Tables(spark, sf_dir).lineitem.withColumn(
+        "year", F.year("l_shipdate").cast("int")
+    )
+    return (
+        BigDataTable(li)
+        .q(j={"value": dsum("l_extendedprice"), "N": F.count(F.lit(1))}, keyby="year")
+        .df
+    )
+
+
+_KEYBY_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INT) AS year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value,
+  COUNT(*) AS N
+FROM lineitem GROUP BY 1 ORDER BY year
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents.text as an opaque binary blob →
+    Arrow-batched mapInPandas feature extraction (byte length + digest).
+    The decode kernel is the deterministic stand-in (real image/audio
+    decoders are stubbed — functions/multimodal.py)."""
+    from .functions.multimodal import documents_as_media, fake_decode_features
+
+    docs = Tables(spark, sf_dir).documents
+    media = documents_as_media(docs).repartition(8, "media_id")
+    feats = fake_decode_features(media)
+    return feats.select("media_id", "n_bytes", "digest")
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS digest
+FROM documents
+"""
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (10 min window / 5 min slide): each event
+    lands in exactly two windows; oracle expands both candidate starts."""
+    from .streaming.events import sliding_counts
+
+    return sliding_counts(spark, sf_dir, minutes=10, slide=5)
+
+
+_STREAM_SLIDING_ORACLE = """
+SELECT ws, COUNT(*) AS n FROM (
+  SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300 * j AS ws
+  FROM events, UNNEST(range(0, 2)) AS _t(j)
+) GROUP BY ws
+"""
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap, ``F.session_window``);
+    oracle reconstructs sessions with lag/cumsum: start = min ts,
+    end = max ts + gap."""
+    from .streaming.events import session_windows
+
+    return session_windows(spark, sf_dir, gap_minutes=30)
+
+
+_STREAM_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL THEN 1
+         WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1
+         ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS ss,
+  CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800 AS se,
+  user_id, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# ------------------------------------------------------------------ #
 # catalog assembly
 # ------------------------------------------------------------------ #
 
@@ -772,8 +1087,23 @@ CATALOG: dict[str, QuerySpec] = {
     ),
     "partials_diag": QuerySpec(partials_diag, None),
     "generator_source": QuerySpec(generator_source_q, _GEN_ORACLE),
+    # --- sources / SQL surface / dims (batch 2) ---
+    "csv_roundtrip": QuerySpec(csv_roundtrip, _CSV_ORACLE),
+    "json_roundtrip": QuerySpec(json_roundtrip, _JSON_ORACLE),
+    "grouping_sets": QuerySpec(grouping_sets_q, _GROUPING_SETS_SQL),
+    "percentile_exact": QuerySpec(percentile_q, _PERCENTILE_ORACLE),
+    "approx_distinct_diag": QuerySpec(approx_distinct_diag, None),
+    "range_join_prices": QuerySpec(range_join_prices, _RANGE_ORACLE),
+    "orders_by_month": QuerySpec(orders_by_month, _MONTH_ORACLE),
+    "part_brand_stats": QuerySpec(part_brand_stats, _PART_ORACLE),
+    "supplier_chain": QuerySpec(supplier_chain, _SUPPLIER_CHAIN_ORACLE),
+    "keyby_sorted": QuerySpec(keyby_sorted, _KEYBY_ORACLE),
+    "multimodal_features": QuerySpec(multimodal_features, _MULTIMODAL_ORACLE),
     # --- events ---
     "events_json_extract": QuerySpec(events_json_extract, _EVJSON_ORACLE),
+    "events_asof_forward": QuerySpec(events_asof_forward, _EVASOF_FWD_ORACLE),
+    "stream_sliding_10x5": QuerySpec(stream_sliding, _STREAM_SLIDING_ORACLE),
+    "stream_session_30min": QuerySpec(stream_session, _STREAM_SESSION_ORACLE),
     "events_tumbling_5min": QuerySpec(events_tumbling, _EVTUMBLE_ORACLE),
     "events_sessionize": QuerySpec(events_sessionize, _EVSESS_ORACLE),
     "events_asof_purchase": QuerySpec(events_asof_purchase, _EVASOF_ORACLE),
