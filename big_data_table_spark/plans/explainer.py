@@ -14,6 +14,7 @@ Two reference capabilities re-expressed:
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -34,24 +35,32 @@ def has_pushed_filters(df: DataFrame) -> bool:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin")
+    """Count of BroadcastHashJoin *nodes* (formatted explain shows each
+    node once in the tree and once as a '(n) Node' detail header; count
+    the headers)."""
+    return len(re.findall(r"^\(\d+\) BroadcastHashJoin", formatted_plan(df), re.M))
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("SortMergeJoin")
+    return len(re.findall(r"^\(\d+\) SortMergeJoin", formatted_plan(df), re.M))
 
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the metric to
-    minimize; every unit is a full network/disk rewrite of its input."""
-    plan = formatted_plan(df)
-    return plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
-    ) + plan.count("Exchange RoundRobinPartitioning")
+    minimize; every unit is a full network/disk rewrite of its input.
+    Formatted-mode explain names shuffles ``(n) Exchange`` (broadcast
+    exchanges are ``BroadcastExchange`` and not counted here)."""
+    return len(re.findall(r"\(\d+\) Exchange\s", formatted_plan(df)))
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Whole-stage-codegen subtree count (codegen explain mode reports
+    'Found N WholeStageCodegen subtrees')."""
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
 
 
 def observed(df: DataFrame, name: str = "q") -> tuple[DataFrame, Observation]:
