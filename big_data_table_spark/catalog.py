@@ -53,13 +53,24 @@ class QuerySpec:
     doc: str = ""
 
 
+_registered_sf: dict[str, str] = {}  # spark application id -> registered sf_dir
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (the engine analogue of
     named datasets resident per node, reference big.data.table.R:281-291).
-    ``events.ts`` is registered post-conversion (nanos → timestamp)."""
+    ``events.ts`` is registered post-conversion (nanos → timestamp).
+
+    Registration is cached per (session, sf_dir): repeated catalog calls
+    in one session skip the 10-table file-listing/schema pass; switching
+    ``sf_dir`` mid-session re-registers everything."""
+    app_id = spark.sparkContext.applicationId
+    if _registered_sf.get(app_id) == sf_dir:
+        return
     ensure_session_confs(spark)
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _registered_sf[app_id] = sf_dir
 
 
 def _sql_query(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -989,6 +1000,34 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+_last_bands: list = []  # previous persisted band table, unpersisted on reuse
+
+
+def _minhash_lsh_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with the band table computed ONCE and
+    persisted before the self-join (the pure-SQL formulation recomputes
+    the signature pipeline per band and per join side under CTE
+    inlining).  At 100 TB the persisted band table is the natural
+    checkpoint of the dedup pipeline.  Oracle: the single-statement
+    UNION-ALL formulation (functions/dedup.py:minhash_lsh_pairs_sql)."""
+    register_views(spark, sf_dir)
+    bands = spark.sql(D.minhash_bands_sql(SPARK)).persist()
+    while _last_bands:
+        _last_bands.pop().unpersist()
+    _last_bands.append(bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 # ------------------------------------------------------------------ #
 # catalog assembly
 # ------------------------------------------------------------------ #
@@ -1112,7 +1151,9 @@ CATALOG: dict[str, QuerySpec] = {
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),
     "dedup_minhash_signature": _dual(D.minhash_signature_sql),
-    "dedup_minhash_lsh_pairs": _dual(D.minhash_lsh_pairs_sql),
+    "dedup_minhash_lsh_pairs": QuerySpec(
+        _minhash_lsh_pairs_fn, D.minhash_lsh_pairs_sql(DUCK)
+    ),
     "dedup_simhash": _dual(D.simhash_sql),
     "dedup_simhash_candidates": _dual(D.simhash_candidates_sql),
     "dedup_ngram_jaccard": _dual(D.ngram_jaccard_pairs_sql),

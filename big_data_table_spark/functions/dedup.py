@@ -48,12 +48,16 @@ def _words_cte(dialect: str, table: str = "documents") -> str:
     )
 
 
-def _shingles_cte(dialect: str) -> str:
-    """Distinct word-3-gram shingles per document."""
+def _shingles_cte(dialect: str, distinct: bool = True) -> str:
+    """Word-3-gram shingles per document.  ``distinct=True`` gives set
+    semantics (needed for Jaccard); MinHash uses the raw multiset — the
+    per-seed MIN is identical over duplicates, and skipping DISTINCT
+    removes an entire shuffle from the signature pipeline."""
     el = lambda i: arr_el("w", i, dialect)  # noqa: E731
     lat = lateral_seq("1", f"{arr_len('w', dialect)} - 2", "i", dialect)
+    d = "DISTINCT " if distinct else ""
     return (
-        "shingles AS (SELECT DISTINCT doc_id, sh FROM ("
+        f"shingles AS (SELECT {d}doc_id, sh FROM ("
         f"SELECT doc_id, concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')}) AS sh "
         f"FROM docs {lat}) _s)"
     )
@@ -85,7 +89,7 @@ def minhash_signature_sql(dialect: str) -> str:
     deterministic total order shared by both engines."""
     mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
     return (
-        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)} "
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)} "
         f"SELECT doc_id, {mins} FROM shingles GROUP BY doc_id"
     )
 
@@ -103,13 +107,45 @@ def minhash_lsh_pairs_sql(dialect: str) -> str:
         for b in range(N_BANDS)
     )
     return (
-        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)}, "
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
         f"minh AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id), "
         f"bands AS ({band_selects}) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig "
         "AND a.doc_id < b.doc_id"
     )
+
+
+def minhash_bands_sql(dialect: str) -> str:
+    """(doc_id, band, sig) band table in a SINGLE pass over the signature
+    pipeline.  Spark SQL inlines CTEs, so the UNION-ALL formulation of
+    ``minhash_lsh_pairs_sql`` recomputes the whole shingle→signature chain
+    once per band; exploding an array of (band, sig) structs keeps it at
+    one evaluation.  (The DuckDB side keeps UNION ALL — the oracle's
+    runtime is irrelevant and duck's optimizer materializes CTEs.)"""
+    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
+    base = (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
+        f"minh AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
+    )
+    band_cols = {
+        b: ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        for b in range(N_BANDS)
+    }
+    if dialect == SPARK:
+        structs = ", ".join(
+            f"named_struct('band', {b}, 'sig', concat({cols}))"
+            for b, cols in band_cols.items()
+        )
+        return (
+            f"{base} SELECT doc_id, _bs.band AS band, _bs.sig AS sig "
+            f"FROM minh LATERAL VIEW explode(array({structs})) _t AS _bs"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM minh"
+        for b, cols in band_cols.items()
+    )
+    return f"{base} {selects}"
 
 
 def simhash_sql(dialect: str, nbits: int = 16) -> str:
