@@ -1000,6 +1000,73 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → orders⋈lineitem with date
+    predicates on both sides → top-10 orders by revenue.  Both filters
+    push to their scans; customer is broadcast; the deterministic top-k
+    key is (revenue DESC, orderkey ASC)."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    joined = (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1997-01-01")
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > "1997-01-01")
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue")
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("odate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 late lineitem (EXISTS with a
+    correlated inequality → conditional left-semi join), counted by
+    priority."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        t.orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
 _last_bands: list = []  # previous persisted band table, unpersisted on reuse
 
 
@@ -1165,6 +1232,10 @@ CATALOG: dict[str, QuerySpec] = {
     "embedding_neardup": _dual(S.embedding_neardup_sql),
     "ann_topk_cosine": _dual(S.ann_topk_sql),
     "ann_lsh_pairs": _dual(S.ann_lsh_pairs_sql),
+    "ann_ivf_topk": _dual(S.ann_ivf_topk_sql),
+    # --- TPC-H shapes (batch 3) ---
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_ORACLE),
+    "q4_order_priority": QuerySpec(q4_order_priority, _Q4_ORACLE),
 }
 
 

@@ -143,12 +143,64 @@ def ann_lsh_pairs_sql(dialect: str, n_planes: int = 6, threshold: float = 0.25) 
     )
 
 
+def ann_ivf_topk_sql(
+    dialect: str,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    """IVF-style ANN — the inverted-file scale path: the corpus is
+    assigned to coarse cells (nearest centroid), a query scores only the
+    vectors inside its ``n_probe`` closest cells.
+
+    Centroids here are the first ``n_centroids`` vectors by id (a
+    deterministic stand-in for k-means training, which would run once
+    offline); queries are the next ``n_queries`` ids.  At 100 TB the
+    assignment table is the persisted index — each search touches
+    |corpus|·n_probe/n_centroids vectors instead of |corpus|.
+    Every ranking key is (rounded cosine DESC, id ASC) — a shared total
+    order, so Spark and the oracle agree exactly.
+
+    Measured recall@5 vs brute force on the fixture is ~36% (nprobe=2/8)
+    — the fixture embeddings are uniform random, so coarse cells carry
+    little signal; on clustered production embeddings (and k-means
+    centroids) IVF recall at this probe ratio is typically >90%."""
+    q_lo, q_hi = n_centroids, n_centroids + n_queries
+    cos_vc = f"({_dot_sql('v.e', 'c.e', dialect)} / (v.nrm * c.nrm))"
+    cos_qc = f"({_dot_sql('q.e', 'c.e', dialect)} / (q.nrm * c.nrm))"
+    cos_qv = f"({_dot_sql('q.e', 'v.e', dialect)} / (q.nrm * v.nrm))"
+    return (
+        f"WITH {_vecs_cte(dialect)}, "
+        f"cent AS (SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id < {n_centroids}), "
+        "assign AS (SELECT vec_id, cid FROM ("
+        "  SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+        f"  ORDER BY ROUND({cos_vc}, 9) DESC, c.cid ASC) AS rn "
+        "  FROM v JOIN cent c ON 1 = 1) _a WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS qid, e, nrm FROM v WHERE vec_id >= {q_lo} AND vec_id < {q_hi}), "
+        "probes AS (SELECT qid, cid FROM ("
+        "  SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid "
+        f"  ORDER BY ROUND({cos_qc}, 9) DESC, c.cid ASC) AS rn "
+        f"  FROM q JOIN cent c ON 1 = 1) _p WHERE rn <= {n_probe}), "
+        "cands AS (SELECT p.qid, a.vec_id FROM probes p "
+        "  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid), "
+        "scored AS (SELECT cd.qid AS query_id, v.vec_id AS neighbor_id, "
+        f"  ROUND({cos_qv}, 9) AS cos_sim "
+        "  FROM cands cd JOIN v ON v.vec_id = cd.vec_id JOIN q ON q.qid = cd.qid), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM scored) "
+        f"SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk "
+        f"FROM ranked WHERE rnk <= {k}"
+    )
+
+
 __all__ = [
     "dot",
     "cosine",
     "embedding_neardup_sql",
     "ann_topk_sql",
     "ann_lsh_pairs_sql",
+    "ann_ivf_topk_sql",
     "SPARK",
     "DUCK",
 ]
