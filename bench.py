@@ -28,11 +28,15 @@ HEADLINE = [
     ("events_sessionize", "sessionize"),
     ("events_asof_purchase", "asof"),
     ("events_tumbling_5min", "tumble"),
+    ("q3_shipping_priority", "q3"),
+    ("q4_order_priority", "q4"),
     ("dedup_minhash_lsh_pairs", "minhash"),
     ("dedup_simhash", "simhash"),
     ("text_quality_score", "quality"),
     ("embedding_neardup", "neardup"),
     ("ann_topk_cosine", "ann"),
+    ("ann_ivf_topk", "ivf"),
+    ("multimodal_features", "multimodal"),
 ]
 
 
@@ -44,9 +48,15 @@ def main() -> None:
     from big_data_table_spark.session import connect
 
     spark = connect(app_name="bdt-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    # warm the JVM + register views once (catalog fns re-register cheaply)
+    # warm the JVM, the parquet footers, and the Python UDF workers once —
+    # steady-state throughput is the metric, not interpreter spawn time
     register_views(spark, sf_dir)
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_noop, "id long").count()
 
     timings: dict[str, float] = {}
     for name, key in HEADLINE:

@@ -371,6 +371,15 @@ class BigDataTable:
         for row in self.tail(topn):
             print(row)
 
+    def size_estimate(self) -> int:
+        """Estimated bytes of the (optimized) plan output — the engine's
+        ``object.size`` analogue (reference README.md:230-231 sizes each
+        shard remotely; here Catalyst statistics answer without touching
+        data)."""
+        return int(
+            self.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+
     def str_(self) -> dict:
         """Reference ``str.big.data.table`` (big.data.table.R:76-99):
         rows, cols, per-node row counts."""

@@ -123,6 +123,39 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same pushdown/pruning properties as parquet."""
+    ensure_session_confs(spark)
+    return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """JDBC source.  At scale, ALWAYS pass ``partition_column`` +
+    bounds — without them the whole table streams through one executor.
+    (No JDBC driver ships in this environment; reads require the driver
+    jar on the classpath.)"""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     ensure_session_confs(spark)
     reader = spark.read

@@ -1,0 +1,109 @@
+"""Source/sink coverage: ORC round-trip, hive-partitioned writes with
+partition pruning, size estimation, and the streaming watermark late-data
+policy."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_table_spark import BigDataTable
+from big_data_table_spark.plans.explainer import formatted_plan
+from big_data_table_spark.sources.readers import Tables, read_orc, write_parquet
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    li = Tables(spark, sf_dir).lineitem.select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    a = li.agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))).collect()[0][0]
+    b = back.agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))).collect()[0][0]
+    assert a == b
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-layout writes (partitionBy) enable partition pruning: a filter
+    on the partition column must show up as a PartitionFilter, not a data
+    filter — at 100 TB this is the difference between reading one
+    directory and the whole lake."""
+    o = Tables(spark, sf_dir).orders
+    path = str(tmp_path / "orders_part")
+    write_parquet(o, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(q)
+    scan = plan[plan.index("Scan parquet") :]
+    assert "PartitionFilters" in scan
+    pf_line = [l for l in scan.splitlines() if "PartitionFilters" in l][0]
+    assert "o_orderstatus" in pf_line
+    expected = o.filter(F.col("o_orderstatus") == "F").count()
+    assert q.count() == expected
+
+
+def test_size_estimate(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    big = BigDataTable(t.lineitem).size_estimate()
+    small = BigDataTable(t.nation).size_estimate()
+    assert big > small > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: rows arriving
+    after the watermark has passed their window are DROPPED.  Two
+    micro-batches via a file stream — batch 2 carries an event 2 hours
+    older than batch 1's max, beyond the 10-minute watermark."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    write_batch("b1", [("2024-01-01 10:00:30", 1.0), ("2024-01-01 12:00:00", 2.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time row near the watermark frontier and one
+        # 2-hours-late row whose window closed long ago
+        write_batch("b2", [("2024-01-01 10:01:00", 100.0), ("2024-01-01 12:01:00", 3.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.table("wm_test").select(
+        F.col("window.start").cast("string").alias("ws"), "n", "s"
+    ).collect()
+    finalized = {r["ws"]: (r["n"], r["s"]) for r in out}
+    # the 10:00 window was finalized by batch 1's 12:00 event advancing the
+    # watermark; the late 10:01 row must NOT appear in it
+    assert finalized.get("2024-01-01 10:00:00") == (1, 1.0), finalized
