@@ -672,6 +672,25 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with dual watermarks + a bounded time-range
+    condition (the state-expirable shape); bounded input → result equals
+    the batch interval join."""
+    from .streaming.events import click_purchase_join
+
+    return click_purchase_join(spark, sf_dir, within_minutes=10)
+
+
+_STREAM_SSJOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_seconds
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): final
     per-user running counts equal the batch aggregate on bounded input."""
@@ -1215,6 +1234,7 @@ CATALOG: dict[str, QuerySpec] = {
     "events_asof_purchase": QuerySpec(events_asof_purchase, _EVASOF_ORACLE),
     "stream_tumbling_5min": QuerySpec(stream_tumbling, _STREAM_TUMBLE_ORACLE),
     "stream_stateful_counts": QuerySpec(stream_stateful, _STREAM_STATEFUL_ORACLE),
+    "stream_click_purchase_join": QuerySpec(stream_click_purchase, _STREAM_SSJOIN_ORACLE),
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),
     "dedup_minhash_signature": _dual(D.minhash_signature_sql),
@@ -1224,6 +1244,7 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_simhash": _dual(D.simhash_sql),
     "dedup_simhash_candidates": _dual(D.simhash_candidates_sql),
     "dedup_ngram_jaccard": _dual(D.ngram_jaccard_pairs_sql),
+    "text_winnow_fingerprint": _dual(X.winnow_fingerprint_sql),
     "text_token_count": _dual(X.token_count_sql),
     "text_lang_id": _dual(X.lang_id_sql),
     "text_quality_score": _dual(X.quality_score_sql),

@@ -186,17 +186,26 @@ def simhash_candidates_sql(dialect: str, nbits: int = 16, nbands: int = 4) -> st
     )
 
 
-def ngram_jaccard_pairs_sql(dialect: str, threshold: float = 0.5) -> str:
+def ngram_jaccard_pairs_sql(dialect: str, threshold: float = 0.5, max_df: int = 50) -> str:
     """Exact word-3-gram Jaccard similarity for same-language pairs sharing
     ≥1 shingle; emits pairs with similarity ≥ threshold.  The
     shared-shingle join is the exact-verification stage of the LSH
-    pipeline; language is the blocking key."""
+    pipeline; language is the blocking key.
+
+    Stop-shingle removal (``max_df``): shingles appearing in more than
+    ``max_df`` documents are dropped before the pair join — the skew
+    guard that keeps one boilerplate phrase from fanning the join out to
+    |docs|² at 100 TB.  Jaccard is then over the filtered sets (the
+    standard formulation; mirrored in the oracle)."""
     return (
         f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)}, "
-        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id), "
+        "keep AS (SELECT sh FROM shingles GROUP BY sh "
+        f"  HAVING COUNT(*) <= {max_df}), "
+        "sf AS (SELECT s.doc_id, s.sh FROM shingles s JOIN keep ON s.sh = keep.sh), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sf GROUP BY doc_id), "
         "langs AS (SELECT doc_id, lang FROM documents), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
-        "  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "  FROM sf a JOIN sf b ON a.sh = b.sh AND a.doc_id < b.doc_id "
         "  JOIN langs la ON la.doc_id = a.doc_id JOIN langs lb ON lb.doc_id = b.doc_id "
         "  AND la.lang = lb.lang "
         "  GROUP BY a.doc_id, b.doc_id) "

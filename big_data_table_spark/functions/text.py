@@ -106,11 +106,41 @@ def fingerprint_sql(dialect: str) -> str:
     )
 
 
+def winnow_fingerprint_sql(dialect: str, window: int = 4) -> str:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every word-3-gram, slide a ``window``-wide frame over the hash
+    sequence, keep each frame's minimum, emit the distinct minima — the
+    guarantee is any shared run of ≥ window+2 words yields a shared
+    fingerprint, at ~1/window the density of full shingling.
+
+    One scan + one window pass + one distinct: partition-parallel by
+    doc_id, no joins.  Output: (doc_id, fp) rows."""
+    from .portable import arr_el, arr_len, lateral_seq, split_ws
+
+    el = lambda i: arr_el("w", i, dialect)  # noqa: E731
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - 2", "pos", dialect)
+    w = split_ws("lower(text)", dialect)
+    return (
+        f"WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w FROM documents), "
+        f"docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= 3), "
+        "hashes AS (SELECT doc_id, pos, "
+        f"substr(md5(concat({el('pos')}, ' ', {el('pos + 1')}, ' ', {el('pos + 2')})), 1, 16) AS h "
+        f"FROM docs {lat}), "
+        "framed AS (SELECT doc_id, pos, "
+        f"MIN(h) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp, "
+        "COUNT(*) OVER (PARTITION BY doc_id) AS n "
+        "FROM hashes) "
+        f"SELECT DISTINCT doc_id, fp FROM framed WHERE pos <= n - {window - 1}"
+    )
+
+
 __all__ = [
     "token_count_sql",
     "lang_id_sql",
     "quality_score_sql",
     "fingerprint_sql",
+    "winnow_fingerprint_sql",
     "SPARK",
     "DUCK",
 ]

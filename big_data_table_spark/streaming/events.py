@@ -125,6 +125,48 @@ def session_windows(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> 
     )
 
 
+def click_purchase_join(spark: SparkSession, sf_dir: str, within_minutes: int = 10) -> DataFrame:
+    """Stream-stream inner join: each click paired with same-user
+    purchases within ``within_minutes`` AFTER it.  Both sides carry
+    watermarks and the join condition bounds event time on both ends, so
+    Spark can expire join state — the required shape for an unbounded
+    stream-stream join (state is otherwise infinite).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+        "inner",
+    )
+    out = _run_to_completion(joined, "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_seconds"),
+    )
+
+
 def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     cumulative event count + max value carried in explicit state.  The
