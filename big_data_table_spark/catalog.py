@@ -1114,6 +1114,41 @@ def _minhash_lsh_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components (min-label
+    propagation, operators/graph.py) over the MinHash-LSH candidate
+    graph; every document labeled with its component (singletons keep
+    their own id).  Oracle: recursive-CTE transitive closure over the
+    same pairs."""
+    from .operators.graph import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = _minhash_lsh_pairs_fn(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    cc = connected_components(
+        docs, pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def _dedup_components_oracle() -> str:
+    pairs = D.minhash_lsh_pairs_sql(DUCK)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs}) _p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+)
+SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node
+"""
+
+
 # ------------------------------------------------------------------ #
 # catalog assembly
 # ------------------------------------------------------------------ #
@@ -1241,6 +1276,7 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_minhash_lsh_pairs": QuerySpec(
         _minhash_lsh_pairs_fn, D.minhash_lsh_pairs_sql(DUCK)
     ),
+    "dedup_components": QuerySpec(dedup_components_fn, _dedup_components_oracle()),
     "dedup_simhash": _dual(D.simhash_sql),
     "dedup_simhash_candidates": _dual(D.simhash_candidates_sql),
     "dedup_ngram_jaccard": _dual(D.ngram_jaccard_pairs_sql),
