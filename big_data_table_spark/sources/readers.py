@@ -208,6 +208,22 @@ def from_generator(
     return seed_df.mapInPandas(gen, schema=schema)
 
 
+def ls_tables(spark: SparkSession) -> list[str]:
+    """Names of cluster-resident datasets (reference ``rscl.ls`` —
+    ``ls(.GlobalEnv)`` per node, rscl.R:124-126; one catalog, one
+    answer)."""
+    return [t.name for t in spark.catalog.listTables()]
+
+
+def ls_str(spark: SparkSession) -> dict[str, str]:
+    """Structure dump of every resident dataset (reference ``rscl.ls.str``,
+    rscl.R:131-137): name → schema."""
+    return {
+        t.name: spark.table(t.name).schema.simpleString()
+        for t in spark.catalog.listTables()
+    }
+
+
 def attach_view(spark: SparkSession, name: str) -> DataFrame:
     """Adopt data already resident in the cluster (reference
     ``as.big.data.table.list``, as.big.data.table.R:63-91).  Schema

@@ -107,3 +107,34 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window was finalized by batch 1's 12:00 event advancing the
     # watermark; the late 10:01 row must NOT appear in it
     assert finalized.get("2024-01-01 10:00:00") == (1, 1.0), finalized
+
+
+def test_ls_tables_and_str(spark, sf_dir):
+    """A7/A8: resident-dataset listing + structure dump."""
+    from big_data_table_spark.catalog import register_views
+    from big_data_table_spark.sources.readers import ls_str, ls_tables
+
+    register_views(spark, sf_dir)
+    names = ls_tables(spark)
+    assert {"lineitem", "orders", "events"}.issubset(set(names))
+    schemas = ls_str(spark)
+    assert schemas["events"].startswith("struct<event_id:bigint,ts:timestamp")
+
+
+def test_query_log_captures_error(spark):
+    """A5/A16 error-as-value semantics: a failing query is logged (row
+    with out_rows=None) and the log keeps accepting queries — the
+    reference's per-node try + client-success shape
+    (tests-08-logging.R:84-96)."""
+    import pytest as _pytest
+
+    from big_data_table_spark.plans import QueryLog
+
+    log = QueryLog()
+    bad = spark.sql("SELECT assert_true(id > 100, 'boom') FROM range(1)")
+    with _pytest.raises(Exception):
+        log.run("bad", bad)
+    good = spark.range(3)
+    log.run("good", good)
+    assert [r.name for r in log.rows] == ["bad", "good"]
+    assert log.rows[0].out_rows is None and log.rows[1].out_rows == 3
