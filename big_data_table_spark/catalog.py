@@ -1114,6 +1114,41 @@ def _minhash_lsh_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (CDC pattern; operators/merge.py): every 100th order
+    arrives as an update with doubled price; merged = updates ∪
+    untouched.  Verified through the post-merge aggregate."""
+    from .operators.merge import upsert
+
+    o = Tables(spark, sf_dir).orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,6)") * 2).cast("double"),
+    )
+    merged = upsert(o, updates, key="o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_orderstatus,
+    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 2 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 100 <> 0)
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 def dedup_components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components (min-label
     propagation, operators/graph.py) over the MinHash-LSH candidate
@@ -1246,6 +1281,7 @@ CATALOG: dict[str, QuerySpec] = {
            FROM lineitem GROUP BY l_returnflag""",
     ),
     "partials_diag": QuerySpec(partials_diag, None),
+    "merge_upsert": QuerySpec(merge_upsert_q, _MERGE_ORACLE),
     "generator_source": QuerySpec(generator_source_q, _GEN_ORACLE),
     # --- sources / SQL surface / dims (batch 2) ---
     "csv_roundtrip": QuerySpec(csv_roundtrip, _CSV_ORACLE),

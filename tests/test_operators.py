@@ -138,3 +138,39 @@ def test_sessionize_gap_law(spark):
     u1 = out[out.u == 1].sort_values("ts")["session_id"].tolist()
     assert u1 == [1, 1, 2]  # 2h gap starts a new session
     assert out[out.u == 2]["session_id"].tolist() == [1]
+
+
+def test_scd2_apply(spark):
+    """SCD2: updated key's open row closes at the effective date; new
+    version opens; untouched keys pass through."""
+    from big_data_table_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "v": ["a0", "a1", "b0"],
+                "valid_from": ["2020-01-01", "2022-01-01", "2021-01-01"],
+                "valid_to": ["2022-01-01", "9999-12-31", "9999-12-31"],
+            }
+        )
+    )
+    upd = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "v": ["a2"], "eff": ["2024-01-01"]})
+    )
+    out = scd2_apply(hist, upd, key="k", effective_col="eff").toPandas()
+    assert len(out) == 4
+    k1 = out[out.k == 1].sort_values("valid_from")
+    assert list(k1["v"]) == ["a0", "a1", "a2"]
+    assert list(k1["valid_to"]) == ["2022-01-01", "2024-01-01", "9999-12-31"]
+    k2 = out[out.k == 2]
+    assert list(k2["valid_to"]) == ["9999-12-31"]
+
+
+def test_upsert_insert_and_update(spark):
+    from big_data_table_spark.operators.merge import upsert
+
+    target = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    updates = spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": [99, 30]}))
+    out = upsert(target, updates, key="k").toPandas().sort_values("k")
+    assert dict(zip(out["k"], out["v"])) == {1: 10, 2: 99, 3: 30}
