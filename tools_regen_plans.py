@@ -1,0 +1,27 @@
+"""Regenerate PLANS.md (physical-plan snapshots of flagship queries)."""
+from big_data_table_spark.session import connect
+from big_data_table_spark.catalog import CATALOG
+from big_data_table_spark.plans import formatted_plan
+
+PICKS = {
+    "q1_pricing_summary": "Single scan with pushdown + pruning, partial->exchange->final aggregate. One shuffle.",
+    "join3_revenue_by_segment": "Fact-fact sort-merge on orderkey + broadcast customer; one agg shuffle after.",
+    "supplier_chain": "Two broadcast joins, zero fact-side shuffles; only the final groupBy exchanges.",
+    "topk_orders": "TakeOrderedAndProject: per-partition heaps + driver merge, no global sort.",
+    "events_asof_purchase": "As-of via union+window: exactly one exchange (the window partitionBy).",
+    "dedup_minhash_lsh_pairs": "Shingle explode -> signature agg (persisted) -> band self-join -> distinct.",
+}
+
+if __name__ == "__main__":
+    spark = connect(shuffle_partitions=32)
+    out = ["# PLANS — physical-plan snapshots of flagship queries", "",
+           "Generated from `.explain('formatted')` at sf0.001 (plan shape is",
+           "scale-invariant; AQE refines at runtime). Regenerate with",
+           "`python tools_regen_plans.py`. These are the plans the engine is",
+           "DESIGNED to produce; tests/test_plans.py pins the load-bearing",
+           "properties (pushdown, pruning, broadcasts, exchange counts).", ""]
+    for name, note in PICKS.items():
+        plan = formatted_plan(CATALOG[name].fn(spark, "/root/testdata/sf0.001"))
+        out.append(f"## {name}\n\n{note}\n\n```\n{plan.split(chr(10)+chr(10))[0]}\n```\n")
+    open("PLANS.md", "w").write("\n".join(out))
+    spark.stop()
