@@ -1114,6 +1114,62 @@ def _minhash_lsh_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split of documents by content-hash
+    ranges (operators/sampling.py) — membership is a pure function of
+    doc_id, stable under any repartitioning.  Output: per-split counts +
+    char volume."""
+    from .operators.sampling import split_by_hash
+
+    docs = Tables(spark, sf_dir).documents
+    out = split_by_hash(
+        docs, key="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+def _train_split_oracle() -> str:
+    from .operators.sampling import split_case_sql
+
+    case = split_case_sql(
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, dialect="duck"
+    )
+    return (
+        f"SELECT {case} AS split, COUNT(*) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1"
+    )
+
+
+def sample_by_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of lineitem by orderkey hash — the
+    repartition-stable sample (engine-RNG `df.sample` is partitioning-
+    dependent; this is a pure key function)."""
+    from .operators.sampling import sample_by_hash
+
+    li = Tables(spark, sf_dir).lineitem
+    out = sample_by_hash(li, key="l_orderkey", fraction=0.1, salt="s1")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
+def _sample_oracle() -> str:
+    from .operators.sampling import sample_predicate_sql
+
+    pred = sample_predicate_sql("l_orderkey", 0.1, salt="s1").replace(
+        "AS STRING", "AS VARCHAR"
+    )
+    return (
+        f"SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders "
+        f"FROM lineitem WHERE {pred} GROUP BY 1"
+    )
+
+
 def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert (CDC pattern; operators/merge.py): every 100th order
     arrives as an update with doubled price; merged = updates ∪
@@ -1282,6 +1338,8 @@ CATALOG: dict[str, QuerySpec] = {
     ),
     "partials_diag": QuerySpec(partials_diag, None),
     "merge_upsert": QuerySpec(merge_upsert_q, _MERGE_ORACLE),
+    "sample_by_hash": QuerySpec(sample_by_hash_q, _sample_oracle()),
+    "train_val_test_split": QuerySpec(train_split_q, _train_split_oracle()),
     "generator_source": QuerySpec(generator_source_q, _GEN_ORACLE),
     # --- sources / SQL surface / dims (batch 2) ---
     "csv_roundtrip": QuerySpec(csv_roundtrip, _CSV_ORACLE),

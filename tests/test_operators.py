@@ -174,3 +174,19 @@ def test_upsert_insert_and_update(spark):
     updates = spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": [99, 30]}))
     out = upsert(target, updates, key="k").toPandas().sort_values("k")
     assert dict(zip(out["k"], out["v"])) == {1: 10, 2: 99, 3: 30}
+
+
+def test_split_by_hash_stability_and_disjointness(spark):
+    """Split membership is a pure key function: identical across
+    repartitionings, disjoint, and ~proportional."""
+    from big_data_table_spark.operators.sampling import split_by_hash
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    a = split_by_hash(df.repartition(3), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = split_by_hash(df.repartition(17), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    pa = a.toPandas().set_index("k")["split"]
+    pb = b.toPandas().set_index("k")["split"]
+    assert (pa.sort_index() == pb.sort_index()).all()  # partitioning-independent
+    counts = pa.value_counts()
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert counts.sum() == 5000  # fractions sum to 1 -> no NULL split
