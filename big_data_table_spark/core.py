@@ -141,7 +141,9 @@ class BigDataTable:
             if isinstance(i, int):
                 df = df.limit(i)
             else:
-                df = df.filter(i)
+                # strings are SQL expressions — the closest ergonomic
+                # analogue of data.table's NSE filter in `i`
+                df = df.filter(F.expr(i) if isinstance(i, str) else i)
 
         keys = _as_columns(keyby if keyby is not None else by)
 
@@ -204,8 +206,17 @@ class BigDataTable:
             # bare .N — count per group (reference README.md:176-178)
             return [F.count(F.lit(1)).alias("N")]
         if isinstance(j, Mapping):
-            return [v.alias(k) for k, v in j.items()]
+            return [
+                (F.expr(v) if isinstance(v, str) else v).alias(k)
+                for k, v in j.items()
+            ]
         return _as_columns(j)
+
+    def explain(self, mode: str = "formatted") -> None:
+        """Physical-plan inspection — first-class because plan shape IS
+        the performance contract at scale (see plans/explainer.py for
+        assertable properties)."""
+        self.df.explain(mode)
 
     # ------------------------------------------------------------------ #
     # mutation (":=" analogues) and materialization

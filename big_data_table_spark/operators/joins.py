@@ -86,6 +86,17 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join without `by` uses an UNPARTITIONED window — the "
+            "whole union sorts in a single task.  Fine for small inputs; "
+            "at scale pass `by` (per-key windows) or pre-bucket the time "
+            "axis (operators/joins.py:range_join pattern).",
+            stacklevel=2,
+        )
+
     lcols = left.columns
     out_right = {c: (c + suffix if c in lcols else c) for c in right_cols}
 

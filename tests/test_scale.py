@@ -1,0 +1,91 @@
+"""Scale invariants on generated data an order of magnitude beyond the
+largest fixture (5M rows) — closed-form expected values, so correctness
+at this size is exact, not sampled.  These pin the properties that must
+survive a 100× scale-up: partition-count independence of aggregates,
+partials→final equivalence, salted == direct, hash-sample stability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_table_spark.operators.aggregate import partials
+from big_data_table_spark.operators.skew import salted_agg
+from big_data_table_spark.operators.sampling import sample_by_hash
+
+N = 5_000_000
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    # k: 1000 groups; skew: key 0 owns an extra 20% of rows; v exact ints
+    df = (
+        spark.range(N)
+        .withColumn("k", F.when(F.col("id") % 5 == 0, 0).otherwise(F.col("id") % 1000))
+        .withColumn("v", F.col("id") % 97)
+    )
+    return df.persist()
+
+
+def test_grouped_agg_partition_independent(big):
+    a = (
+        big.repartition(7)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    b = (
+        big.repartition(64)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    pa = a.toPandas().sort_values("k").reset_index(drop=True)
+    pb = b.toPandas().sort_values("k").reset_index(drop=True)
+    assert pa.equals(pb)
+    assert pa["n"].sum() == N
+    total = big.agg(F.sum("v")).collect()[0][0]
+    assert pa["s"].sum() == total
+
+
+def test_two_phase_partials_equal_direct_at_scale(big):
+    p = partials(big.repartition(32), by="k", aggs={"s": F.sum("v"), "n": F.count(F.lit(1))})
+    refit = p.groupBy("k").agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    direct = big.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    diff = (
+        refit.alias("a")
+        .join(direct.alias("b"), "k")
+        .filter((F.col("a.s") != F.col("b.s")) | (F.col("a.n") != F.col("b.n")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_salted_agg_handles_hot_key(big):
+    """Key 0 holds ~1.2M of 5M rows (hot).  Salted result == direct."""
+    direct = dict(
+        (r["k"], (r["s"], r["n"]))
+        for r in big.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("k") < 3)
+        .collect()
+    )
+    salted = dict(
+        (r["k"], (r["s"], r["n"]))
+        for r in salted_agg(
+            big,
+            by="k",
+            partial={"s": F.sum("v"), "n": F.count(F.lit(1))},
+            merge={"s": F.sum("s"), "n": F.sum("n")},
+            n_salts=32,
+        )
+        .filter(F.col("k") < 3)
+        .collect()
+    )
+    assert direct == salted
+    assert direct[0][1] >= N / 5  # the hot key really is hot (exactly every 5th row)
+
+
+def test_hash_sample_partition_independent_at_scale(big):
+    a = sample_by_hash(big.repartition(5), "id", 0.01).count()
+    b = sample_by_hash(big.repartition(50), "id", 0.01).count()
+    assert a == b
+    assert abs(a / N - 0.01) < 0.001
