@@ -37,6 +37,8 @@ HEADLINE = [
     ("ann_topk_cosine", "ann"),
     ("ann_ivf_topk", "ivf"),
     ("multimodal_features", "multimodal"),
+    ("dedup_components", "components"),
+    ("train_val_test_split", "split"),
 ]
 
 

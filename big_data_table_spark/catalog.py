@@ -972,6 +972,15 @@ FROM documents
 """
 
 
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the media pipeline (deterministic stand-in kernel;
+    real resampler stubbed behind PIL — functions/multimodal.py)."""
+    from .functions.multimodal import documents_as_media, fake_resize_meta
+
+    media = documents_as_media(Tables(spark, sf_dir).documents).repartition(8, "media_id")
+    return fake_resize_meta(media)
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (10 min window / 5 min slide): each event
     lands in exactly two windows; oracle expands both candidate starts."""
@@ -1353,6 +1362,14 @@ CATALOG: dict[str, QuerySpec] = {
     "supplier_chain": QuerySpec(supplier_chain, _SUPPLIER_CHAIN_ORACLE),
     "keyby_sorted": QuerySpec(keyby_sorted, _KEYBY_ORACLE),
     "multimodal_features": QuerySpec(multimodal_features, _MULTIMODAL_ORACLE),
+    "multimodal_resize_meta": QuerySpec(
+        multimodal_resize_meta,
+        """SELECT doc_id AS media_id, CAST(224 AS INT) AS out_w,
+           CAST(224 AS INT) AS out_h,
+           CAST(224 * 224 * 3 + octet_length(encode(text)) // 8 AS BIGINT) AS est_bytes,
+           md5(text) AS digest
+           FROM documents""",
+    ),
     # --- events ---
     "events_json_extract": QuerySpec(events_json_extract, _EVJSON_ORACLE),
     "events_asof_forward": QuerySpec(events_asof_forward, _EVASOF_FWD_ORACLE),

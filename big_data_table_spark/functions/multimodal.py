@@ -127,6 +127,34 @@ def fake_decode_features(df: DataFrame, blob_col: str = "media") -> DataFrame:
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def fake_resize_meta(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Deterministic stand-in for the resize stage: computes the output
+    metadata a real resampler would produce (target dims, an output-size
+    model linear in input bytes, content digest), through the same
+    Arrow-batched mapInPandas path a PIL/libvips kernel would use.  The
+    real kernel is :func:`resize_image` (stubbed — PIL absent)."""
+    out_schema = "media_id long, out_w int, out_h int, est_bytes long, digest string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["media"]
+            n = blobs.map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    # 3 bytes/px + ~1/8 of source entropy (deterministic model)
+                    "est_bytes": (target_w * target_h * 3 + n // 8).astype("int64"),
+                    "digest": blobs.map(
+                        lambda b: hashlib.md5(bytes(b) if b is not None else b"").hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat ``documents.text`` as an opaque UTF-8 blob so the
     multimodal plumbing is exercised against the provided fixtures (no
