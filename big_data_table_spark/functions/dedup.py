@@ -64,12 +64,13 @@ def _shingles_cte(dialect: str, distinct: bool = True) -> str:
 
 
 def _minhash_expr(k: int) -> str:
-    """Hash-family member k: one seeded md5 yields TWO independent
-    16-hex-char members (halves of the 32-hex digest) — half the md5
-    calls of the naive one-md5-per-member scheme.  Identical SQL in both
-    dialects."""
-    seed, half = divmod(k, 2)
-    return f"substr(md5(concat('{seed}|', sh)), {1 + 16 * half}, 16)"
+    """Hash-family member k: one seeded md5 yields FOUR independent
+    members (non-overlapping 8-hex windows of the 32-hex digest) — md5
+    is the dominant cost of the signature pipeline, so 12 members cost 3
+    digests per shingle instead of 12.  32-bit members are ample for a
+    min over per-document shingle sets.  Identical SQL in both dialects."""
+    seed, quarter = divmod(k, 4)
+    return f"substr(md5(concat('{seed}|', sh)), {1 + 8 * quarter}, 8)"
 
 
 def exact_dedup_sql(dialect: str) -> str:

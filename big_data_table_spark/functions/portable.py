@@ -65,32 +65,7 @@ def regexp_count(expr: str, pattern: str, dialect: str) -> str:
     return f"len(regexp_extract_all({expr}, '{pattern}'))"
 
 
-def json_get(expr: str, key: str, dialect: str) -> str:
-    """Extract a scalar JSON field as a string."""
-    if dialect == SPARK:
-        return f"get_json_object({expr}, '$.{key}')"
-    return f"json_extract_string({expr}, '$.{key}')"
 
 
-def epoch_seconds(expr: str, dialect: str) -> str:
-    """Unix seconds (floored) of a timestamp."""
-    if dialect == SPARK:
-        return f"unix_timestamp({expr})"
-    return f"CAST(floor(epoch({expr})) AS BIGINT)"
 
 
-def dsum(expr: str, scale: int = 6) -> str:
-    """Deterministic double sum via exact decimal accumulation — identical
-    SQL in both dialects.  See operators/aggregate.py:dsum for rationale
-    (float sum is partition-order dependent; decimal sum is exact)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-
-
-def davg(expr: str, scale: int = 6) -> str:
-    return f"{dsum(expr, scale)} / COUNT({expr})"
-
-
-def md5_min_hash(expr: str, seed: int, nhex: int = 16) -> str:
-    """One MinHash family member: seeded md5, first ``nhex`` hex chars.
-    Identical SQL in both dialects."""
-    return f"substr(md5(concat('{seed}|', {expr})), 1, {nhex})"
