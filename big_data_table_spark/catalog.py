@@ -972,6 +972,87 @@ FROM documents
 """
 
 
+def pandas_udaf_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via ``applyInPandas`` (the pandas-UDAF surface;
+    reference ``outer.aggregate=<function>`` generalized to grouped
+    custom aggregation).  numpy's 'linear' interpolation is the same
+    formula as DuckDB ``quantile_cont``, so the kernel is oracle-exact.
+    At 100 TB you'd swap the exact kernel for a mergeable sketch
+    (t-digest) with the same plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["l_extendedprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                # rounded: numpy's lerp differs from quantile_cont in the
+                # last float bits
+                "p50": [round(float(np.quantile(v, 0.5)), 6)],
+                "p90": [round(float(np.quantile(v, 0.9)), 6)],
+                "n": [len(v)],
+            }
+        )
+
+    li = Tables(spark, sf_dir).lineitem.select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(
+        quantiles, schema="l_returnflag string, p50 double, p90 double, n long"
+    )
+
+
+_PD_UDAF_ORACLE = """
+SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum fractions (here:
+    keep 50% of 'A', 10% of 'N', 100% of 'R') via the hash-range
+    mechanism — ``sampleBy`` semantics without engine RNG."""
+    from .operators.sampling import hash_prefix, hex_threshold
+
+    li = Tables(spark, sf_dir).lineitem
+    fractions = {"A": 0.5, "N": 0.1, "R": 1.0}
+    p = hash_prefix(F.concat(F.col("l_orderkey").cast("string"), F.lit("#"), F.col("l_linenumber").cast("string")), salt="strat")
+    cond = None
+    for flag, frac in fractions.items():
+        c = (F.col("l_returnflag") == flag) & (p < hex_threshold(frac))
+        cond = c if cond is None else (cond | c)
+    return (
+        li.filter(cond)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty"))
+    )
+
+
+def _stratified_oracle() -> str:
+    from .operators.sampling import hex_threshold
+
+    p = (
+        "substr(md5(concat('strat|', concat(CAST(l_orderkey AS VARCHAR), '#', "
+        "CAST(l_linenumber AS VARCHAR)))), 1, 8)"
+    )
+    whens = " OR ".join(
+        f"(l_returnflag = '{f}' AND {p} < '{hex_threshold(x)}')"
+        for f, x in {"A": 0.5, "N": 0.1, "R": 1.0}.items()
+    )
+    return (
+        f"SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty "
+        f"FROM lineitem WHERE {whens} GROUP BY 1"
+    )
+
+
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming/events.py)."""
+    from .streaming.events import enriched_counts
+
+    return enriched_counts(spark, sf_dir)
+
+
 def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage of the media pipeline (deterministic stand-in kernel;
     real resampler stubbed behind PIL — functions/multimodal.py)."""
@@ -1381,6 +1462,15 @@ CATALOG: dict[str, QuerySpec] = {
     "stream_tumbling_5min": QuerySpec(stream_tumbling, _STREAM_TUMBLE_ORACLE),
     "stream_stateful_counts": QuerySpec(stream_stateful, _STREAM_STATEFUL_ORACLE),
     "stream_click_purchase_join": QuerySpec(stream_click_purchase, _STREAM_SSJOIN_ORACLE),
+    "stream_static_enrich": QuerySpec(
+        lambda spark, sf_dir: _stream_static_enrich(spark, sf_dir),
+        """SELECT n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
+           GROUP BY n_name""",
+    ),
+    "pandas_udaf_quantiles": QuerySpec(pandas_udaf_quantiles, _PD_UDAF_ORACLE),
+    "stratified_sample": QuerySpec(stratified_sample_q, _stratified_oracle()),
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),
     "dedup_minhash_signature": _dual(D.minhash_signature_sql),

@@ -167,6 +167,28 @@ def click_purchase_join(spark: SparkSession, sf_dir: str, within_minutes: int = 
     )
 
 
+def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (a user→nation mapping derived from the nation table), then
+    aggregated.  The static side is planned per micro-batch (broadcast —
+    the standard streaming-enrichment shape; no watermark needed on the
+    static side)."""
+    import os
+
+    ev = read_events_stream(spark, sf_dir)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    enriched = ev.withColumn("nk", F.col("user_id") % 25).join(
+        F.broadcast(nation), on="nk", how="left"
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"),
+    )
+    return _run_to_completion(agg, "complete").select("n_name", "n", "v")
+
+
 def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     cumulative event count + max value carried in explicit state.  The

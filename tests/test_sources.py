@@ -192,3 +192,41 @@ def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
         assert (final["n"], final["sk"]) == (200, sum(range(200))), final
     finally:
         q2.stop()
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    """Exactly-once file sink via foreachBatch: write each micro-batch to
+    a batchId-named directory (idempotent on retry — a re-run of the same
+    batchId overwrites, never duplicates)."""
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    out = tmp_path / "fb_out"
+    schema = T.StructType([T.StructField("k", T.LongType())])
+
+    spark.createDataFrame(pd.DataFrame({"k": range(50)}), schema=schema).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        # batchId-keyed path + overwrite = idempotent under retries
+        batch_df.write.mode("overwrite").parquet(str(out / f"batch={batch_id}"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen_batches == [0]
+    written = spark.read.parquet(str(out / "batch=0"))
+    assert written.count() == 50
+    # idempotency: re-running the same batch overwrites, same result
+    sink(spark.read.parquet(str(src / "f1")), 0)
+    assert spark.read.parquet(str(out / "batch=0")).count() == 50
