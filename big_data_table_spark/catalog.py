@@ -1046,6 +1046,164 @@ def _stratified_oracle() -> str:
     )
 
 
+def sample_fixed_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample (reservoir-sample semantics without
+    RNG): order by content hash, take k — a uniform-random-looking but
+    fully reproducible subset.  Physical plan is TakeOrderedAndProject
+    (per-partition k-heaps), not a global sort."""
+    docs = Tables(spark, sf_dir).documents
+    h = F.md5(F.concat(F.lit("res|"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .orderBy("h")
+        .limit(100)
+        .drop("h")
+    )
+
+
+_SAMPLE_K_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY md5(concat('res|', CAST(doc_id AS VARCHAR))) LIMIT 100
+"""
+
+
+def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-group subsample: k rows per group in hash order
+    (row_number window) — the class-balancing sampler for training sets."""
+    li = Tables(spark, sf_dir).lineitem
+    h = F.md5(
+        F.concat(
+            F.lit("bal|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    ranked = W.topk_per_group(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", h.alias("h")),
+        by="l_returnflag",
+        order=[F.col("h").asc()],
+        k=50,
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+    )
+
+
+_BALANCED_ORACLE = """
+WITH h AS (
+  SELECT l_returnflag,
+    md5(concat('bal|', CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR))) AS h
+  FROM lineitem),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h ASC) AS rn FROM h)
+SELECT l_returnflag, COUNT(*) AS n, MIN(h) AS h_min, MAX(h) AS h_max
+FROM r WHERE rn <= 50 GROUP BY l_returnflag
+"""
+
+
+def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly counts with moments computed from exact
+    decimal sums (n, Σv, Σv²) — stddev built from deterministic doubles,
+    so the engine-specific accumulation order of ``stddev_samp`` never
+    enters.  Output: events with |z| > 2 per type."""
+    ev = Tables(spark, sf_dir).events
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("decimal(38,6)").cast("double").alias("s2"),
+    )
+    withz = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("mean", F.col("s") / F.col("n"))
+        .withColumn(
+            "sd",
+            F.sqrt(
+                (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        )
+        .withColumn("z", (F.col("value") - F.col("mean")) / F.col("sd"))
+    )
+    return withz.filter(F.abs(F.col("z")) > 2).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_anomalies"),
+        F.max(F.round(F.abs(F.col("z")), 6)).alias("max_abs_z"),
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type),
+z AS (
+  SELECT e.event_type, e.value,
+    (e.value - s.s / s.n) / sqrt((s.s2 - s.s * s.s / s.n) / (s.n - 1)) AS z
+  FROM events e JOIN stats s ON e.event_type = s.event_type)
+SELECT event_type, COUNT(*) AS n_anomalies,
+  MAX(ROUND(ABS(z), 6)) AS max_abs_z
+FROM z WHERE ABS(z) > 2 GROUP BY event_type
+"""
+
+
+def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline end-to-end: LSH candidates → connected
+    components → keep min-id per group → corpus summary (docs in/out,
+    duplicate groups, surviving characters).  One number a pipeline
+    operator actually reports."""
+    from .operators.graph import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = _minhash_lsh_pairs_fn(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    cc = connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    survivors = cc.filter(F.col("node") == F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(survivors, "doc_id", "left_semi")
+    groups = cc.groupBy("label").count()
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum("n_chars").cast("bigint").alias("chars_out"),
+        )
+        .crossJoin(
+            docs.agg(F.count(F.lit(1)).alias("docs_in")).crossJoin(
+                groups.filter(F.col("count") > 1).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("dup_groups")
+                )
+            )
+        )
+        .select("docs_in", "docs_out", "dup_groups", "chars_out")
+    )
+
+
+def _dedup_pipeline_oracle() -> str:
+    pairs = D.minhash_lsh_pairs_sql(DUCK)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs}) _p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+comp AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+survivors AS (SELECT node AS doc_id FROM comp WHERE node = label),
+groups AS (SELECT label, COUNT(*) AS cnt FROM comp GROUP BY label)
+SELECT (SELECT COUNT(*) FROM documents) AS docs_in,
+  (SELECT COUNT(*) FROM survivors) AS docs_out,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM groups WHERE cnt > 1) AS dup_groups,
+  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents d
+    JOIN survivors s ON d.doc_id = s.doc_id) AS chars_out
+"""
+
+
 def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment (streaming/events.py)."""
     from .streaming.events import enriched_counts
@@ -1471,6 +1629,10 @@ CATALOG: dict[str, QuerySpec] = {
     ),
     "pandas_udaf_quantiles": QuerySpec(pandas_udaf_quantiles, _PD_UDAF_ORACLE),
     "stratified_sample": QuerySpec(stratified_sample_q, _stratified_oracle()),
+    "sample_fixed_k": QuerySpec(sample_fixed_k_q, _SAMPLE_K_ORACLE),
+    "balanced_sample_per_group": QuerySpec(balanced_sample_q, _BALANCED_ORACLE),
+    "events_anomaly_zscore": QuerySpec(events_anomaly_q, _ANOMALY_ORACLE),
+    "dedup_pipeline_summary": QuerySpec(dedup_pipeline_q, _dedup_pipeline_oracle()),
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),
     "dedup_minhash_signature": _dual(D.minhash_signature_sql),
