@@ -1046,6 +1046,162 @@ def _stratified_oracle() -> str:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a join — promo
+    revenue share for one shipdate year.  Part is broadcast; the ratio is
+    built from two exact decimal sums."""
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    j = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("decimal(38,6)").cast("double").alias("promo"),
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("total"),
+    )
+    return agg.select(
+        "promo",
+        "total",
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_pct"),
+    )
+
+
+_Q14_ORACLE = """
+WITH j AS (
+  SELECT p_type,
+    CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DECIMAL(38,6)) AS DOUBLE) AS promo,
+  CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS total,
+  ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DECIMAL(38,6)) AS DOUBLE)
+    / CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE), 6) AS promo_pct
+FROM j
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate, joined back to dims —
+    orders whose total quantity exceeds a threshold, with their customer."""
+    t = Tables(spark, sf_dir)
+    big_orders = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qdec"))
+        .filter(F.col("qdec") > 150)
+    )
+    return (
+        big_orders.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "l_orderkey",
+            "c_name",
+            F.col("qdec").cast("double").alias("total_qty"),
+            "o_totalprice",
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT l_orderkey, c_name,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+  o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY l_orderkey, c_name, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+"""
+
+
+def window_lag_lead_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first over per-customer order history: gap in days since
+    the previous order, next order's price, first-order flag."""
+    o = Tables(spark, sf_dir).orders
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            (F.unix_timestamp("o_orderdate") - F.unix_timestamp(F.lag("o_orderdate").over(w)))
+            / 86400
+        ).cast("bigint").alias("days_since_prev"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.row_number().over(w) == 1).alias("is_first"),
+    )
+
+
+_WLAG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  CAST((CAST(floor(epoch(o_orderdate)) AS BIGINT)
+    - CAST(floor(epoch(LAG(o_orderdate) OVER w)) AS BIGINT)) / 86400 AS BIGINT)
+    AS days_since_prev,
+  LEAD(o_totalprice) OVER w AS next_price,
+  ROW_NUMBER() OVER w = 1 AS is_first
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def string_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth over customer names: case, padding,
+    substrings, replacement, edit distance — identical semantics in both
+    engines (JVM-side, codegen'd in Spark)."""
+    c = Tables(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.levenshtein("c_name", F.lit("Customer#000000001")).cast("int").alias("edit_dist"),
+        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nat"),
+    )
+
+
+_STRINGF_ORACLE = """
+SELECT c_custkey, UPPER(c_name) AS uname,
+  CAST(LENGTH(c_name) AS INT) AS name_len,
+  substr(c_name, 1, 8) AS prefix,
+  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+  CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS edit_dist,
+  concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
+FROM customer
+"""
+
+
+def array_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over embeddings: size, element access,
+    min/max/sum folds (JVM higher-order functions; no UDF)."""
+    e = Tables(spark, sf_dir).embeddings
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(arr, 1), 6).alias("first_el"),
+        F.round(F.array_max(arr), 6).alias("vmax"),
+        F.round(F.array_min(arr), 6).alias("vmin"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 6).alias("vsum"),
+    )
+
+
+_ARRAYF_ORACLE = """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+  ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vmax,
+  ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS vmin,
+  ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vsum
+FROM embeddings
+"""
+
+
 def sample_fixed_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-size sample (reservoir-sample semantics without
     RNG): order by content hash, take k — a uniform-random-looking but
@@ -1656,6 +1812,11 @@ CATALOG: dict[str, QuerySpec] = {
     # --- TPC-H shapes (batch 3) ---
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_ORACLE),
     "q4_order_priority": QuerySpec(q4_order_priority, _Q4_ORACLE),
+    "q14_promo_revenue": QuerySpec(q14_promo_revenue, _Q14_ORACLE),
+    "q18_large_orders": QuerySpec(q18_large_orders, _Q18_ORACLE),
+    "window_lag_lead": QuerySpec(window_lag_lead_q, _WLAG_ORACLE),
+    "string_functions": QuerySpec(string_functions_q, _STRINGF_ORACLE),
+    "array_functions": QuerySpec(array_functions_q, _ARRAYF_ORACLE),
 }
 
 
