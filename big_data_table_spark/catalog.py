@@ -1360,6 +1360,61 @@ SELECT (SELECT COUNT(*) FROM documents) AS docs_in,
 """
 
 
+def kmeans_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training (functions/clustering.py): 2 Lloyd
+    iterations, deterministic init, exact-decimal centroid means →
+    per-cluster sizes + centroid checksums.  The trained centroids are
+    the IVF coarse quantizer (`ann_ivf_topk` uses untrained id-seeds; this
+    is the production path)."""
+    from .functions.clustering import kmeans_summary
+
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    return kmeans_summary(vecs, k=4, n_iter=2)
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
+    """Unrolled Lloyd iterations as a DuckDB query — the same init,
+    rounded-distance argmin, and decimal-exact elementwise means."""
+    def dist(e, c):
+        return (
+            f"ROUND(list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c})"
+            f" + list_dot_product({c}, {c}), 6)"
+        )
+
+    def assign(name, cents):
+        return (
+            f"{name} AS (SELECT vec_id, cid, e FROM ("
+            f"SELECT v.vec_id, c.cid, v.e, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {dist('v.e', 'c.c')} ASC, c.cid ASC) AS rn "
+            f"FROM v0 v JOIN {cents} c ON 1 = 1) _t WHERE rn = 1)"
+        )
+
+    def update(aname, mname, cname):
+        return (
+            f"{mname} AS (SELECT cid, pos, "
+            "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv FROM ("
+            f"SELECT a.cid, UNNEST(a.e) AS val, generate_subscripts(a.e, 1) AS pos "
+            f"FROM {aname} a) _u GROUP BY cid, pos), "
+            f"{cname} AS (SELECT cid, list(mv ORDER BY pos) AS c FROM {mname} GROUP BY cid)"
+        )
+
+    ctes = [
+        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS c FROM v0 WHERE vec_id < {k})",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(update(f"a{i}", f"m{i}", f"c{i}"))
+    ctes.append(assign("afinal", f"c{n_iter}"))
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT s.cid, s.n_members, ROUND(list_sum(c.c), 6) AS checksum "
+        "FROM (SELECT cid, COUNT(*) AS n_members FROM afinal GROUP BY cid) s "
+        f"JOIN c{n_iter} c ON c.cid = s.cid"
+    )
+
+
 def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment (streaming/events.py)."""
     from .streaming.events import enriched_counts
@@ -1809,6 +1864,7 @@ CATALOG: dict[str, QuerySpec] = {
     "ann_topk_cosine": _dual(S.ann_topk_sql),
     "ann_lsh_pairs": _dual(S.ann_lsh_pairs_sql),
     "ann_ivf_topk": _dual(S.ann_ivf_topk_sql),
+    "kmeans_ivf_train": QuerySpec(kmeans_ivf_q, _kmeans_oracle()),
     # --- TPC-H shapes (batch 3) ---
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_ORACLE),
     "q4_order_priority": QuerySpec(q4_order_priority, _Q4_ORACLE),

@@ -1,0 +1,95 @@
+"""Distributed k-means (Lloyd's algorithm) over the embeddings table —
+the iterative ML-training pattern, built purely from DataFrame ops so
+every step is deterministic and oracle-reproducible:
+
+* init: the first ``k`` vectors by id (deterministic seed);
+* assignment: argmin squared-L2 via ``‖x‖² − 2·x·c + ‖c‖²`` (in-order
+  dot-product folds), ROUNDED to 6 dp with a cid tie-break — a total
+  order both engines share;
+* update: element-wise mean per (cluster, dimension) with exact decimal
+  sums (Σ as DECIMAL → DOUBLE, ÷ count) — the float mean never depends on
+  row order, so centroids are bit-identical across partitionings and
+  engines;
+* fixed iteration count (unrolled in the SQL oracle).
+
+Scale: assignment is a broadcast of k centroids against the corpus (no
+corpus shuffle); the update shuffles (cid, dim) pairs — k·dim rows of
+partial sums, tiny.  This is the training step for the IVF index
+(similarity.py): at 100 TB you persist the trained centroids and the
+assignment table IS the inverted file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def assign_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid) nearest-centroid assignment.  ``vecs``: (vec_id, e);
+    ``cents``: (cid, c) — both double arrays."""
+    from pyspark.sql import Window
+
+    dist = F.round(
+        _dot(F.col("e"), F.col("e"))
+        - 2 * _dot(F.col("e"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cid").asc())
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "e")
+    )
+
+
+def update_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise decimal-exact mean per cluster → (cid, c)."""
+    exploded = assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+    means = exploded.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+        ).alias("c")
+    )
+
+
+def kmeans_fit(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
+    """Lloyd iterations with deterministic init (first k ids).
+    Returns (cid, c).  ``vecs``: (vec_id, e: array<double>)."""
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(n_iter):
+        assigned = assign_clusters(vecs, cents)
+        cents = update_centroids(assigned)
+    return cents
+
+
+def kmeans_summary(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
+    """Fit + final assignment summary: per-cluster member count and a
+    6-dp centroid checksum (in-order component sum) — the compact
+    oracle-comparable training result."""
+    cents = kmeans_fit(vecs, k, n_iter).persist()
+    assigned = assign_clusters(vecs, cents)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    checksums = cents.select(
+        "cid",
+        F.round(F.aggregate(F.col("c"), F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "checksum"
+        ),
+    )
+    return sizes.join(checksums, "cid").select("cid", "n_members", "checksum")

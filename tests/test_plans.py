@@ -161,3 +161,19 @@ def test_query_log_records_rows(spark, sf_dir):
     assert entry.name == "group_count"
     assert entry.out_rows == len(rows) > 0
     assert entry.elapsed > 0
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """Runtime evidence that AQE re-plans: a grouped aggregate launched
+    with 8 shuffle partitions over tiny data coalesces them after
+    execution (AQEShuffleRead coalesced in the final adaptive plan)."""
+    from big_data_table_spark.sources.readers import Tables
+
+    li = Tables(spark, sf_dir).lineitem
+    df = li.groupBy("l_returnflag").count()
+    df.collect()  # execute so AQE finalizes
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan.lower(), plan
