@@ -1415,6 +1415,24 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
     )
 
 
+def _clean_corpus_oracle(min_quality: float = 0.55) -> str:
+    from .operators.sampling import split_case_sql
+
+    q = X.quality_score_sql(DUCK)
+    case = split_case_sql("d.doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, dialect="duck")
+    return f"""
+WITH scores AS ({q}),
+qdocs AS (
+  SELECT d.* FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+  WHERE s.quality_score >= {min_quality}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM qdocs GROUP BY md5(text)),
+d AS (SELECT q.* FROM qdocs q JOIN keep k ON q.doc_id = k.doc_id)
+SELECT {case} AS split, COUNT(*) AS n_docs,
+  CAST(SUM(d.n_chars) AS BIGINT) AS chars
+FROM d GROUP BY 1
+"""
+
+
 def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment (streaming/events.py)."""
     from .streaming.events import enriched_counts
@@ -1865,6 +1883,12 @@ CATALOG: dict[str, QuerySpec] = {
     "ann_lsh_pairs": _dual(S.ann_lsh_pairs_sql),
     "ann_ivf_topk": _dual(S.ann_ivf_topk_sql),
     "kmeans_ivf_train": QuerySpec(kmeans_ivf_q, _kmeans_oracle()),
+    "clean_corpus_pipeline": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "big_data_table_spark.pipelines", fromlist=["x"]
+        ).clean_corpus(spark, sf_dir, min_quality=0.55),
+        _clean_corpus_oracle(),
+    ),
     # --- TPC-H shapes (batch 3) ---
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_ORACLE),
     "q4_order_priority": QuerySpec(q4_order_priority, _Q4_ORACLE),

@@ -248,3 +248,17 @@ def test_agg_all_numeric(spark):
     out = agg_all(bdt.df, by="year", fn=lambda c: F.sum(c), prefix="sum_")
     assert {"sum_high", "sum_normal", "sum_value"}.issubset(set(out.columns))
     assert "sum_low" not in out.columns  # string column excluded
+
+
+def test_clean_corpus_near_dedup_variant(spark):
+    """The near-dedup pipeline variant (iterative CC stage included)
+    drops at least as many docs as the exact-only variant and never
+    produces more rows."""
+    from big_data_table_spark.pipelines import clean_corpus
+
+    base = clean_corpus(spark, "/root/testdata/sf0.001", min_quality=0.55).toPandas()
+    near = clean_corpus(
+        spark, "/root/testdata/sf0.001", min_quality=0.55, near_dedup=True
+    ).toPandas()
+    assert near["n_docs"].sum() <= base["n_docs"].sum()
+    assert near["n_docs"].sum() > 0
