@@ -1202,6 +1202,65 @@ FROM embeddings
 """
 
 
+def date_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function breadth over orders: calendar parts, ISO week,
+    day arithmetic, month arithmetic (both engines clamp day-of-month),
+    epoch-emitted to dodge cross-engine timestamp physicals."""
+    o = Tables(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("int").alias("days_since"),
+        F.unix_timestamp(F.add_months("o_orderdate", 3)).alias("plus3m"),
+        F.unix_timestamp(F.last_day("o_orderdate")).alias("month_end"),
+    )
+
+
+_DATEF_ORACLE = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS y,
+  CAST(quarter(o_orderdate) AS INT) AS q,
+  CAST(month(o_orderdate) AS INT) AS m,
+  CAST(day(o_orderdate) AS INT) AS d,
+  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+  CAST(floor(epoch(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH)) AS BIGINT) AS plus3m,
+  CAST(floor(epoch(last_day(CAST(o_orderdate AS DATE)))) AS BIGINT) AS month_end
+FROM orders
+"""
+
+
+def partitioned_etl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-facing partition-pruning ETL: write events hive-partitioned by
+    event_type, read back ONE partition directory (the filter becomes a
+    PartitionFilter — at 100 TB this reads one directory, not the lake),
+    roll up hourly.  Oracle: the equivalent direct filter."""
+    import tempfile
+
+    ev = Tables(spark, sf_dir).events
+    path = os.path.join(tempfile.gettempdir(), "bdt_events_part")
+    ev.withColumn("etype", F.col("event_type")).write.mode("overwrite").partitionBy(
+        "etype"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("etype") == "purchase")
+    return (
+        back.withColumn("hour", (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600)
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
+    )
+
+
+_PART_ETL_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM events WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
 def sample_fixed_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-size sample (reservoir-sample semantics without
     RNG): order by content hash, take k — a uniform-random-looking but
@@ -1897,6 +1956,8 @@ CATALOG: dict[str, QuerySpec] = {
     "window_lag_lead": QuerySpec(window_lag_lead_q, _WLAG_ORACLE),
     "string_functions": QuerySpec(string_functions_q, _STRINGF_ORACLE),
     "array_functions": QuerySpec(array_functions_q, _ARRAYF_ORACLE),
+    "date_functions": QuerySpec(date_functions_q, _DATEF_ORACLE),
+    "partitioned_etl_rollup": QuerySpec(partitioned_etl_rollup, _PART_ETL_ORACLE),
 }
 
 
