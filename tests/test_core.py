@@ -262,3 +262,38 @@ def test_clean_corpus_near_dedup_variant(spark):
     ).toPandas()
     assert near["n_docs"].sum() <= base["n_docs"].sum()
     assert near["n_docs"].sum() > 0
+
+
+def test_from_sql_expression_source(spark):
+    """A12: expression-defined dataset (as.big.data.table.call)."""
+    BigDataTable.from_pandas(spark, gen_pdf()).materialize("gensrc")
+    bdt = BigDataTable.from_sql(
+        spark, "SELECT year, value * 2 AS v2 FROM gensrc WHERE year >= 2013"
+    )
+    pdf = bdt.to_pandas()
+    assert set(pdf["year"].unique()) <= {2013, 2014}
+    assert bdt.names == ["year", "v2"]
+    spark.catalog.dropTempView("gensrc")
+
+
+def test_print_head_tail(spark, capsys):
+    """A24: print = head + tail preview (order contract re-specified as
+    show(n)/tail(n); SURVEY §7 risk register)."""
+    bdt = BigDataTable.from_pandas(spark, gen_pdf(50))
+    assert bdt.head(3).count() == 3
+    assert len(bdt.tail(3)) == 3
+    bdt.print_(topn=2)
+    out = capsys.readouterr().out
+    assert "year" in out and "Row(" in out  # head table + tail rows printed
+
+
+def test_rbindlapply(spark):
+    """A28: rbindlist(lapply(X, FUN))."""
+    from big_data_table_spark.operators.setops import rbindlapply
+
+    out = rbindlapply(
+        [1, 2, 3],
+        lambda k: spark.range(k).withColumn("src", F.lit(k)),
+    )
+    assert out.count() == 6  # 1 + 2 + 3
+    assert out.groupBy("src").count().count() == 3
