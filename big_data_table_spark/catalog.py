@@ -1202,6 +1202,92 @@ FROM embeddings
 """
 
 
+def text_top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the n-gram counting primitive of
+    corpus analysis (explode → count → deterministic top-k).  One shuffle
+    (the count), then TakeOrderedAndProject."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH words AS (SELECT /*+ REPARTITION(32) */
+            split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+        docs AS (SELECT w FROM words WHERE size(w) >= 2),
+        bigrams AS (
+          SELECT concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg
+          FROM docs LATERAL VIEW explode(sequence(1, size(w) - 1)) _t AS i)
+        SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY bg
+        ORDER BY n DESC, bg ASC LIMIT 20
+        """
+    )
+
+
+_BIGRAMS_ORACLE = """
+WITH words AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+docs AS (SELECT w FROM words WHERE len(w) >= 2),
+bigrams AS (
+  SELECT concat(w[i], ' ', w[i + 1]) AS bg
+  FROM docs, UNNEST(range(1, len(w))) AS _t(i))
+SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY bg
+ORDER BY n DESC, bg ASC LIMIT 20
+"""
+
+
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users progressing view → click → purchase in
+    temporal order (first occurrence of each stage must be ordered).
+    One grouped pivot of min timestamps, then ordered-stage flags."""
+    ev = Tables(spark, sf_dir).events
+    stages = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+        )
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).cast("bigint").alias("viewed"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & F.col("t_buy").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("full_funnel"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH stages AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+    AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+    AND t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+FROM stages
+"""
+
+
 def date_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function breadth over orders: calendar parts, ISO week,
     day arithmetic, month arithmetic (both engines clamp day-of-month),
@@ -1958,6 +2044,8 @@ CATALOG: dict[str, QuerySpec] = {
     "array_functions": QuerySpec(array_functions_q, _ARRAYF_ORACLE),
     "date_functions": QuerySpec(date_functions_q, _DATEF_ORACLE),
     "partitioned_etl_rollup": QuerySpec(partitioned_etl_rollup, _PART_ETL_ORACLE),
+    "text_top_bigrams": QuerySpec(text_top_bigrams_q, _BIGRAMS_ORACLE),
+    "events_funnel": QuerySpec(events_funnel_q, _FUNNEL_ORACLE),
 }
 
 
