@@ -1202,6 +1202,40 @@ FROM embeddings
 """
 
 
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (the 4× storage cut a
+    100 TB embedding store actually applies): per-vector scale =
+    max|x|/127, q_i = round(x_i / scale).  Output: per-vector scale
+    (9 dp) + int8-sum checksum + saturation count — all JVM folds."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH v AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
+        s AS (SELECT vec_id, e,
+          aggregate(e, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(x))) / 127.0 AS scale
+          FROM v),
+        q AS (SELECT vec_id, ROUND(scale, 9) AS scale,
+          aggregate(e, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(ROUND(x / scale, 0) AS BIGINT)) AS q_sum,
+          aggregate(e, CAST(0 AS BIGINT), (acc, x) ->
+            acc + CASE WHEN abs(CAST(ROUND(x / scale, 0) AS BIGINT)) >= 127 THEN 1 ELSE 0 END) AS n_saturated
+          FROM s)
+        SELECT vec_id, scale, q_sum, n_saturated FROM q
+        """
+    )
+
+
+_QUANT_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+q AS (SELECT vec_id, ROUND(scale, 9) AS scale,
+  CAST(list_sum(list_transform(e, x -> CAST(ROUND(x / scale, 0) AS BIGINT))) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(e, x ->
+    CASE WHEN abs(CAST(ROUND(x / scale, 0) AS BIGINT)) >= 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_saturated
+  FROM s)
+SELECT vec_id, scale, q_sum, n_saturated FROM q
+"""
+
+
 def text_top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams — the n-gram counting primitive of
     corpus analysis (explode → count → deterministic top-k).  One shuffle
@@ -2046,6 +2080,7 @@ CATALOG: dict[str, QuerySpec] = {
     "partitioned_etl_rollup": QuerySpec(partitioned_etl_rollup, _PART_ETL_ORACLE),
     "text_top_bigrams": QuerySpec(text_top_bigrams_q, _BIGRAMS_ORACLE),
     "events_funnel": QuerySpec(events_funnel_q, _FUNNEL_ORACLE),
+    "embedding_quantize_int8": QuerySpec(embedding_quantize_q, _QUANT_ORACLE),
 }
 
 

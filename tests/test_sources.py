@@ -230,3 +230,18 @@ def test_foreachbatch_idempotent_sink(spark, tmp_path):
     # idempotency: re-running the same batch overwrites, same result
     sink(spark.read.parquet(str(src / "f1")), 0)
     assert spark.read.parquet(str(out / "batch=0")).count() == 50
+
+
+def test_lakehouse_stubs_raise_cleanly(spark):
+    """Delta/Iceberg/Hudi jars are absent: each connector must fail with
+    a clear NotImplementedError naming the dependency, not a Py4J error."""
+    import pytest as _pytest
+
+    from big_data_table_spark.sources.lakehouse import read_delta, read_hudi, read_iceberg
+
+    with _pytest.raises(NotImplementedError, match="delta-spark"):
+        read_delta(spark, "/tmp/nope")
+    with _pytest.raises(NotImplementedError, match="iceberg"):
+        read_iceberg(spark, "cat.db.t")
+    with _pytest.raises(NotImplementedError, match="hudi"):
+        read_hudi(spark, "/tmp/nope")
