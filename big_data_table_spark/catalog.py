@@ -1202,6 +1202,31 @@ FROM embeddings
 """
 
 
+def events_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap.  Day-of-week numbering differs
+    between engines (Spark 1=Sunday, DuckDB 0=Sunday), so dow is computed
+    portably from epoch days ((days + 4) % 7, 0=Sunday — 1970-01-01 was a
+    Thursday)."""
+    ev = Tables(spark, sf_dir).events
+    epoch = F.unix_timestamp("ts")
+    dow = ((F.floor(epoch / 86400) + 4) % 7).cast("int")
+    hour = ((epoch % 86400) / 3600).cast("int")
+    return (
+        ev.withColumn("dow", dow)
+        .withColumn("hour", hour)
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
+    )
+
+
+_HEATMAP_ORACLE = """
+SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS INT) AS dow,
+  CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
+  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
 def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (the 4× storage cut a
     100 TB embedding store actually applies): per-vector scale =
@@ -2081,6 +2106,7 @@ CATALOG: dict[str, QuerySpec] = {
     "text_top_bigrams": QuerySpec(text_top_bigrams_q, _BIGRAMS_ORACLE),
     "events_funnel": QuerySpec(events_funnel_q, _FUNNEL_ORACLE),
     "embedding_quantize_int8": QuerySpec(embedding_quantize_q, _QUANT_ORACLE),
+    "events_heatmap": QuerySpec(events_heatmap_q, _HEATMAP_ORACLE),
 }
 
 
