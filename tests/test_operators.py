@@ -190,3 +190,18 @@ def test_split_by_hash_stability_and_disjointness(spark):
     counts = pa.value_counts()
     assert abs(counts["train"] / 5000 - 0.8) < 0.03
     assert counts.sum() == 5000  # fractions sum to 1 -> no NULL split
+
+
+def test_connected_components_long_chain_no_lineage_blowup(spark):
+    """Regression: a high-diameter graph (30-node path) must converge
+    without driver OOM — each round localCheckpoints to truncate lineage
+    (pre-fix, planning memory grew per round and died ~10 rounds in)."""
+    from big_data_table_spark.operators.graph import connected_components
+
+    n = 30
+    nodes = spark.createDataFrame(pd.DataFrame({"id": list(range(n))}))
+    edges = spark.createDataFrame(
+        pd.DataFrame({"a": list(range(n - 1)), "b": list(range(1, n))})
+    )
+    cc = connected_components(nodes, edges, "id", "a", "b", max_iter=n + 2).toPandas()
+    assert (cc["label"] == 0).all()
