@@ -75,7 +75,11 @@ def kmeans_fit(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
     )
     for _ in range(n_iter):
         assigned = assign_clusters(vecs, cents)
-        cents = update_centroids(assigned)
+        # eager localCheckpoint: materializes the round's k centroids and
+        # truncates lineage — without it the nested plan grows per round
+        # (same driver-OOM failure mode fixed in operators/graph.py);
+        # reliable .checkpoint() on a real cluster.
+        cents = update_centroids(assigned).localCheckpoint(eager=True)
     return cents
 
 
