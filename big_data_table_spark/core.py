@@ -26,9 +26,11 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Partition-id column exposed in partials mode.  Dot-prefixed names are
+# user-reserved in the reference too (nondotnames, big.data.table.R:328-331);
+# Spark attribute references to a dotted name need backticks (NODE_REF).
 NODE_COL = ".node"
-NODE_REF = "`.node`"  # dotted name needs backticks in attribute references  # partition-id column in partials mode; dot-prefixed names
-# are user-reserved in the reference too (nondotnames, big.data.table.R:328-331)
+NODE_REF = "`.node`"
 
 
 def _as_column(c: str | Column) -> Column:
@@ -156,7 +158,10 @@ class BigDataTable:
                 df = df.groupBy(*keys).agg(*aggs)
         elif j is not None:
             if isinstance(j, Mapping):
-                exprs = [v.alias(k) for k, v in j.items()]
+                exprs = [
+                    (F.expr(v) if isinstance(v, str) else v).alias(k)
+                    for k, v in j.items()
+                ]
                 # grouped-less aggregate (e.g. global sum) vs projection:
                 # Spark distinguishes via select vs agg; try agg when every
                 # expr is an aggregate is impossible to know statically, so

@@ -23,10 +23,19 @@ def rbindlist(dfs: Iterable[DataFrame], fill: bool = False) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=fill), dfs)
 
 
-def rbindlapply(xs: Iterable, fn, fill: bool = False) -> DataFrame:
+def rbindlapply(xs: Iterable, fn, fill: bool = False, idcol: str | None = None) -> DataFrame:
     """Reference ``rbindlapply`` (big.data.table.R:341-343):
-    ``rbindlist(lapply(X, FUN))``."""
-    return rbindlist([fn(x) for x in xs], fill=fill)
+    ``rbindlist(lapply(X, FUN))``; ``idcol`` tags each piece with its
+    source element (data.table's ``idcol=``)."""
+    from pyspark.sql import functions as F
+
+    dfs = []
+    for x in xs:
+        df = fn(x)
+        if idcol is not None:
+            df = df.withColumn(idcol, F.lit(x))
+        dfs.append(df)
+    return rbindlist(dfs, fill=fill)
 
 
 def distinct_by(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:

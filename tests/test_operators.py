@@ -205,3 +205,11 @@ def test_connected_components_long_chain_no_lineage_blowup(spark):
     )
     cc = connected_components(nodes, edges, "id", "a", "b", max_iter=n + 2).toPandas()
     assert (cc["label"] == 0).all()
+
+
+def test_rbindlapply_idcol(spark):
+    from big_data_table_spark.operators.setops import rbindlapply
+
+    out = rbindlapply([2, 3], lambda k: spark.range(k), idcol="src").toPandas()
+    assert len(out) == 5
+    assert sorted(out["src"].unique()) == [2, 3]
