@@ -2060,6 +2060,14 @@ CATALOG: dict[str, QuerySpec] = {
            FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
            GROUP BY n_name""",
     ),
+    "stream_dedup_counts": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "big_data_table_spark.streaming.events", fromlist=["x"]
+        ).deduped_counts(spark, sf_dir),
+        """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM events GROUP BY event_type""",
+    ),
     "pandas_udaf_quantiles": QuerySpec(pandas_udaf_quantiles, _PD_UDAF_ORACLE),
     "stratified_sample": QuerySpec(stratified_sample_q, _stratified_oracle()),
     "sample_fixed_k": QuerySpec(sample_fixed_k_q, _SAMPLE_K_ORACLE),

@@ -167,6 +167,23 @@ def click_purchase_join(spark: SparkSession, sf_dir: str, within_minutes: int = 
     )
 
 
+def deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the stream unioned with itself (every
+    event twice) then ``dropDuplicates`` on the event key — state-backed
+    exactly-once semantics per key.  The deduped aggregate must equal the
+    plain batch aggregate (each event counted ONCE).  In production the
+    watermarked form (``dropDuplicatesWithinWatermark``) bounds the dedup
+    state; bounded fixture input keeps full-state dedup exact here."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(read_events_stream(spark, sf_dir))
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"),
+    )
+    return _run_to_completion(agg, "complete").select("event_type", "n", "v")
+
+
 def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     dimension (a user→nation mapping derived from the nation table), then
