@@ -148,6 +148,7 @@ class BigDataTable:
                 df = df.filter(F.expr(i) if isinstance(i, str) else i)
 
         keys = _as_columns(keyby if keyby is not None else by)
+        grouping_requested = by is not None or keyby is not None
 
         if keys:
             aggs = self._j_to_aggs(j)
@@ -156,16 +157,26 @@ class BigDataTable:
                 df = df.groupBy(F.col(NODE_REF), *keys).agg(*aggs)
             else:
                 df = df.groupBy(*keys).agg(*aggs)
+        elif grouping_requested and isinstance(j, Mapping):
+            # explicit empty `by=[]` with a Mapping j is data.table's
+            # "aggregate over everything" — route to a global aggregate
+            # (df.agg), NOT a projection, which would fail on agg exprs
+            aggs = self._j_to_aggs(j)
+            if outer_aggregate is False:
+                df = df.withColumn(NODE_COL, F.spark_partition_id())
+                df = df.groupBy(F.col(NODE_REF)).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
         elif j is not None:
             if isinstance(j, Mapping):
+                # grouped-less aggregate (e.g. global sum) vs projection:
+                # whether every expr is an aggregate is unknowable
+                # statically, so a Mapping j WITHOUT `by` is a projection;
+                # global aggregates are q(j={...}, by=[]) or .agg()
                 exprs = [
                     (F.expr(v) if isinstance(v, str) else v).alias(k)
                     for k, v in j.items()
                 ]
-                # grouped-less aggregate (e.g. global sum) vs projection:
-                # Spark distinguishes via select vs agg; try agg when every
-                # expr is an aggregate is impossible to know statically, so
-                # callers use q(j={...}, by=[]) for global aggregates.
                 df = df.select(*exprs)
             else:
                 df = df.select(*_as_columns(j))

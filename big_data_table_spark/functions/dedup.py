@@ -214,7 +214,9 @@ def ngram_jaccard_pairs_sql(dialect: str, threshold: float = 0.5, max_df: int = 
         "ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
         "JOIN sizes sb ON sb.doc_id = doc_b "
-        f"WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}"
+        # filter on the SAME rounded expression that is emitted, so a
+        # boundary pair can never display a jaccard below the threshold
+        f"WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {threshold}"
     )
 
 

@@ -26,6 +26,7 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 20,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """Min-label propagation to fixpoint: every node ends with the
     minimum node id of its component (deterministic).
@@ -33,7 +34,9 @@ def connected_components(
     ``nodes``: one column ``node_col`` (all nodes, including isolates —
     they keep their own id).  ``edges``: undirected pairs (symmetrized
     internally).  Converges in ≤ diameter iterations; ``max_iter`` bounds
-    the loop (20 covers any near-dup cluster shape in practice).
+    the loop (20 covers any near-dup cluster shape in practice).  If the
+    loop exhausts ``max_iter`` without the label-sum fixpoint, labels may
+    still be wrong — that raises rather than silently returning.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -47,8 +50,11 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).persist()
     prev_sum: int | None = None
+    converged = False
+    rounds = 0
     try:
         for _ in range(max_iter):
+            rounds += 1
             neigh = e.join(labels, e.src == labels.node).select(
                 F.col("dst").alias("node"), "label"
             )
@@ -70,11 +76,111 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if prev_sum is not None and new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
-        return labels
+        if not converged:
+            raise RuntimeError(
+                f"connected_components: no fixpoint after max_iter={max_iter} "
+                "rounds — labels would be wrong; raise max_iter (diameter "
+                "bound) or use connected_components_star for high-diameter "
+                "graphs"
+            )
+        return (labels, rounds) if return_rounds else labels
     finally:
         e.unpersist()
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src: str,
+    dst: str,
+    max_iter: int = 30,
+    return_rounds: bool = False,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    Components in MapReduce and Beyond", SoCC'14): O(log² n) rounds
+    instead of min-label propagation's O(diameter), so path-shaped /
+    high-diameter graphs converge in a handful of rounds.
+
+    Both stars are one groupBy + one join per round, fully distributed;
+    edge labels only ever decrease, so an unchanged (count, Σu, Σv)
+    triple after a small-star round is the fixpoint.  At the fixpoint the
+    edge set is a union of stars rooted at each component's minimum id —
+    the same labels min-label propagation produces, so the two
+    implementations are mutual oracles (tests/test_operators.py).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _neighbor_min(edges_df: DataFrame) -> DataFrame:
+        # m(u) = min over Γ(u) ∪ {u}
+        return (
+            edges_df.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+
+    prev_sig: tuple | None = None
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        rounds += 1
+        # --- large-star: connect every strictly-larger neighbor of u to
+        # m(u).  Operates on the symmetrized edge set.
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = _neighbor_min(sym)
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- small-star: orient edges toward the smaller endpoint, then
+        # connect every smaller neighbor AND u itself to m(u).
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = _neighbor_min(d)
+        star_nbrs = d.join(mins, "u").select(F.col("v").alias("u"), "m")
+        star_self = mins.select("u", F.col("m").alias("m"))
+        e = (
+            star_nbrs.unionByName(star_self)
+            .filter(F.col("u") != F.col("m"))
+            .select("u", F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["su"], sig_row["sv"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after max_iter={max_iter}"
+        )
+    # fixpoint edges are stars (node → component-min root); isolates and
+    # the roots themselves keep their own id
+    roots = e.groupBy("u").agg(F.min("v").alias("root"))
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(roots, F.col("node") == F.col("u"), "left")
+        .select("node", F.coalesce("root", "node").alias("label"))
+    )
+    return (labels, rounds) if return_rounds else labels
 
 
 def dedup_keepers(components: DataFrame) -> DataFrame:

@@ -99,3 +99,77 @@ class QueryLog:
             QueryLogRow(name, t0, time.time() - t0, obs.get["out_rows"])
         )
         return out
+
+
+@dataclass
+class StageLogRow:
+    name: str
+    job_id: int
+    stage_id: int
+    num_tasks: int
+    num_completed_tasks: int
+    num_failed_tasks: int
+
+
+@dataclass
+class StageLog(QueryLog):
+    """Two-grain query log completing reference A17: the reference's
+    logR table has 1 *client* row + N *node* rows per query
+    (tests-08-logging.R:60-71 pins both grains).  Spark's analogue of the
+    node grain is the STAGE (each stage runs as parallel tasks across
+    executors): every ``run`` appends one client row (inherited) plus one
+    row per executed stage, harvested from the public ``StatusTracker``
+    after scoping the query to its own job group — no JVM listener
+    plumbing, works identically on a real cluster.
+
+    ``stage_rows`` is the per-stage table; ``as_dataframes(spark)``
+    surfaces both grains as DataFrames (the log *is* queryable, as in the
+    reference where the log lands in a database table).
+    """
+
+    stage_rows: list[StageLogRow] = field(default_factory=list)
+
+    def run(self, name: str, df: DataFrame) -> list:
+        sc = df.sparkSession.sparkContext
+        group = f"bdt-stagelog-{name}-{time.monotonic_ns()}"
+        sc.setJobGroup(group, f"StageLog: {name}")
+        try:
+            out = super().run(name, df)
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc.statusTracker()
+        for jid in sorted(tracker.getJobIdsForGroup(group)):
+            jinfo = tracker.getJobInfo(jid)
+            if jinfo is None:
+                continue
+            for sid in sorted(jinfo.stageIds):
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo is None or sinfo.numTasks == 0:
+                    continue
+                self.stage_rows.append(
+                    StageLogRow(
+                        name,
+                        jid,
+                        sid,
+                        sinfo.numTasks,
+                        sinfo.numCompletedTasks,
+                        sinfo.numFailedTasks,
+                    )
+                )
+        return out
+
+    def as_dataframes(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        client = spark.createDataFrame(
+            [(r.name, r.started, r.elapsed, r.out_rows) for r in self.rows],
+            "name string, started double, elapsed double, out_rows long",
+        )
+        stages = spark.createDataFrame(
+            [
+                (r.name, r.job_id, r.stage_id, r.num_tasks,
+                 r.num_completed_tasks, r.num_failed_tasks)
+                for r in self.stage_rows
+            ],
+            "name string, job_id int, stage_id int, num_tasks int, "
+            "num_completed_tasks int, num_failed_tasks int",
+        )
+        return client, stages

@@ -57,8 +57,11 @@ def connect(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-        # fixtures store ns-precision timestamps; read them as micros
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # fixtures store ns-precision timestamps; read TIMESTAMP(NANOS)
+        # columns as raw int64 nanos (converted to micros by the readers) —
+        # `false` would make Spark reject such files outright, and
+        # ensure_session_confs() pins `true` as well
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -59,12 +59,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture with ``ts`` converted int64-nanos → timestamp.
 
     Fixture values are microsecond-precision (verified: no row has
-    sub-microsecond nanos), so the nanos→micros division is lossless.
+    sub-microsecond nanos), so the nanos→micros division is lossless
+    — provided it stays in integer arithmetic: ``F.col/1000`` routes
+    through double, which is inexact above 2^53 and truncates ~1.5%
+    of ns-range longs 1µs low.  ``div`` is 64-bit integer division.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

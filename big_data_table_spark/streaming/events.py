@@ -38,16 +38,23 @@ RAW_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     ensure_session_confs(spark)
     # the file-stream source requires a directory; point it at sf_dir with
     # a glob filter selecting only the events file
-    raw = (
-        spark.readStream.schema(RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(RAW_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if max_files_per_trigger is not None:
+        # source rate limiting: bounds each micro-batch to N files so a
+        # backlog is drained in steady increments instead of one giant batch
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
+    # integer division — `/ 1000` routes through double and is inexact
+    # above 2^53 (see sources/readers.py:load_events)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -177,6 +184,33 @@ def deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     doubled = ev.unionByName(read_events_stream(spark, sf_dir))
     deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"),
+    )
+    return _run_to_completion(agg, "complete").select("event_type", "n", "v")
+
+
+def deduped_counts_watermarked(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Production-shape streaming dedup: ``dropDuplicatesWithinWatermark``
+    bounds the dedup state to the watermark horizon (full-state
+    ``dropDuplicates`` grows without bound on an infinite stream), and
+    ``maxFilesPerTrigger`` rate-limits the file source so one giant
+    backlog cannot flood a single micro-batch — the two knobs an actual
+    100 TB backfill needs.
+
+    The duplicate probe is the stream unioned with itself (every event
+    arrives exactly twice, zero event-time skew between copies), so ANY
+    positive watermark horizon covers the duplicate gap and the deduped
+    aggregate must equal the plain batch aggregate — same oracle as
+    ``deduped_counts``."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    doubled = ev.unionByName(read_events_stream(spark, sf_dir, max_files_per_trigger))
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"),

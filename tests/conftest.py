@@ -18,6 +18,16 @@ from big_data_table_spark.sources.readers import FIXTURE_TABLES
 SF_SMOKE = os.environ.get("BDT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """The suite is integration-first: every test needs the parquet
+    fixtures.  On hosts without them (e.g. a bare CI runner) skip the
+    whole run instead of failing at session setup."""
+    if not os.path.isdir(SF_SMOKE):
+        skip = pytest.mark.skip(reason=f"fixture dir {SF_SMOKE} absent")
+        for item in items:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = connect(app_name="bdt-tests", shuffle_partitions=8)
