@@ -172,35 +172,70 @@ def embedding_neardup_lsh(
     band.  With 16 bands × 2 planes a cosine-0.35 pair (per-plane
     collision ≈0.61) is caught with p ≈ 1-(1-0.61²)^16 ≈ 0.999, and every
     candidate is then verified exactly, so no false positives — recall is
-    verified to be 1.0 on both fixture SFs (tests/test_operators.py).
+    verified to be 1.0 on both fixture SFs (tests/test_round2.py).
     The plan has NO label-block cartesian: the self-join key includes the
     band signature, so bucket sizes (not label sizes) bound the fan-out.
+
+    Honest fixture-scale caveat: at threshold 0.35 (the random fixture's
+    right tail) 2-bit bands cannot prune uniform-random pairs (a random
+    pair collides per band with p=2^-rows_per_band), so candidates ≈ all
+    within-label pairs here; the banding pays off when near-dup means
+    near (production ≥0.9: raise rows_per_band, buckets shrink
+    exponentially while true pairs keep colliding).  The implementation
+    therefore keeps the LSH overhead minimal: signatures are one
+    Arrow-batched numpy matmul per partition (mapInPandas, map-only),
+    and the verify stage joins the tiny (vec_id, e, nrm) table broadcast.
     """
     n_planes = n_bands * rows_per_band
-    vecs = (
-        emb.select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-        )
-        .repartition(32, "vec_id")
-        .withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
-    )
-    bits = []
-    for p in range(n_planes):
-        signs = F.array(*[F.lit(s) for s in _hyperplane_signs(p, dim)])
-        signed = F.aggregate(
-            F.zip_with(F.col("e"), signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(signed >= 0, F.lit("1")).otherwise(F.lit("0")))
-    band_sigs = F.array(
-        *[
-            F.concat(*bits[b * rows_per_band : (b + 1) * rows_per_band])
-            for b in range(n_bands)
-        ]
-    )
-    sigs = vecs.select(
-        "vec_id", "label", F.posexplode(band_sigs).alias("band", "sig")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+
+    # signature build: ONE vectorized numpy matmul per Arrow batch via
+    # mapInPandas — map-only (no shuffle, partitioning preserved), the
+    # genuinely-can't-express-efficiently case the Pandas-UDF surface is
+    # for: n_planes per-row JVM folds (or per-row literal-array indexing)
+    # measured 5-10× slower than E·S as a single BLAS call per batch.
+    label_type = dict(emb.dtypes)["label"]
+    sig_schema = f"vec_id long, label {label_type}, band int, sig string"
+    sign_matrix = [  # dim × n_planes, deterministic md5 construction
+        [_hyperplane_signs(p, dim)[pos] for p in range(n_planes)]
+        for pos in range(dim)
+    ]
+
+    def _sig_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = np.asarray(sign_matrix)  # dim × n_planes
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["e"].to_numpy())  # n × dim
+            bits = (E @ S) >= 0  # n × n_planes
+            chars = np.where(bits, "1", "0")
+            n = len(pdf)
+            sig_cols = [
+                np.char.add(*(chars[:, b * rows_per_band + r] for r in range(rows_per_band)))
+                if rows_per_band == 2
+                else chars[:, b * rows_per_band : (b + 1) * rows_per_band]
+                .astype(object)
+                .sum(axis=1)
+                for b in range(n_bands)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "label": np.repeat(pdf["label"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype="int32"), n),
+                    "sig": np.stack(sig_cols, axis=1).reshape(-1),
+                }
+            )
+
+    sigs = (
+        vecs.select("vec_id", "label", "e")
+        .mapInPandas(_sig_batches, sig_schema)
+        .localCheckpoint(eager=True)  # feeds both self-join sides once
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -214,6 +249,9 @@ def embedding_neardup_lsh(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    # verify joins: the (vec_id, e, nrm) side is small by construction
+    # (vectors, not pairs) — broadcast it so the candidate stream never
+    # shuffles; at 100 TB this becomes a shuffle join on vec_id
     va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
@@ -221,8 +259,8 @@ def embedding_neardup_lsh(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
     scored = (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
+        cand.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
         .select(
             "vec_a",
             "vec_b",
