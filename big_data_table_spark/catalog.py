@@ -1813,6 +1813,46 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_resize_meta(media)
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage of the media pipeline: one row per sampled
+    timestamp with a per-frame digest (deterministic stand-in kernel via
+    mapInPandas; the real av/ffmpeg decoder is stubbed —
+    functions/multimodal.py:fake_frame_sample).  The synthetic duration
+    model (10 ms/byte) is part of the oracle contract."""
+    from .functions.multimodal import documents_as_timed_media, fake_frame_sample
+
+    media = documents_as_timed_media(Tables(spark, sf_dir).documents).repartition(
+        8, "media_id"
+    )
+    return fake_frame_sample(media, every_ms=5000)
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS base,
+         octet_length(encode(text)) * 10 AS dur
+  FROM documents)
+SELECT media_id, CAST(5000 * j AS BIGINT) AS frame_ts_ms,
+       md5(base || ':' || CAST(5000 * j AS VARCHAR)) AS frame_digest
+FROM m, UNNEST(range(0, CAST(ceil(dur / 5000.0) AS BIGINT))) t(j)
+"""
+
+
+def media_dedup_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on the blob content digest (binary analogue of
+    dedup_exact; functions/multimodal.py:media_dedup_by_digest) — the
+    shuffle carries (digest, id), never blobs."""
+    from .functions.multimodal import documents_as_media, media_dedup_by_digest
+
+    return media_dedup_by_digest(documents_as_media(Tables(spark, sf_dir).documents))
+
+
+_MEDIA_DEDUP_ORACLE = """
+SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows (10 min window / 5 min slide): each event
     lands in exactly two windows; oracle expands both candidate starts."""
@@ -2194,6 +2234,8 @@ CATALOG: dict[str, QuerySpec] = {
     "supplier_chain": QuerySpec(supplier_chain, _SUPPLIER_CHAIN_ORACLE),
     "keyby_sorted": QuerySpec(keyby_sorted, _KEYBY_ORACLE),
     "multimodal_features": QuerySpec(multimodal_features, _MULTIMODAL_ORACLE),
+    "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, _FRAME_SAMPLE_ORACLE),
+    "media_dedup_digest": QuerySpec(media_dedup_digest_q, _MEDIA_DEDUP_ORACLE),
     "multimodal_resize_meta": QuerySpec(
         multimodal_resize_meta,
         """SELECT doc_id AS media_id, CAST(224 AS INT) AS out_w,
@@ -2228,6 +2270,14 @@ CATALOG: dict[str, QuerySpec] = {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
            FROM events GROUP BY event_type""",
     ),
+    "stream_foreachbatch_sink": QuerySpec(
+        lambda spark, sf_dir: __import__(
+            "big_data_table_spark.streaming.events", fromlist=["x"]
+        ).foreachbatch_sink_counts(spark, sf_dir),
+        """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+           FROM events GROUP BY event_type""",
+    ),
     "stream_dedup_watermark": QuerySpec(
         lambda spark, sf_dir: __import__(
             "big_data_table_spark.streaming.events", fromlist=["x"]
@@ -2241,6 +2291,14 @@ CATALOG: dict[str, QuerySpec] = {
     "sample_fixed_k": QuerySpec(sample_fixed_k_q, _SAMPLE_K_ORACLE),
     "balanced_sample_per_group": QuerySpec(balanced_sample_q, _BALANCED_ORACLE),
     "events_anomaly_zscore": QuerySpec(events_anomaly_q, _ANOMALY_ORACLE),
+    "weighted_sample_topk": _dual(
+        lambda d: __import__(
+            "big_data_table_spark.operators.sampling", fromlist=["x"]
+        ).weighted_sample_sql(d),
+        doc="Efraimidis-Spirtes weighted sample (operators/sampling.py): "
+        "deterministic content-hash exponential keys, TakeOrderedAndProject "
+        "plan (no global sort).",
+    ),
     "dedup_pipeline_summary": QuerySpec(dedup_pipeline_q, _dedup_pipeline_oracle()),
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),
@@ -2299,8 +2357,13 @@ CATALOG: dict[str, QuerySpec] = {
 #   2. the three r2 additions (trained IVF, quantile sketch,
 #      watermarked stream dedup);
 #   3. all 41 entries the r1 driver never reached;
-#   4. five ts-sensitive r1-green entries re-verified because the
-#      ns→µs conversion changed this round (ADVICE: integer division).
+#   4. the as-of join re-verified because the ns→µs conversion changed
+#      this round (ADVICE: integer division) — it is the most
+#      µs-ordering-sensitive entry; the other ts-sensitive entries are
+#      re-verified by pytest oracle-parity at the same sf instead;
+#   5. the four ops added this round (frame sampling, media dedup,
+#      foreachBatch sink, weighted sampling) so they get driver rows in
+#      the round they were built.
 # Everything else was driver-green in r1 and rotates behind the window.
 # ------------------------------------------------------------------ #
 
@@ -2351,12 +2414,13 @@ _R2_FRONT = [
     "events_funnel",
     "embedding_quantize_int8",
     "events_heatmap",
-    # --- r1-green but ns→µs-sensitive: re-verify under the fixed reader ---
+    # --- r1-green but ns→µs-ordering-sensitive: re-verify under the fixed reader ---
     "events_asof_purchase",
-    "events_asof_forward",
-    "events_tumbling_5min",
-    "stream_tumbling_5min",
-    "stream_session_30min",
+    # --- built this round: need their first driver rows ---
+    "multimodal_frame_sample",
+    "media_dedup_digest",
+    "stream_foreachbatch_sink",
+    "weighted_sample_topk",
 ]
 
 assert set(_R2_FRONT) <= set(CATALOG), sorted(set(_R2_FRONT) - set(CATALOG))

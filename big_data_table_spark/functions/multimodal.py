@@ -49,6 +49,28 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# typed per-modality metadata: image/audio/video rows share the binary
+# blob + mime envelope, each modality adds its own struct (kept separate
+# so a scan for audio bookkeeping never touches video fields)
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
 try:  # pragma: no cover - library not present in this environment
     from PIL import Image  # noqa: F401
 
@@ -155,6 +177,56 @@ def fake_resize_meta(df: DataFrame, target_w: int = 224, target_h: int = 224) ->
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def fake_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Deterministic stand-in for video/audio frame sampling: one output
+    row per sampled timestamp (0, every_ms, 2·every_ms, … < duration_ms),
+    each carrying a per-frame digest derived from (content digest, ts) —
+    the row-explosion shape a real ``av``/ffmpeg kernel produces
+    (:func:`frame_sample`, stubbed), through the same Arrow-batched
+    mapInPandas path.  Input needs ``media_id``, ``media`` and
+    ``duration_ms`` columns; at 100 TB this stage is map-only and the
+    explosion factor (duration/every_ms) is why you repartition BEFORE
+    it, never after."""
+    out_schema = "media_id long, frame_ts_ms long, frame_digest string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tss, digs = [], [], []
+            for mid, blob, dur in zip(
+                pdf["media_id"], pdf["media"], pdf["duration_ms"]
+            ):
+                base = hashlib.md5(
+                    bytes(blob) if blob is not None else b""
+                ).hexdigest()
+                for ts in range(0, int(dur), every_ms):
+                    ids.append(mid)
+                    tss.append(ts)
+                    digs.append(
+                        hashlib.md5(f"{base}:{ts}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "frame_digest": digs}
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def media_dedup_by_digest(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Exact media dedup on the content digest — the binary analogue of
+    text ``dedup_exact``: group by md5(blob), keep the minimum id.  The
+    shuffle carries (digest, id) pairs only, never the blobs; at 100 TB
+    the digest is computed in the scan stage (map-side) and the blob
+    column is pruned from the exchange."""
+    return (
+        df.select(F.col("media_id"), F.md5(F.col(blob_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("media_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat ``documents.text`` as an opaque UTF-8 blob so the
     multimodal plumbing is exercised against the provided fixtures (no
@@ -168,4 +240,18 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
+    )
+
+
+def documents_as_timed_media(docs: DataFrame, ms_per_byte: int = 10) -> DataFrame:
+    """Adapter with a synthetic-but-deterministic duration (10 ms per
+    source byte) so the frame-sampling plumbing is exercisable against
+    the text fixture — the duration model is part of the oracle
+    contract, not hidden in the kernel."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("media"),
+        (F.octet_length(F.encode("text", "UTF-8")) * ms_per_byte)
+        .cast("long")
+        .alias("duration_ms"),
     )

@@ -79,6 +79,49 @@ def sample_predicate_sql(key_expr: str, fraction: float, salt: str = "") -> str:
     )
 
 
+def unit_hash_sql(key_expr: str, salt: str = "", dialect: str = "spark") -> str:
+    """A deterministic uniform u ∈ (0,1) from md5(salt|key) — portable to
+    DuckDB: the two engines share NO hex→int builtin, so the 8-hex-char
+    prefix is decoded with an ``instr`` digit lookup per position
+    (8 codegen'd terms; exact in double — 32 bits < 2^53) and shifted by
+    +0.5/2³² away from 0 so ``ln(u)`` is always finite."""
+    t = "STRING" if dialect == "spark" else "VARCHAR"
+    h = f"substr(md5(concat('{salt}|', CAST({key_expr} AS {t}))), 1, 8)"
+    # float constants: instr yields INT and 15·16⁷ overflows int32 under
+    # ANSI mode; the sum is exact in double anyway (32 bits < 2^53)
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {float(16 ** (8 - i))}"
+        for i in range(1, 9)
+    )
+    return f"((({terms}) + 0.5) / 4294967296.0)"
+
+
+def weighted_sample_sql(
+    dialect: str,
+    k: int = 20,
+    key_expr: str = "o_orderkey",
+    weight_expr: str = "o_totalprice",
+    table: str = "orders",
+    salt: str = "ws",
+) -> str:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirtes A-ES scheme: each row gets the exponential key
+    ``-ln(u)/w`` with u a content-hash uniform (so the sample is a pure
+    function of the data, reproducible across engines/partitionings) and
+    the k SMALLEST keys are the sample — heavier rows draw smaller keys
+    with probability ∝ w.  The key is rounded to 9 dp with an id
+    tie-break (shared total order: Spark/DuckDB libm may differ in the
+    last bit).  ORDER BY + LIMIT, not a global window: Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge), so the
+    sample never global-sorts at 100 TB."""
+    u = unit_hash_sql(key_expr, salt, dialect)
+    key = f"ROUND(-ln({u}) / {weight_expr}, 9)"
+    return (
+        f"SELECT {key_expr}, {weight_expr}, {key} AS es_key FROM {table} "
+        f"ORDER BY es_key ASC, {key_expr} ASC LIMIT {k}"
+    )
+
+
 def split_case_sql(key_expr: str, fractions: dict[str, float], salt: str = "", dialect: str = "spark") -> str:
     """CASE expression assigning split names — dual-dialect (the cast
     type name differs: STRING vs VARCHAR)."""

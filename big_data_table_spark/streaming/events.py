@@ -218,6 +218,40 @@ def deduped_counts_watermarked(
     return _run_to_completion(agg, "complete").select("event_type", "n", "v")
 
 
+def foreachbatch_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file sink via ``foreachBatch``: every micro-batch
+    lands in its own ``batch=<id>`` directory with overwrite semantics,
+    so a retried batch REPLACES its own output instead of appending a
+    duplicate — the idempotence contract that makes file sinks
+    exactly-once under at-least-once execution.  The sink directory is
+    then read back through partition discovery and aggregated; the
+    result must equal the plain batch aggregate.  Rate-limited to one
+    file per trigger to exercise the multi-batch path."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    out_dir = os.path.join(tempfile.gettempdir(), "bdt_foreachbatch_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    q = ev.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_dir)  # batch=<id> becomes a partition col
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"),
+    )
+
+
 def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     dimension (a user→nation mapping derived from the nation table), then

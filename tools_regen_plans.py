@@ -10,6 +10,8 @@ PICKS = {
     "topk_orders": "TakeOrderedAndProject: per-partition heaps + driver merge, no global sort.",
     "events_asof_purchase": "As-of via union+window: exactly one exchange (the window partitionBy).",
     "dedup_minhash_lsh_pairs": "Shingle explode -> signature agg (persisted) -> band self-join -> distinct.",
+    "embedding_neardup": "Banded-LSH candidates (mapInPandas numpy signatures, checkpointed) -> bucket self-join -> broadcast exact-cosine verify. No label-block cartesian.",
+    "quantile_sketch_grouped": "Mergeable histogram: one map-side-combinable (group, bin) aggregate, then window cumsum over the tiny sketch.",
 }
 
 if __name__ == "__main__":
