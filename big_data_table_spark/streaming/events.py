@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import itertools
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,21 +58,45 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+@contextmanager
+def _stream_shuffle_scope(spark: SparkSession):
+    """Stateful streaming shuffles do NOT go through AQE: the shuffle /
+    state-store partition count is frozen at query start from
+    ``spark.sql.shuffle.partitions``.  On an untouched session that is
+    the static 200 default — 200 tasks AND 200 state stores per stateful
+    operator regardless of volume.  Scope the conf to the stream run:
+    size it to the session's actual parallelism when it is still the
+    default, restore on exit.  Sessions that set the conf themselves
+    (``session.connect`` does) are left alone; at cluster scale the same
+    rule applies — state partitioning must be an explicit choice, sized
+    to executors × a growth factor, never the default."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    if before == "200":  # the untouched global default
+        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
+
+
 def _run_to_completion(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a bounded stream to completion through a memory sink and
     return the final result as a batch DataFrame."""
     name = f"bdt_stream_{next(_qid)}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with _stream_shuffle_scope(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str, minutes: int = 5) -> DataFrame:
@@ -240,11 +265,12 @@ def foreachbatch_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, f"batch={batch_id}")
         )
 
-    q = ev.writeStream.foreachBatch(write_batch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle_scope(spark):
+        q = ev.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     back = spark.read.parquet(out_dir)  # batch=<id> becomes a partition col
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
