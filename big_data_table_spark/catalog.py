@@ -2334,6 +2334,13 @@ CATALOG: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(q4_order_priority, _Q4_ORACLE),
     "q14_promo_revenue": QuerySpec(q14_promo_revenue, _Q14_ORACLE),
     "q18_large_orders": QuerySpec(q18_large_orders, _Q18_ORACLE),
+    # TPC-H batch 4 (tpch.py): Q5/Q7/Q8/Q10/Q12/Q13/Q15/Q17/Q19/Q21/Q22
+    **{
+        name: QuerySpec(fn, oracle)
+        for name, (fn, oracle) in __import__(
+            "big_data_table_spark.tpch", fromlist=["TPCH_SPECS"]
+        ).TPCH_SPECS.items()
+    },
     "window_lag_lead": QuerySpec(window_lag_lead_q, _WLAG_ORACLE),
     "string_functions": QuerySpec(string_functions_q, _STRINGF_ORACLE),
     "array_functions": QuerySpec(array_functions_q, _ARRAYF_ORACLE),
