@@ -1779,6 +1779,153 @@ def _ann_ivf_trained_oracle(
     )
 
 
+def ann_pq_trained_q(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_subs: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with a TRAINED codebook: per-subspace
+    k-means (functions/clustering.py:pq_fit — all subspaces in one
+    distributed Lloyd, the subspace id is a grouping column) replaces
+    `ann_pq_topk`'s id-seed codewords.  The corpus is then stored as
+    n_subs one-byte codes per vector and queries score via a broadcast
+    (qid, s, cid)→distance table — ADC: at 100 TB the raw floats are
+    touched only at train/encode time.
+
+    Same query ids as `ann_pq_topk` ([n_codes, n_codes+n_queries)), so
+    recall is directly comparable: measured recall@5 vs exact L2 is
+    0.32 (sf0.001) / 0.36 (sf0.01) — 2-4.5× the id-seed codebook's
+    0.16/0.08 (tests/test_round2.py pins trained > id-seed).  Uniform
+    random 64-d data is PQ's worst case at 32 bits/vector; clustered
+    production embeddings quantize far better at the same code size."""
+    from .functions.clustering import _dot, assign_codebook, pq_fit
+
+    sub_len = dim // n_subs
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("fe"))
+    subs = vecs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+        "fe",
+    ).select(
+        "vec_id", "s", F.expr(f"slice(fe, 1 + s * {sub_len}, {sub_len})").alias("e")
+    )
+    cb = pq_fit(subs, k=n_codes, n_iter=n_iter).localCheckpoint(eager=True)
+    codes = assign_codebook(subs, cb).select("vec_id", "s", "cid")
+
+    q_lo, q_hi = n_codes, n_codes + n_queries
+    qsubs = subs.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)).select(
+        F.col("vec_id").alias("qid"), "s", F.col("e").alias("qe")
+    )
+    d = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        9,
+    ).cast("decimal(18,9)")
+    dtab = qsubs.join(F.broadcast(cb), "s").select("qid", "s", "cid", d.alias("d"))
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("double").alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("dist"), 6).asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+def _pq_ctes(
+    n_subs: int = 8, sub_len: int = 8, k: int = 16, n_iter: int = 2
+) -> tuple[list[str], str, str]:
+    """Unrolled per-subspace Lloyd as DuckDB CTEs (the grouped analogue
+    of _kmeans_ctes — subspace ``s`` rides every key).  Returns (ctes,
+    final_codebook_cte, final_codes_cte)."""
+
+    def assign(name, cbname):
+        return (
+            f"{name} AS (SELECT vec_id, s, cid, e FROM ("
+            f"SELECT v.vec_id, v.s, c.cid, v.e, ROW_NUMBER() OVER ("
+            f"PARTITION BY v.vec_id, v.s "
+            f"ORDER BY {_kmeans_dist_sql('v.e', 'c.c')} ASC, c.cid ASC) AS rn "
+            f"FROM subs0 v JOIN {cbname} c ON v.s = c.s) _t WHERE rn = 1)"
+        )
+
+    def update(aname, mname, cname):
+        return (
+            f"{mname} AS (SELECT s, cid, pos, "
+            "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv FROM ("
+            f"SELECT a.s, a.cid, UNNEST(a.e) AS val, "
+            f"generate_subscripts(a.e, 1) AS pos FROM {aname} a) _u "
+            "GROUP BY s, cid, pos), "
+            f"{cname} AS (SELECT s, cid, list(mv ORDER BY pos) AS c "
+            f"FROM {mname} GROUP BY s, cid)"
+        )
+
+    ctes = [
+        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"subs0 AS (SELECT vec_id, s, "
+        f"list_slice(e, 1 + s * {sub_len}, {sub_len} + s * {sub_len}) AS e "
+        f"FROM v0, UNNEST(range(0, {n_subs})) AS _t(s))",
+        f"cb0 AS (SELECT s, vec_id AS cid, e AS c FROM subs0 WHERE vec_id < {k})",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(assign(f"a{i}", f"cb{i - 1}"))
+        ctes.append(update(f"a{i}", f"m{i}", f"cb{i}"))
+    ctes.append(assign("afinal", f"cb{n_iter}"))
+    return ctes, f"cb{n_iter}", "afinal"
+
+
+def _ann_pq_trained_oracle(
+    n_subs: int = 8,
+    sub_len: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    ctes, cb, afinal = _pq_ctes(n_subs, sub_len, n_codes, n_iter)
+    q_lo, q_hi = n_codes, n_codes + n_queries
+    d_query = (
+        "ROUND(list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.c)"
+        " + list_dot_product(c.c, c.c), 9)"
+    )
+    ctes = ctes + [
+        f"q AS (SELECT vec_id AS qid, s, e FROM subs0 "
+        f"WHERE vec_id >= {q_lo} AND vec_id < {q_hi})",
+        f"dtab AS (SELECT q.qid, c.s, c.cid, "
+        f"CAST({d_query} AS DECIMAL(18,9)) AS d FROM q JOIN {cb} c ON q.s = c.s)",
+        f"adc AS (SELECT dt.qid, a.vec_id AS nid, CAST(SUM(dt.d) AS DOUBLE) AS dist "
+        f"FROM {afinal} a JOIN dtab dt ON dt.s = a.s AND dt.cid = a.cid "
+        "WHERE a.vec_id <> dt.qid GROUP BY dt.qid, a.vec_id)",
+        "ranked AS (SELECT qid, nid, ROUND(dist, 6) AS adc_dist, "
+        "ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY ROUND(dist, 6) ASC, nid ASC) AS rnk FROM adc)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT qid AS query_id, nid AS neighbor_id, adc_dist, "
+        f"CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}"
+    )
+
+
 def _clean_corpus_oracle(min_quality: float = 0.55) -> str:
     from .operators.sampling import split_case_sql
 
@@ -1991,6 +2138,41 @@ def _minhash_lsh_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _crosslingual_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual LSH candidates: the (doc, lang, band, sig) table is
+    computed ONCE and persisted before the self-join (same CTE-inlining
+    countermeasure as `_minhash_lsh_pairs_fn` — the pure-SQL form
+    recomputes the signature AND language pipelines per join side).
+    Algorithm/oracle: functions/dedup.py:crosslingual_lsh_pairs_sql."""
+    from .functions.text import lang_select_sql
+
+    register_views(spark, sf_dir)
+    bands = spark.sql(D.minhash_bands_sql(SPARK))
+    langs = spark.sql(
+        f"SELECT doc_id, pred_lang FROM ({lang_select_sql(SPARK)}) _l"
+    )
+    lbands = bands.join(langs, "doc_id").persist()
+    while _last_bands:
+        _last_bands.pop().unpersist()
+    _last_bands.append(lbands)
+    a, b = lbands.alias("a"), lbands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pred_lang") == F.col("b.pred_lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pred_lang").alias("lang"),
+        )
         .distinct()
     )
 
@@ -2307,6 +2489,12 @@ CATALOG: dict[str, QuerySpec] = {
         _minhash_lsh_pairs_fn, D.minhash_lsh_pairs_sql(DUCK)
     ),
     "dedup_components": QuerySpec(dedup_components_fn, _dedup_components_oracle()),
+    "dedup_crosslingual_pairs": QuerySpec(
+        _crosslingual_pairs_fn,
+        D.crosslingual_lsh_pairs_sql(DUCK),
+        doc="MinHash-LSH with language as an extra blocking key "
+        "(functions/dedup.py:crosslingual_lsh_pairs_sql).",
+    ),
     "dedup_simhash": _dual(D.simhash_sql),
     "dedup_simhash_candidates": _dual(D.simhash_candidates_sql),
     "dedup_ngram_jaccard": _dual(D.ngram_jaccard_pairs_sql),
@@ -2320,6 +2508,18 @@ CATALOG: dict[str, QuerySpec] = {
     "ann_topk_cosine": _dual(S.ann_topk_sql),
     "ann_lsh_pairs": _dual(S.ann_lsh_pairs_sql),
     "ann_ivf_topk": _dual(S.ann_ivf_topk_sql),
+    "ann_pq_topk": _dual(
+        S.ann_pq_topk_sql,
+        doc="Product-quantization ADC top-k: 8 one-byte codes per vector, "
+        "query scores via a broadcast distance table "
+        "(functions/similarity.py:ann_pq_topk_sql).",
+    ),
+    "ann_pq_trained_topk": QuerySpec(
+        ann_pq_trained_q,
+        _ann_pq_trained_oracle(),
+        doc="PQ-ADC with per-subspace k-means codebook "
+        "(functions/clustering.py:pq_fit).",
+    ),
     "kmeans_ivf_train": QuerySpec(kmeans_ivf_q, _kmeans_oracle()),
     "ann_ivf_trained_topk": QuerySpec(ann_ivf_trained_q, _ann_ivf_trained_oracle()),
     "quantile_sketch_grouped": QuerySpec(quantile_sketch_q, _QSKETCH_ORACLE),

@@ -83,6 +83,62 @@ def kmeans_fit(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
     return cents
 
 
+def assign_codebook(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Grouped nearest-codeword assignment for product quantization:
+    ``subs`` is (vec_id, s, e) — one row per (vector, subspace) — and
+    ``cb`` is (s, cid, c); each subvector meets only its own subspace's
+    codewords (join key ``s``, broadcast: the whole codebook is
+    k·n_subs·sub_len doubles).  Same rounded-distance total order as
+    :func:`assign_clusters`."""
+    from pyspark.sql import Window
+
+    dist = F.round(
+        _dot(F.col("e"), F.col("e"))
+        - 2 * _dot(F.col("e"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(dist.asc(), F.col("cid").asc())
+    return (
+        subs.join(F.broadcast(cb), "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid", "e")
+    )
+
+
+def update_codebook(assigned: DataFrame) -> DataFrame:
+    """Element-wise decimal-exact mean per (subspace, codeword) →
+    (s, cid, c) — :func:`update_centroids` with the subspace riding the
+    grouping key; the shuffle is n_subs·k·sub_len partial-sum rows."""
+    exploded = assigned.select("s", "cid", F.posexplode("e").alias("pos", "val"))
+    means = exploded.groupBy("s", "cid", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv")
+    )
+    return means.groupBy("s", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda st: st["mv"]
+        ).alias("c")
+    )
+
+
+def pq_fit(subs: DataFrame, k: int = 16, n_iter: int = 2) -> DataFrame:
+    """Per-subspace Lloyd training of a product-quantization codebook —
+    ALL subspaces in one distributed computation (the subspace id is a
+    grouping column, not a driver loop).  Init: the subvectors of the
+    first ``k`` vectors by id.  Returns (s, cid, c)."""
+    cb = subs.filter(F.col("vec_id") < k).select(
+        "s", F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(n_iter):
+        assigned = assign_codebook(subs, cb)
+        cb = update_codebook(assigned).localCheckpoint(eager=True)
+    return cb
+
+
 def kmeans_summary(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
     """Fit + final assignment summary: per-cluster member count and a
     6-dp centroid checksum (in-order component sum) — the compact

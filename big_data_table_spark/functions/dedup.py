@@ -220,10 +220,51 @@ def ngram_jaccard_pairs_sql(dialect: str, threshold: float = 0.5, max_df: int = 
     )
 
 
+def crosslingual_lsh_pairs_sql(dialect: str) -> str:
+    """MinHash-LSH candidate pairs with LANGUAGE as an extra blocking
+    key: the self-join key is (pred_lang, band, sig), so candidates only
+    meet inside their language partition — the cross-lingual corpus
+    pattern.  At 100 TB the language key buys two things for free: (1)
+    bucket fan-out shrinks by the language distribution (a band bucket
+    shared by an en and a de document can never produce a true near-dup,
+    so those comparisons are pure waste without the key), and (2) the
+    pipeline parallelizes per language with no extra shuffle — lang rides
+    along the existing (band, sig) exchange.  Skewed languages (one
+    dominant lang ≈ no blocking) fall back to the band-bucket bound, the
+    same guarantee as :func:`minhash_lsh_pairs_sql`.
+
+    Output: (doc_a, doc_b, lang).  The Spark catalog entry persists the
+    banded-signature table once before the self-join (CTE-inlining
+    countermeasure, catalog.py:_crosslingual_pairs_fn); this single-
+    statement form is the shared-algorithm oracle."""
+    from .text import lang_select_sql
+
+    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM minh".format(
+            b=b,
+            cols=", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_BANDS)
+    )
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
+        f"minh AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        f"langs AS (SELECT doc_id, pred_lang FROM ({lang_select_sql(dialect)}) _l), "
+        "lbands AS (SELECT bands.doc_id, langs.pred_lang, band, sig "
+        "FROM bands JOIN langs ON bands.doc_id = langs.doc_id) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pred_lang AS lang "
+        "FROM lbands a JOIN lbands b ON a.pred_lang = b.pred_lang "
+        "AND a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"
+    )
+
+
 __all__ = [
     "exact_dedup_sql",
     "minhash_signature_sql",
     "minhash_lsh_pairs_sql",
+    "crosslingual_lsh_pairs_sql",
     "simhash_sql",
     "simhash_candidates_sql",
     "ngram_jaccard_pairs_sql",

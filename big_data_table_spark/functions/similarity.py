@@ -323,6 +323,89 @@ def ann_ivf_topk_sql(
     )
 
 
+def _l2sq_sql(a: str, b: str, dialect: str) -> str:
+    """Squared euclidean distance as an in-order fold (same construction
+    as :func:`_dot_sql`; both engines accumulate in array-index order, and
+    callers round before any comparison)."""
+    if dialect == SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), i -> "
+        f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _subslice_sql(expr: str, start: str, length: int, dialect: str) -> str:
+    """1-based subvector slice of a fixed length."""
+    if dialect == SPARK:
+        return f"slice({expr}, {start}, {length})"
+    return f"list_slice({expr}, {start}, ({start}) + {length - 1})"
+
+
+def ann_pq_topk_sql(
+    dialect: str,
+    dim: int = 64,
+    n_subs: int = 8,
+    n_codes: int = 16,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    """Product-quantization ANN with asymmetric distance (ADC) — the
+    memory-bound scale path: each corpus vector is stored as ``n_subs``
+    one-byte codes (nearest codeword per subspace), and a query scores a
+    vector by summing ``n_subs`` precomputed query→codeword distances
+    instead of touching the raw floats.  At 100 TB that is the difference
+    between scanning 64 doubles and 8 bytes per vector, with the
+    query-distance table (``n_queries × n_subs × n_codes`` rows) broadcast.
+
+    Codewords are the subvectors of the first ``n_codes`` corpus vectors —
+    the same deterministic training stand-in as ``ann_ivf_topk_sql`` (a
+    k-means-per-subspace refinement is `ann_pq_trained_topk`).  Queries
+    are the next ``n_queries`` ids.  Measured recall@5 vs exact L2 on the
+    random fixtures: 0.16 (sf0.001) / 0.08 (sf0.01) — 32-bit codes carry
+    little signal on uniform data (documented, not hidden; the trained
+    codebook lifts it to 0.32/0.36, pinned in tests/test_round2.py).
+
+    Determinism: per-subspace distances are rounded to 9 dp and summed as
+    DECIMAL(18,9) — exact, associative, partition-order-independent — then
+    cast back to double; every ranking is (rounded dist ASC, id ASC)."""
+    sub_len = dim // n_subs
+    q_lo, q_hi = n_codes, n_codes + n_queries
+    lat = (
+        f"LATERAL VIEW explode(sequence(0, {n_subs - 1})) _t AS s"
+        if dialect == SPARK
+        else f", UNNEST(range(0, {n_subs})) AS _t(s)"
+    )
+    sub = _subslice_sql("e", f"1 + s * {sub_len}", sub_len, dialect)
+    d_code = _l2sq_sql("sub.sub", "cb.csub", dialect)
+    d_query = _l2sq_sql("q.qsub", "cb.csub", dialect)
+    return (
+        f"WITH {_vecs_cte(dialect)}, "
+        f"subs AS (SELECT vec_id, s, {sub} AS sub FROM v {lat}), "
+        f"cb AS (SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id < {n_codes}), "
+        "codes AS (SELECT vec_id, s, cid FROM ("
+        "  SELECT sub.vec_id, sub.s, cb.cid, ROW_NUMBER() OVER ("
+        "    PARTITION BY sub.vec_id, sub.s "
+        f"    ORDER BY ROUND({d_code}, 9) ASC, cb.cid ASC) AS rn "
+        "  FROM subs sub JOIN cb ON sub.s = cb.s) _c WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS qid, s, sub AS qsub FROM subs "
+        f"  WHERE vec_id >= {q_lo} AND vec_id < {q_hi}), "
+        "dtab AS (SELECT q.qid, cb.s, cb.cid, "
+        f"  CAST(ROUND({d_query}, 9) AS DECIMAL(18,9)) AS d "
+        "  FROM q JOIN cb ON q.s = cb.s), "
+        "adc AS (SELECT dt.qid, c.vec_id AS nid, CAST(SUM(dt.d) AS DOUBLE) AS dist "
+        "  FROM codes c JOIN dtab dt ON dt.s = c.s AND dt.cid = c.cid "
+        "  WHERE c.vec_id <> dt.qid GROUP BY dt.qid, c.vec_id), "
+        "ranked AS (SELECT qid, nid, ROUND(dist, 6) AS adc_dist, ROW_NUMBER() OVER ("
+        "  PARTITION BY qid ORDER BY ROUND(dist, 6) ASC, nid ASC) AS rnk FROM adc) "
+        f"SELECT qid AS query_id, nid AS neighbor_id, adc_dist, "
+        f"CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}"
+    )
+
+
 __all__ = [
     "dot",
     "cosine",
@@ -331,6 +414,7 @@ __all__ = [
     "ann_topk_sql",
     "ann_lsh_pairs_sql",
     "ann_ivf_topk_sql",
+    "ann_pq_topk_sql",
     "SPARK",
     "DUCK",
 ]

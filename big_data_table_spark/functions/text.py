@@ -45,10 +45,10 @@ def token_count_sql(dialect: str) -> str:
     )
 
 
-def lang_id_sql(dialect: str) -> str:
-    """Marker-stopword language ID: per-language marker hit counts,
-    argmax with deterministic precedence (en > de > fr > es), 'und'
-    (undetermined) when no marker hits at all."""
+def lang_select_sql(dialect: str, table: str = "documents") -> str:
+    """Embeddable (no WITH) language-ID query: ``SELECT doc_id,
+    pred_lang, best FROM …`` — nested subqueries only, so other builders
+    can use it as a CTE body (cross-lingual dedup blocking)."""
     scores = {
         lang: regexp_count("lower(text)", _pat(pat, dialect), dialect)
         for lang, pat in _LANG_MARKERS.items()
@@ -58,10 +58,19 @@ def lang_id_sql(dialect: str) -> str:
     best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     cases = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
     return (
-        f"WITH scored AS (SELECT doc_id, {score_cols} FROM documents), "
-        f"m AS (SELECT *, {best} AS best FROM scored) "
         f"SELECT doc_id, CASE WHEN best = 0 THEN 'und' {cases} END AS pred_lang, "
-        "CAST(best AS BIGINT) AS marker_hits FROM m"
+        f"best FROM (SELECT *, {best} AS best FROM "
+        f"(SELECT doc_id, {score_cols} FROM {table}) scored) m"
+    )
+
+
+def lang_id_sql(dialect: str) -> str:
+    """Marker-stopword language ID: per-language marker hit counts,
+    argmax with deterministic precedence (en > de > fr > es), 'und'
+    (undetermined) when no marker hits at all."""
+    return (
+        f"SELECT doc_id, pred_lang, CAST(best AS BIGINT) AS marker_hits "
+        f"FROM ({lang_select_sql(dialect)}) lng"
     )
 
 

@@ -264,3 +264,42 @@ def test_events_ts_microsecond_exact(spark, duck, sf_dir):
         .reset_index(drop=True)
     )
     assert (got_us["us"].values == want["us"].values).all()
+
+
+# ------------------------------------------------------------------ #
+# product quantization: trained codebook must beat id-seed codewords
+# ------------------------------------------------------------------ #
+
+def test_pq_trained_recall_beats_id_seed(duck):
+    """Recall@5 vs exact L2 for the same query set (vec_id 16..20):
+    the per-subspace-k-means codebook (`ann_pq_trained_topk`) must
+    strictly beat the id-seed codebook (`ann_pq_topk`).  Both engines'
+    outputs are hash-identical (oracle parity), so the DuckDB side is
+    used for the measurement; measured values are documented in
+    functions/similarity.py:ann_pq_topk_sql (0.16/0.08 id-seed vs
+    0.32/0.36 trained at sf0.001/sf0.01 — uniform random data is PQ's
+    worst case at 32 bits/vector)."""
+    from big_data_table_spark.catalog import _ann_pq_trained_oracle
+    from big_data_table_spark.functions.similarity import ann_pq_topk_sql
+
+    exact = set(
+        duck.execute(
+            """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id >= 16 AND vec_id < 21),
+      scored AS (SELECT qid, vec_id AS nid,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+          ROUND(list_sum(list_transform(range(1, len(e)+1),
+            i -> (e[i]-qe[i])*(e[i]-qe[i]))), 9) ASC, vec_id ASC) AS rnk
+        FROM v JOIN q ON vec_id <> qid)
+      SELECT qid, nid FROM scored WHERE rnk <= 5"""
+        ).fetchall()
+    )
+    seeded = {(r[0], r[1]) for r in duck.execute(ann_pq_topk_sql("duck")).fetchall()}
+    trained = {
+        (r[0], r[1]) for r in duck.execute(_ann_pq_trained_oracle()).fetchall()
+    }
+    r_seed = len(seeded & exact) / len(exact)
+    r_trained = len(trained & exact) / len(exact)
+    assert r_trained > r_seed
+    assert r_trained >= 0.25
