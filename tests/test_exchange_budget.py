@@ -28,6 +28,20 @@ BUDGET = {
     "merge_upsert": 3,           # anti join + agg
     "sample_by_hash": 2,       # countDistinct = 2-phase distinct agg
     "train_val_test_split": 1,
+    # TPC-H batch 4 (tpch.py): dims broadcast at fixture scale, so the
+    # budget is the aggregation cascade alone — a join exchange creeping
+    # in means a broadcast regressed to a shuffle join
+    "q5_local_supplier_volume": 1,
+    "q7_volume_shipping": 1,
+    "q8_market_share": 1,
+    "q10_returned_items": 1,   # agg; top-20 is TakeOrderedAndProject
+    "q12_late_shipment_priority": 1,
+    "q13_customer_distribution": 2,  # two cascaded aggs
+    "q15_top_supplier": 3,     # revenue agg + 1-row MAX + reuse
+    "q17_small_quantity_revenue": 2,  # per-part avg + global agg
+    "q19_disjunctive_revenue": 1,
+    "q21_suppliers_kept_waiting": 1,  # semi/anti broadcast + agg
+    "q22_sales_opportunity": 2,  # 1-row scalar avg + final agg
 }
 
 

@@ -12,6 +12,8 @@ PICKS = {
     "dedup_minhash_lsh_pairs": "Shingle explode -> signature agg (persisted) -> band self-join -> distinct.",
     "embedding_neardup": "Banded-LSH candidates (mapInPandas numpy signatures, checkpointed) -> bucket self-join -> broadcast exact-cosine verify. No label-block cartesian.",
     "quantile_sketch_grouped": "Mergeable histogram: one map-side-combinable (group, bin) aggregate, then window cumsum over the tiny sketch.",
+    "q21_suppliers_kept_waiting": "EXISTS/NOT EXISTS as LeftSemi+LeftAnti broadcast joins, one agg exchange, TakeOrderedAndProject top-10. At 100 TB AQE re-plans the lineitem sides to shuffle joins co-partitioned on l_orderkey.",
+    "q15_top_supplier": "Max-selection without collect: revenue agg -> 1-row MAX -> broadcast equality join back. Three exchanges total, none over the fact table twice.",
 }
 
 if __name__ == "__main__":
