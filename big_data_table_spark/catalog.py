@@ -2502,6 +2502,18 @@ CATALOG: dict[str, QuerySpec] = {
     "text_token_count": _dual(X.token_count_sql),
     "text_lang_id": _dual(X.lang_id_sql),
     "text_quality_score": _dual(X.quality_score_sql),
+    "text_repetition_ratio": _dual(
+        X.repetition_ratio_sql,
+        doc="Gopher-style intra-doc duplicate-3-gram fraction.",
+    ),
+    "text_lang_id_confusion": _dual(
+        X.lang_id_confusion_sql,
+        doc="Lang-ID (gold, pred) confusion counts vs the fixture lang column.",
+    ),
+    "corpus_source_mix": _dual(
+        X.source_mix_sql,
+        doc="Per-(source, lang) doc/char/distinct-content mixture report.",
+    ),
     "text_fingerprint": _dual(X.fingerprint_sql),
     # --- embeddings: similarity search (dual-dialect) ---
     "embedding_neardup": QuerySpec(embedding_neardup_q, S.embedding_neardup_sql(DUCK)),

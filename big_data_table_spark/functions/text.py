@@ -74,6 +74,57 @@ def lang_id_sql(dialect: str) -> str:
     )
 
 
+def repetition_ratio_sql(dialect: str) -> str:
+    """Intra-document repetition: fraction of word-3-gram occurrences
+    that are repeats (1 − distinct/total) — the Gopher-style repetition
+    filter (high ratio = boilerplate/spam, a standard LLM-corpus drop
+    rule).  Pure per-document aggregate over the shingle explode: one
+    shuffle keyed by doc_id, no joins.  Docs with <3 words are skipped
+    (no 3-grams), matching the dedup pipeline's shingle domain."""
+    from .dedup import _shingles_cte, _words_cte
+
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
+        "counts AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT sh) AS uniq "
+        "FROM shingles GROUP BY doc_id) "
+        "SELECT doc_id, CAST(total AS BIGINT) AS n_grams, "
+        # all-DOUBLE arithmetic: a bare 1.0 literal types as DECIMAL in
+        # Spark SQL and the whole expression (and output schema) goes
+        # decimal with it — the oracle side stays double and the driver
+        # hash would diverge
+        "ROUND(CAST(1 AS DOUBLE) - uniq / CAST(total AS DOUBLE), 6) AS rep_ratio "
+        "FROM counts"
+    )
+
+
+def lang_id_confusion_sql(dialect: str) -> str:
+    """Language-ID evaluation against the fixture's gold ``lang`` column:
+    (gold, predicted) confusion counts — the accuracy report a pipeline
+    runs after any classifier change.  The prediction subquery is the
+    same embeddable ``lang_select_sql`` the cross-lingual dedup blocker
+    uses, so eval and production share the classifier by construction."""
+    return (
+        f"WITH pred AS ({lang_select_sql(dialect)}) "
+        "SELECT d.lang AS gold, p.pred_lang AS pred, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents d JOIN pred p ON d.doc_id = p.doc_id "
+        "GROUP BY d.lang, p.pred_lang"
+    )
+
+
+def source_mix_sql(dialect: str) -> str:
+    """Data-mixture report per (source, lang): doc count, char volume,
+    distinct-content count — the table a training run's data card is
+    built from.  COUNT(DISTINCT md5(text)) ships digests, not text,
+    through the distinct aggregation."""
+    return (
+        "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars, "
+        "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts "
+        "FROM documents GROUP BY source, lang"
+    )
+
+
 def quality_score_sql(dialect: str) -> str:
     """Heuristic quality score from length / punctuation / stopword /
     alpha ratios — the standard cheap pre-filter for pipeline text.

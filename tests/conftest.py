@@ -76,6 +76,18 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # a Decimal-object column here means one engine emitted
+            # DECIMAL where the other emitted DOUBLE — float64 coercion
+            # would hide it, but the driver's value-hash does not: make
+            # the query cast explicitly instead
+            for side, vals in (("spark", av), ("oracle", bv)):
+                if vals.dtype == object and len(vals):
+                    import decimal
+
+                    assert not isinstance(vals.iloc[0], decimal.Decimal), (
+                        f"{name}: col {c} is DECIMAL on the {side} side but "
+                        "float on the other — cast to DOUBLE in the query"
+                    )
             av = av.astype("float64")
             bv = bv.astype("float64")
             both_nan = av.isna() & bv.isna()
