@@ -2481,6 +2481,19 @@ CATALOG: dict[str, QuerySpec] = {
         "deterministic content-hash exponential keys, TakeOrderedAndProject "
         "plan (no global sort).",
     ),
+    "weighted_sample_per_group": _dual(
+        lambda d: __import__(
+            "big_data_table_spark.operators.sampling", fromlist=["x"]
+        ).weighted_sample_per_group_sql(d),
+        doc="Per-group A-ES weighted sample (operators/sampling.py): "
+        "k smallest content-hash exponential keys per group, one "
+        "group-keyed shuffle.",
+    ),
+    "embedding_label_centroids": _dual(
+        S.label_centroids_sql,
+        doc="Per-label decimal-exact centroid + count + checksum "
+        "(functions/similarity.py:label_centroids_sql).",
+    ),
     "dedup_pipeline_summary": QuerySpec(dedup_pipeline_q, _dedup_pipeline_oracle()),
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),

@@ -323,6 +323,43 @@ def ann_ivf_topk_sql(
     )
 
 
+def label_centroids_sql(dialect: str) -> str:
+    """Per-label embedding centroid (element-wise decimal-exact mean) +
+    member count + 6-dp checksum — the class-prototype computation
+    (classifier init, per-class drift monitoring).  Same exact-mean
+    construction as clustering.py:update_centroids: the shuffle carries
+    (label, dim) partial sums — |labels|·dim rows — never vectors."""
+    if dialect == SPARK:
+        explode = (
+            "SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, val) "
+            "FROM embeddings"
+        )
+    else:
+        explode = (
+            "SELECT label, generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
+            "FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) _v"
+        )
+    if dialect == SPARK:
+        pack = (
+            "SELECT label, n_members, ROUND(aggregate(array_sort("
+            "collect_list(struct(pos, mv))), CAST(0 AS DOUBLE), "
+            "(acc, s) -> acc + s.mv), 6) AS checksum "
+            "FROM means GROUP BY label, n_members"
+        )
+    else:
+        pack = (
+            "SELECT label, n_members, ROUND(list_sum(list(mv ORDER BY pos)), 6) "
+            "AS checksum FROM means GROUP BY label, n_members"
+        )
+    return (
+        f"WITH ex AS ({explode}), "
+        "means AS (SELECT label, pos, "
+        "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv, "
+        "COUNT(*) AS n_members FROM ex GROUP BY label, pos) "
+        f"{pack}"
+    )
+
+
 def _l2sq_sql(a: str, b: str, dialect: str) -> str:
     """Squared euclidean distance as an in-order fold (same construction
     as :func:`_dot_sql`; both engines accumulate in array-index order, and

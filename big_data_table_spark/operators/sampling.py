@@ -122,6 +122,33 @@ def weighted_sample_sql(
     )
 
 
+def weighted_sample_per_group_sql(
+    dialect: str,
+    k: int = 5,
+    group_expr: str = "o_orderpriority",
+    key_expr: str = "o_orderkey",
+    weight_expr: str = "o_totalprice",
+    table: str = "orders",
+    salt: str = "wsg",
+) -> str:
+    """Per-group weighted sampling without replacement — A-ES inside each
+    group: the k smallest exponential keys PER GROUP are the sample
+    (balanced weighted subsets per class, the stratified counterpart of
+    :func:`weighted_sample_sql`).  ROW_NUMBER over (group → key) is one
+    shuffle keyed by the group column; at 100 TB a hot group is the skew
+    risk and AQE's skew-split applies, since nothing about the key
+    depends on partitioning."""
+    u = unit_hash_sql(key_expr, salt, dialect)
+    key = f"ROUND(-ln({u}) / {weight_expr}, 9)"
+    return (
+        f"SELECT grp, {key_expr}, {weight_expr}, es_key, CAST(rn AS BIGINT) AS rn "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp "
+        f"ORDER BY es_key ASC, {key_expr} ASC) AS rn "
+        f"FROM (SELECT {group_expr} AS grp, {key_expr}, {weight_expr}, "
+        f"{key} AS es_key FROM {table}) keyed) t WHERE rn <= {k}"
+    )
+
+
 def split_case_sql(key_expr: str, fractions: dict[str, float], salt: str = "", dialect: str = "spark") -> str:
     """CASE expression assigning split names — dual-dialect (the cast
     type name differs: STRING vs VARCHAR)."""
