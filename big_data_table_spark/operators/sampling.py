@@ -115,7 +115,7 @@ def weighted_sample_sql(
     TakeOrderedAndProject (per-partition heaps + driver merge), so the
     sample never global-sorts at 100 TB."""
     u = unit_hash_sql(key_expr, salt, dialect)
-    key = f"ROUND(-ln({u}) / {weight_expr}, 9)"
+    key = f"ROUND(-ln({u}) / ({weight_expr}), 9)"
     return (
         f"SELECT {key_expr}, {weight_expr}, {key} AS es_key FROM {table} "
         f"ORDER BY es_key ASC, {key_expr} ASC LIMIT {k}"
@@ -139,7 +139,7 @@ def weighted_sample_per_group_sql(
     risk and AQE's skew-split applies, since nothing about the key
     depends on partitioning."""
     u = unit_hash_sql(key_expr, salt, dialect)
-    key = f"ROUND(-ln({u}) / {weight_expr}, 9)"
+    key = f"ROUND(-ln({u}) / ({weight_expr}), 9)"
     return (
         f"SELECT grp, {key_expr}, {weight_expr}, es_key, CAST(rn AS BIGINT) AS rn "
         "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp "

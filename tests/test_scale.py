@@ -89,3 +89,22 @@ def test_hash_sample_partition_independent_at_scale(big):
     b = sample_by_hash(big.repartition(50), "id", 0.01).count()
     assert a == b
     assert abs(a / N - 0.01) < 0.001
+
+
+def test_weighted_sample_partition_independent_at_scale(spark, big):
+    """A-ES weighted sampling is a pure function of the data: the same
+    5M-row table through 7 vs 64 partitions must select the IDENTICAL
+    sample (content-hash uniforms, not engine RNG)."""
+    from big_data_table_spark.operators.sampling import weighted_sample_sql
+
+    sql = weighted_sample_sql(
+        "spark", k=50, key_expr="id", weight_expr="v + 1", table="big5m"
+    )
+    out = {}
+    for nparts, tag in ((7, "a"), (64, "b")):
+        big.repartition(nparts).createOrReplaceTempView("big5m")
+        out[tag] = (
+            spark.sql(sql).toPandas().sort_values("id").reset_index(drop=True)
+        )
+    assert out["a"].equals(out["b"])
+    assert len(out["a"]) == 50
