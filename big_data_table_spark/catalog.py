@@ -1926,6 +1926,174 @@ def _ann_pq_trained_oracle(
     )
 
 
+def embedding_pca_q(
+    spark: SparkSession, sf_dir: str, dim: int = 64, n_iter: int = 8
+) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    covariance + power iteration — the dimensionality-reduction step of
+    an embedding pipeline, expressed so the heavy part scales and the
+    tiny part stays tiny:
+
+    * mean + covariance are the distributed work: each row emits its d²
+      centered products through nested JVM array transforms (NO
+      self-join — the (vec⋈vec on id) formulation shuffles both explode
+      sides and measured ~1.5× slower plus an extra count job), and the
+      (i, j) aggregation
+      sums ROUND(xcᵢ·xcⱼ, 12) as DECIMAL(28,12) — map-side combine
+      ships at most d² partial rows per partition, and the decimal
+      accumulation makes the result independent of row order and
+      partitioning (the property the DuckDB oracle needs);
+    * the d×d matrix (4096 doubles) is checkpointed once and the 8 power
+      iterations run as broadcast joins over it — each round is a
+      matvec + norm on 64 rows, localCheckpoint keeps lineage flat.
+
+    Init is the uniform unit vector (1/√d each) — fully deterministic,
+    so the eigenvector SIGN is deterministic too.  Output: (pos,
+    loading, eigval) with loadings/eigenvalue rounded to 6 dp.  At
+    100 TB the explode-based product stage swaps for a numpy
+    Xᶜᵀ·Xᶜ mapInPandas kernel (order-dependent float sums — fine when
+    bit-stability across engines is not the gate).
+
+    Convergence honesty: the random fixture's covariance spectrum is
+    near-flat (λ1/λ2 ≈ 1.07), so 8 rounds only PARTIALLY converge there
+    — both engines partially converge identically (that is what the
+    parity gate checks).  On data with a real dominant direction the
+    same 8 rounds converge to ~1e-8; tests/test_round2.py verifies the
+    algorithm against numpy's eigendecomposition on a planted-spike
+    corpus (|cos| ≥ 0.99, eigenvalue within 1%)."""
+    import math
+
+    e = Tables(spark, sf_dir).embeddings
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    mu = x.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    mu_arr = mu.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+        ).alias("mu_arr")
+    )
+    pairs = (
+        e.select(F.col("embedding").cast("array<double>").alias("e"))
+        .crossJoin(F.broadcast(mu_arr))
+        .select(F.zip_with("e", "mu_arr", lambda a, b: a - b).alias("xc"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xc, (vi, i) -> transform(xc, (vj, j) -> "
+                    "struct(i AS i, j AS j, round(vi * vj, 12) AS p))))"
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.p")
+    )
+    cov = (
+        pairs.groupBy("i", "j")
+        .agg(
+            (
+                F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        # the iteration state is tiny (d² and d rows): collapse to one
+        # partition before each checkpoint so a plain 200-partition
+        # session doesn't write 200 blocks per round
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("pos"), F.lit(1.0 / math.sqrt(dim)).alias("val")
+    )
+    nrm = None
+    for _ in range(n_iter):
+        w = (
+            cov.join(F.broadcast(v), cov["j"] == v["pos"])
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("val"), 12).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("wv")
+            )
+        )
+        # nrm stays LAZY: it is consumed once inside v's job, and w (a
+        # 4096-row broadcast join) is cheap to evaluate twice within one
+        # plan — an eager checkpoint here would double the job count of
+        # the whole loop for no lineage benefit (v's checkpoint cuts it)
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("wv") * F.col("wv"), 12).cast("decimal(28,12)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("pos"),
+                F.round(F.col("wv") / F.col("nrm"), 12).alias("val"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "pos",
+        F.round(F.col("val"), 6).alias("loading"),
+        F.round(F.col("nrm"), 6).alias("eigval"),
+    )
+
+
+def _embedding_pca_oracle(dim: int = 64, n_iter: int = 8) -> str:
+    """Unrolled power iteration (same decimal-exact covariance and
+    per-round rounding as embedding_pca_q)."""
+    init = 1.0 / dim**0.5
+    # every iteration CTE is MATERIALIZED: w{t} is referenced twice
+    # (matvec + norm) and chains n_iter deep — DuckDB's default CTE
+    # inlining re-expands the whole upstream tree per reference, which
+    # is exponential in n_iter (observed as a hang at n_iter=8)
+    ctes = [
+        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "x AS MATERIALIZED (SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos, "
+        "UNNEST(e) AS val FROM v0)",
+        "mu AS (SELECT pos, CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) "
+        "/ COUNT(*) AS mu FROM x GROUP BY pos)",
+        "xc AS MATERIALIZED (SELECT vec_id, x.pos, val - mu.mu AS v FROM x "
+        "JOIN mu ON x.pos = mu.pos)",
+        "nrows AS (SELECT COUNT(*) AS n FROM v0)",
+        "cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, "
+        "CAST(SUM(CAST(ROUND(a.v * b.v, 12) AS DECIMAL(28,12))) AS DOUBLE) "
+        "/ (SELECT n FROM nrows) AS c "
+        "FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos)",
+        f"p0 AS (SELECT DISTINCT pos, CAST({init!r} AS DOUBLE) AS val FROM x)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT i, "
+            "CAST(SUM(CAST(ROUND(c * val, 12) AS DECIMAL(28,12))) AS DOUBLE) AS wv "
+            f"FROM cov JOIN p{t - 1} ON j = pos GROUP BY i)"
+        )
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(ROUND(wv * wv, 12) "
+            f"AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w{t})"
+        )
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT i AS pos, "
+            f"ROUND(wv / (SELECT nrm FROM n{t}), 12) AS val FROM w{t})"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT pos, ROUND(val, 6) AS loading, "
+        f"(SELECT ROUND(nrm, 6) FROM n{n_iter}) AS eigval FROM p{n_iter}"
+    )
+
+
 def _clean_corpus_oracle(min_quality: float = 0.55) -> str:
     from .operators.sampling import split_case_sql
 
@@ -2493,6 +2661,12 @@ CATALOG: dict[str, QuerySpec] = {
         S.label_centroids_sql,
         doc="Per-label decimal-exact centroid + count + checksum "
         "(functions/similarity.py:label_centroids_sql).",
+    ),
+    "embedding_pca_power": QuerySpec(
+        embedding_pca_q,
+        _embedding_pca_oracle(),
+        doc="Top principal component: distributed decimal-exact "
+        "covariance + 8 unrolled power iterations.",
     ),
     "dedup_pipeline_summary": QuerySpec(dedup_pipeline_q, _dedup_pipeline_oracle()),
     # --- documents: dedup + text analysis (dual-dialect) ---

@@ -303,3 +303,48 @@ def test_pq_trained_recall_beats_id_seed(duck):
     r_trained = len(trained & exact) / len(exact)
     assert r_trained > r_seed
     assert r_trained >= 0.25
+
+
+# ------------------------------------------------------------------ #
+# PCA power iteration: intent check vs numpy eigendecomposition
+# ------------------------------------------------------------------ #
+
+def test_pca_power_matches_numpy_eig():
+    """The dual-dialect parity gate proves Spark == oracle; this proves
+    the algorithm computes the RIGHT thing on data where power iteration
+    CAN converge: embeddings with a planted dominant direction
+    (spectral ratio ~25x, so 8 iterations converge to ~1e-8).  The
+    loading vector must align with numpy's top covariance eigenvector
+    (|cos| >= 0.99) and the eigenvalue estimate must be within 1%.
+    (The random fixture's spectrum is near-flat -- lambda1/lambda2 ~1.07
+    -- where 8 rounds only partially converge; documented in the catalog
+    entry.)"""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from big_data_table_spark.catalog import _embedding_pca_oracle
+
+    rng = np.random.RandomState(0)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    E = rng.randn(300, 64) + np.outer(rng.randn(300) * 5.0, u)
+    C = np.cov(E, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    top_val, top_vec = vals[-1], vecs[:, -1]
+    assert top_val / vals[-2] > 5  # the planted gap is real
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": range(len(E)), "embedding": [list(r) for r in E]}),
+    )
+    out = (
+        con.execute(_embedding_pca_oracle())
+        .fetchdf()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    v = out["loading"].to_numpy()
+    assert abs(float(np.dot(v, top_vec)) / np.linalg.norm(v)) >= 0.99
+    assert abs(out["eigval"].iloc[0] - top_val) / top_val < 0.01
