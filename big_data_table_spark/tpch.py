@@ -1,5 +1,9 @@
-"""TPC-H-shaped query batch 4 (Q5, Q7, Q8, Q10, Q12, Q13, Q15, Q17,
-Q19, Q21, Q22) over the trimmed fixture schema.
+"""TPC-H-shaped query batches 4 and 5 over the trimmed fixture schema:
+batch 4 = Q5, Q7, Q8, Q10, Q12, Q13, Q15, Q17, Q19, Q21, Q22; batch 5 =
+the five partsupp queries (Q2, Q9, Q11, Q16, Q20) over a partsupp
+DERIVED from lineitem (see the batch-5 header below).  Together with
+catalog.py's Q1, Q3, Q4, Q6, Q14, Q18 this completes all 22 TPC-H
+query shapes, each oracle-paired.
 
 These widen the join/aggregate surface the reference forwards to
 data.table (SURVEY.md §2 Layer B: grouped aggregation, multi-table
@@ -567,6 +571,342 @@ GROUP BY c_mktsegment
 """
 
 
+# ------------------------------------------------------------------ #
+# batch 5 — the five partsupp queries (Q2, Q9, Q11, Q16, Q20) over a
+# DERIVED partsupp: the fixtures ship no partsupp table, so it is
+# reconstructed from lineitem's observed (partkey, suppkey) pairs with
+#   ps_supplycost = MIN(l_extendedprice)   -- cheapest observed price:
+#     a raw fixture double, no arithmetic, so both engines see the
+#     bit-identical value (no cross-engine rounding surface), and
+#   ps_availqty  = SUM(l_quantity)         -- quantities are integral
+#     (1..50, verified), summed as BIGINT: exact on both engines.
+# Every query keeps the official join graph / subquery structure; only
+# the partsupp provenance and the documented predicates are adapted.
+#
+# Scale note (100 TB): the derivation is ONE map-side-combinable
+# hash aggregate over lineitem, shuffling (partkey, suppkey, partial)
+# pairs — in a real deployment you'd materialize it once (bucketed on
+# ps_partkey) instead of re-deriving per query; here each query derives
+# it lazily so the catalog stays self-contained.
+# ------------------------------------------------------------------ #
+
+
+def _partsupp(t: Tables) -> DataFrame:
+    """Derived partsupp (see the batch-5 header note)."""
+    return t.lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"),
+    )
+
+
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for each qualifying part, the EUROPE supplier(s)
+    offering the minimum supply cost — the correlated scalar MIN
+    subquery becomes a per-part aggregate joined back on cost equality
+    (doubles compare exactly: both sides are the same untouched fixture
+    value).  Supplier×nation×region collapses to a 100-row broadcast
+    dim; the only fact-scale work is the partsupp derivation.
+    Adaptations: ``p_type = 'STANDARD' AND p_size < 25`` (types are
+    single words here, and exact size=15 leaves only 3 parts — too thin
+    a result to evidence the join), top-100 kept with a total-order
+    sort ((p_partkey, s_name) is unique per row).
+    Reference anchor: SURVEY.md §2 Layer B multi-table join +
+    grouped-min surface (tests-06-readme.R:200-260 shape)."""
+    t = Tables(spark, sf_dir)
+    eu_supp = F.broadcast(
+        t.supplier.join(
+            t.nation, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            t.region.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = _partsupp(t).join(eu_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mc_key")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    parts = F.broadcast(
+        t.part.filter(
+            (F.col("p_type") == "STANDARD") & (F.col("p_size") < 25)
+        ).select("p_partkey", "p_name")
+    )
+    return (
+        eu_ps.join(parts, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_key"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_Q2_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+eu_ps AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM eu_ps
+JOIN part ON ps_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND p_size < 25
+  AND ps_supplycost = (
+    SELECT MIN(i.ps_supplycost) FROM eu_ps i WHERE i.ps_partkey = eu_ps.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and order year for one part
+    family — amount = revenue − supply cost × quantity, all four terms
+    carried in exact decimal until the final (38,6)→double cast (the
+    proven _dsum_rev path; scale reduced before the cast per the DuckDB
+    drift rule).  part is broadcast; orders⋈lineitem is the one
+    fact-fact shuffle pair.  Adaptation: ``p_name LIKE '%red%'``
+    (fixture names are '<adj> <noun>'; official is '%green%')."""
+    t = Tables(spark, sf_dir)
+    red_parts = F.broadcast(
+        t.part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    )
+    nation = F.broadcast(
+        t.nation.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation"))
+    )
+    amount = _rev().cast("decimal(30,12)") - (
+        F.col("ps_supplycost").cast("decimal(18,6)")
+        * F.col("l_quantity").cast("decimal(9,2)")
+    ).cast("decimal(30,12)")
+    return (
+        t.lineitem.join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            _partsupp(t),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("nk"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("decimal(38,6)").cast("double").alias("sum_profit"))
+    )
+
+
+_Q9_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT nation, o_year,
+  CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+    CAST({_REV_SQL} AS DECIMAL(30,12)) - CAST(CAST(ps_supplycost AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(30,12)) AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value within one nation exceeds a
+    fraction of that nation's total — the scalar subquery is a 1-row
+    aggregate broadcast back (Q15 pattern, never collected), and the
+    threshold comparison happens IN THE DECIMAL DOMAIN so both engines
+    compare exact values (the double cast is only for output).
+    Adaptations: nation 'NATION_3'; fraction 0.001 (the official
+    0.0001/SF — with ~2,000 parts the official value selects nearly
+    everything; 0.001 ≈ 2× the mean keeps HAVING selective).
+
+    Cross-engine determinism: per-part values accumulate in exact
+    decimal and surface as (38,6)→double (the proven dsum path), the
+    grand total is the exact decimal sum of those per-part decimals
+    cast to double, and the fraction multiply happens in IEEE double —
+    every operand is bit-identical on both engines, so the threshold
+    comparison is too (a decimal-domain multiply would overflow
+    precision 38 and round differently per engine's type rules)."""
+    t = Tables(spark, sf_dir)
+    nation_supp = F.broadcast(
+        t.supplier.join(
+            t.nation.filter(F.col("n_name") == "NATION_3"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    per_part = (
+        _partsupp(t)
+        .join(nation_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost").cast("decimal(18,6)")
+                * F.col("ps_availqty").cast("decimal(9,0)")
+            )
+            .cast("decimal(38,6)")
+            .alias("value6")
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum("value6").cast("decimal(38,6)").cast("double") * F.lit(0.001)).alias(
+            "thr"
+        )
+    )
+    return (
+        per_part.select(
+            "ps_partkey", F.col("value6").cast("double").alias("value")
+        )
+        .join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("ps_partkey", "value")
+    )
+
+
+_Q11_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+per_part AS (
+  SELECT ps_partkey,
+    CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,6)) * CAST(ps_availqty AS DECIMAL(9,0))) AS DECIMAL(38,6)) AS value6
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY ps_partkey)
+SELECT ps_partkey, CAST(value6 AS DOUBLE) AS value
+FROM per_part
+WHERE CAST(value6 AS DOUBLE) > (
+  SELECT CAST(CAST(SUM(value6) AS DECIMAL(38,6)) AS DOUBLE) * CAST(0.001 AS DOUBLE)
+  FROM per_part)
+"""
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many suppliers can serve each (brand, type, size)
+    bucket — COUNT(DISTINCT supplier) after excluding a brand, a type,
+    and a complained-about supplier set; the NOT IN becomes a left-anti
+    join against a broadcast exclusion list.  Adaptations: single-word
+    type equality for the official NOT LIKE; the missing
+    s_comment complaints filter is proxied by ``s_acctbal < 0``
+    (documented, 3 of 100 fixture suppliers)."""
+    t = Tables(spark, sf_dir)
+    complained = F.broadcast(
+        t.supplier.filter(F.col("s_acctbal") < 0).select(
+            F.col("s_suppkey").alias("bad_key")
+        )
+    )
+    sized_parts = F.broadcast(
+        t.part.filter(
+            (F.col("p_brand") != "Brand#9")
+            & (F.col("p_type") != "MEDIUM")
+            & (F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        _partsupp(t)
+        .join(complained, F.col("ps_suppkey") == F.col("bad_key"), "left_anti")
+        .join(sized_parts, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers in one nation holding excess stock of a
+    part family — nested IN-subqueries become left-semi joins, and the
+    correlated shipped-quantity subquery becomes a per-(part, supplier)
+    aggregate equi-joined back.  The official ``availqty > 0.5 × qty``
+    is doubled to ``2×availqty > qty`` so the comparison stays in exact
+    integer arithmetic on both engines.  Adaptations: ``p_name LIKE
+    'small%'`` (official 'forest%'), nation 'NATION_11' (7 suppliers),
+    ship year 1996."""
+    t = Tables(spark, sf_dir)
+    small_parts = F.broadcast(
+        t.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    shipped = (
+        t.lineitem.join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sq_partkey"),
+            F.col("l_suppkey").alias("sq_suppkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty_shipped"))
+    )
+    excess_supp = (
+        _partsupp(t)
+        .join(small_parts, F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("sq_partkey"))
+            & (F.col("ps_suppkey") == F.col("sq_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty_shipped"))
+        .select(F.col("ps_suppkey").alias("ex_key"))
+    )
+    return (
+        t.supplier.join(
+            t.nation.filter(F.col("n_name") == "NATION_11"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(excess_supp, F.col("s_suppkey") == F.col("ex_key"), "left_semi")
+        .select("s_name", "s_acctbal", "n_name")
+    )
+
+
+_Q20_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT s_name, s_acctbal, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_11'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty * 2 > (
+        SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'))
+"""
+
+
 # (fn, oracle) pairs — catalog.py wraps these in QuerySpec (imported
 # there to avoid a circular import on the dataclass).
 TPCH_SPECS: dict[str, tuple] = {
@@ -581,4 +921,9 @@ TPCH_SPECS: dict[str, tuple] = {
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_ORACLE),
     "q21_suppliers_kept_waiting": (q21_suppliers_kept_waiting, _Q21_ORACLE),
     "q22_sales_opportunity": (q22_sales_opportunity, _Q22_ORACLE),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_ORACLE),
+    "q9_product_type_profit": (q9_product_type_profit, _Q9_ORACLE),
+    "q11_important_stock": (q11_important_stock, _Q11_ORACLE),
+    "q16_parts_supplier_relationship": (q16_parts_supplier_relationship, _Q16_ORACLE),
+    "q20_potential_promotion": (q20_potential_promotion, _Q20_ORACLE),
 }

@@ -42,6 +42,13 @@ BUDGET = {
     "q19_disjunctive_revenue": 1,
     "q21_suppliers_kept_waiting": 1,  # semi/anti broadcast + agg
     "q22_sales_opportunity": 2,  # 1-row scalar avg + final agg
+    # TPC-H batch 5 (derived partsupp): every budget includes the one
+    # partsupp-derivation agg exchange on top of the query's own cascade
+    "q2_min_cost_supplier": 3,   # partsupp + per-part MIN + reuse
+    "q9_product_type_profit": 2,  # partsupp + profit agg (dims broadcast)
+    "q11_important_stock": 5,    # partsupp + per-part agg + 1-row total + reuse
+    "q16_parts_supplier_relationship": 3,  # partsupp + 2-phase count-distinct
+    "q20_potential_promotion": 2,  # partsupp + shipped-qty agg
 }
 
 
