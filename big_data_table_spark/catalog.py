@@ -1611,6 +1611,51 @@ SELECT l_returnflag, q, MIN(bin) * 1000.0 AS est FROM h GROUP BY 1, 2
 """
 
 
+def tdigest_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped p50/p90/p99 of l_extendedprice from the two-phase merging
+    t-digest (operators/tdigest.py) — the general-purpose mergeable
+    sketch: no bin-width/range hint, near-constant rank error via the k1
+    scale function.  Raw values never shuffle; only per-partition
+    centroid sets do.
+
+    A t-digest estimate is partition-order-dependent (inherent — same as
+    Spark's percentile_approx), so the driver-hashed output is the
+    partitioning-STABLE claim: for every (group, q), the estimate's true
+    rank within its group sits within ±0.02 of q — the sketch's error
+    bound, checked by joining the 9 estimates back against lineitem
+    (broadcast) and counting values ≤ est in exact arithmetic.  Exact
+    estimate values are pinned separately in tests/test_round2.py."""
+    from .operators.tdigest import tdigest_quantiles
+
+    li = Tables(spark, sf_dir).lineitem
+    est = tdigest_quantiles(li, "l_returnflag", "l_extendedprice", (0.5, 0.9, 0.99))
+    est = F.broadcast(
+        est.select(F.col("l_returnflag").alias("g"), "q", "est")
+    )
+    ranked = (
+        li.join(est, F.col("l_returnflag") == F.col("g"))
+        .groupBy("g", "q")
+        .agg(
+            (
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("rank")
+        )
+    )
+    return ranked.select(
+        F.col("g").alias("l_returnflag"),
+        "q",
+        (F.abs(F.col("rank") - F.col("q")) <= 0.02).alias("ok"),
+    )
+
+
+_TDIGEST_ORACLE = """
+SELECT l_returnflag, q, TRUE AS ok
+FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
+"""
+
+
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, scale path: banded-LSH candidates (blocking on
     label+band+signature, NOT a label-block cartesian) → exact cosine
@@ -2722,6 +2767,7 @@ CATALOG: dict[str, QuerySpec] = {
     "kmeans_ivf_train": QuerySpec(kmeans_ivf_q, _kmeans_oracle()),
     "ann_ivf_trained_topk": QuerySpec(ann_ivf_trained_q, _ann_ivf_trained_oracle()),
     "quantile_sketch_grouped": QuerySpec(quantile_sketch_q, _QSKETCH_ORACLE),
+    "tdigest_quantiles_grouped": QuerySpec(tdigest_quantiles_q, _TDIGEST_ORACLE),
     "clean_corpus_pipeline": QuerySpec(
         lambda spark, sf_dir: __import__(
             "big_data_table_spark.pipelines", fromlist=["x"]

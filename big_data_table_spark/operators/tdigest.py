@@ -1,0 +1,153 @@
+"""Mergeable t-digest quantile sketch — the general-purpose grouped
+quantile path for unbounded / unknown value ranges.
+
+Complements ``aggregate.histogram_quantiles`` (fixed-bin, all-JVM,
+needs a bin width): the t-digest needs NO range hint and keeps
+near-constant RANK error (k1 scale function concentrates centroids at
+the tails), at the cost of routing batches through Arrow into numpy.
+
+Spark shape (the part that matters at 100 TB):
+
+1. **Partial phase** — ``mapInPandas`` builds one digest per group per
+   input partition: raw values never shuffle; each partition emits
+   ``(group, means[], weights[])`` centroid rows, ≤ ~delta centroids
+   per group.  Shuffle volume is O(partitions × groups × delta),
+   independent of row count — the same partial→merge contract Catalyst
+   gives built-in aggregates, expressed through the Pandas UDF surface
+   because the sketch state is not a built-in.
+2. **Merge phase** — ``applyInPandas`` per group concatenates centroid
+   sets, compresses once, interpolates quantiles.
+
+Estimates are partitioning-DEPENDENT (merge order matters — inherent
+to t-digest, same in Spark's own ``percentile_approx``), so exactness
+tests pin the single-partition case and scale tests assert the rank
+error bound, not values (tests/test_round2.py).
+
+Reference behavioral anchor: the grouped-aggregate surface the
+reference forwards to data.table (tests-06-readme.R:244-253), extended
+to sketch aggregation per SURVEY.md §2 extensions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tdigest_quantiles", "TDIGEST_DELTA"]
+
+TDIGEST_DELTA = 200.0  # centroid budget; rank error ~ O(1/delta) mid, better at tails
+
+_BUFFER_CAP = 20_000  # raw values buffered per group before an in-partition compress
+
+
+def _k(q: np.ndarray | float, delta: float) -> np.ndarray | float:
+    """k1 scale function: k(q) = (delta / 2π)·asin(2q−1)."""
+    return delta / (2.0 * math.pi) * np.arcsin(2.0 * np.asarray(q, dtype=float) - 1.0)
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: float):
+    """Greedy merge of (mean, weight) clusters in mean order, bounded by
+    the k1 size rule; raw values enter as weight-1 clusters."""
+    order = np.argsort(means, kind="stable")
+    m = np.asarray(means, dtype=float)[order]
+    w = np.asarray(weights, dtype=float)[order]
+    total = float(w.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cm, cw = float(m[0]), float(w[0])
+    q0 = 0.0
+    k0 = float(_k(0.0, delta))
+    for i in range(1, len(m)):
+        q_new = q0 + (cw + float(w[i])) / total
+        if float(_k(min(q_new, 1.0), delta)) - k0 <= 1.0:
+            nw = cw + float(w[i])
+            cm = (cm * cw + float(m[i]) * float(w[i])) / nw
+            cw = nw
+        else:
+            out_m.append(cm)
+            out_w.append(cw)
+            q0 += cw / total
+            k0 = float(_k(min(q0, 1.0), delta))
+            cm, cw = float(m[i]), float(w[i])
+    out_m.append(cm)
+    out_w.append(cw)
+    return np.array(out_m), np.array(out_w)
+
+
+def _quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Interpolate at centroid midpoints (Dunning's estimator)."""
+    total = float(weights.sum())
+    target = q * total
+    cum = np.cumsum(weights) - weights / 2.0
+    if target <= cum[0]:
+        return float(means[0])
+    if target >= cum[-1]:
+        return float(means[-1])
+    return float(np.interp(target, cum, means))
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    by: str | Iterable[str],
+    value_col: str,
+    quantiles: Iterable[float] = (0.5, 0.9, 0.99),
+    delta: float = TDIGEST_DELTA,
+) -> DataFrame:
+    """Per-group quantile estimates from a two-phase merging t-digest.
+
+    Returns one row per group per quantile: ``by… , q, est``.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    qs = [float(q) for q in quantiles]
+    spark = df.sparkSession
+
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*by).schema.fields
+    )
+    partial_schema = f"{key_fields}, means array<double>, weights array<double>"
+    out_schema = f"{key_fields}, q double, est double"
+
+    narrow = df.select(*by, F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-group (means, weights) cluster buffers for THIS partition
+        state: dict[tuple, tuple[list, list]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(by, sort=False, dropna=False):
+                key = key if isinstance(key, tuple) else (key,)
+                ms, ws = state.setdefault(key, ([], []))
+                ms.extend(grp["__v"].to_numpy())
+                ws.extend([1.0] * len(grp))
+                if len(ms) > _BUFFER_CAP:
+                    cm, cw = _compress(np.array(ms), np.array(ws), delta)
+                    state[key] = (list(cm), list(cw))
+        rows = []
+        for key, (ms, ws) in state.items():
+            cm, cw = _compress(np.array(ms), np.array(ws), delta)
+            rows.append((*key, list(cm), list(cw)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*by, "means", "weights"])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, delta)
+        key = [pdf.iloc[0][c] for c in by]
+        return pd.DataFrame(
+            [(*key, q, _quantile(cm, cw, q)) for q in qs],
+            columns=[*by, "q", "est"],
+        )
+
+    return (
+        narrow.mapInPandas(partials, schema=partial_schema)
+        .groupBy(*by)
+        .applyInPandas(merge, schema=out_schema)
+    )

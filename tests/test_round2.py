@@ -348,3 +348,63 @@ def test_pca_power_matches_numpy_eig():
     v = out["loading"].to_numpy()
     assert abs(float(np.dot(v, top_vec)) / np.linalg.norm(v)) >= 0.99
     assert abs(out["eigval"].iloc[0] - top_val) / top_val < 0.01
+
+
+# ------------------------------------------------------------------ #
+# t-digest mergeable quantile sketch
+# ------------------------------------------------------------------ #
+
+def test_tdigest_rank_error_bound_across_partitionings(spark, duck, sf_dir):
+    """The t-digest contract: for every (group, q) the estimate's true
+    rank sits within ±0.02 of q — and the bound must hold regardless of
+    how the input was partitioned (merge order changes estimates, not
+    the bound)."""
+    from big_data_table_spark.operators.tdigest import tdigest_quantiles
+    from big_data_table_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for parts in (1, 7):
+        est = tdigest_quantiles(
+            li.repartition(parts), "l_returnflag", "l_extendedprice",
+            (0.5, 0.9, 0.99),
+        ).toPandas()
+        assert len(est) == 3 * li.select("l_returnflag").distinct().count()
+        for _, row in est.iterrows():
+            rank = duck.execute(
+                "SELECT CAST(SUM(CASE WHEN l_extendedprice <= ? THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / COUNT(*) FROM lineitem WHERE l_returnflag = ?",
+                [row["est"], row["l_returnflag"]],
+            ).fetchone()[0]
+            assert abs(rank - row["q"]) <= 0.02, (row["l_returnflag"], row["q"], rank)
+
+
+def test_tdigest_raw_values_do_not_shuffle(spark, sf_dir):
+    """Scale shape: the only exchange input is the per-partition centroid
+    rows (means/weights arrays), never the raw value column — the plan
+    must show the partial mapInPandas BELOW the exchange."""
+    from big_data_table_spark.operators.tdigest import tdigest_quantiles
+    from big_data_table_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = tdigest_quantiles(li, "l_returnflag", "l_extendedprice")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchange_at = plan.find("Exchange")
+    map_at = plan.find("MapInPandas")
+    assert exchange_at != -1 and map_at != -1
+    # physical plans print top-down: the partial (MapInPandas) executing
+    # before the shuffle means it appears BELOW the Exchange line
+    assert map_at > exchange_at, plan
+
+
+def test_tdigest_centroid_budget():
+    """Compression must keep the centroid count near delta regardless of
+    input size (here: 100k values -> well under 2*delta clusters)."""
+    import numpy as np
+
+    from big_data_table_spark.operators.tdigest import _compress
+
+    rng_free = np.arange(100_000, dtype=float) * 1.7  # deterministic, skewed-free
+    m, w = _compress(rng_free, np.ones_like(rng_free), 200.0)
+    assert len(m) < 400
+    assert abs(w.sum() - 100_000.0) < 1e-6
+    assert (np.diff(m) >= 0).all()
