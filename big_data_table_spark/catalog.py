@@ -2164,6 +2164,38 @@ def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_counts(spark, sf_dir)
 
 
+def _stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side as-of enrichment against an SCD2 versioned dim
+    (streaming/events.py:asof_enriched_stream): the correlated
+    latest-version-at-or-before-ts becomes a batch-side interval-ized
+    dim + a STATELESS stream-static range join (no state store, no
+    watermark, append mode)."""
+    from .streaming.events import asof_enriched_stream
+
+    return asof_enriched_stream(spark, sf_dir)
+
+
+_STREAM_ASOF_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey AS nk,
+         n_name || '/v' || CAST(k AS VARCHAR) AS attr,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (n_nationkey % 5) * INTERVAL 1 HOUR
+           + k * (3 + n_nationkey % 3) * INTERVAL 1 DAY AS valid_from
+  FROM nation, UNNEST(range(0, 10)) t(k)),
+iv AS (
+  SELECT nk, attr, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY nk ORDER BY valid_from) AS valid_until
+  FROM dim)
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ets, iv.attr
+FROM events e
+LEFT JOIN iv ON e.user_id % 25 = iv.nk
+  AND e.ts >= iv.valid_from
+  AND (iv.valid_until IS NULL OR e.ts < iv.valid_until)
+"""
+
+
 def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage of the media pipeline (deterministic stand-in kernel;
     real resampler stubbed behind PIL — functions/multimodal.py)."""
@@ -2657,6 +2689,11 @@ CATALOG: dict[str, QuerySpec] = {
            FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
            GROUP BY n_name""",
     ),
+    "stream_asof_enrich": QuerySpec(
+        _stream_asof_enrich,
+        _STREAM_ASOF_ORACLE,
+        "stateless streaming as-of via interval-ized SCD2 dim",
+    ),
     "stream_dedup_counts": QuerySpec(
         lambda spark, sf_dir: __import__(
             "big_data_table_spark.streaming.events", fromlist=["x"]
@@ -2716,6 +2753,10 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_pipeline_summary": QuerySpec(dedup_pipeline_q, _dedup_pipeline_oracle()),
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),
+    "dedup_rate_trend": _dual(
+        D.dedup_rate_trend_sql,
+        doc="Per-(source, crawl-day) duplication-rate trend (events x documents).",
+    ),
     "dedup_minhash_signature": _dual(D.minhash_signature_sql),
     "dedup_minhash_lsh_pairs": QuerySpec(
         _minhash_lsh_pairs_fn, D.minhash_lsh_pairs_sql(DUCK)

@@ -29,7 +29,7 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
-from .portable import DUCK, SPARK, arr_el, arr_len, lateral_arr, lateral_seq, split_ws
+from .portable import DUCK, SPARK, arr_el, arr_len, epoch_s, lateral_arr, lateral_seq, split_ws
 
 # MinHash parameters: 12 hash functions in 4 bands × 3 rows.
 N_HASHES = 12
@@ -260,8 +260,38 @@ def crosslingual_lsh_pairs_sql(dialect: str) -> str:
     )
 
 
+def dedup_rate_trend_sql(dialect: str) -> str:
+    """Per-(source, crawl-day) exact-duplication rate trend — the
+    monitoring table a continuous-crawl pipeline watches to catch a
+    source going stale (rising dup rate = re-crawling the same pages).
+
+    Documents carry no crawl time in the fixtures, so each doc borrows
+    its event's timestamp (doc_id = event_id — the deterministic
+    metadata join; in production this is the crawl-log join).  Dedup
+    keepers are MIN(doc_id) per md5(text): the shuffle carries
+    (digest, id) pairs, never text, and the trend aggregation is one
+    further map-side-combinable pass over those pairs — at 100 TB this
+    whole report touches no document bodies."""
+    day = "date_trunc('day', e.ts)"
+    return (
+        "WITH crawled AS ("
+        f"  SELECT d.doc_id, d.source, md5(d.text) AS digest, {day} AS day"
+        "   FROM documents d JOIN events e ON d.doc_id = e.event_id), "
+        "keepers AS ("
+        "  SELECT digest, MIN(doc_id) AS keeper FROM crawled GROUP BY digest) "
+        f"SELECT source, {epoch_s('day', dialect)} AS day_s, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN c.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, "
+        "ROUND(CAST(SUM(CASE WHEN c.doc_id <> k.keeper THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / COUNT(*), 6) AS dup_rate "
+        "FROM crawled c JOIN keepers k ON c.digest = k.digest "
+        f"GROUP BY source, {epoch_s('day', dialect)}"
+    )
+
+
 __all__ = [
     "exact_dedup_sql",
+    "dedup_rate_trend_sql",
     "minhash_signature_sql",
     "minhash_lsh_pairs_sql",
     "crosslingual_lsh_pairs_sql",

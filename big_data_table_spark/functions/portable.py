@@ -69,3 +69,11 @@ def regexp_count(expr: str, pattern: str, dialect: str) -> str:
 
 
 
+
+
+def epoch_s(expr: str, dialect: str) -> str:
+    """Epoch seconds as BIGINT (the portable way to emit a timestamp —
+    both engines' native timestamp types hash differently downstream)."""
+    if dialect == SPARK:
+        return f"CAST(unix_timestamp({expr}) AS BIGINT)"
+    return f"CAST(floor(epoch({expr})) AS BIGINT)"

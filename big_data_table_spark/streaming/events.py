@@ -330,3 +330,65 @@ def stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "update", "NoTimeout"
     )
     return _run_to_completion(agg, "update")
+
+
+def versioned_dim(spark: SparkSession, sf_dir: str, n_versions: int = 10) -> DataFrame:
+    """A deterministic SCD2-style versioned dimension derived from
+    nation: per key ``nk``, ``n_versions`` versions at an irregular
+    per-key cadence (offset ``nk % 5`` hours, step ``3 + nk % 3`` days
+    from 2024-01-01 — covering the events fixture's January window),
+    interval-ized with ``lead`` so membership is a plain range
+    predicate.  The interval-ization runs ONCE, batch-side, on the
+    static dim — that is what makes the streaming as-of below stateless."""
+    import os
+
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    versions = nation.select(
+        "nk", "n_name", F.explode(F.sequence(F.lit(0), F.lit(n_versions - 1))).alias("k")
+    ).select(
+        "nk",
+        F.concat("n_name", F.lit("/v"), F.col("k")).alias("attr"),
+        F.expr(
+            "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, nk % 5, 0, 0)"
+            " + make_interval(0, 0, 0, CAST(k * (3 + nk % 3) AS INT), 0, 0, 0)"
+        ).alias("valid_from"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nk").orderBy("valid_from")
+    return versions.withColumn("valid_until", F.lead("valid_from").over(w))
+
+
+def asof_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side as-of enrichment: each streamed event picks the
+    LATEST dimension version effective at-or-before its event time.
+
+    The as-of is re-expressed so it stays inside Structured Streaming's
+    stateless subset: the correlated 'max version ≤ ts' is precomputed
+    batch-side as validity intervals (``versioned_dim``), turning the
+    enrichment into a plain stream-static broadcast join with a range
+    predicate — no stream-side window function, no state store, no
+    watermark, append mode.  Events before their key's first version
+    survive with a NULL attr (left join).  At 100 TB the dim broadcast
+    is the same SCD2 pattern a warehouse uses; a dim too big to
+    broadcast would bucket both sides on ``nk``."""
+    evn = read_events_stream(spark, sf_dir).withColumn(
+        "nk", F.col("user_id") % 25
+    )
+    dim = F.broadcast(versioned_dim(spark, sf_dir))
+    joined = evn.join(
+        dim,
+        (evn["nk"] == dim["nk"])
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_until").isNull() | (F.col("ts") < F.col("valid_until"))),
+        "left",
+    )
+    out = joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ets"),
+        "attr",
+    )
+    return _run_to_completion(out, "append")
