@@ -2753,6 +2753,14 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_pipeline_summary": QuerySpec(dedup_pipeline_q, _dedup_pipeline_oracle()),
     # --- documents: dedup + text analysis (dual-dialect) ---
     "dedup_exact": _dual(D.exact_dedup_sql),
+    "incremental_dedup": _dual(
+        D.incremental_dedup_sql,
+        doc="New-batch vs corpus dedup adjudication with reasons.",
+    ),
+    "decontamination_report": _dual(
+        D.decontamination_sql,
+        doc="Per-doc n-gram overlap vs a held-out eval source, with flag.",
+    ),
     "dedup_rate_trend": _dual(
         D.dedup_rate_trend_sql,
         doc="Per-(source, crawl-day) duplication-rate trend (events x documents).",

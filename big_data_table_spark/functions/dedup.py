@@ -289,8 +289,98 @@ def dedup_rate_trend_sql(dialect: str) -> str:
     )
 
 
+def decontamination_sql(
+    dialect: str, eval_source: str = "src0", flag_threshold: float = 0.5
+) -> str:
+    """Benchmark-decontamination report: for every training document,
+    the fraction of its distinct word-3-gram shingles that also appear
+    in the held-out evaluation set (here: every doc from
+    ``eval_source``, the fixture stand-in for a benchmark corpus), plus
+    a flag at ``flag_threshold`` — the standard n-gram-overlap
+    decontamination pass a training pipeline runs before a data drop.
+
+    Scale shape: the eval shingle set is DISTINCT and small relative to
+    the corpus (benchmarks are), so the contamination probe is a
+    broadcast-able semi-structured LEFT JOIN keyed on the shingle —
+    training text itself never shuffles, only (doc_id, shingle-hash)
+    pairs; the per-doc aggregate is map-side combinable.  The flag is
+    computed on the SAME rounded expression that is emitted (the
+    jaccard boundary rule)."""
+    frac = "ROUND(CAST(n_hit AS DOUBLE) / n_sh, 6)"
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)}, "
+        "ds AS (SELECT s.doc_id, s.sh, d.source FROM shingles s "
+        "  JOIN documents d ON s.doc_id = d.doc_id), "
+        f"eval_sh AS (SELECT DISTINCT sh FROM ds WHERE source = '{eval_source}'), "
+        "hits AS (SELECT t.doc_id, COUNT(*) AS n_sh, "
+        "  SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit "
+        f"  FROM (SELECT doc_id, sh FROM ds WHERE source <> '{eval_source}') t "
+        "  LEFT JOIN eval_sh e ON t.sh = e.sh GROUP BY t.doc_id) "
+        "SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, "
+        "CAST(n_hit AS BIGINT) AS n_contaminated, "
+        f"{frac} AS contamination, "
+        f"{frac} >= {flag_threshold} AS flagged "
+        "FROM hits"
+    )
+
+
+def incremental_dedup_sql(dialect: str) -> str:
+    """Incremental (cross-run) dedup: adjudicate every NEW-batch document
+    against the existing corpus and its own batch, with a reason —
+    the decision table a continuous-ingestion pipeline writes before
+    appending a crawl drop to the training corpus.
+
+    The fixture split is deterministic: ``doc_id % 4 = 3`` is the new
+    batch (25%), the rest is corpus.  Decision priority:
+    ``exact_vs_corpus`` (content hash already in corpus) >
+    ``exact_in_batch`` (not the batch's first copy) >
+    ``neardup_vs_corpus`` (shares a MinHash-LSH band signature with a
+    corpus doc — CANDIDATE grain; production runs the jaccard verify
+    stage on these) > ``keep``.
+
+    Scale shape: exact checks join on md5 digests (text never
+    shuffles); the near-dup probe joins the batch's band table against
+    the corpus's on (band, sig) — in production the corpus band table
+    is a PERSISTED index maintained across runs, so an increment costs
+    |batch| signatures + one bucket join, never a corpus rescan.  Here
+    both sides derive from the same fixture table to stay
+    self-contained.  The fixture has no exact duplicates, so the batch
+    is augmented with deterministic SIMULATED RECRAWLS (every
+    ``doc_id % 7 = 0`` text re-ingested under id+1000000) — exercising
+    the exact arms; recrawls carry no band signatures because the
+    exact-dup short-circuit precedes signature computation in the
+    pipeline."""
+    return (
+        "WITH aug AS (SELECT doc_id, text, doc_id % 4 = 3 AS is_new "
+        "  FROM documents "
+        "  UNION ALL SELECT doc_id + 1000000, text, TRUE "
+        "  FROM documents WHERE doc_id % 7 = 0), "
+        "flags AS (SELECT doc_id, md5(text) AS h, is_new FROM aug), "
+        f"bands AS ({minhash_bands_sql(dialect)}), "
+        "corpus_h AS (SELECT DISTINCT h FROM flags WHERE NOT is_new), "
+        "batch_min AS (SELECT h, MIN(doc_id) AS first_id FROM flags "
+        "  WHERE is_new GROUP BY h), "
+        "corpus_bands AS (SELECT DISTINCT band, sig FROM bands b "
+        "  JOIN flags f ON b.doc_id = f.doc_id WHERE NOT f.is_new), "
+        "nd AS (SELECT DISTINCT b.doc_id FROM bands b "
+        "  JOIN flags f ON b.doc_id = f.doc_id AND f.is_new "
+        "  JOIN corpus_bands c ON b.band = c.band AND b.sig = c.sig) "
+        "SELECT d.doc_id, "
+        "CASE WHEN ch.h IS NOT NULL THEN 'exact_vs_corpus' "
+        "     WHEN d.doc_id <> bm.first_id THEN 'exact_in_batch' "
+        "     WHEN nd.doc_id IS NOT NULL THEN 'neardup_vs_corpus' "
+        "     ELSE 'keep' END AS decision "
+        "FROM (SELECT doc_id, h FROM flags WHERE is_new) d "
+        "LEFT JOIN corpus_h ch ON d.h = ch.h "
+        "JOIN batch_min bm ON d.h = bm.h "
+        "LEFT JOIN nd ON nd.doc_id = d.doc_id"
+    )
+
+
 __all__ = [
     "exact_dedup_sql",
+    "incremental_dedup_sql",
+    "decontamination_sql",
     "dedup_rate_trend_sql",
     "minhash_signature_sql",
     "minhash_lsh_pairs_sql",
