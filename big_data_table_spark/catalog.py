@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .core import BigDataTable
+from .functions import analytics as A
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as X
@@ -2790,6 +2791,14 @@ CATALOG: dict[str, QuerySpec] = {
     "text_lang_id_confusion": _dual(
         X.lang_id_confusion_sql,
         doc="Lang-ID (gold, pred) confusion counts vs the fixture lang column.",
+    ),
+    "cohort_retention": _dual(
+        A.cohort_retention_sql,
+        doc="Customer cohort-retention matrix (first-order-month cohorts).",
+    ),
+    "tfidf_top_terms": _dual(
+        X.tfidf_top_terms_sql,
+        doc="Top-5 TF-IDF terms per source (vocabulary fingerprint).",
     ),
     "corpus_source_mix": _dual(
         X.source_mix_sql,

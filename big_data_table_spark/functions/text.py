@@ -15,7 +15,8 @@ whole-stage codegen (regexp on the JVM, no Python).
 
 from __future__ import annotations
 
-from .portable import DUCK, SPARK, regexp_count, split_ws, arr_len
+from .portable import DUCK, SPARK, lateral_arr, regexp_count, split_ws, arr_len
+from . import dedup as _dedup
 
 # marker stopwords per language for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -109,6 +110,33 @@ def lang_id_confusion_sql(dialect: str) -> str:
         "CAST(COUNT(*) AS BIGINT) AS n "
         "FROM documents d JOIN pred p ON d.doc_id = p.doc_id "
         "GROUP BY d.lang, p.pred_lang"
+    )
+
+
+def tfidf_top_terms_sql(dialect: str, k: int = 5) -> str:
+    """Top-k TF-IDF terms per source — the vocabulary fingerprint report
+    for a data card (what distinguishes this source's language use).
+
+    tfidf = tf(source, term) · ln(N_docs / df(term)); the score is
+    ROUNDED to 6 dp BEFORE ranking so last-ulp ln() differences between
+    engines cannot flip ranks, and rank ties break on the term itself
+    (total order).  Shuffles carry (term, count) pairs only; df and the
+    N scalar are broadcast-scale sides of the scoring join."""
+    return (
+        f"WITH {_dedup._words_cte(dialect)}, "
+        f"tok AS (SELECT doc_id, tk FROM docs {lateral_arr('w', 'tk', dialect)}), "
+        "n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+        "df AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+        "  FROM tok GROUP BY tk), "
+        "tf AS (SELECT d.source, t.tk, COUNT(*) AS tf FROM tok t "
+        "  JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.source, t.tk), "
+        "scored AS (SELECT source, tf.tk, ROUND(tf * ln(n / df), 6) AS tfidf "
+        "  FROM tf JOIN df ON tf.tk = df.tk CROSS JOIN n_docs), "
+        "ranked AS (SELECT source, tk, tfidf, "
+        "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, tk) AS rk "
+        "  FROM scored) "
+        f"SELECT source, CAST(rk AS BIGINT) AS rk, tk AS term, tfidf "
+        f"FROM ranked WHERE rk <= {k}"
     )
 
 
