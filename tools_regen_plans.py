@@ -14,6 +14,9 @@ PICKS = {
     "quantile_sketch_grouped": "Mergeable histogram: one map-side-combinable (group, bin) aggregate, then window cumsum over the tiny sketch.",
     "q21_suppliers_kept_waiting": "EXISTS/NOT EXISTS as LeftSemi+LeftAnti broadcast joins, one agg exchange, TakeOrderedAndProject top-10. At 100 TB AQE re-plans the lineitem sides to shuffle joins co-partitioned on l_orderkey.",
     "q15_top_supplier": "Max-selection without collect: revenue agg -> 1-row MAX -> broadcast equality join back. Three exchanges total, none over the fact table twice.",
+    "q9_product_type_profit": "Derived-partsupp join batch: one partsupp aggregate exchange, part/nation broadcast, orders broadcast at fixture scale (AQE re-plans to co-partitioned shuffle join at 100 TB), one profit agg exchange.",
+    "q2_min_cost_supplier": "Correlated-MIN as per-part aggregate rejoined on cost equality; supplier dim collapses to one broadcast, TakeOrderedAndProject top-100.",
+    "tdigest_quantiles_grouped": "Two-phase sketch: MapInPandas partials BELOW the only exchange (centroid arrays shuffle, raw values never), applyInPandas merge, broadcast rank-check join back.",
 }
 
 if __name__ == "__main__":
