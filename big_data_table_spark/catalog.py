@@ -2792,6 +2792,10 @@ CATALOG: dict[str, QuerySpec] = {
         X.lang_id_confusion_sql,
         doc="Lang-ID (gold, pred) confusion counts vs the fixture lang column.",
     ),
+    "events_dau_wau": _dual(
+        A.dau_wau_sql,
+        doc="Rolling DAU/WAU distinct users + stickiness per day.",
+    ),
     "cohort_retention": _dual(
         A.cohort_retention_sql,
         doc="Customer cohort-retention matrix (first-order-month cohorts).",

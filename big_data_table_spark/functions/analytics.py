@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from .portable import DUCK, SPARK, epoch_s
 
-__all__ = ["cohort_retention_sql"]
+__all__ = ["cohort_retention_sql", "dau_wau_sql"]
 
 
 def _months_between_int(later: str, earlier: str, dialect: str) -> str:
@@ -49,4 +49,30 @@ def cohort_retention_sql(dialect: str) -> str:
         "month_offset, n_active, n_cohort, "
         f"{rate} AS retention "
         "FROM active ac JOIN cohort_sizes cs ON ac.cohort = cs.cohort"
+    )
+
+
+def dau_wau_sql(dialect: str) -> str:
+    """Rolling engagement report: per day, the distinct active users
+    (DAU), the 7-day rolling distinct users (WAU), and the DAU/WAU
+    stickiness ratio.
+
+    Rolling COUNT(DISTINCT) cannot ride a window frame in either
+    engine; the scalable form is the standard day-grid range join:
+    dedup events to (day, user) pairs first (the ONLY fact-scale
+    aggregate), then join the tiny day dimension (broadcast) against
+    user-days with a 7-day range predicate — a bounded ≤7× fan-out of
+    already-deduped pairs, never of raw events."""
+    day = "date_trunc('day', ts)"
+    return (
+        f"WITH du AS (SELECT DISTINCT {day} AS day, user_id FROM events), "
+        "days AS (SELECT DISTINCT day FROM du), "
+        "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day), "
+        "wau AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau "
+        "  FROM days d JOIN du u "
+        "  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
+        "  GROUP BY d.day) "
+        f"SELECT {epoch_s('dau.day', dialect)} AS day_s, dau.dau, wau.wau, "
+        "ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness "
+        "FROM dau JOIN wau ON dau.day = wau.day"
     )
