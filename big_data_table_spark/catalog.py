@@ -2792,6 +2792,14 @@ CATALOG: dict[str, QuerySpec] = {
         X.lang_id_confusion_sql,
         doc="Lang-ID (gold, pred) confusion counts vs the fixture lang column.",
     ),
+    "split_balance_report": _dual(
+        A.split_balance_sql,
+        doc="Per-(split, lang) share-vs-corpus drift audit of the hash splitter.",
+    ),
+    "vocab_growth_curve": _dual(
+        A.vocab_growth_sql,
+        doc="Cumulative distinct vocabulary per corpus decile (Heaps-law).",
+    ),
     "events_dau_wau": _dual(
         A.dau_wau_sql,
         doc="Rolling DAU/WAU distinct users + stickiness per day.",

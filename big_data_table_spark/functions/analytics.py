@@ -10,8 +10,10 @@ customer-lifecycle reports a warehouse runs.
 from __future__ import annotations
 
 from .portable import DUCK, SPARK, epoch_s
+from .portable import lateral_arr as _lateral_arr
+from . import dedup as _dedup
 
-__all__ = ["cohort_retention_sql", "dau_wau_sql"]
+__all__ = ["cohort_retention_sql", "dau_wau_sql", "split_balance_sql", "vocab_growth_sql"]
 
 
 def _months_between_int(later: str, earlier: str, dialect: str) -> str:
@@ -75,4 +77,68 @@ def dau_wau_sql(dialect: str) -> str:
         f"SELECT {epoch_s('dau.day', dialect)} AS day_s, dau.dau, wau.wau, "
         "ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness "
         "FROM dau JOIN wau ON dau.day = wau.day"
+    )
+
+
+def split_balance_sql(dialect: str) -> str:
+    """Split-balance drift report: for every (split, lang) cell of the
+    deterministic train/val/test assignment, the within-split share vs
+    the overall corpus share, and the absolute drift — the check a
+    pipeline runs before accepting a split (a skewed val set silently
+    biases every eval).
+
+    The split CASE is the SAME content-hash assignment
+    ``train_val_test_split`` uses (operators/sampling.py), so the
+    report audits the production splitter, not a copy.  One fact-scale
+    aggregate; the three share tables are split/lang-grain tiny."""
+    from ..operators.sampling import split_case_sql
+
+    case = split_case_sql(
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        dialect="spark" if dialect == SPARK else "duck",
+    )
+    return (
+        f"WITH assigned AS (SELECT {case} AS split, lang FROM documents), "
+        "cells AS (SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "  FROM assigned GROUP BY split, lang), "
+        "split_tot AS (SELECT split, SUM(n) AS nt FROM cells GROUP BY split), "
+        "lang_tot AS (SELECT lang, SUM(n) AS nl FROM cells GROUP BY lang), "
+        "grand AS (SELECT SUM(n) AS g FROM cells) "
+        "SELECT c.split, c.lang, c.n, "
+        "ROUND(CAST(c.n AS DOUBLE) / nt, 6) AS split_share, "
+        "ROUND(CAST(nl AS DOUBLE) / g, 6) AS corpus_share, "
+        "ROUND(ABS(CAST(c.n AS DOUBLE) / nt - CAST(nl AS DOUBLE) / g), 6) AS drift "
+        "FROM cells c JOIN split_tot st ON c.split = st.split "
+        "JOIN lang_tot lt ON c.lang = lt.lang CROSS JOIN grand"
+    )
+
+
+def vocab_growth_sql(dialect: str, n_buckets: int = 10) -> str:
+    """Vocabulary-growth (Heaps-law) curve over word-3-gram shingles:
+    cumulative distinct shingle count after each decile of the corpus
+    (by doc_id order) — the report that says whether more data still
+    buys new n-gram coverage.  (Unigrams would be degenerate on the
+    fixture's ~50-word synthetic vocabulary — exhausted in decile 0;
+    3-grams keep growing combinatorially, like real corpora do.)
+
+    Scale shape: 'cumulative distinct' never materializes per-doc
+    running sets; each shingle contributes ONE row at its first-seen
+    doc (a map-side-combinable MIN aggregate), first-seen docs bucket
+    into deciles, and the cumulative sum runs over the ≤n_buckets-row
+    result — the window is over the tiny side."""
+    return (
+        f"WITH {_dedup._words_cte(dialect)}, "
+        f"{_dedup._shingles_cte(dialect)}, "
+        "bounds AS (SELECT MAX(doc_id) AS mx FROM documents), "
+        "first_seen AS (SELECT sh, MIN(doc_id) AS fd FROM shingles GROUP BY sh), "
+        "bucketed AS (SELECT LEAST(CAST(FLOOR(CAST(fd AS DOUBLE) / (mx + 1) "
+        f"  * {n_buckets}) AS INT), {n_buckets - 1}) AS bucket, "
+        "  COUNT(*) AS new_terms FROM first_seen CROSS JOIN bounds GROUP BY 1) "
+        "SELECT CAST(bucket AS INT) AS bucket, "
+        "CAST(new_terms AS BIGINT) AS new_terms, "
+        "CAST(SUM(new_terms) OVER (ORDER BY bucket "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "  AS cum_vocab "
+        "FROM bucketed"
     )
