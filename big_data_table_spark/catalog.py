@@ -2792,6 +2792,10 @@ CATALOG: dict[str, QuerySpec] = {
         X.lang_id_confusion_sql,
         doc="Lang-ID (gold, pred) confusion counts vs the fixture lang column.",
     ),
+    "grouped_correlation": _dual(
+        A.grouped_corr_sql,
+        doc="Per-group Pearson r + OLS slope via exact-decimal moments.",
+    ),
     "split_balance_report": _dual(
         A.split_balance_sql,
         doc="Per-(split, lang) share-vs-corpus drift audit of the hash splitter.",

@@ -13,7 +13,7 @@ from .portable import DUCK, SPARK, epoch_s
 from .portable import lateral_arr as _lateral_arr
 from . import dedup as _dedup
 
-__all__ = ["cohort_retention_sql", "dau_wau_sql", "split_balance_sql", "vocab_growth_sql"]
+__all__ = ["cohort_retention_sql", "dau_wau_sql", "split_balance_sql", "vocab_growth_sql", "grouped_corr_sql"]
 
 
 def _months_between_int(later: str, earlier: str, dialect: str) -> str:
@@ -141,4 +141,40 @@ def vocab_growth_sql(dialect: str, n_buckets: int = 10) -> str:
         "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
         "  AS cum_vocab "
         "FROM bucketed"
+    )
+
+
+def grouped_corr_sql(dialect: str) -> str:
+    """Per-group Pearson correlation and OLS slope of
+    (l_quantity → l_extendedprice) — the reference's arbitrary-``j``
+    aggregate surface (``dt[, cor(x, y), by]``) carried to exact
+    cross-engine arithmetic.
+
+    Moments (Σx, Σy, Σxy, Σx², Σy², n) accumulate in EXACT decimal —
+    quantity is (9,2)-exact, extendedprice (12,2)-exact (verified 2 dp;
+    narrow operands keep DuckDB's width-18 multiply path from
+    overflowing) — then every moment casts through (38,6) to double and
+    the correlation formula runs in IEEE arithmetic: identical operands
+    → identical doubles on both engines (sqrt and the 4 arithmetic ops
+    are correctly rounded per IEEE 754).  One map-side-combinable
+    aggregate; no second pass."""
+    x = "CAST(l_quantity AS DECIMAL(9,2))"
+    y = "CAST(l_extendedprice AS DECIMAL(12,2))"
+
+    def d(expr: str) -> str:
+        return f"CAST(CAST(SUM({expr}) AS DECIMAL(38,6)) AS DOUBLE)"
+
+    return (
+        "WITH m AS (SELECT l_returnflag, "
+        "  CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"  {d(x)} AS sx, {d(y)} AS sy, "
+        f"  {d(f'{x} * {y}')} AS sxy, "
+        f"  {d(f'{x} * {x}')} AS sxx, "
+        f"  {d(f'{y} * {y}')} AS syy "
+        "  FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        "ROUND((n * sxy - sx * sy) / "
+        "  SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price, "
+        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS ols_slope "
+        "FROM m"
     )
