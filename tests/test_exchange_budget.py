@@ -49,6 +49,20 @@ BUDGET = {
     "q11_important_stock": 5,    # partsupp + per-part agg + 1-row total + reuse
     "q16_parts_supplier_relationship": 3,  # partsupp + 2-phase count-distinct
     "q20_potential_promotion": 2,  # partsupp + shipped-qty agg
+    # late-r2 analytics/pipeline ops (measured; AQE converts the small
+    # sides to broadcasts at runtime — these pin the static shape)
+    "grouped_correlation": 1,    # single moments aggregate
+    "tdigest_quantiles_grouped": 2,  # centroid shuffle + rank-check agg
+    "dedup_rate_trend": 3,       # crawl join + keepers + trend agg
+    "vocab_growth_curve": 5,
+    "events_dau_wau": 6,
+    "cohort_retention": 6,
+    "tfidf_top_terms": 7,
+    "split_balance_report": 7,
+    "decontamination_report": 7,
+    "incremental_dedup": 10,     # single-statement SQL recomputes the
+                                 # band CTE per reference; production
+                                 # persists the corpus band index
 }
 
 
