@@ -47,7 +47,7 @@ def cohort_retention_sql(dialect: str) -> str:
         "  CAST(COUNT(DISTINCT a.c) AS BIGINT) AS n_active "
         "  FROM activity a JOIN first_m f ON a.c = f.c "
         f"  GROUP BY cohort, {off}) "
-        f"SELECT {epoch_s('ac.cohort', dialect)} AS cohort_month, "
+        f"SELECT /*+ BROADCAST(cs) */ {epoch_s('ac.cohort', dialect)} AS cohort_month, "
         "month_offset, n_active, n_cohort, "
         f"{rate} AS retention "
         "FROM active ac JOIN cohort_sizes cs ON ac.cohort = cs.cohort"
@@ -70,7 +70,8 @@ def dau_wau_sql(dialect: str) -> str:
         f"WITH du AS (SELECT DISTINCT {day} AS day, user_id FROM events), "
         "days AS (SELECT DISTINCT day FROM du), "
         "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day), "
-        "wau AS (SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau "
+        "wau AS (SELECT /*+ BROADCAST(d) */ d.day, "
+        "  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau "
         "  FROM days d JOIN du u "
         "  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day "
         "  GROUP BY d.day) "
@@ -105,7 +106,7 @@ def split_balance_sql(dialect: str) -> str:
         "split_tot AS (SELECT split, SUM(n) AS nt FROM cells GROUP BY split), "
         "lang_tot AS (SELECT lang, SUM(n) AS nl FROM cells GROUP BY lang), "
         "grand AS (SELECT SUM(n) AS g FROM cells) "
-        "SELECT c.split, c.lang, c.n, "
+        "SELECT /*+ BROADCAST(st), BROADCAST(lt), BROADCAST(grand) */ c.split, c.lang, c.n, "
         "ROUND(CAST(c.n AS DOUBLE) / nt, 6) AS split_share, "
         "ROUND(CAST(nl AS DOUBLE) / g, 6) AS corpus_share, "
         "ROUND(ABS(CAST(c.n AS DOUBLE) / nt - CAST(nl AS DOUBLE) / g), 6) AS drift "
