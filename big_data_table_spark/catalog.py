@@ -2951,9 +2951,55 @@ _R2_FRONT = [
 
 assert set(_R2_FRONT) <= set(CATALOG), sorted(set(_R2_FRONT) - set(CATALOG))
 assert len(_R2_FRONT) == len(set(_R2_FRONT)) == 50
+
+# positions 51+: the ops with NO driver row yet (built after the r2
+# reorder), newest evidence first, so a driver that checks more than 50
+# reaches them before re-checking r1-green entries; also the exact list
+# to rotate into the r3 window.
+_R2_NEXT = [
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
+    "tdigest_quantiles_grouped",
+    "stream_asof_enrich",
+    "incremental_dedup",
+    "decontamination_report",
+    "dedup_rate_trend",
+    "tfidf_top_terms",
+    "grouped_correlation",
+    "cohort_retention",
+    "events_dau_wau",
+    "split_balance_report",
+    "vocab_growth_curve",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "ann_pq_topk",
+    "ann_pq_trained_topk",
+    "dedup_crosslingual_pairs",
+    "text_repetition_ratio",
+    "text_lang_id_confusion",
+    "corpus_source_mix",
+    "weighted_sample_per_group",
+    "embedding_label_centroids",
+    "embedding_pca_power",
+]
+assert set(_R2_NEXT) <= set(CATALOG), sorted(set(_R2_NEXT) - set(CATALOG))
+assert not set(_R2_NEXT) & set(_R2_FRONT)
+_head = _R2_FRONT + _R2_NEXT
 CATALOG = {
-    **{name: CATALOG[name] for name in _R2_FRONT},
-    **{name: spec for name, spec in CATALOG.items() if name not in set(_R2_FRONT)},
+    **{name: CATALOG[name] for name in _head},
+    **{name: spec for name, spec in CATALOG.items() if name not in set(_head)},
 }
 
 
