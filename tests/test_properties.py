@@ -116,3 +116,54 @@ def test_asof_matches_merge_asof(spark, lt, rt):
     pd.testing.assert_series_equal(
         got["rv"].astype("float64"), exp["rv"].astype("float64"), check_names=False
     )
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=400,
+    ),
+    splits=st.integers(min_value=1, max_value=5),
+)
+def test_tdigest_compress_merge_properties(vals, splits):
+    """Digest invariants that must hold for ANY input and ANY partition
+    split: total weight conserved, centroid means sorted and inside the
+    data range, quantile estimates monotone in q and inside [min, max],
+    and merging per-chunk digests equals (within rank tolerance) the
+    one-shot digest."""
+    import numpy as np
+
+    from big_data_table_spark.operators.tdigest import (
+        _compress,
+        _quantile,
+    )
+
+    arr = np.array(vals, dtype=float)
+    m1, w1 = _compress(arr, np.ones_like(arr), 100.0)
+    assert abs(w1.sum() - len(arr)) < 1e-9
+    assert (np.diff(m1) >= 0).all()
+    assert m1[0] >= arr.min() - 1e-9 and m1[-1] <= arr.max() + 1e-9
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    ests = [_quantile(m1, w1, q) for q in qs]
+    assert all(a <= b + 1e-9 for a, b in zip(ests, ests[1:]))
+    assert all(arr.min() - 1e-9 <= e <= arr.max() + 1e-9 for e in ests)
+
+    # chunked build + merge ≈ one-shot build (the mergeability contract)
+    chunks = np.array_split(arr, splits)
+    ms, ws = [], []
+    for c in chunks:
+        if len(c):
+            cm, cw = _compress(c, np.ones_like(c), 100.0)
+            ms.append(cm)
+            ws.append(cw)
+    mm, mw = _compress(np.concatenate(ms), np.concatenate(ws), 100.0)
+    assert abs(mw.sum() - len(arr)) < 1e-9
+    for q in qs:
+        merged_est = _quantile(mm, mw, q)
+        # compare by RANK, not value (values can sit on a plateau)
+        rank = (arr <= merged_est).mean()
+        lo = (arr < merged_est).mean()
+        assert lo - 0.15 <= q <= rank + 0.15
