@@ -2165,6 +2165,31 @@ def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_counts(spark, sf_dir)
 
 
+def _stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting (streaming/events.py:
+    late_data_accounting): two-micro-batch replay where batch 2 is a
+    day of events ~29 days behind the watermark — dropped before the
+    aggregation; append mode emits exactly the windows the final
+    watermark closed.  Oracle: windows over the on-time subset with
+    window_end <= max(on_time_ts) - 1h."""
+    from .streaming.events import late_data_accounting
+
+    return late_data_accounting(spark, sf_dir)
+
+
+_STREAM_LATE_ORACLE = """
+WITH on_time AS (
+  SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'),
+wm AS (
+  SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) - 3600 AS w FROM on_time),
+agg AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM on_time GROUP BY 1)
+SELECT ws, n FROM agg CROSS JOIN wm WHERE ws + 300 <= wm.w
+"""
+
+
 def _stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-side as-of enrichment against an SCD2 versioned dim
     (streaming/events.py:asof_enriched_stream): the correlated
@@ -2690,6 +2715,11 @@ CATALOG: dict[str, QuerySpec] = {
            FROM events LEFT JOIN nation ON user_id % 25 = n_nationkey
            GROUP BY n_name""",
     ),
+    "stream_late_data_accounting": QuerySpec(
+        _stream_late_data,
+        _STREAM_LATE_ORACLE,
+        "watermark drop + append-mode emission semantics, pinned",
+    ),
     "stream_asof_enrich": QuerySpec(
         _stream_asof_enrich,
         _STREAM_ASOF_ORACLE,
@@ -2964,6 +2994,7 @@ _R2_NEXT = [
     "q20_potential_promotion",
     "tdigest_quantiles_grouped",
     "stream_asof_enrich",
+    "stream_late_data_accounting",
     "incremental_dedup",
     "decontamination_report",
     "dedup_rate_trend",

@@ -392,3 +392,93 @@ def asof_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attr",
     )
     return _run_to_completion(out, "append")
+
+
+def late_data_accounting(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "1 hour",
+    minutes: int = 5,
+    return_query_progress: bool = False,
+):
+    """Watermark late-data semantics, pinned end to end: the bounded
+    events fixture is replayed as THREE micro-batches
+    (maxFilesPerTrigger = 1) — two on-time files, then the first day's
+    events, which by then sit weeks behind the watermark and are
+    DROPPED before the aggregation.  Append mode then emits exactly the
+    tumbling windows whose end the final watermark passed.
+
+    Three batches, not two, because Spark runs TWO watermarks
+    (SPARK-24156): eviction uses the value updated from batch N-1's
+    stats, but the LATE-EVENTS input filter uses the value from batch
+    N-2 — a late file in batch 1 is admitted (filter watermark still
+    1970) and instantly emitted as closed windows.  The middle on-time
+    batch advances the filter watermark so batch 2's late rows actually
+    drop.  (Verified against the StateStoreSave plan, which prints both
+    watermarks.)
+
+    Both effects are deterministic on the bounded fixture, so the
+    result is oracle-expressible in plain SQL: windows over the on-time
+    subset with ``window_end <= max(on_time_ts) − delay``.  The drop
+    count itself is read from the engine's own accounting
+    (``numRowsDroppedByWatermark``) when ``return_query_progress`` —
+    pinned equal to the late-file row count in tests/test_round2.py.
+
+    Batch order is forced with explicit mtimes (the file source
+    processes oldest-first); at scale the same op is the standard
+    late-arrival audit on any watermarked job."""
+    import os
+    import tempfile
+
+    ensure_session_confs(spark)
+    staged = tempfile.mkdtemp(prefix="bdt_late_")
+    raw = spark.read.schema(RAW_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    cut_ns = 1704153600 * 1_000_000_000  # 2024-01-02 00:00:00 UTC in nanos
+    mid_ns = 1705363200 * 1_000_000_000  # 2024-01-16 00:00:00 UTC in nanos
+    a_dir = os.path.join(staged, "a")
+    b_dir = os.path.join(staged, "b")
+    late_dir = os.path.join(staged, "c")
+    raw.filter((F.col("ts") >= cut_ns) & (F.col("ts") < mid_ns)).coalesce(1).write.parquet(a_dir)
+    raw.filter(F.col("ts") >= mid_ns).coalesce(1).write.parquet(b_dir)
+    raw.filter(F.col("ts") < cut_ns).coalesce(1).write.parquet(late_dir)
+    t0 = 1_600_000_000
+    for d, t in ((a_dir, t0), (b_dir, t0 + 100), (late_dir, t0 + 200)):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged + "/*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", f"{minutes} minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("window.start").alias("ws"), "n")
+    )
+    name = f"bdt_stream_{next(_qid)}"
+    with _stream_shuffle_scope(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            dropped = sum(
+                s["numRowsDroppedByWatermark"]
+                for p in q.recentProgress
+                for s in p["stateOperators"]
+            )
+        finally:
+            q.stop()
+    out = spark.table(name)
+    if return_query_progress:
+        return out, dropped
+    return out

@@ -408,3 +408,22 @@ def test_tdigest_centroid_budget():
     assert len(m) < 400
     assert abs(w.sum() - 100_000.0) < 1e-6
     assert (np.diff(m) >= 0).all()
+
+
+def test_late_data_dropped_by_watermark_counted(spark, duck, sf_dir):
+    """The engine's own late-row accounting must equal the late file's
+    distinct 5-minute windows: the watermark filter sits AFTER the
+    map-side partial aggregate, so it counts (window) partial rows —
+    one per window for the single-partition late file — not raw
+    events."""
+    from big_data_table_spark.streaming.events import late_data_accounting
+
+    out, dropped = late_data_accounting(spark, sf_dir, return_query_progress=True)
+    late_windows = duck.execute(
+        "SELECT COUNT(DISTINCT CAST(floor(epoch(ts) / 300) AS BIGINT)) "
+        "FROM events WHERE ts < TIMESTAMP '2024-01-02'"
+    ).fetchone()[0]
+    assert late_windows > 0
+    assert dropped == late_windows
+    # no first-day window may appear in the appended output
+    assert out.filter("ws < 1704153600").count() == 0
