@@ -2842,6 +2842,10 @@ CATALOG: dict[str, QuerySpec] = {
         A.cohort_retention_sql,
         doc="Customer cohort-retention matrix (first-order-month cohorts).",
     ),
+    "text_bigram_cross_entropy": _dual(
+        X.bigram_cross_entropy_sql,
+        doc="Per-doc bigram-LM cross-entropy (perplexity-style quality signal).",
+    ),
     "tfidf_top_terms": _dual(
         X.tfidf_top_terms_sql,
         doc="Top-5 TF-IDF terms per source (vocabulary fingerprint).",
@@ -2999,6 +3003,7 @@ _R2_NEXT = [
     "decontamination_report",
     "dedup_rate_trend",
     "tfidf_top_terms",
+    "text_bigram_cross_entropy",
     "grouped_correlation",
     "cohort_retention",
     "events_dau_wau",

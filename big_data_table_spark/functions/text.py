@@ -15,7 +15,7 @@ whole-stage codegen (regexp on the JVM, no Python).
 
 from __future__ import annotations
 
-from .portable import DUCK, SPARK, lateral_arr, regexp_count, split_ws, arr_len
+from .portable import DUCK, SPARK, arr_el, lateral_arr, lateral_seq, regexp_count, split_ws, arr_len
 from . import dedup as _dedup
 
 # marker stopwords per language for the n-gram/stopword heuristic
@@ -232,3 +232,42 @@ __all__ = [
     "SPARK",
     "DUCK",
 ]
+
+
+def bigram_cross_entropy_sql(dialect: str) -> str:
+    """Per-document bigram-LM cross-entropy (nats/bigram) — the
+    perplexity-style quality signal (CCNet-family) a pipeline uses to
+    rank text against a reference LM.  The LM here is add-0.5-smoothed
+    bigram counts over the corpus itself (self-scoring: outlier docs
+    surface with high CE).
+
+    Cross-engine determinism: p(w2|w1) = (c+0.5)/(ctx+0.5·V) is an
+    exact rational from integer counts; each −ln(p) ROUNDS to 6 dp
+    BEFORE accumulation and the per-doc sum runs in EXACT DECIMAL, so
+    engine-level ln() ulp differences cannot reorder or drift the sum
+    (the tfidf round-before-rank rule, applied to accumulation).
+
+    Scale shape: the LM (bigram counts + context totals) is corpus-
+    bounded and joins the exploded doc bigrams on (w1, w2) — the model
+    side is the small side, bucketable at 100 TB; the per-doc average
+    is one map-side-combinable aggregate."""
+    el = lambda i: arr_el("w", i, dialect)  # noqa: E731
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - 1", "i", dialect)
+    return (
+        f"WITH {_dedup._words_cte(dialect)}, "
+        "bi AS (SELECT doc_id, "
+        f"  {el('i')} AS w1, {el('i + 1')} AS w2 FROM docs {lat}), "
+        "lm AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c "
+        "  FROM bi GROUP BY w1, w2), "
+        "ctx AS (SELECT w1, CAST(SUM(c) AS DOUBLE) AS n_ctx FROM lm GROUP BY w1), "
+        "vocab AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM bi), "
+        "scored AS (SELECT bi.doc_id, "
+        "  CAST(ROUND(-LN((lm.c + 0.5) / (ctx.n_ctx + 0.5 * vocab.v)), 6) "
+        "       AS DECIMAL(18,6)) AS nll "
+        "  FROM bi JOIN lm ON bi.w1 = lm.w1 AND bi.w2 = lm.w2 "
+        "  JOIN ctx ON bi.w1 = ctx.w1 CROSS JOIN vocab) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "ROUND(CAST(CAST(SUM(nll) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) "
+        "  AS cross_entropy "
+        "FROM scored GROUP BY doc_id"
+    )
