@@ -2167,11 +2167,12 @@ def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data accounting (streaming/events.py:
-    late_data_accounting): two-micro-batch replay where batch 2 is a
-    day of events ~29 days behind the watermark — dropped before the
-    aggregation; append mode emits exactly the windows the final
-    watermark closed.  Oracle: windows over the on-time subset with
-    window_end <= max(on_time_ts) - 1h."""
+    late_data_accounting): three-micro-batch replay — two on-time
+    files (the middle one advances the lagging late-input filter
+    watermark, SPARK-24156), then a day of events weeks behind it,
+    dropped before the aggregation; append mode emits exactly the
+    windows the final watermark closed.  Oracle: windows over the
+    on-time subset with window_end <= max(on_time_ts) - 1h."""
     from .streaming.events import late_data_accounting
 
     return late_data_accounting(spark, sf_dir)

@@ -10,7 +10,6 @@ customer-lifecycle reports a warehouse runs.
 from __future__ import annotations
 
 from .portable import DUCK, SPARK, epoch_s
-from .portable import lateral_arr as _lateral_arr
 from . import dedup as _dedup
 
 __all__ = ["cohort_retention_sql", "dau_wau_sql", "split_balance_sql", "vocab_growth_sql", "grouped_corr_sql"]
@@ -174,8 +173,12 @@ def grouped_corr_sql(dialect: str) -> str:
         f"  {d(f'{y} * {y}')} AS syy "
         "  FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        # NULLIF guards: a zero-variance group divides by zero, where
+        # Spark (non-ANSI) yields NULL but DuckDB yields inf/nan — force
+        # NULL on both engines instead
         "ROUND((n * sxy - sx * sy) / "
-        "  SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price, "
-        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS ols_slope "
+        "  SQRT(NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)), 6) "
+        "  AS corr_qty_price, "
+        "ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS ols_slope "
         "FROM m"
     )

@@ -121,9 +121,16 @@ def tfidf_top_terms_sql(dialect: str, k: int = 5) -> str:
     ROUNDED to 6 dp BEFORE ranking so last-ulp ln() differences between
     engines cannot flip ranks, and rank ties break on the term itself
     (total order).  Shuffles carry (term, count) pairs only; df and the
-    N scalar are broadcast-scale sides of the scoring join."""
+    N scalar are broadcast-scale sides of the scoring join.
+
+    Tokenization is LOCAL (every non-empty doc contributes), not the
+    shingle pipeline's ≥3-word ``docs`` stage — N counts all documents,
+    so df/tf must too, or IDF skews on short-doc corpora."""
+    w = split_ws("lower(text)", dialect)
     return (
-        f"WITH {_dedup._words_cte(dialect)}, "
+        f"WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w "
+        "  FROM documents), "
+        f"docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= 1), "
         f"tok AS (SELECT doc_id, tk FROM docs {lateral_arr('w', 'tk', dialect)}), "
         "n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
         "df AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
@@ -229,6 +236,8 @@ __all__ = [
     "quality_score_sql",
     "fingerprint_sql",
     "winnow_fingerprint_sql",
+    "tfidf_top_terms_sql",
+    "bigram_cross_entropy_sql",
     "SPARK",
     "DUCK",
 ]
@@ -250,11 +259,17 @@ def bigram_cross_entropy_sql(dialect: str) -> str:
     Scale shape: the LM (bigram counts + context totals) is corpus-
     bounded and joins the exploded doc bigrams on (w1, w2) — the model
     side is the small side, bucketable at 100 TB; the per-doc average
-    is one map-side-combinable aggregate."""
+    is one map-side-combinable aggregate.
+
+    Tokenization is LOCAL with a ≥2-word floor (a 2-word doc has one
+    valid bigram), not the shingle pipeline's ≥3-word stage."""
     el = lambda i: arr_el("w", i, dialect)  # noqa: E731
     lat = lateral_seq("1", f"{arr_len('w', dialect)} - 1", "i", dialect)
+    w = split_ws("lower(text)", dialect)
     return (
-        f"WITH {_dedup._words_cte(dialect)}, "
+        f"WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w "
+        "  FROM documents), "
+        f"docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= 2), "
         "bi AS (SELECT doc_id, "
         f"  {el('i')} AS w1, {el('i + 1')} AS w2 FROM docs {lat}), "
         "lm AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c "

@@ -422,12 +422,14 @@ def late_data_accounting(
     subset with ``window_end <= max(on_time_ts) − delay``.  The drop
     count itself is read from the engine's own accounting
     (``numRowsDroppedByWatermark``) when ``return_query_progress`` —
-    pinned equal to the late-file row count in tests/test_round2.py.
+    pinned in tests/test_round2.py to the late file's DISTINCT WINDOW
+    count (the filter sits after the map-side partial aggregate, so it
+    counts (window) partial rows, not raw events).
 
     Batch order is forced with explicit mtimes (the file source
     processes oldest-first); at scale the same op is the standard
     late-arrival audit on any watermarked job."""
-    import os
+    import shutil
     import tempfile
 
     ensure_session_confs(spark)
@@ -478,6 +480,8 @@ def late_data_accounting(
             )
         finally:
             q.stop()
+    # the memory sink holds the results; the staged replay files are done
+    shutil.rmtree(staged, ignore_errors=True)
     out = spark.table(name)
     if return_query_progress:
         return out, dropped

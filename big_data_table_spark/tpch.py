@@ -734,9 +734,7 @@ GROUP BY nation, o_year
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: parts whose stock value within one nation exceeds a
     fraction of that nation's total — the scalar subquery is a 1-row
-    aggregate broadcast back (Q15 pattern, never collected), and the
-    threshold comparison happens IN THE DECIMAL DOMAIN so both engines
-    compare exact values (the double cast is only for output).
+    aggregate broadcast back (Q15 pattern, never collected).
     Adaptations: nation 'NATION_3'; fraction 0.001 (the official
     0.0001/SF — with ~2,000 parts the official value selects nearly
     everything; 0.001 ≈ 2× the mean keeps HAVING selective).
@@ -808,7 +806,7 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     join against a broadcast exclusion list.  Adaptations: single-word
     type equality for the official NOT LIKE; the missing
     s_comment complaints filter is proxied by ``s_acctbal < 0``
-    (documented, 3 of 100 fixture suppliers)."""
+    (documented, 6 of 100 fixture suppliers)."""
     t = Tables(spark, sf_dir)
     complained = F.broadcast(
         t.supplier.filter(F.col("s_acctbal") < 0).select(
