@@ -2835,6 +2835,10 @@ CATALOG: dict[str, QuerySpec] = {
         A.vocab_growth_sql,
         doc="Cumulative distinct vocabulary per corpus decile (Heaps-law).",
     ),
+    "events_audience_overlap": _dual(
+        A.audience_overlap_sql,
+        doc="Distinct-user overlap + Jaccard per event-type pair.",
+    ),
     "events_dau_wau": _dual(
         A.dau_wau_sql,
         doc="Rolling DAU/WAU distinct users + stickiness per day.",
@@ -3008,6 +3012,7 @@ _R2_NEXT = [
     "grouped_correlation",
     "cohort_retention",
     "events_dau_wau",
+    "events_audience_overlap",
     "split_balance_report",
     "vocab_growth_curve",
     "q5_local_supplier_volume",

@@ -12,7 +12,7 @@ from __future__ import annotations
 from .portable import DUCK, SPARK, epoch_s
 from . import dedup as _dedup
 
-__all__ = ["cohort_retention_sql", "dau_wau_sql", "split_balance_sql", "vocab_growth_sql", "grouped_corr_sql"]
+__all__ = ["cohort_retention_sql", "dau_wau_sql", "split_balance_sql", "vocab_growth_sql", "grouped_corr_sql", "audience_overlap_sql"]
 
 
 def _months_between_int(later: str, earlier: str, dialect: str) -> str:
@@ -181,4 +181,30 @@ def grouped_corr_sql(dialect: str) -> str:
         "  AS corr_qty_price, "
         "ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS ols_slope "
         "FROM m"
+    )
+
+
+def audience_overlap_sql(dialect: str) -> str:
+    """Audience-overlap matrix: for every event-type pair, the distinct
+    users doing both, each side's audience size, and the Jaccard
+    overlap — the cross-feature engagement report behind "users who X
+    also Y".
+
+    Scale shape: events dedup to (type, user) pairs first (the only
+    fact-scale aggregate); the pair self-join fans out per USER, and a
+    user holds at most |event_types| rows (5 here), so the join is
+    bounded ≤ C(|types|, 2) pairs per user — never |events|², and the
+    per-pair aggregate is map-side combinable."""
+    return (
+        "WITH du AS (SELECT DISTINCT event_type AS et, user_id FROM events), "
+        "sizes AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY et), "
+        "shared AS (SELECT a.et AS type_a, b.et AS type_b, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_both "
+        "  FROM du a JOIN du b ON a.user_id = b.user_id AND a.et < b.et "
+        "  GROUP BY a.et, b.et) "
+        "SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ type_a, type_b, n_both, "
+        "sa.n AS n_a, sb.n AS n_b, "
+        "ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard "
+        "FROM shared JOIN sizes sa ON type_a = sa.et "
+        "JOIN sizes sb ON type_b = sb.et"
     )
