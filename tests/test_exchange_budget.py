@@ -60,6 +60,7 @@ BUDGET = {
     "tfidf_top_terms": 7,
     "split_balance_report": 7,
     "decontamination_report": 7,
+    "events_audience_overlap": 7,
     "incremental_dedup": 10,     # single-statement SQL recomputes the
                                  # band CTE per reference; production
                                  # persists the corpus band index
