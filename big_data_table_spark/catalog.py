@@ -3038,7 +3038,23 @@ _R2_NEXT = [
 ]
 assert set(_R2_NEXT) <= set(CATALOG), sorted(set(_R2_NEXT) - set(CATALOG))
 assert not set(_R2_NEXT) & set(_R2_FRONT)
-_head = _R2_FRONT + _R2_NEXT
+
+# ------------------------------------------------------------------ #
+# driver-window ordering (round 3)
+#
+# Every entry in _R2_NEXT passed pytest oracle-parity at two SFs but
+# has never had a driver CORRECTNESS row (VERDICT r2 "What's wrong"
+# #2).  Rotate all 39 to the front, then the ops built THIS round
+# (_R3_NEW, appended as they land) so they get driver rows in the
+# round they were built.  r1/r2-green entries rotate behind the
+# 50-entry window — they stay covered by pytest parity at sf0.001 +
+# sf0.01 every run.
+# ------------------------------------------------------------------ #
+
+_R3_NEW: list[str] = []  # filled in below as r3 ops are registered
+
+_R3_FRONT = _R2_NEXT + _R3_NEW
+_head = _R3_FRONT + _R2_FRONT
 CATALOG = {
     **{name: CATALOG[name] for name in _head},
     **{name: spec for name, spec in CATALOG.items() if name not in set(_head)},
