@@ -160,10 +160,15 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # collision-proof fixpoint signature: count + sum of a per-edge
+        # 64-bit hash.  A (count, SUM(u), SUM(v)) triple can collide for
+        # distinct edge sets (e.g. {(5,1),(4,2)} vs {(4,1),(5,2)}) and
+        # stop the loop one round early with wrong labels.
         sig_row = e.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("sh"),
         ).collect()[0]
-        sig = (sig_row["n"], sig_row["su"], sig_row["sv"])
+        sig = (sig_row["n"], sig_row["sh"])
         if sig == prev_sig:
             converged = True
             break
