@@ -162,6 +162,7 @@ def embedding_neardup_lsh(
     n_bands: int = 16,
     rows_per_band: int = 2,
     dim: int = 64,
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded-LSH candidate generation + exact
     cosine verification — the scale path for ``embedding_neardup_sql``
@@ -249,9 +250,16 @@ def embedding_neardup_lsh(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    # verify joins: the (vec_id, e, nrm) side is small by construction
-    # (vectors, not pairs) — broadcast it so the candidate stream never
-    # shuffles; at 100 TB this becomes a shuffle join on vec_id
+    # verify joins: the (vec_id, e, nrm) side is vectors (not pairs) and
+    # usually small — but "usually" is not a plan: gate the broadcast on
+    # the actual vector count.  Below ``broadcast_max_rows`` (≈4M rows of
+    # 64 float64 dims ≈ 2 GB — the executor-broadcast comfort zone) hint
+    # broadcast so the candidate stream never shuffles; above it, fall
+    # through to Catalyst/AQE, which picks a shuffle join on vec_id —
+    # the 100 TB path as code instead of a comment.  The count() is one
+    # scan of the (tiny relative to candidates) vector table.
+    do_broadcast = vecs.count() <= broadcast_max_rows
+    hint = F.broadcast if do_broadcast else (lambda df: df)
     va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
@@ -259,8 +267,8 @@ def embedding_neardup_lsh(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
     scored = (
-        cand.join(F.broadcast(va), "vec_a")
-        .join(F.broadcast(vb), "vec_b")
+        cand.join(hint(va), "vec_a")
+        .join(hint(vb), "vec_b")
         .select(
             "vec_a",
             "vec_b",

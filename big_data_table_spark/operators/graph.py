@@ -163,10 +163,13 @@ def connected_components_star(
         # collision-proof fixpoint signature: count + sum of a per-edge
         # 64-bit hash.  A (count, SUM(u), SUM(v)) triple can collide for
         # distinct edge sets (e.g. {(5,1),(4,2)} vs {(4,1),(5,2)}) and
-        # stop the loop one round early with wrong labels.
+        # stop the loop one round early with wrong labels.  The hash sum
+        # accumulates in DECIMAL(38,0): xxhash64 spans the full int64
+        # range, so a BIGINT sum can overflow mid-partition — an ANSI
+        # runtime error that comes and goes with partition layout.
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("sh"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["sh"])
         if sig == prev_sig:

@@ -65,6 +65,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_r",
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """As-of join — for each left row, the latest right row with
     ``right.on <= left.on`` (backward; ``forward`` = earliest ``>=``),
@@ -78,6 +79,13 @@ def asof_join(
     exchange), no driver involvement, skew bounded by the ``by``
     cardinality — survives a 100× scale-up where a per-group
     ``merge_asof`` pandas UDF would OOM on hot groups.
+
+    Without ``by`` there is no partition key, and an unpartitioned window
+    would sort the whole union in ONE task — a scale-killer, so it is
+    **refused**: pass ``bucket_width`` instead (units of ``on``), which
+    routes through the bucketed two-pass formulation
+    (:func:`_asof_join_bucketed`) — every window partitioned by time
+    bucket, cross-bucket carry via a tiny per-bucket boundary table.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
@@ -87,14 +95,16 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     if not by:
-        import warnings
-
-        warnings.warn(
-            "asof_join without `by` uses an UNPARTITIONED window — the "
-            "whole union sorts in a single task.  Fine for small inputs; "
-            "at scale pass `by` (per-key windows) or pre-bucket the time "
-            "axis (operators/joins.py:range_join pattern).",
-            stacklevel=2,
+        if bucket_width is None:
+            raise ValueError(
+                "asof_join without `by` would use an UNPARTITIONED window "
+                "(whole union sorted in a single task — unusable at "
+                "scale).  Pass `by=` for per-key windows, or "
+                "`bucket_width=` (units of `on`) for the time-bucketed "
+                "formulation."
+            )
+        return _asof_join_bucketed(
+            left, right, on, right_cols, direction, suffix, bucket_width
         )
 
     lcols = left.columns
@@ -144,6 +154,131 @@ def asof_join(
         *[F.col("__f_" + c).alias(out_right[c]) for c in right_cols],
     )
     return result
+
+
+def _asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_cols: list[str],
+    direction: str,
+    suffix: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Keyless as-of without a global sort: bucket the time axis and run
+    the union+window pass **partitioned by bucket**, then resolve left
+    rows with no in-bucket match through a per-bucket boundary table.
+
+    Two-pass shape:
+
+    1. in-bucket pass — the standard union+window carry, but the window
+       partitions on ``floor(on / bucket_width)``, so the sort is
+       per-bucket and parallel;
+    2. cross-bucket carry — the last (backward) / first (forward) right
+       row of EACH bucket is one row per non-empty right bucket (bounded
+       by the time-range / bucket_width, thousands not billions), so the
+       "latest right row in any earlier bucket" lookup is a broadcast
+       non-equi join of that tiny boundary table against the distinct
+       missed buckets, then a per-missed-bucket ``row_number`` — every
+       window in the plan is partitioned.
+
+    Correctness: a right row in an earlier bucket always has
+    ``on < left.on``'s bucket start ≤ ``left.on`` (backward; symmetric
+    argument forward), so in-bucket and cross-bucket candidates never
+    disagree — the in-bucket match wins whenever it exists.
+    """
+    backward = direction == "backward"
+    lcols = left.columns
+    out_right = {c: (c + suffix if c in lcols else c) for c in right_cols}
+
+    def _bucket(col: Column, dtype: str) -> Column:
+        num = (
+            col.cast("timestamp").cast("double")
+            if dtype.startswith("timestamp")
+            else col.cast("double")
+        )
+        return F.floor(num / F.lit(float(bucket_width)))
+
+    l_dtype = dict(left.dtypes)[on]
+    r_dtype = dict(right.dtypes)[on]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        _bucket(F.col(on), l_dtype).alias("__bucket"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("int").alias("__r__has"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in right_cols],
+    )
+    r_sel: list[Column] = []
+    for c in lcols:
+        if c == on:
+            r_sel.append(F.col(c))
+        else:
+            r_sel.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
+    r_sel.append(_bucket(F.col(on), r_dtype).alias("__bucket"))
+    r_sel.append(F.lit(0).alias("__side"))
+    r_sel.append(F.lit(1).alias("__r__has"))
+    r_sel += [F.col(c).alias("__r_" + c) for c in right_cols]
+    r_tagged = right.select(*r_sel)
+
+    order = [F.col(on).asc() if backward else F.col(on).desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = ["__r__has"] + ["__r_" + c for c in right_cols]
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias("__f" + c) for c in carried]
+    )
+    left_rows = filled.filter(F.col("__side") == 1)
+    hit = left_rows.filter(F.col("__f__r__has").isNotNull()).select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__f__r_" + c).alias(out_right[c]) for c in right_cols],
+    )
+    miss = left_rows.filter(F.col("__f__r__has").isNull()).select(
+        *[F.col(c) for c in lcols], "__bucket"
+    )
+
+    # boundary: ONE row per non-empty right bucket (the bucket's last /
+    # first right row) — tiny by construction, safe to broadcast
+    wb = Window.partitionBy("__bucket").orderBy(
+        F.col("__r_on").desc() if backward else F.col("__r_on").asc()
+    )
+    boundary = (
+        r_tagged.select(
+            "__bucket", F.col(on).alias("__r_on"), *[F.col("__r_" + c) for c in right_cols]
+        )
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    miss_buckets = miss.select("__bucket").distinct()
+    bd = boundary.withColumnRenamed("__bucket", "__b_bucket")
+    cond = (
+        F.col("__b_bucket") < F.col("__bucket")
+        if backward
+        else F.col("__b_bucket") > F.col("__bucket")
+    )
+    wc = Window.partitionBy("__bucket").orderBy(
+        *(
+            [F.col("__r_on").desc(), F.col("__b_bucket").desc()]
+            if backward
+            else [F.col("__r_on").asc(), F.col("__b_bucket").asc()]
+        )
+    )
+    carry = (
+        miss_buckets.join(F.broadcast(bd), cond)
+        .withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") == 1)
+        .select("__bucket", *[F.col("__r_" + c) for c in right_cols])
+    )
+    resolved_miss = miss.join(F.broadcast(carry), "__bucket", "left").select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__r_" + c).alias(out_right[c]) for c in right_cols],
+    )
+    return hit.unionByName(resolved_miss)
 
 
 def range_join(

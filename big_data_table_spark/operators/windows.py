@@ -71,7 +71,11 @@ def sessionize(
     ``user``.  (Streaming equivalent: ``F.session_window`` — see
     ``streaming/events.py``.)"""
     w = Window.partitionBy(user).orderBy(F.col(ts).asc())
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    # cast through timestamp first: TIMESTAMP_NTZ → BIGINT is not a legal
+    # direct cast, and NTZ → TIMESTAMP is exact under the pinned UTC
+    # session tz (sources/readers.py:ensure_session_confs)
+    tsec = F.col(ts).cast("timestamp").cast("long")
+    gap = tsec - F.lag(tsec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(
         session_col,

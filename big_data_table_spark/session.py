@@ -75,3 +75,69 @@ def connect(
 def close(spark: SparkSession) -> None:
     """Reference ``rscl.close`` (rscl.R:45-47)."""
     spark.stop()
+
+
+def require(
+    spark: SparkSession,
+    packages: list[str],
+    paths: list[str] | None = None,
+):
+    """Cluster-wide dependency staging + per-executor import probe — the
+    engine's ``rscl.require`` (reference rscl.R:145-158, which loads a
+    package on every node and returns a logical success matrix).
+
+    ``paths`` are shipped with ``sc.addPyFile`` (a directory is zipped
+    first — Spark unpacks archives onto every executor's ``sys.path``);
+    ``packages`` are then import-probed INSIDE an Arrow-batched task on
+    every core of the cluster, so the returned DataFrame is the success
+    matrix measured where the code will actually run, not on the driver:
+
+    ``probe_id long, pid long, package string, ok boolean, error string``
+
+    One row per (probe task × package).  ``df.groupBy("package")
+    .agg(F.min("ok"))`` is the reference's ``simplify=TRUE`` vector.
+    Config-time alternatives (``spark.submit.pyFiles``, conda/venv
+    archives) remain the right tool for heavy native deps — this is the
+    *runtime* path for shipping pure-Python code mid-session.
+    """
+    import shutil
+    import tempfile
+
+    sc = spark.sparkContext
+    for p in paths or []:
+        if os.path.isdir(p):
+            staged = os.path.join(
+                tempfile.mkdtemp(prefix="bdt_require_"),
+                os.path.basename(os.path.normpath(p)),
+            )
+            p = shutil.make_archive(staged, "zip", root_dir=os.path.dirname(p) or ".",
+                                    base_dir=os.path.basename(os.path.normpath(p)))
+        sc.addPyFile(p)
+
+    pkgs = list(packages)
+    n = sc.defaultParallelism
+
+    def _probe(batches):
+        import importlib
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for probe_id in pdf["id"]:
+                for pkg in pkgs:
+                    try:
+                        importlib.import_module(pkg)
+                        rows.append((int(probe_id), _os.getpid(), pkg, True, None))
+                    except Exception as e:  # noqa: BLE001 — the error IS the result
+                        rows.append((int(probe_id), _os.getpid(), pkg, False, repr(e)))
+            yield pd.DataFrame(
+                rows, columns=["probe_id", "pid", "package", "ok", "error"]
+            )
+
+    return (
+        spark.range(n)
+        .repartition(n)  # one probe task per core, like the per-node matrix
+        .mapInPandas(_probe, "probe_id long, pid long, package string, ok boolean, error string")
+    )

@@ -56,18 +56,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events fixture with ``ts`` converted int64-nanos → timestamp.
+    """events fixture with ``ts`` normalized to session-tz ``timestamp``.
 
-    Fixture values are microsecond-precision (verified: no row has
-    sub-microsecond nanos), so the nanos→micros division is lossless
-    — provided it stays in integer arithmetic: ``F.col/1000`` routes
-    through double, which is inexact above 2^53 and truncates ~1.5%
-    of ns-range longs 1µs low.  ``div`` is 64-bit integer division.
+    The fixture's physical type has changed across driver generations, so
+    all three observed physicals are handled; every downstream operator
+    (``unix_timestamp``, ``cast(ts AS bigint)``, window functions) sees
+    one canonical ``TimestampType``:
+
+    * ``timestamp[us]`` (current fixtures) — read as TIMESTAMP_NTZ, cast
+      to TIMESTAMP.  Session tz is pinned UTC, so the wall-clock values
+      are unchanged and the cast is exact.
+    * ``TIMESTAMP(NANOS)`` (older fixtures) — rejected by the parquet
+      reader unless ``nanosAsLong``; the int64 nanos are divided to
+      micros with ``div`` (64-bit INTEGER division: ``F.col/1000``
+      routes through double, inexact above 2^53, truncating ~1.5% of
+      ns-range longs 1µs low).  Lossless — fixture values are
+      micro-precision.
+    * plain ``timestamp`` — already canonical.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

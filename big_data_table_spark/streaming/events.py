@@ -8,9 +8,11 @@ via ``applyInPandasWithState``.  Local tests drive a bounded parquet batch
 through the stream with ``processAllAvailable`` + a memory sink; on a real
 cluster the same plans run over kafka/file sources unchanged.
 
-The events fixture stores TIMESTAMP(NANOS); like the batch reader we scan
-nanos-as-long and convert to micros in-plan (lossless — fixture values are
-micro-precision).
+The events fixture's ``ts`` physical has changed across driver generations
+(TIMESTAMP(NANOS) → timestamp[us]); like the batch reader
+(sources/readers.py:load_events) the stream source probes the parquet
+footer once and normalizes in-plan, so every operator below sees one
+canonical session-tz ``TimestampType`` column.
 """
 
 from __future__ import annotations
@@ -27,25 +29,53 @@ from ..sources.readers import ensure_session_confs
 
 _qid = itertools.count()
 
-RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _probe_ts(spark: SparkSession, sf_dir: str) -> str:
+    """One footer-only batch read to learn the fixture's ``ts`` physical
+    ("bigint" nanos / "timestamp_ntz" micros / "timestamp").  The file
+    stream source needs the schema declared up front, so the probe cannot
+    be folded into the stream plan itself; it reads no row groups."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return dict(batch.dtypes)["ts"]
+
+
+_TS_SPARK_TYPE = {
+    "bigint": T.LongType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def _normalize_ts(df: DataFrame, ts_type: str) -> DataFrame:
+    if ts_type == "bigint":
+        # integer division — `/ 1000` routes through double and is inexact
+        # above 2^53 (see sources/readers.py:load_events)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     ensure_session_confs(spark)
+    ts_type = _probe_ts(spark, sf_dir)
     # the file-stream source requires a directory; point it at sf_dir with
     # a glob filter selecting only the events file
-    reader = spark.readStream.schema(RAW_SCHEMA).option(
+    reader = spark.readStream.schema(_raw_schema(_TS_SPARK_TYPE[ts_type])).option(
         "pathGlobFilter", "events.parquet"
     )
     if max_files_per_trigger is not None:
@@ -53,9 +83,7 @@ def read_events_stream(
         # backlog is drained in steady increments instead of one giant batch
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    # integer division — `/ 1000` routes through double and is inexact
-    # above 2^53 (see sources/readers.py:load_events)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(raw, ts_type)
 
 
 @contextmanager
@@ -433,29 +461,33 @@ def late_data_accounting(
     import tempfile
 
     ensure_session_confs(spark)
+    from ..sources.readers import load_events
+
     staged = tempfile.mkdtemp(prefix="bdt_late_")
-    raw = spark.read.schema(RAW_SCHEMA).option(
-        "pathGlobFilter", "events.parquet"
-    ).parquet(sf_dir)
-    cut_ns = 1704153600 * 1_000_000_000  # 2024-01-02 00:00:00 UTC in nanos
-    mid_ns = 1705363200 * 1_000_000_000  # 2024-01-16 00:00:00 UTC in nanos
+    # stage from the NORMALIZED batch read (ts is session-tz timestamp
+    # whatever the fixture physical), so the replay files always carry
+    # Spark's own TIMESTAMP(MICROS) and the stream schema below is exact
+    raw = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    cut = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
     a_dir = os.path.join(staged, "a")
     b_dir = os.path.join(staged, "b")
     late_dir = os.path.join(staged, "c")
-    raw.filter((F.col("ts") >= cut_ns) & (F.col("ts") < mid_ns)).coalesce(1).write.parquet(a_dir)
-    raw.filter(F.col("ts") >= mid_ns).coalesce(1).write.parquet(b_dir)
-    raw.filter(F.col("ts") < cut_ns).coalesce(1).write.parquet(late_dir)
+    raw.filter((F.col("ts") >= cut) & (F.col("ts") < mid)).coalesce(1).write.parquet(a_dir)
+    raw.filter(F.col("ts") >= mid).coalesce(1).write.parquet(b_dir)
+    raw.filter(F.col("ts") < cut).coalesce(1).write.parquet(late_dir)
     t0 = 1_600_000_000
     for d, t in ((a_dir, t0), (b_dir, t0 + 100), (late_dir, t0 + 200)):
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (t, t))
 
     stream = (
-        spark.readStream.schema(RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(T.TimestampType()))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(staged + "/*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.withWatermark("ts", delay)

@@ -297,3 +297,33 @@ def test_rbindlapply(spark):
     )
     assert out.count() == 6  # 1 + 2 + 3
     assert out.groupBy("src").count().count() == 3
+
+
+def test_require_ships_module_and_probes_import(spark, tmp_path):
+    """session.require round-trip (reference rscl.R:145-158): stage a
+    module via addPyFile, probe its import on every core, then actually
+    USE it inside a mapInPandas task."""
+    from big_data_table_spark.session import require
+
+    mod = tmp_path / "bdt_shipped_mod.py"
+    mod.write_text("def triple(x):\n    return 3 * x\n")
+
+    matrix = require(spark, ["bdt_shipped_mod", "definitely_not_a_module"], paths=[str(mod)])
+    ok = {
+        r["package"]: r["min_ok"]
+        for r in matrix.groupBy("package").agg(F.min("ok").alias("min_ok")).collect()
+    }
+    assert ok["bdt_shipped_mod"] is True
+    assert ok["definitely_not_a_module"] is False
+    errs = matrix.filter(~F.col("ok")).select("error").distinct().collect()
+    assert "ModuleNotFoundError" in errs[0]["error"]
+
+    def use(batches):
+        import bdt_shipped_mod
+
+        for pdf in batches:
+            pdf["id"] = pdf["id"].map(bdt_shipped_mod.triple)
+            yield pdf
+
+    out = sorted(r["id"] for r in spark.range(4).mapInPandas(use, "id long").collect())
+    assert out == [0, 3, 6, 9]

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_table_spark.operators import joins as J
@@ -85,11 +86,44 @@ def test_asof_join_forward(spark):
             on="t",
             right_cols=["rv"],
             direction="forward",
+            bucket_width=10,  # keyless → bucketed; forces cross-bucket carry
         )
         .toPandas()
         .sort_values("lid")
     )
     assert list(out["rv"].fillna(-1)) == [100, 200, -1]
+
+
+def test_asof_join_keyless_requires_bucket_width(spark):
+    """Scale-safety contract: a keyless as-of (no `by`) REFUSES to build
+    the single-task unpartitioned-window plan — `bucket_width` routes it
+    through the bucketed formulation instead (VERDICT r2 #4)."""
+    left = spark.createDataFrame(pd.DataFrame({"t": [1, 2], "lid": [0, 1]}))
+    right = spark.createDataFrame(pd.DataFrame({"t": [1], "rv": [10]}))
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        J.asof_join(left, right, on="t", right_cols=["rv"])
+
+
+def test_asof_join_bucketed_plan_has_no_unpartitioned_window(spark):
+    """Every windowspecdefinition in the bucketed keyless plan carries a
+    partition spec (no global-sort window survives to the physical plan)."""
+    import re
+
+    left = spark.createDataFrame(pd.DataFrame({"t": [5, 15, 25], "lid": [0, 1, 2]}))
+    right = spark.createDataFrame(pd.DataFrame({"t": [10, 20], "rv": [100, 200]}))
+    out = J.asof_join(
+        left, right, on="t", right_cols=["rv"], bucket_width=10
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected Window nodes in the bucketed as-of plan"
+    for spec in specs:
+        # spec = "part1, part2, ..., order ASC NULLS FIRST, ..., frame" —
+        # an unpartitioned window starts directly with the ordering expr
+        first = spec.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, (
+            f"unpartitioned window in plan: windowspecdefinition({spec})"
+        )
 
 
 def test_range_join(spark):

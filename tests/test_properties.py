@@ -107,6 +107,7 @@ def test_asof_matches_merge_asof(spark, lt, rt):
             spark.createDataFrame(right),
             on="t",
             right_cols=["rv"],
+            bucket_width=100,  # keyless → the bucketed two-pass path
         )
         .toPandas()
         .sort_values("lid")
