@@ -60,14 +60,16 @@ def main() -> None:
 
     spark.range(64).repartition(32).mapInPandas(_noop, "id long").count()
 
-    # two measured runs per query, report the min: the first run includes
-    # codegen compilation and is exposed to host noise; min-of-2 reflects
-    # engine throughput while still charging plan+compile once
+    # three measured runs per query, report the min: the first run
+    # includes codegen compilation and is exposed to host noise, and this
+    # 32-core host shows 2-4× run-to-run scatter under min-of-2 (r2
+    # verdict) — min-of-3 makes round-over-round per-query deltas
+    # attributable while still charging plan+compile once
     timings: dict[str, float] = {}
     for name, key in HEADLINE:
         fn = CATALOG[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -162,7 +162,7 @@ def embedding_neardup_lsh(
     n_bands: int = 16,
     rows_per_band: int = 2,
     dim: int = 64,
-    broadcast_max_rows: int = 4_000_000,
+    broadcast_max_bytes: int = 2 << 30,
 ) -> DataFrame:
     """Near-duplicate pairs via banded-LSH candidate generation + exact
     cosine verification — the scale path for ``embedding_neardup_sql``
@@ -252,14 +252,16 @@ def embedding_neardup_lsh(
     )
     # verify joins: the (vec_id, e, nrm) side is vectors (not pairs) and
     # usually small — but "usually" is not a plan: gate the broadcast on
-    # the actual vector count.  Below ``broadcast_max_rows`` (≈4M rows of
-    # 64 float64 dims ≈ 2 GB — the executor-broadcast comfort zone) hint
+    # the optimizer's size estimate for the vector table (free — comes
+    # from parquet footer stats, no job).  Below ``broadcast_max_bytes``
+    # (default 2 GB — the executor-broadcast comfort zone) hint
     # broadcast so the candidate stream never shuffles; above it, fall
     # through to Catalyst/AQE, which picks a shuffle join on vec_id —
-    # the 100 TB path as code instead of a comment.  The count() is one
-    # scan of the (tiny relative to candidates) vector table.
-    do_broadcast = vecs.count() <= broadcast_max_rows
-    hint = F.broadcast if do_broadcast else (lambda df: df)
+    # the 100 TB path as code instead of a comment.
+    est_bytes = int(
+        str(vecs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    hint = F.broadcast if est_bytes <= broadcast_max_bytes else (lambda df: df)
     va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )

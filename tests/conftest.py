@@ -18,6 +18,15 @@ from big_data_table_spark.sources.readers import FIXTURE_TABLES
 SF_SMOKE = os.environ.get("BDT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fixture_pinned: asserts constants tuned on the canonical driver "
+        "fixtures (recall thresholds, measured row counts); skipped when "
+        "BDT_GENERATED_FIXTURES=1 says the data was regenerated",
+    )
+
+
 def pytest_collection_modifyitems(config, items):
     """The suite is integration-first: every test needs the parquet
     fixtures.  On hosts without them (e.g. a bare CI runner) skip the
@@ -26,6 +35,13 @@ def pytest_collection_modifyitems(config, items):
         skip = pytest.mark.skip(reason=f"fixture dir {SF_SMOKE} absent")
         for item in items:
             item.add_marker(skip)
+    if os.environ.get("BDT_GENERATED_FIXTURES") == "1":
+        skip_pinned = pytest.mark.skip(
+            reason="constant tuned on canonical fixtures; data is regenerated"
+        )
+        for item in items:
+            if "fixture_pinned" in item.keywords:
+                item.add_marker(skip_pinned)
 
 
 @pytest.fixture(scope="session")

@@ -197,7 +197,7 @@ def test_neardup_verify_broadcast_is_size_gated(spark, sf_dir):
     # at real scale)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        above = embedding_neardup_lsh(emb, broadcast_max_rows=0)
+        above = embedding_neardup_lsh(emb, broadcast_max_bytes=0)
         plan_above = above._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan_above
         assert "SortMergeJoin" in plan_above or "ShuffledHashJoin" in plan_above

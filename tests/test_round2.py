@@ -75,6 +75,8 @@ def test_minlabel_cc_raises_without_convergence(spark):
 # embedding near-dup: LSH candidates == all-pairs exact (recall 1.0)
 # ------------------------------------------------------------------ #
 
+@pytest.mark.fixture_pinned  # recall==1.0 verified on the canonical SFs;
+# probabilistic banding can miss a threshold-boundary pair on other data
 def test_embedding_neardup_lsh_equals_allpairs(spark, sf_dir):
     """The banded-LSH candidate route must reproduce the all-pairs
     within-label answer exactly on the fixture (verified recall 1.0) —
@@ -121,6 +123,7 @@ def test_embedding_neardup_plan_has_no_label_cartesian(spark, sf_dir):
 # trained IVF
 # ------------------------------------------------------------------ #
 
+@pytest.mark.fixture_pinned
 def test_ann_ivf_trained_recall_beats_seed_ivf(spark, duck, sf_dir):
     """Trained coarse cells must carry more signal than id-seed cells:
     recall@5 vs brute force improves (0.92 vs ~0.36 measured at sf0.01)."""
@@ -270,6 +273,7 @@ def test_events_ts_microsecond_exact(spark, duck, sf_dir):
 # product quantization: trained codebook must beat id-seed codewords
 # ------------------------------------------------------------------ #
 
+@pytest.mark.fixture_pinned
 def test_pq_trained_recall_beats_id_seed(duck):
     """Recall@5 vs exact L2 for the same query set (vec_id 16..20):
     the per-subspace-k-means codebook (`ann_pq_trained_topk`) must

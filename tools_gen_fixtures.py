@@ -6,13 +6,17 @@ read-only; they are not committed, so a bare CI runner has no data and
 the suite used to self-skip into a meaningless green (ADVICE r2,
 tests/conftest.py:26).  This script produces tables with the SAME
 schemas, categorical domains, and row-count proportions as the driver's
-sf0.001 set, deterministically (numpy PCG64, fixed seed), so CI can run
-the full Spark-vs-DuckDB oracle-parity suite on real data.
+sf0.001 set, deterministically within one environment (numpy PCG64,
+fixed seed — numpy guarantees BitGenerator stream stability but NOT
+Generator method output stability across releases, so two runners with
+different numpy versions can produce different values; no test compares
+values across independently generated fixture sets), so CI can run the
+full Spark-vs-DuckDB oracle-parity suite on real data.
 
 The VALUES differ from the driver's fixtures — tests that pin
-fixture-specific constants (exact recalls, row counts of the driver
-data) must tolerate regenerated data or gate on the
-BDT_GENERATED_FIXTURES env var that tests.yml sets.
+fixture-specific constants (tuned recall thresholds, driver-data row
+counts) carry the ``fixture_pinned`` marker and are skipped when
+tests.yml sets BDT_GENERATED_FIXTURES=1 (tests/conftest.py).
 
 Usage: python tools_gen_fixtures.py OUTDIR [--sf 0.001]
 """
@@ -164,6 +168,9 @@ def generate(outdir: str, sf: float = 0.001, seed: int = 4242) -> None:
             src = rng.integers(0, i)
             vecs[i] = vecs[src] + rng.normal(0, 0.001, 64)
             labels[i] = labels[src]
+    # unit-norm rows: the canonical driver fixtures are exactly
+    # L2-normalized, and recall thresholds are tuned on that geometry
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     write("embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
         "embedding": pa.array([v.astype(np.float32) for v in vecs], pa.list_(pa.float32())),
