@@ -79,17 +79,62 @@ except ImportError:
     _HAS_PIL = False
 
 
+def encode_ppm(width: int, height: int, pixels: bytes, maxval: int = 255) -> bytes:
+    """Encode raw interleaved RGB bytes as a binary PPM (P6) image —
+    pure Python, no codec library.  ``pixels`` must be exactly
+    ``3 * width * height`` bytes."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"expected {3 * width * height} pixel bytes, got {len(pixels)}")
+    return b"P6\n# bdt synthetic\n%d %d\n%d\n" % (width, height, maxval) + pixels
+
+
+def decode_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
+    """REAL image decode path, pure Python: parse a binary PPM (P6)
+    blob → (width, height, maxval, rgb_bytes).  Handles the full header
+    grammar (magic, ``#`` comments, arbitrary whitespace between
+    tokens, single whitespace byte before the raster).  This is the one
+    decoder that runs end-to-end without PIL; JPEG/PNG/video stay gated
+    (:func:`decode_image`, :func:`frame_sample`)."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) blob")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and comment lines
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(blob) and blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(blob[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    width, height, maxval = tokens
+    n = 3 * width * height
+    pixels = blob[pos : pos + n]
+    if len(pixels) != n:
+        raise ValueError(f"truncated raster: expected {n} bytes, got {len(pixels)}")
+    return width, height, maxval, pixels
+
+
 def decode_image(blob: bytes):
     """Decode an image blob → (width, height, mode).
 
-    STUB: PIL is not available in this environment; the call signature,
-    batching, and schema plumbing around it are real and tested via
-    :func:`fake_decode_features`.
+    PPM (P6) decodes for real via the pure-Python :func:`decode_ppm`;
+    other formats need PIL, which is not available in this environment —
+    the call signature, batching, and schema plumbing around them are
+    real and tested via :func:`fake_decode_features`.
     """
+    if blob[:2] == b"P6":
+        w, h, _maxval, _px = decode_ppm(blob)
+        return w, h, "RGB"
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; not available in this environment "
-            "(plumbing tested via fake_decode_features)"
+            "non-PPM image decode requires PIL; not available in this "
+            "environment (plumbing tested via fake_decode_features)"
         )
     import io
 
@@ -225,6 +270,66 @@ def media_dedup_by_digest(df: DataFrame, blob_col: str = "media") -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def synth_ppm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PPM images keyed off ``doc_id``: width
+    ``4 + id % 13``, height ``3 + id % 11``, and raster byte ``j`` equal
+    to ``(id*7 + j*13) % 256`` — a closed-form pixel model, so an
+    external oracle can compute the decoded statistics from arithmetic
+    alone while the Spark side round-trips REAL bytes through the real
+    encoder (:func:`encode_ppm`).  Arrow-batched mapInPandas, map-only."""
+    out_schema = "media_id long, media binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 11
+                j = np.arange(3 * w * h, dtype=np.int64)
+                px = ((did * 7 + j * 13) % 256).astype(np.uint8).tobytes()
+                ids.append(did)
+                blobs.append(encode_ppm(w, h, px))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=out_schema)
+
+
+def decode_ppm_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Decode PPM blobs with the real pure-Python parser and emit the
+    per-image channel statistics ``(width, height, maxval, sum_r, sum_g,
+    sum_b)`` — the end-to-end proof that the decode path is real: the
+    numbers come out of parsed raster bytes, not metadata."""
+    out_schema = (
+        "media_id long, width int, height int, maxval int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                w, h, maxval, px = decode_ppm(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+                rows.append(
+                    (
+                        int(mid), w, h, maxval,
+                        int(arr[:, 0].sum()), int(arr[:, 1].sum()), int(arr[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "maxval", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -77,3 +77,11 @@ def epoch_s(expr: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"CAST(unix_timestamp({expr}) AS BIGINT)"
     return f"CAST(floor(epoch({expr})) AS BIGINT)"
+
+
+def bit_xor(a: str, b: str, dialect: str) -> str:
+    """Bitwise XOR: Spark SQL spells it ``^``; in DuckDB ``^`` is POWER
+    and XOR is the ``xor()`` function."""
+    if dialect == SPARK:
+        return f"({a} ^ {b})"
+    return f"xor({a}, {b})"
