@@ -29,6 +29,10 @@ rounded past the one transcendental step (``ln``).
 
 Implementation notes that cost a debugging round each:
 
+* 64-bit inputs are FOLDED to 32 bits (``lo XOR hi``, ``_fold64_sql``),
+  never truncated — ``% 2^32`` alone would alias keys that differ only
+  in the high word (snowflake-style ids, orderkeys at large SF) and
+  systematically undercount;
 * the plain multiplicative hash is NOT enough — HLL's rho statistic is
   brutal on structured input, and sequential fixture keys landed 20-60%
   high; the murmur3 finalizer sits inside the nominal band (0.3-3.6% at
@@ -72,12 +76,23 @@ def _shr_xor_sql(h: str, bits: int, dialect: str) -> str:
     return bit_xor(h, f"CAST(FLOOR(({h}) / {1 << bits}) AS BIGINT)", dialect)
 
 
+def _fold64_sql(v: str, dialect: str) -> str:
+    """Fold a 64-bit value to < 2^32 by XOR-ing the high word into the low
+    word (``lo ^ hi``), NOT by truncating: plain ``% 2^32`` would collapse
+    keys differing only above 2^32 (64-bit snowflake ids, large-SF
+    orderkeys) into one hash — a systematic HLL undercount.  For values
+    below 2^32 the high word is 0 and the fold is the identity, so
+    fixture-scale estimates are unchanged."""
+    return bit_xor(f"({v}) % {_MOD}", f"CAST(FLOOR(({v}) / {_MOD}) AS BIGINT)", dialect)
+
+
 def _hash_ctes(src: str, group_cols: str, value_col: str, dialect: str) -> str:
     """CTE chain computing the murmur3 finalizer hash ``h`` (< 2^32) of
     ``value_col``, carrying ``group_cols`` through."""
     gc = f"{group_cols}, " if group_cols else ""
+    v64 = f"CAST({value_col} AS BIGINT)"
     return f"""
-_h0 AS (SELECT {gc}CAST({value_col} AS BIGINT) % {_MOD} AS h FROM {src}),
+_h0 AS (SELECT {gc}{_fold64_sql(v64, dialect)} AS h FROM {src}),
 _h1 AS (SELECT {gc}{_mulmod_sql(_shr_xor_sql('h', 16, dialect), _C1)} AS h FROM _h0),
 _h2 AS (SELECT {gc}{_mulmod_sql(_shr_xor_sql('h', 13, dialect), _C2)} AS h FROM _h1),
 _hf AS (SELECT {gc}{_shr_xor_sql('h', 16, dialect)} AS h FROM _h2)"""
@@ -126,7 +141,6 @@ def hll_estimate_sql(
     ``src`` (a table name or parenthesized subquery)."""
     m = 1 << p
     gc = f"{group_cols}, " if group_cols else ""
-    sel = group_cols if group_cols else "1 AS one"
     return f"""
 WITH {_hash_ctes(src, group_cols, value_col, dialect)},
 regs AS ({_regs_sql(p).format(gc=gc)}),
@@ -149,7 +163,7 @@ def hll_registers(
     wbits = 32 - p
     staged = (
         df.select(*group_cols, F.col(value_col).cast("long").alias("h"))
-        .withColumn("h", F.col("h") % F.lit(_MOD))
+        .withColumn("h", F.expr(_fold64_sql("h", SPARK)))
         .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 16, SPARK), _C1)))
         .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 13, SPARK), _C2)))
         .withColumn("h", F.expr(_shr_xor_sql("h", 16, SPARK)))

@@ -18,6 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _right_struct_type(right: DataFrame, right_cols: list[str]) -> StructType:
+    """Struct type bundling the carried right-side columns: the as-of fill
+    carries the whole matched row as ONE value so per-column NULLs survive."""
+    return StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
 
 
 def lookup_join(
@@ -74,11 +83,14 @@ def asof_join(
 
     Implementation is the scalable union+window formulation, not a UDF:
     tag and union both inputs, sort within each ``by`` partition by
-    ``(on, side)``, and carry the last non-null right-side values forward
-    with ``last(..., ignorenulls=True)``.  One shuffle (the window
-    exchange), no driver involvement, skew bounded by the ``by``
-    cardinality — survives a 100× scale-up where a per-group
-    ``merge_asof`` pandas UDF would OOM on hot groups.
+    ``(on, side)``, and carry the matched right ROW forward as one struct
+    through a single ``last(..., ignorenulls=True)`` — atomic, so a right
+    column that is legitimately NULL in the matching row stays NULL
+    instead of back-sliding to an older right row (per-column fills mix
+    columns from different rows).  One shuffle (the window exchange), no
+    driver involvement, skew bounded by the ``by`` cardinality — survives
+    a 100× scale-up where a per-group ``merge_asof`` pandas UDF would OOM
+    on hot groups.
 
     Without ``by`` there is no partition key, and an unpartitioned window
     would sort the whole union in ONE task — a scale-killer, so it is
@@ -109,13 +121,14 @@ def asof_join(
 
     lcols = left.columns
     out_right = {c: (c + suffix if c in lcols else c) for c in right_cols}
+    r_struct = _right_struct_type(right, right_cols)
 
     # side ordering: in backward mode right rows at ts T must be visible to
     # left rows at the same T → right sorts first (side 0).
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in right_cols],
+        F.lit(None).cast(r_struct).alias("__r"),
     )
     # build the right side aligned to the union schema explicitly
     r_cols = []
@@ -125,33 +138,26 @@ def asof_join(
         else:
             r_cols.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
     r_cols.append(F.lit(0).alias("__side"))
-    r_cols += [F.col(c).alias("__r_" + c) for c in right_cols]
+    r_cols.append(F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"))
     r_tagged = right.select(*r_cols)
 
     unioned = l_tagged.unionByName(r_tagged)
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            "*", *[F.last("__r_" + c, ignorenulls=True).over(w).alias("__f_" + c) for c in right_cols]
-        )
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            "*", *[F.last("__r_" + c, ignorenulls=True).over(w).alias("__f_" + c) for c in right_cols]
-        )
+    order_on = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_on, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # ONE last() over the whole-row struct: the matched right row wins
+    # atomically (a NULL right column never back-slides to an older row)
+    filled = unioned.select(
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
+    )
 
     result = filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col("__f_" + c).alias(out_right[c]) for c in right_cols],
+        *[F.col("__f")[c].alias(out_right[c]) for c in right_cols],
     )
     return result
 
@@ -202,12 +208,12 @@ def _asof_join_bucketed(
     l_dtype = dict(left.dtypes)[on]
     r_dtype = dict(right.dtypes)[on]
 
+    r_struct = _right_struct_type(right, right_cols)
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         _bucket(F.col(on), l_dtype).alias("__bucket"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("int").alias("__r__has"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in right_cols],
+        F.lit(None).cast(r_struct).alias("__r"),
     )
     r_sel: list[Column] = []
     for c in lcols:
@@ -217,8 +223,7 @@ def _asof_join_bucketed(
             r_sel.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
     r_sel.append(_bucket(F.col(on), r_dtype).alias("__bucket"))
     r_sel.append(F.lit(0).alias("__side"))
-    r_sel.append(F.lit(1).alias("__r__has"))
-    r_sel += [F.col(c).alias("__r_" + c) for c in right_cols]
+    r_sel.append(F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"))
     r_tagged = right.select(*r_sel)
 
     order = [F.col(on).asc() if backward else F.col(on).desc(), F.col("__side").asc()]
@@ -227,16 +232,19 @@ def _asof_join_bucketed(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = ["__r__has"] + ["__r_" + c for c in right_cols]
+    # one struct carry — the whole right row wins atomically, and the
+    # non-null struct doubles as the has-match flag (same shape as the
+    # cross-bucket carry below, so the two passes can never disagree on
+    # which columns come from which row)
     filled = l_tagged.unionByName(r_tagged).select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias("__f" + c) for c in carried]
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
     )
     left_rows = filled.filter(F.col("__side") == 1)
-    hit = left_rows.filter(F.col("__f__r__has").isNotNull()).select(
+    hit = left_rows.filter(F.col("__f").isNotNull()).select(
         *[F.col(c) for c in lcols],
-        *[F.col("__f__r_" + c).alias(out_right[c]) for c in right_cols],
+        *[F.col("__f")[c].alias(out_right[c]) for c in right_cols],
     )
-    miss = left_rows.filter(F.col("__f__r__has").isNull()).select(
+    miss = left_rows.filter(F.col("__f").isNull()).select(
         *[F.col(c) for c in lcols], "__bucket"
     )
 
@@ -246,9 +254,7 @@ def _asof_join_bucketed(
         F.col("__r_on").desc() if backward else F.col("__r_on").asc()
     )
     boundary = (
-        r_tagged.select(
-            "__bucket", F.col(on).alias("__r_on"), *[F.col("__r_" + c) for c in right_cols]
-        )
+        r_tagged.select("__bucket", F.col(on).alias("__r_on"), "__r")
         .withColumn("__rn", F.row_number().over(wb))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
@@ -272,11 +278,11 @@ def _asof_join_bucketed(
         miss_buckets.join(F.broadcast(bd), cond)
         .withColumn("__rn", F.row_number().over(wc))
         .filter(F.col("__rn") == 1)
-        .select("__bucket", *[F.col("__r_" + c) for c in right_cols])
+        .select("__bucket", "__r")
     )
     resolved_miss = miss.join(F.broadcast(carry), "__bucket", "left").select(
         *[F.col(c) for c in lcols],
-        *[F.col("__r_" + c).alias(out_right[c]) for c in right_cols],
+        *[F.col("__r")[c].alias(out_right[c]) for c in right_cols],
     )
     return hit.unionByName(resolved_miss)
 

@@ -137,7 +137,12 @@ def require(
             )
 
     return (
-        spark.range(n)
-        .repartition(n)  # one probe task per core, like the per-node matrix
+        # range with an EXPLICIT partition count: exactly one id per
+        # partition by construction, no shuffle.  (`repartition(n)` is
+        # round-robin from a random start offset, and hash/range
+        # repartitioning can collide — either way some of the n tasks can
+        # end up empty, and an empty mapInPandas task yields no probe
+        # rows, silently shrinking the matrix below one-probe-per-core.)
+        spark.range(0, n, 1, numPartitions=n)
         .mapInPandas(_probe, "probe_id long, pid long, package string, ok boolean, error string")
     )

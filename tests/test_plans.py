@@ -195,6 +195,9 @@ def test_neardup_verify_broadcast_is_size_gated(spark, sf_dir):
     # fixture scale they'd still auto-broadcast the tiny side, so pin the
     # unhinted strategy by turning auto-broadcast off (what the stats do
     # at real scale)
+    # save/restore the PRE-TEST value — `conf.unset` resets to the session
+    # default and would silently clobber a custom threshold set elsewhere
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         above = embedding_neardup_lsh(emb, broadcast_max_bytes=0)
@@ -203,7 +206,10 @@ def test_neardup_verify_broadcast_is_size_gated(spark, sf_dir):
         assert "SortMergeJoin" in plan_above or "ShuffledHashJoin" in plan_above
         b = sorted(map(tuple, above.select("vec_a", "vec_b").collect()))
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        if prior is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
     # hashes unchanged: both strategies produce the same pairs
     a = sorted(map(tuple, below.select("vec_a", "vec_b").collect()))
