@@ -1,0 +1,116 @@
+"""Sequence packing — deterministic document → context-window binning,
+the last step of every LLM training-data pipeline (after dedup, quality
+filtering, and tokenization the surviving documents are packed into
+fixed-token-budget context windows).
+
+Semantics: documents are laid out in **content-hash order** (md5 of the
+text — deterministic, partitioning-independent, and decorrelated from
+crawl order, which is exactly why real pipelines shuffle by hash before
+packing) and assigned greedily to consecutive bins of ``budget`` tokens:
+``bin_id = floor(exclusive_prefix_sum(tokens) / budget)``.  A document
+whose tokens straddle a bin boundary is charged to the bin where it
+starts, so a bin can overflow by at most ``max_doc_tokens - 1`` — the
+standard concat-then-chunk packing model (what a T5/GPT-style loader
+does when it concatenates documents and slices fixed-length windows),
+NOT bin-packing-with-rejection, which is inherently sequential and
+cannot scale.
+
+Scale (100 TB): the global prefix sum is the textbook two-phase
+distributed scan, never a global sort —
+
+1. range-partition on the first hex byte of the hash (256 buckets whose
+   lexicographic order IS md5-string order), windowed cumsum **inside**
+   each bucket;
+2. bucket offsets from a 256-row aggregate (one row per bucket —
+   metadata-sized, broadcast back), added to the in-bucket prefix.
+
+Every window in the plan is partitioned except the one over the 256-row
+bucket-total table, which is bounded by construction (same pattern as
+the as-of boundary-table carry, operators/joins.py).  DuckDB oracle:
+a plain global-window cumsum — same numbers, different physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .portable import DUCK, SPARK, arr_len, split_ws
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bin assignment: ``(doc_id, n_tokens, bin_id)``.
+
+    Tokens are whitespace tokens (``functions.text.token_count_sql``
+    semantics — swap in a BPE count upstream without changing the
+    packer).  Ties on identical text (same md5) break by ``id_col`` so
+    the layout is total and reproducible."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.expr(arr_len(split_ws(text_col, SPARK), SPARK)).cast("long").alias("n_tokens"),
+    )
+    # phase 1: in-bucket exclusive prefix sum, windows partitioned by the
+    # 2-hex-char range bucket (lexicographic bucket order == md5 order)
+    d = d.withColumn("bucket", F.substring("h", 1, 2))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("in_prefix", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+
+    # phase 2: bucket offsets — ≤256 rows, the ONLY unpartitioned window,
+    # bounded by construction; broadcast back onto the doc stream
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("offset") + F.col("in_prefix")) / F.lit(budget))
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )
+
+
+def pack_summary(packed: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-bin report: doc count, token sum, and fill ratio against the
+    budget (overflow > 1.0 is the charged-where-it-starts straddle)."""
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )
+
+
+def pack_sequences_sql(budget: int = 2048, dialect: str = DUCK) -> str:
+    """Dual-dialect oracle: the same layout as ONE global-window cumsum
+    (correct at oracle scale; the Spark path replaces the global window
+    with the two-phase scan)."""
+    tok = arr_len(split_ws("text", dialect), dialect)
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h, CAST({tok} AS BIGINT) AS n_tokens FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM d)
+SELECT CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+  ROUND(SUM(n_tokens) / CAST({budget} AS DOUBLE), 6) AS fill_ratio
+FROM p GROUP BY bin_id
+"""

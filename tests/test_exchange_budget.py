@@ -64,6 +64,10 @@ BUDGET = {
     "incremental_dedup": 10,     # single-statement SQL recomputes the
                                  # band CTE per reference; production
                                  # persists the corpus band index
+    # round 5
+    "multimodal_wav_decode": 0,  # synth + decode are map-only mapInPandas
+    "sequence_packing": 4,       # bucket window + totals agg + 256-row
+                                 # offset window + final bin agg
 }
 
 

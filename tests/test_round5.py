@@ -140,3 +140,131 @@ def test_require_probe_covers_every_core(spark):
     assert len(probes) == n
     assert {r["probe_id"] for r in probes} == set(range(n))
     assert all(r["ok"] for r in probes)
+
+
+# --------------------------------------------------------------------- #
+# WAV codec (round-5 real audio decode path)
+# --------------------------------------------------------------------- #
+
+
+def test_wav_roundtrip_walks_chunks():
+    """encode → decode round-trips rate/channels/frames/PCM exactly, and
+    the decoder walks past the deliberate LIST metadata chunk instead of
+    assuming the 44-byte canonical layout."""
+    import numpy as np
+
+    from big_data_table_spark.functions.multimodal import decode_wav, encode_wav
+
+    amp = np.array([0, 1000, -1000, 32767, -32768, 7], dtype="<i2")
+    blob = encode_wav(16000, 2, amp.tobytes())
+    assert b"LIST" in blob
+    rate, channels, bits, n_frames, pcm = decode_wav(blob)
+    assert (rate, channels, bits, n_frames) == (16000, 2, 16, 3)
+    assert np.array_equal(np.frombuffer(pcm, dtype="<i2"), amp)
+
+
+def test_wav_decoder_skips_odd_sized_chunk():
+    """RIFF pads odd-sized chunks to even offsets — a parser that forgets
+    the pad byte desyncs and misses the data chunk."""
+    import struct
+
+    import numpy as np
+
+    from big_data_table_spark.functions.multimodal import decode_wav, encode_wav
+
+    amp = np.array([5, -5], dtype="<i2")
+    blob = encode_wav(8000, 1, amp.tobytes())
+    odd = b"junk" + struct.pack("<I", 3) + b"abc\x00"  # 3-byte chunk + pad
+    patched = blob[:12] + odd + blob[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, channels, _bits, n_frames, pcm = decode_wav(patched)
+    assert (rate, channels, n_frames) == (8000, 1, 2)
+    assert np.array_equal(np.frombuffer(pcm, dtype="<i2"), amp)
+
+
+def test_wav_decoder_rejects_compressed():
+    import struct
+
+    from big_data_table_spark.functions.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # fmt 85 = MP3
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with pytest.raises(ValueError, match="only PCM-16"):
+        decode_wav(blob)
+
+
+# --------------------------------------------------------------------- #
+# sequence packing
+# --------------------------------------------------------------------- #
+
+
+def test_pack_sequences_matches_single_pass(spark):
+    """The two-phase distributed prefix sum must equal the single-pass
+    layout: sort by (md5, id), exclusive cumsum, floor-div budget."""
+    import hashlib
+
+    texts = [(i, f"doc {i} " + "tok " * (i % 7)) for i in range(1, 41)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    from big_data_table_spark.functions.packing import pack_sequences
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in pack_sequences(df, budget=10).collect()
+    }
+    order = sorted(
+        (hashlib.md5(t.encode()).hexdigest(), i, len(t.split())) for i, t in texts
+    )
+    prefix, want = 0, {}
+    for h, i, tok in order:
+        want[i] = (tok, prefix // 10)
+        prefix += tok
+    assert got == want
+
+
+def test_pack_summary_bins_are_contiguous_and_filled(spark, sf_dir):
+    """Bin ids are 0..max contiguous; every bin except the last holds at
+    least the budget minus the max straddle; totals conserve tokens."""
+    from big_data_table_spark.functions.packing import pack_sequences, pack_summary
+    from big_data_table_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=2048)
+    rows = {r["bin_id"]: r for r in pack_summary(packed, budget=2048).collect()}
+    bins = sorted(rows)
+    assert bins == list(range(len(bins)))
+    total_tokens = sum(r["bin_tokens"] for r in rows.values())
+    assert total_tokens == packed.agg(F.sum("n_tokens")).collect()[0][0]
+    max_doc = packed.agg(F.max("n_tokens")).collect()[0][0]
+    for b in bins[:-1]:
+        # a bin closes only once its prefix crosses the budget, so it
+        # can fall short of the budget by at most the straddling doc
+        assert rows[b]["bin_tokens"] > 2048 - max_doc
+
+
+def test_pack_sequences_plan_has_no_unpartitioned_doc_window(spark, sf_dir):
+    """Scale pin: the only unpartitioned window runs over the ≤256-row
+    bucket-total table, never over the document stream — the doc-stream
+    windows are all partitioned by the range bucket."""
+    from big_data_table_spark.functions.packing import pack_sequences
+    from big_data_table_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    import re
+
+    plan = (
+        pack_sequences(docs, budget=2048)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, plan
+    for spec in specs:
+        # doc-stream window: partitioned by bucket; offset window: ordered
+        # by bucket over the ≤256-row totals table — either way the spec
+        # is scoped to the bucket column, never an unpartitioned
+        # doc-stream ordering
+        assert "bucket" in spec, f"window without bucket scope: {spec}\n{plan}"
