@@ -82,7 +82,10 @@ def test_filter_then_count_matches_pandas(spark, pdf):
 def test_rbindlist_partition_roundtrip(spark, pdf, nsplit):
     """Splitting a frame and rbinding the shards reproduces the whole —
     the reference's shard/gather identity."""
-    chunks = np.array_split(pdf, nsplit)
+    # iloc-slice instead of np.array_split(DataFrame): the latter routes
+    # through pandas' deprecated swapaxes and will break on a future pandas
+    bounds = np.linspace(0, len(pdf), nsplit + 1, dtype=int)
+    chunks = [pdf.iloc[lo:hi] for lo, hi in zip(bounds[:-1], bounds[1:])]
     dfs = [spark.createDataFrame(c) for c in chunks if len(c)]
     whole = rbindlist(dfs).toPandas()
     assert len(whole) == len(pdf)
