@@ -3437,6 +3437,40 @@ def _sequence_packing_oracle() -> str:
     return pack_sequences_sql(2048, DUCK)
 
 
+def multimodal_png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: synthetic PNGs (stdlib
+    zlib deflate, scanline filters cycling through ALL FIVE PNG filter
+    types) decoded back through signature check → CRC-checked chunk walk
+    → inflate → per-scanline prediction reversal
+    (functions/multimodal.py:decode_png).  The oracle recomputes channel
+    sums from the closed-form pixel model — the hash can only match if
+    the zlib stream inflated and every Sub/Up/Average/Paeth row
+    reversed correctly.  Unlike PPM this exercises a genuinely
+    compressed container."""
+    from .functions.multimodal import decode_png_stats, synth_png_media
+
+    docs = Tables(spark, sf_dir).documents
+    return decode_png_stats(synth_png_media(docs))
+
+
+def _png_decode_oracle() -> str:
+    from .functions.portable import lateral_seq
+
+    lat = lateral_seq("0", "width * height - 1", "i", DUCK)
+    return f"""
+WITH dims AS (
+  SELECT doc_id, CAST(5 + doc_id % 11 AS INT) AS width,
+         CAST(4 + doc_id % 7 AS INT) AS height
+  FROM documents),
+px AS (SELECT doc_id, width, height, i FROM dims {lat})
+SELECT doc_id AS media_id, width, height,
+  CAST(SUM((doc_id * 11 + (3 * i) * 19) % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((doc_id * 11 + (3 * i + 1) * 19) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((doc_id * 11 + (3 * i + 2) * 19) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, width, height
+"""
+
+
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document→context-window packing (2048-token budget,
     content-hash layout) via the two-phase distributed prefix sum —
@@ -3457,6 +3491,12 @@ CATALOG.update(
             doc="Real pure-Python RIFF/PCM decode, sample statistics vs "
             "closed-form amplitude-model oracle.",
         ),
+        "multimodal_png_decode": QuerySpec(
+            multimodal_png_decode_q,
+            _png_decode_oracle(),
+            doc="Real zlib-inflate + 5-filter-unfilter PNG decode, "
+            "channel sums vs closed-form pixel-model oracle.",
+        ),
         "sequence_packing": QuerySpec(
             sequence_packing_q,
             _sequence_packing_oracle(),
@@ -3466,7 +3506,7 @@ CATALOG.update(
     }
 )
 
-_R5_NEW = ["multimodal_wav_decode", "sequence_packing"]
+_R5_NEW = ["multimodal_wav_decode", "multimodal_png_decode", "sequence_packing"]
 
 # ------------------------------------------------------------------ #
 # driver-window ordering (round 5)
@@ -3534,10 +3574,14 @@ _R5_STALE = [
     "weighted_sample_topk",
 ]
 
+# window arithmetic: 45 stale + 3 new + hll_union_audience (I-E band
+# newly pinned; the fold is an identity at fixture scale so
+# hll_cardinality_grouped's r4 row remains exact evidence) +
+# bucketed_etl_revenue (bucket count now computed) = 50
 _R5_FRONT = (
     _R5_STALE[:1]
     + _R5_NEW
-    + ["hll_cardinality_grouped", "hll_union_audience", "bucketed_etl_revenue"]
+    + ["hll_union_audience", "bucketed_etl_revenue"]
     + _R5_STALE[1:]
 )
 assert set(_R5_FRONT) <= set(CATALOG), sorted(set(_R5_FRONT) - set(CATALOG))

@@ -333,6 +333,202 @@ def decode_ppm_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# PNG — a REAL compressed-image codec on top of stdlib zlib: signature,
+# CRC-checked chunk walk, IDAT inflate, and per-scanline unfiltering of
+# all five PNG filter types.  Unlike PPM (uncompressed) this proves the
+# full decode pipeline shape: container → entropy decode → prediction
+# reversal → raster.
+# --------------------------------------------------------------------- #
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes, filter_seed: int = 0) -> bytes:
+    """Encode raw interleaved RGB8 as a real PNG (color type 2, no
+    interlace) — pure Python + stdlib zlib.  The scanline filter CYCLES
+    through all five PNG filter types (``(filter_seed + row) % 5``), so
+    a decoder must implement genuine Sub/Up/Average/Paeth prediction
+    reversal, not just strip filter byte 0."""
+    import struct
+    import zlib
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
+    bpp, stride = 3, 3 * width
+    raw = memoryview(rgb)
+    prev = bytes(stride)
+    out = bytearray()
+    for r in range(height):
+        row = bytes(raw[r * stride : (r + 1) * stride])
+        ft = (filter_seed + r) % 5
+        out.append(ft)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - left
+            elif ft == 2:
+                v = row[x] - up
+            elif ft == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL compressed-image decode, pure Python + stdlib zlib: verify
+    the signature, walk CRC-checked chunks, inflate the concatenated
+    IDAT stream, and reverse the per-scanline filters (all five types)
+    → (width, height, rgb_bytes).  RGB8 non-interlaced only — other
+    color types would need the same loop with a different bpp;
+    interlacing (Adam7) raises."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG blob")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_id) != (8, 2):
+                raise ValueError("only RGB8 (color type 2) supported")
+            if interlace:
+                raise ValueError("Adam7 interlacing not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, 3 * width
+    if len(raw) != height * (stride + 1):
+        raise ValueError("scanline payload size mismatch")
+    prev = bytearray(stride)
+    out = bytearray()
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for x in range(stride):
+            left = recon[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + left
+            elif ft == 2:
+                v = line[x] + up
+            elif ft == 3:
+                v = line[x] + (left + up) // 2
+            elif ft == 4:
+                v = line[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"unknown filter type {ft}")
+            recon[x] = v & 0xFF
+        out += recon
+        prev = recon
+    return width, height, bytes(out)
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PNGs keyed off ``doc_id``: width
+    ``5 + id % 11``, height ``4 + id % 7``, raster byte ``j`` equal to
+    ``(id*11 + j*19) % 256``, filter seed ``id`` (so consecutive ids
+    start the 5-filter cycle at different types).  Closed-form pixel
+    model → an external oracle can compute the decoded statistics from
+    arithmetic while the Spark side round-trips REAL zlib-compressed,
+    filtered PNG bytes."""
+    out_schema = "media_id long, media binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 11, 4 + did % 7
+                j = np.arange(3 * w * h, dtype=np.int64)
+                px = ((did * 11 + j * 19) % 256).astype(np.uint8).tobytes()
+                ids.append(did)
+                blobs.append(encode_png(w, h, px, filter_seed=did))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=out_schema)
+
+
+def decode_png_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Decode PNG blobs with the real inflate+unfilter parser and emit
+    per-image channel sums — numbers that only come out right if the
+    zlib stream inflated and every filter type reversed correctly."""
+    out_schema = (
+        "media_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                w, h, px = decode_png(bytes(blob))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+                rows.append(
+                    (
+                        int(mid), w, h,
+                        int(arr[:, 0].sum()), int(arr[:, 1].sum()), int(arr[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+# --------------------------------------------------------------------- #
 # WAV (RIFF/PCM) — the audio analogue of the PPM path: a REAL pure-Python
 # codec so the audio modality decodes end-to-end without torchaudio/av
 # --------------------------------------------------------------------- #

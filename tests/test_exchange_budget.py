@@ -66,6 +66,7 @@ BUDGET = {
                                  # persists the corpus band index
     # round 5
     "multimodal_wav_decode": 0,  # synth + decode are map-only mapInPandas
+    "multimodal_png_decode": 0,  # synth + decode are map-only mapInPandas
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
 }
