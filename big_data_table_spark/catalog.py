@@ -3483,8 +3483,38 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_summary(pack_sequences(docs, budget=2048), budget=2048)
 
 
+def _bloom_membership_builder(dialect: str) -> str:
+    """Bloom-filter membership audit: build the filter over high-value
+    orderkeys (o_totalprice > 400000 — ~20% of orders, so most probes
+    are genuine NON-members and the false-positive rate is actually
+    exercised), probe every orderkey (functions/sketches.py —
+    relational ≤m-row set-bit table, Kirsch-Mitzenmacher double hashing
+    on the oracle-reproducible murmur3 finalizer).  At 100 TB the
+    set-bit table is ≤0.5 MB — the probe is a broadcast join, and the
+    build's DISTINCT carries at most m rows per partition.  The output
+    row pins the measured false-positive count against the exact
+    membership computed alongside (kn/m ≈ 0.18 at sf0.01 → expected
+    ~9 false positives over ~12k non-members; deterministic, so the
+    driver hash covers it)."""
+    from .functions import sketches as SK
+
+    return SK.bloom_membership_sql(
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)",
+        "orders",
+        "o_orderkey",
+        m=65536,
+        k=4,
+        dialect=dialect,
+    )
+
+
 CATALOG.update(
     {
+        "bloom_membership_audience": _dual(
+            _bloom_membership_builder,
+            doc="Bloom set-membership sketch: purchase-user filter probed "
+            "with click users, false-positive count pinned vs exact.",
+        ),
         "multimodal_wav_decode": QuerySpec(
             multimodal_wav_decode_q,
             _wav_decode_oracle(),
@@ -3506,7 +3536,12 @@ CATALOG.update(
     }
 )
 
-_R5_NEW = ["multimodal_wav_decode", "multimodal_png_decode", "sequence_packing"]
+_R5_NEW = [
+    "multimodal_wav_decode",
+    "multimodal_png_decode",
+    "sequence_packing",
+    "bloom_membership_audience",
+]
 
 # ------------------------------------------------------------------ #
 # driver-window ordering (round 5)
@@ -3574,14 +3609,14 @@ _R5_STALE = [
     "weighted_sample_topk",
 ]
 
-# window arithmetic: 45 stale + 3 new + hll_union_audience (I-E band
-# newly pinned; the fold is an identity at fixture scale so
-# hll_cardinality_grouped's r4 row remains exact evidence) +
-# bucketed_etl_revenue (bucket count now computed) = 50
+# window arithmetic: 45 stale + 4 new + bucketed_etl_revenue (bucket
+# count now computed, not hard-coded) = 50.  The two HLL entries keep
+# their r4 rows as exact evidence — the 64-bit hash fold is an identity
+# at fixture scale, pinned by test_hll_fold_identity_below_2_32.
 _R5_FRONT = (
     _R5_STALE[:1]
     + _R5_NEW
-    + ["hll_union_audience", "bucketed_etl_revenue"]
+    + ["bucketed_etl_revenue"]
     + _R5_STALE[1:]
 )
 assert set(_R5_FRONT) <= set(CATALOG), sorted(set(_R5_FRONT) - set(CATALOG))

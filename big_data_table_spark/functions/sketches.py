@@ -152,6 +152,92 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------- #
+# Bloom filter — mergeable set-MEMBERSHIP sketch, the fast path real
+# decontamination / incremental-dedup pipelines probe before any join.
+# Same oracle-reproducible hash discipline as the HLL above; k positions
+# per key via Kirsch-Mitzenmacher double hashing (h1 + i·h2), which
+# preserves the classic false-positive bound with only two real hashes.
+#
+# Representation is RELATIONAL: the filter is its set-bit table
+# ``(pos)`` with ≤ m rows — mergeable by UNION, broadcastable by
+# construction (m = 4096 → a few KB), and buildable with ONE map-side-
+# combinable DISTINCT whose exchange carries at most m rows per
+# partition regardless of input size.  No false negatives ever; the
+# false-positive rate is (1 - e^(-kn/m))^k.
+# --------------------------------------------------------------------- #
+
+
+def _named_hash_ctes(
+    prefix: str, src: str, carry: str, value_expr: str, dialect: str
+) -> str:
+    """The murmur3-finalizer chain with prefixed CTE names and carried
+    columns, so two independent hashes can live in one statement."""
+    c = f"{carry}, " if carry else ""
+    fold = _fold64_sql(f"CAST({value_expr} AS BIGINT)", dialect)
+    return f"""
+{prefix}0 AS (SELECT {c}{fold} AS h FROM {src}),
+{prefix}1 AS (SELECT {c}{_mulmod_sql(_shr_xor_sql('h', 16, dialect), _C1)} AS h FROM {prefix}0),
+{prefix}2 AS (SELECT {c}{_mulmod_sql(_shr_xor_sql('h', 13, dialect), _C2)} AS h FROM {prefix}1),
+{prefix}f AS (SELECT {c}{_shr_xor_sql('h', 16, dialect)} AS h FROM {prefix}2)"""
+
+
+def _double_hash_ctes(prefix: str, src: str, dialect: str) -> str:
+    """From a ``(v)`` source: CTEs ending in ``{prefix}hh`` = (v, h1, h2)
+    — h2 from the salted value so the two hashes are independent."""
+    from .portable import bit_xor as _bx
+
+    salted = _bx("v", str(0x5BD1E995), dialect)
+    return f"""
+{_named_hash_ctes(prefix + "a", src, "v", "v", dialect)},
+{prefix}b0 AS (SELECT v, h AS h1 FROM {prefix}af),
+{_named_hash_ctes(prefix + "c", prefix + "b0", "v, h1", salted, dialect)},
+{prefix}hh AS (SELECT v, h1, h AS h2 FROM {prefix}cf)"""
+
+
+def bloom_membership_sql(
+    build_src: str,
+    probe_src: str,
+    value_col: str,
+    m: int = 4096,
+    k: int = 4,
+    dialect: str = SPARK,
+) -> str:
+    """One dual-dialect statement: build a Bloom filter over
+    ``build_src.value_col``, probe every distinct ``probe_src`` value,
+    and report the membership audit ``(n_probed, n_possible, n_members,
+    n_false_pos)`` — the exact side is computed alongside, so the row is
+    simultaneously the sketch result AND its own ground-truth check
+    (false negatives are structurally impossible; the driver hash pins
+    the false-positive count)."""
+    from .portable import lateral_seq
+
+    lat = lateral_seq("0", str(k - 1), "i", dialect)
+    pos = f"(h1 + i * (h2 * 2 + 1)) % {m}"
+    return f"""
+WITH bv AS (SELECT DISTINCT CAST({value_col} AS BIGINT) AS v FROM {build_src}),
+pv AS (SELECT DISTINCT CAST({value_col} AS BIGINT) AS v FROM {probe_src}),
+{_double_hash_ctes("_bb", "bv", dialect)},
+{_double_hash_ctes("_pp", "pv", dialect)},
+bpos AS (SELECT DISTINCT {pos} AS pos FROM _bbhh {lat}),
+ppos AS (SELECT DISTINCT v, {pos} AS pos FROM _pphh {lat}),
+probed AS (
+  SELECT p.v, COUNT(*) AS npos,
+    SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos
+  GROUP BY p.v),
+flags AS (
+  SELECT probed.v, nhit = npos AS possible, bv.v IS NOT NULL AS member
+  FROM probed LEFT JOIN bv ON probed.v = bv.v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+  CAST(SUM(CASE WHEN possible THEN 1 ELSE 0 END) AS BIGINT) AS n_possible,
+  CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+  CAST(SUM(CASE WHEN possible AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos
+FROM flags
+"""
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
 ) -> DataFrame:

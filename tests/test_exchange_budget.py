@@ -67,6 +67,9 @@ BUDGET = {
     # round 5
     "multimodal_wav_decode": 0,  # synth + decode are map-only mapInPandas
     "multimodal_png_decode": 0,  # synth + decode are map-only mapInPandas
+    "bloom_membership_audience": 5,  # build distinct + probe distinct +
+                                 # pos probe agg + member join + final agg
+                                 # (set-bit sides broadcast at runtime)
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
 }

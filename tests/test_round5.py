@@ -93,6 +93,26 @@ def test_hll_intersection_error_band(spark, sf_dir):
     assert abs(row["est_intersect"] - exact_int) <= err_parts + 1e-6
 
 
+def test_bloom_membership_no_false_negatives_and_bounded_fpp(spark, sf_dir):
+    """Structural guarantee: every true member passes the filter
+    (n_possible ≥ n_members, and n_possible − n_members == n_false_pos).
+    Statistical pin: the measured false-positive RATE stays within 4× of
+    the (1 − e^(−kn/m))^k bound — deterministic hashes, so this is a
+    stable property of the hash quality, not a flaky sample."""
+    import math
+
+    from big_data_table_spark.catalog import CATALOG
+
+    row = CATALOG["bloom_membership_audience"].fn(spark, sf_dir).collect()[0]
+    assert row["n_possible"] >= row["n_members"]
+    assert row["n_false_pos"] == row["n_possible"] - row["n_members"]
+    m, k, n = 65536, 4, row["n_members"]
+    bound = (1 - math.exp(-k * n / m)) ** k
+    non_members = row["n_probed"] - row["n_members"]
+    if non_members:
+        assert row["n_false_pos"] / non_members <= 4 * bound + 1e-9
+
+
 @pytest.mark.fixture_pinned
 def test_hll_intersection_error_band_fixture(spark, sf_dir):
     from big_data_table_spark.catalog import CATALOG
