@@ -3508,8 +3508,28 @@ def _bloom_membership_builder(dialect: str) -> str:
     )
 
 
+def _cms_heavy_hitters_builder(dialect: str) -> str:
+    """Count-Min heavy hitters over the events user-activity stream:
+    d=4 × w=1024 counter table (functions/sketches.py — built map-side,
+    the sketch exchange carries ≤ d·w rows per partition; mergeable by
+    SUM), probed with the exact top-20 users.  CMS never underestimates
+    and the e·N/w overestimate bound is pinned in test_round5; every
+    hash is deterministic, so the driver value-hash covers the measured
+    overestimates themselves."""
+    from .functions import sketches as SK
+
+    return SK.cms_heavy_hitters_sql(
+        "events", "user_id", w=1024, d=4, topk=20, dialect=dialect
+    )
+
+
 CATALOG.update(
     {
+        "cms_heavy_hitters": _dual(
+            _cms_heavy_hitters_builder,
+            doc="Count-Min frequency sketch: top-20 user estimates vs "
+            "exact, overestimate audit pinned.",
+        ),
         "bloom_membership_audience": _dual(
             _bloom_membership_builder,
             doc="Bloom set-membership sketch: purchase-user filter probed "
@@ -3541,6 +3561,7 @@ _R5_NEW = [
     "multimodal_png_decode",
     "sequence_packing",
     "bloom_membership_audience",
+    "cms_heavy_hitters",
 ]
 
 # ------------------------------------------------------------------ #
@@ -3609,16 +3630,13 @@ _R5_STALE = [
     "weighted_sample_topk",
 ]
 
-# window arithmetic: 45 stale + 4 new + bucketed_etl_revenue (bucket
-# count now computed, not hard-coded) = 50.  The two HLL entries keep
-# their r4 rows as exact evidence — the 64-bit hash fold is an identity
-# at fixture scale, pinned by test_hll_fold_identity_below_2_32.
-_R5_FRONT = (
-    _R5_STALE[:1]
-    + _R5_NEW
-    + ["bucketed_etl_revenue"]
-    + _R5_STALE[1:]
-)
+# window arithmetic: 45 stale + 5 new = 50.  The two HLL entries and
+# bucketed_etl_revenue keep their r4 rows as exact evidence — the
+# 64-bit hash fold is an identity at fixture scale (pinned by
+# test_hll_fold_identity_below_2_32) and the computed bucket count
+# resolves to the same 8 at fixture scale (zero-exchange plan stays
+# pinned in test_plans).
+_R5_FRONT = _R5_STALE[:1] + _R5_NEW + _R5_STALE[1:]
 assert set(_R5_FRONT) <= set(CATALOG), sorted(set(_R5_FRONT) - set(CATALOG))
 assert len(_R5_FRONT) == len(set(_R5_FRONT)) == 50, len(_R5_FRONT)
 

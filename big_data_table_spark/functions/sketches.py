@@ -238,6 +238,58 @@ FROM flags
 """
 
 
+# --------------------------------------------------------------------- #
+# Count-Min sketch — mergeable FREQUENCY sketch, completing the triad
+# (HLL = how many distinct, Bloom = is it present, CMS = how often).
+# The sketch is its (row, col, cnt) counter table: ≤ d·w rows regardless
+# of input size, built with ONE map-side-combinable aggregation (the
+# exchange carries at most d·w rows per partition), mergeable by SUM.
+# Estimates never underestimate; the overestimate is ≤ e·N/w with high
+# probability — and because every hash here is deterministic, the
+# measured overestimate is itself oracle-checkable.
+# --------------------------------------------------------------------- #
+
+
+def cms_heavy_hitters_sql(
+    src: str,
+    value_col: str,
+    w: int = 1024,
+    d: int = 4,
+    topk: int = 20,
+    dialect: str = SPARK,
+) -> str:
+    """One dual-dialect statement: build a d×w Count-Min sketch over the
+    ``src.value_col`` event stream, take the exact top-``topk`` keys as
+    the candidate set, and report per key ``(key, true_cnt, est_cnt,
+    overestimate)`` — CMS guarantees ``est_cnt >= true_cnt``; the exact
+    side is computed alongside so the audit is self-contained.  Rows are
+    hashed map-side (no per-key shuffle: the sketch aggregation groups
+    straight on (row, col)), via Kirsch-Mitzenmacher double hashing."""
+    from .portable import lateral_seq
+
+    lat = lateral_seq("0", str(d - 1), "r", dialect)
+    pos = f"(h1 + r * (h2 * 2 + 1)) % {w}"
+    return f"""
+WITH ev AS (SELECT CAST({value_col} AS BIGINT) AS v FROM {src}),
+{_double_hash_ctes("_se", "ev", dialect)},
+sketch AS (
+  SELECT r AS rw, {pos} AS cl, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM _sehh {lat}
+  GROUP BY r, {pos}),
+exact AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM ev GROUP BY v),
+top AS (SELECT v, true_cnt FROM exact ORDER BY true_cnt DESC, v LIMIT {topk}),
+{_double_hash_ctes("_sq", "(SELECT v FROM top)", dialect)},
+probe AS (SELECT v, r AS rw, {pos} AS cl FROM _sqhh {lat}),
+est AS (
+  SELECT p.v, MIN(s.cnt) AS est_cnt
+  FROM probe p JOIN sketch s ON p.rw = s.rw AND p.cl = s.cl
+  GROUP BY p.v)
+SELECT t.v AS key, t.true_cnt, e.est_cnt,
+  CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overestimate
+FROM top t JOIN est e ON t.v = e.v
+"""
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
 ) -> DataFrame:

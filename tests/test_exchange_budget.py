@@ -70,6 +70,8 @@ BUDGET = {
     "bloom_membership_audience": 5,  # build distinct + probe distinct +
                                  # pos probe agg + member join + final agg
                                  # (set-bit sides broadcast at runtime)
+    "cms_heavy_hitters": 6,      # sketch agg + exact agg + top-k + probe
+                                 # agg + joins (sketch side broadcast)
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
 }

@@ -113,6 +113,35 @@ def test_bloom_membership_no_false_negatives_and_bounded_fpp(spark, sf_dir):
         assert row["n_false_pos"] / non_members <= 4 * bound + 1e-9
 
 
+def test_cms_never_underestimates_under_forced_collisions(spark):
+    """The fixture stream (150 users into 1024 columns) has no
+    collisions, so force them: 3000 distinct keys with a skewed
+    repetition pattern into a w=64 sketch.  CMS must never
+    underestimate any probed key, and the top keys' overestimates must
+    stay within the 2·e·N/w bound (deterministic hashes — stable)."""
+    import math
+
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.functions.portable import SPARK as SPARK_D
+
+    rows = [(k,) for k in range(1, 3001) for _ in range(1 + k % 7)]
+    spark.createDataFrame(rows, "user_id long").createOrReplaceTempView(
+        "cms_collision_src"
+    )
+    out = spark.sql(
+        SK.cms_heavy_hitters_sql(
+            "cms_collision_src", "user_id", w=64, d=4, topk=50, dialect=SPARK_D
+        )
+    ).collect()
+    assert len(out) == 50
+    n_events = len(rows)
+    assert all(r["overestimate"] >= 0 for r in out), "CMS underestimated"
+    assert any(r["overestimate"] > 0 for r in out), "collisions not exercised"
+    bound = 2 * math.e * n_events / 64
+    assert all(r["overestimate"] <= bound for r in out)
+    spark.catalog.dropTempView("cms_collision_src")
+
+
 @pytest.mark.fixture_pinned
 def test_hll_intersection_error_band_fixture(spark, sf_dir):
     from big_data_table_spark.catalog import CATALOG
