@@ -17,6 +17,10 @@ PICKS = {
     "q9_product_type_profit": "Derived-partsupp join batch: one partsupp aggregate exchange, part/nation broadcast, orders broadcast at fixture scale (AQE re-plans to co-partitioned shuffle join at 100 TB), one profit agg exchange.",
     "q2_min_cost_supplier": "Correlated-MIN as per-part aggregate rejoined on cost equality; supplier dim collapses to one broadcast, TakeOrderedAndProject top-100.",
     "tdigest_quantiles_grouped": "Two-phase sketch: MapInPandas partials BELOW the only exchange (centroid arrays shuffle, raw values never), applyInPandas merge, broadcast rank-check join back.",
+    "sequence_packing": "Two-phase distributed prefix sum: in-bucket window cumsum partitioned by the md5-prefix range bucket, 256-row bucket-offset table broadcast back, final bin aggregate. No global sort anywhere.",
+    "bloom_membership_audience": "Relational Bloom filter: set-bit build DISTINCT (<= m rows per partition map-side), probe positions left-joined against the broadcast set-bit table, one audit aggregate.",
+    "cms_heavy_hitters": "Count-Min build: map-side (row, col) aggregation straight off the hashed event stream — the d*w counter table is the only thing shuffled; exact top-k probe joins against the broadcast sketch.",
+    "multimodal_png_decode": "Entirely map-only: synth encoder and inflate+unfilter decoder are back-to-back Arrow-batched mapInPandas stages, zero exchanges.",
 }
 
 if __name__ == "__main__":
