@@ -290,6 +290,153 @@ FROM top t JOIN est e ON t.v = e.v
 """
 
 
+# --------------------------------------------------------------------- #
+# Theta sketch (KMV) — set-OPERATION cardinalities from samples.  HLL
+# unions are exact but its intersections go through inclusion-exclusion,
+# whose error is amplified by |union|/|intersection| (the band pinned in
+# test_round5).  A theta sketch keeps the k smallest hash values as a
+# uniform sample; intersections are estimated DIRECTLY on the common
+# samples below min(theta_a, theta_b) — error scales with the
+# intersection itself, not the union.  The sketch is its (v, h) sample
+# table: ≤ k rows, TakeOrderedAndProject builds it without a global
+# sort, and ties at the k-th hash break on (h, v) so the retained set is
+# a deterministic total order both engines agree on.
+# --------------------------------------------------------------------- #
+
+
+def _hashed_values(df: DataFrame, value_col: str) -> DataFrame:
+    """Distinct keys with their 32-bit finalizer hash: ``(v, h)``."""
+    return (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .distinct()
+        .withColumn("h", F.expr(_fold64_sql("v", SPARK)))
+        .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 16, SPARK), _C1)))
+        .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 13, SPARK), _C2)))
+        .withColumn("h", F.expr(_shr_xor_sql("h", 16, SPARK)))
+    )
+
+
+def theta_sketch_intersection(
+    df_a: DataFrame, df_b: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """DataFrame form of :func:`theta_sketch_intersection_sql` — same
+    algorithm, but each expensive input is computed ONCE: the ≤k-row
+    sample tables come from TakeOrderedAndProject (no global sort) and
+    are eagerly checkpointed, so the scalar stats and the intersection
+    probe reuse them instead of re-running the DISTINCT the way Spark's
+    CTE inlining would for the pure-SQL formulation (measured: 29
+    exchanges inlined vs 12 here).  The exact audit columns are the
+    only full-set joins — at 100 TB you'd drop them and keep the
+    sketch-only plan."""
+    full = float(_MOD)
+    ha, hb = _hashed_values(df_a, value_col), _hashed_values(df_b, value_col)
+
+    def side(h: DataFrame) -> tuple[DataFrame, DataFrame]:
+        smp = h.orderBy("h", "v").limit(k).localCheckpoint(eager=True)
+        stat = (
+            h.agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .crossJoin(smp.agg(F.max("h").alias("hk")))
+            .select(
+                "n",
+                F.when(F.col("n") > k, F.col("hk").cast("double"))
+                .otherwise(F.lit(full))
+                .alias("th"),
+            )
+        )
+        return smp, stat.localCheckpoint(eager=True)
+
+    smp_a, stat_a = side(ha)
+    smp_b, stat_b = side(hb)
+    stat = (
+        stat_a.select(F.col("n").alias("exact_a"), F.col("th").alias("th_a"))
+        .crossJoin(stat_b.select(F.col("n").alias("exact_b"), F.col("th").alias("th_b")))
+        .withColumn("th", F.least("th_a", "th_b"))
+    )
+    inter = (
+        smp_a.join(smp_b.select("v"), "v")
+        .crossJoin(F.broadcast(stat.select("th")))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact_i = ha.join(hb.select("v"), "v").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersect")
+    )
+    k1 = float(k - 1)
+    return (
+        stat.crossJoin(inter)
+        .crossJoin(exact_i)
+        .select(
+            F.round(
+                F.when(F.col("exact_a") > k, F.lit(k1) * F.lit(full) / F.col("th_a"))
+                .otherwise(F.col("exact_a").cast("double")),
+                4,
+            ).alias("est_a"),
+            F.round(
+                F.when(F.col("exact_b") > k, F.lit(k1) * F.lit(full) / F.col("th_b"))
+                .otherwise(F.col("exact_b").cast("double")),
+                4,
+            ).alias("est_b"),
+            F.round(F.col("c") * F.lit(full) / F.col("th"), 4).alias("est_intersect"),
+            "exact_a",
+            "exact_b",
+            "exact_intersect",
+        )
+    )
+
+
+def theta_sketch_intersection_sql(
+    src_a: str,
+    src_b: str,
+    value_col: str,
+    k: int = 256,
+    dialect: str = SPARK,
+) -> str:
+    """One dual-dialect statement: theta sketches over two keyed sets,
+    estimates for |A|, |B|, |A∩B| plus the exact values computed
+    alongside.  Sides at or below ``k`` distinct keys retain everything
+    (theta = 2^32) and estimate exactly; above, the standard KMV
+    estimator ``(k-1)·2^32 / h_k`` applies and the k-th sample is
+    excluded below theta.
+
+    NOTE: use this form as the external ORACLE (DuckDB materializes
+    CTEs).  On Spark use :func:`theta_sketch_intersection` — CTE
+    inlining re-executes every scalar-subquery reference here."""
+    a_cnt, b_cnt = "(SELECT n FROM acnt)", "(SELECT n FROM bcnt)"
+    a_th, b_th = "(SELECT th FROM atheta)", "(SELECT th FROM btheta)"
+    full = float(_MOD)
+    return f"""
+WITH av AS (SELECT DISTINCT CAST({value_col} AS BIGINT) AS v FROM {src_a}),
+bv AS (SELECT DISTINCT CAST({value_col} AS BIGINT) AS v FROM {src_b}),
+{_named_hash_ctes("_ta", "av", "v", "v", dialect)},
+{_named_hash_ctes("_tb", "bv", "v", "v", dialect)},
+acnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM av),
+bcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bv),
+asmp AS (SELECT v, h FROM _taf ORDER BY h, v LIMIT {k}),
+bsmp AS (SELECT v, h FROM _tbf ORDER BY h, v LIMIT {k}),
+atheta AS (SELECT CASE WHEN {a_cnt} > {k}
+  THEN CAST((SELECT MAX(h) FROM asmp) AS DOUBLE) ELSE {full!r} END AS th),
+btheta AS (SELECT CASE WHEN {b_cnt} > {k}
+  THEN CAST((SELECT MAX(h) FROM bsmp) AS DOUBLE) ELSE {full!r} END AS th),
+thmin AS (SELECT LEAST({a_th}, {b_th}) AS th),
+inter AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM asmp a JOIN bsmp b ON a.v = b.v
+  WHERE a.h < (SELECT th FROM thmin)),
+exact_i AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM av JOIN bv ON av.v = bv.v)
+SELECT
+  ROUND(CASE WHEN {a_cnt} > {k}
+    THEN ({k} - 1) * {full!r} / {a_th} ELSE CAST({a_cnt} AS DOUBLE) END, 4)
+    AS est_a,
+  ROUND(CASE WHEN {b_cnt} > {k}
+    THEN ({k} - 1) * {full!r} / {b_th} ELSE CAST({b_cnt} AS DOUBLE) END, 4)
+    AS est_b,
+  ROUND((SELECT c FROM inter) * {full!r} / (SELECT th FROM thmin), 4)
+    AS est_intersect,
+  {a_cnt} AS exact_a, {b_cnt} AS exact_b,
+  (SELECT n FROM exact_i) AS exact_intersect
+"""
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
 ) -> DataFrame:

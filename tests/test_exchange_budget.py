@@ -72,6 +72,9 @@ BUDGET = {
                                  # (set-bit sides broadcast at runtime)
     "cms_heavy_hitters": 6,      # sketch agg + exact agg + top-k + probe
                                  # agg + joins (sketch side broadcast)
+    "theta_sketch_intersection": 4,  # final assembly over checkpointed
+                                 # ≤k-row samples (sample build pays its
+                                 # own exchanges once, before checkpoint)
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
 }

@@ -143,6 +143,36 @@ def test_cms_never_underestimates_under_forced_collisions(spark):
 
 
 @pytest.mark.fixture_pinned
+def test_theta_sketch_error_bands(spark, sf_dir):
+    """KMV error is ~1/√k ≈ 6.3% per estimate at k=256; pin 3σ bands on
+    all three estimates (measured at sf0.001: a 13.1%, b 9.8%,
+    intersect 11.2%).  The theta intersection estimates DIRECTLY —
+    compare the pinned ~10-13% here with what I-E gives the HLL entry
+    on far-easier sets (test_hll_intersection_error_band)."""
+    from big_data_table_spark.catalog import CATALOG
+
+    row = CATALOG["theta_sketch_intersection"].fn(spark, sf_dir).collect()[0]
+    for est, exact in (
+        (row["est_a"], row["exact_a"]),
+        (row["est_b"], row["exact_b"]),
+        (row["est_intersect"], row["exact_intersect"]),
+    ):
+        assert exact > 0 and abs(est - exact) / exact < 0.19, (est, exact)
+
+
+def test_theta_sketch_exact_below_k(spark):
+    """Sides with ≤ k distinct keys retain every sample (theta = 2^32):
+    the 'estimates' must be exactly the true cardinalities."""
+    from big_data_table_spark.functions.sketches import theta_sketch_intersection
+
+    a = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    b = spark.createDataFrame([(v,) for v in range(51, 181)], "v long")
+    row = theta_sketch_intersection(a, b, "v", k=256).collect()[0]
+    assert (row["est_a"], row["est_b"], row["est_intersect"]) == (100.0, 130.0, 50.0)
+    assert (row["exact_a"], row["exact_b"], row["exact_intersect"]) == (100, 130, 50)
+
+
+@pytest.mark.fixture_pinned
 def test_hll_intersection_error_band_fixture(spark, sf_dir):
     from big_data_table_spark.catalog import CATALOG
     from big_data_table_spark.sources.readers import load_table
