@@ -3544,6 +3544,29 @@ def _theta_intersection_oracle() -> str:
     )
 
 
+def mg_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 users WITHOUT a full-key-space shuffle: per-partition
+    Misra-Gries candidate summaries (capacity 512 — every key with
+    frequency > N/512 provably survives; the fixture's 20th user is ~5×
+    above that line, which is the sizing rule to copy) + broadcast
+    recount of the tiny candidate set (functions/sketches.py).  At
+    100 TB this replaces a billions-of-keys groupBy with a broadcast
+    filter + thousands-of-keys aggregate.  The oracle is the plain
+    exact top-20 — the MG machinery is pure physical strategy, so the
+    driver hash proves the two-pass scheme loses nothing."""
+    from .functions import sketches as SK
+
+    ev = Tables(spark, sf_dir).events
+    return SK.mg_heavy_hitters(ev, "user_id", capacity=512, topk=20)
+
+
+_MG_TOPK_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+FROM events GROUP BY CAST(user_id AS BIGINT)
+ORDER BY true_cnt DESC, key LIMIT 20
+"""
+
+
 def _cms_heavy_hitters_builder(dialect: str) -> str:
     """Count-Min heavy hitters over the events user-activity stream:
     d=4 × w=1024 counter table (functions/sketches.py — built map-side,
@@ -3565,6 +3588,12 @@ CATALOG.update(
             _cms_heavy_hitters_builder,
             doc="Count-Min frequency sketch: top-20 user estimates vs "
             "exact, overestimate audit pinned.",
+        ),
+        "mg_heavy_hitters": QuerySpec(
+            mg_heavy_hitters_q,
+            _MG_TOPK_ORACLE,
+            doc="Misra-Gries two-pass exact top-k: map-side candidate "
+            "summaries + broadcast recount, no full-key shuffle.",
         ),
         "theta_sketch_intersection": QuerySpec(
             theta_sketch_intersection_q,
@@ -3682,7 +3711,7 @@ _R5_FRONT = _R5_STALE[:1] + _R5_NEW + _R5_STALE[1:]
 
 # position 51+: built late in r5, first in line for the r6 window
 # (the r2->r3 rotation used the same convention, _R2_NEXT)
-_R5_NEXT = ["theta_sketch_intersection"]
+_R5_NEXT = ["theta_sketch_intersection", "mg_heavy_hitters"]
 assert set(_R5_FRONT) <= set(CATALOG), sorted(set(_R5_FRONT) - set(CATALOG))
 assert len(_R5_FRONT) == len(set(_R5_FRONT)) == 50, len(_R5_FRONT)
 

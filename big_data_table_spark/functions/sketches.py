@@ -437,6 +437,68 @@ SELECT
 """
 
 
+# --------------------------------------------------------------------- #
+# Misra-Gries two-pass heavy hitters — EXACT top-k without ever
+# shuffling the full key space.  Pass 1 runs a weighted Misra-Gries
+# summary per partition (capacity c, pure map-side, state bounded at c
+# counters); the union of per-partition candidates provably contains
+# every key with global frequency > N/c.  Pass 2 broadcast-semi-joins
+# the stream against the tiny candidate set and recounts exactly, so
+# the output is the true top-k with true counts — deterministic and
+# partitioning-independent as long as the k-th frequency exceeds N/c
+# (choose c with that margin; the guarantee is the sizing rule).
+# The wide ops only ever see ≤ partitions·c candidate keys — at 100 TB
+# this replaces a full-cardinality groupBy (billions of user ids) with
+# a broadcast filter + an aggregation over thousands of keys.
+# --------------------------------------------------------------------- #
+
+
+def mg_candidates(df: DataFrame, value_col: str, capacity: int = 512) -> DataFrame:
+    """Per-partition weighted Misra-Gries candidate keys (mapInPandas;
+    state ≤ ``capacity`` counters per partition, emitted once at
+    partition end)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].value_counts().items():
+                v, c = int(v), int(c)
+                if v in counters:
+                    counters[v] += c
+                else:
+                    counters[v] = c
+                    if len(counters) > capacity:
+                        d = min(counters.values())
+                        counters = {
+                            k: n - d for k, n in counters.items() if n > d
+                        }
+        yield pd.DataFrame({"v": pd.Series(list(counters.keys()), dtype="int64")})
+
+    return df.select(F.col(value_col).cast("long").alias(value_col)).mapInPandas(
+        kernel, "v long"
+    )
+
+
+def mg_heavy_hitters(
+    df: DataFrame, value_col: str, capacity: int = 512, topk: int = 20
+) -> DataFrame:
+    """Exact top-``topk`` keys by frequency via the two-pass MG scheme:
+    ``(key, true_cnt)``, ordered selection with a deterministic (count
+    desc, key) tie-break via TakeOrderedAndProject."""
+    cands = mg_candidates(df, value_col, capacity).distinct()
+    vals = df.select(F.col(value_col).cast("long").alias("v"))
+    return (
+        vals.join(F.broadcast(cands), "v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("v"))
+        .limit(topk)
+        .select(F.col("v").alias("key"), "true_cnt")
+    )
+
+
 def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
 ) -> DataFrame:

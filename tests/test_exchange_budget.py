@@ -75,6 +75,8 @@ BUDGET = {
     "theta_sketch_intersection": 4,  # final assembly over checkpointed
                                  # ≤k-row samples (sample build pays its
                                  # own exchanges once, before checkpoint)
+    "mg_heavy_hitters": 2,       # candidate distinct + recount agg;
+                                 # top-k is TakeOrderedAndProject
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
 }

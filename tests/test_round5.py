@@ -113,6 +113,34 @@ def test_bloom_membership_no_false_negatives_and_bounded_fpp(spark, sf_dir):
         assert row["n_false_pos"] / non_members <= 4 * bound + 1e-9
 
 
+def test_mg_heavy_hitters_partitioning_independent(spark):
+    """The per-partition MG candidate sets differ with partitioning, but
+    the final exact-recount top-k must not — run the same skewed stream
+    under 1, 3, and 16 partitions and require identical results.  5000
+    distinct keys, top keys ~100× above the N/capacity line."""
+    import random
+
+    from big_data_table_spark.functions.sketches import mg_heavy_hitters
+
+    rng = random.Random(5)
+    heavy = [(k, 400 + 13 * k) for k in range(1, 11)]  # 413..530 each
+    rows = [(k,) for k, c in heavy for _ in range(c)]
+    rows += [(k,) for k in range(100, 5100) for _ in range(1 + k % 3)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "user_id long")
+    results = []
+    for nparts in (1, 3, 16):
+        out = mg_heavy_hitters(
+            df.repartition(nparts), "user_id", capacity=512, topk=10
+        ).collect()
+        results.append([(r["key"], r["true_cnt"]) for r in out])
+    assert results[0] == results[1] == results[2]
+    assert [k for k, _ in results[0]] == [k for k, _ in sorted(
+        heavy, key=lambda kv: (-kv[1], kv[0])
+    )]
+    assert dict(results[0]) == {k: c for k, c in heavy}
+
+
 def test_cms_never_underestimates_under_forced_collisions(spark):
     """The fixture stream (150 users into 1024 columns) has no
     collisions, so force them: 3000 distinct keys with a skewed
