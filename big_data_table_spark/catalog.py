@@ -3544,6 +3544,14 @@ def _theta_intersection_oracle() -> str:
     )
 
 
+def _stream_hll_oracle() -> str:
+    from .functions import sketches as SK
+
+    return SK.hll_estimate_sql(
+        "(SELECT user_id FROM events)", "", "user_id", dialect=DUCK
+    )
+
+
 def mg_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users WITHOUT a full-key-space shuffle: per-partition
     Misra-Gries candidate summaries (capacity 512 — every key with
@@ -3588,6 +3596,15 @@ CATALOG.update(
             _cms_heavy_hitters_builder,
             doc="Count-Min frequency sketch: top-20 user estimates vs "
             "exact, overestimate audit pinned.",
+        ),
+        "stream_hll_cardinality": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_hll_cardinality(spark, sf_dir),
+            _stream_hll_oracle(),
+            doc="Incremental HLL over micro-batches: per-batch register "
+            "checkpoints, distributed MAX-merge — equals the batch "
+            "estimate by the merge law.",
         ),
         "mg_heavy_hitters": QuerySpec(
             mg_heavy_hitters_q,
@@ -3711,7 +3728,7 @@ _R5_FRONT = _R5_STALE[:1] + _R5_NEW + _R5_STALE[1:]
 
 # position 51+: built late in r5, first in line for the r6 window
 # (the r2->r3 rotation used the same convention, _R2_NEXT)
-_R5_NEXT = ["theta_sketch_intersection", "mg_heavy_hitters"]
+_R5_NEXT = ["theta_sketch_intersection", "mg_heavy_hitters", "stream_hll_cardinality"]
 assert set(_R5_FRONT) <= set(CATALOG), sorted(set(_R5_FRONT) - set(CATALOG))
 assert len(_R5_FRONT) == len(set(_R5_FRONT)) == 50, len(_R5_FRONT)
 

@@ -306,6 +306,43 @@ def foreachbatch_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance over a stream: every micro-batch's
+    HLL register table (≤256 rows regardless of batch size) lands in its
+    own ``batch=<id>`` directory — the sketch-checkpointing pattern: the
+    sink grows with batches·m, never with data.  The merged estimate
+    (register MAX across batches, fully distributed, no driver collect)
+    must equal the batch estimate over the complete stream — the HLL
+    merge law, exercised through real micro-batch boundaries this time
+    (the batch entry proves it over two filters).  Rate-limited to one
+    file per trigger to force the multi-batch path."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions import sketches as SK
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    out_dir = os.path.join(tempfile.gettempdir(), "bdt_stream_hll")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        SK.hll_registers(batch_df.select("user_id"), [], "user_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    with _stream_shuffle_scope(spark):
+        q = ev.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    back = spark.read.parquet(out_dir).groupBy("bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    return SK.hll_estimate_global(back)
+
+
 def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     dimension (a user→nation mapping derived from the nation table), then
