@@ -1,1 +1,8 @@
-from . import dedup, portable, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    packing,
+    portable,
+    similarity,
+    sketches,
+    text,
+)
