@@ -3544,6 +3544,25 @@ def _theta_intersection_oracle() -> str:
     )
 
 
+def sequence_packing_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sequence packing — the production setup (bins never
+    mix languages; a bin feeds one tokenizer/model context).  Same
+    two-phase prefix sum as `sequence_packing`, but every window is now
+    partitioned by (lang, bucket) or (lang): the grouped variant has NO
+    unpartitioned window at all (functions/packing.py)."""
+    from .functions.packing import pack_sequences, pack_summary
+
+    docs = Tables(spark, sf_dir).documents
+    packed = pack_sequences(docs, budget=1024, by=["lang"])
+    return pack_summary(packed, budget=1024, by=["lang"])
+
+
+def _sequence_packing_by_lang_oracle() -> str:
+    from .functions.packing import pack_sequences_sql
+
+    return pack_sequences_sql(1024, DUCK, by=["lang"])
+
+
 def _stream_hll_oracle() -> str:
     from .functions import sketches as SK
 
@@ -3596,6 +3615,12 @@ CATALOG.update(
             _cms_heavy_hitters_builder,
             doc="Count-Min frequency sketch: top-20 user estimates vs "
             "exact, overestimate audit pinned.",
+        ),
+        "sequence_packing_by_lang": QuerySpec(
+            sequence_packing_by_lang_q,
+            _sequence_packing_by_lang_oracle(),
+            doc="Per-language context-window packing — grouped two-phase "
+            "prefix sum, no unpartitioned window anywhere.",
         ),
         "stream_hll_cardinality": QuerySpec(
             lambda spark, sf_dir: __import__(
@@ -3728,7 +3753,12 @@ _R5_FRONT = _R5_STALE[:1] + _R5_NEW + _R5_STALE[1:]
 
 # position 51+: built late in r5, first in line for the r6 window
 # (the r2->r3 rotation used the same convention, _R2_NEXT)
-_R5_NEXT = ["theta_sketch_intersection", "mg_heavy_hitters", "stream_hll_cardinality"]
+_R5_NEXT = [
+    "theta_sketch_intersection",
+    "mg_heavy_hitters",
+    "stream_hll_cardinality",
+    "sequence_packing_by_lang",
+]
 assert set(_R5_FRONT) <= set(CATALOG), sorted(set(_R5_FRONT) - set(CATALOG))
 assert len(_R5_FRONT) == len(set(_R5_FRONT)) == 50, len(_R5_FRONT)
 

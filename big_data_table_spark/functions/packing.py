@@ -43,14 +43,23 @@ def pack_sequences(
     budget: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    by: list[str] | None = None,
 ) -> DataFrame:
-    """Per-document bin assignment: ``(doc_id, n_tokens, bin_id)``.
+    """Per-document bin assignment: ``(by…, doc_id, n_tokens, bin_id)``.
 
     Tokens are whitespace tokens (``functions.text.token_count_sql``
     semantics — swap in a BPE count upstream without changing the
     packer).  Ties on identical text (same md5) break by ``id_col`` so
-    the layout is total and reproducible."""
+    the layout is total and reproducible.
+
+    ``by`` packs independently per group (the realistic setup — bins
+    never mix languages or sources); bin ids restart at 0 per group.
+    With ``by`` the offset window is partitioned too, so the plan has
+    NO unpartitioned window at all; without it the offset window runs
+    over the ≤256-row bucket-total table, bounded by construction."""
+    by = list(by or [])
     d = docs.select(
+        *by,
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("h"),
         F.expr(arr_len(split_ws(text_col, SPARK), SPARK)).cast("long").alias("n_tokens"),
@@ -59,23 +68,29 @@ def pack_sequences(
     # 2-hex-char range bucket (lexicographic bucket order == md5 order)
     d = d.withColumn("bucket", F.substring("h", 1, 2))
     w_in = (
-        Window.partitionBy("bucket")
+        Window.partitionBy(*by, "bucket")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     d = d.withColumn("in_prefix", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
 
-    # phase 2: bucket offsets — ≤256 rows, the ONLY unpartitioned window,
-    # bounded by construction; broadcast back onto the doc stream
-    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # phase 2: per-group bucket offsets — ≤256 rows per group, broadcast
+    # back onto the doc stream
+    totals = d.groupBy(*by, "bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_off = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.select(
+        *by,
         "bucket",
         F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
     )
     return (
-        d.join(F.broadcast(offsets), "bucket")
+        d.join(F.broadcast(offsets), by + ["bucket"])
         .select(
+            *by,
             "doc_id",
             "n_tokens",
             F.floor((F.col("offset") + F.col("in_prefix")) / F.lit(budget))
@@ -85,32 +100,42 @@ def pack_sequences(
     )
 
 
-def pack_summary(packed: DataFrame, budget: int = 2048) -> DataFrame:
+def pack_summary(
+    packed: DataFrame, budget: int = 2048, by: list[str] | None = None
+) -> DataFrame:
     """Per-bin report: doc count, token sum, and fill ratio against the
     budget (overflow > 1.0 is the charged-where-it-starts straddle)."""
-    return packed.groupBy("bin_id").agg(
+    by = list(by or [])
+    return packed.groupBy(*by, "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
     )
 
 
-def pack_sequences_sql(budget: int = 2048, dialect: str = DUCK) -> str:
+def pack_sequences_sql(
+    budget: int = 2048, dialect: str = DUCK, by: list[str] | None = None
+) -> str:
     """Dual-dialect oracle: the same layout as ONE global-window cumsum
-    (correct at oracle scale; the Spark path replaces the global window
-    with the two-phase scan)."""
+    per group (correct at oracle scale; the Spark path replaces the
+    global window with the two-phase scan)."""
+    by = list(by or [])
+    bysel = "".join(f"{c}, " for c in by)
+    part = ("PARTITION BY " + ", ".join(by) + " ") if by else ""
+    grp = "".join(f"{c}, " for c in by)
     tok = arr_len(split_ws("text", dialect), dialect)
     return f"""
 WITH d AS (
-  SELECT doc_id, md5(text) AS h, CAST({tok} AS BIGINT) AS n_tokens FROM documents),
+  SELECT {bysel}doc_id, md5(text) AS h, CAST({tok} AS BIGINT) AS n_tokens
+  FROM documents),
 p AS (
-  SELECT doc_id, n_tokens,
-    COALESCE(SUM(n_tokens) OVER (
+  SELECT {bysel}doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER ({part}
       ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
   FROM d)
-SELECT CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin_id,
+SELECT {bysel}CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin_id,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
   ROUND(SUM(n_tokens) / CAST({budget} AS DOUBLE), 6) AS fill_ratio
-FROM p GROUP BY bin_id
+FROM p GROUP BY {grp}bin_id
 """

@@ -79,6 +79,7 @@ BUDGET = {
                                  # top-k is TakeOrderedAndProject
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
+    "sequence_packing_by_lang": 4,  # same shape, every window partitioned
 }
 
 

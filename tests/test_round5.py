@@ -458,6 +458,35 @@ def test_pack_summary_bins_are_contiguous_and_filled(spark, sf_dir):
         assert rows[b]["bin_tokens"] > 2048 - max_doc
 
 
+def test_pack_sequences_grouped_conserves_and_restarts_bins(spark, sf_dir):
+    """Grouped packing: bin ids restart at 0 per lang, token totals
+    conserve within each lang, and the per-lang layout equals packing
+    that lang's docs alone (group independence)."""
+    from big_data_table_spark.functions.packing import pack_sequences
+    from big_data_table_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=1024, by=["lang"]).collect()
+    langs = {r["lang"] for r in packed}
+    by_lang = {
+        lang: sorted(
+            (r["doc_id"], r["n_tokens"], r["bin_id"])
+            for r in packed
+            if r["lang"] == lang
+        )
+        for lang in langs
+    }
+    for lang, rows in by_lang.items():
+        assert min(b for _, _, b in rows) == 0, lang
+        solo = sorted(
+            (r["doc_id"], r["n_tokens"], r["bin_id"])
+            for r in pack_sequences(
+                docs.filter(F.col("lang") == lang), budget=1024
+            ).collect()
+        )
+        assert rows == solo, f"group {lang} differs from solo packing"
+
+
 def test_pack_sequences_plan_has_no_unpartitioned_doc_window(spark, sf_dir):
     """Scale pin: the only unpartitioned window runs over the ≤256-row
     bucket-total table, never over the document stream — the doc-stream
