@@ -3563,6 +3563,60 @@ def _sequence_packing_by_lang_oracle() -> str:
     return pack_sequences_sql(1024, DUCK, by=["lang"])
 
 
+_ROLLUP_RANGE = ("2024-01-08", "2024-01-21")
+
+
+def hll_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per-DAY HLL register
+    tables (one map-side-combinable aggregation, ≤256 rows per day),
+    then a 14-day range query answered by MERGING only those days'
+    sketches — never rescanning the events.  This is the pattern that
+    turns '90 days of distinct users' on 100 TB from a full-history
+    scan into a MAX-merge over 90·256 sketch rows; by the HLL merge law
+    the rolled-up estimate equals the direct estimate over the range,
+    which is exactly what the oracle computes (the hash match IS the
+    rollup-correctness proof).  Exact distinct computed alongside."""
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    regs = SK.hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id"
+    ).localCheckpoint(eager=True)  # the materialized rollup table
+    in_range = regs.filter(
+        F.col("day").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+    )
+    est = SK.hll_estimate_global(
+        in_range.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+    n_days = in_range.select("day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    exact = ev.filter(
+        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return n_days.crossJoin(est).crossJoin(exact)
+
+
+def _hll_daily_rollup_oracle() -> str:
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    est = SK.hll_estimate_sql(
+        f"(SELECT user_id FROM events WHERE {pred})", "", "user_id", dialect=DUCK
+    )
+    return f"""
+SELECT
+  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+   WHERE {pred}) AS n_days,
+  hll_est,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+   WHERE {pred}) AS exact_distinct
+FROM ({est})
+"""
+
+
 def _stream_hll_oracle() -> str:
     from .functions import sketches as SK
 
@@ -3615,6 +3669,13 @@ CATALOG.update(
             _cms_heavy_hitters_builder,
             doc="Count-Min frequency sketch: top-20 user estimates vs "
             "exact, overestimate audit pinned.",
+        ),
+        "hll_daily_rollup_range": QuerySpec(
+            hll_daily_rollup_q,
+            _hll_daily_rollup_oracle(),
+            doc="Hypertable-style daily HLL rollup: range query answered "
+            "by sketch merge, equal to the direct estimate by the merge "
+            "law.",
         ),
         "sequence_packing_by_lang": QuerySpec(
             sequence_packing_by_lang_q,
@@ -3758,6 +3819,7 @@ _R5_NEXT = [
     "mg_heavy_hitters",
     "stream_hll_cardinality",
     "sequence_packing_by_lang",
+    "hll_daily_rollup_range",
 ]
 assert set(_R5_FRONT) <= set(CATALOG), sorted(set(_R5_FRONT) - set(CATALOG))
 assert len(_R5_FRONT) == len(set(_R5_FRONT)) == 50, len(_R5_FRONT)

@@ -77,6 +77,9 @@ BUDGET = {
                                  # own exchanges once, before checkpoint)
     "mg_heavy_hitters": 2,       # candidate distinct + recount agg;
                                  # top-k is TakeOrderedAndProject
+    "hll_daily_rollup_range": 6, # assembly over the checkpointed daily
+                                 # rollup + exact-audit distinct (which a
+                                 # production range query would skip)
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
     "sequence_packing_by_lang": 4,  # same shape, every window partitioned

@@ -93,6 +93,36 @@ def test_hll_intersection_error_band(spark, sf_dir):
     assert abs(row["est_intersect"] - exact_int) <= err_parts + 1e-6
 
 
+def test_hll_daily_rollup_equals_direct_estimate_any_range(spark, sf_dir):
+    """The rollup-correctness law at day grain: for ANY date range, the
+    MAX-merge of the per-day register tables must reproduce the direct
+    estimate over the range-filtered stream exactly — checked here on a
+    different range than the catalog entry pins."""
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = SK.hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id"
+    ).localCheckpoint(eager=True)
+    lo, hi = "2024-01-03", "2024-01-27"
+    in_range = F.to_date(F.col("ts")).between(
+        F.lit(lo).cast("date"), F.lit(hi).cast("date")
+    )
+    merged = (
+        daily.filter(
+            F.col("day").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+        )
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    rolled = SK.hll_estimate_global(merged).collect()[0]["hll_est"]
+    direct = SK.hll_estimate_global(
+        SK.hll_registers(ev.filter(in_range), [], "user_id")
+    ).collect()[0]["hll_est"]
+    assert rolled == direct, (rolled, direct)
+
+
 def test_bloom_membership_no_false_negatives_and_bounded_fpp(spark, sf_dir):
     """Structural guarantee: every true member passes the filter
     (n_possible ≥ n_members, and n_possible − n_members == n_false_pos).
