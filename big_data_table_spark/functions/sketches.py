@@ -80,10 +80,22 @@ def _fold64_sql(v: str, dialect: str) -> str:
     """Fold a 64-bit value to < 2^32 by XOR-ing the high word into the low
     word (``lo ^ hi``), NOT by truncating: plain ``% 2^32`` would collapse
     keys differing only above 2^32 (64-bit snowflake ids, large-SF
-    orderkeys) into one hash — a systematic HLL undercount.  For values
-    below 2^32 the high word is 0 and the fold is the identity, so
-    fixture-scale estimates are unchanged."""
-    return bit_xor(f"({v}) % {_MOD}", f"CAST(FLOOR(({v}) / {_MOD}) AS BIGINT)", dialect)
+    orderkeys) into one hash — a systematic HLL undercount.
+
+    Both words are normalized to UNSIGNED 32-bit ranges (``((x % 2^32) +
+    2^32) % 2^32``) so NEGATIVE keys fold to their two's-complement words
+    instead of leaking sign-carrying remainders into the bucket/rho math
+    (SQL ``%`` keeps the dividend's sign in both engines), and the high
+    word is decorrelated by an odd-constant multiply before the XOR: a
+    plain ``lo ^ hi`` maps the negative range EXACTLY onto the small
+    nonnegative range (two's-complement hi is all-ones, so the XOR is a
+    bitwise NOT: fold(-v) == v-1 — measured as a 2× undercount on a
+    mixed-sign key set).  For values below 2^32 the high word is 0, the
+    multiply contributes 0, and the fold stays the identity — every
+    previously recorded fixture hash is unchanged."""
+    lo = f"(((({v}) % {_MOD}) + {_MOD}) % {_MOD})"
+    hi = f"(((CAST(FLOOR(({v}) / {_MOD}) AS BIGINT) % {_MOD}) + {_MOD}) % {_MOD})"
+    return bit_xor(lo, f"({_mulmod_sql(hi, 0x9E3779B1)})", dialect)
 
 
 def _hash_ctes(src: str, group_cols: str, value_col: str, dialect: str) -> str:

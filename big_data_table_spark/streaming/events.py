@@ -285,7 +285,12 @@ def foreachbatch_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
-    out_dir = os.path.join(tempfile.gettempdir(), "bdt_foreachbatch_sink")
+    # applicationId-keyed for the same concurrent-session isolation as
+    # stream_hll_cardinality's sink below.
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_foreachbatch_sink_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -323,7 +328,14 @@ def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import sketches as SK
 
     ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
-    out_dir = os.path.join(tempfile.gettempdir(), "bdt_stream_hll")
+    # keyed by applicationId: two concurrent sessions (parallel pytest
+    # workers, a bench run alongside tests) get disjoint sink dirs, so
+    # neither can rmtree/overwrite the other's batch directories.  The
+    # rmtree only clears THIS session's previous invocation.
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_hll_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -1,0 +1,63 @@
+"""Round-6 pins: negative-key hash fold normalization, persisted HLL
+rollup (incremental sketch table), grouped theta overlap, subword
+tokenizer, print head/tail fidelity (A24), oracle-checkable diagnostics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_table_spark.functions import sketches as SK
+from big_data_table_spark.functions.portable import DUCK, SPARK
+
+
+# --------------------------------------------------------------------- #
+# _fold64_sql: negative BIGINT keys (ADVICE r5, low)
+# --------------------------------------------------------------------- #
+
+
+def test_fold64_negative_keys_twos_complement(spark):
+    """A negative key folds to ``lo ^ (hi * C mod 2^32)`` of its
+    two's-complement words — never a negative intermediate (a negative
+    fold would corrupt the downstream bucket/rho arithmetic, which
+    assumes 0 <= h < 2^32)."""
+    vals = [-1, -5, -(1 << 32), -(1 << 40) - 7, -(1 << 62), (-1) << 63]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = df.selectExpr(f"{SK._fold64_sql('v', SPARK)} AS f").collect()
+    for v, row in zip(vals, out):
+        lo = v & 0xFFFFFFFF
+        hi = (v >> 32) & 0xFFFFFFFF
+        expect = lo ^ ((hi * 0x9E3779B1) & 0xFFFFFFFF)
+        assert row["f"] == expect, (v, row["f"], expect)
+        assert 0 <= row["f"] < 1 << 32
+
+
+def test_fold64_negative_keys_spark_duckdb_lockstep(spark):
+    """Negative keys must hash identically in both engines and must NOT
+    alias with their absolute values: 600 keys = 300 negative + their
+    300 positive mirrors → the estimate must see ~600 distinct."""
+    import duckdb
+
+    vals = [v for v in range(1, 301)] + [-v for v in range(1, 301)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    spark_est = SK.hll_estimate_global(SK.hll_registers(df, [], "v")).collect()[0][
+        "hll_est"
+    ]
+    con = duckdb.connect()
+    con.register("tneg", pd.DataFrame({"v": vals}))
+    duck_est = con.execute(SK.hll_estimate_sql("tneg", "", "v", dialect=DUCK)).fetchone()[
+        0
+    ]
+    con.close()
+    assert spark_est == duck_est, (spark_est, duck_est)
+    assert abs(spark_est - 600) / 600 < 0.25, spark_est
+
+
+def test_fold64_identity_unchanged_for_nonnegative(spark):
+    """The normalization is a no-op for nonnegative input — the fold is
+    still the identity below 2^32, so every recorded driver hash from
+    r3-r5 stays valid."""
+    df = spark.range(1, 1001).selectExpr("id AS v")
+    out = df.selectExpr(f"{SK._fold64_sql('v', SPARK)} AS f", "v").collect()
+    assert all(r["f"] == r["v"] for r in out)
