@@ -388,15 +388,81 @@ class BigDataTable:
     def tail(self, n: int = 5) -> list:
         return self.df.tail(n)
 
-    def print_(self, topn: int = 5) -> None:
-        """Reference ``print.big.data.table`` (big.data.table.R:49-74):
-        head of first node + tail of last node.  Spark row order is
-        plan-dependent (SURVEY.md §7 risk register), so the contract is
-        re-specified as show(topn) + tail(topn) without cross-run
-        stability guarantees."""
-        self.df.show(topn)
-        for row in self.tail(topn):
-            print(row)
+    def print_(self, topn: int = 5) -> str:
+        """Reference ``print.big.data.table`` (big.data.table.R:49-74),
+        full contract: head of the FIRST node + ``---`` separator + tail
+        of the LAST node (tail printed without the column-name header),
+        with the reference's three warnings — single-node cluster, empty
+        first node, empty last node — and its 0-row messages ("Null
+        data.table" / "Empty data.table").  Node == partition of the
+        current plan; within-partition row order is scan order, which is
+        deterministic for file-backed tables (the reference's node order
+        is connection order — same caveat).  Cost: one count for the
+        dim check + two ≤topn-row collects; never a full gather.
+
+        Returns the printed block so callers/tests can pin it."""
+        import warnings
+
+        ncol = len(self.df.columns)
+        nrow = self.df.count()
+        if nrow == 0:
+            if ncol == 0:
+                out = "Null data.table (0 rows and 0 cols)"
+            else:
+                names = ",".join(self.df.columns[:6]) + (
+                    "..." if ncol > 6 else ""
+                )
+                out = (
+                    f"Empty data.table (0 rows) of {ncol} "
+                    f"col{'s' if ncol > 1 else ''}: {names}"
+                )
+            print(out)
+            return out
+        npart = self.df.rdd.getNumPartitions()
+        if npart == 1:
+            warnings.warn(
+                "Running big.data.table with single node, print will be "
+                "incorrect."
+            )
+        pid = F.spark_partition_id()
+        head_rows = (
+            self.df.withColumn(NODE_COL, pid)
+            .filter(F.col(NODE_REF) == 0)
+            .drop(NODE_COL)
+            .limit(topn)
+            .collect()
+        )
+        if not head_rows:
+            warnings.warn(
+                "First node doesn't have any rows, print will be incorrect."
+            )
+        tail_rows = (
+            self.df.withColumn(NODE_COL, pid)
+            .filter(F.col(NODE_REF) == npart - 1)
+            .drop(NODE_COL)
+            .tail(topn)
+        )
+        if not tail_rows:
+            warnings.warn(
+                "Last node doesn't have any rows, print will be incorrect."
+            )
+
+        def fmt(rows: list) -> list[str]:
+            return [
+                " ".join(str(v) for v in row) for row in rows
+            ]
+
+        block: list[str] = []
+        if head_rows:
+            block.append(" ".join(self.df.columns))
+            block.extend(fmt(head_rows))
+        if head_rows or tail_rows:
+            block.append("---")
+        if tail_rows:
+            block.extend(fmt(tail_rows))  # no column header on the tail
+        out = "\n".join(block)
+        print(out)
+        return out
 
     def size_estimate(self) -> int:
         """Estimated bytes of the (optimized) plan output — the engine's

@@ -276,15 +276,15 @@ def test_from_sql_expression_source(spark):
     spark.catalog.dropTempView("gensrc")
 
 
-def test_print_head_tail(spark, capsys):
-    """A24: print = head + tail preview (order contract re-specified as
-    show(n)/tail(n); SURVEY §7 risk register)."""
+def test_print_head_tail(spark):
+    """A24: print = head of first node + '---' + tail of last node
+    (reference big.data.table.R:49-74; full contract pinned in
+    tests/test_round6.py)."""
     bdt = BigDataTable.from_pandas(spark, gen_pdf(50))
     assert bdt.head(3).count() == 3
     assert len(bdt.tail(3)) == 3
-    bdt.print_(topn=2)
-    out = capsys.readouterr().out
-    assert "year" in out and "Row(" in out  # head table + tail rows printed
+    out = bdt.print_(topn=2)
+    assert "year" in out.splitlines()[0] and "---" in out.splitlines()
 
 
 def test_rbindlapply(spark):

@@ -54,6 +54,69 @@ def test_fold64_negative_keys_spark_duckdb_lockstep(spark):
     assert abs(spark_est - 600) / 600 < 0.25, spark_est
 
 
+# --------------------------------------------------------------------- #
+# A24: print head-of-first-node + tail-of-last-node (reference
+# big.data.table.R:49-74) — the full output contract
+# --------------------------------------------------------------------- #
+
+
+def _bdt(df):
+    from big_data_table_spark.core import BigDataTable
+
+    return BigDataTable(df)
+
+
+def test_print_head_first_tail_last_with_separator(spark):
+    """4 partitions of spark.range hold [0..24][25..49][50..74][75..99]:
+    print(topn=3) must show 0,1,2 from the FIRST partition, '---', then
+    97,98,99 from the LAST — tail without a repeated column header."""
+    df = spark.range(0, 100, 1, numPartitions=4)
+    out = _bdt(df).print_(topn=3)
+    lines = out.splitlines()
+    assert lines[0] == "id"
+    assert lines[1:4] == ["0", "1", "2"]
+    assert lines[4] == "---"
+    assert lines[5:] == ["97", "98", "99"]
+
+
+def test_print_single_node_warns(spark):
+    import warnings as W
+
+    df = spark.range(0, 10, 1, numPartitions=1)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out = _bdt(df).print_(topn=2)
+    assert any("single node" in str(w.message) for w in rec)
+    assert "---" in out
+
+
+def test_print_empty_first_node_warns(spark):
+    """Filtering away partition 0's rows leaves the first node empty —
+    the reference warns and prints only the tail side of the block."""
+    import warnings as W
+
+    df = spark.range(0, 100, 1, numPartitions=4).filter(F.col("id") >= 25)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        out = _bdt(df).print_(topn=2)
+    assert any("First node" in str(w.message) for w in rec)
+    lines = out.splitlines()
+    assert lines[0] == "---"
+    assert lines[1:] == ["98", "99"]
+
+
+def test_print_empty_table_messages(spark):
+    df = spark.range(0, 10).filter(F.col("id") < 0)
+    out = _bdt(df).print_()
+    assert out == "Empty data.table (0 rows) of 1 col: id"
+    wide = df.selectExpr(*[f"id AS c{i}" for i in range(8)])
+    out = _bdt(wide).print_()
+    assert out.startswith("Empty data.table (0 rows) of 8 cols: c0,c1,c2,c3,c4,c5")
+    assert out.endswith("...")
+    nul = df.drop("id")
+    assert _bdt(nul).print_() == "Null data.table (0 rows and 0 cols)"
+
+
 def test_fold64_identity_unchanged_for_nonnegative(spark):
     """The normalization is a no-op for nonnegative input — the fold is
     still the identity below 2^32, so every recorded driver hash from
