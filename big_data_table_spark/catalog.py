@@ -3681,6 +3681,54 @@ def _stream_hll_oracle() -> str:
     )
 
 
+def hll_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily HLL rollup as a PERSISTED incremental sketch table —
+    the production form of ``hll_daily_rollup_range`` (which demonstrates
+    the merge law in-query): per-day register rows land in a parquet
+    table partitioned by day (functions/sketches.py:hll_rollup_build /
+    hll_rollup_append_day), and the 14-day range query reads ONLY the
+    sketch files — the returned plan contains a partition-pruned scan of
+    the rollup table and NO events scan (pinned in test_round6).  The
+    oracle computes the direct estimate over the range's raw events, so
+    the driver hash IS the proof that the persisted+merged rollup equals
+    a full rescan.  At 100 TB: any-window distinct-user queries cost
+    days·256 sketch rows; a new day appends ≤256 rows touching no prior
+    files."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_hll_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    SK.hll_rollup_build(ev, path)
+    return SK.hll_rollup_range_estimate(spark, path, lo, hi)
+
+
+def _hll_rollup_persisted_oracle() -> str:
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    est = SK.hll_estimate_sql(
+        f"(SELECT user_id FROM events WHERE {pred})", "", "user_id", dialect=DUCK
+    )
+    return f"""
+SELECT
+  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+   WHERE {pred}) AS n_days,
+  hll_est
+FROM ({est})
+"""
+
+
 def mg_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users WITHOUT a full-key-space shuffle: per-partition
     Misra-Gries candidate summaries (capacity 512 — every key with
@@ -3732,6 +3780,13 @@ CATALOG.update(
             doc="Hypertable-style daily HLL rollup: range query answered "
             "by sketch merge, equal to the direct estimate by the merge "
             "law.",
+        ),
+        "hll_rollup_persisted": QuerySpec(
+            hll_rollup_persisted_q,
+            _hll_rollup_persisted_oracle(),
+            doc="Persisted incremental daily-HLL sketch table: range "
+            "query reads only partition-pruned sketch files, never the "
+            "events.",
         ),
         "sequence_packing_by_lang": QuerySpec(
             sequence_packing_by_lang_q,

@@ -577,3 +577,67 @@ def hll_estimate_global(regs: DataFrame, p: int = 8) -> DataFrame:
     """Estimate for a single (ungrouped) register table."""
     tagged = regs.withColumn("__g", F.lit(1))
     return hll_estimate(tagged, ["__g"], p).drop("__g")
+
+
+# --------------------------------------------------------------------- #
+# Persisted daily rollup — the hypertable continuous-aggregate pattern
+# as a real STORAGE artifact: a parquet table of per-day register rows,
+# partitioned by day, appended incrementally as days arrive.  A range
+# query reads ONLY the sketch files (partition-pruned to the requested
+# days) and MAX-merges ≤ m rows per day — at 100 TB, "distinct users
+# over any 90-day window" costs 90·256 sketch rows instead of a
+# full-history rescan, and backfilling day N+1 scans only day N+1's
+# events and writes ≤ m new rows without touching prior days' files.
+# --------------------------------------------------------------------- #
+
+
+def hll_rollup_build(
+    ev: DataFrame,
+    path: str,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    p: int = 8,
+) -> None:
+    """Materialize the per-day register table at ``path`` (one pass, one
+    map-side-combinable aggregation; output partitioned by day so range
+    reads partition-prune).  Day is stored as its ISO string — the
+    lexicographic order IS date order, so string BETWEEN prunes
+    correctly regardless of partition-type inference."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    regs = hll_registers(ev.select(day, value_col), ["day"], value_col, p)
+    regs.write.mode("overwrite").partitionBy("day").parquet(path)
+
+
+def hll_rollup_append_day(
+    ev_day: DataFrame,
+    path: str,
+    day: str,
+    value_col: str = "user_id",
+    p: int = 8,
+) -> None:
+    """Incremental maintenance: sketch ONE day's events (caller filters)
+    and append its ≤ 2^p register rows as a new ``day=`` partition.
+    ``mode("append")`` + ``partitionBy`` only creates the new day's
+    directory — prior days' files are never rewritten (pinned in
+    tests/test_round6.py)."""
+    regs = hll_registers(
+        ev_day.select(F.lit(day).alias("day"), value_col), ["day"], value_col, p
+    )
+    regs.write.mode("append").partitionBy("day").parquet(path)
+
+
+def hll_rollup_range_estimate(
+    spark, path: str, lo: str, hi: str, p: int = 8
+) -> DataFrame:
+    """Range query answered from the persisted sketch table alone:
+    ``(n_days, hll_est)`` for days in ``[lo, hi]``.  The plan scans the
+    rollup parquet (partition-pruned on day) and never the base table;
+    by the HLL merge law the MAX-merged estimate equals the direct
+    estimate over the range's raw events bit-for-bit."""
+    regs = spark.read.parquet(path)
+    in_range = regs.filter(F.col("day").cast("string").between(lo, hi))
+    merged = in_range.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    n_days = in_range.select("day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return n_days.crossJoin(hll_estimate_global(merged, p))

@@ -55,6 +55,97 @@ def test_fold64_negative_keys_spark_duckdb_lockstep(spark):
 
 
 # --------------------------------------------------------------------- #
+# Persisted daily HLL rollup: incremental sketch table (VERDICT r5 #2)
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def rollup_path(tmp_path):
+    return str(tmp_path / "hll_rollup")
+
+
+def _events(spark, sf_dir):
+    from big_data_table_spark.sources.readers import Tables
+
+    return Tables(spark, sf_dir).events
+
+
+def test_hll_rollup_incremental_append_touches_no_prior_files(
+    spark, sf_dir, rollup_path
+):
+    """Build the rollup over all days EXCEPT the last, snapshot every
+    file's (path, mtime, size), append the last day, and require the
+    prior snapshot unchanged — the incremental-maintenance contract:
+    a new day is ≤256 new rows in a new day= directory."""
+    import os
+
+    ev = _events(spark, sf_dir)
+    days = sorted(
+        r["day"]
+        for r in ev.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(days) >= 2
+    last = days[-1]
+    SK.hll_rollup_build(ev.filter(F.to_date("ts") < last), rollup_path)
+
+    def snapshot():
+        # data files only: the _SUCCESS job-commit marker (and its crc)
+        # is legitimately refreshed by every append
+        out = {}
+        for root, _, files in os.walk(rollup_path):
+            for f in files:
+                if "_SUCCESS" in f:
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot()
+    SK.hll_rollup_append_day(
+        ev.filter(F.date_format(F.to_date("ts"), "yyyy-MM-dd") == last),
+        rollup_path,
+        last,
+    )
+    after = snapshot()
+    assert set(before) <= set(after)
+    for p, meta in before.items():
+        assert after[p] == meta, f"prior rollup file rewritten: {p}"
+    # and the appended table answers the full range like a direct sketch
+    est = SK.hll_rollup_range_estimate(
+        spark, rollup_path, days[0], days[-1]
+    ).collect()[0]
+    direct = SK.hll_estimate_global(
+        SK.hll_registers(ev.select("user_id"), [], "user_id")
+    ).collect()[0]["hll_est"]
+    assert est["hll_est"] == direct  # merge law: bit-for-bit
+    assert est["n_days"] == len(days)
+
+
+def test_hll_rollup_range_plan_reads_only_sketch_files(
+    spark, sf_dir, rollup_path
+):
+    """The range query's plan must scan the rollup parquet (partition-
+    pruned on day) and must NOT scan the events table — that is the
+    entire point of persisting the continuous aggregate."""
+    ev = _events(spark, sf_dir)
+    SK.hll_rollup_build(ev, rollup_path)
+    est = SK.hll_rollup_range_estimate(
+        spark, rollup_path, "2024-01-08", "2024-01-21"
+    )
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "hll_rollup" in plan
+    assert "events" not in plan
+    # row-level result still equals the in-query rollup entry's estimate
+    row = est.collect()[0]
+    assert row["n_days"] == 14
+
+
+# --------------------------------------------------------------------- #
 # A24: print head-of-first-node + tail-of-last-node (reference
 # big.data.table.R:49-74) — the full output contract
 # --------------------------------------------------------------------- #
