@@ -3600,6 +3600,31 @@ def _theta_intersection_oracle() -> str:
     )
 
 
+def theta_overlap_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group theta sketches: the full event-type × event-type
+    audience-overlap matrix from ONE ≤k-row sample table per group
+    (functions/sketches.py:theta_overlap_by_group, k=64 — each type has
+    ~150 distinct users at sf0.01, so the KMV estimator is genuinely
+    engaged, not the exact-below-k branch).  Intersections are estimated
+    DIRECTLY on common samples — the group dimension of
+    `theta_sketch_intersection`, upgrading inclusion-exclusion overlap
+    reports (`events_audience_overlap`) to direct estimates whose error
+    scales with the intersection.  Exact overlaps computed alongside as
+    the audit; the error band is pinned in test_round6."""
+    from .functions import sketches as SK
+
+    ev = Tables(spark, sf_dir).events
+    return SK.theta_overlap_by_group(ev, "event_type", "user_id", k=64)
+
+
+def _theta_overlap_by_source_oracle() -> str:
+    from .functions import sketches as SK
+
+    return SK.theta_overlap_by_group_sql(
+        "events", "event_type", "user_id", k=64, dialect=DUCK
+    )
+
+
 def sequence_packing_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language sequence packing — the production setup (bins never
     mix languages; a bin feeds one tokenizer/model context).  Same
@@ -3814,6 +3839,13 @@ CATALOG.update(
             _theta_intersection_oracle(),
             doc="Theta (KMV) sketch: direct intersection estimate from "
             "common samples — no inclusion-exclusion blow-up.",
+        ),
+        "theta_overlap_by_source": QuerySpec(
+            theta_overlap_by_source_q,
+            _theta_overlap_by_source_oracle(),
+            doc="Per-group theta sketches: pairwise audience-overlap "
+            "matrix from one ≤k-row sample per group, exact audit "
+            "alongside.",
         ),
         "bloom_membership_audience": _dual(
             _bloom_membership_builder,

@@ -449,6 +449,167 @@ SELECT
 """
 
 
+def _hashed_values_grouped(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Distinct (group, key) pairs with the 32-bit finalizer hash of the
+    key: ``(g, v, h)`` — h depends on v alone, so the same key carries
+    the same hash in every group (what makes cross-group sample
+    intersections meaningful)."""
+    return (
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+        )
+        .distinct()
+        .withColumn("h", F.expr(_fold64_sql("v", SPARK)))
+        .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 16, SPARK), _C1)))
+        .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 13, SPARK), _C2)))
+        .withColumn("h", F.expr(_shr_xor_sql("h", 16, SPARK)))
+    )
+
+
+def theta_overlap_by_group(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-GROUP theta (KMV) sketches + the full pairwise overlap matrix
+    — the group dimension of :func:`theta_sketch_intersection`, the way
+    ``hll_registers(by=...)`` is the group dimension of the HLL.  One
+    ≤k-row sample table per group (a single partitioned-window rank over
+    the hashed keys — no per-group jobs), then every unordered group
+    pair's intersection estimated DIRECTLY on the common samples below
+    ``min(theta_a, theta_b)``.  Output per pair: ``(ga, gb, est_a,
+    est_b, est_intersect, exact_a, exact_b, exact_intersect)`` — the
+    exact columns are the audit; at 100 TB you drop them and the whole
+    G×G overlap matrix costs G·k sample rows, no pairwise rescans.
+
+    Sample/stat tables are eagerly checkpointed so the pair spine, the
+    intersection probe, and the audit reuse them (the Spark-side CTE
+    -inlining trap documented on :func:`theta_sketch_intersection`)."""
+    from pyspark.sql import Window
+
+    full = float(_MOD)
+    hv = _hashed_values_grouped(df, group_col, value_col).localCheckpoint(eager=True)
+    w = Window.partitionBy("g").orderBy("h", "v")
+    smp = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    th = (
+        hv.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(smp.groupBy("g").agg(F.max("h").alias("hk")), "g")
+        .select(
+            "g",
+            "n",
+            F.when(F.col("n") > k, F.col("hk").cast("double"))
+            .otherwise(F.lit(full))
+            .alias("th"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        th.select(F.col("g").alias("ga"), F.col("n").alias("na"), F.col("th").alias("tha"))
+        .join(
+            th.select(
+                F.col("g").alias("gb"), F.col("n").alias("nb"), F.col("th").alias("thb")
+            ),
+            F.col("ga") < F.col("gb"),
+        )
+        .withColumn("th", F.least("tha", "thb"))
+    )
+    common = (
+        smp.select(F.col("g").alias("ga"), "v", "h")
+        .join(smp.select(F.col("g").alias("gb"), "v"), "v")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(pairs.select("ga", "gb", "th")), ["ga", "gb"])
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = (
+        hv.select(F.col("g").alias("ga"), "v")
+        .join(hv.select(F.col("g").alias("gb"), "v"), "v")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("nex"))
+    )
+    k1 = float(k - 1)
+
+    def est(n: str, t: str):
+        return F.round(
+            F.when(F.col(n) > k, F.lit(k1) * F.lit(full) / F.col(t)).otherwise(
+                F.col(n).cast("double")
+            ),
+            4,
+        )
+
+    return (
+        pairs.join(common, ["ga", "gb"], "left")
+        .join(exact, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            est("na", "tha").alias("est_a"),
+            est("nb", "thb").alias("est_b"),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)) * F.lit(full) / F.col("th"), 4
+            ).alias("est_intersect"),
+            F.col("na").alias("exact_a"),
+            F.col("nb").alias("exact_b"),
+            F.coalesce(F.col("nex"), F.lit(0)).cast("long").alias("exact_intersect"),
+        )
+    )
+
+
+def theta_overlap_by_group_sql(
+    src: str, group_col: str, value_col: str, k: int = 64, dialect: str = SPARK
+) -> str:
+    """Dual-dialect SQL form of :func:`theta_overlap_by_group` — use as
+    the external oracle (DuckDB materializes CTEs; on Spark prefer the
+    DataFrame form, which checkpoints the shared tables once)."""
+    full = float(_MOD)
+    return f"""
+WITH gv AS (SELECT DISTINCT {group_col} AS g, CAST({value_col} AS BIGINT) AS v
+            FROM {src}),
+{_named_hash_ctes("_tg", "gv", "g, v", "v", dialect)},
+cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM gv GROUP BY g),
+rnk AS (SELECT g, v, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, v) AS rn
+        FROM _tgf),
+smp AS (SELECT g, v, h FROM rnk WHERE rn <= {k}),
+th AS (
+  SELECT c.g, c.n,
+    CASE WHEN c.n > {k} THEN CAST(s.hk AS DOUBLE) ELSE {full!r} END AS th
+  FROM cnt c JOIN (SELECT g, MAX(h) AS hk FROM smp GROUP BY g) s ON c.g = s.g),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+         a.th AS tha, b.th AS thb, LEAST(a.th, b.th) AS th
+  FROM th a JOIN th b ON a.g < b.g),
+ic AS (
+  SELECT p.ga, p.gb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM smp a JOIN smp b ON a.v = b.v AND a.g < b.g
+  JOIN pairs p ON p.ga = a.g AND p.gb = b.g
+  WHERE a.h < p.th
+  GROUP BY p.ga, p.gb),
+ex AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS nex
+  FROM gv a JOIN gv b ON a.v = b.v AND a.g < b.g
+  GROUP BY a.g, b.g)
+SELECT p.ga, p.gb,
+  ROUND(CASE WHEN p.na > {k} THEN ({k} - 1) * {full!r} / p.tha
+        ELSE CAST(p.na AS DOUBLE) END, 4) AS est_a,
+  ROUND(CASE WHEN p.nb > {k} THEN ({k} - 1) * {full!r} / p.thb
+        ELSE CAST(p.nb AS DOUBLE) END, 4) AS est_b,
+  ROUND(COALESCE(ic.c, 0) * {full!r} / p.th, 4) AS est_intersect,
+  p.na AS exact_a, p.nb AS exact_b,
+  CAST(COALESCE(ex.nex, 0) AS BIGINT) AS exact_intersect
+FROM pairs p
+LEFT JOIN ic ON ic.ga = p.ga AND ic.gb = p.gb
+LEFT JOIN ex ON ex.ga = p.ga AND ex.gb = p.gb
+"""
+
+
 # --------------------------------------------------------------------- #
 # Misra-Gries two-pass heavy hitters — EXACT top-k without ever
 # shuffling the full key space.  Pass 1 runs a weighted Misra-Gries
