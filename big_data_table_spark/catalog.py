@@ -3600,6 +3600,62 @@ def _theta_intersection_oracle() -> str:
     )
 
 
+def text_token_count_subword_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned subword tokenization (functions/subword.py): top-64
+    corpus substrings as the vocabulary (one distributed weighted
+    aggregation, deterministic tie-break), then greedy longest-match
+    counts per document via the bounded iterative pointer-chase walk —
+    per-round localCheckpoint + 1-row liveness probe, the kmeans/pq_fit
+    discipline; rounds ≤ max word length.  The walk runs per word TYPE
+    and joins back onto occurrences, so at 100 TB the expensive path
+    scales with the vocabulary of the corpus, not its token count.  The
+    oracle derives the SAME vocabulary and walks it with a recursive
+    CTE — and Spark 4.1 executes that identical statement too, so the
+    iterative loop is cross-checked three ways (pinned in test_round6).
+    De-stubs packing's whitespace-token caveat (packing.py)."""
+    from .functions import subword as SW
+
+    register_views(spark, sf_dir)
+    return SW.subword_token_counts(spark, k=64)
+
+
+def _text_token_count_subword_oracle() -> str:
+    from .functions import subword as SW
+
+    return SW.subword_token_count_sql(DUCK, k=64)
+
+
+def sequence_packing_subword_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing charged in LEARNED SUBWORD tokens instead of
+    whitespace words — the realistic budget currency (a context window
+    is a token budget).  Same two-phase distributed prefix sum as
+    `sequence_packing`; only the per-document count changes
+    (pack_sequences(tokens_col=...))."""
+    from .functions import subword as SW
+    from .functions.packing import pack_sequences, pack_summary
+
+    register_views(spark, sf_dir)
+    docs = Tables(spark, sf_dir).documents
+    counts = SW.subword_token_counts(spark, k=64).select(
+        "doc_id", F.col("n_tokens_subword")
+    )
+    packed = pack_sequences(
+        docs.join(counts, "doc_id"),
+        budget=2048,
+        tokens_col="n_tokens_subword",
+    )
+    return pack_summary(packed, budget=2048)
+
+
+def _sequence_packing_subword_oracle() -> str:
+    from .functions import subword as SW
+    from .functions.packing import pack_sequences_sql
+
+    return pack_sequences_sql(
+        2048, DUCK, tokens_cte=SW.subword_doc_tokens_cte(DUCK, k=64)
+    )
+
+
 def theta_overlap_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group theta sketches: the full event-type × event-type
     audience-overlap matrix from ONE ≤k-row sample table per group
@@ -3846,6 +3902,19 @@ CATALOG.update(
             doc="Per-group theta sketches: pairwise audience-overlap "
             "matrix from one ≤k-row sample per group, exact audit "
             "alongside.",
+        ),
+        "text_token_count_subword": QuerySpec(
+            text_token_count_subword_q,
+            _text_token_count_subword_oracle(),
+            doc="Learned-vocabulary greedy subword tokenizer: per-doc "
+            "counts via bounded iterative walk, oracle re-derives the "
+            "same vocabulary.",
+        ),
+        "sequence_packing_subword": QuerySpec(
+            sequence_packing_subword_q,
+            _sequence_packing_subword_oracle(),
+            doc="Context-window packing charged in learned subword "
+            "tokens — the packer parameterized by the tokenizer.",
         ),
         "bloom_membership_audience": _dual(
             _bloom_membership_builder,

@@ -44,13 +44,16 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     by: list[str] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document bin assignment: ``(by…, doc_id, n_tokens, bin_id)``.
 
-    Tokens are whitespace tokens (``functions.text.token_count_sql``
-    semantics — swap in a BPE count upstream without changing the
-    packer).  Ties on identical text (same md5) break by ``id_col`` so
-    the layout is total and reproducible.
+    Tokens default to whitespace tokens (``functions.text.token_count_sql``
+    semantics); pass ``tokens_col`` to charge a precomputed count instead
+    — e.g. the learned subword counts from :mod:`.subword`, the realistic
+    packing currency (``sequence_packing_subword`` in the catalog).  Ties
+    on identical text (same md5) break by ``id_col`` so the layout is
+    total and reproducible.
 
     ``by`` packs independently per group (the realistic setup — bins
     never mix languages or sources); bin ids restart at 0 per group.
@@ -58,11 +61,16 @@ def pack_sequences(
     NO unpartitioned window at all; without it the offset window runs
     over the ≤256-row bucket-total table, bounded by construction."""
     by = list(by or [])
+    n_tokens = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else F.expr(arr_len(split_ws(text_col, SPARK), SPARK)).cast("long")
+    )
     d = docs.select(
         *by,
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("h"),
-        F.expr(arr_len(split_ws(text_col, SPARK), SPARK)).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     )
     # phase 1: in-bucket exclusive prefix sum, windows partitioned by the
     # 2-hex-char range bucket (lexicographic bucket order == md5 order)
@@ -114,20 +122,33 @@ def pack_summary(
 
 
 def pack_sequences_sql(
-    budget: int = 2048, dialect: str = DUCK, by: list[str] | None = None
+    budget: int = 2048,
+    dialect: str = DUCK,
+    by: list[str] | None = None,
+    tokens_cte: str | None = None,
 ) -> str:
     """Dual-dialect oracle: the same layout as ONE global-window cumsum
     per group (correct at oracle scale; the Spark path replaces the
-    global window with the two-phase scan)."""
+    global window with the two-phase scan).  ``tokens_cte`` — a CTE body
+    yielding ``(doc_id, n_tokens)`` — swaps the charged counts, matching
+    :func:`pack_sequences`'s ``tokens_col`` (the subword integration).
+    It may open with ``RECURSIVE`` to upgrade the whole WITH clause."""
     by = list(by or [])
     bysel = "".join(f"{c}, " for c in by)
     part = ("PARTITION BY " + ", ".join(by) + " ") if by else ""
     grp = "".join(f"{c}, " for c in by)
     tok = arr_len(split_ws("text", dialect), dialect)
-    return f"""
-WITH d AS (
+    if tokens_cte:
+        d_cte = f"""{tokens_cte},
+d AS (
+  SELECT {bysel}documents.doc_id, md5(text) AS h, t.n_tokens
+  FROM documents JOIN toks t ON t.doc_id = documents.doc_id)"""
+    else:
+        d_cte = f"""d AS (
   SELECT {bysel}doc_id, md5(text) AS h, CAST({tok} AS BIGINT) AS n_tokens
-  FROM documents),
+  FROM documents)"""
+    return f"""
+WITH {d_cte},
 p AS (
   SELECT {bysel}doc_id, n_tokens,
     COALESCE(SUM(n_tokens) OVER ({part}

@@ -47,8 +47,13 @@ def lateral_seq(lo: str, hi_inclusive: str, alias: str, dialect: str) -> str:
     ``alias``.  Guard hi >= lo at the call site (Spark ``sequence`` with
     hi < lo counts *down*)."""
     if dialect == SPARK:
-        return f"LATERAL VIEW explode(sequence({lo}, {hi_inclusive})) _t AS {alias}"
-    return f", UNNEST(range({lo}, ({hi_inclusive}) + 1)) AS _t({alias})"
+        return (
+            f"LATERAL VIEW explode(sequence({lo}, {hi_inclusive})) "
+            f"_t_{alias} AS {alias}"
+        )
+    # table alias derived from the column alias so two seq laterals can
+    # coexist in one FROM (DuckDB rejects duplicate aliases)
+    return f", UNNEST(range({lo}, ({hi_inclusive}) + 1)) AS _t_{alias}({alias})"
 
 
 def lateral_arr(expr: str, alias: str, dialect: str) -> str:

@@ -1,0 +1,200 @@
+"""Subword tokenization — a deterministic, dependency-free greedy
+longest-match tokenizer with a corpus-learned vocabulary, de-stubbing the
+"swap in a BPE count upstream" caveat in :mod:`.packing` (every real
+training-data pipeline charges context windows in subword tokens, not
+whitespace words).
+
+Model (identical on both engines by construction):
+
+* **pre-tokenization** — text splits on whitespace; subword tokens never
+  cross a word boundary (the standard WordPiece/BPE setup);
+* **vocabulary** — the top-``k`` substrings of length ``LMIN..LMAX``
+  ranked by corpus frequency (occurrences weighted by word frequency,
+  ties broken by substring text — a total order, so the top-``k`` cut is
+  deterministic).  This is the "top-k corpus substrings" vocabulary:
+  learning is ONE distributed aggregation (explode positions × lengths →
+  weighted count → top-k), not an iterative merge loop — the iterative
+  part of this operator is the greedy WALK below;
+* **tokenization** — greedy longest-match: at each position take the
+  longest vocabulary entry matching there, else consume one character.
+  Per-word token counts are computed over DISTINCT words and joined back
+  onto the corpus, so the expensive walk runs once per word type, not
+  per occurrence.
+
+The greedy walk is a pointer chase over a precomputed ``step`` table
+``(word, pos, advance)``: relational to build (positions grid × candidate
+lengths × vocabulary semi-join → MAX length per position, default 1), and
+the walk itself needs only ``max word length`` rounds of
+``pos -> pos + advance``:
+
+* **Spark** — a bounded iterative DataFrame loop (one hash join per
+  round against the step table, per-round eager ``localCheckpoint``, a
+  1-row liveness aggregate per round — the same iterative discipline as
+  kmeans/pq_fit/graph components); at 100 TB the step table is
+  (distinct word types × avg length) rows — joined, never collected;
+* **DuckDB oracle** — the same CTEs plus ``WITH RECURSIVE`` for the
+  walk.  Spark 4.1 parses the identical statement (pinned in tests), so
+  the iterative loop is cross-checked against the recursive-SQL
+  execution on BOTH engines.
+
+Positions and candidate lengths come from a STATIC integer grid
+(1..``MAXLEN``) filtered by word length — not correlated laterals, whose
+semantics differ across engines.  ``MAXLEN = 64`` bounds the walk; the
+Spark entry point raises if a word type exceeds it (fixture max is 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .portable import DUCK, SPARK, arr_len, lateral_arr, lateral_seq, split_ws
+
+LMIN = 2
+LMAX = 6
+MAXLEN = 64  # static position-grid bound == max supported word length
+
+
+def _core_ctes(dialect: str, k: int, src: str = "documents") -> str:
+    """The shared non-recursive CTE chain: corpus words → vocabulary →
+    ``step`` table (word, p, adv)."""
+    words_lat = lateral_arr(split_ws("text", dialect), "w", dialect)
+    pos_lat = lateral_seq("1", str(MAXLEN), "p", dialect)
+    len_lat = lateral_seq(str(LMIN), str(LMAX), "l", dialect)
+    return f"""
+wfreq AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+  FROM {src} {words_lat}
+  WHERE LENGTH(w) >= 1
+  GROUP BY w),
+cand AS (
+  SELECT substr(word, p, l) AS tok, SUM(wcount * 1) AS cnt
+  FROM wfreq {pos_lat} {len_lat}
+  WHERE p + l - 1 <= LENGTH(word)
+  GROUP BY substr(word, p, l)),
+vocab AS (
+  SELECT tok FROM cand ORDER BY cnt DESC, tok LIMIT {k}),
+grid AS (
+  SELECT word, p FROM (SELECT DISTINCT word FROM wfreq) {pos_lat}
+  WHERE p <= LENGTH(word)),
+glen AS (
+  SELECT word, p, l, substr(word, p, l) AS sub
+  FROM grid {len_lat}
+  WHERE p + l - 1 <= LENGTH(word)),
+hit AS (
+  SELECT g.word, g.p, MAX(g.l) AS ml
+  FROM glen g JOIN vocab v ON v.tok = g.sub
+  GROUP BY g.word, g.p),
+step AS (
+  SELECT g.word, g.p, COALESCE(h.ml, 1) AS adv
+  FROM grid g LEFT JOIN hit h ON h.word = g.word AND h.p = g.p)"""
+
+
+def subword_walk_ctes(dialect: str, k: int = 64, src: str = "documents") -> str:
+    """The full CTE chain (opens with ``RECURSIVE``): vocabulary →
+    step table → recursive greedy walk → per-word-type ``wordtok`` and
+    per-occurrence ``doc_words``.  Composable: packing's oracle splices
+    it in via ``pack_sequences_sql(tokens_cte=...)``."""
+    words_lat = lateral_arr(split_ws("text", dialect), "w", dialect)
+    return f"""RECURSIVE {_core_ctes(dialect, k, src)},
+walk AS (
+  SELECT word, 1 AS pos, 0 AS ntok FROM (SELECT DISTINCT word FROM wfreq)
+  UNION ALL
+  SELECT w.word, w.pos + s.adv, w.ntok + 1
+  FROM walk w JOIN step s ON s.word = w.word AND s.p = w.pos),
+wordtok AS (
+  SELECT word, MAX(ntok) AS ntok FROM walk GROUP BY word),
+doc_words AS (
+  SELECT doc_id, w AS word FROM {src} {words_lat} WHERE LENGTH(w) >= 1)"""
+
+
+def subword_doc_tokens_cte(dialect: str, k: int = 64, src: str = "documents") -> str:
+    """``subword_walk_ctes`` extended with ``toks (doc_id, n_tokens)`` —
+    the shape :func:`..packing.pack_sequences_sql` expects."""
+    return f"""{subword_walk_ctes(dialect, k, src)},
+toks AS (
+  SELECT d.doc_id, CAST(SUM(t.ntok) AS BIGINT) AS n_tokens
+  FROM doc_words d JOIN wordtok t ON t.word = d.word
+  GROUP BY d.doc_id)"""
+
+
+def subword_token_count_sql(dialect: str, k: int = 64, src: str = "documents") -> str:
+    """One dual-dialect statement (recursive-CTE walk): per-document
+    ``(doc_id, n_tokens_ws, n_tokens_subword)``.  Runs as the DuckDB
+    oracle; Spark 4.1 executes the identical text (cross-check pinned in
+    test_round6)."""
+    return f"""
+WITH {subword_walk_ctes(dialect, k, src)}
+SELECT d.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+  CAST(SUM(t.ntok) AS BIGINT) AS n_tokens_subword
+FROM doc_words d JOIN wordtok t ON t.word = d.word
+GROUP BY d.doc_id
+"""
+
+
+def subword_word_tokens(spark: SparkSession, k: int = 64, src: str = "documents") -> DataFrame:
+    """Per-word-type subword token counts ``(word, ntok)`` via the
+    bounded iterative walk (the Spark-native path).  Requires the
+    corpus views registered (catalog.register_views)."""
+    step = spark.sql(
+        f"WITH {_core_ctes(SPARK, k, src)} "
+        "SELECT word AS s_word, p AS s_p, adv FROM step"
+    ).localCheckpoint(eager=True)
+    words = (
+        step.select(F.col("s_word").alias("word"))
+        .distinct()
+        .withColumn("wl", F.length("word"))
+    )
+    max_len = words.agg(F.max("wl").alias("m")).collect()[0]["m"] or 0
+    if max_len > MAXLEN:
+        raise ValueError(
+            f"word type of length {max_len} exceeds the MAXLEN={MAXLEN} "
+            "position grid; raise MAXLEN for this corpus"
+        )
+    frontier = words.select(
+        "word", "wl", F.lit(1).alias("pos"), F.lit(0).alias("ntok")
+    ).localCheckpoint(eager=True)
+    finished: list[DataFrame] = []
+    for _ in range(max_len):
+        stepped = (
+            frontier.join(
+                step,
+                (F.col("word") == F.col("s_word")) & (F.col("pos") == F.col("s_p")),
+            )
+            .select(
+                "word",
+                "wl",
+                (F.col("pos") + F.col("adv")).alias("pos"),
+                (F.col("ntok") + 1).alias("ntok"),
+            )
+            .localCheckpoint(eager=True)  # per-round: bounds the lineage
+        )
+        finished.append(stepped.filter(F.col("pos") > F.col("wl")).select("word", "ntok"))
+        frontier = stepped.filter(F.col("pos") <= F.col("wl"))
+        if frontier.isEmpty():  # 1-row liveness probe, kmeans discipline
+            break
+    else:
+        raise RuntimeError("greedy walk did not terminate within max word length")
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, finished)
+
+
+def subword_token_counts(spark: SparkSession, k: int = 64, src: str = "documents") -> DataFrame:
+    """Per-document ``(doc_id, n_tokens_ws, n_tokens_subword)`` — the
+    iterative-walk word-type counts joined back onto the corpus."""
+    wordtok = subword_word_tokens(spark, k, src)
+    doc_words = spark.sql(
+        f"SELECT doc_id, w AS word FROM {src} "
+        f"{lateral_arr(split_ws('text', SPARK), 'w', SPARK)} "
+        "WHERE LENGTH(w) >= 1"
+    )
+    return (
+        doc_words.join(wordtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens_ws"),
+            F.sum("ntok").cast("long").alias("n_tokens_subword"),
+        )
+    )
