@@ -4047,6 +4047,87 @@ CATALOG = {
     **{name: spec for name, spec in CATALOG.items() if name not in set(_head)},
 }
 
+# ------------------------------------------------------------------ #
+# r6 driver window (first 50 of queries()): the 5 late-r5 entries that
+# have never had a driver CORRECTNESS row (VERDICT r5 #1, staged as
+# _R5_NEXT), the 4 new r6 entries, then the 41 stalest entries — every
+# one last driver-checked in r3 (the r4/r5 windows postdate them all).
+# ------------------------------------------------------------------ #
+
+_R6_NEW = [
+    "hll_rollup_persisted",
+    "theta_overlap_by_source",
+    "text_token_count_subword",
+    "sequence_packing_subword",
+]
+
+# last checked r3 (CORRECTNESS_r03 minus r04/r05 keys), 46 total; the 5
+# in _R6_NEXT wait for r7 — they carry the deepest repo-side coverage
+# of the r3 cohort (sampling property tests + the pandas-UDAF suite)
+_R6_STALE_R3 = [
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "stream_dedup_counts",
+    "stream_dedup_watermark",
+    "stream_stateful_counts",
+    "stream_static_enrich",
+    "quantile_sketch_grouped",
+    "tdigest_quantiles_grouped",
+    "grouped_correlation",
+    "cohort_retention",
+    "events_dau_wau",
+    "events_audience_overlap",
+    "vocab_growth_curve",
+    "corpus_source_mix",
+    "decontamination_report",
+    "dedup_crosslingual_pairs",
+    "dedup_rate_trend",
+    "incremental_dedup",
+    "embedding_label_centroids",
+    "embedding_pca_power",
+    "ann_ivf_trained_topk",
+    "ann_pq_topk",
+    "ann_pq_trained_topk",
+    "text_bigram_cross_entropy",
+    "text_lang_id_confusion",
+    "text_repetition_ratio",
+    "tfidf_top_terms",
+]
+
+_R6_NEXT = [
+    "pandas_udaf_quantiles",
+    "sample_fixed_k",
+    "stratified_sample",
+    "weighted_sample_per_group",
+    "split_balance_report",
+]
+
+_R6_FRONT = _R5_NEXT + _R6_NEW + _R6_STALE_R3
+assert set(_R6_FRONT + _R6_NEXT) <= set(CATALOG), sorted(
+    set(_R6_FRONT + _R6_NEXT) - set(CATALOG)
+)
+assert len(_R6_FRONT) == len(set(_R6_FRONT)) == 50, len(_R6_FRONT)
+
+_head6 = _R6_FRONT + _R6_NEXT + [n for n in _head if n not in set(_R6_FRONT + _R6_NEXT)]
+CATALOG = {
+    **{name: CATALOG[name] for name in _head6},
+    **{name: spec for name, spec in CATALOG.items() if name not in set(_head6)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}

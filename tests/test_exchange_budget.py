@@ -83,6 +83,22 @@ BUDGET = {
     "sequence_packing": 4,       # bucket window + totals agg + 256-row
                                  # offset window + final bin agg
     "sequence_packing_by_lang": 4,  # same shape, every window partitioned
+    # round 6
+    "partials_diag": 1,          # explicit-shard partial agg (one
+                                 # partial->final exchange)
+    "approx_distinct_diag": 2,   # exact countDistinct expand (2-phase)
+                                 # + HLL++ merge ride along
+    "hll_rollup_persisted": 4,   # range read of the persisted sketch
+                                 # table: register MAX-merge + n_days
+                                 # distinct + 1-row assembly; the build
+                                 # pays its own single agg at write time
+    "theta_overlap_by_source": 3,  # pair assembly over checkpointed
+                                 # ≤k-row per-group samples
+    "text_token_count_subword": 1,  # doc-words join + per-doc agg; the
+                                 # walk's per-round joins are paid
+                                 # before its checkpoints
+    "sequence_packing_subword": 6,  # packing's 4 + subword-count join
+                                 # + per-doc count agg
 }
 
 

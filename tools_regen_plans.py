@@ -21,6 +21,9 @@ PICKS = {
     "bloom_membership_audience": "Relational Bloom filter: set-bit build DISTINCT (<= m rows per partition map-side), probe positions left-joined against the broadcast set-bit table, one audit aggregate.",
     "cms_heavy_hitters": "Count-Min build: map-side (row, col) aggregation straight off the hashed event stream — the d*w counter table is the only thing shuffled; exact top-k probe joins against the broadcast sketch.",
     "multimodal_png_decode": "Entirely map-only: synth encoder and inflate+unfilter decoder are back-to-back Arrow-batched mapInPandas stages, zero exchanges.",
+    "hll_rollup_persisted": "Persisted continuous aggregate: partition-pruned scan of the day-partitioned sketch table, register MAX-merge + 1-row assembly. NO events scan anywhere in the range-query plan.",
+    "theta_overlap_by_source": "Per-group KMV samples from ONE partitioned-window rank; pair spine, intersection probe and audit all reuse the checkpointed <=k-row tables.",
+    "text_token_count_subword": "Greedy-walk token counts per word TYPE (iterative joins paid before checkpoints); the visible plan is just the doc-words join + per-doc aggregate.",
 }
 
 if __name__ == "__main__":
