@@ -3762,6 +3762,17 @@ def _stream_hll_oracle() -> str:
     )
 
 
+def _stream_hll_daily_oracle() -> str:
+    from .functions import sketches as SK
+
+    return SK.hll_estimate_sql(
+        "(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events)",
+        "day",
+        "user_id",
+        dialect=DUCK,
+    )
+
+
 def hll_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily HLL rollup as a PERSISTED incremental sketch table —
     the production form of ``hll_daily_rollup_range`` (which demonstrates
@@ -3790,6 +3801,36 @@ def hll_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(path, ignore_errors=True)
     SK.hll_rollup_build(ev, path)
+    return SK.hll_rollup_range_estimate(spark, path, lo, hi)
+
+
+def hll_rollup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted rollup's INCREMENTAL maintenance path exercised
+    end-to-end through the catalog: build the sketch table over every
+    day EXCEPT the last, then `hll_rollup_append_day` the final day
+    (scanning only that day's events), then answer the full-range query
+    from the (base + appended) sketch files.  Hash-matching the
+    direct-estimate oracle proves append-then-merge == one-shot build ==
+    full rescan — the day-N+1 backfill contract at 100 TB.  File-level
+    immutability of prior days is pinned separately in test_round6."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_hll_rollup_inc_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    last = ev.agg(F.max(day).alias("d")).collect()[0]["d"]  # 1-row metadata
+    SK.hll_rollup_build(ev.filter(day < last), path)
+    SK.hll_rollup_append_day(ev.filter(day == last), path, last)
     return SK.hll_rollup_range_estimate(spark, path, lo, hi)
 
 
@@ -3833,6 +3874,108 @@ ORDER BY true_cnt DESC, key LIMIT 20
 """
 
 
+def _source_mixture_weights_builder(dialect: str) -> str:
+    """Temperature-weighted domain mixing — the sampling-weight table a
+    training run reads to balance sources (UL2/T5-style ``count^alpha``
+    reweighting, alpha=0.5): per source, docs, whitespace tokens, and
+    ``mix_weight = sqrt(tokens) / SUM(sqrt(tokens))``.  Determinism
+    notes: SQRT is IEEE-correctly-rounded in both engines (POWER with a
+    fractional exponent is NOT — why alpha is 0.5 here); the weights are
+    fixed-point-scaled with FLOOR before the exact BIGINT sum so the
+    normalizing denominator is accumulation-order-independent."""
+    from .functions.portable import arr_len, split_ws
+
+    tok = arr_len(split_ws("text", dialect), dialect)
+    return f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM({tok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
+  FROM s)
+SELECT source, n_docs, n_tokens,
+  ROUND(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE), 6)
+    AS mix_weight
+FROM w
+"""
+
+
+def _pii_scrub_audit_builder(dialect: str) -> str:
+    """Redaction-machinery audit over the event payload column: count
+    and scrub digit runs (the pattern class the fixture actually
+    carries; swap in email/phone/SSN alternations for a production
+    corpus — the machinery is the shared-regex-subset scrub, not the
+    pattern list).  Per event_type: events, events with a match, total
+    matched runs, and the payload length before/after scrubbing —
+    the before/after delta is the redacted-character count, which the
+    value hash pins."""
+    from .functions.portable import regexp_count, regex_replace_all
+
+    runs = regexp_count("props", "[0-9]+", dialect)
+    scrub = regex_replace_all("props", "[0-9]+", "#", dialect)
+    return f"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN {runs} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
+  CAST(SUM({runs}) AS BIGINT) AS n_runs,
+  CAST(SUM(LENGTH(props)) AS BIGINT) AS chars_raw,
+  CAST(SUM(LENGTH({scrub})) AS BIGINT) AS chars_scrubbed
+FROM events GROUP BY event_type
+"""
+
+
+def _dedup_chunk_passages_builder(dialect: str) -> str:
+    """Chunk-level (passage) dedup — the granularity between exact-doc
+    and shingle dedup: documents are cut into NON-OVERLAPPING 3-word
+    chunks (static chunk-index grid, no correlated laterals) and
+    repeated passages detected by md5 across the whole corpus.  Per
+    source: chunks, distinct chunk texts, corpus-duplicated chunks (text
+    seen in >1 chunk anywhere), and the duplication ratio.  At 100 TB
+    the shuffle carries (digest, count) pairs, never passage text twice;
+    this is the boilerplate/repeated-footer detector that doc-level
+    dedup misses and shingle overlap over-counts."""
+    from .functions.portable import arr_len, arr_slice_join, lateral_seq, split_ws
+
+    arr = split_ws("text", dialect)
+    lat = lateral_seq("0", "63", "ci", dialect)  # ≤ 192 words/doc at any SF
+    chunk = arr_slice_join("words", "ci * 3 + 1", 3, " ", dialect)
+    return f"""
+WITH dw AS (
+  SELECT doc_id, source, {arr} AS words,
+    CAST({arr_len(arr, dialect)} AS BIGINT) AS nw
+  FROM documents),
+chunks AS (
+  SELECT doc_id, source, md5({chunk}) AS h
+  FROM dw {lat}
+  WHERE ci * 3 + 1 <= nw),
+freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM chunks GROUP BY h)
+SELECT c.source,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_distinct,
+  CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+  ROUND(CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS dup_ratio
+FROM chunks c JOIN freq f ON c.h = f.h
+GROUP BY c.source
+"""
+
+
+def _cms_by_type_builder(dialect: str) -> str:
+    """Grouped Count-Min over the event stream: one d×w counter table
+    per event_type (functions/sketches.py:cms_heavy_hitters_by_group_sql
+    — hashes computed once over distinct user ids and joined back, so
+    the group dimension adds no hash work), exact per-group top-5 probed
+    and audited.  At 100 TB: per-tenant / per-surface frequency sketches
+    from ONE pass, mergeable by SUM within each group."""
+    from .functions import sketches as SK
+
+    return SK.cms_heavy_hitters_by_group_sql(
+        "events", "event_type", "user_id", w=1024, d=4, topk=5, dialect=dialect
+    )
+
+
 def _cms_heavy_hitters_builder(dialect: str) -> str:
     """Count-Min heavy hitters over the events user-activity stream:
     d=4 × w=1024 counter table (functions/sketches.py — built map-side,
@@ -3855,6 +3998,27 @@ CATALOG.update(
             doc="Count-Min frequency sketch: top-20 user estimates vs "
             "exact, overestimate audit pinned.",
         ),
+        "cms_heavy_hitters_by_type": _dual(
+            _cms_by_type_builder,
+            doc="Grouped Count-Min: one counter table per event_type, "
+            "per-group top-5 audit — the frequency sketch's group "
+            "dimension.",
+        ),
+        "source_mixture_weights": _dual(
+            _source_mixture_weights_builder,
+            doc="Temperature-weighted (count^0.5) domain-mixing table — "
+            "the per-source sampling weights a training run consumes.",
+        ),
+        "pii_scrub_audit": _dual(
+            _pii_scrub_audit_builder,
+            doc="Regex redaction audit over the event payload: matched "
+            "runs and redacted-character counts per event_type.",
+        ),
+        "dedup_chunk_passages": _dual(
+            _dedup_chunk_passages_builder,
+            doc="Passage-level dedup: non-overlapping 3-word chunks, "
+            "corpus-wide repeated-passage ratio per source.",
+        ),
         "hll_daily_rollup_range": QuerySpec(
             hll_daily_rollup_q,
             _hll_daily_rollup_oracle(),
@@ -3868,6 +4032,13 @@ CATALOG.update(
             doc="Persisted incremental daily-HLL sketch table: range "
             "query reads only partition-pruned sketch files, never the "
             "events.",
+        ),
+        "hll_rollup_incremental": QuerySpec(
+            hll_rollup_incremental_q,
+            _hll_rollup_persisted_oracle(),
+            doc="The rollup's append path through the catalog: build "
+            "all-but-last day, append the last, range-query the merged "
+            "sketch table — equals the full rescan.",
         ),
         "sequence_packing_by_lang": QuerySpec(
             sequence_packing_by_lang_q,
@@ -3883,6 +4054,15 @@ CATALOG.update(
             doc="Incremental HLL over micro-batches: per-batch register "
             "checkpoints, distributed MAX-merge — equals the batch "
             "estimate by the merge law.",
+        ),
+        "stream_hll_daily": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_hll_daily(spark, sf_dir),
+            _stream_hll_daily_oracle(),
+            doc="Per-day streaming sketch maintenance: micro-batches "
+            "append day-grouped registers; MAX-merge per day equals the "
+            "batch per-day estimates.",
         ),
         "mg_heavy_hitters": QuerySpec(
             mg_heavy_hitters_q,
@@ -4108,7 +4288,15 @@ _R6_STALE_R3 = [
     "tfidf_top_terms",
 ]
 
+# position 51+: first in line for the r7 window — the late-r6 breadth
+# batch (never driver-sampled), then the 5 deferred r3-cohort entries
 _R6_NEXT = [
+    "hll_rollup_incremental",
+    "stream_hll_daily",
+    "cms_heavy_hitters_by_type",
+    "source_mixture_weights",
+    "pii_scrub_audit",
+    "dedup_chunk_passages",
     "pandas_udaf_quantiles",
     "sample_fixed_k",
     "stratified_sample",

@@ -76,6 +76,23 @@ def regexp_count(expr: str, pattern: str, dialect: str) -> str:
 
 
 
+def regex_replace_all(expr: str, pattern: str, repl: str, dialect: str) -> str:
+    """Replace ALL matches: Spark's regexp_replace is global by default;
+    DuckDB needs the explicit 'g' flag."""
+    if dialect == SPARK:
+        return f"regexp_replace({expr}, '{pattern}', '{repl}')"
+    return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+
+
+def arr_slice_join(expr: str, start: str, n: int, sep: str, dialect: str) -> str:
+    """Join ``n`` array elements from 1-based ``start`` with ``sep``.
+    Spark: slice(arr, start, n); DuckDB: 1-based inclusive list slicing
+    arr[start : start+n-1].  Both tolerate a short tail."""
+    if dialect == SPARK:
+        return f"array_join(slice({expr}, {start}, {n}), '{sep}')"
+    return f"array_to_string(({expr})[({start}):(({start}) + {n - 1})], '{sep}')"
+
+
 def epoch_s(expr: str, dialect: str) -> str:
     """Epoch seconds as BIGINT (the portable way to emit a timestamp —
     both engines' native timestamp types hash differently downstream)."""

@@ -449,6 +449,58 @@ SELECT
 """
 
 
+def cms_heavy_hitters_by_group_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    w: int = 1024,
+    d: int = 4,
+    topk: int = 5,
+    dialect: str = SPARK,
+) -> str:
+    """Grouped Count-Min — the group dimension of
+    :func:`cms_heavy_hitters_sql` (one d×w counter table PER GROUP,
+    still ≤ groups·d·w rows total, built with one aggregation and
+    mergeable by SUM within each group).  Keys are hashed once over the
+    DISTINCT value set and joined back onto the (group, value) stream,
+    so adding the group dimension adds no hash work.  Per group the
+    exact top-``topk`` keys (window rank) are probed and audited:
+    ``(group, key, true_cnt, est_cnt, overestimate)`` with the
+    no-underestimate guarantee intact per group."""
+    from .portable import lateral_seq
+
+    lat = lateral_seq("0", str(d - 1), "r", dialect)
+    pos = f"(h1 + r * (h2 * 2 + 1)) % {w}"
+    return f"""
+WITH ev AS (SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS v FROM {src}),
+dv AS (SELECT DISTINCT v FROM ev),
+{_double_hash_ctes("_sg", "dv", dialect)},
+evh AS (SELECT e.g, e.v, h.h1, h.h2 FROM ev e JOIN _sghh h ON e.v = h.v),
+sketch AS (
+  SELECT g, r AS rw, {pos} AS cl, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM evh {lat}
+  GROUP BY g, r, {pos}),
+exact AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM ev GROUP BY g, v),
+top AS (
+  SELECT g, v, true_cnt FROM (
+    SELECT g, v, true_cnt,
+      ROW_NUMBER() OVER (PARTITION BY g ORDER BY true_cnt DESC, v) AS rn
+    FROM exact) t
+  WHERE rn <= {topk}),
+probe AS (
+  SELECT t.g, t.v, r AS rw, {pos} AS cl
+  FROM (SELECT tt.g, tt.v, h.h1, h.h2
+        FROM top tt JOIN _sghh h ON h.v = tt.v) t {lat}),
+est AS (
+  SELECT p.g, p.v, MIN(s.cnt) AS est_cnt
+  FROM probe p JOIN sketch s ON s.g = p.g AND p.rw = s.rw AND p.cl = s.cl
+  GROUP BY p.g, p.v)
+SELECT t.g AS {group_col}, t.v AS key, t.true_cnt, e.est_cnt,
+  CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overestimate
+FROM top t JOIN est e ON t.g = e.g AND t.v = e.v
+"""
+
+
 def _hashed_values_grouped(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

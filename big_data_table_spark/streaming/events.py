@@ -355,6 +355,57 @@ def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_estimate_global(back)
 
 
+def stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WINDOW streaming sketch maintenance — the streaming writer of
+    the persisted daily rollup (functions/sketches.py): every
+    micro-batch appends its per-day HLL register rows (≤256 per day
+    touched by the batch) into the sketch store; the read side MAX-merges
+    across batches and estimates per day.  A day split across many
+    micro-batches converges to the same registers as a one-shot build —
+    the merge law through BOTH real micro-batch boundaries AND the
+    persisted-store merge.  Oracle: the batch per-day HLL estimates over
+    the complete stream.  Sink grows with batches·days·m, never data;
+    rate-limited to one file per trigger to force multi-batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions import sketches as SK
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_hll_daily_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        regs = SK.hll_registers(
+            batch_df.select(
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+                "user_id",
+            ),
+            ["day"],
+            "user_id",
+        )
+        regs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    with _stream_shuffle_scope(spark):
+        q = ev.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return SK.hll_estimate(merged, ["day"]).select("day", "hll_est")
+
+
 def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     dimension (a user→nation mapping derived from the nation table), then

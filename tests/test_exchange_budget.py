@@ -99,6 +99,15 @@ BUDGET = {
                                  # before its checkpoints
     "sequence_packing_subword": 6,  # packing's 4 + subword-count join
                                  # + per-doc count agg
+    # round 6, breadth batch (streaming stream_hll_daily excluded like
+    # the other foreachBatch entries — counting its plan runs the query)
+    "hll_rollup_incremental": 4,  # same range-read shape as persisted
+    "cms_heavy_hitters_by_type": 7,  # grouped sketch + exact + rank
+                                 # window + probe joins
+    "source_mixture_weights": 3,  # per-source agg + scalar denominator
+    "pii_scrub_audit": 1,        # one grouped aggregate over the scan
+    "dedup_chunk_passages": 3,   # chunk digest agg + per-source
+                                 # distinct agg
 }
 
 
