@@ -171,3 +171,121 @@ def test_tdigest_compress_merge_properties(vals, splits):
         rank = (arr <= merged_est).mean()
         lo = (arr < merged_est).mean()
         assert lo - 0.15 <= q <= rank + 0.15
+
+
+# --------------------------------------------------------------------- #
+# r6: subword tokenizer vs a pure-Python greedy reference on random
+# corpora — the local-vs-distributed equivalence technique applied to
+# the learned-vocabulary path (vocab derivation AND the walk)
+# --------------------------------------------------------------------- #
+
+
+def _py_vocab(word_counts: dict, k: int) -> set:
+    from collections import Counter
+
+    c: Counter = Counter()
+    for w, cnt in word_counts.items():
+        for length in range(2, 7):
+            for p in range(0, len(w) - length + 1):
+                c[w[p : p + length]] += cnt
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return {tok for tok, _ in ranked}
+
+
+def _py_greedy_tokens(word: str, vocab: set) -> int:
+    pos, n = 0, 0
+    while pos < len(word):
+        adv = 1
+        for length in range(6, 1, -1):
+            if pos + length <= len(word) and word[pos : pos + length] in vocab:
+                adv = length
+                break
+        pos += adv
+        n += 1
+    return n
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=10),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(1, 8),
+)
+def test_subword_counts_match_python_reference(spark, docs, k):
+    from collections import Counter
+
+    from big_data_table_spark.functions import subword as SW
+
+    texts = [" ".join(words) for words in docs]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("swprop")
+    got = {
+        r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_subword"])
+        for r in SW.subword_token_counts(spark, k=k, src="swprop").collect()
+    }
+    wc: Counter = Counter(w for words in docs for w in words)
+    vocab = _py_vocab(dict(wc), k)
+    for i, words in enumerate(docs):
+        want = (len(words), sum(_py_greedy_tokens(w, vocab) for w in words))
+        assert got[i] == want, (i, words, vocab, got[i], want)
+
+
+# --------------------------------------------------------------------- #
+# r6: packing with an external token count vs a local greedy reference
+# --------------------------------------------------------------------- #
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="xyz ", min_size=1, max_size=12),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.integers(8, 200),
+)
+def test_pack_sequences_tokens_col_matches_reference(spark, rows, budget):
+    import hashlib
+
+    from big_data_table_spark.functions.packing import pack_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [t for t, _ in rows],
+            "t": [n for _, n in rows],
+        }
+    )
+    out = pack_sequences(
+        spark.createDataFrame(pdf), budget=budget, tokens_col="t"
+    ).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["bin_id"]) for r in out}
+    order = sorted(
+        range(len(rows)),
+        key=lambda i: (hashlib.md5(rows[i][0].encode()).hexdigest(), i),
+    )
+    prefix = 0
+    for i in order:
+        want_bin = prefix // budget
+        assert got[i] == (rows[i][1], want_bin), (i, rows[i], got[i], want_bin)
+        prefix += rows[i][1]
+    # conservation + the bounded-overflow law (charged-where-it-starts)
+    assert sum(n for _, n in rows) == sum(v[0] for v in got.values())

@@ -108,3 +108,37 @@ def test_weighted_sample_partition_independent_at_scale(spark, big):
         )
     assert out["a"].equals(out["b"])
     assert len(out["a"]) == 50
+
+
+def test_hll_rollup_merge_law_at_scale(spark, big):
+    """The rollup architecture's load-bearing law at 5M rows: per-'day'
+    register tables MAX-merged must equal the one-shot registers over
+    the union BIT-FOR-BIT (not approximately — the merge law is exact
+    even though the estimate is not), and the estimate must sit inside
+    the p=8 nominal band around the known distinct count (spark.range →
+    all ids distinct).  Also partition-count independent: the same
+    registers from 7 and 32 partitions."""
+    from big_data_table_spark.functions import sketches as SK
+
+    ev = big.select(
+        F.when(F.col("id") % 2 == 0, "2024-01-01")
+        .otherwise("2024-01-02")
+        .alias("day"),
+        F.col("id").alias("v"),
+    )
+    per_day = SK.hll_registers(ev, ["day"], "v")
+    merged = per_day.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    direct = SK.hll_registers(ev.select("v"), [], "v")
+    # bucket is unique per table, so pairwise-equal row sets ⇔ the inner
+    # join on (bucket, reg) covers both sides completely
+    n_m, n_d = merged.count(), direct.count()
+    n_match = merged.join(direct, ["bucket", "reg"]).count()
+    assert n_m == n_d == n_match  # exact register equality, not estimates
+
+    est = SK.hll_estimate_global(merged).collect()[0]["hll_est"]
+    assert abs(est - N) / N < 0.2, est  # 3·1.04/sqrt(256) ≈ 0.2
+
+    est7 = SK.hll_estimate_global(
+        SK.hll_registers(ev.select("v").repartition(7), [], "v")
+    ).collect()[0]["hll_est"]
+    assert est7 == est
