@@ -3762,6 +3762,27 @@ def _stream_hll_oracle() -> str:
     )
 
 
+def hll_rolling_7day_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from the DAILY SKETCH TABLE alone
+    (functions/sketches.py:hll_rolling_merge_sql): each day's ≤256
+    registers fan out to the ≤7 windows containing that day and
+    MAX-merge per window — the rolling-DAU query that on 100 TB costs
+    days·256 register rows instead of 7 passes over events.  The oracle
+    computes each window's estimate directly from raw values; equality
+    (the driver hash) is the merge-law proof for ROLLING consumption,
+    complementing `hll_rollup_persisted`'s single-range proof."""
+    from .functions import sketches as SK
+
+    register_views(spark, sf_dir)
+    return spark.sql(SK.hll_rolling_merge_sql("ts", "user_id", 7, dialect=SPARK))
+
+
+def _hll_rolling_7day_oracle() -> str:
+    from .functions import sketches as SK
+
+    return SK.hll_rolling_direct_sql("ts", "user_id", 7, dialect=DUCK)
+
+
 def _stream_hll_daily_oracle() -> str:
     from .functions import sketches as SK
 
@@ -4040,6 +4061,13 @@ CATALOG.update(
             "all-but-last day, append the last, range-query the merged "
             "sketch table — equals the full rescan.",
         ),
+        "hll_rolling_7day": QuerySpec(
+            hll_rolling_7day_q,
+            _hll_rolling_7day_oracle(),
+            doc="Rolling 7-day distinct users from daily sketches alone "
+            "(offset fan-out + per-window register MAX) — equals the "
+            "direct per-window estimates by the merge law.",
+        ),
         "sequence_packing_by_lang": QuerySpec(
             sequence_packing_by_lang_q,
             _sequence_packing_by_lang_oracle(),
@@ -4292,6 +4320,7 @@ _R6_STALE_R3 = [
 # batch (never driver-sampled), then the 5 deferred r3-cohort entries
 _R6_NEXT = [
     "hll_rollup_incremental",
+    "hll_rolling_7day",
     "stream_hll_daily",
     "cms_heavy_hitters_by_type",
     "source_mixture_weights",

@@ -93,6 +93,15 @@ def arr_slice_join(expr: str, start: str, n: int, sep: str, dialect: str) -> str
     return f"array_to_string(({expr})[({start}):(({start}) + {n - 1})], '{sep}')"
 
 
+def days_since_epoch(expr: str, dialect: str) -> str:
+    """Calendar day as an INTEGER day number (portable date arithmetic:
+    day windows become integer offsets, sidestepping the engines'
+    incompatible date+interval syntaxes)."""
+    if dialect == SPARK:
+        return f"datediff(CAST({expr} AS DATE), DATE '1970-01-01')"
+    return f"(CAST({expr} AS DATE) - DATE '1970-01-01')"
+
+
 def epoch_s(expr: str, dialect: str) -> str:
     """Epoch seconds as BIGINT (the portable way to emit a timestamp —
     both engines' native timestamp types hash differently downstream)."""

@@ -449,6 +449,84 @@ SELECT
 """
 
 
+def hll_rolling_merge_sql(
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    p: int = 8,
+    dialect: str = SPARK,
+    src: str = "events",
+) -> str:
+    """Rolling ``window_days``-day distinct counts computed ENTIRELY from
+    the daily register table — the query-side payoff of the persisted
+    rollup: each day's registers fan out to the ≤``window_days`` windows
+    they belong to (a static offset lateral, integer day arithmetic) and
+    MAX-merge per window.  The shuffle carries days·m register rows —
+    never events — so "rolling 90-day distinct users" on 100 TB costs
+    the same as on 100 MB once the daily sketches exist.  Windows are
+    keyed by their END day (epoch-day integer; partial leading windows
+    included, standard rolling semantics)."""
+    from .portable import days_since_epoch, lateral_seq
+
+    m = 1 << p
+    dd = days_since_epoch(ts_col, dialect)
+    regs = hll_registers_sql(
+        f"(SELECT {dd} AS day_num, {value_col} AS v FROM {src})",
+        "day_num",
+        "v",
+        p,
+        dialect,
+    )
+    lat = lateral_seq("0", str(window_days - 1), "i", dialect)
+    return f"""
+WITH regs AS ({regs}),
+days AS (SELECT DISTINCT day_num FROM regs),
+rolled AS (
+  SELECT r.day_num + i AS day_end, r.bucket, MAX(r.reg) AS reg
+  FROM regs r {lat}
+  GROUP BY r.day_num + i, r.bucket),
+win AS (
+  SELECT rolled.day_end, rolled.bucket, rolled.reg
+  FROM rolled JOIN days d ON d.day_num = rolled.day_end),
+agg AS (
+  SELECT day_end, COUNT(*) AS nb, SUM(POWER(2.0, -reg)) AS s_nz
+  FROM win GROUP BY day_end)
+SELECT CAST(day_end AS BIGINT) AS day_end, {_estimate_sql(m)} AS hll_est
+FROM agg
+"""
+
+
+def hll_rolling_direct_sql(
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    p: int = 8,
+    dialect: str = SPARK,
+    src: str = "events",
+) -> str:
+    """The oracle for :func:`hll_rolling_merge_sql`: each window's
+    estimate computed DIRECTLY from the raw values falling in it.  Equal
+    to the sketch-merge result by the HLL merge law — the hash match is
+    the proof that rolling consumption of the rollup loses nothing."""
+    from .portable import days_since_epoch, lateral_seq
+
+    dd = days_since_epoch(ts_col, dialect)
+    lat = lateral_seq("0", str(window_days - 1), "i", dialect)
+    est = hll_estimate_sql("winv2", "day_end", "v", p, dialect)
+    return f"""
+WITH ev AS (SELECT {dd} AS day_num, CAST({value_col} AS BIGINT) AS v FROM {src}),
+days AS (SELECT DISTINCT day_num FROM ev),
+winv AS (
+  SELECT DISTINCT e.day_num + i AS day_end, v
+  FROM ev e {lat}),
+winv2 AS (
+  SELECT winv.day_end, winv.v
+  FROM winv JOIN days d ON d.day_num = winv.day_end),
+rolled AS ({est})
+SELECT CAST(day_end AS BIGINT) AS day_end, hll_est FROM rolled
+"""
+
+
 def cms_heavy_hitters_by_group_sql(
     src: str,
     group_col: str,

@@ -108,6 +108,10 @@ BUDGET = {
     "pii_scrub_audit": 1,        # one grouped aggregate over the scan
     "dedup_chunk_passages": 3,   # chunk digest agg + per-source
                                  # distinct agg
+    "hll_rolling_7day": 4,       # daily register agg + window fan-out
+                                 # merge + estimate agg (+ days grid) —
+                                 # every exchange carries register rows,
+                                 # never events
 }
 
 
