@@ -4,5 +4,6 @@ from . import (  # noqa: F401
     portable,
     similarity,
     sketches,
+    subword,
     text,
 )
