@@ -3923,6 +3923,49 @@ FROM w
 """
 
 
+def _mixture_resample_builder(dialect: str) -> str:
+    """Closes the mixing loop: CONSUME the temperature weights
+    (`source_mixture_weights`'s sqrt scheme) as per-source document
+    targets out of a 400-doc resample budget, and DRAW the sample
+    deterministically — per source, the first ``target`` docs in
+    (md5(text), doc_id) order, the same content-hash-order discipline
+    as `sample_by_hash`/packing, so the drawn set is partitioning- and
+    run-independent.  Report target vs achieved per source (achieved
+    caps at the source's size — the audit surfaces under-supplied
+    sources).  At 100 TB: one window rank per source + a broadcast
+    20-row target table; no shuffling of the corpus beyond the rank."""
+    from .functions.portable import arr_len, split_ws
+
+    tok = arr_len(split_ws("text", dialect), dialect)
+    return f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM({tok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
+  FROM s),
+t AS (
+  SELECT source, n_docs,
+    CAST(FLOOR(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE)
+         * 400 + 0.5) AS BIGINT) AS target
+  FROM w),
+ranked AS (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+  FROM documents),
+pick AS (
+  SELECT r.source, r.doc_id
+  FROM ranked r JOIN t ON t.source = r.source
+  WHERE r.rn <= t.target)
+SELECT t.source, t.n_docs, t.target,
+  CAST(COUNT(p.doc_id) AS BIGINT) AS n_sampled
+FROM t LEFT JOIN pick p ON p.source = t.source
+GROUP BY t.source, t.n_docs, t.target
+"""
+
+
 def _pii_scrub_audit_builder(dialect: str) -> str:
     """Redaction-machinery audit over the event payload column: count
     and scrub digit runs (the pattern class the fixture actually
@@ -4029,6 +4072,12 @@ CATALOG.update(
             _source_mixture_weights_builder,
             doc="Temperature-weighted (count^0.5) domain-mixing table — "
             "the per-source sampling weights a training run consumes.",
+        ),
+        "mixture_resample": _dual(
+            _mixture_resample_builder,
+            doc="Deterministic weighted resample consuming the mixture "
+            "weights: per-source targets drawn in content-hash order, "
+            "target-vs-achieved audit.",
         ),
         "pii_scrub_audit": _dual(
             _pii_scrub_audit_builder,
@@ -4324,6 +4373,7 @@ _R6_NEXT = [
     "stream_hll_daily",
     "cms_heavy_hitters_by_type",
     "source_mixture_weights",
+    "mixture_resample",
     "pii_scrub_audit",
     "dedup_chunk_passages",
     "pandas_udaf_quantiles",

@@ -112,6 +112,8 @@ BUDGET = {
                                  # merge + estimate agg (+ days grid) —
                                  # every exchange carries register rows,
                                  # never events
+    "mixture_resample": 5,       # weights agg + scalar denom + source
+                                 # rank window + pick join + audit agg
 }
 
 

@@ -333,3 +333,17 @@ def test_fold64_identity_unchanged_for_nonnegative(spark):
     df = spark.range(1, 1001).selectExpr("id AS v")
     out = df.selectExpr(f"{SK._fold64_sql('v', SPARK)} AS f", "v").collect()
     assert all(r["f"] == r["v"] for r in out)
+
+
+def test_subword_count_plan_broadcasts_wordtok(spark, sf_dir):
+    """The per-doc count joins the tiny word-type token table onto the
+    corpus word stream — that side must be a broadcast join (at 100 TB
+    the word-type table is vocabulary-sized; a shuffle join here would
+    re-shuffle the full token stream)."""
+    from big_data_table_spark import catalog as C
+    from big_data_table_spark.functions import subword as SW
+    from big_data_table_spark.plans.explainer import broadcast_join_count
+
+    C.register_views(spark, sf_dir)
+    df = SW.subword_token_counts(spark)
+    assert broadcast_join_count(df) >= 1
