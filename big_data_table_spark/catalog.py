@@ -500,17 +500,28 @@ def _partials_diag_builder(dialect: str) -> str:
     """The reference's *default* result shape — per-shard partials
     (``outer.aggregate=FALSE``, big.data.table.R:138-151; row-count law
     pinned by tests-04:23-32: nrow == shards × groups).  The shard is the
-    reference's node-assignment function made EXPLICIT and portable
-    (``ascii(md5(orderkey)[0]) % 8`` — 16 hex chars map 2-to-1 onto the
-    8 shards, exactly uniform), so the per-shard partial values are fully
-    determined by the data rather than by Spark's physical partitioning —
+    reference's node-assignment function made EXPLICIT and portable: the
+    VALUE of the first md5 hex digit mod 8 — a true 2-to-1 uniform map of
+    the 16 hex chars onto the 8 shards (the earlier ``ascii(c) % 8`` form
+    was not uniform: ascii codes of '0'-'9' and 'a'-'f' are not
+    contiguous, so shard 7 received only '7' — 1/16 of keys — and could
+    be empty on small inputs, silently breaking the row-count law).  The
+    hex→value map is a portable CASE (both engines lowercase md5), so the
+    per-shard partial values are fully determined by the data rather than
+    by Spark's physical partitioning —
     which upgrades this entry from the driver's rows-only check to a full
     value-hash oracle while keeping the semantics it documents.  The
     PHYSICAL spark_partition_id variant stays available as
     ``operators.aggregate.partials`` (pytest-pinned); at 100 TB both
     shapes are one map-side-combinable aggregation."""
+    hexd = f"substr(md5(CAST(l_orderkey AS {'STRING' if dialect == SPARK else 'VARCHAR'})), 1, 1)"
+    hexval = (
+        f"(CASE {hexd} "
+        + " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate("0123456789abcdef"))
+        + " END)"
+    )
     return f"""
-SELECT ascii(substr(md5(CAST(l_orderkey AS {"STRING" if dialect == SPARK else "VARCHAR"})), 1, 1)) % 8 AS shard,
+SELECT {hexval} % 8 AS shard,
   l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY shard, l_returnflag
 """
@@ -3999,7 +4010,15 @@ def _dedup_chunk_passages_builder(dialect: str) -> str:
     seen in >1 chunk anywhere), and the duplication ratio.  At 100 TB
     the shuffle carries (digest, count) pairs, never passage text twice;
     this is the boilerplate/repeated-footer detector that doc-level
-    dedup misses and shingle overlap over-counts."""
+    dedup misses and shingle overlap over-counts.
+
+    The static chunk grid covers documents up to 64·3 = 192 words; a
+    longer document's tail chunks would fall off the grid, so the result
+    carries an explicit ``n_docs_over_grid`` audit column (docs whose
+    word count exceeds the grid) — 0 on every fixture, and pinned at 0
+    by the driver value-hash, so a corpus outgrowing the grid surfaces
+    as a visible column instead of silent truncation (mirrors the
+    subword MAXLEN guard)."""
     from .functions.portable import arr_len, arr_slice_join, lateral_seq, split_ws
 
     arr = split_ws("text", dialect)
@@ -4010,6 +4029,10 @@ WITH dw AS (
   SELECT doc_id, source, {arr} AS words,
     CAST({arr_len(arr, dialect)} AS BIGINT) AS nw
   FROM documents),
+over AS (
+  SELECT source, CAST(COUNT(CASE WHEN nw > 192 THEN 1 END) AS BIGINT)
+    AS n_docs_over_grid
+  FROM dw GROUP BY source),
 chunks AS (
   SELECT doc_id, source, md5({chunk}) AS h
   FROM dw {lat}
@@ -4020,8 +4043,10 @@ SELECT c.source,
   CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_distinct,
   CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
   ROUND(CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        / COUNT(*), 6) AS dup_ratio
+        / COUNT(*), 6) AS dup_ratio,
+  MAX(o.n_docs_over_grid) AS n_docs_over_grid
 FROM chunks c JOIN freq f ON c.h = f.h
+JOIN over o ON o.source = c.source
 GROUP BY c.source
 """
 

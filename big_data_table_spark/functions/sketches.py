@@ -92,9 +92,20 @@ def _fold64_sql(v: str, dialect: str) -> str:
     bitwise NOT: fold(-v) == v-1 — measured as a 2× undercount on a
     mixed-sign key set).  For values below 2^32 the high word is 0, the
     multiply contributes 0, and the fold stays the identity — every
-    previously recorded fixture hash is unchanged."""
+    previously recorded fixture hash is unchanged.
+
+    The high word is EXACT for the full int64 range: ``v − lo`` is by
+    construction a multiple of 2^32 of the form ``q·2^32`` with
+    ``|q| < 2^31``, which is exactly representable as an IEEE double
+    (≤31-bit mantissa shifted), and division by the power-of-two 2^32
+    is exact — so ``CAST((v − lo) / 2^32 AS BIGINT)`` equals the true
+    ``floor(v / 2^32)`` for every 64-bit value.  The previous
+    ``FLOOR(v / 2^32)`` form rounded across the integer boundary for
+    ``|v| ≥ 2^53`` near multiples of 2^32 (both engines evaluate ``/``
+    as double division); below 2^53 the two forms agree, so recorded
+    fixture hashes are unchanged."""
     lo = f"(((({v}) % {_MOD}) + {_MOD}) % {_MOD})"
-    hi = f"(((CAST(FLOOR(({v}) / {_MOD}) AS BIGINT) % {_MOD}) + {_MOD}) % {_MOD})"
+    hi = f"(((CAST(((({v}) - {lo}) / {_MOD}) AS BIGINT) % {_MOD}) + {_MOD}) % {_MOD})"
     return bit_xor(lo, f"({_mulmod_sql(hi, 0x9E3779B1)})", dialect)
 
 

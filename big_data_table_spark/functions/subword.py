@@ -39,8 +39,16 @@ the walk itself needs only ``max word length`` rounds of
 
 Positions and candidate lengths come from a STATIC integer grid
 (1..``MAXLEN``) filtered by word length — not correlated laterals, whose
-semantics differ across engines.  ``MAXLEN = 64`` bounds the walk; the
-Spark entry point raises if a word type exceeds it (fixture max is 8).
+semantics differ across engines.  ``MAXLEN = 64`` bounds the walk.
+
+Word types LONGER than ``MAXLEN`` (URLs, unsegmented CJK runs, DNA-like
+strings — common in real multilingual corpora) do not enter the grid or
+the walk; they are charged ``⌈len/LMAX⌉`` tokens — the greedy walk's
+lower bound (every step advances at most ``LMAX`` chars) — identically
+on both engines, so the operator DEGRADES instead of failing on a corpus
+the fixtures never show.  The Spark entry point keeps the hard raise
+behind ``strict=True``.  Fixture max word length is 8, so the fallback
+branch is empty there and every recorded hash is unchanged.
 """
 
 from __future__ import annotations
@@ -76,7 +84,7 @@ vocab AS (
   SELECT tok FROM cand ORDER BY cnt DESC, tok LIMIT {k}),
 grid AS (
   SELECT word, p FROM (SELECT DISTINCT word FROM wfreq) {pos_lat}
-  WHERE p <= LENGTH(word)),
+  WHERE p <= LENGTH(word) AND LENGTH(word) <= {MAXLEN}),
 glen AS (
   SELECT word, p, l, substr(word, p, l) AS sub
   FROM grid {len_lat}
@@ -98,12 +106,18 @@ def subword_walk_ctes(dialect: str, k: int = 64, src: str = "documents") -> str:
     words_lat = lateral_arr(split_ws("text", dialect), "w", dialect)
     return f"""RECURSIVE {_core_ctes(dialect, k, src)},
 walk AS (
-  SELECT word, 1 AS pos, 0 AS ntok FROM (SELECT DISTINCT word FROM wfreq)
+  SELECT word, 1 AS pos, 0 AS ntok
+  FROM (SELECT DISTINCT word FROM wfreq WHERE LENGTH(word) <= {MAXLEN})
   UNION ALL
   SELECT w.word, w.pos + s.adv, w.ntok + 1
   FROM walk w JOIN step s ON s.word = w.word AND s.p = w.pos),
 wordtok AS (
-  SELECT word, MAX(ntok) AS ntok FROM walk GROUP BY word),
+  SELECT word, CAST(MAX(ntok) AS BIGINT) AS ntok FROM walk GROUP BY word
+  UNION ALL
+  SELECT word,
+    CAST(FLOOR(CAST(LENGTH(word) + {LMAX - 1} AS DOUBLE) / {LMAX}) AS BIGINT)
+    AS ntok
+  FROM (SELECT DISTINCT word FROM wfreq WHERE LENGTH(word) > {MAXLEN})),
 doc_words AS (
   SELECT doc_id, w AS word FROM {src} {words_lat} WHERE LENGTH(w) >= 1)"""
 
@@ -133,10 +147,37 @@ GROUP BY d.doc_id
 """
 
 
-def subword_word_tokens(spark: SparkSession, k: int = 64, src: str = "documents") -> DataFrame:
+def subword_word_tokens(
+    spark: SparkSession, k: int = 64, src: str = "documents", strict: bool = False
+) -> DataFrame:
     """Per-word-type subword token counts ``(word, ntok)`` via the
     bounded iterative walk (the Spark-native path).  Requires the
-    corpus views registered (catalog.register_views)."""
+    corpus views registered (catalog.register_views).
+
+    Word types longer than ``MAXLEN`` never enter the step table or the
+    walk — they are charged ``⌈len/LMAX⌉`` tokens (the walk's lower
+    bound; see module docstring).  ``strict=True`` restores the hard
+    raise for pipelines that want the grid bound enforced.  An empty
+    corpus (no words survive the length filter) returns an empty
+    ``(word, ntok)`` frame instead of entering the walk loop."""
+    # all word TYPES (including over-long ones, which have no step rows)
+    all_words = spark.sql(
+        f"WITH {_core_ctes(SPARK, k, src)} SELECT word FROM wfreq"
+    ).withColumn("wl", F.length("word"))
+    fallback = all_words.filter(F.col("wl") > F.lit(MAXLEN)).select(
+        "word",
+        F.floor((F.col("wl") + F.lit(LMAX - 1)) / F.lit(LMAX))
+        .cast("long")
+        .alias("ntok"),
+    )
+    if strict:
+        over = fallback.limit(1).count()  # 1-row guard probe
+        if over:
+            raise ValueError(
+                f"word type longer than the MAXLEN={MAXLEN} position grid "
+                "(strict=True); raise MAXLEN or drop strict for the "
+                "ceil(len/LMAX) degradation"
+            )
     step = spark.sql(
         f"WITH {_core_ctes(SPARK, k, src)} "
         "SELECT word AS s_word, p AS s_p, adv FROM step"
@@ -147,11 +188,11 @@ def subword_word_tokens(spark: SparkSession, k: int = 64, src: str = "documents"
         .withColumn("wl", F.length("word"))
     )
     max_len = words.agg(F.max("wl").alias("m")).collect()[0]["m"] or 0
-    if max_len > MAXLEN:
-        raise ValueError(
-            f"word type of length {max_len} exceeds the MAXLEN={MAXLEN} "
-            "position grid; raise MAXLEN for this corpus"
-        )
+    if max_len == 0:
+        # empty corpus (or all word types over-long): nothing to walk —
+        # the for-else below would mis-raise and reduce() over an empty
+        # list would TypeError
+        return fallback
     frontier = words.select(
         "word", "wl", F.lit(1).alias("pos"), F.lit(0).alias("ntok")
     ).localCheckpoint(eager=True)
@@ -178,7 +219,10 @@ def subword_word_tokens(spark: SparkSession, k: int = 64, src: str = "documents"
         raise RuntimeError("greedy walk did not terminate within max word length")
     from functools import reduce
 
-    return reduce(DataFrame.unionByName, finished)
+    walked = reduce(DataFrame.unionByName, finished).select(
+        "word", F.col("ntok").cast("long").alias("ntok")
+    )
+    return walked.unionByName(fallback)
 
 
 def subword_token_counts(spark: SparkSession, k: int = 64, src: str = "documents") -> DataFrame:

