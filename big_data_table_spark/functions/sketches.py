@@ -928,6 +928,89 @@ def hll_rollup_append_day(
     regs.write.mode("append").partitionBy("day").parquet(path)
 
 
+def hll_rollup_compact(spark, path: str, day: str) -> int:
+    """The rollup store's third verb (build / append / COMPACT):
+    re-MAX-merge ONE day's register files into a single file,
+    idempotently.  Returns the data-file count after compaction (1).
+
+    Why it exists: ``hll_rollup_append_day`` writes one file per append
+    and a streaming writer one per micro-batch, so at production rates a
+    day's directory accumulates files and the read-side merge cost grows
+    with APPEND COUNT, not data — the failure mode continuous-aggregate
+    stores (TimescaleDB/Druid-style) schedule compaction against.  The
+    merge is the same register MAX the read path performs, so the
+    compacted day is bit-identical to the multi-file day for every
+    downstream estimate (pinned in tests/test_round7.py), and because
+    MAX is idempotent, compaction commutes with replayed appends —
+    at-least-once delivery into the store is safe.
+
+    The rewrite stages into a dot-prefixed temp dir inside the store
+    (invisible to Spark's parquet reader, so concurrent range reads see
+    either the old files or the new one, never a torn mix) and swaps via
+    rename; only ``day=<day>`` is touched — all other days' files keep
+    their identity (pinned by file snapshot in tests).  On a production
+    object store this swap is the one step to re-express on a
+    transactional table format; the register-table semantics carry over
+    unchanged."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"day={day}")
+    merged = (
+        spark.read.parquet(part_dir)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .coalesce(1)
+    )
+    tmp = os.path.join(path, f".day={day}.compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return len(
+        [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    )
+
+
+def hll_rollup_compact_all(spark, path: str) -> dict[str, int]:
+    """Compact every day whose directory holds more than one data file.
+    Returns ``{day: files_before}`` for the days rewritten — single-file
+    days are left untouched (their files keep identity), so repeated
+    maintenance runs converge to a no-op."""
+    import os
+
+    out: dict[str, int] = {}
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("day="):
+            continue
+        n = len(
+            [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        )
+        if n > 1:
+            out[d.split("=", 1)[1]] = n
+            hll_rollup_compact(spark, path, d.split("=", 1)[1])
+    return out
+
+
+def hll_stream_sink_compact(spark, stream_dir: str, rollup_path: str) -> None:
+    """Promote a streaming per-batch sketch sink (``batch=<id>`` dirs of
+    ``(day, bucket, reg)`` rows — streaming/events.py:stream_hll_daily)
+    into the day-partitioned rollup store: MAX-merge per (day, bucket)
+    and write exactly ONE file per day.  ``repartition("day")`` keys the
+    shuffle so each day lands wholly in one task, so the partitioned
+    write emits one file per day — the sink's batches·days·m growth
+    collapses to days·m, and every range/rolling query downstream runs
+    against the same store API as the batch-built rollup."""
+    regs = (
+        spark.read.parquet(stream_dir)
+        .groupBy("day", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    regs.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
+        rollup_path
+    )
+
+
 def hll_rollup_range_estimate(
     spark, path: str, lo: str, hi: str, p: int = 8
 ) -> DataFrame:

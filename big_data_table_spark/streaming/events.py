@@ -364,8 +364,20 @@ def stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches converges to the same registers as a one-shot build —
     the merge law through BOTH real micro-batch boundaries AND the
     persisted-store merge.  Oracle: the batch per-day HLL estimates over
-    the complete stream.  Sink grows with batches·days·m, never data;
-    rate-limited to one file per trigger to force multi-batch."""
+    the complete stream.  Rate-limited to one file per trigger to force
+    multi-batch.
+
+    The per-batch sink grows with batches·days·m — the exact tiny-file
+    failure mode the rollup store's compaction verb exists for — so
+    after the stream drains, the sink is COMPACTED into the
+    day-partitioned rollup store (one file per day,
+    functions/sketches.py:hll_stream_sink_compact) and the per-day
+    estimates are answered from the compacted store: the streaming
+    writer maintains the SAME storage artifact the batch
+    build/append/range API serves, and read cost stays proportional to
+    days, not batch count.  Results are unchanged by the merge law
+    (per-day register MAX over batches == one-shot registers), so the
+    recorded oracle hash is identical."""
     import os
     import shutil
     import tempfile
@@ -398,12 +410,13 @@ def stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    merged = (
-        spark.read.parquet(out_dir)
-        .groupBy("day", "bucket")
-        .agg(F.max("reg").alias("reg"))
+    rollup_dir = out_dir + "_store"
+    shutil.rmtree(rollup_dir, ignore_errors=True)
+    SK.hll_stream_sink_compact(spark, out_dir, rollup_dir)
+    store = spark.read.parquet(rollup_dir).select(
+        F.col("day").cast("string").alias("day"), "bucket", "reg"
     )
-    return SK.hll_estimate(merged, ["day"]).select("day", "hll_est")
+    return SK.hll_estimate(store, ["day"]).select("day", "hll_est")
 
 
 def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

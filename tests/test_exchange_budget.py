@@ -106,14 +106,20 @@ BUDGET = {
                                  # window + probe joins
     "source_mixture_weights": 3,  # per-source agg + scalar denominator
     "pii_scrub_audit": 1,        # one grouped aggregate over the scan
-    "dedup_chunk_passages": 3,   # chunk digest agg + per-source
-                                 # distinct agg
+    "dedup_chunk_passages": 4,   # chunk digest agg + per-source
+                                 # distinct agg + over-grid audit agg
+                                 # (r7: the n_docs_over_grid guard column)
     "hll_rolling_7day": 4,       # daily register agg + window fan-out
                                  # merge + estimate agg (+ days grid) —
                                  # every exchange carries register rows,
                                  # never events
     "mixture_resample": 5,       # weights agg + scalar denom + source
                                  # rank window + pick join + audit agg
+    # round 7
+    "hll_rollup_compacted": 4,   # same range-read shape as persisted —
+                                 # compaction happens before the
+                                 # returned plan, which reads only the
+                                 # compacted store
 }
 
 

@@ -152,6 +152,110 @@ def test_subword_overlong_strict_raises(spark):
     assert [(r["word"], r["ntok"]) for r in out] == [("y" * 80, 14)]
 
 
+# --------------------------------------------------------------------- #
+# Sketch-store compaction (VERDICT r6 #2)
+# --------------------------------------------------------------------- #
+
+
+def _day_files(path):
+    import os
+
+    return {
+        d.split("=", 1)[1]: sorted(
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        )
+        for d in os.listdir(path)
+        if d.startswith("day=")
+    }
+
+
+def test_hll_rollup_compact_single_file_bitident(spark, sf_dir):
+    """Replayed appends leave multi-file days; compaction drops every
+    day to ONE file while the range estimate stays bit-identical, and
+    re-compaction is a no-op (single-file days keep file identity)."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "rollup")
+    SK.hll_rollup_build(ev, path)
+    days = sorted(_day_files(path))
+    d0, d1 = days[0], days[1]
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    for d in (d0, d0, d1):  # d0 replayed twice — at-least-once delivery
+        SK.hll_rollup_append_day(ev.filter(day == d), path, d)
+    before = _day_files(path)
+    assert len(before[d0]) == 3 and len(before[d1]) == 2
+    pre = SK.hll_rollup_range_estimate(spark, path, d0, days[-1]).collect()[0]
+
+    compacted = SK.hll_rollup_compact_all(spark, path)
+    assert compacted == {d0: 3, d1: 2}  # only multi-file days rewritten
+    after = _day_files(path)
+    assert all(len(v) == 1 for v in after.values()), after
+    # untouched days keep their exact files
+    for d in days[2:]:
+        assert after[d] == before[d], d
+    post = SK.hll_rollup_range_estimate(spark, path, d0, days[-1]).collect()[0]
+    assert (pre["n_days"], pre["hll_est"]) == (post["n_days"], post["hll_est"])
+
+    # idempotent: a second maintenance run rewrites nothing
+    assert SK.hll_rollup_compact_all(spark, path) == {}
+    assert _day_files(path) == after
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_hll_stream_sink_compact_one_file_per_day(spark, sf_dir):
+    """A per-batch streaming sketch sink (batch=<id> dirs of
+    (day, bucket, reg) rows) compacts into the day-partitioned rollup
+    store with exactly one file per day, and the per-day estimates
+    equal a one-shot batch build's — the merge law through the
+    stream-to-store promotion."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    root = tempfile.mkdtemp()
+    sink = os.path.join(root, "sink")
+    # two synthetic micro-batches splitting every day across both
+    for bid, half in enumerate(
+        (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1)
+    ):
+        SK.hll_registers(ev.filter(half), ["day"], "user_id").write.parquet(
+            os.path.join(sink, f"batch={bid}")
+        )
+    store = os.path.join(root, "store")
+    SK.hll_stream_sink_compact(spark, sink, store)
+    assert all(len(v) == 1 for v in _day_files(store).values())
+
+    got = {
+        r["day"]: r["hll_est"]
+        for r in SK.hll_estimate(
+            spark.read.parquet(store).select(
+                F.col("day").cast("string").alias("day"), "bucket", "reg"
+            ),
+            ["day"],
+        ).collect()
+    }
+    want = {
+        r["day"]: r["hll_est"]
+        for r in SK.hll_estimate(
+            SK.hll_registers(ev, ["day"], "user_id"), ["day"]
+        ).collect()
+    }
+    assert got == want
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_subword_empty_corpus_early_return(spark):
     """No words after the length filter -> empty (word, ntok) frame, not
     the misleading walk-termination RuntimeError (ADVICE r6)."""
