@@ -4011,6 +4011,95 @@ GROUP BY t.source, t.n_docs, t.target
 """
 
 
+def theta_rolling_churn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling week-over-week retention/churn from per-week theta (KMV)
+    sketches (functions/sketches.py:theta_rolling_churn, k=64): each
+    consecutive week pair's retained-user estimate comes from the common
+    samples below min(theta) and churn is the difference — the canonical
+    100 TB telemetry ask (`hll_rolling_7day` proved rolling-from-
+    sketches for cardinality; this is the same discipline for OVERLAP,
+    which HLL cannot answer without inclusion-exclusion blow-up).  The
+    cohort is weekly PURCHASERS — the sparse high-value segment whose
+    membership actually turns over week to week (the all-events weekly
+    population is the same 150 users every week at fixture scale, which
+    would make churn degenerately zero).  Exact audit columns ride
+    along; the 3σ KMV band is pinned in tests/test_round7.py."""
+    from .functions import sketches as SK
+
+    ev = Tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
+    return SK.theta_rolling_churn(ev, "ts", "user_id", k=64)
+
+
+def _theta_rolling_churn_oracle() -> str:
+    from .functions import sketches as SK
+
+    return SK.theta_rolling_churn_sql(
+        "(SELECT ts, user_id FROM events WHERE event_type = 'purchase')",
+        "ts",
+        "user_id",
+        k=64,
+        dialect=DUCK,
+    )
+
+
+def _mixture_resample_epochs_builder(dialect: str) -> str:
+    """Epoch-aware OVERSAMPLING (VERDICT r6 #3) — `mixture_resample`
+    without the achieved-caps-at-size compromise: real mixture training
+    repeats small sources (UL2/Pile-style epoch counting) until every
+    source hits its temperature target exactly.  The budget is 3× the
+    corpus, so targets EXCEED source sizes and the draw must cycle:
+    epoch ``e`` re-draws the whole source in (md5(text), doc_id) order,
+    and the final partial epoch takes the first ``target − e·n_docs``
+    docs of that same order — the content-hash-order discipline of
+    `sample_by_hash`/packing (the reference's seeded-generator
+    determinism, tests-04), so the multiset of (doc, epoch) draws is
+    partitioning- and run-independent.  ``n_sampled == target`` for
+    every source (the no-cap law the driver hash pins), ``n_epochs ==
+    ceil(target/n_docs)`` is the epochs-used audit, and
+    ``n_over_grid`` pins that no source outruns the static 32-epoch
+    grid (same guard pattern as the passage-dedup chunk grid).  At
+    100 TB: the epoch grid is a ≤ sources×32-row broadcast against one
+    rank window per source — repetition costs metadata, not rescans."""
+    from .functions.portable import arr_len, lateral_seq, split_ws
+
+    tok = arr_len(split_ws("text", dialect), dialect)
+    lat = lateral_seq("0", "31", "e", dialect)
+    return f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM({tok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
+  FROM s),
+t AS (
+  SELECT source, n_docs,
+    CAST(FLOOR(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE)
+         * (SELECT 3 * SUM(n_docs) FROM s) + 0.5) AS BIGINT) AS target
+  FROM w),
+epochs AS (
+  SELECT source, n_docs, target, e FROM t {lat}
+  WHERE e * n_docs < target),
+ranked AS (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+  FROM documents),
+pick AS (
+  SELECT ep.source, r.doc_id, ep.e
+  FROM epochs ep JOIN ranked r ON r.source = ep.source
+  WHERE ep.e * ep.n_docs + r.rn <= ep.target)
+SELECT t.source, t.n_docs, t.target,
+  CAST(COUNT(p.doc_id) AS BIGINT) AS n_sampled,
+  CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_distinct_docs,
+  CAST(MAX(p.e) + 1 AS BIGINT) AS n_epochs,
+  CAST(MAX(CASE WHEN t.target > 32 * t.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_over_grid
+FROM t LEFT JOIN pick p ON p.source = t.source
+GROUP BY t.source, t.n_docs, t.target
+"""
+
+
 def _pii_scrub_audit_builder(dialect: str) -> str:
     """Redaction-machinery audit over the event payload column: count
     and scrub digit runs (the pattern class the fixture actually
@@ -4138,6 +4227,12 @@ CATALOG.update(
             "weights: per-source targets drawn in content-hash order, "
             "target-vs-achieved audit.",
         ),
+        "mixture_resample_epochs": _dual(
+            _mixture_resample_epochs_builder,
+            doc="Epoch-aware oversampling: targets beyond source size "
+            "cycle the source in content-hash order; n_sampled == "
+            "target exactly, epochs-used audit.",
+        ),
         "pii_scrub_audit": _dual(
             _pii_scrub_audit_builder,
             doc="Regex redaction audit over the event payload: matched "
@@ -4218,6 +4313,13 @@ CATALOG.update(
             _theta_intersection_oracle(),
             doc="Theta (KMV) sketch: direct intersection estimate from "
             "common samples — no inclusion-exclusion blow-up.",
+        ),
+        "theta_rolling_churn": QuerySpec(
+            theta_rolling_churn_q,
+            _theta_rolling_churn_oracle(),
+            doc="Week-over-week retention/churn from per-week KMV "
+            "samples: consecutive-pair overlap estimates from the "
+            "sketches alone, exact audit alongside.",
         ),
         "theta_overlap_by_source": QuerySpec(
             theta_overlap_by_source_q,

@@ -120,6 +120,14 @@ BUDGET = {
                                  # compaction happens before the
                                  # returned plan, which reads only the
                                  # compacted store
+    "mixture_resample_epochs": 10,  # corpus-scale: source agg + rank
+                                 # window + final agg (3); the other 7
+                                 # carry <=20-row weight/epoch metadata
+                                 # (scalar denominators, epoch grid)
+    "theta_rolling_churn": 6,    # pair assembly over checkpointed
+                                 # weeks*k sample tables (same shape as
+                                 # theta_overlap_by_source + the exact
+                                 # audit joins)
 }
 
 

@@ -153,6 +153,63 @@ def test_subword_overlong_strict_raises(spark):
 
 
 # --------------------------------------------------------------------- #
+# Rolling theta churn (VERDICT r6 #5)
+# --------------------------------------------------------------------- #
+
+
+def test_theta_rolling_churn_3sigma_band(spark, sf_dir):
+    """Every consecutive-week estimate (population, retained) must sit
+    inside the KMV 3σ band (σ ≈ 1/sqrt(k-1) ≈ 12.6% at k=64), churn
+    laws hold exactly on the audit columns, and the pair spine is the
+    consecutive-week chain."""
+    from big_data_table_spark.catalog import CATALOG
+
+    pdf = (
+        CATALOG["theta_rolling_churn"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("week_a")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) >= 1
+    assert (pdf["week_b"] == pdf["week_a"] + 1).all()
+    band = 3.0 / (63.0**0.5)
+    for _, r in pdf.iterrows():
+        for est, exact in [
+            (r["est_a"], r["exact_a"]),
+            (r["est_b"], r["exact_b"]),
+            (r["est_retained"], r["exact_retained"]),
+        ]:
+            if exact:
+                assert abs(est - exact) / exact <= band, dict(r)
+        assert r["exact_churned"] == r["exact_a"] - r["exact_retained"]
+        assert r["est_churned"] >= 0.0
+
+
+# --------------------------------------------------------------------- #
+# Epoch-aware oversampling (VERDICT r6 #3)
+# --------------------------------------------------------------------- #
+
+
+def test_mixture_resample_epochs_no_cap_law(spark, sf_dir):
+    """Oversampling laws: achieved == target EXACTLY for every source
+    (no cap at source size), epochs == ceil(target/n_docs), distinct
+    docs == min(n_docs, target), and the 3x-corpus budget actually
+    forces oversampling (some target > n_docs)."""
+    import math
+
+    from big_data_table_spark.catalog import CATALOG
+
+    pdf = CATALOG["mixture_resample_epochs"].fn(spark, sf_dir).toPandas()
+    assert (pdf["n_sampled"] == pdf["target"]).all()
+    assert (pdf["target"] > pdf["n_docs"]).any()
+    for _, r in pdf.iterrows():
+        assert r["n_epochs"] == math.ceil(r["target"] / r["n_docs"]), dict(r)
+        assert r["n_distinct_docs"] == min(r["n_docs"], r["target"])
+    assert (pdf["n_over_grid"] == 0).all()
+
+
+# --------------------------------------------------------------------- #
 # Sketch-store compaction (VERDICT r6 #2)
 # --------------------------------------------------------------------- #
 
