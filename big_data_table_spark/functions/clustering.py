@@ -139,6 +139,95 @@ def pq_fit(subs: DataFrame, k: int = 16, n_iter: int = 2) -> DataFrame:
     return cb
 
 
+def ivf_build(vecs: DataFrame, path: str, k: int = 8, n_iter: int = 2) -> None:
+    """Persist the trained IVF index (VERDICT r6 #7) — train ONCE, serve
+    forever: ``centroids`` (cid, c) and ``inverted`` (vec_id, e)
+    PARTITIONED BY cid land as parquet under ``path``.  A training-data
+    pipeline reuses one index across thousands of dedup/search queries;
+    re-fitting k-means per query (the in-query trained variant) is the
+    hidden cost at 100 TB.  Partitioning the inverted file by cid is the
+    point: a probe joins against the cid partition column, so the scan
+    reads ONLY the probed cells' files — |corpus|·n_probe/k bytes, the
+    IVF contract expressed as partition pruning."""
+    cents = kmeans_fit(vecs, k, n_iter).localCheckpoint(eager=True)
+    assigned = assign_clusters(vecs, cents)
+    import os
+
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "inverted")
+    )
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, inverted) read back from the persisted index — no
+    Lloyd iterations anywhere downstream of these plans."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    inverted = spark.read.parquet(os.path.join(path, "inverted")).select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), "e"
+    )
+    return cents, inverted
+
+
+def ann_ivf_persisted_search(
+    spark,
+    path: str,
+    q: DataFrame,
+    n_probe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Top-``topk`` cosine neighbors for each query row (qid, qe) from
+    the PERSISTED index alone: centroids broadcast against the queries
+    to pick ``n_probe`` cells, then the cell join against the
+    cid-partitioned inverted file (broadcast probe side → candidate for
+    dynamic partition pruning on the scan).  Identical ranking math to
+    the in-query trained variant (catalog.ann_ivf_trained_q), so the
+    same seed yields bit-identical top-k — pinned by sharing that
+    entry's oracle."""
+    from pyspark.sql import Window
+
+    cents, inverted = ivf_load(spark, path)
+    dist = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(dist.asc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "cid")
+    )
+    cands = inverted.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("e"))
+        / (
+            F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(_dot(F.col("e"), F.col("e")))
+        ),
+        9,
+    )
+    scored = cands.join(q, "qid").select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def kmeans_summary(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
     """Fit + final assignment summary: per-cluster member count and a
     6-dp centroid checksum (in-order component sum) — the compact

@@ -128,6 +128,10 @@ BUDGET = {
                                  # weeks*k sample tables (same shape as
                                  # theta_overlap_by_source + the exact
                                  # audit joins)
+    "ann_ivf_persisted_topk": 3,  # probe window + rank window over the
+                                 # DPP-pruned index scan — training
+                                 # exchanges are gone from the query
+                                 # path entirely
 }
 
 

@@ -187,6 +187,39 @@ def test_theta_rolling_churn_3sigma_band(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Persisted IVF index (VERDICT r6 #7)
+# --------------------------------------------------------------------- #
+
+
+def test_ann_ivf_persisted_matches_trained_no_lloyd_on_query_path(spark, sf_dir):
+    """The persisted-index search must return bit-identical top-k to the
+    in-query trained variant (same deterministic seed), and its plan
+    must contain NO Lloyd machinery — only scans of the stored index
+    (cid-partitioned inverted file under dynamic partition pruning) and
+    of the query vectors."""
+    from big_data_table_spark.catalog import CATALOG
+
+    per = CATALOG["ann_ivf_persisted_topk"].fn(spark, sf_dir)
+    trained = (
+        CATALOG["ann_ivf_trained_topk"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    got = per.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, trained)
+
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "bdt_ivf_index" in plan  # reads the persisted store
+    # Lloyd's update step is the only decimal-exact mean in this code
+    # path — its absence pins "no re-training on the query path"
+    assert "decimal" not in plan.lower()
+    # the probe join prunes the cid-partitioned inverted file at runtime
+    assert "dynamicpruning" in plan.lower()
+
+
+# --------------------------------------------------------------------- #
 # Epoch-aware oversampling (VERDICT r6 #3)
 # --------------------------------------------------------------------- #
 
