@@ -2886,6 +2886,13 @@ CATALOG: dict[str, QuerySpec] = {
         D.incremental_dedup_sql,
         doc="New-batch vs corpus dedup adjudication with reasons.",
     ),
+    "incremental_dedup_persisted": QuerySpec(
+        lambda spark, sf_dir: incremental_dedup_persisted_q(spark, sf_dir),
+        D.incremental_dedup_sql(DUCK),
+        doc="The same adjudication answered from a PERSISTED LSH index: "
+        "digest + band-bucket stores, no corpus rescan on the probe "
+        "path.",
+    ),
     "decontamination_report": _dual(
         D.decontamination_sql,
         doc="Per-doc n-gram overlap vs a held-out eval source, with flag.",
@@ -4058,6 +4065,48 @@ GROUP BY t.source, t.n_docs, t.target
 """
 
 
+def incremental_dedup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup`'s adjudication answered from a PERSISTED LSH
+    index (functions/dedup.py:lsh_index_build/probe) — the storage form
+    its own docstring promises: the corpus's digest set and MinHash
+    band-bucket keys live as parquet, and the batch (including the
+    deterministic simulated recrawls) probes the STORE with |batch|
+    signature work + two membership joins.  Sharing `incremental_dedup`'s
+    oracle proves store-backed adjudication == the self-contained
+    formulation decision-for-decision.  (Recrawls may carry band rows
+    here, unlike the self-contained form — harmless because the exact
+    arms short-circuit before the near-dup arm for every recrawl by
+    construction.)  At 100 TB: the index is digests + ≤4·|corpus|
+    bucket keys — the corpus text is never rescanned, and
+    `lsh_index_append` folds each increment's kept docs in for the next
+    drop (append-then-reprobe loop pinned in tests/test_round7.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as D
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _idp_corpus AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _idp_batch AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 7 = 0"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_lsh_index_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    D.lsh_index_build(spark, path, "_idp_corpus")
+    return D.lsh_index_probe(spark, path, "_idp_batch")
+
+
 def theta_rolling_churn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling week-over-week retention/churn from per-week theta (KMV)
     sketches (functions/sketches.py:theta_rolling_churn, k=64): each
@@ -4626,6 +4675,7 @@ _R7_NEW = [
     "mixture_resample_epochs",
     "theta_rolling_churn",
     "ann_ivf_persisted_topk",
+    "incremental_dedup_persisted",
 ]
 _R7_STALE_R4 = [
     "orders_by_month",
@@ -4658,13 +4708,13 @@ _R7_STALE_R4 = [
     "ann_topk_cosine",
     "ann_lsh_pairs",
     "ann_ivf_topk",
-    "kmeans_ivf_train",
 ]
 _R7_FRONT = _R6_NEXT + _R7_DIAGS + _R7_NEW + _R7_STALE_R4
 
 # position 51+: first in line for the r8 window — the rest of the
 # r4-latest-check cohort
 _R7_NEXT = [
+    "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",
     "q14_promo_revenue",

@@ -117,16 +117,18 @@ def minhash_lsh_pairs_sql(dialect: str) -> str:
     )
 
 
-def minhash_bands_sql(dialect: str) -> str:
+def minhash_bands_sql(dialect: str, src: str = "documents") -> str:
     """(doc_id, band, sig) band table in a SINGLE pass over the signature
     pipeline.  Spark SQL inlines CTEs, so the UNION-ALL formulation of
     ``minhash_lsh_pairs_sql`` recomputes the whole shingle→signature chain
     once per band; exploding an array of (band, sig) structs keeps it at
     one evaluation.  (The DuckDB side keeps UNION ALL — the oracle's
-    runtime is irrelevant and duck's optimizer materializes CTEs.)"""
+    runtime is irrelevant and duck's optimizer materializes CTEs.)
+    ``src`` is any (doc_id, text) relation — the persisted-index verbs
+    point it at corpus/batch views."""
     mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
     base = (
-        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
+        f"WITH {_words_cte(dialect, src)}, {_shingles_cte(dialect, distinct=False)}, "
         f"minh AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
     )
     band_cols = {
@@ -377,9 +379,106 @@ def incremental_dedup_sql(dialect: str) -> str:
     )
 
 
+# --------------------------------------------------------------------- #
+# Persisted LSH dedup index — the storage form of incremental_dedup's
+# "in production the corpus band table is a PERSISTED index" note: the
+# corpus's exact-digest set and MinHash band table live as parquet and a
+# new crawl drop is adjudicated against the STORE (|batch| signature
+# work + two digest/bucket joins), never against a corpus rescan.  The
+# same build/append/probe verb triad as the HLL rollup store
+# (sketches.py): build once, probe every increment, append the kept
+# docs so the next increment sees them — the continuous-ingestion loop.
+# --------------------------------------------------------------------- #
+
+
+def lsh_index_build(spark, path: str, src: str) -> None:
+    """Materialize the dedup index for the ``src`` (doc_id, text)
+    relation: ``digests`` (distinct md5 content hashes — the exact arm)
+    and ``bands`` (distinct (band, sig) MinHash-LSH bucket keys — the
+    near-dup arm), both parquet, bands partitioned by band.  Doc ids
+    are NOT stored: adjudication only needs set membership, so the
+    index is |corpus| digests + ≤ N_BANDS·|corpus| bucket keys —
+    orders of magnitude smaller than the corpus text."""
+    import os
+
+    digests = spark.sql(f"SELECT DISTINCT md5(text) AS h FROM {src}")
+    bands = (
+        spark.sql(minhash_bands_sql(SPARK, src=src)).select("band", "sig").distinct()
+    )
+    digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+
+
+def lsh_index_append(spark, path: str, src: str) -> None:
+    """Incremental maintenance: add ``src``'s digests and band keys to
+    the store (the post-adjudication step that makes the NEXT increment
+    see this batch's kept docs).  Plain appends — duplicate digests or
+    bucket keys are harmless because probes are set-membership joins
+    against DISTINCT'd reads, the same idempotence-under-replay the
+    HLL store gets from register MAX; compaction = re-DISTINCT, left to
+    a maintenance pass."""
+    import os
+
+    spark.sql(f"SELECT DISTINCT md5(text) AS h FROM {src}").write.mode(
+        "append"
+    ).parquet(os.path.join(path, "digests"))
+    spark.sql(minhash_bands_sql(SPARK, src=src)).select(
+        "band", "sig"
+    ).distinct().write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+
+
+def lsh_index_probe(spark, path: str, src: str):
+    """Adjudicate the ``src`` batch against the persisted index:
+    ``(doc_id, decision)`` with incremental_dedup's decision priority —
+    exact_vs_corpus > exact_in_batch > neardup_vs_corpus > keep.  The
+    corpus never rescans: the exact arm joins |batch| digests against
+    the digest store, the near-dup arm joins the batch's band table
+    against the bucket store on (band, sig).  Both index sides are
+    DISTINCT'd on read so replayed appends don't multiply rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    flags = spark.sql(f"SELECT doc_id, md5(text) AS h FROM {src}")
+    batch_bands = spark.sql(minhash_bands_sql(SPARK, src=src))
+    corpus_h = spark.read.parquet(os.path.join(path, "digests")).distinct()
+    corpus_bands = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .select(F.col("band").cast("int").alias("band"), "sig")
+        .distinct()
+    )
+    batch_min = flags.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    nd = (
+        batch_bands.join(corpus_bands, ["band", "sig"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    return (
+        flags.join(corpus_h.withColumn("_ch", F.lit(1)), "h", "left")
+        .join(batch_min, "h")
+        .join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ch").isNotNull(), F.lit("exact_vs_corpus"))
+            .when(F.col("doc_id") != F.col("first_id"), F.lit("exact_in_batch"))
+            .when(F.col("_nd").isNotNull(), F.lit("neardup_vs_corpus"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+        )
+    )
+
+
 __all__ = [
     "exact_dedup_sql",
     "incremental_dedup_sql",
+    "lsh_index_build",
+    "lsh_index_append",
+    "lsh_index_probe",
     "decontamination_sql",
     "dedup_rate_trend_sql",
     "minhash_signature_sql",

@@ -132,6 +132,10 @@ BUDGET = {
                                  # DPP-pruned index scan — training
                                  # exchanges are gone from the query
                                  # path entirely
+    "incremental_dedup_persisted": 7,  # batch signature agg + band
+                                 # explode + digest/bucket membership
+                                 # joins + first-copy agg — all batch-
+                                 # or index-sized, never corpus text
 }
 
 

@@ -187,6 +187,55 @@ def test_theta_rolling_churn_3sigma_band(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Persisted LSH dedup index: the continuous-ingestion loop
+# --------------------------------------------------------------------- #
+
+
+def test_lsh_index_append_then_reprobe_loop(spark, sf_dir):
+    """The production loop: probe a batch against the store, APPEND the
+    batch, re-probe the same batch — every document must now adjudicate
+    exact_vs_corpus (its digest is in the store), proving appends are
+    visible to the next increment and replay-safe (the store is read
+    with set semantics)."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.catalog import register_views
+    from big_data_table_spark.functions import dedup as D
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _lt_corpus AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _lt_batch AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3"
+    )
+    path = os.path.join(tempfile.mkdtemp(), "lsh_index")
+    D.lsh_index_build(spark, path, "_lt_corpus")
+    first = D.lsh_index_probe(spark, path, "_lt_batch").toPandas()
+    assert set(first["decision"]) <= {
+        "exact_vs_corpus",
+        "exact_in_batch",
+        "neardup_vs_corpus",
+        "keep",
+    }
+    assert (first["decision"] == "keep").any()  # fixture batch has fresh docs
+
+    D.lsh_index_append(spark, path, "_lt_batch")
+    second = D.lsh_index_probe(spark, path, "_lt_batch").toPandas()
+    assert (second["decision"] == "exact_vs_corpus").all()
+
+    # replay safety: append the same batch AGAIN — decisions unchanged
+    D.lsh_index_append(spark, path, "_lt_batch")
+    third = D.lsh_index_probe(spark, path, "_lt_batch").toPandas()
+    assert (third["decision"] == "exact_vs_corpus").all()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+# --------------------------------------------------------------------- #
 # Persisted IVF index (VERDICT r6 #7)
 # --------------------------------------------------------------------- #
 
