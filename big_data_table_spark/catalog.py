@@ -4284,6 +4284,38 @@ def _cms_by_type_builder(dialect: str) -> str:
     )
 
 
+def cms_rolling_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 2-week heavy hitters from per-week CMS counter tables
+    summed per window (functions/sketches.py:cms_rolling_heavy_hitters —
+    the DataFrame form: key hashes, weekly sketches, and per-window top
+    keys checkpointed once; the dual-dialect SQL form is the oracle).
+    Completes the rolling-sketch triad: HLL rolls distinct counts,
+    theta rolls overlap/churn, CMS rolls frequency — all from
+    per-period sketch tables, never window rescans."""
+    from .functions import sketches as SK
+
+    ev = Tables(spark, sf_dir).events
+    return SK.cms_rolling_heavy_hitters(
+        ev, "ts", "user_id", w=1024, d=4, topk=5, window_weeks=2
+    )
+
+
+def _cms_rolling_builder(dialect: str) -> str:
+    """Rolling 2-week heavy hitters from per-week CMS counter tables
+    alone (functions/sketches.py:cms_rolling_heavy_hitters_sql): the
+    window sketch is the SUM of its weeks' tables — exact merge for
+    CMS — with each window's exact top-5 probed and audited.  The
+    rolling arm of the sketch triad: HLL rolls distinct counts
+    (`hll_rolling_7day`), theta rolls overlap (`theta_rolling_churn`),
+    CMS rolls frequency."""
+    from .functions import sketches as SK
+
+    return SK.cms_rolling_heavy_hitters_sql(
+        "events", "ts", "user_id", w=1024, d=4, topk=5, window_weeks=2,
+        dialect=dialect,
+    )
+
+
 def _cms_heavy_hitters_builder(dialect: str) -> str:
     """Count-Min heavy hitters over the events user-activity stream:
     d=4 × w=1024 counter table (functions/sketches.py — built map-side,
@@ -4305,6 +4337,13 @@ CATALOG.update(
             _cms_heavy_hitters_builder,
             doc="Count-Min frequency sketch: top-20 user estimates vs "
             "exact, overestimate audit pinned.",
+        ),
+        "cms_rolling_heavy_hitters": QuerySpec(
+            cms_rolling_heavy_hitters_q,
+            _cms_rolling_builder(DUCK),
+            doc="Rolling 2-week heavy hitters from per-week CMS tables "
+            "summed per window — exact sketch merge, per-window top-5 "
+            "audit.",
         ),
         "cms_heavy_hitters_by_type": _dual(
             _cms_by_type_builder,
@@ -4711,9 +4750,11 @@ _R7_STALE_R4 = [
 ]
 _R7_FRONT = _R6_NEXT + _R7_DIAGS + _R7_NEW + _R7_STALE_R4
 
-# position 51+: first in line for the r8 window — the rest of the
-# r4-latest-check cohort
+# position 51+: first in line for the r8 window — late-r7 entries that
+# missed the 50-entry window, then the rest of the r4-latest-check
+# cohort
 _R7_NEXT = [
+    "cms_rolling_heavy_hitters",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

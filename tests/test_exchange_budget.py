@@ -136,6 +136,11 @@ BUDGET = {
                                  # explode + digest/bucket membership
                                  # joins + first-copy agg — all batch-
                                  # or index-sized, never corpus text
+    "cms_rolling_heavy_hitters": 5,  # weekly sketch agg + rolled SUM +
+                                 # window exact agg + top rank + probe
+                                 # agg over checkpointed hash/sketch
+                                 # tables (the SQL form re-inlines to
+                                 # 20 — why the DataFrame form exists)
 }
 
 
