@@ -1985,6 +1985,55 @@ def ann_pq_trained_q(
     )
 
 
+def ann_pq_persisted_q(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_subs: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """PQ ANN answered from a PERSISTED codebook + codes store
+    (functions/clustering.py:pq_build / ann_pq_persisted_search): train
+    once, write the codebook and the compressed corpus (n_subs codes
+    per vector), and every search reads ONLY the store — no Lloyd, no
+    raw embedding floats on the query path.  Sharing
+    `ann_pq_trained_topk`'s oracle proves train-once == train-per-query
+    for the ADC path, completing the persisted-index pair with
+    `ann_ivf_persisted_topk` (coarse cells persist there, fine codes
+    persist here; a production IVF-PQ store persists both)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.clustering import ann_pq_persisted_search, pq_build
+
+    sub_len = dim // n_subs
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("fe"))
+    subs = vecs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+        "fe",
+    ).select(
+        "vec_id", "s", F.expr(f"slice(fe, 1 + s * {sub_len}, {sub_len})").alias("e")
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_pq_index_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    pq_build(subs, path, k=n_codes, n_iter=n_iter)
+    q_lo, q_hi = n_codes, n_codes + n_queries
+    qsubs = subs.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)).select(
+        F.col("vec_id").alias("qid"), "s", F.col("e").alias("qe")
+    )
+    return ann_pq_persisted_search(spark, path, qsubs, topk=k)
+
+
 def _pq_ctes(
     n_subs: int = 8, sub_len: int = 8, k: int = 16, n_iter: int = 2
 ) -> tuple[list[str], str, str]:
@@ -2974,6 +3023,13 @@ CATALOG: dict[str, QuerySpec] = {
         doc="Product-quantization ADC top-k: 8 one-byte codes per vector, "
         "query scores via a broadcast distance table "
         "(functions/similarity.py:ann_pq_topk_sql).",
+    ),
+    "ann_pq_persisted_topk": QuerySpec(
+        ann_pq_persisted_q,
+        _ann_pq_trained_oracle(),
+        doc="PQ/ADC search from a persisted codebook + compressed-code "
+        "store: same seed, same top-k as the in-query trained variant, "
+        "no Lloyd and no raw floats on the query path.",
     ),
     "ann_pq_trained_topk": QuerySpec(
         ann_pq_trained_q,
@@ -4755,6 +4811,7 @@ _R7_FRONT = _R6_NEXT + _R7_DIAGS + _R7_NEW + _R7_STALE_R4
 # cohort
 _R7_NEXT = [
     "cms_rolling_heavy_hitters",
+    "ann_pq_persisted_topk",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -228,6 +228,66 @@ def ann_ivf_persisted_search(
     )
 
 
+def pq_build(subs: DataFrame, path: str, k: int = 16, n_iter: int = 2) -> None:
+    """Persist the trained PQ index: ``codebook`` (s, cid, c) and
+    ``codes`` (vec_id, s, cid) as parquet under ``path``.  The codes
+    table IS the compressed corpus — n_subs small ints per vector
+    instead of the raw floats — so after one build the embeddings table
+    is never read again for search; at 100 TB that is the difference
+    between scanning terabytes of float arrays per query batch and
+    scanning the ~1%-sized code table."""
+    import os
+
+    cb = pq_fit(subs, k, n_iter).localCheckpoint(eager=True)
+    codes = assign_codebook(subs, cb).select("vec_id", "s", "cid")
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+
+def ann_pq_persisted_search(
+    spark, path: str, qsubs: DataFrame, topk: int = 5
+) -> DataFrame:
+    """ADC top-``topk`` from the persisted PQ index alone: the query
+    subvectors meet the stored codebook to form the broadcast
+    (qid, s, cid)→distance table, which scores the stored CODES — no
+    Lloyd iterations and no raw-corpus floats on the query path.
+    Identical arithmetic (decimal-exact ADC sums, 6-dp rank order) to
+    catalog.ann_pq_trained_q, so the same seed gives bit-identical
+    top-k — pinned by sharing that entry's oracle."""
+    import os
+
+    from pyspark.sql import Window
+
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    d = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        9,
+    ).cast("decimal(18,9)")
+    dtab = qsubs.join(F.broadcast(cb), "s").select("qid", "s", "cid", d.alias("d"))
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("double").alias("dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("dist"), 6).asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
 def kmeans_summary(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
     """Fit + final assignment summary: per-cluster member count and a
     6-dp centroid checksum (in-order component sum) — the compact

@@ -431,6 +431,37 @@ def lsh_index_append(spark, path: str, src: str) -> None:
     )
 
 
+def lsh_index_compact(spark, path: str) -> None:
+    """Maintenance pass: re-DISTINCT both stores and rewrite them —
+    collapses the duplicate rows that replayed/overlapping appends
+    accumulate, exactly as the HLL store's compaction re-MAX-merges
+    register files.  Probes are unchanged before/after (they already
+    read with set semantics); what compaction buys is the store's SIZE
+    and the probe-side join input going back to one row per key.  The
+    rewrite stages through dot-prefixed temp dirs (invisible to
+    concurrent parquet readers) and swaps via rename."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    for sub, part in (("digests", None), ("bands", "band")):
+        cur = os.path.join(path, sub)
+        df = spark.read.parquet(cur).distinct()
+        tmp = os.path.join(path, f".{sub}.compact.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        if part:
+            df = df.select(
+                F.col(part).cast("int").alias(part),
+                *[c for c in df.columns if c != part],
+            )
+            df.repartition(part).write.mode("overwrite").partitionBy(part).parquet(tmp)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(cur)
+        os.rename(tmp, cur)
+
+
 def lsh_index_probe(spark, path: str, src: str):
     """Adjudicate the ``src`` batch against the persisted index:
     ``(doc_id, decision)`` with incremental_dedup's decision priority —
@@ -478,6 +509,7 @@ __all__ = [
     "incremental_dedup_sql",
     "lsh_index_build",
     "lsh_index_append",
+    "lsh_index_compact",
     "lsh_index_probe",
     "decontamination_sql",
     "dedup_rate_trend_sql",

@@ -141,6 +141,9 @@ BUDGET = {
                                  # agg over checkpointed hash/sketch
                                  # tables (the SQL form re-inlines to
                                  # 20 — why the DataFrame form exists)
+    "ann_pq_persisted_topk": 4,  # ADC agg + rank window over the code
+                                 # store; training exchanges gone from
+                                 # the query path
 }
 
 

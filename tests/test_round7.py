@@ -232,6 +232,17 @@ def test_lsh_index_append_then_reprobe_loop(spark, sf_dir):
     D.lsh_index_append(spark, path, "_lt_batch")
     third = D.lsh_index_probe(spark, path, "_lt_batch").toPandas()
     assert (third["decision"] == "exact_vs_corpus").all()
+
+    # compaction: duplicate rows from the replayed appends collapse to
+    # one per key, probes bit-identical before/after
+    digests = os.path.join(path, "digests")
+    pre_rows = spark.read.parquet(digests).count()
+    pre_distinct = spark.read.parquet(digests).distinct().count()
+    assert pre_rows > pre_distinct  # replay actually left duplicates
+    D.lsh_index_compact(spark, path)
+    assert spark.read.parquet(digests).count() == pre_distinct
+    fourth = D.lsh_index_probe(spark, path, "_lt_batch").toPandas()
+    assert (fourth["decision"] == "exact_vs_corpus").all()
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
@@ -266,6 +277,28 @@ def test_ann_ivf_persisted_matches_trained_no_lloyd_on_query_path(spark, sf_dir)
     assert "decimal" not in plan.lower()
     # the probe join prunes the cid-partitioned inverted file at runtime
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ann_pq_persisted_matches_trained_no_lloyd_on_query_path(spark, sf_dir):
+    """Persisted-codebook ADC search == in-query trained PQ bit-for-bit,
+    with no Lloyd machinery (decimal-exact centroid means) and no raw
+    embedding scan in the query plan — only the codebook + codes store
+    and the query subvectors."""
+    from big_data_table_spark.catalog import CATALOG
+
+    per = CATALOG["ann_pq_persisted_topk"].fn(spark, sf_dir)
+    trained = (
+        CATALOG["ann_pq_trained_topk"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    got = per.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, trained)
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "bdt_pq_index" in plan
+    assert "decimal(18,6)" not in plan  # Lloyd's update-step type
 
 
 # --------------------------------------------------------------------- #
