@@ -2968,6 +2968,12 @@ CATALOG: dict[str, QuerySpec] = {
     "text_token_count": _dual(X.token_count_sql),
     "text_lang_id": _dual(X.lang_id_sql),
     "text_quality_score": _dual(X.quality_score_sql),
+    "corpus_filter_cascade": _dual(
+        X.filter_cascade_sql,
+        doc="C4/Gopher-style keep/drop cascade: one prioritized decision "
+        "per doc (short > repetition > lang > quality), per-source "
+        "share report.",
+    ),
     "text_repetition_ratio": _dual(
         X.repetition_ratio_sql,
         doc="Gopher-style intra-doc duplicate-3-gram fraction.",
@@ -4812,6 +4818,7 @@ _R7_FRONT = _R6_NEXT + _R7_DIAGS + _R7_NEW + _R7_STALE_R4
 _R7_NEXT = [
     "cms_rolling_heavy_hitters",
     "ann_pq_persisted_topk",
+    "corpus_filter_cascade",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -243,6 +243,59 @@ __all__ = [
 ]
 
 
+def filter_cascade_sql(dialect: str) -> str:
+    """C4/Gopher-style quality-filter CASCADE: every document gets ONE
+    keep/drop decision with a reason, adjudicated in fixed priority —
+    ``too_short`` (<20 ws tokens) > ``high_repetition`` (3-gram repeat
+    ratio > 0.05) > ``non_target_lang`` (marker lang-ID ≠ 'en') >
+    ``low_quality`` (heuristic score < 0.45, the fixture median is
+    ~0.48) > ``keep`` — then rolls up per (source, decision) with the
+    source share.  This is the decision table a corpus-curation run
+    writes before materializing the kept set: the cascade ORDER matters
+    (a short doc is dropped as short even if also non-English — the
+    cheap filters shield the expensive ones), and the per-source shares
+    are the knob-tuning report.  One pass builds every feature; the
+    only joins are per-doc feature tables on doc_id.  Thresholds are
+    corpus knobs, deterministic on the fixture by construction (all
+    ratios are exact rationals rounded to 6 dp)."""
+    n_tok = arr_len(split_ws("text", dialect), dialect)
+    n_stop = regexp_count("lower(text)", _pat(_STOPWORDS, dialect), dialect)
+    n_alpha = regexp_count("text", "[A-Za-z]", dialect)
+    n_punct = regexp_count("text", _pat(r"[^A-Za-z0-9\\s]", dialect), dialect)
+    from .dedup import _shingles_cte, _words_cte
+
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
+        "repc AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT sh) AS uniq "
+        "  FROM shingles GROUP BY doc_id), "
+        "rep AS (SELECT doc_id, "
+        "  ROUND(CAST(1 AS DOUBLE) - uniq / CAST(total AS DOUBLE), 6) AS rep_ratio "
+        "  FROM repc), "
+        "feats AS (SELECT doc_id, source, n_chars, "
+        f"  CAST({n_tok} AS DOUBLE) AS n_tok, CAST({n_stop} AS DOUBLE) AS n_stop, "
+        f"  CAST({n_alpha} AS DOUBLE) AS n_alpha, CAST({n_punct} AS DOUBLE) AS n_punct "
+        "  FROM documents), "
+        "scored AS (SELECT doc_id, source, n_tok, "
+        "  ROUND(0.4 * (n_stop / n_tok) + 0.3 * (n_alpha / n_chars) "
+        "  + 0.2 * LEAST(n_tok / 100.0, 1.0) + 0.1 * (1.0 - n_punct / n_chars), 6) "
+        "  AS quality_score FROM feats), "
+        f"lng AS ({lang_select_sql(dialect)}), "
+        "dec AS (SELECT s.source, "
+        "  CASE WHEN s.n_tok < 20 THEN 'too_short' "
+        "       WHEN COALESCE(r.rep_ratio, CAST(0 AS DOUBLE)) > 0.05 "
+        "         THEN 'high_repetition' "
+        "       WHEN l.pred_lang <> 'en' THEN 'non_target_lang' "
+        "       WHEN s.quality_score < 0.45 THEN 'low_quality' "
+        "       ELSE 'keep' END AS decision "
+        "  FROM scored s JOIN lng l ON l.doc_id = s.doc_id "
+        "  LEFT JOIN rep r ON r.doc_id = s.doc_id) "
+        "SELECT source, decision, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) "
+        "  AS DOUBLE), 6) AS source_share "
+        "FROM dec GROUP BY source, decision"
+    )
+
+
 def bigram_cross_entropy_sql(dialect: str) -> str:
     """Per-document bigram-LM cross-entropy (nats/bigram) — the
     perplexity-style quality signal (CCNet-family) a pipeline uses to

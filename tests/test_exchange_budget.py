@@ -144,6 +144,11 @@ BUDGET = {
     "ann_pq_persisted_topk": 4,  # ADC agg + rank window over the code
                                  # store; training exchanges gone from
                                  # the query path
+    "corpus_filter_cascade": 10,  # per-doc feature aggs (shingle
+                                 # repeat, lang, quality) joined on
+                                 # doc_id + the per-source share window
+                                 # — every exchange is doc-keyed
+                                 # feature rows, never text twice
 }
 
 
