@@ -4127,6 +4127,65 @@ GROUP BY t.source, t.n_docs, t.target
 """
 
 
+def tdigest_rollup_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted QUANTILE rollup (operators/tdigest.py:
+    tdigest_rollup_build/range) — the continuous-aggregate pattern for
+    percentiles, completing the store family: one compressed digest row
+    per day lands in day-partitioned parquet, and the 14-day range's
+    p50/p90/p99 come from merging the range's digest rows alone (days ×
+    ~delta centroid doubles — never a raw rescan; digests are mergeable,
+    quantiles are not, which is why the STORED unit is the digest).
+    t-digest estimates are partition-order-dependent (inherent, same as
+    percentile_approx), so the driver-hashed claim is the partitioning-
+    stable one: each estimate's true rank over the range's raw values
+    sits within ±0.02 of q (the tdigest_quantiles_grouped discipline),
+    alongside the exact day count."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.tdigest import tdigest_rollup_build, tdigest_rollup_range
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_tdigest_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tdigest_rollup_build(ev, path, "ts", "value")
+    est = F.broadcast(tdigest_rollup_range(spark, path, lo, hi).select("q", "est"))
+    in_range = ev.filter(
+        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+    ).select(F.col("value").cast("double").alias("v"), F.to_date("ts").alias("d"))
+    ranked = in_range.crossJoin(est).groupBy("q", "est").agg(
+        (
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("rank"),
+    )
+    n_days = in_range.agg(
+        F.countDistinct("d").cast("long").alias("n_days")
+    )
+    return ranked.crossJoin(F.broadcast(n_days)).select(
+        "q",
+        (F.abs(F.col("rank") - F.col("q")) <= 0.02).alias("ok"),
+        "n_days",
+    )
+
+
+def _tdigest_rollup_oracle() -> str:
+    lo, hi = _ROLLUP_RANGE
+    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    return f"""
+SELECT q, TRUE AS ok,
+  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+   WHERE {pred}) AS n_days
+FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
+"""
+
+
 def incremental_dedup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`incremental_dedup`'s adjudication answered from a PERSISTED LSH
     index (functions/dedup.py:lsh_index_build/probe) — the storage form
@@ -4460,6 +4519,13 @@ CATALOG.update(
             doc="The rollup's append path through the catalog: build "
             "all-but-last day, append the last, range-query the merged "
             "sketch table — equals the full rescan.",
+        ),
+        "tdigest_rollup_range": QuerySpec(
+            tdigest_rollup_range_q,
+            _tdigest_rollup_oracle(),
+            doc="Persisted per-day t-digest rollup: range p50/p90/p99 "
+            "merged from stored digest rows alone, rank-bound audit "
+            "vs the raw range.",
         ),
         "hll_rollup_compacted": QuerySpec(
             hll_rollup_compacted_q,
@@ -4819,6 +4885,7 @@ _R7_NEXT = [
     "cms_rolling_heavy_hitters",
     "ann_pq_persisted_topk",
     "corpus_filter_cascade",
+    "tdigest_rollup_range",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

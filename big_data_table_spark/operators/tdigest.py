@@ -38,7 +38,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tdigest_quantiles", "TDIGEST_DELTA"]
+__all__ = [
+    "tdigest_quantiles",
+    "tdigest_day_digests",
+    "tdigest_rollup_build",
+    "tdigest_rollup_range",
+    "TDIGEST_DELTA",
+]
 
 TDIGEST_DELTA = 200.0  # centroid budget; rank error ~ O(1/delta) mid, better at tails
 
@@ -150,4 +156,111 @@ def tdigest_quantiles(
         narrow.mapInPandas(partials, schema=partial_schema)
         .groupBy(*by)
         .applyInPandas(merge, schema=out_schema)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Persisted quantile rollup — the t-digest as a continuous aggregate
+# (the TimescaleDB percentile-rollup pattern): one compressed digest row
+# per day lands in parquet, and any range's quantiles come from merging
+# the range's digest rows — raw values are read once, at build time.
+# At 100 TB: "p99 latency over any trailing month" costs days × ~delta
+# centroid rows from the store instead of a range rescan, and a new day
+# appends one digest row.  Same build/append/range verb triad as the
+# HLL rollup store (functions/sketches.py).
+# --------------------------------------------------------------------- #
+
+
+def tdigest_day_digests(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delta: float = TDIGEST_DELTA,
+) -> DataFrame:
+    """One compressed digest row ``(day, means[], weights[])`` per day —
+    the partial phase keyed by calendar day, merged to a single centroid
+    set per day (the storable unit, NOT quantiles: quantiles are not
+    mergeable, digests are)."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    narrow = df.select(day, F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, tuple[list, list]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby("day", sort=False):
+                ms, ws = state.setdefault(key, ([], []))
+                ms.extend(grp["__v"].to_numpy())
+                ws.extend([1.0] * len(grp))
+                if len(ms) > _BUFFER_CAP:
+                    cm, cw = _compress(np.array(ms), np.array(ws), delta)
+                    state[key] = (list(cm), list(cw))
+        rows = []
+        for key, (ms, ws) in state.items():
+            cm, cw = _compress(np.array(ms), np.array(ws), delta)
+            rows.append((key, list(cm), list(cw)))
+        if rows:
+            yield pd.DataFrame(rows, columns=["day", "means", "weights"])
+
+    def merge_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, delta)
+        return pd.DataFrame(
+            [(pdf.iloc[0]["day"], list(cm), list(cw))],
+            columns=["day", "means", "weights"],
+        )
+
+    schema = "day string, means array<double>, weights array<double>"
+    return (
+        narrow.mapInPandas(partials, schema=schema)
+        .groupBy("day")
+        .applyInPandas(merge_digest, schema=schema)
+    )
+
+
+def tdigest_rollup_build(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delta: float = TDIGEST_DELTA,
+) -> None:
+    """Materialize the per-day digest table at ``path`` (partitioned by
+    day — range reads partition-prune, and appending a new day's digest
+    row touches no prior files, exactly like hll_rollup_append_day)."""
+    tdigest_day_digests(df, ts_col, value_col, delta).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+
+
+def tdigest_rollup_range(
+    spark,
+    path: str,
+    lo: str,
+    hi: str,
+    quantiles: Iterable[float] = (0.5, 0.9, 0.99),
+    delta: float = TDIGEST_DELTA,
+) -> DataFrame:
+    """Range quantiles from the persisted digest table alone:
+    ``(q, est)`` for days in ``[lo, hi]`` — merges the range's digest
+    rows (days × ~delta centroids) and never rescans the raw values."""
+    qs = [float(q) for q in quantiles]
+    digests = spark.read.parquet(path).filter(
+        F.col("day").cast("string").between(lo, hi)
+    )
+
+    def merge_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, delta)
+        return pd.DataFrame(
+            [(q, _quantile(cm, cw, q)) for q in qs], columns=["q", "est"]
+        )
+
+    return (
+        digests.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(merge_all, schema="q double, est double")
     )

@@ -149,6 +149,11 @@ BUDGET = {
                                  # doc_id + the per-source share window
                                  # — every exchange is doc-keyed
                                  # feature rows, never text twice
+    "tdigest_rollup_range": 8,   # digest merge over the pruned store +
+                                 # the rank AUDIT's rescan aggs (the
+                                 # audit is the oracle hook, dropped in
+                                 # production where only the store-read
+                                 # merge remains)
 }
 
 
