@@ -164,11 +164,18 @@ def subword_word_tokens(
     all_words = spark.sql(
         f"WITH {_core_ctes(SPARK, k, src)} SELECT word FROM wfreq"
     ).withColumn("wl", F.length("word"))
-    fallback = all_words.filter(F.col("wl") > F.lit(MAXLEN)).select(
-        "word",
-        F.floor((F.col("wl") + F.lit(LMAX - 1)) / F.lit(LMAX))
-        .cast("long")
-        .alias("ntok"),
+    fallback = (
+        all_words.filter(F.col("wl") > F.lit(MAXLEN))
+        .select(
+            "word",
+            F.floor((F.col("wl") + F.lit(LMAX - 1)) / F.lit(LMAX))
+            .cast("long")
+            .alias("ntok"),
+        )
+        # build-phase frame, same discipline as `step`: ≤ one row per
+        # over-long word TYPE, checkpointed so the query-path plan does
+        # not re-derive the wfreq chain a second time
+        .localCheckpoint(eager=True)
     )
     if strict:
         over = fallback.limit(1).count()  # 1-row guard probe
