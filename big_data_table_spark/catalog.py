@@ -4186,6 +4186,100 @@ FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
 """
 
 
+def tdigest_rollup_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile store's full verb cycle — build / append / COMPACT /
+    range (operators/tdigest.py) — mirroring `hll_rollup_compacted` for
+    the SUM-mergeable sketch family: the store is built without the
+    range's last day, that day arrives as TWO disjoint per-batch appends
+    (each value delivered exactly once — the additive-weight contract;
+    replay is NOT safe here, unlike register MAX), every multi-file day
+    is compacted to one file, and the range quantiles are answered from
+    the compacted store.  Driver-hashed claims, chosen for stability
+    under t-digest's merge-order dependence: each estimate's true rank
+    within ±0.02 of q; `n_files_max` == 1 after compaction; and
+    `total_weight` — the store's summed digest weights over the range —
+    EXACTLY equals the raw row count (additive integer-valued doubles,
+    exact below 2^53), proving split-append + compaction lost no mass."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.tdigest import (
+        tdigest_rollup_append_day,
+        tdigest_rollup_build,
+        tdigest_rollup_compact_all,
+        tdigest_rollup_range,
+    )
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_tdigest_cmp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    tdigest_rollup_build(ev.filter(day != hi), path, "ts", "value")
+    last = ev.filter(day == hi)
+    tdigest_rollup_append_day(last.filter(F.col("user_id") % 2 == 0), path, hi)
+    tdigest_rollup_append_day(last.filter(F.col("user_id") % 2 == 1), path, hi)
+    tdigest_rollup_compact_all(spark, path)
+    n_files_max = max(
+        len(
+            [
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+        )
+        for d in os.listdir(path)
+        if d.startswith("day=")
+    )
+    est = F.broadcast(tdigest_rollup_range(spark, path, lo, hi).select("q", "est"))
+    w = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(lo, hi))
+        .select(F.explode("weights").alias("w"))
+        .agg(F.sum("w").cast("long").alias("total_weight"))
+    )
+    in_range = ev.filter(
+        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+    ).select(F.col("value").cast("double").alias("v"), F.to_date("ts").alias("d"))
+    ranked = in_range.crossJoin(est).groupBy("q", "est").agg(
+        (
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("rank"),
+    )
+    n_days = in_range.agg(F.countDistinct("d").cast("long").alias("n_days"))
+    return (
+        ranked.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(w))
+        .select(
+            "q",
+            (F.abs(F.col("rank") - F.col("q")) <= 0.02).alias("ok"),
+            "n_days",
+            F.lit(n_files_max).cast("long").alias("n_files_max"),
+            "total_weight",
+        )
+    )
+
+
+def _tdigest_rollup_compacted_oracle() -> str:
+    lo, hi = _ROLLUP_RANGE
+    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    return f"""
+SELECT q, TRUE AS ok,
+  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
+   WHERE {pred}) AS n_days,
+  CAST(1 AS BIGINT) AS n_files_max,
+  (SELECT CAST(COUNT(value) AS BIGINT) FROM events WHERE {pred})
+    AS total_weight
+FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
+"""
+
+
 def incremental_dedup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`incremental_dedup`'s adjudication answered from a PERSISTED LSH
     index (functions/dedup.py:lsh_index_build/probe) — the storage form
@@ -4526,6 +4620,13 @@ CATALOG.update(
             doc="Persisted per-day t-digest rollup: range p50/p90/p99 "
             "merged from stored digest rows alone, rank-bound audit "
             "vs the raw range.",
+        ),
+        "tdigest_rollup_compacted": QuerySpec(
+            tdigest_rollup_compacted_q,
+            _tdigest_rollup_compacted_oracle(),
+            doc="The quantile store's build/append/compact/range cycle: "
+            "split-day appends compacted to one file per day; rank band, "
+            "file count, and exact weight conservation driver-hashed.",
         ),
         "hll_rollup_compacted": QuerySpec(
             hll_rollup_compacted_q,
@@ -4886,6 +4987,7 @@ _R7_NEXT = [
     "ann_pq_persisted_topk",
     "corpus_filter_cascade",
     "tdigest_rollup_range",
+    "tdigest_rollup_compacted",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -42,6 +42,9 @@ __all__ = [
     "tdigest_quantiles",
     "tdigest_day_digests",
     "tdigest_rollup_build",
+    "tdigest_rollup_append_day",
+    "tdigest_rollup_compact",
+    "tdigest_rollup_compact_all",
     "tdigest_rollup_range",
     "TDIGEST_DELTA",
 ]
@@ -171,20 +174,10 @@ def tdigest_quantiles(
 # --------------------------------------------------------------------- #
 
 
-def tdigest_day_digests(
-    df: DataFrame,
-    ts_col: str = "ts",
-    value_col: str = "value",
-    delta: float = TDIGEST_DELTA,
-) -> DataFrame:
-    """One compressed digest row ``(day, means[], weights[])`` per day —
-    the partial phase keyed by calendar day, merged to a single centroid
-    set per day (the storable unit, NOT quantiles: quantiles are not
-    mergeable, digests are)."""
-    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
-    narrow = df.select(day, F.col(value_col).cast("double").alias("__v")).filter(
-        F.col("__v").isNotNull()
-    )
+def _day_digest_rows(narrow: DataFrame, delta: float) -> DataFrame:
+    """Shared digest pipeline over a pre-narrowed ``(day, __v)`` frame:
+    per-partition partial digests keyed by day, merged to ONE compressed
+    centroid row per day."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[str, tuple[list, list]] = {}
@@ -220,6 +213,23 @@ def tdigest_day_digests(
     )
 
 
+def tdigest_day_digests(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delta: float = TDIGEST_DELTA,
+) -> DataFrame:
+    """One compressed digest row ``(day, means[], weights[])`` per day —
+    the partial phase keyed by calendar day, merged to a single centroid
+    set per day (the storable unit, NOT quantiles: quantiles are not
+    mergeable, digests are)."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    narrow = df.select(day, F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    return _day_digest_rows(narrow, delta)
+
+
 def tdigest_rollup_build(
     df: DataFrame,
     path: str,
@@ -233,6 +243,100 @@ def tdigest_rollup_build(
     tdigest_day_digests(df, ts_col, value_col, delta).write.mode(
         "overwrite"
     ).partitionBy("day").parquet(path)
+
+
+def tdigest_rollup_append_day(
+    df_day: DataFrame,
+    path: str,
+    day: str,
+    value_col: str = "value",
+    delta: float = TDIGEST_DELTA,
+) -> None:
+    """Incremental maintenance: digest ONE day's values (caller filters)
+    and append the resulting digest row as a file in the ``day=``
+    partition — prior days' files are never rewritten, exactly like
+    ``hll_rollup_append_day``.
+
+    The semantic difference from the HLL store: digest WEIGHTS ARE
+    ADDITIVE, not MAX-idempotent.  A day may be split across any number
+    of appends (each value delivered exactly once — per-batch writers,
+    backfills), and the read-side merge recovers the full day; but
+    REPLAYING a slice double-counts its weight.  At-least-once delivery
+    needs a dedup step in front of this verb; the HLL store tolerates it
+    natively.  Documented here because it is the load-bearing contract
+    difference between max-mergeable and sum-mergeable sketch stores."""
+    narrow = df_day.select(
+        F.lit(day).alias("day"), F.col(value_col).cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    _day_digest_rows(narrow, delta).write.mode("append").partitionBy("day").parquet(
+        path
+    )
+
+
+def tdigest_rollup_compact(
+    spark, path: str, day: str, delta: float = TDIGEST_DELTA
+) -> int:
+    """The quantile store's third verb (build / append / COMPACT):
+    re-merge ONE day's digest rows into a single compressed row in a
+    single file.  Returns the data-file count after compaction (1).
+
+    Per-append digest rows accumulate exactly like the HLL store's
+    register files — read cost grows with APPEND COUNT, not data — so
+    the same dot-prefixed-temp-dir + rename swap rewrites only
+    ``day=<day>``; other days' files keep their identity.  What is and
+    is not preserved, precisely: the merged day's TOTAL WEIGHT equals
+    the sum of the input rows' weights exactly (integer-valued doubles,
+    exact below 2^53 — pinned in tests/test_round7.py), while quantile
+    ESTIMATES may move within the rank-error band, because t-digest
+    merge is order-dependent (inherent; same reason
+    ``tdigest_rollup_range``'s driver-hashed claim is the band, not the
+    value)."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"day={day}")
+
+    def merge_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, delta)
+        return pd.DataFrame([(list(cm), list(cw))], columns=["means", "weights"])
+
+    merged = (
+        spark.read.parquet(part_dir)
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            merge_one, schema="means array<double>, weights array<double>"
+        )
+        .coalesce(1)
+    )
+    tmp = os.path.join(path, f".day={day}.compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+
+
+def tdigest_rollup_compact_all(spark, path: str) -> dict[str, int]:
+    """Compact every day holding more than one data file; single-file
+    days are untouched (file identity preserved), so repeated
+    maintenance runs converge to a no-op.  Returns ``{day:
+    files_before}`` for the days rewritten."""
+    import os
+
+    out: dict[str, int] = {}
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("day="):
+            continue
+        n = len(
+            [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        )
+        if n > 1:
+            out[d.split("=", 1)[1]] = n
+            tdigest_rollup_compact(spark, path, d.split("=", 1)[1])
+    return out
 
 
 def tdigest_rollup_range(

@@ -154,6 +154,10 @@ BUDGET = {
                                  # audit is the oracle hook, dropped in
                                  # production where only the store-read
                                  # merge remains)
+    "tdigest_rollup_compacted": 5,  # store-read digest merge + weight
+                                 # sum + the rank-audit rescan aggs;
+                                 # build/append/compact run eagerly
+                                 # before the query plan exists
 }
 
 

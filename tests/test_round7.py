@@ -439,3 +439,79 @@ def test_subword_empty_corpus_early_return(spark):
     out = SW.subword_word_tokens(spark, k=2, src="swempty")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["word", "ntok"]
+
+
+def test_tdigest_rollup_append_compact_weight_conserved(spark):
+    """The quantile store's append/compact verbs: split-day appends land
+    as extra files in ONLY that day's directory; compaction drops every
+    multi-file day to one file; the store's total weight is EXACTLY the
+    number of values delivered (additive integer-valued doubles), and
+    range estimates stay inside the ±0.02 rank band before and after.
+    Synthetic values so the exact quantiles are known."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.operators.tdigest import (
+        tdigest_rollup_append_day,
+        tdigest_rollup_build,
+        tdigest_rollup_compact_all,
+        tdigest_rollup_range,
+    )
+
+    n = 5000
+    rows = [
+        # three days, v = 0..n-1 per day (known ranks), day 3 split later
+        (f"2024-02-0{d} 12:00:00", float(i))
+        for d in (1, 2)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    path = os.path.join(tempfile.mkdtemp(), "tdstore")
+    tdigest_rollup_build(df, path, "ts", "value")
+    before = _day_files(path)
+    assert sorted(before) == ["2024-02-01", "2024-02-02"]
+
+    d3 = spark.range(n).selectExpr("CAST(id AS DOUBLE) AS value")
+    tdigest_rollup_append_day(d3.filter("value < 2500"), path, "2024-02-03")
+    tdigest_rollup_append_day(d3.filter("value >= 2500"), path, "2024-02-03")
+    after_append = _day_files(path)
+    # prior days' files untouched; the appended day holds one file per append
+    for d in before:
+        assert after_append[d] == before[d], d
+    assert len(after_append["2024-02-03"]) == 2
+
+    def total_weight():
+        return (
+            spark.read.parquet(path)
+            .selectExpr("explode(weights) AS w")
+            .agg(F.sum("w").alias("t"))
+            .collect()[0]["t"]
+        )
+
+    assert total_weight() == 3 * n
+
+    compacted = tdigest_rollup_compact_all(spark, path)
+    assert compacted == {"2024-02-03": 2}  # only the multi-file day rewritten
+    after = _day_files(path)
+    assert all(len(v) == 1 for v in after.values()), after
+    for d in before:
+        assert after[d] == before[d], d
+    assert total_weight() == 3 * n  # compaction lost no mass
+
+    est = {
+        r["q"]: r["est"]
+        for r in tdigest_rollup_range(
+            spark, path, "2024-02-01", "2024-02-03"
+        ).collect()
+    }
+    for q, e in est.items():
+        rank = (e + 1) * 3 / (3 * n)  # values 0..n-1 × 3 days, uniform
+        assert abs(rank - q) <= 0.02, (q, e, rank)
+
+    # idempotent: second maintenance run rewrites nothing
+    assert tdigest_rollup_compact_all(spark, path) == {}
+    assert _day_files(path) == after
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
