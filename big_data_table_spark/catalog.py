@@ -4280,6 +4280,108 @@ FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
 """
 
 
+def training_order_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation over the corpus
+    (functions/packing.py:training_order): every document gets a dense
+    0..n−1 position in (md5(text), doc_id) order — the reproducible
+    "shuffle" a training run reads sequentially, independent of
+    partitioning or cluster size.  The oracle is the naive global
+    ROW_NUMBER; the Spark plan replaces that single-partition sort with
+    the two-phase bucket scheme (in-bucket rank + broadcast ≤256-row
+    offset table) — hash-matching proves the distributed permutation IS
+    the global one."""
+    from .functions.packing import training_order
+
+    return training_order(Tables(spark, sf_dir).documents)
+
+
+_TRAINING_ORDER_ORACLE = """
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def bloom_index_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted SEEN-KEYS Bloom index end-to-end (functions/
+    sketches.py:bloom_index_build/append/compact/probe) — the O(1)
+    membership prefilter a crawl frontier consults before the LSH/exact
+    dedup path: corpus doc ids enter the store in three increments (the
+    third REPLAYED — append replay is safe because the store is a
+    position SET and DISTINCT-union is idempotent, the same at-least-once
+    story as the HLL store's MAX), the store compacts to one ≤m-row
+    file, and a mixed batch (unseen docs + recrawls) probes it with a
+    broadcast join — the batch never shuffles.  The oracle is the
+    self-contained `bloom_membership_sql` over the same build/probe
+    sets: hash-matching it proves the persisted lifecycle (including
+    the replay and compaction) reproduces the in-query filter's
+    decisions bit-for-bit — no false negatives, and the same measured
+    false-positive count."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+
+    docs = Tables(spark, sf_dir).documents
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_bloom_idx_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    did = F.col("doc_id")
+    SK.bloom_index_build(docs.filter(did % 4 == 0), path, "doc_id")
+    SK.bloom_index_append(docs.filter(did % 4 == 1), path, "doc_id")
+    for _ in range(2):  # at-least-once: the third increment delivered twice
+        SK.bloom_index_append(docs.filter(did % 4 == 2), path, "doc_id")
+    n_files = SK.bloom_index_compact(spark, path)
+    batch = docs.filter((did % 4 == 3) | (did % 8 == 0))  # unseen + recrawls
+    probed = SK.bloom_index_probe(spark, path, batch, "doc_id")
+    corpus = (
+        docs.filter(did % 4 != 3)
+        .select(did.cast("long").alias("v"))
+        .distinct()
+        .withColumn("member", F.lit(True))
+    )
+    return (
+        probed.join(corpus, "v", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum(F.when(F.col("possible"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_possible"),
+            F.sum(F.when(F.col("member"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_members"),
+            F.sum(
+                F.when(F.col("possible") & F.col("member").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .withColumn("n_files", F.lit(n_files).cast("long"))
+    )
+
+
+def _bloom_index_persisted_oracle() -> str:
+    from .functions import sketches as SK
+
+    inner = SK.bloom_membership_sql(
+        "(SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)",
+        "(SELECT doc_id FROM documents WHERE doc_id % 4 = 3 OR doc_id % 8 = 0)",
+        "doc_id",
+        m=4096,
+        k=4,
+        dialect=DUCK,
+    )
+    return f"""
+SELECT n_probed, n_possible, n_members, n_false_pos,
+  CAST(1 AS BIGINT) AS n_files
+FROM ({inner}) _b
+"""
+
+
 def incremental_dedup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`incremental_dedup`'s adjudication answered from a PERSISTED LSH
     index (functions/dedup.py:lsh_index_build/probe) — the storage form
@@ -4620,6 +4722,20 @@ CATALOG.update(
             doc="Persisted per-day t-digest rollup: range p50/p90/p99 "
             "merged from stored digest rows alone, rank-bound audit "
             "vs the raw range.",
+        ),
+        "training_order_shuffle": QuerySpec(
+            training_order_shuffle_q,
+            _TRAINING_ORDER_ORACLE,
+            doc="Deterministic content-hash training-order permutation: "
+            "two-phase bucket rank == the global ROW_NUMBER, no "
+            "single-partition sort.",
+        ),
+        "bloom_index_persisted": QuerySpec(
+            bloom_index_persisted_q,
+            _bloom_index_persisted_oracle(),
+            doc="Persisted seen-keys Bloom index: build/append/replay/"
+            "compact lifecycle, then a broadcast probe of a mixed batch "
+            "— decisions equal the in-query filter bit-for-bit.",
         ),
         "tdigest_rollup_compacted": QuerySpec(
             tdigest_rollup_compacted_q,
@@ -4988,6 +5104,8 @@ _R7_NEXT = [
     "corpus_filter_cascade",
     "tdigest_rollup_range",
     "tdigest_rollup_compacted",
+    "bloom_index_persisted",
+    "training_order_shuffle",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

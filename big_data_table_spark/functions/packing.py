@@ -160,3 +160,54 @@ SELECT {bysel}CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin_id,
   ROUND(SUM(n_tokens) / CAST({budget} AS DOUBLE), 6) AS fill_ratio
 FROM p GROUP BY {grp}bin_id
 """
+
+
+def training_order(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic global TRAINING-ORDER permutation: ``(by…, doc_id,
+    pos)`` with ``pos`` a dense 0..n−1 position in ``(md5(text),
+    doc_id)`` order — the "shuffled" serving order a training run reads
+    sequentially.  Content-hash order is the same determinism discipline
+    as the split/sample operators (operators/sampling.py): the
+    permutation depends only on the DATA, never on partitioning, cluster
+    size, or read order, so a re-run (or a different cluster) feeds
+    batches in the identical sequence — reproducible training without
+    materializing a random key.
+
+    Same two-phase scheme as :func:`pack_sequences`, which is why it
+    lives here: an in-bucket ``row_number`` partitioned by the 2-hex-char
+    md5 prefix (lexicographic bucket order == md5 order), plus a
+    broadcast ≤256-row bucket-count offset table.  NO unpartitioned
+    window over the corpus — the global sort a naive ``ROW_NUMBER() OVER
+    (ORDER BY md5)`` would demand is exactly what this avoids at 100 TB
+    (the offset window runs over bucket totals, bounded by construction;
+    with ``by`` it is partitioned too)."""
+    by = list(by or [])
+    d = docs.select(
+        *by, F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = Window.partitionBy(*by, "bucket").orderBy("h", "doc_id")
+    d = d.withColumn("in_rank", F.row_number().over(w_in) - 1)
+    totals = d.groupBy(*by, "bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    w_off = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *by,
+        "bucket",
+        F.coalesce(F.sum("bucket_n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    return (
+        d.join(F.broadcast(offsets), by + ["bucket"])
+        .select(
+            *by,
+            "doc_id",
+            (F.col("offset") + F.col("in_rank")).cast("long").alias("pos"),
+        )
+    )

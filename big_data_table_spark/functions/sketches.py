@@ -1360,3 +1360,122 @@ def hll_rollup_range_estimate(
         F.count(F.lit(1)).cast("long").alias("n_days")
     )
     return n_days.crossJoin(hll_estimate_global(merged, p))
+
+
+# --------------------------------------------------------------------- #
+# Persisted Bloom membership index — the "seen-keys" store: the O(1)
+# prefilter a crawl/ingest frontier consults before the expensive dedup
+# path (has this URL id / doc digest been taken before?).  The stored
+# unit is the ≤m-row DISTINCT set-bit position table — the relational
+# Bloom filter bloom_membership_sql builds in-query — so the store is
+# broadcastable at ANY corpus size, merge is DISTINCT-union (bit OR),
+# and therefore APPEND REPLAY IS SAFE (idempotent, like the HLL store's
+# register MAX and unlike the t-digest store's additive weights: the
+# three stores deliberately span the mergeability spectrum).  ``m``/``k``
+# are fixed at build time and recorded in a dot-prefixed meta file —
+# mixing geometries silently corrupts a Bloom filter, so only
+# ``bloom_index_build`` accepts them and every later verb reads the
+# recorded values.
+# --------------------------------------------------------------------- #
+
+
+def _bloom_positions(df: DataFrame, value_col: str, m: int, k: int) -> DataFrame:
+    """Distinct set-bit positions (Kirsch-Mitzenmacher double hashing)
+    for the frame's distinct keys — the DataFrame twin of
+    ``bloom_membership_sql``'s ``bpos`` CTE, bit-compatible with it."""
+    hh = _double_hashed_values(df, value_col)
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = ((F.col("h1") + F.col("i") * (F.col("h2") * 2 + 1)) % m).alias("pos")
+    return hh.select("h1", "h2", i).select(pos).distinct()
+
+
+def _bloom_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, ".bloom_meta.json")
+
+
+def _bloom_meta(path: str) -> tuple[int, int]:
+    import json
+
+    with open(_bloom_meta_path(path)) as fh:
+        meta = json.load(fh)
+    return int(meta["m"]), int(meta["k"])
+
+
+def bloom_index_build(
+    df: DataFrame, path: str, value_col: str, m: int = 4096, k: int = 4
+) -> None:
+    """Materialize the seen-keys index: one ≤m-row ``pos`` file plus the
+    geometry meta.  The write overwrites the directory, so the meta file
+    is written after the parquet commit."""
+    import json
+
+    _bloom_positions(df, value_col, m, k).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    with open(_bloom_meta_path(path), "w") as fh:
+        json.dump({"m": m, "k": k}, fh)
+
+
+def bloom_index_append(df: DataFrame, path: str, value_col: str) -> None:
+    """Fold a batch's keys into the store: its distinct positions land
+    as a new file.  Read-side DISTINCT makes duplicate position rows
+    harmless — replaying an append (at-least-once delivery) cannot
+    corrupt the filter.  Geometry comes from the store's meta; appends
+    cannot introduce a mismatched ``m``/``k`` by construction."""
+    m, k = _bloom_meta(path)
+    _bloom_positions(df, value_col, m, k).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def bloom_index_compact(spark, path: str) -> int:
+    """Rewrite the accumulated per-append files as ONE distinct-position
+    file (read cost back to ≤m rows regardless of append count) via the
+    same dot-prefixed temp + rename swap as ``hll_rollup_compact``.
+    Returns the data-file count after compaction (1).  Decisions are
+    EXACTLY preserved: the filter is its position SET, and compaction is
+    set identity."""
+    import os
+    import shutil
+
+    m, k = _bloom_meta(path)
+    merged = spark.read.parquet(path).distinct().coalesce(1)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    import json
+
+    with open(_bloom_meta_path(path), "w") as fh:
+        json.dump({"m": m, "k": k}, fh)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def bloom_index_probe(spark, path: str, df: DataFrame, value_col: str) -> DataFrame:
+    """Per distinct key: ``(v, possible)`` — possible iff ALL ``k`` of
+    the key's positions are set in the store.  The position table is
+    explicitly broadcast (≤m rows by construction), so a probe is one
+    map-side join over the batch's key·k position rows — no shuffle of
+    the batch, which is the entire point of fronting the LSH/exact dedup
+    path with this index.  False negatives are structurally impossible;
+    ``possible`` for an unseen key is the Bloom false-positive case the
+    catalog entry audits against exact membership."""
+    m, k = _bloom_meta(path)
+    store = F.broadcast(spark.read.parquet(path).distinct())
+    hh = _double_hashed_values(df, value_col)
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = ((F.col("h1") + F.col("i") * (F.col("h2") * 2 + 1)) % m).alias("pos")
+    probe = hh.select("v", "h1", "h2", i).select("v", pos)
+    return (
+        probe.join(store, "pos", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .join(probe.groupBy("v").agg(F.count(F.lit(1)).alias("npos")), "v", "right")
+        .select(
+            "v",
+            (F.coalesce(F.col("nhit"), F.lit(0)) == F.col("npos")).alias("possible"),
+        )
+    )

@@ -158,6 +158,15 @@ BUDGET = {
                                  # sum + the rank-audit rescan aggs;
                                  # build/append/compact run eagerly
                                  # before the query plan exists
+    "bloom_index_persisted": 5,  # probe-side key distinct + per-key
+                                 # hit/total aggs + the exact-membership
+                                 # audit join; the store side is a
+                                 # broadcast ≤m-row scan, no shuffle of
+                                 # the batch
+    "training_order_shuffle": 3,  # in-bucket rank window + ≤256-row
+                                 # bucket-total agg + broadcast offset
+                                 # join — the global sort the oracle's
+                                 # ROW_NUMBER implies never happens
 }
 
 

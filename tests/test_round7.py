@@ -515,3 +515,96 @@ def test_tdigest_rollup_append_compact_weight_conserved(spark):
     assert tdigest_rollup_compact_all(spark, path) == {}
     assert _day_files(path) == after
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_bloom_index_lifecycle_matches_inquery_filter(spark, sf_dir):
+    """The persisted seen-keys index: build/append visible to the next
+    probe, append REPLAY harmless (position-set semantics), compaction
+    reduces to one file with bit-identical decisions, and the final
+    store's probe decisions aggregate to EXACTLY what the self-contained
+    bloom_membership_sql computes over the same build/probe sets — the
+    persisted lifecycle reproduces the in-query filter."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    did = F.col("doc_id")
+    path = os.path.join(tempfile.mkdtemp(), "bloomidx")
+
+    SK.bloom_index_build(docs.filter(did % 3 == 0), path, "doc_id", m=1024, k=3)
+    nf = lambda: len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert nf() == 1
+
+    # no false negatives on the built increment
+    a = SK.bloom_index_probe(spark, path, docs.filter(did % 3 == 0), "doc_id")
+    assert a.filter(~F.col("possible")).count() == 0
+
+    SK.bloom_index_append(docs.filter(did % 3 == 1), path, "doc_id")
+    SK.bloom_index_append(docs.filter(did % 3 == 1), path, "doc_id")  # replay
+    assert nf() == 3
+    b = SK.bloom_index_probe(spark, path, docs.filter(did % 3 == 1), "doc_id")
+    assert b.filter(~F.col("possible")).count() == 0  # append visible
+
+    pre = {
+        r["v"]: r["possible"]
+        for r in SK.bloom_index_probe(spark, path, docs, "doc_id").collect()
+    }
+    assert SK.bloom_index_compact(spark, path) == 1
+    assert nf() == 1
+    post = {
+        r["v"]: r["possible"]
+        for r in SK.bloom_index_probe(spark, path, docs, "doc_id").collect()
+    }
+    assert pre == post  # compaction is set identity on decisions
+
+    # the persisted store == the in-query filter, decision for decision
+    docs.createOrReplaceTempView("blidx_docs")
+    row = spark.sql(
+        SK.bloom_membership_sql(
+            "(SELECT doc_id FROM blidx_docs WHERE doc_id % 3 <> 2)",
+            "blidx_docs",
+            "doc_id",
+            m=1024,
+            k=3,
+            dialect=SPARK,
+        )
+    ).collect()[0]
+    members = {
+        r["doc_id"]
+        for r in docs.filter(did % 3 != 2).select("doc_id").distinct().collect()
+    }
+    assert row["n_probed"] == len(post)
+    assert row["n_possible"] == sum(post.values())
+    assert row["n_members"] == len(members)
+    assert row["n_false_pos"] == sum(
+        1 for v, p in post.items() if p and v not in members
+    )
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_training_order_partitioning_independent(spark, sf_dir):
+    """The training-order permutation is a pure function of the data:
+    identical at 1 and 7 partitions, positions are exactly 0..n-1, and
+    the grouped form restarts a dense permutation per group."""
+    import os
+
+    from big_data_table_spark.functions.packing import training_order
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = {
+        r["doc_id"]: r["pos"]
+        for r in training_order(docs.repartition(1)).collect()
+    }
+    b = {
+        r["doc_id"]: r["pos"]
+        for r in training_order(docs.repartition(7)).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(len(a)))
+
+    per_src = {}
+    for r in training_order(docs, by=["source"]).collect():
+        per_src.setdefault(r["source"], []).append(r["pos"])
+    for src, poss in per_src.items():
+        assert sorted(poss) == list(range(len(poss))), src
