@@ -2974,6 +2974,12 @@ CATALOG: dict[str, QuerySpec] = {
         "per doc (short > repetition > lang > quality), per-source "
         "share report.",
     ),
+    "corpus_data_card": _dual(
+        X.corpus_data_card_sql,
+        doc="Per-source data card: volume, composition, redundancy, "
+        "quality, and the cascade's keep share in one pass — the "
+        "datasheet table a training run publishes.",
+    ),
     "text_repetition_ratio": _dual(
         X.repetition_ratio_sql,
         doc="Gopher-style intra-doc duplicate-3-gram fraction.",
@@ -5106,6 +5112,7 @@ _R7_NEXT = [
     "tdigest_rollup_compacted",
     "bloom_index_persisted",
     "training_order_shuffle",
+    "corpus_data_card",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

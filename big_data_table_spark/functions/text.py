@@ -258,6 +258,21 @@ def filter_cascade_sql(dialect: str) -> str:
     only joins are per-doc feature tables on doc_id.  Thresholds are
     corpus knobs, deterministic on the fixture by construction (all
     ratios are exact rationals rounded to 6 dp)."""
+    return (
+        f"WITH {_cascade_doc_ctes(dialect)} "
+        "SELECT source, decision, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) "
+        "  AS DOUBLE), 6) AS source_share "
+        "FROM docdec GROUP BY source, decision"
+    )
+
+
+def _cascade_doc_ctes(dialect: str) -> str:
+    """The cascade's per-document CTE chain, ending in ``docdec``
+    ``(doc_id, source, lang, n_tok, quality_score, rep_ratio, pred_lang,
+    decision)`` — shared by :func:`filter_cascade_sql` (the decision
+    rollup) and :func:`corpus_data_card_sql` (the per-source report),
+    so the card's keep rate is BY CONSTRUCTION the cascade's."""
     n_tok = arr_len(split_ws("text", dialect), dialect)
     n_stop = regexp_count("lower(text)", _pat(_STOPWORDS, dialect), dialect)
     n_alpha = regexp_count("text", "[A-Za-z]", dialect)
@@ -265,22 +280,25 @@ def filter_cascade_sql(dialect: str) -> str:
     from .dedup import _shingles_cte, _words_cte
 
     return (
-        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
+        f"{_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)}, "
         "repc AS (SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT sh) AS uniq "
         "  FROM shingles GROUP BY doc_id), "
         "rep AS (SELECT doc_id, "
         "  ROUND(CAST(1 AS DOUBLE) - uniq / CAST(total AS DOUBLE), 6) AS rep_ratio "
         "  FROM repc), "
-        "feats AS (SELECT doc_id, source, n_chars, "
+        "feats AS (SELECT doc_id, source, lang, n_chars, "
         f"  CAST({n_tok} AS DOUBLE) AS n_tok, CAST({n_stop} AS DOUBLE) AS n_stop, "
         f"  CAST({n_alpha} AS DOUBLE) AS n_alpha, CAST({n_punct} AS DOUBLE) AS n_punct "
         "  FROM documents), "
-        "scored AS (SELECT doc_id, source, n_tok, "
+        "scored AS (SELECT doc_id, source, lang, n_tok, "
         "  ROUND(0.4 * (n_stop / n_tok) + 0.3 * (n_alpha / n_chars) "
         "  + 0.2 * LEAST(n_tok / 100.0, 1.0) + 0.1 * (1.0 - n_punct / n_chars), 6) "
         "  AS quality_score FROM feats), "
         f"lng AS ({lang_select_sql(dialect)}), "
-        "dec AS (SELECT s.source, "
+        "docdec AS (SELECT s.doc_id, s.source, s.lang, s.n_tok, "
+        "  s.quality_score, "
+        "  COALESCE(r.rep_ratio, CAST(0 AS DOUBLE)) AS rep_ratio, "
+        "  l.pred_lang, "
         "  CASE WHEN s.n_tok < 20 THEN 'too_short' "
         "       WHEN COALESCE(r.rep_ratio, CAST(0 AS DOUBLE)) > 0.05 "
         "         THEN 'high_repetition' "
@@ -288,11 +306,48 @@ def filter_cascade_sql(dialect: str) -> str:
         "       WHEN s.quality_score < 0.45 THEN 'low_quality' "
         "       ELSE 'keep' END AS decision "
         "  FROM scored s JOIN lng l ON l.doc_id = s.doc_id "
-        "  LEFT JOIN rep r ON r.doc_id = s.doc_id) "
-        "SELECT source, decision, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) "
-        "  AS DOUBLE), 6) AS source_share "
-        "FROM dec GROUP BY source, decision"
+        "  LEFT JOIN rep r ON r.doc_id = s.doc_id)"
+    )
+
+
+def corpus_data_card_sql(dialect: str) -> str:
+    """The per-source CORPUS DATA CARD — the one-stop summary table a
+    training run publishes next to its dataset (datasheet/data-card
+    practice): per source, volume (docs, whitespace tokens, mean
+    doc length), composition (distinct gold langs, predicted-English
+    share via the shared lang-ID classifier), redundancy (exact-dup
+    ratio over md5 digests — text never shuffles), quality (mean
+    heuristic score, mean 3-gram repetition), and the curation outcome
+    (the cascade's keep share, BY CONSTRUCTION the same decisions as
+    `corpus_filter_cascade` — both read the shared ``docdec`` chain).
+
+    Determinism: counts and shares are exact rationals rounded to 6 dp;
+    the two means accumulate in DECIMAL(18,6) before ONE double cast
+    (scale ≤ 6 per the cross-engine decimal-cast rule), so the card is
+    accumulation-order-independent — the same discipline as ``dsum``.
+    At 100 TB every column is one pass over per-doc feature rows;
+    nothing wider than (doc_id, digest, 6 numbers) shuffles."""
+    return (
+        f"WITH {_cascade_doc_ctes(dialect)}, "
+        "md AS (SELECT doc_id, md5(text) AS h FROM documents) "
+        "SELECT d.source, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs, "
+        "ROUND(SUM(CASE WHEN d.pred_lang = 'en' THEN 1 ELSE 0 END) "
+        "  / CAST(COUNT(*) AS DOUBLE), 6) AS en_share, "
+        "CAST(SUM(CAST(d.n_tok AS BIGINT)) AS BIGINT) AS n_tokens, "
+        "ROUND(SUM(CAST(d.n_tok AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 6) "
+        "  AS avg_tokens, "
+        "ROUND(CAST(1 AS DOUBLE) "
+        "  - COUNT(DISTINCT m.h) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio, "
+        "ROUND(CAST(SUM(CAST(d.quality_score AS DECIMAL(18,6))) AS DOUBLE) "
+        "  / COUNT(*), 6) AS avg_quality, "
+        "ROUND(CAST(SUM(CAST(d.rep_ratio AS DECIMAL(18,6))) AS DOUBLE) "
+        "  / COUNT(*), 6) AS avg_repetition, "
+        "ROUND(SUM(CASE WHEN d.decision = 'keep' THEN 1 ELSE 0 END) "
+        "  / CAST(COUNT(*) AS DOUBLE), 6) AS keep_share "
+        "FROM docdec d JOIN md m ON m.doc_id = d.doc_id "
+        "GROUP BY d.source"
     )
 
 

@@ -167,6 +167,11 @@ BUDGET = {
                                  # bucket-total agg + broadcast offset
                                  # join — the global sort the oracle's
                                  # ROW_NUMBER implies never happens
+    "corpus_data_card": 5,       # per-doc feature aggs (shingle repeat,
+                                 # digest distinct) joined on doc_id +
+                                 # one per-source rollup — every
+                                 # exchange carries doc-keyed numbers
+                                 # or digests, never text twice
 }
 
 
