@@ -4286,6 +4286,79 @@ FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
 """
 
 
+def tdigest_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p90/p99 computed ENTIRELY from the persisted
+    day-digest table (operators/tdigest.py:tdigest_rolling_quantiles) —
+    the quantile member of the rolling-sketch family (HLL rolls distinct
+    counts, theta overlap, CMS frequency): each stored day's digest fans
+    out to its ≤7 windows and concat-compresses per window; raw values
+    are read once, at build time.  Driver-hashed claim (stable under
+    merge-order dependence, the `tdigest_rollup_range` discipline): each
+    window estimate's true rank over THAT window's raw values sits
+    within ±0.03 of q (wider than the single-range ±0.02 band because
+    partial leading windows hold few values and rank granularity 1/n
+    dominates), alongside the window's exact day count."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.tdigest import tdigest_rollup_build, tdigest_rolling_quantiles
+
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_tdigest_roll_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tdigest_rollup_build(ev, path, "ts", "value")
+    est = F.broadcast(tdigest_rolling_quantiles(spark, path, window_days=7))
+    raw = ev.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+        F.col("value").cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    windowed = raw.join(
+        est,
+        (F.col("day_num") >= F.col("day_end") - 6)
+        & (F.col("day_num") <= F.col("day_end")),
+    )
+    ranked = windowed.groupBy("day_end", "q", "est").agg(
+        (
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("rank"),
+        F.countDistinct("day_num").cast("long").alias("n_days"),
+    )
+    return ranked.select(
+        "day_end",
+        "q",
+        (F.abs(F.col("rank") - F.col("q")) <= 0.03).alias("ok"),
+        "n_days",
+    )
+
+
+def _tdigest_rolling_oracle() -> str:
+    from .functions.portable import days_since_epoch
+
+    dd = days_since_epoch("ts", DUCK)
+    return f"""
+WITH ev AS (
+  SELECT {dd} AS day_num, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL),
+days AS (SELECT DISTINCT day_num FROM ev),
+wd AS (
+  SELECT d.day_num AS day_end,
+    CAST(COUNT(DISTINCT e.day_num) AS BIGINT) AS n_days
+  FROM days d JOIN ev e
+    ON e.day_num BETWEEN d.day_num - 6 AND d.day_num
+  GROUP BY d.day_num)
+SELECT CAST(day_end AS BIGINT) AS day_end, q, TRUE AS ok, n_days
+FROM wd CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
+"""
+
+
 def training_order_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order permutation over the corpus
     (functions/packing.py:training_order): every document gets a dense
@@ -4729,6 +4802,13 @@ CATALOG.update(
             "merged from stored digest rows alone, rank-bound audit "
             "vs the raw range.",
         ),
+        "tdigest_rolling_quantiles": QuerySpec(
+            tdigest_rolling_q,
+            _tdigest_rolling_oracle(),
+            doc="Rolling 7-day quantiles from the persisted day digests "
+            "alone — the quantile member of the rolling-sketch family; "
+            "per-window rank band + exact day count driver-hashed.",
+        ),
         "training_order_shuffle": QuerySpec(
             training_order_shuffle_q,
             _TRAINING_ORDER_ORACLE,
@@ -5110,6 +5190,7 @@ _R7_NEXT = [
     "corpus_filter_cascade",
     "tdigest_rollup_range",
     "tdigest_rollup_compacted",
+    "tdigest_rolling_quantiles",
     "bloom_index_persisted",
     "training_order_shuffle",
     "corpus_data_card",

@@ -46,6 +46,7 @@ __all__ = [
     "tdigest_rollup_compact",
     "tdigest_rollup_compact_all",
     "tdigest_rollup_range",
+    "tdigest_rolling_quantiles",
     "TDIGEST_DELTA",
 ]
 
@@ -367,4 +368,52 @@ def tdigest_rollup_range(
         digests.withColumn("__g", F.lit(1))
         .groupBy("__g")
         .applyInPandas(merge_all, schema="q double, est double")
+    )
+
+
+def tdigest_rolling_quantiles(
+    spark,
+    path: str,
+    window_days: int = 7,
+    quantiles: Iterable[float] = (0.5, 0.9, 0.99),
+    delta: float = TDIGEST_DELTA,
+) -> DataFrame:
+    """Rolling ``window_days``-day quantiles computed ENTIRELY from the
+    persisted day-digest table — the quantile member of the rolling
+    family (HLL rolls distinct counts, theta overlap, CMS frequency):
+    each stored day's digest row fans out to the ≤``window_days``
+    windows containing it (integer epoch-day offsets), the window's
+    digests concat-compress per window, and quantiles interpolate from
+    the merged centroids.  ``(day_end, q, est)``, windows keyed by their
+    END epoch-day, spine = days present in the store (partial leading
+    windows included — same rule as ``hll_rolling_merge_sql``).  At
+    100 TB a rolling p99 over any horizon costs days·~delta centroid
+    rows from the store; raw values are read once, at build time."""
+    qs = [float(q) for q in quantiles]
+    d = spark.read.parquet(path).select(
+        F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+        "means",
+        "weights",
+    )
+    off = F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i")
+    fan = d.select("day_num", "means", "weights", off).select(
+        (F.col("day_num") + F.col("i")).alias("day_end"), "means", "weights"
+    )
+    spine = d.select(F.col("day_num").alias("day_end")).distinct()
+    win = fan.join(F.broadcast(spine), "day_end")
+
+    def merge_win(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, delta)
+        de = int(pdf.iloc[0]["day_end"])
+        return pd.DataFrame(
+            [(de, q, _quantile(cm, cw, q)) for q in qs],
+            columns=["day_end", "q", "est"],
+        )
+
+    return win.groupBy("day_end").applyInPandas(
+        merge_win, schema="day_end long, q double, est double"
     )

@@ -172,6 +172,11 @@ BUDGET = {
                                  # one per-source rollup — every
                                  # exchange carries doc-keyed numbers
                                  # or digests, never text twice
+    "tdigest_rolling_quantiles": 8,  # day->window digest fan-out +
+                                 # per-window merge + the rank-audit
+                                 # range join over raw values (the
+                                 # audit is the oracle hook; production
+                                 # keeps only the store-side fan-out)
 }
 
 
