@@ -4868,6 +4868,33 @@ CATALOG.update(
             "append day-grouped registers; MAX-merge per day equals the "
             "batch per-day estimates.",
         ),
+        "stream_cms_heavy_hitters": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_cms_heavy_hitters(spark, sf_dir),
+            _cms_heavy_hitters_builder(DUCK),
+            doc="Streaming CMS maintenance: per-batch counter tables "
+            "SUM-merge to the one-shot sketch bit-for-bit (additive-"
+            "exact merge); same output and oracle as the batch entry.",
+        ),
+        "stream_tdigest_daily": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_tdigest_daily(spark, sf_dir),
+            """
+WITH ev AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+cnt AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_values
+        FROM ev GROUP BY day)
+SELECT day, q, TRUE AS ok, n_values
+FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
+""",
+            doc="Streaming writer of the quantile store: per-batch "
+            "exactly-once digest appends; per-day rank band + exact "
+            "weight conservation through micro-batch boundaries.",
+        ),
         "mg_heavy_hitters": QuerySpec(
             mg_heavy_hitters_q,
             _MG_TOPK_ORACLE,
@@ -5194,6 +5221,8 @@ _R7_NEXT = [
     "bloom_index_persisted",
     "training_order_shuffle",
     "corpus_data_card",
+    "stream_cms_heavy_hitters",
+    "stream_tdigest_daily",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

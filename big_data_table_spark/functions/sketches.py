@@ -1479,3 +1479,24 @@ def bloom_index_probe(spark, path: str, df: DataFrame, value_col: str) -> DataFr
             (F.coalesce(F.col("nhit"), F.lit(0)) == F.col("npos")).alias("possible"),
         )
     )
+
+
+def cms_counter_table(
+    df: DataFrame, value_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """The d×w Count-Min counter table ``(rw, cl, cnt)`` of a frame —
+    the additive-mergeable sketch unit (SUM-merge across tables is
+    exact, so batch/stream/partition splits all converge bit-for-bit).
+    Hashes are computed once over the frame's DISTINCT keys and joined
+    back, the `cms_heavy_hitters_by_group_sql` discipline."""
+    vals = df.select(F.col(value_col).cast("long").alias("v"))
+    hh = _double_hashed_values(vals, "v")
+    rcol = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("rw")
+    pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
+    return (
+        vals.join(hh, "v")
+        .select("h1", "h2", rcol)
+        .select("rw", pos)
+        .groupBy("rw", "cl")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -631,3 +631,173 @@ def late_data_accounting(
     if return_query_progress:
         return out, dropped
     return out
+
+
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the ADDITIVE sketch family: every
+    micro-batch writes ITS OWN d×w Count-Min counter table to the sink
+    (``batch=<id>`` dirs — per-batch-id overwrite, so a replayed batch is
+    idempotent), and the read side SUM-merges across batches.  Because
+    counts are additive-EXACT, the merged counter table equals a one-shot
+    build BIT-FOR-BIT regardless of how the stream was batched — a
+    stronger merge law than the HLL store's lossy-looking (but also
+    exact) register MAX.  The merged sketch is probed with the exact
+    top-20 users, so the output — and the recorded oracle,
+    `cms_heavy_hitters_sql` itself — is identical to the batch entry's:
+    the driver hash proves streaming maintenance changed nothing,
+    measured overestimates included.  At 100 TB: per-tenant frequency
+    sketches maintained by the stream, queries answered from ≤ d·w rows."""
+    import shutil
+    import tempfile
+
+    from ..functions.sketches import _double_hashed_values, cms_counter_table
+
+    w, d = 1024, 4
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_cms_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_counter_table(batch_df, "user_id", w, d).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    with _stream_shuffle_scope(spark):
+        q = ev.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("rw", "cl")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    from ..sources.readers import load_events
+
+    exact = (
+        load_events(spark, sf_dir)
+        .select(F.col("user_id").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    from pyspark.sql import Window
+
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("true_cnt").desc(), F.col("v"))
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # ≤20 rows; the global window is a
+        # TakeOrdered-sized frame, same bounded-by-construction case as
+        # the batch CMS entry's exact-top spine
+    )
+    hh = _double_hashed_values(top.select("v"), "v")
+    rcol = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("rw")
+    pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
+    probe = hh.select("v", rcol, F.col("h1"), F.col("h2")).select("v", "rw", pos)
+    est = (
+        probe.join(merged, ["rw", "cl"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return top.join(est, "v").select(
+        F.col("v").alias("key"),
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+def stream_tdigest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer of the persisted QUANTILE store: each micro-batch
+    digests its values per day and writes the digest rows to a
+    ``batch=<id>`` dir (per-batch-id overwrite — the foreachBatch replay
+    contract delivers each value exactly once into the store, which is
+    precisely the discipline ``tdigest_rollup_append_day`` documents for
+    the additive-weight family; contrast the HLL/Bloom stores, which
+    tolerate at-least-once natively).  Read side: per-day digest rows
+    from ALL batches merge exactly like a multi-file store day.
+    Driver-hashed claims, stable under merge-order dependence: each
+    day's merged estimate ranks within ±0.03 of q over that day's raw
+    values, and the day's TOTAL WEIGHT from the store exactly equals its
+    raw value count — weight conservation through real micro-batch
+    boundaries."""
+    import shutil
+    import tempfile
+
+    from ..operators.tdigest import tdigest_day_digests, _compress, _quantile
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_td_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tdigest_day_digests(batch_df, "ts", "value").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    with _stream_shuffle_scope(spark):
+        q = ev.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    import numpy as np
+    import pandas as pd
+
+    qs = [0.5, 0.9, 0.99]
+
+    def merge_day(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, 200.0)
+        day = pdf.iloc[0]["day"]
+        n = int(round(float(weights.sum())))
+        return pd.DataFrame(
+            [(day, q, _quantile(cm, cw, q), n) for q in qs],
+            columns=["day", "q", "est", "n_values"],
+        )
+
+    est = F.broadcast(
+        spark.read.parquet(out_dir)
+        .groupBy("day")
+        .applyInPandas(
+            merge_day, schema="day string, q double, est double, n_values long"
+        )
+    )
+    from ..sources.readers import load_events
+
+    raw = (
+        load_events(spark, sf_dir)
+        .select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    ranked = raw.join(est, "day").groupBy("day", "q", "est", "n_values").agg(
+        (
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("rank"),
+    )
+    return ranked.select(
+        "day",
+        "q",
+        (F.abs(F.col("rank") - F.col("q")) <= 0.03).alias("ok"),
+        "n_values",
+    )

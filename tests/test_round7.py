@@ -608,3 +608,46 @@ def test_training_order_partitioning_independent(spark, sf_dir):
         per_src.setdefault(r["source"], []).append(r["pos"])
     for src, poss in per_src.items():
         assert sorted(poss) == list(range(len(poss))), src
+
+
+def test_cms_counter_sum_merge_bitident(spark, sf_dir):
+    """The additive merge law the streaming CMS writer relies on:
+    per-batch counter tables SUM-merged equal the one-shot counter table
+    BIT-FOR-BIT — for any batch split (user parity here; micro-batch
+    boundaries in production)."""
+    import os
+
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    one_shot = {
+        (r["rw"], r["cl"]): r["cnt"]
+        for r in SK.cms_counter_table(ev, "user_id").collect()
+    }
+    merged: dict = {}
+    for half in (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1):
+        for r in SK.cms_counter_table(ev.filter(half), "user_id").collect():
+            k = (r["rw"], r["cl"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == one_shot
+
+
+def test_stream_tdigest_daily_weight_conserved(spark, sf_dir):
+    """The streaming quantile-store writer: every day's band audit holds
+    and the store's per-day weight equals the raw per-day value count —
+    exactly-once delivery through real micro-batch boundaries."""
+    from big_data_table_spark.sources.readers import load_events
+    from big_data_table_spark.streaming.events import stream_tdigest_daily
+
+    out = stream_tdigest_daily(spark, sf_dir).toPandas()
+    assert out["ok"].all()
+    want = {
+        r["day"]: r["n"]
+        for r in load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = dict(zip(out["day"], out["n_values"]))
+    assert got == want
