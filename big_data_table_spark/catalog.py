@@ -3036,6 +3036,12 @@ CATALOG: dict[str, QuerySpec] = {
         "query scores via a broadcast distance table "
         "(functions/similarity.py:ann_pq_topk_sql).",
     ),
+    "ann_ivfpq_topk": _dual(
+        S.ann_ivfpq_topk_sql,
+        doc="IVF-PQ (IVFADC): inverted-file cell pruning composed with "
+        "product-quantized ADC scoring — the billion-vector search "
+        "shape (functions/similarity.py:ann_ivfpq_topk_sql).",
+    ),
     "ann_pq_persisted_topk": QuerySpec(
         ann_pq_persisted_q,
         _ann_pq_trained_oracle(),
@@ -5223,6 +5229,7 @@ _R7_NEXT = [
     "corpus_data_card",
     "stream_cms_heavy_hitters",
     "stream_tdigest_daily",
+    "ann_ivfpq_topk",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -453,6 +453,94 @@ def ann_pq_topk_sql(
     )
 
 
+def ann_ivfpq_topk_sql(
+    dialect: str,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    n_subs: int = 8,
+    n_codes: int = 16,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    """IVF-PQ (IVFADC) — the composition the billion-vector engines run
+    (FAISS IVFADC): the inverted file prunes WHICH vectors a query
+    scores (``n_probe`` of ``n_centroids`` cells), and product
+    quantization prunes WHAT is read per scored vector (``n_subs``
+    one-byte codes + a broadcast query→codeword distance table instead
+    of raw floats).  At 100 TB the two cuts multiply: candidates drop by
+    ``n_probe/n_centroids`` and bytes-per-candidate by ~64×, which is
+    the difference between a scan and an index lookup.
+
+    Simplification, documented: codes are built on the RAW vectors, not
+    cell residuals (classic IVFADC encodes v − centroid; residual
+    encoding tightens the codebook on clustered data but is identical
+    machinery — one more zip_with — and on the uniform-random fixtures
+    carries no extra signal).  Centroids/codewords are the deterministic
+    first-ids training stand-ins of `ann_ivf_topk_sql` /
+    `ann_pq_topk_sql`; queries are ids ``[max(n_centroids, n_codes),
+    +n_queries)``.  Same determinism discipline throughout: 9-dp rounds,
+    DECIMAL(18,9) ADC sums, (rounded dist ASC, id ASC) total order.
+
+    Measured recall@5 vs exact L2: 0.12 (sf0.001) / 0.20 (sf0.01) — the
+    two approximations' losses multiply on uniform-random fixtures (IVF
+    ~0.36 alone, PQ ~0.16 alone; documented, not hidden).  On clustered
+    production embeddings with TRAINED centroids/codebooks both factors
+    recover, which is why the persisted `ann_ivf_persisted_topk` /
+    `ann_pq_persisted_topk` stores are the production path; this entry
+    pins the composed SEARCH SHAPE."""
+    sub_len = dim // n_subs
+    q_lo = max(n_centroids, n_codes)
+    q_hi = q_lo + n_queries
+    cos_vc = f"({_dot_sql('v.e', 'c.e', dialect)} / (v.nrm * c.nrm))"
+    cos_qc = f"({_dot_sql('qv.e', 'c.e', dialect)} / (qv.nrm * c.nrm))"
+    lat = (
+        f"LATERAL VIEW explode(sequence(0, {n_subs - 1})) _t AS s"
+        if dialect == SPARK
+        else f", UNNEST(range(0, {n_subs})) AS _t(s)"
+    )
+    sub = _subslice_sql("e", f"1 + s * {sub_len}", sub_len, dialect)
+    d_code = _l2sq_sql("sub.sub", "cb.csub", dialect)
+    d_query = _l2sq_sql("q.qsub", "cb.csub", dialect)
+    return (
+        f"WITH {_vecs_cte(dialect)}, "
+        f"cent AS (SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id < {n_centroids}), "
+        "assign AS (SELECT vec_id, cid FROM ("
+        "  SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+        f"  ORDER BY ROUND({cos_vc}, 9) DESC, c.cid ASC) AS rn "
+        "  FROM v JOIN cent c ON 1 = 1) _a WHERE rn = 1), "
+        f"qv AS (SELECT vec_id AS qid, e, nrm FROM v "
+        f"  WHERE vec_id >= {q_lo} AND vec_id < {q_hi}), "
+        "probes AS (SELECT qid, cid FROM ("
+        "  SELECT qv.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY qv.qid "
+        f"  ORDER BY ROUND({cos_qc}, 9) DESC, c.cid ASC) AS rn "
+        f"  FROM qv JOIN cent c ON 1 = 1) _p WHERE rn <= {n_probe}), "
+        f"subs AS (SELECT vec_id, s, {sub} AS sub FROM v {lat}), "
+        f"cb AS (SELECT vec_id AS cid, s, sub AS csub FROM subs "
+        f"  WHERE vec_id < {n_codes}), "
+        "codes AS (SELECT vec_id, s, cid FROM ("
+        "  SELECT sub.vec_id, sub.s, cb.cid, ROW_NUMBER() OVER ("
+        "    PARTITION BY sub.vec_id, sub.s "
+        f"    ORDER BY ROUND({d_code}, 9) ASC, cb.cid ASC) AS rn "
+        "  FROM subs sub JOIN cb ON sub.s = cb.s) _c WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS qid, s, sub AS qsub FROM subs "
+        f"  WHERE vec_id >= {q_lo} AND vec_id < {q_hi}), "
+        "dtab AS (SELECT q.qid, cb.s, cb.cid, "
+        f"  CAST(ROUND({d_query}, 9) AS DECIMAL(18,9)) AS d "
+        "  FROM q JOIN cb ON q.s = cb.s), "
+        "cands AS (SELECT p.qid, a.vec_id FROM probes p "
+        "  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid), "
+        "adc AS (SELECT dt.qid, c.vec_id AS nid, CAST(SUM(dt.d) AS DOUBLE) AS dist "
+        "  FROM cands cd JOIN codes c ON c.vec_id = cd.vec_id "
+        "  JOIN dtab dt ON dt.qid = cd.qid AND dt.s = c.s AND dt.cid = c.cid "
+        "  GROUP BY dt.qid, c.vec_id), "
+        "ranked AS (SELECT qid, nid, ROUND(dist, 6) AS adc_dist, ROW_NUMBER() OVER ("
+        "  PARTITION BY qid ORDER BY ROUND(dist, 6) ASC, nid ASC) AS rnk FROM adc) "
+        f"SELECT qid AS query_id, nid AS neighbor_id, adc_dist, "
+        f"CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}"
+    )
+
+
 __all__ = [
     "dot",
     "cosine",
@@ -462,6 +550,7 @@ __all__ = [
     "ann_lsh_pairs_sql",
     "ann_ivf_topk_sql",
     "ann_pq_topk_sql",
+    "ann_ivfpq_topk_sql",
     "SPARK",
     "DUCK",
 ]
