@@ -1611,6 +1611,76 @@ SELECT (SELECT COUNT(*) FROM documents) AS docs_in,
 """
 
 
+def dedup_keep_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware KEEPER SELECTION over near-dup clusters — the
+    curation policy real pipelines use instead of keep-min-id: LSH pairs
+    → connected components → within each component keep the HIGHEST
+    quality-score copy (ties by lowest doc_id; the score is the shared
+    `quality_select_sql`, so this policy and `text_quality_score` agree
+    by construction).  Output is the full per-document adjudication
+    ``(doc_id, keeper_id, kept)`` — the table a materialization step
+    joins against.  At 100 TB: the component labels and ≤1-row-per-doc
+    quality scores shuffle; text is read once for scoring and never
+    pairwise."""
+    from pyspark.sql import Window
+
+    from .functions import text as X
+    from .operators.graph import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = _minhash_lsh_pairs_fn(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    cc = connected_components(
+        docs, pairs, node_col="doc_id", src="doc_a", dst="doc_b"
+    )
+    q = spark.sql(X.quality_select_sql(SPARK))
+    rk = (
+        cc.select(F.col("node").alias("doc_id"), "label")
+        .join(q, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("quality_score").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+    )
+    keepers = rk.filter(F.col("rn") == 1).select(
+        "label", F.col("doc_id").alias("keeper_id")
+    )
+    return rk.join(keepers, "label").select(
+        "doc_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+    )
+
+
+def _dedup_keep_best_quality_oracle() -> str:
+    from .functions import text as X
+
+    pairs = D.minhash_lsh_pairs_sql(DUCK)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs}) _p),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
+comp AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
+q AS ({X.quality_select_sql(DUCK)}),
+rk AS (
+  SELECT c.node AS doc_id, c.label, ROW_NUMBER() OVER (
+    PARTITION BY c.label
+    ORDER BY q.quality_score DESC, c.node ASC) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.node),
+k AS (SELECT label, doc_id AS keeper_id FROM rk WHERE rn = 1)
+SELECT r.doc_id, k.keeper_id, r.doc_id = k.keeper_id AS kept
+FROM rk r JOIN k ON k.label = r.label
+"""
+
+
 def kmeans_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means training (functions/clustering.py): 2 Lloyd
     iterations, deterministic init, exact-decimal centroid means →
@@ -2955,6 +3025,12 @@ CATALOG: dict[str, QuerySpec] = {
         _minhash_lsh_pairs_fn, D.minhash_lsh_pairs_sql(DUCK)
     ),
     "dedup_components": QuerySpec(dedup_components_fn, _dedup_components_oracle()),
+    "dedup_keep_best_quality": QuerySpec(
+        dedup_keep_best_quality_q,
+        _dedup_keep_best_quality_oracle(),
+        doc="Quality-aware keeper per near-dup cluster: highest shared "
+        "quality score wins, full per-doc adjudication table.",
+    ),
     "dedup_crosslingual_pairs": QuerySpec(
         _crosslingual_pairs_fn,
         D.crosslingual_lsh_pairs_sql(DUCK),
@@ -5230,6 +5306,7 @@ _R7_NEXT = [
     "stream_cms_heavy_hitters",
     "stream_tdigest_daily",
     "ann_ivfpq_topk",
+    "dedup_keep_best_quality",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

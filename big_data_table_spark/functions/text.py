@@ -186,6 +186,27 @@ def quality_score_sql(dialect: str) -> str:
     )
 
 
+def quality_select_sql(dialect: str) -> str:
+    """Embeddable (no WITH) quality-score query: ``SELECT doc_id,
+    quality_score FROM …`` — nested subqueries only, so other builders
+    can splice it into their CTE chains (the ``lang_select_sql``
+    convention; used by the quality-aware dedup keeper).  Same formula
+    as :func:`quality_score_sql`."""
+    n_tok = arr_len(split_ws("text", dialect), dialect)
+    n_stop = regexp_count("lower(text)", _pat(_STOPWORDS, dialect), dialect)
+    n_alpha = regexp_count("text", "[A-Za-z]", dialect)
+    n_punct = regexp_count("text", _pat(r"[^A-Za-z0-9\\s]", dialect), dialect)
+    return (
+        "SELECT doc_id, "
+        "ROUND(0.4 * (n_stop / n_tok) + 0.3 * (n_alpha / n_chars) "
+        "+ 0.2 * LEAST(n_tok / 100.0, 1.0) + 0.1 * (1.0 - n_punct / n_chars), 6) "
+        "AS quality_score FROM (SELECT doc_id, n_chars, "
+        f"CAST({n_tok} AS DOUBLE) AS n_tok, CAST({n_stop} AS DOUBLE) AS n_stop, "
+        f"CAST({n_alpha} AS DOUBLE) AS n_alpha, CAST({n_punct} AS DOUBLE) AS n_punct "
+        "FROM documents) feats"
+    )
+
+
 def fingerprint_sql(dialect: str) -> str:
     """Content fingerprint of whitespace-normalized lowercase text — the
     canonical-form hash used for near-exact dedup (case/whitespace

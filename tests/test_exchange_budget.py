@@ -177,6 +177,9 @@ BUDGET = {
                                  # range join over raw values (the
                                  # audit is the oracle hook; production
                                  # keeps only the store-side fan-out)
+    "dedup_keep_best_quality": 2,  # per-component rank window + the
+                                 # keeper join; CC labels come from the
+                                 # checkpointed iterative propagation
 }
 
 
