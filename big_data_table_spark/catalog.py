@@ -3998,6 +3998,26 @@ def _hll_rolling_7day_oracle() -> str:
     return SK.hll_rolling_direct_sql("ts", "user_id", 7, dialect=DUCK)
 
 
+def _stream_bloom_seen_oracle() -> str:
+    from .functions import sketches as SK
+
+    inner = SK.bloom_membership_sql(
+        "(SELECT user_id FROM events)",
+        "(SELECT user_id FROM events UNION "
+        " SELECT user_id + (SELECT MAX(user_id) + 1 FROM events) AS user_id"
+        " FROM events)",
+        "user_id",
+        m=4096,
+        k=4,
+        dialect=DUCK,
+    )
+    return f"""
+SELECT n_probed, n_possible, n_members, n_false_pos,
+  CAST(1 AS BIGINT) AS n_files
+FROM ({inner}) _b
+"""
+
+
 def _stream_hll_daily_oracle() -> str:
     from .functions import sketches as SK
 
@@ -4977,6 +4997,15 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             "exactly-once digest appends; per-day rank band + exact "
             "weight conservation through micro-batch boundaries.",
         ),
+        "stream_bloom_seen_index": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_bloom_seen_index(spark, sf_dir),
+            _stream_bloom_seen_oracle(),
+            doc="Streaming writer of the Bloom seen-keys store — set "
+            "union is replay-safe with no guard; compacted store's "
+            "probe decisions equal the in-query filter bit-for-bit.",
+        ),
         "mg_heavy_hitters": QuerySpec(
             mg_heavy_hitters_q,
             _MG_TOPK_ORACLE,
@@ -5307,6 +5336,7 @@ _R7_NEXT = [
     "stream_tdigest_daily",
     "ann_ivfpq_topk",
     "dedup_keep_best_quality",
+    "stream_bloom_seen_index",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -801,3 +801,68 @@ def stream_tdigest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("rank") - F.col("q")) <= 0.03).alias("ok"),
         "n_values",
     )
+
+
+def stream_bloom_seen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer of the persisted SEEN-KEYS Bloom index — the
+    store whose mergeability class (position-SET union) makes streaming
+    trivial: appends are idempotent, so the writer needs NO replay guard
+    at all.  The three streaming writers now span the spectrum the
+    stores document: register MAX (`stream_hll_daily`) and set union
+    (here) tolerate at-least-once natively; additive weights
+    (`stream_tdigest_daily`) require foreachBatch's exactly-once batch
+    replay.  Every micro-batch folds its user ids into the store via
+    `bloom_index_append`; after the stream drains the store compacts to
+    one ≤m-row file and a mixed probe (all seen users + a provably
+    disjoint shifted set) audits membership — decisions equal the
+    in-query `bloom_membership_sql` filter bit-for-bit, which is the
+    recorded oracle."""
+    import shutil
+    import tempfile
+
+    from ..functions import sketches as SK
+    from ..sources.readers import load_events
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_bloom_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    empty = spark.createDataFrame([], "user_id long")
+    SK.bloom_index_build(empty, path, "user_id", m=4096, k=4)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        SK.bloom_index_append(batch_df, path, "user_id")
+
+    with _stream_shuffle_scope(spark):
+        q = ev.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    n_files = SK.bloom_index_compact(spark, path)
+
+    batch_ev = load_events(spark, sf_dir)
+    members = batch_ev.select(F.col("user_id").cast("long").alias("v")).distinct()
+    shift = members.agg((F.max("v") + 1).alias("s"))
+    nonmembers = members.crossJoin(F.broadcast(shift)).select(
+        (F.col("v") + F.col("s")).alias("v")
+    )
+    probe = members.unionByName(nonmembers)
+    probed = SK.bloom_index_probe(spark, path, probe, "v")
+    flags = probed.join(
+        members.withColumn("member", F.lit(True)), "v", "left"
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("possible"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_possible"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("possible") & F.col("member").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    ).withColumn("n_files", F.lit(n_files).cast("long"))
