@@ -2992,6 +2992,12 @@ CATALOG: dict[str, QuerySpec] = {
         doc="Per-label decimal-exact centroid + count + checksum "
         "(functions/similarity.py:label_centroids_sql).",
     ),
+    "embedding_drift_by_label": _dual(
+        S.embedding_drift_sql,
+        doc="Per-label centroid cosine between two corpus halves — the "
+        "crawl/encoder drift monitor; decimal-exact accumulation ladder "
+        "(functions/similarity.py:embedding_drift_sql).",
+    ),
     "embedding_pca_power": QuerySpec(
         embedding_pca_q,
         _embedding_pca_oracle(),
@@ -3015,6 +3021,17 @@ CATALOG: dict[str, QuerySpec] = {
     "decontamination_report": _dual(
         D.decontamination_sql,
         doc="Per-doc n-gram overlap vs a held-out eval source, with flag.",
+    ),
+    "source_overlap_matrix": QuerySpec(
+        lambda spark, sf_dir: (
+            register_views(spark, sf_dir),
+            D.source_overlap_matrix(spark),
+        )[1],
+        D.source_overlap_matrix_sql(DUCK),
+        doc="Pairwise cross-source shingle contamination matrix: exact "
+        "intersections + Jaccard per source pair, digest-only shuffles; "
+        "DataFrame form checkpoints the shared shingle set once "
+        "(functions/dedup.py:source_overlap_matrix).",
     ),
     "dedup_rate_trend": _dual(
         D.dedup_rate_trend_sql,
@@ -5337,6 +5354,8 @@ _R7_NEXT = [
     "ann_ivfpq_topk",
     "dedup_keep_best_quality",
     "stream_bloom_seen_index",
+    "source_overlap_matrix",
+    "embedding_drift_by_label",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -525,3 +525,86 @@ __all__ = [
     "SPARK",
     "DUCK",
 ]
+
+
+def source_overlap_matrix_sql(dialect: str) -> str:
+    """Pairwise cross-SOURCE contamination matrix — `decontamination_sql`
+    generalized from one held-out source to every source pair: distinct
+    word-3-gram shingle sets per source, pairwise intersection sizes, and
+    Jaccard — the grid a curation run reads to find which corpora leak
+    into which (common-crawl snapshots sharing boilerplate, an eval set
+    contaminating multiple training sources).  At 100 TB the shuffles
+    carry (source, shingle-digest) pairs — |sources|·|distinct shingles|
+    rows, never text — and the shingle self-join is source-blocked by
+    the ``a.source < b.source`` triangle; a hot-shingle ``max_df`` cap
+    (the `minhash_lsh_pairs_sql` guard) applies unchanged if a corpus
+    has degenerate boilerplate shingles.  Jaccard here is exact — the
+    MinHash entries ESTIMATE this same quantity per doc pair; the matrix
+    is small enough (|sources|²) to afford exactness."""
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)}, "
+        "ss AS (SELECT DISTINCT d.source, s.sh "
+        "  FROM shingles s JOIN documents d ON d.doc_id = s.doc_id), "
+        "sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n "
+        "  FROM ss GROUP BY source), "
+        "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_common "
+        "  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source "
+        "  GROUP BY a.source, b.source) "
+        "SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_common, "
+        "ROUND(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) "
+        "  AS jaccard "
+        "FROM inter i "
+        "JOIN sizes sa ON sa.source = i.source_a "
+        "JOIN sizes sb ON sb.source = i.source_b"
+    )
+
+
+def _source_shingles_sql(dialect: str) -> str:
+    """``SELECT DISTINCT source, sh`` — the shared per-source shingle
+    set both the matrix SQL and its DataFrame form build on."""
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)} "
+        "SELECT DISTINCT d.source, s.sh "
+        "FROM shingles s JOIN documents d ON d.doc_id = s.doc_id"
+    )
+
+
+def source_overlap_matrix(spark):
+    """DataFrame form of :func:`source_overlap_matrix_sql` — identical
+    result, but the distinct (source, shingle) set is eagerly
+    checkpointed ONCE and reused by the sizes aggregate and both sides
+    of the triangle self-join.  Spark inlines SQL CTEs, so the text form
+    recomputes the whole shingle chain for each of its three references
+    (measured 19 exchanges vs 4 here) — the same trap documented on
+    `theta_sketch_intersection`; the SQL text remains the oracle."""
+    from pyspark.sql import functions as F
+
+    ss = spark.sql(_source_shingles_sql(SPARK)).localCheckpoint(eager=True)
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "sh")
+    b = ss.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

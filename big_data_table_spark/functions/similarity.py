@@ -370,6 +370,58 @@ def label_centroids_sql(dialect: str) -> str:
     )
 
 
+def embedding_drift_sql(dialect: str) -> str:
+    """Per-label centroid DRIFT between two deterministic corpus halves
+    (vec_id parity — the stand-in for "last crawl vs this crawl"): the
+    cosine between the two halves' exact element-wise mean vectors, with
+    member counts — the monitoring table an embedding pipeline publishes
+    after a crawl or encoder change (drift << 1 flags a distribution
+    shift per class).  Same shuffle shape as `label_centroids_sql`:
+    (label, half, dim) partial sums — never raw vectors twice.
+
+    Determinism ladder: element means are decimal-exact sums / counts;
+    means are ROUNDed to 6 dp and re-cast to DECIMAL(12,6) so the
+    cross-half dot and norm accumulations are EXACT decimal sums
+    (order-independent); those sums are ROUNDed to scale 6 before the
+    one double cast (the cross-engine decimal-cast rule), and only the
+    final sqrt/divide runs in IEEE double — identical in both engines."""
+    if dialect == SPARK:
+        explode = (
+            "SELECT label, vec_id, "
+            "posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, val) "
+            "FROM embeddings"
+        )
+    else:
+        explode = (
+            "SELECT label, vec_id, generate_subscripts(e, 1) AS pos, "
+            "UNNEST(e) AS val FROM "
+            "(SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings) _v"
+        )
+    return (
+        f"WITH ex AS ({explode}), "
+        "means AS (SELECT label, vec_id % 2 AS half, pos, "
+        "  CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv "
+        "  FROM ex GROUP BY label, vec_id % 2, pos), "
+        "m6 AS (SELECT label, half, pos, "
+        "  CAST(ROUND(mv, 6) AS DECIMAL(12,6)) AS mv6 FROM means), "
+        "dots AS (SELECT a.label, "
+        "  CAST(ROUND(SUM(a.mv6 * b.mv6), 6) AS DOUBLE) AS dp, "
+        "  CAST(ROUND(SUM(a.mv6 * a.mv6), 6) AS DOUBLE) AS na2, "
+        "  CAST(ROUND(SUM(b.mv6 * b.mv6), 6) AS DOUBLE) AS nb2 "
+        "  FROM m6 a JOIN m6 b ON a.label = b.label AND a.pos = b.pos "
+        "    AND a.half = 0 AND b.half = 1 "
+        "  GROUP BY a.label), "
+        "cnt AS (SELECT label, "
+        "  CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+        "  CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b "
+        "  FROM embeddings GROUP BY label) "
+        "SELECT d.label, c.n_a, c.n_b, "
+        "ROUND(d.dp / (sqrt(d.na2) * sqrt(d.nb2)), 6) AS centroid_cosine "
+        "FROM dots d JOIN cnt c ON c.label = d.label"
+    )
+
+
 def _l2sq_sql(a: str, b: str, dialect: str) -> str:
     """Squared euclidean distance as an in-order fold (same construction
     as :func:`_dot_sql`; both engines accumulate in array-index order, and

@@ -180,6 +180,13 @@ BUDGET = {
     "dedup_keep_best_quality": 2,  # per-component rank window + the
                                  # keeper join; CC labels come from the
                                  # checkpointed iterative propagation
+    "source_overlap_matrix": 5,  # triangle self-join + sizes over the
+                                 # ONE checkpointed (source, shingle)
+                                 # set (the SQL text re-inlines to 19 —
+                                 # why the DataFrame form exists)
+    "embedding_drift_by_label": 4,  # (label, half, dim) partial-sum agg
+                                 # + cross-half join + count agg — never
+                                 # raw vectors twice
 }
 
 

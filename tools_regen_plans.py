@@ -24,6 +24,10 @@ PICKS = {
     "hll_rollup_persisted": "Persisted continuous aggregate: partition-pruned scan of the day-partitioned sketch table, register MAX-merge + 1-row assembly. NO events scan anywhere in the range-query plan.",
     "theta_overlap_by_source": "Per-group KMV samples from ONE partitioned-window rank; pair spine, intersection probe and audit all reuse the checkpointed <=k-row tables.",
     "text_token_count_subword": "Greedy-walk token counts per word TYPE (iterative joins paid before checkpoints); the visible plan is just the doc-words join + per-doc aggregate.",
+    "tdigest_rollup_range": "Persisted quantile rollup: the store side is a scan of day-partitioned digest rows + one applyInPandas merge; the events scan in this plan is the rank AUDIT only (the oracle hook), not the estimate path.",
+    "training_order_shuffle": "Global permutation without a global sort: in-bucket row_number partitioned by the md5-prefix bucket + broadcast 256-row offset join. The oracle's single-partition ROW_NUMBER never appears.",
+    "bloom_index_persisted": "Seen-keys probe: the store is a broadcast <=m-row position table; the batch's key positions left-semi join it map-side — the batch never shuffles for the membership decision.",
+    "dedup_keep_best_quality": "Keeper selection: component labels come from the checkpointed propagation; the visible plan is one per-component rank window + the broadcast keeper join.",
 }
 
 if __name__ == "__main__":
