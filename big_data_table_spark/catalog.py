@@ -3759,6 +3759,20 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def packing_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin document-boundary offsets (functions/packing.py:
+    pack_boundaries) — the mask-metadata table a trainer consumes next
+    to the packed bins (block-diagonal attention / boundary loss masks):
+    each bin's sorted in-bin start offsets, serialized as a hash-stable
+    string.  Derived from the SAME two-phase packing as
+    `sequence_packing` (the exposed `prefix` column), so layout and mask
+    agree by construction; offsets are always in [0, budget)."""
+    from .functions.packing import pack_boundaries, pack_sequences
+
+    docs = Tables(spark, sf_dir).documents
+    return pack_boundaries(pack_sequences(docs, budget=2048), budget=2048)
+
+
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document→context-window packing (2048-token budget,
     content-hash layout) via the two-phase distributed prefix sum —
@@ -5086,6 +5100,14 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             doc="Document→context-window bin packing, two-phase "
             "distributed prefix sum vs global-window oracle.",
         ),
+        "packing_boundaries": QuerySpec(
+            packing_boundaries_q,
+            __import__(
+                "big_data_table_spark.functions.packing", fromlist=["x"]
+            ).pack_boundaries_sql(2048, DUCK),
+            doc="Per-bin sorted document start offsets (attention-mask "
+            "metadata) from the same two-phase packing prefix.",
+        ),
     }
 )
 
@@ -5356,6 +5378,7 @@ _R7_NEXT = [
     "stream_bloom_seen_index",
     "source_overlap_matrix",
     "embedding_drift_by_label",
+    "packing_boundaries",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

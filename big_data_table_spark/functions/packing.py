@@ -104,6 +104,10 @@ def pack_sequences(
             F.floor((F.col("offset") + F.col("in_prefix")) / F.lit(budget))
             .cast("long")
             .alias("bin_id"),
+            # the doc's global token prefix within its group — exposed so
+            # downstream layout metadata (pack_boundaries' attention-mask
+            # offsets) needn't recompute the two-phase sum
+            (F.col("offset") + F.col("in_prefix")).cast("long").alias("prefix"),
         )
     )
 
@@ -211,3 +215,62 @@ def training_order(
             (F.col("offset") + F.col("in_rank")).cast("long").alias("pos"),
         )
     )
+
+
+def pack_boundaries(packed: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-bin DOCUMENT-BOUNDARY metadata — what the trainer actually
+    consumes next to the packed bins: for each bin, the in-bin start
+    offset of every document (``prefix − bin_id·budget``; the first may
+    be negative when a straddling doc is charged to the bin where it
+    starts), serialized as a comma-joined string in offset order so the
+    column is hash-stable across engines.  This is the table a
+    block-diagonal attention mask or a document-boundary loss mask is
+    built from.  Offsets are always in ``[0, budget)`` — the straddle
+    rule charges a doc to the bin where it STARTS, so only bin ends
+    overflow.  One grouped aggregate over the packed rows; nothing
+    re-reads text."""
+    off = (F.col("prefix") - F.col("bin_id") * F.lit(budget)).cast("long")
+    return (
+        packed.select("bin_id", off.alias("off"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("off")), lambda x: x.cast("string")
+                ),
+            ).alias("boundaries"),
+        )
+    )
+
+
+def pack_boundaries_sql(budget: int = 2048, dialect: str = DUCK) -> str:
+    """Dual-dialect oracle for :func:`pack_boundaries`: the global-window
+    prefix (oracle scale) → per-bin sorted offset string."""
+    tok = arr_len(split_ws("text", dialect), dialect)
+    if dialect == SPARK:
+        bounds = (
+            "concat_ws(',', transform(array_sort(collect_list(off)), "
+            "x -> CAST(x AS STRING)))"
+        )
+    else:
+        bounds = "array_to_string(list(off ORDER BY off), ',')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h, CAST({tok} AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS prefix
+  FROM d),
+o AS (
+  SELECT CAST(FLOOR(prefix / {budget}.0) AS BIGINT) AS bin_id,
+    CAST(prefix - CAST(FLOOR(prefix / {budget}.0) AS BIGINT) * {budget}
+      AS BIGINT) AS off
+  FROM p)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs, {bounds} AS boundaries
+FROM o GROUP BY bin_id
+"""

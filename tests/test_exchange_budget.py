@@ -187,6 +187,9 @@ BUDGET = {
     "embedding_drift_by_label": 4,  # (label, half, dim) partial-sum agg
                                  # + cross-half join + count agg — never
                                  # raw vectors twice
+    "packing_boundaries": 4,     # packing's in-bucket window + offset
+                                 # table + broadcast join + the per-bin
+                                 # boundary aggregate
 }
 
 
