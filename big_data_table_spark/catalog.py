@@ -3759,6 +3759,61 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def quality_decile_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration deciles for the cascade's quality knob
+    (functions/text.py:quality_decile_curve_sql has the full story).
+    The oracle ranks with one global ROW_NUMBER; this plan replaces it
+    with the two-phase rank (the `training_order` scheme): in-bucket
+    row_number partitioned by the score band ``floor(score·20)`` —
+    band order IS score order — plus a broadcast ≤21-row offset table
+    and a 1-row total.  No unpartitioned window over the corpus."""
+    from pyspark.sql import Window
+
+    from .functions import text as X
+
+    register_views(spark, sf_dir)
+    d = spark.sql(
+        f"WITH {X._cascade_doc_ctes(SPARK)} "
+        "SELECT doc_id, quality_score, decision FROM docdec"
+    ).withColumn("bucket", F.floor(F.col("quality_score") * 20).cast("long"))
+    w_in = Window.partitionBy("bucket").orderBy("quality_score", "doc_id")
+    d = d.withColumn("in_rank", F.row_number().over(w_in) - 1)
+    totals = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤21-row band-total table — bounded by construction
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    n = totals.agg(F.sum("bn").alias("n"))
+    ranked = (
+        d.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "decile",
+            F.floor((F.col("off") + F.col("in_rank")) * 10 / F.col("n"))
+            .cast("long"),
+        )
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("quality_score"), 6).alias("min_score"),
+        F.round(F.max("quality_score"), 6).alias("max_score"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.sum(
+                F.when(~F.col("decision").isin("keep", "low_quality"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dropped_other_share"),
+    )
+
+
 def packing_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bin document-boundary offsets (functions/packing.py:
     pack_boundaries) — the mask-metadata table a trainer consumes next
@@ -5108,6 +5163,15 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             doc="Per-bin sorted document start offsets (attention-mask "
             "metadata) from the same two-phase packing prefix.",
         ),
+        "quality_decile_curve": QuerySpec(
+            quality_decile_curve_q,
+            __import__(
+                "big_data_table_spark.functions.text", fromlist=["x"]
+            ).quality_decile_curve_sql(DUCK),
+            doc="Quality-threshold calibration deciles: score landscape "
+            "+ other-filter drop share per band; two-phase rank, no "
+            "global sort.",
+        ),
     }
 )
 
@@ -5379,6 +5443,7 @@ _R7_NEXT = [
     "source_overlap_matrix",
     "embedding_drift_by_label",
     "packing_boundaries",
+    "quality_decile_curve",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

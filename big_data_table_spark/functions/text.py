@@ -207,6 +207,37 @@ def quality_select_sql(dialect: str) -> str:
     )
 
 
+def quality_decile_curve_sql(dialect: str) -> str:
+    """Threshold-CALIBRATION curve for the cascade's quality knob: the
+    corpus ranked by (quality_score, doc_id) and cut into 10 dense rank
+    deciles — per decile, doc count, min/max score and the decimal-exact
+    mean, plus the share of docs the CASCADE would drop for a reason
+    OTHER than low_quality (the cheap filters fire first, so the curve
+    shows what a quality threshold would actually add at each score
+    band).  This is the table an operator reads before moving the 0.45
+    cutoff: `corpus_filter_cascade` reports the outcome of the chosen
+    knobs; this reports the landscape around them.  Decile =
+    ``floor(rank·10 / n)`` over the shared total order — exact integer
+    arithmetic, identical both engines."""
+    return (
+        f"WITH {_cascade_doc_ctes(dialect)}, "
+        "rk AS (SELECT doc_id, quality_score, decision, "
+        "  ROW_NUMBER() OVER (ORDER BY quality_score, doc_id) - 1 AS rn, "
+        "  COUNT(*) OVER () AS n FROM docdec), "
+        "dd AS (SELECT CAST(FLOOR(rn * 10.0 / n) AS BIGINT) AS decile, "
+        "  quality_score, decision FROM rk) "
+        "SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "ROUND(MIN(quality_score), 6) AS min_score, "
+        "ROUND(MAX(quality_score), 6) AS max_score, "
+        "ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) "
+        "  / COUNT(*), 6) AS mean_score, "
+        "ROUND(SUM(CASE WHEN decision NOT IN ('keep', 'low_quality') "
+        "  THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) "
+        "  AS dropped_other_share "
+        "FROM dd GROUP BY decile"
+    )
+
+
 def fingerprint_sql(dialect: str) -> str:
     """Content fingerprint of whitespace-normalized lowercase text — the
     canonical-form hash used for near-exact dedup (case/whitespace

@@ -190,6 +190,9 @@ BUDGET = {
     "packing_boundaries": 4,     # packing's in-bucket window + offset
                                  # table + broadcast join + the per-bin
                                  # boundary aggregate
+    "quality_decile_curve": 9,   # cascade feature aggs/joins + the
+                                 # two-phase rank (band window + ≤21-row
+                                 # offset/total broadcasts) + decile agg
 }
 
 
