@@ -3759,6 +3759,142 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup audit over the LSH candidate pairs: exact
+    shingle-set containment in BOTH directions (|A∩B|/|A|, |A∩B|/|B|)
+    alongside Jaccard — the measure that catches a short document
+    wholly quoted inside a long one, which symmetric Jaccard dilutes
+    below any threshold (the boilerplate/quotation case doc-level dedup
+    policies need).  Candidates come from the same persisted band table
+    as `dedup_minhash_lsh_pairs`; the exact stage joins each pair's
+    distinct shingle sets — digest-keyed rows only, text never pairwise.
+    The shared shingle set is checkpointed once (CTE-inlining trap)."""
+    from .functions.dedup import _shingles_cte, _words_cte
+
+    register_views(spark, sf_dir)
+    pairs = _minhash_lsh_pairs_fn(spark, sf_dir).localCheckpoint(eager=True)
+    sh = spark.sql(
+        f"WITH {_words_cte(SPARK)}, {_shingles_cte(SPARK)} "
+        "SELECT doc_id, sh FROM shingles"
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a").cast("double"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common") / F.col("n_b").cast("double"), 6).alias(
+                "containment_b"
+            ),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _dedup_containment_oracle() -> str:
+    from .functions.dedup import _shingles_cte, _words_cte
+
+    pairs = D.minhash_lsh_pairs_sql(DUCK)
+    return f"""
+WITH {_words_cte(DUCK)}, {_shingles_cte(DUCK)},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM shingles GROUP BY doc_id),
+pairs AS (SELECT * FROM ({pairs}) _p),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pairs p
+  JOIN shingles a ON a.doc_id = p.doc_a
+  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+  ROUND(i.n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+  ROUND(i.n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b,
+  ROUND(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of lineitem's measure columns — the
+    scale form of the reference's `str`/metadata surface (bdt.str /
+    rscl.ls.str report shapes per node; a 100 TB engine reports null
+    rates, distinct counts and ranges per COLUMN, the stats a planner or
+    a data-quality monitor feeds on).  ONE scan computes every stat as a
+    single wide aggregate row; `stack` unpivots it to (column, stats)
+    rows driver-side of the agg — the oracle UNIONs literal rows off the
+    same one-row aggregate, same numbers.  Means are decimal-exact
+    (dsum discipline); distinct counts are exact."""
+    li = Tables(spark, sf_dir).lineitem
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+            F.round(
+                F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+                / F.count(c),
+                6,
+            ).alias(f"av_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, av_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, vmin, vmax, vmean)"
+    )
+
+
+def _table_profile_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
+        f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}, "
+        f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}, "
+        f"ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({c}), 6) "
+        f"AS av_{c}"
+        for c in cols
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
+        f"mn_{c} AS vmin, mx_{c} AS vmax, av_{c} AS vmean FROM w"
+        for c in cols
+    )
+    return f"WITH w AS (SELECT {aggs} FROM lineitem) {rows}"
+
+
 def quality_decile_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-calibration deciles for the cascade's quality knob
     (functions/text.py:quality_decile_curve_sql has the full story).
@@ -5172,6 +5308,20 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             "+ other-filter drop share per band; two-phase rank, no "
             "global sort.",
         ),
+        "table_profile": QuerySpec(
+            table_profile_q,
+            _table_profile_oracle(),
+            doc="ANALYZE-style column profile (nulls/distinct/range/"
+            "exact mean per measure column) from ONE wide aggregate — "
+            "the reference's str metadata surface at scale.",
+        ),
+        "dedup_containment_pairs": QuerySpec(
+            dedup_containment_pairs_q,
+            _dedup_containment_oracle(),
+            doc="Asymmetric containment (both directions) + Jaccard for "
+            "every LSH candidate pair — the quotation/boilerplate "
+            "inclusion measure symmetric Jaccard dilutes.",
+        ),
     }
 )
 
@@ -5444,6 +5594,8 @@ _R7_NEXT = [
     "embedding_drift_by_label",
     "packing_boundaries",
     "quality_decile_curve",
+    "table_profile",
+    "dedup_containment_pairs",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

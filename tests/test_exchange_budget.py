@@ -193,6 +193,12 @@ BUDGET = {
     "quality_decile_curve": 9,   # cascade feature aggs/joins + the
                                  # two-phase rank (band window + ≤21-row
                                  # offset/total broadcasts) + decile agg
+    "table_profile": 2,          # ONE wide aggregate (expand for the
+                                 # exact distincts) + stack unpivot of
+                                 # the single stats row
+    "dedup_containment_pairs": 3,  # pair×shingle join + per-pair count
+                                 # over the checkpointed band table and
+                                 # shingle set; sizes broadcast back
 }
 
 
