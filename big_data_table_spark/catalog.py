@@ -3839,6 +3839,75 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 """
 
 
+def winnow_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance ATTRIBUTION from the persisted winnowing-fingerprint
+    index (functions/text.py:winnow_index_build/probe): the corpus's
+    winnow table lives as parquet, and a new batch asks not just "have
+    I seen this" (the Bloom/LSH stores) but "WHICH corpus document does
+    each batch document share passages with" — the plagiarism-checker
+    query (MOSS stores exactly this structure).  Per batch doc: its
+    fingerprint count, how many hit the store, and the best-matching
+    corpus doc with the shared-fingerprint count (−1/0 when clean).
+    The winnowing guarantee (any shared run of ≥ window+2 words yields
+    a shared fingerprint) makes a zero-match row a real clean bill, at
+    ~1/window the stored density of full shingling."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import text as X
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _wi_corpus AS "
+        "SELECT * FROM documents WHERE doc_id % 4 <> 3"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _wi_batch AS "
+        "SELECT * FROM documents WHERE doc_id % 4 = 3"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_winnow_idx_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    X.winnow_index_build(spark, path, "_wi_corpus")
+    return X.winnow_index_probe(spark, path, "_wi_batch")
+
+
+def _winnow_attribution_oracle() -> str:
+    from .functions import text as X
+
+    corp = "(SELECT * FROM documents WHERE doc_id % 4 <> 3) _c"
+    batch = "(SELECT * FROM documents WHERE doc_id % 4 = 3) _b"
+    cf = X.winnow_fingerprint_sql(DUCK, table=corp)
+    bf = X.winnow_fingerprint_sql(DUCK, table=batch)
+    return f"""
+WITH cf AS (SELECT * FROM ({cf}) _cf),
+bf AS (SELECT * FROM ({bf}) _bf),
+match AS (
+  SELECT b.doc_id, c.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM bf b JOIN cf c ON c.fp = b.fp GROUP BY b.doc_id, c.doc_id),
+best AS (
+  SELECT doc_id, cid, n_common, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY n_common DESC, cid ASC) AS rn
+  FROM match),
+nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM bf GROUP BY doc_id),
+nm AS (
+  SELECT b.doc_id, CAST(COUNT(DISTINCT b.fp) AS BIGINT) AS n_matched
+  FROM bf b WHERE b.fp IN (SELECT fp FROM cf) GROUP BY b.doc_id)
+SELECT nf.doc_id, nf.n_fp,
+  CAST(COALESCE(nm.n_matched, 0) AS BIGINT) AS n_matched,
+  CAST(COALESCE(k.cid, -1) AS BIGINT) AS best_match_id,
+  CAST(COALESCE(k.n_common, 0) AS BIGINT) AS n_common
+FROM nf
+LEFT JOIN nm ON nm.doc_id = nf.doc_id
+LEFT JOIN (SELECT doc_id, cid, n_common FROM best WHERE rn = 1) k
+  ON k.doc_id = nf.doc_id
+"""
+
+
 def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile of lineitem's measure columns — the
     scale form of the reference's `str`/metadata surface (bdt.str /
@@ -5322,6 +5391,13 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             "every LSH candidate pair — the quotation/boilerplate "
             "inclusion measure symmetric Jaccard dilutes.",
         ),
+        "winnow_attribution": QuerySpec(
+            winnow_attribution_q,
+            _winnow_attribution_oracle(),
+            doc="Persisted winnowing-fingerprint index: per batch doc, "
+            "the best-matching corpus doc and shared-fingerprint counts "
+            "— the provenance/plagiarism query.",
+        ),
     }
 )
 
@@ -5596,6 +5672,7 @@ _R7_NEXT = [
     "quality_decile_curve",
     "table_profile",
     "dedup_containment_pairs",
+    "winnow_attribution",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

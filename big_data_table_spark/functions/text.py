@@ -253,7 +253,9 @@ def fingerprint_sql(dialect: str) -> str:
     )
 
 
-def winnow_fingerprint_sql(dialect: str, window: int = 4) -> str:
+def winnow_fingerprint_sql(
+    dialect: str, window: int = 4, table: str = "documents"
+) -> str:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
     every word-3-gram, slide a ``window``-wide frame over the hash
     sequence, keep each frame's minimum, emit the distinct minima — the
@@ -268,7 +270,7 @@ def winnow_fingerprint_sql(dialect: str, window: int = 4) -> str:
     lat = lateral_seq("1", f"{arr_len('w', dialect)} - 2", "pos", dialect)
     w = split_ws("lower(text)", dialect)
     return (
-        f"WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w FROM documents), "
+        f"WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w FROM {table}), "
         f"docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= 3), "
         "hashes AS (SELECT doc_id, pos, "
         f"substr(md5(concat({el('pos')}, ' ', {el('pos + 1')}, ' ', {el('pos + 2')})), 1, 16) AS h "
@@ -445,4 +447,93 @@ def bigram_cross_entropy_sql(dialect: str) -> str:
         "ROUND(CAST(CAST(SUM(nll) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) "
         "  AS cross_entropy "
         "FROM scored GROUP BY doc_id"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Persisted winnowing-fingerprint index — provenance ATTRIBUTION: not
+# just "is this a near-dup" (the LSH index answers that) but "WHICH
+# corpus document did this batch document copy from".  The stored unit
+# is the (doc_id, fp) winnow table — ~1/window the density of full
+# shingling with the shared-run guarantee, which is why plagiarism
+# checkers (MOSS) store exactly this.  Same verb family as the other
+# stores; fingerprint rows are append-only facts keyed by doc, so
+# appends of NEW docs are trivially safe and replays are absorbed by
+# the probe's DISTINCT reads.
+# --------------------------------------------------------------------- #
+
+
+def winnow_index_build(spark, path: str, table: str = "documents") -> None:
+    """Materialize the corpus winnow-fingerprint table at ``path``."""
+    spark.sql(winnow_fingerprint_sql(SPARK, table=table)).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def winnow_index_append(spark, path: str, table: str) -> None:
+    """Fold a new batch's fingerprints into the store (new docs only —
+    per-doc fact rows; replayed appends are absorbed by the probe's
+    DISTINCT reads)."""
+    spark.sql(winnow_fingerprint_sql(SPARK, table=table)).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def winnow_index_probe(spark, path: str, table: str):
+    """Attribute every batch document against the store: ``(doc_id,
+    n_fp, n_matched, best_match_id, n_common)`` — fingerprint count,
+    how many hit the store, and the corpus doc sharing the MOST
+    fingerprints (ties by lowest id; −1 / 0 when nothing matches).
+    The probe joins fingerprint digests only; at 100 TB the store join
+    keys on fp (a 16-hex digest) and the batch's text is read once, in
+    the fingerprint pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bf = spark.sql(winnow_fingerprint_sql(SPARK, table=table)).localCheckpoint(
+        eager=True
+    )
+    # DISTINCT absorbs replayed appends; checkpointed so the three
+    # consumers (attribution join, fp-set, distinct) share one store scan
+    store = (
+        spark.read.parquet(path)
+        .select(F.col("doc_id").alias("cid"), "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    match = (
+        bf.join(store, "fp")
+        .groupBy("doc_id", "cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    best = (
+        match.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("n_common").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cid").alias("best_match_id"), "n_common")
+    )
+    nf = bf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    nm = (
+        bf.join(store.select("fp").distinct(), "fp")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("fp").cast("long").alias("n_matched"))
+    )
+    return (
+        nf.join(nm, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+            F.coalesce(F.col("best_match_id"), F.lit(-1))
+            .cast("long")
+            .alias("best_match_id"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        )
     )

@@ -199,6 +199,11 @@ BUDGET = {
     "dedup_containment_pairs": 3,  # pair×shingle join + per-pair count
                                  # over the checkpointed band table and
                                  # shingle set; sizes broadcast back
+    "winnow_attribution": 5,     # attribution join + best-rank window
+                                 # + per-doc aggs over the checkpointed
+                                 # batch fingerprints and store (12
+                                 # exchanges before the store was
+                                 # checkpointed once for its 3 readers)
 }
 
 
