@@ -289,3 +289,76 @@ def test_pack_sequences_tokens_col_matches_reference(spark, rows, budget):
         prefix += rows[i][1]
     # conservation + the bounded-overflow law (charged-where-it-starts)
     assert sum(n for _, n in rows) == sum(v[0] for v in got.values())
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=60),
+    nsplit=st.integers(1, 4),
+)
+def test_bloom_positions_no_false_negatives_and_split_invariant(
+    spark, keys, nsplit
+):
+    """Two structural Bloom laws on random key sets: (1) the position
+    set of a union equals the union of per-split position sets (why
+    append replay is safe for the store), and (2) every built key's
+    positions are all present — no false negatives, ever."""
+    import pandas as pd
+
+    from big_data_table_spark.functions.sketches import _bloom_positions
+
+    m, k = 512, 3
+    df = spark.createDataFrame(pd.DataFrame({"v": pd.Series(keys, dtype="int64")}))
+    whole = {
+        r["pos"] for r in _bloom_positions(df, "v", m, k).collect()
+    }
+    merged: set = set()
+    for i in range(nsplit):
+        part = [v for j, v in enumerate(keys) if j % nsplit == i]
+        if not part:
+            continue
+        pdf = spark.createDataFrame(
+            pd.DataFrame({"v": pd.Series(part, dtype="int64")})
+        )
+        merged |= {r["pos"] for r in _bloom_positions(pdf, "v", m, k).collect()}
+    assert merged == whole
+    # keys that WERE built can never miss: their positions ⊆ whole
+    built = spark.createDataFrame(
+        pd.DataFrame({"v": pd.Series(keys, dtype="int64")})
+    )
+    for r in _bloom_positions(built, "v", m, k).collect():
+        assert r["pos"] in whole
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(-(10**6), 10**6), min_size=1, max_size=200
+    ),
+    nsplit=st.integers(1, 5),
+)
+def test_cms_counter_split_merge_exact(spark, vals, nsplit):
+    """The additive merge law on random multisets: per-split counter
+    tables SUM-merge to the one-shot table bit-for-bit, for ANY split —
+    the invariant the streaming CMS writer rests on."""
+    import pandas as pd
+
+    from big_data_table_spark.functions.sketches import cms_counter_table
+
+    df = spark.createDataFrame(pd.DataFrame({"v": pd.Series(vals, dtype="int64")}))
+    whole = {
+        (r["rw"], r["cl"]): r["cnt"]
+        for r in cms_counter_table(df, "v", w=64, d=3).collect()
+    }
+    merged: dict = {}
+    for i in range(nsplit):
+        part = [v for j, v in enumerate(vals) if j % nsplit == i]
+        if not part:
+            continue
+        pdf = spark.createDataFrame(
+            pd.DataFrame({"v": pd.Series(part, dtype="int64")})
+        )
+        for r in cms_counter_table(pdf, "v", w=64, d=3).collect():
+            key = (r["rw"], r["cl"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    assert merged == whole
