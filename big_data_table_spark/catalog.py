@@ -677,6 +677,48 @@ ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 
 
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_asof_purchase` with a GAP CAP — the pandas
+    ``merge_asof(tolerance=)`` / kdb windowed-join surface: a purchase
+    more than 1 hour before the event does not count as its antecedent
+    (attribution windows are how real funnel logic works).  The cap is a
+    pure projection over the carried right row's own timestamp
+    (operators/joins.py:asof_join tolerance=3600) — zero shuffles beyond
+    the base as-of, and the whole matched row nulls atomically.  Oracle:
+    DuckDB's native ASOF JOIN with a CASE'd gap filter."""
+    ev = Tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = J.asof_join(
+        left,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_id"],
+        tolerance=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        F.unix_timestamp("ts").alias("ets"),
+    )
+
+
+_EVASOF_TOL_ORACLE = """
+SELECT e.event_id, e.user_id,
+  CASE WHEN epoch(e.ts) - epoch(p.ts) <= 3600 THEN p.purchase_id END
+    AS purchase_id,
+  CAST(floor(epoch(e.ts)) AS BIGINT) AS ets
+FROM events e ASOF LEFT JOIN
+  (SELECT user_id, ts, event_id AS purchase_id FROM events
+   WHERE event_type = 'purchase') p
+ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling windows driven to completion over the
     bounded fixture — result equals the batch tumbling aggregation."""
@@ -2922,6 +2964,13 @@ CATALOG: dict[str, QuerySpec] = {
     "events_tumbling_5min": QuerySpec(events_tumbling, _EVTUMBLE_ORACLE),
     "events_sessionize": QuerySpec(events_sessionize, _EVSESS_ORACLE),
     "events_asof_purchase": QuerySpec(events_asof_purchase, _EVASOF_ORACLE),
+    "events_asof_tolerance": QuerySpec(
+        events_asof_tolerance,
+        _EVASOF_TOL_ORACLE,
+        doc="As-of join with a 1-hour gap cap (merge_asof tolerance): "
+        "matches beyond the attribution window null atomically; pure "
+        "projection, zero extra shuffles.",
+    ),
     "stream_tumbling_5min": QuerySpec(stream_tumbling, _STREAM_TUMBLE_ORACLE),
     "stream_stateful_counts": QuerySpec(stream_stateful, _STREAM_STATEFUL_ORACLE),
     "stream_click_purchase_join": QuerySpec(stream_click_purchase, _STREAM_SSJOIN_ORACLE),
@@ -5673,6 +5722,7 @@ _R7_NEXT = [
     "table_profile",
     "dedup_containment_pairs",
     "winnow_attribution",
+    "events_asof_tolerance",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -75,6 +75,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     bucket_width: float | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join — for each left row, the latest right row with
     ``right.on <= left.on`` (backward; ``forward`` = earliest ``>=``),
@@ -98,6 +99,15 @@ def asof_join(
     routes through the bucketed two-pass formulation
     (:func:`_asof_join_bucketed`) — every window partitioned by time
     bucket, cross-bucket carry via a tiny per-bucket boundary table.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=)`` / kdb ``wj`` gap
+    cap): a match farther than ``tolerance`` from the left row — in
+    units of ``on``; SECONDS for timestamp columns (the gap is computed
+    via the epoch-seconds double cast) — is nulled out atomically (the
+    whole matched row, same no-column-mixing guarantee).  Implemented as
+    a post-filter on the carried right row's own ``on`` value, so it
+    adds zero shuffles.  Supported on the ``by``-keyed path; the
+    bucketed keyless path refuses it explicitly.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
@@ -115,9 +125,21 @@ def asof_join(
                 "`bucket_width=` (units of `on`) for the time-bucketed "
                 "formulation."
             )
+        if tolerance is not None:
+            raise ValueError(
+                "tolerance is not supported on the bucketed keyless path "
+                "(the cross-bucket boundary carry does not retain the "
+                "matched row's own `on`); use the `by`-keyed path"
+            )
         return _asof_join_bucketed(
             left, right, on, right_cols, direction, suffix, bucket_width
         )
+
+    if tolerance is not None:
+        # carry the matched row's own `on` inside the struct so the gap
+        # cap is a pure projection after the window — no extra shuffle
+        right = right.withColumn("__r_on", F.col(on))
+        right_cols = list(right_cols) + ["__r_on"]
 
     lcols = left.columns
     out_right = {c: (c + suffix if c in lcols else c) for c in right_cols}
@@ -155,9 +177,20 @@ def asof_join(
         "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
     )
 
+    if tolerance is None:
+        rsel = [F.col("__f")[c].alias(out_right[c]) for c in right_cols]
+    else:
+        gap = F.col(on).cast("double") - F.col("__f")["__r_on"].cast("double")
+        if direction == "forward":
+            gap = -gap
+        ok = gap <= F.lit(float(tolerance))
+        rsel = [
+            F.when(ok, F.col("__f")[c]).alias(out_right[c])
+            for c in right_cols
+            if c != "__r_on"
+        ]
     result = filled.filter(F.col("__side") == 1).select(
-        *[F.col(c) for c in lcols],
-        *[F.col("__f")[c].alias(out_right[c]) for c in right_cols],
+        *[F.col(c) for c in lcols], *rsel
     )
     return result
 

@@ -204,6 +204,10 @@ BUDGET = {
                                  # batch fingerprints and store (12
                                  # exchanges before the store was
                                  # checkpointed once for its 3 readers)
+    "events_asof_tolerance": 2,  # identical to the base as-of (union +
+                                 # one window exchange): the gap cap is
+                                 # a pure projection over the carried
+                                 # right row's own timestamp
 }
 
 

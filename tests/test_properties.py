@@ -362,3 +362,41 @@ def test_cms_counter_split_merge_exact(spark, vals, nsplit):
             key = (r["rw"], r["cl"])
             merged[key] = merged.get(key, 0) + r["cnt"]
     assert merged == whole
+
+
+@SETTINGS
+@given(
+    lt=st.lists(st.integers(0, 500), min_size=1, max_size=30),
+    rt=st.lists(st.integers(0, 500), min_size=1, max_size=15),
+    tol=st.integers(0, 100),
+)
+def test_asof_tolerance_matches_merge_asof(spark, lt, rt, tol):
+    """The gap cap equals pandas merge_asof(tolerance=) on random
+    integer time axes (keyed path; per-key group 'g')."""
+    left = pd.DataFrame({"t": sorted(lt)}).astype("int64")
+    left["g"] = np.int64(1)
+    left["lid"] = np.arange(len(left), dtype="int64")
+    right = (
+        pd.DataFrame({"t": sorted(set(rt))}).astype("int64").reset_index(drop=True)
+    )
+    right["g"] = np.int64(1)
+    right["rv"] = np.arange(len(right), dtype="int64")
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="g",
+            right_cols=["rv"],
+            tolerance=float(tol),
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left, right, on="t", by="g", direction="backward", tolerance=tol
+    )
+    pd.testing.assert_series_equal(
+        got["rv"].astype("float64"), exp["rv"].astype("float64"), check_names=False
+    )
