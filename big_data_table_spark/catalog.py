@@ -3888,6 +3888,77 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 """
 
 
+def tdigest_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile store with a GROUP dimension (operators/tdigest.py:
+    tdigest_rollup_build_grouped/range_grouped): one digest row per
+    (event_type, day) — "p99 per service over any trailing window", the
+    per-tenant percentile continuous aggregate.  Driver-hashed claims
+    (the family's stability discipline): each (group, q) estimate's
+    true rank over that group's raw range values within ±0.03 (groups
+    hold ~1/5 of the range's values, so rank granularity is wider than
+    the ungrouped ±0.02), plus each group's exact value count from the
+    STORE's weights — conservation through the group dimension."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.tdigest import (
+        tdigest_rollup_build_grouped,
+        tdigest_rollup_range_grouped,
+    )
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_tdigest_grp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tdigest_rollup_build_grouped(ev, path, "event_type", "ts", "value")
+    est = F.broadcast(tdigest_rollup_range_grouped(spark, path, lo, hi))
+    w = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(lo, hi))
+        .select("grp", F.explode("weights").alias("w"))
+        .groupBy("grp")
+        .agg(F.sum("w").cast("long").alias("n_values"))
+    )
+    raw = ev.filter(
+        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+    ).select(
+        F.col("event_type").alias("grp"),
+        F.col("value").cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    ranked = raw.join(est, "grp").groupBy("grp", "q", "est").agg(
+        (
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("rank"),
+    )
+    return (
+        ranked.join(F.broadcast(w), "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "q",
+            (F.abs(F.col("rank") - F.col("q")) <= 0.03).alias("ok"),
+            "n_values",
+        )
+    )
+
+
+def _tdigest_rollup_grouped_oracle() -> str:
+    lo, hi = _ROLLUP_RANGE
+    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    return f"""
+WITH cnt AS (
+  SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n_values
+  FROM events WHERE {pred} GROUP BY event_type)
+SELECT event_type, q, TRUE AS ok, n_values
+FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
+"""
+
+
 def winnow_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance ATTRIBUTION from the persisted winnowing-fingerprint
     index (functions/text.py:winnow_index_build/probe): the corpus's
@@ -5440,6 +5511,13 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             "every LSH candidate pair — the quotation/boilerplate "
             "inclusion measure symmetric Jaccard dilutes.",
         ),
+        "tdigest_rollup_grouped_range": QuerySpec(
+            tdigest_rollup_grouped_q,
+            _tdigest_rollup_grouped_oracle(),
+            doc="Grouped quantile rollup: one digest row per (group, "
+            "day); per-group range p50/p90/p99 with rank band + exact "
+            "weight conservation per group.",
+        ),
         "winnow_attribution": QuerySpec(
             winnow_attribution_q,
             _winnow_attribution_oracle(),
@@ -5723,6 +5801,7 @@ _R7_NEXT = [
     "dedup_containment_pairs",
     "winnow_attribution",
     "events_asof_tolerance",
+    "tdigest_rollup_grouped_range",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -46,6 +46,8 @@ __all__ = [
     "tdigest_rollup_compact",
     "tdigest_rollup_compact_all",
     "tdigest_rollup_range",
+    "tdigest_rollup_build_grouped",
+    "tdigest_rollup_range_grouped",
     "tdigest_rolling_quantiles",
     "TDIGEST_DELTA",
 ]
@@ -173,6 +175,51 @@ def tdigest_quantiles(
 # appends one digest row.  Same build/append/range verb triad as the
 # HLL rollup store (functions/sketches.py).
 # --------------------------------------------------------------------- #
+
+
+def _keyed_digest_rows(
+    narrow: DataFrame, keys: list[str], delta: float
+) -> DataFrame:
+    """Digest pipeline over a pre-narrowed ``(keys…, __v)`` frame (string
+    keys): per-partition partial digests per key tuple, merged to ONE
+    compressed centroid row per key tuple."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[tuple, tuple[list, list]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(keys, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                ms, ws = state.setdefault(key, ([], []))
+                ms.extend(grp["__v"].to_numpy())
+                ws.extend([1.0] * len(grp))
+                if len(ms) > _BUFFER_CAP:
+                    cm, cw = _compress(np.array(ms), np.array(ws), delta)
+                    state[key] = (list(cm), list(cw))
+        rows = []
+        for key, (ms, ws) in state.items():
+            cm, cw = _compress(np.array(ms), np.array(ws), delta)
+            rows.append((*key, list(cm), list(cw)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*keys, "means", "weights"])
+
+    def merge_keyed(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, delta)
+        return pd.DataFrame(
+            [(*[pdf.iloc[0][k] for k in keys], list(cm), list(cw))],
+            columns=[*keys, "means", "weights"],
+        )
+
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", means array<double>, weights array<double>"
+    )
+    return (
+        narrow.mapInPandas(partials, schema=schema)
+        .groupBy(*keys)
+        .applyInPandas(merge_keyed, schema=schema)
+    )
 
 
 def _day_digest_rows(narrow: DataFrame, delta: float) -> DataFrame:
@@ -416,4 +463,59 @@ def tdigest_rolling_quantiles(
 
     return win.groupBy("day_end").applyInPandas(
         merge_win, schema="day_end long, q double, est double"
+    )
+
+
+def tdigest_rollup_build_grouped(
+    df: DataFrame,
+    path: str,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    delta: float = TDIGEST_DELTA,
+) -> None:
+    """GROUPED quantile rollup: one digest row per (group, day) in
+    day-partitioned parquet — the per-tenant / per-endpoint percentile
+    continuous aggregate ("p99 latency per service over any window").
+    Same storage contract as the ungrouped store; the group dimension
+    multiplies rows, never merge width."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    narrow = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        day,
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__v").isNotNull())
+    _keyed_digest_rows(narrow, ["grp", "day"], delta).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+
+
+def tdigest_rollup_range_grouped(
+    spark,
+    path: str,
+    lo: str,
+    hi: str,
+    quantiles: Iterable[float] = (0.5, 0.9, 0.99),
+    delta: float = TDIGEST_DELTA,
+) -> DataFrame:
+    """Per-group range quantiles from the grouped store alone:
+    ``(grp, q, est)`` for days in ``[lo, hi]`` — merges each group's
+    digest rows over the partition-pruned range."""
+    qs = [float(q) for q in quantiles]
+    digests = spark.read.parquet(path).filter(
+        F.col("day").cast("string").between(lo, hi)
+    )
+
+    def merge_grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["weights"]])
+        cm, cw = _compress(means, weights, delta)
+        g = pdf.iloc[0]["grp"]
+        return pd.DataFrame(
+            [(g, q, _quantile(cm, cw, q)) for q in qs],
+            columns=["grp", "q", "est"],
+        )
+
+    return digests.groupBy("grp").applyInPandas(
+        merge_grp, schema="grp string, q double, est double"
     )

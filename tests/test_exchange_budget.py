@@ -208,6 +208,10 @@ BUDGET = {
                                  # one window exchange): the gap cap is
                                  # a pure projection over the carried
                                  # right row's own timestamp
+    "tdigest_rollup_grouped_range": 3,  # per-group store merge + weight
+                                 # sum + the rank-audit rescan agg —
+                                 # grouping multiplies digest rows,
+                                 # never merge width
 }
 
 
