@@ -3888,6 +3888,72 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 """
 
 
+def hll_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL rollup store with a GROUP dimension — per (event_type,
+    day) register rows in day-partitioned parquet, completing the
+    grouped-store pair with `tdigest_rollup_grouped_range` (distinct
+    counts per tenant over any window; registers MAX-merge per group
+    over the pruned range).  Built entirely from the existing grouped
+    primitives (`hll_registers`/`hll_estimate` take group lists), so
+    the store adds no new sketch code — only the storage layout.  The
+    oracle computes each group's direct estimate over the range's raw
+    events: the hash is the per-group merge-law proof."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_hll_grp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    regs = SK.hll_registers(
+        ev.select(F.col("event_type").alias("grp"), day, "user_id"),
+        ["grp", "day"],
+        "user_id",
+    )
+    regs.write.mode("overwrite").partitionBy("day").parquet(path)
+    in_range = spark.read.parquet(path).filter(
+        F.col("day").cast("string").between(lo, hi)
+    )
+    merged = in_range.groupBy("grp", "bucket").agg(F.max("reg").alias("reg"))
+    n_days = in_range.groupBy("grp").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    return (
+        SK.hll_estimate(merged, ["grp"])
+        .join(F.broadcast(n_days), "grp")
+        .select(F.col("grp").alias("event_type"), "n_days", "hll_est")
+    )
+
+
+def _hll_rollup_grouped_oracle() -> str:
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    est = SK.hll_estimate_sql(
+        f"(SELECT event_type, user_id FROM events WHERE {pred})",
+        "event_type",
+        "user_id",
+        dialect=DUCK,
+    )
+    return f"""
+WITH nd AS (
+  SELECT event_type,
+    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events WHERE {pred} GROUP BY event_type)
+SELECT s.event_type, nd.n_days, s.hll_est
+FROM ({est}) s JOIN nd ON nd.event_type = s.event_type
+"""
+
+
 def tdigest_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantile store with a GROUP dimension (operators/tdigest.py:
     tdigest_rollup_build_grouped/range_grouped): one digest row per
@@ -5511,6 +5577,13 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             "every LSH candidate pair — the quotation/boilerplate "
             "inclusion measure symmetric Jaccard dilutes.",
         ),
+        "hll_rollup_grouped_range": QuerySpec(
+            hll_rollup_grouped_q,
+            _hll_rollup_grouped_oracle(),
+            doc="Grouped HLL rollup store: per-(group, day) registers, "
+            "per-group range distinct counts — equals the direct "
+            "per-group estimates by the merge law.",
+        ),
         "tdigest_rollup_grouped_range": QuerySpec(
             tdigest_rollup_grouped_q,
             _tdigest_rollup_grouped_oracle(),
@@ -5802,6 +5875,7 @@ _R7_NEXT = [
     "winnow_attribution",
     "events_asof_tolerance",
     "tdigest_rollup_grouped_range",
+    "hll_rollup_grouped_range",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -212,6 +212,10 @@ BUDGET = {
                                  # sum + the rank-audit rescan agg —
                                  # grouping multiplies digest rows,
                                  # never merge width
+    "hll_rollup_grouped_range": 4,  # per-group register MAX-merge +
+                                 # estimate + day-count agg over the
+                                 # pruned store scan — no events scan
+                                 # on the range path
 }
 
 
