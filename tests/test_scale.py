@@ -142,3 +142,58 @@ def test_hll_rollup_merge_law_at_scale(spark, big):
         SK.hll_registers(ev.select("v").repartition(7), [], "v")
     ).collect()[0]["hll_est"]
     assert est7 == est
+
+
+def test_training_order_permutation_at_scale(spark, big):
+    """The two-phase training-order rank at 5M rows: positions are a
+    closed-form-checkable permutation (sum == N(N−1)/2, max == N−1) and
+    the per-bucket spine stays balanced — no bucket exceeds 2× the mean,
+    so the in-bucket windows never degenerate toward a global sort.
+    Partition-count independence is spot-checked on a deterministic key
+    slice (full collect of 5M rows would be a driver OOM, which is the
+    point of the operator)."""
+    from big_data_table_spark.functions.packing import training_order
+
+    docs = big.select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 1_000_003).cast("string")).alias(
+            "text"
+        ),
+    )
+    out = training_order(docs).persist()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("s"),
+        F.max("pos").alias("mx"),
+        F.countDistinct("pos").alias("nd"),
+    ).collect()[0]
+    n = agg["n"]
+    assert n == N
+    assert agg["mx"] == N - 1
+    assert agg["nd"] == N
+    assert agg["s"] == N * (N - 1) // 2  # exact: a dense 0..N-1 permutation
+
+    # bucket balance from the md5 prefix of the text itself
+    bal = (
+        docs.select(F.substring(F.md5("text"), 1, 2).alias("b"))
+        .groupBy("b")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+        .collect()[0]
+    )
+    assert bal["mx"] <= 2 * bal["av"]
+
+    slice_a = {
+        r["doc_id"]: r["pos"]
+        for r in training_order(docs.repartition(7))
+        .filter(F.col("doc_id") % 100_003 == 0)
+        .collect()
+    }
+    slice_b = {
+        r["doc_id"]: r["pos"]
+        for r in training_order(docs.repartition(64))
+        .filter(F.col("doc_id") % 100_003 == 0)
+        .collect()
+    }
+    assert slice_a == slice_b and len(slice_a) > 0
+    out.unpersist()
