@@ -3888,6 +3888,29 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 """
 
 
+def bloom_rolling_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Bloom membership
+    (functions/sketches.py:bloom_rolling_membership) — the trailing-
+    window seen-filter behind fraud/abuse checks, completing the rolling
+    family for the MEMBERSHIP sketch: per-day position sets fan out to
+    their windows and UNION per window (set union IS the Bloom merge,
+    so each window's filter equals one built directly on the window).
+    Probes the top-5 users + provably disjoint shifted twins against
+    every window; per-window audit (probed/possible/members/false-pos)
+    driver-hashed — no false negatives structurally, measured false
+    positives pinned."""
+    from .functions import sketches as SK
+
+    ev = Tables(spark, sf_dir).events
+    return SK.bloom_rolling_membership(ev, "ts", "user_id")
+
+
+def _bloom_rolling_oracle() -> str:
+    from .functions import sketches as SK
+
+    return SK.bloom_rolling_membership_sql(DUCK)
+
+
 def hll_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL rollup store with a GROUP dimension — per (event_type,
     day) register rows in day-partitioned parquet, completing the
@@ -5577,6 +5600,13 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
             "every LSH candidate pair — the quotation/boilerplate "
             "inclusion measure symmetric Jaccard dilutes.",
         ),
+        "bloom_rolling_membership": QuerySpec(
+            bloom_rolling_membership_q,
+            _bloom_rolling_oracle(),
+            doc="Rolling 7-day Bloom membership: per-day position sets "
+            "union per window; top-key + disjoint-twin probes audited "
+            "per window.",
+        ),
         "hll_rollup_grouped_range": QuerySpec(
             hll_rollup_grouped_q,
             _hll_rollup_grouped_oracle(),
@@ -5876,6 +5906,7 @@ _R7_NEXT = [
     "events_asof_tolerance",
     "tdigest_rollup_grouped_range",
     "hll_rollup_grouped_range",
+    "bloom_rolling_membership",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

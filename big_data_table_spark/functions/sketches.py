@@ -1500,3 +1500,179 @@ def cms_counter_table(
         .groupBy("rw", "cl")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def bloom_rolling_membership(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    m: int = 2048,
+    k: int = 3,
+    window_days: int = 7,
+    topn: int = 5,
+) -> DataFrame:
+    """Rolling ``window_days``-day MEMBERSHIP from per-day Bloom position
+    sets — the sliding-window seen-filter behind fraud/abuse checks
+    ("was this key active in the trailing week?"), completing the
+    rolling family for the membership sketch (HLL rolls distinct counts,
+    theta overlap, CMS frequency, t-digest quantiles).  Each day's
+    ≤m-row position set fans out to its ≤``window_days`` windows
+    (integer-day offsets) and unions per window — set union is the Bloom
+    merge, so the window filter equals one built on the window directly,
+    and the store-side cost is days·m rows, never an events rescan.
+
+    Probes the overall top-``topn`` keys plus a provably disjoint
+    shifted twin per key against EVERY window; per window the audit
+    aggregates ``(n_probed, n_possible, n_members, n_false_pos)`` —
+    false negatives are structurally impossible, so n_possible ≥
+    n_members row-by-row, and the driver hash pins the measured
+    false-positive counts."""
+    from pyspark.sql import Window
+
+    dd = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    ev = df.select(dd.alias("d"), F.col(value_col).cast("long").alias("v"))
+    dv = ev.distinct().localCheckpoint(eager=True)
+    hh = _double_hashed_values(dv, "v").localCheckpoint(eager=True)
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = ((F.col("h1") + F.col("i") * (F.col("h2") * 2 + 1)) % m).alias("pos")
+    daypos = (
+        dv.join(hh, "v")
+        .select("d", "h1", "h2", i)
+        .select("d", pos)
+        .distinct()
+    )
+    off = F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i")
+    spine = dv.select(F.col("d").alias("we")).distinct()
+    wpos = (
+        daypos.select("d", "pos", off)
+        .select((F.col("d") + F.col("i")).alias("we"), "pos")
+        .distinct()
+        .join(F.broadcast(spine), "we")
+        .localCheckpoint(eager=True)
+    )
+    top = (
+        ev.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("v"))),
+        )
+        .filter(F.col("rn") <= topn)
+        .select("v")
+        .localCheckpoint(eager=True)  # ≤topn rows; bounded global window
+    )
+    shift = ev.agg((F.max("v") + 1).alias("s"))
+    keys = top.unionByName(
+        top.crossJoin(F.broadcast(shift)).select((F.col("v") + F.col("s")).alias("v"))
+    )
+    khh = _double_hashed_values(keys, "v")
+    kpos = (
+        khh.select("v", "h1", "h2", i)
+        .select("v", pos)
+        .distinct()  # mirror the oracle's DISTINCT (k-collisions per key)
+        .localCheckpoint(eager=True)
+    )
+    npos = kpos.groupBy("v").agg(F.count(F.lit(1)).alias("np"))
+    grid = spine.crossJoin(kpos)  # windows × (2·topn keys × k positions)
+    hits = (
+        grid.join(wpos, ["we", "pos"], "left_semi")
+        .groupBy("we", "v")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    member = (
+        dv.select("d", "v")
+        .join(F.broadcast(spine), (F.col("d") >= F.col("we") - (window_days - 1)) & (F.col("d") <= F.col("we")))
+        .select("we", "v")
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    flags = (
+        spine.crossJoin(npos.select("v", "np"))
+        .join(hits, ["we", "v"], "left")
+        .join(member, ["we", "v"], "left")
+        .select(
+            "we",
+            "v",
+            (F.coalesce(F.col("nhit"), F.lit(0)) == F.col("np")).alias("possible"),
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("member"),
+        )
+    )
+    return flags.groupBy("we").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("possible"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_possible"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("possible") & ~F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    ).select(F.col("we").alias("window_end"), "n_probed", "n_possible", "n_members", "n_false_pos")
+
+
+def bloom_rolling_membership_sql(
+    dialect: str,
+    m: int = 2048,
+    k: int = 3,
+    window_days: int = 7,
+    topn: int = 5,
+    src: str = "events",
+) -> str:
+    """Dual-dialect oracle for :func:`bloom_rolling_membership` — the
+    same per-day position sets, window fan-out, probe keys, and audit
+    in one statement."""
+    from .portable import days_since_epoch, lateral_seq
+
+    dd = days_since_epoch("ts", dialect)
+    lat_i = lateral_seq("0", str(k - 1), "i", dialect)
+    lat_o = lateral_seq("0", str(window_days - 1), "o", dialect)
+    pos = f"(h1 + i * (h2 * 2 + 1)) % {m}"
+    return f"""
+WITH ev AS (SELECT {dd} AS d, CAST(user_id AS BIGINT) AS v FROM {src}),
+dv AS (SELECT DISTINCT d, v FROM ev),
+days AS (SELECT DISTINCT d FROM ev),
+{_double_hash_ctes("_rb", "(SELECT DISTINCT v FROM ev)", dialect)},
+daypos AS (
+  SELECT DISTINCT dv.d, {pos} AS pos
+  FROM dv JOIN _rbhh h ON h.v = dv.v {lat_i}),
+wpos AS (
+  SELECT dp.d + o AS we, dp.pos FROM daypos dp {lat_o}
+  GROUP BY dp.d + o, dp.pos),
+w AS (SELECT wpos.we, wpos.pos FROM wpos JOIN days ON days.d = wpos.we),
+top AS (
+  SELECT v FROM (
+    SELECT v, COUNT(*) AS c FROM ev GROUP BY v
+    ORDER BY c DESC, v LIMIT {topn}) _t),
+keys AS (
+  SELECT v FROM top
+  UNION
+  SELECT v + (SELECT MAX(v) + 1 FROM ev) AS v FROM top),
+{_double_hash_ctes("_pk", "keys", dialect)},
+kpos AS (SELECT DISTINCT v, {pos} AS pos FROM _pkhh {lat_i}),
+np AS (SELECT v, COUNT(*) AS np FROM kpos GROUP BY v),
+grid AS (SELECT days.d AS we, kpos.v, kpos.pos FROM days CROSS JOIN kpos),
+hits AS (
+  SELECT g.we, g.v, COUNT(*) AS nhit
+  FROM grid g JOIN w ON w.we = g.we AND w.pos = g.pos
+  GROUP BY g.we, g.v),
+member AS (
+  SELECT DISTINCT days.d AS we, dv.v
+  FROM days JOIN dv ON dv.d BETWEEN days.d - {window_days - 1} AND days.d),
+flags AS (
+  SELECT days.d AS we, np.v,
+    COALESCE(h.nhit, 0) = np.np AS possible,
+    mem.v IS NOT NULL AS member
+  FROM days CROSS JOIN np
+  LEFT JOIN hits h ON h.we = days.d AND h.v = np.v
+  LEFT JOIN member mem ON mem.we = days.d AND mem.v = np.v)
+SELECT CAST(we AS BIGINT) AS window_end,
+  CAST(COUNT(*) AS BIGINT) AS n_probed,
+  CAST(SUM(CASE WHEN possible THEN 1 ELSE 0 END) AS BIGINT) AS n_possible,
+  CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+  CAST(SUM(CASE WHEN possible AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos
+FROM flags GROUP BY we
+"""

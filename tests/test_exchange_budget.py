@@ -216,6 +216,12 @@ BUDGET = {
                                  # estimate + day-count agg over the
                                  # pruned store scan — no events scan
                                  # on the range path
+    "bloom_rolling_membership": 15,  # audit assembly over CHECKPOINTED
+                                 # day-position/window/probe tables:
+                                 # every exchange carries keys×windows
+                                 # (~hundreds) or (we, v) audit rows —
+                                 # the m-row position sets never
+                                 # re-shuffle
 }
 
 
