@@ -2147,11 +2147,24 @@ def ann_pq_persisted_q(
 
 
 def _pq_ctes(
-    n_subs: int = 8, sub_len: int = 8, k: int = 16, n_iter: int = 2
+    n_subs: int = 8,
+    sub_len: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    prefix: str = "",
+    src: str | None = None,
 ) -> tuple[list[str], str, str]:
     """Unrolled per-subspace Lloyd as DuckDB CTEs (the grouped analogue
     of _kmeans_ctes — subspace ``s`` rides every key).  Returns (ctes,
-    final_codebook_cte, final_codes_cte)."""
+    final_codebook_cte, final_codes_cte).
+
+    ``prefix`` namespaces every generated CTE so the chain composes with
+    another Lloyd chain in one statement (the residual IVF-PQ oracle
+    nests this AFTER _kmeans_ctes, whose names would otherwise collide);
+    ``src`` — a CTE yielding ``(vec_id, e)`` — replaces the embeddings
+    scan as the subvector source (residual vectors)."""
+    P = prefix
+    subs0 = f"{P}subs0"
 
     def assign(name, cbname):
         return (
@@ -2159,7 +2172,7 @@ def _pq_ctes(
             f"SELECT v.vec_id, v.s, c.cid, v.e, ROW_NUMBER() OVER ("
             f"PARTITION BY v.vec_id, v.s "
             f"ORDER BY {_kmeans_dist_sql('v.e', 'c.c')} ASC, c.cid ASC) AS rn "
-            f"FROM subs0 v JOIN {cbname} c ON v.s = c.s) _t WHERE rn = 1)"
+            f"FROM {subs0} v JOIN {cbname} c ON v.s = c.s) _t WHERE rn = 1)"
         )
 
     def update(aname, mname, cname):
@@ -2173,18 +2186,21 @@ def _pq_ctes(
             f"FROM {mname} GROUP BY s, cid)"
         )
 
-    ctes = [
-        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"subs0 AS (SELECT vec_id, s, "
+    ctes = [] if src else [
+        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+    ]
+    ctes += [
+        f"{subs0} AS (SELECT vec_id, s, "
         f"list_slice(e, 1 + s * {sub_len}, {sub_len} + s * {sub_len}) AS e "
-        f"FROM v0, UNNEST(range(0, {n_subs})) AS _t(s))",
-        f"cb0 AS (SELECT s, vec_id AS cid, e AS c FROM subs0 WHERE vec_id < {k})",
+        f"FROM {src or 'v0'}, UNNEST(range(0, {n_subs})) AS _t(s))",
+        f"{P}cb0 AS (SELECT s, vec_id AS cid, e AS c FROM {subs0} "
+        f"WHERE vec_id < {k})",
     ]
     for i in range(1, n_iter + 1):
-        ctes.append(assign(f"a{i}", f"cb{i - 1}"))
-        ctes.append(update(f"a{i}", f"m{i}", f"cb{i}"))
-    ctes.append(assign("afinal", f"cb{n_iter}"))
-    return ctes, f"cb{n_iter}", "afinal"
+        ctes.append(assign(f"{P}a{i}", f"{P}cb{i - 1}"))
+        ctes.append(update(f"{P}a{i}", f"{P}m{i}", f"{P}cb{i}"))
+    ctes.append(assign(f"{P}afinal", f"{P}cb{n_iter}"))
+    return ctes, f"{P}cb{n_iter}", f"{P}afinal"
 
 
 def _ann_pq_trained_oracle(
@@ -2209,6 +2225,201 @@ def _ann_pq_trained_oracle(
         f"adc AS (SELECT dt.qid, a.vec_id AS nid, CAST(SUM(dt.d) AS DOUBLE) AS dist "
         f"FROM {afinal} a JOIN dtab dt ON dt.s = a.s AND dt.cid = a.cid "
         "WHERE a.vec_id <> dt.qid GROUP BY dt.qid, a.vec_id)",
+        "ranked AS (SELECT qid, nid, ROUND(dist, 6) AS adc_dist, "
+        "ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY ROUND(dist, 6) ASC, nid ASC) AS rnk FROM adc)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT qid AS query_id, nid AS neighbor_id, adc_dist, "
+        f"CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}"
+    )
+
+
+def ann_ivfpq_residual_q(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_cent: int = 4,
+    n_probe: int = 2,
+    n_subs: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """RESIDUAL-encoded trained IVF-PQ — the full FAISS-IVFADC recipe,
+    upgrading `ann_ivfpq_topk`'s documented simplification: k-means
+    cells (kmeans_fit), PQ codebooks trained on the RESIDUALS v −
+    centroid(v) (pq_fit over residual subvectors — residuals concentrate
+    near 0, which is why production codebooks encode them), and
+    per-(query, probed-cell) distance tables over the RESIDUAL query
+    q − centroid(cell) — the cell-dependent dtab is the part the
+    raw-vector composition skips.  At 100 TB: train once, store cells +
+    codes; a query touches n_probe cells' codes and a broadcast
+    queries×probes×subs×codes distance table.
+
+    Determinism: both Lloyd chains use the shared rounded-distance total
+    order and decimal-exact means; residual arithmetic is elementwise
+    double subtraction (identical in both engines); ADC sums accumulate
+    DECIMAL(18,9).  The oracle unrolls BOTH chains in one statement —
+    `_pq_ctes` namespaced behind the `_kmeans_ctes` names.
+
+    Measured recall@5 vs exact L2: 0.20 / 0.20 (sf0.001 / sf0.01) —
+    identical to the raw-vector composition, as expected: on
+    UNIFORM-RANDOM fixtures residuals have the same distribution as the
+    vectors, so residual encoding buys nothing here.  Its payoff is on
+    clustered production embeddings, where residuals concentrate near 0
+    and the same code budget quantizes far finer — this entry pins the
+    full recipe's CORRECTNESS and plan shape, not a fixture-specific
+    recall win (the honest claim)."""
+    from pyspark.sql import Window
+
+    from .functions.clustering import (
+        _dot,
+        assign_clusters,
+        assign_codebook,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    sub_len = dim // n_subs
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cents = kmeans_fit(vecs, k=n_cent, n_iter=n_iter).localCheckpoint(eager=True)
+    assigned = assign_clusters(vecs, cents).localCheckpoint(eager=True)
+    res = assigned.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("e", "c", lambda x, y: x - y).alias("re"),
+    )
+    rsubs = res.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+        "re",
+    ).select(
+        "vec_id", "s", F.expr(f"slice(re, 1 + s * {sub_len}, {sub_len})").alias("e")
+    )
+    cb = pq_fit(rsubs, k=n_codes, n_iter=n_iter).localCheckpoint(eager=True)
+    codes = (
+        assign_codebook(rsubs, cb)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+        .join(assigned.select("vec_id", "cid"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    q_lo = max(n_cent, n_codes)
+    q_hi = q_lo + n_queries
+    q = vecs.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe0"))
+    distc = F.round(
+        _dot(F.col("qe0"), F.col("qe0"))
+        - 2 * _dot(F.col("qe0"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(distc.asc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "qid",
+            "cid",
+            F.zip_with("qe0", "c", lambda x, y: x - y).alias("qre"),
+        )
+    )
+    qsubs = probes.select(
+        "qid",
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+        "qre",
+    ).select(
+        "qid",
+        "cid",
+        "s",
+        F.expr(f"slice(qre, 1 + s * {sub_len}, {sub_len})").alias("qe"),
+    )
+    cb2 = cb.select("s", F.col("cid").alias("code"), "c")
+    d = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        9,
+    ).cast("decimal(18,9)")
+    dtab = qsubs.join(F.broadcast(cb2), "s").select(
+        "qid", "cid", "s", "code", d.alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["cid", "s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("double").alias("dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("dist"), 6).asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+def _ann_ivfpq_residual_oracle(
+    n_cent: int = 4,
+    n_probe: int = 2,
+    n_subs: int = 8,
+    sub_len: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> str:
+    kctes, cents, afinal = _kmeans_ctes(n_cent, n_iter)
+    res = (
+        "res0 AS (SELECT a.vec_id, a.cid, "
+        "list_transform(range(1, len(a.e) + 1), i -> a.e[i] - c.c[i]) AS e "
+        f"FROM {afinal} a JOIN {cents} c ON c.cid = a.cid)"
+    )
+    pctes, cb, pafinal = _pq_ctes(
+        n_subs, sub_len, n_codes, n_iter, prefix="r", src="res0"
+    )
+    q_lo = max(n_cent, n_codes)
+    q_hi = q_lo + n_queries
+    d_query = (
+        "ROUND(list_dot_product(qs.qe, qs.qe) - 2 * list_dot_product(qs.qe, cb.c)"
+        " + list_dot_product(cb.c, cb.c), 9)"
+    )
+    ctes = kctes + [res] + pctes + [
+        f"q0 AS (SELECT vec_id AS qid, e FROM v0 "
+        f"WHERE vec_id >= {q_lo} AND vec_id < {q_hi})",
+        "probes AS (SELECT qid, cid, qre FROM ("
+        "  SELECT q.qid, c.cid, "
+        "  list_transform(range(1, len(q.e) + 1), i -> q.e[i] - c.c[i]) AS qre, "
+        "  ROW_NUMBER() OVER (PARTITION BY q.qid "
+        f"  ORDER BY {_kmeans_dist_sql('q.e', 'c.c')} ASC, c.cid ASC) AS rn "
+        f"  FROM q0 q JOIN {cents} c ON 1 = 1) _p WHERE rn <= {n_probe})",
+        f"qsubs AS (SELECT qid, cid, s, "
+        f"list_slice(qre, 1 + s * {sub_len}, {sub_len} + s * {sub_len}) AS qe "
+        f"FROM probes, UNNEST(range(0, {n_subs})) AS _t(s))",
+        "dtab AS (SELECT qs.qid, qs.cid, cb.s, cb.cid AS code, "
+        f"CAST({d_query} AS DECIMAL(18,9)) AS d "
+        f"FROM qsubs qs JOIN {cb} cb ON cb.s = qs.s)",
+        f"codes AS (SELECT pa.vec_id, pa.s, pa.cid AS code, co.cid "
+        f"FROM {pafinal} pa JOIN (SELECT vec_id, cid FROM {afinal}) co "
+        "ON co.vec_id = pa.vec_id)",
+        "adc AS (SELECT dt.qid, cd.vec_id AS nid, "
+        "CAST(SUM(dt.d) AS DOUBLE) AS dist "
+        "FROM codes cd JOIN dtab dt "
+        "ON dt.cid = cd.cid AND dt.s = cd.s AND dt.code = cd.code "
+        "WHERE cd.vec_id <> dt.qid GROUP BY dt.qid, cd.vec_id)",
         "ranked AS (SELECT qid, nid, ROUND(dist, 6) AS adc_dist, "
         "ROW_NUMBER() OVER (PARTITION BY qid "
         "ORDER BY ROUND(dist, 6) ASC, nid ASC) AS rnk FROM adc)",
@@ -3199,6 +3410,14 @@ CATALOG: dict[str, QuerySpec] = {
     ),
     "kmeans_ivf_train": QuerySpec(kmeans_ivf_q, _kmeans_oracle()),
     "ann_ivf_trained_topk": QuerySpec(ann_ivf_trained_q, _ann_ivf_trained_oracle()),
+    "ann_ivfpq_residual_topk": QuerySpec(
+        ann_ivfpq_residual_q,
+        _ann_ivfpq_residual_oracle(),
+        doc="Residual-encoded trained IVF-PQ (full IVFADC): k-means "
+        "cells, codebooks trained on residuals, per-(query, cell) "
+        "residual distance tables — both Lloyd chains unrolled in the "
+        "oracle.",
+    ),
     "ann_ivf_persisted_topk": QuerySpec(
         ann_ivf_persisted_q,
         _ann_ivf_trained_oracle(),
@@ -5907,6 +6126,7 @@ _R7_NEXT = [
     "tdigest_rollup_grouped_range",
     "hll_rollup_grouped_range",
     "bloom_rolling_membership",
+    "ann_ivfpq_residual_topk",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

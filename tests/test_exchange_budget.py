@@ -222,6 +222,10 @@ BUDGET = {
                                  # (~hundreds) or (we, v) audit rows —
                                  # the m-row position sets never
                                  # re-shuffle
+    "ann_ivfpq_residual_topk": 6,  # probe window + residual dtab +
+                                 # code join + ADC agg + rank over the
+                                 # CHECKPOINTED trained cells/codebook/
+                                 # codes — no Lloyd on the query path
 }
 
 
