@@ -537,3 +537,21 @@ def winnow_index_probe(spark, path: str, table: str):
             F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
         )
     )
+
+
+def winnow_index_compact(spark, path: str) -> int:
+    """Rewrite the accumulated per-append files as ONE distinct
+    (doc_id, fp) file — same dot-tmp + rename swap as the other stores;
+    replayed appends (duplicate fact rows) are absorbed here exactly as
+    the probe's DISTINCT read absorbs them, so compaction never changes
+    a probe decision.  Returns the data-file count after (1)."""
+    import os
+    import shutil
+
+    merged = spark.read.parquet(path).distinct().coalesce(1)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

@@ -651,3 +651,58 @@ def test_stream_tdigest_daily_weight_conserved(spark, sf_dir):
     }
     got = dict(zip(out["day"], out["n_values"]))
     assert got == want
+
+
+def test_winnow_index_lifecycle(spark, sf_dir):
+    """The fingerprint store's ingestion loop: append visible to the
+    next probe (attribution flips from clean to matched), replayed
+    appends absorbed, compaction reduces to one file with identical
+    attributions."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.functions import text as X
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).createOrReplaceTempView(
+        "wit_docs"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wit_corpus AS "
+        "SELECT * FROM wit_docs WHERE doc_id % 3 = 0"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wit_batch1 AS "
+        "SELECT * FROM wit_docs WHERE doc_id % 3 = 1"
+    )
+    path = os.path.join(tempfile.mkdtemp(), "witstore")
+    X.winnow_index_build(spark, path, "wit_corpus")
+    nf = lambda: len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    # probing the corpus against its own store: every doc's best match
+    # covers ALL its fingerprints (itself, or an exact-duplicate with a
+    # lower id winning the tie-break — the fixture has such dups), and
+    # every fingerprint hits the store
+    self_probe = X.winnow_index_probe(spark, path, "wit_corpus").toPandas()
+    assert (self_probe.n_common == self_probe.n_fp).all()
+    assert (self_probe.n_matched == self_probe.n_fp).all()
+
+    # append batch1 (twice — replay), re-probe batch1: now self-matches
+    X.winnow_index_append(spark, path, "wit_batch1")
+    X.winnow_index_append(spark, path, "wit_batch1")  # replay
+    assert nf() >= 3
+    b1 = X.winnow_index_probe(spark, path, "wit_batch1").toPandas()
+    assert (b1.n_common == b1.n_fp).all()
+    assert (b1.n_matched == b1.n_fp).all()
+
+    pre = X.winnow_index_probe(spark, path, "wit_docs").toPandas()
+    assert X.winnow_index_compact(spark, path) == 1
+    assert nf() == 1
+    post = X.winnow_index_probe(spark, path, "wit_docs").toPandas()
+    key = ["doc_id", "n_fp", "n_matched", "best_match_id", "n_common"]
+    assert (
+        pre[key].sort_values("doc_id").reset_index(drop=True).equals(
+            post[key].sort_values("doc_id").reset_index(drop=True)
+        )
+    )
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
