@@ -5355,30 +5355,15 @@ def _theta_rolling_churn_oracle() -> str:
     )
 
 
-def _mixture_resample_epochs_builder(dialect: str) -> str:
-    """Epoch-aware OVERSAMPLING (VERDICT r6 #3) — `mixture_resample`
-    without the achieved-caps-at-size compromise: real mixture training
-    repeats small sources (UL2/Pile-style epoch counting) until every
-    source hits its temperature target exactly.  The budget is 3× the
-    corpus, so targets EXCEED source sizes and the draw must cycle:
-    epoch ``e`` re-draws the whole source in (md5(text), doc_id) order,
-    and the final partial epoch takes the first ``target − e·n_docs``
-    docs of that same order — the content-hash-order discipline of
-    `sample_by_hash`/packing (the reference's seeded-generator
-    determinism, tests-04), so the multiset of (doc, epoch) draws is
-    partitioning- and run-independent.  ``n_sampled == target`` for
-    every source (the no-cap law the driver hash pins), ``n_epochs ==
-    ceil(target/n_docs)`` is the epochs-used audit, and
-    ``n_over_grid`` pins that no source outruns the static 32-epoch
-    grid (same guard pattern as the passage-dedup chunk grid).  At
-    100 TB: the epoch grid is a ≤ sources×32-row broadcast against one
-    rank window per source — repetition costs metadata, not rescans."""
+def _mixture_epochs_pick_ctes(dialect: str) -> str:
+    """The epoch-resample CTE chain ending in ``pick`` ``(source,
+    doc_id, e)`` — the drawn multiset, shared by the summary entry
+    (`mixture_resample_epochs`) and the curriculum serving order."""
     from .functions.portable import arr_len, lateral_seq, split_ws
 
     tok = arr_len(split_ws("text", dialect), dialect)
     lat = lateral_seq("0", "31", "e", dialect)
-    return f"""
-WITH s AS (
+    return f"""s AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM({tok}) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source),
@@ -5401,7 +5386,29 @@ ranked AS (
 pick AS (
   SELECT ep.source, r.doc_id, ep.e
   FROM epochs ep JOIN ranked r ON r.source = ep.source
-  WHERE ep.e * ep.n_docs + r.rn <= ep.target)
+  WHERE ep.e * ep.n_docs + r.rn <= ep.target)"""
+
+
+def _mixture_resample_epochs_builder(dialect: str) -> str:
+    """Epoch-aware OVERSAMPLING (VERDICT r6 #3) — `mixture_resample`
+    without the achieved-caps-at-size compromise: real mixture training
+    repeats small sources (UL2/Pile-style epoch counting) until every
+    source hits its temperature target exactly.  The budget is 3× the
+    corpus, so targets EXCEED source sizes and the draw must cycle:
+    epoch ``e`` re-draws the whole source in (md5(text), doc_id) order,
+    and the final partial epoch takes the first ``target − e·n_docs``
+    docs of that same order — the content-hash-order discipline of
+    `sample_by_hash`/packing (the reference's seeded-generator
+    determinism, tests-04), so the multiset of (doc, epoch) draws is
+    partitioning- and run-independent.  ``n_sampled == target`` for
+    every source (the no-cap law the driver hash pins), ``n_epochs ==
+    ceil(target/n_docs)`` is the epochs-used audit, and
+    ``n_over_grid`` pins that no source outruns the static 32-epoch
+    grid (same guard pattern as the passage-dedup chunk grid).  At
+    100 TB: the epoch grid is a ≤ sources×32-row broadcast against one
+    rank window per source — repetition costs metadata, not rescans."""
+    return f"""
+WITH {_mixture_epochs_pick_ctes(dialect)}
 SELECT t.source, t.n_docs, t.target,
   CAST(COUNT(p.doc_id) AS BIGINT) AS n_sampled,
   CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_distinct_docs,
@@ -5410,6 +5417,88 @@ SELECT t.source, t.n_docs, t.target,
     AS n_over_grid
 FROM t LEFT JOIN pick p ON p.source = t.source
 GROUP BY t.source, t.n_docs, t.target
+"""
+
+
+def curriculum_serving_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING ORDER of the epoch-resampled mixture — what a data
+    loader actually feeds the trainer: the `mixture_resample_epochs`
+    multiset (each source drawn to its temperature target, small sources
+    cycled with an epoch counter) globally shuffled in content-hash
+    order, with the EPOCH inside the hash key so a doc's repeats scatter
+    through the stream instead of clustering (the interleaving property
+    epoch-aware loaders need).  Per (source, epoch): draw count and the
+    span of serving positions — large groups span essentially the whole
+    stream (a 1-draw final epoch sits wherever its hash lands, so the
+    span law is per-group-size, not universal), and the driver hash
+    pins every span exactly.
+
+    Spark plan: the pick chain runs with per-source (partitioned)
+    windows; the global position uses the `training_order` two-phase
+    bucket rank over md5(text‖epoch) — the oracle's single ROW_NUMBER
+    never appears."""
+    from pyspark.sql import Window
+
+    register_views(spark, sf_dir)
+    # the pick chain carries scalar-subquery denominators that Spark's
+    # CTE inlining would re-derive downstream — checkpoint the ~target-
+    # sized multiset once (build-phase discipline)
+    pick = spark.sql(
+        f"WITH {_mixture_epochs_pick_ctes(SPARK)} "
+        "SELECT source, doc_id, e FROM pick"
+    ).localCheckpoint(eager=True)
+    docs = spark.table("documents").select("doc_id", "text")
+    draws = pick.join(docs, "doc_id").select(
+        "source",
+        "doc_id",
+        "e",
+        F.md5(F.concat(F.col("text"), F.lit(":"), F.col("e").cast("string"))).alias(
+            "h"
+        ),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = Window.partitionBy("bucket").orderBy("h", "doc_id", "e")
+    d = draws.withColumn("in_rank", F.row_number().over(w_in) - 1)
+    totals = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
+    )
+    pos = (F.col("off") + F.col("in_rank")).cast("long")
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .select("source", "e", pos.alias("pos"))
+        .groupBy("source", "e")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_draws"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+        )
+        .select(
+            "source",
+            F.col("e").cast("long").alias("epoch"),
+            "n_draws",
+            "min_pos",
+            "max_pos",
+        )
+    )
+
+
+def _curriculum_serving_order_oracle() -> str:
+    return f"""
+WITH {_mixture_epochs_pick_ctes(DUCK)},
+draws AS (
+  SELECT p.source, p.doc_id, p.e,
+    md5(concat(d.text, ':', CAST(p.e AS VARCHAR))) AS h
+  FROM pick p JOIN documents d ON d.doc_id = p.doc_id),
+ordered AS (
+  SELECT source, e,
+    ROW_NUMBER() OVER (ORDER BY h, doc_id, e) - 1 AS pos
+  FROM draws)
+SELECT source, CAST(e AS BIGINT) AS epoch,
+  CAST(COUNT(*) AS BIGINT) AS n_draws,
+  CAST(MIN(pos) AS BIGINT) AS min_pos,
+  CAST(MAX(pos) AS BIGINT) AS max_pos
+FROM ordered GROUP BY source, e
 """
 
 
@@ -5584,6 +5673,14 @@ CATALOG.update(
             doc="Epoch-aware oversampling: targets beyond source size "
             "cycle the source in content-hash order; n_sampled == "
             "target exactly, epochs-used audit.",
+        ),
+        "curriculum_serving_order": QuerySpec(
+            curriculum_serving_order_q,
+            _curriculum_serving_order_oracle(),
+            doc="The data-loader stream: epoch-resampled mixture "
+            "globally shuffled with the epoch in the hash key; per "
+            "(source, epoch) draw counts + serving-position spans "
+            "(interleaving evidence), two-phase rank.",
         ),
         "pii_scrub_audit": _dual(
             _pii_scrub_audit_builder,
@@ -6127,6 +6224,7 @@ _R7_NEXT = [
     "hll_rollup_grouped_range",
     "bloom_rolling_membership",
     "ann_ivfpq_residual_topk",
+    "curriculum_serving_order",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

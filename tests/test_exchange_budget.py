@@ -226,6 +226,11 @@ BUDGET = {
                                  # code join + ADC agg + rank over the
                                  # CHECKPOINTED trained cells/codebook/
                                  # codes — no Lloyd on the query path
+    "curriculum_serving_order": 4,  # docs join + two-phase rank +
+                                 # per-(source, epoch) agg over the
+                                 # checkpointed pick multiset (18
+                                 # exchanges before the checkpoint —
+                                 # the scalar-subquery inlining trap)
 }
 
 
