@@ -2431,6 +2431,53 @@ def _ann_ivfpq_residual_oracle(
     )
 
 
+def ann_ivfpq_persisted_q(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    n_cent: int = 4,
+    n_probe: int = 2,
+    n_subs: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """The residual IVF-PQ answered from a PERSISTED index
+    (functions/clustering.py:ivfpq_build / ann_ivfpq_persisted_search):
+    centroids + residual codebook + cid-partitioned codes land as
+    parquet once, and every search runs entirely against the store —
+    no Lloyd chain, no raw corpus floats on the query path.  Sharing
+    `ann_ivfpq_residual_topk`'s oracle proves store-backed ==
+    train-per-query bit-for-bit; this closes the persisted-index family:
+    coarse cells (`ann_ivf_persisted_topk`), flat codes
+    (`ann_pq_persisted_topk`), and now the composed production store."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.clustering import ann_ivfpq_persisted_search, ivfpq_build
+
+    sub_len = dim // n_subs
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_ivfpq_index_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ivfpq_build(vecs, path, n_cent, n_subs, sub_len, n_codes, n_iter)
+    q_lo = max(n_cent, n_codes)
+    q_hi = q_lo + n_queries
+    q = vecs.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe0"))
+    return ann_ivfpq_persisted_search(
+        spark, path, q, n_subs, sub_len, n_probe, topk=k
+    )
+
+
 def embedding_pca_q(
     spark: SparkSession, sf_dir: str, dim: int = 64, n_iter: int = 8
 ) -> DataFrame:
@@ -3417,6 +3464,14 @@ CATALOG: dict[str, QuerySpec] = {
         "cells, codebooks trained on residuals, per-(query, cell) "
         "residual distance tables — both Lloyd chains unrolled in the "
         "oracle.",
+    ),
+    "ann_ivfpq_persisted_topk": QuerySpec(
+        ann_ivfpq_persisted_q,
+        _ann_ivfpq_residual_oracle(),
+        doc="The residual IVF-PQ from a persisted index (centroids + "
+        "residual codebook + cid-partitioned codes): store-backed == "
+        "train-per-query via the shared oracle, no Lloyd on the query "
+        "path.",
     ),
     "ann_ivf_persisted_topk": QuerySpec(
         ann_ivf_persisted_q,
@@ -6224,6 +6279,7 @@ _R7_NEXT = [
     "hll_rollup_grouped_range",
     "bloom_rolling_membership",
     "ann_ivfpq_residual_topk",
+    "ann_ivfpq_persisted_topk",
     "curriculum_serving_order",
     "kmeans_ivf_train",
     "q3_shipping_priority",

@@ -302,3 +302,136 @@ def kmeans_summary(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
         ),
     )
     return sizes.join(checksums, "cid").select("cid", "n_members", "checksum")
+
+
+def ivfpq_build(
+    vecs: DataFrame,
+    path: str,
+    n_cent: int = 4,
+    n_subs: int = 8,
+    sub_len: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+) -> None:
+    """Persist the full RESIDUAL IVF-PQ index — the production ANN store
+    (what a FAISS IVFADC index file holds, as three parquet tables):
+    ``centroids`` (cid, c), ``codebook`` (s, code, c) trained on the
+    residuals v − centroid(v), and ``codes`` (vec_id, s, code, cid) —
+    the compressed corpus WITH its cell assignment, partitioned by cid
+    so a probe's scan partition-prunes to the probed cells.  Train once;
+    every search then reads n_probe cells' codes and broadcasts a
+    queries×probes×subs×codes distance table — neither Lloyd chain nor
+    the raw floats ever run on the query path."""
+    import os
+
+    cents = kmeans_fit(vecs, n_cent, n_iter).localCheckpoint(eager=True)
+    assigned = assign_clusters(vecs, cents).localCheckpoint(eager=True)
+    res = assigned.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("e", "c", lambda x, y: x - y).alias("re"),
+    )
+    rsubs = res.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+        "re",
+    ).select(
+        "vec_id", "s", F.expr(f"slice(re, 1 + s * {sub_len}, {sub_len})").alias("e")
+    )
+    cb = pq_fit(rsubs, n_codes, n_iter).localCheckpoint(eager=True)
+    codes = (
+        assign_codebook(rsubs, cb)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+        .join(assigned.select("vec_id", "cid"), "vec_id")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cb.select("s", F.col("cid").alias("code"), "c").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codebook"))
+    codes.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def ann_ivfpq_persisted_search(
+    spark,
+    path: str,
+    q: DataFrame,
+    n_subs: int = 8,
+    sub_len: int = 8,
+    n_probe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Residual-ADC top-``topk`` from the persisted IVF-PQ index alone:
+    queries pick cells against the broadcast centroids, form their
+    per-(query, cell) RESIDUAL distance tables against the stored
+    codebook, and score the probed cells' stored codes — identical
+    arithmetic to the in-query trained recipe
+    (catalog.ann_ivfpq_residual_q), so the same seed gives bit-identical
+    top-k, pinned by sharing that entry's oracle.  ``q``: (qid, qe0)
+    full query vectors."""
+    import os
+
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        "vec_id", "s", "code", F.col("cid").cast("long").alias("cid")
+    )
+    distc = F.round(
+        _dot(F.col("qe0"), F.col("qe0"))
+        - 2 * _dot(F.col("qe0"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(distc.asc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            "qid",
+            "cid",
+            F.zip_with("qe0", "c", lambda x, y: x - y).alias("qre"),
+        )
+    )
+    qsubs = probes.select(
+        "qid",
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+        "qre",
+    ).select(
+        "qid",
+        "cid",
+        "s",
+        F.expr(f"slice(qre, 1 + s * {sub_len}, {sub_len})").alias("qe"),
+    )
+    d = F.round(
+        _dot(F.col("qe"), F.col("qe"))
+        - 2 * _dot(F.col("qe"), F.col("c"))
+        + _dot(F.col("c"), F.col("c")),
+        9,
+    ).cast("decimal(18,9)")
+    dtab = qsubs.join(F.broadcast(cb), "s").select(
+        "qid", "cid", "s", "code", d.alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["cid", "s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("double").alias("dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("dist"), 6).asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("dist"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )

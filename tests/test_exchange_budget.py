@@ -231,6 +231,10 @@ BUDGET = {
                                  # checkpointed pick multiset (18
                                  # exchanges before the checkpoint —
                                  # the scalar-subquery inlining trap)
+    "ann_ivfpq_persisted_topk": 4,  # probe window + residual dtab +
+                                 # ADC agg + rank — all over store
+                                 # scans; neither Lloyd chain on the
+                                 # query path (plan-pinned)
 }
 
 

@@ -706,3 +706,27 @@ def test_winnow_index_lifecycle(spark, sf_dir):
         )
     )
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_ann_ivfpq_persisted_matches_residual_no_lloyd_on_query_path(
+    spark, sf_dir
+):
+    """The persisted residual-IVF-PQ search == the in-query trained
+    recipe bit-for-bit (same seed), with neither Lloyd chain on the
+    query plan (no decimal(18,6) update-step math) and the codes scan
+    dynamic-partition-pruned to the probed cells."""
+    from big_data_table_spark.catalog import CATALOG
+
+    per = CATALOG["ann_ivfpq_persisted_topk"].fn(spark, sf_dir)
+    trained = (
+        CATALOG["ann_ivfpq_residual_topk"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    got = per.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, trained)
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "bdt_ivfpq_index" in plan
+    assert "decimal(18,6)" not in plan  # Lloyd's update-step type
