@@ -519,6 +519,8 @@ __all__ = [
     "simhash_sql",
     "simhash_candidates_sql",
     "ngram_jaccard_pairs_sql",
+    "source_overlap_matrix_sql",
+    "source_overlap_matrix",
     "N_HASHES",
     "N_BANDS",
     "ROWS_PER_BAND",

@@ -288,8 +288,16 @@ __all__ = [
     "token_count_sql",
     "lang_id_sql",
     "quality_score_sql",
+    "quality_select_sql",
+    "quality_decile_curve_sql",
+    "corpus_data_card_sql",
+    "filter_cascade_sql",
     "fingerprint_sql",
     "winnow_fingerprint_sql",
+    "winnow_index_build",
+    "winnow_index_append",
+    "winnow_index_compact",
+    "winnow_index_probe",
     "tfidf_top_terms_sql",
     "bigram_cross_entropy_sql",
     "SPARK",
