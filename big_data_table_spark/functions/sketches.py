@@ -1676,3 +1676,28 @@ SELECT CAST(we AS BIGINT) AS window_end,
     AS n_false_pos
 FROM flags GROUP BY we
 """
+
+
+def rollup_expire(path: str, before_day: str) -> list[str]:
+    """Retention enforcement — the day-partitioned stores' fourth verb
+    (build / append / compact / EXPIRE): drop every ``day=`` partition
+    strictly older than ``before_day`` (ISO string; lexicographic order
+    is date order, the same property the range readers rely on).
+    Applies to ANY of the day-partitioned sketch stores (HLL registers,
+    t-digest day digests, grouped variants) — expiry is directory
+    removal, so it needs no engine and no scan, exactly like a
+    TimescaleDB drop_chunks / Druid kill task.  Range queries after
+    expiry see only the retained days (partition pruning already never
+    touched the dropped ones).  Returns the dropped day keys."""
+    import os
+    import shutil
+
+    dropped: list[str] = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("day="):
+            continue
+        day = d.split("=", 1)[1]
+        if day < before_day:
+            shutil.rmtree(os.path.join(path, d))
+            dropped.append(day)
+    return dropped

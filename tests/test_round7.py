@@ -730,3 +730,38 @@ def test_ann_ivfpq_persisted_matches_residual_no_lloyd_on_query_path(
     plan = per._jdf.queryExecution().executedPlan().toString()
     assert "bdt_ivfpq_index" in plan
     assert "decimal(18,6)" not in plan  # Lloyd's update-step type
+
+
+def test_rollup_expire_retention(spark, sf_dir):
+    """The stores' fourth verb: expiry drops exactly the partitions
+    older than the cutoff (no engine, no scan — directory removal), the
+    retained days' files keep their identity, and a range query over the
+    retained window is bit-identical before and after (its pruning never
+    touched the dropped days)."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "retstore")
+    SK.hll_rollup_build(ev, path)
+    days = sorted(_day_files(path))
+    assert len(days) >= 4
+    cutoff = days[2]
+    before = _day_files(path)
+    pre = SK.hll_rollup_range_estimate(spark, path, cutoff, days[-1]).collect()[0]
+
+    dropped = SK.rollup_expire(path, cutoff)
+    assert dropped == days[:2]
+    after = _day_files(path)
+    assert sorted(after) == days[2:]
+    for d in days[2:]:
+        assert after[d] == before[d], d  # retained files keep identity
+    post = SK.hll_rollup_range_estimate(spark, path, cutoff, days[-1]).collect()[0]
+    assert (pre["n_days"], pre["hll_est"]) == (post["n_days"], post["hll_est"])
+
+    # idempotent: a second run drops nothing
+    assert SK.rollup_expire(path, cutoff) == []
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
