@@ -28,6 +28,9 @@ PICKS = {
     "training_order_shuffle": "Global permutation without a global sort: in-bucket row_number partitioned by the md5-prefix bucket + broadcast 256-row offset join. The oracle's single-partition ROW_NUMBER never appears.",
     "bloom_index_persisted": "Seen-keys probe: the store is a broadcast <=m-row position table; the batch's key positions left-semi join it map-side — the batch never shuffles for the membership decision.",
     "dedup_keep_best_quality": "Keeper selection: component labels come from the checkpointed propagation; the visible plan is one per-component rank window + the broadcast keeper join.",
+    "corpus_data_card": "One pass to the datasheet: per-doc feature aggregates (shingle repeat, lang scores, quality) joined on doc_id, digest-distinct for redundancy, one per-source rollup. Text is read once.",
+    "ann_ivfpq_persisted_topk": "IVFADC from the store: broadcast centroids pick cells, residual distance tables broadcast against the cid-partitioned codes scan. Neither Lloyd chain appears — train-once is visible in the plan.",
+    "curriculum_serving_order": "The loader stream: two-phase bucket rank over the checkpointed epoch-resample multiset; the oracle's global ROW_NUMBER never appears.",
 }
 
 if __name__ == "__main__":
