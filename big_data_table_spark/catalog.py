@@ -6002,6 +6002,58 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
     }
 )
 
+
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (functions/subword.py:
+    subword_fertility): subword tokens per whitespace word + chars per
+    token, measured on the SAME learned tokenizer the packing/serving
+    entries charge — the report a multilingual pipeline reads before
+    fixing per-language token budgets.  Spark side runs the bounded
+    iterative walk (once per word TYPE); the oracle re-derives the
+    vocabulary and walk as one recursive-CTE statement."""
+    from .functions import subword as SW
+
+    register_views(spark, sf_dir)
+    return SW.subword_fertility(spark, k=64)
+
+
+def _tokenizer_fertility_oracle() -> str:
+    from .functions import subword as SW
+
+    return SW.subword_fertility_sql(DUCK, k=64)
+
+
+def _substring_dedup_builder(dialect: str) -> str:
+    """Substring-duplication audit (functions/dedup.py:
+    substring_dedup_sql, w=8): per-source duplicated-token fraction
+    where a position counts as duplicated when ANY 8-word window
+    covering it appears verbatim in another document — the
+    bounded-window, distributable form of Lee et al.'s suffix-array
+    substring dedup.  The interval-union trick keeps the post-explode
+    frames sparse: only shared START positions flow into the window
+    pass, so the plan never materializes a per-position table."""
+    from .functions import dedup as DD
+
+    return DD.substring_dedup_sql(dialect, w=8)
+
+
+CATALOG.update(
+    {
+        "tokenizer_fertility": QuerySpec(
+            tokenizer_fertility_q,
+            _tokenizer_fertility_oracle(),
+            doc="Per-language subword fertility + chars/token of the "
+            "learned tokenizer — the multilingual budget report.",
+        ),
+        "dedup_substring_fraction": _dual(
+            _substring_dedup_builder,
+            doc="Sliding 8-word-window substring-duplication fraction "
+            "per source — the distributed form of suffix-array "
+            "substring dedup.",
+        ),
+    }
+)
+
 _R5_NEW = [
     "multimodal_wav_decode",
     "multimodal_png_decode",
@@ -6281,6 +6333,8 @@ _R7_NEXT = [
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_persisted_topk",
     "curriculum_serving_order",
+    "tokenizer_fertility",
+    "dedup_substring_fraction",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -29,7 +29,17 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
-from .portable import DUCK, SPARK, arr_el, arr_len, epoch_s, lateral_arr, lateral_seq, split_ws
+from .portable import (
+    DUCK,
+    SPARK,
+    arr_el,
+    arr_len,
+    arr_slice_join,
+    epoch_s,
+    lateral_arr,
+    lateral_seq,
+    split_ws,
+)
 
 # MinHash parameters: 12 hash functions in 4 bands × 3 rows.
 N_HASHES = 12
@@ -504,8 +514,57 @@ def lsh_index_probe(spark, path: str, src: str):
     )
 
 
+def substring_dedup_sql(dialect: str, w: int = 8) -> str:
+    """Substring-LEVEL duplication audit — the distributed, bounded-window
+    form of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a word position is
+    DUPLICATED when some ``w``-word window covering it appears verbatim in
+    at least one OTHER document.  Exact suffix arrays are inherently
+    sequential; the fixed-window form distributes: hash every w-gram (one
+    explode), find grams present in ≥2 distinct docs (a digest-only
+    shuffle — text never travels twice), keep the sparse shared START
+    positions, and turn starts into covered-position counts with a
+    per-doc interval union — all windows have width ``w`` and starts come
+    sorted, so the union is ``SUM(LEAST(w, pos − LAG(pos)))`` with the
+    first run charging ``w``: no per-position table is ever materialized,
+    the only full-width frame is the gram explode itself.  Per-source
+    report: duplicated-token fraction, docs affected, docs majority-
+    duplicated — the numbers that decide whether substring dedup (vs
+    doc-level) is worth running on a corpus.
+
+    Complements `dedup_chunk_passages` (disjoint 3-word chunks: cheap,
+    alignment-sensitive) with the sliding form that catches duplication
+    at ANY offset, at w× the gram count."""
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - {w - 1}", "pos", dialect)
+    gram = arr_slice_join("w", "pos", w, " ", dialect)
+    ws = split_ws("lower(text)", dialect)
+    return f"""
+WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, source, {ws} AS w FROM documents),
+doclen AS (SELECT doc_id, source, CAST({arr_len('w', dialect)} AS BIGINT) AS n_words FROM words),
+gdocs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= {w}),
+grams AS (SELECT doc_id, pos, substr(md5({gram}), 1, 16) AS h FROM gdocs {lat}),
+shared AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN shared s ON g.h = s.h),
+runs AS (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
+perdup AS (SELECT doc_id,
+  CAST(SUM(CASE WHEN prev IS NULL THEN {w} ELSE LEAST({w}, pos - prev) END) AS BIGINT) AS dup_words
+  FROM runs GROUP BY doc_id),
+perdoc AS (SELECT d.doc_id, d.source, d.n_words,
+  COALESCE(p.dup_words, 0) AS dup_words
+  FROM doclen d LEFT JOIN perdup p ON d.doc_id = p.doc_id)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS n_words,
+  CAST(SUM(dup_words) AS BIGINT) AS dup_words,
+  ROUND(CAST(SUM(dup_words) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS dup_frac,
+  CAST(SUM(CASE WHEN dup_words > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+  CAST(SUM(CASE WHEN dup_words * 2 > n_words THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_majority
+FROM perdoc GROUP BY source
+"""
+
+
 __all__ = [
     "exact_dedup_sql",
+    "substring_dedup_sql",
     "incremental_dedup_sql",
     "lsh_index_build",
     "lsh_index_append",

@@ -249,3 +249,65 @@ def subword_token_counts(spark: SparkSession, k: int = 64, src: str = "documents
             F.sum("ntok").cast("long").alias("n_tokens_subword"),
         )
     )
+
+
+def subword_fertility(
+    spark: SparkSession, k: int = 64, src: str = "documents"
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY report: subword tokens per
+    whitespace word and chars per subword token, by the corpus's gold
+    ``lang`` column — the table a multilingual pipeline reads before
+    fixing per-language token budgets (high-fertility languages burn
+    context budget faster; the standard argument for temperature-
+    rebalancing a multilingual mixture, and the standard metric for
+    comparing tokenizers across languages).  Measures the SAME learned
+    tokenizer the packing/serving entries charge — report and pipeline
+    agree by construction.
+
+    Cost on top of :func:`subword_token_counts`: one broadcast-sized
+    join onto documents and a ≤n_langs-row aggregate — the walk still
+    runs once per word TYPE."""
+    counts = subword_token_counts(spark, k, src)
+    docs = spark.sql(
+        f"SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS n_chars FROM {src}"
+    )
+    return (
+        docs.join(counts, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens_ws").cast("long").alias("n_words"),
+            F.sum("n_tokens_subword").cast("long").alias("n_subword_tokens"),
+            F.round(
+                F.sum("n_tokens_subword").cast("double")
+                / F.sum("n_tokens_ws").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens_subword").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def subword_fertility_sql(dialect: str, k: int = 64, src: str = "documents") -> str:
+    """Dual-dialect oracle of :func:`subword_fertility` — the recursive-
+    CTE walk grouped by language instead of document."""
+    return f"""
+WITH {subword_walk_ctes(dialect, k, src)},
+perdoc AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(t.ntok) AS BIGINT) AS n_sub
+  FROM doc_words d JOIN wordtok t ON t.word = d.word GROUP BY d.doc_id)
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+  CAST(SUM(p.n_sub) AS BIGINT) AS n_subword_tokens,
+  ROUND(CAST(SUM(p.n_sub) AS DOUBLE) / CAST(SUM(p.n_words) AS DOUBLE), 6)
+    AS fertility,
+  ROUND(CAST(SUM(LENGTH(s.text)) AS DOUBLE) / CAST(SUM(p.n_sub) AS DOUBLE), 6)
+    AS chars_per_token
+FROM {src} s JOIN perdoc p ON p.doc_id = s.doc_id
+GROUP BY s.lang
+"""

@@ -235,6 +235,16 @@ BUDGET = {
                                  # ADC agg + rank — all over store
                                  # scans; neither Lloyd chain on the
                                  # query path (plan-pinned)
+    "tokenizer_fertility": 2,    # doc-words join + per-lang agg over
+                                 # the checkpointed word-type counts
+                                 # (the walk pays its exchanges before
+                                 # its checkpoints)
+    "dedup_substring_fraction": 7,  # gram digest agg + shared-gram
+                                 # join + per-doc run window/agg +
+                                 # doclen join + per-source agg — only
+                                 # SPARSE shared-start rows cross the
+                                 # window pass, never a per-position
+                                 # table
 }
 
 
