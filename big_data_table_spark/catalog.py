@@ -6003,6 +6003,54 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
 )
 
 
+def theta_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted theta/KMV day store, full verb cycle end-to-end
+    (functions/sketches.py:theta_rollup_*): build the per-day ≤k-row
+    sample table, REPLAY two days' appends (safe — the sample is a
+    deterministic function of the day's key set, so replays write
+    duplicates the SET merge class absorbs), compact every multi-file
+    day to one de-duplicated file, then answer the 14-day distinct-count
+    range query from the store alone via the theta-union estimator, with
+    the exact distinct as the audit column.  The oracle re-derives the
+    samples from raw events and applies the identical estimator, so the
+    driver hash proves replay+compaction changed nothing.  Completes the
+    store matrix: the same persisted samples serve every overlap/churn
+    query (`theta_rolling_churn`) — distinct counts, retention, and
+    audience overlap from ONE day-partitioned store at days·k rows per
+    query."""
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_theta_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    SK.theta_rollup_build(ev, path, k=64)
+    for replay in (lo, hi):  # at-least-once: same days appended again
+        SK.theta_rollup_append_day(ev.filter(day == replay), path, replay, k=64)
+    SK.theta_rollup_compact_all(spark, path)
+    est = SK.theta_rollup_range_estimate(spark, path, lo, hi, k=64)
+    exact = (
+        ev.filter(day.between(lo, hi))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.crossJoin(exact)
+
+
+def _theta_rollup_persisted_oracle() -> str:
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    return SK.theta_rollup_range_sql(lo, hi, k=64, dialect=DUCK)
+
+
 def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (functions/subword.py:
     subword_fertility): subword tokens per whitespace word + chars per
@@ -6039,6 +6087,13 @@ def _substring_dedup_builder(dialect: str) -> str:
 
 CATALOG.update(
     {
+        "theta_rollup_persisted": QuerySpec(
+            theta_rollup_persisted_q,
+            _theta_rollup_persisted_oracle(),
+            doc="Persisted theta/KMV day store: build + replayed append "
+            "+ compact + range distinct via the theta-union estimator, "
+            "exact audit — the overlap-capable sketch store.",
+        ),
         "tokenizer_fertility": QuerySpec(
             tokenizer_fertility_q,
             _tokenizer_fertility_oracle(),
@@ -6335,6 +6390,7 @@ _R7_NEXT = [
     "curriculum_serving_order",
     "tokenizer_fertility",
     "dedup_substring_fraction",
+    "theta_rollup_persisted",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

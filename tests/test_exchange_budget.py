@@ -245,6 +245,13 @@ BUDGET = {
                                  # SPARSE shared-start rows cross the
                                  # window pass, never a per-position
                                  # table
+    "theta_rollup_persisted": 10,  # estimator assembly (theta agg +
+                                 # 1-row min + kept-distinct + n_days)
+                                 # over the CHECKPOINTED days·k store
+                                 # read + the exact-audit distinct a
+                                 # production range query would skip;
+                                 # build/append/compact run before the
+                                 # returned plan exists
 }
 
 

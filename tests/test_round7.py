@@ -765,3 +765,89 @@ def test_rollup_expire_retention(spark, sf_dir):
     # idempotent: a second run drops nothing
     assert SK.rollup_expire(path, cutoff) == []
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_theta_rollup_lifecycle_single_file_bitident(spark, sf_dir):
+    """The theta/KMV day store's full verb cycle: replayed appends leave
+    multi-file days whose read-side DISTINCT absorbs the duplicate
+    sample rows (SET merge class — the range estimate is bit-identical
+    before and after the replay), compaction drops every day to ONE
+    de-duplicated file without changing the estimate, re-compaction is
+    a no-op, and the estimator lands within the 3σ KMV band of the
+    exact distinct count."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "theta_rollup")
+    SK.theta_rollup_build(ev, path, k=64)
+    days = sorted(_day_files(path))
+    d0, d1 = days[0], days[1]
+    base = SK.theta_rollup_range_estimate(spark, path, d0, days[-1], k=64).collect()[0]
+
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    for d in (d0, d0, d1):  # d0 replayed twice — at-least-once delivery
+        SK.theta_rollup_append_day(ev.filter(day == d), path, d, k=64)
+    before = _day_files(path)
+    assert len(before[d0]) == 3 and len(before[d1]) == 2
+    pre = SK.theta_rollup_range_estimate(spark, path, d0, days[-1], k=64).collect()[0]
+    # replayed duplicate rows are invisible to the DISTINCT read path
+    assert (pre["n_days"], pre["est_distinct"]) == (
+        base["n_days"],
+        base["est_distinct"],
+    )
+
+    compacted = SK.theta_rollup_compact_all(spark, path)
+    assert compacted == {d0: 3, d1: 2}  # only multi-file days rewritten
+    after = _day_files(path)
+    assert all(len(v) == 1 for v in after.values()), after
+    for d in days[2:]:  # untouched days keep their exact files
+        assert after[d] == before[d], d
+    post = SK.theta_rollup_range_estimate(spark, path, d0, days[-1], k=64).collect()[0]
+    assert (pre["n_days"], pre["est_distinct"]) == (
+        post["n_days"],
+        post["est_distinct"],
+    )
+    assert SK.theta_rollup_compact_all(spark, path) == {}  # idempotent
+    assert _day_files(path) == after
+
+    # 3σ KMV band: rel error ≤ 3/sqrt(k) against the exact distinct
+    exact = (
+        ev.filter(day.between(d0, days[-1]))
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()[0]["x"]
+    )
+    assert abs(post["est_distinct"] - exact) <= 3.0 / (64**0.5) * exact + 1
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_theta_rollup_expire_retention(spark, sf_dir):
+    """`rollup_expire` (the generic fourth verb) applies to the theta
+    store unchanged: old days drop by partition removal, retained-range
+    estimates are bit-identical, expiry is idempotent."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "theta_rollup")
+    SK.theta_rollup_build(ev, path, k=64)
+    days = sorted(_day_files(path))
+    cut = days[2]
+    keep_lo, keep_hi = cut, days[-1]
+    pre = SK.theta_rollup_range_estimate(spark, path, keep_lo, keep_hi, k=64).collect()[0]
+    dropped = SK.rollup_expire(path, cut)
+    assert dropped == days[:2]
+    assert sorted(_day_files(path)) == days[2:]
+    post = SK.theta_rollup_range_estimate(spark, path, keep_lo, keep_hi, k=64).collect()[0]
+    assert (pre["n_days"], pre["est_distinct"]) == (
+        post["n_days"],
+        post["est_distinct"],
+    )
+    assert SK.rollup_expire(path, cut) == []  # idempotent
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
