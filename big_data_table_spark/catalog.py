@@ -6087,6 +6087,15 @@ def _substring_dedup_builder(dialect: str) -> str:
 
 CATALOG.update(
     {
+        "stream_packing_ledger": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_packing_ledger(spark, sf_dir),
+            _sequence_packing_oracle(),
+            doc="Streaming token ledger (4 real micro-batches) + "
+            "deterministic packing from the ledger SET — shares the "
+            "batch packing oracle verbatim: batching changed nothing.",
+        ),
         "theta_rollup_persisted": QuerySpec(
             theta_rollup_persisted_q,
             _theta_rollup_persisted_oracle(),
@@ -6391,6 +6400,7 @@ _R7_NEXT = [
     "tokenizer_fertility",
     "dedup_substring_fraction",
     "theta_rollup_persisted",
+    "stream_packing_ledger",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -45,6 +45,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     by: list[str] | None = None,
     tokens_col: str | None = None,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Per-document bin assignment: ``(by…, doc_id, n_tokens, bin_id)``.
 
@@ -59,7 +60,12 @@ def pack_sequences(
     never mix languages or sources); bin ids restart at 0 per group.
     With ``by`` the offset window is partitioned too, so the plan has
     NO unpartitioned window at all; without it the offset window runs
-    over the ≤256-row bucket-total table, bounded by construction."""
+    over the ≤256-row bucket-total table, bounded by construction.
+
+    ``hash_col`` supplies a precomputed layout hash instead of
+    ``md5(text_col)`` — what lets a persisted token LEDGER ``(doc_id,
+    h, n_tokens)`` drive packing without carrying the text at all
+    (the streaming ingestion path, ``stream_packing_ledger``)."""
     by = list(by or [])
     n_tokens = (
         F.col(tokens_col).cast("long")
@@ -69,7 +75,7 @@ def pack_sequences(
     d = docs.select(
         *by,
         F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col)).alias("h"),
+        (F.col(hash_col) if hash_col else F.md5(F.col(text_col))).alias("h"),
         n_tokens.alias("n_tokens"),
     )
     # phase 1: in-bucket exclusive prefix sum, windows partitioned by the

@@ -851,3 +851,39 @@ def test_theta_rollup_expire_retention(spark, sf_dir):
     )
     assert SK.rollup_expire(path, cut) == []  # idempotent
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_stream_packing_ledger_batch_boundary_independent(spark, sf_dir):
+    """The streaming-packing resolution's core claim: the packing layout
+    is a function of the token-ledger SET alone, so HOW the stream was
+    batched cannot matter.  Stream the corpus as 2 files and as 5 files
+    (different micro-batch counts and contents): the per-bin reports are
+    identical row-for-row, and both equal the batch packing path over
+    the same documents.  Multi-batch execution is real, not vacuous:
+    the ledger sink holds one batch=<id> dir per file."""
+    import os
+    import tempfile
+
+    from big_data_table_spark.functions.packing import pack_sequences, pack_summary
+    from big_data_table_spark.sources.readers import load_table
+    from big_data_table_spark.streaming.events import stream_packing_ledger
+
+    def report(n_files):
+        rows = stream_packing_ledger(spark, sf_dir, n_files=n_files).collect()
+        ledger_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"bdt_stream_pack_{spark.sparkContext.applicationId}_{n_files}",
+            "ledger",
+        )
+        batches = [d for d in os.listdir(ledger_dir) if d.startswith("batch=")]
+        assert len(batches) == n_files, batches  # one micro-batch per file
+        return sorted((r["bin_id"], r["n_docs"], r["bin_tokens"]) for r in rows)
+
+    a, b = report(2), report(5)
+    assert a == b
+    docs = load_table(spark, sf_dir, "documents")
+    batch = sorted(
+        (r["bin_id"], r["n_docs"], r["bin_tokens"])
+        for r in pack_summary(pack_sequences(docs, budget=2048), budget=2048).collect()
+    )
+    assert a == batch
