@@ -6051,6 +6051,53 @@ def _theta_rollup_persisted_oracle() -> str:
     return SK.theta_rollup_range_sql(lo, hi, k=64, dialect=DUCK)
 
 
+def theta_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The theta store's GROUP dimension (functions/sketches.py:
+    theta_rollup_grouped_build/..._range_estimate): per-(event_type,
+    day) KMV samples in day-partitioned parquet; the 14-day range query
+    estimates each group's distinct users from the pruned samples alone
+    (theta-union within group), with per-group exact audits.  Completes
+    the grouped-store triple with `hll_rollup_grouped_range` (distinct
+    counts) and `tdigest_rollup_grouped_range` (quantiles) — and unlike
+    the HLL registers, the SAME grouped samples also answer per-tenant
+    overlap/churn queries."""
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_theta_grp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    SK.theta_rollup_grouped_build(ev, path, "event_type", k=64)
+    est = SK.theta_rollup_grouped_range_estimate(spark, path, lo, hi, k=64)
+    exact = (
+        ev.filter(day.between(lo, hi))
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("event_type"), "n_days", "est_distinct", "exact_distinct"
+    )
+
+
+def _theta_rollup_grouped_oracle() -> str:
+    from .functions import sketches as SK
+
+    lo, hi = _ROLLUP_RANGE
+    sql = SK.theta_rollup_grouped_range_sql(lo, hi, k=64, dialect=DUCK)
+    return f"""
+SELECT grp AS event_type, n_days, est_distinct, exact_distinct
+FROM ({sql}) _t
+"""
+
+
 def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (functions/subword.py:
     subword_fertility): subword tokens per whitespace word + chars per
@@ -6069,6 +6116,20 @@ def _tokenizer_fertility_oracle() -> str:
     from .functions import subword as SW
 
     return SW.subword_fertility_sql(DUCK, k=64)
+
+
+def _substring_scrub_builder(dialect: str) -> str:
+    """All-but-one substring removal (functions/dedup.py:
+    substring_scrub_sql, w=8): per shared 8-gram the smallest doc_id
+    keeps its text, every other occurrence's covered positions are
+    removed, and the scrubbed document is rebuilt in word order — the
+    md5 fingerprint of the rebuilt text is the cross-engine proof of an
+    identical transform.  Pays the dense position explode the audit
+    entry avoids: run `dedup_substring_fraction` first, scrub when the
+    measured fraction warrants it."""
+    from .functions import dedup as DD
+
+    return DD.substring_scrub_sql(dialect, w=8)
 
 
 def _substring_dedup_builder(dialect: str) -> str:
@@ -6096,6 +6157,13 @@ CATALOG.update(
             "deterministic packing from the ledger SET — shares the "
             "batch packing oracle verbatim: batching changed nothing.",
         ),
+        "theta_rollup_grouped_range": QuerySpec(
+            theta_rollup_grouped_q,
+            _theta_rollup_grouped_oracle(),
+            doc="Grouped theta/KMV store: per-(event_type, day) samples, "
+            "per-group range distinct estimates + exact audit — the "
+            "overlap-capable grouped sketch store.",
+        ),
         "theta_rollup_persisted": QuerySpec(
             theta_rollup_persisted_q,
             _theta_rollup_persisted_oracle(),
@@ -6114,6 +6182,12 @@ CATALOG.update(
             doc="Sliding 8-word-window substring-duplication fraction "
             "per source — the distributed form of suffix-array "
             "substring dedup.",
+        ),
+        "dedup_substring_scrub": _dual(
+            _substring_scrub_builder,
+            doc="All-but-one substring removal: non-owner occurrences "
+            "of shared 8-grams scrubbed, rebuilt text fingerprinted "
+            "per affected doc.",
         ),
     }
 )
@@ -6401,6 +6475,8 @@ _R7_NEXT = [
     "dedup_substring_fraction",
     "theta_rollup_persisted",
     "stream_packing_ledger",
+    "theta_rollup_grouped_range",
+    "dedup_substring_scrub",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

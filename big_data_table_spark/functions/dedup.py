@@ -562,9 +562,70 @@ FROM perdoc GROUP BY source
 """
 
 
+def substring_scrub_sql(dialect: str, w: int = 8) -> str:
+    """The ACTIONABLE form of :func:`substring_dedup_sql` — not just the
+    audit but the transform: rewrite each affected document with its
+    duplicated positions removed, keeping ONE canonical occurrence of
+    every shared span (per shared gram the smallest doc_id is the owner
+    and keeps its text; only non-owner occurrences are scrubbed) —
+    all-but-one removal, what Lee et al.'s substring dedup DOES to a
+    corpus rather than reports about it, and the same keep-one
+    discipline as `dedup_keep_best_quality`.  Output per AFFECTED doc:
+    word counts and the md5 fingerprint of the scrubbed text — the
+    fingerprint proves both engines reconstruct the identical
+    post-scrub document, word order included.
+
+    Reconstruction needs per-position coverage, so this op pays the
+    corpus-width position explode the audit avoids (audit: sparse
+    interval union; scrub: dense rebuild — run the audit first, scrub
+    only when the dup fraction warrants it).  Coverage spreads from the
+    sparse shared starts with one per-doc windowed MAX; the ordered
+    rebuild is ``string_agg(word ORDER BY pos)`` on DuckDB and a
+    collect-sort-transform on Spark (identical strings by
+    construction)."""
+    lat_g = lateral_seq("1", f"{arr_len('w', dialect)} - {w - 1}", "pos", dialect)
+    lat_all = lateral_seq("1", arr_len("w", dialect), "pos", dialect)
+    gram = arr_slice_join("w", "pos", w, " ", dialect)
+    word = arr_el("w", "pos", dialect)
+    ws = split_ws("lower(text)", dialect)
+    if dialect == SPARK:
+        rebuild = (
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "named_struct('pos', pos, 'kw', word)) "
+            "FILTER (WHERE covered = 0)), s -> s.kw))"
+        )
+    else:
+        rebuild = "string_agg(word, ' ' ORDER BY pos) FILTER (WHERE covered = 0)"
+    return f"""
+WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, {ws} AS w FROM documents),
+gdocs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= {w}),
+grams AS (SELECT doc_id, pos, substr(md5({gram}), 1, 16) AS h FROM gdocs {lat_g}),
+shared AS (
+  SELECT h, CAST(MIN(doc_id) AS BIGINT) AS owner
+  FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+hits AS (
+  SELECT g.doc_id, g.pos, 1 AS f
+  FROM grams g JOIN shared s ON g.h = s.h WHERE g.doc_id <> s.owner),
+positions AS (SELECT doc_id, pos, {word} AS word FROM words {lat_all}),
+cov AS (
+  SELECT p.doc_id, p.pos, p.word,
+    MAX(COALESCE(hh.f, 0)) OVER (PARTITION BY p.doc_id ORDER BY p.pos
+      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS covered
+  FROM positions p LEFT JOIN hits hh ON hh.doc_id = p.doc_id AND hh.pos = p.pos),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(covered) AS BIGINT) AS n_removed,
+    md5(COALESCE({rebuild}, '')) AS scrubbed_fp
+  FROM cov GROUP BY doc_id)
+SELECT doc_id, n_words, n_removed, scrubbed_fp
+FROM perdoc WHERE n_removed > 0
+"""
+
+
 __all__ = [
     "exact_dedup_sql",
     "substring_dedup_sql",
+    "substring_scrub_sql",
     "incremental_dedup_sql",
     "lsh_index_build",
     "lsh_index_append",

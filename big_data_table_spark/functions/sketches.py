@@ -1905,3 +1905,150 @@ SELECT n_days,
   exact_distinct
 FROM nd CROSS JOIN ex
 """
+
+
+def _add_finalizer_hash(df: DataFrame) -> DataFrame:
+    """Apply the murmur3-finalizer chain to column ``v`` → ``h`` (the
+    shared kernel of ``_hashed_values`` / ``_hashed_values_grouped``,
+    exposed for frames with arbitrary carried group columns)."""
+    return (
+        df.withColumn("h", F.expr(_fold64_sql("v", SPARK)))
+        .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 16, SPARK), _C1)))
+        .withColumn("h", F.expr(_mulmod_sql(_shr_xor_sql("h", 13, SPARK), _C2)))
+        .withColumn("h", F.expr(_shr_xor_sql("h", 16, SPARK)))
+    )
+
+
+def theta_rollup_grouped_build(
+    ev: DataFrame,
+    path: str,
+    group_col: str,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 64,
+) -> None:
+    """The theta store's GROUP dimension: per-(group, day) ≤k-row KMV
+    samples, day-partitioned — per-tenant distinct counts and overlaps
+    over any window from one store.  Same layout contract as the
+    ungrouped store (SET merge class, day-grain appends); the sample
+    rank window partitions by (group, day), so parallelism scales with
+    groups×days.
+
+    Note the append grain the sample forces: a day's sample is the k
+    smallest of the day's FULL distinct key set, so writes are per
+    completed (group, day) — a per-micro-batch streaming writer cannot
+    recover the day's distinct count ``n`` from batch fragments (counts
+    of overlapping batches don't merge; that is what the sketch itself
+    is for).  Streaming maintenance for this store is therefore
+    day-grain promotion (collect a day, then append), unlike the HLL
+    register store whose rows MAX-merge at ANY grain."""
+    from pyspark.sql import Window
+
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    hv = _add_finalizer_hash(
+        ev.select(
+            F.col(group_col).alias("grp"), day, F.col(value_col).cast("long").alias("v")
+        ).distinct()
+    )
+    n = hv.groupBy("grp", "day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("grp", "day").orderBy("h", "v")
+    rows = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .join(F.broadcast(n), ["grp", "day"])
+        .select("grp", "day", "v", "h", "n")
+    )
+    rows.write.mode("overwrite").partitionBy("day").parquet(path)
+
+
+def theta_rollup_grouped_range_estimate(
+    spark, path: str, lo: str, hi: str, k: int = 64
+) -> DataFrame:
+    """Per-group range distinct counts from the persisted samples alone:
+    ``(grp, n_days, est_distinct)`` — the theta-union estimator applied
+    within each group (theta = MIN over the group's days)."""
+    full = float(_MOD)
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(lo, hi))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    theta = rows.groupBy("grp", "day", "n").agg(F.max("h").alias("hk")).select(
+        "grp",
+        F.when(F.col("n") > k, F.col("hk").cast("double"))
+        .otherwise(F.lit(full))
+        .alias("th"),
+    )
+    thmin = theta.groupBy("grp").agg(F.min("th").alias("th"))
+    c = (
+        rows.join(F.broadcast(thmin), "grp")
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("grp")
+        .agg(F.countDistinct("v").alias("c"))
+    )
+    n_days = rows.groupBy("grp").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    return (
+        n_days.join(c, "grp")
+        .join(F.broadcast(thmin), "grp")
+        .select(
+            "grp",
+            "n_days",
+            F.round(F.col("c") * F.lit(full) / F.col("th"), 4).alias("est_distinct"),
+        )
+    )
+
+
+def theta_rollup_grouped_range_sql(
+    lo: str,
+    hi: str,
+    k: int = 64,
+    dialect: str = SPARK,
+    src: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+) -> str:
+    """Oracle of :func:`theta_rollup_grouped_range_estimate` + per-group
+    exact audit: (grp, n_days, est_distinct, exact_distinct)."""
+    full = float(_MOD)
+    pred = f"CAST({ts_col} AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
+    return f"""
+WITH ev AS (
+  SELECT {group_col} AS grp, CAST(CAST({ts_col} AS DATE) AS VARCHAR) AS day,
+    CAST({value_col} AS BIGINT) AS vv
+  FROM {src} WHERE {pred}),
+dv AS (SELECT DISTINCT grp, day, vv AS v FROM ev),
+{_named_hash_ctes("_tg", "dv", "grp, day, v", "v", dialect)},
+ranked AS (
+  SELECT grp, day, v, h,
+    ROW_NUMBER() OVER (PARTITION BY grp, day ORDER BY h, v) AS rn
+  FROM _tgf),
+stats AS (
+  SELECT grp, day, CAST(COUNT(*) AS BIGINT) AS n FROM dv GROUP BY grp, day),
+smp AS (SELECT grp, day, v, h FROM ranked WHERE rn <= {k}),
+theta AS (
+  SELECT s.grp, s.day,
+    CASE WHEN st.n > {k} THEN CAST(MAX(s.h) AS DOUBLE) ELSE {full!r} END AS th
+  FROM smp s JOIN stats st ON s.grp = st.grp AND s.day = st.day
+  GROUP BY s.grp, s.day, st.n),
+thmin AS (SELECT grp, MIN(th) AS th FROM theta GROUP BY grp),
+kept AS (
+  SELECT s.grp, CAST(COUNT(DISTINCT s.v) AS BIGINT) AS c
+  FROM smp s JOIN thmin t ON s.grp = t.grp WHERE s.h < t.th GROUP BY s.grp),
+nd AS (
+  SELECT grp, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM dv GROUP BY grp),
+ex AS (
+  SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct
+  FROM dv GROUP BY grp)
+SELECT nd.grp, nd.n_days,
+  ROUND(kept.c * {full!r} / thmin.th, 4) AS est_distinct,
+  ex.exact_distinct
+FROM nd
+JOIN kept ON kept.grp = nd.grp
+JOIN thmin ON thmin.grp = nd.grp
+JOIN ex ON ex.grp = nd.grp
+"""

@@ -252,6 +252,15 @@ BUDGET = {
                                  # production range query would skip;
                                  # build/append/compact run before the
                                  # returned plan exists
+    "theta_rollup_grouped_range": 10,  # same assembly per group over
+                                 # the checkpointed groups·days·k store
+                                 # read + the per-group exact audit —
+                                 # grouping widens rows, not the merge
+    "dedup_substring_scrub": 6,  # gram digest/owner agg + non-owner
+                                 # hit join + coverage join/window +
+                                 # per-doc rebuild agg — the dense
+                                 # position explode is map-side; only
+                                 # (doc, pos) pairs shuffle
 }
 
 
