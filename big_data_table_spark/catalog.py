@@ -6051,6 +6051,77 @@ def _theta_rollup_persisted_oracle() -> str:
     return SK.theta_rollup_range_sql(lo, hi, k=64, dialect=DUCK)
 
 
+def curriculum_packed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-loader's FINAL product: the epoch-resampled mixture
+    (`mixture_resample_epochs` pick chain), interleaved in curriculum
+    serving order (epoch inside the layout hash, so repeats scatter),
+    PACKED into 2048-token context windows — per bin: draw count, token
+    fill, and the number of distinct sources mixed into the window.
+    This is the composition the three stages exist for — resample →
+    shuffle → pack — and the per-bin n_sources column makes the mixing
+    property measurable (a well-shuffled curriculum fills every window
+    from many sources; a sorted-by-source loader would show 1).
+
+    Spark plan: checkpointed pick multiset (the CTE-inlining
+    discipline) joined to token counts, then the SAME two-phase packer
+    as every packing entry (`pack_sequences(hash_col=..., carry=...)`)
+    — no unpartitioned corpus window; the oracle lays out the identical
+    multiset with one global-window cumsum."""
+    from .functions.packing import pack_sequences
+    from .functions.portable import arr_len, split_ws
+
+    register_views(spark, sf_dir)
+    pick = spark.sql(
+        f"WITH {_mixture_epochs_pick_ctes(SPARK)} "
+        "SELECT source, doc_id, e FROM pick"
+    ).localCheckpoint(eager=True)
+    docs = spark.table("documents").select("doc_id", "text")
+    tok = F.expr(arr_len(split_ws("text", SPARK), SPARK)).cast("long")
+    draws = pick.join(docs, "doc_id").select(
+        "source",
+        "doc_id",
+        "e",
+        F.md5(F.concat(F.col("text"), F.lit(":"), F.col("e").cast("string"))).alias(
+            "h"
+        ),
+        tok.alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        draws, budget=2048, tokens_col="n_tokens", hash_col="h", carry=["source"]
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_draws"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(2048.0), 6).alias("fill_ratio"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def _curriculum_packed_batches_oracle() -> str:
+    from .functions.portable import arr_len, split_ws
+
+    tok = arr_len(split_ws("d.text", DUCK), DUCK)
+    return f"""
+WITH {_mixture_epochs_pick_ctes(DUCK)},
+draws AS (
+  SELECT p.source, p.doc_id, p.e,
+    md5(concat(d.text, ':', CAST(p.e AS VARCHAR))) AS h,
+    CAST({tok} AS BIGINT) AS n_tokens
+  FROM pick p JOIN documents d ON d.doc_id = p.doc_id),
+laid AS (
+  SELECT source, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM draws)
+SELECT CAST(FLOOR(prefix / 2048.0) AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_draws,
+  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+  ROUND(SUM(n_tokens) / CAST(2048 AS DOUBLE), 6) AS fill_ratio,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM laid GROUP BY bin_id
+"""
+
+
 def theta_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The theta store's GROUP dimension (functions/sketches.py:
     theta_rollup_grouped_build/..._range_estimate): per-(event_type,
@@ -6156,6 +6227,13 @@ CATALOG.update(
             doc="Streaming token ledger (4 real micro-batches) + "
             "deterministic packing from the ledger SET — shares the "
             "batch packing oracle verbatim: batching changed nothing.",
+        ),
+        "curriculum_packed_batches": QuerySpec(
+            curriculum_packed_batches_q,
+            _curriculum_packed_batches_oracle(),
+            doc="Epoch-resampled mixture, curriculum-interleaved and "
+            "packed into 2048-token windows — per-bin fill + distinct "
+            "sources: the loader's final product.",
         ),
         "theta_rollup_grouped_range": QuerySpec(
             theta_rollup_grouped_q,
@@ -6477,6 +6555,7 @@ _R7_NEXT = [
     "stream_packing_ledger",
     "theta_rollup_grouped_range",
     "dedup_substring_scrub",
+    "curriculum_packed_batches",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -46,6 +46,7 @@ def pack_sequences(
     by: list[str] | None = None,
     tokens_col: str | None = None,
     hash_col: str | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Per-document bin assignment: ``(by…, doc_id, n_tokens, bin_id)``.
 
@@ -65,8 +66,12 @@ def pack_sequences(
     ``hash_col`` supplies a precomputed layout hash instead of
     ``md5(text_col)`` — what lets a persisted token LEDGER ``(doc_id,
     h, n_tokens)`` drive packing without carrying the text at all
-    (the streaming ingestion path, ``stream_packing_ledger``)."""
+    (the streaming ingestion path, ``stream_packing_ledger``).
+    ``carry`` names extra columns to pass through to the output
+    untouched (e.g. the draw's source/epoch in the curriculum packing
+    composition) — they take no part in the layout."""
     by = list(by or [])
+    carry = list(carry or [])
     n_tokens = (
         F.col(tokens_col).cast("long")
         if tokens_col
@@ -74,6 +79,7 @@ def pack_sequences(
     )
     d = docs.select(
         *by,
+        *carry,
         F.col(id_col).alias("doc_id"),
         (F.col(hash_col) if hash_col else F.md5(F.col(text_col))).alias("h"),
         n_tokens.alias("n_tokens"),
@@ -105,6 +111,7 @@ def pack_sequences(
         d.join(F.broadcast(offsets), by + ["bucket"])
         .select(
             *by,
+            *carry,
             "doc_id",
             "n_tokens",
             F.floor((F.col("offset") + F.col("in_prefix")) / F.lit(budget))

@@ -261,6 +261,11 @@ BUDGET = {
                                  # per-doc rebuild agg — the dense
                                  # position explode is map-side; only
                                  # (doc, pos) pairs shuffle
+    "curriculum_packed_batches": 5,  # draws join + packing's in-bucket
+                                 # window/offset pair + per-bin agg
+                                 # over the checkpointed pick multiset
+                                 # — the oracle's global-window cumsum
+                                 # never appears
 }
 
 
