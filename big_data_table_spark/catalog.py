@@ -6189,6 +6189,17 @@ def _tokenizer_fertility_oracle() -> str:
     return SW.subword_fertility_sql(DUCK, k=64)
 
 
+def _ann_recall_builder(dialect: str) -> str:
+    """Recall@5 of the shipped IVF search vs exact cosine over the same
+    queries (functions/similarity.py:ann_recall_report_sql): the number
+    the ANN docstrings state, now driver-hashed.  Low absolute recall on
+    the uniform-random fixtures is the documented expectation — the
+    entry pins that the measurement itself is correct and stable."""
+    from .functions import similarity as SIM
+
+    return SIM.ann_recall_report_sql(dialect, k=5)
+
+
 def _substring_scrub_builder(dialect: str) -> str:
     """All-but-one substring removal (functions/dedup.py:
     substring_scrub_sql, w=8): per shared 8-gram the smallest doc_id
@@ -6260,6 +6271,11 @@ CATALOG.update(
             doc="Sliding 8-word-window substring-duplication fraction "
             "per source — the distributed form of suffix-array "
             "substring dedup.",
+        ),
+        "ann_recall_report": _dual(
+            _ann_recall_builder,
+            doc="Recall@5 of IVF vs exact cosine on the same query set "
+            "— the ANN honesty metric as a driver-hashed result.",
         ),
         "dedup_substring_scrub": _dual(
             _substring_scrub_builder,
@@ -6556,6 +6572,7 @@ _R7_NEXT = [
     "theta_rollup_grouped_range",
     "dedup_substring_scrub",
     "curriculum_packed_batches",
+    "ann_recall_report",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -84,15 +84,20 @@ def embedding_neardup_sql(dialect: str, threshold: float = 0.35) -> str:
     )
 
 
-def ann_topk_sql(dialect: str, n_queries: int = 5, k: int = 10) -> str:
-    """Brute-force cosine top-k: the first ``n_queries`` vectors by id are
-    the query set; rank the rest of the corpus per query.  Ranking key is
-    (cosine rounded to 9 dp DESC, vec_id ASC) — a total order shared by
-    both engines."""
+def ann_topk_sql(
+    dialect: str, n_queries: int = 5, k: int = 10, q_offset: int = 0
+) -> str:
+    """Brute-force cosine top-k: ``n_queries`` vectors by id (from
+    ``q_offset``, default the first ids) are the query set; rank the rest
+    of the corpus per query.  Ranking key is (cosine rounded to 9 dp
+    DESC, vec_id ASC) — a total order shared by both engines.
+    ``q_offset`` aligns the query set with an approximate variant's
+    (the recall report scores IVF against exact over the SAME queries)."""
     cos = f"({_dot_sql('q.e', 'c.e', dialect)} / (q.nrm * c.nrm))"
     return (
         f"WITH {_vecs_cte(dialect)}, "
-        f"q AS (SELECT vec_id, e, nrm FROM v WHERE vec_id < {n_queries}), "
+        f"q AS (SELECT vec_id, e, nrm FROM v "
+        f"WHERE vec_id >= {q_offset} AND vec_id < {q_offset + n_queries}), "
         "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
         f"ROUND({cos}, 9) AS cos_sim "
         "FROM q JOIN v c ON c.vec_id <> q.vec_id), "
@@ -331,6 +336,37 @@ def ann_ivf_topk_sql(
         f"SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk "
         f"FROM ranked WHERE rnk <= {k}"
     )
+
+
+def ann_recall_report_sql(dialect: str, k: int = 5) -> str:
+    """Recall@k of the IVF search against exact brute-force cosine over
+    the SAME query set — the honesty metric every ANN deployment tracks,
+    promoted from a hand-measured docstring number to a driver-hashed
+    result.  Per query: how many of the exact top-k the IVF probe
+    returned, the IVF's returned-row count (cells can undershoot k), and
+    recall = hits/k.  Both arms are the existing dual-dialect statements
+    (``ann_ivf_topk_sql``, ``ann_topk_sql`` with the aligned query
+    offset) composed as derived tables, so the report measures exactly
+    the searches the catalog ships.  At 100 TB this is the recurring
+    evaluation job that decides n_probe — run on a sampled query set,
+    the exact arm is the only corpus-wide scan and the sample bounds
+    it."""
+    ivf = ann_ivf_topk_sql(dialect, k=k)  # queries are ids 8..12
+    exact = ann_topk_sql(dialect, n_queries=5, k=k, q_offset=8)
+    # FULL join: a query whose probed cells return nothing still shows
+    # up (n_ret = 0, recall 0) — the exact arm always has its k rows
+    return f"""
+SELECT COALESCE(i.query_id, e.query_id) AS query_id,
+  CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_ret,
+  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL AND e.neighbor_id IS NOT NULL
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  ROUND(SUM(CASE WHEN i.neighbor_id IS NOT NULL AND e.neighbor_id IS NOT NULL
+    THEN 1 ELSE 0 END) / CAST({k} AS DOUBLE), 6) AS recall_at_k
+FROM ({ivf}) i
+FULL JOIN ({exact}) e
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY COALESCE(i.query_id, e.query_id)
+"""
 
 
 def label_centroids_sql(dialect: str) -> str:

@@ -266,6 +266,12 @@ BUDGET = {
                                  # over the checkpointed pick multiset
                                  # — the oracle's global-window cumsum
                                  # never appears
+    "ann_recall_report": 17,     # the evaluation job: BOTH search arms
+                                 # (IVF probe chain + the exact arm's
+                                 # corpus scan) + the full-join recall
+                                 # agg — production runs this on a
+                                 # sampled query set, and the exact arm
+                                 # is the cost the sample bounds
 }
 
 
