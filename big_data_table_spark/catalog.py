@@ -6189,6 +6189,84 @@ def _tokenizer_fertility_oracle() -> str:
     return SW.subword_fertility_sql(DUCK, k=64)
 
 
+def dedup_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate RECALL against exact n-gram Jaccard — the dedup
+    twin of `ann_recall_report`, and the measurable form of the LSH
+    S-curve: with 4 bands × 3 rows the catch probability of a pair at
+    similarity J is 1−(1−J³)⁴ (≈0.41 at J=0.5, ≈0.93 at J=0.8), so
+    recall RISES with the threshold — exactly what this report shows,
+    and the number that decides the band/row split before a production
+    dedup run.  Truth = the shipped exact-verification pairs
+    (`ngram_jaccard_pairs_sql`, J ≥ 0.5); retrieved = the shipped
+    band-bucket candidates; per threshold in {0.5, 0.7, 0.9}: truth
+    pairs, caught pairs, recall, with the candidate-set size alongside.
+
+    Spark plan: truth/band tables each computed ONCE and checkpointed
+    (the banded self-join re-inlines the whole signature chain per
+    reference otherwise), assembly is joins over pair ids."""
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    truth = spark.sql(
+        DD.ngram_jaccard_pairs_sql(SPARK, threshold=0.05)
+    ).localCheckpoint(eager=True)
+    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
+    cands = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    th = spark.sql(
+        "SELECT CAST(0.05 AS DOUBLE) AS threshold UNION ALL "
+        "SELECT CAST(0.5 AS DOUBLE) UNION ALL SELECT CAST(0.9 AS DOUBLE)"
+    )
+    j = truth.join(
+        cands.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).withColumn("hit", F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        j.join(F.broadcast(th), j["jaccard"] >= th["threshold"])
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(F.sum("hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+        .crossJoin(F.broadcast(n_cand))
+    )
+
+
+def _dedup_lsh_recall_oracle() -> str:
+    from .functions import dedup as DD
+
+    truth = DD.ngram_jaccard_pairs_sql(DUCK, threshold=0.05)
+    cands = DD.minhash_lsh_pairs_sql(DUCK)
+    return f"""
+WITH th AS (
+  SELECT CAST(0.05 AS DOUBLE) AS threshold UNION ALL
+  SELECT CAST(0.5 AS DOUBLE) UNION ALL SELECT CAST(0.9 AS DOUBLE)),
+j AS (
+  SELECT t.jaccard, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM ({truth}) t
+  LEFT JOIN ({cands}) c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM ({cands}) _c)
+SELECT th.threshold, CAST(COUNT(*) AS BIGINT) AS n_true,
+  CAST(SUM(hit) AS BIGINT) AS n_hits,
+  ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS recall,
+  (SELECT n_candidates FROM nc) AS n_candidates
+FROM j JOIN th ON j.jaccard >= th.threshold
+GROUP BY th.threshold
+"""
+
+
 def _ann_recall_builder(dialect: str) -> str:
     """Recall@5 of the shipped IVF search vs exact cosine over the same
     queries (functions/similarity.py:ann_recall_report_sql): the number
@@ -6276,6 +6354,12 @@ CATALOG.update(
             _ann_recall_builder,
             doc="Recall@5 of IVF vs exact cosine on the same query set "
             "— the ANN honesty metric as a driver-hashed result.",
+        ),
+        "dedup_lsh_recall_report": QuerySpec(
+            dedup_lsh_recall_q,
+            _dedup_lsh_recall_oracle(),
+            doc="LSH candidate recall vs exact Jaccard per threshold — "
+            "the measurable S-curve that sizes the band/row split.",
         ),
         "dedup_substring_scrub": _dual(
             _substring_scrub_builder,
@@ -6573,6 +6657,7 @@ _R7_NEXT = [
     "dedup_substring_scrub",
     "curriculum_packed_batches",
     "ann_recall_report",
+    "dedup_lsh_recall_report",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -272,6 +272,11 @@ BUDGET = {
                                  # agg — production runs this on a
                                  # sampled query set, and the exact arm
                                  # is the cost the sample bounds
+    "dedup_lsh_recall_report": 4,  # pair join + threshold fan-out agg
+                                 # over the CHECKPOINTED truth/band/
+                                 # candidate tables (each computed
+                                 # once; the single-statement form
+                                 # re-inlines the signature chain)
 }
 
 
