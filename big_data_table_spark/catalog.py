@@ -4966,6 +4966,45 @@ FROM w
 """
 
 
+def _mixture_token_plan_builder(dialect: str) -> str:
+    """The mixing loop's PLANNING table: allocate a 1M-token training
+    budget across sources by the temperature weights (`source_mixture_
+    weights`' sqrt scheme) and report what the allocation implies —
+    planned tokens per source and EPOCHS NEEDED (planned/available;
+    >1 means the source repeats, the oversampling `mixture_resample_
+    epochs` executes).  This is the table that justifies the epoch
+    machinery before a run starts.  Exactness: the fixed-point sw
+    weights and the 1M budget keep every numerator ≤ ~2e14 — inside
+    double's exact-integer range — so FLOOR lands identically in both
+    engines; IEEE division is correctly rounded in both."""
+    from .functions.portable import arr_len, split_ws
+
+    tok = arr_len(split_ws("text", dialect), dialect)
+    budget = 1_000_000
+    return f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM({tok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
+  FROM s),
+p AS (
+  SELECT source, n_docs, n_tokens, sw,
+    CAST(FLOOR(CAST(sw AS DOUBLE) * {budget}
+      / CAST((SELECT SUM(sw) FROM w) AS DOUBLE)) AS BIGINT) AS planned_tokens
+  FROM w)
+SELECT source, n_docs, n_tokens,
+  ROUND(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE), 6)
+    AS mix_weight,
+  planned_tokens,
+  ROUND(CAST(planned_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+    AS epochs_needed
+FROM p
+"""
+
+
 def _mixture_resample_builder(dialect: str) -> str:
     """Closes the mixing loop: CONSUME the temperature weights
     (`source_mixture_weights`'s sqrt scheme) as per-source document
@@ -6267,6 +6306,37 @@ GROUP BY th.threshold
 """
 
 
+def _window_rank_family_builder(dialect: str) -> str:
+    """The remaining SQL-standard rank-family windows in one entry —
+    NTILE (equi-depth bucketing), PERCENT_RANK, CUME_DIST — per order
+    priority over order value, reported as quartile summaries (count,
+    price band, boundary ranks).  Rounds out the window-function surface
+    (topk/running-sum/lag-lead already covered).  The ordering key
+    appends o_orderkey so NTILE's bucket split is a total order; both
+    engines implement the SQL-standard larger-buckets-first NTILE and
+    the (rank−1)/(n−1) PERCENT_RANK, so every emitted number is exact.
+    One partitioned window pass + one grouped aggregate; nothing
+    unpartitioned."""
+    return """
+WITH r AS (
+  SELECT o_orderpriority AS priority, o_totalprice,
+    NTILE(4) OVER (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice, o_orderkey) AS quartile,
+    PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice, o_orderkey) AS pr,
+    CUME_DIST() OVER (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice, o_orderkey) AS cd
+  FROM orders)
+SELECT priority, CAST(quartile AS BIGINT) AS quartile,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+  ROUND(MAX(pr), 6) AS max_pct_rank,
+  ROUND(MAX(cd), 6) AS max_cume_dist
+FROM r GROUP BY priority, quartile
+"""
+
+
 def _ann_recall_builder(dialect: str) -> str:
     """Recall@5 of the shipped IVF search vs exact cosine over the same
     queries (functions/similarity.py:ann_recall_report_sql): the number
@@ -6360,6 +6430,17 @@ CATALOG.update(
             _dedup_lsh_recall_oracle(),
             doc="LSH candidate recall vs exact Jaccard per threshold — "
             "the measurable S-curve that sizes the band/row split.",
+        ),
+        "mixture_token_plan": _dual(
+            _mixture_token_plan_builder,
+            doc="Token-budget allocation across sources by temperature "
+            "weight, with epochs-needed — the planning table before a "
+            "mixture run.",
+        ),
+        "window_rank_family": _dual(
+            _window_rank_family_builder,
+            doc="NTILE/PERCENT_RANK/CUME_DIST per order priority, "
+            "quartile summaries — the remaining rank-family windows.",
         ),
         "dedup_substring_scrub": _dual(
             _substring_scrub_builder,
@@ -6658,6 +6739,8 @@ _R7_NEXT = [
     "curriculum_packed_batches",
     "ann_recall_report",
     "dedup_lsh_recall_report",
+    "mixture_token_plan",
+    "window_rank_family",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -277,6 +277,11 @@ BUDGET = {
                                  # candidate tables (each computed
                                  # once; the single-statement form
                                  # re-inlines the signature chain)
+    "mixture_token_plan": 5,     # per-source agg + the two scalar
+                                 # denominator subqueries Spark inlines
+                                 # (≤20-row weight tables)
+    "window_rank_family": 2,     # one partitioned window pass + the
+                                 # quartile summary agg
 }
 
 
