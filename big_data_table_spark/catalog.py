@@ -6306,6 +6306,60 @@ GROUP BY th.threshold
 """
 
 
+def _events_top_paths_builder(dialect: str) -> str:
+    """Session PATH analysis — the clickstream query the funnel/cohort
+    family was missing: sessionize (30-min gap, the `events_sessionize`
+    boundary rule verbatim), serialize each session's first 8 event
+    types into an ordered `a>b>c` path, and report the top-15 paths
+    with session counts and average full session length.  Determinism:
+    the path order key is (ts, event_type) — same-timestamp events
+    order by type, and identical (ts, type) duplicates are
+    order-invariant in the string; the cumulative session id is stable
+    under timestamp ties because tied rows always carry gap 0.  One
+    window cascade partitioned by user + one digest-sized path
+    aggregate; TakeOrdered for the top-15 — no unpartitioned corpus
+    window."""
+    from .functions.portable import epoch_s
+
+    ep = epoch_s("ts", dialect)
+    if dialect == SPARK:
+        pathagg = (
+            "concat_ws('>', transform(array_sort(collect_list("
+            "named_struct('rn', rn, 'et', event_type))), s -> s.et))"
+        )
+    else:
+        pathagg = "string_agg(event_type, '>' ORDER BY rn)"
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN {ep} - LAG({ep}) OVER w IS NULL THEN 1
+         WHEN {ep} - LAG({ep}) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+sessions AS (
+  SELECT user_id, ts, event_type,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged),
+ranked AS (
+  SELECT user_id, sid, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, sid
+      ORDER BY ts ASC, event_type ASC) AS rn
+  FROM sessions),
+sizes AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, sid),
+paths AS (
+  SELECT user_id, sid, {pathagg} AS path
+  FROM ranked WHERE rn <= 8 GROUP BY user_id, sid)
+SELECT p.path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  ROUND(AVG(CAST(s.n_events AS DOUBLE)), 6) AS avg_session_events
+FROM paths p JOIN sizes s ON s.user_id = p.user_id AND s.sid = p.sid
+GROUP BY p.path
+ORDER BY n_sessions DESC, path ASC LIMIT 15
+"""
+
+
 def _window_rank_family_builder(dialect: str) -> str:
     """The remaining SQL-standard rank-family windows in one entry —
     NTILE (equi-depth bucketing), PERCENT_RANK, CUME_DIST — per order
@@ -6441,6 +6495,12 @@ CATALOG.update(
             _window_rank_family_builder,
             doc="NTILE/PERCENT_RANK/CUME_DIST per order priority, "
             "quartile summaries — the remaining rank-family windows.",
+        ),
+        "events_top_paths": _dual(
+            _events_top_paths_builder,
+            doc="Top-15 session event-type paths (30-min sessionize + "
+            "ordered path serialization) with session counts and "
+            "average length — clickstream path analysis.",
         ),
         "dedup_substring_scrub": _dual(
             _substring_scrub_builder,
@@ -6741,6 +6801,7 @@ _R7_NEXT = [
     "dedup_lsh_recall_report",
     "mixture_token_plan",
     "window_rank_family",
+    "events_top_paths",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

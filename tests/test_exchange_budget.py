@@ -282,6 +282,9 @@ BUDGET = {
                                  # (≤20-row weight tables)
     "window_rank_family": 2,     # one partitioned window pass + the
                                  # quartile summary agg
+    "events_top_paths": 3,       # user-partitioned window cascade +
+                                 # path agg + top-path agg; top-15 is
+                                 # TakeOrderedAndProject
 }
 
 
