@@ -400,3 +400,134 @@ def test_asof_tolerance_matches_merge_asof(spark, lt, rt, tol):
     pd.testing.assert_series_equal(
         got["rv"].astype("float64"), exp["rv"].astype("float64"), check_names=False
     )
+
+
+@st.composite
+def _corpora(draw):
+    """Small corpora over a 3-word alphabet so shared w-grams are
+    common: 4-10 docs, 1-14 words each, two sources."""
+    n = draw(st.integers(4, 10))
+    docs = []
+    for i in range(n):
+        ln = draw(st.integers(1, 14))
+        ws = draw(
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=ln, max_size=ln)
+        )
+        docs.append(
+            {
+                "doc_id": i,
+                "source": draw(st.sampled_from(["s0", "s1"])),
+                "text": " ".join(ws),
+            }
+        )
+    return docs
+
+
+def _py_substring_fraction(docs, w):
+    """Independent brute-force reference of dedup/substring_dedup_sql:
+    dense covered-position sets, no interval-union shortcut — if the
+    SQL's sparse LAG-run arithmetic is wrong anywhere, this disagrees."""
+    words = {d["doc_id"]: d["text"].lower().strip().split() for d in docs}
+    grams: dict = {}
+    for did, ws in words.items():
+        for p in range(len(ws) - w + 1):
+            grams.setdefault(tuple(ws[p : p + w]), set()).add(did)
+    shared = {g for g, s in grams.items() if len(s) >= 2}
+    rows = {}
+    for d in docs:
+        ws = words[d["doc_id"]]
+        covered: set = set()
+        for p in range(len(ws) - w + 1):
+            if tuple(ws[p : p + w]) in shared:
+                covered.update(range(p, p + w))
+        src = d["source"]
+        agg = rows.setdefault(
+            src, {"n_docs": 0, "n_words": 0, "dup_words": 0, "hit": 0, "maj": 0}
+        )
+        agg["n_docs"] += 1
+        agg["n_words"] += len(ws)
+        agg["dup_words"] += len(covered)
+        agg["hit"] += 1 if covered else 0
+        agg["maj"] += 1 if 2 * len(covered) > len(ws) else 0
+    return rows
+
+
+@SETTINGS
+@given(docs=_corpora())
+def test_substring_dedup_matches_python_reference(docs):
+    """The substring-duplication audit's sparse interval-union SQL
+    (SUM(LEAST(w, pos-LAG(pos)))) equals a dense brute-force coverage
+    count on randomized corpora — including all-shared, none-shared,
+    and straddling-run shapes hypothesis finds."""
+    import duckdb
+    import pandas as pd
+
+    from big_data_table_spark.functions.dedup import substring_dedup_sql
+    from big_data_table_spark.functions.portable import DUCK
+
+    w = 3
+    ref = _py_substring_fraction(docs, w)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    got = con.execute(substring_dedup_sql(DUCK, w=w)).fetchdf()
+    con.close()
+    assert set(got["source"]) == set(ref)
+    for _, r in got.iterrows():
+        e = ref[r["source"]]
+        assert int(r["n_docs"]) == e["n_docs"]
+        assert int(r["n_words"]) == e["n_words"]
+        assert int(r["dup_words"]) == e["dup_words"], (r["source"], dict(e))
+        assert int(r["n_docs_hit"]) == e["hit"]
+        assert int(r["n_docs_majority"]) == e["maj"]
+        assert abs(float(r["dup_frac"]) - e["dup_words"] / e["n_words"]) <= 5e-7
+
+
+@SETTINGS
+@given(docs=_corpora())
+def test_substring_scrub_matches_python_reference(docs):
+    """The keep-one scrub: per shared gram the smallest doc_id owns the
+    span; every other occurrence's positions are removed and the doc is
+    rebuilt in word order.  The reference rebuilds scrubbed text
+    directly and md5-compares — any error in the owner rule, the
+    coverage window, or the ordered string rebuild breaks the digest."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from big_data_table_spark.functions.dedup import substring_scrub_sql
+    from big_data_table_spark.functions.portable import DUCK
+
+    w = 3
+    words = {d["doc_id"]: d["text"].lower().strip().split() for d in docs}
+    grams: dict = {}
+    for did, ws in words.items():
+        for p in range(len(ws) - w + 1):
+            grams.setdefault(tuple(ws[p : p + w]), set()).add(did)
+    expected = {}
+    for d in docs:
+        did = d["doc_id"]
+        ws = words[did]
+        covered: set = set()
+        for p in range(len(ws) - w + 1):
+            g = tuple(ws[p : p + w])
+            owners = grams[g]
+            if len(owners) >= 2 and did != min(owners):
+                covered.update(range(p, p + w))
+        if covered:
+            kept = " ".join(wd for i, wd in enumerate(ws) if i not in covered)
+            expected[did] = (
+                len(ws),
+                len(covered),
+                hashlib.md5(kept.encode()).hexdigest(),
+            )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs))
+    got = con.execute(substring_scrub_sql(DUCK, w=w)).fetchdf()
+    con.close()
+    assert set(got["doc_id"]) == set(expected)
+    for _, r in got.iterrows():
+        n_words, n_removed, fp = expected[int(r["doc_id"])]
+        assert int(r["n_words"]) == n_words
+        assert int(r["n_removed"]) == n_removed
+        assert r["scrubbed_fp"] == fp, int(r["doc_id"])
