@@ -6306,6 +6306,96 @@ GROUP BY th.threshold
 """
 
 
+def _quality_dedup_interaction_builder(dialect: str) -> str:
+    """Cross-tab of the quality cascade's decision against NEAR-DUP
+    candidacy — the STAGE-ORDERING evidence a pipeline design needs:
+    the 'near_duplicate' × 'keep' cell is work doc-level dedup saves
+    the quality stage (run dedup first), while 'near_duplicate' × drop
+    cells are docs both stages would remove (order doesn't matter for
+    them).  Shares the cascade's per-doc decision CTEs verbatim
+    (functions/text.py:_cascade_doc_ctes); the dup axis is membership
+    in any LSH band-bucket candidate pair — the fixture's planted dups
+    are near-exact, never byte-identical, so the content-hash axis
+    would be constant here (and the candidate set is what a real
+    pipeline's dedup stage actually consumes)."""
+    from .functions import dedup as DD
+    from .functions.text import _cascade_doc_ctes
+
+    cands = DD.minhash_lsh_pairs_sql(dialect)
+    return f"""
+WITH {_cascade_doc_ctes(dialect)},
+flag AS (
+  SELECT doc_a AS doc_id FROM ({cands}) _c1
+  UNION SELECT doc_b FROM ({cands}) _c2),
+dupc AS (
+  SELECT d.doc_id,
+    CASE WHEN f.doc_id IS NOT NULL THEN 'near_duplicate'
+         ELSE 'unique' END AS dedup_class
+  FROM documents d LEFT JOIN flag f ON f.doc_id = d.doc_id)
+SELECT d.decision, p.dedup_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
+    AS corpus_share
+FROM docdec d JOIN dupc p ON p.doc_id = d.doc_id
+GROUP BY d.decision, p.dedup_class
+"""
+
+
+def quality_dedup_interaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark form of `_quality_dedup_interaction_builder`: the band
+    table and the cascade decisions each computed ONCE and checkpointed
+    — the single-statement SQL re-inlines the LSH signature chain into
+    both UNION arms (measured 40 exchanges vs 8 here; the same
+    CTE-inlining trap every multi-reference entry documents).  The
+    dual-dialect text stays as the oracle."""
+    from .functions import dedup as DD
+    from .functions.text import _cascade_doc_ctes
+
+    register_views(spark, sf_dir)
+    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
+    cands = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    flag = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_nd", F.lit(1))
+    )
+    dec = spark.sql(
+        f"WITH {_cascade_doc_ctes(SPARK)} SELECT doc_id, decision FROM docdec"
+    )
+    total = spark.table("documents").agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    return (
+        dec.join(F.broadcast(flag), "doc_id", "left")
+        .select(
+            "decision",
+            F.when(F.col("is_nd").isNotNull(), F.lit("near_duplicate"))
+            .otherwise(F.lit("unique"))
+            .alias("dedup_class"),
+        )
+        .groupBy("decision", "dedup_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decision",
+            "dedup_class",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
+                "corpus_share"
+            ),
+        )
+    )
+
+
 def _events_top_paths_builder(dialect: str) -> str:
     """Session PATH analysis — the clickstream query the funnel/cohort
     family was missing: sessionize (30-min gap, the `events_sessionize`
@@ -6501,6 +6591,12 @@ CATALOG.update(
             doc="Top-15 session event-type paths (30-min sessionize + "
             "ordered path serialization) with session counts and "
             "average length — clickstream path analysis.",
+        ),
+        "quality_dedup_interaction": QuerySpec(
+            quality_dedup_interaction_q,
+            _quality_dedup_interaction_builder(DUCK),
+            doc="Cascade decision × LSH near-dup candidacy cross-tab — "
+            "the stage-ordering evidence for dedup-before-quality.",
         ),
         "dedup_substring_scrub": _dual(
             _substring_scrub_builder,
@@ -6802,6 +6898,7 @@ _R7_NEXT = [
     "mixture_token_plan",
     "window_rank_family",
     "events_top_paths",
+    "quality_dedup_interaction",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

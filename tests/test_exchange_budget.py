@@ -285,6 +285,10 @@ BUDGET = {
     "events_top_paths": 3,       # user-partitioned window cascade +
                                  # path agg + top-path agg; top-15 is
                                  # TakeOrderedAndProject
+    "quality_dedup_interaction": 8,  # cascade feature aggs/joins + the
+                                 # crosstab agg over the CHECKPOINTED
+                                 # band/candidate tables (SQL text
+                                 # re-inlines to 40)
 }
 
 
