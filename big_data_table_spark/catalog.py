@@ -6306,6 +6306,46 @@ GROUP BY th.threshold
 """
 
 
+def _stream_crawl_dedup_oracle() -> str:
+    """Pure-SQL reconstruction of the streaming crawl-dedup evolution:
+    with batch = doc_id % 4, a doc is exact_vs_corpus iff an
+    earlier-batch doc shares its digest, exact_in_batch iff a
+    smaller-id same-batch doc does (and no corpus hit), and
+    neardup_vs_corpus iff any earlier-batch doc shares an LSH band
+    bucket — exactly the probe-then-append semantics the stream
+    executes against the persisted index."""
+    from .functions import dedup as DD
+
+    bands = DD.minhash_bands_sql(DUCK)
+    return f"""
+WITH bnd AS ({bands}),
+d AS (SELECT doc_id, doc_id % 4 AS batch, md5(text) AS h FROM documents),
+ec AS (
+  SELECT DISTINCT a.doc_id FROM d a JOIN d b2 ON b2.h = a.h
+  WHERE b2.batch < a.batch),
+fib AS (SELECT h, batch, MIN(doc_id) AS first_id FROM d GROUP BY h, batch),
+nd AS (
+  SELECT DISTINCT a.doc_id
+  FROM d a JOIN bnd ba ON ba.doc_id = a.doc_id
+  JOIN bnd bb ON bb.band = ba.band AND bb.sig = ba.sig
+  JOIN d c ON c.doc_id = bb.doc_id
+  WHERE c.batch < a.batch),
+dec AS (
+  SELECT d.doc_id, d.batch,
+    CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_vs_corpus'
+         WHEN d.doc_id <> f.first_id THEN 'exact_in_batch'
+         WHEN nd.doc_id IS NOT NULL THEN 'neardup_vs_corpus'
+         ELSE 'keep' END AS decision
+  FROM d
+  LEFT JOIN ec ON ec.doc_id = d.doc_id
+  JOIN fib f ON f.h = d.h AND f.batch = d.batch
+  LEFT JOIN nd ON nd.doc_id = d.doc_id)
+SELECT CAST(batch AS BIGINT) AS batch, decision,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dec GROUP BY batch, decision
+"""
+
+
 def _quality_dedup_interaction_builder(dialect: str) -> str:
     """Cross-tab of the quality cascade's decision against NEAR-DUP
     candidacy — the STAGE-ORDERING evidence a pipeline design needs:
@@ -6591,6 +6631,15 @@ CATALOG.update(
             doc="Top-15 session event-type paths (30-min sessionize + "
             "ordered path serialization) with session counts and "
             "average length — clickstream path analysis.",
+        ),
+        "stream_crawl_dedup": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_crawl_dedup(spark, sf_dir),
+            _stream_crawl_dedup_oracle(),
+            doc="Crawl-frontier dedup as a stream: per-micro-batch "
+            "probe-then-append against the persisted LSH index, every "
+            "per-batch decision count oracle-reconstructed.",
         ),
         "quality_dedup_interaction": QuerySpec(
             quality_dedup_interaction_q,
@@ -6899,6 +6948,7 @@ _R7_NEXT = [
     "window_rank_family",
     "events_top_paths",
     "quality_dedup_interaction",
+    "stream_crawl_dedup",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

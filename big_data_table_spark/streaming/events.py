@@ -943,3 +943,113 @@ def stream_packing_ledger(
         ledger, budget=2048, id_col="doc_id", tokens_col="n_tokens", hash_col="h"
     )
     return pack_summary(packed, budget=2048)
+
+
+def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL-FRONTIER dedup loop as a stream: documents arrive in
+    four micro-batches (deterministic split ``doc_id % 4``, one file per
+    trigger, file mtimes pin the order), and each batch is adjudicated
+    against the persisted LSH index BEFORE being appended to it —
+    ``lsh_index_probe`` → ``lsh_index_append``, the exact
+    `incremental_dedup_persisted` loop driven by Structured Streaming
+    instead of a driver script.  Batch 0 bootstraps: in-batch exact
+    adjudication only, then ``lsh_index_build`` creates the store.
+
+    Because the batch key is part of the DATA (not an artifact of file
+    listing), the whole evolution is oracle-expressible: a doc is
+    ``exact_vs_corpus`` iff an earlier-batch doc shares its digest,
+    ``exact_in_batch`` iff a smaller-id same-batch doc does,
+    ``neardup_vs_corpus`` iff any earlier-batch doc shares a band
+    bucket — the driver hash checks every per-batch decision count
+    against that pure-SQL reconstruction.  At 100 TB this is the
+    steady-state ingest topology: the index store is the only state,
+    batch work is |batch|-sized, and the stream needs no Spark state
+    store at all (the parquet index IS the state, replay-safe by the
+    SET merge class)."""
+    import shutil
+    import tempfile
+
+    from ..functions.dedup import (
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_probe,
+    )
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_crawl_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    idx = os.path.join(root, "index")
+    sink = os.path.join(root, "decisions")
+    os.makedirs(src_dir)
+
+    # one parquet FILE per batch group, mtimes in group order so the
+    # file source (maxFilesPerTrigger=1, oldest-first) delivers batch b
+    # exactly the doc_id % 4 == b docs
+    import time
+
+    now = time.time()
+    for b in range(4):
+        stage = os.path.join(root, f"stage{b}")
+        docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"crawl_{b}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (now + b, now + b))
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        view = f"crawl_batch_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        bspark = batch_df.sparkSession
+        if not os.path.isdir(os.path.join(idx, "digests")):
+            # bootstrap: in-batch exact arm only (the probe's rule with
+            # no corpus), then the store is born from this batch
+            flags = batch_df.select("doc_id", F.md5("text").alias("h"))
+            first = flags.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+            dec = flags.join(first, "h").select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") != F.col("first_id"), F.lit("exact_in_batch")
+                )
+                .otherwise(F.lit("keep"))
+                .alias("decision"),
+            )
+            dec.withColumn("batch", (F.col("doc_id") % 4).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sink, f"batch={batch_id}"))
+            lsh_index_build(bspark, idx, view)
+        else:
+            dec = lsh_index_probe(bspark, idx, view)
+            dec.withColumn("batch", (F.col("doc_id") % 4).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sink, f"batch={batch_id}"))
+            lsh_index_append(bspark, idx, view)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("batch", "decision")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
