@@ -31,6 +31,11 @@ PICKS = {
     "corpus_data_card": "One pass to the datasheet: per-doc feature aggregates (shingle repeat, lang scores, quality) joined on doc_id, digest-distinct for redundancy, one per-source rollup. Text is read once.",
     "ann_ivfpq_persisted_topk": "IVFADC from the store: broadcast centroids pick cells, residual distance tables broadcast against the cid-partitioned codes scan. Neither Lloyd chain appears — train-once is visible in the plan.",
     "curriculum_serving_order": "The loader stream: two-phase bucket rank over the checkpointed epoch-resample multiset; the oracle's global ROW_NUMBER never appears.",
+    "theta_rollup_persisted": "Persisted KMV store range read: theta-union estimator assembled over the checkpointed partition-pruned sample scan (days*k rows); build/append/compact ran before this plan existed. The events scan is the exact AUDIT only.",
+    "dedup_substring_fraction": "Substring-dup audit: gram digests aggregate map-side, only SPARSE shared-start rows reach the per-doc LAG window — the interval union replaces any per-position table.",
+    "curriculum_packed_batches": "Resample -> interleave -> pack in one plan: checkpointed pick multiset joined to token counts, then the standard two-phase packer; per-bin aggregate carries the n_sources mixing audit.",
+    "events_top_paths": "Sessionize window cascade partitioned by user, ordered path rebuild in the per-session aggregate, TakeOrdered top-15. No unpartitioned corpus window.",
+    "ann_recall_report": "The evaluation job: IVF probe chain and the exact arm's corpus scan feed one FULL-join recall aggregate — the exact arm is the cost a sampled query set bounds in production.",
 }
 
 if __name__ == "__main__":
