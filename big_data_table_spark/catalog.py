@@ -6490,6 +6490,48 @@ ORDER BY n_sessions DESC, path ASC LIMIT 15
 """
 
 
+def _events_markov_builder(dialect: str) -> str:
+    """First-order Markov transition matrix between event types WITHIN
+    sessions — the third member of the clickstream family (funnel:
+    fixed target sequence; paths: whole-session strings; this: the
+    pairwise transition model a next-event predictor or anomaly scorer
+    is fit from).  Session boundaries are the same 30-min gap rule as
+    `events_sessionize`/`events_top_paths`, so a cross-session pair
+    never counts as a transition.  Per (prev, next): count and the
+    row-normalized probability.  Tie determinism as in the path entry:
+    LAG orders by (ts, event_type).  One user-partitioned window
+    cascade + one pair aggregate; the probability's window runs over
+    the ≤|types|² transition table."""
+    from .functions.portable import epoch_s
+
+    ep = epoch_s("ts", dialect)
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN {ep} - LAG({ep}) OVER w IS NULL THEN 1
+         WHEN {ep} - LAG({ep}) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+sessions AS (
+  SELECT user_id, ts, event_type,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged),
+seq AS (
+  SELECT event_type AS next_type,
+    LAG(event_type) OVER (PARTITION BY user_id, sid
+      ORDER BY ts ASC, event_type ASC) AS prev_type
+  FROM sessions),
+trans AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+SELECT prev_type, next_type, n_transitions,
+  ROUND(n_transitions / CAST(SUM(n_transitions)
+    OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_next
+FROM trans
+"""
+
+
 def _window_rank_family_builder(dialect: str) -> str:
     """The remaining SQL-standard rank-family windows in one entry —
     NTILE (equi-depth bucketing), PERCENT_RANK, CUME_DIST — per order
@@ -6631,6 +6673,11 @@ CATALOG.update(
             doc="Top-15 session event-type paths (30-min sessionize + "
             "ordered path serialization) with session counts and "
             "average length — clickstream path analysis.",
+        ),
+        "events_markov_transitions": _dual(
+            _events_markov_builder,
+            doc="Within-session event-type transition matrix with "
+            "row-normalized probabilities — the next-event model table.",
         ),
         "stream_crawl_dedup": QuerySpec(
             lambda spark, sf_dir: __import__(
@@ -6947,6 +6994,7 @@ _R7_NEXT = [
     "mixture_token_plan",
     "window_rank_family",
     "events_top_paths",
+    "events_markov_transitions",
     "quality_dedup_interaction",
     "stream_crawl_dedup",
     "kmeans_ivf_train",

@@ -285,6 +285,9 @@ BUDGET = {
     "events_top_paths": 3,       # user-partitioned window cascade +
                                  # path agg + top-path agg; top-15 is
                                  # TakeOrderedAndProject
+    "events_markov_transitions": 3,  # sessionize cascade + pair agg +
+                                 # the probability window over the
+                                 # <=|types|^2 transition table
     "quality_dedup_interaction": 8,  # cascade feature aggs/joins + the
                                  # crosstab agg over the CHECKPOINTED
                                  # band/candidate tables (SQL text
