@@ -6490,6 +6490,109 @@ ORDER BY n_sessions DESC, path ASC LIMIT 15
 """
 
 
+def _dedup_cascade_builder(dialect: str) -> str:
+    """The DEDUP CASCADE — stage attribution in fixed priority, the
+    dedup-side mirror of `corpus_filter_cascade`: every document gets
+    ONE removal reason — ``exact_dup`` (a smaller-id doc shares its
+    md5) > ``near_dup`` (a smaller-id LSH band-bucket partner exists —
+    the greedy smaller-id keeper rule, deterministic without a
+    connected-components pass) > ``substring_majority`` (more than half
+    its positions are covered by 8-grams shared with another doc) >
+    ``keep`` — rolled up per source.  The order encodes cost: digest
+    equality is one hash-agg, band candidacy one banded self-join, and
+    the substring audit pays the gram explode — a production cascade
+    runs them cheapest-first and each stage only sees the previous
+    stage's keepers (here attribution is computed on the full corpus so
+    the stages stay independently oracle-checkable)."""
+    from .functions import dedup as DD
+
+    cands = DD.minhash_lsh_pairs_sql(dialect)
+    return f"""
+WITH {DD.substring_perdoc_ctes(dialect, 8)},
+exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM documents) _e WHERE doc_id <> keeper),
+near AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({cands}) _c),
+dec AS (
+  SELECT d.doc_id, d.source,
+    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         WHEN d.dup_words * 2 > d.n_words THEN 'substring_majority'
+         ELSE 'keep' END AS dedup_stage
+  FROM sperdoc d
+  LEFT JOIN exact e ON e.doc_id = d.doc_id
+  LEFT JOIN near n ON n.doc_id = d.doc_id)
+SELECT source, dedup_stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS DOUBLE), 6)
+    AS source_share
+FROM dec GROUP BY source, dedup_stage
+"""
+
+
+def dedup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark form of `_dedup_cascade_builder`: the substring per-doc
+    table and the band table each computed once and checkpointed (the
+    single-statement text re-inlines the band chain per band and the
+    gram chain per reference — measured 27 exchanges vs 4 here); the
+    SQL text stays as the oracle."""
+    from pyspark.sql import Window
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    sub = spark.sql(
+        f"WITH {DD.substring_perdoc_ctes(SPARK, 8)} SELECT * FROM sperdoc"
+    ).localCheckpoint(eager=True)
+    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
+    near = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    exact = (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper"),
+        )
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .withColumn("_ex", F.lit(1))
+    )
+    dec = (
+        sub.join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("_ex").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_nd").isNotNull(), F.lit("near_dup"))
+            .when(F.col("dup_words") * 2 > F.col("n_words"), F.lit("substring_majority"))
+            .otherwise(F.lit("keep"))
+            .alias("dedup_stage"),
+        )
+    )
+    counts = dec.groupBy("source", "dedup_stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("source")  # ≤ sources×stages rows
+    return counts.select(
+        "source",
+        "dedup_stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6).alias(
+            "source_share"
+        ),
+    )
+
+
 def _events_markov_builder(dialect: str) -> str:
     """First-order Markov transition matrix between event types WITHIN
     sessions — the third member of the clickstream family (funnel:
@@ -6678,6 +6781,13 @@ CATALOG.update(
             _events_markov_builder,
             doc="Within-session event-type transition matrix with "
             "row-normalized probabilities — the next-event model table.",
+        ),
+        "dedup_cascade": QuerySpec(
+            dedup_cascade_q,
+            _dedup_cascade_builder(DUCK),
+            doc="Dedup stage attribution per source — exact > near-dup "
+            "> substring-majority > keep, the dedup-side mirror of the "
+            "quality cascade.",
         ),
         "stream_crawl_dedup": QuerySpec(
             lambda spark, sf_dir: __import__(
@@ -6995,6 +7105,7 @@ _R7_NEXT = [
     "window_rank_family",
     "events_top_paths",
     "events_markov_transitions",
+    "dedup_cascade",
     "quality_dedup_interaction",
     "stream_crawl_dedup",
     "kmeans_ivf_train",

@@ -514,6 +514,31 @@ def lsh_index_probe(spark, path: str, src: str):
     )
 
 
+def substring_perdoc_ctes(dialect: str, w: int = 8) -> str:
+    """The substring-duplication PER-DOC chain, ending in ``sperdoc
+    (doc_id, source, n_words, dup_words)`` — shared by the per-source
+    audit (:func:`substring_dedup_sql`) and the dedup cascade's
+    substring stage, so every consumer measures identical coverage.
+    CTE names are ``s``-prefixed to compose into statements that carry
+    their own ``words`` table."""
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - {w - 1}", "pos", dialect)
+    gram = arr_slice_join("w", "pos", w, " ", dialect)
+    ws = split_ws("lower(text)", dialect)
+    return f"""swords AS (SELECT /*+ REPARTITION(32) */ doc_id, source, {ws} AS w FROM documents),
+sdoclen AS (SELECT doc_id, source, CAST({arr_len('w', dialect)} AS BIGINT) AS n_words FROM swords),
+sgdocs AS (SELECT doc_id, w FROM swords WHERE {arr_len('w', dialect)} >= {w}),
+sgrams AS (SELECT doc_id, pos, substr(md5({gram}), 1, 16) AS h FROM sgdocs {lat}),
+sshared AS (SELECT h FROM sgrams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+shits AS (SELECT g.doc_id, g.pos FROM sgrams g JOIN sshared s ON g.h = s.h),
+sruns AS (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM shits),
+sperdup AS (SELECT doc_id,
+  CAST(SUM(CASE WHEN prev IS NULL THEN {w} ELSE LEAST({w}, pos - prev) END) AS BIGINT) AS dup_words
+  FROM sruns GROUP BY doc_id),
+sperdoc AS (SELECT d.doc_id, d.source, d.n_words,
+  COALESCE(p.dup_words, 0) AS dup_words
+  FROM sdoclen d LEFT JOIN sperdup p ON d.doc_id = p.doc_id)"""
+
+
 def substring_dedup_sql(dialect: str, w: int = 8) -> str:
     """Substring-LEVEL duplication audit — the distributed, bounded-window
     form of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
@@ -535,30 +560,15 @@ def substring_dedup_sql(dialect: str, w: int = 8) -> str:
     Complements `dedup_chunk_passages` (disjoint 3-word chunks: cheap,
     alignment-sensitive) with the sliding form that catches duplication
     at ANY offset, at w× the gram count."""
-    lat = lateral_seq("1", f"{arr_len('w', dialect)} - {w - 1}", "pos", dialect)
-    gram = arr_slice_join("w", "pos", w, " ", dialect)
-    ws = split_ws("lower(text)", dialect)
     return f"""
-WITH words AS (SELECT /*+ REPARTITION(32) */ doc_id, source, {ws} AS w FROM documents),
-doclen AS (SELECT doc_id, source, CAST({arr_len('w', dialect)} AS BIGINT) AS n_words FROM words),
-gdocs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= {w}),
-grams AS (SELECT doc_id, pos, substr(md5({gram}), 1, 16) AS h FROM gdocs {lat}),
-shared AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
-hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN shared s ON g.h = s.h),
-runs AS (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
-perdup AS (SELECT doc_id,
-  CAST(SUM(CASE WHEN prev IS NULL THEN {w} ELSE LEAST({w}, pos - prev) END) AS BIGINT) AS dup_words
-  FROM runs GROUP BY doc_id),
-perdoc AS (SELECT d.doc_id, d.source, d.n_words,
-  COALESCE(p.dup_words, 0) AS dup_words
-  FROM doclen d LEFT JOIN perdup p ON d.doc_id = p.doc_id)
+WITH {substring_perdoc_ctes(dialect, w)}
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_words) AS BIGINT) AS n_words,
   CAST(SUM(dup_words) AS BIGINT) AS dup_words,
   ROUND(CAST(SUM(dup_words) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6) AS dup_frac,
   CAST(SUM(CASE WHEN dup_words > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
   CAST(SUM(CASE WHEN dup_words * 2 > n_words THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_majority
-FROM perdoc GROUP BY source
+FROM sperdoc GROUP BY source
 """
 
 
@@ -625,6 +635,7 @@ FROM perdoc WHERE n_removed > 0
 __all__ = [
     "exact_dedup_sql",
     "substring_dedup_sql",
+    "substring_perdoc_ctes",
     "substring_scrub_sql",
     "incremental_dedup_sql",
     "lsh_index_build",

@@ -288,6 +288,10 @@ BUDGET = {
     "events_markov_transitions": 3,  # sessionize cascade + pair agg +
                                  # the probability window over the
                                  # <=|types|^2 transition table
+    "dedup_cascade": 4,          # stage joins + rollup agg + share
+                                 # window over the CHECKPOINTED
+                                 # substring per-doc and band tables
+                                 # (SQL text re-inlines to 27)
     "quality_dedup_interaction": 8,  # cascade feature aggs/joins + the
                                  # crosstab agg over the CHECKPOINTED
                                  # band/candidate tables (SQL text
