@@ -6666,6 +6666,79 @@ FROM r GROUP BY priority, quartile
 """
 
 
+def _embedding_threshold_curve_sql(dialect: str) -> str:
+    """Dual-dialect text of the embedding-similarity CALIBRATION CURVE:
+    for each candidate cosine threshold, how many pairs and how many
+    distinct documents the dedup stage would touch — the landscape an
+    operator reads before fixing `embedding_neardup`'s 0.35 cutoff
+    (fixture landscape: ~117k random-mass pairs below 0.2, a 270-pair
+    shoulder at 0.35-0.5, one pair above 0.5).  Pairwise cosine is
+    computed EXACTLY over all pairs — this is the evaluation job a
+    production run executes on a SAMPLE (all-pairs on the sample bounds
+    the cost; the LSH-bucketed path cannot serve here because low
+    thresholds are exactly where it under-recalls).  Cosines round to
+    9 dp before the threshold compare so boundary pairs classify
+    identically in both engines."""
+    from .functions.similarity import _dot_sql, _vecs_cte
+
+    cos = f"({_dot_sql('a.e', 'b.e', dialect)} / (a.nrm * b.nrm))"
+    ths = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold"
+        for t in ("0.2", "0.3", "0.35", "0.4", "0.5")
+    )
+    return f"""
+WITH {_vecs_cte(dialect)},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, ROUND({cos}, 9) AS c
+  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+th AS ({ths}),
+joined AS (SELECT th.threshold, p.va, p.vb FROM pairs p JOIN th ON p.c >= th.threshold),
+pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM joined GROUP BY threshold),
+dc AS (SELECT threshold, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_docs FROM
+       (SELECT threshold, va AS v FROM joined
+        UNION SELECT threshold, vb FROM joined) _u GROUP BY threshold)
+SELECT pc.threshold, pc.n_pairs, dc.n_docs
+FROM pc JOIN dc ON dc.threshold = pc.threshold
+"""
+
+
+def embedding_threshold_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark form: the all-pairs cosine table computed ONCE and
+    checkpointed (the SQL text re-inlines it into each of its three
+    consumers), then the threshold fan-out and both aggregates run over
+    the cached pair list."""
+    register_views(spark, sf_dir)
+    from .functions.similarity import _dot_sql, _vecs_cte
+
+    cos = f"({_dot_sql('a.e', 'b.e', SPARK)} / (a.nrm * b.nrm))"
+    pairs = spark.sql(
+        f"WITH {_vecs_cte(SPARK)} "
+        f"SELECT a.vec_id AS va, b.vec_id AS vb, ROUND({cos}, 9) AS c "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id"
+    ).localCheckpoint(eager=True)
+    th = spark.sql(
+        " UNION ALL ".join(
+            f"SELECT CAST({t} AS DOUBLE) AS threshold"
+            for t in ("0.2", "0.3", "0.35", "0.4", "0.5")
+        )
+    )
+    joined = pairs.join(F.broadcast(th), pairs["c"] >= th["threshold"]).select(
+        "threshold", "va", "vb"
+    ).localCheckpoint(eager=True)
+    pc = joined.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    dc = (
+        joined.select("threshold", F.col("va").alias("v"))
+        .union(joined.select("threshold", F.col("vb").alias("v")))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return pc.join(dc, "threshold")
+
+
 def _ann_recall_builder(dialect: str) -> str:
     """Recall@5 of the shipped IVF search vs exact cosine over the same
     queries (functions/similarity.py:ann_recall_report_sql): the number
@@ -6753,6 +6826,12 @@ CATALOG.update(
             _ann_recall_builder,
             doc="Recall@5 of IVF vs exact cosine on the same query set "
             "— the ANN honesty metric as a driver-hashed result.",
+        ),
+        "embedding_threshold_curve": QuerySpec(
+            embedding_threshold_curve_q,
+            _embedding_threshold_curve_sql(DUCK),
+            doc="Pairs and docs touched per cosine threshold — the "
+            "calibration landscape behind the embedding-dedup cutoff.",
         ),
         "dedup_lsh_recall_report": QuerySpec(
             dedup_lsh_recall_q,
@@ -7100,6 +7179,7 @@ _R7_NEXT = [
     "dedup_substring_scrub",
     "curriculum_packed_batches",
     "ann_recall_report",
+    "embedding_threshold_curve",
     "dedup_lsh_recall_report",
     "mixture_token_plan",
     "window_rank_family",

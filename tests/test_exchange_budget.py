@@ -292,6 +292,10 @@ BUDGET = {
                                  # window over the CHECKPOINTED
                                  # substring per-doc and band tables
                                  # (SQL text re-inlines to 27)
+    "embedding_threshold_curve": 5,  # threshold fan-out + pair/doc
+                                 # aggs over the CHECKPOINTED all-pairs
+                                 # cosine table — the sample-exact
+                                 # calibration job
     "quality_dedup_interaction": 8,  # cascade feature aggs/joins + the
                                  # crosstab agg over the CHECKPOINTED
                                  # band/candidate tables (SQL text
