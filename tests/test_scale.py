@@ -197,3 +197,52 @@ def test_training_order_permutation_at_scale(spark, big):
     }
     assert slice_a == slice_b and len(slice_a) > 0
     out.unpersist()
+
+
+def test_theta_union_merge_law_at_scale(spark, big):
+    """The theta store's load-bearing law at 5M rows: per-'day' KMV
+    samples (k smallest distinct hashes per day) union-estimated must
+    be partition-count independent BIT-FOR-BIT, and the estimate must
+    sit inside the 3σ KMV band around the known distinct count
+    (spark.range → all ids distinct).  Unlike HLL registers, merged
+    theta samples are not identical to a one-shot sample (theta picks
+    the min over days); what must hold exactly is determinism — the
+    estimator is a pure function of the data, never of partitioning."""
+    from pyspark.sql import Window
+
+    from big_data_table_spark.functions import sketches as SK
+
+    k = 256
+
+    def estimate(n_part):
+        ev = big.repartition(n_part).select(
+            F.when(F.col("id") % 2 == 0, "2024-01-01")
+            .otherwise("2024-01-02")
+            .alias("day"),
+            F.col("id").alias("v"),
+        )
+        rows = SK._theta_day_sample(ev, "v", k).localCheckpoint(eager=True)
+        full = float(SK._MOD)
+        theta = (
+            rows.groupBy("day", "n")
+            .agg(F.max("h").alias("hk"))
+            .select(
+                F.when(F.col("n") > k, F.col("hk").cast("double"))
+                .otherwise(F.lit(full))
+                .alias("th")
+            )
+        )
+        thmin = theta.agg(F.min("th").alias("th"))
+        c = (
+            rows.crossJoin(F.broadcast(thmin))
+            .filter(F.col("h") < F.col("th"))
+            .agg(F.countDistinct("v").alias("c"))
+        )
+        r = c.crossJoin(thmin).select(
+            F.round(F.col("c") * F.lit(full) / F.col("th"), 4).alias("est")
+        )
+        return r.collect()[0]["est"]
+
+    est = estimate(32)
+    assert abs(est - N) / N < 3.0 / (k**0.5) + 0.01, est
+    assert estimate(7) == est  # partitioning-independent, bit-for-bit
