@@ -6635,6 +6635,124 @@ FROM trans
 """
 
 
+def _abc_analysis_sql(dialect: str) -> str:
+    """ABC / Pareto classification of parts by revenue — the 80/95%
+    cumulative-share cut every inventory/spend analysis runs: parts
+    ranked by revenue, class A while the running share ≤ 0.80, B while
+    ≤ 0.95, C after.  Revenue accumulates in exact decimal; the share
+    ratio casts through scale-6 decimal before the double divide (the
+    DuckDB decimal→double rounding rule), so the class boundary lands
+    identically in both engines.  This text is the ORACLE — one global
+    window cumsum; the Spark entry replaces it with the banded
+    two-phase scan."""
+    rev = (
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+        "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))"
+    )
+    return f"""
+WITH pr AS (
+  SELECT l_partkey AS partkey, CAST({rev} AS DECIMAL(38,6)) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38,6)) AS t FROM pr),
+c AS (
+  SELECT partkey, rev,
+    CAST(SUM(rev) OVER (ORDER BY rev DESC, partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+      AS crev
+  FROM pr),
+cls AS (
+  SELECT rev,
+    CASE WHEN CAST(crev AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.80
+           THEN 'A'
+         WHEN CAST(crev AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.95
+           THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM c)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+  ROUND(CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE)
+    / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS revenue_share
+FROM cls GROUP BY abc_class
+"""
+
+
+def parts_abc_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark form of `_abc_analysis_sql`: the cumulative revenue comes
+    from the BANDED two-phase scan instead of the oracle's global
+    window — parts bucket into ≤256 revenue bands (monotone with the
+    sort order, so in-band cumsum + cumulated band offsets IS the
+    global cumsum exactly; band edges affect only physical grouping,
+    never the result), the offset window runs over the ≤256-row
+    band-total table, and every decimal addition is exact so the
+    banded sum is bit-identical to the oracle's.  The per-part
+    aggregate is dimension-sized but at 100 TB still billions of rows
+    — the same reason packing/training-order use this scheme."""
+    from pyspark.sql import Window
+
+    li = Tables(spark, sf_dir).lineitem
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    pr = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    stats = pr.agg(
+        F.max("rev").alias("mx"),
+        F.min("rev").alias("mn"),
+        F.sum("rev").cast("decimal(38,6)").alias("t"),
+    ).collect()[0]  # 1-row band geometry + total
+    mx, mn, t = float(stats["mx"]), float(stats["mn"]), stats["t"]
+    bw = max((mx - mn) / 256.0, 1e-9)
+    banded = pr.withColumn(
+        "band",
+        F.least(
+            F.lit(255),
+            F.floor((F.lit(mx) - F.col("rev").cast("double")) / F.lit(bw)),
+        ).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.col("rev").desc(), "partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    banded = banded.withColumn(
+        "crev_in", F.sum("rev").over(w_in).cast("decimal(38,6)")
+    )
+    totals = banded.groupBy("band").agg(
+        F.sum("rev").cast("decimal(38,6)").alias("brev")
+    )
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "band",
+        F.coalesce(F.sum("brev").over(w_off), F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("off"),
+    )
+    crev = (
+        F.col("off").cast("decimal(38,6)") + F.col("crev_in")
+    ).cast("decimal(38,6)")
+    share = crev.cast("double") / F.lit(float(t))
+    cls = (
+        banded.join(F.broadcast(offsets), "band")
+        .select(
+            "rev",
+            F.when(share <= 0.80, F.lit("A"))
+            .when(share <= 0.95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.round(
+            F.sum("rev").cast("decimal(38,6)").cast("double") / F.lit(float(t)), 6
+        ).alias("revenue_share"),
+    )
+
+
 def _window_rank_family_builder(dialect: str) -> str:
     """The remaining SQL-standard rank-family windows in one entry —
     NTILE (equi-depth bucketing), PERCENT_RANK, CUME_DIST — per order
@@ -6849,6 +6967,13 @@ CATALOG.update(
             _window_rank_family_builder,
             doc="NTILE/PERCENT_RANK/CUME_DIST per order priority, "
             "quartile summaries — the remaining rank-family windows.",
+        ),
+        "parts_abc_analysis": QuerySpec(
+            parts_abc_analysis_q,
+            _abc_analysis_sql(DUCK),
+            doc="ABC/Pareto revenue classification of parts (80/95% "
+            "cuts) via the banded two-phase cumsum — exact decimal, "
+            "no global sort.",
         ),
         "events_top_paths": _dual(
             _events_top_paths_builder,
@@ -7183,6 +7308,7 @@ _R7_NEXT = [
     "dedup_lsh_recall_report",
     "mixture_token_plan",
     "window_rank_family",
+    "parts_abc_analysis",
     "events_top_paths",
     "events_markov_transitions",
     "dedup_cascade",

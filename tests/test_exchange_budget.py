@@ -296,6 +296,11 @@ BUDGET = {
                                  # aggs over the CHECKPOINTED all-pairs
                                  # cosine table — the sample-exact
                                  # calibration job
+    "parts_abc_analysis": 4,     # banded in-band cumsum window +
+                                 # <=256-row offset window + class agg
+                                 # over the checkpointed per-part
+                                 # revenue — the oracle's global-sort
+                                 # window never appears
     "quality_dedup_interaction": 8,  # cascade feature aggs/joins + the
                                  # crosstab agg over the CHECKPOINTED
                                  # band/candidate tables (SQL text
