@@ -6753,6 +6753,104 @@ def parts_abc_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_segments_sql(dialect: str) -> str:
+    """RFM segmentation — the classic retention-marketing cut: per
+    purchasing user, Recency (days since last purchase, vs the corpus
+    max date), Frequency (purchase count) and Monetary (decimal-exact
+    value sum) each quintile-scored 1..5 (5 = best) over a worst→best
+    total order with user_id tie-breaks, rolled up per (r, f, m) cell
+    with user counts and cell monetary.  This text is the ORACLE (three
+    global ROW_NUMBERs); the Spark entry computes the same positions
+    with three `two_phase_position` banded scans — recency bands on the
+    calendar day, frequency on the capped count, monetary on a log10
+    band — none of which is an unpartitioned corpus window."""
+    from .functions.portable import days_since_epoch
+
+    rec = (
+        f"{days_since_epoch('(SELECT mx FROM ref)', dialect)}"
+        f" - {days_since_epoch('last_d', dialect)}"
+    )
+    return f"""
+WITH p AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS mon,
+    MAX(CAST(ts AS DATE)) AS last_d
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ref AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+f AS (SELECT user_id, freq, mon, CAST({rec} AS BIGINT) AS rec FROM p),
+r AS (
+  SELECT user_id, rec, freq, mon,
+    ROW_NUMBER() OVER (ORDER BY rec DESC, user_id) - 1 AS rpos,
+    ROW_NUMBER() OVER (ORDER BY freq ASC, user_id) - 1 AS fpos,
+    ROW_NUMBER() OVER (ORDER BY mon ASC, user_id) - 1 AS mpos,
+    COUNT(*) OVER () AS n
+  FROM f)
+SELECT CAST(FLOOR(rpos * 5.0 / n) + 1 AS BIGINT) AS r_score,
+  CAST(FLOOR(fpos * 5.0 / n) + 1 AS BIGINT) AS f_score,
+  CAST(FLOOR(mpos * 5.0 / n) + 1 AS BIGINT) AS m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(CAST(SUM(mon) AS DECIMAL(38,6)) AS DOUBLE) AS cell_monetary
+FROM r GROUP BY 1, 2, 3
+"""
+
+
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark form of `_rfm_segments_sql`: three two-phase position
+    scans (operators/windows.py:two_phase_position) replace the
+    oracle's three global ROW_NUMBERs.  Bucket choices, each monotone
+    with its order and bounded by construction: recency → the negated
+    day count (calendar-bounded); frequency → the count capped at 1000
+    (ties above the cap stay ordered in-band); monetary → a log10 band
+    (≤ ~50 bands over double's whole positive range)."""
+    from .functions.portable import epoch_s  # noqa: F401  (dialect twin)
+    from .operators.windows import two_phase_position
+
+    ev = Tables(spark, sf_dir).events
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("mon"),
+            F.max(F.to_date("ts")).alias("last_d"),
+        )
+    )
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    f = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "freq",
+        "mon",
+        F.datediff("mx", "last_d").cast("long").alias("rec"),
+    ).localCheckpoint(eager=True)  # three rank scans reuse it
+    d = two_phase_position(
+        f, (-F.col("rec")).cast("long"), [F.col("rec").desc(), F.col("user_id")],
+        out="rpos",
+    )
+    d = two_phase_position(
+        d, F.least(F.col("freq"), F.lit(1000)), [F.col("freq"), F.col("user_id")],
+        out="fpos",
+    )
+    d = two_phase_position(
+        d,
+        F.floor(F.log10(F.col("mon").cast("double") + 1) * 8).cast("long"),
+        [F.col("mon"), F.col("user_id")],
+        out="mpos",
+    )
+    n = f.agg(F.count(F.lit(1)).alias("n"))
+    scored = d.crossJoin(F.broadcast(n)).select(
+        (F.floor(F.col("rpos") * 5.0 / F.col("n")) + 1).cast("long").alias("r_score"),
+        (F.floor(F.col("fpos") * 5.0 / F.col("n")) + 1).cast("long").alias("f_score"),
+        (F.floor(F.col("mpos") * 5.0 / F.col("n")) + 1).cast("long").alias("m_score"),
+        "mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("mon").cast("decimal(38,6)").cast("double").alias("cell_monetary"),
+    )
+
+
 def _window_rank_family_builder(dialect: str) -> str:
     """The remaining SQL-standard rank-family windows in one entry —
     NTILE (equi-depth bucketing), PERCENT_RANK, CUME_DIST — per order
@@ -6974,6 +7072,12 @@ CATALOG.update(
             doc="ABC/Pareto revenue classification of parts (80/95% "
             "cuts) via the banded two-phase cumsum — exact decimal, "
             "no global sort.",
+        ),
+        "events_rfm_segments": QuerySpec(
+            rfm_segments_q,
+            _rfm_segments_sql(DUCK),
+            doc="RFM quintile segmentation of purchasing users via "
+            "three two-phase banded rank scans — no global sort.",
         ),
         "events_top_paths": _dual(
             _events_top_paths_builder,
@@ -7309,6 +7413,7 @@ _R7_NEXT = [
     "mixture_token_plan",
     "window_rank_family",
     "parts_abc_analysis",
+    "events_rfm_segments",
     "events_top_paths",
     "events_markov_transitions",
     "dedup_cascade",

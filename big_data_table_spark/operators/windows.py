@@ -81,3 +81,34 @@ def sessionize(
         session_col,
         F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).drop("__new")
+
+
+def two_phase_position(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column],
+    out: str = "pos",
+) -> DataFrame:
+    """Global 0-based position in ``order_cols`` order WITHOUT a global
+    sort — the generalized form of the packing/training-order/decile
+    scheme: an in-bucket ``row_number`` partitioned by ``bucket`` plus
+    a cumulated bucket-count offset table broadcast back.  REQUIREMENT:
+    ``bucket`` must be monotone non-decreasing along the total order
+    ``order_cols`` defines (equal-ordering rows must share a bucket),
+    and the number of distinct buckets must be bounded by construction
+    (a hash prefix, a value band, a calendar day) — the offset window
+    runs over one row per bucket.  Exactly the positions a single
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` would assign."""
+    d = df.withColumn("_tp_b", bucket)
+    w_in = Window.partitionBy("_tp_b").orderBy(*order_cols)
+    d = d.withColumn(out, F.row_number().over(w_in) - 1)
+    totals = d.groupBy("_tp_b").agg(F.count(F.lit(1)).alias("_tp_n"))
+    w_off = Window.orderBy("_tp_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_tp_b", F.coalesce(F.sum("_tp_n").over(w_off), F.lit(0)).alias("_tp_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_tp_b")
+        .withColumn(out, (F.col(out) + F.col("_tp_off")).cast("long"))
+        .drop("_tp_b", "_tp_off")
+    )

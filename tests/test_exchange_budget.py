@@ -301,6 +301,12 @@ BUDGET = {
                                  # over the checkpointed per-part
                                  # revenue — the oracle's global-sort
                                  # window never appears
+    "events_rfm_segments": 15,   # three chained two-phase rank scans
+                                 # (window + band agg + offset join
+                                 # each) + the cell agg — ALL over the
+                                 # checkpointed users-sized table, the
+                                 # oracle's three global sorts never
+                                 # appear
     "quality_dedup_interaction": 8,  # cascade feature aggs/joins + the
                                  # crosstab agg over the CHECKPOINTED
                                  # band/candidate tables (SQL text
