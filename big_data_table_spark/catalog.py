@@ -6593,6 +6593,44 @@ def dedup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ewma_builder(dialect: str) -> str:
+    """Daily EWMA smoothing of event value (half-life = 1 day, α = ½) —
+    the telemetry trend line next to `events_anomaly_zscore`'s band.
+    Exponential smoothing is a floating-point minefield cross-engine
+    (sum order changes the rounding), so the weights are DYADIC and the
+    accumulation EXACT: ewma(t)·2³¹ = Σ_i v_i·2^(31−(t−i+1)) — every
+    term is a decimal times an exact power of two, the sum runs in
+    DECIMAL(38,6) (order-independent), and the single final divide by
+    2³¹ rounds once, identically in both engines.  POWER(2, k) on
+    integer k is exact in doubles below 2^53 — the fractional-exponent
+    POWER the repo bans is never used.  The day spine is a ≤31-row
+    bounded table, so the pair join is bounded by construction."""
+    from .functions.portable import days_since_epoch
+
+    lag_d = (
+        f"({days_since_epoch('t.day', dialect)}"
+        f" - {days_since_epoch('i.day', dialect)})"
+    )
+    s = "STRING" if dialect == SPARK else "VARCHAR"
+    return f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS {s}) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS v
+  FROM events GROUP BY CAST(CAST(ts AS DATE) AS {s})),
+pairs AS (
+  SELECT t.day, t.v AS v_t, i.v AS v_i, {lag_d} AS lag_d
+  FROM daily t JOIN daily i ON i.day <= t.day),
+acc AS (
+  SELECT day, MAX(v_t) AS daily_value,
+    CAST(SUM(CAST(v_i AS DECIMAL(38,6))
+      * CAST(POWER(2, 30 - lag_d) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s
+  FROM pairs WHERE lag_d <= 30 GROUP BY day)
+SELECT day, CAST(daily_value AS DOUBLE) AS daily_value,
+  ROUND(CAST(s AS DOUBLE) / 2147483648.0, 6) AS ewma
+FROM acc
+"""
+
+
 def _events_markov_builder(dialect: str) -> str:
     """First-order Markov transition matrix between event types WITHIN
     sessions — the third member of the clickstream family (funnel:
@@ -7090,6 +7128,12 @@ CATALOG.update(
             doc="Within-session event-type transition matrix with "
             "row-normalized probabilities — the next-event model table.",
         ),
+        "events_ewma_daily": _dual(
+            _events_ewma_builder,
+            doc="Daily EWMA trend (half-life 1 day) with exact dyadic "
+            "weights and decimal accumulation — order-independent "
+            "smoothing.",
+        ),
         "dedup_cascade": QuerySpec(
             dedup_cascade_q,
             _dedup_cascade_builder(DUCK),
@@ -7416,6 +7460,7 @@ _R7_NEXT = [
     "events_rfm_segments",
     "events_top_paths",
     "events_markov_transitions",
+    "events_ewma_daily",
     "dedup_cascade",
     "quality_dedup_interaction",
     "stream_crawl_dedup",

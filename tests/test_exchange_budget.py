@@ -301,6 +301,8 @@ BUDGET = {
                                  # over the checkpointed per-part
                                  # revenue — the oracle's global-sort
                                  # window never appears
+    "events_ewma_daily": 2,      # daily agg + the bounded <=31-day
+                                 # pair-join accumulate
     "events_rfm_segments": 15,   # three chained two-phase rank scans
                                  # (window + band agg + offset join
                                  # each) + the cell agg — ALL over the
