@@ -6593,6 +6593,76 @@ def dedup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: exact median, MAD (median
+    absolute deviation), and the robust-z outlier count at the standard
+    3·1.4826·MAD cut — the outlier rule `events_anomaly_zscore`'s
+    mean/stddev band lacks (one fat-fingered value drags a mean band;
+    the median band shrugs).  Exact medians are the oracle-checkable
+    baseline (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, pinned
+    by `percentile_exact`); at 100 TB the approximate sketch form
+    (t-digest store) replaces them.  Three grouped aggregates with the
+    ≤|types|-row median tables broadcast back — the raw values shuffle
+    once per aggregate, never the deviations twice."""
+    from .sources.readers import load_events
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("v"))
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    mads = dev.groupBy("event_type", "med").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    out = (
+        dev.join(
+            F.broadcast(mads.select("event_type", "mad")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return mads.join(out, "event_type").select(
+        "event_type", "n_values", "med", "mad", "n_outliers"
+    )
+
+
+_GROUPED_MAD_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med
+  FROM ev GROUP BY event_type),
+dev AS (
+  SELECT ev.event_type, ev.v, med.med, ABS(ev.v - med.med) AS dev
+  FROM ev JOIN med ON med.event_type = ev.event_type),
+mads AS (
+  SELECT event_type, med, quantile_cont(dev, 0.5) AS mad,
+    CAST(COUNT(*) AS BIGINT) AS n_values
+  FROM dev GROUP BY event_type, med)
+SELECT m.event_type, m.n_values, m.med, m.mad,
+  CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN mads m ON m.event_type = d.event_type
+GROUP BY m.event_type, m.n_values, m.med, m.mad
+"""
+
+
 def _events_ewma_builder(dialect: str) -> str:
     """Daily EWMA smoothing of event value (half-life = 1 day, α = ½) —
     the telemetry trend line next to `events_anomaly_zscore`'s band.
@@ -7134,6 +7204,13 @@ CATALOG.update(
             "weights and decimal accumulation — order-independent "
             "smoothing.",
         ),
+        "grouped_mad_outliers": QuerySpec(
+            grouped_mad_q,
+            _GROUPED_MAD_ORACLE,
+            doc="Exact median + MAD + robust-z outlier counts per event "
+            "type — the dispersion measure a fat-fingered value cannot "
+            "drag.",
+        ),
         "dedup_cascade": QuerySpec(
             dedup_cascade_q,
             _dedup_cascade_builder(DUCK),
@@ -7461,6 +7538,7 @@ _R7_NEXT = [
     "events_top_paths",
     "events_markov_transitions",
     "events_ewma_daily",
+    "grouped_mad_outliers",
     "dedup_cascade",
     "quality_dedup_interaction",
     "stream_crawl_dedup",

@@ -303,6 +303,9 @@ BUDGET = {
                                  # window never appears
     "events_ewma_daily": 2,      # daily agg + the bounded <=31-day
                                  # pair-join accumulate
+    "grouped_mad_outliers": 6,   # three grouped exact-percentile aggs
+                                 # (2-phase each) with the <=|types|-row
+                                 # median tables broadcast back
     "events_rfm_segments": 15,   # three chained two-phase rank scans
                                  # (window + band agg + offset join
                                  # each) + the cell agg — ALL over the
