@@ -36,6 +36,9 @@ PICKS = {
     "curriculum_packed_batches": "Resample -> interleave -> pack in one plan: checkpointed pick multiset joined to token counts, then the standard two-phase packer; per-bin aggregate carries the n_sources mixing audit.",
     "events_top_paths": "Sessionize window cascade partitioned by user, ordered path rebuild in the per-session aggregate, TakeOrdered top-15. No unpartitioned corpus window.",
     "ann_recall_report": "The evaluation job: IVF probe chain and the exact arm's corpus scan feed one FULL-join recall aggregate — the exact arm is the cost a sampled query set bounds in production.",
+    "parts_abc_analysis": "Pareto classification without a global sort: in-band cumsum windows partitioned by the 256 revenue bands, cumulated band offsets broadcast back, exact-decimal additions end to end.",
+    "events_rfm_segments": "Three chained two-phase rank scans over the checkpointed per-user table (calendar, capped-count and log10 bands) + the cell aggregate — the oracle's three global sorts never appear.",
+    "dedup_cascade": "Stage attribution over CHECKPOINTED substring per-doc and band tables: broadcast stage-flag joins + one rollup — the inlined single-statement form's 27 exchanges collapse to 4.",
 }
 
 if __name__ == "__main__":
