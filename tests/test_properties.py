@@ -531,3 +531,40 @@ def test_substring_scrub_matches_python_reference(docs):
         assert int(r["n_words"]) == n_words
         assert int(r["n_removed"]) == n_removed
         assert r["scrubbed_fp"] == fp, int(r["doc_id"])
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(-20, 20), min_size=1, max_size=60),
+)
+def test_two_phase_position_equals_global_rank(spark, vals):
+    """operators/windows.two_phase_position (RFM's rank primitive) must
+    assign exactly the positions one global ROW_NUMBER would, for any
+    monotone bucket function — including capped buckets that collapse
+    the tail into one band and heavily-tied values."""
+    import pandas as pd
+
+    from big_data_table_spark.operators.windows import two_phase_position
+
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf).repartition(5)
+    for bucket in (
+        F.least(F.col("v"), F.lit(3)),          # capped band
+        (F.col("v") / 7).cast("long"),          # coarse band
+        F.lit(0),                               # single band (degenerate)
+    ):
+        got = (
+            two_phase_position(df, bucket, [F.col("v"), F.col("id")], out="pos")
+            .select("id", "pos")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            pdf.sort_values(["v", "id"])
+            .reset_index(drop=True)
+            .assign(pos=range(len(pdf)))
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert list(got["pos"]) == list(exp["pos"])
