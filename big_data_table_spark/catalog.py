@@ -6161,6 +6161,70 @@ FROM laid GROUP BY bin_id
 """
 
 
+def hll_monthly_from_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL rollup — the continuous-aggregate ladder every
+    hypertable store climbs: per-MONTH distinct users derived from the
+    persisted per-DAY register store ALONE (group by the day string's
+    month prefix, MAX-merge registers within month), never from events.
+    Because register MAX is associative, month-from-days equals
+    month-from-raw bit-for-bit — the oracle computes the direct
+    per-month estimate over raw events and the driver hash is the
+    hierarchy-level merge-law proof.  At 100 TB this is why the day
+    store can serve EVERY coarser granularity (week/month/quarter)
+    without new sketch passes: days·m register rows in, one partition-
+    local prefix-group merge out."""
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_hll_monthly_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    SK.hll_rollup_build(ev, path)
+    regs = spark.read.parquet(path)
+    monthly = (
+        regs.withColumn("month", F.substring(F.col("day").cast("string"), 1, 7))
+        .groupBy("month", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    n_days = (
+        regs.select(F.substring(F.col("day").cast("string"), 1, 7).alias("month"), "day")
+        .distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    )
+    return (
+        SK.hll_estimate(monthly, ["month"])
+        .join(F.broadcast(n_days), "month")
+        .select("month", "n_days", "hll_est")
+    )
+
+
+def _hll_monthly_from_daily_oracle() -> str:
+    from .functions import sketches as SK
+
+    est = SK.hll_estimate_sql(
+        "(SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS month, "
+        "user_id FROM events)",
+        "month",
+        "user_id",
+        dialect=DUCK,
+    )
+    return f"""
+WITH nd AS (
+  SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS month,
+    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events GROUP BY 1)
+SELECT e.month, nd.n_days, e.hll_est
+FROM ({est}) e JOIN nd ON nd.month = e.month
+"""
+
+
 def theta_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The theta store's GROUP dimension (functions/sketches.py:
     theta_rollup_grouped_build/..._range_estimate): per-(event_type,
@@ -7120,6 +7184,13 @@ CATALOG.update(
             "packed into 2048-token windows — per-bin fill + distinct "
             "sources: the loader's final product.",
         ),
+        "hll_monthly_from_daily": QuerySpec(
+            hll_monthly_from_daily_q,
+            _hll_monthly_from_daily_oracle(),
+            doc="Monthly distinct counts derived from the per-day "
+            "register store alone — the hierarchical merge-law proof "
+            "(month-from-days == month-from-raw).",
+        ),
         "theta_rollup_grouped_range": QuerySpec(
             theta_rollup_grouped_q,
             _theta_rollup_grouped_oracle(),
@@ -7524,6 +7595,7 @@ _R7_NEXT = [
     "tokenizer_fertility",
     "dedup_substring_fraction",
     "theta_rollup_persisted",
+    "hll_monthly_from_daily",
     "stream_packing_ledger",
     "theta_rollup_grouped_range",
     "dedup_substring_scrub",

@@ -306,6 +306,10 @@ BUDGET = {
     "grouped_mad_outliers": 6,   # three grouped exact-percentile aggs
                                  # (2-phase each) with the <=|types|-row
                                  # median tables broadcast back
+    "hll_monthly_from_daily": 4, # month-prefix register MAX-merge +
+                                 # estimate + day-count agg over the
+                                 # store scan — no events scan on the
+                                 # hierarchy path
     "events_rfm_segments": 15,   # three chained two-phase rank scans
                                  # (window + band agg + offset join
                                  # each) + the cell agg — ALL over the
