@@ -6370,6 +6370,24 @@ GROUP BY th.threshold
 """
 
 
+def _stream_quality_monitor_oracle() -> str:
+    """Pure-SQL reconstruction of the streaming quality monitor: the
+    shared score formula grouped by the data-borne batch key."""
+    return f"""
+WITH s AS ({X.quality_select_sql(DUCK)})
+SELECT CAST(d.doc_id % 4 AS BIGINT) AS batch,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(CAST(s.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+    / COUNT(*), 6) AS mean_quality,
+  CAST(SUM(CASE WHEN s.quality_score < 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_below,
+  ROUND(SUM(CASE WHEN s.quality_score < 0.45 THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS below_share
+FROM documents d JOIN s ON s.doc_id = d.doc_id
+GROUP BY d.doc_id % 4
+"""
+
+
 def _stream_crawl_dedup_oracle() -> str:
     """Pure-SQL reconstruction of the streaming crawl-dedup evolution:
     with batch = doc_id % 4, a doc is exact_vs_corpus iff an
@@ -7289,6 +7307,15 @@ CATALOG.update(
             "> substring-majority > keep, the dedup-side mirror of the "
             "quality cascade.",
         ),
+        "stream_quality_monitor": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_quality_monitor(spark, sf_dir),
+            _stream_quality_monitor_oracle(),
+            doc="Streaming data-quality monitor: per-micro-batch mean "
+            "quality and below-threshold share appended to a monitor "
+            "sink — every row oracle-reconstructed.",
+        ),
         "stream_crawl_dedup": QuerySpec(
             lambda spark, sf_dir: __import__(
                 "big_data_table_spark.streaming.events", fromlist=["x"]
@@ -7614,6 +7641,7 @@ _R7_NEXT = [
     "dedup_cascade",
     "quality_dedup_interaction",
     "stream_crawl_dedup",
+    "stream_quality_monitor",
     "kmeans_ivf_train",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -186,12 +186,14 @@ def quality_score_sql(dialect: str) -> str:
     )
 
 
-def quality_select_sql(dialect: str) -> str:
+def quality_select_sql(dialect: str, table: str = "documents") -> str:
     """Embeddable (no WITH) quality-score query: ``SELECT doc_id,
     quality_score FROM …`` — nested subqueries only, so other builders
     can splice it into their CTE chains (the ``lang_select_sql``
     convention; used by the quality-aware dedup keeper).  Same formula
-    as :func:`quality_score_sql`."""
+    as :func:`quality_score_sql`.  ``table`` points it at any
+    (doc_id, text, n_chars) relation — the streaming quality monitor
+    scores micro-batch views with it."""
     n_tok = arr_len(split_ws("text", dialect), dialect)
     n_stop = regexp_count("lower(text)", _pat(_STOPWORDS, dialect), dialect)
     n_alpha = regexp_count("text", "[A-Za-z]", dialect)
@@ -203,7 +205,7 @@ def quality_select_sql(dialect: str) -> str:
         "AS quality_score FROM (SELECT doc_id, n_chars, "
         f"CAST({n_tok} AS DOUBLE) AS n_tok, CAST({n_stop} AS DOUBLE) AS n_stop, "
         f"CAST({n_alpha} AS DOUBLE) AS n_alpha, CAST({n_punct} AS DOUBLE) AS n_punct "
-        "FROM documents) feats"
+        f"FROM {table}) feats"
     )
 
 

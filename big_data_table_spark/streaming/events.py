@@ -945,6 +945,36 @@ def stream_packing_ledger(
     return pack_summary(packed, budget=2048)
 
 
+def _batched_corpus_stream(spark, docs, root: str, src_dir: str, n: int = 4):
+    """Write ``docs`` as ``n`` single-file batch groups (group b =
+    ``doc_id % n``) with strictly increasing mtimes, and return a
+    one-file-per-trigger file stream over them — the deterministic
+    micro-batch delivery the crawl-dedup and quality-monitor entries
+    reconstruct in pure SQL (batch membership lives in the DATA, not in
+    file-listing order)."""
+    import shutil
+    import time
+
+    os.makedirs(src_dir, exist_ok=True)
+    now = time.time()
+    for b in range(n):
+        stage = os.path.join(root, f"stage{b}")
+        docs.filter(F.col("doc_id") % n == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"crawl_{b}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (now + b, now + b))
+        shutil.rmtree(stage)
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
 def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CRAWL-FRONTIER dedup loop as a stream: documents arrive in
     four micro-batches (deterministic split ``doc_id % 4``, one file per
@@ -992,26 +1022,7 @@ def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the doc_id % 4 == b docs
     import time
 
-    now = time.time()
-    for b in range(4):
-        stage = os.path.join(root, f"stage{b}")
-        docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(
-            f for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"crawl_{b}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        os.utime(dst, (now + b, now + b))
-        shutil.rmtree(stage)
-
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
+    stream = _batched_corpus_stream(spark, docs, root, src_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         view = f"crawl_batch_{batch_id}"
@@ -1052,4 +1063,77 @@ def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(sink)
         .groupBy("batch", "decision")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DATA-QUALITY monitoring — the per-increment score
+    dashboard an ingest pipeline watches for drift: each micro-batch
+    (the deterministic ``doc_id % 4`` delivery) is scored with the
+    SHARED quality formula (`quality_select_sql` pointed at the batch
+    view) and appends one summary row — doc count, decimal-exact score
+    sum, below-threshold count — to the monitor sink.  The read side
+    reports per-batch mean quality and the sub-0.45 share; because the
+    batch key lives in the data, the oracle reconstructs every row with
+    a plain GROUP BY doc_id % 4.  At 100 TB: per-batch work is
+    |batch|-sized, the sink grows one row per increment, and a drift
+    alert is a query over that tiny table — the pattern every ingest
+    SLO check uses."""
+    import shutil
+    import tempfile
+
+    from ..functions.portable import SPARK
+    from ..functions.text import quality_select_sql
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_qm_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    sink = os.path.join(root, "monitor")
+    stream = _batched_corpus_stream(spark, docs, root, src_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        view = f"qm_batch_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        scores = batch_df.sparkSession.sql(
+            quality_select_sql(SPARK, table=view)
+        )
+        row = (
+            batch_df.select("doc_id")
+            .join(scores, "doc_id")
+            .agg(
+                F.min((F.col("doc_id") % 4).cast("long")).alias("batch"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).alias("q_sum"),
+                F.sum(F.when(F.col("quality_score") < 0.45, 1).otherwise(0))
+                .cast("long")
+                .alias("n_below"),
+            )
+        )
+        row.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    m = spark.read.parquet(sink)
+    return m.select(
+        "batch",
+        "n_docs",
+        F.round(
+            F.col("q_sum").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_quality"),
+        "n_below",
+        F.round(F.col("n_below") / F.col("n_docs").cast("double"), 6).alias(
+            "below_share"
+        ),
     )
