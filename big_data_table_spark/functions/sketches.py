@@ -1824,7 +1824,7 @@ def theta_rollup_compact_all(spark, path: str) -> dict[str, int]:
 
 
 def theta_rollup_range_estimate(
-    spark, path: str, lo: str, hi: str, k: int = 64
+    spark, path: str, lo: str, hi: str, k: int = 64, checkpoint: bool = True
 ) -> DataFrame:
     """Range distinct-count from the persisted samples alone:
     ``(n_days, est_distinct)`` for days in ``[lo, hi]`` via the standard
@@ -1838,8 +1838,11 @@ def theta_rollup_range_estimate(
         spark.read.parquet(path)
         .filter(F.col("day").cast("string").between(lo, hi))
         .distinct()  # replay absorption (SET merge class)
-        .localCheckpoint(eager=True)  # stats + probe + n_days reuse it
     )
+    if checkpoint:
+        # stats + probe + n_days reuse it; checkpoint=False keeps the
+        # pruned file scan visible for the plan-pinning test
+        rows = rows.localCheckpoint(eager=True)
     theta = rows.groupBy("day", "n").agg(F.max("h").alias("hk")).select(
         F.when(F.col("n") > k, F.col("hk").cast("double"))
         .otherwise(F.lit(full))

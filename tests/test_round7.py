@@ -887,3 +887,29 @@ def test_stream_packing_ledger_batch_boundary_independent(spark, sf_dir):
         for r in pack_summary(pack_sequences(docs, budget=2048), budget=2048).collect()
     )
     assert a == batch
+
+
+def test_theta_rollup_range_plan_reads_only_sample_files(spark, sf_dir):
+    """The theta store's range plan must scan the sample parquet
+    (partition-pruned on day) and must NOT scan the events table — the
+    same no-rescan contract test_round6 pins for the HLL register
+    store, applied to the KMV store (its whole point is answering
+    distinct/overlap range queries from days·k sample rows alone)."""
+    import os
+    import shutil
+    import tempfile
+
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "theta_rollup")
+    SK.theta_rollup_build(ev, path, k=64)
+    est = SK.theta_rollup_range_estimate(
+        spark, path, "2024-01-08", "2024-01-21", k=64, checkpoint=False
+    )  # checkpoint=False keeps the pruned file scan visible in-plan
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "theta_rollup" in plan
+    assert "events" not in plan
+    row = est.collect()[0]
+    assert row["n_days"] == 14
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
