@@ -7041,6 +7041,61 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packing_efficiency_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing EFFICIENCY across candidate context budgets {512, 1024,
+    2048, 4096} — the calibration table behind choosing a context
+    length: bins produced, mean fill (corpus tokens / bins·budget), and
+    overflowing bins (the charged-where-it-starts straddle) per budget.
+    Completes the calibration family (quality deciles, similarity
+    thresholds, LSH/ANN recall, and now packing fill).  Four two-phase
+    packing passes unioned — each is the standard no-global-sort
+    layout; the token counts are computed once per pass off the same
+    scan."""
+    from functools import reduce
+
+    from .functions.packing import pack_sequences
+
+    docs = Tables(spark, sf_dir).documents
+    outs = []
+    for b in (512, 1024, 2048, 4096):
+        packed = pack_sequences(docs, budget=b)
+        outs.append(
+            packed.groupBy("bin_id")
+            .agg(F.sum("n_tokens").alias("bt"))
+            .agg(
+                F.lit(b).cast("long").alias("budget"),
+                F.count(F.lit(1)).cast("long").alias("n_bins"),
+                F.round(
+                    F.sum("bt").cast("double")
+                    / (F.count(F.lit(1)) * F.lit(float(b))),
+                    6,
+                ).alias("mean_fill"),
+                F.sum(F.when(F.col("bt") > b, 1).otherwise(0))
+                .cast("long")
+                .alias("n_overflow_bins"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
+def _packing_efficiency_curve_oracle() -> str:
+    from .functions.packing import pack_sequences_sql
+
+    parts = []
+    for b in (512, 1024, 2048, 4096):
+        inner = pack_sequences_sql(b, DUCK)
+        parts.append(
+            f"""
+SELECT CAST({b} AS BIGINT) AS budget,
+  CAST(COUNT(*) AS BIGINT) AS n_bins,
+  ROUND(SUM(bin_tokens) / (COUNT(*) * CAST({b} AS DOUBLE)), 6) AS mean_fill,
+  CAST(SUM(CASE WHEN bin_tokens > {b} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_overflow_bins
+FROM ({inner}) _p{b}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _window_rank_family_builder(dialect: str) -> str:
     """The remaining SQL-standard rank-family windows in one entry —
     NTILE (equi-depth bucketing), PERCENT_RANK, CUME_DIST — per order
@@ -7275,6 +7330,12 @@ CATALOG.update(
             _rfm_segments_sql(DUCK),
             doc="RFM quintile segmentation of purchasing users via "
             "three two-phase banded rank scans — no global sort.",
+        ),
+        "packing_efficiency_curve": QuerySpec(
+            packing_efficiency_curve_q,
+            _packing_efficiency_curve_oracle(),
+            doc="Bins, mean fill, and overflow count per candidate "
+            "context budget — the packing calibration table.",
         ),
         "events_top_paths": _dual(
             _events_top_paths_builder,
@@ -7634,6 +7695,7 @@ _R7_NEXT = [
     "window_rank_family",
     "parts_abc_analysis",
     "events_rfm_segments",
+    "packing_efficiency_curve",
     "events_top_paths",
     "events_markov_transitions",
     "events_ewma_daily",

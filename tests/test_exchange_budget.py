@@ -310,6 +310,10 @@ BUDGET = {
                                  # estimate + day-count agg over the
                                  # store scan — no events scan on the
                                  # hierarchy path
+    "packing_efficiency_curve": 20,  # four independent two-phase
+                                 # packing passes (5 exchanges each)
+                                 # unioned — each budget is its own
+                                 # standard layout, run once
     "events_rfm_segments": 15,   # three chained two-phase rank scans
                                  # (window + band agg + offset join
                                  # each) + the cell agg — ALL over the
