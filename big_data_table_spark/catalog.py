@@ -7041,6 +7041,37 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shipping_delay_profile_builder(dialect: str) -> str:
+    """Order-to-ship LATENCY profile per order priority — TPC-H Q12's
+    late-binary widened to the full distribution over the columns the
+    trimmed fixture actually carries (no commit/receipt dates or ship
+    modes here): days from o_orderdate to each line's l_shipdate, with
+    count, exact integer-day mean as a rounded double, exact p50/p90
+    (the pinned percentile ≡ quantile_cont equivalence), and the
+    over-90-day share.  One fact-fact join on orderkey (the q3 shape —
+    sort-merge co-partitioned at scale) + one grouped aggregate;
+    ≤|priorities| output rows."""
+    from .functions.portable import days_since_epoch
+
+    delay = (
+        f"({days_since_epoch('l.l_shipdate', dialect)}"
+        f" - {days_since_epoch('o.o_orderdate', dialect)})"
+    )
+    pct = "percentile" if dialect == SPARK else "quantile_cont"
+    return f"""
+WITH d AS (
+  SELECT o.o_orderpriority AS priority, CAST({delay} AS BIGINT) AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_items,
+  ROUND(CAST(SUM(delay_days) AS DOUBLE) / COUNT(*), 6) AS mean_delay_days,
+  {pct}(delay_days, 0.5) AS p50_delay,
+  {pct}(delay_days, 0.9) AS p90_delay,
+  ROUND(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS over_90d_share
+FROM d GROUP BY priority
+"""
+
+
 def packing_efficiency_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing EFFICIENCY across candidate context budgets {512, 1024,
     2048, 4096} — the calibration table behind choosing a context
@@ -7336,6 +7367,12 @@ CATALOG.update(
             _packing_efficiency_curve_oracle(),
             doc="Bins, mean fill, and overflow count per candidate "
             "context budget — the packing calibration table.",
+        ),
+        "shipping_delay_profile": _dual(
+            _shipping_delay_profile_builder,
+            doc="Order-to-ship latency distribution per priority "
+            "(count, mean, exact p50/p90, over-90-day share) — Q12 "
+            "widened to the full logistics profile.",
         ),
         "events_top_paths": _dual(
             _events_top_paths_builder,
@@ -7696,6 +7733,7 @@ _R7_NEXT = [
     "parts_abc_analysis",
     "events_rfm_segments",
     "packing_efficiency_curve",
+    "shipping_delay_profile",
     "events_top_paths",
     "events_markov_transitions",
     "events_ewma_daily",

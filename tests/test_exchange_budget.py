@@ -314,6 +314,10 @@ BUDGET = {
                                  # packing passes (5 exchanges each)
                                  # unioned — each budget is its own
                                  # standard layout, run once
+    "shipping_delay_profile": 2, # orders broadcast onto lineitem +
+                                 # the percentile agg (one exchange at
+                                 # fixture scale; headroom for the
+                                 # co-partitioned join at 100 TB)
     "events_rfm_segments": 15,   # three chained two-phase rank scans
                                  # (window + band agg + offset join
                                  # each) + the cell agg — ALL over the
