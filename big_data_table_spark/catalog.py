@@ -7072,6 +7072,40 @@ FROM d GROUP BY priority
 """
 
 
+def _order_gaps_builder(dialect: str) -> str:
+    """Inter-ARRIVAL analysis per market segment: days between a
+    customer's consecutive orders (LAG over the per-customer order
+    timeline, (orderdate, orderkey) tie-break so same-day orders stay
+    deterministic), profiled per segment with count, exact-integer mean,
+    exact p50/p90, and the within-30-days repeat share — the
+    repurchase-cadence table a retention model starts from, the
+    relational twin of `events_rfm_segments`' recency axis.  One
+    customer-partitioned window + one grouped aggregate; the customer
+    dim broadcasts."""
+    from .functions.portable import days_since_epoch
+
+    od = days_since_epoch("o_orderdate", dialect)
+    pct = "percentile" if dialect == SPARK else "quantile_cont"
+    return f"""
+WITH t AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+    CAST({od} AS BIGINT) AS od, o.o_orderkey
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+g AS (
+  SELECT segment,
+    od - LAG(od) OVER (PARTITION BY o_custkey
+      ORDER BY od, o_orderkey) AS gap_days
+  FROM t)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days,
+  {pct}(gap_days, 0.5) AS p50_gap,
+  {pct}(gap_days, 0.9) AS p90_gap,
+  ROUND(SUM(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS within_30d_share
+FROM g WHERE gap_days IS NOT NULL GROUP BY segment
+"""
+
+
 def packing_efficiency_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing EFFICIENCY across candidate context budgets {512, 1024,
     2048, 4096} — the calibration table behind choosing a context
@@ -7373,6 +7407,12 @@ CATALOG.update(
             doc="Order-to-ship latency distribution per priority "
             "(count, mean, exact p50/p90, over-90-day share) — Q12 "
             "widened to the full logistics profile.",
+        ),
+        "customer_order_gaps": _dual(
+            _order_gaps_builder,
+            doc="Inter-order gap distribution per market segment "
+            "(mean, exact p50/p90, 30-day repeat share) — the "
+            "repurchase-cadence table.",
         ),
         "events_top_paths": _dual(
             _events_top_paths_builder,
@@ -7734,6 +7774,7 @@ _R7_NEXT = [
     "events_rfm_segments",
     "packing_efficiency_curve",
     "shipping_delay_profile",
+    "customer_order_gaps",
     "events_top_paths",
     "events_markov_transitions",
     "events_ewma_daily",

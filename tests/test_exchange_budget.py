@@ -318,6 +318,8 @@ BUDGET = {
                                  # the percentile agg (one exchange at
                                  # fixture scale; headroom for the
                                  # co-partitioned join at 100 TB)
+    "customer_order_gaps": 2,    # customer broadcast + per-customer
+                                 # LAG window + segment percentile agg
     "events_rfm_segments": 15,   # three chained two-phase rank scans
                                  # (window + band agg + offset join
                                  # each) + the cell agg — ALL over the
