@@ -6299,9 +6299,10 @@ def dedup_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity J is 1−(1−J³)⁴ (≈0.41 at J=0.5, ≈0.93 at J=0.8), so
     recall RISES with the threshold — exactly what this report shows,
     and the number that decides the band/row split before a production
-    dedup run.  Truth = the shipped exact-verification pairs
-    (`ngram_jaccard_pairs_sql`, J ≥ 0.5); retrieved = the shipped
-    band-bucket candidates; per threshold in {0.5, 0.7, 0.9}: truth
+    dedup run.  Truth = exact n-gram Jaccard pairs at the J ≥ 0.05
+    floor (`ngram_jaccard_pairs_sql` — the low floor populates the
+    weak-similarity end of the S-curve); retrieved = the shipped
+    band-bucket candidates; per threshold in {0.05, 0.5, 0.9}: truth
     pairs, caught pairs, recall, with the candidate-set size alongside.
 
     Spark plan: truth/band tables each computed ONCE and checkpointed
@@ -7024,7 +7025,12 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = two_phase_position(
         d,
-        F.floor(F.log10(F.col("mon").cast("double") + 1) * 8).cast("long"),
+        # clamp: mon <= -1 would make log10 NULL and break the
+        # monotone-bucket contract; greatest(mon, 0) keeps any
+        # negative-sum user in the bottom bucket (still monotone)
+        F.floor(
+            F.log10(F.greatest(F.col("mon").cast("double"), F.lit(0.0)) + 1) * 8
+        ).cast("long"),
         [F.col("mon"), F.col("user_id")],
         out="mpos",
     )
@@ -7817,6 +7823,37 @@ _head7 = _R7_FRONT + _R7_NEXT + [
 CATALOG = {
     **{name: CATALOG[name] for name in _head7},
     **{name: spec for name, spec in CATALOG.items() if name not in set(_head7)},
+}
+
+# ------------------------------------------------------------------ #
+# driver-window ordering (round 8) — VERDICT r7 #1: the 54 entries
+# with ZERO driver CORRECTNESS rows (the whole late-r7 batch — theta/
+# tdigest/bloom stores, IVFPQ family, substring dedup, streaming
+# writers, classic analytics) lead; they exceed one 50-entry window,
+# so the first 50 (in their _R7_NEXT staging order) are _R8_FRONT and
+# the 4 that spill over head _R8_NEXT, followed by the 20 entries
+# whose latest green row is r4 (VERDICT r7 #2) so the r9 window
+# refreshes them.  New r8 entries append to _R8_NEXT after those.
+# ------------------------------------------------------------------ #
+_R8_FRONT = _R7_NEXT[:50]
+_R8_SPILL = _R7_NEXT[50:54]  # dedup_cascade .. stream_quality_monitor
+_R8_STALE_R4 = _R7_NEXT[54:]  # the 20 entries last driver-checked r4
+_R8_NEW: list[str] = []
+_R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
+
+assert set(_R8_FRONT + _R8_NEXT) <= set(CATALOG), sorted(
+    set(_R8_FRONT + _R8_NEXT) - set(CATALOG)
+)
+assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50, len(_R8_FRONT)
+assert len(_R8_STALE_R4) == 20, len(_R8_STALE_R4)
+assert not set(_R8_FRONT) & set(_R8_NEXT)
+
+_head8 = _R8_FRONT + _R8_NEXT + [
+    n for n in CATALOG if n not in set(_R8_FRONT + _R8_NEXT)
+]
+CATALOG = {
+    **{name: CATALOG[name] for name in _head8},
+    **{name: spec for name, spec in CATALOG.items() if name not in set(_head8)},
 }
 
 

@@ -1017,11 +1017,6 @@ def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(root, "decisions")
     os.makedirs(src_dir)
 
-    # one parquet FILE per batch group, mtimes in group order so the
-    # file source (maxFilesPerTrigger=1, oldest-first) delivers batch b
-    # exactly the doc_id % 4 == b docs
-    import time
-
     stream = _batched_corpus_stream(spark, docs, root, src_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
