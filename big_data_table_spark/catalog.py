@@ -25,3061 +25,125 @@ operators whose output is not SQL-expressible; the driver records a
 rows-only check for them.
 """
 
+
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from .core import BigDataTable
 from .functions import analytics as A
 from .functions import dedup as D
 from .functions import similarity as S
 from .functions import text as X
 from .functions.portable import DUCK, SPARK
-from .operators import joins as J
-from .operators import windows as W
-from .operators.aggregate import davg, dsum, partials
-from .operators.setops import rbindlist
-from .sources.readers import FIXTURE_TABLES, Tables, ensure_session_confs, load_table
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    doc: str = ""
-
-
-_registered_sf: dict[str, str] = {}  # spark application id -> registered sf_dir
-
-
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (the engine analogue of
-    named datasets resident per node, reference big.data.table.R:281-291).
-    ``events.ts`` is registered post-conversion (nanos → timestamp).
-
-    Registration is cached per (session, sf_dir): repeated catalog calls
-    in one session skip the 10-table file-listing/schema pass; switching
-    ``sf_dir`` mid-session re-registers everything."""
-    app_id = spark.sparkContext.applicationId
-    if _registered_sf.get(app_id) == sf_dir:
-        return
-    ensure_session_confs(spark)
-    for name in FIXTURE_TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _registered_sf[app_id] = sf_dir
-
-
-def _sql_query(spark_sql: str) -> Callable[[SparkSession, str], DataFrame]:
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
-        return spark.sql(spark_sql)
-
-    return fn
-
-
-def _dual(builder: Callable[[str], str], doc: str = "") -> QuerySpec:
-    """A dual-dialect SQL operator: one builder, two dialects — the Spark
-    query and its oracle share the algorithm by construction."""
-    return QuerySpec(fn=_sql_query(builder(SPARK)), oracle=builder(DUCK), doc=doc)
-
-
-# ------------------------------------------------------------------ #
-# core relational queries (DataFrame API, reference Layer B parity)
-# ------------------------------------------------------------------ #
-
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: TPC-H Q1-shaped pricing summary — the reference's
-    canonical grouped-aggregation shape (``x[, .(value=sum(value)), by]``,
-    README.md:84-94) at full width.  Catalyst runs partial→final agg; the
-    scan reads only the 7 referenced columns with the shipdate filter
-    pushed down."""
-    li = Tables(spark, sf_dir).lineitem
-    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
-    return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-_Q1_ORACLE = """
-SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: tight filter + single global aggregate.  The whole
-    predicate set pushes into the parquet scan; at 100 TB this is a
-    scan-dominated query with a one-row shuffle."""
-    li = Tables(spark, sf_dir).lineitem
-    revenue = F.col("l_extendedprice").cast("decimal(18,6)") * F.col("l_discount").cast(
-        "decimal(18,6)"
-    )
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-            & (F.col("l_discount") >= 0.03)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-_Q6_ORACLE = """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-  COUNT(*) AS n
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
-"""
-
-
-def grouped_sum_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``bdt[, .(value=sum(value)), by=year]`` — the reference's canonical
-    query (README.md:84-94) on lineitem."""
-    li = Tables(spark, sf_dir).lineitem
-    bdt = BigDataTable(li.withColumn("year", F.year("l_shipdate").cast("int")))
-    return bdt.q(j={"value": dsum("l_extendedprice")}, by="year").df
-
-
-def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``bdt[, .N, by]`` (reference README.md:176-178) — global,
-    correct-by-default (the reference's outer.aggregate=TRUE form of this
-    is pinned *wrong*; SURVEY.md §4.2)."""
-    li = Tables(spark, sf_dir).lineitem
-    return BigDataTable(li).q(by="l_returnflag").df  # bare .N
-
-
-def grouped_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Tables(spark, sf_dir).lineitem
-    return (
-        li.groupBy("l_linestatus")
-        .agg(davg("l_quantity").alias("avg_qty"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-def agg_all_sd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``lapply(.SD, sum)`` — aggregate every (numeric) non-group column
-    (reference README.md:220-224)."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.sum("l_linenumber").cast("bigint").alias("sum_linenumber"),
-        dsum("l_quantity").alias("sum_quantity"),
-        dsum("l_extendedprice").alias("sum_extendedprice"),
-        dsum("l_discount").alias("sum_discount"),
-        dsum("l_tax").alias("sum_tax"),
-    )
-
-
-def multi_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-key grouped sum + count — the reference's local-vs-distributed
-    equivalence oracle (tests-03-as.big.data.table.R:53-60)."""
-    li = Tables(spark, sf_dir).lineitem
-    return (
-        li.withColumn("year", F.year("l_shipdate").cast("int"))
-        .withColumn("pk", (F.col("l_partkey") % 10).cast("bigint"))
-        .groupBy("l_returnflag", "l_linestatus", "year", "pk")
-        .agg(dsum("l_extendedprice").alias("value"), F.count(F.lit(1)).alias("N"))
-    )
-
-
-def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``bdt[i, j]`` — filter in ``i``, project in ``j``.  Both the
-    predicate and the 3-column pruning reach the parquet scan."""
-    li = Tables(spark, sf_dir).lineitem
-    return BigDataTable(li).q(
-        i=F.col("l_quantity") > 45,
-        j=["l_orderkey", "l_linenumber", "l_quantity"],
-    ).df
-
-
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered top-k (head over a sort) — physical plan is
-    TakeOrderedAndProject (per-partition heaps, no global sort)."""
-    o = Tables(spark, sf_dir).orders
-    return W.topk(
-        o.select("o_orderkey", "o_totalprice"),
-        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
-        10,
-    )
-
-
-def lookup_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """data.table ``y[x, on=]`` lookup join (reference README.md:226-227):
-    LEFT join of x=nation against y=region, small side broadcast."""
-    t = Tables(spark, sf_dir)
-    x = t.nation.withColumnRenamed("n_regionkey", "r_regionkey")
-    return J.lookup_join(x, t.region, on="r_regionkey", broadcast=True).select(
-        "n_nationkey", "n_name", "r_name"
-    )
-
-
-def join3_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table join beyond the reference's node-local joins:
-    lineitem ⋈ orders ⋈ customer, revenue per market segment.  customer is
-    broadcast; the lineitem⋈orders join shuffles on the orderkey."""
-    t = Tables(spark, sf_dir)
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
-    return (
-        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-_JOIN3_ORACLE = """
-SELECT c_mktsegment,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-  COUNT(*) AS n
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
-
-
-def semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter-by-join / ``nomatch=0L`` existence semantics (reference
-    big.data.table.R:196-198): orders of high-balance customers."""
-    t = Tables(spark, sf_dir)
-    rich = t.customer.filter(F.col("c_acctbal") > 5000).select(
-        F.col("c_custkey").alias("o_custkey")
-    )
-    return (
-        J.semi_join(t.orders, rich, on="o_custkey")
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
-    )
-
-
-_SEMI_ORACLE = """
-SELECT o_orderstatus, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-GROUP BY o_orderstatus
-"""
-
-
-def anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``x[!y]`` anti join (reference big.data.table.R:241): customers with
-    no orders, counted per segment."""
-    t = Tables(spark, sf_dir)
-    keys = t.orders.select(F.col("o_custkey").alias("c_custkey"))
-    return (
-        J.anti_join(t.customer, keys, on="c_custkey")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-_ANTI_ORACLE = """
-SELECT c_mktsegment, COUNT(*) AS n FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-GROUP BY c_mktsegment
-"""
-
-
-def cross_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``CJ(a, b)`` cartesian (reference README.md:117)."""
-    t = Tables(spark, sf_dir)
-    return J.cross_join(t.region.select("r_name"), t.nation.select("n_name"))
-
-
-def distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``unique(x, by=)`` (reference as.big.data.table.R:110)."""
-    c = Tables(spark, sf_dir).customer
-    return c.select("c_mktsegment", "c_nationkey").distinct()
-
-
-def union_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``rbindlist`` gather-side union (reference big.data.table.R:139)."""
-    t = Tables(spark, sf_dir)
-    a = t.orders.select(F.col("o_orderkey").alias("id"), F.lit("orders").alias("src"))
-    b = t.lineitem.select(F.col("l_orderkey").alias("id"), F.lit("lineitem").alias("src"))
-    return rbindlist([a, b]).groupBy("src").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("id").cast("bigint").alias("n_ids"),
-    )
-
-
-_UNION_ORACLE = """
-WITH u AS (
-  SELECT o_orderkey AS id, 'orders' AS src FROM orders
-  UNION ALL
-  SELECT l_orderkey AS id, 'lineitem' AS src FROM lineitem
+from .catalog_base import (QuerySpec, _dual, _sql_query, register_views)
+from .catalog_relational import (
+    _ANTI_ORACLE, _EVASOF_ORACLE, _EVASOF_TOL_ORACLE, _EVJSON_ORACLE,
+    _EVSESS_ORACLE, _EVTUMBLE_ORACLE, _GEN_ORACLE, _JOIN3_ORACLE,
+    _PIVOT_ORACLE, _Q1_ORACLE, _Q6_ORACLE, _ROLLUP_ORACLE, _SEMI_ORACLE,
+    _STREAM_SSJOIN_ORACLE, _STREAM_STATEFUL_ORACLE, _STREAM_TUMBLE_ORACLE,
+    _TWOPHASE_ORACLE, _UNION_ORACLE, _WRUN_ORACLE, _WTOPK_ORACLE,
+    _partials_diag_builder, agg_all_sd, anti_join_q, count_distinct_q,
+    cross_join_q, cube_q, distinct_q, events_asof_purchase,
+    events_asof_tolerance, events_json_extract, events_sessionize,
+    events_tumbling, except_q, filter_project, generator_source_q,
+    group_count, grouped_mean, grouped_sum_by_year, intersect_q,
+    join3_revenue_by_segment, lookup_join_nation_region, multi_key_group,
+    pivot_q, q1_pricing_summary, q6_revenue, rollup_q, semi_join_q,
+    stream_click_purchase, stream_stateful, stream_tumbling, topk_orders,
+    two_phase_q, union_all_q, window_running_sum, window_topk_per_group,
 )
-SELECT src, COUNT(*) AS n, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids FROM u GROUP BY src
-"""
-
-
-def intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    return t.customer.select(F.col("c_custkey").alias("k")).intersect(
-        t.orders.select(F.col("o_custkey").alias("k"))
-    )
-
-
-def except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    return t.customer.select(F.col("c_custkey").alias("k")).exceptAll(
-        t.orders.select(F.col("o_custkey").alias("k")).distinct()
-    ).distinct()
-
-
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 lineitems per returnflag by price — row_number window with a
-    total-order tie-break."""
-    li = Tables(spark, sf_dir).lineitem
-    out = W.topk_per_group(
-        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
-        by="l_returnflag",
-        order=[
-            F.col("l_extendedprice").desc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_linenumber").asc(),
-        ],
-        k=3,
-    )
-    return out.withColumn("rn", F.col("rn").cast("bigint"))
-
-
-_WTOPK_ORACLE = """
-SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
-  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
-    ROW_NUMBER() OVER (PARTITION BY l_returnflag
-      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
-  FROM lineitem) t
-WHERE rn <= 3
-"""
-
-
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-supplier revenue in shipdate order (exact decimal
-    accumulation over a total-order frame → deterministic)."""
-    li = Tables(spark, sf_dir).lineitem.filter(F.col("l_suppkey") <= 3)
-    out = W.running(
-        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
-        by="l_suppkey",
-        order=[F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
-        aggs={
-            "running_rev": F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
-            "rn": F.row_number(),
-        },
-    )
-    return out.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.col("running_rev").cast("double").alias("running_rev"),
-        F.col("rn").cast("bigint").alias("rn"),
-    )
-
-
-_WRUN_ORACLE = """
-SELECT l_suppkey, l_orderkey, l_linenumber,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_rev,
-  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
-FROM lineitem WHERE l_suppkey <= 3
-WINDOW w AS (PARTITION BY l_suppkey
-  ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-"""
-
-
-def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Tables(spark, sf_dir).lineitem
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
-    )
-
-
-_ROLLUP_ORACLE = """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Tables(spark, sf_dir).lineitem
-    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
-
-
-def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot l_linestatus → columns (engine extension; oracle via CASE
-    aggregation)."""
-    li = Tables(spark, sf_dir).lineitem
-    out = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(dsum("l_quantity"))
-    )
-    return out.select(
-        "l_returnflag",
-        F.col("O").alias("qty_o"),
-        F.col("F").alias("qty_f"),
-    )
-
-
-_PIVOT_ORACLE = """
-SELECT l_returnflag,
-  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_o,
-  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS qty_f
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def two_phase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's manual two-phase aggregation
-    ``bdt[, .(v=sum(v)), year][, .(v=sum(v)), year]``
-    (README.md:166-178): per-shard partials (``.node`` ×  key) re-aggregated
-    to the global result.  Partials stay in exact decimal so the final sum
-    is independent of the partitioning; oracle = plain global GROUP BY."""
-    li = Tables(spark, sf_dir).lineitem.withColumn(
-        "year", F.year("l_shipdate").cast("int")
-    )
-    phase1 = partials(
-        li,
-        by="year",
-        aggs={
-            "v": F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
-            "n": F.count(F.lit(1)),
-        },
-    )
-    return phase1.groupBy("year").agg(
-        F.sum("v").cast("double").alias("value"),
-        F.sum("n").cast("bigint").alias("N"),
-    )
-
-
-_TWOPHASE_ORACLE = """
-SELECT CAST(year(l_shipdate) AS INT) AS year,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value,
-  COUNT(*) AS N
-FROM lineitem GROUP BY 1
-"""
-
-
-def count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
-        F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
-    )
-
-
-def _partials_diag_builder(dialect: str) -> str:
-    """The reference's *default* result shape — per-shard partials
-    (``outer.aggregate=FALSE``, big.data.table.R:138-151; row-count law
-    pinned by tests-04:23-32: nrow == shards × groups).  The shard is the
-    reference's node-assignment function made EXPLICIT and portable: the
-    VALUE of the first md5 hex digit mod 8 — a true 2-to-1 uniform map of
-    the 16 hex chars onto the 8 shards (the earlier ``ascii(c) % 8`` form
-    was not uniform: ascii codes of '0'-'9' and 'a'-'f' are not
-    contiguous, so shard 7 received only '7' — 1/16 of keys — and could
-    be empty on small inputs, silently breaking the row-count law).  The
-    hex→value map is a portable CASE (both engines lowercase md5), so the
-    per-shard partial values are fully determined by the data rather than
-    by Spark's physical partitioning —
-    which upgrades this entry from the driver's rows-only check to a full
-    value-hash oracle while keeping the semantics it documents.  The
-    PHYSICAL spark_partition_id variant stays available as
-    ``operators.aggregate.partials`` (pytest-pinned); at 100 TB both
-    shapes are one map-side-combinable aggregation."""
-    hexd = f"substr(md5(CAST(l_orderkey AS {'STRING' if dialect == SPARK else 'VARCHAR'})), 1, 1)"
-    hexval = (
-        f"(CASE {hexd} "
-        + " ".join(f"WHEN '{c}' THEN {i}" for i, c in enumerate("0123456789abcdef"))
-        + " END)"
-    )
-    return f"""
-SELECT {hexval} % 8 AS shard,
-  l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
-FROM lineitem GROUP BY shard, l_returnflag
-"""
-
-
-def generator_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generator-function source (reference as.big.data.table.R:35-45, the
-    ``gen.data`` pattern tests-04:11-15): deterministic per-partition data
-    generation via mapInPandas, then a grouped count.  Seeded per
-    partition id → deterministic; oracle-expressible because the generator
-    is a pure function of (pid, row index)."""
-    from .sources.readers import from_generator
-    import numpy as np
-    import pandas as pd
-
-    def gen(pid: int, n: int = 1000):
-        idx = np.arange(n)
-        return pd.DataFrame(
-            {
-                "pid": np.full(n, pid, dtype="int64"),
-                "year": 2011 + ((pid * 7 + idx * 13) % 4),
-                "value": ((pid * 31 + idx * 17) % 100).astype("float64"),
-            }
-        )
-
-    df = from_generator(spark, gen, schema="pid long, year long, value double", n_partitions=4)
-    return df.groupBy("year").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
-    )
-
-
-_GEN_ORACLE = """
-WITH g AS (
-  SELECT pid, idx,
-    2011 + ((pid * 7 + idx * 13) % 4) AS year,
-    CAST((pid * 31 + idx * 17) % 100 AS DOUBLE) AS value
-  FROM (SELECT UNNEST(range(0, 4)) AS pid), (SELECT UNNEST(range(0, 1000)) AS idx)
+from .catalog_breadth import (
+    _ANOMALY_ORACLE, _APPROX_DISTINCT_ORACLE, _ARRAYF_ORACLE,
+    _BALANCED_ORACLE, _BIGRAMS_ORACLE, _CSV_ORACLE, _DATEF_ORACLE,
+    _EVASOF_FWD_ORACLE, _FRAME_SAMPLE_ORACLE, _FUNNEL_ORACLE,
+    _GROUPING_SETS_SQL, _HEATMAP_ORACLE, _JSON_ORACLE, _KEYBY_ORACLE,
+    _MEDIA_DEDUP_ORACLE, _MERGE_ORACLE, _MONTH_ORACLE, _MULTIMODAL_ORACLE,
+    _PART_ETL_ORACLE, _PART_ORACLE, _PD_UDAF_ORACLE, _PERCENTILE_ORACLE,
+    _Q14_ORACLE, _Q18_ORACLE, _Q3_ORACLE, _Q4_ORACLE, _QSKETCH_ORACLE,
+    _QUANT_ORACLE, _RANGE_ORACLE, _SAMPLE_K_ORACLE, _STREAM_ASOF_ORACLE,
+    _STREAM_LATE_ORACLE, _STREAM_SESSION_ORACLE, _STREAM_SLIDING_ORACLE,
+    _STRINGF_ORACLE, _SUPPLIER_CHAIN_ORACLE, _TDIGEST_ORACLE, _WLAG_ORACLE,
+    _ann_ivf_trained_oracle, _ann_ivfpq_residual_oracle,
+    _ann_pq_trained_oracle, _clean_corpus_oracle, _crosslingual_pairs_fn,
+    _dedup_components_oracle, _dedup_keep_best_quality_oracle,
+    _dedup_pipeline_oracle, _embedding_pca_oracle, _kmeans_oracle,
+    _minhash_lsh_pairs_fn, _sample_oracle, _stratified_oracle,
+    _stream_asof_enrich, _stream_late_data, _stream_static_enrich,
+    _train_split_oracle, ann_ivf_persisted_q, ann_ivf_trained_q,
+    ann_ivfpq_persisted_q, ann_ivfpq_residual_q, ann_pq_persisted_q,
+    ann_pq_trained_q, approx_distinct_diag, array_functions_q,
+    balanced_sample_q, csv_roundtrip, date_functions_q, dedup_components_fn,
+    dedup_keep_best_quality_q, dedup_pipeline_q, embedding_neardup_q,
+    embedding_pca_q, embedding_quantize_q, events_anomaly_q,
+    events_asof_forward, events_funnel_q, events_heatmap_q, grouping_sets_q,
+    json_roundtrip, keyby_sorted, kmeans_ivf_q, media_dedup_digest_q,
+    merge_upsert_q, multimodal_features, multimodal_frame_sample,
+    multimodal_resize_meta, orders_by_month, pandas_udaf_quantiles,
+    part_brand_stats, partitioned_etl_rollup, percentile_q,
+    q14_promo_revenue, q18_large_orders, q3_shipping_priority,
+    q4_order_priority, quantile_sketch_q, range_join_prices,
+    sample_by_hash_q, sample_fixed_k_q, stratified_sample_q, stream_session,
+    stream_sliding, string_functions_q, supplier_chain, tdigest_quantiles_q,
+    text_top_bigrams_q, train_split_q, window_lag_lead_q,
 )
-SELECT year, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-FROM g GROUP BY year
-"""
-
-
-# ------------------------------------------------------------------ #
-# events queries (JSON, windows, sessionization, as-of)
-# ------------------------------------------------------------------ #
-
-def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from ``events.props`` + grouped aggregate."""
-    ev = Tables(spark, sf_dir).events
-    return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").cast("bigint").alias("sum_k"),
-            dsum("value").alias("sum_value"),
-        )
-    )
-
-
-_EVJSON_ORACLE = """
-SELECT event_type, COUNT(*) AS n,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-FROM events GROUP BY event_type
-"""
-
-
-def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch tumbling 5-minute windows (epoch-bucketed)."""
-    ev = Tables(spark, sf_dir).events
-    bucket = (F.unix_timestamp("ts") / 300).cast("bigint") * 300
-    return (
-        ev.withColumn("ws", bucket)
-        .groupBy("ws", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
-    )
-
-
-_EVTUMBLE_ORACLE = """
-SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS ws, event_type,
-  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-FROM events GROUP BY 1, 2
-"""
-
-
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (30-min gap) → per-session stats."""
-    ev = Tables(spark, sf_dir).events
-    sess = W.sessionize(ev, user="user_id", ts="ts", gap_seconds=1800)
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
-            "dur_seconds"
-        ),
-        dsum("value").alias("v"),
-    )
-
-
-_EVSESS_ORACLE = """
-WITH flagged AS (
-  SELECT user_id, ts, value,
-    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-      - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL THEN 1
-    WHEN CAST(floor(epoch(ts)) AS BIGINT)
-      - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1
-    ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
-),
-sessions AS (
-  SELECT user_id, ts, value,
-    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-  FROM flagged
+from .catalog_r4 import (
+    _BUCKETED_ETL_ORACLE, _hll_cardinality_oracle,
+    _hll_union_audience_oracle, _ppm_decode_oracle, bucketed_etl_revenue_q,
+    hll_cardinality_q, hll_union_audience_q, multimodal_ppm_decode_q,
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
-  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_seconds,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-FROM sessions GROUP BY user_id, session_id
-"""
-
-
-def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event matched to the latest same-user 'purchase'
-    at-or-before it (union+window implementation, operators/joins.py;
-    oracle: DuckDB native ASOF JOIN)."""
-    ev = Tables(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
-    )
-    left = ev.select("event_id", "user_id", "ts")
-    out = J.asof_join(
-        left, purchases, on="ts", by="user_id", right_cols=["purchase_id"]
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "purchase_id",
-        F.unix_timestamp("ts").alias("ets"),
-    )
-
-
-_EVASOF_ORACLE = """
-SELECT e.event_id, e.user_id, p.purchase_id,
-  CAST(floor(epoch(e.ts)) AS BIGINT) AS ets
-FROM events e ASOF LEFT JOIN
-  (SELECT user_id, ts, event_id AS purchase_id FROM events
-   WHERE event_type = 'purchase') p
-ON e.user_id = p.user_id AND e.ts >= p.ts
-"""
-
-
-def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events_asof_purchase` with a GAP CAP — the pandas
-    ``merge_asof(tolerance=)`` / kdb windowed-join surface: a purchase
-    more than 1 hour before the event does not count as its antecedent
-    (attribution windows are how real funnel logic works).  The cap is a
-    pure projection over the carried right row's own timestamp
-    (operators/joins.py:asof_join tolerance=3600) — zero shuffles beyond
-    the base as-of, and the whole matched row nulls atomically.  Oracle:
-    DuckDB's native ASOF JOIN with a CASE'd gap filter."""
-    ev = Tables(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
-    )
-    left = ev.select("event_id", "user_id", "ts")
-    out = J.asof_join(
-        left,
-        purchases,
-        on="ts",
-        by="user_id",
-        right_cols=["purchase_id"],
-        tolerance=3600.0,
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "purchase_id",
-        F.unix_timestamp("ts").alias("ets"),
-    )
-
-
-_EVASOF_TOL_ORACLE = """
-SELECT e.event_id, e.user_id,
-  CASE WHEN epoch(e.ts) - epoch(p.ts) <= 3600 THEN p.purchase_id END
-    AS purchase_id,
-  CAST(floor(epoch(e.ts)) AS BIGINT) AS ets
-FROM events e ASOF LEFT JOIN
-  (SELECT user_id, ts, event_id AS purchase_id FROM events
-   WHERE event_type = 'purchase') p
-ON e.user_id = p.user_id AND e.ts >= p.ts
-"""
-
-
-def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming tumbling windows driven to completion over the
-    bounded fixture — result equals the batch tumbling aggregation."""
-    from .streaming.events import tumbling_counts
-
-    return tumbling_counts(spark, sf_dir, minutes=5)
-
-
-_STREAM_TUMBLE_ORACLE = """
-SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS ws, event_type,
-  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-FROM events GROUP BY 1, 2
-"""
-
-
-def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner join with dual watermarks + a bounded time-range
-    condition (the state-expirable shape); bounded input → result equals
-    the batch interval join."""
-    from .streaming.events import click_purchase_join
-
-    return click_purchase_join(spark, sf_dir, within_minutes=10)
-
-
-_STREAM_SSJOIN_ORACLE = """
-SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
-  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_seconds
-FROM events c JOIN events p
-  ON c.user_id = p.user_id
- AND c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
-"""
-
-
-def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState): final
-    per-user running counts equal the batch aggregate on bounded input."""
-    from .streaming.events import stateful_running_counts
-
-    return stateful_running_counts(spark, sf_dir)
-
-
-_STREAM_STATEFUL_ORACLE = """
-SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
-FROM events GROUP BY user_id
-"""
-
-
-# ------------------------------------------------------------------ #
-# batch 2: sources round-trips, more SQL surface, dims, multimodal
-# ------------------------------------------------------------------ #
-
-def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV sink + source round-trip (reference write.csv/fread,
-    tests-06-readme.R:87-98): project lineitem → CSV → read back with an
-    explicit schema (no inference pass) → aggregate."""
-    import tempfile
-
-    from .sources.readers import read_csv, write_csv
-
-    li = Tables(spark, sf_dir).lineitem.select(
-        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
-    )
-    path = os.path.join(tempfile.gettempdir(), "bdt_csv_roundtrip")
-    write_csv(li, path)
-    back = read_csv(
-        spark,
-        path,
-        schema="l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double",
-        infer_schema=False,
-    )
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity").alias("qty"),
-        dsum("l_extendedprice").alias("price"),
-    )
-
-
-_CSV_ORACLE = """
-SELECT l_returnflag, COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON sink + source round-trip with explicit schema."""
-    import tempfile
-
-    from .sources.readers import read_json
-
-    o = Tables(spark, sf_dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    path = os.path.join(tempfile.gettempdir(), "bdt_json_roundtrip")
-    o.write.mode("overwrite").json(path)
-    back = read_json(
-        spark, path, schema="o_orderkey long, o_orderstatus string, o_totalprice double"
-    )
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
-    )
-
-
-_JSON_ORACLE = """
-SELECT o_orderstatus, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM orders GROUP BY o_orderstatus
-"""
-
-
-_GROUPING_SETS_SQL = """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-"""
-
-
-def grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(_GROUPING_SETS_SQL)
-
-
-def percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``
-    — both linear-interpolation, verified bit-identical).  At 100 TB the
-    approximate form (``percentile_approx``) is the right tool; exact is
-    the oracle-checkable baseline."""
-    li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
-    )
-
-
-_PERCENTILE_ORACLE = """
-SELECT l_returnflag,
-  quantile_cont(l_extendedprice, 0.5) AS p50,
-  quantile_cont(l_extendedprice, 0.9) AS p90
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def approx_distinct_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in HLL++ approximate distinct — the 100 TB path for
-    count-distinct.  The sketch VALUE is engine-internal (Spark's HLL++
-    bias tables), so the entry emits what IS oracle-checkable: the exact
-    distinct count computed alongside, plus a tolerance audit
-    ``approx_ok = |approx - exact| <= 3·rsd·exact`` (rsd=0.02 → 6%;
-    measured error ≈1% at both fixture SFs).  The oracle asserts the
-    audit column TRUE — an estimate drifting outside the published band
-    turns the row red, so this is a real accuracy gate, not a tautology;
-    it upgrades the entry from the driver's rows-only check to a full
-    value-hash row."""
-    li = Tables(spark, sf_dir).lineitem
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").cast("bigint").alias("n_exact"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
-        )
-        .select(
-            "l_returnflag",
-            "n_exact",
-            (F.abs(F.col("approx") - F.col("n_exact"))
-             <= F.lit(0.06) * F.col("n_exact"))
-            .cast("bigint")
-            .alias("approx_ok"),
-        )
-    )
-
-
-_APPROX_DISTINCT_ORACLE = """
-SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
-  CAST(1 AS BIGINT) AS approx_ok
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed range join (operators/joins.py:range_join): orders priced
-    into 20k-wide bands derived from the nation table.  The bucketize +
-    equi-join plan replaces the nested-loop a naive BETWEEN join gets."""
-    t = Tables(spark, sf_dir)
-    bands = t.nation.select(
-        F.col("n_name").alias("band"),
-        (F.col("n_nationkey").cast("double") * 20000.0).alias("lo"),
-        (F.col("n_nationkey").cast("double") * 20000.0 + 19999.99).alias("hi"),
-    )
-    joined = J.range_join(
-        t.orders.select("o_orderkey", "o_totalprice"),
-        bands,
-        left_val="o_totalprice",
-        right_lo="lo",
-        right_hi="hi",
-        bucket_width=20000.0,
-    )
-    return joined.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
-    )
-
-
-_RANGE_ORACLE = """
-WITH bands AS (
-  SELECT n_name AS band, CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
-         CAST(n_nationkey AS DOUBLE) * 20000.0 + 19999.99 AS hi
-  FROM nation)
-SELECT band, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
-GROUP BY band
-"""
-
-
-def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of: each event matched to the *next* same-user purchase
-    at-or-after it."""
-    ev = Tables(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("next_purchase_id")
-    )
-    out = J.asof_join(
-        ev.select("event_id", "user_id", "ts"),
-        purchases,
-        on="ts",
-        by="user_id",
-        right_cols=["next_purchase_id"],
-        direction="forward",
-    )
-    return out.select("event_id", "user_id", "next_purchase_id")
-
-
-_EVASOF_FWD_ORACLE = """
-SELECT e.event_id, e.user_id, p.next_purchase_id
-FROM events e ASOF LEFT JOIN
-  (SELECT user_id, ts, event_id AS next_purchase_id FROM events
-   WHERE event_type = 'purchase') p
-ON e.user_id = p.user_id AND e.ts <= p.ts
-"""
-
-
-def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar rollup: month × priority (date_trunc emitted as epoch
-    seconds for cross-engine comparability)."""
-    o = Tables(spark, sf_dir).orders
-    return (
-        o.withColumn("month", F.unix_timestamp(F.date_trunc("month", "o_orderdate")))
-        .groupBy("month", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
-    )
-
-
-_MONTH_ORACLE = """
-SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month,
-  o_orderpriority, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM orders GROUP BY 1, 2
-"""
-
-
-def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = Tables(spark, sf_dir).part
-    return p.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        davg("p_retailprice").alias("avg_price"),
-        F.min("p_size").alias("min_size"),
-        F.max("p_size").alias("max_size"),
-        F.countDistinct("p_type").cast("bigint").alias("n_types"),
-    )
-
-
-_PART_ORACLE = """
-SELECT p_brand, COUNT(*) AS n,
-  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
-  MIN(p_size) AS min_size, MAX(p_size) AS max_size,
-  CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
-FROM part GROUP BY p_brand
-"""
-
-
-def supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level dimension chain supplier→nation→region, both dims
-    broadcast (no shuffle of the fact side at all)."""
-    t = Tables(spark, sf_dir)
-    return (
-        t.supplier.join(F.broadcast(t.nation), t.supplier.s_nationkey == t.nation.n_nationkey)
-        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal").alias("acctbal"))
-    )
-
-
-_SUPPLIER_CHAIN_ORACLE = """
-SELECT r_name, COUNT(*) AS n_suppliers,
-  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-def keyby_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``keyby`` — grouped aggregate with sorted output (data.table keyby
-    sorts; plain ``by`` order is unobservable distributed)."""
-    li = Tables(spark, sf_dir).lineitem.withColumn(
-        "year", F.year("l_shipdate").cast("int")
-    )
-    return (
-        BigDataTable(li)
-        .q(j={"value": dsum("l_extendedprice"), "N": F.count(F.lit(1))}, keyby="year")
-        .df
-    )
-
-
-_KEYBY_ORACLE = """
-SELECT CAST(year(l_shipdate) AS INT) AS year,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value,
-  COUNT(*) AS N
-FROM lineitem GROUP BY 1 ORDER BY year
-"""
-
-
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents.text as an opaque binary blob →
-    Arrow-batched mapInPandas feature extraction (byte length + digest).
-    The decode kernel is the deterministic stand-in (real image/audio
-    decoders are stubbed — functions/multimodal.py)."""
-    from .functions.multimodal import documents_as_media, fake_decode_features
-
-    docs = Tables(spark, sf_dir).documents
-    media = documents_as_media(docs).repartition(8, "media_id")
-    feats = fake_decode_features(media)
-    return feats.select("media_id", "n_bytes", "digest")
-
-
-_MULTIMODAL_ORACLE = """
-SELECT doc_id AS media_id,
-  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  md5(text) AS digest
-FROM documents
-"""
-
-
-def pandas_udaf_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom aggregation via ``applyInPandas`` (the pandas-UDAF surface;
-    reference ``outer.aggregate=<function>`` generalized to grouped
-    custom aggregation).  numpy's 'linear' interpolation is the same
-    formula as DuckDB ``quantile_cont``, so the kernel is oracle-exact.
-    At 100 TB you'd swap the exact kernel for a mergeable sketch
-    (t-digest) with the same plumbing."""
-    import numpy as np
-    import pandas as pd
-
-    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["l_extendedprice"].to_numpy()
-        return pd.DataFrame(
-            {
-                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                # rounded: numpy's lerp differs from quantile_cont in the
-                # last float bits
-                "p50": [round(float(np.quantile(v, 0.5)), 6)],
-                "p90": [round(float(np.quantile(v, 0.9)), 6)],
-                "n": [len(v)],
-            }
-        )
-
-    li = Tables(spark, sf_dir).lineitem.select("l_returnflag", "l_extendedprice")
-    return li.groupBy("l_returnflag").applyInPandas(
-        quantiles, schema="l_returnflag string, p50 double, p90 double, n long"
-    )
-
-
-_PD_UDAF_ORACLE = """
-SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90, COUNT(*) AS n
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified deterministic sampling: per-stratum fractions (here:
-    keep 50% of 'A', 10% of 'N', 100% of 'R') via the hash-range
-    mechanism — ``sampleBy`` semantics without engine RNG."""
-    from .operators.sampling import hash_prefix, hex_threshold
-
-    li = Tables(spark, sf_dir).lineitem
-    fractions = {"A": 0.5, "N": 0.1, "R": 1.0}
-    p = hash_prefix(F.concat(F.col("l_orderkey").cast("string"), F.lit("#"), F.col("l_linenumber").cast("string")), salt="strat")
-    cond = None
-    for flag, frac in fractions.items():
-        c = (F.col("l_returnflag") == flag) & (p < hex_threshold(frac))
-        cond = c if cond is None else (cond | c)
-    return (
-        li.filter(cond)
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty"))
-    )
-
-
-def _stratified_oracle() -> str:
-    from .operators.sampling import hex_threshold
-
-    p = (
-        "substr(md5(concat('strat|', concat(CAST(l_orderkey AS VARCHAR), '#', "
-        "CAST(l_linenumber AS VARCHAR)))), 1, 8)"
-    )
-    whens = " OR ".join(
-        f"(l_returnflag = '{f}' AND {p} < '{hex_threshold(x)}')"
-        for f, x in {"A": 0.5, "N": 0.1, "R": 1.0}.items()
-    )
-    return (
-        f"SELECT l_returnflag, COUNT(*) AS n, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty "
-        f"FROM lineitem WHERE {whens} GROUP BY 1"
-    )
-
-
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional aggregation over a join — promo
-    revenue share for one shipdate year.  Part is broadcast; the ratio is
-    built from two exact decimal sums."""
-    t = Tables(spark, sf_dir)
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
-    j = (
-        t.lineitem.filter(
-            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
-        )
-        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
-    )
-    agg = j.agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("decimal(38,6)").cast("double").alias("promo"),
-        F.sum(rev).cast("decimal(38,6)").cast("double").alias("total"),
-    )
-    return agg.select(
-        "promo",
-        "total",
-        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_pct"),
-    )
-
-
-_Q14_ORACLE = """
-WITH j AS (
-  SELECT p_type,
-    CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS rev
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
-SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DECIMAL(38,6)) AS DOUBLE) AS promo,
-  CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS total,
-  ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DECIMAL(38,6)) AS DOUBLE)
-    / CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE), 6) AS promo_pct
-FROM j
-"""
-
-
-def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING on an aggregate, joined back to dims —
-    orders whose total quantity exceeds a threshold, with their customer."""
-    t = Tables(spark, sf_dir)
-    big_orders = (
-        t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qdec"))
-        .filter(F.col("qdec") > 150)
-    )
-    return (
-        big_orders.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "l_orderkey",
-            "c_name",
-            F.col("qdec").cast("double").alias("total_qty"),
-            "o_totalprice",
-        )
-    )
-
-
-_Q18_ORACLE = """
-SELECT l_orderkey, c_name,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
-  o_totalprice
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-GROUP BY l_orderkey, c_name, o_totalprice
-HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
-"""
-
-
-def window_lag_lead_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead/first over per-customer order history: gap in days since
-    the previous order, next order's price, first-order flag."""
-    o = Tables(spark, sf_dir).orders
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        (
-            (F.unix_timestamp("o_orderdate") - F.unix_timestamp(F.lag("o_orderdate").over(w)))
-            / 86400
-        ).cast("bigint").alias("days_since_prev"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-        (F.row_number().over(w) == 1).alias("is_first"),
-    )
-
-
-_WLAG_ORACLE = """
-SELECT o_custkey, o_orderkey,
-  CAST((CAST(floor(epoch(o_orderdate)) AS BIGINT)
-    - CAST(floor(epoch(LAG(o_orderdate) OVER w)) AS BIGINT)) / 86400 AS BIGINT)
-    AS days_since_prev,
-  LEAD(o_totalprice) OVER w AS next_price,
-  ROW_NUMBER() OVER w = 1 AS is_first
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-"""
-
-
-def string_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-function breadth over customer names: case, padding,
-    substrings, replacement, edit distance — identical semantics in both
-    engines (JVM-side, codegen'd in Spark)."""
-    c = Tables(spark, sf_dir).customer
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("uname"),
-        F.length("c_name").cast("int").alias("name_len"),
-        F.substring("c_name", 1, 8).alias("prefix"),
-        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
-        F.levenshtein("c_name", F.lit("Customer#000000001")).cast("int").alias("edit_dist"),
-        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nat"),
-    )
-
-
-_STRINGF_ORACLE = """
-SELECT c_custkey, UPPER(c_name) AS uname,
-  CAST(LENGTH(c_name) AS INT) AS name_len,
-  substr(c_name, 1, 8) AS prefix,
-  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
-  CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS edit_dist,
-  concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat
-FROM customer
-"""
-
-
-def array_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function breadth over embeddings: size, element access,
-    min/max/sum folds (JVM higher-order functions; no UDF)."""
-    e = Tables(spark, sf_dir).embeddings
-    arr = F.col("embedding").cast("array<double>")
-    return e.select(
-        "vec_id",
-        F.size("embedding").cast("int").alias("dim"),
-        F.round(F.element_at(arr, 1), 6).alias("first_el"),
-        F.round(F.array_max(arr), 6).alias("vmax"),
-        F.round(F.array_min(arr), 6).alias("vmin"),
-        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 6).alias("vsum"),
-    )
-
-
-_ARRAYF_ORACLE = """
-SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
-  ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vmax,
-  ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS vmin,
-  ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vsum
-FROM embeddings
-"""
-
-
-def events_heatmap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekday × hour activity heatmap.  Day-of-week numbering differs
-    between engines (Spark 1=Sunday, DuckDB 0=Sunday), so dow is computed
-    portably from epoch days ((days + 4) % 7, 0=Sunday — 1970-01-01 was a
-    Thursday)."""
-    ev = Tables(spark, sf_dir).events
-    epoch = F.unix_timestamp("ts")
-    dow = ((F.floor(epoch / 86400) + 4) % 7).cast("int")
-    hour = ((epoch % 86400) / 3600).cast("int")
-    return (
-        ev.withColumn("dow", dow)
-        .withColumn("hour", hour)
-        .groupBy("dow", "hour")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
-    )
-
-
-_HEATMAP_ORACLE = """
-SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS INT) AS dow,
-  CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
-  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-FROM events GROUP BY 1, 2
-"""
-
-
-def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization of embeddings (the 4× storage cut a
-    100 TB embedding store actually applies): per-vector scale =
-    max|x|/127, q_i = round(x_i / scale).  Output: per-vector scale
-    (9 dp) + int8-sum checksum + saturation count — all JVM folds."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH v AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings),
-        s AS (SELECT vec_id, e,
-          aggregate(e, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(x))) / 127.0 AS scale
-          FROM v),
-        q AS (SELECT vec_id, ROUND(scale, 9) AS scale,
-          aggregate(e, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(ROUND(x / scale, 0) AS BIGINT)) AS q_sum,
-          aggregate(e, CAST(0 AS BIGINT), (acc, x) ->
-            acc + CASE WHEN abs(CAST(ROUND(x / scale, 0) AS BIGINT)) >= 127 THEN 1 ELSE 0 END) AS n_saturated
-          FROM s)
-        SELECT vec_id, scale, q_sum, n_saturated FROM q
-        """
-    )
-
-
-_QUANT_ORACLE = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
-q AS (SELECT vec_id, ROUND(scale, 9) AS scale,
-  CAST(list_sum(list_transform(e, x -> CAST(ROUND(x / scale, 0) AS BIGINT))) AS BIGINT) AS q_sum,
-  CAST(list_sum(list_transform(e, x ->
-    CASE WHEN abs(CAST(ROUND(x / scale, 0) AS BIGINT)) >= 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_saturated
-  FROM s)
-SELECT vec_id, scale, q_sum, n_saturated FROM q
-"""
-
-
-def text_top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-20 word bigrams — the n-gram counting primitive of
-    corpus analysis (explode → count → deterministic top-k).  One shuffle
-    (the count), then TakeOrderedAndProject."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH words AS (SELECT /*+ REPARTITION(32) */
-            split(trim(lower(text)), '\\\\s+') AS w FROM documents),
-        docs AS (SELECT w FROM words WHERE size(w) >= 2),
-        bigrams AS (
-          SELECT concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg
-          FROM docs LATERAL VIEW explode(sequence(1, size(w) - 1)) _t AS i)
-        SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY bg
-        ORDER BY n DESC, bg ASC LIMIT 20
-        """
-    )
-
-
-_BIGRAMS_ORACLE = """
-WITH words AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
-docs AS (SELECT w FROM words WHERE len(w) >= 2),
-bigrams AS (
-  SELECT concat(w[i], ' ', w[i + 1]) AS bg
-  FROM docs, UNNEST(range(1, len(w))) AS _t(i))
-SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY bg
-ORDER BY n DESC, bg ASC LIMIT 20
-"""
-
-
-def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel analysis: users progressing view → click → purchase in
-    temporal order (first occurrence of each stage must be ordered).
-    One grouped pivot of min timestamps, then ordered-stage flags."""
-    ev = Tables(spark, sf_dir).events
-    stages = (
-        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
-        )
-    )
-    return stages.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).cast("bigint").alias("viewed"),
-        F.sum(
-            F.when(
-                F.col("t_view").isNotNull()
-                & F.col("t_click").isNotNull()
-                & (F.col("t_click") > F.col("t_view")),
-                1,
-            ).otherwise(0)
-        ).cast("bigint").alias("clicked_after_view"),
-        F.sum(
-            F.when(
-                F.col("t_view").isNotNull()
-                & F.col("t_click").isNotNull()
-                & F.col("t_buy").isNotNull()
-                & (F.col("t_click") > F.col("t_view"))
-                & (F.col("t_buy") > F.col("t_click")),
-                1,
-            ).otherwise(0)
-        ).cast("bigint").alias("full_funnel"),
-    )
-
-
-_FUNNEL_ORACLE = """
-WITH stages AS (
-  SELECT user_id,
-    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
-  FROM events WHERE event_type IN ('view', 'click', 'purchase')
-  GROUP BY user_id)
-SELECT COUNT(*) AS n_users,
-  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
-  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
-    AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
-  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
-    AND t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
-FROM stages
-"""
-
-
-def date_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function breadth over orders: calendar parts, ISO week,
-    day arithmetic, month arithmetic (both engines clamp day-of-month),
-    epoch-emitted to dodge cross-engine timestamp physicals."""
-    o = Tables(spark, sf_dir).orders
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("int").alias("y"),
-        F.quarter("o_orderdate").cast("int").alias("q"),
-        F.month("o_orderdate").cast("int").alias("m"),
-        F.dayofmonth("o_orderdate").cast("int").alias("d"),
-        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("int").alias("days_since"),
-        F.unix_timestamp(F.add_months("o_orderdate", 3)).alias("plus3m"),
-        F.unix_timestamp(F.last_day("o_orderdate")).alias("month_end"),
-    )
-
-
-_DATEF_ORACLE = """
-SELECT o_orderkey,
-  CAST(year(o_orderdate) AS INT) AS y,
-  CAST(quarter(o_orderdate) AS INT) AS q,
-  CAST(month(o_orderdate) AS INT) AS m,
-  CAST(day(o_orderdate) AS INT) AS d,
-  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
-  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-  CAST(floor(epoch(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH)) AS BIGINT) AS plus3m,
-  CAST(floor(epoch(last_day(CAST(o_orderdate AS DATE)))) AS BIGINT) AS month_end
-FROM orders
-"""
-
-
-def partitioned_etl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-facing partition-pruning ETL: write events hive-partitioned by
-    event_type, read back ONE partition directory (the filter becomes a
-    PartitionFilter — at 100 TB this reads one directory, not the lake),
-    roll up hourly.  Oracle: the equivalent direct filter."""
-    import tempfile
-
-    ev = Tables(spark, sf_dir).events
-    path = os.path.join(tempfile.gettempdir(), "bdt_events_part")
-    ev.withColumn("etype", F.col("event_type")).write.mode("overwrite").partitionBy(
-        "etype"
-    ).parquet(path)
-    back = spark.read.parquet(path).filter(F.col("etype") == "purchase")
-    return (
-        back.withColumn("hour", (F.unix_timestamp("ts") / 3600).cast("bigint") * 3600)
-        .groupBy("hour")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
-    )
-
-
-_PART_ETL_ORACLE = """
-SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour,
-  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
-FROM events WHERE event_type = 'purchase' GROUP BY 1
-"""
-
-
-def sample_fixed_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fixed-size sample (reservoir-sample semantics without
-    RNG): order by content hash, take k — a uniform-random-looking but
-    fully reproducible subset.  Physical plan is TakeOrderedAndProject
-    (per-partition k-heaps), not a global sort."""
-    docs = Tables(spark, sf_dir).documents
-    h = F.md5(F.concat(F.lit("res|"), F.col("doc_id").cast("string")))
-    return (
-        docs.select("doc_id", "lang", "n_chars", h.alias("h"))
-        .orderBy("h")
-        .limit(100)
-        .drop("h")
-    )
-
-
-_SAMPLE_K_ORACLE = """
-SELECT doc_id, lang, n_chars FROM documents
-ORDER BY md5(concat('res|', CAST(doc_id AS VARCHAR))) LIMIT 100
-"""
-
-
-def balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Balanced per-group subsample: k rows per group in hash order
-    (row_number window) — the class-balancing sampler for training sets."""
-    li = Tables(spark, sf_dir).lineitem
-    h = F.md5(
-        F.concat(
-            F.lit("bal|"),
-            F.col("l_orderkey").cast("string"),
-            F.lit("#"),
-            F.col("l_linenumber").cast("string"),
-        )
-    )
-    ranked = W.topk_per_group(
-        li.select("l_returnflag", "l_orderkey", "l_linenumber", h.alias("h")),
-        by="l_returnflag",
-        order=[F.col("h").asc()],
-        k=50,
-    )
-    return ranked.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("h").alias("h_min"),
-        F.max("h").alias("h_max"),
-    )
-
-
-_BALANCED_ORACLE = """
-WITH h AS (
-  SELECT l_returnflag,
-    md5(concat('bal|', CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR))) AS h
-  FROM lineitem),
-r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h ASC) AS rn FROM h)
-SELECT l_returnflag, COUNT(*) AS n, MIN(h) AS h_min, MAX(h) AS h_max
-FROM r WHERE rn <= 50 GROUP BY l_returnflag
-"""
-
-
-def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type z-score anomaly counts with moments computed from exact
-    decimal sums (n, Σv, Σv²) — stddev built from deterministic doubles,
-    so the engine-specific accumulation order of ``stddev_samp`` never
-    enters.  Output: events with |z| > 2 per type."""
-    ev = Tables(spark, sf_dir).events
-    dec = F.col("value").cast("decimal(18,6)")
-    stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec).cast("double").alias("s"),
-        F.sum(dec * dec).cast("decimal(38,6)").cast("double").alias("s2"),
-    )
-    withz = (
-        ev.join(F.broadcast(stats), "event_type")
-        .withColumn("mean", F.col("s") / F.col("n"))
-        .withColumn(
-            "sd",
-            F.sqrt(
-                (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
-                / (F.col("n") - 1)
-            ),
-        )
-        .withColumn("z", (F.col("value") - F.col("mean")) / F.col("sd"))
-    )
-    return withz.filter(F.abs(F.col("z")) > 2).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_anomalies"),
-        F.max(F.round(F.abs(F.col("z")), 6)).alias("max_abs_z"),
-    )
-
-
-_ANOMALY_ORACLE = """
-WITH stats AS (
-  SELECT event_type, COUNT(*) AS n,
-    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
-    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS s2
-  FROM events GROUP BY event_type),
-z AS (
-  SELECT e.event_type, e.value,
-    (e.value - s.s / s.n) / sqrt((s.s2 - s.s * s.s / s.n) / (s.n - 1)) AS z
-  FROM events e JOIN stats s ON e.event_type = s.event_type)
-SELECT event_type, COUNT(*) AS n_anomalies,
-  MAX(ROUND(ABS(z), 6)) AS max_abs_z
-FROM z WHERE ABS(z) > 2 GROUP BY event_type
-"""
-
-
-def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline end-to-end: LSH candidates → connected
-    components → keep min-id per group → corpus summary (docs in/out,
-    duplicate groups, surviving characters).  One number a pipeline
-    operator actually reports."""
-    from .operators.graph import connected_components
-
-    register_views(spark, sf_dir)
-    pairs = _minhash_lsh_pairs_fn(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id", "n_chars")
-    cc = connected_components(
-        docs.select("doc_id"), pairs, node_col="doc_id", src="doc_a", dst="doc_b"
-    )
-    survivors = cc.filter(F.col("node") == F.col("label")).select(
-        F.col("node").alias("doc_id")
-    )
-    kept = docs.join(survivors, "doc_id", "left_semi")
-    groups = cc.groupBy("label").count()
-    return (
-        kept.agg(
-            F.count(F.lit(1)).alias("docs_out"),
-            F.sum("n_chars").cast("bigint").alias("chars_out"),
-        )
-        .crossJoin(
-            docs.agg(F.count(F.lit(1)).alias("docs_in")).crossJoin(
-                groups.filter(F.col("count") > 1).agg(
-                    F.count(F.lit(1)).cast("bigint").alias("dup_groups")
-                )
-            )
-        )
-        .select("docs_in", "docs_out", "dup_groups", "chars_out")
-    )
-
-
-def _dedup_pipeline_oracle() -> str:
-    pairs = D.minhash_lsh_pairs_sql(DUCK)
-    return f"""
-WITH RECURSIVE pairs AS (SELECT * FROM ({pairs}) _p),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-cc(node, label) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
-comp AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
-survivors AS (SELECT node AS doc_id FROM comp WHERE node = label),
-groups AS (SELECT label, COUNT(*) AS cnt FROM comp GROUP BY label)
-SELECT (SELECT COUNT(*) FROM documents) AS docs_in,
-  (SELECT COUNT(*) FROM survivors) AS docs_out,
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM groups WHERE cnt > 1) AS dup_groups,
-  (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents d
-    JOIN survivors s ON d.doc_id = s.doc_id) AS chars_out
-"""
-
-
-def dedup_keep_best_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware KEEPER SELECTION over near-dup clusters — the
-    curation policy real pipelines use instead of keep-min-id: LSH pairs
-    → connected components → within each component keep the HIGHEST
-    quality-score copy (ties by lowest doc_id; the score is the shared
-    `quality_select_sql`, so this policy and `text_quality_score` agree
-    by construction).  Output is the full per-document adjudication
-    ``(doc_id, keeper_id, kept)`` — the table a materialization step
-    joins against.  At 100 TB: the component labels and ≤1-row-per-doc
-    quality scores shuffle; text is read once for scoring and never
-    pairwise."""
-    from pyspark.sql import Window
-
-    from .functions import text as X
-    from .operators.graph import connected_components
-
-    register_views(spark, sf_dir)
-    pairs = _minhash_lsh_pairs_fn(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id")
-    cc = connected_components(
-        docs, pairs, node_col="doc_id", src="doc_a", dst="doc_b"
-    )
-    q = spark.sql(X.quality_select_sql(SPARK))
-    rk = (
-        cc.select(F.col("node").alias("doc_id"), "label")
-        .join(q, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("label").orderBy(
-                    F.col("quality_score").desc(), F.col("doc_id").asc()
-                )
-            ),
-        )
-    )
-    keepers = rk.filter(F.col("rn") == 1).select(
-        "label", F.col("doc_id").alias("keeper_id")
-    )
-    return rk.join(keepers, "label").select(
-        "doc_id",
-        "keeper_id",
-        (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
-    )
-
-
-def _dedup_keep_best_quality_oracle() -> str:
-    from .functions import text as X
-
-    pairs = D.minhash_lsh_pairs_sql(DUCK)
-    return f"""
-WITH RECURSIVE pairs AS (SELECT * FROM ({pairs}) _p),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION SELECT doc_b, doc_a FROM pairs),
-cc(node, label) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node),
-comp AS (SELECT node, MIN(label) AS label FROM cc GROUP BY node),
-q AS ({X.quality_select_sql(DUCK)}),
-rk AS (
-  SELECT c.node AS doc_id, c.label, ROW_NUMBER() OVER (
-    PARTITION BY c.label
-    ORDER BY q.quality_score DESC, c.node ASC) AS rn
-  FROM comp c JOIN q ON q.doc_id = c.node),
-k AS (SELECT label, doc_id AS keeper_id FROM rk WHERE rn = 1)
-SELECT r.doc_id, k.keeper_id, r.doc_id = k.keeper_id AS kept
-FROM rk r JOIN k ON k.label = r.label
-"""
-
-
-def kmeans_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means training (functions/clustering.py): 2 Lloyd
-    iterations, deterministic init, exact-decimal centroid means →
-    per-cluster sizes + centroid checksums.  The trained centroids are
-    the IVF coarse quantizer (`ann_ivf_topk` uses untrained id-seeds; this
-    is the production path)."""
-    from .functions.clustering import kmeans_summary
-
-    e = Tables(spark, sf_dir).embeddings
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    return kmeans_summary(vecs, k=4, n_iter=2)
-
-
-def quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group quantiles (p50/p90/p99 of l_extendedprice) from the
-    mergeable fixed-bin histogram sketch
-    (operators/aggregate.py:histogram_quantiles) — the scale path the
-    exact `percentile` entry can't serve at 100 TB.  The oracle shares
-    the sketch algorithm (bin edges are part of the contract); the
-    ≤ bin_width error bound vs EXACT percentiles is asserted in
-    tests/test_operators.py."""
-    from .operators.aggregate import histogram_quantiles
-
-    li = Tables(spark, sf_dir).lineitem
-    return histogram_quantiles(
-        li, "l_returnflag", "l_extendedprice", (0.5, 0.9, 0.99), 1000.0
-    )
-
-
-_QSKETCH_ORACLE = """
-WITH b AS (
-  SELECT l_returnflag, CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
-         COUNT(*) AS cnt
-  FROM lineitem GROUP BY 1, 2),
-c AS (
-  SELECT l_returnflag, bin,
-         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
-         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
-  FROM b),
-h AS (
-  SELECT l_returnflag, q, bin
-  FROM c CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
-  WHERE cum >= CEIL(q * n))
-SELECT l_returnflag, q, MIN(bin) * 1000.0 AS est FROM h GROUP BY 1, 2
-"""
-
-
-def tdigest_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped p50/p90/p99 of l_extendedprice from the two-phase merging
-    t-digest (operators/tdigest.py) — the general-purpose mergeable
-    sketch: no bin-width/range hint, near-constant rank error via the k1
-    scale function.  Raw values never shuffle; only per-partition
-    centroid sets do.
-
-    A t-digest estimate is partition-order-dependent (inherent — same as
-    Spark's percentile_approx), so the driver-hashed output is the
-    partitioning-STABLE claim: for every (group, q), the estimate's true
-    rank within its group sits within ±0.02 of q — the sketch's error
-    bound, checked by joining the 9 estimates back against lineitem
-    (broadcast) and counting values ≤ est in exact arithmetic.  Exact
-    estimate values are pinned separately in tests/test_round2.py."""
-    from .operators.tdigest import tdigest_quantiles
-
-    li = Tables(spark, sf_dir).lineitem
-    est = tdigest_quantiles(li, "l_returnflag", "l_extendedprice", (0.5, 0.9, 0.99))
-    est = F.broadcast(
-        est.select(F.col("l_returnflag").alias("g"), "q", "est")
-    )
-    ranked = (
-        li.join(est, F.col("l_returnflag") == F.col("g"))
-        .groupBy("g", "q")
-        .agg(
-            (
-                F.sum(F.when(F.col("l_extendedprice") <= F.col("est"), 1).otherwise(0))
-                / F.count(F.lit(1))
-            ).alias("rank")
-        )
-    )
-    return ranked.select(
-        F.col("g").alias("l_returnflag"),
-        "q",
-        (F.abs(F.col("rank") - F.col("q")) <= 0.02).alias("ok"),
-    )
-
-
-_TDIGEST_ORACLE = """
-SELECT l_returnflag, q, TRUE AS ok
-FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
-CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
-"""
-
-
-def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, scale path: banded-LSH candidates (blocking on
-    label+band+signature, NOT a label-block cartesian) → exact cosine
-    verification (functions/similarity.py:embedding_neardup_lsh).  The
-    oracle stays the all-pairs-within-label form — the small-data exact
-    answer; LSH recall vs it is verified 1.0 on the fixtures."""
-    from .functions.similarity import embedding_neardup_lsh
-
-    return embedding_neardup_lsh(Tables(spark, sf_dir).embeddings)
-
-
-def _kmeans_dist_sql(e: str, c: str) -> str:
-    return (
-        f"ROUND(list_dot_product({e}, {e}) - 2 * list_dot_product({e}, {c})"
-        f" + list_dot_product({c}, {c}), 6)"
-    )
-
-
-def _kmeans_ctes(k: int, n_iter: int) -> tuple[list[str], str, str]:
-    """Unrolled Lloyd iterations as DuckDB CTEs — the same init,
-    rounded-distance argmin, and decimal-exact elementwise means as
-    functions/clustering.py.  Returns (ctes, final_centroids_cte,
-    final_assignment_cte) so IVF oracles can reuse the trained state."""
-    def assign(name, cents):
-        return (
-            f"{name} AS (SELECT vec_id, cid, e FROM ("
-            f"SELECT v.vec_id, c.cid, v.e, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
-            f"ORDER BY {_kmeans_dist_sql('v.e', 'c.c')} ASC, c.cid ASC) AS rn "
-            f"FROM v0 v JOIN {cents} c ON 1 = 1) _t WHERE rn = 1)"
-        )
-
-    def update(aname, mname, cname):
-        return (
-            f"{mname} AS (SELECT cid, pos, "
-            "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv FROM ("
-            f"SELECT a.cid, UNNEST(a.e) AS val, generate_subscripts(a.e, 1) AS pos "
-            f"FROM {aname} a) _u GROUP BY cid, pos), "
-            f"{cname} AS (SELECT cid, list(mv ORDER BY pos) AS c FROM {mname} GROUP BY cid)"
-        )
-
-    ctes = [
-        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, e AS c FROM v0 WHERE vec_id < {k})",
-    ]
-    for i in range(1, n_iter + 1):
-        ctes.append(assign(f"a{i}", f"c{i - 1}"))
-        ctes.append(update(f"a{i}", f"m{i}", f"c{i}"))
-    ctes.append(assign("afinal", f"c{n_iter}"))
-    return ctes, f"c{n_iter}", "afinal"
-
-
-def _kmeans_oracle(k: int = 4, n_iter: int = 2) -> str:
-    ctes, cents, afinal = _kmeans_ctes(k, n_iter)
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT s.cid, s.n_members, ROUND(list_sum(c.c), 6) AS checksum "
-        f"FROM (SELECT cid, COUNT(*) AS n_members FROM {afinal} GROUP BY cid) s "
-        f"JOIN {cents} c ON c.cid = s.cid"
-    )
-
-
-def ann_ivf_trained_q(
-    spark: SparkSession,
-    sf_dir: str,
-    n_centroids: int = 8,
-    n_iter: int = 2,
-    n_probe: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> DataFrame:
-    """IVF ANN with TRAINED coarse quantizer: k-means centroids
-    (functions/clustering.py:kmeans_fit — deterministic init, decimal-
-    exact means) replace `ann_ivf_topk`'s id-seed stand-ins.  The
-    assignment table (vec_id, cid) is the inverted file — at 100 TB it is
-    persisted once at train time and each search touches only
-    |corpus|·n_probe/n_centroids vectors.  Centroids are broadcast; the
-    corpus is never shuffled.
-
-    Measured recall@5 vs brute force on the sf0.01 fixture: 0.92
-    (nprobe=2/8) vs ~0.36 for `ann_ivf_topk`'s id-seed centroids —
-    trained cells carry real signal even on uniform-random embeddings."""
-    from pyspark.sql import Window
-
-    from .functions.clustering import assign_clusters, kmeans_fit
-
-    e = Tables(spark, sf_dir).embeddings
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cents = kmeans_fit(vecs, k=n_centroids, n_iter=n_iter).localCheckpoint(eager=True)
-    inverted = assign_clusters(vecs, cents)  # (vec_id, cid, e)
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    q = vecs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
-    dist = F.round(
-        _dot(F.col("qe"), F.col("qe"))
-        - 2 * _dot(F.col("qe"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
-        6,
-    )
-    wq = Window.partitionBy("qid").orderBy(dist.asc(), F.col("cid").asc())
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("qid", "cid")
-    )
-    cands = probes.join(inverted, "cid").filter(F.col("vec_id") != F.col("qid"))
-    cos = F.round(
-        _dot(F.col("qe"), F.col("e"))
-        / (
-            F.sqrt(_dot(F.col("qe"), F.col("qe")))
-            * F.sqrt(_dot(F.col("e"), F.col("e")))
-        ),
-        9,
-    )
-    scored = cands.join(q, "qid").select(
-        F.col("qid").alias("query_id"),
-        F.col("vec_id").alias("neighbor_id"),
-        cos.alias("cos_sim"),
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rnk")
-    )
-
-
-def _ann_ivf_trained_oracle(
-    n_centroids: int = 8,
-    n_iter: int = 2,
-    n_probe: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> str:
-    """Unrolled k-means (same CTEs as _kmeans_oracle) + probe + rank."""
-    ctes, cents, afinal = _kmeans_ctes(n_centroids, n_iter)
-    cos = (
-        "ROUND(list_dot_product(q.e, cd.e) / "
-        "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cd.e, cd.e))), 9)"
-    )
-    ctes = ctes + [
-        f"q AS (SELECT vec_id AS qid, e FROM v0 WHERE vec_id < {n_queries})",
-        "probes AS (SELECT qid, cid FROM ("
-        "  SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid "
-        f"  ORDER BY {_kmeans_dist_sql('q.e', 'c.c')} ASC, c.cid ASC) AS rn "
-        f"  FROM q JOIN {cents} c ON 1 = 1) _p WHERE rn <= {n_probe})",
-        f"cands AS (SELECT p.qid, a.vec_id, a.e FROM probes p "
-        f"  JOIN {afinal} a ON a.cid = p.cid AND a.vec_id <> p.qid)",
-        "scored AS (SELECT cd.qid AS query_id, cd.vec_id AS neighbor_id, "
-        f"  {cos} AS cos_sim FROM cands cd JOIN q ON q.qid = cd.qid)",
-        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
-        "  ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM scored)",
-    ]
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk "
-        f"FROM ranked WHERE rnk <= {k}"
-    )
-
-
-def ann_ivf_persisted_q(
-    spark: SparkSession,
-    sf_dir: str,
-    n_centroids: int = 8,
-    n_iter: int = 2,
-    n_probe: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> DataFrame:
-    """IVF ANN answered from a PERSISTED index (VERDICT r6 #7): the
-    trained centroids + cid-partitioned inverted file land as parquet
-    once (functions/clustering.py:ivf_build — the same deterministic
-    k-means seed as `ann_ivf_trained_topk`), and the search plan reads
-    ONLY the stored index — no Lloyd iterations on the query path
-    (pinned in tests/test_round7.py: the returned plan scans the index
-    files and embeddings exactly once, for the query vectors).  Sharing
-    `ann_ivf_trained_topk`'s oracle IS the train-once == train-per-query
-    proof.  At 100 TB: one index build amortizes across every
-    dedup/search query, and the cid-partitioned inverted file turns
-    n_probe into file-level pruning."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions.clustering import ann_ivf_persisted_search, ivf_build
-
-    e = Tables(spark, sf_dir).embeddings
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_ivf_index_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    ivf_build(vecs, path, k=n_centroids, n_iter=n_iter)
-    q = vecs.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
-    return ann_ivf_persisted_search(spark, path, q, n_probe=n_probe, topk=k)
-
-
-def ann_pq_trained_q(
-    spark: SparkSession,
-    sf_dir: str,
-    dim: int = 64,
-    n_subs: int = 8,
-    n_codes: int = 16,
-    n_iter: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> DataFrame:
-    """Product-quantization ANN with a TRAINED codebook: per-subspace
-    k-means (functions/clustering.py:pq_fit — all subspaces in one
-    distributed Lloyd, the subspace id is a grouping column) replaces
-    `ann_pq_topk`'s id-seed codewords.  The corpus is then stored as
-    n_subs one-byte codes per vector and queries score via a broadcast
-    (qid, s, cid)→distance table — ADC: at 100 TB the raw floats are
-    touched only at train/encode time.
-
-    Same query ids as `ann_pq_topk` ([n_codes, n_codes+n_queries)), so
-    recall is directly comparable: measured recall@5 vs exact L2 is
-    0.32 (sf0.001) / 0.36 (sf0.01) — 2-4.5× the id-seed codebook's
-    0.16/0.08 (tests/test_round2.py pins trained > id-seed).  Uniform
-    random 64-d data is PQ's worst case at 32 bits/vector; clustered
-    production embeddings quantize far better at the same code size."""
-    from .functions.clustering import _dot, assign_codebook, pq_fit
-
-    sub_len = dim // n_subs
-    e = Tables(spark, sf_dir).embeddings
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("fe"))
-    subs = vecs.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
-        "fe",
-    ).select(
-        "vec_id", "s", F.expr(f"slice(fe, 1 + s * {sub_len}, {sub_len})").alias("e")
-    )
-    cb = pq_fit(subs, k=n_codes, n_iter=n_iter).localCheckpoint(eager=True)
-    codes = assign_codebook(subs, cb).select("vec_id", "s", "cid")
-
-    q_lo, q_hi = n_codes, n_codes + n_queries
-    qsubs = subs.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)).select(
-        F.col("vec_id").alias("qid"), "s", F.col("e").alias("qe")
-    )
-    d = F.round(
-        _dot(F.col("qe"), F.col("qe"))
-        - 2 * _dot(F.col("qe"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
-        9,
-    ).cast("decimal(18,9)")
-    dtab = qsubs.join(F.broadcast(cb), "s").select("qid", "s", "cid", d.alias("d"))
-    adc = (
-        codes.join(F.broadcast(dtab), ["s", "cid"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("d").cast("double").alias("dist"))
-    )
-    from pyspark.sql import Window
-
-    wr = Window.partitionBy("qid").orderBy(
-        F.round(F.col("dist"), 6).asc(), F.col("vec_id").asc()
-    )
-    return (
-        adc.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("dist"), 6).alias("adc_dist"),
-            "rnk",
-        )
-    )
-
-
-def ann_pq_persisted_q(
-    spark: SparkSession,
-    sf_dir: str,
-    dim: int = 64,
-    n_subs: int = 8,
-    n_codes: int = 16,
-    n_iter: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> DataFrame:
-    """PQ ANN answered from a PERSISTED codebook + codes store
-    (functions/clustering.py:pq_build / ann_pq_persisted_search): train
-    once, write the codebook and the compressed corpus (n_subs codes
-    per vector), and every search reads ONLY the store — no Lloyd, no
-    raw embedding floats on the query path.  Sharing
-    `ann_pq_trained_topk`'s oracle proves train-once == train-per-query
-    for the ADC path, completing the persisted-index pair with
-    `ann_ivf_persisted_topk` (coarse cells persist there, fine codes
-    persist here; a production IVF-PQ store persists both)."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions.clustering import ann_pq_persisted_search, pq_build
-
-    sub_len = dim // n_subs
-    e = Tables(spark, sf_dir).embeddings
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("fe"))
-    subs = vecs.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
-        "fe",
-    ).select(
-        "vec_id", "s", F.expr(f"slice(fe, 1 + s * {sub_len}, {sub_len})").alias("e")
-    )
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_pq_index_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    pq_build(subs, path, k=n_codes, n_iter=n_iter)
-    q_lo, q_hi = n_codes, n_codes + n_queries
-    qsubs = subs.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)).select(
-        F.col("vec_id").alias("qid"), "s", F.col("e").alias("qe")
-    )
-    return ann_pq_persisted_search(spark, path, qsubs, topk=k)
-
-
-def _pq_ctes(
-    n_subs: int = 8,
-    sub_len: int = 8,
-    k: int = 16,
-    n_iter: int = 2,
-    prefix: str = "",
-    src: str | None = None,
-) -> tuple[list[str], str, str]:
-    """Unrolled per-subspace Lloyd as DuckDB CTEs (the grouped analogue
-    of _kmeans_ctes — subspace ``s`` rides every key).  Returns (ctes,
-    final_codebook_cte, final_codes_cte).
-
-    ``prefix`` namespaces every generated CTE so the chain composes with
-    another Lloyd chain in one statement (the residual IVF-PQ oracle
-    nests this AFTER _kmeans_ctes, whose names would otherwise collide);
-    ``src`` — a CTE yielding ``(vec_id, e)`` — replaces the embeddings
-    scan as the subvector source (residual vectors)."""
-    P = prefix
-    subs0 = f"{P}subs0"
-
-    def assign(name, cbname):
-        return (
-            f"{name} AS (SELECT vec_id, s, cid, e FROM ("
-            f"SELECT v.vec_id, v.s, c.cid, v.e, ROW_NUMBER() OVER ("
-            f"PARTITION BY v.vec_id, v.s "
-            f"ORDER BY {_kmeans_dist_sql('v.e', 'c.c')} ASC, c.cid ASC) AS rn "
-            f"FROM {subs0} v JOIN {cbname} c ON v.s = c.s) _t WHERE rn = 1)"
-        )
-
-    def update(aname, mname, cname):
-        return (
-            f"{mname} AS (SELECT s, cid, pos, "
-            "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv FROM ("
-            f"SELECT a.s, a.cid, UNNEST(a.e) AS val, "
-            f"generate_subscripts(a.e, 1) AS pos FROM {aname} a) _u "
-            "GROUP BY s, cid, pos), "
-            f"{cname} AS (SELECT s, cid, list(mv ORDER BY pos) AS c "
-            f"FROM {mname} GROUP BY s, cid)"
-        )
-
-    ctes = [] if src else [
-        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
-    ]
-    ctes += [
-        f"{subs0} AS (SELECT vec_id, s, "
-        f"list_slice(e, 1 + s * {sub_len}, {sub_len} + s * {sub_len}) AS e "
-        f"FROM {src or 'v0'}, UNNEST(range(0, {n_subs})) AS _t(s))",
-        f"{P}cb0 AS (SELECT s, vec_id AS cid, e AS c FROM {subs0} "
-        f"WHERE vec_id < {k})",
-    ]
-    for i in range(1, n_iter + 1):
-        ctes.append(assign(f"{P}a{i}", f"{P}cb{i - 1}"))
-        ctes.append(update(f"{P}a{i}", f"{P}m{i}", f"{P}cb{i}"))
-    ctes.append(assign(f"{P}afinal", f"{P}cb{n_iter}"))
-    return ctes, f"{P}cb{n_iter}", f"{P}afinal"
-
-
-def _ann_pq_trained_oracle(
-    n_subs: int = 8,
-    sub_len: int = 8,
-    n_codes: int = 16,
-    n_iter: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> str:
-    ctes, cb, afinal = _pq_ctes(n_subs, sub_len, n_codes, n_iter)
-    q_lo, q_hi = n_codes, n_codes + n_queries
-    d_query = (
-        "ROUND(list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.c)"
-        " + list_dot_product(c.c, c.c), 9)"
-    )
-    ctes = ctes + [
-        f"q AS (SELECT vec_id AS qid, s, e FROM subs0 "
-        f"WHERE vec_id >= {q_lo} AND vec_id < {q_hi})",
-        f"dtab AS (SELECT q.qid, c.s, c.cid, "
-        f"CAST({d_query} AS DECIMAL(18,9)) AS d FROM q JOIN {cb} c ON q.s = c.s)",
-        f"adc AS (SELECT dt.qid, a.vec_id AS nid, CAST(SUM(dt.d) AS DOUBLE) AS dist "
-        f"FROM {afinal} a JOIN dtab dt ON dt.s = a.s AND dt.cid = a.cid "
-        "WHERE a.vec_id <> dt.qid GROUP BY dt.qid, a.vec_id)",
-        "ranked AS (SELECT qid, nid, ROUND(dist, 6) AS adc_dist, "
-        "ROW_NUMBER() OVER (PARTITION BY qid "
-        "ORDER BY ROUND(dist, 6) ASC, nid ASC) AS rnk FROM adc)",
-    ]
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT qid AS query_id, nid AS neighbor_id, adc_dist, "
-        f"CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}"
-    )
-
-
-def ann_ivfpq_residual_q(
-    spark: SparkSession,
-    sf_dir: str,
-    dim: int = 64,
-    n_cent: int = 4,
-    n_probe: int = 2,
-    n_subs: int = 8,
-    n_codes: int = 16,
-    n_iter: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> DataFrame:
-    """RESIDUAL-encoded trained IVF-PQ — the full FAISS-IVFADC recipe,
-    upgrading `ann_ivfpq_topk`'s documented simplification: k-means
-    cells (kmeans_fit), PQ codebooks trained on the RESIDUALS v −
-    centroid(v) (pq_fit over residual subvectors — residuals concentrate
-    near 0, which is why production codebooks encode them), and
-    per-(query, probed-cell) distance tables over the RESIDUAL query
-    q − centroid(cell) — the cell-dependent dtab is the part the
-    raw-vector composition skips.  At 100 TB: train once, store cells +
-    codes; a query touches n_probe cells' codes and a broadcast
-    queries×probes×subs×codes distance table.
-
-    Determinism: both Lloyd chains use the shared rounded-distance total
-    order and decimal-exact means; residual arithmetic is elementwise
-    double subtraction (identical in both engines); ADC sums accumulate
-    DECIMAL(18,9).  The oracle unrolls BOTH chains in one statement —
-    `_pq_ctes` namespaced behind the `_kmeans_ctes` names.
-
-    Measured recall@5 vs exact L2: 0.20 / 0.20 (sf0.001 / sf0.01) —
-    identical to the raw-vector composition, as expected: on
-    UNIFORM-RANDOM fixtures residuals have the same distribution as the
-    vectors, so residual encoding buys nothing here.  Its payoff is on
-    clustered production embeddings, where residuals concentrate near 0
-    and the same code budget quantizes far finer — this entry pins the
-    full recipe's CORRECTNESS and plan shape, not a fixture-specific
-    recall win (the honest claim)."""
-    from pyspark.sql import Window
-
-    from .functions.clustering import (
-        _dot,
-        assign_clusters,
-        assign_codebook,
-        kmeans_fit,
-        pq_fit,
-    )
-
-    sub_len = dim // n_subs
-    e = Tables(spark, sf_dir).embeddings
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    cents = kmeans_fit(vecs, k=n_cent, n_iter=n_iter).localCheckpoint(eager=True)
-    assigned = assign_clusters(vecs, cents).localCheckpoint(eager=True)
-    res = assigned.join(F.broadcast(cents), "cid").select(
-        "vec_id",
-        "cid",
-        F.zip_with("e", "c", lambda x, y: x - y).alias("re"),
-    )
-    rsubs = res.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
-        "re",
-    ).select(
-        "vec_id", "s", F.expr(f"slice(re, 1 + s * {sub_len}, {sub_len})").alias("e")
-    )
-    cb = pq_fit(rsubs, k=n_codes, n_iter=n_iter).localCheckpoint(eager=True)
-    codes = (
-        assign_codebook(rsubs, cb)
-        .select("vec_id", "s", F.col("cid").alias("code"))
-        .join(assigned.select("vec_id", "cid"), "vec_id")
-        .localCheckpoint(eager=True)
-    )
-
-    q_lo = max(n_cent, n_codes)
-    q_hi = q_lo + n_queries
-    q = vecs.filter(
-        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
-    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe0"))
-    distc = F.round(
-        _dot(F.col("qe0"), F.col("qe0"))
-        - 2 * _dot(F.col("qe0"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
-        6,
-    )
-    wq = Window.partitionBy("qid").orderBy(distc.asc(), F.col("cid").asc())
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select(
-            "qid",
-            "cid",
-            F.zip_with("qe0", "c", lambda x, y: x - y).alias("qre"),
-        )
-    )
-    qsubs = probes.select(
-        "qid",
-        "cid",
-        F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
-        "qre",
-    ).select(
-        "qid",
-        "cid",
-        "s",
-        F.expr(f"slice(qre, 1 + s * {sub_len}, {sub_len})").alias("qe"),
-    )
-    cb2 = cb.select("s", F.col("cid").alias("code"), "c")
-    d = F.round(
-        _dot(F.col("qe"), F.col("qe"))
-        - 2 * _dot(F.col("qe"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
-        9,
-    ).cast("decimal(18,9)")
-    dtab = qsubs.join(F.broadcast(cb2), "s").select(
-        "qid", "cid", "s", "code", d.alias("d")
-    )
-    adc = (
-        codes.join(F.broadcast(dtab), ["cid", "s", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("d").cast("double").alias("dist"))
-    )
-    wr = Window.partitionBy("qid").orderBy(
-        F.round(F.col("dist"), 6).asc(), F.col("vec_id").asc()
-    )
-    return (
-        adc.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("dist"), 6).alias("adc_dist"),
-            "rnk",
-        )
-    )
-
-
-def _ann_ivfpq_residual_oracle(
-    n_cent: int = 4,
-    n_probe: int = 2,
-    n_subs: int = 8,
-    sub_len: int = 8,
-    n_codes: int = 16,
-    n_iter: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> str:
-    kctes, cents, afinal = _kmeans_ctes(n_cent, n_iter)
-    res = (
-        "res0 AS (SELECT a.vec_id, a.cid, "
-        "list_transform(range(1, len(a.e) + 1), i -> a.e[i] - c.c[i]) AS e "
-        f"FROM {afinal} a JOIN {cents} c ON c.cid = a.cid)"
-    )
-    pctes, cb, pafinal = _pq_ctes(
-        n_subs, sub_len, n_codes, n_iter, prefix="r", src="res0"
-    )
-    q_lo = max(n_cent, n_codes)
-    q_hi = q_lo + n_queries
-    d_query = (
-        "ROUND(list_dot_product(qs.qe, qs.qe) - 2 * list_dot_product(qs.qe, cb.c)"
-        " + list_dot_product(cb.c, cb.c), 9)"
-    )
-    ctes = kctes + [res] + pctes + [
-        f"q0 AS (SELECT vec_id AS qid, e FROM v0 "
-        f"WHERE vec_id >= {q_lo} AND vec_id < {q_hi})",
-        "probes AS (SELECT qid, cid, qre FROM ("
-        "  SELECT q.qid, c.cid, "
-        "  list_transform(range(1, len(q.e) + 1), i -> q.e[i] - c.c[i]) AS qre, "
-        "  ROW_NUMBER() OVER (PARTITION BY q.qid "
-        f"  ORDER BY {_kmeans_dist_sql('q.e', 'c.c')} ASC, c.cid ASC) AS rn "
-        f"  FROM q0 q JOIN {cents} c ON 1 = 1) _p WHERE rn <= {n_probe})",
-        f"qsubs AS (SELECT qid, cid, s, "
-        f"list_slice(qre, 1 + s * {sub_len}, {sub_len} + s * {sub_len}) AS qe "
-        f"FROM probes, UNNEST(range(0, {n_subs})) AS _t(s))",
-        "dtab AS (SELECT qs.qid, qs.cid, cb.s, cb.cid AS code, "
-        f"CAST({d_query} AS DECIMAL(18,9)) AS d "
-        f"FROM qsubs qs JOIN {cb} cb ON cb.s = qs.s)",
-        f"codes AS (SELECT pa.vec_id, pa.s, pa.cid AS code, co.cid "
-        f"FROM {pafinal} pa JOIN (SELECT vec_id, cid FROM {afinal}) co "
-        "ON co.vec_id = pa.vec_id)",
-        "adc AS (SELECT dt.qid, cd.vec_id AS nid, "
-        "CAST(SUM(dt.d) AS DOUBLE) AS dist "
-        "FROM codes cd JOIN dtab dt "
-        "ON dt.cid = cd.cid AND dt.s = cd.s AND dt.code = cd.code "
-        "WHERE cd.vec_id <> dt.qid GROUP BY dt.qid, cd.vec_id)",
-        "ranked AS (SELECT qid, nid, ROUND(dist, 6) AS adc_dist, "
-        "ROW_NUMBER() OVER (PARTITION BY qid "
-        "ORDER BY ROUND(dist, 6) ASC, nid ASC) AS rnk FROM adc)",
-    ]
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        "SELECT qid AS query_id, nid AS neighbor_id, adc_dist, "
-        f"CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= {k}"
-    )
-
-
-def ann_ivfpq_persisted_q(
-    spark: SparkSession,
-    sf_dir: str,
-    dim: int = 64,
-    n_cent: int = 4,
-    n_probe: int = 2,
-    n_subs: int = 8,
-    n_codes: int = 16,
-    n_iter: int = 2,
-    n_queries: int = 5,
-    k: int = 5,
-) -> DataFrame:
-    """The residual IVF-PQ answered from a PERSISTED index
-    (functions/clustering.py:ivfpq_build / ann_ivfpq_persisted_search):
-    centroids + residual codebook + cid-partitioned codes land as
-    parquet once, and every search runs entirely against the store —
-    no Lloyd chain, no raw corpus floats on the query path.  Sharing
-    `ann_ivfpq_residual_topk`'s oracle proves store-backed ==
-    train-per-query bit-for-bit; this closes the persisted-index family:
-    coarse cells (`ann_ivf_persisted_topk`), flat codes
-    (`ann_pq_persisted_topk`), and now the composed production store."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions.clustering import ann_ivfpq_persisted_search, ivfpq_build
-
-    sub_len = dim // n_subs
-    e = Tables(spark, sf_dir).embeddings
-    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_ivfpq_index_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    ivfpq_build(vecs, path, n_cent, n_subs, sub_len, n_codes, n_iter)
-    q_lo = max(n_cent, n_codes)
-    q_hi = q_lo + n_queries
-    q = vecs.filter(
-        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
-    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe0"))
-    return ann_ivfpq_persisted_search(
-        spark, path, q, n_subs, sub_len, n_probe, topk=k
-    )
-
-
-def embedding_pca_q(
-    spark: SparkSession, sf_dir: str, dim: int = 64, n_iter: int = 8
-) -> DataFrame:
-    """Top principal component of the embedding corpus by distributed
-    covariance + power iteration — the dimensionality-reduction step of
-    an embedding pipeline, expressed so the heavy part scales and the
-    tiny part stays tiny:
-
-    * mean + covariance are the distributed work: each row emits its d²
-      centered products through nested JVM array transforms (NO
-      self-join — the (vec⋈vec on id) formulation shuffles both explode
-      sides and measured ~1.5× slower plus an extra count job), and the
-      (i, j) aggregation
-      sums ROUND(xcᵢ·xcⱼ, 12) as DECIMAL(28,12) — map-side combine
-      ships at most d² partial rows per partition, and the decimal
-      accumulation makes the result independent of row order and
-      partitioning (the property the DuckDB oracle needs);
-    * the d×d matrix (4096 doubles) is checkpointed once and the 8 power
-      iterations run as broadcast joins over it — each round is a
-      matvec + norm on 64 rows, localCheckpoint keeps lineage flat.
-
-    Init is the uniform unit vector (1/√d each) — fully deterministic,
-    so the eigenvector SIGN is deterministic too.  Output: (pos,
-    loading, eigval) with loadings/eigenvalue rounded to 6 dp.  At
-    100 TB the explode-based product stage swaps for a numpy
-    Xᶜᵀ·Xᶜ mapInPandas kernel (order-dependent float sums — fine when
-    bit-stability across engines is not the gate).
-
-    Convergence honesty: the random fixture's covariance spectrum is
-    near-flat (λ1/λ2 ≈ 1.07), so 8 rounds only PARTIALLY converge there
-    — both engines partially converge identically (that is what the
-    parity gate checks).  On data with a real dominant direction the
-    same 8 rounds converge to ~1e-8; tests/test_round2.py verifies the
-    algorithm against numpy's eigendecomposition on a planted-spike
-    corpus (|cos| ≥ 0.99, eigenvalue within 1%)."""
-    import math
-
-    e = Tables(spark, sf_dir).embeddings
-    x = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
-    )
-    mu = x.groupBy("pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu")
-    )
-    mu_arr = mu.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
-        ).alias("mu_arr")
-    )
-    pairs = (
-        e.select(F.col("embedding").cast("array<double>").alias("e"))
-        .crossJoin(F.broadcast(mu_arr))
-        .select(F.zip_with("e", "mu_arr", lambda a, b: a - b).alias("xc"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(xc, (vi, i) -> transform(xc, (vj, j) -> "
-                    "struct(i AS i, j AS j, round(vi * vj, 12) AS p))))"
-                )
-            ).alias("t")
-        )
-        .select("t.i", "t.j", "t.p")
-    )
-    cov = (
-        pairs.groupBy("i", "j")
-        .agg(
-            (
-                F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
-        # the iteration state is tiny (d² and d rows): collapse to one
-        # partition before each checkpoint so a plain 200-partition
-        # session doesn't write 200 blocks per round
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    v = spark.range(dim).select(
-        F.col("id").cast("int").alias("pos"), F.lit(1.0 / math.sqrt(dim)).alias("val")
-    )
-    nrm = None
-    for _ in range(n_iter):
-        w = (
-            cov.join(F.broadcast(v), cov["j"] == v["pos"])
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(F.col("c") * F.col("val"), 12).cast("decimal(28,12)")
-                )
-                .cast("double")
-                .alias("wv")
-            )
-        )
-        # nrm stays LAZY: it is consumed once inside v's job, and w (a
-        # 4096-row broadcast join) is cheap to evaluate twice within one
-        # plan — an eager checkpoint here would double the job count of
-        # the whole loop for no lineage benefit (v's checkpoint cuts it)
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("wv") * F.col("wv"), 12).cast("decimal(28,12)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("i").alias("pos"),
-                F.round(F.col("wv") / F.col("nrm"), 12).alias("val"),
-            )
-            .coalesce(1)
-            .localCheckpoint(eager=True)
-        )
-    return v.crossJoin(F.broadcast(nrm)).select(
-        "pos",
-        F.round(F.col("val"), 6).alias("loading"),
-        F.round(F.col("nrm"), 6).alias("eigval"),
-    )
-
-
-def _embedding_pca_oracle(dim: int = 64, n_iter: int = 8) -> str:
-    """Unrolled power iteration (same decimal-exact covariance and
-    per-round rounding as embedding_pca_q)."""
-    init = 1.0 / dim**0.5
-    # every iteration CTE is MATERIALIZED: w{t} is referenced twice
-    # (matvec + norm) and chains n_iter deep — DuckDB's default CTE
-    # inlining re-expands the whole upstream tree per reference, which
-    # is exponential in n_iter (observed as a hang at n_iter=8)
-    ctes = [
-        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        "x AS MATERIALIZED (SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos, "
-        "UNNEST(e) AS val FROM v0)",
-        "mu AS (SELECT pos, CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) "
-        "/ COUNT(*) AS mu FROM x GROUP BY pos)",
-        "xc AS MATERIALIZED (SELECT vec_id, x.pos, val - mu.mu AS v FROM x "
-        "JOIN mu ON x.pos = mu.pos)",
-        "nrows AS (SELECT COUNT(*) AS n FROM v0)",
-        "cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, "
-        "CAST(SUM(CAST(ROUND(a.v * b.v, 12) AS DECIMAL(28,12))) AS DOUBLE) "
-        "/ (SELECT n FROM nrows) AS c "
-        "FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.pos, b.pos)",
-        f"p0 AS (SELECT DISTINCT pos, CAST({init!r} AS DOUBLE) AS val FROM x)",
-    ]
-    for t in range(1, n_iter + 1):
-        ctes.append(
-            f"w{t} AS MATERIALIZED (SELECT i, "
-            "CAST(SUM(CAST(ROUND(c * val, 12) AS DECIMAL(28,12))) AS DOUBLE) AS wv "
-            f"FROM cov JOIN p{t - 1} ON j = pos GROUP BY i)"
-        )
-        ctes.append(
-            f"n{t} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(ROUND(wv * wv, 12) "
-            f"AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w{t})"
-        )
-        ctes.append(
-            f"p{t} AS MATERIALIZED (SELECT i AS pos, "
-            f"ROUND(wv / (SELECT nrm FROM n{t}), 12) AS val FROM w{t})"
-        )
-    return (
-        "WITH " + ", ".join(ctes) + " "
-        f"SELECT pos, ROUND(val, 6) AS loading, "
-        f"(SELECT ROUND(nrm, 6) FROM n{n_iter}) AS eigval FROM p{n_iter}"
-    )
-
-
-def _clean_corpus_oracle(min_quality: float = 0.55) -> str:
-    from .operators.sampling import split_case_sql
-
-    q = X.quality_score_sql(DUCK)
-    case = split_case_sql("d.doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, dialect="duck")
-    return f"""
-WITH scores AS ({q}),
-qdocs AS (
-  SELECT d.* FROM documents d JOIN scores s ON d.doc_id = s.doc_id
-  WHERE s.quality_score >= {min_quality}),
-keep AS (SELECT MIN(doc_id) AS doc_id FROM qdocs GROUP BY md5(text)),
-d AS (SELECT q.* FROM qdocs q JOIN keep k ON q.doc_id = k.doc_id)
-SELECT {case} AS split, COUNT(*) AS n_docs,
-  CAST(SUM(d.n_chars) AS BIGINT) AS chars
-FROM d GROUP BY 1
-"""
-
-
-def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static broadcast enrichment (streaming/events.py)."""
-    from .streaming.events import enriched_counts
-
-    return enriched_counts(spark, sf_dir)
-
-
-def _stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data accounting (streaming/events.py:
-    late_data_accounting): three-micro-batch replay — two on-time
-    files (the middle one advances the lagging late-input filter
-    watermark, SPARK-24156), then a day of events weeks behind it,
-    dropped before the aggregation; append mode emits exactly the
-    windows the final watermark closed.  Oracle: windows over the
-    on-time subset with window_end <= max(on_time_ts) - 1h."""
-    from .streaming.events import late_data_accounting
-
-    return late_data_accounting(spark, sf_dir)
-
-
-_STREAM_LATE_ORACLE = """
-WITH on_time AS (
-  SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'),
-wm AS (
-  SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) - 3600 AS w FROM on_time),
-agg AS (
-  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM on_time GROUP BY 1)
-SELECT ws, n FROM agg CROSS JOIN wm WHERE ws + 300 <= wm.w
-"""
-
-
-def _stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-side as-of enrichment against an SCD2 versioned dim
-    (streaming/events.py:asof_enriched_stream): the correlated
-    latest-version-at-or-before-ts becomes a batch-side interval-ized
-    dim + a STATELESS stream-static range join (no state store, no
-    watermark, append mode)."""
-    from .streaming.events import asof_enriched_stream
-
-    return asof_enriched_stream(spark, sf_dir)
-
-
-_STREAM_ASOF_ORACLE = """
-WITH dim AS (
-  SELECT n_nationkey AS nk,
-         n_name || '/v' || CAST(k AS VARCHAR) AS attr,
-         TIMESTAMP '2024-01-01 00:00:00'
-           + (n_nationkey % 5) * INTERVAL 1 HOUR
-           + k * (3 + n_nationkey % 3) * INTERVAL 1 DAY AS valid_from
-  FROM nation, UNNEST(range(0, 10)) t(k)),
-iv AS (
-  SELECT nk, attr, valid_from,
-         LEAD(valid_from) OVER (PARTITION BY nk ORDER BY valid_from) AS valid_until
-  FROM dim)
-SELECT e.event_id, e.user_id,
-       CAST(floor(epoch(e.ts)) AS BIGINT) AS ets, iv.attr
-FROM events e
-LEFT JOIN iv ON e.user_id % 25 = iv.nk
-  AND e.ts >= iv.valid_from
-  AND (iv.valid_until IS NULL OR e.ts < iv.valid_until)
-"""
-
-
-def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage of the media pipeline (deterministic stand-in kernel;
-    real resampler stubbed behind PIL — functions/multimodal.py)."""
-    from .functions.multimodal import documents_as_media, fake_resize_meta
-
-    media = documents_as_media(Tables(spark, sf_dir).documents).repartition(8, "media_id")
-    return fake_resize_meta(media)
-
-
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stage of the media pipeline: one row per sampled
-    timestamp with a per-frame digest (deterministic stand-in kernel via
-    mapInPandas; the real av/ffmpeg decoder is stubbed —
-    functions/multimodal.py:fake_frame_sample).  The synthetic duration
-    model (10 ms/byte) is part of the oracle contract."""
-    from .functions.multimodal import documents_as_timed_media, fake_frame_sample
-
-    media = documents_as_timed_media(Tables(spark, sf_dir).documents).repartition(
-        8, "media_id"
-    )
-    return fake_frame_sample(media, every_ms=5000)
-
-
-_FRAME_SAMPLE_ORACLE = """
-WITH m AS (
-  SELECT doc_id AS media_id, md5(text) AS base,
-         octet_length(encode(text)) * 10 AS dur
-  FROM documents)
-SELECT media_id, CAST(5000 * j AS BIGINT) AS frame_ts_ms,
-       md5(base || ':' || CAST(5000 * j AS VARCHAR)) AS frame_digest
-FROM m, UNNEST(range(0, CAST(ceil(dur / 5000.0) AS BIGINT))) t(j)
-"""
-
-
-def media_dedup_digest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact media dedup on the blob content digest (binary analogue of
-    dedup_exact; functions/multimodal.py:media_dedup_by_digest) — the
-    shuffle carries (digest, id), never blobs."""
-    from .functions.multimodal import documents_as_media, media_dedup_by_digest
-
-    return media_dedup_by_digest(documents_as_media(Tables(spark, sf_dir).documents))
-
-
-_MEDIA_DEDUP_ORACLE = """
-SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
-FROM documents GROUP BY 1
-"""
-
-
-def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming sliding windows (10 min window / 5 min slide): each event
-    lands in exactly two windows; oracle expands both candidate starts."""
-    from .streaming.events import sliding_counts
-
-    return sliding_counts(spark, sf_dir, minutes=10, slide=5)
-
-
-_STREAM_SLIDING_ORACLE = """
-SELECT ws, COUNT(*) AS n FROM (
-  SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300 * j AS ws
-  FROM events, UNNEST(range(0, 2)) AS _t(j)
-) GROUP BY ws
-"""
-
-
-def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session windows (30-min gap, ``F.session_window``);
-    oracle reconstructs sessions with lag/cumsum: start = min ts,
-    end = max ts + gap."""
-    from .streaming.events import session_windows
-
-    return session_windows(spark, sf_dir, gap_minutes=30)
-
-
-_STREAM_SESSION_ORACLE = """
-WITH flagged AS (
-  SELECT user_id, ts,
-    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL THEN 1
-         WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1
-         ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
-),
-sessions AS (
-  SELECT user_id, ts,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM flagged
+from .catalog_r5 import (
+    _MG_TOPK_ORACLE, _TRAINING_ORDER_ORACLE, _bloom_index_persisted_oracle,
+    _bloom_membership_builder, _bloom_rolling_oracle, _cms_by_type_builder,
+    _cms_heavy_hitters_builder, _cms_rolling_builder,
+    _curriculum_serving_order_oracle, _dedup_chunk_passages_builder,
+    _dedup_containment_oracle, _hll_daily_rollup_oracle,
+    _hll_rolling_7day_oracle, _hll_rollup_grouped_oracle,
+    _hll_rollup_persisted_oracle, _mixture_resample_builder,
+    _mixture_resample_epochs_builder, _mixture_token_plan_builder,
+    _pii_scrub_audit_builder, _png_decode_oracle,
+    _sequence_packing_by_lang_oracle, _sequence_packing_oracle,
+    _sequence_packing_subword_oracle, _source_mixture_weights_builder,
+    _stream_bloom_seen_oracle, _stream_hll_daily_oracle, _stream_hll_oracle,
+    _table_profile_oracle, _tdigest_rolling_oracle,
+    _tdigest_rollup_compacted_oracle, _tdigest_rollup_grouped_oracle,
+    _tdigest_rollup_oracle, _text_token_count_subword_oracle,
+    _theta_intersection_oracle, _theta_overlap_by_source_oracle,
+    _theta_rolling_churn_oracle, _wav_decode_oracle,
+    _winnow_attribution_oracle, bloom_index_persisted_q,
+    bloom_rolling_membership_q, cms_rolling_heavy_hitters_q,
+    curriculum_serving_order_q, dedup_containment_pairs_q,
+    hll_daily_rollup_q, hll_rolling_7day_q, hll_rollup_compacted_q,
+    hll_rollup_grouped_q, hll_rollup_incremental_q, hll_rollup_persisted_q,
+    incremental_dedup_persisted_q, mg_heavy_hitters_q,
+    multimodal_png_decode_q, multimodal_wav_decode_q, packing_boundaries_q,
+    quality_decile_curve_q, sequence_packing_by_lang_q, sequence_packing_q,
+    sequence_packing_subword_q, table_profile_q, tdigest_rolling_q,
+    tdigest_rollup_compacted_q, tdigest_rollup_grouped_q,
+    tdigest_rollup_range_q, text_token_count_subword_q,
+    theta_overlap_by_source_q, theta_rolling_churn_q,
+    theta_sketch_intersection_q, training_order_shuffle_q,
+    winnow_attribution_q,
 )
-SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS ss,
-  CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800 AS se,
-  user_id, COUNT(*) AS n_events
-FROM sessions GROUP BY user_id, sid
-"""
-
-
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: segment filter → orders⋈lineitem with date
-    predicates on both sides → top-10 orders by revenue.  Both filters
-    push to their scans; customer is broadcast; the deterministic top-k
-    key is (revenue DESC, orderkey ASC)."""
-    t = Tables(spark, sf_dir)
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
-    joined = (
-        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < "1997-01-01")
-        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > "1997-01-01")
-    )
-    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue")
-    )
-    return (
-        agg.select(
-            "l_orderkey",
-            F.unix_timestamp("o_orderdate").alias("odate"),
-            "revenue",
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-    )
-
-
-_Q3_ORACLE = """
-SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
-FROM customer JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON o_orderkey = l_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1997-01-01'
-  AND l_shipdate > TIMESTAMP '1997-01-01'
-GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
-"""
-
-
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: orders with ≥1 late lineitem (EXISTS with a
-    correlated inequality → conditional left-semi join), counted by
-    priority."""
-    t = Tables(spark, sf_dir)
-    li = t.lineitem.select("l_orderkey", "l_shipdate")
-    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
-        F.col("l_shipdate") > F.col("o_orderdate")
-    )
-    return (
-        t.orders.join(li, cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-_Q4_ORACLE = """
-SELECT o_orderpriority, COUNT(*) AS n FROM orders
-WHERE EXISTS (SELECT 1 FROM lineitem
-  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-GROUP BY o_orderpriority
-"""
-
-
-_last_bands: list = []  # previous persisted band table, unpersisted on reuse
-
-
-def _minhash_lsh_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs with the band table computed ONCE and
-    persisted before the self-join (the pure-SQL formulation recomputes
-    the signature pipeline per band and per join side under CTE
-    inlining).  At 100 TB the persisted band table is the natural
-    checkpoint of the dedup pipeline.  Oracle: the single-statement
-    UNION-ALL formulation (functions/dedup.py:minhash_lsh_pairs_sql)."""
-    register_views(spark, sf_dir)
-    bands = spark.sql(D.minhash_bands_sql(SPARK)).persist()
-    while _last_bands:
-        _last_bands.pop().unpersist()
-    _last_bands.append(bands)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-
-def _crosslingual_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-lingual LSH candidates: the (doc, lang, band, sig) table is
-    computed ONCE and persisted before the self-join (same CTE-inlining
-    countermeasure as `_minhash_lsh_pairs_fn` — the pure-SQL form
-    recomputes the signature AND language pipelines per join side).
-    Algorithm/oracle: functions/dedup.py:crosslingual_lsh_pairs_sql."""
-    from .functions.text import lang_select_sql
-
-    register_views(spark, sf_dir)
-    bands = spark.sql(D.minhash_bands_sql(SPARK))
-    langs = spark.sql(
-        f"SELECT doc_id, pred_lang FROM ({lang_select_sql(SPARK)}) _l"
-    )
-    lbands = bands.join(langs, "doc_id").persist()
-    while _last_bands:
-        _last_bands.pop().unpersist()
-    _last_bands.append(lbands)
-    a, b = lbands.alias("a"), lbands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.pred_lang") == F.col("b.pred_lang"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.pred_lang").alias("lang"),
-        )
-        .distinct()
-    )
-
-
-def train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test split of documents by content-hash
-    ranges (operators/sampling.py) — membership is a pure function of
-    doc_id, stable under any repartitioning.  Output: per-split counts +
-    char volume."""
-    from .operators.sampling import split_by_hash
-
-    docs = Tables(spark, sf_dir).documents
-    out = split_by_hash(
-        docs, key="doc_id", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
-    )
-    return out.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_chars").cast("bigint").alias("chars"),
-    )
-
-
-def _train_split_oracle() -> str:
-    from .operators.sampling import split_case_sql
-
-    case = split_case_sql(
-        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, dialect="duck"
-    )
-    return (
-        f"SELECT {case} AS split, COUNT(*) AS n, "
-        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1"
-    )
-
-
-def sample_by_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10% deterministic sample of lineitem by orderkey hash — the
-    repartition-stable sample (engine-RNG `df.sample` is partitioning-
-    dependent; this is a pure key function)."""
-    from .operators.sampling import sample_by_hash
-
-    li = Tables(spark, sf_dir).lineitem
-    out = sample_by_hash(li, key="l_orderkey", fraction=0.1, salt="s1")
-    return out.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
-    )
-
-
-def _sample_oracle() -> str:
-    from .operators.sampling import sample_predicate_sql
-
-    pred = sample_predicate_sql("l_orderkey", 0.1, salt="s1").replace(
-        "AS STRING", "AS VARCHAR"
-    )
-    return (
-        f"SELECT l_returnflag, COUNT(*) AS n, "
-        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders "
-        f"FROM lineitem WHERE {pred} GROUP BY 1"
-    )
-
-
-def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE/upsert (CDC pattern; operators/merge.py): every 100th order
-    arrives as an update with doubled price; merged = updates ∪
-    untouched.  Verified through the post-merge aggregate."""
-    from .operators.merge import upsert
-
-    o = Tables(spark, sf_dir).orders.select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    updates = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
-        "o_totalprice",
-        (F.col("o_totalprice").cast("decimal(18,6)") * 2).cast("double"),
-    )
-    merged = upsert(o, updates, key="o_orderkey")
-    return merged.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
-    )
-
-
-_MERGE_ORACLE = """
-WITH updates AS (
-  SELECT o_orderkey, o_orderstatus,
-    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 2 AS DOUBLE) AS o_totalprice
-  FROM orders WHERE o_orderkey % 100 = 0),
-merged AS (
-  SELECT * FROM updates
-  UNION ALL
-  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-  WHERE o_orderkey % 100 <> 0)
-SELECT o_orderstatus, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
-FROM merged GROUP BY o_orderstatus
-"""
-
-
-def dedup_components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters: connected components (min-label
-    propagation, operators/graph.py) over the MinHash-LSH candidate
-    graph; every document labeled with its component (singletons keep
-    their own id).  Oracle: recursive-CTE transitive closure over the
-    same pairs."""
-    from .operators.graph import connected_components
-
-    register_views(spark, sf_dir)
-    pairs = _minhash_lsh_pairs_fn(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id")
-    cc = connected_components(
-        docs, pairs, node_col="doc_id", src="doc_a", dst="doc_b"
-    )
-    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
-
-
-def _dedup_components_oracle() -> str:
-    pairs = D.minhash_lsh_pairs_sql(DUCK)
-    return f"""
-WITH RECURSIVE pairs AS (SELECT * FROM ({pairs}) _p),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-cc(node, label) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.node
+from .catalog_r67 import (
+    _GROUPED_MAD_ORACLE, _abc_analysis_sql, _ann_recall_builder,
+    _curriculum_packed_batches_oracle, _dedup_cascade_builder,
+    _dedup_lsh_recall_oracle, _embedding_threshold_curve_sql,
+    _events_ewma_builder, _events_markov_builder, _events_top_paths_builder,
+    _hll_monthly_from_daily_oracle, _order_gaps_builder,
+    _packing_efficiency_curve_oracle, _quality_dedup_interaction_builder,
+    _rfm_segments_sql, _shipping_delay_profile_builder,
+    _stream_crawl_dedup_oracle, _stream_quality_monitor_oracle,
+    _substring_dedup_builder, _substring_scrub_builder,
+    _theta_rollup_grouped_oracle, _theta_rollup_persisted_oracle,
+    _tokenizer_fertility_oracle, _window_rank_family_builder,
+    curriculum_packed_batches_q, dedup_cascade_q, dedup_lsh_recall_q,
+    embedding_threshold_curve_q, grouped_mad_q, hll_monthly_from_daily_q,
+    packing_efficiency_curve_q, parts_abc_analysis_q,
+    quality_dedup_interaction_q, rfm_segments_q, theta_rollup_grouped_q,
+    theta_rollup_persisted_q, tokenizer_fertility_q,
 )
-SELECT node AS doc_id, MIN(label) AS component FROM cc GROUP BY node
-"""
-
 
 # ------------------------------------------------------------------ #
 # catalog assembly
@@ -3656,239 +720,6 @@ _R3_NEW: list[str] = []  # filled in below as r3 ops are registered
 _R3_FRONT = _R2_NEXT + _R3_NEW
 
 
-# ------------------------------------------------------------------ #
-# round 4 additions
-# ------------------------------------------------------------------ #
-
-
-def hll_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped HLL distinct-count sketch (functions/sketches.py) next to
-    the exact count, with the estimate's 3-sigma band as a pinned claim.
-    The register build shuffles ≤256 rows per group — the raw keys never
-    cross an exchange; the estimate is deterministic (register MAX is
-    order-independent) so the driver hash covers the estimate itself,
-    not just the band."""
-    from .functions import sketches as SK
-
-    li = Tables(spark, sf_dir).lineitem
-    est = SK.hll_estimate(
-        SK.hll_registers(li, ["l_returnflag"], "l_orderkey"), ["l_returnflag"]
-    )
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("exact_distinct")
-    )
-    return exact.join(F.broadcast(est), "l_returnflag").select(
-        "l_returnflag",
-        "exact_distinct",
-        "hll_est",
-        (
-            F.abs(F.col("hll_est") - F.col("exact_distinct"))
-            / F.col("exact_distinct")
-            <= 0.2  # 3 x 1.04/sqrt(256) = 19.5%
-        ).alias("within_band"),
-    )
-
-
-def _hll_cardinality_oracle() -> str:
-    from .functions import sketches as SK
-
-    est = SK.hll_estimate_sql("lineitem", "l_returnflag", "l_orderkey", dialect=DUCK)
-    return f"""
-WITH ex AS (
-  SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
-  FROM lineitem GROUP BY l_returnflag)
-SELECT ex.l_returnflag, exact_distinct, hll_est,
-  ABS(hll_est - exact_distinct) / exact_distinct <= 0.2 AS within_band
-FROM ex JOIN ({est}) e ON ex.l_returnflag = e.l_returnflag
-"""
-
-
-def hll_union_audience_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audience-overlap cardinalities from MERGED HLL sketches: distinct
-    click users, purchase users, their union via elementwise register
-    MAX (exact merge — no rescan of the data), and the intersection via
-    inclusion-exclusion.  The union estimate provably equals the
-    estimate built directly over the combined value stream, which is
-    what the oracle computes — the hash match IS the merge-law check."""
-    from .functions import sketches as SK
-
-    ev = Tables(spark, sf_dir).events
-    regs = {
-        t: SK.hll_registers(
-            ev.filter(F.col("event_type") == t), [], "user_id"
-        ).localCheckpoint(eager=True)  # feeds its own estimate AND the merge
-        for t in ("click", "purchase")
-    }
-    est_a = SK.hll_estimate_global(regs["click"]).select(
-        F.col("hll_est").alias("est_click")
-    )
-    est_b = SK.hll_estimate_global(regs["purchase"]).select(
-        F.col("hll_est").alias("est_purchase")
-    )
-    est_u = SK.hll_estimate_global(
-        SK.hll_merge([regs["click"], regs["purchase"]])
-    ).select(F.col("hll_est").alias("est_union"))
-    exact_u = ev.filter(F.col("event_type").isin("click", "purchase")).agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_union")
-    )
-    return (
-        est_a.crossJoin(est_b)
-        .crossJoin(est_u)
-        .crossJoin(exact_u)
-        .select(
-            "est_click",
-            "est_purchase",
-            "est_union",
-            F.round(
-                F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
-            ).alias("est_intersect"),
-            "exact_union",
-        )
-    )
-
-
-def _hll_union_audience_oracle() -> str:
-    from .functions import sketches as SK
-
-    def est(pred: str) -> str:
-        return SK.hll_estimate_sql(
-            f"(SELECT user_id FROM events WHERE {pred})", "", "user_id", dialect=DUCK
-        )
-
-    a = est("event_type = 'click'")
-    b = est("event_type = 'purchase'")
-    u = est("event_type IN ('click', 'purchase')")
-    return f"""
-SELECT a.hll_est AS est_click, b.hll_est AS est_purchase, u.hll_est AS est_union,
-  ROUND(a.hll_est + b.hll_est - u.hll_est, 4) AS est_intersect,
-  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
-   WHERE event_type IN ('click', 'purchase')) AS exact_union
-FROM ({a}) a CROSS JOIN ({b}) b CROSS JOIN ({u}) u
-"""
-
-
-def multimodal_ppm_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: deterministic synthetic PPM (P6)
-    blobs are encoded from a closed-form pixel model
-    (functions/multimodal.py:synth_ppm_media), then parsed back with the
-    pure-Python PPM decoder and reduced to per-channel sums
-    (decode_ppm_stats).  The Spark side round-trips real bytes through
-    the real encoder+parser; the oracle recomputes the statistics from
-    the pixel model's arithmetic — a hash match proves the decode path
-    actually reads the raster."""
-    from .functions.multimodal import decode_ppm_stats, synth_ppm_media
-
-    docs = Tables(spark, sf_dir).documents
-    return decode_ppm_stats(synth_ppm_media(docs))
-
-
-def _ppm_decode_oracle() -> str:
-    from .functions.portable import lateral_seq
-
-    lat = lateral_seq("0", "width * height - 1", "i", DUCK)
-    return f"""
-WITH dims AS (
-  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS width,
-         CAST(3 + doc_id % 11 AS INT) AS height
-  FROM documents),
-px AS (SELECT doc_id, width, height, i FROM dims {lat})
-SELECT doc_id AS media_id, width, height, 255 AS maxval,
-  CAST(SUM((doc_id * 7 + (3 * i) * 13) % 256) AS BIGINT) AS sum_r,
-  CAST(SUM((doc_id * 7 + (3 * i + 1) * 13) % 256) AS BIGINT) AS sum_g,
-  CAST(SUM((doc_id * 7 + (3 * i + 2) * 13) % 256) AS BIGINT) AS sum_b
-FROM px GROUP BY doc_id, width, height
-"""
-
-
-def bucket_count_for(df: DataFrame, target_bucket_bytes: int = 512 << 20) -> int:
-    """Bucket-count sizing rule: one bucket per ``target_bucket_bytes``
-    of the LARGER join side (Catalyst's free ``sizeInBytes`` estimate —
-    parquet footer stats, no job), rounded up to a power of two so
-    bucket counts of co-bucketed tables stay divisible as data grows,
-    floor 8.  Default 512 MB/bucket keeps a sorted bucket comfortably
-    inside one executor task at 100 TB (a 100 TB fact → ~200k buckets);
-    copy the RULE, not a constant — a hard-coded 8 is only right at
-    fixture scale."""
-    try:
-        # Private PyJava surface (internal Catalyst API, no stability
-        # guarantee across Spark builds) — guard it so a signature change
-        # degrades to the fixture-scale floor instead of crashing, and
-        # note: the computed count must be STABLE for a given fixture
-        # (it resolves to 8 there) or the pinned zero-exchange bucketed
-        # plan in tests/test_plans.py would silently re-layout.
-        est = int(
-            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-    except Exception:
-        return 8
-    n = max(8, -(-est // target_bucket_bytes))
-    return 1 << (n - 1).bit_length()
-
-
-def reset_bucketed_tables(spark: SparkSession, names: list[str]) -> None:
-    """Side-effecting setup for bucketed-write demos, OUT of the query
-    path: a previous SESSION may have left managed-table directories on
-    disk without this session's catalog knowing the tables — drop both
-    layers or saveAsTable fails with LOCATION_ALREADY_EXISTS."""
-    import shutil
-    from urllib.parse import urlparse
-
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for tbl in names:
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
-
-
-def bucketed_etl_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed-write ETL: orders and lineitem land as bucketed tables
-    co-bucketed on the order key, then join WITHOUT a join-side exchange
-    (bucketing IS the shuffle, paid once at write time — the pattern
-    that amortizes a 100 TB fact-fact join across every downstream
-    query).  The bucket count comes from :func:`bucket_count_for`'s
-    volume rule (8 at fixture scale), and the DROP/rmtree setup lives in
-    :func:`reset_bucketed_tables`.  The only exchange in the read plan
-    is the final aggregation; pinned in tests/test_exchange_budget.py.
-    The zero-exchange property itself is asserted in tests/test_plans.py's
-    bucketed-join test; this entry adds the oracle-checked end-to-end
-    result."""
-    t = Tables(spark, sf_dir)
-    n_buckets = bucket_count_for(t.lineitem)
-    reset_bucketed_tables(spark, ["bdt_bkt_orders", "bdt_bkt_lineitem"])
-    t.orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").format(
-        "parquet"
-    ).bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable(
-        "bdt_bkt_orders"
-    )
-    t.lineitem.select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    ).write.mode("overwrite").format("parquet").bucketBy(n_buckets, "l_orderkey").sortBy(
-        "l_orderkey"
-    ).saveAsTable("bdt_bkt_lineitem")
-    o = spark.table("bdt_bkt_orders")
-    li = spark.table("bdt_bkt_lineitem")
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_BUCKETED_ETL_ORACLE = """
-SELECT o_orderpriority,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-    * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-  CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-"""
-
-
 CATALOG.update(
     {
         "hll_cardinality_grouped": QuerySpec(
@@ -3999,1736 +830,6 @@ _R4_RECHECK = [
 _R4_FRONT = _R4_RED + _R4_NEW + _R4_RECHECK
 assert set(_R4_FRONT) <= set(CATALOG), sorted(set(_R4_FRONT) - set(CATALOG))
 assert len(_R4_FRONT) == len(set(_R4_FRONT)) == 50, len(_R4_FRONT)
-
-
-# ------------------------------------------------------------------ #
-# round 5 additions
-# ------------------------------------------------------------------ #
-
-
-def multimodal_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode end-to-end, the WAV analogue of
-    ``multimodal_ppm_decode``: deterministic synthetic RIFF/PCM blobs
-    encoded from a closed-form amplitude model
-    (functions/multimodal.py:synth_wav_media), parsed back with the
-    pure-Python RIFF chunk walker and reduced to integer-exact sample
-    statistics (decode_wav_stats).  The oracle recomputes the statistics
-    from the amplitude model's arithmetic — a hash match proves the
-    parser actually reads the PCM frames."""
-    from .functions.multimodal import decode_wav_stats, synth_wav_media
-
-    docs = Tables(spark, sf_dir).documents
-    return decode_wav_stats(synth_wav_media(docs))
-
-
-def _wav_decode_oracle() -> str:
-    from .functions.portable import lateral_seq
-
-    lat = lateral_seq("0", "channels * n_frames - 1", "j", DUCK)
-    return f"""
-WITH dims AS (
-  SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
-         CAST(1 + doc_id % 2 AS INT) AS channels,
-         CAST(20 + doc_id % 50 AS INT) AS n_frames
-  FROM documents),
-s AS (SELECT doc_id, sample_rate, channels, n_frames, j FROM dims {lat}),
-v AS (SELECT doc_id, sample_rate, channels, n_frames,
-        (doc_id * 31 + j * 17) % 4096 - 2048 AS amp FROM s)
-SELECT doc_id AS media_id, sample_rate, channels, n_frames,
-  CAST(SUM(amp) AS BIGINT) AS sum_amp,
-  CAST(SUM(amp * amp) AS BIGINT) AS sum_sq,
-  CAST(MAX(ABS(amp)) AS INT) AS peak
-FROM v GROUP BY doc_id, sample_rate, channels, n_frames
-"""
-
-
-def _sequence_packing_oracle() -> str:
-    from .functions.packing import pack_sequences_sql
-
-    return pack_sequences_sql(2048, DUCK)
-
-
-def multimodal_png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-image decode end-to-end: synthetic PNGs (stdlib
-    zlib deflate, scanline filters cycling through ALL FIVE PNG filter
-    types) decoded back through signature check → CRC-checked chunk walk
-    → inflate → per-scanline prediction reversal
-    (functions/multimodal.py:decode_png).  The oracle recomputes channel
-    sums from the closed-form pixel model — the hash can only match if
-    the zlib stream inflated and every Sub/Up/Average/Paeth row
-    reversed correctly.  Unlike PPM this exercises a genuinely
-    compressed container."""
-    from .functions.multimodal import decode_png_stats, synth_png_media
-
-    docs = Tables(spark, sf_dir).documents
-    return decode_png_stats(synth_png_media(docs))
-
-
-def _png_decode_oracle() -> str:
-    from .functions.portable import lateral_seq
-
-    lat = lateral_seq("0", "width * height - 1", "i", DUCK)
-    return f"""
-WITH dims AS (
-  SELECT doc_id, CAST(5 + doc_id % 11 AS INT) AS width,
-         CAST(4 + doc_id % 7 AS INT) AS height
-  FROM documents),
-px AS (SELECT doc_id, width, height, i FROM dims {lat})
-SELECT doc_id AS media_id, width, height,
-  CAST(SUM((doc_id * 11 + (3 * i) * 19) % 256) AS BIGINT) AS sum_r,
-  CAST(SUM((doc_id * 11 + (3 * i + 1) * 19) % 256) AS BIGINT) AS sum_g,
-  CAST(SUM((doc_id * 11 + (3 * i + 2) * 19) % 256) AS BIGINT) AS sum_b
-FROM px GROUP BY doc_id, width, height
-"""
-
-
-def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASYMMETRIC near-dup audit over the LSH candidate pairs: exact
-    shingle-set containment in BOTH directions (|A∩B|/|A|, |A∩B|/|B|)
-    alongside Jaccard — the measure that catches a short document
-    wholly quoted inside a long one, which symmetric Jaccard dilutes
-    below any threshold (the boilerplate/quotation case doc-level dedup
-    policies need).  Candidates come from the same persisted band table
-    as `dedup_minhash_lsh_pairs`; the exact stage joins each pair's
-    distinct shingle sets — digest-keyed rows only, text never pairwise.
-    The shared shingle set is checkpointed once (CTE-inlining trap)."""
-    from .functions.dedup import _shingles_cte, _words_cte
-
-    register_views(spark, sf_dir)
-    pairs = _minhash_lsh_pairs_fn(spark, sf_dir).localCheckpoint(eager=True)
-    sh = spark.sql(
-        f"WITH {_words_cte(SPARK)}, {_shingles_cte(SPARK)} "
-        "SELECT doc_id, sh FROM shingles"
-    ).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    inter = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"]
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
-            "n_b",
-            "n_common",
-            F.round(F.col("n_common") / F.col("n_a").cast("double"), 6).alias(
-                "containment_a"
-            ),
-            F.round(F.col("n_common") / F.col("n_b").cast("double"), 6).alias(
-                "containment_b"
-            ),
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
-def _dedup_containment_oracle() -> str:
-    from .functions.dedup import _shingles_cte, _words_cte
-
-    pairs = D.minhash_lsh_pairs_sql(DUCK)
-    return f"""
-WITH {_words_cte(DUCK)}, {_shingles_cte(DUCK)},
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          FROM shingles GROUP BY doc_id),
-pairs AS (SELECT * FROM ({pairs}) _p),
-inter AS (
-  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM pairs p
-  JOIN shingles a ON a.doc_id = p.doc_a
-  JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
-  GROUP BY p.doc_a, p.doc_b)
-SELECT i.doc_a, i.doc_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
-  ROUND(i.n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
-  ROUND(i.n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b,
-  ROUND(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-"""
-
-
-def bloom_rolling_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day Bloom membership
-    (functions/sketches.py:bloom_rolling_membership) — the trailing-
-    window seen-filter behind fraud/abuse checks, completing the rolling
-    family for the MEMBERSHIP sketch: per-day position sets fan out to
-    their windows and UNION per window (set union IS the Bloom merge,
-    so each window's filter equals one built directly on the window).
-    Probes the top-5 users + provably disjoint shifted twins against
-    every window; per-window audit (probed/possible/members/false-pos)
-    driver-hashed — no false negatives structurally, measured false
-    positives pinned."""
-    from .functions import sketches as SK
-
-    ev = Tables(spark, sf_dir).events
-    return SK.bloom_rolling_membership(ev, "ts", "user_id")
-
-
-def _bloom_rolling_oracle() -> str:
-    from .functions import sketches as SK
-
-    return SK.bloom_rolling_membership_sql(DUCK)
-
-
-def hll_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The HLL rollup store with a GROUP dimension — per (event_type,
-    day) register rows in day-partitioned parquet, completing the
-    grouped-store pair with `tdigest_rollup_grouped_range` (distinct
-    counts per tenant over any window; registers MAX-merge per group
-    over the pruned range).  Built entirely from the existing grouped
-    primitives (`hll_registers`/`hll_estimate` take group lists), so
-    the store adds no new sketch code — only the storage layout.  The
-    oracle computes each group's direct estimate over the range's raw
-    events: the hash is the per-group merge-law proof."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_hll_grp_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
-    regs = SK.hll_registers(
-        ev.select(F.col("event_type").alias("grp"), day, "user_id"),
-        ["grp", "day"],
-        "user_id",
-    )
-    regs.write.mode("overwrite").partitionBy("day").parquet(path)
-    in_range = spark.read.parquet(path).filter(
-        F.col("day").cast("string").between(lo, hi)
-    )
-    merged = in_range.groupBy("grp", "bucket").agg(F.max("reg").alias("reg"))
-    n_days = in_range.groupBy("grp").agg(
-        F.countDistinct("day").cast("long").alias("n_days")
-    )
-    return (
-        SK.hll_estimate(merged, ["grp"])
-        .join(F.broadcast(n_days), "grp")
-        .select(F.col("grp").alias("event_type"), "n_days", "hll_est")
-    )
-
-
-def _hll_rollup_grouped_oracle() -> str:
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
-    est = SK.hll_estimate_sql(
-        f"(SELECT event_type, user_id FROM events WHERE {pred})",
-        "event_type",
-        "user_id",
-        dialect=DUCK,
-    )
-    return f"""
-WITH nd AS (
-  SELECT event_type,
-    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
-  FROM events WHERE {pred} GROUP BY event_type)
-SELECT s.event_type, nd.n_days, s.hll_est
-FROM ({est}) s JOIN nd ON nd.event_type = s.event_type
-"""
-
-
-def tdigest_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quantile store with a GROUP dimension (operators/tdigest.py:
-    tdigest_rollup_build_grouped/range_grouped): one digest row per
-    (event_type, day) — "p99 per service over any trailing window", the
-    per-tenant percentile continuous aggregate.  Driver-hashed claims
-    (the family's stability discipline): each (group, q) estimate's
-    true rank over that group's raw range values within ±0.03 (groups
-    hold ~1/5 of the range's values, so rank granularity is wider than
-    the ungrouped ±0.02), plus each group's exact value count from the
-    STORE's weights — conservation through the group dimension."""
-    import os
-    import shutil
-    import tempfile
-
-    from .operators.tdigest import (
-        tdigest_rollup_build_grouped,
-        tdigest_rollup_range_grouped,
-    )
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_tdigest_grp_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    tdigest_rollup_build_grouped(ev, path, "event_type", "ts", "value")
-    est = F.broadcast(tdigest_rollup_range_grouped(spark, path, lo, hi))
-    w = (
-        spark.read.parquet(path)
-        .filter(F.col("day").cast("string").between(lo, hi))
-        .select("grp", F.explode("weights").alias("w"))
-        .groupBy("grp")
-        .agg(F.sum("w").cast("long").alias("n_values"))
-    )
-    raw = ev.filter(
-        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
-    ).select(
-        F.col("event_type").alias("grp"),
-        F.col("value").cast("double").alias("v"),
-    ).filter(F.col("v").isNotNull())
-    ranked = raw.join(est, "grp").groupBy("grp", "q", "est").agg(
-        (
-            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("rank"),
-    )
-    return (
-        ranked.join(F.broadcast(w), "grp")
-        .select(
-            F.col("grp").alias("event_type"),
-            "q",
-            (F.abs(F.col("rank") - F.col("q")) <= 0.03).alias("ok"),
-            "n_values",
-        )
-    )
-
-
-def _tdigest_rollup_grouped_oracle() -> str:
-    lo, hi = _ROLLUP_RANGE
-    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
-    return f"""
-WITH cnt AS (
-  SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n_values
-  FROM events WHERE {pred} GROUP BY event_type)
-SELECT event_type, q, TRUE AS ok, n_values
-FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
-"""
-
-
-def winnow_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Provenance ATTRIBUTION from the persisted winnowing-fingerprint
-    index (functions/text.py:winnow_index_build/probe): the corpus's
-    winnow table lives as parquet, and a new batch asks not just "have
-    I seen this" (the Bloom/LSH stores) but "WHICH corpus document does
-    each batch document share passages with" — the plagiarism-checker
-    query (MOSS stores exactly this structure).  Per batch doc: its
-    fingerprint count, how many hit the store, and the best-matching
-    corpus doc with the shared-fingerprint count (−1/0 when clean).
-    The winnowing guarantee (any shared run of ≥ window+2 words yields
-    a shared fingerprint) makes a zero-match row a real clean bill, at
-    ~1/window the stored density of full shingling."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions import text as X
-
-    register_views(spark, sf_dir)
-    spark.sql(
-        "CREATE OR REPLACE TEMP VIEW _wi_corpus AS "
-        "SELECT * FROM documents WHERE doc_id % 4 <> 3"
-    )
-    spark.sql(
-        "CREATE OR REPLACE TEMP VIEW _wi_batch AS "
-        "SELECT * FROM documents WHERE doc_id % 4 = 3"
-    )
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_winnow_idx_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    X.winnow_index_build(spark, path, "_wi_corpus")
-    return X.winnow_index_probe(spark, path, "_wi_batch")
-
-
-def _winnow_attribution_oracle() -> str:
-    from .functions import text as X
-
-    corp = "(SELECT * FROM documents WHERE doc_id % 4 <> 3) _c"
-    batch = "(SELECT * FROM documents WHERE doc_id % 4 = 3) _b"
-    cf = X.winnow_fingerprint_sql(DUCK, table=corp)
-    bf = X.winnow_fingerprint_sql(DUCK, table=batch)
-    return f"""
-WITH cf AS (SELECT * FROM ({cf}) _cf),
-bf AS (SELECT * FROM ({bf}) _bf),
-match AS (
-  SELECT b.doc_id, c.doc_id AS cid, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM bf b JOIN cf c ON c.fp = b.fp GROUP BY b.doc_id, c.doc_id),
-best AS (
-  SELECT doc_id, cid, n_common, ROW_NUMBER() OVER (
-    PARTITION BY doc_id ORDER BY n_common DESC, cid ASC) AS rn
-  FROM match),
-nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM bf GROUP BY doc_id),
-nm AS (
-  SELECT b.doc_id, CAST(COUNT(DISTINCT b.fp) AS BIGINT) AS n_matched
-  FROM bf b WHERE b.fp IN (SELECT fp FROM cf) GROUP BY b.doc_id)
-SELECT nf.doc_id, nf.n_fp,
-  CAST(COALESCE(nm.n_matched, 0) AS BIGINT) AS n_matched,
-  CAST(COALESCE(k.cid, -1) AS BIGINT) AS best_match_id,
-  CAST(COALESCE(k.n_common, 0) AS BIGINT) AS n_common
-FROM nf
-LEFT JOIN nm ON nm.doc_id = nf.doc_id
-LEFT JOIN (SELECT doc_id, cid, n_common FROM best WHERE rn = 1) k
-  ON k.doc_id = nf.doc_id
-"""
-
-
-def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column profile of lineitem's measure columns — the
-    scale form of the reference's `str`/metadata surface (bdt.str /
-    rscl.ls.str report shapes per node; a 100 TB engine reports null
-    rates, distinct counts and ranges per COLUMN, the stats a planner or
-    a data-quality monitor feeds on).  ONE scan computes every stat as a
-    single wide aggregate row; `stack` unpivots it to (column, stats)
-    rows driver-side of the agg — the oracle UNIONs literal rows off the
-    same one-row aggregate, same numbers.  Means are decimal-exact
-    (dsum discipline); distinct counts are exact."""
-    li = Tables(spark, sf_dir).lineitem
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"nn_{c}"),
-            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
-            F.min(c).cast("double").alias(f"mn_{c}"),
-            F.max(c).cast("double").alias(f"mx_{c}"),
-            F.round(
-                F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
-                / F.count(c),
-                6,
-            ).alias(f"av_{c}"),
-        ]
-    wide = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, av_{c}" for c in cols
-    )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack}) AS "
-        "(column_name, n_nulls, n_distinct, vmin, vmax, vmean)"
-    )
-
-
-def _table_profile_oracle() -> str:
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    aggs = ", ".join(
-        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_{c}, "
-        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}, "
-        f"CAST(MIN({c}) AS DOUBLE) AS mn_{c}, "
-        f"CAST(MAX({c}) AS DOUBLE) AS mx_{c}, "
-        f"ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({c}), 6) "
-        f"AS av_{c}"
-        for c in cols
-    )
-    rows = " UNION ALL ".join(
-        f"SELECT '{c}' AS column_name, nn_{c} AS n_nulls, nd_{c} AS n_distinct, "
-        f"mn_{c} AS vmin, mx_{c} AS vmax, av_{c} AS vmean FROM w"
-        for c in cols
-    )
-    return f"WITH w AS (SELECT {aggs} FROM lineitem) {rows}"
-
-
-def quality_decile_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threshold-calibration deciles for the cascade's quality knob
-    (functions/text.py:quality_decile_curve_sql has the full story).
-    The oracle ranks with one global ROW_NUMBER; this plan replaces it
-    with the two-phase rank (the `training_order` scheme): in-bucket
-    row_number partitioned by the score band ``floor(score·20)`` —
-    band order IS score order — plus a broadcast ≤21-row offset table
-    and a 1-row total.  No unpartitioned window over the corpus."""
-    from pyspark.sql import Window
-
-    from .functions import text as X
-
-    register_views(spark, sf_dir)
-    d = spark.sql(
-        f"WITH {X._cascade_doc_ctes(SPARK)} "
-        "SELECT doc_id, quality_score, decision FROM docdec"
-    ).withColumn("bucket", F.floor(F.col("quality_score") * 20).cast("long"))
-    w_in = Window.partitionBy("bucket").orderBy("quality_score", "doc_id")
-    d = d.withColumn("in_rank", F.row_number().over(w_in) - 1)
-    totals = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    w_off = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    )  # ≤21-row band-total table — bounded by construction
-    offsets = totals.select(
-        "bucket", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
-    )
-    n = totals.agg(F.sum("bn").alias("n"))
-    ranked = (
-        d.join(F.broadcast(offsets), "bucket")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "decile",
-            F.floor((F.col("off") + F.col("in_rank")) * 10 / F.col("n"))
-            .cast("long"),
-        )
-    )
-    return ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(F.min("quality_score"), 6).alias("min_score"),
-        F.round(F.max("quality_score"), 6).alias("max_score"),
-        F.round(
-            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_score"),
-        F.round(
-            F.sum(
-                F.when(~F.col("decision").isin("keep", "low_quality"), 1).otherwise(0)
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("dropped_other_share"),
-    )
-
-
-def packing_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-bin document-boundary offsets (functions/packing.py:
-    pack_boundaries) — the mask-metadata table a trainer consumes next
-    to the packed bins (block-diagonal attention / boundary loss masks):
-    each bin's sorted in-bin start offsets, serialized as a hash-stable
-    string.  Derived from the SAME two-phase packing as
-    `sequence_packing` (the exposed `prefix` column), so layout and mask
-    agree by construction; offsets are always in [0, budget)."""
-    from .functions.packing import pack_boundaries, pack_sequences
-
-    docs = Tables(spark, sf_dir).documents
-    return pack_boundaries(pack_sequences(docs, budget=2048), budget=2048)
-
-
-def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic document→context-window packing (2048-token budget,
-    content-hash layout) via the two-phase distributed prefix sum —
-    every window partitioned except the 256-row bucket-offset table
-    (functions/packing.py).  Output is the per-bin report; the oracle
-    computes the same layout with one global-window cumsum."""
-    from .functions.packing import pack_sequences, pack_summary
-
-    docs = Tables(spark, sf_dir).documents
-    return pack_summary(pack_sequences(docs, budget=2048), budget=2048)
-
-
-def _bloom_membership_builder(dialect: str) -> str:
-    """Bloom-filter membership audit: build the filter over high-value
-    orderkeys (o_totalprice > 400000 — ~20% of orders, so most probes
-    are genuine NON-members and the false-positive rate is actually
-    exercised), probe every orderkey (functions/sketches.py —
-    relational ≤m-row set-bit table, Kirsch-Mitzenmacher double hashing
-    on the oracle-reproducible murmur3 finalizer).  At 100 TB the
-    set-bit table is ≤0.5 MB — the probe is a broadcast join, and the
-    build's DISTINCT carries at most m rows per partition.  The output
-    row pins the measured false-positive count against the exact
-    membership computed alongside (kn/m ≈ 0.18 at sf0.01 → expected
-    ~9 false positives over ~12k non-members; deterministic, so the
-    driver hash covers it)."""
-    from .functions import sketches as SK
-
-    return SK.bloom_membership_sql(
-        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)",
-        "orders",
-        "o_orderkey",
-        m=65536,
-        k=4,
-        dialect=dialect,
-    )
-
-
-def theta_sketch_intersection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch (KMV) set-operation cardinalities over two
-    overlapping order subsets (high-value orders × pre-1998-05 orders —
-    deterministic predicates with ~½ overlap, unlike the fixture's
-    event-type user sets, which are all identical).  Fixes the
-    documented HLL inclusion-exclusion degradation: the intersection is
-    estimated directly on common samples below min(theta), so its error
-    scales with |A∩B|, not |A∪B| (1.8% vs ~10% I-E at sf0.01).  At
-    100 TB each sketch is its ≤k-row sample table — built by
-    TakeOrderedAndProject (no global sort), merged by re-truncation;
-    the DataFrame form checkpoints the tiny samples so nothing is
-    recomputed (functions/sketches.py — the pure-SQL form stays the
-    DuckDB oracle; Spark's CTE inlining would re-execute it 29-exchange
-    wide)."""
-    from .functions import sketches as SK
-
-    o = Tables(spark, sf_dir).orders
-    a = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
-    b = o.filter(
-        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-05-01"))
-    ).select("o_orderkey")
-    return SK.theta_sketch_intersection(a, b, "o_orderkey", k=256)
-
-
-def _theta_intersection_oracle() -> str:
-    from .functions import sketches as SK
-
-    return SK.theta_sketch_intersection_sql(
-        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)",
-        "(SELECT o_orderkey FROM orders WHERE o_orderdate < DATE '1998-05-01')",
-        "o_orderkey",
-        k=256,
-        dialect=DUCK,
-    )
-
-
-def text_token_count_subword_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned subword tokenization (functions/subword.py): top-64
-    corpus substrings as the vocabulary (one distributed weighted
-    aggregation, deterministic tie-break), then greedy longest-match
-    counts per document via the bounded iterative pointer-chase walk —
-    per-round localCheckpoint + 1-row liveness probe, the kmeans/pq_fit
-    discipline; rounds ≤ max word length.  The walk runs per word TYPE
-    and joins back onto occurrences, so at 100 TB the expensive path
-    scales with the vocabulary of the corpus, not its token count.  The
-    oracle derives the SAME vocabulary and walks it with a recursive
-    CTE — and Spark 4.1 executes that identical statement too, so the
-    iterative loop is cross-checked three ways (pinned in test_round6).
-    De-stubs packing's whitespace-token caveat (packing.py)."""
-    from .functions import subword as SW
-
-    register_views(spark, sf_dir)
-    return SW.subword_token_counts(spark, k=64)
-
-
-def _text_token_count_subword_oracle() -> str:
-    from .functions import subword as SW
-
-    return SW.subword_token_count_sql(DUCK, k=64)
-
-
-def sequence_packing_subword_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing charged in LEARNED SUBWORD tokens instead of
-    whitespace words — the realistic budget currency (a context window
-    is a token budget).  Same two-phase distributed prefix sum as
-    `sequence_packing`; only the per-document count changes
-    (pack_sequences(tokens_col=...))."""
-    from .functions import subword as SW
-    from .functions.packing import pack_sequences, pack_summary
-
-    register_views(spark, sf_dir)
-    docs = Tables(spark, sf_dir).documents
-    counts = SW.subword_token_counts(spark, k=64).select(
-        "doc_id", F.col("n_tokens_subword")
-    )
-    packed = pack_sequences(
-        docs.join(counts, "doc_id"),
-        budget=2048,
-        tokens_col="n_tokens_subword",
-    )
-    return pack_summary(packed, budget=2048)
-
-
-def _sequence_packing_subword_oracle() -> str:
-    from .functions import subword as SW
-    from .functions.packing import pack_sequences_sql
-
-    return pack_sequences_sql(
-        2048, DUCK, tokens_cte=SW.subword_doc_tokens_cte(DUCK, k=64)
-    )
-
-
-def theta_overlap_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group theta sketches: the full event-type × event-type
-    audience-overlap matrix from ONE ≤k-row sample table per group
-    (functions/sketches.py:theta_overlap_by_group, k=64 — each type has
-    ~150 distinct users at sf0.01, so the KMV estimator is genuinely
-    engaged, not the exact-below-k branch).  Intersections are estimated
-    DIRECTLY on common samples — the group dimension of
-    `theta_sketch_intersection`, upgrading inclusion-exclusion overlap
-    reports (`events_audience_overlap`) to direct estimates whose error
-    scales with the intersection.  Exact overlaps computed alongside as
-    the audit; the error band is pinned in test_round6."""
-    from .functions import sketches as SK
-
-    ev = Tables(spark, sf_dir).events
-    return SK.theta_overlap_by_group(ev, "event_type", "user_id", k=64)
-
-
-def _theta_overlap_by_source_oracle() -> str:
-    from .functions import sketches as SK
-
-    return SK.theta_overlap_by_group_sql(
-        "events", "event_type", "user_id", k=64, dialect=DUCK
-    )
-
-
-def sequence_packing_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language sequence packing — the production setup (bins never
-    mix languages; a bin feeds one tokenizer/model context).  Same
-    two-phase prefix sum as `sequence_packing`, but every window is now
-    partitioned by (lang, bucket) or (lang): the grouped variant has NO
-    unpartitioned window at all (functions/packing.py)."""
-    from .functions.packing import pack_sequences, pack_summary
-
-    docs = Tables(spark, sf_dir).documents
-    packed = pack_sequences(docs, budget=1024, by=["lang"])
-    return pack_summary(packed, budget=1024, by=["lang"])
-
-
-def _sequence_packing_by_lang_oracle() -> str:
-    from .functions.packing import pack_sequences_sql
-
-    return pack_sequences_sql(1024, DUCK, by=["lang"])
-
-
-_ROLLUP_RANGE = ("2024-01-08", "2024-01-21")
-
-
-def hll_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate: per-DAY HLL register
-    tables (one map-side-combinable aggregation, ≤256 rows per day),
-    then a 14-day range query answered by MERGING only those days'
-    sketches — never rescanning the events.  This is the pattern that
-    turns '90 days of distinct users' on 100 TB from a full-history
-    scan into a MAX-merge over 90·256 sketch rows; by the HLL merge law
-    the rolled-up estimate equals the direct estimate over the range,
-    which is exactly what the oracle computes (the hash match IS the
-    rollup-correctness proof).  Exact distinct computed alongside."""
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    regs = SK.hll_registers(
-        ev.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id"
-    ).localCheckpoint(eager=True)  # the materialized rollup table
-    in_range = regs.filter(
-        F.col("day").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
-    )
-    est = SK.hll_estimate_global(
-        in_range.groupBy("bucket").agg(F.max("reg").alias("reg"))
-    )
-    n_days = in_range.select("day").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_days")
-    )
-    exact = ev.filter(
-        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
-    ).agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
-    return n_days.crossJoin(est).crossJoin(exact)
-
-
-def _hll_daily_rollup_oracle() -> str:
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
-    est = SK.hll_estimate_sql(
-        f"(SELECT user_id FROM events WHERE {pred})", "", "user_id", dialect=DUCK
-    )
-    return f"""
-SELECT
-  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
-   WHERE {pred}) AS n_days,
-  hll_est,
-  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
-   WHERE {pred}) AS exact_distinct
-FROM ({est})
-"""
-
-
-def _stream_hll_oracle() -> str:
-    from .functions import sketches as SK
-
-    return SK.hll_estimate_sql(
-        "(SELECT user_id FROM events)", "", "user_id", dialect=DUCK
-    )
-
-
-def hll_rolling_7day_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct users from the DAILY SKETCH TABLE alone
-    (functions/sketches.py:hll_rolling_merge_sql): each day's ≤256
-    registers fan out to the ≤7 windows containing that day and
-    MAX-merge per window — the rolling-DAU query that on 100 TB costs
-    days·256 register rows instead of 7 passes over events.  The oracle
-    computes each window's estimate directly from raw values; equality
-    (the driver hash) is the merge-law proof for ROLLING consumption,
-    complementing `hll_rollup_persisted`'s single-range proof."""
-    from .functions import sketches as SK
-
-    register_views(spark, sf_dir)
-    return spark.sql(SK.hll_rolling_merge_sql("ts", "user_id", 7, dialect=SPARK))
-
-
-def _hll_rolling_7day_oracle() -> str:
-    from .functions import sketches as SK
-
-    return SK.hll_rolling_direct_sql("ts", "user_id", 7, dialect=DUCK)
-
-
-def _stream_bloom_seen_oracle() -> str:
-    from .functions import sketches as SK
-
-    inner = SK.bloom_membership_sql(
-        "(SELECT user_id FROM events)",
-        "(SELECT user_id FROM events UNION "
-        " SELECT user_id + (SELECT MAX(user_id) + 1 FROM events) AS user_id"
-        " FROM events)",
-        "user_id",
-        m=4096,
-        k=4,
-        dialect=DUCK,
-    )
-    return f"""
-SELECT n_probed, n_possible, n_members, n_false_pos,
-  CAST(1 AS BIGINT) AS n_files
-FROM ({inner}) _b
-"""
-
-
-def _stream_hll_daily_oracle() -> str:
-    from .functions import sketches as SK
-
-    return SK.hll_estimate_sql(
-        "(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events)",
-        "day",
-        "user_id",
-        dialect=DUCK,
-    )
-
-
-def hll_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The daily HLL rollup as a PERSISTED incremental sketch table —
-    the production form of ``hll_daily_rollup_range`` (which demonstrates
-    the merge law in-query): per-day register rows land in a parquet
-    table partitioned by day (functions/sketches.py:hll_rollup_build /
-    hll_rollup_append_day), and the 14-day range query reads ONLY the
-    sketch files — the returned plan contains a partition-pruned scan of
-    the rollup table and NO events scan (pinned in test_round6).  The
-    oracle computes the direct estimate over the range's raw events, so
-    the driver hash IS the proof that the persisted+merged rollup equals
-    a full rescan.  At 100 TB: any-window distinct-user queries cost
-    days·256 sketch rows; a new day appends ≤256 rows touching no prior
-    files."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_hll_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    SK.hll_rollup_build(ev, path)
-    return SK.hll_rollup_range_estimate(spark, path, lo, hi)
-
-
-def hll_rollup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted rollup's INCREMENTAL maintenance path exercised
-    end-to-end through the catalog: build the sketch table over every
-    day EXCEPT the last, then `hll_rollup_append_day` the final day
-    (scanning only that day's events), then answer the full-range query
-    from the (base + appended) sketch files.  Hash-matching the
-    direct-estimate oracle proves append-then-merge == one-shot build ==
-    full rescan — the day-N+1 backfill contract at 100 TB.  File-level
-    immutability of prior days is pinned separately in test_round6."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_hll_rollup_inc_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
-    last = ev.agg(F.max(day).alias("d")).collect()[0]["d"]  # 1-row metadata
-    SK.hll_rollup_build(ev.filter(day < last), path)
-    SK.hll_rollup_append_day(ev.filter(day == last), path, last)
-    return SK.hll_rollup_range_estimate(spark, path, lo, hi)
-
-
-def hll_rollup_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rollup store's COMPACTION verb end-to-end (VERDICT r6 #2):
-    build the per-day sketch table, REPLAY two days' appends (the
-    at-least-once delivery case — safe because register MAX is
-    idempotent, so a replayed append cannot corrupt the store), compact
-    every multi-file day down to one file
-    (functions/sketches.py:hll_rollup_compact_all), and answer the range
-    query from the compacted store.  Hash-matching the direct-rescan
-    oracle proves replay+compaction changed nothing; the file-count drop
-    to 1/day and bit-identical pre/post estimates are pinned in
-    tests/test_round7.py.  At 100 TB this is the maintenance job that
-    keeps read cost proportional to DAYS, not append/batch count."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_hll_rollup_cmp_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
-    SK.hll_rollup_build(ev, path)
-    for replay in (lo, hi):  # at-least-once: same days appended again
-        SK.hll_rollup_append_day(ev.filter(day == replay), path, replay)
-    SK.hll_rollup_compact_all(spark, path)
-    return SK.hll_rollup_range_estimate(spark, path, lo, hi)
-
-
-def _hll_rollup_persisted_oracle() -> str:
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
-    est = SK.hll_estimate_sql(
-        f"(SELECT user_id FROM events WHERE {pred})", "", "user_id", dialect=DUCK
-    )
-    return f"""
-SELECT
-  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
-   WHERE {pred}) AS n_days,
-  hll_est
-FROM ({est})
-"""
-
-
-def mg_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-20 users WITHOUT a full-key-space shuffle: per-partition
-    Misra-Gries candidate summaries (capacity 512 — every key with
-    frequency > N/512 provably survives; the fixture's 20th user is ~5×
-    above that line, which is the sizing rule to copy) + broadcast
-    recount of the tiny candidate set (functions/sketches.py).  At
-    100 TB this replaces a billions-of-keys groupBy with a broadcast
-    filter + thousands-of-keys aggregate.  The oracle is the plain
-    exact top-20 — the MG machinery is pure physical strategy, so the
-    driver hash proves the two-pass scheme loses nothing."""
-    from .functions import sketches as SK
-
-    ev = Tables(spark, sf_dir).events
-    return SK.mg_heavy_hitters(ev, "user_id", capacity=512, topk=20)
-
-
-_MG_TOPK_ORACLE = """
-SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS true_cnt
-FROM events GROUP BY CAST(user_id AS BIGINT)
-ORDER BY true_cnt DESC, key LIMIT 20
-"""
-
-
-def _source_mixture_weights_builder(dialect: str) -> str:
-    """Temperature-weighted domain mixing — the sampling-weight table a
-    training run reads to balance sources (UL2/T5-style ``count^alpha``
-    reweighting, alpha=0.5): per source, docs, whitespace tokens, and
-    ``mix_weight = sqrt(tokens) / SUM(sqrt(tokens))``.  Determinism
-    notes: SQRT is IEEE-correctly-rounded in both engines (POWER with a
-    fractional exponent is NOT — why alpha is 0.5 here); the weights are
-    fixed-point-scaled with FLOOR before the exact BIGINT sum so the
-    normalizing denominator is accumulation-order-independent."""
-    from .functions.portable import arr_len, split_ws
-
-    tok = arr_len(split_ws("text", dialect), dialect)
-    return f"""
-WITH s AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-    CAST(SUM({tok}) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
-w AS (
-  SELECT source, n_docs, n_tokens,
-    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
-  FROM s)
-SELECT source, n_docs, n_tokens,
-  ROUND(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE), 6)
-    AS mix_weight
-FROM w
-"""
-
-
-def _mixture_token_plan_builder(dialect: str) -> str:
-    """The mixing loop's PLANNING table: allocate a 1M-token training
-    budget across sources by the temperature weights (`source_mixture_
-    weights`' sqrt scheme) and report what the allocation implies —
-    planned tokens per source and EPOCHS NEEDED (planned/available;
-    >1 means the source repeats, the oversampling `mixture_resample_
-    epochs` executes).  This is the table that justifies the epoch
-    machinery before a run starts.  Exactness: the fixed-point sw
-    weights and the 1M budget keep every numerator ≤ ~2e14 — inside
-    double's exact-integer range — so FLOOR lands identically in both
-    engines; IEEE division is correctly rounded in both."""
-    from .functions.portable import arr_len, split_ws
-
-    tok = arr_len(split_ws("text", dialect), dialect)
-    budget = 1_000_000
-    return f"""
-WITH s AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-    CAST(SUM({tok}) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
-w AS (
-  SELECT source, n_docs, n_tokens,
-    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
-  FROM s),
-p AS (
-  SELECT source, n_docs, n_tokens, sw,
-    CAST(FLOOR(CAST(sw AS DOUBLE) * {budget}
-      / CAST((SELECT SUM(sw) FROM w) AS DOUBLE)) AS BIGINT) AS planned_tokens
-  FROM w)
-SELECT source, n_docs, n_tokens,
-  ROUND(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE), 6)
-    AS mix_weight,
-  planned_tokens,
-  ROUND(CAST(planned_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-    AS epochs_needed
-FROM p
-"""
-
-
-def _mixture_resample_builder(dialect: str) -> str:
-    """Closes the mixing loop: CONSUME the temperature weights
-    (`source_mixture_weights`'s sqrt scheme) as per-source document
-    targets out of a 400-doc resample budget, and DRAW the sample
-    deterministically — per source, the first ``target`` docs in
-    (md5(text), doc_id) order, the same content-hash-order discipline
-    as `sample_by_hash`/packing, so the drawn set is partitioning- and
-    run-independent.  Report target vs achieved per source (achieved
-    caps at the source's size — the audit surfaces under-supplied
-    sources).  At 100 TB: one window rank per source + a broadcast
-    20-row target table; no shuffling of the corpus beyond the rank."""
-    from .functions.portable import arr_len, split_ws
-
-    tok = arr_len(split_ws("text", dialect), dialect)
-    return f"""
-WITH s AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-    CAST(SUM({tok}) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
-w AS (
-  SELECT source, n_docs,
-    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
-  FROM s),
-t AS (
-  SELECT source, n_docs,
-    CAST(FLOOR(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE)
-         * 400 + 0.5) AS BIGINT) AS target
-  FROM w),
-ranked AS (
-  SELECT source, doc_id,
-    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
-  FROM documents),
-pick AS (
-  SELECT r.source, r.doc_id
-  FROM ranked r JOIN t ON t.source = r.source
-  WHERE r.rn <= t.target)
-SELECT t.source, t.n_docs, t.target,
-  CAST(COUNT(p.doc_id) AS BIGINT) AS n_sampled
-FROM t LEFT JOIN pick p ON p.source = t.source
-GROUP BY t.source, t.n_docs, t.target
-"""
-
-
-def tdigest_rollup_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted QUANTILE rollup (operators/tdigest.py:
-    tdigest_rollup_build/range) — the continuous-aggregate pattern for
-    percentiles, completing the store family: one compressed digest row
-    per day lands in day-partitioned parquet, and the 14-day range's
-    p50/p90/p99 come from merging the range's digest rows alone (days ×
-    ~delta centroid doubles — never a raw rescan; digests are mergeable,
-    quantiles are not, which is why the STORED unit is the digest).
-    t-digest estimates are partition-order-dependent (inherent, same as
-    percentile_approx), so the driver-hashed claim is the partitioning-
-    stable one: each estimate's true rank over the range's raw values
-    sits within ±0.02 of q (the tdigest_quantiles_grouped discipline),
-    alongside the exact day count."""
-    import os
-    import shutil
-    import tempfile
-
-    from .operators.tdigest import tdigest_rollup_build, tdigest_rollup_range
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_tdigest_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    tdigest_rollup_build(ev, path, "ts", "value")
-    est = F.broadcast(tdigest_rollup_range(spark, path, lo, hi).select("q", "est"))
-    in_range = ev.filter(
-        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
-    ).select(F.col("value").cast("double").alias("v"), F.to_date("ts").alias("d"))
-    ranked = in_range.crossJoin(est).groupBy("q", "est").agg(
-        (
-            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("rank"),
-    )
-    n_days = in_range.agg(
-        F.countDistinct("d").cast("long").alias("n_days")
-    )
-    return ranked.crossJoin(F.broadcast(n_days)).select(
-        "q",
-        (F.abs(F.col("rank") - F.col("q")) <= 0.02).alias("ok"),
-        "n_days",
-    )
-
-
-def _tdigest_rollup_oracle() -> str:
-    lo, hi = _ROLLUP_RANGE
-    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
-    return f"""
-SELECT q, TRUE AS ok,
-  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
-   WHERE {pred}) AS n_days
-FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
-"""
-
-
-def tdigest_rollup_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quantile store's full verb cycle — build / append / COMPACT /
-    range (operators/tdigest.py) — mirroring `hll_rollup_compacted` for
-    the SUM-mergeable sketch family: the store is built without the
-    range's last day, that day arrives as TWO disjoint per-batch appends
-    (each value delivered exactly once — the additive-weight contract;
-    replay is NOT safe here, unlike register MAX), every multi-file day
-    is compacted to one file, and the range quantiles are answered from
-    the compacted store.  Driver-hashed claims, chosen for stability
-    under t-digest's merge-order dependence: each estimate's true rank
-    within ±0.02 of q; `n_files_max` == 1 after compaction; and
-    `total_weight` — the store's summed digest weights over the range —
-    EXACTLY equals the raw row count (additive integer-valued doubles,
-    exact below 2^53), proving split-append + compaction lost no mass."""
-    import os
-    import shutil
-    import tempfile
-
-    from .operators.tdigest import (
-        tdigest_rollup_append_day,
-        tdigest_rollup_build,
-        tdigest_rollup_compact_all,
-        tdigest_rollup_range,
-    )
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_tdigest_cmp_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
-    tdigest_rollup_build(ev.filter(day != hi), path, "ts", "value")
-    last = ev.filter(day == hi)
-    tdigest_rollup_append_day(last.filter(F.col("user_id") % 2 == 0), path, hi)
-    tdigest_rollup_append_day(last.filter(F.col("user_id") % 2 == 1), path, hi)
-    tdigest_rollup_compact_all(spark, path)
-    n_files_max = max(
-        len(
-            [
-                f
-                for f in os.listdir(os.path.join(path, d))
-                if f.endswith(".parquet")
-            ]
-        )
-        for d in os.listdir(path)
-        if d.startswith("day=")
-    )
-    est = F.broadcast(tdigest_rollup_range(spark, path, lo, hi).select("q", "est"))
-    w = (
-        spark.read.parquet(path)
-        .filter(F.col("day").cast("string").between(lo, hi))
-        .select(F.explode("weights").alias("w"))
-        .agg(F.sum("w").cast("long").alias("total_weight"))
-    )
-    in_range = ev.filter(
-        F.to_date("ts").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
-    ).select(F.col("value").cast("double").alias("v"), F.to_date("ts").alias("d"))
-    ranked = in_range.crossJoin(est).groupBy("q", "est").agg(
-        (
-            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("rank"),
-    )
-    n_days = in_range.agg(F.countDistinct("d").cast("long").alias("n_days"))
-    return (
-        ranked.crossJoin(F.broadcast(n_days))
-        .crossJoin(F.broadcast(w))
-        .select(
-            "q",
-            (F.abs(F.col("rank") - F.col("q")) <= 0.02).alias("ok"),
-            "n_days",
-            F.lit(n_files_max).cast("long").alias("n_files_max"),
-            "total_weight",
-        )
-    )
-
-
-def _tdigest_rollup_compacted_oracle() -> str:
-    lo, hi = _ROLLUP_RANGE
-    pred = f"CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'"
-    return f"""
-SELECT q, TRUE AS ok,
-  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events
-   WHERE {pred}) AS n_days,
-  CAST(1 AS BIGINT) AS n_files_max,
-  (SELECT CAST(COUNT(value) AS BIGINT) FROM events WHERE {pred})
-    AS total_weight
-FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
-"""
-
-
-def tdigest_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day p50/p90/p99 computed ENTIRELY from the persisted
-    day-digest table (operators/tdigest.py:tdigest_rolling_quantiles) —
-    the quantile member of the rolling-sketch family (HLL rolls distinct
-    counts, theta overlap, CMS frequency): each stored day's digest fans
-    out to its ≤7 windows and concat-compresses per window; raw values
-    are read once, at build time.  Driver-hashed claim (stable under
-    merge-order dependence, the `tdigest_rollup_range` discipline): each
-    window estimate's true rank over THAT window's raw values sits
-    within ±0.03 of q (wider than the single-range ±0.02 band because
-    partial leading windows hold few values and rank granularity 1/n
-    dominates), alongside the window's exact day count."""
-    import os
-    import shutil
-    import tempfile
-
-    from .operators.tdigest import tdigest_rollup_build, tdigest_rolling_quantiles
-
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_tdigest_roll_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    tdigest_rollup_build(ev, path, "ts", "value")
-    est = F.broadcast(tdigest_rolling_quantiles(spark, path, window_days=7))
-    raw = ev.select(
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("day_num"),
-        F.col("value").cast("double").alias("v"),
-    ).filter(F.col("v").isNotNull())
-    windowed = raw.join(
-        est,
-        (F.col("day_num") >= F.col("day_end") - 6)
-        & (F.col("day_num") <= F.col("day_end")),
-    )
-    ranked = windowed.groupBy("day_end", "q", "est").agg(
-        (
-            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("rank"),
-        F.countDistinct("day_num").cast("long").alias("n_days"),
-    )
-    return ranked.select(
-        "day_end",
-        "q",
-        (F.abs(F.col("rank") - F.col("q")) <= 0.03).alias("ok"),
-        "n_days",
-    )
-
-
-def _tdigest_rolling_oracle() -> str:
-    from .functions.portable import days_since_epoch
-
-    dd = days_since_epoch("ts", DUCK)
-    return f"""
-WITH ev AS (
-  SELECT {dd} AS day_num, CAST(value AS DOUBLE) AS v FROM events
-  WHERE value IS NOT NULL),
-days AS (SELECT DISTINCT day_num FROM ev),
-wd AS (
-  SELECT d.day_num AS day_end,
-    CAST(COUNT(DISTINCT e.day_num) AS BIGINT) AS n_days
-  FROM days d JOIN ev e
-    ON e.day_num BETWEEN d.day_num - 6 AND d.day_num
-  GROUP BY d.day_num)
-SELECT CAST(day_end AS BIGINT) AS day_end, q, TRUE AS ok, n_days
-FROM wd CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
-"""
-
-
-def training_order_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training-order permutation over the corpus
-    (functions/packing.py:training_order): every document gets a dense
-    0..n−1 position in (md5(text), doc_id) order — the reproducible
-    "shuffle" a training run reads sequentially, independent of
-    partitioning or cluster size.  The oracle is the naive global
-    ROW_NUMBER; the Spark plan replaces that single-partition sort with
-    the two-phase bucket scheme (in-bucket rank + broadcast ≤256-row
-    offset table) — hash-matching proves the distributed permutation IS
-    the global one."""
-    from .functions.packing import training_order
-
-    return training_order(Tables(spark, sf_dir).documents)
-
-
-_TRAINING_ORDER_ORACLE = """
-SELECT doc_id,
-  CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT) AS pos
-FROM documents
-"""
-
-
-def bloom_index_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted SEEN-KEYS Bloom index end-to-end (functions/
-    sketches.py:bloom_index_build/append/compact/probe) — the O(1)
-    membership prefilter a crawl frontier consults before the LSH/exact
-    dedup path: corpus doc ids enter the store in three increments (the
-    third REPLAYED — append replay is safe because the store is a
-    position SET and DISTINCT-union is idempotent, the same at-least-once
-    story as the HLL store's MAX), the store compacts to one ≤m-row
-    file, and a mixed batch (unseen docs + recrawls) probes it with a
-    broadcast join — the batch never shuffles.  The oracle is the
-    self-contained `bloom_membership_sql` over the same build/probe
-    sets: hash-matching it proves the persisted lifecycle (including
-    the replay and compaction) reproduces the in-query filter's
-    decisions bit-for-bit — no false negatives, and the same measured
-    false-positive count."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    docs = Tables(spark, sf_dir).documents
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_bloom_idx_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    did = F.col("doc_id")
-    SK.bloom_index_build(docs.filter(did % 4 == 0), path, "doc_id")
-    SK.bloom_index_append(docs.filter(did % 4 == 1), path, "doc_id")
-    for _ in range(2):  # at-least-once: the third increment delivered twice
-        SK.bloom_index_append(docs.filter(did % 4 == 2), path, "doc_id")
-    n_files = SK.bloom_index_compact(spark, path)
-    batch = docs.filter((did % 4 == 3) | (did % 8 == 0))  # unseen + recrawls
-    probed = SK.bloom_index_probe(spark, path, batch, "doc_id")
-    corpus = (
-        docs.filter(did % 4 != 3)
-        .select(did.cast("long").alias("v"))
-        .distinct()
-        .withColumn("member", F.lit(True))
-    )
-    return (
-        probed.join(corpus, "v", "left")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_probed"),
-            F.sum(F.when(F.col("possible"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_possible"),
-            F.sum(F.when(F.col("member"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_members"),
-            F.sum(
-                F.when(F.col("possible") & F.col("member").isNull(), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_false_pos"),
-        )
-        .withColumn("n_files", F.lit(n_files).cast("long"))
-    )
-
-
-def _bloom_index_persisted_oracle() -> str:
-    from .functions import sketches as SK
-
-    inner = SK.bloom_membership_sql(
-        "(SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)",
-        "(SELECT doc_id FROM documents WHERE doc_id % 4 = 3 OR doc_id % 8 = 0)",
-        "doc_id",
-        m=4096,
-        k=4,
-        dialect=DUCK,
-    )
-    return f"""
-SELECT n_probed, n_possible, n_members, n_false_pos,
-  CAST(1 AS BIGINT) AS n_files
-FROM ({inner}) _b
-"""
-
-
-def incremental_dedup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`incremental_dedup`'s adjudication answered from a PERSISTED LSH
-    index (functions/dedup.py:lsh_index_build/probe) — the storage form
-    its own docstring promises: the corpus's digest set and MinHash
-    band-bucket keys live as parquet, and the batch (including the
-    deterministic simulated recrawls) probes the STORE with |batch|
-    signature work + two membership joins.  Sharing `incremental_dedup`'s
-    oracle proves store-backed adjudication == the self-contained
-    formulation decision-for-decision.  (Recrawls may carry band rows
-    here, unlike the self-contained form — harmless because the exact
-    arms short-circuit before the near-dup arm for every recrawl by
-    construction.)  At 100 TB: the index is digests + ≤4·|corpus|
-    bucket keys — the corpus text is never rescanned, and
-    `lsh_index_append` folds each increment's kept docs in for the next
-    drop (append-then-reprobe loop pinned in tests/test_round7.py)."""
-    import os
-    import shutil
-    import tempfile
-
-    from .functions import dedup as D
-
-    register_views(spark, sf_dir)
-    spark.sql(
-        "CREATE OR REPLACE TEMP VIEW _idp_corpus AS "
-        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3"
-    )
-    spark.sql(
-        "CREATE OR REPLACE TEMP VIEW _idp_batch AS "
-        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3 "
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
-        "WHERE doc_id % 7 = 0"
-    )
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_lsh_index_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    D.lsh_index_build(spark, path, "_idp_corpus")
-    return D.lsh_index_probe(spark, path, "_idp_batch")
-
-
-def theta_rolling_churn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling week-over-week retention/churn from per-week theta (KMV)
-    sketches (functions/sketches.py:theta_rolling_churn, k=64): each
-    consecutive week pair's retained-user estimate comes from the common
-    samples below min(theta) and churn is the difference — the canonical
-    100 TB telemetry ask (`hll_rolling_7day` proved rolling-from-
-    sketches for cardinality; this is the same discipline for OVERLAP,
-    which HLL cannot answer without inclusion-exclusion blow-up).  The
-    cohort is weekly PURCHASERS — the sparse high-value segment whose
-    membership actually turns over week to week (the all-events weekly
-    population is the same 150 users every week at fixture scale, which
-    would make churn degenerately zero).  Exact audit columns ride
-    along; the 3σ KMV band is pinned in tests/test_round7.py."""
-    from .functions import sketches as SK
-
-    ev = Tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase")
-    return SK.theta_rolling_churn(ev, "ts", "user_id", k=64)
-
-
-def _theta_rolling_churn_oracle() -> str:
-    from .functions import sketches as SK
-
-    return SK.theta_rolling_churn_sql(
-        "(SELECT ts, user_id FROM events WHERE event_type = 'purchase')",
-        "ts",
-        "user_id",
-        k=64,
-        dialect=DUCK,
-    )
-
-
-def _mixture_epochs_pick_ctes(dialect: str) -> str:
-    """The epoch-resample CTE chain ending in ``pick`` ``(source,
-    doc_id, e)`` — the drawn multiset, shared by the summary entry
-    (`mixture_resample_epochs`) and the curriculum serving order."""
-    from .functions.portable import arr_len, lateral_seq, split_ws
-
-    tok = arr_len(split_ws("text", dialect), dialect)
-    lat = lateral_seq("0", "31", "e", dialect)
-    return f"""s AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-    CAST(SUM({tok}) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
-w AS (
-  SELECT source, n_docs,
-    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sw
-  FROM s),
-t AS (
-  SELECT source, n_docs,
-    CAST(FLOOR(CAST(sw AS DOUBLE) / CAST((SELECT SUM(sw) FROM w) AS DOUBLE)
-         * (SELECT 3 * SUM(n_docs) FROM s) + 0.5) AS BIGINT) AS target
-  FROM w),
-epochs AS (
-  SELECT source, n_docs, target, e FROM t {lat}
-  WHERE e * n_docs < target),
-ranked AS (
-  SELECT source, doc_id,
-    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
-  FROM documents),
-pick AS (
-  SELECT ep.source, r.doc_id, ep.e
-  FROM epochs ep JOIN ranked r ON r.source = ep.source
-  WHERE ep.e * ep.n_docs + r.rn <= ep.target)"""
-
-
-def _mixture_resample_epochs_builder(dialect: str) -> str:
-    """Epoch-aware OVERSAMPLING (VERDICT r6 #3) — `mixture_resample`
-    without the achieved-caps-at-size compromise: real mixture training
-    repeats small sources (UL2/Pile-style epoch counting) until every
-    source hits its temperature target exactly.  The budget is 3× the
-    corpus, so targets EXCEED source sizes and the draw must cycle:
-    epoch ``e`` re-draws the whole source in (md5(text), doc_id) order,
-    and the final partial epoch takes the first ``target − e·n_docs``
-    docs of that same order — the content-hash-order discipline of
-    `sample_by_hash`/packing (the reference's seeded-generator
-    determinism, tests-04), so the multiset of (doc, epoch) draws is
-    partitioning- and run-independent.  ``n_sampled == target`` for
-    every source (the no-cap law the driver hash pins), ``n_epochs ==
-    ceil(target/n_docs)`` is the epochs-used audit, and
-    ``n_over_grid`` pins that no source outruns the static 32-epoch
-    grid (same guard pattern as the passage-dedup chunk grid).  At
-    100 TB: the epoch grid is a ≤ sources×32-row broadcast against one
-    rank window per source — repetition costs metadata, not rescans."""
-    return f"""
-WITH {_mixture_epochs_pick_ctes(dialect)}
-SELECT t.source, t.n_docs, t.target,
-  CAST(COUNT(p.doc_id) AS BIGINT) AS n_sampled,
-  CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_distinct_docs,
-  CAST(MAX(p.e) + 1 AS BIGINT) AS n_epochs,
-  CAST(MAX(CASE WHEN t.target > 32 * t.n_docs THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_over_grid
-FROM t LEFT JOIN pick p ON p.source = t.source
-GROUP BY t.source, t.n_docs, t.target
-"""
-
-
-def curriculum_serving_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SERVING ORDER of the epoch-resampled mixture — what a data
-    loader actually feeds the trainer: the `mixture_resample_epochs`
-    multiset (each source drawn to its temperature target, small sources
-    cycled with an epoch counter) globally shuffled in content-hash
-    order, with the EPOCH inside the hash key so a doc's repeats scatter
-    through the stream instead of clustering (the interleaving property
-    epoch-aware loaders need).  Per (source, epoch): draw count and the
-    span of serving positions — large groups span essentially the whole
-    stream (a 1-draw final epoch sits wherever its hash lands, so the
-    span law is per-group-size, not universal), and the driver hash
-    pins every span exactly.
-
-    Spark plan: the pick chain runs with per-source (partitioned)
-    windows; the global position uses the `training_order` two-phase
-    bucket rank over md5(text‖epoch) — the oracle's single ROW_NUMBER
-    never appears."""
-    from pyspark.sql import Window
-
-    register_views(spark, sf_dir)
-    # the pick chain carries scalar-subquery denominators that Spark's
-    # CTE inlining would re-derive downstream — checkpoint the ~target-
-    # sized multiset once (build-phase discipline)
-    pick = spark.sql(
-        f"WITH {_mixture_epochs_pick_ctes(SPARK)} "
-        "SELECT source, doc_id, e FROM pick"
-    ).localCheckpoint(eager=True)
-    docs = spark.table("documents").select("doc_id", "text")
-    draws = pick.join(docs, "doc_id").select(
-        "source",
-        "doc_id",
-        "e",
-        F.md5(F.concat(F.col("text"), F.lit(":"), F.col("e").cast("string"))).alias(
-            "h"
-        ),
-    ).withColumn("bucket", F.substring("h", 1, 2))
-    w_in = Window.partitionBy("bucket").orderBy("h", "doc_id", "e")
-    d = draws.withColumn("in_rank", F.row_number().over(w_in) - 1)
-    totals = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
-    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "bucket", F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off")
-    )
-    pos = (F.col("off") + F.col("in_rank")).cast("long")
-    return (
-        d.join(F.broadcast(offsets), "bucket")
-        .select("source", "e", pos.alias("pos"))
-        .groupBy("source", "e")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_draws"),
-            F.min("pos").alias("min_pos"),
-            F.max("pos").alias("max_pos"),
-        )
-        .select(
-            "source",
-            F.col("e").cast("long").alias("epoch"),
-            "n_draws",
-            "min_pos",
-            "max_pos",
-        )
-    )
-
-
-def _curriculum_serving_order_oracle() -> str:
-    return f"""
-WITH {_mixture_epochs_pick_ctes(DUCK)},
-draws AS (
-  SELECT p.source, p.doc_id, p.e,
-    md5(concat(d.text, ':', CAST(p.e AS VARCHAR))) AS h
-  FROM pick p JOIN documents d ON d.doc_id = p.doc_id),
-ordered AS (
-  SELECT source, e,
-    ROW_NUMBER() OVER (ORDER BY h, doc_id, e) - 1 AS pos
-  FROM draws)
-SELECT source, CAST(e AS BIGINT) AS epoch,
-  CAST(COUNT(*) AS BIGINT) AS n_draws,
-  CAST(MIN(pos) AS BIGINT) AS min_pos,
-  CAST(MAX(pos) AS BIGINT) AS max_pos
-FROM ordered GROUP BY source, e
-"""
-
-
-def _pii_scrub_audit_builder(dialect: str) -> str:
-    """Redaction-machinery audit over the event payload column: count
-    and scrub digit runs (the pattern class the fixture actually
-    carries; swap in email/phone/SSN alternations for a production
-    corpus — the machinery is the shared-regex-subset scrub, not the
-    pattern list).  Per event_type: events, events with a match, total
-    matched runs, and the payload length before/after scrubbing —
-    the before/after delta is the redacted-character count, which the
-    value hash pins."""
-    from .functions.portable import regexp_count, regex_replace_all
-
-    runs = regexp_count("props", "[0-9]+", dialect)
-    scrub = regex_replace_all("props", "[0-9]+", "#", dialect)
-    return f"""
-SELECT event_type,
-  CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(SUM(CASE WHEN {runs} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
-  CAST(SUM({runs}) AS BIGINT) AS n_runs,
-  CAST(SUM(LENGTH(props)) AS BIGINT) AS chars_raw,
-  CAST(SUM(LENGTH({scrub})) AS BIGINT) AS chars_scrubbed
-FROM events GROUP BY event_type
-"""
-
-
-def _dedup_chunk_passages_builder(dialect: str) -> str:
-    """Chunk-level (passage) dedup — the granularity between exact-doc
-    and shingle dedup: documents are cut into NON-OVERLAPPING 3-word
-    chunks (static chunk-index grid, no correlated laterals) and
-    repeated passages detected by md5 across the whole corpus.  Per
-    source: chunks, distinct chunk texts, corpus-duplicated chunks (text
-    seen in >1 chunk anywhere), and the duplication ratio.  At 100 TB
-    the shuffle carries (digest, count) pairs, never passage text twice;
-    this is the boilerplate/repeated-footer detector that doc-level
-    dedup misses and shingle overlap over-counts.
-
-    The static chunk grid covers documents up to 64·3 = 192 words; a
-    longer document's tail chunks would fall off the grid, so the result
-    carries an explicit ``n_docs_over_grid`` audit column (docs whose
-    word count exceeds the grid) — 0 on every fixture, and pinned at 0
-    by the driver value-hash, so a corpus outgrowing the grid surfaces
-    as a visible column instead of silent truncation (mirrors the
-    subword MAXLEN guard)."""
-    from .functions.portable import arr_len, arr_slice_join, lateral_seq, split_ws
-
-    arr = split_ws("text", dialect)
-    lat = lateral_seq("0", "63", "ci", dialect)  # ≤ 192 words/doc at any SF
-    chunk = arr_slice_join("words", "ci * 3 + 1", 3, " ", dialect)
-    return f"""
-WITH dw AS (
-  SELECT doc_id, source, {arr} AS words,
-    CAST({arr_len(arr, dialect)} AS BIGINT) AS nw
-  FROM documents),
-over AS (
-  SELECT source, CAST(COUNT(CASE WHEN nw > 192 THEN 1 END) AS BIGINT)
-    AS n_docs_over_grid
-  FROM dw GROUP BY source),
-chunks AS (
-  SELECT doc_id, source, md5({chunk}) AS h
-  FROM dw {lat}
-  WHERE ci * 3 + 1 <= nw),
-freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM chunks GROUP BY h)
-SELECT c.source,
-  CAST(COUNT(*) AS BIGINT) AS n_chunks,
-  CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_distinct,
-  CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
-  ROUND(CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        / COUNT(*), 6) AS dup_ratio,
-  MAX(o.n_docs_over_grid) AS n_docs_over_grid
-FROM chunks c JOIN freq f ON c.h = f.h
-JOIN over o ON o.source = c.source
-GROUP BY c.source
-"""
-
-
-def _cms_by_type_builder(dialect: str) -> str:
-    """Grouped Count-Min over the event stream: one d×w counter table
-    per event_type (functions/sketches.py:cms_heavy_hitters_by_group_sql
-    — hashes computed once over distinct user ids and joined back, so
-    the group dimension adds no hash work), exact per-group top-5 probed
-    and audited.  At 100 TB: per-tenant / per-surface frequency sketches
-    from ONE pass, mergeable by SUM within each group."""
-    from .functions import sketches as SK
-
-    return SK.cms_heavy_hitters_by_group_sql(
-        "events", "event_type", "user_id", w=1024, d=4, topk=5, dialect=dialect
-    )
-
-
-def cms_rolling_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 2-week heavy hitters from per-week CMS counter tables
-    summed per window (functions/sketches.py:cms_rolling_heavy_hitters —
-    the DataFrame form: key hashes, weekly sketches, and per-window top
-    keys checkpointed once; the dual-dialect SQL form is the oracle).
-    Completes the rolling-sketch triad: HLL rolls distinct counts,
-    theta rolls overlap/churn, CMS rolls frequency — all from
-    per-period sketch tables, never window rescans."""
-    from .functions import sketches as SK
-
-    ev = Tables(spark, sf_dir).events
-    return SK.cms_rolling_heavy_hitters(
-        ev, "ts", "user_id", w=1024, d=4, topk=5, window_weeks=2
-    )
-
-
-def _cms_rolling_builder(dialect: str) -> str:
-    """Rolling 2-week heavy hitters from per-week CMS counter tables
-    alone (functions/sketches.py:cms_rolling_heavy_hitters_sql): the
-    window sketch is the SUM of its weeks' tables — exact merge for
-    CMS — with each window's exact top-5 probed and audited.  The
-    rolling arm of the sketch triad: HLL rolls distinct counts
-    (`hll_rolling_7day`), theta rolls overlap (`theta_rolling_churn`),
-    CMS rolls frequency."""
-    from .functions import sketches as SK
-
-    return SK.cms_rolling_heavy_hitters_sql(
-        "events", "ts", "user_id", w=1024, d=4, topk=5, window_weeks=2,
-        dialect=dialect,
-    )
-
-
-def _cms_heavy_hitters_builder(dialect: str) -> str:
-    """Count-Min heavy hitters over the events user-activity stream:
-    d=4 × w=1024 counter table (functions/sketches.py — built map-side,
-    the sketch exchange carries ≤ d·w rows per partition; mergeable by
-    SUM), probed with the exact top-20 users.  CMS never underestimates
-    and the e·N/w overestimate bound is pinned in test_round5; every
-    hash is deterministic, so the driver value-hash covers the measured
-    overestimates themselves."""
-    from .functions import sketches as SK
-
-    return SK.cms_heavy_hitters_sql(
-        "events", "user_id", w=1024, d=4, topk=20, dialect=dialect
-    )
 
 
 CATALOG.update(
@@ -6040,1276 +1141,6 @@ FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q) _q
         ),
     }
 )
-
-
-def theta_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted theta/KMV day store, full verb cycle end-to-end
-    (functions/sketches.py:theta_rollup_*): build the per-day ≤k-row
-    sample table, REPLAY two days' appends (safe — the sample is a
-    deterministic function of the day's key set, so replays write
-    duplicates the SET merge class absorbs), compact every multi-file
-    day to one de-duplicated file, then answer the 14-day distinct-count
-    range query from the store alone via the theta-union estimator, with
-    the exact distinct as the audit column.  The oracle re-derives the
-    samples from raw events and applies the identical estimator, so the
-    driver hash proves replay+compaction changed nothing.  Completes the
-    store matrix: the same persisted samples serve every overlap/churn
-    query (`theta_rolling_churn`) — distinct counts, retention, and
-    audience overlap from ONE day-partitioned store at days·k rows per
-    query."""
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_theta_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
-    SK.theta_rollup_build(ev, path, k=64)
-    for replay in (lo, hi):  # at-least-once: same days appended again
-        SK.theta_rollup_append_day(ev.filter(day == replay), path, replay, k=64)
-    SK.theta_rollup_compact_all(spark, path)
-    est = SK.theta_rollup_range_estimate(spark, path, lo, hi, k=64)
-    exact = (
-        ev.filter(day.between(lo, hi))
-        .agg(F.countDistinct("user_id").alias("exact_distinct"))
-    )
-    return est.crossJoin(exact)
-
-
-def _theta_rollup_persisted_oracle() -> str:
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    return SK.theta_rollup_range_sql(lo, hi, k=64, dialect=DUCK)
-
-
-def curriculum_packed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The data-loader's FINAL product: the epoch-resampled mixture
-    (`mixture_resample_epochs` pick chain), interleaved in curriculum
-    serving order (epoch inside the layout hash, so repeats scatter),
-    PACKED into 2048-token context windows — per bin: draw count, token
-    fill, and the number of distinct sources mixed into the window.
-    This is the composition the three stages exist for — resample →
-    shuffle → pack — and the per-bin n_sources column makes the mixing
-    property measurable (a well-shuffled curriculum fills every window
-    from many sources; a sorted-by-source loader would show 1).
-
-    Spark plan: checkpointed pick multiset (the CTE-inlining
-    discipline) joined to token counts, then the SAME two-phase packer
-    as every packing entry (`pack_sequences(hash_col=..., carry=...)`)
-    — no unpartitioned corpus window; the oracle lays out the identical
-    multiset with one global-window cumsum."""
-    from .functions.packing import pack_sequences
-    from .functions.portable import arr_len, split_ws
-
-    register_views(spark, sf_dir)
-    pick = spark.sql(
-        f"WITH {_mixture_epochs_pick_ctes(SPARK)} "
-        "SELECT source, doc_id, e FROM pick"
-    ).localCheckpoint(eager=True)
-    docs = spark.table("documents").select("doc_id", "text")
-    tok = F.expr(arr_len(split_ws("text", SPARK), SPARK)).cast("long")
-    draws = pick.join(docs, "doc_id").select(
-        "source",
-        "doc_id",
-        "e",
-        F.md5(F.concat(F.col("text"), F.lit(":"), F.col("e").cast("string"))).alias(
-            "h"
-        ),
-        tok.alias("n_tokens"),
-    )
-    packed = pack_sequences(
-        draws, budget=2048, tokens_col="n_tokens", hash_col="h", carry=["source"]
-    )
-    return packed.groupBy("bin_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_draws"),
-        F.sum("n_tokens").cast("long").alias("bin_tokens"),
-        F.round(F.sum("n_tokens") / F.lit(2048.0), 6).alias("fill_ratio"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-
-
-def _curriculum_packed_batches_oracle() -> str:
-    from .functions.portable import arr_len, split_ws
-
-    tok = arr_len(split_ws("d.text", DUCK), DUCK)
-    return f"""
-WITH {_mixture_epochs_pick_ctes(DUCK)},
-draws AS (
-  SELECT p.source, p.doc_id, p.e,
-    md5(concat(d.text, ':', CAST(p.e AS VARCHAR))) AS h,
-    CAST({tok} AS BIGINT) AS n_tokens
-  FROM pick p JOIN documents d ON d.doc_id = p.doc_id),
-laid AS (
-  SELECT source, n_tokens,
-    COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
-  FROM draws)
-SELECT CAST(FLOOR(prefix / 2048.0) AS BIGINT) AS bin_id,
-  CAST(COUNT(*) AS BIGINT) AS n_draws,
-  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
-  ROUND(SUM(n_tokens) / CAST(2048 AS DOUBLE), 6) AS fill_ratio,
-  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-FROM laid GROUP BY bin_id
-"""
-
-
-def hll_monthly_from_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HIERARCHICAL rollup — the continuous-aggregate ladder every
-    hypertable store climbs: per-MONTH distinct users derived from the
-    persisted per-DAY register store ALONE (group by the day string's
-    month prefix, MAX-merge registers within month), never from events.
-    Because register MAX is associative, month-from-days equals
-    month-from-raw bit-for-bit — the oracle computes the direct
-    per-month estimate over raw events and the driver hash is the
-    hierarchy-level merge-law proof.  At 100 TB this is why the day
-    store can serve EVERY coarser granularity (week/month/quarter)
-    without new sketch passes: days·m register rows in, one partition-
-    local prefix-group merge out."""
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_hll_monthly_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    SK.hll_rollup_build(ev, path)
-    regs = spark.read.parquet(path)
-    monthly = (
-        regs.withColumn("month", F.substring(F.col("day").cast("string"), 1, 7))
-        .groupBy("month", "bucket")
-        .agg(F.max("reg").alias("reg"))
-    )
-    n_days = (
-        regs.select(F.substring(F.col("day").cast("string"), 1, 7).alias("month"), "day")
-        .distinct()
-        .groupBy("month")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    )
-    return (
-        SK.hll_estimate(monthly, ["month"])
-        .join(F.broadcast(n_days), "month")
-        .select("month", "n_days", "hll_est")
-    )
-
-
-def _hll_monthly_from_daily_oracle() -> str:
-    from .functions import sketches as SK
-
-    est = SK.hll_estimate_sql(
-        "(SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS month, "
-        "user_id FROM events)",
-        "month",
-        "user_id",
-        dialect=DUCK,
-    )
-    return f"""
-WITH nd AS (
-  SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS month,
-    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
-  FROM events GROUP BY 1)
-SELECT e.month, nd.n_days, e.hll_est
-FROM ({est}) e JOIN nd ON nd.month = e.month
-"""
-
-
-def theta_rollup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The theta store's GROUP dimension (functions/sketches.py:
-    theta_rollup_grouped_build/..._range_estimate): per-(event_type,
-    day) KMV samples in day-partitioned parquet; the 14-day range query
-    estimates each group's distinct users from the pruned samples alone
-    (theta-union within group), with per-group exact audits.  Completes
-    the grouped-store triple with `hll_rollup_grouped_range` (distinct
-    counts) and `tdigest_rollup_grouped_range` (quantiles) — and unlike
-    the HLL registers, the SAME grouped samples also answer per-tenant
-    overlap/churn queries."""
-    import shutil
-    import tempfile
-
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    ev = Tables(spark, sf_dir).events
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bdt_theta_grp_{spark.sparkContext.applicationId}_{sf_tag}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
-    SK.theta_rollup_grouped_build(ev, path, "event_type", k=64)
-    est = SK.theta_rollup_grouped_range_estimate(spark, path, lo, hi, k=64)
-    exact = (
-        ev.filter(day.between(lo, hi))
-        .groupBy(F.col("event_type").alias("grp"))
-        .agg(F.countDistinct("user_id").alias("exact_distinct"))
-    )
-    return est.join(exact, "grp").select(
-        F.col("grp").alias("event_type"), "n_days", "est_distinct", "exact_distinct"
-    )
-
-
-def _theta_rollup_grouped_oracle() -> str:
-    from .functions import sketches as SK
-
-    lo, hi = _ROLLUP_RANGE
-    sql = SK.theta_rollup_grouped_range_sql(lo, hi, k=64, dialect=DUCK)
-    return f"""
-SELECT grp AS event_type, n_days, est_distinct, exact_distinct
-FROM ({sql}) _t
-"""
-
-
-def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language tokenizer fertility (functions/subword.py:
-    subword_fertility): subword tokens per whitespace word + chars per
-    token, measured on the SAME learned tokenizer the packing/serving
-    entries charge — the report a multilingual pipeline reads before
-    fixing per-language token budgets.  Spark side runs the bounded
-    iterative walk (once per word TYPE); the oracle re-derives the
-    vocabulary and walk as one recursive-CTE statement."""
-    from .functions import subword as SW
-
-    register_views(spark, sf_dir)
-    return SW.subword_fertility(spark, k=64)
-
-
-def _tokenizer_fertility_oracle() -> str:
-    from .functions import subword as SW
-
-    return SW.subword_fertility_sql(DUCK, k=64)
-
-
-def dedup_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate RECALL against exact n-gram Jaccard — the dedup
-    twin of `ann_recall_report`, and the measurable form of the LSH
-    S-curve: with 4 bands × 3 rows the catch probability of a pair at
-    similarity J is 1−(1−J³)⁴ (≈0.41 at J=0.5, ≈0.93 at J=0.8), so
-    recall RISES with the threshold — exactly what this report shows,
-    and the number that decides the band/row split before a production
-    dedup run.  Truth = exact n-gram Jaccard pairs at the J ≥ 0.05
-    floor (`ngram_jaccard_pairs_sql` — the low floor populates the
-    weak-similarity end of the S-curve); retrieved = the shipped
-    band-bucket candidates; per threshold in {0.05, 0.5, 0.9}: truth
-    pairs, caught pairs, recall, with the candidate-set size alongside.
-
-    Spark plan: truth/band tables each computed ONCE and checkpointed
-    (the banded self-join re-inlines the whole signature chain per
-    reference otherwise), assembly is joins over pair ids."""
-    from .functions import dedup as DD
-
-    register_views(spark, sf_dir)
-    truth = spark.sql(
-        DD.ngram_jaccard_pairs_sql(SPARK, threshold=0.05)
-    ).localCheckpoint(eager=True)
-    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
-    cands = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
-            ["band", "sig"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    th = spark.sql(
-        "SELECT CAST(0.05 AS DOUBLE) AS threshold UNION ALL "
-        "SELECT CAST(0.5 AS DOUBLE) UNION ALL SELECT CAST(0.9 AS DOUBLE)"
-    )
-    j = truth.join(
-        cands.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
-    ).withColumn("hit", F.coalesce(F.col("hit"), F.lit(0)))
-    return (
-        j.join(F.broadcast(th), j["jaccard"] >= th["threshold"])
-        .groupBy("threshold")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_true"),
-            F.sum("hit").cast("long").alias("n_hits"),
-            F.round(F.sum("hit") / F.count(F.lit(1)).cast("double"), 6).alias(
-                "recall"
-            ),
-        )
-        .crossJoin(F.broadcast(n_cand))
-    )
-
-
-def _dedup_lsh_recall_oracle() -> str:
-    from .functions import dedup as DD
-
-    truth = DD.ngram_jaccard_pairs_sql(DUCK, threshold=0.05)
-    cands = DD.minhash_lsh_pairs_sql(DUCK)
-    return f"""
-WITH th AS (
-  SELECT CAST(0.05 AS DOUBLE) AS threshold UNION ALL
-  SELECT CAST(0.5 AS DOUBLE) UNION ALL SELECT CAST(0.9 AS DOUBLE)),
-j AS (
-  SELECT t.jaccard, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
-  FROM ({truth}) t
-  LEFT JOIN ({cands}) c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
-nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM ({cands}) _c)
-SELECT th.threshold, CAST(COUNT(*) AS BIGINT) AS n_true,
-  CAST(SUM(hit) AS BIGINT) AS n_hits,
-  ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS recall,
-  (SELECT n_candidates FROM nc) AS n_candidates
-FROM j JOIN th ON j.jaccard >= th.threshold
-GROUP BY th.threshold
-"""
-
-
-def _stream_quality_monitor_oracle() -> str:
-    """Pure-SQL reconstruction of the streaming quality monitor: the
-    shared score formula grouped by the data-borne batch key."""
-    return f"""
-WITH s AS ({X.quality_select_sql(DUCK)})
-SELECT CAST(d.doc_id % 4 AS BIGINT) AS batch,
-  CAST(COUNT(*) AS BIGINT) AS n_docs,
-  ROUND(CAST(SUM(CAST(s.quality_score AS DECIMAL(18,6))) AS DOUBLE)
-    / COUNT(*), 6) AS mean_quality,
-  CAST(SUM(CASE WHEN s.quality_score < 0.45 THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_below,
-  ROUND(SUM(CASE WHEN s.quality_score < 0.45 THEN 1 ELSE 0 END)
-    / CAST(COUNT(*) AS DOUBLE), 6) AS below_share
-FROM documents d JOIN s ON s.doc_id = d.doc_id
-GROUP BY d.doc_id % 4
-"""
-
-
-def _stream_crawl_dedup_oracle() -> str:
-    """Pure-SQL reconstruction of the streaming crawl-dedup evolution:
-    with batch = doc_id % 4, a doc is exact_vs_corpus iff an
-    earlier-batch doc shares its digest, exact_in_batch iff a
-    smaller-id same-batch doc does (and no corpus hit), and
-    neardup_vs_corpus iff any earlier-batch doc shares an LSH band
-    bucket — exactly the probe-then-append semantics the stream
-    executes against the persisted index."""
-    from .functions import dedup as DD
-
-    bands = DD.minhash_bands_sql(DUCK)
-    return f"""
-WITH bnd AS ({bands}),
-d AS (SELECT doc_id, doc_id % 4 AS batch, md5(text) AS h FROM documents),
-ec AS (
-  SELECT DISTINCT a.doc_id FROM d a JOIN d b2 ON b2.h = a.h
-  WHERE b2.batch < a.batch),
-fib AS (SELECT h, batch, MIN(doc_id) AS first_id FROM d GROUP BY h, batch),
-nd AS (
-  SELECT DISTINCT a.doc_id
-  FROM d a JOIN bnd ba ON ba.doc_id = a.doc_id
-  JOIN bnd bb ON bb.band = ba.band AND bb.sig = ba.sig
-  JOIN d c ON c.doc_id = bb.doc_id
-  WHERE c.batch < a.batch),
-dec AS (
-  SELECT d.doc_id, d.batch,
-    CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_vs_corpus'
-         WHEN d.doc_id <> f.first_id THEN 'exact_in_batch'
-         WHEN nd.doc_id IS NOT NULL THEN 'neardup_vs_corpus'
-         ELSE 'keep' END AS decision
-  FROM d
-  LEFT JOIN ec ON ec.doc_id = d.doc_id
-  JOIN fib f ON f.h = d.h AND f.batch = d.batch
-  LEFT JOIN nd ON nd.doc_id = d.doc_id)
-SELECT CAST(batch AS BIGINT) AS batch, decision,
-  CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM dec GROUP BY batch, decision
-"""
-
-
-def _quality_dedup_interaction_builder(dialect: str) -> str:
-    """Cross-tab of the quality cascade's decision against NEAR-DUP
-    candidacy — the STAGE-ORDERING evidence a pipeline design needs:
-    the 'near_duplicate' × 'keep' cell is work doc-level dedup saves
-    the quality stage (run dedup first), while 'near_duplicate' × drop
-    cells are docs both stages would remove (order doesn't matter for
-    them).  Shares the cascade's per-doc decision CTEs verbatim
-    (functions/text.py:_cascade_doc_ctes); the dup axis is membership
-    in any LSH band-bucket candidate pair — the fixture's planted dups
-    are near-exact, never byte-identical, so the content-hash axis
-    would be constant here (and the candidate set is what a real
-    pipeline's dedup stage actually consumes)."""
-    from .functions import dedup as DD
-    from .functions.text import _cascade_doc_ctes
-
-    cands = DD.minhash_lsh_pairs_sql(dialect)
-    return f"""
-WITH {_cascade_doc_ctes(dialect)},
-flag AS (
-  SELECT doc_a AS doc_id FROM ({cands}) _c1
-  UNION SELECT doc_b FROM ({cands}) _c2),
-dupc AS (
-  SELECT d.doc_id,
-    CASE WHEN f.doc_id IS NOT NULL THEN 'near_duplicate'
-         ELSE 'unique' END AS dedup_class
-  FROM documents d LEFT JOIN flag f ON f.doc_id = d.doc_id)
-SELECT d.decision, p.dedup_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
-  ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
-    AS corpus_share
-FROM docdec d JOIN dupc p ON p.doc_id = d.doc_id
-GROUP BY d.decision, p.dedup_class
-"""
-
-
-def quality_dedup_interaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark form of `_quality_dedup_interaction_builder`: the band
-    table and the cascade decisions each computed ONCE and checkpointed
-    — the single-statement SQL re-inlines the LSH signature chain into
-    both UNION arms (measured 40 exchanges vs 8 here; the same
-    CTE-inlining trap every multi-reference entry documents).  The
-    dual-dialect text stays as the oracle."""
-    from .functions import dedup as DD
-    from .functions.text import _cascade_doc_ctes
-
-    register_views(spark, sf_dir)
-    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
-    cands = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
-            ["band", "sig"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    flag = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .withColumn("is_nd", F.lit(1))
-    )
-    dec = spark.sql(
-        f"WITH {_cascade_doc_ctes(SPARK)} SELECT doc_id, decision FROM docdec"
-    )
-    total = spark.table("documents").agg(
-        F.count(F.lit(1)).cast("long").alias("total")
-    )
-    return (
-        dec.join(F.broadcast(flag), "doc_id", "left")
-        .select(
-            "decision",
-            F.when(F.col("is_nd").isNotNull(), F.lit("near_duplicate"))
-            .otherwise(F.lit("unique"))
-            .alias("dedup_class"),
-        )
-        .groupBy("decision", "dedup_class")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "decision",
-            "dedup_class",
-            "n_docs",
-            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
-                "corpus_share"
-            ),
-        )
-    )
-
-
-def _events_top_paths_builder(dialect: str) -> str:
-    """Session PATH analysis — the clickstream query the funnel/cohort
-    family was missing: sessionize (30-min gap, the `events_sessionize`
-    boundary rule verbatim), serialize each session's first 8 event
-    types into an ordered `a>b>c` path, and report the top-15 paths
-    with session counts and average full session length.  Determinism:
-    the path order key is (ts, event_type) — same-timestamp events
-    order by type, and identical (ts, type) duplicates are
-    order-invariant in the string; the cumulative session id is stable
-    under timestamp ties because tied rows always carry gap 0.  One
-    window cascade partitioned by user + one digest-sized path
-    aggregate; TakeOrdered for the top-15 — no unpartitioned corpus
-    window."""
-    from .functions.portable import epoch_s
-
-    ep = epoch_s("ts", dialect)
-    if dialect == SPARK:
-        pathagg = (
-            "concat_ws('>', transform(array_sort(collect_list("
-            "named_struct('rn', rn, 'et', event_type))), s -> s.et))"
-        )
-    else:
-        pathagg = "string_agg(event_type, '>' ORDER BY rn)"
-    return f"""
-WITH flagged AS (
-  SELECT user_id, ts, event_type,
-    CASE WHEN {ep} - LAG({ep}) OVER w IS NULL THEN 1
-         WHEN {ep} - LAG({ep}) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
-sessions AS (
-  SELECT user_id, ts, event_type,
-    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-  FROM flagged),
-ranked AS (
-  SELECT user_id, sid, event_type,
-    ROW_NUMBER() OVER (PARTITION BY user_id, sid
-      ORDER BY ts ASC, event_type ASC) AS rn
-  FROM sessions),
-sizes AS (
-  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM sessions GROUP BY user_id, sid),
-paths AS (
-  SELECT user_id, sid, {pathagg} AS path
-  FROM ranked WHERE rn <= 8 GROUP BY user_id, sid)
-SELECT p.path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
-  ROUND(AVG(CAST(s.n_events AS DOUBLE)), 6) AS avg_session_events
-FROM paths p JOIN sizes s ON s.user_id = p.user_id AND s.sid = p.sid
-GROUP BY p.path
-ORDER BY n_sessions DESC, path ASC LIMIT 15
-"""
-
-
-def _dedup_cascade_builder(dialect: str) -> str:
-    """The DEDUP CASCADE — stage attribution in fixed priority, the
-    dedup-side mirror of `corpus_filter_cascade`: every document gets
-    ONE removal reason — ``exact_dup`` (a smaller-id doc shares its
-    md5) > ``near_dup`` (a smaller-id LSH band-bucket partner exists —
-    the greedy smaller-id keeper rule, deterministic without a
-    connected-components pass) > ``substring_majority`` (more than half
-    its positions are covered by 8-grams shared with another doc) >
-    ``keep`` — rolled up per source.  The order encodes cost: digest
-    equality is one hash-agg, band candidacy one banded self-join, and
-    the substring audit pays the gram explode — a production cascade
-    runs them cheapest-first and each stage only sees the previous
-    stage's keepers (here attribution is computed on the full corpus so
-    the stages stay independently oracle-checkable)."""
-    from .functions import dedup as DD
-
-    cands = DD.minhash_lsh_pairs_sql(dialect)
-    return f"""
-WITH {DD.substring_perdoc_ctes(dialect, 8)},
-exact AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-    FROM documents) _e WHERE doc_id <> keeper),
-near AS (
-  SELECT DISTINCT doc_b AS doc_id FROM ({cands}) _c),
-dec AS (
-  SELECT d.doc_id, d.source,
-    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
-         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
-         WHEN d.dup_words * 2 > d.n_words THEN 'substring_majority'
-         ELSE 'keep' END AS dedup_stage
-  FROM sperdoc d
-  LEFT JOIN exact e ON e.doc_id = d.doc_id
-  LEFT JOIN near n ON n.doc_id = d.doc_id)
-SELECT source, dedup_stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-  ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS DOUBLE), 6)
-    AS source_share
-FROM dec GROUP BY source, dedup_stage
-"""
-
-
-def dedup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark form of `_dedup_cascade_builder`: the substring per-doc
-    table and the band table each computed once and checkpointed (the
-    single-statement text re-inlines the band chain per band and the
-    gram chain per reference — measured 27 exchanges vs 4 here); the
-    SQL text stays as the oracle."""
-    from pyspark.sql import Window
-
-    from .functions import dedup as DD
-
-    register_views(spark, sf_dir)
-    sub = spark.sql(
-        f"WITH {DD.substring_perdoc_ctes(SPARK, 8)} SELECT * FROM sperdoc"
-    ).localCheckpoint(eager=True)
-    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
-    near = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
-            ["band", "sig"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("_nd", F.lit(1))
-    )
-    exact = (
-        spark.table("documents")
-        .select(
-            "doc_id",
-            F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keeper"),
-        )
-        .filter(F.col("doc_id") != F.col("keeper"))
-        .select("doc_id")
-        .withColumn("_ex", F.lit(1))
-    )
-    dec = (
-        sub.join(F.broadcast(exact), "doc_id", "left")
-        .join(F.broadcast(near), "doc_id", "left")
-        .select(
-            "source",
-            F.when(F.col("_ex").isNotNull(), F.lit("exact_dup"))
-            .when(F.col("_nd").isNotNull(), F.lit("near_dup"))
-            .when(F.col("dup_words") * 2 > F.col("n_words"), F.lit("substring_majority"))
-            .otherwise(F.lit("keep"))
-            .alias("dedup_stage"),
-        )
-    )
-    counts = dec.groupBy("source", "dedup_stage").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    w = Window.partitionBy("source")  # ≤ sources×stages rows
-    return counts.select(
-        "source",
-        "dedup_stage",
-        "n_docs",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6).alias(
-            "source_share"
-        ),
-    )
-
-
-def grouped_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust dispersion per event type: exact median, MAD (median
-    absolute deviation), and the robust-z outlier count at the standard
-    3·1.4826·MAD cut — the outlier rule `events_anomaly_zscore`'s
-    mean/stddev band lacks (one fat-fingered value drags a mean band;
-    the median band shrugs).  Exact medians are the oracle-checkable
-    baseline (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, pinned
-    by `percentile_exact`); at 100 TB the approximate sketch form
-    (t-digest store) replaces them.  Three grouped aggregates with the
-    ≤|types|-row median tables broadcast back — the raw values shuffle
-    once per aggregate, never the deviations twice."""
-    from .sources.readers import load_events
-
-    ev = (
-        load_events(spark, sf_dir)
-        .filter(F.col("value").isNotNull())
-        .select("event_type", F.col("value").cast("double").alias("v"))
-    )
-    med = ev.groupBy("event_type").agg(
-        F.percentile("v", F.lit(0.5)).alias("med")
-    )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("v") - F.col("med"))
-    )
-    mads = dev.groupBy("event_type", "med").agg(
-        F.percentile("dev", F.lit(0.5)).alias("mad"),
-        F.count(F.lit(1)).cast("long").alias("n_values"),
-    )
-    out = (
-        dev.join(
-            F.broadcast(mads.select("event_type", "mad")), "event_type"
-        )
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dev") > 3 * 1.4826 * F.col("mad"), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_outliers")
-        )
-    )
-    return mads.join(out, "event_type").select(
-        "event_type", "n_values", "med", "mad", "n_outliers"
-    )
-
-
-_GROUPED_MAD_ORACLE = """
-WITH ev AS (
-  SELECT event_type, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL),
-med AS (
-  SELECT event_type, quantile_cont(v, 0.5) AS med
-  FROM ev GROUP BY event_type),
-dev AS (
-  SELECT ev.event_type, ev.v, med.med, ABS(ev.v - med.med) AS dev
-  FROM ev JOIN med ON med.event_type = ev.event_type),
-mads AS (
-  SELECT event_type, med, quantile_cont(dev, 0.5) AS mad,
-    CAST(COUNT(*) AS BIGINT) AS n_values
-  FROM dev GROUP BY event_type, med)
-SELECT m.event_type, m.n_values, m.med, m.mad,
-  CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_outliers
-FROM dev d JOIN mads m ON m.event_type = d.event_type
-GROUP BY m.event_type, m.n_values, m.med, m.mad
-"""
-
-
-def _events_ewma_builder(dialect: str) -> str:
-    """Daily EWMA smoothing of event value (half-life = 1 day, α = ½) —
-    the telemetry trend line next to `events_anomaly_zscore`'s band.
-    Exponential smoothing is a floating-point minefield cross-engine
-    (sum order changes the rounding), so the weights are DYADIC and the
-    accumulation EXACT: ewma(t)·2³¹ = Σ_i v_i·2^(31−(t−i+1)) — every
-    term is a decimal times an exact power of two, the sum runs in
-    DECIMAL(38,6) (order-independent), and the single final divide by
-    2³¹ rounds once, identically in both engines.  POWER(2, k) on
-    integer k is exact in doubles below 2^53 — the fractional-exponent
-    POWER the repo bans is never used.  The day spine is a ≤31-row
-    bounded table, so the pair join is bounded by construction."""
-    from .functions.portable import days_since_epoch
-
-    lag_d = (
-        f"({days_since_epoch('t.day', dialect)}"
-        f" - {days_since_epoch('i.day', dialect)})"
-    )
-    s = "STRING" if dialect == SPARK else "VARCHAR"
-    return f"""
-WITH daily AS (
-  SELECT CAST(CAST(ts AS DATE) AS {s}) AS day,
-    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS v
-  FROM events GROUP BY CAST(CAST(ts AS DATE) AS {s})),
-pairs AS (
-  SELECT t.day, t.v AS v_t, i.v AS v_i, {lag_d} AS lag_d
-  FROM daily t JOIN daily i ON i.day <= t.day),
-acc AS (
-  SELECT day, MAX(v_t) AS daily_value,
-    CAST(SUM(CAST(v_i AS DECIMAL(38,6))
-      * CAST(POWER(2, 30 - lag_d) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s
-  FROM pairs WHERE lag_d <= 30 GROUP BY day)
-SELECT day, CAST(daily_value AS DOUBLE) AS daily_value,
-  ROUND(CAST(s AS DOUBLE) / 2147483648.0, 6) AS ewma
-FROM acc
-"""
-
-
-def _events_markov_builder(dialect: str) -> str:
-    """First-order Markov transition matrix between event types WITHIN
-    sessions — the third member of the clickstream family (funnel:
-    fixed target sequence; paths: whole-session strings; this: the
-    pairwise transition model a next-event predictor or anomaly scorer
-    is fit from).  Session boundaries are the same 30-min gap rule as
-    `events_sessionize`/`events_top_paths`, so a cross-session pair
-    never counts as a transition.  Per (prev, next): count and the
-    row-normalized probability.  Tie determinism as in the path entry:
-    LAG orders by (ts, event_type).  One user-partitioned window
-    cascade + one pair aggregate; the probability's window runs over
-    the ≤|types|² transition table."""
-    from .functions.portable import epoch_s
-
-    ep = epoch_s("ts", dialect)
-    return f"""
-WITH flagged AS (
-  SELECT user_id, ts, event_type,
-    CASE WHEN {ep} - LAG({ep}) OVER w IS NULL THEN 1
-         WHEN {ep} - LAG({ep}) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
-sessions AS (
-  SELECT user_id, ts, event_type,
-    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-  FROM flagged),
-seq AS (
-  SELECT event_type AS next_type,
-    LAG(event_type) OVER (PARTITION BY user_id, sid
-      ORDER BY ts ASC, event_type ASC) AS prev_type
-  FROM sessions),
-trans AS (
-  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
-  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
-SELECT prev_type, next_type, n_transitions,
-  ROUND(n_transitions / CAST(SUM(n_transitions)
-    OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_next
-FROM trans
-"""
-
-
-def _abc_analysis_sql(dialect: str) -> str:
-    """ABC / Pareto classification of parts by revenue — the 80/95%
-    cumulative-share cut every inventory/spend analysis runs: parts
-    ranked by revenue, class A while the running share ≤ 0.80, B while
-    ≤ 0.95, C after.  Revenue accumulates in exact decimal; the share
-    ratio casts through scale-6 decimal before the double divide (the
-    DuckDB decimal→double rounding rule), so the class boundary lands
-    identically in both engines.  This text is the ORACLE — one global
-    window cumsum; the Spark entry replaces it with the banded
-    two-phase scan."""
-    rev = (
-        "SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * "
-        "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))"
-    )
-    return f"""
-WITH pr AS (
-  SELECT l_partkey AS partkey, CAST({rev} AS DECIMAL(38,6)) AS rev
-  FROM lineitem GROUP BY l_partkey),
-tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38,6)) AS t FROM pr),
-c AS (
-  SELECT partkey, rev,
-    CAST(SUM(rev) OVER (ORDER BY rev DESC, partkey
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
-      AS crev
-  FROM pr),
-cls AS (
-  SELECT rev,
-    CASE WHEN CAST(crev AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.80
-           THEN 'A'
-         WHEN CAST(crev AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.95
-           THEN 'B'
-         ELSE 'C' END AS abc_class
-  FROM c)
-SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
-  CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-  ROUND(CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE)
-    / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS revenue_share
-FROM cls GROUP BY abc_class
-"""
-
-
-def parts_abc_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark form of `_abc_analysis_sql`: the cumulative revenue comes
-    from the BANDED two-phase scan instead of the oracle's global
-    window — parts bucket into ≤256 revenue bands (monotone with the
-    sort order, so in-band cumsum + cumulated band offsets IS the
-    global cumsum exactly; band edges affect only physical grouping,
-    never the result), the offset window runs over the ≤256-row
-    band-total table, and every decimal addition is exact so the
-    banded sum is bit-identical to the oracle's.  The per-part
-    aggregate is dimension-sized but at 100 TB still billions of rows
-    — the same reason packing/training-order use this scheme."""
-    from pyspark.sql import Window
-
-    li = Tables(spark, sf_dir).lineitem
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
-    )
-    pr = (
-        li.groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(rev).cast("decimal(38,6)").alias("rev"))
-        .localCheckpoint(eager=True)
-    )
-    stats = pr.agg(
-        F.max("rev").alias("mx"),
-        F.min("rev").alias("mn"),
-        F.sum("rev").cast("decimal(38,6)").alias("t"),
-    ).collect()[0]  # 1-row band geometry + total
-    mx, mn, t = float(stats["mx"]), float(stats["mn"]), stats["t"]
-    bw = max((mx - mn) / 256.0, 1e-9)
-    banded = pr.withColumn(
-        "band",
-        F.least(
-            F.lit(255),
-            F.floor((F.lit(mx) - F.col("rev").cast("double")) / F.lit(bw)),
-        ).cast("int"),
-    )
-    w_in = (
-        Window.partitionBy("band")
-        .orderBy(F.col("rev").desc(), "partkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    banded = banded.withColumn(
-        "crev_in", F.sum("rev").over(w_in).cast("decimal(38,6)")
-    )
-    totals = banded.groupBy("band").agg(
-        F.sum("rev").cast("decimal(38,6)").alias("brev")
-    )
-    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "band",
-        F.coalesce(F.sum("brev").over(w_off), F.lit(0))
-        .cast("decimal(38,6)")
-        .alias("off"),
-    )
-    crev = (
-        F.col("off").cast("decimal(38,6)") + F.col("crev_in")
-    ).cast("decimal(38,6)")
-    share = crev.cast("double") / F.lit(float(t))
-    cls = (
-        banded.join(F.broadcast(offsets), "band")
-        .select(
-            "rev",
-            F.when(share <= 0.80, F.lit("A"))
-            .when(share <= 0.95, F.lit("B"))
-            .otherwise(F.lit("C"))
-            .alias("abc_class"),
-        )
-    )
-    return cls.groupBy("abc_class").agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum("rev").cast("decimal(38,6)").cast("double").alias("revenue"),
-        F.round(
-            F.sum("rev").cast("decimal(38,6)").cast("double") / F.lit(float(t)), 6
-        ).alias("revenue_share"),
-    )
-
-
-def _rfm_segments_sql(dialect: str) -> str:
-    """RFM segmentation — the classic retention-marketing cut: per
-    purchasing user, Recency (days since last purchase, vs the corpus
-    max date), Frequency (purchase count) and Monetary (decimal-exact
-    value sum) each quintile-scored 1..5 (5 = best) over a worst→best
-    total order with user_id tie-breaks, rolled up per (r, f, m) cell
-    with user counts and cell monetary.  This text is the ORACLE (three
-    global ROW_NUMBERs); the Spark entry computes the same positions
-    with three `two_phase_position` banded scans — recency bands on the
-    calendar day, frequency on the capped count, monetary on a log10
-    band — none of which is an unpartitioned corpus window."""
-    from .functions.portable import days_since_epoch
-
-    rec = (
-        f"{days_since_epoch('(SELECT mx FROM ref)', dialect)}"
-        f" - {days_since_epoch('last_d', dialect)}"
-    )
-    return f"""
-WITH p AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq,
-    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS mon,
-    MAX(CAST(ts AS DATE)) AS last_d
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-ref AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
-f AS (SELECT user_id, freq, mon, CAST({rec} AS BIGINT) AS rec FROM p),
-r AS (
-  SELECT user_id, rec, freq, mon,
-    ROW_NUMBER() OVER (ORDER BY rec DESC, user_id) - 1 AS rpos,
-    ROW_NUMBER() OVER (ORDER BY freq ASC, user_id) - 1 AS fpos,
-    ROW_NUMBER() OVER (ORDER BY mon ASC, user_id) - 1 AS mpos,
-    COUNT(*) OVER () AS n
-  FROM f)
-SELECT CAST(FLOOR(rpos * 5.0 / n) + 1 AS BIGINT) AS r_score,
-  CAST(FLOOR(fpos * 5.0 / n) + 1 AS BIGINT) AS f_score,
-  CAST(FLOOR(mpos * 5.0 / n) + 1 AS BIGINT) AS m_score,
-  CAST(COUNT(*) AS BIGINT) AS n_users,
-  CAST(CAST(SUM(mon) AS DECIMAL(38,6)) AS DOUBLE) AS cell_monetary
-FROM r GROUP BY 1, 2, 3
-"""
-
-
-def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark form of `_rfm_segments_sql`: three two-phase position
-    scans (operators/windows.py:two_phase_position) replace the
-    oracle's three global ROW_NUMBERs.  Bucket choices, each monotone
-    with its order and bounded by construction: recency → the negated
-    day count (calendar-bounded); frequency → the count capped at 1000
-    (ties above the cap stay ordered in-band); monetary → a log10 band
-    (≤ ~50 bands over double's whole positive range)."""
-    from .functions.portable import epoch_s  # noqa: F401  (dialect twin)
-    from .operators.windows import two_phase_position
-
-    ev = Tables(spark, sf_dir).events
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("freq"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .alias("mon"),
-            F.max(F.to_date("ts")).alias("last_d"),
-        )
-    )
-    mx = ev.agg(F.max(F.to_date("ts")).alias("mx"))
-    f = p.crossJoin(F.broadcast(mx)).select(
-        "user_id",
-        "freq",
-        "mon",
-        F.datediff("mx", "last_d").cast("long").alias("rec"),
-    ).localCheckpoint(eager=True)  # three rank scans reuse it
-    d = two_phase_position(
-        f, (-F.col("rec")).cast("long"), [F.col("rec").desc(), F.col("user_id")],
-        out="rpos",
-    )
-    d = two_phase_position(
-        d, F.least(F.col("freq"), F.lit(1000)), [F.col("freq"), F.col("user_id")],
-        out="fpos",
-    )
-    d = two_phase_position(
-        d,
-        # clamp: mon <= -1 would make log10 NULL and break the
-        # monotone-bucket contract; greatest(mon, 0) keeps any
-        # negative-sum user in the bottom bucket (still monotone)
-        F.floor(
-            F.log10(F.greatest(F.col("mon").cast("double"), F.lit(0.0)) + 1) * 8
-        ).cast("long"),
-        [F.col("mon"), F.col("user_id")],
-        out="mpos",
-    )
-    n = f.agg(F.count(F.lit(1)).alias("n"))
-    scored = d.crossJoin(F.broadcast(n)).select(
-        (F.floor(F.col("rpos") * 5.0 / F.col("n")) + 1).cast("long").alias("r_score"),
-        (F.floor(F.col("fpos") * 5.0 / F.col("n")) + 1).cast("long").alias("f_score"),
-        (F.floor(F.col("mpos") * 5.0 / F.col("n")) + 1).cast("long").alias("m_score"),
-        "mon",
-    )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("mon").cast("decimal(38,6)").cast("double").alias("cell_monetary"),
-    )
-
-
-def _shipping_delay_profile_builder(dialect: str) -> str:
-    """Order-to-ship LATENCY profile per order priority — TPC-H Q12's
-    late-binary widened to the full distribution over the columns the
-    trimmed fixture actually carries (no commit/receipt dates or ship
-    modes here): days from o_orderdate to each line's l_shipdate, with
-    count, exact integer-day mean as a rounded double, exact p50/p90
-    (the pinned percentile ≡ quantile_cont equivalence), and the
-    over-90-day share.  One fact-fact join on orderkey (the q3 shape —
-    sort-merge co-partitioned at scale) + one grouped aggregate;
-    ≤|priorities| output rows."""
-    from .functions.portable import days_since_epoch
-
-    delay = (
-        f"({days_since_epoch('l.l_shipdate', dialect)}"
-        f" - {days_since_epoch('o.o_orderdate', dialect)})"
-    )
-    pct = "percentile" if dialect == SPARK else "quantile_cont"
-    return f"""
-WITH d AS (
-  SELECT o.o_orderpriority AS priority, CAST({delay} AS BIGINT) AS delay_days
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
-SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_items,
-  ROUND(CAST(SUM(delay_days) AS DOUBLE) / COUNT(*), 6) AS mean_delay_days,
-  {pct}(delay_days, 0.5) AS p50_delay,
-  {pct}(delay_days, 0.9) AS p90_delay,
-  ROUND(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END)
-    / CAST(COUNT(*) AS DOUBLE), 6) AS over_90d_share
-FROM d GROUP BY priority
-"""
-
-
-def _order_gaps_builder(dialect: str) -> str:
-    """Inter-ARRIVAL analysis per market segment: days between a
-    customer's consecutive orders (LAG over the per-customer order
-    timeline, (orderdate, orderkey) tie-break so same-day orders stay
-    deterministic), profiled per segment with count, exact-integer mean,
-    exact p50/p90, and the within-30-days repeat share — the
-    repurchase-cadence table a retention model starts from, the
-    relational twin of `events_rfm_segments`' recency axis.  One
-    customer-partitioned window + one grouped aggregate; the customer
-    dim broadcasts."""
-    from .functions.portable import days_since_epoch
-
-    od = days_since_epoch("o_orderdate", dialect)
-    pct = "percentile" if dialect == SPARK else "quantile_cont"
-    return f"""
-WITH t AS (
-  SELECT c.c_mktsegment AS segment, o.o_custkey,
-    CAST({od} AS BIGINT) AS od, o.o_orderkey
-  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
-g AS (
-  SELECT segment,
-    od - LAG(od) OVER (PARTITION BY o_custkey
-      ORDER BY od, o_orderkey) AS gap_days
-  FROM t)
-SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-  ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days,
-  {pct}(gap_days, 0.5) AS p50_gap,
-  {pct}(gap_days, 0.9) AS p90_gap,
-  ROUND(SUM(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
-    / CAST(COUNT(*) AS DOUBLE), 6) AS within_30d_share
-FROM g WHERE gap_days IS NOT NULL GROUP BY segment
-"""
-
-
-def packing_efficiency_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Packing EFFICIENCY across candidate context budgets {512, 1024,
-    2048, 4096} — the calibration table behind choosing a context
-    length: bins produced, mean fill (corpus tokens / bins·budget), and
-    overflowing bins (the charged-where-it-starts straddle) per budget.
-    Completes the calibration family (quality deciles, similarity
-    thresholds, LSH/ANN recall, and now packing fill).  Four two-phase
-    packing passes unioned — each is the standard no-global-sort
-    layout; the token counts are computed once per pass off the same
-    scan."""
-    from functools import reduce
-
-    from .functions.packing import pack_sequences
-
-    docs = Tables(spark, sf_dir).documents
-    outs = []
-    for b in (512, 1024, 2048, 4096):
-        packed = pack_sequences(docs, budget=b)
-        outs.append(
-            packed.groupBy("bin_id")
-            .agg(F.sum("n_tokens").alias("bt"))
-            .agg(
-                F.lit(b).cast("long").alias("budget"),
-                F.count(F.lit(1)).cast("long").alias("n_bins"),
-                F.round(
-                    F.sum("bt").cast("double")
-                    / (F.count(F.lit(1)) * F.lit(float(b))),
-                    6,
-                ).alias("mean_fill"),
-                F.sum(F.when(F.col("bt") > b, 1).otherwise(0))
-                .cast("long")
-                .alias("n_overflow_bins"),
-            )
-        )
-    return reduce(DataFrame.unionByName, outs)
-
-
-def _packing_efficiency_curve_oracle() -> str:
-    from .functions.packing import pack_sequences_sql
-
-    parts = []
-    for b in (512, 1024, 2048, 4096):
-        inner = pack_sequences_sql(b, DUCK)
-        parts.append(
-            f"""
-SELECT CAST({b} AS BIGINT) AS budget,
-  CAST(COUNT(*) AS BIGINT) AS n_bins,
-  ROUND(SUM(bin_tokens) / (COUNT(*) * CAST({b} AS DOUBLE)), 6) AS mean_fill,
-  CAST(SUM(CASE WHEN bin_tokens > {b} THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_overflow_bins
-FROM ({inner}) _p{b}"""
-        )
-    return " UNION ALL ".join(parts)
-
-
-def _window_rank_family_builder(dialect: str) -> str:
-    """The remaining SQL-standard rank-family windows in one entry —
-    NTILE (equi-depth bucketing), PERCENT_RANK, CUME_DIST — per order
-    priority over order value, reported as quartile summaries (count,
-    price band, boundary ranks).  Rounds out the window-function surface
-    (topk/running-sum/lag-lead already covered).  The ordering key
-    appends o_orderkey so NTILE's bucket split is a total order; both
-    engines implement the SQL-standard larger-buckets-first NTILE and
-    the (rank−1)/(n−1) PERCENT_RANK, so every emitted number is exact.
-    One partitioned window pass + one grouped aggregate; nothing
-    unpartitioned."""
-    return """
-WITH r AS (
-  SELECT o_orderpriority AS priority, o_totalprice,
-    NTILE(4) OVER (PARTITION BY o_orderpriority
-      ORDER BY o_totalprice, o_orderkey) AS quartile,
-    PERCENT_RANK() OVER (PARTITION BY o_orderpriority
-      ORDER BY o_totalprice, o_orderkey) AS pr,
-    CUME_DIST() OVER (PARTITION BY o_orderpriority
-      ORDER BY o_totalprice, o_orderkey) AS cd
-  FROM orders)
-SELECT priority, CAST(quartile AS BIGINT) AS quartile,
-  CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
-  CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
-  ROUND(MAX(pr), 6) AS max_pct_rank,
-  ROUND(MAX(cd), 6) AS max_cume_dist
-FROM r GROUP BY priority, quartile
-"""
-
-
-def _embedding_threshold_curve_sql(dialect: str) -> str:
-    """Dual-dialect text of the embedding-similarity CALIBRATION CURVE:
-    for each candidate cosine threshold, how many pairs and how many
-    distinct documents the dedup stage would touch — the landscape an
-    operator reads before fixing `embedding_neardup`'s 0.35 cutoff
-    (fixture landscape: ~117k random-mass pairs below 0.2, a 270-pair
-    shoulder at 0.35-0.5, one pair above 0.5).  Pairwise cosine is
-    computed EXACTLY over all pairs — this is the evaluation job a
-    production run executes on a SAMPLE (all-pairs on the sample bounds
-    the cost; the LSH-bucketed path cannot serve here because low
-    thresholds are exactly where it under-recalls).  Cosines round to
-    9 dp before the threshold compare so boundary pairs classify
-    identically in both engines."""
-    from .functions.similarity import _dot_sql, _vecs_cte
-
-    cos = f"({_dot_sql('a.e', 'b.e', dialect)} / (a.nrm * b.nrm))"
-    ths = " UNION ALL ".join(
-        f"SELECT CAST({t} AS DOUBLE) AS threshold"
-        for t in ("0.2", "0.3", "0.35", "0.4", "0.5")
-    )
-    return f"""
-WITH {_vecs_cte(dialect)},
-pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb, ROUND({cos}, 9) AS c
-  FROM v a JOIN v b ON a.vec_id < b.vec_id),
-th AS ({ths}),
-joined AS (SELECT th.threshold, p.va, p.vb FROM pairs p JOIN th ON p.c >= th.threshold),
-pc AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
-       FROM joined GROUP BY threshold),
-dc AS (SELECT threshold, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_docs FROM
-       (SELECT threshold, va AS v FROM joined
-        UNION SELECT threshold, vb FROM joined) _u GROUP BY threshold)
-SELECT pc.threshold, pc.n_pairs, dc.n_docs
-FROM pc JOIN dc ON dc.threshold = pc.threshold
-"""
-
-
-def embedding_threshold_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark form: the all-pairs cosine table computed ONCE and
-    checkpointed (the SQL text re-inlines it into each of its three
-    consumers), then the threshold fan-out and both aggregates run over
-    the cached pair list."""
-    register_views(spark, sf_dir)
-    from .functions.similarity import _dot_sql, _vecs_cte
-
-    cos = f"({_dot_sql('a.e', 'b.e', SPARK)} / (a.nrm * b.nrm))"
-    pairs = spark.sql(
-        f"WITH {_vecs_cte(SPARK)} "
-        f"SELECT a.vec_id AS va, b.vec_id AS vb, ROUND({cos}, 9) AS c "
-        "FROM v a JOIN v b ON a.vec_id < b.vec_id"
-    ).localCheckpoint(eager=True)
-    th = spark.sql(
-        " UNION ALL ".join(
-            f"SELECT CAST({t} AS DOUBLE) AS threshold"
-            for t in ("0.2", "0.3", "0.35", "0.4", "0.5")
-        )
-    )
-    joined = pairs.join(F.broadcast(th), pairs["c"] >= th["threshold"]).select(
-        "threshold", "va", "vb"
-    ).localCheckpoint(eager=True)
-    pc = joined.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
-    )
-    dc = (
-        joined.select("threshold", F.col("va").alias("v"))
-        .union(joined.select("threshold", F.col("vb").alias("v")))
-        .distinct()
-        .groupBy("threshold")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    )
-    return pc.join(dc, "threshold")
-
-
-def _ann_recall_builder(dialect: str) -> str:
-    """Recall@5 of the shipped IVF search vs exact cosine over the same
-    queries (functions/similarity.py:ann_recall_report_sql): the number
-    the ANN docstrings state, now driver-hashed.  Low absolute recall on
-    the uniform-random fixtures is the documented expectation — the
-    entry pins that the measurement itself is correct and stable."""
-    from .functions import similarity as SIM
-
-    return SIM.ann_recall_report_sql(dialect, k=5)
-
-
-def _substring_scrub_builder(dialect: str) -> str:
-    """All-but-one substring removal (functions/dedup.py:
-    substring_scrub_sql, w=8): per shared 8-gram the smallest doc_id
-    keeps its text, every other occurrence's covered positions are
-    removed, and the scrubbed document is rebuilt in word order — the
-    md5 fingerprint of the rebuilt text is the cross-engine proof of an
-    identical transform.  Pays the dense position explode the audit
-    entry avoids: run `dedup_substring_fraction` first, scrub when the
-    measured fraction warrants it."""
-    from .functions import dedup as DD
-
-    return DD.substring_scrub_sql(dialect, w=8)
-
-
-def _substring_dedup_builder(dialect: str) -> str:
-    """Substring-duplication audit (functions/dedup.py:
-    substring_dedup_sql, w=8): per-source duplicated-token fraction
-    where a position counts as duplicated when ANY 8-word window
-    covering it appears verbatim in another document — the
-    bounded-window, distributable form of Lee et al.'s suffix-array
-    substring dedup.  The interval-union trick keeps the post-explode
-    frames sparse: only shared START positions flow into the window
-    pass, so the plan never materializes a per-position table."""
-    from .functions import dedup as DD
-
-    return DD.substring_dedup_sql(dialect, w=8)
-
-
 CATALOG.update(
     {
         "stream_packing_ledger": QuerySpec(
