@@ -144,6 +144,10 @@ from .catalog_r67 import (
     quality_dedup_interaction_q, rfm_segments_q, theta_rollup_grouped_q,
     theta_rollup_persisted_q, tokenizer_fertility_q,
 )
+from .catalog_r8 import (
+    _cms_rollup_grouped_range_oracle, _cms_rollup_persisted_oracle,
+    cms_rollup_grouped_range_q, cms_rollup_persisted_q,
+)
 
 # ------------------------------------------------------------------ #
 # catalog assembly
@@ -1657,6 +1661,29 @@ CATALOG = {
 }
 
 # ------------------------------------------------------------------ #
+# round 8 additions (builders in catalog_r8.py)
+# ------------------------------------------------------------------ #
+CATALOG.update(
+    {
+        "cms_rollup_persisted": QuerySpec(
+            cms_rollup_persisted_q,
+            _cms_rollup_persisted_oracle(),
+            doc="Persisted CMS day store, full verb cycle: build + "
+            "chunked append (idempotent overwrite — the ADDITIVE "
+            "replay contract) + replay + compact + range top-20 from "
+            "counters alone; completes the five-sketch store matrix.",
+        ),
+        "cms_rollup_grouped_range": QuerySpec(
+            cms_rollup_grouped_range_q,
+            _cms_rollup_grouped_range_oracle(),
+            doc="CMS store group dimension: per-event-type range heavy "
+            "hitters from (day, type) counter tables + shared "
+            "rollup_expire retention before the read.",
+        ),
+    }
+)
+
+# ------------------------------------------------------------------ #
 # driver-window ordering (round 8) — VERDICT r7 #1: the 54 entries
 # with ZERO driver CORRECTNESS rows (the whole late-r7 batch — theta/
 # tdigest/bloom stores, IVFPQ family, substring dedup, streaming
@@ -1669,7 +1696,10 @@ CATALOG = {
 _R8_FRONT = _R7_NEXT[:50]
 _R8_SPILL = _R7_NEXT[50:54]  # dedup_cascade .. stream_quality_monitor
 _R8_STALE_R4 = _R7_NEXT[54:]  # the 20 entries last driver-checked r4
-_R8_NEW: list[str] = []
+_R8_NEW: list[str] = [
+    "cms_rollup_persisted",
+    "cms_rollup_grouped_range",
+]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 
 assert set(_R8_FRONT + _R8_NEXT) <= set(CATALOG), sorted(

@@ -2055,3 +2055,263 @@ JOIN kept ON kept.grp = nd.grp
 JOIN thmin ON thmin.grp = nd.grp
 JOIN ex ON ex.grp = nd.grp
 """
+
+
+# --------------------------------------------------------------------- #
+# Persisted Count-Min day store — the ADDITIVE-class member of the
+# day-partitioned store matrix (HLL registers MAX-merge, theta samples
+# SET-merge, t-digest centroids weight-ADD, Bloom positions SET-merge;
+# CMS counters ADD).  Each day holds ≤ d·w counter rows per chunk, so a
+# range query reads partition-pruned counters — days·chunks·d·w rows —
+# and NEVER rescans events.  Because counter addition is exact, the
+# SUM-merged range sketch is bit-for-bit the sketch a one-shot pass
+# over the range would build: the store costs nothing in accuracy.
+#
+# Merge class drives the append contract (the rule three streaming
+# entries already pin): ADDITIVE stores cannot absorb at-least-once
+# appends the way MAX/SET stores do — a replayed append would DOUBLE
+# counts.  The append verb is therefore idempotent by construction:
+# each chunk's counters land in their own (day, chunk) partition via
+# dynamic partition overwrite, so replaying an append rewrites the same
+# partition with the same bytes (the foreachBatch per-batch-id-dir
+# discipline, as a store verb).
+# --------------------------------------------------------------------- #
+
+
+def _cms_day_counters(
+    ev: DataFrame, value_col: str, ts_col: str, w: int, d: int
+) -> DataFrame:
+    """Per-day d×w counter tables ``(day, rw, cl, cnt)`` in ONE
+    aggregation; keys hashed once over the DISTINCT value set and joined
+    back (the ``cms_counter_table`` discipline, plus the day column)."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    vals = ev.select(day, F.col(value_col).cast("long").alias("v"))
+    hh = _double_hashed_values(vals, "v")
+    rcol = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("rw")
+    pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
+    return (
+        vals.join(hh, "v")
+        .select("day", "h1", "h2", rcol)
+        .select("day", "rw", pos)
+        .groupBy("day", "rw", "cl")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_rollup_build(
+    ev: DataFrame,
+    path: str,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    w: int = 1024,
+    d: int = 4,
+) -> None:
+    """Materialize the per-day counter store at ``path``, partitioned by
+    (day, chunk) — build writes chunk 0 of every day it sees."""
+    rows = _cms_day_counters(ev, value_col, ts_col, w, d).withColumn(
+        "chunk", F.lit(0)
+    )
+    rows.write.mode("overwrite").partitionBy("day", "chunk").parquet(path)
+
+
+def cms_rollup_append_chunk(
+    ev_chunk: DataFrame,
+    path: str,
+    day: str,
+    chunk: int,
+    value_col: str = "user_id",
+    w: int = 1024,
+    d: int = 4,
+) -> None:
+    """Incremental maintenance: sketch one chunk of one day's events
+    (caller filters both) into its own ``(day, chunk)`` partition.
+    Dynamic partition overwrite makes the verb IDEMPOTENT — the
+    additive-class replay contract (see module comment): re-running an
+    append replaces the same partition with the same counters instead of
+    doubling them."""
+    counters = cms_counter_table(ev_chunk, value_col, w=w, d=d)
+    rows = counters.select(
+        F.lit(day).alias("day"),
+        F.lit(int(chunk)).alias("chunk"),
+        "rw",
+        "cl",
+        "cnt",
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day", "chunk")
+        .parquet(path)
+    )
+
+
+def cms_rollup_compact(spark, path: str, day: str) -> int:
+    """Compaction verb: re-SUM one day's chunks into a single chunk-0
+    file — for the additive class, compaction IS the merge (exact
+    integer addition), so range reads before and after are bit-identical.
+    Same dot-tmp + rename swap as the other stores' compactors:
+    concurrent readers see the old chunk set or the new one, never a
+    torn mix.  Returns the data-file count after compaction (1)."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"day={day}")
+    merged = (
+        spark.read.parquet(part_dir)
+        .groupBy("rw", "cl")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .coalesce(1)
+    )
+    tmp = os.path.join(path, f".day={day}.compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=0"))
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    return len(
+        [
+            f
+            for f in os.listdir(os.path.join(part_dir, "chunk=0"))
+            if f.endswith(".parquet")
+        ]
+    )
+
+
+def cms_rollup_compact_all(spark, path: str) -> dict[str, int]:
+    """Compact every day holding more than one data file (multiple
+    chunks, or a multi-file chunk); single-file days keep their file
+    identity so repeated maintenance runs converge to a no-op.  Returns
+    ``{day: files_before}`` for the days rewritten."""
+    import os
+
+    out: dict[str, int] = {}
+    for dname in sorted(os.listdir(path)):
+        if not dname.startswith("day="):
+            continue
+        day_dir = os.path.join(path, dname)
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(day_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if len(files) > 1:
+            out[dname.split("=", 1)[1]] = len(files)
+            cms_rollup_compact(spark, path, dname.split("=", 1)[1])
+    return out
+
+
+def cms_rollup_range_estimates(
+    spark,
+    path: str,
+    lo: str,
+    hi: str,
+    probe: DataFrame,
+    w: int = 1024,
+    d: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Range frequency estimates from the persisted counters ALONE:
+    ``(v, est_cnt)`` for each key in ``probe`` (a one-column ``v``
+    frame).  Day partitions in [lo, hi] prune by string BETWEEN (ISO
+    day strings order like dates), counters SUM-merge per (rw, cl) —
+    exact addition, so the merged sketch equals a one-shot range sketch
+    bit-for-bit — then each probe key reads its d cells and takes the
+    MIN.  The probe side is topk·d rows and broadcasts; the store side
+    is the only scan.  ``checkpoint=False`` keeps the pruned file scan
+    visible for the plan-pinning test."""
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(lo, hi))
+        .groupBy("rw", "cl")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    if checkpoint:
+        rows = rows.localCheckpoint(eager=True)
+    hh = _double_hashed_values(probe, "v")
+    rcol = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("rw")
+    pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
+    cells = hh.select("v", "h1", "h2", rcol).select("v", "rw", pos)
+    return (
+        rows.join(F.broadcast(cells), ["rw", "cl"])
+        .groupBy("v")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+
+
+def _cms_day_counters_grouped(
+    ev: DataFrame, group_col: str, value_col: str, ts_col: str, w: int, d: int
+) -> DataFrame:
+    """Grouped twin of :func:`_cms_day_counters`: one counter table per
+    (day, group), ``(day, g, rw, cl, cnt)`` — still one aggregation, and
+    the hash work is unchanged (h depends on the key alone)."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    vals = ev.select(
+        day,
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    hh = _double_hashed_values(vals, "v")
+    rcol = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("rw")
+    pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
+    return (
+        vals.join(hh, "v")
+        .select("day", "g", "h1", "h2", rcol)
+        .select("day", "g", "rw", pos)
+        .groupBy("day", "g", "rw", "cl")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_rollup_grouped_build(
+    ev: DataFrame,
+    path: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    w: int = 1024,
+    d: int = 4,
+) -> None:
+    """Grouped store build: (day, chunk)-partitioned parquet with the
+    group as a data column — per-tenant/per-type frequency stores from
+    one pass, ≤ days·groups·d·w rows."""
+    rows = _cms_day_counters_grouped(
+        ev, group_col, value_col, ts_col, w, d
+    ).withColumn("chunk", F.lit(0))
+    rows.write.mode("overwrite").partitionBy("day", "chunk").parquet(path)
+
+
+def cms_rollup_grouped_range_estimates(
+    spark,
+    path: str,
+    lo: str,
+    hi: str,
+    probe: DataFrame,
+    w: int = 1024,
+    d: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-group range estimates from the grouped store alone:
+    ``(g, v, est_cnt)`` for each (g, v) in ``probe``.  Same pruned-scan +
+    SUM-merge discipline; the MIN is taken within the key's own group's
+    counter table."""
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(lo, hi))
+        .groupBy("g", "rw", "cl")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    if checkpoint:
+        rows = rows.localCheckpoint(eager=True)
+    hh = _double_hashed_values(probe.select("v"), "v")
+    rcol = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("rw")
+    pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
+    cells = (
+        probe.join(hh, "v")
+        .select("g", "v", "h1", "h2", rcol)
+        .select("g", "v", "rw", pos)
+    )
+    return (
+        rows.join(F.broadcast(cells), ["g", "rw", "cl"])
+        .groupBy("g", "v")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )

@@ -330,6 +330,12 @@ BUDGET = {
                                  # crosstab agg over the CHECKPOINTED
                                  # band/candidate tables (SQL text
                                  # re-inlines to 40)
+    # r8: persisted CMS store reads — the counter SUM-merge is
+    # checkpointed, so the plan is the exact-top-k agg + the final
+    # probe-join agg; the store build/append/compact verbs run as side
+    # jobs before the measured query
+    "cms_rollup_persisted": 2,
+    "cms_rollup_grouped_range": 2,
 }
 
 

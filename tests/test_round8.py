@@ -1,0 +1,145 @@
+"""Round-8 pins: the persisted Count-Min day store (the ADDITIVE member
+of the store matrix) — no-events-rescan plan shape, idempotent-append
+replay law, compaction identity, and the exact SUM-merge law (store
+range read == one-shot sketch, bit for bit)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from big_data_table_spark.functions import sketches as SK
+from big_data_table_spark.sources.readers import load_events
+
+LO, HI = "2024-01-08", "2024-01-21"
+
+
+def _probe(spark, keys):
+    return spark.createDataFrame([(int(k),) for k in keys], "v long")
+
+
+def _est_rows(spark, path, probe, **kw):
+    return sorted(
+        (r["v"], r["est_cnt"])
+        for r in SK.cms_rollup_range_estimates(
+            spark, path, LO, HI, probe, **kw
+        ).collect()
+    )
+
+
+def test_cms_rollup_range_plan_reads_only_counter_files(spark, sf_dir):
+    """The CMS store's range plan must scan the counter parquet
+    (partition-pruned on day) and must NOT scan the events table — the
+    no-rescan contract every persisted store pins (HLL r6, theta r7),
+    applied to the additive store: a range top-k costs days·chunks·d·w
+    counter rows, never an events pass."""
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "cms_rollup")
+    SK.cms_rollup_build(ev, path)
+    est = SK.cms_rollup_range_estimates(
+        spark, path, LO, HI, _probe(spark, [1, 2, 3]), checkpoint=False
+    )  # checkpoint=False keeps the pruned file scan visible in-plan
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "cms_rollup" in plan
+    assert "events" not in plan
+    assert est.count() == 3  # every probed key gets an estimate row
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_cms_append_replay_is_idempotent_and_compaction_exact(spark, sf_dir):
+    """The additive-class lifecycle laws in one store:
+
+    1. REPLAY: re-running an append leaves every range estimate
+       bit-identical (the per-(day, chunk) dynamic overwrite absorbs
+       at-least-once delivery — counters are replaced, never doubled).
+    2. COMPACTION: re-SUMming a day's chunks to one file changes no
+       estimate (integer addition is exact) and leaves exactly one
+       data file for the day.
+    3. SUM-MERGE LAW: the chunked, replayed, compacted store answers
+       the range query bit-identically to a store built in ONE pass —
+       the merge law that makes day/chunk splits free."""
+    ev = load_events(spark, sf_dir)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    root = tempfile.mkdtemp()
+    chunked, oneshot = (
+        os.path.join(root, "chunked"),
+        os.path.join(root, "oneshot"),
+    )
+
+    top = [
+        r["v"]
+        for r in ev.filter(day.between(LO, HI))
+        .groupBy(F.col("user_id").cast("long").alias("v"))
+        .count()
+        .orderBy(F.col("count").desc(), "v")
+        .limit(10)
+        .collect()
+    ]
+    probe = _probe(spark, top)
+
+    SK.cms_rollup_build(ev.filter(day != HI), chunked)
+    last = ev.filter(day == HI)
+    SK.cms_rollup_append_chunk(last.filter(F.col("user_id") % 2 == 0), chunked, HI, 1)
+    SK.cms_rollup_append_chunk(last.filter(F.col("user_id") % 2 == 1), chunked, HI, 2)
+    base = _est_rows(spark, chunked, probe)
+
+    # 1. replay the second chunk's append: bit-identical estimates
+    SK.cms_rollup_append_chunk(last.filter(F.col("user_id") % 2 == 1), chunked, HI, 2)
+    assert _est_rows(spark, chunked, probe) == base
+
+    # 2. compaction: one data file for the day, estimates unchanged
+    n_files = SK.cms_rollup_compact(spark, chunked, HI)
+    assert n_files == 1
+    day_files = [
+        f
+        for r, _, fs in os.walk(os.path.join(chunked, f"day={HI}"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(day_files) == 1
+    assert _est_rows(spark, chunked, probe) == base
+
+    # 3. merge law: == the one-shot store
+    SK.cms_rollup_build(ev, oneshot)
+    assert _est_rows(spark, oneshot, probe) == base
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cms_grouped_store_expire_keeps_range_identical(spark, sf_dir):
+    """Retention on the grouped CMS store: rollup_expire drops exactly
+    the pre-cutoff day partitions, and the retained range's per-group
+    estimates are bit-identical before and after (pruning never touched
+    the dropped days)."""
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "cms_grp")
+    SK.cms_rollup_grouped_build(ev, path)
+    probe = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.col("user_id").cast("long").alias("v"),
+        )
+        .distinct()
+        .limit(12)
+        .localCheckpoint(eager=True)
+    )
+
+    def rows():
+        return sorted(
+            (r["g"], r["v"], r["est_cnt"])
+            for r in SK.cms_rollup_grouped_range_estimates(
+                spark, path, LO, HI, probe
+            ).collect()
+        )
+
+    before = rows()
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    dropped = SK.rollup_expire(path, LO)
+    assert dropped == [d for d in days if d < LO]
+    assert rows() == before
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
