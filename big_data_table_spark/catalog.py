@@ -146,7 +146,9 @@ from .catalog_r67 import (
 )
 from .catalog_r8 import (
     _cms_rollup_grouped_range_oracle, _cms_rollup_persisted_oracle,
-    cms_rollup_grouped_range_q, cms_rollup_persisted_q,
+    _last_touch_builder, _ltv_cohort_builder, _orders_backlog_oracle,
+    _orders_market_basket_oracle, cms_rollup_grouped_range_q,
+    cms_rollup_persisted_q, orders_backlog_q, orders_market_basket_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -1680,6 +1682,32 @@ CATALOG.update(
             "hitters from (day, type) counter tables + shared "
             "rollup_expire retention before the read.",
         ),
+        "orders_market_basket": QuerySpec(
+            orders_market_basket_q,
+            _orders_market_basket_oracle(),
+            doc="Market-basket affinity: top-20 co-purchased part pairs "
+            "with lift; orderkey-bounded self-join, never a part "
+            "cartesian.",
+        ),
+        "orders_backlog_profile": QuerySpec(
+            orders_backlog_q,
+            _orders_backlog_oracle(),
+            doc="Interval-overlap backlog: monthly peak/trough of "
+            "simultaneously open orders via +1/-1 boundary deltas and "
+            "a calendar-bounded running sum.",
+        ),
+        "customer_ltv_cohort": _dual(
+            _ltv_cohort_builder,
+            doc="Cohort LTV triangle: first-order-month cohorts x month "
+            "offset, active customers + exact-decimal revenue.",
+        ),
+        "events_attribution_last_touch": _dual(
+            _last_touch_builder,
+            doc="Last-touch attribution: purchases credited to the "
+            "latest prior non-purchase event within 7 days via one "
+            "encoded-string window MAX (no self-join, no IGNORE NULLS "
+            "dialect drift).",
+        ),
     }
 )
 
@@ -1699,6 +1727,10 @@ _R8_STALE_R4 = _R7_NEXT[54:]  # the 20 entries last driver-checked r4
 _R8_NEW: list[str] = [
     "cms_rollup_persisted",
     "cms_rollup_grouped_range",
+    "orders_market_basket",
+    "orders_backlog_profile",
+    "customer_ltv_cohort",
+    "events_attribution_last_touch",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

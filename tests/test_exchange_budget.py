@@ -336,6 +336,16 @@ BUDGET = {
     # jobs before the measured query
     "cms_rollup_persisted": 2,
     "cms_rollup_grouped_range": 2,
+    "orders_market_basket": 5,   # pair agg on the checkpointed item
+                                 # table + part counts + top-20 probe
+                                 # joins (top side broadcast)
+    "orders_backlog_profile": 2, # delta agg + month agg; the running
+                                 # sum windows the calendar-bounded
+                                 # delta table off the checkpointed
+                                 # interval join
+    "customer_ltv_cohort": 3,    # first-order agg + cohort join +
+                                 # cohort agg
+    "events_attribution_last_touch": 2,  # per-user window + final agg
 }
 
 
