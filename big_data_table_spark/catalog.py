@@ -146,9 +146,13 @@ from .catalog_r67 import (
 )
 from .catalog_r8 import (
     _cms_rollup_grouped_range_oracle, _cms_rollup_persisted_oracle,
-    _last_touch_builder, _ltv_cohort_builder, _orders_backlog_oracle,
-    _orders_market_basket_oracle, cms_rollup_grouped_range_q,
-    cms_rollup_persisted_q, orders_backlog_q, orders_market_basket_q,
+    _corpus_burstiness_builder, _events_funnel_windowed_oracle,
+    _last_touch_builder, _ltv_cohort_builder,
+    _minhash_estimate_report_oracle, _orders_backlog_oracle,
+    _orders_market_basket_oracle, _vocab_oov_curve_oracle,
+    cms_rollup_grouped_range_q, cms_rollup_persisted_q,
+    events_funnel_windowed_q, minhash_estimate_report_q, orders_backlog_q,
+    orders_market_basket_q, vocab_oov_curve_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -1708,6 +1712,33 @@ CATALOG.update(
             "encoded-string window MAX (no self-join, no IGNORE NULLS "
             "dialect drift).",
         ),
+        "events_funnel_windowed": QuerySpec(
+            events_funnel_windowed_q,
+            _events_funnel_windowed_oracle(),
+            doc="Strict-order gap-bounded funnel (view->click->purchase, "
+            "30-min steps) via two chained per-user window passes — the "
+            "MATCH_RECOGNIZE-shaped sequence query.",
+        ),
+        "minhash_estimate_report": QuerySpec(
+            minhash_estimate_report_q,
+            _minhash_estimate_report_oracle(),
+            doc="MinHash estimator calibration: signature-estimated vs "
+            "exact Jaccard per agreement count over the LSH candidate "
+            "set — the third honesty report.",
+        ),
+        "corpus_burstiness": _dual(
+            _corpus_burstiness_builder,
+            doc="Church-Gale term burstiness (VMR of per-doc counts, "
+            "zeros included) for the top-df terms; exact integer "
+            "moments, closed-form double.",
+        ),
+        "vocab_oov_curve": QuerySpec(
+            vocab_oov_curve_q,
+            _vocab_oov_curve_oracle(),
+            doc="Held-out OOV rate vs vocabulary size (top-N train "
+            "types) + never-seen type count; two-phase rank == the "
+            "oracle's global ROW_NUMBER.",
+        ),
     }
 )
 
@@ -1731,6 +1762,10 @@ _R8_NEW: list[str] = [
     "orders_backlog_profile",
     "customer_ltv_cohort",
     "events_attribution_last_touch",
+    "events_funnel_windowed",
+    "minhash_estimate_report",
+    "corpus_burstiness",
+    "vocab_oov_curve",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

@@ -355,3 +355,355 @@ SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
   CAST(CAST(SUM(val) AS DECIMAL(38,6)) AS DOUBLE) AS credited_value
 FROM p GROUP BY touch_type
 """
+
+
+# ------------------------------------------------------------------ #
+# sequence / funnel windows
+# ------------------------------------------------------------------ #
+
+def events_funnel_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order, gap-bounded funnel (view → click → purchase, each
+    step within 30 minutes of the previous): per-stage distinct-user
+    counts.  Unlike the presence-based `events_funnel`, ORDER and GAP
+    both matter — a click before its view, or 31 minutes after it,
+    does not qualify — which is the MATCH_RECOGNIZE-shaped question
+    answered here with two chained per-user window passes (the
+    encoded last-touch MAX of `events_attribution_last_touch`): pass 1
+    marks clicks with a qualifying view, pass 2 marks purchases with a
+    qualifying click.  All windows are user-partitioned (the 100 TB
+    shape); the qualified-click table is checkpointed because both the
+    stage count and the second pass consume it."""
+    from .functions.portable import epoch_s
+
+    register_views(spark, sf_dir)
+    ev = spark.sql(
+        f"SELECT user_id, event_type, event_id, {epoch_s('ts', SPARK)} AS es"
+        " FROM events"
+    )
+    from pyspark.sql import Window
+
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vc = ev.filter(F.col("event_type").isin("view", "click")).withColumn(
+        "last_view",
+        F.max(F.when(F.col("event_type") == "view", F.col("es"))).over(w1),
+    )
+    qc = (
+        vc.filter(
+            (F.col("event_type") == "click")
+            & F.col("last_view").isNotNull()
+            & (F.col("es") - F.col("last_view") <= 1800)
+        )
+        .select("user_id", "event_id", "es")
+        .localCheckpoint(eager=True)
+    )
+    u = qc.select("user_id", F.lit(0).alias("is_p"), "event_id", "es").unionAll(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.lit(1).alias("is_p"), "event_id", "es"
+        )
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        u.withColumn(
+            "last_qc", F.max(F.when(F.col("is_p") == 0, F.col("es"))).over(w2)
+        )
+        .filter(
+            (F.col("is_p") == 1)
+            & F.col("last_qc").isNotNull()
+            & (F.col("es") - F.col("last_qc") <= 1800)
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_converted"))
+    )
+    viewers = ev.filter(F.col("event_type") == "view").agg(
+        F.countDistinct("user_id").cast("long").alias("n_viewers")
+    )
+    clickers = qc.agg(
+        F.countDistinct("user_id").cast("long").alias("n_qualified_clickers")
+    )
+    return viewers.crossJoin(clickers).crossJoin(conv)
+
+
+def _events_funnel_windowed_oracle() -> str:
+    from .functions.portable import epoch_s
+
+    es = epoch_s("ts", DUCK)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, {es} AS es FROM events),
+w1 AS (
+  SELECT user_id, event_type, event_id, es,
+    MAX(CASE WHEN event_type = 'view' THEN es END) OVER
+      (PARTITION BY user_id ORDER BY es, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+  FROM ev WHERE event_type IN ('view', 'click')),
+qc AS (
+  SELECT user_id, event_id, es FROM w1
+  WHERE event_type = 'click' AND last_view IS NOT NULL
+    AND es - last_view <= 1800),
+u AS (
+  SELECT user_id, 0 AS is_p, event_id, es FROM qc
+  UNION ALL
+  SELECT user_id, 1 AS is_p, event_id, es FROM ev
+  WHERE event_type = 'purchase'),
+w2 AS (
+  SELECT user_id, is_p, es,
+    MAX(CASE WHEN is_p = 0 THEN es END) OVER
+      (PARTITION BY user_id ORDER BY es, is_p, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qc
+  FROM u)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev
+   WHERE event_type = 'view') AS n_viewers,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM qc)
+    AS n_qualified_clickers,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM w2
+   WHERE is_p = 1 AND last_qc IS NOT NULL AND es - last_qc <= 1800)
+    AS n_converted
+"""
+
+
+# ------------------------------------------------------------------ #
+# LLM-pipeline calibration reports
+# ------------------------------------------------------------------ #
+
+def minhash_estimate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration — the third honesty report next to
+    `ann_recall_report` (IVF recall) and `dedup_lsh_recall_report` (LSH
+    candidate recall): for every LSH candidate pair, the signature
+    estimate of Jaccard (agreeing components / 12) against the exact
+    n-gram Jaccard, grouped by agreement count: pair count, the
+    estimate, mean exact similarity, and mean absolute error.  This is
+    the number that says how far the 12-component signature can be
+    trusted before the exact verify stage — i.e. whether
+    estimate-threshold shortcuts are safe at production scale.
+
+    Spark plan: signatures, band candidates, and the exact-Jaccard
+    truth table each computed ONCE and checkpointed (CTE inlining would
+    re-run the shingle pipeline per reference); candidates not in the
+    truth table carry exact J = 0 via the left join."""
+    from .functions import dedup as DD
+    from .functions.dedup import N_HASHES
+
+    register_views(spark, sf_dir)
+    sigs = spark.sql(DD.minhash_signature_sql(SPARK)).localCheckpoint(eager=True)
+    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
+    cands = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    truth = spark.sql(
+        DD.ngram_jaccard_pairs_sql(SPARK, threshold=0.05)
+    ).localCheckpoint(eager=True)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(N_HASHES)
+    )
+    per = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_agree", agree.cast("int"))
+        .join(truth, ["doc_a", "doc_b"], "left")
+        .withColumn("exact_j", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        .withColumn(
+            "abs_err",
+            F.abs(
+                F.col("n_agree") / F.lit(12).cast("double") - F.col("exact_j")
+            ),
+        )
+    )
+    return per.groupBy("n_agree").agg(
+        F.round(F.col("n_agree").cast("double") / 12, 6).alias("est_jaccard"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("exact_j").cast("decimal(18,6)")).cast("decimal(38,6)")
+            / F.count(F.lit(1)),
+            6,
+        ).cast("double").alias("mean_exact_jaccard"),
+        F.round(
+            F.sum(F.col("abs_err").cast("decimal(18,6)")).cast("decimal(38,6)")
+            / F.count(F.lit(1)),
+            6,
+        ).cast("double").alias("mean_abs_err"),
+    )
+
+
+def _minhash_estimate_report_oracle() -> str:
+    from .functions import dedup as DD
+    from .functions.dedup import N_HASHES
+
+    sigs = DD.minhash_signature_sql(DUCK)
+    cands = DD.minhash_lsh_pairs_sql(DUCK)
+    truth = DD.ngram_jaccard_pairs_sql(DUCK, threshold=0.05)
+    agree = " + ".join(
+        f"(CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END)" for k in range(N_HASHES)
+    )
+    return f"""
+WITH per AS (
+  SELECT CAST({agree} AS INT) AS n_agree,
+    COALESCE(t.jaccard, 0) AS exact_j
+  FROM ({cands}) c
+  JOIN ({sigs}) a ON a.doc_id = c.doc_a
+  JOIN ({sigs}) b ON b.doc_id = c.doc_b
+  LEFT JOIN ({truth}) t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+SELECT n_agree,
+  ROUND(CAST(n_agree AS DOUBLE) / 12, 6) AS est_jaccard,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(ROUND(CAST(SUM(CAST(exact_j AS DECIMAL(18,6))) AS DECIMAL(38,6))
+    / COUNT(*), 6) AS DOUBLE) AS mean_exact_jaccard,
+  CAST(ROUND(CAST(SUM(CAST(ABS(CAST(n_agree AS DOUBLE) / 12 - exact_j)
+      AS DECIMAL(18,6))) AS DECIMAL(38,6))
+    / COUNT(*), 6) AS DOUBLE) AS mean_abs_err
+FROM per GROUP BY n_agree
+"""
+
+
+def _corpus_burstiness_builder(dialect: str) -> str:
+    """Term burstiness (Church–Gale variance-to-mean ratio of per-doc
+    counts, zeros included): VMR ≈ 1 means Poisson scatter (function
+    words), VMR >> 1 means the term clumps into few documents (topical
+    / boilerplate) — the screen that separates stopword-like noise from
+    content-bearing terms before vocabulary or quality decisions.  For
+    the top-10 document-frequency terms: df, total count, and VMR.
+    All moments are exact BIGINT sums cast to DOUBLE only inside the
+    final closed-form ((tf2·n − tf²)/(tf·n)), so both engines compute
+    the identical float."""
+    from .functions.portable import arr_len, lateral_arr, split_ws
+
+    w = split_ws("lower(text)", dialect)
+    return f"""
+WITH words AS (
+  SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w FROM documents),
+docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= 1),
+tok AS (SELECT doc_id, tk FROM docs {lateral_arr('w', 'tk', dialect)}),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+perdoc AS (
+  SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, tk),
+stats AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS tf,
+    CAST(SUM(c * c) AS BIGINT) AS tf2
+  FROM perdoc GROUP BY tk),
+top AS (SELECT tk, df, tf, tf2 FROM stats ORDER BY df DESC, tk LIMIT 10)
+SELECT tk AS term, df, tf,
+  ROUND((CAST(tf2 AS DOUBLE) * (SELECT n FROM nd) - CAST(tf AS DOUBLE) * tf)
+    / (CAST(tf AS DOUBLE) * (SELECT n FROM nd)), 6) AS vmr
+FROM top
+"""
+
+
+def vocab_oov_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary out-of-coverage curve: rank word types by frequency on
+    the TRAIN split (doc_id % 5 != 0), then measure on the held-out
+    split what fraction of token OCCURRENCES fall outside the top-N
+    vocabulary for N in {100, 500, 1000}, plus the count of never-seen
+    types — the curve that sizes a vocabulary (or budgets a subword
+    fallback) before training a tokenizer.
+
+    Spark plan: the global frequency rank comes from
+    `two_phase_position` (bucket = capped count band), NOT a global
+    ROW_NUMBER — the oracle's single ORDER BY proves the distributed
+    rank is the global one, the same equivalence `training_order_
+    shuffle` pins; the token table is checkpointed (train and test both
+    consume it); the 3-row size table broadcasts."""
+    from .functions.portable import arr_len, lateral_arr, split_ws
+    from .operators.windows import two_phase_position
+
+    register_views(spark, sf_dir)
+    w = split_ws("lower(text)", SPARK)
+    tok = spark.sql(
+        f"""WITH words AS (
+          SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w FROM documents),
+        docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', SPARK)} >= 1)
+        SELECT doc_id, tk FROM docs {lateral_arr('w', 'tk', SPARK)}"""
+    ).localCheckpoint(eager=True)
+    freq = (
+        tok.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = two_phase_position(
+        freq,
+        -F.least(F.col("c"), F.lit(4096)),
+        [F.col("c").desc(), F.col("tk")],
+        out="pos",
+    )
+    testc = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    j = testc.join(ranked.select("tk", "pos"), "tk", "left")
+    sizes = spark.sql("SELECT 100 AS n UNION ALL SELECT 500 UNION ALL SELECT 1000")
+    oov = F.when(F.col("pos").isNull() | (F.col("pos") >= F.col("n")), F.col("tc")).otherwise(F.lit(0))
+    return (
+        j.crossJoin(F.broadcast(sizes))
+        .groupBy("n")
+        .agg(
+            F.sum("tc").cast("long").alias("n_test_tokens"),
+            F.sum(oov).cast("long").alias("n_oov_tokens"),
+            F.round(F.sum(oov) / F.sum("tc").cast("double"), 6).alias("oov_rate"),
+            F.sum(F.col("pos").isNull().cast("long")).cast("long").alias(
+                "n_unseen_types"
+            ),
+        )
+        .select(
+            F.col("n").cast("int").alias("vocab_size"),
+            "n_test_tokens",
+            "n_oov_tokens",
+            "oov_rate",
+            "n_unseen_types",
+        )
+    )
+
+
+def _vocab_oov_curve_oracle() -> str:
+    from .functions.portable import arr_len, lateral_arr, split_ws
+
+    w = split_ws("lower(text)", DUCK)
+    return f"""
+WITH words AS (
+  SELECT doc_id, {w} AS w FROM documents),
+docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', DUCK)} >= 1),
+tok AS (SELECT doc_id, tk FROM docs {lateral_arr('w', 'tk', DUCK)}),
+freq AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+  WHERE doc_id % 5 <> 0 GROUP BY tk),
+ranked AS (
+  SELECT tk, ROW_NUMBER() OVER (ORDER BY c DESC, tk) - 1 AS pos FROM freq),
+testc AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS tc FROM tok
+  WHERE doc_id % 5 = 0 GROUP BY tk),
+j AS (
+  SELECT t.tk, t.tc, r.pos FROM testc t LEFT JOIN ranked r ON r.tk = t.tk),
+sizes AS (SELECT 100 AS n UNION ALL SELECT 500 UNION ALL SELECT 1000)
+SELECT CAST(n AS INT) AS vocab_size,
+  CAST(SUM(tc) AS BIGINT) AS n_test_tokens,
+  CAST(SUM(CASE WHEN pos IS NULL OR pos >= n THEN tc ELSE 0 END) AS BIGINT)
+    AS n_oov_tokens,
+  ROUND(SUM(CASE WHEN pos IS NULL OR pos >= n THEN tc ELSE 0 END)
+    / CAST(SUM(tc) AS DOUBLE), 6) AS oov_rate,
+  CAST(SUM(CASE WHEN pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unseen_types
+FROM j CROSS JOIN sizes GROUP BY n
+"""

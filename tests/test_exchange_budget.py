@@ -346,6 +346,19 @@ BUDGET = {
     "customer_ltv_cohort": 3,    # first-order agg + cohort join +
                                  # cohort agg
     "events_attribution_last_touch": 2,  # per-user window + final agg
+    "events_funnel_windowed": 6, # two user-partitioned window passes
+                                 # (view->click, click->purchase) +
+                                 # three distinct-user count aggs off
+                                 # the checkpointed qualified clicks
+    "minhash_estimate_report": 3,  # candidate join + truth left join +
+                                 # agreement agg over CHECKPOINTED
+                                 # sigs/bands/truth
+    "corpus_burstiness": 5,      # per-doc term agg + moment agg +
+                                 # top-10 + scalar n
+    "vocab_oov_curve": 7,        # train freq agg + two-phase rank
+                                 # (in-bucket window + offset) + test
+                                 # agg + size-grid agg, all off the
+                                 # checkpointed token table
 }
 
 
