@@ -150,7 +150,9 @@ from .catalog_r8 import (
     _last_touch_builder, _ltv_cohort_builder,
     _minhash_estimate_report_oracle, _orders_backlog_oracle,
     _orders_market_basket_oracle, _vocab_oov_curve_oracle,
+    _decontamination_curve_oracle, _embedding_norm_outliers_oracle,
     cms_rollup_grouped_range_q, cms_rollup_persisted_q,
+    decontamination_curve_q, embedding_norm_outliers_q,
     events_funnel_windowed_q, minhash_estimate_report_q, orders_backlog_q,
     orders_market_basket_q, vocab_oov_curve_q,
 )
@@ -1739,6 +1741,19 @@ CATALOG.update(
             "types) + never-seen type count; two-phase rank == the "
             "oracle's global ROW_NUMBER.",
         ),
+        "decontamination_curve": QuerySpec(
+            decontamination_curve_q,
+            _decontamination_curve_oracle(),
+            doc="Decontamination width calibration: corpus overlap "
+            "summary at 2/3/5-gram shingles — flag counts + mean "
+            "contamination per width.",
+        ),
+        "embedding_norm_outliers": QuerySpec(
+            embedding_norm_outliers_q,
+            _embedding_norm_outliers_oracle(),
+            doc="Per-label L2-norm median/MAD profile with robust-z "
+            "outlier counts — grouped_mad lifted to embeddings.",
+        ),
     }
 )
 
@@ -1766,6 +1781,8 @@ _R8_NEW: list[str] = [
     "minhash_estimate_report",
     "corpus_burstiness",
     "vocab_oov_curve",
+    "decontamination_curve",
+    "embedding_norm_outliers",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

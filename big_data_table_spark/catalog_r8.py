@@ -707,3 +707,137 @@ SELECT CAST(n AS INT) AS vocab_size,
     AS n_unseen_types
 FROM j CROSS JOIN sizes GROUP BY n
 """
+
+
+def _decon_width_sql(dialect: str, w: int, eval_source: str = "src0") -> str:
+    """One width's corpus-level decontamination summary: per training
+    doc the fraction of its distinct word-``w``-gram shingles appearing
+    anywhere in the eval source, rolled up to (width, n_train_docs,
+    n_flagged at >= 0.5, mean contamination).  The per-doc stage is the
+    `decontamination_sql` shape with the shingle width parametric —
+    eval shingles stay a DISTINCT broadcast-scale probe side."""
+    from .functions.portable import arr_el, arr_len, lateral_seq, split_ws
+
+    words = split_ws("lower(text)", dialect)
+    el = lambda i: arr_el("w", i, dialect)  # noqa: E731
+    sh = " || ' ' || ".join(el(f"i + {k}") if k else el("i") for k in range(w))
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - {w - 1}", "i", dialect)
+    frac = "ROUND(CAST(n_hit AS DOUBLE) / n_sh, 6)"
+    return f"""
+SELECT {w} AS ngram_w,
+  CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+  CAST(SUM(CASE WHEN {frac} >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(ROUND(CAST(SUM(CAST({frac} AS DECIMAL(18,6))) AS DECIMAL(38,6))
+    / COUNT(*), 6) AS DOUBLE) AS mean_contamination
+FROM (
+  WITH words AS (
+    SELECT /*+ REPARTITION(32) */ doc_id, {words} AS w FROM documents),
+  docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', dialect)} >= {w}),
+  shingles AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id, {sh} AS sh FROM docs {lat}) _s),
+  ds AS (
+    SELECT s.doc_id, s.sh, d.source FROM shingles s
+    JOIN documents d ON s.doc_id = d.doc_id),
+  eval_sh AS (SELECT DISTINCT sh FROM ds WHERE source = '{eval_source}')
+  SELECT t.doc_id, COUNT(*) AS n_sh,
+    SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM (SELECT doc_id, sh FROM ds WHERE source <> '{eval_source}') t
+  LEFT JOIN eval_sh e ON t.sh = e.sh GROUP BY t.doc_id) _per
+"""
+
+
+_DECON_WIDTHS = (2, 3, 5)
+
+
+def decontamination_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination CALIBRATION curve: the corpus-level overlap
+    summary at shingle widths 2/3/5 — short shingles over-flag (common
+    phrases), long shingles under-flag (miss paraphrase), and this
+    table is how a pipeline picks the width+threshold before running
+    the real `decontamination_report` drop.  Each width's block runs
+    once as its own plan (a DataFrame union, so Spark never re-inlines
+    a shared CTE three times); the eval shingle set stays the
+    broadcast-scale probe side at every width."""
+    register_views(spark, sf_dir)
+    out = None
+    for w in _DECON_WIDTHS:
+        df = spark.sql(_decon_width_sql(SPARK, w))
+        out = df if out is None else out.unionAll(df)
+    return out
+
+
+def _decontamination_curve_oracle() -> str:
+    return "\nUNION ALL\n".join(_decon_width_sql(DUCK, w) for w in _DECON_WIDTHS)
+
+
+def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile with robust outliers: n, exact median
+    norm, MAD, and the count beyond the 3·1.4826·MAD robust-z cut —
+    the embedding-space health check (collapsed or exploding vectors
+    show up as norm outliers long before recall drops).  Norms are the
+    shared in-order array fold (`similarity.dot` ≡ list_dot_product,
+    the equivalence every embedding oracle already rests on); medians
+    are the pinned percentile ≡ quantile_cont equivalence; the ≤|labels|
+    median/MAD tables broadcast back, so raw vectors shuffle never and
+    norms once per aggregate — `grouped_mad_outliers` lifted to the
+    embeddings table."""
+    from .functions.similarity import dot
+    from .sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = emb.select(
+        "label",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    med = nv.groupBy("label").agg(F.percentile("nrm", F.lit(0.5)).alias("med"))
+    dev = nv.join(F.broadcast(med), "label").withColumn(
+        "dev", F.abs(F.col("nrm") - F.col("med"))
+    )
+    mads = dev.groupBy("label", "med").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+    out = (
+        dev.join(F.broadcast(mads.select("label", "mad")), "label")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return mads.join(out, "label").select(
+        "label",
+        "n_vecs",
+        F.round("med", 6).alias("med_norm"),
+        F.round("mad", 6).alias("mad_norm"),
+        "n_outliers",
+    )
+
+
+def _embedding_norm_outliers_oracle() -> str:
+    from .functions.similarity import _dot_sql
+
+    return f"""
+WITH v0 AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+nv AS (SELECT label, sqrt({_dot_sql('e', 'e', DUCK)}) AS nrm FROM v0),
+med AS (SELECT label, quantile_cont(nrm, 0.5) AS med FROM nv GROUP BY label),
+dev AS (
+  SELECT nv.label, nv.nrm, med.med, ABS(nv.nrm - med.med) AS dev
+  FROM nv JOIN med ON med.label = nv.label),
+mads AS (
+  SELECT label, med, quantile_cont(dev, 0.5) AS mad,
+    CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM dev GROUP BY label, med),
+outl AS (
+  SELECT d.label,
+    CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_outliers
+  FROM dev d JOIN mads m ON m.label = d.label GROUP BY d.label)
+SELECT m.label, m.n_vecs, ROUND(m.med, 6) AS med_norm,
+  ROUND(m.mad, 6) AS mad_norm, o.n_outliers
+FROM mads m JOIN outl o ON o.label = m.label
+"""

@@ -359,6 +359,16 @@ BUDGET = {
                                  # (in-bucket window + offset) + test
                                  # agg + size-grid agg, all off the
                                  # checkpointed token table
+    "decontamination_curve": 24, # three INDEPENDENT width blocks (a
+                                 # DataFrame union, never a re-inlined
+                                 # shared CTE), 8 exchanges each:
+                                 # shingle distinct + source join +
+                                 # eval distinct + probe join + per-doc
+                                 # agg + rollup
+    "embedding_norm_outliers": 6,  # three grouped aggs (median, MAD,
+                                 # outlier count) with broadcast-back
+                                 # median tables — the grouped_mad
+                                 # shape on the norm fold
 }
 
 
