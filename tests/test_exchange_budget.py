@@ -369,6 +369,8 @@ BUDGET = {
                                  # outlier count) with broadcast-back
                                  # median tables — the grouped_mad
                                  # shape on the norm fold
+    "embedding_pq_distortion": 5,  # assign rank window + distortion agg
+                                 # (the ann_pq CTE chain, report form)
 }
 
 
