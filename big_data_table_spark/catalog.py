@@ -150,8 +150,10 @@ from .catalog_r8 import (
     _last_touch_builder, _ltv_cohort_builder,
     _minhash_estimate_report_oracle, _orders_backlog_oracle,
     _orders_market_basket_oracle, _vocab_oov_curve_oracle,
-    _decontamination_curve_oracle, _embedding_norm_outliers_oracle,
-    _pq_distortion_builder,
+    _decontamination_curve_oracle, _doc_length_histogram_builder,
+    _embedding_norm_outliers_oracle, _events_user_gini_oracle,
+    _pq_distortion_builder, _source_kl_drift_builder, _text_zipf_fit_oracle,
+    events_user_gini_q, text_zipf_fit_q,
     cms_rollup_grouped_range_q, cms_rollup_persisted_q,
     decontamination_curve_q, embedding_norm_outliers_q,
     events_funnel_windowed_q, minhash_estimate_report_q, orders_backlog_q,
@@ -1763,6 +1765,28 @@ CATALOG.update(
             "fixtures with the untrained first-16 codebook (honest; the "
             "trained variants are the production path).",
         ),
+        "events_user_gini": QuerySpec(
+            events_user_gini_q,
+            _events_user_gini_oracle(),
+            doc="Gini coefficient of events per user via two-phase "
+            "global rank — exact integer arithmetic to the final ratio.",
+        ),
+        "text_zipf_fit": QuerySpec(
+            text_zipf_fit_q,
+            _text_zipf_fit_oracle(),
+            doc="Zipf slope/intercept over the top-1000 terms: two-phase "
+            "rank + decimal-exact regression moments.",
+        ),
+        "doc_length_histogram": _dual(
+            _doc_length_histogram_builder,
+            doc="Per-source decimal-magnitude length histogram (digit "
+            "count bucket — exact in both engines).",
+        ),
+        "source_kl_drift": _dual(
+            _source_kl_drift_builder,
+            doc="KL divergence (both directions) between corpus-half "
+            "source mixtures, add-1 smoothed; rounded-ln decimal sums.",
+        ),
     }
 )
 
@@ -1793,6 +1817,10 @@ _R8_NEW: list[str] = [
     "decontamination_curve",
     "embedding_norm_outliers",
     "embedding_pq_distortion",
+    "events_user_gini",
+    "text_zipf_fit",
+    "doc_length_histogram",
+    "source_kl_drift",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

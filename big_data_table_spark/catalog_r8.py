@@ -892,3 +892,222 @@ SELECT CAST(s AS INT) AS s,
 FROM assign
 GROUP BY s
 """
+
+
+def events_user_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-concentration report: the Gini coefficient of events
+    per user (0 = perfectly even, → 1 = a few power users generate
+    everything) — the one-number answer to 'how concentrated is our
+    traffic', and the robustness caveat for any per-user mean.
+
+    The sorted-rank Gini formula G = Σ cᵢ·(2·rankᵢ − n + 1) / (n·Σc)
+    needs a GLOBAL ascending rank — supplied by `two_phase_position`
+    (banded rank, no global sort; the oracle's ROW_NUMBER proves the
+    equivalence).  Every term is exact BIGINT arithmetic; only the
+    final ratio is a double."""
+    from .operators.windows import two_phase_position
+    from .sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ranked = two_phase_position(
+        counts,
+        F.least(F.col("c"), F.lit(4096)),
+        [F.col("c"), F.col("user_id")],
+        out="pos",
+    )
+    ranked = ranked.localCheckpoint(eager=True)  # stats + weighted sum reuse
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("total_events"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.max("total_events").alias("total_events"),
+            F.round(
+                F.sum(
+                    F.col("c") * (2 * F.col("pos") - F.col("n_users") + 1)
+                ).cast("double")
+                / (F.max("n_users") * F.max("total_events")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def _events_user_gini_oracle() -> str:
+    return """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, user_id) - 1 AS pos,
+    COUNT(*) OVER () AS n
+  FROM counts)
+SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+  CAST(SUM(c) AS BIGINT) AS total_events,
+  ROUND(CAST(SUM(c * (2 * pos - n + 1)) AS DOUBLE)
+    / (MAX(n) * CAST(SUM(c) AS DOUBLE)), 6) AS gini
+FROM ranked
+"""
+
+
+def text_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: least-squares slope of ln(frequency) over ln(rank)
+    for the top-1000 corpus terms — natural corpora sit near −1, and a
+    corpus that doesn't (synthetic boilerplate, template spam, heavy
+    dedup residue) shows it here first, making this the cheapest
+    corpus-shape smoke test in the pipeline.
+
+    The global frequency rank is `two_phase_position` (the oracle's
+    ROW_NUMBER pins equivalence); ln values are ROUNDED to 6 dp and
+    cast to DECIMAL before the regression moments, and the products are
+    re-rounded to scale 6, so every sum is exact and order-independent
+    (the DECIMAL(38,>6)→DOUBLE cast trap never fires).  The closed-form
+    slope/intercept are evaluated in doubles at the very end."""
+    from .functions.portable import arr_len, lateral_arr, split_ws
+    from .operators.windows import two_phase_position
+
+    register_views(spark, sf_dir)
+    w = split_ws("lower(text)", SPARK)
+    freq = spark.sql(
+        f"""WITH words AS (
+          SELECT /*+ REPARTITION(32) */ doc_id, {w} AS w FROM documents),
+        docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', SPARK)} >= 1),
+        tok AS (SELECT tk FROM docs {lateral_arr('w', 'tk', SPARK)})
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk"""
+    )
+    ranked = two_phase_position(
+        freq,
+        -F.least(F.col("c"), F.lit(4096)),
+        [F.col("c").desc(), F.col("tk")],
+        out="pos",
+    ).filter(F.col("pos") < 1000)
+    d6 = "decimal(18,6)"
+    xy = ranked.select(
+        F.round(F.log(F.col("pos") + 1), 6).cast(d6).alias("x"),
+        F.round(F.log("c"), 6).cast(d6).alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.round(F.col("x") * F.col("y"), 6).cast(d6).alias("xy"),
+        F.round(F.col("x") * F.col("x"), 6).cast(d6).alias("xx"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").cast("decimal(38,6)").cast("double").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").cast("double").alias("sy"),
+        F.sum("xy").cast("decimal(38,6)").cast("double").alias("sxy"),
+        F.sum("xx").cast("decimal(38,6)").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "n_terms",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n_terms"), 4
+        ).alias("zipf_intercept"),
+    )
+
+
+def _text_zipf_fit_oracle() -> str:
+    from .functions.portable import arr_len, lateral_arr, split_ws
+
+    w = split_ws("lower(text)", DUCK)
+    return f"""
+WITH words AS (SELECT doc_id, {w} AS w FROM documents),
+docs AS (SELECT doc_id, w FROM words WHERE {arr_len('w', DUCK)} >= 1),
+tok AS (SELECT tk FROM docs {lateral_arr('w', 'tk', DUCK)}),
+freq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tk) - 1 AS pos FROM freq),
+xy0 AS (
+  SELECT CAST(ROUND(ln(pos + 1), 6) AS DECIMAL(18,6)) AS x,
+    CAST(ROUND(ln(c), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked WHERE pos < 1000),
+xy AS (
+  SELECT x, y,
+    CAST(ROUND(x * y, 6) AS DECIMAL(18,6)) AS xy,
+    CAST(ROUND(x * x, 6) AS DECIMAL(18,6)) AS xx
+  FROM xy0),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+    CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(xy) AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(xx) AS DECIMAL(38,6)) AS DOUBLE) AS sxx
+  FROM xy)
+SELECT n_terms,
+  ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
+    AS zipf_slope,
+  ROUND((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+    / n_terms, 4) AS zipf_intercept
+FROM m
+"""
+
+
+def _doc_length_histogram_builder(dialect: str) -> str:
+    """Per-source document-length histogram in decimal-magnitude buckets
+    (1–9, 10–99, … tokens — the bucket is the DIGIT COUNT of the token
+    count, exact integer arithmetic in both engines, no log2 float-edge
+    drift at power-of-two boundaries): doc count, token share, and mean
+    length per bucket — the at-a-glance length profile a curriculum or
+    packing config is tuned against."""
+    from .functions.portable import arr_len, split_ws
+
+    n = arr_len(split_ws("lower(text)", dialect), dialect)
+    return f"""
+WITH lens AS (
+  SELECT source, CAST({n} AS BIGINT) AS n_tokens FROM documents),
+b AS (
+  SELECT source, n_tokens,
+    CAST(length(CAST(n_tokens AS STRING)) AS INT) AS magnitude
+  FROM lens WHERE n_tokens > 0)
+SELECT source, magnitude,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 2) AS mean_tokens
+FROM b GROUP BY source, magnitude
+"""
+
+
+def _source_kl_drift_builder(dialect: str) -> str:
+    """Source-mixture drift between corpus halves (doc_id parity as the
+    before/after stand-in): KL(p‖q) and KL(q‖p) over the add-1-smoothed
+    source distributions — the alarm that fires when a crawl's source
+    mix shifts under the training distribution.  Per-source ln terms
+    are ROUNDED to 6 dp and summed as exact decimals (the tfidf ln
+    discipline), so both engines emit the identical float."""
+    return """
+WITH h AS (
+  SELECT source, CAST(doc_id % 2 AS INT) AS half FROM documents),
+src AS (SELECT DISTINCT source FROM h),
+c AS (
+  SELECT s.source,
+    CAST(COALESCE(SUM(CASE WHEN h.half = 0 THEN 1 END), 0) + 1 AS BIGINT) AS ca,
+    CAST(COALESCE(SUM(CASE WHEN h.half = 1 THEN 1 END), 0) + 1 AS BIGINT) AS cb
+  FROM src s LEFT JOIN h ON h.source = s.source
+  GROUP BY s.source),
+t AS (
+  SELECT source, ca, cb,
+    CAST(SUM(ca) OVER () AS DOUBLE) AS na,
+    CAST(SUM(cb) OVER () AS DOUBLE) AS nb
+  FROM c),
+terms AS (
+  SELECT
+    CAST(ROUND((ca / na) * ln((ca / na) / (cb / nb)), 6)
+      AS DECIMAL(18,6)) AS fwd,
+    CAST(ROUND((cb / nb) * ln((cb / nb) / (ca / na)), 6)
+      AS DECIMAL(18,6)) AS rev
+  FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+  CAST(CAST(SUM(fwd) AS DECIMAL(38,6)) AS DOUBLE) AS kl_forward,
+  CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS kl_reverse
+FROM terms
+"""

@@ -371,6 +371,15 @@ BUDGET = {
                                  # shape on the norm fold
     "embedding_pq_distortion": 5,  # assign rank window + distortion agg
                                  # (the ann_pq CTE chain, report form)
+    "events_user_gini": 2,       # per-user count agg + Gini agg over
+                                 # the CHECKPOINTED two-phase rank
+    "text_zipf_fit": 8,          # term freq agg + two-phase rank
+                                 # (in-bucket window + offset) + moment
+                                 # agg — no global sort anywhere
+    "doc_length_histogram": 1,   # single grouped agg (digit bucket is
+                                 # a projection)
+    "source_kl_drift": 2,        # half-count agg + the KL-term sum over
+                                 # the |sources|-row table
 }
 
 
