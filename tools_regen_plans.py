@@ -39,6 +39,11 @@ PICKS = {
     "parts_abc_analysis": "Pareto classification without a global sort: in-band cumsum windows partitioned by the 256 revenue bands, cumulated band offsets broadcast back, exact-decimal additions end to end.",
     "events_rfm_segments": "Three chained two-phase rank scans over the checkpointed per-user table (calendar, capped-count and log10 bands) + the cell aggregate — the oracle's three global sorts never appear.",
     "dedup_cascade": "Stage attribution over CHECKPOINTED substring per-doc and band tables: broadcast stage-flag joins + one rollup — the inlined single-statement form's 27 exchanges collapse to 4.",
+    "cms_rollup_persisted": "Persisted CMS store range read: partition-pruned counter scan SUM-merged (checkpointed), exact top-20 probe broadcast against it. Build/append/compact ran before this plan existed; the events scan is the exact AUDIT side only.",
+    "orders_market_basket": "Orderkey-keyed pair self-join over the checkpointed item table (fan-out bounded by items/order), pair aggregate, TakeOrderedAndProject top-20 broadcast into the part-count lookups. No part cartesian anywhere.",
+    "events_funnel_windowed": "Two chained user-partitioned window passes (view->click, click->purchase encoded MAX) + three count-distinct aggregates off the checkpointed qualified-click table. No self-join for the sequence match.",
+    "events_user_gini": "Sorted-rank Gini without a global sort: two-phase banded rank over per-user counts (checkpointed), 1-row stats broadcast, one weighted-sum aggregate.",
+    "vocab_oov_curve": "Train-frequency rank via two-phase position over the checkpointed token table, test-side counts left-joined, 3-row size grid broadcast — the oracle's global ROW_NUMBER never appears.",
 }
 
 if __name__ == "__main__":
