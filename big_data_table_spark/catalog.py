@@ -1787,6 +1787,17 @@ CATALOG.update(
             doc="KL divergence (both directions) between corpus-half "
             "source mixtures, add-1 smoothed; rounded-ln decimal sums.",
         ),
+        "stream_cms_rollup_store": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_cms_rollup_store(spark, sf_dir),
+            _cms_rollup_persisted_oracle(),
+            doc="Streaming writer INTO the persisted CMS day store: 3 "
+            "real micro-batches append (day, chunk=batch_id) counter "
+            "partitions, batch 1 replayed (idempotent dynamic "
+            "overwrite), range top-20 from the store — shares the "
+            "batch store oracle verbatim.",
+        ),
     }
 )
 
@@ -1821,6 +1832,7 @@ _R8_NEW: list[str] = [
     "text_zipf_fit",
     "doc_length_histogram",
     "source_kl_drift",
+    "stream_cms_rollup_store",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

@@ -2315,3 +2315,31 @@ def cms_rollup_grouped_range_estimates(
         .groupBy("g", "v")
         .agg(F.min("cnt").cast("long").alias("est_cnt"))
     )
+
+
+def cms_rollup_append_batch(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    w: int = 1024,
+    d: int = 4,
+) -> None:
+    """Streaming-side append: one micro-batch's counters land as
+    ``chunk=<batch_id>`` partitions under every day the batch touched —
+    the foreachBatch twin of :func:`cms_rollup_append_chunk`.  Dynamic
+    partition overwrite keyed by the batch id makes replays rewrite the
+    same partitions with the same counters (the additive class's
+    exactly-once contract), and because counter addition is exact the
+    read-side SUM over (day, chunk) equals the one-shot sketch
+    bit-for-bit no matter how the stream batched the days."""
+    rows = _cms_day_counters(batch_df, value_col, ts_col, w, d).withColumn(
+        "chunk", F.lit(int(batch_id))
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day", "chunk")
+        .parquet(path)
+    )

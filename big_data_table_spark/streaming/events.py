@@ -1132,3 +1132,100 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "below_share"
         ),
     )
+
+
+def stream_cms_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer INTO the persisted CMS day store — the missing
+    edge of the matrix: `stream_cms_heavy_hitters` proved the additive
+    merge law into a flat per-batch sink, r8's `cms_rollup_persisted`
+    proved the store's verb cycle in batch; this entry maintains the
+    REAL (day, chunk)-partitioned store layout from a stream.  Three
+    deterministic micro-batches (user_id % 3, mtime-ordered single-file
+    groups — batch membership lives in the data) each append their
+    counters as ``chunk=<batch_id>`` partitions under every day they
+    touch (`cms_rollup_append_batch`); batch 1's append is then
+    REPLAYED after the stream, proving the additive class's
+    exactly-once contract holds as dynamic-overwrite idempotency in
+    the store itself.  The 14-day range top-20 is answered by the
+    standard store read and shares the batch entry's oracle VERBATIM
+    (`cms_heavy_hitters_sql` on the range-restricted events): however
+    the stream batched the days, SUM-merged counters equal the
+    one-shot sketch bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..functions import sketches as SK
+    from ..sources.readers import load_events
+
+    lo, hi = "2024-01-08", "2024-01-21"
+    ev = load_events(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_cmsroll_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    n = 3
+    stream = _batched_events_stream(spark, ev, root, src_dir, n=n)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        SK.cms_rollup_append_batch(batch_df, store, batch_id)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # replay batch 1 (its rows are reconstructible from the data-borne
+    # key): the dynamic (day, chunk=1) overwrite must be a no-op
+    SK.cms_rollup_append_batch(ev.filter(F.col("user_id") % n == 1), store, 1)
+
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    rng = ev.filter(day.between(lo, hi))
+    top = (
+        rng.groupBy(F.col("user_id").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "v")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    est = SK.cms_rollup_range_estimates(spark, store, lo, hi, top.select("v"))
+    return top.join(est, "v").select(
+        F.col("v").alias("key"),
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+def _batched_events_stream(spark, ev, root: str, src_dir: str, n: int = 3):
+    """Events twin of `_batched_corpus_stream`: ``n`` single-file batch
+    groups keyed by ``user_id % n`` (each spanning every day — so the
+    store accumulates multiple chunks per day), mtimes in group order,
+    one-file-per-trigger delivery."""
+    import shutil
+    import time
+
+    os.makedirs(src_dir, exist_ok=True)
+    now = time.time()
+    for b in range(n):
+        stage = os.path.join(root, f"stage{b}")
+        ev.filter(F.col("user_id") % n == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"events_{b}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (now + b, now + b))
+        shutil.rmtree(stage)
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )

@@ -143,3 +143,43 @@ def test_cms_grouped_store_expire_keeps_range_identical(spark, sf_dir):
     assert dropped == [d for d in days if d < LO]
     assert rows() == before
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_stream_cms_store_really_multi_batch(spark, sf_dir):
+    """The streaming CMS-store entry's proof is only meaningful if the
+    stream REALLY delivered multiple micro-batches: after running it,
+    the store left on disk must hold chunk partitions 0, 1 AND 2 under
+    the days in range (one per user_id%3 batch group), and a replayed
+    batch must not have added a fourth.  Guards against a silent
+    collapse to one giant batch (maxFilesPerTrigger regression), which
+    would leave the oracle hash green but the batching claim false."""
+    import glob
+
+    from big_data_table_spark.catalog import CATALOG
+
+    df = CATALOG["stream_cms_rollup_store"].fn(spark, sf_dir)
+    # ≤20 probe rows (top-20 capped by distinct users in range at sf0.001)
+    assert 5 <= df.count() <= 20
+    store = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(),
+            f"bdt_stream_cmsroll_{spark.sparkContext.applicationId}",
+            "store",
+        )
+    )
+    assert store, "store dir missing"
+    days = [d for d in os.listdir(store[0]) if d.startswith("day=")]
+    assert len(days) >= 14
+    chunk_sets = {
+        tuple(
+            sorted(
+                c
+                for c in os.listdir(os.path.join(store[0], d))
+                if c.startswith("chunk=")
+            )
+        )
+        for d in days
+    }
+    assert ("chunk=0", "chunk=1", "chunk=2") in chunk_sets, chunk_sets
+    for cs in chunk_sets:
+        assert len(cs) <= 3, cs  # replay added no fourth chunk
