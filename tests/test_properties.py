@@ -568,3 +568,118 @@ def test_two_phase_position_equals_global_rank(spark, vals):
             .reset_index(drop=True)
         )
         assert list(got["pos"]) == list(exp["pos"])
+
+
+# ------------------------------------------------------------------ #
+# r8 operator math pins
+# ------------------------------------------------------------------ #
+
+@SETTINGS
+@given(counts=st.lists(st.integers(1, 500), min_size=2, max_size=60))
+def test_gini_rank_formula_equals_pairwise_definition(counts):
+    """The sorted-rank Gini formula the `events_user_gini` entry uses,
+    G = Σ cᵢ·(2·rankᵢ − n + 1) / (n·Σc) over ascending ranks, must equal
+    the textbook mean-absolute-difference definition
+    G = Σᵢⱼ|cᵢ−cⱼ| / (2·n²·mean) — the identity the entry's correctness
+    rests on beyond cross-engine parity."""
+    n = len(counts)
+    s = sum(counts)
+    xs = sorted(counts)
+    rank_form = sum(c * (2 * i - n + 1) for i, c in enumerate(xs)) / (n * s)
+    pair_form = sum(abs(a - b) for a in counts for b in counts) / (2 * n * n * (s / n))
+    assert abs(rank_form - pair_form) < 1e-9
+
+
+@SETTINGS
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 40)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_backlog_delta_running_sum_equals_interval_count(iv):
+    """The +1/−1 boundary-delta running sum `orders_backlog_profile`
+    uses: after aggregating deltas per day and cumulating in day order,
+    the value at day d equals the brute-force count of intervals with
+    open ≤ d < close — the interval-overlap identity (the close day
+    itself no longer counts, matching the −1-at-close convention)."""
+    intervals = [(o, o + ln) for o, ln in iv]
+    deltas: dict[int, int] = {}
+    for o, c in intervals:
+        deltas[o] = deltas.get(o, 0) + 1
+        deltas[c] = deltas.get(c, 0) - 1
+    run, backlog = {}, 0
+    for d in sorted(deltas):
+        backlog += deltas[d]
+        run[d] = backlog
+    for d, got in run.items():
+        want = sum(1 for o, c in intervals if o <= d < c)
+        assert got == want, (d, got, want)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 1_000_000),  # epoch seconds
+            st.sampled_from(["view", "click", "error", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_last_touch_encoded_max_matches_python_reference(spark, rows):
+    """The encoded-string window MAX that `events_attribution_last_touch`
+    uses (lpad(epoch)||'|'||type over strictly-preceding rows) must
+    credit every purchase exactly like a direct Python scan that takes
+    the max (epoch, type) among preceding non-purchase events and
+    applies the 7-day gap — including timestamp-tie cases, which the
+    (es, event_id) order key makes deterministic."""
+    import pandas as pd
+
+    from big_data_table_spark.catalog_r8 import _last_touch_builder
+    from big_data_table_spark.functions.portable import SPARK
+
+    pdf = pd.DataFrame(
+        [
+            (i, u, es, t, 1.0, None)
+            for i, (u, es, t) in enumerate(rows)
+        ],
+        columns=["event_id", "user_id", "es", "event_type", "value", "props"],
+    )
+    # python reference
+    want: dict[str, int] = {}
+    for u in pdf["user_id"].unique():
+        g = pdf[pdf["user_id"] == u].sort_values(["es", "event_id"])
+        best = None  # (es, type) max among preceding non-purchase rows
+        for _, r in g.iterrows():
+            if r["event_type"] == "purchase":
+                if best is None or r["es"] - best[0] > 604800:
+                    key = "direct"
+                else:
+                    key = best[1]
+                want[key] = want.get(key, 0) + 1
+            else:
+                cand = (r["es"], r["event_type"])
+                if best is None or cand > best:
+                    best = cand
+    # engine form: the entry's SQL with the events scan redirected and
+    # ts supplied as epoch seconds directly
+    sql = _last_touch_builder(SPARK).replace(
+        "FROM events)", "FROM _lt_test_events)"
+    )
+    import re
+
+    sql = re.sub(r"unix_timestamp\(\w*ts\w*\)|to_unixtime\(ts\)", "es", sql)
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_lt_test_events")
+    try:
+        got = {
+            r["touch_type"]: r["n_purchases"]
+            for r in spark.sql(sql).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("_lt_test_events")
+    assert got == want, (got, want)
