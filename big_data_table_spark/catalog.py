@@ -150,7 +150,9 @@ from .catalog_r8 import (
     _last_touch_builder, _ltv_cohort_builder,
     _minhash_estimate_report_oracle, _orders_backlog_oracle,
     _orders_market_basket_oracle, _vocab_oov_curve_oracle,
+    _conversion_latency_builder,
     _decontamination_curve_oracle, _doc_length_histogram_builder,
+    _events_bounce_rate_builder, _lang_id_calibration_builder,
     _embedding_norm_outliers_oracle, _events_user_gini_oracle,
     _pq_distortion_builder, _source_kl_drift_builder, _text_zipf_fit_oracle,
     events_user_gini_q, text_zipf_fit_q,
@@ -1798,6 +1800,23 @@ CATALOG.update(
             "overwrite), range top-20 from the store — shares the "
             "batch store oracle verbatim.",
         ),
+        "lang_id_calibration": _dual(
+            _lang_id_calibration_builder,
+            doc="Language-ID calibration: accuracy vs gold lang per "
+            "marker-hit-count band — the confidence-vs-accuracy "
+            "honesty report for the shared lang_select_sql classifier.",
+        ),
+        "events_bounce_rate": _dual(
+            _events_bounce_rate_builder,
+            doc="Bounce rate by session entry type (30-min sessions, "
+            "encoded-MIN first event, single-event bounce rule).",
+        ),
+        "conversion_latency_profile": _dual(
+            _conversion_latency_builder,
+            doc="First-view to first-purchase latency: count, exact "
+            "p50/p90, exact-integer mean — the activation-funnel "
+            "timing table.",
+        ),
     }
 )
 
@@ -1833,6 +1852,9 @@ _R8_NEW: list[str] = [
     "doc_length_histogram",
     "source_kl_drift",
     "stream_cms_rollup_store",
+    "lang_id_calibration",
+    "events_bounce_rate",
+    "conversion_latency_profile",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

@@ -1111,3 +1111,97 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
   CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS kl_reverse
 FROM terms
 """
+
+
+def _lang_id_calibration_builder(dialect: str) -> str:
+    """Language-ID CALIBRATION: accuracy of the marker-stopword
+    classifier against the gold ``lang`` column, per marker-hit-count
+    band (the classifier's native confidence signal) — the
+    honesty-report form of `text_lang_id_confusion`: does more evidence
+    actually mean more accuracy, and where is the abstain ('und')
+    boundary worth moving?  One pass over documents; the lang scorer is
+    the shared `lang_select_sql` body, so the calibration describes
+    exactly the classifier the pipeline runs."""
+    from .functions.text import lang_select_sql
+
+    return f"""
+WITH pred AS ({lang_select_sql(dialect)}),
+j AS (
+  SELECT LEAST(p.best, 8) AS marker_band,
+    CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+  FROM pred p JOIN documents d ON d.doc_id = p.doc_id)
+SELECT CAST(marker_band AS INT) AS marker_band,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ok) AS BIGINT) AS n_correct,
+  ROUND(SUM(ok) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM j GROUP BY marker_band
+"""
+
+
+def _events_bounce_rate_builder(dialect: str) -> str:
+    """Bounce-rate by session entry type: sessions are the standard
+    per-user 30-minute-gap windows (`events_sessionize`'s rule), the
+    entry event is the session's first row in (es, event_id) order
+    (the encoded-MIN trick — deterministic under timestamp ties), and a
+    bounce is a single-event session.  Per entry type: sessions,
+    bounces, bounce rate — the landing-page health table.  Every window
+    is user-partitioned."""
+    from .functions.portable import epoch_s
+
+    es = epoch_s("ts", dialect)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, {es} AS es FROM events),
+g AS (
+  SELECT user_id, event_type, event_id, es,
+    LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+  FROM ev),
+s AS (
+  SELECT user_id, event_type, event_id, es,
+    SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY es, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g),
+sess AS (
+  SELECT user_id, sid,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MIN(lpad(CAST(es AS STRING), 12, '0') || '|'
+        || lpad(CAST(event_id AS STRING), 12, '0') || '|' || event_type)
+      AS first_row
+  FROM s GROUP BY user_id, sid)
+SELECT substr(first_row, 27) AS entry_type,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM sess GROUP BY substr(first_row, 27)
+"""
+
+
+def _conversion_latency_builder(dialect: str) -> str:
+    """First-view → first-purchase conversion latency profile: for every
+    user whose first purchase follows their first view, the latency in
+    seconds — count, exact p50/p90 (the pinned percentile ≡
+    quantile_cont equivalence on BIGINT seconds), and the exact-integer
+    mean.  One grouped aggregate per user, one tiny profile aggregate —
+    the activation-funnel timing table."""
+    from .functions.portable import epoch_s
+
+    es = epoch_s("ts", dialect)
+    pct = "percentile" if dialect == SPARK else "quantile_cont"
+    return f"""
+WITH ev AS (SELECT user_id, event_type, {es} AS es FROM events),
+u AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN es END) AS v0,
+    MIN(CASE WHEN event_type = 'purchase' THEN es END) AS p0
+  FROM ev GROUP BY user_id),
+lat AS (
+  SELECT CAST(p0 - v0 AS BIGINT) AS lat FROM u
+  WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+  ROUND({pct}(lat, 0.5), 2) AS p50_latency_s,
+  ROUND({pct}(lat, 0.9), 2) AS p90_latency_s,
+  ROUND(CAST(SUM(lat) AS DOUBLE) / COUNT(*), 2) AS mean_latency_s
+FROM lat
+"""

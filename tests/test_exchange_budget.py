@@ -380,6 +380,12 @@ BUDGET = {
                                  # a projection)
     "source_kl_drift": 2,        # half-count agg + the KL-term sum over
                                  # the |sources|-row table
+    "lang_id_calibration": 1,    # scorer is a projection; one band agg
+    "events_bounce_rate": 2,     # user-partitioned session windows +
+                                 # session agg (entry-type rollup rides
+                                 # the same exchange)
+    "conversion_latency_profile": 2,  # per-user first-event agg +
+                                 # profile agg
 }
 
 
