@@ -246,3 +246,72 @@ def test_theta_union_merge_law_at_scale(spark, big):
     est = estimate(32)
     assert abs(est - N) / N < 3.0 / (k**0.5) + 0.01, est
     assert estimate(7) == est  # partitioning-independent, bit-for-bit
+
+
+def test_cms_store_merge_law_at_scale(spark, big):
+    """The CMS store's load-bearing law at 5M rows: per-'day' counter
+    tables built from a 2-way chunk split of each day, SUM-merged, must
+    equal the one-shot counter table BIT-FOR-BIT (addition is exact —
+    partitioning and chunking can never change a count), and every
+    probe estimate must respect the no-underestimate guarantee against
+    the closed-form true counts (key k appears exactly 5000 times for
+    k in 1..999, key 0 ~1.2M — the `big` fixture's construction)."""
+    from big_data_table_spark.functions import sketches as SK
+
+    ev = big.select(
+        F.when(F.col("id") % 2 == 0, "2024-01-01")
+        .otherwise("2024-01-02")
+        .alias("day"),
+        F.col("k").alias("v"),
+    )
+    direct = {
+        (r["day"], r["rw"], r["cl"]): r["cnt"]
+        for r in SK._cms_day_counters(
+            ev.withColumn("ts", F.col("day")), "v", "ts", 1024, 4
+        ).collect()
+    }
+    chunked = (
+        SK._cms_day_counters(
+            ev.filter(F.col("v") % 2 == 0).withColumn("ts", F.col("day")),
+            "v", "ts", 1024, 4,
+        )
+        .unionAll(
+            SK._cms_day_counters(
+                ev.filter(F.col("v") % 2 == 1).withColumn("ts", F.col("day")),
+                "v", "ts", 1024, 4,
+            )
+        )
+        .groupBy("day", "rw", "cl")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    merged = {
+        (r["day"], r["rw"], r["cl"]): r["cnt"] for r in chunked.collect()
+    }
+    assert merged == direct  # SUM-merge == one-shot, bit for bit
+
+    # probe a few keys against the closed-form truth: est >= true always
+    probe = spark.createDataFrame([(0,), (1,), (500,), (999,)], "v long")
+    rows = (
+        spark.createDataFrame(
+            [(d, rw, cl, c) for (d, rw, cl), c in direct.items()],
+            "day string, rw int, cl bigint, cnt long",
+        )
+        .groupBy("rw", "cl")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    hh = SK._double_hashed_values(probe, "v")
+    rcol = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("rw")
+    pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % 1024).alias("cl")
+    cells = hh.select("v", "h1", "h2", rcol).select("v", "rw", pos)
+    est = {
+        r["v"]: r["est"]
+        for r in rows.join(F.broadcast(cells), ["rw", "cl"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    }
+    # closed-form: k==0 gets every 5th row; k in 1..999 gets rows where
+    # id%5!=0 and id%1000==k -> 4000 each
+    truth = {0: N // 5, 1: 4000, 500: 4000, 999: 4000}
+    for v, t in truth.items():
+        assert est[v] >= t, (v, est[v], t)
