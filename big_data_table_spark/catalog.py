@@ -153,6 +153,7 @@ from .catalog_r8 import (
     _conversion_latency_builder,
     _decontamination_curve_oracle, _doc_length_histogram_builder,
     _events_bounce_rate_builder, _lang_id_calibration_builder,
+    _supplier_hhi_builder,
     _embedding_norm_outliers_oracle, _events_user_gini_oracle,
     _pq_distortion_builder, _source_kl_drift_builder, _text_zipf_fit_oracle,
     events_user_gini_q, text_zipf_fit_q,
@@ -1817,6 +1818,12 @@ CATALOG.update(
             "p50/p90, exact-integer mean — the activation-funnel "
             "timing table.",
         ),
+        "supplier_concentration_hhi": _dual(
+            _supplier_hhi_builder,
+            doc="Herfindahl index of supplier revenue shares per part "
+            "type (x10000) — procurement-concentration risk; "
+            "decimal-exact share-squared sums.",
+        ),
     }
 )
 
@@ -1855,6 +1862,7 @@ _R8_NEW: list[str] = [
     "lang_id_calibration",
     "events_bounce_rate",
     "conversion_latency_profile",
+    "supplier_concentration_hhi",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

@@ -1205,3 +1205,38 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
   ROUND(CAST(SUM(lat) AS DOUBLE) / COUNT(*), 2) AS mean_latency_s
 FROM lat
 """
+
+
+def _supplier_hhi_builder(dialect: str) -> str:
+    """Supplier-concentration HHI per part type: the Herfindahl–
+    Hirschman index Σ shareᵢ² of supplier revenue shares within each
+    p_type (10000·HHI > 2500 is the classic 'highly concentrated'
+    procurement-risk flag).  Revenue accumulates in exact decimals;
+    each share² term is rounded to 9 dp and summed as DECIMAL(18,9)
+    (the ann_pq distance discipline), so the index is
+    partition-order-independent and engine-identical.  One revenue
+    aggregate + one per-type rollup; the ≤|types|-row totals broadcast
+    back onto the supplier shares."""
+    return """
+WITH rev AS (
+  SELECT p.p_type AS ptype, l.l_suppkey AS sk,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+      AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, l.l_suppkey),
+tot AS (
+  SELECT ptype, CAST(SUM(r) AS DECIMAL(38,6)) AS rt,
+    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM rev GROUP BY ptype),
+terms AS (
+  SELECT rev.ptype, tot.n_suppliers,
+    CAST(ROUND(
+      (CAST(rev.r AS DOUBLE) / CAST(tot.rt AS DOUBLE))
+      * (CAST(rev.r AS DOUBLE) / CAST(tot.rt AS DOUBLE)), 9)
+      AS DECIMAL(18,9)) AS sq
+  FROM rev JOIN tot ON tot.ptype = rev.ptype)
+SELECT ptype AS p_type, MAX(n_suppliers) AS n_suppliers,
+  CAST(ROUND(CAST(SUM(sq) AS DECIMAL(38,9)) * 10000, 2) AS DOUBLE)
+    AS hhi_x10000
+FROM terms GROUP BY ptype
+"""

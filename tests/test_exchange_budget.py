@@ -386,6 +386,9 @@ BUDGET = {
                                  # the same exchange)
     "conversion_latency_profile": 2,  # per-user first-event agg +
                                  # profile agg
+    "supplier_concentration_hhi": 4,  # revenue agg + type totals +
+                                 # share join + HHI rollup (part dim
+                                 # broadcasts at fixture scale)
 }
 
 
