@@ -102,7 +102,15 @@ def test_cms_append_replay_is_idempotent_and_compaction_exact(spark, sf_dir):
     assert len(day_files) == 1
     assert _est_rows(spark, chunked, probe) == base
 
-    # 3. merge law: == the one-shot store
+    # 3. compact_all converges: the first pass rewrites every remaining
+    #    multi-file day, the second is a no-op (file identity preserved),
+    #    and estimates never move
+    rewritten = SK.cms_rollup_compact_all(spark, chunked)
+    assert HI not in rewritten  # already compacted above
+    assert SK.cms_rollup_compact_all(spark, chunked) == {}
+    assert _est_rows(spark, chunked, probe) == base
+
+    # 4. merge law: == the one-shot store
     SK.cms_rollup_build(ev, oneshot)
     assert _est_rows(spark, oneshot, probe) == base
 
