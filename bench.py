@@ -133,7 +133,10 @@ def main() -> None:
         t2_timings[key] = round(runs[0], 3)
         t2_stats[key] = {
             "min": round(runs[0], 3),
-            "median": round(runs[len(runs) // 2], 3),
+            # true median of the 2 runs (their mean) — runs[len//2]
+            # would label the MAX as median and make tier2 look
+            # systematically noisier than the odd-run headline stats
+            "median": round((runs[0] + runs[-1]) / 2, 3),
             "spread": round(runs[-1] - runs[0], 3),
             "runs": len(runs),
         }

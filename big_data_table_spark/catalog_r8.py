@@ -184,9 +184,10 @@ def orders_market_basket_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pairs.orderBy(F.col("co_cnt").desc(), "part_a", "part_b").limit(20)
     ca = pcnt.select(F.col("pk").alias("part_a"), F.col("cnt").alias("cnt_a"))
     cb = pcnt.select(F.col("pk").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    with_a = ca.join(F.broadcast(top), "part_a")  # ≤20 rows out
     return (
-        ca.join(F.broadcast(top), "part_a")
-        .join(cb.hint("broadcast"), "part_b")
+        cb.join(F.broadcast(with_a), "part_b")  # ALWAYS broadcast the
+        # bounded top-20 side; the full per-part count table streams
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
@@ -789,10 +790,15 @@ def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = emb.select(
         "label",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    ).localCheckpoint(eager=True)  # the norm fold runs ONCE; median,
+    # deviation, and outlier passes all reuse it (the multi-consumer
+    # checkpoint discipline)
     med = nv.groupBy("label").agg(F.percentile("nrm", F.lit(0.5)).alias("med"))
-    dev = nv.join(F.broadcast(med), "label").withColumn(
-        "dev", F.abs(F.col("nrm") - F.col("med"))
+    dev = (
+        nv.join(F.broadcast(med), "label")
+        .withColumn("dev", F.abs(F.col("nrm") - F.col("med")))
+        .localCheckpoint(eager=True)  # feeds both the MAD agg and the
+        # outlier count
     )
     mads = dev.groupBy("label", "med").agg(
         F.percentile("dev", F.lit(0.5)).alias("mad"),

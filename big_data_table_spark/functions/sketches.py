@@ -2216,9 +2216,13 @@ def cms_rollup_range_estimates(
     day strings order like dates), counters SUM-merge per (rw, cl) —
     exact addition, so the merged sketch equals a one-shot range sketch
     bit-for-bit — then each probe key reads its d cells and takes the
-    MIN.  The probe side is topk·d rows and broadcasts; the store side
-    is the only scan.  ``checkpoint=False`` keeps the pruned file scan
-    visible for the plan-pinning test."""
+    MIN.  Absent cells read as 0 (a true CMS cell no in-range event
+    touched), so EVERY probe key gets a row — keys outside the range
+    correctly estimate 0 instead of being dropped or inflated.  The
+    merged counter table is ≤ d·w rows by construction and broadcasts
+    onto the probe cells; the store scan is the only big input.
+    ``checkpoint=False`` keeps the pruned file scan visible for the
+    plan-pinning test."""
     rows = (
         spark.read.parquet(path)
         .filter(F.col("day").cast("string").between(lo, hi))
@@ -2232,7 +2236,8 @@ def cms_rollup_range_estimates(
     pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
     cells = hh.select("v", "h1", "h2", rcol).select("v", "rw", pos)
     return (
-        rows.join(F.broadcast(cells), ["rw", "cl"])
+        cells.join(F.broadcast(rows), ["rw", "cl"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
         .groupBy("v")
         .agg(F.min("cnt").cast("long").alias("est_cnt"))
     )
@@ -2292,8 +2297,9 @@ def cms_rollup_grouped_range_estimates(
 ) -> DataFrame:
     """Per-group range estimates from the grouped store alone:
     ``(g, v, est_cnt)`` for each (g, v) in ``probe``.  Same pruned-scan +
-    SUM-merge discipline; the MIN is taken within the key's own group's
-    counter table."""
+    SUM-merge + absent-cells-read-0 discipline as the ungrouped reader;
+    the MIN is taken within the key's own group's counter table, and a
+    (g, v) pair with no in-range counters correctly estimates 0."""
     rows = (
         spark.read.parquet(path)
         .filter(F.col("day").cast("string").between(lo, hi))
@@ -2311,7 +2317,8 @@ def cms_rollup_grouped_range_estimates(
         .select("g", "v", "rw", pos)
     )
     return (
-        rows.join(F.broadcast(cells), ["g", "rw", "cl"])
+        cells.join(F.broadcast(rows), ["g", "rw", "cl"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
         .groupBy("g", "v")
         .agg(F.min("cnt").cast("long").alias("est_cnt"))
     )

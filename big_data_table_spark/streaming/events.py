@@ -945,13 +945,22 @@ def stream_packing_ledger(
     return pack_summary(packed, budget=2048)
 
 
-def _batched_corpus_stream(spark, docs, root: str, src_dir: str, n: int = 4):
+def _batched_corpus_stream(
+    spark,
+    docs,
+    root: str,
+    src_dir: str,
+    n: int = 4,
+    key_col: str = "doc_id",
+    prefix: str = "crawl",
+):
     """Write ``docs`` as ``n`` single-file batch groups (group b =
-    ``doc_id % n``) with strictly increasing mtimes, and return a
+    ``key_col % n``) with strictly increasing mtimes, and return a
     one-file-per-trigger file stream over them — the deterministic
-    micro-batch delivery the crawl-dedup and quality-monitor entries
-    reconstruct in pure SQL (batch membership lives in the DATA, not in
-    file-listing order)."""
+    micro-batch delivery the crawl-dedup, quality-monitor and
+    CMS-store entries reconstruct in pure SQL (batch membership lives
+    in the DATA, not in file-listing order).  ``key_col``/``prefix``
+    generalize the helper to any keyed table (events use user_id)."""
     import shutil
     import time
 
@@ -959,11 +968,11 @@ def _batched_corpus_stream(spark, docs, root: str, src_dir: str, n: int = 4):
     now = time.time()
     for b in range(n):
         stage = os.path.join(root, f"stage{b}")
-        docs.filter(F.col("doc_id") % n == b).coalesce(1).write.mode(
+        docs.filter(F.col(key_col) % n == b).coalesce(1).write.mode(
             "overwrite"
         ).parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        dst = os.path.join(src_dir, f"crawl_{b}.parquet")
+        dst = os.path.join(src_dir, f"{prefix}_{b}.parquet")
         os.rename(os.path.join(stage, part), dst)
         os.utime(dst, (now + b, now + b))
         shutil.rmtree(stage)
@@ -1169,7 +1178,9 @@ def stream_cms_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(root, "src")
     store = os.path.join(root, "store")
     n = 3
-    stream = _batched_events_stream(spark, ev, root, src_dir, n=n)
+    stream = _batched_corpus_stream(
+        spark, ev, root, src_dir, n=n, key_col="user_id", prefix="events"
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         SK.cms_rollup_append_batch(batch_df, store, batch_id)
@@ -1200,32 +1211,4 @@ def stream_cms_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overestimate"),
-    )
-
-
-def _batched_events_stream(spark, ev, root: str, src_dir: str, n: int = 3):
-    """Events twin of `_batched_corpus_stream`: ``n`` single-file batch
-    groups keyed by ``user_id % n`` (each spanning every day — so the
-    store accumulates multiple chunks per day), mtimes in group order,
-    one-file-per-trigger delivery."""
-    import shutil
-    import time
-
-    os.makedirs(src_dir, exist_ok=True)
-    now = time.time()
-    for b in range(n):
-        stage = os.path.join(root, f"stage{b}")
-        ev.filter(F.col("user_id") % n == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        dst = os.path.join(src_dir, f"events_{b}.parquet")
-        os.rename(os.path.join(stage, part), dst)
-        os.utime(dst, (now + b, now + b))
-        shutil.rmtree(stage)
-    return (
-        spark.readStream.schema(ev.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
     )

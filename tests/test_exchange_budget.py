@@ -334,7 +334,7 @@ BUDGET = {
     # checkpointed, so the plan is the exact-top-k agg + the final
     # probe-join agg; the store build/append/compact verbs run as side
     # jobs before the measured query
-    "cms_rollup_persisted": 2,
+    "cms_rollup_persisted": 1,
     "cms_rollup_grouped_range": 2,
     "orders_market_basket": 5,   # pair agg on the checkpointed item
                                  # table + part counts + top-20 probe
@@ -365,10 +365,10 @@ BUDGET = {
                                  # shingle distinct + source join +
                                  # eval distinct + probe join + per-doc
                                  # agg + rollup
-    "embedding_norm_outliers": 6,  # three grouped aggs (median, MAD,
+    "embedding_norm_outliers": 3,  # three grouped aggs (median, MAD,
                                  # outlier count) with broadcast-back
-                                 # median tables — the grouped_mad
-                                 # shape on the norm fold
+                                 # median tables over the CHECKPOINTED
+                                 # norm/deviation frames
     "embedding_pq_distortion": 5,  # assign rank window + distortion agg
                                  # (the ann_pq CTE chain, report form)
     "events_user_gini": 2,       # per-user count agg + Gini agg over

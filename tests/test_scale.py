@@ -254,8 +254,14 @@ def test_cms_store_merge_law_at_scale(spark, big):
     equal the one-shot counter table BIT-FOR-BIT (addition is exact —
     partitioning and chunking can never change a count), and every
     probe estimate must respect the no-underestimate guarantee against
-    the closed-form true counts (key k appears exactly 5000 times for
-    k in 1..999, key 0 ~1.2M — the `big` fixture's construction)."""
+    the closed-form true counts of the `big` fixture: key 0 owns
+    exactly every 5th row (N/5 = 1M); a key k in 1..999 NOT divisible
+    by 5 owns all 5000 rows with id%1000==k (none of them hit the
+    id%5==0 branch); keys divisible by 5 (500, ...) never occur at all
+    (id%1000==k forces id%5==0, which maps to key 0) — for those the
+    guarantee still holds with true count 0, and the estimate is
+    whatever collision mass the cells carry (>= 0 trivially), so they
+    are deliberately NOT probed here."""
     from big_data_table_spark.functions import sketches as SK
 
     ev = big.select(
@@ -290,7 +296,7 @@ def test_cms_store_merge_law_at_scale(spark, big):
     assert merged == direct  # SUM-merge == one-shot, bit for bit
 
     # probe a few keys against the closed-form truth: est >= true always
-    probe = spark.createDataFrame([(0,), (1,), (500,), (999,)], "v long")
+    probe = spark.createDataFrame([(0,), (1,), (7,), (999,)], "v long")
     rows = (
         spark.createDataFrame(
             [(d, rw, cl, c) for (d, rw, cl), c in direct.items()],
@@ -310,8 +316,8 @@ def test_cms_store_merge_law_at_scale(spark, big):
         .agg(F.min("cnt").alias("est"))
         .collect()
     }
-    # closed-form: k==0 gets every 5th row; k in 1..999 gets rows where
-    # id%5!=0 and id%1000==k -> 4000 each
-    truth = {0: N // 5, 1: 4000, 500: 4000, 999: 4000}
+    # closed-form (see docstring): key 0 = every 5th row exactly; keys
+    # 1/7/999 (not divisible by 5) own all 5000 of their id%1000 rows
+    truth = {0: N // 5, 1: 5000, 7: 5000, 999: 5000}
     for v, t in truth.items():
         assert est[v] >= t, (v, est[v], t)
