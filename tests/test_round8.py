@@ -46,6 +46,16 @@ def test_cms_rollup_range_plan_reads_only_counter_files(spark, sf_dir):
     assert "cms_rollup" in plan
     assert "events" not in plan
     assert est.count() == 3  # every probed key gets an estimate row
+
+    # absent-key contract: a key that cannot be in the store (the store
+    # hashes user ids; probe something far outside) still gets a row,
+    # and if all its cells are untouched the estimate is exactly 0 —
+    # never a dropped row, never an inflated MIN over surviving cells
+    far = SK.cms_rollup_range_estimates(
+        spark, path, LO, HI, _probe(spark, [10**17 + 7, 10**17 + 11])
+    ).collect()
+    assert len(far) == 2
+    assert all(r["est_cnt"] >= 0 for r in far)
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
