@@ -152,6 +152,7 @@ from .catalog_r8 import (
     _orders_market_basket_oracle, _vocab_oov_curve_oracle,
     _conversion_latency_builder,
     _decontamination_curve_oracle, _doc_length_histogram_builder,
+    _brand_return_rate_builder, _dup_cluster_histogram_builder,
     _events_bounce_rate_builder, _lang_id_calibration_builder,
     _supplier_hhi_builder,
     _embedding_norm_outliers_oracle, _events_user_gini_oracle,
@@ -1824,6 +1825,18 @@ CATALOG.update(
             "type (x10000) — procurement-concentration risk; "
             "decimal-exact share-squared sums.",
         ),
+        "dup_cluster_histogram": _dual(
+            _dup_cluster_histogram_builder,
+            doc="Exact-dup cluster-size histogram (1/2/3-4/5-8/9+ "
+            "buckets): cluster count, doc count, corpus share — the "
+            "crawl-duplication shape table.",
+        ),
+        "brand_return_rate_wilson": _dual(
+            _brand_return_rate_builder,
+            doc="Return rate per brand with the Wilson 95% lower bound "
+            "— volume-honest ranking; closed form over exact counts, "
+            "IEEE-exact sqrt.",
+        ),
     }
 )
 
@@ -1863,6 +1876,8 @@ _R8_NEW: list[str] = [
     "events_bounce_rate",
     "conversion_latency_profile",
     "supplier_concentration_hhi",
+    "dup_cluster_histogram",
+    "brand_return_rate_wilson",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

@@ -1246,3 +1246,60 @@ SELECT ptype AS p_type, MAX(n_suppliers) AS n_suppliers,
     AS hhi_x10000
 FROM terms GROUP BY ptype
 """
+
+
+def _dup_cluster_histogram_builder(dialect: str) -> str:
+    """Exact-duplicate cluster-size histogram: group documents by
+    content hash, bucket cluster sizes (1, 2, 3-4, 5-8, 9+ — powers of
+    two via exact integer CASE, no log float edges), and report per
+    bucket the cluster count, doc count, and share of the corpus — the
+    one-table answer to 'how duplicated is this crawl and in what
+    shape' that decides whether exact dedup alone is worth a pass
+    before the expensive near-dup stages.  One hash aggregate + one
+    bounded histogram aggregate; the scalar corpus size broadcasts."""
+    return """
+WITH cl AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM documents GROUP BY md5(text)),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+b AS (
+  SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+    WHEN sz <= 4 THEN '3-4' WHEN sz <= 8 THEN '5-8'
+    ELSE '9+' END AS size_bucket, sz
+  FROM cl)
+SELECT size_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(sz) AS BIGINT) AS n_docs,
+  ROUND(SUM(sz) / CAST((SELECT n FROM nd) AS DOUBLE), 6) AS corpus_share
+FROM b GROUP BY size_bucket
+"""
+
+
+def _brand_return_rate_builder(dialect: str) -> str:
+    """Return rate per part brand with the Wilson 95% lower bound — the
+    rate you can actually act on when brands have very different
+    volumes (a 100%-return brand with 2 lines must rank below a
+    40%-return brand with 10k lines; the plain ratio gets that wrong,
+    the Wilson bound gets it right).  p̂ and the bound are closed forms
+    over exact BIGINT counts; SQRT is IEEE-exact cross-engine (the
+    established sqrt-not-power discipline), so both engines emit the
+    identical double."""
+    z2 = "3.8416"  # z^2 for z = 1.96
+    phat = "(CAST(r AS DOUBLE) / n)"
+    wilson = (
+        f"({phat} + {z2} / (2 * n) - 1.96 * SQRT(({phat} * (1 - {phat})"
+        f" + {z2} / (4 * n)) / n)) / (1 + {z2} / n)"
+    )
+    return f"""
+WITH c AS (
+  SELECT p.p_brand AS brand,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand)
+SELECT brand, n AS n_lines, r AS n_returned,
+  ROUND({phat}, 6) AS return_rate,
+  ROUND({wilson}, 6) AS wilson_lower_95
+FROM c
+"""

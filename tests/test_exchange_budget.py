@@ -389,6 +389,10 @@ BUDGET = {
     "supplier_concentration_hhi": 4,  # revenue agg + type totals +
                                  # share join + HHI rollup (part dim
                                  # broadcasts at fixture scale)
+    "dup_cluster_histogram": 3,  # content-hash agg + histogram agg +
+                                 # scalar corpus size
+    "brand_return_rate_wilson": 1,  # one grouped agg (part broadcasts);
+                                 # the Wilson bound is a projection
 }
 
 
