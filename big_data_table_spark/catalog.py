@@ -153,6 +153,8 @@ from .catalog_r8 import (
     _conversion_latency_builder,
     _decontamination_curve_oracle, _doc_length_histogram_builder,
     _brand_return_rate_builder, _dup_cluster_histogram_builder,
+    _embedding_centroid_margin_oracle, _shingle_df_profile_builder,
+    embedding_centroid_margin_q, shingle_df_profile_q,
     _events_bounce_rate_builder, _lang_id_calibration_builder,
     _supplier_hhi_builder,
     _embedding_norm_outliers_oracle, _events_user_gini_oracle,
@@ -1837,6 +1839,21 @@ CATALOG.update(
             "— volume-honest ranking; closed form over exact counts, "
             "IEEE-exact sqrt.",
         ),
+        "shingle_df_profile": QuerySpec(
+            shingle_df_profile_q,
+            _shingle_df_profile_builder(DUCK),
+            doc="Shingle document-frequency histogram — the max_df "
+            "calibration for the n-gram Jaccard verifier; the 51+ "
+            "bucket is exactly the evidence the verifier drops; "
+            "DF aggregate checkpointed once.",
+        ),
+        "embedding_centroid_margin": QuerySpec(
+            embedding_centroid_margin_q,
+            _embedding_centroid_margin_oracle(),
+            doc="Label separability: nearest other centroid by cosine "
+            "per label — decimal-exact centroid dot products, the "
+            "label-noise / collapsed-embedding early warning.",
+        ),
     }
 )
 
@@ -1878,6 +1895,8 @@ _R8_NEW: list[str] = [
     "supplier_concentration_hhi",
     "dup_cluster_histogram",
     "brand_return_rate_wilson",
+    "shingle_df_profile",
+    "embedding_centroid_margin",
 ]
 _R8_NEXT = _R8_SPILL + _R8_STALE_R4 + _R8_NEW
 

@@ -1303,3 +1303,183 @@ SELECT brand, n AS n_lines, r AS n_returned,
   ROUND({wilson}, 6) AS wilson_lower_95
 FROM c
 """
+
+
+def shingle_df_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame form of `_shingle_df_profile_builder`: the shingle-DF
+    aggregate is the expensive stage and feeds both the histogram and
+    the occurrence total, so it is computed ONCE and checkpointed (the
+    SQL text's scalar subquery re-inlines it — measured 8 exchanges vs
+    3 here)."""
+    from .functions.dedup import _shingles_cte, _words_cte
+
+    register_views(spark, sf_dir)
+    df = spark.sql(
+        f"WITH {_words_cte(SPARK)}, {_shingles_cte(SPARK, distinct=True)} "
+        "SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM shingles GROUP BY sh"
+    ).localCheckpoint(eager=True)
+    tot = df.agg(F.sum("df").cast("long").alias("t"))
+    bucket = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") == 2, "2")
+        .when(F.col("df") <= 4, "3-4")
+        .when(F.col("df") <= 8, "5-8")
+        .when(F.col("df") <= 16, "9-16")
+        .when(F.col("df") <= 50, "17-50")
+        .otherwise("51+")
+    )
+    return (
+        df.select(bucket.alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_occurrences"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "df_bucket",
+            "n_shingles",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("t").cast("double"), 6).alias(
+                "occurrence_share"
+            ),
+        )
+    )
+
+
+def _shingle_df_profile_builder(dialect: str) -> str:
+    """Shingle document-frequency profile — the `max_df` calibration
+    table for the n-gram Jaccard verifier: `ngram_jaccard_pairs_sql`
+    drops shingles with df > 50 (stopword-like 3-grams that would
+    connect everything), and this histogram shows exactly how much
+    evidence that cut removes — per df bucket (1 / 2 / 3-4 / 5-8 /
+    9-16 / 17-50 / 51+): distinct shingles, total occurrences, and the
+    occurrence share.  The 51+ row IS the dropped mass.  One distinct
+    shingle aggregate + one bounded histogram aggregate."""
+    from .functions.dedup import _shingles_cte, _words_cte
+
+    return f"""
+WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=True)},
+df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM shingles GROUP BY sh),
+tot AS (SELECT CAST(SUM(df) AS BIGINT) AS t FROM df),
+b AS (
+  SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+    WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'
+    WHEN df <= 16 THEN '9-16' WHEN df <= 50 THEN '17-50'
+    ELSE '51+' END AS df_bucket, df
+  FROM df)
+SELECT df_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(df) AS BIGINT) AS n_occurrences,
+  ROUND(SUM(df) / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+    AS occurrence_share
+FROM b GROUP BY df_bucket
+"""
+
+
+def _centroid_means_sql(dialect: str) -> str:
+    """The (label, pos, mv) decimal-exact centroid table — the `means`
+    stage of `label_centroids_sql`, exposed for consumers that need the
+    raw per-dimension centroids (margin report below)."""
+    if dialect == SPARK:
+        explode = (
+            "SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) "
+            "AS (pos, val) FROM embeddings"
+        )
+    else:
+        explode = (
+            "SELECT label, generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
+            "FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings) _v"
+        )
+    return (
+        f"SELECT label, pos, "
+        "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv "
+        f"FROM ({explode}) ex GROUP BY label, pos"
+    )
+
+
+def embedding_centroid_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label separability report: for each label, the NEAREST other
+    centroid by cosine — high nearest-centroid cosine means the two
+    classes' prototypes nearly coincide, the early warning for label
+    noise or collapsed embeddings (and the number that predicts whether
+    per-label LSH blocking can work at all).  Centroids are the
+    decimal-exact per-dimension means (`label_centroids_sql`'s recipe);
+    centroid dot products round each element product to 9 dp and sum as
+    exact DECIMAL(18,9) (the PQ distance discipline), so the |labels|²
+    cosine table is engine-identical.  The means table is checkpointed
+    — both join sides and the norm rows reuse it."""
+    from pyspark.sql import Window
+
+    register_views(spark, sf_dir)
+    means = spark.sql(_centroid_means_sql(SPARK)).localCheckpoint(eager=True)
+    a = means.select(
+        F.col("label").alias("la"), "pos", F.col("mv").alias("va")
+    )
+    b = means.select(
+        F.col("label").alias("lb"), "pos", F.col("mv").alias("vb")
+    )
+    prods = (
+        a.join(b, "pos")
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.round(F.col("va") * F.col("vb"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("dotp")
+        )
+        .localCheckpoint(eager=True)  # norms + cross pairs reuse it
+    )
+    norms = prods.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("l"), F.sqrt("dotp").alias("nrm")
+    )
+    cos = (
+        prods.filter(F.col("la") != F.col("lb"))
+        .join(F.broadcast(norms.withColumnRenamed("l", "la")), "la")
+        .withColumnRenamed("nrm", "na")
+        .join(F.broadcast(norms.withColumnRenamed("l", "lb")), "lb")
+        .withColumnRenamed("nrm", "nb")
+        .select(
+            "la",
+            "lb",
+            F.round(F.col("dotp") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )
+    top = cos.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("la").orderBy(F.col("cos").desc(), "lb")
+        ),
+    ).filter(F.col("rn") == 1)
+    return top.select(
+        F.col("la").alias("label"),
+        F.col("lb").alias("nearest_label"),
+        F.col("cos").alias("nearest_cosine"),
+    )
+
+
+def _embedding_centroid_margin_oracle() -> str:
+    means = _centroid_means_sql(DUCK)
+    return f"""
+WITH means AS ({means}),
+prods AS (
+  SELECT a.label AS la, b.label AS lb,
+    CAST(SUM(CAST(ROUND(a.mv * b.mv, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      AS dotp
+  FROM means a JOIN means b ON a.pos = b.pos
+  GROUP BY a.label, b.label),
+norms AS (SELECT la AS l, SQRT(dotp) AS nrm FROM prods WHERE la = lb),
+cos AS (
+  SELECT p.la, p.lb,
+    ROUND(p.dotp / (na.nrm * nb.nrm), 6) AS cos
+  FROM prods p
+  JOIN norms na ON na.l = p.la
+  JOIN norms nb ON nb.l = p.lb
+  WHERE p.la <> p.lb),
+ranked AS (
+  SELECT la, lb, cos,
+    ROW_NUMBER() OVER (PARTITION BY la ORDER BY cos DESC, lb) AS rn
+  FROM cos)
+SELECT la AS label, lb AS nearest_label, cos AS nearest_cosine
+FROM ranked WHERE rn = 1
+"""

@@ -393,6 +393,12 @@ BUDGET = {
                                  # scalar corpus size
     "brand_return_rate_wilson": 1,  # one grouped agg (part broadcasts);
                                  # the Wilson bound is a projection
+    "shingle_df_profile": 2,     # DF agg (checkpointed; the SQL text's
+                                 # scalar subquery re-inlines it to 8)
+                                 # + histogram agg
+    "embedding_centroid_margin": 1,  # pair-dot agg over the
+                                 # CHECKPOINTED (label, pos) means;
+                                 # norms/cos/top-1 ride tiny tables
 }
 
 
