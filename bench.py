@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -110,7 +111,7 @@ def main() -> None:
         timings[key] = round(runs[0], 3)
         stats[key] = {
             "min": round(runs[0], 3),
-            "median": round(runs[len(runs) // 2], 3),
+            "median": round(statistics.median(runs), 3),
             "spread": round(runs[-1] - runs[0], 3),
             "runs": len(runs),
         }
@@ -133,10 +134,9 @@ def main() -> None:
         t2_timings[key] = round(runs[0], 3)
         t2_stats[key] = {
             "min": round(runs[0], 3),
-            # true median of the 2 runs (their mean) — runs[len//2]
-            # would label the MAX as median and make tier2 look
-            # systematically noisier than the odd-run headline stats
-            "median": round((runs[0] + runs[-1]) / 2, 3),
+            # statistics.median stays a true median whatever the run
+            # count — runs[len//2] labeled the MAX as median for 2 runs
+            "median": round(statistics.median(runs), 3),
             "spread": round(runs[-1] - runs[0], 3),
             "runs": len(runs),
         }

@@ -1377,43 +1377,24 @@ FROM b GROUP BY df_bucket
 """
 
 
-def _centroid_means_sql(dialect: str) -> str:
-    """The (label, pos, mv) decimal-exact centroid table — the `means`
-    stage of `label_centroids_sql`, exposed for consumers that need the
-    raw per-dimension centroids (margin report below)."""
-    if dialect == SPARK:
-        explode = (
-            "SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) "
-            "AS (pos, val) FROM embeddings"
-        )
-    else:
-        explode = (
-            "SELECT label, generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
-            "FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e "
-            "FROM embeddings) _v"
-        )
-    return (
-        f"SELECT label, pos, "
-        "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv "
-        f"FROM ({explode}) ex GROUP BY label, pos"
-    )
-
-
 def embedding_centroid_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label separability report: for each label, the NEAREST other
     centroid by cosine — high nearest-centroid cosine means the two
     classes' prototypes nearly coincide, the early warning for label
     noise or collapsed embeddings (and the number that predicts whether
-    per-label LSH blocking can work at all).  Centroids are the
-    decimal-exact per-dimension means (`label_centroids_sql`'s recipe);
+    per-label LSH blocking can work at all).  Centroids come from the
+    SHARED `similarity.centroid_means_sql` stage (one recipe, every
+    consumer);
     centroid dot products round each element product to 9 dp and sum as
     exact DECIMAL(18,9) (the PQ distance discipline), so the |labels|²
     cosine table is engine-identical.  The means table is checkpointed
     — both join sides and the norm rows reuse it."""
     from pyspark.sql import Window
 
+    from .functions.similarity import centroid_means_sql
+
     register_views(spark, sf_dir)
-    means = spark.sql(_centroid_means_sql(SPARK)).localCheckpoint(eager=True)
+    means = spark.sql(centroid_means_sql(SPARK)).localCheckpoint(eager=True)
     a = means.select(
         F.col("label").alias("la"), "pos", F.col("mv").alias("va")
     )
@@ -1459,7 +1440,9 @@ def embedding_centroid_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_centroid_margin_oracle() -> str:
-    means = _centroid_means_sql(DUCK)
+    from .functions.similarity import centroid_means_sql
+
+    means = centroid_means_sql(DUCK)
     return f"""
 WITH means AS ({means}),
 prods AS (

@@ -369,11 +369,12 @@ GROUP BY COALESCE(i.query_id, e.query_id)
 """
 
 
-def label_centroids_sql(dialect: str) -> str:
-    """Per-label embedding centroid (element-wise decimal-exact mean) +
-    member count + 6-dp checksum — the class-prototype computation
-    (classifier init, per-class drift monitoring).  Same exact-mean
-    construction as clustering.py:update_centroids: the shuffle carries
+def centroid_means_sql(dialect: str) -> str:
+    """The (label, pos, mv, n_members) decimal-exact per-dimension
+    centroid table — the shared `means` stage of
+    :func:`label_centroids_sql` and the centroid-margin report
+    (catalog_r8): ONE copy of the explode + exact-mean recipe so a
+    precision fix reaches every consumer.  The shuffle carries
     (label, dim) partial sums — |labels|·dim rows — never vectors."""
     if dialect == SPARK:
         explode = (
@@ -385,6 +386,18 @@ def label_centroids_sql(dialect: str) -> str:
             "SELECT label, generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
             "FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) _v"
         )
+    return (
+        "SELECT label, pos, "
+        "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv, "
+        f"COUNT(*) AS n_members FROM ({explode}) ex GROUP BY label, pos"
+    )
+
+
+def label_centroids_sql(dialect: str) -> str:
+    """Per-label embedding centroid (element-wise decimal-exact mean) +
+    member count + 6-dp checksum — the class-prototype computation
+    (classifier init, per-class drift monitoring), assembled over the
+    shared :func:`centroid_means_sql` stage."""
     if dialect == SPARK:
         pack = (
             "SELECT label, n_members, ROUND(aggregate(array_sort("
@@ -397,13 +410,7 @@ def label_centroids_sql(dialect: str) -> str:
             "SELECT label, n_members, ROUND(list_sum(list(mv ORDER BY pos)), 6) "
             "AS checksum FROM means GROUP BY label, n_members"
         )
-    return (
-        f"WITH ex AS ({explode}), "
-        "means AS (SELECT label, pos, "
-        "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv, "
-        "COUNT(*) AS n_members FROM ex GROUP BY label, pos) "
-        f"{pack}"
-    )
+    return f"WITH means AS ({centroid_means_sql(dialect)}) {pack}"
 
 
 def embedding_drift_sql(dialect: str) -> str:

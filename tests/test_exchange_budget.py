@@ -330,10 +330,10 @@ BUDGET = {
                                  # crosstab agg over the CHECKPOINTED
                                  # band/candidate tables (SQL text
                                  # re-inlines to 40)
-    # r8: persisted CMS store reads — the counter SUM-merge is
-    # checkpointed, so the plan is the exact-top-k agg + the final
-    # probe-join agg; the store build/append/compact verbs run as side
-    # jobs before the measured query
+    # r8: persisted CMS store reads — the counter SUM-merge AND the
+    # exact top-k probe are both checkpointed, so the measured plan is
+    # the single probe-join estimate aggregate; the store
+    # build/append/compact verbs run as side jobs before the query
     "cms_rollup_persisted": 1,
     "cms_rollup_grouped_range": 2,
     "orders_market_basket": 5,   # pair agg on the checkpointed item
@@ -396,9 +396,10 @@ BUDGET = {
     "shingle_df_profile": 2,     # DF agg (checkpointed; the SQL text's
                                  # scalar subquery re-inlines it to 8)
                                  # + histogram agg
-    "embedding_centroid_margin": 1,  # pair-dot agg over the
-                                 # CHECKPOINTED (label, pos) means;
-                                 # norms/cos/top-1 ride tiny tables
+    "embedding_centroid_margin": 1,  # the per-label top-1 rank window
+                                 # — the pair-dot agg is paid before
+                                 # its checkpoint, and norms/cos ride
+                                 # the tiny checkpointed tables
 }
 
 

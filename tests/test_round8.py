@@ -47,15 +47,48 @@ def test_cms_rollup_range_plan_reads_only_counter_files(spark, sf_dir):
     assert "events" not in plan
     assert est.count() == 3  # every probed key gets an estimate row
 
-    # absent-key contract: a key that cannot be in the store (the store
-    # hashes user ids; probe something far outside) still gets a row,
-    # and if all its cells are untouched the estimate is exactly 0 —
-    # never a dropped row, never an inflated MIN over surviving cells
-    far = SK.cms_rollup_range_estimates(
-        spark, path, LO, HI, _probe(spark, [10**17 + 7, 10**17 + 11])
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+def test_cms_absent_key_reads_exactly_zero(spark, sf_dir):
+    """The absent-key contract, pinned hard: build a store from ONE key
+    (≤ d touched cells of the d·w=4096), find a probe key whose 4 cells
+    are PROVABLY disjoint from the stored set (computed with the same
+    double-hash chain), and assert it gets a row with est_cnt == 0 —
+    the regression this kills is an inner-join read that either drops
+    the key (all cells absent) or inflates the MIN over the surviving
+    subset (some cells absent)."""
+    ev = load_events(spark, sf_dir)
+    one_user = ev.orderBy("user_id").limit(1).collect()[0]["user_id"]
+    path = os.path.join(tempfile.mkdtemp(), "cms_onekey")
+    SK.cms_rollup_build(ev.filter(F.col("user_id") == one_user), path)
+
+    def cells_of(keys):
+        hh = SK._double_hashed_values(_probe(spark, keys), "v")
+        rcol = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("rw")
+        pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % 1024).alias(
+            "cl"
+        )
+        return {
+            (r["v"], r["rw"], r["cl"])
+            for r in hh.select("v", "h1", "h2", rcol).select("v", "rw", pos).collect()
+        }
+
+    stored = {(rw, cl) for _, rw, cl in cells_of([int(one_user)])}
+    candidates = [10**12 + k for k in range(20)]
+    by_key: dict[int, set] = {}
+    for v, rw, cl in cells_of(candidates):
+        by_key.setdefault(v, set()).add((rw, cl))
+    disjoint = next(v for v, cs in by_key.items() if not cs & stored)
+
+    lo = min(d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day="))
+    hi = max(d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day="))
+    rows = SK.cms_rollup_range_estimates(
+        spark, path, lo, hi, _probe(spark, [disjoint, int(one_user)])
     ).collect()
-    assert len(far) == 2
-    assert all(r["est_cnt"] >= 0 for r in far)
+    est = {r["v"]: r["est_cnt"] for r in rows}
+    assert est[disjoint] == 0  # provably untouched cells read as zero
+    assert est[int(one_user)] >= 1  # the stored key keeps its counts
     shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
