@@ -683,3 +683,63 @@ def test_last_touch_encoded_max_matches_python_reference(spark, rows):
     finally:
         spark.catalog.dropTempView("_lt_test_events")
     assert got == want, (got, want)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # user
+            st.integers(0, 20_000),   # epoch seconds (dense -> real gaps)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bounce_rate_matches_python_reference(spark, rows):
+    """`events_bounce_rate`'s whole chain — per-user 30-min-gap
+    sessionization, the encoded-MIN first event (deterministic under
+    timestamp ties via the (es, event_id) order), and the single-event
+    bounce rule — against a direct Python scan on randomized event
+    sequences."""
+    import pandas as pd
+
+    from big_data_table_spark.catalog_r8 import _events_bounce_rate_builder
+    from big_data_table_spark.functions.portable import SPARK
+
+    pdf = pd.DataFrame(
+        [(i, u, es, t, 1.0, None) for i, (u, es, t) in enumerate(rows)],
+        columns=["event_id", "user_id", "es", "event_type", "value", "props"],
+    )
+    # python reference
+    want: dict[str, list[int]] = {}
+    for u in pdf["user_id"].unique():
+        g = pdf[pdf["user_id"] == u].sort_values(["es", "event_id"])
+        sessions, cur, prev = [], [], None
+        for _, r in g.iterrows():
+            if prev is not None and r["es"] - prev > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append((r["es"], r["event_id"], r["event_type"]))
+            prev = r["es"]
+        sessions.append(cur)
+        for s in sessions:
+            entry_type = min(s)[2]  # (es, event_id, type) lexicographic
+            n_sess, n_bounce = want.setdefault(entry_type, [0, 0])
+            want[entry_type] = [n_sess + 1, n_bounce + (len(s) == 1)]
+    sql = _events_bounce_rate_builder(SPARK).replace(
+        "FROM events)", "FROM _br_test_events)"
+    )
+    import re
+
+    sql = re.sub(r"unix_timestamp\(\w*ts\w*\)|to_unixtime\(ts\)", "es", sql)
+    spark.createDataFrame(pdf).createOrReplaceTempView("_br_test_events")
+    try:
+        got = {
+            r["entry_type"]: [r["n_sessions"], r["n_bounces"]]
+            for r in spark.sql(sql).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("_br_test_events")
+    assert got == want, (got, want)
