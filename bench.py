@@ -1,17 +1,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "query_stats": {"q1": {"min": sec,
-   "median": sec, "spread": sec, "runs": n}, ...}, "sf": ...}
+Prints TWO JSON lines (r9 — the r8 single line outgrew the driver's
+2000-char tail capture and the artifact's ``parsed`` came back null):
+  line 1 (verbose): metric/value/queries + tier2 + full ``query_stats``
+    ({"min", "median", "spread", "runs"} per query) — host-noise
+    evidence for humans and judge re-runs reading full stdout.
+  line 2 (compact, LAST): {"metric": "headline_query_wall_seconds",
+    "value": <total_sec>, "unit": "sec", "queries": {"q1": sec, ...},
+    "tier2": {"value": sec, "queries": {...}}, "sf": ...} — ~850 chars,
+    always fully inside the driver's tail window.
 
 ``queries``/``value`` stay min-per-query (comparable to every earlier
-BENCH_r0N.json); ``query_stats`` makes host noise visible in the
-artifact itself — the r2 and r4 driver windows both recorded 20-22 s
-totals that did not reproduce on a quiet host (14.4 s judge re-run, r4
-verdict), and nothing in the old JSON could show it was noise.  A large
-``spread`` (max−min over the runs) IS that evidence.
+BENCH_r0N.json); ``query_stats`` makes host noise visible — the r2 and
+r4 driver windows both recorded 20-22 s totals that did not reproduce
+on a quiet host (14.4 s judge re-run, r4 verdict), and nothing in the
+old JSON could show it was noise.  A large ``spread`` (max−min over
+the runs) IS that evidence.
 
 Execution is measured end-to-end with the ``noop`` sink — the full plan
 runs distributed (scan → shuffle → agg) without a driver-side collect, so
@@ -69,6 +74,9 @@ TIER2 = [
     ("ann_ivf_persisted_topk", "ivf_store"),
     ("sequence_packing", "packing"),
     ("training_order_shuffle", "order_shuffle"),
+    # r9: the fifth persisted store (CMS, additive class) gets its
+    # regression number from its first full round (VERDICT r8 #5)
+    ("cms_rollup_persisted", "cms_store"),
 ]
 
 
@@ -142,6 +150,35 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    t2_total = round(sum(t2_timings.values()), 3)
+
+    # Two lines (r9, VERDICT r8 #3 — the r8 single line outgrew the
+    # driver's 2000-char tail capture and parsed as null):
+    #   line 1 (verbose): everything incl. per-query min/median/spread —
+    #     for humans and judge re-runs reading full stdout.  tier2 is
+    #     placed BEFORE query_stats so a tail fragment of this line can
+    #     never contain a complete decoy sub-object with a "metric" key.
+    #   line 2 (compact, LAST): headline value + per-query mins + tier2
+    #     totals, ~850 chars — always fully inside the tail window and
+    #     the only parseable JSON line there.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_verbose",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "tier2": {
+                    "value": t2_total,
+                    "queries": t2_timings,
+                    "query_stats": t2_stats,
+                },
+                "query_stats": stats,
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -149,14 +186,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "query_stats": stats,
-                "tier2": {
-                    "metric": "tier2_store_pipeline_wall_seconds",
-                    "value": round(sum(t2_timings.values()), 3),
-                    "queries": t2_timings,
-                    "query_stats": t2_stats,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "tier2": {"value": t2_total, "queries": t2_timings},
+                "sf": sf_val,
             }
         )
     )

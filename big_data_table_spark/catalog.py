@@ -1907,12 +1907,28 @@ assert len(_R8_FRONT) == len(set(_R8_FRONT)) == 50, len(_R8_FRONT)
 assert len(_R8_STALE_R4) == 20, len(_R8_STALE_R4)
 assert not set(_R8_FRONT) & set(_R8_NEXT)
 
-_head8 = _R8_FRONT + _R8_NEXT + [
-    n for n in CATALOG if n not in set(_R8_FRONT + _R8_NEXT)
+# ------------------------------------------------------------------ #
+# driver-window ordering (round 9) — VERDICT r8 #2: stage _R9_FRONT =
+# _R8_NEXT verbatim (4 never-sampled spill-overs + 20 r4-stale + 26
+# new r8 entries = exactly 50).  After this window every catalog entry
+# has an r5+ driver row.  New r9 entries append to _R9_NEXT.
+# ------------------------------------------------------------------ #
+_R9_FRONT = list(_R8_NEXT)
+_R9_NEW: list[str] = []
+_R9_NEXT = _R9_NEW
+
+assert len(_R9_FRONT) == len(set(_R9_FRONT)) == 50, len(_R9_FRONT)
+assert set(_R9_FRONT + _R9_NEXT) <= set(CATALOG), sorted(
+    set(_R9_FRONT + _R9_NEXT) - set(CATALOG)
+)
+assert not set(_R9_FRONT) & set(_R9_NEXT)
+
+_head9 = _R9_FRONT + _R9_NEXT + [
+    n for n in CATALOG if n not in set(_R9_FRONT + _R9_NEXT)
 ]
 CATALOG = {
-    **{name: CATALOG[name] for name in _head8},
-    **{name: spec for name, spec in CATALOG.items() if name not in set(_head8)},
+    **{name: CATALOG[name] for name in _head9},
+    **{name: spec for name, spec in CATALOG.items() if name not in set(_head9)},
 }
 
 

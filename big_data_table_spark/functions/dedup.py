@@ -468,8 +468,9 @@ def lsh_index_compact(spark, path: str) -> None:
             df.repartition(part).write.mode("overwrite").partitionBy(part).parquet(tmp)
         else:
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(cur)
-        os.rename(tmp, cur)
+        from .sketches import _swap_dir_in
+
+        _swap_dir_in(tmp, cur)
 
 
 def lsh_index_probe(spark, path: str, src: str):

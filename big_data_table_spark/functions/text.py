@@ -562,6 +562,7 @@ def winnow_index_compact(spark, path: str) -> int:
     tmp = path.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    from .sketches import _swap_dir_in
+
+    _swap_dir_in(tmp, path)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])

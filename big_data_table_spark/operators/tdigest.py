@@ -362,8 +362,9 @@ def tdigest_rollup_compact(
     tmp = os.path.join(path, f".day={day}.compact.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(part_dir)
-    os.rename(tmp, part_dir)
+    from ..functions.sketches import _swap_dir_in
+
+    _swap_dir_in(tmp, part_dir)
     return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
 
 

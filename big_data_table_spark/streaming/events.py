@@ -686,21 +686,13 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
     )
-    from pyspark.sql import Window
+    from ..functions.sketches import exact_top_keys
 
-    top = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("true_cnt").desc(), F.col("v"))
-            ),
-        )
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-        .localCheckpoint(eager=True)  # ≤20 rows; the global window is a
-        # TakeOrdered-sized frame, same bounded-by-construction case as
-        # the batch CMS entry's exact-top spine
-    )
+    top = exact_top_keys(exact, "true_cnt", "v", 20).localCheckpoint(
+        eager=True
+    )  # TakeOrderedAndProject: per-partition top-20 + driver merge of
+    # 20·partitions rows; same deterministic tie-break as the old
+    # row_number spine, no single-task global sort (r8-verdict fix)
     hh = _double_hashed_values(top.select("v"), "v")
     rcol = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("rw")
     pos = ((F.col("h1") + F.col("rw") * (F.col("h2") * 2 + 1)) % w).alias("cl")
@@ -1162,8 +1154,6 @@ def stream_cms_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot sketch bit-for-bit."""
     import shutil
     import tempfile
-
-    from pyspark.sql import Window
 
     from ..functions import sketches as SK
     from ..sources.readers import load_events

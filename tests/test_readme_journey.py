@@ -95,3 +95,15 @@ def test_readme_journey(spark, tmp_path):
     # 7. cleanup rm(x, y) (tests-06:101)
     y.drop_var(spark)
     assert "y" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_print_golden_line_counts(spark):
+    """The reference pins EXACT print line counts
+    (tests-06-readme.R:178-181: 12 lines default, 6 at topn=2, 4 at
+    topn=1, 22 at topn=10).  Same golden form here: header + topn head
+    + ``---`` + topn tail == 2·topn + 2 lines, so a formatting
+    regression is caught the way the reference catches it."""
+    bdt = BigDataTable.from_pandas(spark, iris_like()).repartition(4)
+    for topn in (1, 2, 5, 10):
+        block = bdt.print_(topn=topn)
+        assert len(block.splitlines()) == 2 * topn + 2, (topn, block)
