@@ -165,6 +165,16 @@ from .catalog_r8 import (
     events_funnel_windowed_q, minhash_estimate_report_q, orders_backlog_q,
     orders_market_basket_q, vocab_oov_curve_q,
 )
+from .catalog_r9 import (
+    _anisotropy_builder, _boilerplate_ngram_builder,
+    _interarrival_builder, _orders_seasonality_oracle,
+    _peak_concurrency_oracle, _simhash_hamming_histogram_oracle,
+    _source_lang_entropy_oracle, _spend_migration_builder,
+    _token_diversity_builder, _transition_entropy_oracle,
+    events_peak_concurrency_q, events_transition_entropy_q,
+    orders_seasonality_index_q, simhash_hamming_histogram_q,
+    source_lang_entropy_q,
+)
 
 # ------------------------------------------------------------------ #
 # catalog assembly
@@ -1858,6 +1868,82 @@ CATALOG.update(
 )
 
 # ------------------------------------------------------------------ #
+# round 9 — interval/grid analytics, entropy reports, corpus-health
+# calibration tables (builders in catalog_r9.py)
+# ------------------------------------------------------------------ #
+CATALOG.update(
+    {
+        "events_peak_concurrency": QuerySpec(
+            events_peak_concurrency_q,
+            _peak_concurrency_oracle(),
+            doc="Peak concurrent sessions per day on a 5-min grid: "
+            "sessionize, explode session intervals onto grid cells, "
+            "max cell per day with earliest-cell witness; cell table "
+            "checkpointed (feeds day-max + witness join).",
+        ),
+        "events_interarrival_profile": _dual(
+            _interarrival_builder,
+            doc="Inter-arrival gaps per event type (per-user lag): "
+            "count, total, exact p50/p90 via the percentile ≡ "
+            "quantile_cont bit-identical pair.",
+        ),
+        "events_transition_entropy": QuerySpec(
+            events_transition_entropy_q,
+            _transition_entropy_oracle(),
+            doc="Successor-distribution Shannon entropy per event type "
+            "+ modal successor; ROUND-before-sum ln discipline over "
+            "the bounded |types|^2 pair table (checkpointed — 3 flat "
+            "references re-inline the per-user lead window).",
+        ),
+        "source_lang_entropy": QuerySpec(
+            source_lang_entropy_q,
+            _source_lang_entropy_oracle(),
+            doc="Language-mix entropy per source with dominant lang + "
+            "share — each source's own composition (vs source_kl_drift "
+            "against a reference mix); count table checkpointed.",
+        ),
+        "orders_seasonality_index": QuerySpec(
+            orders_seasonality_index_q,
+            _orders_seasonality_oracle(),
+            doc="Month-of-year seasonality index: average monthly "
+            "revenue vs overall monthly average, exact decimal sums; "
+            "months-grain frame checkpointed.",
+        ),
+        "customer_spend_migration": _dual(
+            _spend_migration_builder,
+            doc="Spend-tier migration matrix H1 vs H2 of the order "
+            "range: digit-count tiers (0 = inactive), full outer join "
+            "carries churn/new rows.",
+        ),
+        "source_token_diversity": _dual(
+            _token_diversity_builder,
+            doc="Type-token ratio + Herdan's C per source — the "
+            "template-farm detector; rounded-ln ratio discipline.",
+        ),
+        "boilerplate_ngram_top": _dual(
+            _boilerplate_ngram_builder,
+            doc="Top-20 3-gram shingles by document frequency — the "
+            "offender list behind shingle_df_profile's 51+ bucket; "
+            "TakeOrderedAndProject top-k.",
+        ),
+        "simhash_hamming_histogram": QuerySpec(
+            simhash_hamming_histogram_q,
+            _simhash_hamming_histogram_oracle(),
+            doc="Hamming-distance histogram over SimHash band "
+            "candidates — the accept-threshold calibration table; "
+            "Spark form checkpoints the thrice-referenced signature "
+            "frame (CTE-inlining trap).",
+        ),
+        "embedding_anisotropy_report": _dual(
+            _anisotropy_builder,
+            doc="Pairwise-cosine distribution over id-hash-bucketed "
+            "pair sample (no n^2): bin, count, share — the collapsed-"
+            "embedding early warning.",
+        ),
+    }
+)
+
+# ------------------------------------------------------------------ #
 # driver-window ordering (round 8) — VERDICT r7 #1: the 54 entries
 # with ZERO driver CORRECTNESS rows (the whole late-r7 batch — theta/
 # tdigest/bloom stores, IVFPQ family, substring dedup, streaming
@@ -1914,7 +2000,18 @@ assert not set(_R8_FRONT) & set(_R8_NEXT)
 # has an r5+ driver row.  New r9 entries append to _R9_NEXT.
 # ------------------------------------------------------------------ #
 _R9_FRONT = list(_R8_NEXT)
-_R9_NEW: list[str] = []
+_R9_NEW: list[str] = [
+    "events_peak_concurrency",
+    "events_interarrival_profile",
+    "events_transition_entropy",
+    "source_lang_entropy",
+    "orders_seasonality_index",
+    "customer_spend_migration",
+    "source_token_diversity",
+    "boilerplate_ngram_top",
+    "simhash_hamming_histogram",
+    "embedding_anisotropy_report",
+]
 _R9_NEXT = _R9_NEW
 
 assert len(_R9_FRONT) == len(set(_R9_FRONT)) == 50, len(_R9_FRONT)

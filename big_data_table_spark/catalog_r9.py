@@ -1,0 +1,499 @@
+"""Round-9 builders: interval/grid concurrency analytics, entropy
+reports (transition structure, language mix), corpus-health calibration
+tables (boilerplate mining, token diversity, SimHash hamming
+calibration, embedding anisotropy), and classic seasonality/migration
+analytics.  Builders only — registration and driver-window ordering
+stay in catalog.py (the r8 split's convention).
+
+Every builder is dual-dialect (one algorithm, two SQL texts) except
+`simhash_hamming_histogram_q`, whose Spark form checkpoints the shared
+signature frame once (Spark inlines SQL CTEs — the flat SQL text would
+recompute the signatures three times; the SQL text stays the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog_base import register_views
+from .functions.portable import (
+    DUCK,
+    SPARK,
+    arr_len,
+    epoch_s,
+    lateral_arr,
+    lateral_seq,
+    split_ws,
+)
+
+
+# ------------------------------------------------------------------ #
+# interval / grid analytics
+# ------------------------------------------------------------------ #
+
+def _cell_counts_core(dialect: str) -> str:
+    """Shared stage of events_peak_concurrency: sessionize (30-min gap
+    rule, per-user windows), explode each session interval onto the
+    5-min cells it overlaps, count concurrent sessions per cell.
+    Output: (cell, dayn, n) — calendar-bounded (≤ 288 cells/day)."""
+    es = epoch_s("ts", dialect)
+    cells = lateral_seq(
+        "CAST(floor(st / 300) AS BIGINT)",
+        "CAST(floor(en / 300) AS BIGINT)",
+        "cell",
+        dialect,
+    )
+    return f"""
+WITH es AS (SELECT user_id, event_id, {es} AS es FROM events),
+flagged AS (
+  SELECT user_id, event_id, es,
+    CASE WHEN LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           IS NULL
+         OR es - LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           > 1800
+    THEN 1 ELSE 0 END AS is_new
+  FROM es),
+sid AS (
+  SELECT user_id, es,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+  FROM flagged),
+sess AS (
+  SELECT user_id, s, MIN(es) AS st, MAX(es) AS en
+  FROM sid GROUP BY user_id, s),
+cellhits AS (SELECT CAST(cell AS BIGINT) AS cell FROM sess {cells})
+SELECT cell, CAST(floor(cell / 288) AS BIGINT) AS dayn,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM cellhits GROUP BY cell
+"""
+
+
+def _peak_concurrency_final(src: str) -> str:
+    """Day-max over the cell-count relation ``src`` (a view name or a
+    parenthesized subquery; earliest peak cell as the deterministic
+    witness).  Identical text in both dialects."""
+    return f"""
+WITH daymax AS (SELECT dayn, MAX(n) AS peak FROM {src} _s GROUP BY dayn)
+SELECT d.dayn AS day_num, d.peak AS peak_sessions,
+  CAST(MIN(c.cell) * 300 AS BIGINT) AS peak_cell_start_s
+FROM daymax d JOIN {src} c ON c.dayn = d.dayn AND c.n = d.peak
+GROUP BY d.dayn, d.peak
+"""
+
+
+def events_peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day on a 5-minute grid.  Scale
+    shape: per-user session windows (bounded per-user history), a
+    linear ≤ duration/300 cell fan-out of SESSION rows (not raw
+    events), then a day-max over the calendar-bounded cell table — no
+    global running sum over an unbounded boundary stream.  The cell
+    table feeds both the day-max and the witness join, so the Spark
+    form checkpoints it once (the SQL text re-inlines the whole
+    sessionize — the measured CTE trap)."""
+    register_views(spark, sf_dir)
+    cc = spark.sql(_cell_counts_core(SPARK)).localCheckpoint(eager=True)
+    cc.createOrReplaceTempView("_r9_cell_counts")
+    return spark.sql(_peak_concurrency_final("_r9_cell_counts"))
+
+
+def _peak_concurrency_oracle() -> str:
+    return _peak_concurrency_final(f"({_cell_counts_core(DUCK)})")
+
+
+def _interarrival_builder(dialect: str) -> str:
+    """Inter-arrival profile per event type: for each user's consecutive
+    same-type events, the gap in seconds; per type the gap count, total,
+    and exact p50/p90 (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    the bit-identical pair pinned by percentile_exact).  The lag window
+    is partitioned by (user_id, event_type) — bounded per-user history —
+    and the percentile is a grouped aggregate over a handful of type
+    groups (the same declared 100 TB caveat as percentile_exact: swap in
+    the t-digest surface when groups stop fitting a reducer)."""
+    es = epoch_s("ts", dialect)
+    pct = (
+        (lambda q: f"percentile(gap, {q})")
+        if dialect == SPARK
+        else (lambda q: f"quantile_cont(gap, {q})")
+    )
+    return f"""
+WITH es AS (SELECT user_id, event_id, event_type, {es} AS es FROM events),
+gaps AS (
+  SELECT event_type,
+    es - LAG(es) OVER (PARTITION BY user_id, event_type
+      ORDER BY es, event_id) AS gap
+  FROM es)
+SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+  CAST(SUM(gap) AS BIGINT) AS total_gap_s,
+  ROUND({pct('0.5')}, 6) AS p50_gap_s,
+  ROUND({pct('0.9')}, 6) AS p90_gap_s
+FROM gaps WHERE gap IS NOT NULL GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------------ #
+# entropy reports
+# ------------------------------------------------------------------ #
+
+def _transition_pairs_core(dialect: str) -> str:
+    """Shared stage of events_transition_entropy: per-user successor
+    pairs aggregated to the ≤ |types|² transition-count table
+    (cur, nxt, c).  The lead window is per-user (bounded)."""
+    es = epoch_s("ts", dialect)
+    return f"""
+WITH es AS (SELECT user_id, event_id, event_type, {es} AS es FROM events),
+nx AS (
+  SELECT event_type AS cur,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id)
+      AS nxt
+  FROM es)
+SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+FROM nx WHERE nxt IS NOT NULL GROUP BY cur, nxt
+"""
+
+
+def _transition_entropy_final(src: str) -> str:
+    """Entropy + modal successor over the transition-count relation
+    ``src``.  Entropy terms follow the ROUND-before-sum ln()
+    discipline (each −p·ln p rounded to 6 dp, summed as DECIMAL(18,6))
+    so both engines sum identical decimals; every window/join here is
+    over the bounded ≤ |types|² frame."""
+    return f"""
+WITH tot AS (
+  SELECT cur, CAST(SUM(c) AS BIGINT) AS t FROM {src} _p GROUP BY cur),
+terms AS (
+  SELECT p.cur,
+    CAST(ROUND(-(CAST(p.c AS DOUBLE) / t.t)
+      * ln(CAST(p.c AS DOUBLE) / t.t), 6) AS DECIMAL(18,6)) AS term
+  FROM {src} p JOIN tot t ON p.cur = t.cur),
+ent AS (
+  SELECT cur, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+  FROM terms GROUP BY cur),
+top AS (
+  SELECT cur, nxt, c,
+    ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rn
+  FROM {src} _q)
+SELECT e.cur AS event_type, t.t AS n_transitions, e.entropy,
+  top.nxt AS top_next, top.c AS top_next_n
+FROM ent e JOIN tot t ON t.cur = e.cur
+JOIN top ON top.cur = e.cur AND top.rn = 1
+"""
+
+
+def events_transition_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successor-distribution Shannon entropy per event type: how
+    predictable is the NEXT event given the current one (0 = fully
+    deterministic flow, ln(5) ≈ 1.609 = uniform), with the modal
+    successor as witness.  Complements events_markov_transitions (the
+    full matrix) with the summary the monitoring layer thresholds.
+    The pair table feeds totals, entropy terms AND the modal-successor
+    rank, so the Spark form checkpoints it once (the SQL text's three
+    references re-inline the per-user lead window — the measured CTE
+    trap; 12 exchanges flat vs 4 checkpointed)."""
+    register_views(spark, sf_dir)
+    pairs = spark.sql(_transition_pairs_core(SPARK)).localCheckpoint(
+        eager=True
+    )
+    pairs.createOrReplaceTempView("_r9_transition_pairs")
+    return spark.sql(_transition_entropy_final("_r9_transition_pairs"))
+
+
+def _transition_entropy_oracle() -> str:
+    return _transition_entropy_final(f"({_transition_pairs_core(DUCK)})")
+
+
+def _lang_counts_core(dialect: str) -> str:
+    """Shared stage of source_lang_entropy: the ≤ sources×langs count
+    table (source, lang, n)."""
+    return """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY source, lang
+"""
+
+
+def _source_lang_entropy_final(src: str) -> str:
+    """Entropy + dominant language over the (source, lang, n) relation
+    ``src``; every stage here is over the bounded composition frame.
+    ROUND-before-sum ln() discipline."""
+    return f"""
+WITH t AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM {src} _c
+  GROUP BY source),
+terms AS (
+  SELECT c.source,
+    CAST(ROUND(-(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot), 6)
+      AS DECIMAL(18,6)) AS term
+  FROM {src} c JOIN t ON c.source = t.source),
+ent AS (
+  SELECT source, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS lang_entropy
+  FROM terms GROUP BY source),
+top AS (
+  SELECT c.source, lang, n, tot,
+    ROW_NUMBER() OVER (PARTITION BY c.source ORDER BY n DESC, lang) AS rn
+  FROM {src} c JOIN t ON c.source = t.source)
+SELECT e.source, top.tot AS n_docs, e.lang_entropy,
+  top.lang AS dominant_lang,
+  ROUND(CAST(top.n AS DOUBLE) / top.tot, 6) AS dominant_share
+FROM ent e JOIN top ON top.source = e.source AND top.rn = 1
+"""
+
+
+def source_lang_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source: how multilingual each crawl
+    source is (0 = monolingual, ln(5) = uniform over the five fixture
+    languages), with the dominant language and its share — the routing
+    table for language-specific pipeline stages.  Distinct from
+    source_kl_drift (drift of one source AGAINST a reference mix);
+    this is each source's own composition.  The count table feeds
+    totals, terms and the dominant-lang rank, so the Spark form
+    checkpoints it once (three flat references = three document
+    scans)."""
+    register_views(spark, sf_dir)
+    c = spark.sql(_lang_counts_core(SPARK)).localCheckpoint(eager=True)
+    c.createOrReplaceTempView("_r9_lang_counts")
+    return spark.sql(_source_lang_entropy_final("_r9_lang_counts"))
+
+
+def _source_lang_entropy_oracle() -> str:
+    return _source_lang_entropy_final(f"({_lang_counts_core(DUCK)})")
+
+
+# ------------------------------------------------------------------ #
+# classic analytics
+# ------------------------------------------------------------------ #
+
+def _per_month_core(dialect: str) -> str:
+    """Shared stage of orders_seasonality_index: the months-grain
+    revenue table (moy, mth, rev) with exact DECIMAL sums."""
+    return """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS moy,
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders)
+SELECT moy, mth, CAST(SUM(p) AS DECIMAL(38,2)) AS rev
+FROM m GROUP BY moy, mth
+"""
+
+
+def _seasonality_final(src: str) -> str:
+    """Month-of-year index over the months-grain relation ``src``."""
+    return f"""
+WITH by_moy AS (
+  SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_months,
+    CAST(SUM(rev) AS DECIMAL(38,2)) AS rev
+  FROM {src} _pm GROUP BY moy)
+SELECT moy AS month_of_year, n_months, CAST(rev AS DOUBLE) AS revenue,
+  ROUND((CAST(rev AS DOUBLE) / n_months)
+    / (CAST((SELECT SUM(rev) FROM {src} _t) AS DOUBLE)
+       / (SELECT COUNT(*) FROM {src} _n)), 6) AS seasonality_index
+FROM by_moy
+"""
+
+
+def orders_seasonality_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index on order revenue: per calendar
+    month (1-12), average monthly revenue relative to the overall
+    monthly average (index 1.0 = flat).  orders_by_month emits the raw
+    monthly series; this is the normalized cyclical profile a demand
+    planner thresholds.  Revenue sums are exact DECIMAL(18,2) → (38,2).
+    The months-grain frame feeds the index and both scalar subqueries,
+    so the Spark form checkpoints it once (three flat references =
+    three orders scans)."""
+    register_views(spark, sf_dir)
+    pm = spark.sql(_per_month_core(SPARK)).localCheckpoint(eager=True)
+    pm.createOrReplaceTempView("_r9_per_month")
+    return spark.sql(_seasonality_final("_r9_per_month"))
+
+
+def _orders_seasonality_oracle() -> str:
+    return _seasonality_final(f"({_per_month_core(DUCK)})")
+
+
+_MIGRATION_SPLIT = "1998-04-01 00:00:00"  # midpoint of the fixture's
+# 1995-01..2001-08 order range; a fixed boundary keeps the entry
+# deterministic across engines and SFs.
+
+
+def _spend_migration_builder(dialect: str) -> str:
+    """Customer spend-tier migration: each customer's total spend in the
+    first vs second half of the order-date range, bucketed by DIGIT
+    COUNT of the integer spend (the doc_length_histogram device — exact
+    integer buckets, no float log edges; bucket 0 = inactive in that
+    half), emitted as the tier-transition matrix with churn/new rows
+    included via the full outer join.  Two map-side-combinable
+    aggregates meet in one customer-grain join — no windows, no
+    fact-table self-join."""
+    return f"""
+WITH h1 AS (
+  SELECT o_custkey AS ck,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_MIGRATION_SPLIT}'
+  GROUP BY o_custkey),
+h2 AS (
+  SELECT o_custkey AS ck,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_MIGRATION_SPLIT}'
+  GROUP BY o_custkey),
+b1 AS (
+  SELECT ck, CAST(length(CAST(CAST(floor(CAST(s AS DOUBLE)) AS BIGINT)
+    AS STRING)) AS BIGINT) AS b
+  FROM h1),
+b2 AS (
+  SELECT ck, CAST(length(CAST(CAST(floor(CAST(s AS DOUBLE)) AS BIGINT)
+    AS STRING)) AS BIGINT) AS b
+  FROM h2)
+SELECT COALESCE(b1.b, 0) AS tier_h1, COALESCE(b2.b, 0) AS tier_h2,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM b1 FULL OUTER JOIN b2 ON b1.ck = b2.ck
+GROUP BY COALESCE(b1.b, 0), COALESCE(b2.b, 0)
+"""
+
+
+# ------------------------------------------------------------------ #
+# corpus-health calibration tables
+# ------------------------------------------------------------------ #
+
+def _token_diversity_builder(dialect: str) -> str:
+    """Lexical diversity per source: token count, distinct-type count,
+    type-token ratio, and Herdan's C (ln V / ln N — the size-robust
+    variant) — the template-farm detector (a source whose TTR collapses
+    is emitting generated/boilerplate text).  One token explode feeding
+    one grouped distinct aggregate; ln values are ROUNDed to 6 dp
+    BEFORE the ratio so both engines divide identical doubles."""
+    w = split_ws("lower(text)", dialect)
+    return f"""
+WITH words AS (
+  SELECT /*+ REPARTITION(32) */ doc_id, source, {w} AS w FROM documents),
+docs AS (SELECT doc_id, source, w FROM words
+  WHERE {arr_len('w', dialect)} >= 1),
+tok AS (SELECT source, tk FROM docs {lateral_arr('w', 'tk', dialect)}),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_types
+  FROM tok GROUP BY source),
+d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source)
+SELECT d.source, d.n_docs, a.n_tokens, a.n_types,
+  ROUND(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) AS ttr,
+  ROUND(ROUND(ln(CAST(a.n_types AS DOUBLE)), 6)
+    / ROUND(ln(CAST(a.n_tokens AS DOUBLE)), 6), 6) AS herdan_c
+FROM d JOIN agg a ON a.source = d.source
+"""
+
+
+def _boilerplate_ngram_builder(dialect: str) -> str:
+    """Boilerplate mining: the top-20 word-3-gram shingles by document
+    frequency (ties broken by occurrence count then shingle text) — the
+    table of actual offenders behind shingle_df_profile's 51+ bucket
+    and the candidate ban-list for the max_df cut in
+    ngram_jaccard_pairs_sql.  One shingle aggregate + a
+    TakeOrderedAndProject top-k (ORDER BY + LIMIT — never a global
+    rank window)."""
+    from .functions.dedup import _shingles_cte, _words_cte
+
+    return f"""
+WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)},
+stats AS (
+  SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+    CAST(COUNT(*) AS BIGINT) AS occurrences
+  FROM shingles GROUP BY sh)
+SELECT sh AS shingle, df, occurrences
+FROM stats ORDER BY df DESC, occurrences DESC, sh LIMIT 20
+"""
+
+
+_ANISO_BUCKETS = 16
+
+
+def _anisotropy_builder(dialect: str) -> str:
+    """Embedding anisotropy report: the distribution of pairwise cosine
+    similarities over a deterministic sample of pairs (id-hash bucket
+    blocking: pairs meet only inside vec_id % 16 buckets — a fixed
+    ~1/16 sample of all pairs with NO n² predicate, the same
+    bucket-join shape the LSH stages use).  A healthy embedding space
+    is centered near 0; a collapsed/anisotropic one piles mass in the
+    high bins — the cheap early warning before any ANN/near-dup stage.
+    Output: cosine decile bin (floor(cos·10), clamped [-10, 9]), pair
+    count, and share (window over the ≤ 20-row bin table — bounded by
+    construction).  Cosines ROUND to 6 dp before binning so both
+    engines bin identically."""
+    from .functions.similarity import _dot_sql, _vecs_cte
+
+    cos = f"({_dot_sql('a.e', 'b.e', dialect)} / (a.nrm * b.nrm))"
+    return f"""
+WITH {_vecs_cte(dialect)},
+bk AS (SELECT vec_id, e, nrm, CAST(vec_id % {_ANISO_BUCKETS} AS BIGINT)
+  AS bkt FROM v),
+pairs AS (
+  SELECT ROUND({cos}, 6) AS cs
+  FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+bins AS (
+  SELECT GREATEST(CAST(-10 AS BIGINT),
+    LEAST(CAST(9 AS BIGINT), CAST(floor(cs * 10) AS BIGINT))) AS cos_bin,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1)
+SELECT cos_bin, n_pairs,
+  ROUND(CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER (), 6) AS pair_share
+FROM bins
+"""
+
+
+def simhash_hamming_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram over the SimHash candidate pairs (the
+    ≥1-band blocking of dedup_simhash_candidates): how many candidates
+    sit at each distance 0..16 — the calibration table for choosing the
+    accept threshold (and the honesty check on the band recall: a mass
+    of candidates at distance > nbits·(nbands−1)/nbands is the blocking
+    stage's false-positive cost).  The signature frame feeds the band
+    self-join AND both sides of the distance join, so the Spark form
+    checkpoints it once (the SQL text's three references re-inline —
+    the measured CTE-inlining trap).  Distance is 16 exact CASE terms
+    over the bit strings; the histogram is a bounded 17-row aggregate."""
+    from .functions.dedup import simhash_sql
+
+    register_views(spark, sf_dir)
+    sigs = spark.sql(simhash_sql(SPARK)).localCheckpoint(eager=True)
+    sigs.createOrReplaceTempView("_r9_simhash_sigs")
+    return spark.sql(_hamming_over("_r9_simhash_sigs", SPARK))
+
+
+def _hamming_over(sigs_src: str, dialect: str, nbits: int = 16,
+                  nbands: int = 4) -> str:
+    """Band-blocked candidate pairs + per-pair hamming distance over the
+    signature relation ``sigs_src`` (a view/CTE name)."""
+    width = nbits // nbands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash, {b * width + 1}, "
+        f"{width}) AS bs FROM {sigs_src}"
+        for b in range(nbands)
+    )
+    hd = " + ".join(
+        f"(CASE WHEN substr(sa.simhash, {p + 1}, 1) <> "
+        f"substr(sb.simhash, {p + 1}, 1) THEN 1 ELSE 0 END)"
+        for p in range(nbits)
+    )
+    return f"""
+WITH bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT CAST(({hd}) AS BIGINT) AS hamming
+  FROM cands c
+  JOIN {sigs_src} sa ON sa.doc_id = c.doc_a
+  JOIN {sigs_src} sb ON sb.doc_id = c.doc_b)
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ham GROUP BY hamming
+"""
+
+
+def _simhash_hamming_histogram_oracle() -> str:
+    from .functions.dedup import simhash_sql
+
+    inner = _hamming_over("sigs", DUCK)
+    # graft the sigs CTE onto the front of the inner WITH chain
+    assert inner.lstrip().startswith("WITH ")
+    body = inner.lstrip()[len("WITH "):]
+    return f"WITH sigs AS ({simhash_sql(DUCK)}), {body}"

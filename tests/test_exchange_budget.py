@@ -400,6 +400,26 @@ BUDGET = {
                                  # — the pair-dot agg is paid before
                                  # its checkpoint, and norms/cos ride
                                  # the tiny checkpointed tables
+    # round 9 — sessionize/entropy/calibration batch.  The entropy
+    # entries' exchanges all ride their CHECKPOINTED bounded frames
+    # (≤ |types|² / sources×langs / months rows); the expensive
+    # pre-checkpoint stage is paid exactly once.
+    "events_peak_concurrency": 4,    # cell-count agg before checkpoint;
+                                 # day-max + witness join after
+    "events_interarrival_profile": 2,  # per-user lag window + type agg
+    "events_transition_entropy": 7,  # all over the ≤25-row pair frame
+    "source_lang_entropy": 7,        # all over the sources×langs frame
+    "orders_seasonality_index": 4,   # months-grain frame + 2 scalar
+                                 # subqueries over the checkpoint
+    "customer_spend_migration": 3,   # two half aggs + customer join
+    "source_token_diversity": 4,     # token explode + 2-phase distinct
+                                 # + docs agg + join
+    "boilerplate_ngram_top": 3,      # shingle agg (distinct doc_id);
+                                 # top-20 is TakeOrderedAndProject
+    "simhash_hamming_histogram": 2,  # band self-join + 17-row histogram
+                                 # over the checkpointed signatures
+    "embedding_anisotropy_report": 4,  # bucket self-join + bin agg +
+                                 # bounded 20-row share window
 }
 
 
