@@ -171,9 +171,10 @@ from .catalog_r9 import (
     _peak_concurrency_oracle, _simhash_hamming_histogram_oracle,
     _source_lang_entropy_oracle, _spend_migration_builder,
     _token_diversity_builder, _transition_entropy_oracle,
+    _mg_rollup_persisted_oracle, _stream_mg_rollup_store_oracle,
     events_peak_concurrency_q, events_transition_entropy_q,
-    orders_seasonality_index_q, simhash_hamming_histogram_q,
-    source_lang_entropy_q,
+    mg_rollup_persisted_q, orders_seasonality_index_q,
+    simhash_hamming_histogram_q, source_lang_entropy_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -1940,6 +1941,26 @@ CATALOG.update(
             "pair sample (no n^2): bin, count, share — the collapsed-"
             "embedding early warning.",
         ),
+        "mg_rollup_persisted": QuerySpec(
+            mg_rollup_persisted_q,
+            _mg_rollup_persisted_oracle(),
+            doc="Persisted SpaceSaving day store (sixth store family, "
+            "SUMMARY-PRUNE class): build/append-chunk/replay/compact/"
+            "range top-20 with provable [lower, upper] bounds audited "
+            "against exact counts; compaction is bit-neutral by the "
+            "merge law.",
+        ),
+        "stream_mg_rollup_store": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_mg_rollup_store(spark, sf_dir),
+            _stream_mg_rollup_store_oracle(),
+            doc="Streaming writer INTO the SpaceSaving store: 3 "
+            "micro-batches append chunk summaries, batch-1 replayed "
+            "(SET-class at-least-once absorbed by DISTINCT); range "
+            "bounds audited vs exact — oracle models the batch "
+            "slicing via user_id % 3.",
+        ),
     }
 )
 
@@ -2011,6 +2032,8 @@ _R9_NEW: list[str] = [
     "boilerplate_ngram_top",
     "simhash_hamming_histogram",
     "embedding_anisotropy_report",
+    "mg_rollup_persisted",
+    "stream_mg_rollup_store",
 ]
 _R9_NEXT = _R9_NEW
 

@@ -497,3 +497,117 @@ def _simhash_hamming_histogram_oracle() -> str:
     assert inner.lstrip().startswith("WITH ")
     body = inner.lstrip()[len("WITH "):]
     return f"WITH sigs AS ({simhash_sql(DUCK)}), {body}"
+
+
+# ------------------------------------------------------------------ #
+# persisted Misra-Gries / SpaceSaving day store — sixth store family
+# ------------------------------------------------------------------ #
+
+_MG_RANGE = ("2024-01-08", "2024-01-21")  # the shared rollup window
+_MG_CAP = 16
+
+
+def mg_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SpaceSaving day store, full verb cycle
+    (functions/sketches.py:mg_rollup_*): build per-day top-16 summaries
+    for every day but the last, append the last day as TWO parity
+    chunks with one append REPLAYED (the summary is a deterministic
+    function of the slice, so the replay writes byte-identical rows and
+    the read path's DISTINCT absorbs them — SET-class at-least-once),
+    compact the chunked day (merge WITHOUT re-prune: the [lower, upper]
+    algebra is bit-identical before and after — the store's merge law),
+    then answer the 14-day top-20 from the store alone with PROVABLE
+    bounds, audited against the exact range counts (``in_bounds`` is a
+    real accuracy gate: truth escaping [lower, upper] turns the row
+    red).  Store cost: ≤ days·chunks·(cap+1) summary rows per range
+    query, never an events rescan (plan-pinned in test_round9)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+    from .sources.readers import Tables
+
+    lo, hi = _MG_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_mg_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    SK.mg_rollup_build(ev.filter(day != hi), path, cap=_MG_CAP)
+    last = ev.filter(day == hi)
+    SK.mg_rollup_append_chunk(
+        last.filter(F.col("user_id") % 2 == 0), path, hi, 1, cap=_MG_CAP
+    )
+    for _ in range(2):  # second run = the replay; DISTINCT absorbs it
+        SK.mg_rollup_append_chunk(
+            last.filter(F.col("user_id") % 2 == 1), path, hi, 2, cap=_MG_CAP
+        )
+    SK.mg_rollup_compact(spark, path, hi)
+    store = SK.mg_rollup_range_topk(spark, path, lo, hi, topk=20)
+    exact = (
+        ev.filter(day.between(lo, hi))
+        .groupBy(F.col("user_id").cast("long").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return exact.join(F.broadcast(store), "key").select(
+        "key",
+        "lower_cnt",
+        "upper_cnt",
+        "true_cnt",
+        F.col("true_cnt").between(F.col("lower_cnt"), F.col("upper_cnt"))
+        .alias("in_bounds"),
+    )
+
+
+def _mg_rollup_persisted_oracle() -> str:
+    from .functions import sketches as SK
+
+    lo, hi = _MG_RANGE
+    store = SK.mg_rollup_range_sql(
+        "events", "user_id", lo, hi, DUCK, cap=_MG_CAP, topk=20,
+        chunk_sql=(
+            f"CASE WHEN CAST(CAST(ts AS DATE) AS STRING) = '{hi}' "
+            "THEN CAST(user_id AS BIGINT) % 2 + 1 ELSE 0 END"
+        ),
+    )
+    return f"""
+WITH exact AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+    CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events
+  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'
+  GROUP BY 1)
+SELECT s.key, s.lower_cnt, s.upper_cnt, e.true_cnt,
+  (e.true_cnt BETWEEN s.lower_cnt AND s.upper_cnt) AS in_bounds
+FROM ({store}) s JOIN exact e ON e.key = s.key
+"""
+
+
+def _stream_mg_rollup_store_oracle() -> str:
+    """Oracle for the streaming MG-store writer: same range-read algebra
+    with ``chunk_sql = user_id % 3`` modeling the three micro-batches
+    (batch membership is data-borne, so the slicing is deterministic);
+    the replayed batch-1 append adds byte-identical rows the DISTINCT
+    read absorbs, so it does not appear in the oracle at all."""
+    from .functions import sketches as SK
+
+    lo, hi = _MG_RANGE
+    store = SK.mg_rollup_range_sql(
+        "events", "user_id", lo, hi, DUCK, cap=_MG_CAP, topk=20,
+        chunk_sql="CAST(user_id AS BIGINT) % 3",
+    )
+    return f"""
+WITH exact AS (
+  SELECT CAST(user_id AS BIGINT) AS key,
+    CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events
+  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'
+  GROUP BY 1)
+SELECT s.key, s.lower_cnt, s.upper_cnt, e.true_cnt,
+  (e.true_cnt BETWEEN s.lower_cnt AND s.upper_cnt) AS in_bounds
+FROM ({store}) s JOIN exact e ON e.key = s.key
+"""

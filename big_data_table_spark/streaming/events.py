@@ -1202,3 +1202,70 @@ def stream_cms_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overestimate"),
     )
+
+
+def stream_mg_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer INTO the persisted Misra-Gries/SpaceSaving day
+    store (the sixth store family's streaming edge): three
+    deterministic micro-batches (user_id % 3, the shared
+    `_batched_corpus_stream` device) each append their per-day
+    summaries as ``chunk=<batch_id>`` partitions
+    (`mg_rollup_append_batch`); batch 1's append is then REPLAYED after
+    the stream — the summary is a deterministic function of the batch
+    slice, so the replay writes byte-identical rows and the range
+    read's DISTINCT absorbs them (SET class: at-least-once delivery
+    is natively safe, no overwrite choreography).  The 14-day range
+    top-20 with provable [lower, upper] bounds is answered from the
+    summaries alone and audited against exact counts; the oracle
+    replicates the batch slicing via ``chunk_sql = user_id % 3``, so
+    however the stream interleaved days, the answer is value-identical
+    by construction."""
+    import shutil
+    import tempfile
+
+    from ..functions import sketches as SK
+    from ..sources.readers import load_events
+
+    lo, hi = "2024-01-08", "2024-01-21"
+    ev = load_events(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_mgroll_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    n = 3
+    stream = _batched_corpus_stream(
+        spark, ev, root, src_dir, n=n, key_col="user_id", prefix="events"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        SK.mg_rollup_append_batch(batch_df, store, batch_id)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # replay batch 1 (reconstructible from the data-borne key): the
+    # appended rows are byte-identical, the DISTINCT read absorbs them
+    SK.mg_rollup_append_batch(ev.filter(F.col("user_id") % n == 1), store, 1)
+
+    top = SK.mg_rollup_range_topk(spark, store, lo, hi, topk=20)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    exact = (
+        ev.filter(day.between(lo, hi))
+        .groupBy(F.col("user_id").cast("long").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return exact.join(F.broadcast(top), "key").select(
+        "key",
+        "lower_cnt",
+        "upper_cnt",
+        "true_cnt",
+        F.col("true_cnt").between(F.col("lower_cnt"), F.col("upper_cnt"))
+        .alias("in_bounds"),
+    )

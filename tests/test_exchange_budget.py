@@ -420,6 +420,9 @@ BUDGET = {
                                  # over the checkpointed signatures
     "embedding_anisotropy_report": 4,  # bucket self-join + bin agg +
                                  # bounded 20-row share window
+    "mg_rollup_persisted": 4,    # exact-audit agg + store summary agg
+                                 # + TakeOrdered merge; the build/verb
+                                 # shuffles are paid into the store
 }
 
 
