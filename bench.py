@@ -75,8 +75,11 @@ TIER2 = [
     ("sequence_packing", "packing"),
     ("training_order_shuffle", "order_shuffle"),
     # r9: the fifth persisted store (CMS, additive class) gets its
-    # regression number from its first full round (VERDICT r8 #5)
+    # regression number from its first full round (VERDICT r8 #5),
+    # and the new sixth store (SpaceSaving, summary-prune class) gets
+    # a baseline from its birth round
     ("cms_rollup_persisted", "cms_store"),
+    ("mg_rollup_persisted", "mg_store"),
 ]
 
 
