@@ -171,10 +171,12 @@ from .catalog_r9 import (
     _peak_concurrency_oracle, _simhash_hamming_histogram_oracle,
     _source_lang_entropy_oracle, _spend_migration_builder,
     _token_diversity_builder, _transition_entropy_oracle,
-    _mg_rollup_persisted_oracle, _stream_mg_rollup_store_oracle,
+    _mg_rollup_grouped_range_oracle, _mg_rollup_persisted_oracle,
+    _stream_mg_rollup_store_oracle,
     events_peak_concurrency_q, events_transition_entropy_q,
-    mg_rollup_persisted_q, orders_seasonality_index_q,
-    simhash_hamming_histogram_q, source_lang_entropy_q,
+    mg_rollup_grouped_range_q, mg_rollup_persisted_q,
+    orders_seasonality_index_q, simhash_hamming_histogram_q,
+    source_lang_entropy_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -1961,6 +1963,15 @@ CATALOG.update(
             "bounds audited vs exact — oracle models the batch "
             "slicing via user_id % 3.",
         ),
+        "mg_rollup_grouped_range": QuerySpec(
+            mg_rollup_grouped_range_q,
+            _mg_rollup_grouped_range_oracle(),
+            doc="Grouped SpaceSaving store: per-(day, event_type) "
+            "summaries, rollup_expire retention before the read, "
+            "per-type top-5 by exact lower bound with in-row exact "
+            "audit — completes grouped-range symmetry across all six "
+            "store families.",
+        ),
     }
 )
 
@@ -2034,6 +2045,7 @@ _R9_NEW: list[str] = [
     "embedding_anisotropy_report",
     "mg_rollup_persisted",
     "stream_mg_rollup_store",
+    "mg_rollup_grouped_range",
 ]
 _R9_NEXT = _R9_NEW
 

@@ -611,3 +611,71 @@ SELECT s.key, s.lower_cnt, s.upper_cnt, e.true_cnt,
   (e.true_cnt BETWEEN s.lower_cnt AND s.upper_cnt) AS in_bounds
 FROM ({store}) s JOIN exact e ON e.key = s.key
 """
+
+
+def mg_rollup_grouped_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SpaceSaving store's GROUP dimension (per-type heavy hitters
+    with provable bounds): one summary per (day, event_type) in a
+    single build pass, the shared `rollup_expire` retention verb
+    dropping every pre-range day (proving expiry cannot touch a pruned
+    range read — the grouped-CMS precedent), then per-type top-5 by
+    exact lower bound with the in-row exact audit.  Completes the
+    grouped-range symmetry across all six store families."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import sketches as SK
+    from .sources.readers import Tables
+
+    lo, hi = _MG_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_mg_rollup_grp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    SK.mg_rollup_grouped_build(ev, path, cap=_MG_CAP)
+    SK.rollup_expire(path, lo)  # retention: pre-range days drop by dir
+    store = SK.mg_rollup_grouped_range_topk(spark, path, lo, hi, topk=5)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    exact = (
+        ev.filter(day.between(lo, hi))
+        .groupBy(
+            F.col("event_type").cast("string").alias("g"),
+            F.col("user_id").cast("long").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return exact.join(F.broadcast(store), ["g", "key"]).select(
+        F.col("g").alias("event_type"),
+        "key",
+        "lower_cnt",
+        "upper_cnt",
+        "true_cnt",
+        F.col("true_cnt").between(F.col("lower_cnt"), F.col("upper_cnt"))
+        .alias("in_bounds"),
+    )
+
+
+def _mg_rollup_grouped_range_oracle() -> str:
+    from .functions import sketches as SK
+
+    lo, hi = _MG_RANGE
+    store = SK.mg_rollup_grouped_range_sql(
+        "events", "event_type", "user_id", lo, hi, DUCK,
+        cap=_MG_CAP, topk=5,
+    )
+    return f"""
+WITH exact AS (
+  SELECT CAST(event_type AS STRING) AS g,
+    CAST(user_id AS BIGINT) AS key,
+    CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events
+  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'
+  GROUP BY 1, 2)
+SELECT s.g AS event_type, s.key, s.lower_cnt, s.upper_cnt, e.true_cnt,
+  (e.true_cnt BETWEEN s.lower_cnt AND s.upper_cnt) AS in_bounds
+FROM ({store}) s JOIN exact e ON e.g = s.g AND e.key = s.key
+"""

@@ -2668,3 +2668,144 @@ SELECT v AS key, lower_cnt,
   CAST(lower_cnt + (SELECT t FROM tot) - pthr AS BIGINT) AS upper_cnt
 FROM per_key ORDER BY lower_cnt DESC, v LIMIT {topk}
 """
+
+
+def mg_rollup_grouped_build(
+    ev: DataFrame,
+    path: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    cap: int = 16,
+) -> None:
+    """GROUP dimension of the SpaceSaving store (per-tenant/per-type
+    heavy hitters): one summary per (day, group) in a single build
+    pass — exact (day, g, v) counts, a (day, g)-partitioned rank
+    window, top-``cap`` kept with the group's largest dropped count as
+    its threshold.  Row schema (day, g, v, c, thr); day-partitioned so
+    range reads prune and the shared ``rollup_expire`` retention verb
+    applies unchanged."""
+    from pyspark.sql import Window
+
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    counts = (
+        ev.select(
+            day,
+            F.col(group_col).cast("string").alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("day", "g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("day", "g").orderBy(F.col("c").desc(), "v")
+    ranked = counts.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    thr = ranked.groupBy("day", "g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") > cap, F.col("c"))), F.lit(0)
+        ).cast("long").alias("thr")
+    )
+    rows = (
+        ranked.filter(F.col("rn") <= cap)
+        .drop("rn")
+        .join(F.broadcast(thr), ["day", "g"])
+        .select("day", "g", "v", "c", "thr")
+    )
+    rows.write.mode("overwrite").partitionBy("day").parquet(path)
+
+
+def mg_rollup_grouped_range_topk(
+    spark,
+    path: str,
+    lo: str,
+    hi: str,
+    topk: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-group range heavy hitters from the summaries alone:
+    ``(g, key, lower_cnt, upper_cnt)``, top-``topk`` per group by the
+    exact lower bound with the (lower DESC, key) tie-break.  The
+    per-group rank window runs over the per-key AGGREGATE of the store
+    (≤ days·cap rows per group — bounded by the store's own size,
+    never by traffic); the plan scans only partition-pruned summary
+    files."""
+    from pyspark.sql import Window
+
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(lo, hi))
+        .distinct()  # replay absorption (SET merge class)
+    )
+    if checkpoint:
+        rows = rows.localCheckpoint(eager=True)
+    thrs = rows.select("day", "g", "thr").distinct()
+    tot = thrs.groupBy("g").agg(F.sum("thr").cast("long").alias("t"))
+    per_key = rows.groupBy("g", "v").agg(
+        F.sum("c").cast("long").alias("lower_cnt"),
+        F.sum("thr").cast("long").alias("pthr"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("lower_cnt").desc(), "v")
+    return (
+        per_key.join(F.broadcast(tot), "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(
+            "g",
+            F.col("v").alias("key"),
+            "lower_cnt",
+            (F.col("lower_cnt") + F.col("t") - F.col("pthr"))
+            .cast("long")
+            .alias("upper_cnt"),
+        )
+    )
+
+
+def mg_rollup_grouped_range_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    lo: str,
+    hi: str,
+    dialect: str,
+    cap: int = 16,
+    topk: int = 5,
+) -> str:
+    """Oracle for the grouped SpaceSaving range read from RAW events —
+    replicates the deterministic per-(day, group) summary construction
+    and the per-group bound algebra."""
+    day = "CAST(CAST(ts AS DATE) AS STRING)"
+    return f"""
+WITH ev AS (
+  SELECT {day} AS day, CAST({group_col} AS STRING) AS g,
+    CAST({value_col} AS BIGINT) AS v
+  FROM {src}
+  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'),
+counts AS (
+  SELECT day, g, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY day, g, v),
+ranked AS (
+  SELECT day, g, v, c,
+    ROW_NUMBER() OVER (PARTITION BY day, g ORDER BY c DESC, v) AS rn
+  FROM counts),
+kept AS (SELECT day, g, v, c FROM ranked WHERE rn <= {cap}),
+thr AS (
+  SELECT day, g,
+    CAST(COALESCE(MAX(CASE WHEN rn > {cap} THEN c END), 0) AS BIGINT)
+      AS thr
+  FROM ranked GROUP BY day, g),
+tot AS (SELECT g, CAST(SUM(thr) AS BIGINT) AS t FROM thr GROUP BY g),
+per_key AS (
+  SELECT k.g, k.v, CAST(SUM(k.c) AS BIGINT) AS lower_cnt,
+    CAST(SUM(th.thr) AS BIGINT) AS pthr
+  FROM kept k JOIN thr th ON k.day = th.day AND k.g = th.g
+  GROUP BY k.g, k.v),
+rk AS (
+  SELECT p.g, p.v, p.lower_cnt,
+    CAST(p.lower_cnt + tot.t - p.pthr AS BIGINT) AS upper_cnt,
+    ROW_NUMBER() OVER (PARTITION BY p.g
+      ORDER BY p.lower_cnt DESC, p.v) AS rn
+  FROM per_key p JOIN tot ON tot.g = p.g)
+SELECT g, v AS key, lower_cnt, upper_cnt
+FROM rk WHERE rn <= {topk}
+"""

@@ -423,6 +423,9 @@ BUDGET = {
     "mg_rollup_persisted": 4,    # exact-audit agg + store summary agg
                                  # + TakeOrdered merge; the build/verb
                                  # shuffles are paid into the store
+    "mg_rollup_grouped_range": 10,  # per-group assembly over the
+                                 # checkpointed store read + the exact
+                                 # audit agg (theta grouped's shape)
 }
 
 
