@@ -44,6 +44,10 @@ PICKS = {
     "events_funnel_windowed": "Two chained user-partitioned window passes (view->click, click->purchase encoded MAX) + three count-distinct aggregates off the checkpointed qualified-click table. No self-join for the sequence match.",
     "events_user_gini": "Sorted-rank Gini without a global sort: two-phase banded rank over per-user counts (checkpointed), 1-row stats broadcast, one weighted-sum aggregate.",
     "vocab_oov_curve": "Train-frequency rank via two-phase position over the checkpointed token table, test-side counts left-joined, 3-row size grid broadcast — the oracle's global ROW_NUMBER never appears.",
+    "mg_rollup_persisted": "Persisted SpaceSaving store range read: partition-pruned summary scan (checkpointed), per-key bound algebra, TakeOrderedAndProject top-20 broadcast into the exact-audit join. The events scan is the audit side only; the bounds come from the store alone.",
+    "events_peak_concurrency": "Sessionize (user-partitioned windows) -> interval-to-grid-cell explode -> cell aggregate (checkpointed, calendar-bounded) -> day-max + earliest-cell witness join. No unbounded running sum.",
+    "simhash_hamming_histogram": "Signature frame checkpointed once; band self-join builds candidates, two broadcast-sized signature lookups compute 16 CASE-term hamming, bounded 17-row histogram aggregate.",
+    "embedding_anisotropy_report": "Id-bucket pair sampling: bucket equi-join (1/16 of all pairs, no n^2 predicate), rounded-cosine bin aggregate, share via window over the bounded 20-row bin table.",
 }
 
 if __name__ == "__main__":
