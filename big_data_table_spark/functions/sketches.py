@@ -1693,11 +1693,16 @@ def _swap_dir_in(tmp: str, dst: str) -> None:
     Single-writer store verb: the previous dir is renamed aside first,
     so ``dst`` is absent only for the instant between two renames
     (instead of for the whole rmtree+rename of the old pattern), then
-    the old copy is deleted.  Shared by every store compactor."""
+    the old copy is deleted.  The aside dir is DOT-PREFIXED like the
+    tmp dir: Spark's partition discovery skips dot-entries, so a crash
+    between the renames can never surface the old copy as a phantom
+    ``day=...compact.old`` partition inside a range filter (pinned in
+    test_round9).  Shared by every store compactor."""
     import os
     import shutil
 
-    old = dst.rstrip("/") + ".compact.old"
+    head, tail = os.path.split(dst.rstrip("/"))
+    old = os.path.join(head, f".{tail}.compact.old")
     shutil.rmtree(old, ignore_errors=True)
     os.rename(dst, old)
     os.rename(tmp, dst)
@@ -2421,7 +2426,7 @@ def mg_chunk_summary(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=True)  # feeds kept AND the threshold scan
     )
-    kept = counts.orderBy(F.col("c").desc(), "v").limit(cap)
+    kept = exact_top_keys(counts, "c", "v", cap)
     thr = (
         counts.join(F.broadcast(kept.select("v")), "v", "left_anti")
         .agg(F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("thr"))
@@ -2538,10 +2543,7 @@ def mg_rollup_compact(spark, path: str, day: str) -> int:
     part_dir = os.path.join(path, f"day={day}")
     rows = spark.read.parquet(part_dir).distinct()
     thrs = rows.select("chunk", "thr").distinct().localCheckpoint(eager=True)
-    tot = thrs.agg(
-        F.sum("thr").cast("long").alias("t"),
-        F.sum(F.lit(1)).cast("long").alias("nch"),
-    )
+    tot = thrs.agg(F.sum("thr").cast("long").alias("t"))
     merged = (
         rows.groupBy("v")
         .agg(
@@ -2551,7 +2553,8 @@ def mg_rollup_compact(spark, path: str, day: str) -> int:
         )
         .crossJoin(F.broadcast(tot))
         .select(
-            F.lit(0).alias("chunk"),
+            # chunk stays a directory partition (tmp/chunk=0), never an
+            # in-file column — the cms_rollup_compact layout
             "v",
             "c",
             (F.col("ube0") + F.col("t") - F.col("pthr")).cast("long").alias("ube"),
@@ -2603,18 +2606,14 @@ def mg_rollup_range_topk(
         F.sum("ube").cast("long").alias("ube"),
         F.sum("thr").cast("long").alias("pthr"),
     )
-    return (
-        per_key.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("v").alias("key"),
-            "lower_cnt",
-            (F.col("lower_cnt") + F.col("ube") + F.col("t") - F.col("pthr"))
-            .cast("long")
-            .alias("upper_cnt"),
-        )
-        .orderBy(F.col("lower_cnt").desc(), "key")
-        .limit(topk)
+    bounds = per_key.crossJoin(F.broadcast(tot)).select(
+        F.col("v").alias("key"),
+        "lower_cnt",
+        (F.col("lower_cnt") + F.col("ube") + F.col("t") - F.col("pthr"))
+        .cast("long")
+        .alias("upper_cnt"),
     )
+    return exact_top_keys(bounds, "lower_cnt", "key", topk)
 
 
 def mg_rollup_range_sql(

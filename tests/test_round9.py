@@ -243,3 +243,41 @@ def test_stream_mg_store_really_multi_batch_and_replay_files(spark, sf_dir):
         cs == ["chunk=0", "chunk=1", "chunk=2"] for cs in chunk_sets.values()
     ), chunk_sets
     assert replay_evidence > 0  # the replay physically appended files
+
+
+def test_compactor_aside_dir_is_invisible_to_partition_discovery(
+    spark, sf_dir, tmp_path
+):
+    """Crash-window safety for the rename-aside swap: the aside dir is
+    DOT-prefixed, so even if a crash leaves it behind, Spark's
+    partition discovery skips it — a range read can never double-count
+    the compacted day through a phantom 'day=...compact.old'
+    partition.  Simulated by planting the leftover exactly as an
+    interrupted _swap_dir_in would."""
+    import shutil
+
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "hll_store")
+    SK.hll_rollup_build(ev, path)
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith("day=")
+    )
+    d0 = days[0]
+    before = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(days[0], days[-1]))
+        .count()
+    )
+    # plant the crash leftover: a full copy of the day under the aside name
+    shutil.copytree(
+        os.path.join(path, f"day={d0}"),
+        os.path.join(path, f".day={d0}.compact.old"),
+    )
+    after = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(days[0], days[-1]))
+        .count()
+    )
+    assert after == before  # the dot-dir is invisible; no double count
