@@ -743,3 +743,78 @@ def test_bounce_rate_matches_python_reference(spark, rows):
     finally:
         spark.catalog.dropTempView("_br_test_events")
     assert got == want, (got, want)
+
+
+def _mg_summarize(slice_events: list[int], cap: int):
+    """Python reference of sketches.mg_chunk_summary: exact counts, keep
+    top-cap by (count DESC, key), thr = largest dropped count."""
+    from collections import Counter
+
+    counts = Counter(slice_events)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = {k: c for k, c in ordered[:cap]}
+    dropped = [c for _, c in ordered[cap:]]
+    return kept, (max(dropped) if dropped else 0)
+
+
+def _mg_bounds(summaries):
+    """Python reference of sketches.mg_rollup_range_topk's algebra over
+    (kept: dict, ube: dict, thr) summaries: lower = Σ kept counts,
+    upper = lower + Σ ube + Σ thresholds of summaries missing the key."""
+    tot_thr = sum(thr for _, _, thr in summaries)
+    keys = set()
+    for kept, _, _ in summaries:
+        keys |= kept.keys()
+    out = {}
+    for k in keys:
+        lb = sum(kept.get(k, 0) for kept, _, _ in summaries)
+        ube = sum(u.get(k, 0) for _, u, _ in summaries)
+        pthr = sum(thr for kept, _, thr in summaries if k in kept)
+        out[k] = (lb, lb + ube + tot_thr - pthr)
+    return out
+
+
+@SETTINGS
+@given(
+    slices=st.lists(
+        st.lists(st.integers(0, 12), min_size=1, max_size=40),
+        min_size=1,
+        max_size=4,
+    ),
+    cap=st.integers(1, 6),
+)
+def test_mg_store_bounds_and_merge_law(slices, cap):
+    """The SpaceSaving store's two laws, pinned against brute force on
+    generated multisets (mirroring the CMS/backlog property pins):
+
+    1. BOUNDS: for every key any summary kept, the exact total count
+       lies in [lower, upper]; keys no summary kept have total ≤ the
+       thresholds' sum.
+    2. MERGE LAW (compaction): merging all slices into ONE summary via
+       the store rule — c sums over present slices, ube absorbs the
+       thresholds of slices the key was absent from, thr sums — yields
+       bit-identical [lower, upper] for every reported key."""
+    from collections import Counter
+
+    truth = Counter(x for s in slices for x in s)
+    sums = [(*_mg_summarize(s, cap), ) for s in slices]
+    summaries = [(kept, {}, thr) for kept, thr in sums]
+    bounds = _mg_bounds(summaries)
+    tot_thr = sum(thr for _, _, thr in summaries)
+    for k, n in truth.items():
+        if k in bounds:
+            lb, ub = bounds[k]
+            assert lb <= n <= ub, (k, lb, n, ub)
+        else:
+            assert n <= tot_thr, (k, n, tot_thr)
+
+    # compaction: one merged summary, no re-prune (sketches.mg_rollup_compact)
+    merged_kept: dict[int, int] = {}
+    merged_ube: dict[int, int] = {}
+    for k in {k for kept, _, _ in summaries for k in kept}:
+        merged_kept[k] = sum(kept.get(k, 0) for kept, _, _ in summaries)
+        merged_ube[k] = sum(
+            thr for kept, _, thr in summaries if k not in kept
+        )
+    compacted = [(merged_kept, merged_ube, tot_thr)]
+    assert _mg_bounds(compacted) == bounds
