@@ -2382,429 +2382,20 @@ def cms_rollup_append_batch(
     )
 
 
-# ------------------------------------------------------------------ #
-# persisted Misra-Gries / SpaceSaving day store — the SUMMARY-PRUNE
-# member of the store matrix (sixth sketch family).  Row schema:
-# (day, chunk, v, c, ube, thr):
-#   c   — the key's EXACT count within the summarized slice (lower
-#         bound contribution: pruning keeps exact counts, it only
-#         drops keys),
-#   ube — per-key upper-bound extra accumulated by compaction (the
-#         thresholds of sibling chunks the key was absent from),
-#   thr — the summary's threshold: the largest count it dropped (any
-#         key absent from this summary has slice count ≤ thr).
-# Range-read algebra (provable true_cnt ∈ [lower, upper]):
-#   lower(v) = Σ c over summaries containing v
-#   upper(v) = lower + Σ ube + Σ thr over summaries NOT containing v
-# Compaction merges a day's chunks WITHOUT re-pruning (≤ chunks·cap
-# rows): c sums, ube absorbs absent-sibling thresholds, thr sums —
-# the algebra above is BIT-IDENTICAL before and after (pinned in
-# test_round9), the store's merge law.  Reference analogue: the
-# reference gathers partial results per node (big.data.table.R
-# bdt.eval scatter/gather); here the per-slice summaries are the
-# partials and the range read is the gather, with honest bounds.
-# ------------------------------------------------------------------ #
-
-def mg_chunk_summary(
-    ev_chunk: DataFrame,
-    day: str,
-    chunk: int,
-    value_col: str = "user_id",
-    cap: int = 16,
-) -> DataFrame:
-    """Deterministic SpaceSaving-style summary of ONE slice: exact
-    per-key counts, keep the top-``cap`` by (count DESC, key) via
-    TakeOrderedAndProject (single literal slice — never a rank window
-    that folds to a one-task sort, the r7 theta-store gotcha), record
-    ``thr`` = the largest dropped count (0 when nothing dropped).
-    The summary is a pure function of the slice's key multiset, so a
-    replayed append writes byte-identical rows — SET-class replay
-    absorption via the read path's DISTINCT."""
-    counts = (
-        ev_chunk.select(F.col(value_col).cast("long").alias("v"))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # feeds kept AND the threshold scan
-    )
-    kept = exact_top_keys(counts, "c", "v", cap)
-    thr = (
-        counts.join(F.broadcast(kept.select("v")), "v", "left_anti")
-        .agg(F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("thr"))
-    )
-    return kept.crossJoin(F.broadcast(thr)).select(
-        F.lit(day).alias("day"),
-        F.lit(int(chunk)).alias("chunk"),
-        "v",
-        "c",
-        F.lit(0).cast("long").alias("ube"),
-        "thr",
-    )
-
-
-def _mg_day_summaries(
-    ev: DataFrame,
-    value_col: str,
-    ts_col: str,
-    cap: int,
-    chunk: int,
-) -> DataFrame:
-    """Per-day summary rows (day, chunk, v, c, ube, thr) for a multi-day
-    slice in ONE pass: exact (day, key) counts, a per-day rank window
-    (partitioned by day — the theta-store build shape), top-``cap``
-    kept with the max dropped count as ``thr``."""
-    from pyspark.sql import Window
-
-    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
-    counts = (
-        ev.select(day, F.col(value_col).cast("long").alias("v"))
-        .groupBy("day", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    w = Window.partitionBy("day").orderBy(F.col("c").desc(), "v")
-    ranked = counts.withColumn("rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )  # feeds kept AND thr
-    thr = ranked.groupBy("day").agg(
-        F.coalesce(
-            F.max(F.when(F.col("rn") > cap, F.col("c"))), F.lit(0)
-        ).cast("long").alias("thr")
-    )
-    return (
-        ranked.filter(F.col("rn") <= cap)
-        .drop("rn")
-        .join(F.broadcast(thr), "day")
-        .select("day", F.lit(int(chunk)).alias("chunk"), "v", "c",
-                F.lit(0).cast("long").alias("ube"), "thr")
-    )
-
-
-def mg_rollup_build(
-    ev: DataFrame,
-    path: str,
-    value_col: str = "user_id",
-    ts_col: str = "ts",
-    cap: int = 16,
-) -> None:
-    """Materialize the per-day summary table at ``path`` (partitioned by
-    ISO day string, single chunk 0)."""
-    rows = _mg_day_summaries(ev, value_col, ts_col, cap, chunk=0)
-    rows.write.mode("overwrite").partitionBy("day", "chunk").parquet(path)
-
-
-def mg_rollup_append_batch(
-    batch_df: DataFrame,
-    path: str,
-    batch_id: int,
-    value_col: str = "user_id",
-    ts_col: str = "ts",
-    cap: int = 16,
-) -> None:
-    """Streaming-side append: one micro-batch's per-day summaries land
-    as ``chunk=<batch_id>`` partitions under every day the batch
-    touched — the foreachBatch twin of :func:`mg_rollup_append_chunk`.
-    The summary is a deterministic function of the batch slice, so an
-    at-least-once replay appends byte-identical rows and the read
-    path's DISTINCT absorbs them (SET class — no overwrite
-    choreography needed, the simplest replay contract in the store
-    matrix)."""
-    rows = _mg_day_summaries(batch_df, value_col, ts_col, cap, chunk=batch_id)
-    rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
-
-
-def mg_rollup_append_chunk(
-    ev_chunk: DataFrame,
-    path: str,
-    day: str,
-    chunk: int,
-    value_col: str = "user_id",
-    cap: int = 16,
-) -> None:
-    """Incremental maintenance: summarize ONE slice (caller filters) and
-    append its ≤ cap+... rows under ``day=<day>``.  At-least-once safe:
-    the summary is deterministic, so a replay appends duplicate
-    identical rows and the read path's DISTINCT absorbs them (same SET
-    contract as the theta store's samples)."""
-    rows = mg_chunk_summary(ev_chunk, day, chunk, value_col, cap)
-    rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
-
-
-def mg_rollup_compact(spark, path: str, day: str) -> int:
-    """Compaction verb: merge one day's chunk summaries into a single
-    chunk-0 summary WITHOUT re-pruning (≤ chunks·cap rows — still
-    bounded): per key, ``c`` sums over chunks containing it and ``ube``
-    absorbs the thresholds of sibling chunks it was absent from; the
-    merged ``thr`` is the chunk thresholds' sum.  The range-read
-    algebra is bit-identical before and after (the store's merge law,
-    pinned in test_round9).  Same dot-tmp + rename-aside swap as the
-    other compactors (single-writer)."""
-    import os
-    import shutil
-
-    part_dir = os.path.join(path, f"day={day}")
-    rows = spark.read.parquet(part_dir).distinct()
-    thrs = rows.select("chunk", "thr").distinct().localCheckpoint(eager=True)
-    tot = thrs.agg(F.sum("thr").cast("long").alias("t"))
-    merged = (
-        rows.groupBy("v")
-        .agg(
-            F.sum("c").cast("long").alias("c"),
-            F.sum("ube").cast("long").alias("ube0"),
-            F.sum("thr").cast("long").alias("pthr"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            # chunk stays a directory partition (tmp/chunk=0), never an
-            # in-file column — the cms_rollup_compact layout
-            "v",
-            "c",
-            (F.col("ube0") + F.col("t") - F.col("pthr")).cast("long").alias("ube"),
-            F.col("t").alias("thr"),
-        )
-        .coalesce(1)
-    )
-    tmp = os.path.join(path, f".day={day}.compact.tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=0"))
-    _swap_dir_in(tmp, part_dir)
-    return len(
-        [
-            f
-            for f in os.listdir(os.path.join(part_dir, "chunk=0"))
-            if f.endswith(".parquet")
-        ]
-    )
-
-
-def mg_rollup_range_topk(
-    spark,
-    path: str,
-    lo: str,
-    hi: str,
-    topk: int = 20,
-    checkpoint: bool = True,
-) -> DataFrame:
-    """Range heavy hitters from the persisted summaries alone:
-    ``(key, lower_cnt, upper_cnt)`` for days in ``[lo, hi]`` — top-k by
-    the exact lower bound with the (lower DESC, key) tie-break via
-    TakeOrderedAndProject.  The plan scans only the partition-pruned
-    summary files (≤ days·chunks·(cap+1) rows), never events; the
-    bounds are provable: a key's true range count is ≥ the sum of its
-    kept exact counts and ≤ that plus every summary it was absent from
-    contributing at most its threshold (plus compaction's absorbed
-    ``ube``)."""
-    rows = (
-        spark.read.parquet(path)
-        .filter(F.col("day").cast("string").between(lo, hi))
-        .distinct()  # replay absorption (SET merge class)
-    )
-    if checkpoint:
-        rows = rows.localCheckpoint(eager=True)
-    thrs = rows.select("day", "chunk", "thr").distinct()
-    tot = thrs.agg(F.sum("thr").cast("long").alias("t"))
-    per_key = rows.groupBy("v").agg(
-        F.sum("c").cast("long").alias("lower_cnt"),
-        F.sum("ube").cast("long").alias("ube"),
-        F.sum("thr").cast("long").alias("pthr"),
-    )
-    bounds = per_key.crossJoin(F.broadcast(tot)).select(
-        F.col("v").alias("key"),
-        "lower_cnt",
-        (F.col("lower_cnt") + F.col("ube") + F.col("t") - F.col("pthr"))
-        .cast("long")
-        .alias("upper_cnt"),
-    )
-    return exact_top_keys(bounds, "lower_cnt", "key", topk)
-
-
-def mg_rollup_range_sql(
-    src: str,
-    value_col: str,
-    lo: str,
-    hi: str,
-    dialect: str,
-    cap: int = 16,
-    topk: int = 20,
-    chunk_sql: str = "0",
-) -> str:
-    """Oracle for the MG store's range read computed from RAW events:
-    replicates the deterministic summary construction (per-day exact
-    counts → per-slice top-``cap`` by (count DESC, key) → threshold =
-    max dropped) and the range algebra, so the store answer is
-    value-identical by construction.  ``chunk_sql`` models how the
-    store was sliced (a chunk id expression over the event row —
-    parity split, batch id); compaction is bit-neutral, so the
-    pre-compact structure is the oracle for the post-compact store
-    too."""
-    day = "CAST(CAST(ts AS DATE) AS STRING)"
-    chunk = chunk_sql
-    return f"""
-WITH ev AS (
-  SELECT {day} AS day, {chunk} AS chunk,
-    CAST({value_col} AS BIGINT) AS v
-  FROM {src}
-  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'),
-counts AS (
-  SELECT day, chunk, v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM ev GROUP BY day, chunk, v),
-ranked AS (
-  SELECT day, chunk, v, c,
-    ROW_NUMBER() OVER (PARTITION BY day, chunk
-      ORDER BY c DESC, v) AS rn
-  FROM counts),
-kept AS (SELECT day, chunk, v, c FROM ranked WHERE rn <= {cap}),
-thr AS (
-  SELECT day, chunk,
-    CAST(COALESCE(MAX(CASE WHEN rn > {cap} THEN c END), 0) AS BIGINT)
-      AS thr
-  FROM ranked GROUP BY day, chunk),
-tot AS (SELECT CAST(SUM(thr) AS BIGINT) AS t FROM thr),
-per_key AS (
-  SELECT k.v, CAST(SUM(k.c) AS BIGINT) AS lower_cnt,
-    CAST(SUM(th.thr) AS BIGINT) AS pthr
-  FROM kept k JOIN thr th ON k.day = th.day AND k.chunk = th.chunk
-  GROUP BY k.v)
-SELECT v AS key, lower_cnt,
-  CAST(lower_cnt + (SELECT t FROM tot) - pthr AS BIGINT) AS upper_cnt
-FROM per_key ORDER BY lower_cnt DESC, v LIMIT {topk}
-"""
-
-
-def mg_rollup_grouped_build(
-    ev: DataFrame,
-    path: str,
-    group_col: str = "event_type",
-    value_col: str = "user_id",
-    ts_col: str = "ts",
-    cap: int = 16,
-) -> None:
-    """GROUP dimension of the SpaceSaving store (per-tenant/per-type
-    heavy hitters): one summary per (day, group) in a single build
-    pass — exact (day, g, v) counts, a (day, g)-partitioned rank
-    window, top-``cap`` kept with the group's largest dropped count as
-    its threshold.  Row schema (day, g, v, c, thr); day-partitioned so
-    range reads prune and the shared ``rollup_expire`` retention verb
-    applies unchanged."""
-    from pyspark.sql import Window
-
-    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
-    counts = (
-        ev.select(
-            day,
-            F.col(group_col).cast("string").alias("g"),
-            F.col(value_col).cast("long").alias("v"),
-        )
-        .groupBy("day", "g", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    w = Window.partitionBy("day", "g").orderBy(F.col("c").desc(), "v")
-    ranked = counts.withColumn("rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )
-    thr = ranked.groupBy("day", "g").agg(
-        F.coalesce(
-            F.max(F.when(F.col("rn") > cap, F.col("c"))), F.lit(0)
-        ).cast("long").alias("thr")
-    )
-    rows = (
-        ranked.filter(F.col("rn") <= cap)
-        .drop("rn")
-        .join(F.broadcast(thr), ["day", "g"])
-        .select("day", "g", "v", "c", "thr")
-    )
-    rows.write.mode("overwrite").partitionBy("day").parquet(path)
-
-
-def mg_rollup_grouped_range_topk(
-    spark,
-    path: str,
-    lo: str,
-    hi: str,
-    topk: int = 5,
-    checkpoint: bool = True,
-) -> DataFrame:
-    """Per-group range heavy hitters from the summaries alone:
-    ``(g, key, lower_cnt, upper_cnt)``, top-``topk`` per group by the
-    exact lower bound with the (lower DESC, key) tie-break.  The
-    per-group rank window runs over the per-key AGGREGATE of the store
-    (≤ days·cap rows per group — bounded by the store's own size,
-    never by traffic); the plan scans only partition-pruned summary
-    files."""
-    from pyspark.sql import Window
-
-    rows = (
-        spark.read.parquet(path)
-        .filter(F.col("day").cast("string").between(lo, hi))
-        .distinct()  # replay absorption (SET merge class)
-    )
-    if checkpoint:
-        rows = rows.localCheckpoint(eager=True)
-    thrs = rows.select("day", "g", "thr").distinct()
-    tot = thrs.groupBy("g").agg(F.sum("thr").cast("long").alias("t"))
-    per_key = rows.groupBy("g", "v").agg(
-        F.sum("c").cast("long").alias("lower_cnt"),
-        F.sum("thr").cast("long").alias("pthr"),
-    )
-    w = Window.partitionBy("g").orderBy(F.col("lower_cnt").desc(), "v")
-    return (
-        per_key.join(F.broadcast(tot), "g")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select(
-            "g",
-            F.col("v").alias("key"),
-            "lower_cnt",
-            (F.col("lower_cnt") + F.col("t") - F.col("pthr"))
-            .cast("long")
-            .alias("upper_cnt"),
-        )
-    )
-
-
-def mg_rollup_grouped_range_sql(
-    src: str,
-    group_col: str,
-    value_col: str,
-    lo: str,
-    hi: str,
-    dialect: str,
-    cap: int = 16,
-    topk: int = 5,
-) -> str:
-    """Oracle for the grouped SpaceSaving range read from RAW events —
-    replicates the deterministic per-(day, group) summary construction
-    and the per-group bound algebra."""
-    day = "CAST(CAST(ts AS DATE) AS STRING)"
-    return f"""
-WITH ev AS (
-  SELECT {day} AS day, CAST({group_col} AS STRING) AS g,
-    CAST({value_col} AS BIGINT) AS v
-  FROM {src}
-  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'),
-counts AS (
-  SELECT day, g, v, CAST(COUNT(*) AS BIGINT) AS c
-  FROM ev GROUP BY day, g, v),
-ranked AS (
-  SELECT day, g, v, c,
-    ROW_NUMBER() OVER (PARTITION BY day, g ORDER BY c DESC, v) AS rn
-  FROM counts),
-kept AS (SELECT day, g, v, c FROM ranked WHERE rn <= {cap}),
-thr AS (
-  SELECT day, g,
-    CAST(COALESCE(MAX(CASE WHEN rn > {cap} THEN c END), 0) AS BIGINT)
-      AS thr
-  FROM ranked GROUP BY day, g),
-tot AS (SELECT g, CAST(SUM(thr) AS BIGINT) AS t FROM thr GROUP BY g),
-per_key AS (
-  SELECT k.g, k.v, CAST(SUM(k.c) AS BIGINT) AS lower_cnt,
-    CAST(SUM(th.thr) AS BIGINT) AS pthr
-  FROM kept k JOIN thr th ON k.day = th.day AND k.g = th.g
-  GROUP BY k.g, k.v),
-rk AS (
-  SELECT p.g, p.v, p.lower_cnt,
-    CAST(p.lower_cnt + tot.t - p.pthr AS BIGINT) AS upper_cnt,
-    ROW_NUMBER() OVER (PARTITION BY p.g
-      ORDER BY p.lower_cnt DESC, p.v) AS rn
-  FROM per_key p JOIN tot ON tot.g = p.g)
-SELECT g, v AS key, lower_cnt, upper_cnt
-FROM rk WHERE rn <= {topk}
-"""
+# the SpaceSaving store lives in functions/mg_store.py (module-size
+# convention); re-exported here so the store matrix keeps one import
+# surface.  mg_store imports _swap_dir_in / exact_top_keys lazily
+# inside its verbs, so this end-of-module import is cycle-safe.
+from .mg_store import (  # noqa: E402
+    _mg_day_summaries,
+    mg_chunk_summary,
+    mg_rollup_append_batch,
+    mg_rollup_append_chunk,
+    mg_rollup_build,
+    mg_rollup_compact,
+    mg_rollup_grouped_build,
+    mg_rollup_grouped_range_sql,
+    mg_rollup_grouped_range_topk,
+    mg_rollup_range_sql,
+    mg_rollup_range_topk,
+)
