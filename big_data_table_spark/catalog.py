@@ -173,10 +173,13 @@ from .catalog_r9 import (
     _token_diversity_builder, _transition_entropy_oracle,
     _mg_rollup_grouped_range_oracle, _mg_rollup_persisted_oracle,
     _stream_mg_rollup_store_oracle,
-    events_peak_concurrency_q, events_transition_entropy_q,
+    _events_retention_curve_oracle, _neardup_source_matrix_builder,
+    _simhash_bit_balance_oracle,
+    events_peak_concurrency_q, events_retention_curve_q,
+    events_transition_entropy_q,
     mg_rollup_grouped_range_q, mg_rollup_persisted_q,
-    orders_seasonality_index_q, simhash_hamming_histogram_q,
-    source_lang_entropy_q,
+    orders_seasonality_index_q, simhash_bit_balance_q,
+    simhash_hamming_histogram_q, source_lang_entropy_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -1972,6 +1975,31 @@ CATALOG.update(
             "audit — completes grouped-range symmetry across all six "
             "store families.",
         ),
+        "events_retention_curve": QuerySpec(
+            events_retention_curve_q,
+            _events_retention_curve_oracle(),
+            doc="Day-grain retention triangle: cohort = first-seen "
+            "day, day-N retention for N in 0..7 (the events-side "
+            "companion to the orders-side cohort_retention); one "
+            "distinct user-day pass, user-grain joins after, shared "
+            "frames checkpointed.",
+        ),
+        "neardup_source_matrix": _dual(
+            _neardup_source_matrix_builder,
+            doc="Near-dup SOURCE matrix: verified (Jaccard >= 0.5) doc "
+            "pairs aggregated to unordered source pairs with mean "
+            "verified Jaccard — which corpora leak near-identical "
+            "documents into which, at doc grain (vs "
+            "source_overlap_matrix's corpus-level vocabulary overlap).",
+        ),
+        "simhash_bit_balance": QuerySpec(
+            simhash_bit_balance_q,
+            _simhash_bit_balance_oracle(),
+            doc="Per-bit one-share of the SimHash signatures — the "
+            "hyperplane balance assumption behind the banding, "
+            "measured (companion to simhash_hamming_histogram); "
+            "signature frame checkpointed.",
+        ),
     }
 )
 
@@ -2046,6 +2074,9 @@ _R9_NEW: list[str] = [
     "mg_rollup_persisted",
     "stream_mg_rollup_store",
     "mg_rollup_grouped_range",
+    "events_retention_curve",
+    "neardup_source_matrix",
+    "simhash_bit_balance",
 ]
 _R9_NEXT = _R9_NEW
 

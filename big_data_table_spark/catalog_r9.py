@@ -679,3 +679,144 @@ SELECT s.g AS event_type, s.key, s.lower_cnt, s.upper_cnt, e.true_cnt,
   (e.true_cnt BETWEEN s.lower_cnt AND s.upper_cnt) AS in_bounds
 FROM ({store}) s JOIN exact e ON e.g = s.g AND e.key = s.key
 """
+
+
+# ------------------------------------------------------------------ #
+# wave 2: retention, cross-source contamination, hyperplane balance
+# ------------------------------------------------------------------ #
+
+def _user_days_core(dialect: str) -> str:
+    """Shared stage of events_retention_curve: the deduped (day-number,
+    user) activity table — the ONLY fact-scale aggregate; everything
+    after is user- or cohort-grain."""
+    from .functions.portable import days_since_epoch
+
+    d = days_since_epoch("ts", dialect)
+    return f"""
+SELECT DISTINCT CAST({d} AS BIGINT) AS dayn, user_id FROM events
+"""
+
+
+def _retention_final(du: str, first: str) -> str:
+    """Cohort retention triangle over the user-day relation ``du`` and
+    first-seen relation ``first``: per (cohort day, offset 0..7) the
+    distinct active users and the retention rate vs cohort size."""
+    return f"""
+WITH sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n0 FROM {first} _f
+  GROUP BY cohort),
+act AS (
+  SELECT f.cohort, u.dayn - f.cohort AS off,
+    CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n
+  FROM {du} u JOIN {first} f ON u.user_id = f.user_id
+  WHERE u.dayn - f.cohort BETWEEN 0 AND 7
+  GROUP BY f.cohort, u.dayn - f.cohort)
+SELECT a.cohort AS cohort_day, CAST(a.off AS BIGINT) AS day_offset,
+  s.n0 AS cohort_users, a.n AS active_users,
+  ROUND(CAST(a.n AS DOUBLE) / s.n0, 6) AS retention
+FROM act a JOIN sizes s ON s.cohort = a.cohort
+"""
+
+
+def events_retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User retention triangle at DAY grain: cohort = first-seen day,
+    day-N retention for N ∈ 0..7 — the standard activation/stickiness
+    curve (`cohort_retention` is the ORDERS-side monthly analogue; this
+    is the events-side daily one).  Scale shape: one distinct
+    (day, user) pass over events, then user-grain joins — the per-user
+    first-day table and the activity table both feed two consumers, so
+    the Spark form checkpoints each once."""
+    register_views(spark, sf_dir)
+    du = spark.sql(_user_days_core(SPARK)).localCheckpoint(eager=True)
+    du.createOrReplaceTempView("_r9_user_days")
+    first = spark.sql(
+        "SELECT user_id, MIN(dayn) AS cohort FROM _r9_user_days "
+        "GROUP BY user_id"
+    ).localCheckpoint(eager=True)
+    first.createOrReplaceTempView("_r9_first_day")
+    return spark.sql(_retention_final("_r9_user_days", "_r9_first_day"))
+
+
+def _events_retention_curve_oracle() -> str:
+    du = f"({_user_days_core(DUCK)})"
+    first = (
+        f"(SELECT user_id, MIN(dayn) AS cohort FROM {du} _d "
+        "GROUP BY user_id)"
+    )
+    return _retention_final(du, first)
+
+
+def _neardup_source_matrix_builder(dialect: str) -> str:
+    """Near-duplicate SOURCE matrix: the exact-Jaccard-verified doc
+    pairs (threshold 0.5, the `dedup_ngram_jaccard` verifier with its
+    max_df skew cap) aggregated to unordered source pairs — which
+    corpora leak near-duplicates into which, at DOC grain.  Distinct
+    from `source_overlap_matrix` (corpus-level shingle-set Jaccard):
+    that says "these corpora share vocabulary"; this says "these
+    corpora share near-identical documents" — the pair count a
+    curation run budgets its cross-source dedup by.  Mean verified
+    Jaccard rides along as exact-decimal sums over the already-rounded
+    pair scores.  The verify stage joins candidates, not corpora; the
+    matrix itself is ≤ sources² rows."""
+    from .functions.dedup import ngram_jaccard_pairs_sql
+
+    pairs = ngram_jaccard_pairs_sql(dialect, threshold=0.5)
+    return f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT CASE WHEN da.source < db.source THEN da.source
+         ELSE db.source END AS src_a,
+    CASE WHEN da.source < db.source THEN db.source
+         ELSE da.source END AS src_b,
+    CAST(p.jaccard AS DECIMAL(18,6)) AS j
+  FROM ({pairs}) p
+  JOIN d da ON da.doc_id = p.doc_a
+  JOIN d db ON db.doc_id = p.doc_b)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(CAST(SUM(j) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+FROM lab GROUP BY src_a, src_b
+"""
+
+
+def simhash_bit_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane balance check for the SimHash family: per bit
+    position, the share of documents with that bit set.  A healthy
+    hyperplane sits near 0.5; a skewed bit carries little information
+    and weakens its band's blocking power — this is the calibration
+    companion to `simhash_hamming_histogram` (which measures the
+    RESULT of banding; this measures the INPUT assumption).  The
+    signature frame feeds the unpivot and the doc total, so the Spark
+    form checkpoints it once."""
+    from .functions.dedup import simhash_sql
+
+    register_views(spark, sf_dir)
+    sigs = spark.sql(simhash_sql(SPARK)).localCheckpoint(eager=True)
+    sigs.createOrReplaceTempView("_r9_simhash_sigs_bb")
+    return spark.sql(_bit_balance_final("_r9_simhash_sigs_bb", SPARK))
+
+
+def _bit_balance_final(sigs_src: str, dialect: str, nbits: int = 16) -> str:
+    from .functions.portable import lateral_seq
+
+    lat = lateral_seq("1", str(nbits), "p", dialect)
+    return f"""
+WITH bits AS (
+  SELECT CAST(p AS BIGINT) AS bit_pos,
+    substr(simhash, CAST(p AS INT), 1) AS b
+  FROM {sigs_src} {lat})
+SELECT bit_pos,
+  CAST(SUM(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_ones,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*), 6) AS one_share
+FROM bits GROUP BY bit_pos
+"""
+
+
+def _simhash_bit_balance_oracle() -> str:
+    from .functions.dedup import simhash_sql
+
+    inner = _bit_balance_final("sigs", DUCK)
+    assert inner.lstrip().startswith("WITH ")
+    body = inner.lstrip()[len("WITH "):]
+    return f"WITH sigs AS ({simhash_sql(DUCK)}), {body}"

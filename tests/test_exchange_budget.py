@@ -426,6 +426,14 @@ BUDGET = {
     "mg_rollup_grouped_range": 10,  # per-group assembly over the
                                  # checkpointed store read + the exact
                                  # audit agg (theta grouped's shape)
+    "events_retention_curve": 6,  # distinct user-day pass + first-day
+                                 # agg (both checkpointed) + cohort
+                                 # aggregates over user-grain frames
+    "neardup_source_matrix": 32,  # inherits the flat ngram-Jaccard
+                                 # verifier plan (dedup_ngram_jaccard's
+                                 # own shape); the matrix itself adds 3
+    "simhash_bit_balance": 2,    # unpivot + bounded 16-row aggregate
+                                 # over the checkpointed signatures
 }
 
 
