@@ -173,12 +173,15 @@ from .catalog_r9 import (
     _token_diversity_builder, _transition_entropy_oracle,
     _mg_rollup_grouped_range_oracle, _mg_rollup_persisted_oracle,
     _stream_mg_rollup_store_oracle,
-    _events_retention_curve_oracle, _neardup_source_matrix_builder,
+    _embedding_centroid_confusion_oracle, _events_retention_curve_oracle,
+    _neardup_source_matrix_builder, _quality_drift_ks_oracle,
     _simhash_bit_balance_oracle,
+    embedding_centroid_confusion_q,
     events_peak_concurrency_q, events_retention_curve_q,
     events_transition_entropy_q,
     mg_rollup_grouped_range_q, mg_rollup_persisted_q,
-    orders_seasonality_index_q, simhash_bit_balance_q,
+    orders_seasonality_index_q, quality_drift_ks_q,
+    simhash_bit_balance_q,
     simhash_hamming_histogram_q, source_lang_entropy_q,
 )
 
@@ -2000,6 +2003,23 @@ CATALOG.update(
             "measured (companion to simhash_hamming_histogram); "
             "signature frame checkpointed.",
         ),
+        "quality_drift_ks": QuerySpec(
+            quality_drift_ks_q,
+            _quality_drift_ks_oracle(),
+            doc="Quality-score drift: both corpus halves' decile CDFs "
+            "+ the KS max-gap statistic (the quality-side sibling of "
+            "source_kl_drift); scorer pass aggregated to <=20 rows "
+            "and checkpointed, all windows over the 10-row spine.",
+        ),
+        "embedding_centroid_confusion": QuerySpec(
+            embedding_centroid_confusion_q,
+            _embedding_centroid_confusion_oracle(),
+            doc="Nearest-centroid confusion matrix (vector-grain "
+            "separability eval beside the centroid-grain margin "
+            "report): decimal-exact cosine assignment over the shared "
+            "centroid_means_sql stage; per-vector rank windows over "
+            "<=|labels| rows.",
+        ),
     }
 )
 
@@ -2077,6 +2097,8 @@ _R9_NEW: list[str] = [
     "events_retention_curve",
     "neardup_source_matrix",
     "simhash_bit_balance",
+    "quality_drift_ks",
+    "embedding_centroid_confusion",
 ]
 _R9_NEXT = _R9_NEW
 

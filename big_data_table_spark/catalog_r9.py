@@ -820,3 +820,179 @@ def _simhash_bit_balance_oracle() -> str:
     assert inner.lstrip().startswith("WITH ")
     body = inner.lstrip()[len("WITH "):]
     return f"WITH sigs AS ({simhash_sql(DUCK)}), {body}"
+
+
+# ------------------------------------------------------------------ #
+# wave 3: quality drift + nearest-centroid confusion
+# ------------------------------------------------------------------ #
+
+def _quality_half_counts_core(dialect: str) -> str:
+    """Shared stage of quality_drift_ks: per (corpus half, score decile
+    bucket) doc counts — the only document-scale pass (the quality
+    scorer's four regexp features); everything after is a ≤ 20-row
+    frame."""
+    from .functions.text import quality_select_sql
+
+    q = quality_select_sql(dialect)
+    return f"""
+SELECT CAST(doc_id % 2 AS BIGINT) AS half,
+  LEAST(CAST(9 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+    CAST(floor(quality_score * 10) AS BIGINT))) AS b,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM ({q}) _q GROUP BY 1, 2
+"""
+
+
+def _quality_drift_final(src: str, dialect: str) -> str:
+    """Two-sample CDF comparison over the (half, bucket, n) relation
+    ``src``: per decile bucket both halves' counts, CDFs, the gap, and
+    the KS statistic (max gap) — windows over the bounded 10-row
+    bucket spine only."""
+    from .functions.portable import lateral_seq
+
+    spine = lateral_seq("0", "9", "b", dialect)
+    return f"""
+WITH spine AS (SELECT CAST(b AS BIGINT) AS b FROM (SELECT 1 AS _x) _one
+  {spine}),
+h0 AS (SELECT b, n FROM {src} _a WHERE half = 0),
+h1 AS (SELECT b, n FROM {src} _b WHERE half = 1),
+grid AS (
+  SELECT s.b, COALESCE(h0.n, 0) AS n0, COALESCE(h1.n, 0) AS n1
+  FROM spine s
+  LEFT JOIN h0 ON h0.b = s.b
+  LEFT JOIN h1 ON h1.b = s.b),
+cum AS (
+  SELECT b, n0, n1,
+    CAST(SUM(n0) OVER (ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+    CAST(SUM(n1) OVER (ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+    CAST(SUM(n0) OVER () AS BIGINT) AS t0,
+    CAST(SUM(n1) OVER () AS BIGINT) AS t1
+  FROM grid),
+gaps AS (
+  SELECT b, n0, n1,
+    ROUND(CAST(c0 AS DOUBLE) / t0, 6) AS cdf_h0,
+    ROUND(CAST(c1 AS DOUBLE) / t1, 6) AS cdf_h1,
+    ROUND(ABS(CAST(c0 AS DOUBLE) / t0 - CAST(c1 AS DOUBLE) / t1), 6)
+      AS cdf_gap
+  FROM cum)
+SELECT b AS score_decile, n0 AS n_h0, n1 AS n_h1, cdf_h0, cdf_h1,
+  cdf_gap, ROUND(MAX(cdf_gap) OVER (), 6) AS ks_stat
+FROM gaps
+"""
+
+
+def quality_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score drift monitor: the two corpus halves' score-decile
+    distributions compared as CDFs with the Kolmogorov-Smirnov max-gap
+    statistic — the one-number alarm that the quality mix shifted
+    between crawl halves (the quality-side sibling of
+    `source_kl_drift`).  All windows run over the literal 10-row decile
+    spine; the document-scale scorer pass is aggregated to ≤ 20 rows
+    and checkpointed (the flat SQL's two half-selections would re-run
+    the regexp feature scan twice)."""
+    register_views(spark, sf_dir)
+    counts = spark.sql(_quality_half_counts_core(SPARK)).localCheckpoint(
+        eager=True
+    )
+    counts.createOrReplaceTempView("_r9_quality_half_counts")
+    return spark.sql(_quality_drift_final("_r9_quality_half_counts", SPARK))
+
+
+def _quality_drift_ks_oracle() -> str:
+    return _quality_drift_final(
+        f"({_quality_half_counts_core(DUCK)})", DUCK
+    )
+
+
+def _vec_explode_core(dialect: str) -> str:
+    """Shared stage of embedding_centroid_confusion: the exploded
+    (vec_id, true_label, pos, val) element table."""
+    if dialect == SPARK:
+        return (
+            "SELECT vec_id, label AS true_label, "
+            "posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, val) "
+            "FROM embeddings"
+        )
+    return (
+        "SELECT vec_id, label AS true_label, "
+        "generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
+        "FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings) _v"
+    )
+
+
+def _centroid_confusion_final(ve: str, means: str) -> str:
+    """Nearest-centroid assignment + confusion matrix over the exploded
+    vector relation ``ve`` and the centroid means relation ``means``.
+    Element products round to 9 dp and sum as exact DECIMAL(18,9) (the
+    PQ / centroid-margin distance discipline) so both engines assign
+    identically; the per-vector rank window is over ≤ |labels| rows."""
+    return f"""
+WITH dots AS (
+  SELECT v.vec_id, v.true_label, m.label AS clabel,
+    CAST(SUM(CAST(ROUND(v.val * m.mv, 9) AS DECIMAL(18,9))) AS DOUBLE)
+      AS dotp
+  FROM {ve} v JOIN {means} m ON m.pos = v.pos
+  GROUP BY v.vec_id, v.true_label, m.label),
+vnorm AS (
+  SELECT vec_id,
+    sqrt(CAST(SUM(CAST(ROUND(val * val, 9) AS DECIMAL(18,9))) AS DOUBLE))
+      AS vn
+  FROM {ve} _n GROUP BY vec_id),
+cnorm AS (
+  SELECT label,
+    sqrt(CAST(SUM(CAST(ROUND(mv * mv, 9) AS DECIMAL(18,9))) AS DOUBLE))
+      AS cn
+  FROM {means} _c GROUP BY label),
+scored AS (
+  SELECT d.vec_id, d.true_label, d.clabel,
+    ROUND(d.dotp / (vn.vn * cn.cn), 6) AS cos,
+    ROW_NUMBER() OVER (PARTITION BY d.vec_id
+      ORDER BY ROUND(d.dotp / (vn.vn * cn.cn), 6) DESC, d.clabel) AS rn
+  FROM dots d
+  JOIN vnorm vn ON vn.vec_id = d.vec_id
+  JOIN cnorm cn ON cn.label = d.clabel),
+conf AS (
+  SELECT true_label, clabel AS pred_label,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored WHERE rn = 1 GROUP BY true_label, clabel),
+tot AS (
+  SELECT true_label, CAST(SUM(n) AS BIGINT) AS t
+  FROM conf GROUP BY true_label)
+SELECT c.true_label, c.pred_label, c.n,
+  ROUND(CAST(c.n AS DOUBLE) / t.t, 6) AS share
+FROM conf c JOIN tot t ON t.true_label = c.true_label
+"""
+
+
+def embedding_centroid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix: every vector assigned to the
+    closest label centroid by cosine, tabulated against its true label
+    — the vector-grain separability eval beside the centroid-grain
+    `embedding_centroid_margin` (a label whose vectors scatter to other
+    centroids is noisy even when its centroid keeps margin).  Centroids
+    come from the SHARED `similarity.centroid_means_sql` stage.  The
+    brute-force assignment is the eval path (score a sample, not the
+    corpus — the IVF/PQ surface is the production path at 100 TB); its
+    shuffle carries (vec, label) decimal partial sums, never vectors.
+    The exploded-element and means frames each feed multiple consumers,
+    so the Spark form checkpoints both."""
+    from .functions.similarity import centroid_means_sql
+
+    register_views(spark, sf_dir)
+    ve = spark.sql(_vec_explode_core(SPARK)).localCheckpoint(eager=True)
+    ve.createOrReplaceTempView("_r9_vec_elems")
+    means = spark.sql(centroid_means_sql(SPARK)).localCheckpoint(eager=True)
+    means.createOrReplaceTempView("_r9_cmeans")
+    return spark.sql(_centroid_confusion_final("_r9_vec_elems", "_r9_cmeans"))
+
+
+def _embedding_centroid_confusion_oracle() -> str:
+    from .functions.similarity import centroid_means_sql
+
+    return _centroid_confusion_final(
+        f"({_vec_explode_core(DUCK)})",
+        f"({centroid_means_sql(DUCK)})",
+    )

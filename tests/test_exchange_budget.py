@@ -434,6 +434,13 @@ BUDGET = {
                                  # own shape); the matrix itself adds 3
     "simhash_bit_balance": 2,    # unpivot + bounded 16-row aggregate
                                  # over the checkpointed signatures
+    "quality_drift_ks": 2,       # the scorer pass is aggregated +
+                                 # checkpointed; spine joins + windows
+                                 # ride the 10-row decile frame
+    "embedding_centroid_confusion": 18,  # eval-path brute assignment:
+                                 # (vec, label) decimal dot agg + norm
+                                 # joins over the checkpointed element/
+                                 # means frames; IVF is the scale path
 }
 
 
