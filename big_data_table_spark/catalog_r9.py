@@ -509,7 +509,7 @@ _MG_CAP = 16
 
 def mg_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted SpaceSaving day store, full verb cycle
-    (functions/sketches.py:mg_rollup_*): build per-day top-16 summaries
+    (functions/mg_store.py:mg_rollup_*): build per-day top-16 summaries
     for every day but the last, append the last day as TWO parity
     chunks with one append REPLAYED (the summary is a deterministic
     function of the slice, so the replay writes byte-identical rows and
@@ -908,18 +908,14 @@ def _quality_drift_ks_oracle() -> str:
 
 def _vec_explode_core(dialect: str) -> str:
     """Shared stage of embedding_centroid_confusion: the exploded
-    (vec_id, true_label, pos, val) element table."""
-    if dialect == SPARK:
-        return (
-            "SELECT vec_id, label AS true_label, "
-            "posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, val) "
-            "FROM embeddings"
-        )
+    (vec_id, true_label, pos, val) element table — built on the ONE
+    shared explode recipe (`similarity.embedding_explode_sql`), so its
+    pos convention always matches the centroid means it joins."""
+    from .functions.similarity import embedding_explode_sql
+
+    inner = embedding_explode_sql("vec_id, label", dialect)
     return (
-        "SELECT vec_id, label AS true_label, "
-        "generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
-        "FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e "
-        "FROM embeddings) _v"
+        f"SELECT vec_id, label AS true_label, pos, val FROM ({inner}) _e"
     )
 
 

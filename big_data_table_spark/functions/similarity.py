@@ -369,6 +369,27 @@ GROUP BY COALESCE(i.query_id, e.query_id)
 """
 
 
+def embedding_explode_sql(cols: str, dialect: str) -> str:
+    """ONE copy of the dialect-specific embeddings element explode:
+    ``SELECT {cols}, pos, val FROM embeddings`` with Spark
+    ``posexplode(CAST(... AS ARRAY<DOUBLE>))`` vs DuckDB
+    ``generate_subscripts + UNNEST`` (each engine's own subscript
+    convention — consumers join pos only against frames built by this
+    same helper).  A precision/cast fix here reaches every consumer
+    (centroid means, drift halves, the r9 confusion eval)."""
+    if dialect == SPARK:
+        return (
+            f"SELECT {cols}, "
+            "posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, val) "
+            "FROM embeddings"
+        )
+    return (
+        f"SELECT {cols}, generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
+        f"FROM (SELECT {cols}, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings) _v"
+    )
+
+
 def centroid_means_sql(dialect: str) -> str:
     """The (label, pos, mv, n_members) decimal-exact per-dimension
     centroid table — the shared `means` stage of
@@ -376,16 +397,7 @@ def centroid_means_sql(dialect: str) -> str:
     (catalog_r8): ONE copy of the explode + exact-mean recipe so a
     precision fix reaches every consumer.  The shuffle carries
     (label, dim) partial sums — |labels|·dim rows — never vectors."""
-    if dialect == SPARK:
-        explode = (
-            "SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, val) "
-            "FROM embeddings"
-        )
-    else:
-        explode = (
-            "SELECT label, generate_subscripts(e, 1) AS pos, UNNEST(e) AS val "
-            "FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) _v"
-        )
+    explode = embedding_explode_sql("label", dialect)
     return (
         "SELECT label, pos, "
         "CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv, "
@@ -428,19 +440,7 @@ def embedding_drift_sql(dialect: str) -> str:
     (order-independent); those sums are ROUNDed to scale 6 before the
     one double cast (the cross-engine decimal-cast rule), and only the
     final sqrt/divide runs in IEEE double — identical in both engines."""
-    if dialect == SPARK:
-        explode = (
-            "SELECT label, vec_id, "
-            "posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos, val) "
-            "FROM embeddings"
-        )
-    else:
-        explode = (
-            "SELECT label, vec_id, generate_subscripts(e, 1) AS pos, "
-            "UNNEST(e) AS val FROM "
-            "(SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e "
-            "FROM embeddings) _v"
-        )
+    explode = embedding_explode_sql("label, vec_id", dialect)
     return (
         f"WITH ex AS ({explode}), "
         "means AS (SELECT label, vec_id % 2 AS half, pos, "
