@@ -176,7 +176,7 @@ from .catalog_r9 import (
     _embedding_centroid_confusion_oracle, _events_retention_curve_oracle,
     _neardup_source_matrix_builder, _quality_drift_ks_oracle,
     _simhash_bit_balance_oracle,
-    embedding_centroid_confusion_q,
+    embedding_centroid_confusion_q, neardup_source_matrix_q,
     events_peak_concurrency_q, events_retention_curve_q,
     events_transition_entropy_q,
     mg_rollup_grouped_range_q, mg_rollup_persisted_q,
@@ -467,7 +467,17 @@ CATALOG: dict[str, QuerySpec] = {
     ),
     "dedup_simhash": _dual(D.simhash_sql),
     "dedup_simhash_candidates": _dual(D.simhash_candidates_sql),
-    "dedup_ngram_jaccard": _dual(D.ngram_jaccard_pairs_sql),
+    "dedup_ngram_jaccard": QuerySpec(
+        lambda spark, sf_dir: (
+            register_views(spark, sf_dir),
+            D.ngram_jaccard_pairs(spark),
+        )[1],
+        D.ngram_jaccard_pairs_sql(DUCK),
+        doc="Exact n-gram Jaccard verify pairs; DataFrame form "
+        "checkpoints the filtered-shingle set once (the flat SQL "
+        "re-runs the shingle explode ~5x per evaluation — "
+        "functions/dedup.py:ngram_jaccard_pairs).",
+    ),
     "text_winnow_fingerprint": _dual(X.winnow_fingerprint_sql),
     "text_token_count": _dual(X.token_count_sql),
     "text_lang_id": _dual(X.lang_id_sql),
@@ -1987,13 +1997,15 @@ CATALOG.update(
             "distinct user-day pass, user-grain joins after, shared "
             "frames checkpointed.",
         ),
-        "neardup_source_matrix": _dual(
-            _neardup_source_matrix_builder,
+        "neardup_source_matrix": QuerySpec(
+            neardup_source_matrix_q,
+            _neardup_source_matrix_builder(DUCK),
             doc="Near-dup SOURCE matrix: verified (Jaccard >= 0.5) doc "
             "pairs aggregated to unordered source pairs with mean "
             "verified Jaccard — which corpora leak near-identical "
             "documents into which, at doc grain (vs "
-            "source_overlap_matrix's corpus-level vocabulary overlap).",
+            "source_overlap_matrix's corpus-level vocabulary overlap); "
+            "Spark form rides the checkpointed verifier DF.",
         ),
         "simhash_bit_balance": QuerySpec(
             simhash_bit_balance_q,

@@ -286,9 +286,9 @@ def dedup_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import dedup as DD
 
     register_views(spark, sf_dir)
-    truth = spark.sql(
-        DD.ngram_jaccard_pairs_sql(SPARK, threshold=0.05)
-    ).localCheckpoint(eager=True)
+    truth = DD.ngram_jaccard_pairs(spark, threshold=0.05).localCheckpoint(
+        eager=True
+    )  # DF form: the filtered-shingle set inside is checkpointed once
     bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
     cands = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")

@@ -505,9 +505,9 @@ def minhash_estimate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    truth = spark.sql(
-        DD.ngram_jaccard_pairs_sql(SPARK, threshold=0.05)
-    ).localCheckpoint(eager=True)
+    truth = DD.ngram_jaccard_pairs(spark, threshold=0.05).localCheckpoint(
+        eager=True
+    )  # DF form: the filtered-shingle set inside is checkpointed once
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_HASHES)],

@@ -746,6 +746,43 @@ def _events_retention_curve_oracle() -> str:
     return _retention_final(du, first)
 
 
+def _neardup_matrix_final(pairs_src: str) -> str:
+    """Source-pair aggregation over the verified-pairs relation
+    ``pairs_src`` (doc_a, doc_b, jaccard)."""
+    return f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT CASE WHEN da.source < db.source THEN da.source
+         ELSE db.source END AS src_a,
+    CASE WHEN da.source < db.source THEN db.source
+         ELSE da.source END AS src_b,
+    CAST(p.jaccard AS DECIMAL(18,6)) AS j
+  FROM {pairs_src} p
+  JOIN d da ON da.doc_id = p.doc_a
+  JOIN d db ON db.doc_id = p.doc_b)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(CAST(SUM(j) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+FROM lab GROUP BY src_a, src_b
+"""
+
+
+def neardup_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate SOURCE matrix: the exact-Jaccard-verified doc
+    pairs (threshold 0.5, the `dedup_ngram_jaccard` verifier with its
+    max_df skew cap) aggregated to unordered source pairs — which
+    corpora leak near-identical DOCUMENTS into which (vs
+    `source_overlap_matrix`'s corpus-level vocabulary overlap).  The
+    Spark form builds on the verifier's DataFrame form
+    (`dedup.ngram_jaccard_pairs` — filtered-shingle set checkpointed
+    once); the flat SQL text stays the oracle."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    register_views(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(spark, threshold=0.5)
+    pairs.createOrReplaceTempView("_r9_ndpairs")
+    return spark.sql(_neardup_matrix_final("_r9_ndpairs"))
+
+
 def _neardup_source_matrix_builder(dialect: str) -> str:
     """Near-duplicate SOURCE matrix: the exact-Jaccard-verified doc
     pairs (threshold 0.5, the `dedup_ngram_jaccard` verifier with its

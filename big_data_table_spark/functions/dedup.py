@@ -232,6 +232,51 @@ def ngram_jaccard_pairs_sql(dialect: str, threshold: float = 0.5, max_df: int = 
     )
 
 
+def ngram_filtered_shingles(spark, max_df: int = 50):
+    """The verifier's filtered-shingle set as a CHECKPOINTED DataFrame:
+    distinct (doc_id, shingle) with the ``max_df`` stop-shingle cut
+    applied.  The flat SQL references this frame three times (sizes +
+    both pair-join sides) and its shingle chain twice more (the keep
+    aggregate), so Spark's CTE inlining re-runs the explode ~5x per
+    evaluation; computing it once is the source_overlap_matrix
+    treatment applied to the verifier itself."""
+    df = spark.sql(
+        f"WITH {_words_cte(SPARK)}, {_shingles_cte(SPARK)}, "
+        "keep AS (SELECT sh FROM shingles GROUP BY sh "
+        f"  HAVING COUNT(*) <= {max_df}) "
+        "SELECT s.doc_id, s.sh FROM shingles s JOIN keep ON s.sh = keep.sh"
+    )
+    return df.localCheckpoint(eager=True)
+
+
+def ngram_jaccard_pairs(spark, threshold: float = 0.5, max_df: int = 50):
+    """DataFrame form of :func:`ngram_jaccard_pairs_sql` — identical
+    result, but the filtered-shingle set comes from
+    :func:`ngram_filtered_shingles` (checkpointed once) so the pair
+    join, the sizes aggregate and the language block all reuse one
+    materialization instead of re-running the shingle explode per
+    reference (measured 32 exchanges flat vs 5 here on the
+    neardup_source_matrix plan).  The SQL text remains the oracle."""
+    sf = ngram_filtered_shingles(spark, max_df)
+    sf.createOrReplaceTempView("_ngram_sf")
+    return spark.sql(
+        "WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM _ngram_sf "
+        "  GROUP BY doc_id), "
+        "langs AS (SELECT doc_id, lang FROM documents), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+        "  FROM _ngram_sf a JOIN _ngram_sf b "
+        "  ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "  JOIN langs la ON la.doc_id = a.doc_id "
+        "  JOIN langs lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {threshold}"
+    )
+
+
 def crosslingual_lsh_pairs_sql(dialect: str) -> str:
     """MinHash-LSH candidate pairs with LANGUAGE as an extra blocking
     key: the self-join key is (pred_lang, band, sig), so candidates only

@@ -429,9 +429,11 @@ BUDGET = {
     "events_retention_curve": 6,  # distinct user-day pass + first-day
                                  # agg (both checkpointed) + cohort
                                  # aggregates over user-grain frames
-    "neardup_source_matrix": 32,  # inherits the flat ngram-Jaccard
-                                 # verifier plan (dedup_ngram_jaccard's
-                                 # own shape); the matrix itself adds 3
+    "dedup_ngram_jaccard": 5,    # verifier DF form: filtered shingles
+                                 # checkpointed once (was 32 flat)
+    "neardup_source_matrix": 7,  # rides the checkpointed verifier DF
+                                 # (was 32 when it inherited the flat
+                                 # plan); matrix adds source joins + agg
     "simhash_bit_balance": 2,    # unpivot + bounded 16-row aggregate
                                  # over the checkpointed signatures
     "quality_drift_ks": 2,       # the scorer pass is aggregated +
