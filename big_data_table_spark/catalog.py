@@ -174,9 +174,11 @@ from .catalog_r9 import (
     _mg_rollup_grouped_range_oracle, _mg_rollup_persisted_oracle,
     _stream_mg_rollup_store_oracle,
     _embedding_centroid_confusion_oracle, _events_retention_curve_oracle,
+    _lsh_capture_curve_oracle,
     _neardup_source_matrix_builder, _quality_drift_ks_oracle,
     _simhash_bit_balance_oracle,
-    embedding_centroid_confusion_q, neardup_source_matrix_q,
+    embedding_centroid_confusion_q, lsh_capture_curve_q,
+    neardup_source_matrix_q,
     events_peak_concurrency_q, events_retention_curve_q,
     events_transition_entropy_q,
     mg_rollup_grouped_range_q, mg_rollup_persisted_q,
@@ -2032,6 +2034,15 @@ CATALOG.update(
             "centroid_means_sql stage; per-vector rank windows over "
             "<=|labels| rows.",
         ),
+        "lsh_capture_curve": QuerySpec(
+            lsh_capture_curve_q,
+            _lsh_capture_curve_oracle(),
+            doc="The LSH S-curve measured vs its own theory: per "
+            "Jaccard decile the band-capture rate beside the "
+            "closed-form 1-(1-J^3)^4 of the shipped 4x3 banding — "
+            "the fourth LSH honesty report; truth rides the "
+            "checkpointed verifier DF.",
+        ),
     }
 )
 
@@ -2111,6 +2122,7 @@ _R9_NEW: list[str] = [
     "simhash_bit_balance",
     "quality_drift_ks",
     "embedding_centroid_confusion",
+    "lsh_capture_curve",
 ]
 _R9_NEXT = _R9_NEW
 

@@ -1029,3 +1029,78 @@ def _embedding_centroid_confusion_oracle() -> str:
         f"({_vec_explode_core(DUCK)})",
         f"({centroid_means_sql(DUCK)})",
     )
+
+
+def _lsh_capture_final(truth_src: str, cands_src: str) -> str:
+    """Measured-vs-theoretical LSH S-curve over the truth-pairs relation
+    ``truth_src`` (doc_a, doc_b, jaccard) and candidate relation
+    ``cands_src``: per Jaccard decile band, truth pairs, band-captured
+    pairs, the measured capture rate, and the mean closed-form catch
+    probability 1−(1−J³)⁴ for 4 bands × 3 rows.  J is the verifier's
+    6-dp-rounded double, the cubes/powers are plain IEEE products
+    (exact cross-engine), and the theory terms ROUND to 6 dp before the
+    exact decimal mean — the standard discipline."""
+    cube = "(1 - jaccard * jaccard * jaccard)"
+    theory = f"1 - {cube} * {cube} * {cube} * {cube}"
+    return f"""
+WITH cap AS (
+  SELECT t.jaccard,
+    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM {truth_src} t
+  LEFT JOIN {cands_src} c
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+calc AS (
+  SELECT LEAST(CAST(9 AS BIGINT),
+      CAST(floor(jaccard * 10) AS BIGINT)) AS j_band,
+    caught,
+    CAST(ROUND({theory}, 6) AS DECIMAL(18,6)) AS p_theory
+  FROM cap)
+SELECT j_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(caught) AS BIGINT) AS n_caught,
+  ROUND(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 6) AS capture_rate,
+  ROUND(CAST(SUM(p_theory) AS DOUBLE) / COUNT(*), 6) AS mean_theory
+FROM calc GROUP BY j_band
+"""
+
+
+def lsh_capture_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured against its own theory: truth pairs at
+    the J ≥ 0.05 floor binned by Jaccard decile, each band's measured
+    candidate-capture rate beside the closed-form catch probability
+    1−(1−J³)⁴ of the shipped 4×3 banding — the fourth LSH honesty
+    report (recall at thresholds, estimator accuracy, hamming
+    calibration, and now the capture curve itself).  A measured rate
+    far under theory in some band means the banding assumption
+    (signature independence) broke there.  Truth rides the
+    checkpointed verifier DF; candidates ride the one-pass band table
+    (both the recall report's plan shape)."""
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    truth = DD.ngram_jaccard_pairs(spark, threshold=0.05).localCheckpoint(
+        eager=True
+    )
+    truth.createOrReplaceTempView("_r9_lsh_truth")
+    bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
+    cands = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cands.createOrReplaceTempView("_r9_lsh_cands")
+    return spark.sql(_lsh_capture_final("_r9_lsh_truth", "_r9_lsh_cands"))
+
+
+def _lsh_capture_curve_oracle() -> str:
+    from .functions.dedup import minhash_lsh_pairs_sql, ngram_jaccard_pairs_sql
+
+    return _lsh_capture_final(
+        f"({ngram_jaccard_pairs_sql(DUCK, threshold=0.05)})",
+        f"({minhash_lsh_pairs_sql(DUCK)})",
+    )

@@ -443,6 +443,9 @@ BUDGET = {
                                  # (vec, label) decimal dot agg + norm
                                  # joins over the checkpointed element/
                                  # means frames; IVF is the scale path
+    "lsh_capture_curve": 6,      # truth/candidate frames checkpointed
+                                 # (recall report's shape); band agg
+                                 # over the pair-id join
 }
 
 
