@@ -281,3 +281,49 @@ def test_compactor_aside_dir_is_invisible_to_partition_discovery(
         .count()
     )
     assert after == before  # the dot-dir is invisible; no double count
+
+
+def test_r9_view_entries_rerun_identical_and_sf_switch_takes(spark, sf_dir):
+    """Session-robustness for the r9 checkpoint+temp-view pattern: every
+    entry that caches a checkpointed frame behind a temp view must (1)
+    return an identical result when run TWICE in one session (the view
+    is replaced, not stale), and (2) actually follow an sf_dir switch
+    (register_views re-registers on change; a stale cached view would
+    freeze the old fixture).  The retention curve's row count differs
+    across SFs, which proves the switch physically took."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import normalize
+
+    from big_data_table_spark.catalog import CATALOG
+
+    view_entries = [
+        "events_peak_concurrency",
+        "events_transition_entropy",
+        "source_lang_entropy",
+        "orders_seasonality_index",
+        "simhash_hamming_histogram",
+        "simhash_bit_balance",
+        "quality_drift_ks",
+        "events_retention_curve",
+        "embedding_centroid_confusion",
+    ]
+    for name in view_entries:
+        a = normalize(CATALOG[name].fn(spark, sf_dir).toPandas())
+        b = normalize(CATALOG[name].fn(spark, sf_dir).toPandas())
+        assert a.equals(b), name
+
+    n_small = CATALOG["events_retention_curve"].fn(spark, sf_dir).count()
+    n_big = CATALOG["events_retention_curve"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).count()
+    assert n_small != n_big  # the switch re-registered the fixture views
+    # switch back and confirm the original result returns
+    again = normalize(
+        CATALOG["events_retention_curve"].fn(spark, sf_dir).toPandas()
+    )
+    first = normalize(
+        CATALOG["events_retention_curve"].fn(spark, sf_dir).toPandas()
+    )
+    assert again.equals(first)
