@@ -176,9 +176,10 @@ from .catalog_r9 import (
     _embedding_centroid_confusion_oracle, _events_retention_curve_oracle,
     _lsh_capture_curve_oracle,
     _neardup_source_matrix_builder, _quality_drift_ks_oracle,
-    _simhash_bit_balance_oracle,
+    _simhash_bit_balance_oracle, _time_range_window_builder,
+    _tpch_refresh_cycle_oracle,
     embedding_centroid_confusion_q, lsh_capture_curve_q,
-    neardup_source_matrix_q,
+    neardup_source_matrix_q, tpch_refresh_cycle_q,
     events_peak_concurrency_q, events_retention_curve_q,
     events_transition_entropy_q,
     mg_rollup_grouped_range_q, mg_rollup_persisted_q,
@@ -2043,6 +2044,22 @@ CATALOG.update(
             "the fourth LSH honesty report; truth rides the "
             "checkpointed verifier DF.",
         ),
+        "window_time_range_trailing": _dual(
+            _time_range_window_builder,
+            doc="RANGE BETWEEN value frames — the rolling-TIME-window "
+            "idiom (pandas rolling('1h') / kdb wj): per event the "
+            "trailing-3600s same-user count + exact-decimal sum; "
+            "RANGE includes peers, so duplicate timestamps need no "
+            "tie-break.",
+        ),
+        "tpch_refresh_cycle": QuerySpec(
+            tpch_refresh_cycle_q,
+            _tpch_refresh_cycle_oracle(),
+            doc="TPC-H RF1/RF2 as one auditable cycle: upsert shifted "
+            "insert batch (merge machinery, keys broadcast) + "
+            "anti-join delete, proven by the Q1 summary over the "
+            "refreshed table vs the oracle's UNION/EXCEPT algebra.",
+        ),
     }
 )
 
@@ -2123,6 +2140,8 @@ _R9_NEW: list[str] = [
     "quality_drift_ks",
     "embedding_centroid_confusion",
     "lsh_capture_curve",
+    "window_time_range_trailing",
+    "tpch_refresh_cycle",
 ]
 _R9_NEXT = _R9_NEW
 

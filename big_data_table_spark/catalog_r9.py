@@ -1104,3 +1104,109 @@ def _lsh_capture_curve_oracle() -> str:
         f"({ngram_jaccard_pairs_sql(DUCK, threshold=0.05)})",
         f"({minhash_lsh_pairs_sql(DUCK)})",
     )
+
+
+# ------------------------------------------------------------------ #
+# wave 4: RANGE window frames + the TPC-H refresh cycle
+# ------------------------------------------------------------------ #
+
+def _time_range_window_builder(dialect: str) -> str:
+    """Value-RANGE window frames — the rolling-TIME-window surface
+    (pandas ``rolling('1h')`` / kdb wj): per event, the count and
+    exact-decimal value sum of the SAME user's events in the trailing
+    3600 s, via ``RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW`` over
+    epoch seconds.  RANGE frames include peers (ties share a frame),
+    so the result is deterministic without a tie-break column — the
+    property that distinguishes them from ROWS frames and the reason
+    this is the correct rolling-window idiom under duplicate
+    timestamps.  Windows are user-partitioned (bounded per-user
+    history); the frame itself never materializes — both engines
+    evaluate it streaming within the partition."""
+    es = epoch_s("ts", dialect)
+    return f"""
+WITH es AS (
+  SELECT event_id, user_id, {es} AS es,
+    CAST(value AS DECIMAL(18,6)) AS v
+  FROM events)
+SELECT event_id, user_id, es,
+  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_trailing_1h,
+  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY es
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS v_trailing_1h
+FROM es
+"""
+
+
+_RF_SHIFT = 10_000_000  # insert keys land far above the base key space
+_RF_INS_MOD, _RF_DEL_MOD = 7, 13  # deterministic RF1/RF2 selections
+
+
+def tpch_refresh_cycle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H refresh functions (RF1 insert / RF2 delete) as one
+    auditable cycle through the engine's MERGE machinery: RF1 = an
+    upsert of shifted copies of every lineitem whose order ends in
+    %100 == 7 (fresh keys ⇒ pure inserts — `operators.merge.upsert`,
+    update keys broadcast); RF2 = an anti-join delete of every order
+    ending in %100 == 13; then the Q1 pricing summary over the
+    refreshed table proves the cycle end-to-end (the oracle computes
+    the same summary over the set-algebra UNION/EXCEPT form).  At
+    100 TB both verbs shuffle key sets, never the fact table twice —
+    the anti-join broadcasts the delete keys, the upsert the insert
+    keys."""
+    from .operators.aggregate import davg, dsum
+    from .operators.merge import upsert
+    from .sources.readers import Tables
+
+    li = Tables(spark, sf_dir).lineitem
+    orders = Tables(spark, sf_dir).orders
+    ins = li.filter(F.col("l_orderkey") % 100 == _RF_INS_MOD).withColumn(
+        "l_orderkey", F.col("l_orderkey") + _RF_SHIFT
+    )
+    merged = upsert(
+        li, ins, key=["l_orderkey", "l_linenumber"], broadcast_updates=True
+    )
+    del_keys = (
+        orders.filter(F.col("o_orderkey") % 100 == _RF_DEL_MOD)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    refreshed = merged.join(F.broadcast(del_keys), "l_orderkey", "left_anti")
+    return (
+        refreshed.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _tpch_refresh_cycle_oracle() -> str:
+    cols = (
+        "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+        "l_shipdate"
+    )
+    return f"""
+WITH ins AS (
+  SELECT l_orderkey + {_RF_SHIFT} AS l_orderkey, l_partkey, l_suppkey,
+    l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+    l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem WHERE l_orderkey % 100 = {_RF_INS_MOD}),
+refreshed AS (
+  SELECT {cols} FROM lineitem WHERE l_orderkey % 100 <> {_RF_DEL_MOD}
+  UNION ALL
+  SELECT {cols} FROM ins)
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    AS sum_base_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+    / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM refreshed WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""

@@ -446,6 +446,9 @@ BUDGET = {
     "lsh_capture_curve": 6,      # truth/candidate frames checkpointed
                                  # (recall report's shape); band agg
                                  # over the pair-id join
+    "window_time_range_trailing": 2,  # one user-partition window pass
+    "tpch_refresh_cycle": 4,     # upsert anti-join (keys broadcast) +
+                                 # delete anti-join + the Q1 agg
 }
 
 
