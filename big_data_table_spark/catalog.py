@@ -187,6 +187,12 @@ from .catalog_r9 import (
     simhash_bit_balance_q,
     simhash_hamming_histogram_q, source_lang_entropy_q,
 )
+from .catalog_r9b import (
+    events_forward_fill_builder, grouped_moments_builder,
+    part_name_fuzzy_builder, parts_pareto_frontier_oracle,
+    parts_pareto_frontier_q, stream_left_outer_oracle, stream_left_outer_q,
+    unpivot_quarter_revenue_builder,
+)
 
 # ------------------------------------------------------------------ #
 # catalog assembly
@@ -2064,6 +2070,74 @@ CATALOG.update(
 )
 
 # ------------------------------------------------------------------ #
+# round 9 wave 5 — relational-surface gaps, moments sketch, exact
+# prefix-filter similarity join, imputation, outer stream-stream join
+# (builders in catalog_r9b.py; prefix filter in functions/dedup.py)
+# ------------------------------------------------------------------ #
+CATALOG.update(
+    {
+        "unpivot_quarter_revenue": _dual(
+            unpivot_quarter_revenue_builder,
+            doc="UNPIVOT surface: wide quarterly-revenue columns melted "
+            "to long form — the inverse of pivot_linestatus (reference "
+            "dcast/melt pairing); zero-shuffle flatMap over one "
+            "exact-decimal conditional aggregation.",
+        ),
+        "grouped_moments_profile": _dual(
+            grouped_moments_builder,
+            doc="Mergeable moments sketch: mean/stddev/skewness/excess "
+            "kurtosis per event type from EXACT decimal power sums "
+            "S1..S4 (additive, map-side-combinable partials); the one "
+            "dialect split (4th-power operand width) keeps both "
+            "engines on exact multiply paths.",
+        ),
+        "parts_pareto_frontier": QuerySpec(
+            parts_pareto_frontier_q,
+            parts_pareto_frontier_oracle(),
+            doc="Per-brand skyline (maximize size, minimize price): "
+            "Spark = brand-partitioned strict-preceding running MIN "
+            "over the bounded (brand,size) grain; oracle = NOT EXISTS "
+            "dominance — algorithm-diverse pairing.",
+        ),
+        "part_name_fuzzy_pairs": _dual(
+            part_name_fuzzy_builder,
+            doc="Blocked fuzzy matching: same-brand part-name pairs "
+            "within edit distance 2; length-difference pruning before "
+            "the quadratic levenshtein — block-then-verify, the "
+            "entity-resolution sibling of the LSH candidate rule.",
+        ),
+        "events_forward_fill": _dual(
+            events_forward_fill_builder,
+            doc="Forward-fill imputation (pandas ffill / kdb fills): "
+            "deterministic NULL mask, last_value IGNORE NULLS over "
+            "per-user time order (dialect-split spelling), per-type "
+            "masked/filled/unfillable audit with exact imputed sum.",
+        ),
+        "setjoin_prefix_filter_pairs": QuerySpec(
+            lambda spark, sf_dir: (
+                register_views(spark, sf_dir),
+                D.prefix_filter_jaccard_pairs(spark),
+            )[1],
+            D.prefix_filter_jaccard_oracle_sql(DUCK),
+            doc="EXACT Jaccard >= 1/2 set-similarity join via prefix "
+            "filtering (AllPairs/PPJoin): rarest-shingle prefixes "
+            "self-join for candidates (lossless), integer-threshold "
+            "verify; the scalable exact alternative to MinHash-LSH — "
+            "oracle is the brute shared-shingle formulation.",
+        ),
+        "stream_left_outer_join": QuerySpec(
+            stream_left_outer_q,
+            stream_left_outer_oracle(),
+            doc="Stream-stream LEFT OUTER join with dual watermarks: "
+            "matched rows emit immediately, NULL-extensions emit when "
+            "the min-of-both-sides watermark passes the join-window "
+            "end; oracle models the two-sided horizon (calibrated at "
+            "both SFs).",
+        ),
+    }
+)
+
+# ------------------------------------------------------------------ #
 # driver-window ordering (round 8) — VERDICT r7 #1: the 54 entries
 # with ZERO driver CORRECTNESS rows (the whole late-r7 batch — theta/
 # tdigest/bloom stores, IVFPQ family, substring dedup, streaming
@@ -2143,7 +2217,18 @@ _R9_NEW: list[str] = [
     "window_time_range_trailing",
     "tpch_refresh_cycle",
 ]
-_R9_NEXT = _R9_NEW
+# wave 5 (same round, later session): queue AFTER the first 21 so the
+# staged _R9_FRONT..early-_R9_NEXT sampling order is unchanged
+_R9B_NEW: list[str] = [
+    "unpivot_quarter_revenue",
+    "grouped_moments_profile",
+    "parts_pareto_frontier",
+    "part_name_fuzzy_pairs",
+    "events_forward_fill",
+    "setjoin_prefix_filter_pairs",
+    "stream_left_outer_join",
+]
+_R9_NEXT = _R9_NEW + _R9B_NEW
 
 assert len(_R9_FRONT) == len(set(_R9_FRONT)) == 50, len(_R9_FRONT)
 assert set(_R9_FRONT + _R9_NEXT) <= set(CATALOG), sorted(

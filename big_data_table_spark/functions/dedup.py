@@ -787,3 +787,95 @@ def source_overlap_matrix(spark):
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# exact set-similarity join via prefix filtering (AllPairs / PPJoin)
+# --------------------------------------------------------------------- #
+
+def prefix_filter_jaccard_oracle_sql(dialect: str) -> str:
+    """Brute-force EXACT word-3-gram Jaccard >= 1/2 pairs: every pair of
+    documents sharing at least one shingle, verified against the integer
+    threshold form ``3*i >= na + nb`` (J >= 1/2  <=>  2i >= na+nb-i).
+    No stop-shingle cut and no language block — the full exact-join
+    semantics that :func:`prefix_filter_jaccard_pairs` must reproduce
+    losslessly.  This text is the ORACLE; it is the formulation whose
+    shared-shingle fan-out the prefix filter exists to avoid at scale."""
+    return (
+        f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect)}, "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "    CAST(COUNT(*) AS BIGINT) AS i "
+        "  FROM shingles a JOIN shingles b "
+        "  ON a.sh = b.sh AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, i, "
+        "  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b, "
+        "  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE 3 * i >= sa.n + sb.n"
+    )
+
+
+def prefix_filter_jaccard_pairs(spark):
+    """EXACT Jaccard >= 1/2 similarity join via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate rule; Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08) — the scalable exact alternative to both the approximate
+    MinHash-LSH candidates and the oracle's brute shared-shingle join:
+
+    1. order each document's shingles by GLOBAL rarity (ascending
+       document frequency, shingle as tie-break) — one deterministic
+       total order shared by all documents;
+    2. keep each document's PREFIX: the first ``n - ceil(n/2) + 1``
+       shingles.  Any pair with J >= 1/2 has overlap >= ceil(n/2) on
+       its smaller side, so both prefixes must contain a common shingle
+       (the standard lossless guarantee) — candidates are generated by
+       a prefix-to-prefix self-join, never the full sets;
+    3. length filter: J >= 1/2 forces max(na, nb) <= 2 * min(na, nb);
+    4. verify candidates EXACTLY against the full shingle sets with the
+       integer threshold ``3*i >= na + nb`` (no float boundary).
+
+    Scale shape: prefixes are built from each document's RAREST
+    shingles, so the self-join key distribution is the inverse of the
+    boilerplate skew that blows up the brute join — a shingle shared by
+    every document lands in nobody's prefix.  The per-document ordering
+    window is bounded by document size; the verify join touches
+    candidate pairs only.  The shingle table feeds four consumers
+    (sizes, df, both join sides, verify) so it is checkpointed once
+    (Spark re-inlines CTEs).  Identical output to the brute oracle by
+    the losslessness of steps 2-3."""
+    sh = spark.sql(
+        f"WITH {_words_cte(SPARK)}, {_shingles_cte(SPARK)} "
+        "SELECT doc_id, sh FROM shingles"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("_pfx_sh")
+    return spark.sql(
+        """
+WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM _pfx_sh GROUP BY doc_id),
+df AS (SELECT sh, COUNT(*) AS df FROM _pfx_sh GROUP BY sh),
+ordered AS (
+  SELECT s.doc_id, s.sh, z.n,
+    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+  FROM _pfx_sh s JOIN df d ON d.sh = s.sh JOIN sizes z ON z.doc_id = s.doc_id),
+prefix AS (
+  SELECT doc_id, sh, n FROM ordered
+  WHERE rn <= n - CAST(CEIL(n / 2.0) AS BIGINT) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n AS n_a, b.n AS n_b
+  FROM prefix a JOIN prefix b
+  ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN _pfx_sh x ON x.doc_id = c.doc_a
+  JOIN _pfx_sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b)
+SELECT doc_a, doc_b, i,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
+FROM inter WHERE 3 * i >= n_a + n_b
+"""
+    )

@@ -116,3 +116,13 @@ def bit_xor(a: str, b: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"({a} ^ {b})"
     return f"xor({a}, {b})"
+
+
+def last_value_ignore_nulls(expr: str, dialect: str) -> str:
+    """``last_value`` skipping NULLs — the forward-fill window primitive.
+    Spark puts the ``IGNORE NULLS`` clause AFTER the call, DuckDB takes
+    it inside the argument list; semantics are identical (both verified
+    on a leading-NULL fixture).  Follow with ``OVER (...)``."""
+    if dialect == SPARK:
+        return f"last_value({expr}) IGNORE NULLS"
+    return f"last_value({expr} IGNORE NULLS)"

@@ -1269,3 +1269,60 @@ def stream_mg_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_cnt").between(F.col("lower_cnt"), F.col("upper_cnt"))
         .alias("in_bounds"),
     )
+
+
+def click_purchase_left_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the unmatched-side completion of
+    :func:`click_purchase_join`: every click emits, paired with same-user
+    purchases within ``within_minutes`` after it, or NULL-extended once
+    the watermark proves no match can still arrive.  Outer stream-stream
+    joins are exactly the inner shape plus a state-expiry contract: the
+    NULL row for an unmatched click is emitted only when the watermark
+    passes the end of its join window (until then a match could still
+    come), so the 30-minute watermark delay both bounds state AND
+    schedules the NULL emissions.  Clicks whose join window is still
+    inside the final watermark horizon when the bounded fixture drains
+    never get a verdict and are withheld — the batch oracle models the
+    same horizon with ``c_ts + within + delay < max(ts)`` over the
+    fixture (boundary calibrated empirically; microsecond timestamps
+    keep ties off the boundary)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ),
+        "leftOuter",
+    )
+    out = _run_to_completion(joined, "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias(
+            "gap_seconds"
+        ),
+    )

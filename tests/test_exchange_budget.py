@@ -449,6 +449,18 @@ BUDGET = {
     "window_time_range_trailing": 2,  # one user-partition window pass
     "tpch_refresh_cycle": 4,     # upsert anti-join (keys broadcast) +
                                  # delete anti-join + the Q1 agg
+    # round 9 wave 5 (catalog_r9b.py; measured at sf0.001)
+    "unpivot_quarter_revenue": 1,  # the wide agg; UNPIVOT itself is a
+                                 # zero-exchange per-row expand
+    "grouped_moments_profile": 1,  # one map-side-combinable power-sum agg
+    "parts_pareto_frontier": 2,  # (brand,size) grain agg + brand window
+    "part_name_fuzzy_pairs": 0,  # brand-blocked self-join broadcasts at
+                                 # fixture scale; a shuffle appearing
+                                 # here means the block join regressed
+    "events_forward_fill": 2,    # user-partition fill window + type agg
+    "setjoin_prefix_filter_pairs": 6,  # sizes/df aggs + ordered join +
+                                 # candidate distinct + verify join over
+                                 # the ONE checkpointed shingle frame
 }
 
 

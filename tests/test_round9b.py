@@ -1,0 +1,122 @@
+"""Round-9 wave-5 pins (catalog_r9b.py entries).
+
+The oracle-parity gate already proves value-exactness for all seven new
+entries; these pins cover what parity can't see —
+
+1. the prefix filter actually PRUNES (its candidate set is a strict
+   subset of the brute shared-shingle pairs) while staying lossless
+   (parity against the brute oracle proves losslessness);
+2. forward-fill semantics at the edge (leading NULLs stay NULL; fill
+   carries the LAST prior non-null, not first/any) on a hand fixture;
+3. the skyline window plan is brand-partitioned — no SinglePartition
+   exchange feeding the Window (the r7/r8 house rule);
+4. the outer stream-stream join emits BOTH populations: its matched
+   rows are exactly the inner-join entry's rows, and NULL-extended
+   rows exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_table_spark.catalog import CATALOG
+from big_data_table_spark.catalog_base import register_views
+from big_data_table_spark.functions import dedup as D
+from big_data_table_spark.functions.portable import SPARK, last_value_ignore_nulls
+from big_data_table_spark.plans import formatted_plan
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The prefix stage must generate STRICTLY fewer candidate pairs
+    than the brute shared-shingle join it replaces — otherwise the
+    'scalable exact alternative' claim is vacuous.  (Losslessness — no
+    qualifying pair missed — is the parity gate's job: the oracle IS
+    the brute formulation.)"""
+    register_views(spark, sf_dir)
+    sh = spark.sql(
+        f"WITH {D._words_cte(SPARK)}, {D._shingles_cte(SPARK)} "
+        "SELECT doc_id, sh FROM shingles"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("_pin_sh")
+    brute = spark.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT DISTINCT a.doc_id, b.doc_id "
+        "FROM _pin_sh a JOIN _pin_sh b "
+        "ON a.sh = b.sh AND a.doc_id < b.doc_id) _p"
+    ).collect()[0][0]
+    pfx = spark.sql(
+        """
+WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM _pin_sh GROUP BY doc_id),
+df AS (SELECT sh, COUNT(*) AS df FROM _pin_sh GROUP BY sh),
+ordered AS (
+  SELECT s.doc_id, s.sh, z.n,
+    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+  FROM _pin_sh s JOIN df d ON d.sh = s.sh JOIN sizes z ON z.doc_id = s.doc_id),
+prefix AS (
+  SELECT doc_id, sh, n FROM ordered
+  WHERE rn <= n - CAST(CEIL(n / 2.0) AS BIGINT) + 1)
+SELECT COUNT(*) AS n FROM (
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)) _c
+"""
+    ).collect()[0][0]
+    assert 0 < pfx < brute, (pfx, brute)
+
+
+def test_forward_fill_edge_semantics(spark):
+    """Leading NULLs stay NULL; each NULL is filled with the LAST prior
+    non-null in (ts, id) order — pinned on a hand fixture through the
+    same dialect fragment the catalog entry uses."""
+    lv = last_value_ignore_nulls("v", SPARK)
+    rows = spark.sql(
+        f"""
+WITH t(u, i, v) AS (VALUES
+  (1, 1, CAST(NULL AS INT)), (1, 2, 10), (1, 3, NULL), (1, 4, 20),
+  (1, 5, NULL), (2, 1, NULL), (2, 2, NULL))
+SELECT u, i, {lv} OVER (PARTITION BY u ORDER BY i
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+FROM t ORDER BY u, i
+"""
+    ).collect()
+    got = [(r.u, r.i, r.vf) for r in rows]
+    assert got == [
+        (1, 1, None),  # leading NULL: nothing to carry
+        (1, 2, 10),
+        (1, 3, 10),  # carries the last prior non-null
+        (1, 4, 20),
+        (1, 5, 20),  # last, not first
+        (2, 1, None),  # all-NULL partition stays NULL
+        (2, 2, None),
+    ]
+
+
+def test_pareto_window_is_brand_partitioned(spark, sf_dir):
+    """The skyline's running MIN must stay partitioned by brand: a
+    SinglePartition exchange feeding the Window would be the one-task
+    global sort the house rule prohibits."""
+    df = CATALOG["parts_pareto_frontier"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_stream_left_outer_supersets_inner(spark, sf_dir):
+    """The left-outer stream join = the inner stream join's rows PLUS
+    NULL-extended unmatched clicks (at least one of each on the
+    fixture); no click appears with both a match row and a NULL row
+    unless it genuinely matched (NULL rows' click_ids are disjoint
+    from matched click_ids)."""
+    outer = CATALOG["stream_left_outer_join"].fn(spark, sf_dir).collect()
+    inner = CATALOG["stream_click_purchase_join"].fn(spark, sf_dir).collect()
+    matched = sorted(
+        (r.click_id, r.purchase_id, r.user_id, r.gap_seconds)
+        for r in outer
+        if r.purchase_id is not None
+    )
+    inner_rows = sorted(
+        (r.click_id, r.purchase_id, r.user_id, r.gap_seconds) for r in inner
+    )
+    assert matched == inner_rows
+    null_ids = {r.click_id for r in outer if r.purchase_id is None}
+    assert null_ids, "no NULL-extended rows emitted"
+    assert null_ids.isdisjoint({r.click_id for r in inner})
