@@ -188,10 +188,13 @@ from .catalog_r9 import (
     simhash_hamming_histogram_q, source_lang_entropy_q,
 )
 from .catalog_r9b import (
-    events_forward_fill_builder, grouped_moments_builder,
-    part_name_fuzzy_builder, parts_pareto_frontier_oracle,
-    parts_pareto_frontier_q, stream_left_outer_oracle, stream_left_outer_q,
-    unpivot_quarter_revenue_builder,
+    embedding_hof_builder, events_forward_fill_builder,
+    grouped_moments_builder, neardup_triangle_count_q,
+    neardup_triangle_oracle, part_name_fuzzy_builder,
+    parts_pareto_frontier_oracle, parts_pareto_frontier_q,
+    stream_left_outer_oracle, stream_left_outer_q,
+    unpivot_quarter_revenue_builder, user_decay_scores_builder,
+    weighted_median_oracle, weighted_median_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -2134,6 +2137,38 @@ CATALOG.update(
             "end; oracle models the two-sided horizon (calibrated at "
             "both SFs).",
         ),
+        "embedding_hof_stats": _dual(
+            embedding_hof_builder,
+            doc="Higher-order array lambdas (transform/filter/fold) for "
+            "per-vector stats — map-only, explode-free, zero-shuffle; "
+            "both engines run the identical left-fold IEEE sequence.",
+        ),
+        "user_decay_scores": _dual(
+            user_decay_scores_builder,
+            doc="Exponential time-decay engagement scores (feature-"
+            "store recency aggregate): integer day ages, ROUND(exp,4) "
+            "decimal weights (exp under the ln rounding discipline), "
+            "exact decimal sums; top-20 via ORDER BY+LIMIT "
+            "(TakeOrderedAndProject).",
+        ),
+        "neardup_triangle_count": QuerySpec(
+            neardup_triangle_count_q,
+            neardup_triangle_oracle(),
+            doc="Triangle count + clustering coefficient of the LSH "
+            "candidate graph via the DEGREE-ORIENTED algorithm (every "
+            "wedge generated at its lowest-degree apex — hub-proof); "
+            "oracle is the id-ordered brute enumeration, pinning "
+            "orientation invariance.",
+        ),
+        "weighted_median_price": QuerySpec(
+            weighted_median_q,
+            weighted_median_oracle(),
+            doc="EXACT weighted median per group via the TWO-PHASE "
+            "bucket algorithm (route to 64 value buckets, finish "
+            "inside the median bucket) vs the oracle's one-shot "
+            "cumulative window — exact decimal 2*cw >= tw test in "
+            "both.",
+        ),
     }
 )
 
@@ -2227,6 +2262,10 @@ _R9B_NEW: list[str] = [
     "events_forward_fill",
     "setjoin_prefix_filter_pairs",
     "stream_left_outer_join",
+    "embedding_hof_stats",
+    "user_decay_scores",
+    "neardup_triangle_count",
+    "weighted_median_price",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW
 

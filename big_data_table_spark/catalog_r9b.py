@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog_base import register_views
-from .functions.portable import SPARK, last_value_ignore_nulls
+from .functions.portable import (
+    DUCK,
+    SPARK,
+    days_since_epoch,
+    last_value_ignore_nulls,
+)
 
 
 # ------------------------------------------------------------------ #
@@ -273,3 +278,303 @@ FROM c CROSS JOIN mx m LEFT JOIN p
 WHERE p.purchase_id IS NOT NULL
    OR c.c_ts + INTERVAL 10 MINUTE < m.wm
 """
+
+
+# ------------------------------------------------------------------ #
+# higher-order array functions (lambda surface)
+# ------------------------------------------------------------------ #
+
+def embedding_hof_builder(dialect: str) -> str:
+    """Per-vector stats computed ENTIRELY with higher-order array
+    lambdas — the transform / filter / fold surface (Spark
+    ``transform``/``filter``/``aggregate`` vs DuckDB ``list_transform``
+    /``list_filter``/``list_reduce``) — no explode, no shuffle: the
+    whole operator is a map-only projection, the cheapest possible
+    shape for per-row array feature extraction at 100 TB.
+
+    Cross-engine exactness: floats cast to DOUBLE inside the lambda
+    (exact widening), then both folds are LEFT folds over the same
+    element order — Spark's ``aggregate`` seeds 0.0 (0 + x1^2 == x1^2
+    exactly), DuckDB's ``list_reduce`` seeds the first element — so the
+    partial sums are the identical IEEE sequence."""
+    if dialect == SPARK:
+        dim = "size(embedding)"
+        sumsq = (
+            "aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        npos = "size(filter(embedding, x -> x > 0))"
+        maxabs = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    else:
+        dim = "len(embedding)"
+        sumsq = (
+            "list_reduce(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+        )
+        npos = "len(list_filter(embedding, x -> x > 0))"
+        maxabs = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    return f"""
+SELECT vec_id, label,
+  CAST({dim} AS INT) AS dim,
+  ROUND(SQRT({sumsq}), 6) AS l2_norm,
+  CAST({npos} AS INT) AS n_positive,
+  ROUND({maxabs}, 6) AS max_abs
+FROM embeddings
+"""
+
+
+# ------------------------------------------------------------------ #
+# exponential time-decay scoring
+# ------------------------------------------------------------------ #
+
+def user_decay_scores_builder(dialect: str) -> str:
+    """Top-20 users by exponentially time-decayed engagement score
+    (half-life-style recency weighting, the standard feature-store
+    recency aggregate): score = sum(value * exp(-age_days / 30)).
+
+    Exactness: age is an INTEGER day difference against the corpus max
+    day (<= ~31 distinct values on the fixture), so ``exp`` sees a tiny
+    finite input set; each weight is ROUND(exp, 4) -> DECIMAL(8,4) (the
+    ln ROUND-before-sum discipline applied to exp; scale 4 so the
+    (8,2)x(8,4) contribution lands at scale 6 EXACTLY — a scale-6
+    weight would make the product scale 8 and the (38,6) cast a lossy
+    mid-sum rounding), and the per-user sum
+    casts through (38,6) to DOUBLE.  The top-20 is ORDER BY score DESC
+    with user_id tie-break + LIMIT — TakeOrderedAndProject in Spark
+    (the exact_top_keys spine shape), never a global rank window."""
+    day = days_since_epoch("ts", dialect)
+    return f"""
+WITH d AS (
+  SELECT user_id, CAST(value AS DECIMAL(8,2)) AS v, {day} AS dayn
+  FROM events),
+mx AS (SELECT MAX(dayn) AS maxd FROM d),
+w AS (
+  SELECT user_id, v,
+    CAST(ROUND(EXP(-CAST(m.maxd - dayn AS DOUBLE) / 30.0), 4)
+      AS DECIMAL(8,4)) AS wt
+  FROM d CROSS JOIN mx m),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(CAST(SUM(v * wt) AS DECIMAL(38,6)) AS DOUBLE) AS decay_score
+  FROM w GROUP BY user_id)
+SELECT user_id, n_events, decay_score
+FROM s ORDER BY decay_score DESC, user_id LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------ #
+# triangle counting on the near-dup candidate graph
+# ------------------------------------------------------------------ #
+
+def neardup_triangle_oracle() -> str:
+    """Id-ordered brute triangle enumeration over the LSH candidate
+    edge set (doc_a < doc_b already): a triangle (a < b < c) is the
+    join of edges ab, bc, ac.  Wedge count is the orientation-free
+    node-sum C(d, 2).  The triangle COUNT is orientation-invariant, so
+    this id-ordered oracle pins the Spark side's degree-oriented
+    algorithm."""
+    from .functions.dedup import minhash_lsh_pairs_sql
+
+    edges = minhash_lsh_pairs_sql(DUCK)
+    return f"""
+WITH e AS ({edges}),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e) _u
+  GROUP BY v),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT SUM(d * (d - 1)) / 2 FROM deg) AS BIGINT) AS n_wedges,
+  (SELECT t FROM tri) AS n_triangles,
+  ROUND(CAST(3 * (SELECT t FROM tri) AS DOUBLE)
+    / NULLIF((SELECT SUM(d * (d - 1)) / 2 FROM deg), 0), 6)
+    AS global_clustering
+"""
+
+
+def neardup_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the MinHash-LSH
+    candidate graph — the graph-health companion to the component/
+    cluster reports (a near-dup graph that is a union of cliques has
+    clustering 1.0; bridges and chains pull it down).
+
+    Scale design: the DEGREE-ORIENTED algorithm (each edge pointed from
+    its lower-(degree, id) endpoint), the standard bound on enumeration
+    cost — every wedge is generated at its lowest-degree apex, so a
+    high-degree hub never fans out candidate wedges (sum of squared
+    OUT-degrees is O(edges^1.5) instead of the hub's d^2).  Wedges join
+    against oriented edges to close triangles; the count is invariant
+    to orientation, which is exactly what the id-ordered brute oracle
+    pins.  The edge set (from the single-pass band table,
+    minhash_bands_sql), the degree table, and the oriented-edge frame
+    are each multi-referenced and checkpointed once."""
+    from .functions.dedup import minhash_bands_sql
+
+    register_views(spark, sf_dir)
+    bands = spark.sql(minhash_bands_sql(SPARK))
+    bands.createOrReplaceTempView("_tri_bands")
+    edges = spark.sql(
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM _tri_bands a JOIN _tri_bands b "
+        "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("_tri_edges")
+    # deg feeds the orientation (twice) + the wedge total; o feeds both
+    # wedge sides + the closing join — checkpoint each once (CTE
+    # re-inlining would recompute deg 3x and the orientation join 3x)
+    deg = spark.sql(
+        "SELECT v, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM (SELECT doc_a AS v FROM _tri_edges "
+        "      UNION ALL SELECT doc_b AS v FROM _tri_edges) _u GROUP BY v"
+    ).localCheckpoint(eager=True)
+    deg.createOrReplaceTempView("_tri_deg")
+    o = spark.sql(
+        """
+SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+       THEN e.doc_a ELSE e.doc_b END AS u,
+       CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+       THEN e.doc_b ELSE e.doc_a END AS v,
+       CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
+       THEN db.d ELSE da.d END AS dv
+FROM _tri_edges e
+JOIN _tri_deg da ON da.v = e.doc_a JOIN _tri_deg db ON db.v = e.doc_b
+"""
+    ).localCheckpoint(eager=True)
+    o.createOrReplaceTempView("_tri_o")
+    return spark.sql(
+        """
+WITH wedge AS (
+  -- wedge endpoints ordered by the SAME (degree, id) orientation key,
+  -- so the closing edge (if any) is oriented exactly x -> y: the
+  -- triangle test stays a single equi-join
+  SELECT CASE WHEN a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v)
+         THEN a.v ELSE b.v END AS x,
+         CASE WHEN a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v)
+         THEN b.v ELSE a.v END AS y
+  FROM _tri_o a JOIN _tri_o b ON a.u = b.u AND a.v < b.v),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM wedge w JOIN _tri_o o ON o.u = w.x AND o.v = w.y),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+    CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM _tri_deg)
+SELECT s.n_nodes,
+  CAST((SELECT COUNT(*) FROM _tri_edges) AS BIGINT) AS n_edges,
+  s.n_wedges, tri.t AS n_triangles,
+  ROUND(CAST(3 * tri.t AS DOUBLE) / NULLIF(s.n_wedges, 0), 6)
+    AS global_clustering
+FROM stats s CROSS JOIN tri
+"""
+    )
+
+
+# ------------------------------------------------------------------ #
+# exact weighted median, two-phase (bucket route + in-bucket finish)
+# ------------------------------------------------------------------ #
+
+_WM_BUCKETS = 64
+
+
+def _wm_grain_cte() -> str:
+    """Shared dup-aggregated grain: per (returnflag, price) the summed
+    quantity weight — exact decimals, identical text both sides."""
+    return """c AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(19,2)) AS wt
+  FROM lineitem GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)))"""
+
+
+def weighted_median_oracle() -> str:
+    """One-shot window formulation: cumulative weight over the per-group
+    price order; the weighted median is the first price whose doubled
+    cumulative weight reaches the group total (integer-free exact
+    decimal comparison ``2*cw >= tw``)."""
+    return f"""
+WITH {_wm_grain_cte()},
+cum AS (
+  SELECT g, x, wt,
+    SUM(wt) OVER (PARTITION BY g ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    SUM(wt) OVER (PARTITION BY g) AS tw
+  FROM c)
+SELECT g AS l_returnflag, CAST(MIN(x) AS DOUBLE) AS weighted_median,
+  CAST(MIN(tw) AS DOUBLE) AS total_weight
+FROM cum WHERE 2 * cw >= tw GROUP BY g
+"""
+
+
+def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity, per return
+    flag) via the TWO-PHASE bucket algorithm — the scalable form of the
+    oracle's one-shot cumulative window, whose per-group running sum is
+    a per-group single-task sort over every distinct price (fine for
+    many small groups, a straggler when a few groups hold billions of
+    rows):
+
+    phase 1 routes each price into one of 64 value-range buckets and
+    cumulates the 64 per-(group, bucket) weights (a bounded window);
+    phase 2 finishes INSIDE the single bucket containing the median —
+    1/64th of the group — carrying the exact cumulative weight below
+    the bucket.  Recursing on the bucket width drives the finish stage
+    arbitrarily small at 100 TB.  The bucket expression is textually
+    identical in both phases, so the routing doubles are the same IEEE
+    values; the median test stays the exact decimal ``2*cw >= tw``.
+    The grain frame feeds both phases (checkpointed once); the range
+    and the 4-row probe table are broadcast 1-row/4-row aggregates.
+    The grain, the 1-row range, and the <=64-rows-per-group bucket
+    cumulative are each multi-referenced and checkpointed once."""
+    register_views(spark, sf_dir)
+    grain = spark.sql(f"WITH {_wm_grain_cte()} SELECT * FROM c").localCheckpoint(
+        eager=True
+    )
+    grain.createOrReplaceTempView("_wm_c")
+    rng = spark.sql(
+        "SELECT MIN(CAST(x AS DOUBLE)) AS minx, MAX(CAST(x AS DOUBLE)) AS maxx "
+        "FROM _wm_c"
+    ).localCheckpoint(eager=True)
+    rng.createOrReplaceTempView("_wm_rng")
+    b = (
+        f"LEAST(CAST(FLOOR((CAST(x AS DOUBLE) - minx) * {_WM_BUCKETS}.0 "
+        f"/ (maxx - minx + 0.01)) AS INT), {_WM_BUCKETS - 1})"
+    )
+    bcum = spark.sql(
+        f"""
+WITH bw AS (
+  SELECT g, {b} AS b, SUM(wt) AS bwt
+  FROM _wm_c CROSS JOIN _wm_rng GROUP BY g, {b})
+SELECT g, b, bwt,
+  SUM(bwt) OVER (PARTITION BY g ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+  SUM(bwt) OVER (PARTITION BY g) AS tw
+FROM bw
+"""
+    ).localCheckpoint(eager=True)
+    bcum.createOrReplaceTempView("_wm_bcum")
+    return spark.sql(
+        f"""
+WITH probe AS (
+  SELECT g, MIN(b) AS mb FROM _wm_bcum WHERE 2 * cb >= tw GROUP BY g),
+below AS (
+  SELECT bc.g, bc.tw,
+    COALESCE(SUM(CASE WHEN bc.b < p.mb THEN bc.bwt END), 0) AS cbelow
+  FROM _wm_bcum bc JOIN probe p ON p.g = bc.g
+  GROUP BY bc.g, bc.tw),
+fin AS (
+  SELECT c.g, c.x, c.wt, bl.cbelow, bl.tw
+  FROM _wm_c c CROSS JOIN _wm_rng
+  JOIN probe p ON p.g = c.g AND {b} = p.mb
+  JOIN below bl ON bl.g = c.g),
+fcum AS (
+  SELECT g, x, cbelow + SUM(wt) OVER (PARTITION BY g ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, tw
+  FROM fin)
+SELECT g AS l_returnflag, CAST(MIN(x) AS DOUBLE) AS weighted_median,
+  CAST(MIN(tw) AS DOUBLE) AS total_weight
+FROM fcum WHERE 2 * cw >= tw GROUP BY g
+"""
+    )

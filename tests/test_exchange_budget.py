@@ -461,6 +461,14 @@ BUDGET = {
     "setjoin_prefix_filter_pairs": 6,  # sizes/df aggs + ordered join +
                                  # candidate distinct + verify join over
                                  # the ONE checkpointed shingle frame
+    "embedding_hof_stats": 0,    # lambda HOFs are map-only: any exchange
+                                 # means an explode crept back in
+    "user_decay_scores": 2,      # 1-row max-day broadcast + user agg;
+                                 # top-20 is TakeOrderedAndProject
+    "neardup_triangle_count": 7,  # post-checkpoint: wedge self-join +
+                                 # closing join + scalar stat aggs
+    "weighted_median_price": 4,  # post-checkpoint: bucket probe/below
+                                 # aggs + in-bucket finish window
 }
 
 

@@ -1,6 +1,6 @@
-"""Round-9 wave-5 pins (catalog_r9b.py entries).
+"""Round-9 wave-5/6 pins (catalog_r9b.py entries).
 
-The oracle-parity gate already proves value-exactness for all seven new
+The oracle-parity gate already proves value-exactness for the new
 entries; these pins cover what parity can't see —
 
 1. the prefix filter actually PRUNES (its candidate set is a strict
@@ -12,7 +12,11 @@ entries; these pins cover what parity can't see —
    exchange feeding the Window (the r7/r8 house rule);
 4. the outer stream-stream join emits BOTH populations: its matched
    rows are exactly the inner-join entry's rows, and NULL-extended
-   rows exist.
+   rows exist;
+5. (wave 6) the decay top-20 plans as TakeOrderedAndProject; the
+   two-phase weighted median satisfies the definitional inequalities
+   on the raw rows; the degree-oriented triangle count matches an
+   engine-free driver-side brute count.
 """
 
 from __future__ import annotations
@@ -120,3 +124,72 @@ def test_stream_left_outer_supersets_inner(spark, sf_dir):
     null_ids = {r.click_id for r in outer if r.purchase_id is None}
     assert null_ids, "no NULL-extended rows emitted"
     assert null_ids.isdisjoint({r.click_id for r in inner})
+
+
+def test_decay_topk_is_take_ordered(spark, sf_dir):
+    """The decay-score top-20 must plan as TakeOrderedAndProject — the
+    ORDER BY + LIMIT spine, not a global rank window (the house top-k
+    rule, mirroring test_round9's exact_top_keys pin)."""
+    df = CATALOG["user_decay_scores"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_weighted_median_definition(spark, sf_dir):
+    """The two-phase result satisfies the weighted-median definition
+    directly on the raw rows: for each group, weight-at-or-below >=
+    half the total, and weight-at-or-above >= half the total (checked
+    on the driver over the 3-group fixture — independent of both the
+    window oracle and the bucket algorithm)."""
+    got = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in CATALOG["weighted_median_price"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        register_views(spark, sf_dir)
+        or spark.sql(
+            "SELECT l_returnflag AS g, l_extendedprice AS x, l_quantity AS w "
+            "FROM lineitem"
+        ).collect()
+    )
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for r in rows:
+        by_g[r.g].append((r.x, r.w))
+    assert set(got) == set(by_g)
+    for g, pairs in by_g.items():
+        med, tw = got[g]
+        total = sum(w for _, w in pairs)
+        assert abs(total - tw) < 1e-6
+        below_eq = sum(w for x, w in pairs if x <= med + 1e-9)
+        above_eq = sum(w for x, w in pairs if x >= med - 1e-9)
+        assert 2 * below_eq >= total - 1e-6, (g, below_eq, total)
+        assert 2 * above_eq >= total - 1e-6, (g, above_eq, total)
+
+
+def test_triangle_count_matches_networkless_brute(spark, sf_dir):
+    """Degree-oriented triangle count equals a driver-side brute count
+    over the collected edge set (small at fixture scale) — a third,
+    engine-free formulation beside the id-ordered SQL oracle."""
+    from big_data_table_spark.functions.dedup import minhash_lsh_pairs_sql
+
+    register_views(spark, sf_dir)
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(minhash_lsh_pairs_sql(SPARK)).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if b < c
+    )
+    row = CATALOG["neardup_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert row.n_triangles == brute, (row.n_triangles, brute)
+    assert row.n_edges == len(edges)
