@@ -189,11 +189,15 @@ from .catalog_r9 import (
 )
 from .catalog_r9b import (
     embedding_hof_builder, events_forward_fill_builder,
-    grouped_moments_builder, neardup_triangle_count_q,
+    events_streak_histogram_builder, grouped_moments_builder,
+    join_key_skew_builder, neardup_bfs_hops_q, neardup_bfs_oracle,
+    neardup_triangle_count_q,
     neardup_triangle_oracle, part_name_fuzzy_builder,
     parts_pareto_frontier_oracle, parts_pareto_frontier_q,
+    source_lang_chisq_oracle, source_lang_chisq_q,
     stream_left_outer_oracle, stream_left_outer_q,
-    unpivot_quarter_revenue_builder, user_decay_scores_builder,
+    unpivot_quarter_revenue_builder, user_clamped_ledger_builder,
+    user_decay_scores_builder,
     weighted_median_oracle, weighted_median_q,
 )
 
@@ -2169,6 +2173,46 @@ CATALOG.update(
             "cumulative window — exact decimal 2*cw >= tw test in "
             "both.",
         ),
+        "neardup_bfs_hops": QuerySpec(
+            neardup_bfs_hops_q,
+            neardup_bfs_oracle(),
+            doc="BFS min-hop histogram from one source across the LSH "
+            "candidate graph (contamination reach): Spark iterates "
+            "checkpointed frontiers with anti-join dedup; oracle is "
+            "DuckDB's recursive CTE — fixpoint recursion vs frontier "
+            "expansion, algorithm-diverse.",
+        ),
+        "events_streak_histogram": _dual(
+            events_streak_histogram_builder,
+            doc="Gaps-and-islands: consecutive-active-day streaks per "
+            "user (island id = day minus per-user day rank), "
+            "aggregated to a streak-length histogram; one distinct "
+            "(user, day) pass, calendar-bounded user windows.",
+        ),
+        "source_lang_chisq": QuerySpec(
+            source_lang_chisq_q,
+            source_lang_chisq_oracle(),
+            doc="Pearson chi-square independence test source x lang "
+            "with per-source contributions; zero cells included via "
+            "the marginal cross join; cell terms under the "
+            "ROUND-before-sum decimal discipline; observed-count "
+            "frame checkpointed (4 consumers).",
+        ),
+        "user_clamped_ledger": _dual(
+            user_clamped_ledger_builder,
+            doc="Floor-clamped running balance (inventory recursion "
+            "b=max(0,b+delta)) via the closed form S - min(0, running "
+            "min S): two stacked per-user windows replace the "
+            "sequential scan; CASE not LEAST on the decimal clamp "
+            "(DuckDB LEAST returns DOUBLE).",
+        ),
+        "join_key_skew_report": _dual(
+            join_key_skew_builder,
+            doc="Key-distribution diagnostic for the three hottest "
+            "join keys: rows, keys, max/p99 rows-per-key, top-1 share "
+            "- the report behind salting / AQE-skew decisions; one "
+            "map-side-combinable aggregate per key column.",
+        ),
     }
 )
 
@@ -2266,6 +2310,11 @@ _R9B_NEW: list[str] = [
     "user_decay_scores",
     "neardup_triangle_count",
     "weighted_median_price",
+    "neardup_bfs_hops",
+    "events_streak_histogram",
+    "source_lang_chisq",
+    "user_clamped_ledger",
+    "join_key_skew_report",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW
 

@@ -22,6 +22,7 @@ from .functions.portable import (
     DUCK,
     SPARK,
     days_since_epoch,
+    epoch_s,
     last_value_ignore_nulls,
 )
 
@@ -366,6 +367,22 @@ FROM s ORDER BY decay_score DESC, user_id LIMIT 20
 # triangle counting on the near-dup candidate graph
 # ------------------------------------------------------------------ #
 
+def _lsh_candidate_edges(spark: SparkSession) -> DataFrame:
+    """The (doc_a < doc_b) MinHash-LSH candidate edge set, computed once
+    from the single-pass band table (minhash_bands_sql) and
+    checkpointed — the shared graph input of the triangle-count and
+    BFS-hops entries (each references it several times; CTE re-inlining
+    would recompute the whole signature pipeline per reference)."""
+    from .functions.dedup import minhash_bands_sql
+
+    spark.sql(minhash_bands_sql(SPARK)).createOrReplaceTempView("_g_bands")
+    return spark.sql(
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM _g_bands a JOIN _g_bands b "
+        "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"
+    ).localCheckpoint(eager=True)
+
+
 def neardup_triangle_oracle() -> str:
     """Id-ordered brute triangle enumeration over the LSH candidate
     edge set (doc_a < doc_b already): a triangle (a < b < c) is the
@@ -412,17 +429,8 @@ def neardup_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins.  The edge set (from the single-pass band table,
     minhash_bands_sql), the degree table, and the oriented-edge frame
     are each multi-referenced and checkpointed once."""
-    from .functions.dedup import minhash_bands_sql
-
     register_views(spark, sf_dir)
-    bands = spark.sql(minhash_bands_sql(SPARK))
-    bands.createOrReplaceTempView("_tri_bands")
-    edges = spark.sql(
-        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM _tri_bands a JOIN _tri_bands b "
-        "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"
-    ).localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("_tri_edges")
+    _lsh_candidate_edges(spark).createOrReplaceTempView("_tri_edges")
     # deg feeds the orientation (twice) + the wedge total; o feeds both
     # wedge sides + the closing join — checkpoint each once (CTE
     # re-inlining would recompute deg 3x and the orientation join 3x)
@@ -578,3 +586,254 @@ SELECT g AS l_returnflag, CAST(MIN(x) AS DOUBLE) AS weighted_median,
 FROM fcum WHERE 2 * cw >= tw GROUP BY g
 """
     )
+
+
+# ------------------------------------------------------------------ #
+# BFS hop distances on the near-dup candidate graph
+# ------------------------------------------------------------------ #
+
+_BFS_SEED_SOURCE = "src0"
+_BFS_MAX_HOPS = 4
+
+
+def neardup_bfs_oracle() -> str:
+    """Recursive-CTE BFS (DuckDB ``WITH RECURSIVE`` + the dedup of
+    ``UNION`` terminating cycles): min-hop distance from the seed
+    source's documents over the LSH candidate edges, capped at 4 hops.
+    The Spark side iterates frontiers instead (Spark SQL has no
+    recursive CTEs) — an algorithm-diverse pairing: fixpoint recursion
+    vs explicit frontier expansion must produce the same distance
+    histogram."""
+    from .functions.dedup import minhash_lsh_pairs_sql
+
+    return f"""
+WITH RECURSIVE e AS ({minhash_lsh_pairs_sql(DUCK)}),
+seeds AS (SELECT doc_id FROM documents WHERE source = '{_BFS_SEED_SOURCE}'),
+reach(doc_id, hop) AS (
+  SELECT doc_id, 0 FROM seeds
+  UNION
+  SELECT CASE WHEN e.doc_a = r.doc_id THEN e.doc_b ELSE e.doc_a END,
+         r.hop + 1
+  FROM reach r JOIN e ON e.doc_a = r.doc_id OR e.doc_b = r.doc_id
+  WHERE r.hop < {_BFS_MAX_HOPS}),
+d AS (SELECT doc_id, CAST(MIN(hop) AS INT) AS hop FROM reach GROUP BY doc_id)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY hop
+"""
+
+
+def neardup_bfs_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop distance histogram from one source's documents across the
+    LSH candidate graph (contamination reach: how far does material
+    from a given corpus propagate through near-duplicate links?).
+
+    Scale design: classic distributed BFS — per round, the frontier
+    joins the edge set in BOTH directions, anti-joins the visited set,
+    and the result is eagerly checkpointed (the iterative-loop house
+    rule); rounds are bounded by the hop cap, each round's shuffles
+    touch only frontier-adjacent edges, and an empty frontier
+    short-circuits via a 1-row count read (the allowed collect class).
+    The oracle is DuckDB's recursive CTE — same distances by a
+    different fixpoint."""
+    register_views(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    edges = _lsh_candidate_edges(spark)
+    seeds = (
+        spark.table("documents")
+        .filter(F.col("source") == _BFS_SEED_SOURCE)
+        .select(F.col("doc_id"), F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds
+    frontier = seeds.select("doc_id")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        fwd = frontier.join(edges, frontier.doc_id == edges.doc_a).select(
+            edges.doc_b.alias("doc_id")
+        )
+        bwd = frontier.join(edges, frontier.doc_id == edges.doc_b).select(
+            edges.doc_a.alias("doc_id")
+        )
+        nxt = (
+            fwd.unionByName(bwd)
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:  # 1-row convergence read
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("doc_id")
+    return (
+        visited.groupBy(F.col("hop").cast("int").alias("hop"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# ------------------------------------------------------------------ #
+# gaps-and-islands: activity streaks
+# ------------------------------------------------------------------ #
+
+def events_streak_histogram_builder(dialect: str) -> str:
+    """Consecutive-active-day streaks per user (the classic
+    gaps-and-islands idiom: island id = day number minus per-user day
+    rank, constant within a run of consecutive days), aggregated to a
+    streak-length histogram with the distinct users holding each
+    length.  One distinct (user, day) pass over the fact table; the
+    rank window is user-partitioned over that user's distinct days
+    (bounded by the calendar)."""
+    day = days_since_epoch("ts", dialect)
+    return f"""
+WITH ud AS (SELECT DISTINCT user_id, {day} AS dayn FROM events),
+isl AS (
+  SELECT user_id, dayn,
+    dayn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayn) AS isl
+  FROM ud),
+st AS (
+  SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS streak_len
+  FROM isl GROUP BY user_id, isl)
+SELECT streak_len, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM st GROUP BY streak_len
+"""
+
+
+# ------------------------------------------------------------------ #
+# chi-square independence test (source x lang)
+# ------------------------------------------------------------------ #
+
+def _chisq_cells_core(dialect: str) -> str:
+    """Observed (source, lang) counts — the one multi-referenced frame
+    (row totals, column totals, grand total, and the cell join all read
+    it); the Spark form checkpoints it, the oracle nests it."""
+    return (
+        "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o "
+        "FROM documents GROUP BY source, lang"
+    )
+
+
+def _chisq_final(src: str) -> str:
+    """Pearson chi-square contributions per source over ``src`` (a view
+    name or parenthesized subquery of (source, lang, o) counts).
+    Expected counts include the ZERO cells (cross join of marginals,
+    left-joined to observed) — omitting them understates the statistic.
+    Each cell term is ROUND(.,6) -> DECIMAL(18,6) before the sum (the
+    ln/exp rounding discipline: decimal sums are order-independent,
+    double sums are not), then one cast back to DOUBLE."""
+    return f"""
+WITH rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM {src} _r
+            GROUP BY source),
+ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM {src} _c
+       GROUP BY lang),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM {src} _n),
+cells AS (
+  SELECT r.source, c.lang, COALESCE(obs.o, 0) AS o,
+    CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+  FROM rt r CROSS JOIN ct c CROSS JOIN n
+  LEFT JOIN {src} obs ON obs.source = r.source AND obs.lang = c.lang)
+SELECT source, CAST(SUM(o) AS BIGINT) AS n_docs,
+  CAST(CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(18,6)))
+    AS DECIMAL(38,6)) AS DOUBLE) AS chi2_contrib
+FROM cells GROUP BY source
+"""
+
+
+def source_lang_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of source x lang: per-source
+    contribution to the statistic (sum across sources = the full chi2
+    with (|sources|-1)(|langs|-1) degrees of freedom) — the
+    is-my-language-mix-source-dependent diagnostic beside the
+    entropy/KL views of the same table.  The observed-count frame
+    feeds four consumers, so the Spark form checkpoints it once."""
+    register_views(spark, sf_dir)
+    obs = spark.sql(_chisq_cells_core(SPARK)).localCheckpoint(eager=True)
+    obs.createOrReplaceTempView("_chisq_obs")
+    return spark.sql(_chisq_final("_chisq_obs"))
+
+
+def source_lang_chisq_oracle() -> str:
+    return _chisq_final(f"({_chisq_cells_core(DUCK)})")
+
+
+# ------------------------------------------------------------------ #
+# clamped (floor-0) running balance — windowed, no sequential scan
+# ------------------------------------------------------------------ #
+
+def user_clamped_ledger_builder(dialect: str) -> str:
+    """Floor-clamped running balance per user — the inventory/credit
+    recursion b_i = max(0, b_{i-1} + delta_i), which LOOKS inherently
+    sequential but has the closed form
+
+        b_i = S_i - LEAST(0, min_{j<=i} S_j)
+
+    (S = plain prefix sum): two stacked per-user windows replace the
+    per-row recursion, so the operator stays a bounded-partition window
+    pass instead of a stateful scan.  Deltas: purchases credit +value,
+    errors debit -value (the refund/chargeback ledger).  Everything is
+    exact DECIMAL until the final DOUBLE casts; a row touches the floor
+    iff its prefix sum equals the running min at a non-positive value
+    with a debit delta — counted without materializing b per row."""
+    es = epoch_s("ts", dialect)
+    v = "CAST(value AS DECIMAL(8,2))"
+    z = "CAST(0 AS DECIMAL(18,2))"
+    return f"""
+WITH d AS (
+  SELECT user_id, {es} AS es, event_id,
+    CASE WHEN event_type = 'purchase' THEN {v} ELSE -{v} END AS delta
+  FROM events WHERE event_type IN ('purchase', 'error')),
+s AS (
+  SELECT user_id, es, event_id, delta,
+    SUM(delta) OVER (PARTITION BY user_id ORDER BY es, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+  FROM d),
+m AS (
+  SELECT user_id, delta, ps,
+    MIN(ps) OVER (PARTITION BY user_id ORDER BY es, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+  FROM s)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_moves,
+  -- CASE, not LEAST: DuckDB's LEAST over decimals returns DOUBLE
+  -- (measured: 5.63 became 5.629999...); CASE keeps DECIMAL.  The
+  -- (18,2) downcasts are lossless (per-user sums are tiny) and keep
+  -- the subtraction inside width 38 on both engines.
+  CAST(CAST(SUM(delta) AS DECIMAL(18,2))
+    - (CASE WHEN MIN(ps) < {z} THEN CAST(MIN(ps) AS DECIMAL(18,2))
+       ELSE {z} END) AS DOUBLE) AS final_balance,
+  CAST(-(CASE WHEN MIN(ps) < {z} THEN CAST(MIN(ps) AS DECIMAL(18,2))
+       ELSE {z} END) AS DOUBLE) AS absorbed_deficit,
+  CAST(SUM(CASE WHEN delta < 0 AND ps = rmin AND ps <= 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_touches
+FROM m GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# join-key skew diagnostic
+# ------------------------------------------------------------------ #
+
+def join_key_skew_builder(dialect: str) -> str:
+    """Key-distribution report for the three hottest join/shuffle keys —
+    the planning diagnostic behind every salting / AQE-skew decision:
+    rows, distinct keys, max and p99 rows-per-key (the pinned
+    percentile ≡ quantile_cont pair), and the top-1 key's share.  Each
+    block is one map-side-combinable aggregate over the key-count
+    grain; at 100 TB this is the report you run BEFORE choosing a join
+    strategy, at a cost of one shuffle per key column."""
+    pct = "percentile" if dialect == SPARK else "quantile_cont"
+    blocks = []
+    for rel, col in (
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ):
+        blocks.append(f"""
+SELECT '{rel}.{col}' AS rel_key,
+  CAST(SUM(c) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+  ROUND({pct}(c, 0.99), 6) AS p99_rows_per_key,
+  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top1_share
+FROM (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {rel} GROUP BY {col}) _{rel}""")
+    return " UNION ALL ".join(blocks)

@@ -469,6 +469,18 @@ BUDGET = {
                                  # closing join + scalar stat aggs
     "weighted_median_price": 4,  # post-checkpoint: bucket probe/below
                                  # aggs + in-bucket finish window
+    "neardup_bfs_hops": 1,       # final histogram agg (per-round BFS
+                                 # joins live behind the checkpoints)
+    "events_streak_histogram": 3,  # (user,day) distinct + island agg +
+                                 # histogram agg (user window rides the
+                                 # distinct's partitioning)
+    "source_lang_chisq": 3,      # marginal aggs + cell join over the
+                                 # checkpointed observed counts
+    "user_clamped_ledger": 1,    # BOTH windows and the final agg share
+                                 # the user_id partitioning: one
+                                 # exchange serves the whole ledger
+    "join_key_skew_report": 6,   # three key-grain aggs + their stat
+                                 # rollups (2 each)
 }
 
 

@@ -193,3 +193,62 @@ def test_triangle_count_matches_networkless_brute(spark, sf_dir):
     row = CATALOG["neardup_triangle_count"].fn(spark, sf_dir).collect()[0]
     assert row.n_triangles == brute, (row.n_triangles, brute)
     assert row.n_edges == len(edges)
+
+
+def test_clamped_ledger_matches_sequential_recursion(spark, sf_dir):
+    """The window closed form b_i = S_i - min(0, min_{j<=i} S_j) must
+    equal the literal sequential recursion b_i = max(0, b_{i-1} + d_i)
+    — simulated row-by-row on the driver (the formulation the closed
+    form exists to avoid), including the floor-touch count."""
+    got = {
+        r.user_id: (r.final_balance, r.absorbed_deficit, r.n_floor_touches)
+        for r in CATALOG["user_clamped_ledger"].fn(spark, sf_dir).collect()
+    }
+    register_views(spark, sf_dir)
+    rows = spark.sql(
+        "SELECT user_id, unix_timestamp(ts) AS es, event_id, "
+        "CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(8,2)) "
+        "ELSE -CAST(value AS DECIMAL(8,2)) END AS delta "
+        "FROM events WHERE event_type IN ('purchase', 'error') "
+        "ORDER BY user_id, es, event_id"
+    ).collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    sim = {}
+    bal = defaultdict(lambda: Decimal(0))
+    touches = defaultdict(int)
+    deficit = defaultdict(lambda: Decimal(0))
+    for r in rows:
+        u, d = r.user_id, r.delta
+        nb = bal[u] + d
+        if d < 0 and nb <= 0:
+            # the SQL's floor-touch: a debit that lands AT or below the
+            # floor (b_i == 0 after a negative delta) — landing exactly
+            # on 0 counts, matching ps = rmin AND ps <= 0
+            touches[u] += 1
+        if nb < 0:
+            deficit[u] += -nb
+            nb = Decimal(0)
+        bal[u] = nb
+    assert set(got) == set(bal)
+    for u in got:
+        fb, ad, nt = got[u]
+        assert abs(float(bal[u]) - fb) < 1e-9, (u, bal[u], fb)
+        assert nt == touches[u], (u, nt, touches[u])
+        # absorbed_deficit in the closed form is -min(0, min prefix):
+        # the DEEPEST single excursion below zero, not the sum of all
+        # clamped amounts — check it lower-bounds the simulated total
+        assert ad <= float(deficit[u]) + 1e-9, (u, ad, deficit[u])
+
+
+def test_bfs_hop_zero_is_seed_source(spark, sf_dir):
+    """Hop-0 count equals the seed source's document count, and every
+    hop histogram row is within the cap."""
+    register_views(spark, sf_dir)
+    n_seeds = spark.sql(
+        "SELECT COUNT(*) AS n FROM documents WHERE source = 'src0'"
+    ).collect()[0][0]
+    rows = {r.hop: r.n_docs for r in CATALOG["neardup_bfs_hops"].fn(spark, sf_dir).collect()}
+    assert rows[0] == n_seeds
+    assert all(0 <= h <= 4 for h in rows)
