@@ -1,16 +1,24 @@
-"""Round-9 wave-5 builders: relational-surface gaps (UNPIVOT, skyline /
-Pareto frontier, blocked fuzzy matching), a mergeable moments sketch,
-gap-fill imputation (IGNORE NULLS window), and the exact set-similarity
-join via prefix filtering (entry glue — the algorithm lives in
-functions/dedup.py).  Builders only — registration and driver-window
-ordering stay in catalog.py (the r8 split's convention).
+"""Round-9 wave-5/6/7 builders: relational-surface gaps (UNPIVOT,
+skyline / Pareto frontier, blocked fuzzy matching), a mergeable moments
+sketch, gap-fill imputation (IGNORE NULLS window), the exact
+set-similarity join via prefix filtering (entry glue — the algorithm
+lives in functions/dedup.py), the outer stream-stream join glue, array
+lambda stats, time-decay scoring, graph analytics on the LSH candidate
+graph (degree-oriented triangles, BFS hops vs a recursive-CTE oracle),
+the two-phase exact weighted median, gaps-and-islands streaks, the
+chi-square independence test, the clamped-ledger window closed form,
+and the join-key skew diagnostic.  Builders only — registration and
+driver-window ordering stay in catalog.py (the r8 split's convention).
 
 Engine facts these builders rely on (probed this round, both engines):
 ``UNPIVOT (v FOR k IN (...))`` parses with IDENTICAL text in Spark 4
 and DuckDB 1.x and emits the column-name string as ``k``;
 ``levenshtein`` and ``quarter`` agree; ``events.value`` and
 ``o_totalprice`` are exactly 2-dp (``CAST(x AS DECIMAL(8,2)) = x``
-row-for-row), so DECIMAL(8,2)/(18,2) quantization below is lossless.
+row-for-row), so DECIMAL(8,2)/(18,2) quantization below is lossless;
+DuckDB's ``LEAST`` over decimals returns DOUBLE (CASE keeps DECIMAL),
+and a decimal binary op whose result would exceed width 38 silently
+promotes to DOUBLE — both measured via a 5.63 -> 5.629999... diff.
 """
 
 from __future__ import annotations
