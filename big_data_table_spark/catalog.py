@@ -188,8 +188,11 @@ from .catalog_r9 import (
     simhash_hamming_histogram_q, source_lang_entropy_q,
 )
 from .catalog_r9b import (
-    embedding_hof_builder, events_forward_fill_builder,
-    events_streak_histogram_builder, grouped_moments_builder,
+    embedding_hof_builder, events_cumulative_reach_builder,
+    events_forward_fill_builder,
+    events_streak_histogram_builder, grouped_mode_builder,
+    grouped_moments_builder, neyman_allocation_builder,
+    schema_evolution_read_oracle, schema_evolution_read_q,
     join_key_skew_builder, neardup_bfs_hops_q, neardup_bfs_oracle,
     neardup_triangle_count_q,
     neardup_triangle_oracle, part_name_fuzzy_builder,
@@ -2213,6 +2216,35 @@ CATALOG.update(
             "- the report behind salting / AQE-skew decisions; one "
             "map-side-combinable aggregate per key column.",
         ),
+        "events_cumulative_reach": _dual(
+            events_cumulative_reach_builder,
+            doc="EXACT running distinct users per day: first-seen-day "
+            "counts + a running sum over the calendar-bounded day "
+            "spine — no day-over-day distinct rescans; the exact "
+            "companion to hll_rolling_7day.",
+        ),
+        "neyman_allocation_sample": _dual(
+            neyman_allocation_builder,
+            doc="Neyman-optimal stratified allocation (n_h ~ N_h*S_h) "
+            "with largest-remainder integerization summing EXACTLY to "
+            "the budget; stds from exact decimal moments, weights "
+            "decimal-summed (order-independent denominator).",
+        ),
+        "schema_evolution_read": QuerySpec(
+            schema_evolution_read_q,
+            schema_evolution_read_oracle(),
+            doc="Parquet schema evolution end-to-end: v1 files without "
+            "a column + v2 files with it, one mergeSchema=true read "
+            "NULL-fills the gap; oracle models the merged read "
+            "relationally (UNION ALL + NULL literal).",
+        ),
+        "grouped_mode_exact": _dual(
+            grouped_mode_builder,
+            doc="Exact grouped MODE with deterministic tie-break "
+            "(smallest value wins) — explicit grain-count + bounded "
+            "rank formulation instead of engine-defined native "
+            "mode() tie-breaking.",
+        ),
     }
 )
 
@@ -2315,6 +2347,10 @@ _R9B_NEW: list[str] = [
     "source_lang_chisq",
     "user_clamped_ledger",
     "join_key_skew_report",
+    "events_cumulative_reach",
+    "neyman_allocation_sample",
+    "schema_evolution_read",
+    "grouped_mode_exact",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW
 

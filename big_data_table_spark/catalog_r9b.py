@@ -845,3 +845,182 @@ SELECT '{rel}.{col}' AS rel_key,
 FROM (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS c
       FROM {rel} GROUP BY {col}) _{rel}""")
     return " UNION ALL ".join(blocks)
+
+
+# ------------------------------------------------------------------ #
+# exact cumulative reach (running distinct users)
+# ------------------------------------------------------------------ #
+
+def events_cumulative_reach_builder(dialect: str) -> str:
+    """EXACT running distinct-user count per day — the cumulative-reach
+    curve: a user contributes on exactly their FIRST day, so the
+    running distinct collapses to first-seen-day counts + a running sum
+    over the day spine (<= |calendar| rows — the bounded-global-window
+    house rule, same class as orders_backlog_profile).  This is the
+    exact companion to the approximate ``hll_rolling_7day`` surface:
+    one user-grain aggregate, one day-grain aggregate, one bounded
+    window — no day-over-day distinct rescans."""
+    day = days_since_epoch("ts", dialect)
+    return f"""
+WITH fs AS (SELECT user_id, MIN({day}) AS d0 FROM events GROUP BY user_id),
+per AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY d0),
+days AS (SELECT DISTINCT {day} AS d FROM events)
+SELECT d AS day_num, COALESCE(new_users, 0) AS new_users,
+  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_reach
+FROM days LEFT JOIN per ON per.d0 = days.d
+"""
+
+
+# ------------------------------------------------------------------ #
+# Neyman allocation (variance-proportional sampling design)
+# ------------------------------------------------------------------ #
+
+_NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation_builder(dialect: str) -> str:
+    """Neyman-optimal stratified sample allocation for estimating
+    mean(value): n_h proportional to N_h * S_h (stratum size x stratum
+    std), integerized by largest-remainder so the allocations sum to
+    the budget EXACTLY.  The std comes from the exact decimal moment
+    sums (grouped_corr discipline); each weight N_h*S_h is
+    ROUND(.,6) -> DECIMAL(18,6) so the denominator sum is
+    order-independent (a double sum across strata would differ in ulps
+    between engines); remainders rank over the |strata| rows (bounded
+    window) with the stratum name as tie-break."""
+    v = "CAST(value AS DECIMAL(8,2))"
+
+    def d(expr: str) -> str:
+        return f"CAST(CAST(SUM({expr}) AS DECIMAL(38,6)) AS DOUBLE)"
+
+    B = _NEYMAN_BUDGET
+    return f"""
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+    {d(v)} AS s1, {d(f'{v} * {v}')} AS s2
+  FROM events GROUP BY event_type),
+w AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_pop,
+    ROUND(SQRT(s2 / n - (s1 / n) * (s1 / n)), 6) AS std_pop,
+    CAST(ROUND(n * SQRT(s2 / n - (s1 / n) * (s1 / n)), 6)
+      AS DECIMAL(18,6)) AS wt
+  FROM m),
+tot AS (SELECT CAST(SUM(wt) AS DECIMAL(38,6)) AS twt,
+               CAST(SUM(CAST(FLOOR({B} * CAST(wt AS DOUBLE)
+                 / CAST((SELECT CAST(SUM(wt) AS DECIMAL(38,6)) FROM w _i)
+                   AS DOUBLE)) AS BIGINT)) AS BIGINT) AS base_total
+        FROM w),
+alloc AS (
+  SELECT w.event_type, w.n_pop, w.std_pop,
+    ROUND(CAST(wt AS DOUBLE) / CAST(twt AS DOUBLE), 6) AS alloc_frac,
+    CAST(FLOOR({B} * CAST(wt AS DOUBLE) / CAST(twt AS DOUBLE)) AS BIGINT)
+      AS base_n,
+    {B} * CAST(wt AS DOUBLE) / CAST(twt AS DOUBLE)
+      - FLOOR({B} * CAST(wt AS DOUBLE) / CAST(twt AS DOUBLE)) AS rem,
+    t.base_total
+  FROM w CROSS JOIN tot t),
+ranked AS (
+  SELECT event_type, n_pop, std_pop, alloc_frac, base_n, base_total,
+    ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rr
+  FROM alloc)
+SELECT event_type, n_pop, std_pop, alloc_frac,
+  CAST(base_n + CASE WHEN rr <= {B} - base_total THEN 1 ELSE 0 END
+    AS BIGINT) AS n_alloc
+FROM ranked
+"""
+
+
+# ------------------------------------------------------------------ #
+# schema-evolution read (mergeSchema source surface)
+# ------------------------------------------------------------------ #
+
+def schema_evolution_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION end-to-end: an 'old writer' lands files
+    with (o_orderkey, o_totalprice), a 'new writer' adds
+    o_orderpriority; one read with ``mergeSchema=true`` unions the
+    physical schemas and NULL-fills the missing column — the
+    add-a-column migration every long-lived table goes through.  The
+    aggregate proves which rows carried the column (NULL group = the
+    v1 file's rows, keyed by orderkey parity).  The oracle models the
+    merged read relationally (UNION ALL with a NULL literal) — the
+    driver hash proves the on-disk evolution path equals its
+    relational semantics.  Files land under the per-app temp root (the
+    persisted-store convention: deterministic rebuild per run)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_schema_evo_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def schema_evolution_read_oracle() -> str:
+    return """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM merged GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------ #
+# exact grouped mode (deterministic tie-break)
+# ------------------------------------------------------------------ #
+
+def grouped_mode_builder(dialect: str) -> str:
+    """Exact MODE per group with a deterministic tie-break (smallest
+    value wins) — the two-stage formulation both engines share instead
+    of their native ``mode()`` aggregates, whose tie-breaking is
+    engine-defined: count the (group, value) grain (map-side
+    combinable), then rank within the group over the bounded distinct-
+    value set.  Quantity is a small discrete domain, so the rank
+    window sees <= |domain| rows per group."""
+    q = "CAST(l_quantity AS DECIMAL(9,2))"
+    return f"""
+WITH grain AS (
+  SELECT l_returnflag AS g, {q} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_returnflag, {q}),
+r AS (
+  SELECT g, v, c,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, v) AS rn
+  FROM grain)
+SELECT g AS l_returnflag, CAST(v AS DOUBLE) AS mode_quantity,
+  c AS mode_count
+FROM r WHERE rn = 1
+"""

@@ -481,6 +481,12 @@ BUDGET = {
                                  # exchange serves the whole ledger
     "join_key_skew_report": 6,   # three key-grain aggs + their stat
                                  # rollups (2 each)
+    "events_cumulative_reach": 4,  # first-seen agg + day aggs + the
+                                 # bounded day-spine running sum
+    "neyman_allocation_sample": 6,  # moment agg + tiny 5-row weight/
+                                 # total/rank stages
+    "schema_evolution_read": 1,  # one agg over the merged-schema scan
+    "grouped_mode_exact": 2,     # grain agg + bounded rank window
 }
 
 

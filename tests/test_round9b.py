@@ -252,3 +252,51 @@ def test_bfs_hop_zero_is_seed_source(spark, sf_dir):
     rows = {r.hop: r.n_docs for r in CATALOG["neardup_bfs_hops"].fn(spark, sf_dir).collect()}
     assert rows[0] == n_seeds
     assert all(0 <= h <= 4 for h in rows)
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    """Largest-remainder integerization must hit the budget EXACTLY
+    (the property floor-only or naive-rounding allocations violate),
+    with every stratum allocated at least its floor share."""
+    rows = CATALOG["neyman_allocation_sample"].fn(spark, sf_dir).collect()
+    assert sum(r.n_alloc for r in rows) == 1000
+    assert all(r.n_alloc >= 0 for r in rows)
+    # allocation ordering follows the weight ordering (N_h * S_h)
+    by_w = sorted(rows, key=lambda r: r.n_pop * r.std_pop)
+    allocs = [r.n_alloc for r in by_w]
+    assert all(a <= b + 1 for a, b in zip(allocs, allocs[1:])), allocs
+
+
+def test_schema_evolution_null_group_is_v1(spark, sf_dir):
+    """The merged-schema read's NULL-priority group must hold exactly
+    the v1 (even-orderkey) rows — the column truly NULL-fills instead
+    of erroring or dropping rows."""
+    register_views(spark, sf_dir)
+    rows = CATALOG["schema_evolution_read"].fn(spark, sf_dir).collect()
+    null_n = sum(r.n_orders for r in rows if r.o_orderpriority is None)
+    expect = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 0"
+    ).collect()[0][0]
+    assert null_n == expect
+    total = sum(r.n_orders for r in rows)
+    assert total == spark.sql("SELECT COUNT(*) FROM orders").collect()[0][0]
+
+
+def test_grouped_mode_matches_counter(spark, sf_dir):
+    """Exact mode per group equals a driver-side Counter with the same
+    smallest-value tie-break."""
+    from collections import Counter, defaultdict
+
+    register_views(spark, sf_dir)
+    got = {
+        r.l_returnflag: (r.mode_quantity, r.mode_count)
+        for r in CATALOG["grouped_mode_exact"].fn(spark, sf_dir).collect()
+    }
+    counts = defaultdict(Counter)
+    for r in spark.sql(
+        "SELECT l_returnflag AS g, l_quantity AS q FROM lineitem"
+    ).collect():
+        counts[r.g][r.q] += 1
+    for g, c in counts.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[g] == (best[0], best[1]), (g, got[g], best)
