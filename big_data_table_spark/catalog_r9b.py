@@ -76,18 +76,23 @@ def grouped_moments_builder(dialect: str) -> str:
 
     Exactness: value is 2-dp (probed), so ``DECIMAL(8,2)`` quantization
     is lossless and every power stays inside both engines' exact decimal
-    multiply paths — v^2 (17,4), v^3 (26,6); the 4th power is the ONE
-    dialect split in the algebra: DuckDB overflow-checks a decimal
-    multiply against the OPERAND width's own max (measured: (18,4)
-    squared errors at 1.15e18 > 10^18-1) so its term upcasts to
-    (19,4)x(19,4) = int128, while Spark — where (19,4)x(19,4) would hit
-    the precision-39->38 cap and ROUND scale 8 to 7 — keeps the bare
-    (17,4)x(17,4) = (35,8).  Both spellings are EXACT (no rounding on
-    either path), so the engines still sum identical values.  Each sum
-    casts through (38,6) to DOUBLE
-    (the grouped_corr_sql discipline) and the moment formulas then run
-    in IEEE arithmetic on identical operands; fractional powers are
-    avoided (sigma^3 = m2*sqrt(m2), kurtosis divides by m2*m2)."""
+    multiply paths.  The 3rd and 4th powers are the ONE dialect split
+    in the algebra: DuckDB overflow-checks a decimal multiply against
+    the OPERAND width's own max (measured: (18,4) squared errors at
+    1.15e18 > 10^18-1, and the bare (16,4)x(8,2) cube errors for any
+    value >= 10000.01 — inside the (8,2) domain), so BOTH its higher
+    powers build on a (19,4) = int128 upcast of v^2; Spark — where
+    (19,4)x(19,4) would hit the precision-39->38 cap and ROUND scale 8
+    to 7 — keeps the bare products ((17,4) paths).  Both spellings are
+    EXACT, so the engines still sum identical values.  s1..s3 (scale
+    <= 6) cast through (38,6) to DOUBLE losslessly (the
+    grouped_corr_sql discipline); s4 has native scale 8, where a bare
+    (38,6) cast would TRUNCATE in DuckDB but round HALF_UP in Spark
+    (probed), so it goes through an explicit ROUND(.,6) first — both
+    engines round decimal halves away from zero (probed), making the
+    quantization identical.  The moment formulas then run in IEEE
+    arithmetic on identical operands; fractional powers are avoided
+    (sigma^3 = m2*sqrt(m2), kurtosis divides by m2*m2)."""
     v = "CAST(value AS DECIMAL(8,2))"
     v2w = (
         f"({v} * {v})"
@@ -103,8 +108,9 @@ WITH m AS (
   SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
     {d(v)} AS s1,
     {d(f'{v} * {v}')} AS s2,
-    {d(f'({v} * {v}) * {v}')} AS s3,
-    {d(f'{v2w} * {v2w}')} AS s4
+    {d(f'{v2w} * {v}')} AS s3,
+    CAST(CAST(ROUND(SUM({v2w} * {v2w}), 6) AS DECIMAL(38,6)) AS DOUBLE)
+      AS s4
   FROM events GROUP BY event_type),
 c AS (
   SELECT event_type, n, s1 / n AS mean,
@@ -710,10 +716,12 @@ FROM st GROUP BY streak_len
 # chi-square independence test (source x lang)
 # ------------------------------------------------------------------ #
 
-def _chisq_cells_core(dialect: str) -> str:
+def _chisq_cells_core() -> str:
     """Observed (source, lang) counts — the one multi-referenced frame
     (row totals, column totals, grand total, and the cell join all read
-    it); the Spark form checkpoints it, the oracle nests it."""
+    it); the Spark form checkpoints it, the oracle nests it.  The text
+    is dialect-neutral by construction (no dialect parameter — the
+    shared-text invariant made explicit)."""
     return (
         "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o "
         "FROM documents GROUP BY source, lang"
@@ -754,13 +762,13 @@ def source_lang_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy/KL views of the same table.  The observed-count frame
     feeds four consumers, so the Spark form checkpoints it once."""
     register_views(spark, sf_dir)
-    obs = spark.sql(_chisq_cells_core(SPARK)).localCheckpoint(eager=True)
+    obs = spark.sql(_chisq_cells_core()).localCheckpoint(eager=True)
     obs.createOrReplaceTempView("_chisq_obs")
     return spark.sql(_chisq_final("_chisq_obs"))
 
 
 def source_lang_chisq_oracle() -> str:
-    return _chisq_final(f"({_chisq_cells_core(DUCK)})")
+    return _chisq_final(f"({_chisq_cells_core()})")
 
 
 # ------------------------------------------------------------------ #

@@ -818,6 +818,32 @@ def prefix_filter_jaccard_oracle_sql(dialect: str) -> str:
     )
 
 
+def prefix_filter_candidate_ctes(sh_view: str) -> str:
+    """The prefix-filter candidate-generation CTE chain over a
+    (doc_id, sh) relation ``sh_view`` — sizes, global-rarity ordering,
+    per-doc prefixes, and the prefix-to-prefix candidate join with the
+    length filter, ending at a CTE named ``cand`` (doc_a, doc_b, n_a,
+    n_b).  ONE copy of the candidate rule: the pairs operator composes
+    it with the exact verify; the pruning pin in test_round9b counts
+    ``cand`` through the same text, so a change to the prefix rule
+    cannot silently diverge from what the pin covers."""
+    return f"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM {sh_view} GROUP BY doc_id),
+df AS (SELECT sh, COUNT(*) AS df FROM {sh_view} GROUP BY sh),
+ordered AS (
+  SELECT s.doc_id, s.sh, z.n,
+    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+  FROM {sh_view} s JOIN df d ON d.sh = s.sh JOIN sizes z ON z.doc_id = s.doc_id),
+prefix AS (
+  SELECT doc_id, sh, n FROM ordered
+  WHERE rn <= n - CAST(CEIL(n / 2.0) AS BIGINT) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n AS n_a, b.n AS n_b
+  FROM prefix a JOIN prefix b
+  ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n))"""
+
+
 def prefix_filter_jaccard_pairs(spark):
     """EXACT Jaccard >= 1/2 similarity join via PREFIX FILTERING (the
     AllPairs/PPJoin candidate rule; Bayardo et al., WWW'07; Xiao et al.,
@@ -851,22 +877,8 @@ def prefix_filter_jaccard_pairs(spark):
     ).localCheckpoint(eager=True)
     sh.createOrReplaceTempView("_pfx_sh")
     return spark.sql(
-        """
-WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM _pfx_sh GROUP BY doc_id),
-df AS (SELECT sh, COUNT(*) AS df FROM _pfx_sh GROUP BY sh),
-ordered AS (
-  SELECT s.doc_id, s.sh, z.n,
-    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
-  FROM _pfx_sh s JOIN df d ON d.sh = s.sh JOIN sizes z ON z.doc_id = s.doc_id),
-prefix AS (
-  SELECT doc_id, sh, n FROM ordered
-  WHERE rn <= n - CAST(CEIL(n / 2.0) AS BIGINT) + 1),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    a.n AS n_a, b.n AS n_b
-  FROM prefix a JOIN prefix b
-  ON a.sh = b.sh AND a.doc_id < b.doc_id
-  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+        f"""
+WITH {prefix_filter_candidate_ctes("_pfx_sh")},
 inter AS (
   SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
   FROM cand c
