@@ -189,7 +189,9 @@ from .catalog_r9 import (
 )
 from .catalog_r9b import (
     embedding_hof_builder, events_cumulative_reach_builder,
-    events_forward_fill_builder,
+    events_forward_fill_builder, grouping_id_report_builder,
+    lateral_recent_orders_oracle, lateral_recent_orders_q,
+    zorder_locality_builder,
     events_streak_histogram_builder, grouped_mode_builder,
     grouped_moments_builder, neyman_allocation_builder,
     schema_evolution_read_oracle, schema_evolution_read_q,
@@ -2245,6 +2247,27 @@ CATALOG.update(
             "rank formulation instead of engine-defined native "
             "mode() tie-breaking.",
         ),
+        "lateral_recent_orders": QuerySpec(
+            lateral_recent_orders_q,
+            lateral_recent_orders_oracle(),
+            doc="Correlated LATERAL join (per-row ORDER BY + LIMIT "
+            "subquery) for top-2 recent orders of the 10-customer "
+            "spine; oracle is the rank-window formulation — LATERAL "
+            "semantics pinned against window semantics.",
+        ),
+        "grouping_id_report": _dual(
+            grouping_id_report_builder,
+            doc="GROUPING SETS with GROUPING() markers distinguishing "
+            "rollup-total NULLs from data NULLs — per-year, "
+            "per-priority, and grand-total sets in one exchange.",
+        ),
+        "zorder_locality_report": _dual(
+            zorder_locality_builder,
+            doc="Morton/Z-order bit interleaving as a layout operator "
+            "with its locality MEASURED: every z>>10 bucket is an "
+            "aligned 32x32 tile (x/y spans provably <= 31) — the "
+            "multi-dimensional file-pruning story, spans pinned.",
+        ),
     }
 )
 
@@ -2351,6 +2374,9 @@ _R9B_NEW: list[str] = [
     "neyman_allocation_sample",
     "schema_evolution_read",
     "grouped_mode_exact",
+    "lateral_recent_orders",
+    "grouping_id_report",
+    "zorder_locality_report",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW
 

@@ -1032,3 +1032,113 @@ SELECT g AS l_returnflag, CAST(v AS DOUBLE) AS mode_quantity,
   c AS mode_count
 FROM r WHERE rn = 1
 """
+
+
+# ------------------------------------------------------------------ #
+# correlated LATERAL join (top-N per key without a window)
+# ------------------------------------------------------------------ #
+
+def lateral_recent_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 most recent orders for each of the 10 highest-balance
+    customers via a correlated LATERAL join — the per-row-subquery
+    surface (Spark 3.4+ ``JOIN LATERAL``): the inner ORDER BY + LIMIT
+    runs once per outer row, the index-nested-loop idiom that beats a
+    window when the outer side is tiny and the per-key result is
+    short.  The oracle is the rank-window formulation of the same
+    question — LATERAL semantics pinned against window semantics.
+    Scale shape: the outer side is a 10-row TakeOrdered spine; at a
+    large outer cardinality the window form (or a co-partitioned
+    group-top-k) takes over — the entry demonstrates the surface, the
+    docstring states the crossover."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey,
+  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM (SELECT c_custkey, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10) c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o ON TRUE
+"""
+    )
+
+
+def lateral_recent_orders_oracle() -> str:
+    return """
+WITH topc AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 10),
+r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM topc))
+SELECT c.c_custkey, c.c_acctbal, r.o_orderkey,
+  CAST(r.o_totalprice AS DOUBLE) AS o_totalprice
+FROM topc c JOIN r ON r.o_custkey = c.c_custkey AND r.rn <= 2
+"""
+
+
+# ------------------------------------------------------------------ #
+# GROUPING SETS with GROUPING() markers
+# ------------------------------------------------------------------ #
+
+def grouping_id_report_builder(dialect: str) -> str:
+    """GROUPING SETS with explicit ``GROUPING()`` flags — the markers
+    that distinguish a NULL-as-rollup-total row from a NULL data value
+    (the correctness hazard of consuming raw rollup output).  Three
+    sets: per-year totals, per-priority totals, and the grand total;
+    identical text in both engines (probed).  One pass, one exchange —
+    Catalyst expands the sets map-side."""
+    rev = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+    return f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+  CAST(GROUPING(year(o_orderdate)) AS INT) AS is_total_over_years,
+  CAST(GROUPING(o_orderpriority) AS INT) AS is_total_over_priorities,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {rev} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+"""
+
+
+# ------------------------------------------------------------------ #
+# Z-order (Morton) layout locality report
+# ------------------------------------------------------------------ #
+
+def zorder_locality_builder(dialect: str) -> str:
+    """Morton/Z-order interleaving as a LAYOUT operator, with its
+    locality property measured: map (x, y) = (o_custkey mod 256,
+    o_orderkey mod 256) onto the 16-bit Z-curve by explicit bit
+    interleaving (shifts/ANDs — identical semantics probed in both
+    engines), bucket by z >> 10, and report each bucket's x/y extents.
+    Because bits 0..9 of z hold exactly the low 5 bits of BOTH
+    coordinates, every bucket is an ALIGNED 32x32 tile: x_span and
+    y_span are provably <= 31 — the property that makes Z-ordered file
+    layout prunable on BOTH columns at once (the min/max zone maps of
+    a z-sorted file are tight for x AND y, where a lexicographic sort
+    is tight only for its leading column).  At 100 TB this is the
+    clustering you apply before writing, so multi-dimensional
+    predicates prune files instead of scanning them."""
+    x = "(o_custkey % 256)"
+    y = "(o_orderkey % 256)"
+    z = " + ".join(
+        f"((({x} >> {i}) & 1) * {1 << (2 * i)}) + "
+        f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(8)
+    )
+    return f"""
+WITH zc AS (
+  SELECT CAST({x} AS INT) AS x, CAST({y} AS INT) AS y,
+    CAST(({z}) AS INT) AS z
+  FROM orders)
+SELECT CAST(z >> 10 AS INT) AS tile,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(x) AS INT) AS x_min, CAST(MAX(x) AS INT) AS x_max,
+  CAST(MIN(y) AS INT) AS y_min, CAST(MAX(y) AS INT) AS y_max,
+  CAST(MAX(x) - MIN(x) AS INT) AS x_span,
+  CAST(MAX(y) - MIN(y) AS INT) AS y_span
+FROM zc GROUP BY z >> 10
+"""

@@ -487,6 +487,11 @@ BUDGET = {
                                  # total/rank stages
     "schema_evolution_read": 1,  # one agg over the merged-schema scan
     "grouped_mode_exact": 2,     # grain agg + bounded rank window
+    "lateral_recent_orders": 2,  # 10-row TakeOrdered spine + the
+                                 # correlated per-key limit
+    "grouping_id_report": 1,     # one expanded grouping-sets agg
+    "zorder_locality_report": 1,  # one tile agg; the interleave is a
+                                 # map-side projection
 }
 
 

