@@ -190,6 +190,7 @@ from .catalog_r9 import (
 from .catalog_r9b import (
     embedding_hof_builder, events_cumulative_reach_builder,
     events_forward_fill_builder, grouping_id_report_builder,
+    ivm_revenue_maintenance_builder, ivm_revenue_maintenance_oracle,
     lateral_recent_orders_oracle, lateral_recent_orders_q,
     zorder_locality_builder,
     events_streak_histogram_builder, grouped_mode_builder,
@@ -2268,6 +2269,16 @@ CATALOG.update(
             "aligned 32x32 tile (x/y spans provably <= 31) — the "
             "multi-dimensional file-pruning story, spans pinned.",
         ),
+        "ivm_revenue_maintenance": QuerySpec(
+            _sql_query(ivm_revenue_maintenance_builder(SPARK)),
+            ivm_revenue_maintenance_oracle(),
+            doc="Incremental view maintenance through the RF1/RF2 "
+            "refresh: the MV updates by APPLYING DELTAS (add the "
+            "insert batch's partial aggregate, subtract the delete "
+            "batch's, drop zero-count groups) — O(changed groups), "
+            "never rescanning base for the apply; oracle is the "
+            "O(base) recompute IVM exists to avoid.",
+        ),
     }
 )
 
@@ -2377,6 +2388,7 @@ _R9B_NEW: list[str] = [
     "lateral_recent_orders",
     "grouping_id_report",
     "zorder_locality_report",
+    "ivm_revenue_maintenance",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW
 

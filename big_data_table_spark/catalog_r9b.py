@@ -1142,3 +1142,75 @@ SELECT CAST(z >> 10 AS INT) AS tile,
   CAST(MAX(y) - MIN(y) AS INT) AS y_span
 FROM zc GROUP BY z >> 10
 """
+
+
+# ------------------------------------------------------------------ #
+# incremental view maintenance (delta-apply vs recompute)
+# ------------------------------------------------------------------ #
+
+_IVM_SHIFT = 10_000_000
+_IVM_INS_MOD, _IVM_DEL_MOD = 7, 13  # the tpch_refresh_cycle selections
+
+
+def ivm_revenue_maintenance_builder(dialect: str) -> str:
+    """INCREMENTAL VIEW MAINTENANCE of the per-priority revenue
+    aggregate through a TPC-H-style refresh (RF1 insert batch = shifted
+    copies of %100==7 orders, RF2 delete batch = %100==13): the
+    materialized state is updated by APPLYING DELTAS — two FULL OUTER
+    joins over the |groups|-sized frames, adding the insert batch's
+    partial aggregate and subtracting the delete batch's — never
+    rescanning the base fact table for the apply step.  SUM/COUNT are
+    self-maintainable under insert AND delete, which is exactly why
+    warehouses maintain them incrementally; groups whose maintained
+    count reaches zero are dropped (the relational MV contract).
+
+    At 100 TB the deltas are the day's change batch and the apply cost
+    is O(|changed groups|); the recompute the ORACLE performs (rebuild
+    from (base \\ deletes) UNION inserts) is the O(|base|) plan IVM
+    exists to avoid — delta algebra pinned against recompute algebra.
+
+    Decimal discipline: each partial SUM downcasts (losslessly) to
+    (18,2) BEFORE the +/- chain — DuckDB widens aggregate sums to
+    (38,2), and (38,2) +/- (38,2) would exceed width 38 and silently
+    promote to DOUBLE (the measured trap in ROUND_NOTES)."""
+    rev = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+    return f"""
+WITH m AS (
+  SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n, {rev} AS r
+  FROM orders GROUP BY o_orderpriority),
+ins AS (
+  SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n, {rev} AS r
+  FROM orders WHERE o_orderkey % 100 = {_IVM_INS_MOD}
+  GROUP BY o_orderpriority),
+del AS (
+  SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n, {rev} AS r
+  FROM orders WHERE o_orderkey % 100 = {_IVM_DEL_MOD}
+  GROUP BY o_orderpriority),
+j AS (
+  SELECT COALESCE(m.g, i.g) AS g,
+    COALESCE(m.n, 0) + COALESCE(i.n, 0) AS n,
+    CAST(COALESCE(m.r, 0) + COALESCE(i.r, 0) AS DECIMAL(18,2)) AS r
+  FROM m FULL OUTER JOIN ins i ON m.g = i.g)
+SELECT COALESCE(j.g, d.g) AS o_orderpriority,
+  CAST(j.n - COALESCE(d.n, 0) AS BIGINT) AS n_orders,
+  CAST(CAST(j.r - COALESCE(d.r, 0) AS DECIMAL(18,2)) AS DOUBLE)
+    AS revenue
+FROM j FULL OUTER JOIN del d ON j.g = d.g
+WHERE COALESCE(j.n, 0) - COALESCE(d.n, 0) > 0
+"""
+
+
+def ivm_revenue_maintenance_oracle() -> str:
+    """The recompute IVM avoids: rebuild the refreshed fact table
+    ((base minus deletes) union shifted inserts) and re-aggregate."""
+    return f"""
+WITH refreshed AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 100 <> {_IVM_DEL_MOD}
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 100 = {_IVM_INS_MOD})
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM refreshed GROUP BY o_orderpriority
+"""

@@ -492,6 +492,8 @@ BUDGET = {
     "grouping_id_report": 1,     # one expanded grouping-sets agg
     "zorder_locality_report": 1,  # one tile agg; the interleave is a
                                  # map-side projection
+    "ivm_revenue_maintenance": 4,  # three partial aggs + the tiny
+                                 # full-outer delta-apply chain
 }
 
 
