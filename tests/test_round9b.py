@@ -21,8 +21,6 @@ entries; these pins cover what parity can't see —
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from big_data_table_spark.catalog import CATALOG
 from big_data_table_spark.catalog_base import register_views
 from big_data_table_spark.functions import dedup as D
