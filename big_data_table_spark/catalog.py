@@ -206,6 +206,15 @@ from .catalog_r9b import (
     user_decay_scores_builder,
     weighted_median_oracle, weighted_median_q,
 )
+from .catalog_r9c import (
+    benford_deviation_report_builder, bitmap_audience_jaccard_oracle,
+    bitmap_audience_jaccard_q, bitmap_presence_retention_oracle,
+    bitmap_presence_retention_q, candidate_graph_pagerank_oracle,
+    candidate_graph_pagerank_q, customer_survival_km_builder,
+    daily_series_crosscorr_builder, docs_equidepth_bands_builder,
+    events_cusum_changepoint_builder, nation_balance_report_builder,
+    segment_monthly_trend_builder,
+)
 
 # ------------------------------------------------------------------ #
 # catalog assembly
@@ -2283,6 +2292,95 @@ CATALOG.update(
 )
 
 # ------------------------------------------------------------------ #
+# round-9 wave-11 entries: exact bitmap presence index, PageRank,
+# Kaplan-Meier survival, cross-correlation, CUSUM, OLS trend,
+# correlated scalar subqueries, exact equi-depth, Benford audit
+# (builders in catalog_r9c.py; power iteration in operators/graph.py)
+# ------------------------------------------------------------------ #
+CATALOG.update(
+    {
+        "bitmap_presence_retention": QuerySpec(
+            bitmap_presence_retention_q,
+            bitmap_presence_retention_oracle(),
+            doc="EXACT day-over-day retention from a bit-packed user "
+            "presence bitmap index (62 ids per BIGINT word, BIT_OR "
+            "build, popcount(AND) compare): the fact table collapses "
+            "to |days|*|words| bitmap rows, checkpointed once (4 "
+            "references); exact counterpart of the HLL rolling "
+            "surface.",
+        ),
+        "bitmap_audience_jaccard": QuerySpec(
+            bitmap_audience_jaccard_q,
+            bitmap_audience_jaccard_oracle(),
+            doc="EXACT pairwise audience Jaccard between event types "
+            "via word-aligned bitmap popcounts + inclusion-exclusion "
+            "— the exact counterpart of theta_sketch_intersection; "
+            "bitmap build checkpointed once; zero-intersection pairs "
+            "emit exact 0 via the totals spine.",
+        ),
+        "candidate_graph_pagerank": QuerySpec(
+            candidate_graph_pagerank_q,
+            candidate_graph_pagerank_oracle(),
+            doc="Decimal-exact PageRank (3 power iterations, damping "
+            "0.85) over the LSH candidate graph: ROUND-before-sum "
+            "quantization makes every shuffle-order-sensitive sum "
+            "exact, so the DuckDB unrolled-CTE oracle matches each "
+            "iteration bit-for-bit; top-20 via "
+            "TakeOrderedAndProject.",
+        ),
+        "customer_survival_km": _dual(
+            customer_survival_km_builder,
+            doc="Kaplan-Meier repurchase survival with right-censored "
+            "customer tails: exact running sum of ROUND(ln(1-d/n),9) "
+            "decimals under one shared window exchange; the "
+            "survival-0 ln-divergence carried as a flag window.",
+        ),
+        "daily_series_crosscorr": _dual(
+            daily_series_crosscorr_builder,
+            doc="Lagged cross-correlation (k=-3..3) between the click "
+            "and purchase daily series from exact integer moment "
+            "sums; the lag fan-out is a 7-row spine on the "
+            "calendar-bounded daily table.",
+        ),
+        "events_cusum_changepoint": _dual(
+            events_cusum_changepoint_builder,
+            doc="CUSUM changepoint scan over daily event counts: "
+            "quantized-mean deviations summed in exact decimal, "
+            "top-5 |CUSUM| days via ORDER BY + LIMIT.",
+        ),
+        "segment_monthly_trend": _dual(
+            segment_monthly_trend_builder,
+            doc="Per-segment OLS revenue trend (slope/intercept/R^2) "
+            "from exact dollar-quantized decimal power sums — widths "
+            "chosen so y*y stays on both engines' exact multiply "
+            "paths at any SF.",
+        ),
+        "nation_balance_report": _dual(
+            nation_balance_report_builder,
+            doc="Correlated-scalar-subquery surface: per-nation count/"
+            "max/region-share, identical text both engines; Catalyst "
+            "rewrites each subquery into an aggregate + left join "
+            "(no per-row probes).",
+        ),
+        "docs_equidepth_bands": _dual(
+            docs_equidepth_bands_builder,
+            doc="EXACT equi-depth quartile histogram of document "
+            "length per source at the distinct-VALUE grain (pure "
+            "integer band assignment; cumulative window bounded by "
+            "the value domain, never row count — the scalable exact "
+            "alternative to raw-row NTILE).",
+        ),
+        "benford_deviation_report": _dual(
+            benford_deviation_report_builder,
+            doc="Benford leading-digit audit of order totals per "
+            "priority: digit-spine LEFT JOIN gives absent digits "
+            "exact 0, shares/expectations quantized to 9 dp so the "
+            "per-group TVD window sum is exact.",
+        ),
+    }
+)
+
+# ------------------------------------------------------------------ #
 # driver-window ordering (round 8) — VERDICT r7 #1: the 54 entries
 # with ZERO driver CORRECTNESS rows (the whole late-r7 batch — theta/
 # tdigest/bloom stores, IVFPQ family, substring dedup, streaming
@@ -2390,7 +2488,22 @@ _R9B_NEW: list[str] = [
     "zorder_locality_report",
     "ivm_revenue_maintenance",
 ]
-_R9_NEXT = _R9_NEW + _R9B_NEW
+
+# wave-11 (second extension session) — appended after _R9B_NEW so the
+# staged sampling order of everything before them is unchanged
+_R9C_NEW: list[str] = [
+    "bitmap_presence_retention",
+    "bitmap_audience_jaccard",
+    "candidate_graph_pagerank",
+    "customer_survival_km",
+    "daily_series_crosscorr",
+    "events_cusum_changepoint",
+    "segment_monthly_trend",
+    "nation_balance_report",
+    "docs_equidepth_bands",
+    "benford_deviation_report",
+]
+_R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 
 assert len(_R9_FRONT) == len(set(_R9_FRONT)) == 50, len(_R9_FRONT)
 assert set(_R9_FRONT + _R9_NEXT) <= set(CATALOG), sorted(

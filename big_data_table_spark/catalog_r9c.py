@@ -1,0 +1,488 @@
+"""Round-9 wave-11 builders: the exact bitmap presence index (bit-packed
+user bitmaps -> exact DAU / day-over-day retention and exact pairwise
+audience Jaccard via popcounts), decimal-exact PageRank over the LSH
+candidate graph (entry glue — the power iteration lives in
+operators/graph.py), a Kaplan-Meier repurchase survival curve, lagged
+cross-correlation of two daily series, CUSUM changepoint detection,
+per-segment OLS revenue trend, the correlated-scalar-subquery surface,
+a value-grain EXACT equi-depth histogram, and a Benford leading-digit
+deviation report.  Builders only — registration and driver-window
+ordering stay in catalog.py (the r8 split's convention).
+
+Engine facts these builders rely on (probed this session, both engines):
+``BIT_OR``/``BIT_AND`` aggregates, ``bit_count``, ``<<``, ``&``, ``|``,
+``~`` agree on BIGINT (incl. bit_count(-1) = 64); ``NTILE`` splits
+identically; correlated scalar subqueries evaluate identically;
+``CAST(decimal AS STRING)`` renders the same text; ``LEAST`` over
+BIGINT is safe (the r9b LEAST-decimal->DOUBLE trap is decimal-only).
+The ONE integer-division split: DuckDB ``CAST(7/2 AS INT)`` ROUNDS to 4
+where Spark truncates to 3 — integer division is always spelled
+``DIV`` (Spark) / ``//`` (DuckDB), never a cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog_base import register_views
+from .functions.portable import DUCK, SPARK, days_since_epoch, lateral_seq
+
+
+def _idiv(a: str, b: str, dialect: str) -> str:
+    """Portable floor-toward-zero integer division (nonnegative operands
+    here, so DIV and // agree exactly)."""
+    return f"({a} DIV {b})" if dialect == SPARK else f"({a} // {b})"
+
+
+def _dmom(expr: str) -> str:
+    """Exact-sum moment cast through (38,6) to DOUBLE — the
+    grouped_corr_sql discipline (identical operands -> identical IEEE
+    results downstream)."""
+    return f"CAST(CAST(SUM({expr}) AS DECIMAL(38,6)) AS DOUBLE)"
+
+
+# ------------------------------------------------------------------ #
+# exact bitmap presence index — bit-packed user-id bitmaps
+# ------------------------------------------------------------------ #
+
+def _bitmap_cte(key: str, dialect: str) -> str:
+    """(key, word, bm) bitmap table: user ids packed 62 per BIGINT word
+    (62, not 64, keeps every mask strictly positive — no sign-bit edge
+    cases in either engine).  One distinct pass + one BIT_OR aggregate:
+    |keys| * ceil(max_id/62) rows replace |keys| * |users| presence
+    rows — the exact-cardinality analogue of the HLL store (a roaring
+    bitmap without the compression tiers)."""
+    w = _idiv("user_id", "62", dialect)
+    return (
+        f"p AS (SELECT DISTINCT {key} AS k, {w} AS word, "
+        "CAST(user_id % 62 AS INT) AS bit FROM events), "
+        "bm AS (SELECT k, word, BIT_OR(CAST(1 AS BIGINT) << bit) AS bm "
+        "FROM p GROUP BY k, word)"
+    )
+
+
+def _retention_final_sql(bm: str) -> str:
+    """Retention report over a (k=day, word, bm) bitmap relation —
+    shared verbatim by the Spark form (``bm`` = the checkpointed view)
+    and the oracle (``bm`` = the nested CTE)."""
+    return f"""
+daily AS (
+  SELECT k AS day, CAST(SUM(bit_count(bm)) AS BIGINT) AS dau
+  FROM {bm} GROUP BY k),
+ret AS (
+  SELECT a.k AS prev_day,
+    CAST(SUM(bit_count(a.bm & b.bm)) AS BIGINT) AS retained
+  FROM {bm} a JOIN {bm} b ON b.k = a.k + 1 AND b.word = a.word
+  GROUP BY a.k)
+SELECT d1.day AS prev_day, d2.day AS day, d1.dau AS prev_dau, d2.dau AS dau,
+  COALESCE(r.retained, CAST(0 AS BIGINT)) AS retained,
+  d1.dau - COALESCE(r.retained, CAST(0 AS BIGINT)) AS churned,
+  d2.dau - COALESCE(r.retained, CAST(0 AS BIGINT)) AS new_users
+FROM daily d1 JOIN daily d2 ON d2.day = d1.day + 1
+LEFT JOIN ret r ON r.prev_day = d1.day
+"""
+
+
+def bitmap_presence_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day EXACT retention from the bitmap presence index:
+    retained = popcount(day_i AND day_{i+1}) summed over words; churned
+    and new users follow by subtraction from the exact DAU popcounts
+    (so words present on only one side need no outer join).
+
+    Scale design: the fact table collapses to |days| * |user_words|
+    bitmap rows in ONE distinct + BIT_OR pass, eagerly checkpointed —
+    the report references the bitmap table 4 times, and Spark's CTE
+    inlining would recompute the fact-scale build per reference (the
+    house rule).  The consecutive-day comparison is then a narrow
+    equi-join on (word) between adjacent days — shuffle input is
+    bitmap words, never user-grain rows; popcount is a JVM intrinsic.
+    This is the exact counterpart of ``hll_rolling_7day``."""
+    register_views(spark, sf_dir)
+    day = days_since_epoch("ts", SPARK)
+    spark.sql(
+        f"WITH {_bitmap_cte(day, SPARK)} SELECT * FROM bm"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("_bm_day")
+    return spark.sql("WITH " + _retention_final_sql("_bm_day"))
+
+
+def bitmap_presence_retention_oracle() -> str:
+    day = days_since_epoch("ts", DUCK)
+    return f"WITH {_bitmap_cte(day, DUCK)}, {_retention_final_sql('bm')}"
+
+
+def _jaccard_final_sql(bm: str) -> str:
+    """Pairwise-Jaccard report over a (k=type, word, bm) bitmap relation
+    — shared by the Spark checkpoint form and the oracle's nested CTE."""
+    return f"""
+tot AS (SELECT k AS et, CAST(SUM(bit_count(bm)) AS BIGINT) AS n
+        FROM {bm} GROUP BY k),
+inter AS (
+  SELECT a.k AS et_a, b.k AS et_b,
+    CAST(SUM(bit_count(a.bm & b.bm)) AS BIGINT) AS n_both
+  FROM {bm} a JOIN {bm} b ON a.word = b.word AND a.k < b.k
+  GROUP BY a.k, b.k)
+SELECT ta.et AS et_a, tb.et AS et_b,
+  COALESCE(i.n_both, CAST(0 AS BIGINT)) AS n_both, ta.n AS n_a, tb.n AS n_b,
+  ROUND(CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+    / (ta.n + tb.n - COALESCE(i.n_both, 0)), 6) AS jaccard
+FROM tot ta JOIN tot tb ON ta.et < tb.et
+LEFT JOIN inter i ON i.et_a = ta.et AND i.et_b = tb.et
+"""
+
+
+def bitmap_audience_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience Jaccard between event types via bitmap
+    popcounts: |A AND B| from the word-aligned join, |A OR B| by
+    inclusion-exclusion from the per-type exact totals — the exact
+    counterpart of ``theta_sketch_intersection`` / the bitmap
+    formulation of ``events_audience_overlap``.  The pair spine comes
+    from the tiny totals table, so zero-intersection pairs still emit
+    an exact 0.  The bitmap build is checkpointed once (3 references —
+    same inlining rule as the retention entry); the word-aligned
+    self-join shuffles bitmap words, never user-grain rows."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        f"WITH {_bitmap_cte('event_type', SPARK)} SELECT * FROM bm"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("_bm_et")
+    return spark.sql("WITH " + _jaccard_final_sql("_bm_et"))
+
+
+def bitmap_audience_jaccard_oracle() -> str:
+    return f"WITH {_bitmap_cte('event_type', DUCK)}, {_jaccard_final_sql('bm')}"
+
+
+# ------------------------------------------------------------------ #
+# PageRank over the LSH candidate graph
+# ------------------------------------------------------------------ #
+
+def candidate_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the MinHash-LSH candidate graph — "which
+    documents sit at the center of the near-duplicate web" (the
+    importance ranking used to pick cluster representatives / audit
+    boilerplate hubs).  The decimal-exact power iteration lives in
+    operators/graph.py:pagerank (ROUND-before-sum quantization makes
+    the shuffle-order-sensitive sums exact, so the DuckDB unrolled-CTE
+    oracle hash-matches every iteration); the top-20 spine is
+    ORDER BY + LIMIT (TakeOrderedAndProject — the house rule)."""
+    from .catalog_r9b import _lsh_candidate_edges
+    from .operators.graph import pagerank
+
+    register_views(spark, sf_dir)
+    ranks = pagerank(_lsh_candidate_edges(spark), "doc_a", "doc_b", iters=3)
+    return (
+        ranks.orderBy(F.col("r").desc(), "v")
+        .limit(20)
+        .select(
+            F.col("v").alias("doc_id"), F.col("r").cast("double").alias("pr")
+        )
+    )
+
+
+def candidate_graph_pagerank_oracle() -> str:
+    """The same 3 power iterations unrolled as a CTE chain over the
+    single-pass LSH pair SQL — identical arithmetic sequence
+    (ROUND(rank/deg, 12) -> DECIMAL(32,12) -> exact SUM -> damping
+    re-round), so the match proves the iteration, not just the final
+    ordering."""
+    from .functions.dedup import minhash_lsh_pairs_sql
+
+    def step(prev: str, cur: str) -> str:
+        return (
+            f"{cur} AS (SELECT dg.v, CAST(ROUND(CAST(0.15 AS DOUBLE)"
+            " / (SELECT n FROM nn)"
+            " + 0.85 * CAST(COALESCE(s.sc, 0) AS DOUBLE), 12)"
+            " AS DECIMAL(32,12)) AS r"
+            " FROM deg dg LEFT JOIN ("
+            "SELECT sym.d AS v, SUM(CAST(ROUND(CAST(p.r AS DOUBLE) / dg2.deg,"
+            " 12) AS DECIMAL(32,12))) AS sc"
+            f" FROM {prev} p JOIN deg dg2 ON dg2.v = p.v"
+            " JOIN sym ON sym.s = p.v"
+            " GROUP BY sym.d) s ON s.v = dg.v)"
+        )
+
+    return f"""
+WITH e0 AS ({minhash_lsh_pairs_sql(DUCK)}),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM e0
+        UNION ALL SELECT doc_b, doc_a FROM e0),
+deg AS (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT v, CAST(ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 12)
+        AS DECIMAL(32,12)) AS r FROM deg),
+{step("r0", "r1")},
+{step("r1", "r2")},
+{step("r2", "r3")}
+SELECT v AS doc_id, CAST(r AS DOUBLE) AS pr
+FROM r3 ORDER BY r3.r DESC, v LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------ #
+# Kaplan-Meier repurchase survival
+# ------------------------------------------------------------------ #
+
+def customer_survival_km_builder(dialect: str) -> str:
+    """Kaplan-Meier survival curve of customer repurchase time: each
+    consecutive order gap is an observed event, each customer's tail
+    (last order -> horizon = global max order day) is right-CENSORED —
+    the estimator the naive mean-gap statistic gets wrong.
+
+    S(t) = prod_{t' <= t, events} (1 - d/n) computed as
+    exp(exact running sum of ROUND(ln(1 - d/n), 9) decimals) — the ln
+    rounding discipline; a d = n final time (survival exactly 0, where
+    ln diverges) is carried as a flag through a second window SHARING
+    the running-sum window's spec (one exchange, the clamped-ledger
+    pattern).
+
+    Scale shape: the per-customer LEAD window shuffles on customer id
+    (co-partitioned with the fact key); everything after the duration
+    GROUP BY lives on the distinct-duration table, bounded by the
+    calendar span — the house rule for the two unpartitioned windows."""
+    day = days_since_epoch("o_orderdate", dialect)
+    return f"""
+WITH o AS (SELECT o_custkey, {day} AS d FROM orders),
+s AS (SELECT o_custkey, d,
+        LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d) AS nd
+      FROM o),
+dur AS (
+  SELECT CASE WHEN nd IS NULL THEN (SELECT MAX(d) FROM o) - d
+              ELSE nd - d END AS t,
+         CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+  FROM s),
+agg AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events,
+               CAST(COUNT(*) AS BIGINT) AS ending
+        FROM dur GROUP BY t),
+w AS (SELECT t, d_events,
+        CAST(SUM(ending) OVER ()
+          - COALESCE(SUM(ending) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS BIGINT) AS n_risk
+      FROM agg),
+f AS (SELECT t, d_events, n_risk,
+        CASE WHEN d_events < n_risk
+             THEN CAST(ROUND(LN(CAST(1.0 AS DOUBLE)
+                    - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+                  AS DECIMAL(20,9))
+             ELSE CAST(0 AS DECIMAL(20,9)) END AS lnf,
+        CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END AS dead
+      FROM w WHERE d_events > 0),
+k AS (SELECT t, d_events, n_risk,
+        SUM(lnf) OVER (ORDER BY t) AS cum,
+        MAX(dead) OVER (ORDER BY t) AS anydead
+      FROM f)
+SELECT CAST(t AS BIGINT) AS t_days, n_risk, d_events,
+  CASE WHEN anydead = 1 THEN CAST(0.0 AS DOUBLE)
+       ELSE ROUND(EXP(CAST(cum AS DOUBLE)), 6) END AS survival
+FROM k
+"""
+
+
+# ------------------------------------------------------------------ #
+# lagged cross-correlation of two daily series
+# ------------------------------------------------------------------ #
+
+def daily_series_crosscorr_builder(dialect: str) -> str:
+    """Lead/lag structure between the click and purchase daily series:
+    Pearson correlation of (clicks on day d, purchases on day d+k) for
+    k in -3..3 — "does click volume lead purchase volume?".  Both
+    series are integer counts, so every moment sum is exact
+    (grouped_corr_sql discipline); the lag fan-out is a 7-row constant
+    spine per day joined back on the 30-row daily table — bounded by
+    the calendar, never fact-scale."""
+    day = days_since_epoch("ts", dialect)
+    x, y = "x", "y"
+    return f"""
+WITH d AS (
+  SELECT {day} AS day,
+    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS x,
+    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+lagged AS (SELECT a.day, a.x, k FROM d a {lateral_seq("-3", "3", "k", dialect)}),
+pairs AS (SELECT lg.k, lg.x, b.y
+          FROM lagged lg JOIN d b ON b.day = lg.day + lg.k),
+m AS (SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+  {_dmom(x)} AS sx, {_dmom(y)} AS sy, {_dmom(f"{x} * {y}")} AS sxy,
+  {_dmom(f"{x} * {x}")} AS sxx, {_dmom(f"{y} * {y}")} AS syy
+  FROM pairs GROUP BY k)
+SELECT k AS lag_days, CAST(n AS BIGINT) AS n_days,
+  ROUND((n * sxy - sx * sy)
+    / SQRT(NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)), 6)
+    AS crosscorr
+FROM m
+"""
+
+
+# ------------------------------------------------------------------ #
+# CUSUM changepoint detection
+# ------------------------------------------------------------------ #
+
+def events_cusum_changepoint_builder(dialect: str) -> str:
+    """CUSUM changepoint scan over the daily event-count series: the
+    cumulative sum of deviations from the global mean peaks (in
+    absolute value) at the most likely level-shift point.  The mean is
+    quantized once (ROUND(total/n, 6) -> DECIMAL(18,6)) so the running
+    deviation sum is exact decimal; top-5 |CUSUM| days via
+    ORDER BY + LIMIT (TakeOrderedAndProject).  Both window stages run
+    on the calendar-bounded daily table."""
+    day = days_since_epoch("ts", dialect)
+    return f"""
+WITH d AS (SELECT {day} AS day, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT day, n,
+        CAST(ROUND(CAST(SUM(n) OVER () AS DOUBLE)
+          / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS DECIMAL(18,6)) AS mu
+      FROM d),
+c AS (SELECT day, n, mu,
+        SUM(CAST(n AS DECIMAL(18,6)) - mu) OVER (ORDER BY day) AS cusum
+      FROM t)
+SELECT day, n, CAST(mu AS DOUBLE) AS mean_daily,
+  CAST(cusum AS DOUBLE) AS cusum, CAST(ABS(cusum) AS DOUBLE) AS abs_cusum
+FROM c ORDER BY ABS(cusum) DESC, day LIMIT 5
+"""
+
+
+# ------------------------------------------------------------------ #
+# per-segment OLS revenue trend
+# ------------------------------------------------------------------ #
+
+def segment_monthly_trend_builder(dialect: str) -> str:
+    """OLS revenue trend per market segment: slope / intercept / R^2 of
+    monthly revenue against a month index — the grouped linear-model
+    surface (reference arbitrary-``j`` aggregates) from exact decimal
+    moments.  Monthly sums are dollar-quantized to DECIMAL(18,0) before
+    the power sums so y*y stays inside BOTH engines' exact decimal
+    multiply paths at any SF (DuckDB overflow-checks a decimal multiply
+    against the operand width's own max — the r9b (18,4)-squared
+    finding; 18 digits keeps even SF-1 monthly squares under 10^18).
+    x is months-since-1992 as DECIMAL(6,0) — narrow operands, exact
+    products; the moment formulas then run in IEEE on identical
+    operands."""
+    mx = "CAST(mx AS DECIMAL(6,0))"
+    return f"""
+WITH my AS (
+  SELECT c_mktsegment AS segment,
+    (year(o_orderdate) - 1992) * 12 + (month(o_orderdate) - 1) AS mx,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+      AS DECIMAL(18,0)) AS y
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2),
+m AS (SELECT segment, CAST(COUNT(*) AS DOUBLE) AS n,
+  {_dmom(mx)} AS sx, {_dmom("y")} AS sy, {_dmom(f"{mx} * y")} AS sxy,
+  {_dmom(f"{mx} * {mx}")} AS sxx, {_dmom("y * y")} AS syy
+  FROM my GROUP BY segment)
+SELECT segment, CAST(n AS BIGINT) AS n_months,
+  ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+    AS slope_per_month,
+  ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n, 6)
+    AS intercept,
+  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+    / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
+FROM m
+"""
+
+
+# ------------------------------------------------------------------ #
+# correlated scalar subqueries
+# ------------------------------------------------------------------ #
+
+def nation_balance_report_builder(dialect: str) -> str:
+    """Per-nation balance report written ENTIRELY as correlated scalar
+    subqueries (count, max, and a share against a region-correlated
+    total) — the surface data.table users write as ``dt[, .(x[match]),
+    by]`` lookups.  Identical text in both engines; Catalyst's
+    RewriteCorrelatedScalarSubquery turns each into a deduplicating
+    aggregate + broadcast-able left join, NOT a per-row probe — the
+    declarative form is what makes this scale."""
+    bal = "CAST(c_acctbal AS DECIMAL(12,2))"
+    return f"""
+SELECT n.n_name AS nation,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+   WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+  CAST((SELECT MAX({bal}) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) AS DOUBLE) AS max_bal,
+  ROUND(CAST((SELECT SUM({bal}) FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey) AS DOUBLE)
+    / NULLIF(CAST((SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) FROM
+                   customer c2 JOIN nation n2
+                     ON c2.c_nationkey = n2.n_nationkey
+                   WHERE n2.n_regionkey = n.n_regionkey) AS DOUBLE), 0), 6)
+    AS region_share
+FROM nation n
+"""
+
+
+# ------------------------------------------------------------------ #
+# value-grain EXACT equi-depth histogram
+# ------------------------------------------------------------------ #
+
+def docs_equidepth_bands_builder(dialect: str) -> str:
+    """EXACT equi-depth (quartile) histogram of document length per
+    source: band boundaries fall on whole values, assigned by pure
+    integer arithmetic band = floor(4 * rows_before / total) + 1 — no
+    floating point anywhere, so both engines agree bit-for-bit.
+
+    Scale design: this is the scalable exact-quantile shape (the
+    weighted-median two-phase family): the fact table collapses to the
+    (source, value) grain in one hash aggregate, and the cumulative
+    window runs over that DISTINCT-VALUE table — bounded by the value
+    domain, never row count (NTILE over raw rows would be a full
+    per-source sort; this never sorts more than |distinct lengths|)."""
+    idv = _idiv("((cum - c) * 4)", "tot", dialect)
+    return f"""
+WITH vc AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+w AS (SELECT source, v, c,
+        CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM vc),
+b AS (SELECT source, v, c,
+        CAST(LEAST(CAST(3 AS BIGINT), {idv}) + 1 AS INT) AS band
+      FROM w)
+SELECT source, band, CAST(SUM(c) AS BIGINT) AS n_docs,
+  MIN(v) AS len_lo, MAX(v) AS len_hi
+FROM b GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ #
+# Benford leading-digit deviation
+# ------------------------------------------------------------------ #
+
+def benford_deviation_report_builder(dialect: str) -> str:
+    """Benford's-law audit of order totals per priority class: observed
+    leading-digit shares vs log10(1 + 1/d), with the per-group total
+    variation distance.  The leading digit comes from the DECIMAL
+    rendering (identical text both engines — probed; prices are
+    >= 1000, so no sub-1 edge cases); a 9-digit spine LEFT JOIN gives
+    absent digits an exact 0 so the TVD sums all 9 terms; shares and
+    expectations are ROUND(..., 9) decimals, so the TVD window sum is
+    exact."""
+    spine_lat = lateral_seq("1", "9", "dg", dialect)
+    return f"""
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+    CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1)
+      AS INT) AS digit
+  FROM orders),
+counts AS (SELECT priority, digit, CAST(COUNT(*) AS BIGINT) AS n
+           FROM d GROUP BY 1, 2),
+spine AS (SELECT p.priority, dg AS digit
+          FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+          {spine_lat}),
+filled AS (SELECT s.priority, s.digit, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+           FROM spine s LEFT JOIN counts c
+             ON c.priority = s.priority AND c.digit = s.digit),
+t AS (SELECT priority, digit, n,
+        CAST(SUM(n) OVER (PARTITION BY priority) AS BIGINT) AS tot
+      FROM filled),
+e AS (SELECT priority, digit, n,
+        CAST(ROUND(CAST(n AS DOUBLE) / tot, 9) AS DECIMAL(12,9)) AS obs,
+        CAST(ROUND(LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit),
+          9) AS DECIMAL(12,9)) AS bf
+      FROM t)
+SELECT priority, digit, n, CAST(obs AS DOUBLE) AS obs_share,
+  CAST(bf AS DOUBLE) AS benford_share,
+  CAST(ROUND(CAST(SUM(ABS(obs - bf)) OVER (PARTITION BY priority)
+    AS DOUBLE) / 2, 6) AS DOUBLE) AS tvd
+FROM e
+"""

@@ -197,3 +197,73 @@ def dedup_keepers(components: DataFrame) -> DataFrame:
     return components.groupBy("label").agg(
         F.min("node").alias("keeper"), F.count(F.lit(1)).alias("group_size")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iters: int = 3,
+    round_scale: int = 12,
+) -> DataFrame:
+    """Decimal-exact PageRank power iteration over an UNDIRECTED edge
+    set (damping 0.85, ``iters`` fixed rounds) — the classic importance
+    ranking carried to cross-engine-reproducible arithmetic so a DuckDB
+    unrolled-CTE oracle can hash-match it.
+
+    Arithmetic discipline (the repo's ROUND-before-sum rule): each
+    per-edge contribution is ``ROUND(rank/deg, 12)`` quantized to
+    DECIMAL(32,12), so the shuffle-order-sensitive SUM runs on exact
+    decimals (order-free); the damping update re-rounds to 12 dp.  Both
+    engines therefore compute bit-identical ranks at every iteration.
+
+    Scale design: one join + one hash aggregate per round, all keyed on
+    node id (co-partitionable); per-round eager localCheckpoint
+    truncates lineage exactly like ``connected_components`` (reliable
+    ``.checkpoint()`` on a real cluster).  The only driver read is the
+    1-row node count.  Dangling nodes cannot occur (every node of a
+    symmetrized edge set has out-degree >= 1), so no dangling-mass
+    redistribution term is needed.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
+    n = deg.count()  # 1-row metadata read (loop bound input, not data)
+    dec = f"decimal(32,{round_scale})"
+    ranks = deg.select(
+        "v", (F.round(F.lit(1.0) / F.lit(n), round_scale)).cast(dec).alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, "v")
+            .join(sym, F.col("v") == F.col("s"))
+            .select(
+                F.col("d").alias("tv"),
+                F.round(F.col("r").cast("double") / F.col("deg"), round_scale)
+                .cast(dec)
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("tv").agg(F.sum("c").alias("sc"))
+        ranks = (
+            deg.join(summed, deg.v == summed.tv, "left")
+            .select(
+                "v",
+                F.round(
+                    F.lit(0.15) / F.lit(n)
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("sc"), F.lit(0)).cast("double"),
+                    round_scale,
+                )
+                .cast(dec)
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

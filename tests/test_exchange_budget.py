@@ -494,6 +494,30 @@ BUDGET = {
                                  # map-side projection
     "ivm_revenue_maintenance": 4,  # three partial aggs + the tiny
                                  # full-outer delta-apply chain
+    # round 9 wave 11 (second extension session)
+    "bitmap_presence_retention": 3,  # bitmap build pays its own
+                                 # exchanges once (checkpointed); the
+                                 # report = 2 word-grain aggs + the
+                                 # adjacent-day join
+    "bitmap_audience_jaccard": 4,  # checkpointed bitmap + totals agg +
+                                 # word-aligned pair agg + spine joins
+    "candidate_graph_pagerank": 0,  # every iteration checkpointed; the
+                                 # top-20 is TakeOrderedAndProject
+    "customer_survival_km": 4,   # per-customer LEAD window + duration
+                                 # agg + ONE shared exchange for both
+                                 # value-grain windows + horizon scalar
+    "daily_series_crosscorr": 3,  # daily agg + lag-spine join + moments
+    "events_cusum_changepoint": 2,  # daily agg + the bounded-day window
+                                 # stages (mean + cusum share the sort)
+    "segment_monthly_trend": 2,  # monthly grain agg + moments agg
+                                 # (customer dim broadcasts)
+    "nation_balance_report": 4,  # one agg per rewritten scalar subquery
+                                 # (count/max/sum/region-sum), all
+                                 # broadcast back onto the 25-row spine
+    "docs_equidepth_bands": 2,   # value-grain agg + per-source window
+                                 # feeding the band rollup
+    "benford_deviation_report": 2,  # digit-grain agg + priority window
+                                 # (spine joins broadcast)
 }
 
 
