@@ -80,6 +80,9 @@ TIER2 = [
     # a baseline from its birth round
     ("cms_rollup_persisted", "cms_store"),
     ("mg_rollup_persisted", "mg_store"),
+    # r9 second extension: the seventh store (exact bitmap,
+    # idempotent-merge class) gets a baseline from its birth round
+    ("bitmap_rollup_persisted", "bitmap_store"),
 ]
 
 

@@ -207,9 +207,11 @@ from .catalog_r9b import (
     weighted_median_oracle, weighted_median_q,
 )
 from .catalog_r9c import (
+    _bitmap_rollup_grouped_range_oracle, _bitmap_rollup_persisted_oracle,
     benford_deviation_report_builder, bitmap_audience_jaccard_oracle,
     bitmap_audience_jaccard_q, bitmap_presence_retention_oracle,
-    bitmap_presence_retention_q, candidate_graph_pagerank_oracle,
+    bitmap_presence_retention_q, bitmap_rollup_grouped_range_q,
+    bitmap_rollup_persisted_q, candidate_graph_pagerank_oracle,
     candidate_graph_pagerank_q, customer_survival_km_builder,
     daily_series_crosscorr_builder, docs_equidepth_bands_builder,
     events_cusum_changepoint_builder, nation_balance_report_builder,
@@ -2377,6 +2379,36 @@ CATALOG.update(
             "exact 0, shares/expectations quantized to 9 dp so the "
             "per-group TVD window sum is exact.",
         ),
+        # --- persisted EXACT bitmap store: the SEVENTH store family ---
+        "bitmap_rollup_persisted": QuerySpec(
+            bitmap_rollup_persisted_q,
+            _bitmap_rollup_persisted_oracle(),
+            doc="Persisted exact-bitmap day store (SEVENTH family, "
+            "IDEMPOTENT-MERGE class — BIT_OR absorbs replays with "
+            "zero choreography): build / append two chunks / replay "
+            "one / compact / per-day DAU + range distinct from the "
+            "store alone; oracle is the plain COUNT(DISTINCT) — "
+            "oracle simplicity IS the exactness proof.",
+        ),
+        "bitmap_rollup_grouped_range": QuerySpec(
+            bitmap_rollup_grouped_range_q,
+            _bitmap_rollup_grouped_range_oracle(),
+            doc="Grouped bitmap store: per-(day, event_type, word) "
+            "bitmaps, rollup_expire retention before the read, "
+            "per-type EXACT range audiences from one (g, word) "
+            "BIT_OR over the pruned store.",
+        ),
+        "stream_bitmap_rollup_store": QuerySpec(
+            lambda spark, sf_dir: __import__(
+                "big_data_table_spark.streaming.events", fromlist=["x"]
+            ).stream_bitmap_rollup_store(spark, sf_dir),
+            _bitmap_rollup_persisted_oracle(),
+            doc="Streaming writer INTO the bitmap store: 3 "
+            "micro-batches append per-day bitmap chunks, batch-1 "
+            "replayed and absorbed by the read path's BIT_OR itself "
+            "(idempotent merge — the strongest at-least-once "
+            "contract in the matrix); oracle needs NO chunk model.",
+        ),
     }
 )
 
@@ -2502,6 +2534,9 @@ _R9C_NEW: list[str] = [
     "nation_balance_report",
     "docs_equidepth_bands",
     "benford_deviation_report",
+    "bitmap_rollup_persisted",
+    "bitmap_rollup_grouped_range",
+    "stream_bitmap_rollup_store",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

@@ -22,6 +22,8 @@ where Spark truncates to 3 — integer division is always spelled
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -485,4 +487,109 @@ SELECT priority, digit, n, CAST(obs AS DOUBLE) AS obs_share,
   CAST(ROUND(CAST(SUM(ABS(obs - bf)) OVER (PARTITION BY priority)
     AS DOUBLE) / 2, 6) AS DOUBLE) AS tvd
 FROM e
+"""
+
+
+# ------------------------------------------------------------------ #
+# persisted EXACT bitmap presence store — the SEVENTH store family
+# (verbs in functions/bitmap_store.py; entry glue only here)
+# ------------------------------------------------------------------ #
+
+def bitmap_rollup_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted exact-bitmap day store, full verb cycle end-to-end
+    (functions/bitmap_store.py): build per-day bitmaps for every day
+    but the last, append the last day as TWO chunks (split by user
+    parity), REPLAY one chunk's append — the IDEMPOTENT-MERGE class's
+    whole point: the replayed rows BIT_OR in with zero effect, no
+    overwrite choreography, no DISTINCT — compact the chunked day, then
+    answer per-day DAU and the range-wide distinct from the store
+    alone.  The bitmaps are exact, so the oracle is the PLAIN
+    COUNT(DISTINCT) over raw events — oracle simplicity is the
+    exactness proof.  Store cost per range query:
+    <= days * chunks * ceil(max_id/62) bitmap rows, never an events
+    rescan."""
+    import shutil
+    import tempfile
+
+    from .catalog_r5 import _ROLLUP_RANGE
+    from .functions import bitmap_store as BS
+    from .sources.readers import Tables
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_bitmap_rollup_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    BS.bitmap_rollup_build(ev.filter(day != hi), path)
+    last = ev.filter(day == hi)
+    BS.bitmap_rollup_append_chunk(last.filter(F.col("user_id") % 2 == 0), path, 1)
+    for _ in range(2):  # second run = the replay; absorbed by BIT_OR
+        BS.bitmap_rollup_append_chunk(
+            last.filter(F.col("user_id") % 2 == 1), path, 2
+        )
+    BS.bitmap_rollup_compact(spark, path, hi)
+    return BS.bitmap_rollup_range_daily(spark, path, lo, hi)
+
+
+def _bitmap_rollup_persisted_oracle() -> str:
+    from .catalog_r5 import _ROLLUP_RANGE
+
+    lo, hi = _ROLLUP_RANGE
+    return f"""
+WITH rng AS (
+  SELECT CAST(CAST(ts AS DATE) AS STRING) AS day, user_id FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'),
+d AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM rng GROUP BY day)
+SELECT day, dau,
+  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM rng)
+    AS range_distinct
+FROM d
+"""
+
+
+def bitmap_rollup_grouped_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap store's GROUP dimension (per-tenant/per-type EXACT
+    audiences): one bitmap row per (day, event_type, word) in a single
+    build pass, the shared `rollup_expire` retention verb dropping
+    every pre-range day (expiry cannot touch a pruned range read), then
+    per-type exact range distincts from one (g, word) BIT_OR over the
+    pruned store.  Oracle: plain per-type COUNT(DISTINCT) over the
+    range-restricted raw events."""
+    import shutil
+    import tempfile
+
+    from .catalog_r5 import _ROLLUP_RANGE
+    from .functions import bitmap_store as BS
+    from .functions.sketches import rollup_expire
+    from .sources.readers import Tables
+
+    lo, hi = _ROLLUP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_bitmap_rollup_grp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    BS.bitmap_rollup_grouped_build(ev, path)
+    rollup_expire(path, lo)
+    return BS.bitmap_rollup_grouped_range(spark, path, lo, hi).select(
+        F.col("g").alias("event_type"), "distinct_users"
+    )
+
+
+def _bitmap_rollup_grouped_range_oracle() -> str:
+    from .catalog_r5 import _ROLLUP_RANGE
+
+    lo, hi = _ROLLUP_RANGE
+    return f"""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'
+GROUP BY event_type
 """

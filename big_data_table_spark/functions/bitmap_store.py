@@ -1,0 +1,212 @@
+"""Persisted EXACT bitmap presence day store — the SEVENTH member of
+the store matrix and its first EXACT family (HLL estimates distinct
+counts; this store answers them exactly).
+
+Row schema (day, chunk, word, bm): user ids packed 62 per BIGINT word
+(62 keeps every mask strictly positive — no sign-bit edge cases), one
+bitmap word per (day, chunk, word).  Store size per day is
+chunks * ceil(max_id / 62) rows — the roaring-bitmap idea without the
+compression tiers, sized for dense integer id spaces (the sparse-id
+case is the HLL store's territory; the two are deliberate companions).
+
+Merge law: BIT_OR — idempotent, commutative, associative.  That makes
+this the IDEMPOTENT-MERGE replay class, the strongest contract in the
+matrix: a replayed at-least-once append ORs in with ZERO effect
+(BIT_OR(x, x) = x), so the read path needs no DISTINCT (SET class), no
+per-(day, chunk) overwrite choreography (additive class), and no
+summary determinism argument (SUMMARY-PRUNE class).  Chunk overlap is
+equally harmless — the same user appearing in two chunks of a day ORs
+to one bit.
+
+Range reads never rescan events: partition-pruned store rows BIT_OR
+per (day, word) (or per (g, word)), then popcount-sum — exact distinct
+counts from bounded word-grain shuffles.  The oracle is therefore the
+PLAIN ``COUNT(DISTINCT ...)`` over raw events: oracle simplicity is
+the exactness proof.
+
+Reference analogue: the reference gathers per-node partials
+(big.data.table.R bdt.eval scatter/gather); the per-chunk bitmaps are
+the partials and BIT_OR is the gather.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORD_BITS = 62
+
+
+def bitmap_day_rows(
+    ev: DataFrame,
+    chunk: int,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, chunk, word, bm) bitmap rows for a (possibly multi-day)
+    slice in ONE pass: distinct (day, word, bit), then BIT_OR of the
+    single-bit masks — both stages map-side combinable on the same
+    (day, word) keys."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    vid = F.col(value_col).cast("long")
+    return (
+        ev.select(
+            day,
+            # integer DIV, not double /: ids past 2^53 must not lose
+            # precision in the word index
+            F.expr(f"CAST({value_col} AS BIGINT) DIV {_WORD_BITS}").alias("word"),
+            (vid % _WORD_BITS).cast("int").alias("bit"),
+        )
+        .distinct()
+        .groupBy("day", "word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bm"))
+        .select("day", F.lit(int(chunk)).alias("chunk"), "word", "bm")
+    )
+
+
+def bitmap_rollup_build(
+    ev: DataFrame,
+    path: str,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Materialize the per-day bitmap table at ``path`` (partitioned by
+    ISO day string, single chunk 0)."""
+    rows = bitmap_day_rows(ev, 0, value_col, ts_col)
+    rows.write.mode("overwrite").partitionBy("day", "chunk").parquet(path)
+
+
+def bitmap_rollup_append_chunk(
+    ev_chunk: DataFrame,
+    path: str,
+    chunk: int,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Incremental maintenance: bitmap ONE slice (caller filters) and
+    append its rows under every day the slice touched.  At-least-once
+    safe by the merge law alone: replayed rows BIT_OR to nothing new —
+    no overwrite, no DISTINCT, no determinism argument needed."""
+    rows = bitmap_day_rows(ev_chunk, chunk, value_col, ts_col)
+    rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
+
+
+def bitmap_rollup_append_batch(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Streaming-side append (foreachBatch twin): the micro-batch's
+    bitmaps land as ``chunk=<batch_id>`` partitions under every day the
+    batch touched — same idempotent-merge replay contract."""
+    bitmap_rollup_append_chunk(batch_df, path, batch_id, value_col, ts_col)
+
+
+def bitmap_rollup_compact(spark, path: str, day: str) -> int:
+    """Compaction verb: BIT_OR one day's chunk bitmaps into a single
+    chunk-0 bitmap (<= ceil(max_id/62) rows).  The range-read algebra is
+    bit-identical before and after — BIT_OR is associative, so merging
+    chunks early changes nothing (the store's merge law, pinned).  Same
+    dot-tmp + rename-aside swap as the other compactors
+    (single-writer)."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"day={day}")
+    merged = (
+        spark.read.parquet(part_dir)
+        .groupBy("word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .coalesce(1)
+    )
+    tmp = os.path.join(path, f".day={day}.compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=0"))
+    from .sketches import _swap_dir_in
+
+    _swap_dir_in(tmp, part_dir)
+    return len(
+        [
+            f
+            for f in os.listdir(os.path.join(part_dir, "chunk=0"))
+            if f.endswith(".parquet")
+        ]
+    )
+
+
+def bitmap_rollup_range_daily(
+    spark, path: str, lo: str, hi: str, checkpoint: bool = True
+) -> DataFrame:
+    """EXACT per-day distinct counts AND the exact range-wide distinct
+    count from the store alone: ``(day, dau, range_distinct)`` for days
+    in ``[lo, hi]``.  Partition-pruned store rows BIT_OR per (day, word)
+    — absorbing chunk overlap and replays in the same aggregate — then
+    popcount-sum per day; the range total BIT_ORs the per-day words once
+    more before the popcount.  The plan scans only pruned bitmap files
+    (never events); shuffles carry word-grain rows."""
+    rows = spark.read.parquet(path).filter(
+        F.col("day").cast("string").between(lo, hi)
+    )
+    per_day_word = rows.groupBy(
+        F.col("day").cast("string").alias("day"), "word"
+    ).agg(F.bit_or("bm").alias("bm"))
+    if checkpoint:
+        # feeds the day counts AND the range OR — one materialization
+        per_day_word = per_day_word.localCheckpoint(eager=True)
+    daily = per_day_word.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("dau")
+    )
+    total = (
+        per_day_word.groupBy("word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("range_distinct"))
+    )
+    return daily.crossJoin(F.broadcast(total))
+
+
+def bitmap_rollup_grouped_build(
+    ev: DataFrame,
+    path: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """GROUP dimension of the bitmap store (per-tenant/per-type exact
+    audiences): rows (day, g, word, bm), day-partitioned so range reads
+    prune and the shared ``rollup_expire`` retention verb applies
+    unchanged."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    vid = F.col(value_col).cast("long")
+    rows = (
+        ev.select(
+            day,
+            F.col(group_col).cast("string").alias("g"),
+            # integer DIV, not double /: ids past 2^53 must not lose
+            # precision in the word index
+            F.expr(f"CAST({value_col} AS BIGINT) DIV {_WORD_BITS}").alias("word"),
+            (vid % _WORD_BITS).cast("int").alias("bit"),
+        )
+        .distinct()
+        .groupBy("day", "g", "word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bm"))
+    )
+    rows.write.mode("overwrite").partitionBy("day").parquet(path)
+
+
+def bitmap_rollup_grouped_range(
+    spark, path: str, lo: str, hi: str
+) -> DataFrame:
+    """EXACT per-group range distinct counts from the grouped store:
+    ``(g, distinct_users)`` over ``[lo, hi]`` — one (g, word) BIT_OR
+    over the pruned store rows, then the popcount sum."""
+    rows = spark.read.parquet(path).filter(
+        F.col("day").cast("string").between(lo, hi)
+    )
+    return (
+        rows.groupBy("g", "word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .groupBy("g")
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("distinct_users"))
+    )

@@ -2399,3 +2399,17 @@ from .mg_store import (  # noqa: E402
     mg_rollup_range_sql,
     mg_rollup_range_topk,
 )
+
+# the EXACT bitmap presence store lives in functions/bitmap_store.py
+# (seventh family, same module-size convention); re-exported here so
+# the store matrix keeps one import surface.
+from .bitmap_store import (  # noqa: E402
+    bitmap_day_rows,
+    bitmap_rollup_append_batch,
+    bitmap_rollup_append_chunk,
+    bitmap_rollup_build,
+    bitmap_rollup_compact,
+    bitmap_rollup_grouped_build,
+    bitmap_rollup_grouped_range,
+    bitmap_rollup_range_daily,
+)

@@ -1326,3 +1326,55 @@ def click_purchase_left_join(
             "gap_seconds"
         ),
     )
+
+
+def stream_bitmap_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer INTO the persisted EXACT bitmap presence store
+    (the seventh store family's streaming edge): three deterministic
+    micro-batches (user_id % 3, the shared `_batched_corpus_stream`
+    device) each append their per-day bitmaps as ``chunk=<batch_id>``
+    partitions (`bitmap_rollup_append_batch`); batch 1's append is then
+    REPLAYED after the stream — the IDEMPOTENT-MERGE class absorbs it
+    in the read path's BIT_OR itself (BIT_OR(x, x) = x): no DISTINCT,
+    no overwrite choreography, no summary-determinism argument — the
+    strongest at-least-once contract in the store matrix.  The 14-day
+    per-day DAU + range-wide distinct report is answered from the
+    bitmaps alone; the oracle is the PLAIN COUNT(DISTINCT) over the
+    range-restricted raw events — chunking and batch interleave are
+    invisible to an associative idempotent merge, so the oracle needs
+    no chunk model at all."""
+    import shutil
+    import tempfile
+
+    from ..functions import bitmap_store as BS
+    from ..sources.readers import load_events
+
+    lo, hi = "2024-01-08", "2024-01-21"
+    ev = load_events(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_bmroll_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    n = 3
+    stream = _batched_corpus_stream(
+        spark, ev, root, src_dir, n=n, key_col="user_id", prefix="events"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        BS.bitmap_rollup_append_batch(batch_df, store, batch_id)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # replay batch 1 (reconstructible from the data-borne key): BIT_OR
+    # absorbs the duplicate bitmaps with zero effect
+    BS.bitmap_rollup_append_batch(ev.filter(F.col("user_id") % n == 1), store, 1)
+
+    return BS.bitmap_rollup_range_daily(spark, store, lo, hi)

@@ -518,6 +518,13 @@ BUDGET = {
                                  # feeding the band rollup
     "benford_deviation_report": 2,  # digit-grain agg + priority window
                                  # (spine joins broadcast)
+    "bitmap_rollup_persisted": 3,  # range read only: per-(day,word)
+                                 # BIT_OR + day popcount agg + the
+                                 # word-grain range OR (build/append/
+                                 # compact pay theirs at write time)
+    "bitmap_rollup_grouped_range": 2,  # (g, word) BIT_OR + popcount agg
+    "stream_bitmap_rollup_store": 3,  # same range-read shape as the
+                                 # batch store (writes via foreachBatch)
 }
 
 

@@ -241,3 +241,81 @@ def test_nation_shares_sum_per_region(spark, sf_dir):
     for reg, rs in by_region.items():
         s = sum(Decimal(str(r.region_share)) for r in rs if r.region_share)
         assert abs(s - 1) <= Decimal("5e-6"), (reg, s)
+
+
+def test_bitmap_range_plan_reads_only_bitmap_files(spark, sf_dir):
+    """The bitmap store's no-rescan contract (the HLL r6 / theta r7 /
+    CMS r8 / MG r9 pin applied to the SEVENTH family): the range plan
+    scans the partition-pruned bitmap parquet, never the events table."""
+    import os
+    import tempfile
+
+    from big_data_table_spark.functions import bitmap_store as BS
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(), "bitmap_rollup")
+    BS.bitmap_rollup_build(ev, path)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    out = BS.bitmap_rollup_range_daily(
+        spark, path, days[0], days[-1], checkpoint=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bitmap_rollup" in plan
+    assert "events" not in plan
+    assert out.count() == len(days)
+
+
+def test_bitmap_replay_invisible_and_compaction_bit_neutral(spark, sf_dir):
+    """The idempotent-merge laws, pinned on the store lifecycle: (1) a
+    replayed append — even of a chunk whose bits ALREADY exist — leaves
+    every range answer unchanged (BIT_OR(x, x) = x; strictly stronger
+    than the SET class, whose absorption needs row-identical replays);
+    (2) compaction changes files, not answers (associativity)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import bitmap_store as BS
+    from big_data_table_spark.sources.readers import load_events
+
+    def rows(path, lo, hi):
+        return sorted(
+            tuple(r)
+            for r in BS.bitmap_rollup_range_daily(spark, path, lo, hi).collect()
+        )
+
+    ev = load_events(spark, sf_dir)
+    day_col = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    path = os.path.join(tempfile.mkdtemp(), "bitmap_rollup")
+    BS.bitmap_rollup_build(ev, path)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    d0 = days[0]
+    base = rows(path, days[0], days[-1])
+
+    def n_chunks(day):
+        return len(
+            [
+                c
+                for c in os.listdir(os.path.join(path, f"day={day}"))
+                if c.startswith("chunk=")
+            ]
+        )
+
+    chunks_before = n_chunks(d0)
+    day_ev = ev.filter(day_col == d0)
+    BS.bitmap_rollup_append_chunk(day_ev, path, 7)
+    once = rows(path, days[0], days[-1])
+    BS.bitmap_rollup_append_chunk(day_ev, path, 7)
+    twice = rows(path, days[0], days[-1])
+    assert n_chunks(d0) > chunks_before  # the appends were real writes
+    assert base == once == twice  # ...and invisible to every answer
+
+    BS.bitmap_rollup_compact(spark, path, d0)
+    assert n_chunks(d0) == 1
+    assert rows(path, days[0], days[-1]) == base
