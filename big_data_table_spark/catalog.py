@@ -216,6 +216,7 @@ from .catalog_r9c import (
     daily_series_crosscorr_builder, docs_equidepth_bands_builder,
     events_cusum_changepoint_builder, nation_balance_report_builder,
     segment_monthly_trend_builder,
+    _approx_percentile_audit_oracle, approx_percentile_audit_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -2409,6 +2410,16 @@ CATALOG.update(
             "(idempotent merge — the strongest at-least-once "
             "contract in the matrix); oracle needs NO chunk model.",
         ),
+        "approx_percentile_audit": QuerySpec(
+            approx_percentile_audit_q,
+            _approx_percentile_audit_oracle(),
+            doc="Built-in approx_percentile (GK sketch) with an "
+            "exact-side RANK audit: the approx value's rank must sit "
+            "within eps*n of target (the published guarantee, "
+            "asserted on data) — the percentile sibling of "
+            "approx_distinct_diag; exact values via the pinned "
+            "percentile==quantile_cont pair.",
+        ),
     }
 )
 
@@ -2537,6 +2548,7 @@ _R9C_NEW: list[str] = [
     "bitmap_rollup_persisted",
     "bitmap_rollup_grouped_range",
     "stream_bitmap_rollup_store",
+    "approx_percentile_audit",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

@@ -593,3 +593,73 @@ FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}'
 GROUP BY event_type
 """
+
+
+# ------------------------------------------------------------------ #
+# approx-percentile honesty audit
+# ------------------------------------------------------------------ #
+
+def approx_percentile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in approx_percentile (Greenwald-Khanna, accuracy=1000) with
+    an exact-side RANK audit — the percentile sibling of
+    ``approx_distinct_diag``.  The sketch value is engine-internal, so
+    the entry emits what IS oracle-checkable: the exact interpolated
+    percentile computed alongside (Spark ``percentile`` ==  DuckDB
+    ``quantile_cont``, the pinned pair), plus the published GK
+    guarantee asserted on data: the approx value's RANK (count of
+    values <= it) must lie within eps*n of the target rank
+    (eps = 1/accuracy, +-1 boundary slack).  The oracle asserts the
+    audit TRUE — a sketch drifting outside its band turns the row red.
+    One grouped aggregate + one broadcast probe pass; no sort."""
+    from .sources.readers import Tables
+
+    ev = Tables(spark, sf_dir).events.select("event_type", "value")
+    ps = [0.5, 0.9, 0.99]
+    arr = ", ".join(f"{p}D" for p in ps)
+    stats = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({arr}))").alias("ex"),
+        F.expr(f"approx_percentile(value, array({arr}), 1000)").alias("ap"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pe = stats.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in ps]).alias("p"),
+                F.col("ex").alias("ex"),
+                F.col("ap").alias("ap"),
+            )
+        ).alias("z"),
+    ).select("event_type", "n", "z.p", "z.ex", "z.ap")
+    probed = (
+        ev.join(F.broadcast(pe), "event_type")
+        .groupBy("event_type", "p", "ex", "n")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("ap"), 1).otherwise(0))
+            .cast("long")
+            .alias("cle")
+        )
+    )
+    eps = 1.0 / 1000
+    return probed.select(
+        "event_type",
+        F.col("p").cast("double").alias("p"),
+        F.round(F.col("ex"), 6).alias("exact_val"),
+        (
+            (F.col("cle") >= F.floor((F.col("p") - eps) * F.col("n")) - 1)
+            & (F.col("cle") <= F.ceil((F.col("p") + eps) * F.col("n")) + 1)
+        )
+        .cast("bigint")
+        .alias("rank_ok"),
+    )
+
+
+def _approx_percentile_audit_oracle() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT event_type, CAST({p} AS DOUBLE) AS p, "
+        f"ROUND(quantile_cont(value, {p}), 6) AS exact_val, "
+        "CAST(1 AS BIGINT) AS rank_ok FROM events GROUP BY event_type"
+        for p in (0.5, 0.9, 0.99)
+    )
+    return parts

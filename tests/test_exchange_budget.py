@@ -525,6 +525,8 @@ BUDGET = {
     "bitmap_rollup_grouped_range": 2,  # (g, word) BIT_OR + popcount agg
     "stream_bitmap_rollup_store": 3,  # same range-read shape as the
                                  # batch store (writes via foreachBatch)
+    "approx_percentile_audit": 2,  # sketch+exact agg + broadcast-probe
+                                 # agg (the 15-row side broadcasts)
 }
 
 
