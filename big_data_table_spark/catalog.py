@@ -217,6 +217,7 @@ from .catalog_r9c import (
     events_cusum_changepoint_builder, nation_balance_report_builder,
     segment_monthly_trend_builder,
     _approx_percentile_audit_oracle, approx_percentile_audit_q,
+    neardup_kcore_oracle, neardup_kcore_q, not_in_null_semantics_builder,
 )
 
 # ------------------------------------------------------------------ #
@@ -2420,6 +2421,23 @@ CATALOG.update(
             "approx_distinct_diag; exact values via the pinned "
             "percentile==quantile_cont pair.",
         ),
+        "neardup_kcore": QuerySpec(
+            neardup_kcore_q,
+            neardup_kcore_oracle(),
+            doc="2-core degree histogram of the LSH candidate graph "
+            "via bounded-round degree peeling (fixed 6 rounds, "
+            "per-round checkpoints) vs the oracle's unrolled CTE "
+            "chain — monotone peeling makes both truncations agree; "
+            "fixpoint-within-budget pinned.",
+        ),
+        "not_in_null_semantics": _dual(
+            not_in_null_semantics_builder,
+            doc="Three-valued-logic surface: NOT IN over a "
+            "NULL-bearing subquery returns 0 rows while NOT EXISTS / "
+            "null-filtered NOT IN return the real complement — "
+            "identical counts both engines; Spark plans the "
+            "null-aware case as a NullAwareAntiJoin.",
+        ),
     }
 )
 
@@ -2549,6 +2567,8 @@ _R9C_NEW: list[str] = [
     "bitmap_rollup_grouped_range",
     "stream_bitmap_rollup_store",
     "approx_percentile_audit",
+    "neardup_kcore",
+    "not_in_null_semantics",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

@@ -663,3 +663,84 @@ def _approx_percentile_audit_oracle() -> str:
         for p in (0.5, 0.9, 0.99)
     )
     return parts
+
+
+# ------------------------------------------------------------------ #
+# bounded-round k-core + NOT IN three-valued-logic surface
+# ------------------------------------------------------------------ #
+
+def neardup_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the 2-core of the LSH candidate graph —
+    peripheral one-off matches peel away, the templated boilerplate
+    heart survives (the graph-density companion to the triangle count).
+    Spark iterates fixed-round degree-peel semi-joins with per-round
+    checkpoints (operators/graph.py:kcore_edges); the oracle unrolls
+    the SAME six rounds as a CTE chain — peeling is monotone, so both
+    truncations agree even before the fixpoint (and the fixture graphs
+    fix well within six — pinned)."""
+    from .catalog_r9b import _lsh_candidate_edges
+    from .operators.graph import kcore_edges
+
+    register_views(spark, sf_dir)
+    core = kcore_edges(_lsh_candidate_edges(spark), "doc_a", "doc_b", k=2, rounds=6)
+    deg = core.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return deg.groupBy(F.col("c").alias("core_degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def neardup_kcore_oracle() -> str:
+    """Every CTE in the peel chain is multiply-referenced (s_r feeds the
+    degree table AND the next round; k_r joins twice), so each is
+    ``AS MATERIALIZED`` — DuckDB's inlining heuristic otherwise doubles
+    the expression tree per round (2^6 copies of the whole minhash
+    pipeline; measured: the un-hinted form does not finish)."""
+    from .functions.dedup import minhash_lsh_pairs_sql
+
+    ctes = [
+        f"e0 AS MATERIALIZED ({minhash_lsh_pairs_sql(DUCK)})",
+        "s0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM e0"
+        " UNION ALL SELECT doc_b, doc_a FROM e0)",
+    ]
+    for r in range(6):
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT s AS v FROM"
+            f" (SELECT s, COUNT(*) AS c"
+            f" FROM s{r} GROUP BY s) _d WHERE c >= 2)"
+        )
+        ctes.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT p.s, p.d FROM s{r} p"
+            f" JOIN k{r} a ON a.v = p.s JOIN k{r} b ON b.v = p.d)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT c AS core_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes\n"
+        "FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM s6 GROUP BY s) _f\n"
+        "GROUP BY c"
+    )
+
+
+def not_in_null_semantics_builder(dialect: str) -> str:
+    """The three-valued-logic footgun as a pinned surface: ``NOT IN``
+    against a subquery CONTAINING A NULL returns zero rows (every
+    comparison is UNKNOWN), while ``NOT EXISTS`` and the null-filtered
+    ``NOT IN`` return the real complement — identical text and
+    identical counts in both engines.  Spark plans the null-aware case
+    as a NullAwareAntiJoin (broadcast-only strategy, visible in the
+    plan) — declaring the predicate honestly instead of 'fixing' it is
+    what keeps the optimizer able to choose it."""
+    return """
+WITH sub AS (
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL SELECT CAST(NULL AS BIGINT)),
+base AS (SELECT c_custkey FROM customer)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+   WHERE c_custkey NOT IN (SELECT k FROM sub)) AS not_in_with_null,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM base b
+   WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.k = b.c_custkey))
+    AS not_exists_cnt,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+   WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+    AS not_in_filtered
+"""

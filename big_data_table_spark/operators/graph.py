@@ -267,3 +267,46 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def kcore_edges(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    k: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """Bounded-round k-core peeling over an UNDIRECTED edge set: each
+    round drops every node whose current degree is < ``k`` (and all its
+    edges), ``rounds`` times — the dense-core extraction used to find
+    the boilerplate heart of a near-duplicate graph (peripheral
+    one-off matches peel away; templated families survive).
+
+    The round count is FIXED, not a convergence loop, so a DuckDB
+    unrolled-CTE oracle computes the identical truncation (peeling is
+    monotone — extra rounds past the fixpoint are no-ops, and the
+    fixture graphs fix within the default; pinned in test_round9c).
+    Each round is one degree aggregate + two semi-joins, all keyed on
+    node id; per-round eager localCheckpoint truncates lineage (the
+    connected_components pattern).  Returns the surviving symmetrized
+    edge set."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= k)
+            .select("s")
+        )
+        sym = (
+            sym.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return sym

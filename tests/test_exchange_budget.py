@@ -527,6 +527,11 @@ BUDGET = {
                                  # batch store (writes via foreachBatch)
     "approx_percentile_audit": 2,  # sketch+exact agg + broadcast-probe
                                  # agg (the 15-row side broadcasts)
+    "neardup_kcore": 2,          # final degree agg + histogram agg
+                                 # (peel rounds pay theirs before the
+                                 # checkpoint)
+    "not_in_null_semantics": 3,  # one agg per scalar subquery (the
+                                 # null-aware anti join broadcasts)
 }
 
 

@@ -319,3 +319,21 @@ def test_bitmap_replay_invisible_and_compaction_bit_neutral(spark, sf_dir):
     BS.bitmap_rollup_compact(spark, path, d0)
     assert n_chunks(d0) == 1
     assert rows(path, days[0], days[-1]) == base
+
+
+def test_kcore_fixpoint_within_budget(spark, sf_dir):
+    """The bounded-round truncation is honest at fixture scale: a 7th
+    peel round changes nothing (fixpoint reached within the entry's 6),
+    and every surviving node genuinely has core degree >= 2."""
+    from big_data_table_spark.catalog_r9b import _lsh_candidate_edges
+    from big_data_table_spark.operators.graph import kcore_edges
+
+    register_views(spark, sf_dir)
+    edges = _lsh_candidate_edges(spark)
+    six = sorted(map(tuple, kcore_edges(edges, rounds=6).collect()))
+    seven = sorted(map(tuple, kcore_edges(edges, rounds=7).collect()))
+    assert six == seven
+    from collections import Counter
+
+    deg = Counter(s for s, _ in six)
+    assert deg and all(c >= 2 for c in deg.values())
