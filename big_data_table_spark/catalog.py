@@ -218,6 +218,9 @@ from .catalog_r9c import (
     segment_monthly_trend_builder,
     _approx_percentile_audit_oracle, approx_percentile_audit_q,
     neardup_kcore_oracle, neardup_kcore_q, not_in_null_semantics_builder,
+    _binary_source_blob_stats_oracle, _text_source_log_parse_oracle,
+    binary_source_blob_stats_q, events_score_auc_builder,
+    text_source_log_parse_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -2438,6 +2441,32 @@ CATALOG.update(
             "identical counts both engines; Spark plans the "
             "null-aware case as a NullAwareAntiJoin.",
         ),
+        "events_score_auc": _dual(
+            events_score_auc_builder,
+            doc="EXACT tie-aware ROC-AUC + Gini for two class pairs "
+            "via the Mann-Whitney rank statistic at the distinct-"
+            "VALUE grain — integer-exact numerator (2x carried), "
+            "cumulative window bounded by the score domain, never "
+            "raw rows; the ML-eval companion to quality_drift_ks.",
+        ),
+        "text_source_log_parse": QuerySpec(
+            text_source_log_parse_q,
+            _text_source_log_parse_oracle(),
+            doc="Raw-TEXT source end-to-end (log-parsing surface): "
+            "deterministic pipe-delimited lines written with the "
+            "text writer, read via spark.read.text, regexp-parsed, "
+            "aggregated; DECIMAL string render makes the round-trip "
+            "lossless, oracle aggregates the base table.",
+        ),
+        "binary_source_blob_stats": QuerySpec(
+            binary_source_blob_stats_q,
+            _binary_source_blob_stats_oracle(),
+            doc="binaryFile source end-to-end (the multimodal ingest "
+            "path): one file per doc, whole-file bytes + PATH "
+            "metadata read back, blobs fingerprinted (length + md5); "
+            "oracle fingerprints encode(text || newline) from the "
+            "base table — byte-identical by construction.",
+        ),
     }
 )
 
@@ -2569,6 +2598,9 @@ _R9C_NEW: list[str] = [
     "approx_percentile_audit",
     "neardup_kcore",
     "not_in_null_semantics",
+    "events_score_auc",
+    "text_source_log_parse",
+    "binary_source_blob_stats",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

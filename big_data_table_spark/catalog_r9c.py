@@ -744,3 +744,145 @@ SELECT
    WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
     AS not_in_filtered
 """
+
+
+# ------------------------------------------------------------------ #
+# exact tie-aware ROC-AUC (rank statistic at the value grain)
+# ------------------------------------------------------------------ #
+
+def events_score_auc_builder(dialect: str) -> str:
+    """EXACT tie-aware ROC-AUC (+ Gini) of ``value`` as a separator for
+    two class pairs (purchase-vs-click, signup-vs-view) — the
+    Mann-Whitney rank formulation at the distinct-VALUE grain: group
+    scores once, then AUC = sum over values of
+    n_pos(v) * (n_neg_below(v) + n_neg_at(v)/2) / (P*N), kept integral
+    by carrying 2x the numerator.  Everything before the final division
+    is integer-exact; the cumulative window runs over the bounded score
+    domain (2-dp values), never raw rows — the same scalable shape as
+    the equi-depth histogram (a raw-row rank would be a one-task global
+    sort).  The ML-eval companion to quality_drift_ks."""
+    blocks = []
+    for pos, neg in (("purchase", "click"), ("signup", "view")):
+        blocks.append(f"""
+SELECT '{pos}_vs_{neg}' AS pair, n_pos, n_neg, auc,
+  ROUND(2 * auc - 1, 6) AS gini FROM (
+  SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
+    ROUND(CAST(num2 AS DOUBLE) / (2.0 * tp * tn), 6) AS auc
+  FROM (
+    SELECT SUM(np) AS tp, SUM(nn) AS tn,
+      SUM(np * (2 * nn_lt + nn)) AS num2
+    FROM (
+      SELECT np, nn,
+        COALESCE(SUM(nn) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_lt
+      FROM (
+        SELECT CAST(value AS DECIMAL(8,2)) AS s,
+          SUM(CASE WHEN event_type = '{pos}' THEN 1 ELSE 0 END) AS np,
+          SUM(CASE WHEN event_type = '{neg}' THEN 1 ELSE 0 END) AS nn
+        FROM events WHERE event_type IN ('{pos}', '{neg}')
+        GROUP BY 1) _v) _w) _a) _f""")
+    return " UNION ALL ".join(blocks)
+
+
+# ------------------------------------------------------------------ #
+# raw-text source (log parsing) + binaryFile source
+# ------------------------------------------------------------------ #
+
+def text_source_log_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-TEXT source format end-to-end (log-parsing surface,
+    completing the scan formats beside CSV/JSON/parquet/ORC/JDBC):
+    deterministic pipe-delimited log lines rendered from orders, written
+    with the text writer, read back with ``spark.read.text``, fields
+    re-extracted with regexp_extract, aggregated.  The render uses the
+    DECIMAL string form (identical both engines), so the parse is
+    lossless by construction and the oracle aggregates the base table
+    directly."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import Tables
+
+    o = Tables(spark, sf_dir).orders
+    lines = o.select(
+        F.concat_ws(
+            "|",
+            F.lit("ORD"),
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        ).alias("value")
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_text_log_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    lines.coalesce(4).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    rx = r"^ORD\|(\d+)\|([^|]*)\|([^|]*)\|([0-9.]+)$"
+    parsed = raw.select(
+        F.regexp_extract("value", rx, 2).alias("status"),
+        F.regexp_extract("value", rx, 3).alias("priority"),
+        F.regexp_extract("value", rx, 4).cast("decimal(18,2)").alias("price"),
+    )
+    return parsed.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+def _text_source_log_parse_oracle() -> str:
+    return """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def binary_source_blob_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile source format end-to-end (the multimodal ingest
+    path: whole-file bytes + metadata as rows): a bounded document
+    subset is written one file per doc (text writer partitioned by
+    doc_id), read back with ``spark.read.format("binaryFile")``, and
+    each blob is fingerprinted (byte length + md5) with the doc id
+    parsed from the PATH metadata column.  The text writer emits
+    exactly ``text + \\n`` per file (documents are newline-free —
+    probed), so the oracle fingerprints ``encode(text || chr(10))``
+    from the base table — byte-identical content by construction."""
+    import shutil
+    import tempfile
+
+    from .sources.readers import Tables
+
+    docs = Tables(spark, sf_dir).documents.filter(F.col("doc_id") % 7 == 0)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_blob_src_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs.select("doc_id", F.col("text").alias("value")).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id").text(path)
+    raw = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.txt"
+    ).load(path)
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def _binary_source_blob_stats_oracle() -> str:
+    return """
+SELECT doc_id,
+  CAST(octet_length(encode(text || chr(10))) AS BIGINT) AS n_bytes,
+  md5(text || chr(10)) AS content_md5
+FROM documents WHERE doc_id % 7 = 0
+"""

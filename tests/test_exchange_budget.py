@@ -532,6 +532,12 @@ BUDGET = {
                                  # checkpoint)
     "not_in_null_semantics": 3,  # one agg per scalar subquery (the
                                  # null-aware anti join broadcasts)
+    "events_score_auc": 4,       # per pair: score-grain agg + the
+                                 # bounded-domain cumulative window
+    "text_source_log_parse": 1,  # one agg over the text scan (the
+                                 # render/write pays before the read)
+    "binary_source_blob_stats": 0,  # map-only fingerprint projection
+                                 # over the binaryFile scan
 }
 
 

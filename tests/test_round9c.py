@@ -337,3 +337,34 @@ def test_kcore_fixpoint_within_budget(spark, sf_dir):
 
     deg = Counter(s for s, _ in six)
     assert deg and all(c >= 2 for c in deg.values())
+
+
+def test_auc_matches_driver_rank_formula(spark, sf_dir):
+    """The value-grain AUC equals a driver-side tie-aware Mann-Whitney
+    computation on the raw rows (independent formulation), and AUC of a
+    class against itself-shaped complement stays in [0, 1]."""
+    register_views(spark, sf_dir)
+    got = {
+        r.pair: (r.n_pos, r.n_neg, r.auc, r.gini)
+        for r in CATALOG["events_score_auc"].fn(spark, sf_dir).collect()
+    }
+    rows = spark.sql(
+        "SELECT event_type, CAST(value AS DECIMAL(8,2)) AS s FROM events "
+        "WHERE event_type IN ('purchase', 'click', 'signup', 'view')"
+    ).collect()
+    for pos, neg in (("purchase", "click"), ("signup", "view")):
+        ps = sorted(float(r.s) for r in rows if r.event_type == pos)
+        ns = sorted(float(r.s) for r in rows if r.event_type == neg)
+        import bisect
+
+        num = 0.0
+        for p in ps:
+            lt = bisect.bisect_left(ns, p)
+            eq = bisect.bisect_right(ns, p) - lt
+            num += lt + eq / 2.0
+        auc = num / (len(ps) * len(ns))
+        np_, nn_, gauc, ggini = got[f"{pos}_vs_{neg}"]
+        assert (np_, nn_) == (len(ps), len(ns))
+        assert abs(gauc - round(auc, 6)) < 1e-9, (pos, gauc, auc)
+        assert abs(ggini - round(2 * auc - 1, 6)) < 1e-9
+        assert 0.0 <= gauc <= 1.0
