@@ -606,10 +606,15 @@ def approx_percentile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entry emits what IS oracle-checkable: the exact interpolated
     percentile computed alongside (Spark ``percentile`` ==  DuckDB
     ``quantile_cont``, the pinned pair), plus the published GK
-    guarantee asserted on data: the approx value's RANK (count of
-    values <= it) must lie within eps*n of the target rank
-    (eps = 1/accuracy, +-1 boundary slack).  The oracle asserts the
-    audit TRUE — a sketch drifting outside its band turns the row red.
+    guarantee asserted on data: the approx value's rank INTERVAL
+    [count(< it) + 1, count(<= it)] must intersect the target band
+    [(p-eps)*n, (p+eps)*n] (eps = 1/accuracy, +-1 boundary slack).
+    The interval form — not the max rank alone — is what GK promises:
+    a heavily TIED value occupies a rank range, and any rank in it
+    satisfying the band is a correct answer (review finding r9w12; a
+    point-mass spike wider than 2*eps*n would flunk a max-rank check
+    while the sketch is in contract).  The oracle asserts the audit
+    TRUE — a sketch drifting outside its band turns the row red.
     One grouped aggregate + one broadcast probe pass; no sort."""
     from .sources.readers import Tables
 
@@ -638,17 +643,21 @@ def approx_percentile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(F.col("value") <= F.col("ap"), 1).otherwise(0))
             .cast("long")
-            .alias("cle")
+            .alias("cle"),
+            F.sum(F.when(F.col("value") < F.col("ap"), 1).otherwise(0))
+            .cast("long")
+            .alias("clt"),
         )
     )
     eps = 1.0 / 1000
+    # interval-overlap test: [clt + 1, cle] must meet the target band
     return probed.select(
         "event_type",
         F.col("p").cast("double").alias("p"),
         F.round(F.col("ex"), 6).alias("exact_val"),
         (
             (F.col("cle") >= F.floor((F.col("p") - eps) * F.col("n")) - 1)
-            & (F.col("cle") <= F.ceil((F.col("p") + eps) * F.col("n")) + 1)
+            & (F.col("clt") + 1 <= F.ceil((F.col("p") + eps) * F.col("n")) + 1)
         )
         .cast("bigint")
         .alias("rank_ok"),

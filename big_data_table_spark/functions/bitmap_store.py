@@ -37,6 +37,36 @@ from pyspark.sql import functions as F
 _WORD_BITS = 62
 
 
+def _packed_bitmaps(
+    ev: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_exprs: "dict[str, object]",
+) -> DataFrame:
+    """The ONE packing pipeline both stores share (review finding
+    r9w12): distinct (day, *groups, word, bit), then BIT_OR of the
+    single-bit masks — both stages map-side combinable on the same
+    keys.  ``group_exprs`` maps output name -> Column expression
+    (empty for the plain day store).  Returns
+    (day, *groups, word, bm)."""
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    vid = F.col(value_col).cast("long")
+    names = list(group_exprs)
+    return (
+        ev.select(
+            day,
+            *[expr.alias(name) for name, expr in group_exprs.items()],
+            # integer DIV, not double /: ids past 2^53 must not lose
+            # precision in the word index
+            F.expr(f"CAST({value_col} AS BIGINT) DIV {_WORD_BITS}").alias("word"),
+            (vid % _WORD_BITS).cast("int").alias("bit"),
+        )
+        .distinct()
+        .groupBy("day", *names, "word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bm"))
+    )
+
+
 def bitmap_day_rows(
     ev: DataFrame,
     chunk: int,
@@ -44,23 +74,10 @@ def bitmap_day_rows(
     ts_col: str = "ts",
 ) -> DataFrame:
     """(day, chunk, word, bm) bitmap rows for a (possibly multi-day)
-    slice in ONE pass: distinct (day, word, bit), then BIT_OR of the
-    single-bit masks — both stages map-side combinable on the same
-    (day, word) keys."""
-    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
-    vid = F.col(value_col).cast("long")
-    return (
-        ev.select(
-            day,
-            # integer DIV, not double /: ids past 2^53 must not lose
-            # precision in the word index
-            F.expr(f"CAST({value_col} AS BIGINT) DIV {_WORD_BITS}").alias("word"),
-            (vid % _WORD_BITS).cast("int").alias("bit"),
-        )
-        .distinct()
-        .groupBy("day", "word")
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bm"))
-        .select("day", F.lit(int(chunk)).alias("chunk"), "word", "bm")
+    slice in ONE pass — the shared packing pipeline plus the chunk
+    label."""
+    return _packed_bitmaps(ev, value_col, ts_col, {}).select(
+        "day", F.lit(int(chunk)).alias("chunk"), "word", "bm"
     )
 
 
@@ -174,23 +191,11 @@ def bitmap_rollup_grouped_build(
     ts_col: str = "ts",
 ) -> None:
     """GROUP dimension of the bitmap store (per-tenant/per-type exact
-    audiences): rows (day, g, word, bm), day-partitioned so range reads
-    prune and the shared ``rollup_expire`` retention verb applies
-    unchanged."""
-    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
-    vid = F.col(value_col).cast("long")
-    rows = (
-        ev.select(
-            day,
-            F.col(group_col).cast("string").alias("g"),
-            # integer DIV, not double /: ids past 2^53 must not lose
-            # precision in the word index
-            F.expr(f"CAST({value_col} AS BIGINT) DIV {_WORD_BITS}").alias("word"),
-            (vid % _WORD_BITS).cast("int").alias("bit"),
-        )
-        .distinct()
-        .groupBy("day", "g", "word")
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bm"))
+    audiences): rows (day, g, word, bm) from the SHARED packing
+    pipeline, day-partitioned so range reads prune and the shared
+    ``rollup_expire`` retention verb applies unchanged."""
+    rows = _packed_bitmaps(
+        ev, value_col, ts_col, {"g": F.col(group_col).cast("string")}
     )
     rows.write.mode("overwrite").partitionBy("day").parquet(path)
 
