@@ -221,6 +221,9 @@ from .catalog_r9c import (
     _binary_source_blob_stats_oracle, _text_source_log_parse_oracle,
     binary_source_blob_stats_q, events_score_auc_builder,
     text_source_log_parse_q,
+    _udtf_order_schedule_oracle, events_rolling_median_exact_builder,
+    segment_interval_coverage_builder, setops_all_multiset_builder,
+    udtf_order_schedule_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -2467,6 +2470,37 @@ CATALOG.update(
             "oracle fingerprints encode(text || newline) from the "
             "base table — byte-identical by construction.",
         ),
+        "setops_all_multiset": _dual(
+            setops_all_multiset_builder,
+            doc="EXCEPT ALL / INTERSECT ALL multiset semantics "
+            "(duplicate-preserving) — the set-op surface the "
+            "DISTINCT-semantics entries don't touch; results "
+            "re-aggregated so the hash pins multiplicities.",
+        ),
+        "events_rolling_median_exact": _dual(
+            events_rolling_median_exact_builder,
+            doc="EXACT 7-day rolling median of daily counts — the "
+            "percentile aggregate AS a window function over the "
+            "calendar-bounded daily table; exact companion of "
+            "tdigest_rolling_quantiles.",
+        ),
+        "segment_interval_coverage": _dual(
+            segment_interval_coverage_builder,
+            doc="Merged-interval union length: 7-day order windows "
+            "merge into islands per customer (running-max flag + "
+            "running flag sum, one per-customer exchange), union "
+            "days aggregated per segment — the interval-algebra "
+            "classic in pure integer arithmetic.",
+        ),
+        "udtf_order_schedule": QuerySpec(
+            udtf_order_schedule_q,
+            _udtf_order_schedule_oracle(),
+            doc="Python UDTF surface (Spark 4 @udtf): 4-installment "
+            "schedule in pure integer cents expanded by a table "
+            "function and re-aggregated; the oracle is the "
+            "relational lateral form — the production rewrite the "
+            "parity row documents.",
+        ),
     }
 )
 
@@ -2601,6 +2635,10 @@ _R9C_NEW: list[str] = [
     "events_score_auc",
     "text_source_log_parse",
     "binary_source_blob_stats",
+    "setops_all_multiset",
+    "events_rolling_median_exact",
+    "segment_interval_coverage",
+    "udtf_order_schedule",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

@@ -895,3 +895,143 @@ SELECT doc_id,
   md5(text || chr(10)) AS content_md5
 FROM documents WHERE doc_id % 7 = 0
 """
+
+
+# ------------------------------------------------------------------ #
+# wave 15: multiset set-ops, exact rolling median, interval coverage,
+# Python UDTF surface
+# ------------------------------------------------------------------ #
+
+def setops_all_multiset_builder(dialect: str) -> str:
+    """EXCEPT ALL / INTERSECT ALL — the duplicate-preserving MULTISET
+    semantics the existing set-ops entries (DISTINCT semantics) don't
+    touch: per-custkey order multiplicities of 'F' orders minus/meets
+    'O' orders.  Identical text both engines (probed); the result
+    multisets are re-aggregated so the hash pins multiplicities, not
+    just membership."""
+    return """
+WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT k FROM f EXCEPT ALL SELECT k FROM o) _e GROUP BY k
+UNION ALL
+SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT k FROM f INTERSECT ALL SELECT k FROM o) _i GROUP BY k
+"""
+
+
+def events_rolling_median_exact_builder(dialect: str) -> str:
+    """EXACT 7-day rolling median of daily event counts — the exact
+    companion of ``tdigest_rolling_quantiles``: the percentile
+    aggregate runs AS A WINDOW FUNCTION over the calendar-bounded
+    daily table (<= |days| rows, the house-rule grain), frame = 6
+    preceding days.  Dialect split is the aggregate's name only
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, the pinned
+    interpolation pair); day gaps are immaterial here because the
+    fixture calendar is dense (ROWS frame == RANGE frame on a dense
+    spine — asserted by the oracle match itself)."""
+    med = "percentile(n, 0.5)" if dialect == SPARK else "quantile_cont(n, 0.5)"
+    day = days_since_epoch("ts", dialect)
+    return f"""
+WITH d AS (SELECT {day} AS day, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT day, n,
+  ROUND({med} OVER (ORDER BY day
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM d
+"""
+
+
+def segment_interval_coverage_builder(dialect: str) -> str:
+    """Merged-interval union length (the interval-algebra classic): each
+    order opens a 7-day service window [d, d+6]; overlapping windows
+    per customer merge into islands (flag = start beyond the running
+    max of prior ends; island id = running flag sum), and the UNION
+    length — not the double-counted sum — aggregates per segment.
+    Integer day arithmetic throughout; both windows and the island
+    aggregate share the per-customer partitioning (fact-key
+    co-partitioned, the clamped-ledger exchange shape)."""
+    day = days_since_epoch("o_orderdate", dialect)
+    return f"""
+WITH iv AS (
+  SELECT c_mktsegment AS segment, o_custkey AS ck,
+    {day} AS s, {day} + 6 AS e
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+m AS (
+  SELECT segment, ck, s, e,
+    MAX(e) OVER (PARTITION BY ck ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv),
+fl AS (
+  SELECT segment, ck, s, e,
+    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island
+  FROM m),
+isl AS (
+  SELECT segment, ck, s, e,
+    SUM(new_island) OVER (PARTITION BY ck ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl),
+merged AS (
+  SELECT segment, ck, island,
+    MIN(s) AS ms, MAX(e) AS me
+  FROM isl GROUP BY segment, ck, island)
+SELECT segment,
+  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(SUM(me - ms + 1) AS BIGINT) AS covered_days
+FROM merged GROUP BY segment
+"""
+
+
+def udtf_order_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF surface (Spark 4 ``@udtf``) driven end-to-end:
+    a table function expands each order into a 4-installment payment
+    schedule in pure integer cents (first three = cents DIV 4, last
+    absorbs the remainder — no rounding ambiguity anywhere), then the
+    schedule aggregates per installment slot.  UDTFs are the slow path
+    (row-at-a-time Python); the ORACLE is the production form — the
+    same schedule as a relational lateral expansion — so the parity
+    row simultaneously pins the UDTF semantics AND documents the
+    rewrite a 100 TB job should use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="slot int, cents bigint")
+    class Installments:
+        def eval(self, cents: int):
+            base = cents // 4
+            for slot in range(3):
+                yield slot, base
+            yield 3, cents - 3 * base
+
+    from .sources.readers import Tables
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("installments", Installments)
+    Tables(spark, sf_dir).orders.selectExpr(
+        "o_orderkey",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+    ).createOrReplaceTempView("_udtf_orders")
+    return spark.sql(
+        """
+SELECT i.slot, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(CAST(SUM(i.cents) AS DECIMAL(38,0)) AS DOUBLE) / 100 AS total_amount
+FROM _udtf_orders o, LATERAL installments(o.cents) AS i
+GROUP BY i.slot
+"""
+    )
+
+
+def _udtf_order_schedule_oracle() -> str:
+    lat = lateral_seq("0", "3", "slot", DUCK)
+    return f"""
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+sched AS (
+  SELECT slot,
+    CASE WHEN slot < 3 THEN cents // 4
+         ELSE cents - 3 * (cents // 4) END AS icents
+  FROM c {lat})
+SELECT CAST(slot AS INT) AS slot, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(CAST(SUM(icents) AS DECIMAL(38,0)) AS DOUBLE) / 100 AS total_amount
+FROM sched GROUP BY slot
+"""

@@ -538,6 +538,14 @@ BUDGET = {
                                  # render/write pays before the read)
     "binary_source_blob_stats": 0,  # map-only fingerprint projection
                                  # over the binaryFile scan
+    "setops_all_multiset": 2,    # one agg per multiset branch (the
+                                 # EXCEPT/INTERSECT ALL sides ride the
+                                 # same scan partitioning)
+    "events_rolling_median_exact": 2,  # daily agg + the bounded-day
+                                 # window sort
+    "segment_interval_coverage": 2,  # per-customer windows share one
+                                 # exchange + the segment rollup
+    "udtf_order_schedule": 1,    # one agg over the UDTF expansion
 }
 
 
