@@ -224,6 +224,7 @@ from .catalog_r9c import (
     _udtf_order_schedule_oracle, events_rolling_median_exact_builder,
     segment_interval_coverage_builder, setops_all_multiset_builder,
     udtf_order_schedule_q,
+    orders_flag_aggregates_builder, region_nation_namelist_builder,
 )
 
 # ------------------------------------------------------------------ #
@@ -2501,6 +2502,19 @@ CATALOG.update(
             "relational lateral form — the production rewrite the "
             "parity row documents.",
         ),
+        "region_nation_namelist": _dual(
+            region_nation_namelist_builder,
+            doc="Ordered string aggregation (LISTAGG): Spark = "
+            "array_join(array_sort(collect_list)) vs DuckDB "
+            "string_agg ORDER BY — the explicit sort is what makes "
+            "a collect_list aggregate deterministic at all.",
+        ),
+        "orders_flag_aggregates": _dual(
+            orders_flag_aggregates_builder,
+            doc="Boolean-aggregate surface: bool_and / bool_or / "
+            "count_if (identical names both engines, probed), cast "
+            "to BIGINT for a stable hash.",
+        ),
     }
 )
 
@@ -2639,6 +2653,8 @@ _R9C_NEW: list[str] = [
     "events_rolling_median_exact",
     "segment_interval_coverage",
     "udtf_order_schedule",
+    "region_nation_namelist",
+    "orders_flag_aggregates",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

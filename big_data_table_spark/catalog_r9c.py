@@ -1035,3 +1035,43 @@ SELECT CAST(slot AS INT) AS slot, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(CAST(SUM(icents) AS DECIMAL(38,0)) AS DOUBLE) / 100 AS total_amount
 FROM sched GROUP BY slot
 """
+
+
+# ------------------------------------------------------------------ #
+# wave 16: ordered string aggregation + boolean-aggregate surface
+# ------------------------------------------------------------------ #
+
+def region_nation_namelist_builder(dialect: str) -> str:
+    """Ordered string aggregation (LISTAGG/string_agg — the reporting
+    staple): per region, the comma-joined SORTED nation list.  Spark
+    has no ordered string_agg, so its spelling is the deterministic
+    composition ``array_join(array_sort(collect_list(x)))`` — same
+    bytes as DuckDB's ``string_agg(x ORDER BY x)`` (probed); the
+    explicit sort is what makes a collect_list-based aggregate
+    hashable at all (collect_list order is partition-dependent)."""
+    if dialect == SPARK:
+        agg = "array_join(array_sort(collect_list(n_name)), ',')"
+    else:
+        agg = "string_agg(n_name, ',' ORDER BY n_name)"
+    return f"""
+SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_nations,
+  {agg} AS nations
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""
+
+
+def orders_flag_aggregates_builder(dialect: str) -> str:
+    """Boolean-aggregate surface (bool_and / bool_or / count_if —
+    identical names both engines, probed): per order priority, the
+    all/any/conditional-count flags a data-quality rule engine emits.
+    Booleans are CAST to BIGINT for the hash (pandas nullable-bool
+    dtypes differ across drivers; ints don't)."""
+    return """
+SELECT o_orderpriority AS priority,
+  CAST(bool_and(o_totalprice > 1000) AS BIGINT) AS all_over_1k,
+  CAST(bool_or(o_totalprice > 450000) AS BIGINT) AS any_over_450k,
+  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_over_100k,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""

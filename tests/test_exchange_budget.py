@@ -546,6 +546,8 @@ BUDGET = {
     "segment_interval_coverage": 2,  # per-customer windows share one
                                  # exchange + the segment rollup
     "udtf_order_schedule": 1,    # one agg over the UDTF expansion
+    "region_nation_namelist": 1,  # one agg (region dim broadcasts)
+    "orders_flag_aggregates": 1,  # one grouped flag aggregate
 }
 
 

@@ -321,3 +321,49 @@ def test_cms_store_merge_law_at_scale(spark, big):
     truth = {0: N // 5, 1: 5000, 7: 5000, 999: 5000}
     for v, t in truth.items():
         assert est[v] >= t, (v, est[v], t)
+
+
+def test_bitmap_store_exact_at_scale(spark, big):
+    """The bitmap index's exactness law an order of magnitude beyond
+    the fixtures: 5M rows / 1M distinct ids packed into ~16k words —
+    popcount sums equal COUNT(DISTINCT) exactly, per day and over the
+    union, and the BIT_OR merge is partition-count independent (the
+    100 TB property: the index answer can never drift with layout)."""
+    from big_data_table_spark.functions import bitmap_store as BS
+
+    ev = big.select(
+        (F.col("id") % 1_000_000).alias("user_id"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string"),
+                F.lit(" 00:00:00"),
+            )
+        ).alias("ts"),
+    )
+    rows_a = BS.bitmap_day_rows(ev.repartition(7), 0)
+    rows_b = BS.bitmap_day_rows(ev.repartition(64), 0)
+    a = sorted(map(tuple, rows_a.collect()))
+    assert a == sorted(map(tuple, rows_b.collect()))
+    per_day = {
+        r.day: r.dau
+        for r in rows_a.groupBy("day")
+        .agg(F.sum(F.bit_count("bm")).alias("dau"))
+        .collect()
+    }
+    direct = {
+        r.day: r.n
+        for r in ev.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert per_day == direct
+    union_pop = (
+        rows_a.groupBy("word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .agg(F.sum(F.bit_count("bm")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert union_pop == ev.select("user_id").distinct().count()

@@ -53,6 +53,9 @@ PICKS = {
     "weighted_median_price": "Two-phase exact weighted median: 64-bucket routing aggregate + bounded bucket-cumsum window, finish window INSIDE the median bucket only. The oracle's per-group full-table cumulative window never appears.",
     "user_clamped_ledger": "Clamped running balance via the closed form: BOTH stacked per-user windows and the final aggregate share ONE user_id exchange — a stateful sequential scan expressed as windows.",
     "embedding_hof_stats": "Higher-order array lambdas: transform/filter/fold run inside the projection — map-only, explode-free, ZERO exchanges.",
+    "bitmap_rollup_persisted": "Exact bitmap store range read: partition-pruned (day, word) bitmap scan, BIT_OR merge absorbing chunks AND replays in the same aggregate, popcount sums. The events scan never appears — the oracle's COUNT(DISTINCT) is answered from the index alone.",
+    "candidate_graph_pagerank": "Decimal-exact PageRank: every iteration checkpointed (the plan shows only the final top-20 TakeOrderedAndProject over the last rank table) — lineage truncation is the visible design.",
+    "events_score_auc": "Exact ROC-AUC at the value grain: score-domain aggregate + bounded cumulative window per class pair; the raw-row global rank sort the textbook formula implies never appears.",
 }
 
 if __name__ == "__main__":
