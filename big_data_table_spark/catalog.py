@@ -225,6 +225,9 @@ from .catalog_r9c import (
     segment_interval_coverage_builder, setops_all_multiset_builder,
     udtf_order_schedule_q,
     orders_flag_aggregates_builder, region_nation_namelist_builder,
+    bitmap_rolling_reach_oracle, bitmap_rolling_reach_q,
+    groupby_all_sugar_builder, user_customer_full_outer_builder,
+    winsorized_mean_builder,
 )
 
 # ------------------------------------------------------------------ #
@@ -2515,6 +2518,34 @@ CATALOG.update(
             "count_if (identical names both engines, probed), cast "
             "to BIGINT for a stable hash.",
         ),
+        "bitmap_rolling_reach": QuerySpec(
+            bitmap_rolling_reach_q,
+            bitmap_rolling_reach_oracle(),
+            doc="EXACT 7-day rolling reach (OR popcount) + every-day-"
+            "active counts (AND popcount, full-presence guarded) "
+            "from the checkpointed bitmap index — both merge laws in "
+            "one report; the exact counterpart of hll_rolling_7day "
+            "plus a question sketches cannot answer.",
+        ),
+        "winsorized_mean_report": _dual(
+            winsorized_mean_builder,
+            doc="Winsorized (5/95) means per event type beside raw "
+            "means: clip bounds from the pinned percentile pair, "
+            "ROUND->DECIMAL quantized so the clipped sum is exact; "
+            "CASE not LEAST (the DuckDB decimal-LEAST trap).",
+        ),
+        "user_customer_full_outer_recon": _dual(
+            user_customer_full_outer_builder,
+            doc="FULL OUTER surface as an id-space reconciliation: "
+            "distinct event users vs the customer dimension counted "
+            "by side; identical text both engines.",
+        ),
+        "groupby_all_sugar": _dual(
+            groupby_all_sugar_builder,
+            doc="Modern sugar pinned: star-exclusion (* EXCEPT vs "
+            "* EXCLUDE) + GROUP BY ALL inferring grouping keys — "
+            "identical semantics both engines (probed).",
+        ),
     }
 )
 
@@ -2655,6 +2686,10 @@ _R9C_NEW: list[str] = [
     "udtf_order_schedule",
     "region_nation_namelist",
     "orders_flag_aggregates",
+    "bitmap_rolling_reach",
+    "winsorized_mean_report",
+    "user_customer_full_outer_recon",
+    "groupby_all_sugar",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

@@ -1075,3 +1075,119 @@ SELECT o_orderpriority AS priority,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
+
+
+# ------------------------------------------------------------------ #
+# wave 17: bitmap rolling reach, winsorized means, FULL OUTER recon,
+# modern GROUP BY ALL sugar
+# ------------------------------------------------------------------ #
+
+def _rolling_reach_final_sql(bm: str) -> str:
+    """7-day rolling report over a (k=day, word, bm) bitmap relation:
+    reach7 = popcount of the 7-day OR, everyday7 = popcount of the
+    7-day AND counted only where the word appears on ALL 7 days (a
+    missing word-day means no user of that word was active that day,
+    so every user of the word fails the every-day test).  Shared by
+    the Spark checkpoint form and the oracle's nested CTE."""
+    return f"""
+days AS (SELECT DISTINCT k AS day FROM {bm}
+         WHERE k >= (SELECT MIN(k) FROM {bm}) + 6),
+win AS (
+  SELECT d.day AS day, b.word,
+    BIT_OR(b.bm) AS obm, BIT_AND(b.bm) AS abm,
+    CAST(COUNT(*) AS BIGINT) AS nd
+  FROM days d JOIN {bm} b ON b.k BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day, b.word)
+SELECT day,
+  CAST(SUM(bit_count(obm)) AS BIGINT) AS reach7,
+  CAST(SUM(CASE WHEN nd = 7 THEN bit_count(abm) ELSE 0 END) AS BIGINT)
+    AS everyday7
+FROM win GROUP BY day
+"""
+
+
+def bitmap_rolling_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day rolling reach AND every-day-active counts from the
+    bitmap presence index — BOTH merge laws of the bitmap algebra in
+    one report (OR for union reach, AND for intersection loyalty):
+    the exact counterpart of ``hll_rolling_7day`` plus the question a
+    sketch cannot answer at all (exact every-day membership).  The
+    bitmap build is checkpointed once (3 references); the 7x window
+    fan-out joins WORD rows, never user-grain rows."""
+    register_views(spark, sf_dir)
+    day = days_since_epoch("ts", SPARK)
+    spark.sql(
+        f"WITH {_bitmap_cte(day, SPARK)} SELECT * FROM bm"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("_bm_roll")
+    return spark.sql("WITH " + _rolling_reach_final_sql("_bm_roll"))
+
+
+def bitmap_rolling_reach_oracle() -> str:
+    day = days_since_epoch("ts", DUCK)
+    return f"WITH {_bitmap_cte(day, DUCK)}, {_rolling_reach_final_sql('bm')}"
+
+
+def winsorized_mean_builder(dialect: str) -> str:
+    """Winsorized (5%/95%-clipped) means per event type beside the raw
+    means — the robust-statistics companion of ``grouped_mad_outliers``
+    (clip, don't drop).  Clip bounds come from the pinned
+    percentile ≡ quantile_cont pair, quantized ROUND(.,6) -> DECIMAL so
+    the clipped sum is exact decimal (CASE, not LEAST/GREATEST — the
+    DuckDB LEAST-over-decimals-returns-DOUBLE trap); the bounds table
+    is 5 rows, broadcast back onto the fact scan."""
+    pct = "percentile" if dialect == SPARK else "quantile_cont"
+    return f"""
+WITH b AS (
+  SELECT event_type,
+    CAST(ROUND({pct}(value, 0.05), 6) AS DECIMAL(18,6)) AS lo,
+    CAST(ROUND({pct}(value, 0.95), 6) AS DECIMAL(18,6)) AS hi
+  FROM events GROUP BY event_type),
+c AS (
+  SELECT e.event_type, CAST(e.value AS DECIMAL(8,2)) AS v, b.lo, b.hi
+  FROM events e JOIN b ON b.event_type = e.event_type)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6)
+    AS raw_mean,
+  ROUND(CAST(CAST(SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi
+    ELSE CAST(v AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+    / COUNT(*), 6) AS winsorized_mean,
+  CAST(lo AS DOUBLE) AS p05, CAST(hi AS DOUBLE) AS p95
+FROM c GROUP BY event_type, lo, hi
+"""
+
+
+def user_customer_full_outer_builder(dialect: str) -> str:
+    """FULL OUTER join surface as a reconciliation report: distinct
+    event users vs the customer dimension, counted by side
+    (both / event-only / customer-only) — the id-space audit every
+    cross-system pipeline runs; identical text both engines."""
+    return """
+WITH u AS (SELECT DISTINCT user_id AS k FROM events),
+c AS (SELECT c_custkey AS k FROM customer)
+SELECT CASE WHEN u.k IS NULL THEN 'customer_only'
+            WHEN c.k IS NULL THEN 'event_user_only'
+            ELSE 'both' END AS side,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM u FULL OUTER JOIN c ON u.k = c.k
+GROUP BY 1
+"""
+
+
+def groupby_all_sugar_builder(dialect: str) -> str:
+    """Modern SQL sugar, pinned cross-engine: star-exclusion
+    (Spark ``* EXCEPT (...)`` / DuckDB ``* EXCLUDE (...)``) narrows
+    the projection, then ``GROUP BY ALL`` infers the grouping keys
+    from the non-aggregate select list — identical grouping semantics
+    both engines (probed)."""
+    excl = (
+        "EXCEPT (o_orderkey, o_custkey, o_orderdate)"
+        if dialect == SPARK
+        else "EXCLUDE (o_orderkey, o_custkey, o_orderdate)"
+    )
+    return f"""
+WITH slim AS (SELECT * {excl} FROM orders)
+SELECT o_orderstatus, o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM slim GROUP BY ALL
+"""

@@ -548,6 +548,14 @@ BUDGET = {
     "udtf_order_schedule": 1,    # one agg over the UDTF expansion
     "region_nation_namelist": 1,  # one agg (region dim broadcasts)
     "orders_flag_aggregates": 1,  # one grouped flag aggregate
+    "bitmap_rolling_reach": 4,   # day spine + word-grain window join
+                                 # agg + day rollup over the
+                                 # checkpointed bitmap table
+    "winsorized_mean_report": 1,  # bounds agg rides the same grouping
+                                 # as the final agg (5-row broadcast)
+    "user_customer_full_outer_recon": 3,  # distinct + full-outer SMJ
+                                 # + side rollup
+    "groupby_all_sugar": 1,      # one inferred-key aggregate
 }
 
 
