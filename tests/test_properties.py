@@ -818,3 +818,66 @@ def test_mg_store_bounds_and_merge_law(slices, cap):
         )
     compacted = [(merged_kept, merged_ube, tot_thr)]
     assert _mg_bounds(compacted) == bounds
+
+
+@given(
+    sets=st.lists(
+        st.lists(st.integers(0, 400), min_size=0, max_size=60),
+        min_size=2,
+        max_size=4,
+    ),
+    split=st.integers(2, 5),
+)
+@SETTINGS
+def test_bitmap_pack_algebra_matches_set_algebra(spark, sets, split):
+    """The bitmap index's word-packing algebra vs Python set algebra on
+    random id sets: per-set popcounts equal cardinalities, pairwise
+    AND-popcounts equal intersection sizes, the all-sets OR equals the
+    union — and splitting a set's rows into chunks before packing
+    changes nothing (the BIT_OR merge law that makes the store's
+    at-least-once appends free)."""
+    from big_data_table_spark.functions import bitmap_store as BS
+
+    rows = [
+        (si, int(v), int(v) % split)
+        for si, s in enumerate(sets)
+        for v in set(s)
+    ]
+    if not rows:
+        return
+    ev = spark.createDataFrame(rows, "sid int, user_id long, chunk int")
+    ev = ev.withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    packed = BS._packed_bitmaps(ev, "user_id", "ts", {"sid": F.col("sid")})
+    packed_split = BS._packed_bitmaps(
+        ev, "user_id", "ts", {"sid": F.col("sid"), "ch": F.col("chunk")}
+    )
+    merged_split = (
+        packed_split.groupBy("day", "sid", "word")
+        .agg(F.bit_or("bm").alias("bm"))
+    )
+    a = sorted(map(tuple, packed.select("sid", "word", "bm").collect()))
+    b = sorted(map(tuple, merged_split.select("sid", "word", "bm").collect()))
+    assert a == b  # chunk-split + BIT_OR == one-shot pack
+    bm_by_sid = {}
+    for sid, word, bm in a:
+        bm_by_sid.setdefault(sid, {})[word] = bm
+    pysets = [set(s) for s in sets]
+    for si, s in enumerate(pysets):
+        got = sum(bin(v).count("1") for v in bm_by_sid.get(si, {}).values())
+        assert got == len(s)
+    for i in range(len(pysets)):
+        for j in range(i + 1, len(pysets)):
+            wi, wj = bm_by_sid.get(i, {}), bm_by_sid.get(j, {})
+            inter = sum(
+                bin(wi[w] & wj[w]).count("1") for w in set(wi) & set(wj)
+            )
+            assert inter == len(pysets[i] & pysets[j])
+    union_words = {}
+    for wm in bm_by_sid.values():
+        for w, bm in wm.items():
+            union_words[w] = union_words.get(w, 0) | bm
+    assert sum(bin(v).count("1") for v in union_words.values()) == len(
+        set().union(*pysets)
+    )
