@@ -927,9 +927,13 @@ def events_rolling_median_exact_builder(dialect: str) -> str:
     daily table (<= |days| rows, the house-rule grain), frame = 6
     preceding days.  Dialect split is the aggregate's name only
     (Spark ``percentile`` == DuckDB ``quantile_cont``, the pinned
-    interpolation pair); day gaps are immaterial here because the
-    fixture calendar is dense (ROWS frame == RANGE frame on a dense
-    spine — asserted by the oracle match itself)."""
+    interpolation pair).  The ROWS frame equals the intended
+    last-7-CALENDAR-days semantics only on a dense day spine — a
+    fixture fact (30 consecutive days) that the oracle CANNOT check
+    (it runs the same ROWS frame), so it is pinned separately in
+    test_round9c.test_daily_spine_is_dense; a gapped calendar would
+    need a day-spine densify stage first (events_forward_fill has the
+    machinery)."""
     med = "percentile(n, 0.5)" if dialect == SPARK else "quantile_cont(n, 0.5)"
     day = days_since_epoch("ts", dialect)
     return f"""

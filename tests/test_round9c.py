@@ -368,3 +368,18 @@ def test_auc_matches_driver_rank_formula(spark, sf_dir):
         assert abs(gauc - round(auc, 6)) < 1e-9, (pos, gauc, auc)
         assert abs(ggini - round(2 * auc - 1, 6)) < 1e-9
         assert 0.0 <= gauc <= 1.0
+
+
+def test_daily_spine_is_dense(spark, sf_dir):
+    """events_rolling_median_exact's ROWS-6-PRECEDING frame means
+    'last 7 calendar days' only if the day spine has no gaps — a
+    fixture property the dual-dialect oracle cannot check (it runs the
+    identical ROWS frame).  Pin it: max - min + 1 == distinct days."""
+    register_views(spark, sf_dir)
+    r = spark.sql(
+        "SELECT CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span, "
+        "CAST(COUNT(DISTINCT d) AS BIGINT) AS n FROM "
+        "(SELECT datediff(CAST(ts AS DATE), DATE '1970-01-01') AS d "
+        " FROM events) _t"
+    ).collect()[0]
+    assert r.span == r.n, (r.span, r.n)

@@ -340,7 +340,7 @@ def test_bitmap_store_exact_at_scale(spark, big):
             )
         ).alias("ts"),
     )
-    rows_a = BS.bitmap_day_rows(ev.repartition(7), 0)
+    rows_a = BS.bitmap_day_rows(ev.repartition(7), 0).persist()
     rows_b = BS.bitmap_day_rows(ev.repartition(64), 0)
     a = sorted(map(tuple, rows_a.collect()))
     assert a == sorted(map(tuple, rows_b.collect()))
@@ -367,3 +367,4 @@ def test_bitmap_store_exact_at_scale(spark, big):
         .collect()[0]["n"]
     )
     assert union_pop == ev.select("user_id").distinct().count()
+    rows_a.unpersist()
