@@ -228,6 +228,9 @@ from .catalog_r9c import (
     bitmap_rolling_reach_oracle, bitmap_rolling_reach_q,
     groupby_all_sugar_builder, user_customer_full_outer_builder,
     winsorized_mean_builder,
+    daily_revenue_runs_test_builder, posexplode_positions_builder,
+    stream_full_outer_oracle, stream_full_outer_q,
+    try_cast_quality_gate_builder,
 )
 
 # ------------------------------------------------------------------ #
@@ -2546,6 +2549,36 @@ CATALOG.update(
             "* EXCLUDE) + GROUP BY ALL inferring grouping keys — "
             "identical semantics both engines (probed).",
         ),
+        "stream_full_outer_join": QuerySpec(
+            stream_full_outer_q,
+            stream_full_outer_oracle(),
+            doc="Stream-stream FULL OUTER join completing the outer "
+            "family: both sides NULL-extend on their own state-expiry "
+            "horizon (click window end vs purchase event time), "
+            "oracle models both against the two-sided LEAST() "
+            "watermark.",
+        ),
+        "posexplode_positions": _dual(
+            posexplode_positions_builder,
+            doc="Position-preserving explode surface: Spark "
+            "posexplode vs DuckDB range-indexed lateral (no WITH "
+            "ORDINALITY there, probed) — same (doc, pos, token) rows "
+            "by construction.",
+        ),
+        "try_cast_quality_gate": _dual(
+            try_cast_quality_gate_builder,
+            doc="TRY_CAST ingest-validation gate: deterministically "
+            "corrupted price strings, NULL-on-failure counted and "
+            "the parsed remainder summed — identical semantics both "
+            "engines (probed).",
+        ),
+        "daily_revenue_runs_test": _dual(
+            daily_revenue_runs_test_builder,
+            doc="Wald-Wolfowitz runs test on daily revenue vs the "
+            "series median: runs via LAG over the calendar-bounded "
+            "spine, closed-form z-statistic in IEEE on identical "
+            "operands.",
+        ),
     }
 )
 
@@ -2690,6 +2723,10 @@ _R9C_NEW: list[str] = [
     "winsorized_mean_report",
     "user_customer_full_outer_recon",
     "groupby_all_sugar",
+    "stream_full_outer_join",
+    "posexplode_positions",
+    "try_cast_quality_gate",
+    "daily_revenue_runs_test",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

@@ -1195,3 +1195,137 @@ SELECT o_orderstatus, o_orderpriority,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM slim GROUP BY ALL
 """
+
+
+# ------------------------------------------------------------------ #
+# wave 18: full-outer stream join, positional explode, TRY_CAST gate,
+# runs test
+# ------------------------------------------------------------------ #
+
+def stream_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import click_purchase_full_join
+
+    register_views(spark, sf_dir)
+    return click_purchase_full_join(spark, sf_dir, within_minutes=10)
+
+
+def stream_full_outer_oracle() -> str:
+    """Batch model of the watermarked FULL OUTER stream-stream join:
+    the inner oracle's FULL JOIN plus BOTH emission horizons against
+    the two-sided LEAST() watermark — unmatched clicks need their
+    window end strictly below it (the left-outer calibration),
+    unmatched purchases need p_ts strictly below it (their matching
+    clicks all have c_ts <= p_ts)."""
+    return """
+WITH mx AS (
+  SELECT LEAST(
+    MAX(CASE WHEN event_type = 'click' THEN ts END),
+    MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+    - INTERVAL 30 MINUTE AS wm
+  FROM events),
+c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.click_id, p.purchase_id,
+    COALESCE(c.c_user, p.p_user) AS user_id,
+    CAST(floor(epoch(p.p_ts)) AS BIGINT)
+      - CAST(floor(epoch(c.c_ts)) AS BIGINT) AS gap_seconds,
+    c.c_ts, p.p_ts
+  FROM c FULL JOIN p
+    ON c.c_user = p.p_user AND p.p_ts >= c.c_ts
+   AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE)
+SELECT click_id, purchase_id, user_id, gap_seconds
+FROM j CROSS JOIN mx m
+WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+   OR (purchase_id IS NULL AND j.c_ts + INTERVAL 10 MINUTE < m.wm)
+   OR (click_id IS NULL AND j.p_ts < m.wm)
+"""
+
+
+def posexplode_positions_builder(dialect: str) -> str:
+    """Position-preserving array explode (posexplode / ordinality): the
+    first five whitespace tokens of every 11th document with their
+    0-based positions.  DuckDB has no WITH ORDINALITY (probed), so its
+    side indexes the array through a range lateral — same (doc_id,
+    pos, token) rows by construction; Spark uses the native
+    LATERAL VIEW posexplode."""
+    from .functions.portable import split_ws
+
+    arr = split_ws("text", dialect)
+    if dialect == SPARK:
+        return f"""
+SELECT doc_id, pos, tok
+FROM (SELECT doc_id, {arr} AS arr FROM documents WHERE doc_id % 11 = 0)
+LATERAL VIEW posexplode(arr) _t AS pos, tok
+WHERE pos < 5
+"""
+    return f"""
+SELECT doc_id, CAST(i.x AS INT) AS pos, arr[i.x + 1] AS tok
+FROM (SELECT doc_id, {arr} AS arr FROM documents WHERE doc_id % 11 = 0) _d,
+UNNEST(range(0, len(arr))) AS i(x)
+WHERE i.x < 5
+"""
+
+
+def try_cast_quality_gate_builder(dialect: str) -> str:
+    """TRY_CAST error-handling surface (identical name + NULL-on-failure
+    semantics both engines, probed) as a data-quality gate: a
+    deterministically corrupted price string (every 10th order gets a
+    leading 'x') parses through TRY_CAST; the report counts failures
+    and sums what parsed — the ingest-validation idiom that replaces
+    job-killing cast exceptions."""
+    return """
+WITH raw AS (
+  SELECT o_orderpriority AS priority,
+    CASE WHEN o_orderkey % 10 = 0
+         THEN concat('x', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING))
+         ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) END
+      AS price_str
+  FROM orders)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(count_if(TRY_CAST(price_str AS DECIMAL(18,2)) IS NULL) AS BIGINT)
+    AS n_unparsable,
+  CAST(SUM(TRY_CAST(price_str AS DECIMAL(18,2))) AS DOUBLE) AS parsed_total
+FROM raw GROUP BY priority
+"""
+
+
+def daily_revenue_runs_test_builder(dialect: str) -> str:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series: sign of each day's revenue against the series median
+    (equal-to-median days excluded, the standard treatment), runs
+    counted with a LAG window over the calendar-bounded day spine, and
+    the normal-approximation z-statistic from the closed form.  The
+    median comes from the pinned percentile pair over identical
+    doubles; all counts are integers, the final formula runs in IEEE
+    on identical operands."""
+    pct = "percentile" if dialect == SPARK else "quantile_cont"
+    day = days_since_epoch("o_orderdate", dialect)
+    return f"""
+WITH d AS (
+  SELECT {day} AS day,
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6))
+      AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+med AS (SELECT {pct}(rev, 0.5) AS m FROM d),
+s AS (
+  SELECT day, CASE WHEN rev > m THEN 1 ELSE 0 END AS sgn
+  FROM d CROSS JOIN med WHERE rev <> m),
+r AS (
+  SELECT sgn,
+    CASE WHEN LAG(sgn) OVER (ORDER BY day) IS NULL
+         OR LAG(sgn) OVER (ORDER BY day) <> sgn THEN 1 ELSE 0 END AS new_run
+  FROM s),
+agg AS (
+  SELECT CAST(SUM(sgn) AS DOUBLE) AS n1,
+    CAST(SUM(1 - sgn) AS DOUBLE) AS n2,
+    CAST(SUM(new_run) AS BIGINT) AS runs
+  FROM r)
+SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below, runs,
+  ROUND((runs - (2 * n1 * n2 / (n1 + n2) + 1))
+    / SQRT(NULLIF(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)), 0)), 6) AS z_stat
+FROM agg
+"""

@@ -1378,3 +1378,57 @@ def stream_bitmap_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     BS.bitmap_rollup_append_batch(ev.filter(F.col("user_id") % n == 1), store, 1)
 
     return BS.bitmap_rollup_range_daily(spark, store, lo, hi)
+
+
+def click_purchase_full_join(
+    spark: SparkSession, sf_dir: str, within_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — completing the outer-join
+    streaming family beside :func:`click_purchase_join` (inner) and
+    :func:`click_purchase_left_join` (left): every click AND every
+    purchase eventually emits, matched or NULL-extended.  Each side's
+    NULL emission is scheduled by the state-expiry contract: an
+    unmatched CLICK emits once the watermark passes the end of its
+    join window (c_ts + within), an unmatched PURCHASE once the
+    watermark passes p_ts itself (matching clicks have c_ts <= p_ts,
+    so none can still arrive) — the batch oracle models both horizons
+    against the two-sided LEAST() watermark (calibrated at both
+    SFs)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ),
+        "fullOuter",
+    )
+    out = _run_to_completion(joined, "append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias(
+            "gap_seconds"
+        ),
+    )

@@ -556,6 +556,12 @@ BUDGET = {
     "user_customer_full_outer_recon": 3,  # distinct + full-outer SMJ
                                  # + side rollup
     "groupby_all_sugar": 1,      # one inferred-key aggregate
+    # wave 18 (stream_full_outer_join excluded like the other
+    # streaming entries - counting its plan runs the query)
+    "posexplode_positions": 0,   # map-only positional explode
+    "try_cast_quality_gate": 1,  # one grouped gate aggregate
+    "daily_revenue_runs_test": 4,  # daily agg + 1-row median + the
+                                 # bounded-day LAG window + final agg
 }
 
 
