@@ -933,18 +933,26 @@ FROM ({est})
 
 def mg_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-20 users WITHOUT a full-key-space shuffle: per-partition
-    Misra-Gries candidate summaries (capacity 512 — every key with
-    frequency > N/512 provably survives; the fixture's 20th user is ~5×
-    above that line, which is the sizing rule to copy) + broadcast
-    recount of the tiny candidate set (functions/sketches.py).  At
-    100 TB this replaces a billions-of-keys groupBy with a broadcast
-    filter + thousands-of-keys aggregate.  The oracle is the plain
-    exact top-20 — the MG machinery is pure physical strategy, so the
-    driver hash proves the two-pass scheme loses nothing."""
+    Misra-Gries candidate summaries + broadcast recount of the tiny
+    candidate set (functions/sketches.py).  At 100 TB this replaces a
+    billions-of-keys groupBy with a broadcast filter +
+    thousands-of-keys aggregate.  The oracle is the plain exact
+    top-20 — the MG machinery is pure physical strategy, so the driver
+    hash proves the two-pass scheme loses nothing.
+
+    SIZING RULE (the number to copy, learned the hard way): the scheme
+    is exact only while every true top-k key survives the summaries —
+    guaranteed iff capacity > N / freq(k-th key).  The events fixtures
+    are near-uniform (~N/|users| per user), so that bound is ~|users|:
+    capacity=512 was fine at sf0.01 (150 users) but silently missed
+    top keys at sf0.1 (1500 users, threshold N/512 ≈ 195 > the 20th
+    count ≈ 90 — caught by the r9 sf0.1 robustness sweep).  4096
+    covers every fixture SF; on a real skewed workload capacity comes
+    from the same inequality with the target key's expected share."""
     from .functions import sketches as SK
 
     ev = Tables(spark, sf_dir).events
-    return SK.mg_heavy_hitters(ev, "user_id", capacity=512, topk=20)
+    return SK.mg_heavy_hitters(ev, "user_id", capacity=4096, topk=20)
 
 
 _MG_TOPK_ORACLE = """
