@@ -231,6 +231,9 @@ from .catalog_r9c import (
     daily_revenue_runs_test_builder, posexplode_positions_builder,
     stream_full_outer_oracle, stream_full_outer_q,
     try_cast_quality_gate_builder,
+    capture_recapture_builder, jackknife_mean_variance_oracle,
+    jackknife_mean_variance_q, survival_logrank_oracle,
+    survival_logrank_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -2579,6 +2582,31 @@ CATALOG.update(
             "spine, closed-form z-statistic in IEEE on identical "
             "operands.",
         ),
+        "jackknife_mean_variance": QuerySpec(
+            jackknife_mean_variance_q,
+            jackknife_mean_variance_oracle(),
+            doc="Delete-one-day jackknife SE of the mean event value: "
+            "every leave-one-out estimate is the closed form "
+            "(S - s_i)/(n - n_i) over exact decimal totals — "
+            "resampling inference with no resampling, no recompute, "
+            "no RNG; ROUND->DECIMAL before the order-sensitive sums.",
+        ),
+        "capture_recapture_estimate": _dual(
+            capture_recapture_builder,
+            doc="Lincoln-Petersen/Chapman capture-recapture over the "
+            "click (capture) and purchase (recapture) audiences — "
+            "exact overlap in, estimator out, audited against the "
+            "known true population.",
+        ),
+        "survival_logrank_test": QuerySpec(
+            survival_logrank_q,
+            survival_logrank_oracle(),
+            doc="Two-sample log-rank test (BUILDING vs MACHINERY "
+            "repurchase survival): hypergeometric E/V terms "
+            "ROUND->DECIMAL before summing, per-segment at-risk "
+            "windows over the value-grain duration table — the "
+            "hypothesis-test companion of customer_survival_km.",
+        ),
     }
 )
 
@@ -2727,6 +2755,9 @@ _R9C_NEW: list[str] = [
     "posexplode_positions",
     "try_cast_quality_gate",
     "daily_revenue_runs_test",
+    "jackknife_mean_variance",
+    "capture_recapture_estimate",
+    "survival_logrank_test",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

@@ -1329,3 +1329,201 @@ SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below, runs,
       / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)), 0)), 6) AS z_stat
 FROM agg
 """
+
+
+# ------------------------------------------------------------------ #
+# wave 19: resampling-free inference — jackknife, capture-recapture,
+# log-rank
+# ------------------------------------------------------------------ #
+
+def _jk_blocks_sql(dialect: str) -> str:
+    """The one fact-scale stage of the jackknife: exact per-day block
+    totals (calendar-bounded output)."""
+    day = days_since_epoch("ts", dialect)
+    return f"""
+SELECT {day} AS day,
+  CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DECIMAL(38,2)) AS s,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1"""
+
+
+def _jk_final_sql(b: str) -> str:
+    """Jackknife arithmetic over a (day, s, n) block relation — shared
+    by the Spark checkpoint form (``b`` = the view) and the oracle
+    (``b`` = the nested CTE).  Everything here runs on the <= |days|
+    block table."""
+    return f"""
+t AS (SELECT CAST(SUM(s) AS DECIMAL(38,2)) AS st,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS g
+      FROM {b}),
+loo AS (
+  SELECT CAST(ROUND(CAST(t.st - b.s AS DOUBLE) / (t.nt - b.n), 9)
+    AS DECIMAL(20,9)) AS theta_i, t.g, t.st, t.nt
+  FROM {b} b CROSS JOIN t),
+m AS (SELECT g, st, nt,
+        CAST(ROUND(CAST(SUM(theta_i) AS DOUBLE) / g, 9)
+          AS DECIMAL(20,9)) AS theta_bar
+      FROM loo GROUP BY g, st, nt),
+d AS (
+  SELECT loo.g, m.st, m.nt,
+    CAST(ROUND((CAST(theta_i AS DOUBLE) - CAST(theta_bar AS DOUBLE))
+      * (CAST(theta_i AS DOUBLE) - CAST(theta_bar AS DOUBLE)), 9)
+      AS DECIMAL(24,9)) AS sq
+  FROM loo JOIN m ON m.g = loo.g)
+SELECT g AS n_blocks,
+  ROUND(CAST(st AS DOUBLE) / nt, 6) AS mean_value,
+  ROUND(SQRT((CAST(g AS DOUBLE) - 1) / g
+    * CAST(CAST(SUM(sq) AS DECIMAL(38,9)) AS DOUBLE)), 6)
+    AS jackknife_se
+FROM d GROUP BY g, st, nt
+"""
+
+
+def jackknife_mean_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-BLOCK jackknife standard error of the mean event
+    value (blocks = calendar days) — resampling inference WITHOUT
+    random resampling: every leave-one-out estimate is the closed form
+    (S - s_i) / (n - n_i) over exact decimal block totals, so no pass
+    recomputes a block and the whole procedure is deterministic (no
+    RNG).  The ONE fact-scale stage (the block table) is checkpointed
+    — the loo/mean/deviation chain references it transitively several
+    times, and CTE inlining would rescan events per reference (the
+    house rule); everything after runs on <= |days| rows.
+    Leave-one-out estimates and their deviations quantize ROUND(.,9)
+    -> DECIMAL before the order-sensitive sums."""
+    register_views(spark, sf_dir)
+    spark.sql(_jk_blocks_sql(SPARK)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_jk_b")
+    return spark.sql("WITH " + _jk_final_sql("_jk_b").lstrip())
+
+
+def jackknife_mean_variance_oracle() -> str:
+    return (
+        f"WITH b AS ({_jk_blocks_sql(DUCK)}),"
+        + _jk_final_sql("b")
+    )
+
+
+def capture_recapture_builder(dialect: str) -> str:
+    """Lincoln-Petersen / Chapman capture-recapture population
+    estimate: the click audience is the first capture, the purchase
+    audience the recapture; ONE user-grain pass (per-user presence
+    flags, then three exact flag sums — no per-set distinct scans, no
+    join) yields the Chapman estimator
+    (n1+1)(n2+1)/(m+1) - 1 beside the TRUE population (all distinct
+    users — known here, which is the point: the entry audits the
+    estimator's fixture bias).  Every input is an exact distinct
+    count; the estimator arithmetic is IEEE on identical integers."""
+    return """
+WITH u AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS mc,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS mp
+  FROM events GROUP BY user_id),
+s AS (SELECT CAST(SUM(mc) AS BIGINT) AS n1,
+             CAST(SUM(mp) AS BIGINT) AS n2,
+             CAST(SUM(mc * mp) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM u)
+SELECT n1, n2, m, true_n,
+  ROUND((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1, 6)
+    AS chapman_estimate
+FROM s
+"""
+
+
+def _logrank_agg_sql(dialect: str) -> str:
+    """The fact-scale half of the log-rank pipeline: per-(segment,
+    duration) event/ending counts (value-grain bounded output; the
+    same duration construction as customer_survival_km — observed
+    gaps + right-censored tails against the global horizon)."""
+    day = days_since_epoch("o_orderdate", dialect)
+    return f"""
+WITH o AS (
+  SELECT o_custkey, c_mktsegment AS g, {day} AS d
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+s AS (SELECT g, o_custkey, d,
+        LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d) AS nd
+      FROM o),
+dur AS (
+  SELECT g,
+    CASE WHEN nd IS NULL THEN (SELECT MAX(d) FROM o) - d
+         ELSE nd - d END AS t,
+    CASE WHEN nd IS NULL THEN 0 ELSE 1 END AS ev
+  FROM s)
+SELECT g, t, CAST(SUM(ev) AS BIGINT) AS dd,
+       CAST(COUNT(*) AS BIGINT) AS ending
+FROM dur GROUP BY g, t"""
+
+
+def _logrank_final_sql(agg: str) -> str:
+    """Log-rank arithmetic over a (g, t, dd, ending) relation — shared
+    by the Spark checkpoint form and the oracle's nested CTE; every
+    stage here runs on the value-grain duration table."""
+    return f"""
+spine AS (SELECT DISTINCT t FROM {agg}),
+gx AS (SELECT sp.t, gg.g
+       FROM spine sp CROSS JOIN
+         (SELECT 'BUILDING' AS g UNION ALL SELECT 'MACHINERY') gg),
+e AS (SELECT gx.t, gx.g,
+        COALESCE(a.dd, CAST(0 AS BIGINT)) AS dd,
+        COALESCE(a.ending, CAST(0 AS BIGINT)) AS ending
+      FROM gx LEFT JOIN {agg} a ON a.g = gx.g AND a.t = gx.t),
+w AS (SELECT t, g, dd,
+        CAST(SUM(ending) OVER (PARTITION BY g)
+          - COALESCE(SUM(ending) OVER (PARTITION BY g ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0 AS BIGINT)) AS BIGINT) AS n_risk
+      FROM e),
+p AS (SELECT t,
+        MAX(CASE WHEN g = 'BUILDING' THEN n_risk END) AS na,
+        MAX(CASE WHEN g = 'BUILDING' THEN dd END) AS da,
+        MAX(CASE WHEN g = 'MACHINERY' THEN n_risk END) AS nb,
+        MAX(CASE WHEN g = 'MACHINERY' THEN dd END) AS db
+      FROM w GROUP BY t),
+f AS (SELECT * FROM p WHERE da + db > 0 AND na + nb > 1),
+terms AS (
+  SELECT da,
+    CAST(ROUND((da + db) * CAST(na AS DOUBLE) / (na + nb), 9)
+      AS DECIMAL(20,9)) AS ea,
+    CAST(ROUND((da + db) * (CAST(na AS DOUBLE) / (na + nb))
+      * (1 - CAST(na AS DOUBLE) / (na + nb))
+      * (na + nb - da - db) / (na + nb - 1), 9) AS DECIMAL(20,9)) AS va
+  FROM f)
+SELECT CAST(SUM(da) AS BIGINT) AS observed_a,
+  ROUND(CAST(CAST(SUM(ea) AS DECIMAL(38,9)) AS DOUBLE), 6) AS expected_a,
+  ROUND((CAST(SUM(da) AS DOUBLE)
+    - CAST(CAST(SUM(ea) AS DECIMAL(38,9)) AS DOUBLE))
+    / SQRT(NULLIF(CAST(CAST(SUM(va) AS DECIMAL(38,9)) AS DOUBLE), 0)), 6)
+    AS logrank_z
+FROM terms
+"""
+
+
+def survival_logrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test comparing repurchase survival between
+    the BUILDING and MACHINERY customer segments — the hypothesis-test
+    companion of ``customer_survival_km`` (same durations: observed
+    consecutive-order gaps + right-censored tails).  The fact-scale
+    half (per-(segment, duration) counts) is checkpointed once — the
+    spine/at-risk/pivot chain references it transitively several
+    times, and CTE inlining would replay the orders scan per
+    reference (the house rule); at every pooled event time the
+    hypergeometric E/V terms quantize ROUND(.,9) -> DECIMAL before
+    the sums, and the per-segment at-risk windows run over the
+    value-grain duration table."""
+    register_views(spark, sf_dir)
+    spark.sql(_logrank_agg_sql(SPARK)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_lr_agg")
+    return spark.sql("WITH " + _logrank_final_sql("_lr_agg").lstrip())
+
+
+def survival_logrank_oracle() -> str:
+    return (
+        f"WITH agg AS ({_logrank_agg_sql(DUCK)}),"
+        + _logrank_final_sql("agg")
+    )

@@ -562,6 +562,13 @@ BUDGET = {
     "try_cast_quality_gate": 1,  # one grouped gate aggregate
     "daily_revenue_runs_test": 4,  # daily agg + 1-row median + the
                                  # bounded-day LAG window + final agg
+    "jackknife_mean_variance": 3,  # block agg paid once (checkpointed);
+                                 # the loo/mean/deviation chain rides
+                                 # the <= |days| view
+    "capture_recapture_estimate": 2,  # ONE user-grain pass + 1-row agg
+    "survival_logrank_test": 6,  # duration agg checkpointed; spine
+                                 # distinct + per-segment windows +
+                                 # pivot + final, all value-grain
 }
 
 
