@@ -234,6 +234,8 @@ from .catalog_r9c import (
     capture_recapture_builder, jackknife_mean_variance_oracle,
     jackknife_mean_variance_q, survival_logrank_oracle,
     survival_logrank_q,
+    segment_theilsen_trend_oracle, segment_theilsen_trend_q,
+    text_collocations_pmi_oracle, text_collocations_pmi_q,
 )
 
 # ------------------------------------------------------------------ #
@@ -2607,6 +2609,23 @@ CATALOG.update(
             "windows over the value-grain duration table — the "
             "hypothesis-test companion of customer_survival_km.",
         ),
+        "segment_theilsen_trend": QuerySpec(
+            segment_theilsen_trend_q,
+            segment_theilsen_trend_oracle(),
+            doc="Theil-Sen robust slope per segment: median of all "
+            "pairwise monthly slopes over the SAME dollar-quantized "
+            "series as the OLS entry — bounded C(|months|,2) "
+            "self-join, median via the pinned percentile pair.",
+        ),
+        "text_collocations_pmi": QuerySpec(
+            text_collocations_pmi_q,
+            text_collocations_pmi_oracle(),
+            doc="PMI-ranked collocations (min support 5, top-15 via "
+            "ORDER BY + LIMIT): per-row ln over exact integer "
+            "counts — nothing ln-valued is summed, one ROUND makes "
+            "the ranking engine-identical; marginals from the bigram "
+            "table itself.",
+        ),
     }
 )
 
@@ -2758,6 +2777,8 @@ _R9C_NEW: list[str] = [
     "jackknife_mean_variance",
     "capture_recapture_estimate",
     "survival_logrank_test",
+    "segment_theilsen_trend",
+    "text_collocations_pmi",
 ]
 _R9_NEXT = _R9_NEW + _R9B_NEW + _R9C_NEW
 

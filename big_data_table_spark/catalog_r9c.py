@@ -1527,3 +1527,126 @@ def survival_logrank_oracle() -> str:
         f"WITH agg AS ({_logrank_agg_sql(DUCK)}),"
         + _logrank_final_sql("agg")
     )
+
+
+# ------------------------------------------------------------------ #
+# wave 20: Theil-Sen robust slope + PMI collocations
+# ------------------------------------------------------------------ #
+
+def _monthly_series_sql() -> str:
+    """The dollar-quantized monthly revenue series (shared text with
+    segment_monthly_trend's first stage) — bounded (segment, month)
+    output from one fact-scale aggregate."""
+    return """
+SELECT c_mktsegment AS segment,
+  (year(o_orderdate) - 1992) * 12 + (month(o_orderdate) - 1) AS mx,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+    AS DECIMAL(18,0)) AS y
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1, 2"""
+
+
+def _theilsen_final_sql(my: str, pct: str) -> str:
+    return f"""
+pairs AS (
+  SELECT a.segment,
+    CAST(b.y - a.y AS DOUBLE) / (b.mx - a.mx) AS slope
+  FROM {my} a JOIN {my} b ON a.segment = b.segment AND a.mx < b.mx)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND({pct}(slope, 0.5), 6) AS theilsen_slope
+FROM pairs GROUP BY segment
+"""
+
+
+def segment_theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust revenue trend per market segment — the median
+    of ALL pairwise monthly slopes, the estimator that shrugs off the
+    outlier months OLS (``segment_monthly_trend``) chases; the two
+    entries share the identical dollar-quantized monthly series, so
+    their slopes are directly comparable.  The monthly aggregate is
+    checkpointed once (the self-join references it twice; CTE inlining
+    would run the fact-scale aggregate per side — the house rule); the
+    pairwise fan-out is then a self-join of the <= |months| bounded
+    view (~C(n,2) pairs over ~116 months — never fact-scale), each
+    slope one IEEE division of exact integers, the median from the
+    pinned percentile pair over identical doubles."""
+    register_views(spark, sf_dir)
+    spark.sql(_monthly_series_sql()).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_ts_my")
+    return spark.sql(
+        "WITH " + _theilsen_final_sql("_ts_my", "percentile").lstrip()
+    )
+
+
+def segment_theilsen_trend_oracle() -> str:
+    return (
+        f"WITH my AS ({_monthly_series_sql()}),"
+        + _theilsen_final_sql("my", "quantile_cont")
+    )
+
+
+def _bigram_counts_sql(dialect: str) -> str:
+    """The one exploded fact-scale stage of the collocation entry:
+    corpus bigram counts (vocab-bounded output)."""
+    from .functions.portable import arr_el, arr_len, lateral_seq, split_ws
+
+    el = lambda i: arr_el("w", i, dialect)  # noqa: E731
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - 1", "i", dialect)
+    w = split_ws("lower(text)", dialect)
+    return f"""
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  SELECT {el("i")} AS w1, {el("i + 1")} AS w2
+  FROM (SELECT doc_id, w FROM
+        (SELECT doc_id, {w} AS w FROM documents) _w
+        WHERE {arr_len("w", dialect)} >= 2) docs {lat}) bi
+GROUP BY w1, w2"""
+
+
+def _pmi_final_sql(c12: str) -> str:
+    """PMI ranking over a (w1, w2, c) bigram-count relation — shared by
+    the Spark checkpoint form and the oracle's nested CTE; marginals
+    and the total come from the count table itself."""
+    pmi = (
+        f"ROUND(LN(CAST(tot.n AS DOUBLE) * {c12}.c"
+        f" / (CAST(left_m.c1 AS DOUBLE) * right_m.c2)), 6)"
+    )
+    return f"""
+left_m AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM {c12} GROUP BY w1),
+right_m AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS c2 FROM {c12} GROUP BY w2),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM {c12})
+SELECT {c12}.w1, {c12}.w2, {c12}.c AS n_pair, {pmi} AS pmi
+FROM {c12}
+JOIN left_m ON left_m.w1 = {c12}.w1
+JOIN right_m ON right_m.w2 = {c12}.w2
+CROSS JOIN tot
+WHERE {c12}.c >= 5
+ORDER BY {pmi} DESC, {c12}.w1, {c12}.w2
+LIMIT 15
+"""
+
+
+def text_collocations_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations — the NLP-pipeline staple that separates
+    genuinely associated word pairs from merely frequent ones (raw
+    counts are ``text_top_bigrams``' job): PMI = ln(N*c12/(c1*c2))
+    over exact integer corpus counts, min support 5, top-15 by
+    (ROUND(pmi,6) DESC, w1, w2) via ORDER BY + LIMIT.  PMI is computed
+    PER ROW from exact integers (nothing ln-valued is ever summed), so
+    a single ROUND makes the ranking engine-identical.  The exploded
+    bigram-count stage is checkpointed once — the marginals, the
+    total and the final ranking reference it four times, and CTE
+    inlining would re-run the corpus explosion per reference (the
+    house rule, measured 7 exchanges flat-text)."""
+    register_views(spark, sf_dir)
+    spark.sql(_bigram_counts_sql(SPARK)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_pmi_c12")
+    return spark.sql("WITH " + _pmi_final_sql("_pmi_c12").lstrip())
+
+
+def text_collocations_pmi_oracle() -> str:
+    return (
+        f"WITH c12 AS ({_bigram_counts_sql(DUCK)}),"
+        + _pmi_final_sql("c12")
+    )

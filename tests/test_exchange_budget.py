@@ -569,6 +569,10 @@ BUDGET = {
     "survival_logrank_test": 6,  # duration agg checkpointed; spine
                                  # distinct + per-segment windows +
                                  # pivot + final, all value-grain
+    "segment_theilsen_trend": 2,  # monthly agg checkpointed; bounded
+                                 # pair self-join + median agg
+    "text_collocations_pmi": 3,  # bigram counts checkpointed; marginal
+                                 # aggs ride the vocab-bounded view
 }
 
 
