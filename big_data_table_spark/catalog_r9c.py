@@ -358,16 +358,13 @@ def segment_monthly_trend_builder(dialect: str) -> str:
     finding; 18 digits keeps even SF-1 monthly squares under 10^18).
     x is months-since-1992 as DECIMAL(6,0) — narrow operands, exact
     products; the moment formulas then run in IEEE on identical
-    operands."""
+    operands.  The series comes from the SHARED _monthly_series_sql
+    stage — the Theil-Sen entry runs over the same text, which is
+    what makes the two slopes directly comparable (review finding
+    r9w20)."""
     mx = "CAST(mx AS DECIMAL(6,0))"
     return f"""
-WITH my AS (
-  SELECT c_mktsegment AS segment,
-    (year(o_orderdate) - 1992) * 12 + (month(o_orderdate) - 1) AS mx,
-    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
-      AS DECIMAL(18,0)) AS y
-  FROM orders JOIN customer ON c_custkey = o_custkey
-  GROUP BY 1, 2),
+WITH my AS ({_monthly_series_sql()}),
 m AS (SELECT segment, CAST(COUNT(*) AS DOUBLE) AS n,
   {_dmom(mx)} AS sx, {_dmom("y")} AS sy, {_dmom(f"{mx} * y")} AS sxy,
   {_dmom(f"{mx} * {mx}")} AS sxx, {_dmom("y * y")} AS syy
@@ -1255,17 +1252,19 @@ def posexplode_positions_builder(dialect: str) -> str:
 
     arr = split_ws("text", dialect)
     if dialect == SPARK:
+        # slice BEFORE posexplode: O(5) rows per doc, never the full
+        # token array (review finding r9w20); slice is 1-based, the
+        # emitted positions stay 0-based over the sliced prefix
         return f"""
 SELECT doc_id, pos, tok
-FROM (SELECT doc_id, {arr} AS arr FROM documents WHERE doc_id % 11 = 0)
+FROM (SELECT doc_id, slice({arr}, 1, 5) AS arr
+      FROM documents WHERE doc_id % 11 = 0)
 LATERAL VIEW posexplode(arr) _t AS pos, tok
-WHERE pos < 5
 """
     return f"""
 SELECT doc_id, CAST(i.x AS INT) AS pos, arr[i.x + 1] AS tok
 FROM (SELECT doc_id, {arr} AS arr FROM documents WHERE doc_id % 11 = 0) _d,
-UNNEST(range(0, len(arr))) AS i(x)
-WHERE i.x < 5
+UNNEST(range(0, least(len(arr), 5))) AS i(x)
 """
 
 
@@ -1588,19 +1587,13 @@ def segment_theilsen_trend_oracle() -> str:
 
 def _bigram_counts_sql(dialect: str) -> str:
     """The one exploded fact-scale stage of the collocation entry:
-    corpus bigram counts (vocab-bounded output)."""
-    from .functions.portable import arr_el, arr_len, lateral_seq, split_ws
+    corpus bigram counts (vocab-bounded output) — delegated to the
+    SHARED functions.text.bigram_counts_sql so the collocation,
+    top-bigrams and cross-entropy tokenizations cannot drift apart
+    (review finding r9w20)."""
+    from .functions.text import bigram_counts_sql
 
-    el = lambda i: arr_el("w", i, dialect)  # noqa: E731
-    lat = lateral_seq("1", f"{arr_len('w', dialect)} - 1", "i", dialect)
-    w = split_ws("lower(text)", dialect)
-    return f"""
-SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
-  SELECT {el("i")} AS w1, {el("i + 1")} AS w2
-  FROM (SELECT doc_id, w FROM
-        (SELECT doc_id, {w} AS w FROM documents) _w
-        WHERE {arr_len("w", dialect)} >= 2) docs {lat}) bi
-GROUP BY w1, w2"""
+    return bigram_counts_sql(dialect)
 
 
 def _pmi_final_sql(c12: str) -> str:

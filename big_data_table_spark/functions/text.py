@@ -415,6 +415,25 @@ def corpus_data_card_sql(dialect: str) -> str:
     )
 
 
+def bigram_counts_sql(dialect: str) -> str:
+    """Corpus bigram counts (w1, w2, c) from whitespace tokens of
+    lowercased text with the >= 2-word floor — the SHARED count stage
+    of the collocation surface (``text_collocations_pmi`` checkpoints
+    it; ``text_top_bigrams`` and ``bigram_cross_entropy_sql`` build
+    the same chain with extra per-doc columns — keep the three
+    tokenizations in lockstep when editing any of them)."""
+    el = lambda i: arr_el("w", i, dialect)  # noqa: E731
+    lat = lateral_seq("1", f"{arr_len('w', dialect)} - 1", "i", dialect)
+    w = split_ws("lower(text)", dialect)
+    return f"""
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+  SELECT {el("i")} AS w1, {el("i + 1")} AS w2
+  FROM (SELECT w FROM
+        (SELECT {w} AS w FROM documents) _w
+        WHERE {arr_len("w", dialect)} >= 2) docs {lat}) bi
+GROUP BY w1, w2"""
+
+
 def bigram_cross_entropy_sql(dialect: str) -> str:
     """Per-document bigram-LM cross-entropy (nats/bigram) — the
     perplexity-style quality signal (CCNet-family) a pipeline uses to
