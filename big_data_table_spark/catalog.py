@@ -2796,6 +2796,34 @@ CATALOG = {
     **{name: spec for name, spec in CATALOG.items() if name not in set(_head9)},
 }
 
+# ------------------------------------------------------------------ #
+# driver-window ordering (round 10) — VERDICT r9 #1: the 83 r9-new
+# entries (_R9_NEXT = 21 first-session + 24 _R9B_NEW + 38 _R9C_NEW)
+# are the only ones without a driver CORRECTNESS row; they exceed one
+# 50-entry window, so _R10_FRONT = the first 50 in staging order and
+# the remaining 33 spill to head _R10_NEXT (the r8 precedent).  New
+# r10 entries append to _R10_NEXT after the spill-overs.
+# ------------------------------------------------------------------ #
+_R10_FRONT = _R9_NEXT[:50]
+_R10_SPILL = _R9_NEXT[50:]  # 33 _R9C_NEW spill-overs, staging order kept
+_R10_NEW: list[str] = []
+_R10_NEXT = _R10_SPILL + _R10_NEW
+
+assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50, len(_R10_FRONT)
+assert len(_R10_SPILL) == 33, len(_R10_SPILL)
+assert set(_R10_FRONT + _R10_NEXT) <= set(CATALOG), sorted(
+    set(_R10_FRONT + _R10_NEXT) - set(CATALOG)
+)
+assert not set(_R10_FRONT) & set(_R10_NEXT)
+
+_head10 = _R10_FRONT + _R10_NEXT + [
+    n for n in CATALOG if n not in set(_R10_FRONT + _R10_NEXT)
+]
+CATALOG = {
+    **{name: CATALOG[name] for name in _head10},
+    **{name: spec for name, spec in CATALOG.items() if name not in set(_head10)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
