@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog_base import register_views
+from .session import register_temp_view
 from .functions.portable import (
     DUCK,
     SPARK,
@@ -93,8 +94,8 @@ def events_peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize — the measured CTE trap)."""
     register_views(spark, sf_dir)
     cc = spark.sql(_cell_counts_core(SPARK)).localCheckpoint(eager=True)
-    cc.createOrReplaceTempView("_r9_cell_counts")
-    return spark.sql(_peak_concurrency_final("_r9_cell_counts"))
+    v = register_temp_view(cc, "_r9_cell_counts")
+    return spark.sql(_peak_concurrency_final(v))
 
 
 def _peak_concurrency_oracle() -> str:
@@ -194,8 +195,8 @@ def events_transition_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(_transition_pairs_core(SPARK)).localCheckpoint(
         eager=True
     )
-    pairs.createOrReplaceTempView("_r9_transition_pairs")
-    return spark.sql(_transition_entropy_final("_r9_transition_pairs"))
+    v = register_temp_view(pairs, "_r9_transition_pairs")
+    return spark.sql(_transition_entropy_final(v))
 
 
 def _transition_entropy_oracle() -> str:
@@ -250,8 +251,8 @@ def source_lang_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans)."""
     register_views(spark, sf_dir)
     c = spark.sql(_lang_counts_core(SPARK)).localCheckpoint(eager=True)
-    c.createOrReplaceTempView("_r9_lang_counts")
-    return spark.sql(_source_lang_entropy_final("_r9_lang_counts"))
+    v = register_temp_view(c, "_r9_lang_counts")
+    return spark.sql(_source_lang_entropy_final(v))
 
 
 def _source_lang_entropy_oracle() -> str:
@@ -302,8 +303,8 @@ def orders_seasonality_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     three orders scans)."""
     register_views(spark, sf_dir)
     pm = spark.sql(_per_month_core(SPARK)).localCheckpoint(eager=True)
-    pm.createOrReplaceTempView("_r9_per_month")
-    return spark.sql(_seasonality_final("_r9_per_month"))
+    v = register_temp_view(pm, "_r9_per_month")
+    return spark.sql(_seasonality_final(v))
 
 
 def _orders_seasonality_oracle() -> str:
@@ -454,8 +455,8 @@ def simhash_hamming_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     sigs = spark.sql(simhash_sql(SPARK)).localCheckpoint(eager=True)
-    sigs.createOrReplaceTempView("_r9_simhash_sigs")
-    return spark.sql(_hamming_over("_r9_simhash_sigs", SPARK))
+    v = register_temp_view(sigs, "_r9_simhash_sigs")
+    return spark.sql(_hamming_over(v, SPARK))
 
 
 def _hamming_over(sigs_src: str, dialect: str, nbits: int = 16,
@@ -728,13 +729,13 @@ def events_retention_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark form checkpoints each once."""
     register_views(spark, sf_dir)
     du = spark.sql(_user_days_core(SPARK)).localCheckpoint(eager=True)
-    du.createOrReplaceTempView("_r9_user_days")
+    vdu = register_temp_view(du, "_r9_user_days")
     first = spark.sql(
-        "SELECT user_id, MIN(dayn) AS cohort FROM _r9_user_days "
+        f"SELECT user_id, MIN(dayn) AS cohort FROM {vdu} "
         "GROUP BY user_id"
     ).localCheckpoint(eager=True)
-    first.createOrReplaceTempView("_r9_first_day")
-    return spark.sql(_retention_final("_r9_user_days", "_r9_first_day"))
+    vfirst = register_temp_view(first, "_r9_first_day")
+    return spark.sql(_retention_final(vdu, vfirst))
 
 
 def _events_retention_curve_oracle() -> str:
@@ -779,8 +780,8 @@ def neardup_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     pairs = ngram_jaccard_pairs(spark, threshold=0.5)
-    pairs.createOrReplaceTempView("_r9_ndpairs")
-    return spark.sql(_neardup_matrix_final("_r9_ndpairs"))
+    v = register_temp_view(pairs, "_r9_ndpairs")
+    return spark.sql(_neardup_matrix_final(v))
 
 
 def _neardup_source_matrix_builder(dialect: str) -> str:
@@ -828,8 +829,8 @@ def simhash_bit_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     sigs = spark.sql(simhash_sql(SPARK)).localCheckpoint(eager=True)
-    sigs.createOrReplaceTempView("_r9_simhash_sigs_bb")
-    return spark.sql(_bit_balance_final("_r9_simhash_sigs_bb", SPARK))
+    v = register_temp_view(sigs, "_r9_simhash_sigs_bb")
+    return spark.sql(_bit_balance_final(v, SPARK))
 
 
 def _bit_balance_final(sigs_src: str, dialect: str, nbits: int = 16) -> str:
@@ -933,8 +934,8 @@ def quality_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = spark.sql(_quality_half_counts_core(SPARK)).localCheckpoint(
         eager=True
     )
-    counts.createOrReplaceTempView("_r9_quality_half_counts")
-    return spark.sql(_quality_drift_final("_r9_quality_half_counts", SPARK))
+    v = register_temp_view(counts, "_r9_quality_half_counts")
+    return spark.sql(_quality_drift_final(v, SPARK))
 
 
 def _quality_drift_ks_oracle() -> str:
@@ -1016,10 +1017,10 @@ def embedding_centroid_confusion_q(spark: SparkSession, sf_dir: str) -> DataFram
 
     register_views(spark, sf_dir)
     ve = spark.sql(_vec_explode_core(SPARK)).localCheckpoint(eager=True)
-    ve.createOrReplaceTempView("_r9_vec_elems")
+    vve = register_temp_view(ve, "_r9_vec_elems")
     means = spark.sql(centroid_means_sql(SPARK)).localCheckpoint(eager=True)
-    means.createOrReplaceTempView("_r9_cmeans")
-    return spark.sql(_centroid_confusion_final("_r9_vec_elems", "_r9_cmeans"))
+    vmeans = register_temp_view(means, "_r9_cmeans")
+    return spark.sql(_centroid_confusion_final(vve, vmeans))
 
 
 def _embedding_centroid_confusion_oracle() -> str:
@@ -1080,7 +1081,7 @@ def lsh_capture_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = DD.ngram_jaccard_pairs(spark, threshold=0.05).localCheckpoint(
         eager=True
     )
-    truth.createOrReplaceTempView("_r9_lsh_truth")
+    vtruth = register_temp_view(truth, "_r9_lsh_truth")
     bands = spark.sql(DD.minhash_bands_sql(SPARK)).localCheckpoint(eager=True)
     cands = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
@@ -1093,8 +1094,8 @@ def lsh_capture_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cands.createOrReplaceTempView("_r9_lsh_cands")
-    return spark.sql(_lsh_capture_final("_r9_lsh_truth", "_r9_lsh_cands"))
+    vcands = register_temp_view(cands, "_r9_lsh_cands")
+    return spark.sql(_lsh_capture_final(vtruth, vcands))
 
 
 def _lsh_capture_curve_oracle() -> str:

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog_base import register_views
+from .session import register_temp_view
 from .functions.portable import (
     DUCK,
     SPARK,
@@ -389,10 +390,10 @@ def _lsh_candidate_edges(spark: SparkSession) -> DataFrame:
     would recompute the whole signature pipeline per reference)."""
     from .functions.dedup import minhash_bands_sql
 
-    spark.sql(minhash_bands_sql(SPARK)).createOrReplaceTempView("_g_bands")
+    v = register_temp_view(spark.sql(minhash_bands_sql(SPARK)), "_g_bands")
     return spark.sql(
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM _g_bands a JOIN _g_bands b "
+        f"FROM {v} a JOIN {v} b "
         "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"
     ).localCheckpoint(eager=True)
 
@@ -444,31 +445,31 @@ def neardup_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_bands_sql), the degree table, and the oriented-edge frame
     are each multi-referenced and checkpointed once."""
     register_views(spark, sf_dir)
-    _lsh_candidate_edges(spark).createOrReplaceTempView("_tri_edges")
+    ve = register_temp_view(_lsh_candidate_edges(spark), "_tri_edges")
     # deg feeds the orientation (twice) + the wedge total; o feeds both
     # wedge sides + the closing join — checkpoint each once (CTE
     # re-inlining would recompute deg 3x and the orientation join 3x)
     deg = spark.sql(
         "SELECT v, CAST(COUNT(*) AS BIGINT) AS d "
-        "FROM (SELECT doc_a AS v FROM _tri_edges "
-        "      UNION ALL SELECT doc_b AS v FROM _tri_edges) _u GROUP BY v"
+        f"FROM (SELECT doc_a AS v FROM {ve} "
+        f"      UNION ALL SELECT doc_b AS v FROM {ve}) _u GROUP BY v"
     ).localCheckpoint(eager=True)
-    deg.createOrReplaceTempView("_tri_deg")
+    vdeg = register_temp_view(deg, "_tri_deg")
     o = spark.sql(
-        """
+        f"""
 SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
        THEN e.doc_a ELSE e.doc_b END AS u,
        CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
        THEN e.doc_b ELSE e.doc_a END AS v,
        CASE WHEN da.d < db.d OR (da.d = db.d AND e.doc_a < e.doc_b)
        THEN db.d ELSE da.d END AS dv
-FROM _tri_edges e
-JOIN _tri_deg da ON da.v = e.doc_a JOIN _tri_deg db ON db.v = e.doc_b
+FROM {ve} e
+JOIN {vdeg} da ON da.v = e.doc_a JOIN {vdeg} db ON db.v = e.doc_b
 """
     ).localCheckpoint(eager=True)
-    o.createOrReplaceTempView("_tri_o")
+    vo = register_temp_view(o, "_tri_o")
     return spark.sql(
-        """
+        f"""
 WITH wedge AS (
   -- wedge endpoints ordered by the SAME (degree, id) orientation key,
   -- so the closing edge (if any) is oriented exactly x -> y: the
@@ -477,16 +478,16 @@ WITH wedge AS (
          THEN a.v ELSE b.v END AS x,
          CASE WHEN a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v)
          THEN b.v ELSE a.v END AS y
-  FROM _tri_o a JOIN _tri_o b ON a.u = b.u AND a.v < b.v),
+  FROM {vo} a JOIN {vo} b ON a.u = b.u AND a.v < b.v),
 tri AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS t
-  FROM wedge w JOIN _tri_o o ON o.u = w.x AND o.v = w.y),
+  FROM wedge w JOIN {vo} o ON o.u = w.x AND o.v = w.y),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
     CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
-  FROM _tri_deg)
+  FROM {vdeg})
 SELECT s.n_nodes,
-  CAST((SELECT COUNT(*) FROM _tri_edges) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*) FROM {ve}) AS BIGINT) AS n_edges,
   s.n_wedges, tri.t AS n_triangles,
   ROUND(CAST(3 * tri.t AS DOUBLE) / NULLIF(s.n_wedges, 0), 6)
     AS global_clustering
@@ -554,12 +555,12 @@ def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain = spark.sql(f"WITH {_wm_grain_cte()} SELECT * FROM c").localCheckpoint(
         eager=True
     )
-    grain.createOrReplaceTempView("_wm_c")
+    vc = register_temp_view(grain, "_wm_c")
     rng = spark.sql(
         "SELECT MIN(CAST(x AS DOUBLE)) AS minx, MAX(CAST(x AS DOUBLE)) AS maxx "
-        "FROM _wm_c"
+        f"FROM {vc}"
     ).localCheckpoint(eager=True)
-    rng.createOrReplaceTempView("_wm_rng")
+    vrng = register_temp_view(rng, "_wm_rng")
     b = (
         f"LEAST(CAST(FLOOR((CAST(x AS DOUBLE) - minx) * {_WM_BUCKETS}.0 "
         f"/ (maxx - minx + 0.01)) AS INT), {_WM_BUCKETS - 1})"
@@ -568,7 +569,7 @@ def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
 WITH bw AS (
   SELECT g, {b} AS b, SUM(wt) AS bwt
-  FROM _wm_c CROSS JOIN _wm_rng GROUP BY g, {b})
+  FROM {vc} CROSS JOIN {vrng} GROUP BY g, {b})
 SELECT g, b, bwt,
   SUM(bwt) OVER (PARTITION BY g ORDER BY b
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
@@ -576,19 +577,19 @@ SELECT g, b, bwt,
 FROM bw
 """
     ).localCheckpoint(eager=True)
-    bcum.createOrReplaceTempView("_wm_bcum")
+    vbcum = register_temp_view(bcum, "_wm_bcum")
     return spark.sql(
         f"""
 WITH probe AS (
-  SELECT g, MIN(b) AS mb FROM _wm_bcum WHERE 2 * cb >= tw GROUP BY g),
+  SELECT g, MIN(b) AS mb FROM {vbcum} WHERE 2 * cb >= tw GROUP BY g),
 below AS (
   SELECT bc.g, bc.tw,
     COALESCE(SUM(CASE WHEN bc.b < p.mb THEN bc.bwt END), 0) AS cbelow
-  FROM _wm_bcum bc JOIN probe p ON p.g = bc.g
+  FROM {vbcum} bc JOIN probe p ON p.g = bc.g
   GROUP BY bc.g, bc.tw),
 fin AS (
   SELECT c.g, c.x, c.wt, bl.cbelow, bl.tw
-  FROM _wm_c c CROSS JOIN _wm_rng
+  FROM {vc} c CROSS JOIN {vrng}
   JOIN probe p ON p.g = c.g AND {b} = p.mb
   JOIN below bl ON bl.g = c.g),
 fcum AS (
@@ -763,8 +764,8 @@ def source_lang_chisq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds four consumers, so the Spark form checkpoints it once."""
     register_views(spark, sf_dir)
     obs = spark.sql(_chisq_cells_core()).localCheckpoint(eager=True)
-    obs.createOrReplaceTempView("_chisq_obs")
-    return spark.sql(_chisq_final("_chisq_obs"))
+    v = register_temp_view(obs, "_chisq_obs")
+    return spark.sql(_chisq_final(v))
 
 
 def source_lang_chisq_oracle() -> str:

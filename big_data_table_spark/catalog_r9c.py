@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .catalog_base import register_views
 from .functions.portable import DUCK, SPARK, days_since_epoch, lateral_seq
+from .session import register_temp_view
 
 
 def _idiv(a: str, b: str, dialect: str) -> str:
@@ -102,10 +103,13 @@ def bitmap_presence_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact counterpart of ``hll_rolling_7day``."""
     register_views(spark, sf_dir)
     day = days_since_epoch("ts", SPARK)
-    spark.sql(
-        f"WITH {_bitmap_cte(day, SPARK)} SELECT * FROM bm"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("_bm_day")
-    return spark.sql("WITH " + _retention_final_sql("_bm_day"))
+    v = register_temp_view(
+        spark.sql(
+            f"WITH {_bitmap_cte(day, SPARK)} SELECT * FROM bm"
+        ).localCheckpoint(eager=True),
+        "_bm_day",
+    )
+    return spark.sql("WITH " + _retention_final_sql(v))
 
 
 def bitmap_presence_retention_oracle() -> str:
@@ -144,10 +148,13 @@ def bitmap_audience_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same inlining rule as the retention entry); the word-aligned
     self-join shuffles bitmap words, never user-grain rows."""
     register_views(spark, sf_dir)
-    spark.sql(
-        f"WITH {_bitmap_cte('event_type', SPARK)} SELECT * FROM bm"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("_bm_et")
-    return spark.sql("WITH " + _jaccard_final_sql("_bm_et"))
+    v = register_temp_view(
+        spark.sql(
+            f"WITH {_bitmap_cte('event_type', SPARK)} SELECT * FROM bm"
+        ).localCheckpoint(eager=True),
+        "_bm_et",
+    )
+    return spark.sql("WITH " + _jaccard_final_sql(v))
 
 
 def bitmap_audience_jaccard_oracle() -> str:
@@ -1008,15 +1015,18 @@ def udtf_order_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     spark.udtf.register("installments", Installments)
-    Tables(spark, sf_dir).orders.selectExpr(
-        "o_orderkey",
-        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
-    ).createOrReplaceTempView("_udtf_orders")
+    v = register_temp_view(
+        Tables(spark, sf_dir).orders.selectExpr(
+            "o_orderkey",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+        ),
+        "_udtf_orders",
+    )
     return spark.sql(
-        """
+        f"""
 SELECT i.slot, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(CAST(SUM(i.cents) AS DECIMAL(38,0)) AS DOUBLE) / 100 AS total_amount
-FROM _udtf_orders o, LATERAL installments(o.cents) AS i
+FROM {v} o, LATERAL installments(o.cents) AS i
 GROUP BY i.slot
 """
     )
@@ -1117,10 +1127,13 @@ def bitmap_rolling_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out joins WORD rows, never user-grain rows."""
     register_views(spark, sf_dir)
     day = days_since_epoch("ts", SPARK)
-    spark.sql(
-        f"WITH {_bitmap_cte(day, SPARK)} SELECT * FROM bm"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("_bm_roll")
-    return spark.sql("WITH " + _rolling_reach_final_sql("_bm_roll"))
+    v = register_temp_view(
+        spark.sql(
+            f"WITH {_bitmap_cte(day, SPARK)} SELECT * FROM bm"
+        ).localCheckpoint(eager=True),
+        "_bm_roll",
+    )
+    return spark.sql("WITH " + _rolling_reach_final_sql(v))
 
 
 def bitmap_rolling_reach_oracle() -> str:
@@ -1392,10 +1405,10 @@ def jackknife_mean_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Leave-one-out estimates and their deviations quantize ROUND(.,9)
     -> DECIMAL before the order-sensitive sums."""
     register_views(spark, sf_dir)
-    spark.sql(_jk_blocks_sql(SPARK)).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("_jk_b")
-    return spark.sql("WITH " + _jk_final_sql("_jk_b").lstrip())
+    v = register_temp_view(
+        spark.sql(_jk_blocks_sql(SPARK)).localCheckpoint(eager=True), "_jk_b"
+    )
+    return spark.sql("WITH " + _jk_final_sql(v).lstrip())
 
 
 def jackknife_mean_variance_oracle() -> str:
@@ -1515,10 +1528,10 @@ def survival_logrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sums, and the per-segment at-risk windows run over the
     value-grain duration table."""
     register_views(spark, sf_dir)
-    spark.sql(_logrank_agg_sql(SPARK)).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("_lr_agg")
-    return spark.sql("WITH " + _logrank_final_sql("_lr_agg").lstrip())
+    v = register_temp_view(
+        spark.sql(_logrank_agg_sql(SPARK)).localCheckpoint(eager=True), "_lr_agg"
+    )
+    return spark.sql("WITH " + _logrank_final_sql(v).lstrip())
 
 
 def survival_logrank_oracle() -> str:
@@ -1570,11 +1583,11 @@ def segment_theilsen_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope one IEEE division of exact integers, the median from the
     pinned percentile pair over identical doubles."""
     register_views(spark, sf_dir)
-    spark.sql(_monthly_series_sql()).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("_ts_my")
+    v = register_temp_view(
+        spark.sql(_monthly_series_sql()).localCheckpoint(eager=True), "_ts_my"
+    )
     return spark.sql(
-        "WITH " + _theilsen_final_sql("_ts_my", "percentile").lstrip()
+        "WITH " + _theilsen_final_sql(v, "percentile").lstrip()
     )
 
 
@@ -1632,10 +1645,11 @@ def text_collocations_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlining would re-run the corpus explosion per reference (the
     house rule, measured 7 exchanges flat-text)."""
     register_views(spark, sf_dir)
-    spark.sql(_bigram_counts_sql(SPARK)).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("_pmi_c12")
-    return spark.sql("WITH " + _pmi_final_sql("_pmi_c12").lstrip())
+    v = register_temp_view(
+        spark.sql(_bigram_counts_sql(SPARK)).localCheckpoint(eager=True),
+        "_pmi_c12",
+    )
+    return spark.sql("WITH " + _pmi_final_sql(v).lstrip())
 
 
 def text_collocations_pmi_oracle() -> str:

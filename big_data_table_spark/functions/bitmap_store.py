@@ -4,7 +4,11 @@ counts; this store answers them exactly).
 
 Row schema (day, chunk, word, bm): user ids packed 62 per BIGINT word
 (62 keeps every mask strictly positive — no sign-bit edge cases), one
-bitmap word per (day, chunk, word).  Store size per day is
+bitmap word per (day, chunk, word).  Packing uses pmod + the floor-div
+consistent with it (r9 ADVICE), so negative ids land on well-defined
+(word, bit) coordinates too — the bijection v = 62*word + bit holds
+over the whole BIGINT range, not just the dense non-negative case the
+store is sized for.  Store size per day is
 chunks * ceil(max_id / 62) rows — the roaring-bitmap idea without the
 compression tiers, sized for dense integer id spaces (the sparse-id
 case is the HLL store's territory; the two are deliberate companions).
@@ -50,16 +54,22 @@ def _packed_bitmaps(
     (empty for the plain day store).  Returns
     (day, *groups, word, bm)."""
     day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
-    vid = F.col(value_col).cast("long")
     names = list(group_exprs)
+    # pmod keeps bit in [0, 62) for NEGATIVE ids too (Spark % follows
+    # the dividend's sign, which would make shiftleft undefined); the
+    # word index is the floor-div consistent with pmod, computed in
+    # exact integer arithmetic (vid - pmod is a multiple of 62, so
+    # truncating DIV equals floor division; no double round-trip —
+    # ids past 2^53 must not lose precision).  (v -> (word, bit) stays
+    # a bijection: v = 62*word + bit.)
+    vid_sql = f"CAST({value_col} AS BIGINT)"
+    bit_sql = f"pmod({vid_sql}, {_WORD_BITS})"
     return (
         ev.select(
             day,
             *[expr.alias(name) for name, expr in group_exprs.items()],
-            # integer DIV, not double /: ids past 2^53 must not lose
-            # precision in the word index
-            F.expr(f"CAST({value_col} AS BIGINT) DIV {_WORD_BITS}").alias("word"),
-            (vid % _WORD_BITS).cast("int").alias("bit"),
+            F.expr(f"({vid_sql} - {bit_sql}) DIV {_WORD_BITS}").alias("word"),
+            F.expr(f"CAST({bit_sql} AS INT)").alias("bit"),
         )
         .distinct()
         .groupBy("day", *names, "word")
@@ -103,7 +113,16 @@ def bitmap_rollup_append_chunk(
     """Incremental maintenance: bitmap ONE slice (caller filters) and
     append its rows under every day the slice touched.  At-least-once
     safe by the merge law alone: replayed rows BIT_OR to nothing new —
-    no overwrite, no DISTINCT, no determinism argument needed."""
+    no overwrite, no DISTINCT, no determinism argument needed.
+    Chunk ids must be non-negative — negative ids are reserved for the
+    compaction verb (the store-matrix-wide contract; for THIS store a
+    collision would be absorbed by BIT_OR anyway, but the uniform rule
+    keeps the verbs interchangeable across merge classes)."""
+    if int(chunk) < 0:
+        raise ValueError(
+            f"chunk id {chunk} is reserved: negative ids belong to the "
+            "compaction verb; append chunk ids must be non-negative"
+        )
     rows = bitmap_day_rows(ev_chunk, chunk, value_col, ts_col)
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
@@ -123,7 +142,8 @@ def bitmap_rollup_append_batch(
 
 def bitmap_rollup_compact(spark, path: str, day: str) -> int:
     """Compaction verb: BIT_OR one day's chunk bitmaps into a single
-    chunk-0 bitmap (<= ceil(max_id/62) rows).  The range-read algebra is
+    bitmap at the RESERVED ``chunk=-1`` (<= ceil(max_id/62) rows;
+    appenders reject negative ids, so no append collides with it).  The range-read algebra is
     bit-identical before and after — BIT_OR is associative, so merging
     chunks early changes nothing (the store's merge law, pinned).  Same
     dot-tmp + rename-aside swap as the other compactors
@@ -140,14 +160,14 @@ def bitmap_rollup_compact(spark, path: str, day: str) -> int:
     )
     tmp = os.path.join(path, f".day={day}.compact.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=0"))
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
     from .sketches import _swap_dir_in
 
     _swap_dir_in(tmp, part_dir)
     return len(
         [
             f
-            for f in os.listdir(os.path.join(part_dir, "chunk=0"))
+            for f in os.listdir(os.path.join(part_dir, "chunk=-1"))
             if f.endswith(".parquet")
         ]
     )

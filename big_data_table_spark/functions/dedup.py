@@ -257,14 +257,16 @@ def ngram_jaccard_pairs(spark, threshold: float = 0.5, max_df: int = 50):
     materialization instead of re-running the shingle explode per
     reference (measured 32 exchanges flat vs 5 here on the
     neardup_source_matrix plan).  The SQL text remains the oracle."""
+    from ..session import register_temp_view
+
     sf = ngram_filtered_shingles(spark, max_df)
-    sf.createOrReplaceTempView("_ngram_sf")
+    v = register_temp_view(sf, "_ngram_sf")
     return spark.sql(
-        "WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM _ngram_sf "
+        f"WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM {v} "
         "  GROUP BY doc_id), "
         "langs AS (SELECT doc_id, lang FROM documents), "
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
-        "  FROM _ngram_sf a JOIN _ngram_sf b "
+        f"  FROM {v} a JOIN {v} b "
         "  ON a.sh = b.sh AND a.doc_id < b.doc_id "
         "  JOIN langs la ON la.doc_id = a.doc_id "
         "  JOIN langs lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang "
@@ -871,19 +873,21 @@ def prefix_filter_jaccard_pairs(spark):
     (sizes, df, both join sides, verify) so it is checkpointed once
     (Spark re-inlines CTEs).  Identical output to the brute oracle by
     the losslessness of steps 2-3."""
+    from ..session import register_temp_view
+
     sh = spark.sql(
         f"WITH {_words_cte(SPARK)}, {_shingles_cte(SPARK)} "
         "SELECT doc_id, sh FROM shingles"
     ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("_pfx_sh")
+    v = register_temp_view(sh, "_pfx_sh")
     return spark.sql(
         f"""
-WITH {prefix_filter_candidate_ctes("_pfx_sh")},
+WITH {prefix_filter_candidate_ctes(v)},
 inter AS (
   SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
   FROM cand c
-  JOIN _pfx_sh x ON x.doc_id = c.doc_a
-  JOIN _pfx_sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  JOIN {v} x ON x.doc_id = c.doc_a
+  JOIN {v} y ON y.doc_id = c.doc_b AND y.sh = x.sh
   GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b)
 SELECT doc_a, doc_b, i,
   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,

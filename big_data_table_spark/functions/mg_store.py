@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 # partials and the range read is the gather, with honest bounds.
 # ------------------------------------------------------------------ #
 
+COMPACT_CHUNK = -1
+"""Reserved chunk id owned by the compaction verb (r9 ADVICE): appenders
+REJECT negative chunk ids, so a compacted summary (written at
+``chunk=-1``) can never be mixed with — or, in the additive stores,
+overwritten by — a later append reusing its id.  Caller contract on the
+append verbs: chunk ids must be NON-NEGATIVE and unique per day; the
+summaries of two different slices landing under one (day, chunk) would
+merge two different ``thr`` prune lines into one summary and corrupt
+the [lower, upper] bound algebra."""
+
+
+def _check_append_chunk(chunk: int) -> None:
+    if int(chunk) < 0:
+        raise ValueError(
+            f"chunk id {chunk} is reserved: negative ids belong to the "
+            "compaction verb (COMPACT_CHUNK); append chunk ids must be "
+            "non-negative and unique per day"
+        )
+
+
 def mg_chunk_summary(
     ev_chunk: DataFrame,
     day: str,
@@ -134,7 +154,9 @@ def mg_rollup_append_batch(
     at-least-once replay appends byte-identical rows and the read
     path's DISTINCT absorbs them (SET class — no overwrite
     choreography needed, the simplest replay contract in the store
-    matrix)."""
+    matrix).  Batch ids must be non-negative (negative = reserved for
+    compaction) and unique per day across appenders."""
+    _check_append_chunk(batch_id)
     rows = _mg_day_summaries(batch_df, value_col, ts_col, cap, chunk=batch_id)
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
@@ -151,14 +173,20 @@ def mg_rollup_append_chunk(
     append its ≤ cap+... rows under ``day=<day>``.  At-least-once safe:
     the summary is deterministic, so a replay appends duplicate
     identical rows and the read path's DISTINCT absorbs them (same SET
-    contract as the theta store's samples)."""
+    contract as the theta store's samples).  Chunk ids must be
+    non-negative (negative = reserved for compaction) and unique per
+    day across appenders — two slices under one (day, chunk) would mix
+    summaries with different thresholds."""
+    _check_append_chunk(chunk)
     rows = mg_chunk_summary(ev_chunk, day, chunk, value_col, cap)
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
 
 def mg_rollup_compact(spark, path: str, day: str) -> int:
     """Compaction verb: merge one day's chunk summaries into a single
-    chunk-0 summary WITHOUT re-pruning (≤ chunks·cap rows — still
+    summary at the RESERVED ``chunk=-1`` (appenders reject negative
+    ids, so no later append can collide with the compacted summary)
+    WITHOUT re-pruning (≤ chunks·cap rows — still
     bounded): per key, ``c`` sums over chunks containing it and ``ube``
     absorbs the thresholds of sibling chunks it was absent from; the
     merged ``thr`` is the chunk thresholds' sum.  The range-read
@@ -181,8 +209,8 @@ def mg_rollup_compact(spark, path: str, day: str) -> int:
         )
         .crossJoin(F.broadcast(tot))
         .select(
-            # chunk stays a directory partition (tmp/chunk=0), never an
-            # in-file column — the cms_rollup_compact layout
+            # chunk stays a directory partition (tmp/chunk=-1, the
+            # reserved compact id), never an in-file column
             "v",
             "c",
             (F.col("ube0") + F.col("t") - F.col("pthr")).cast("long").alias("ube"),
@@ -192,14 +220,14 @@ def mg_rollup_compact(spark, path: str, day: str) -> int:
     )
     tmp = os.path.join(path, f".day={day}.compact.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=0"))
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, f"chunk={COMPACT_CHUNK}"))
     from .sketches import _swap_dir_in
 
     _swap_dir_in(tmp, part_dir)
     return len(
         [
             f
-            for f in os.listdir(os.path.join(part_dir, "chunk=0"))
+            for f in os.listdir(os.path.join(part_dir, f"chunk={COMPACT_CHUNK}"))
             if f.endswith(".parquet")
         ]
     )

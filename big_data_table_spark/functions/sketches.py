@@ -1130,20 +1130,58 @@ def mg_candidates(df: DataFrame, value_col: str, capacity: int = 512) -> DataFra
 
 
 def mg_heavy_hitters(
-    df: DataFrame, value_col: str, capacity: int = 512, topk: int = 20
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 512,
+    topk: int = 20,
+    check_exact: bool = True,
 ) -> DataFrame:
     """Exact top-``topk`` keys by frequency via the two-pass MG scheme:
     ``(key, true_cnt)``, ordered selection with a deterministic (count
-    desc, key) tie-break via TakeOrderedAndProject."""
+    desc, key) tie-break via TakeOrderedAndProject.
+
+    Exactness guard (r9 ADVICE): the scheme is provably exact only
+    while ``capacity > N / freq(k-th key)`` — the r9 sf0.1 sweep caught
+    a fixture-tuned capacity silently missing true top keys when the
+    data outgrew it.  With ``check_exact`` the plan asserts IN-ROW that
+    every returned count clears the prune line (``true_cnt * capacity >
+    N``) and fails loudly otherwise.  When the assert passes, any key
+    absent from the candidate set has count ≤ N/capacity < the smallest
+    returned count, so no returned rank can be wrong.  Costs one extra
+    column-pruned count pass over ``df``; disable for pre-validated
+    capacities."""
     cands = mg_candidates(df, value_col, capacity).distinct()
     vals = df.select(F.col(value_col).cast("long").alias("v"))
-    return (
+    top = (
         vals.join(F.broadcast(cands), "v")
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
         .orderBy(F.col("true_cnt").desc(), F.col("v"))
         .limit(topk)
         .select(F.col("v").alias("key"), "true_cnt")
+    )
+    if not check_exact:
+        return top
+    n_total = vals.agg(F.count(F.lit(1)).cast("long").alias("_n_total"))
+    return (
+        top.crossJoin(F.broadcast(n_total))
+        .filter(
+            F.assert_true(
+                F.col("true_cnt") * F.lit(capacity) > F.col("_n_total"),
+                F.concat_ws(
+                    " ",
+                    F.lit(
+                        "mg_heavy_hitters: exactness precondition violated —"
+                        f" capacity {capacity} is too small (need capacity >"
+                        " N / freq(k-th key)); returned count"
+                    ),
+                    F.col("true_cnt"),
+                    F.lit("does not clear the prune line N/capacity with N ="),
+                    F.col("_n_total"),
+                ),
+            ).isNull()
+        )
+        .drop("_n_total")
     )
 
 
@@ -2158,7 +2196,15 @@ def cms_rollup_append_chunk(
     Dynamic partition overwrite makes the verb IDEMPOTENT — the
     additive-class replay contract (see module comment): re-running an
     append replaces the same partition with the same counters instead of
-    doubling them."""
+    doubling them.  Chunk ids must be NON-NEGATIVE — negative ids are
+    reserved for the compaction verb, and in THIS additive class the
+    contract has teeth: an append overwriting the compacted partition
+    would silently delete the merged counters."""
+    if int(chunk) < 0:
+        raise ValueError(
+            f"chunk id {chunk} is reserved: negative ids belong to the "
+            "compaction verb; append chunk ids must be non-negative"
+        )
     counters = cms_counter_table(ev_chunk, value_col, w=w, d=d)
     rows = counters.select(
         F.lit(day).alias("day"),
@@ -2176,8 +2222,11 @@ def cms_rollup_append_chunk(
 
 
 def cms_rollup_compact(spark, path: str, day: str) -> int:
-    """Compaction verb: re-SUM one day's chunks into a single chunk-0
-    file — for the additive class, compaction IS the merge (exact
+    """Compaction verb: re-SUM one day's chunks into a single file at
+    the RESERVED ``chunk=-1`` (appenders reject negative ids — vital in
+    the additive class, where an overwrite-style append reusing the
+    compact id would silently delete the merged counters) — for the
+    additive class, compaction IS the merge (exact
     integer addition), so range reads before and after are bit-identical.
     Same dot-tmp + rename-aside swap as the other stores' compactors
     (single-writer verb: the old day is renamed aside, so the partition
@@ -2195,12 +2244,12 @@ def cms_rollup_compact(spark, path: str, day: str) -> int:
     )
     tmp = os.path.join(path, f".day={day}.compact.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=0"))
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
     _swap_dir_in(tmp, part_dir)
     return len(
         [
             f
-            for f in os.listdir(os.path.join(part_dir, "chunk=0"))
+            for f in os.listdir(os.path.join(part_dir, "chunk=-1"))
             if f.endswith(".parquet")
         ]
     )
@@ -2370,7 +2419,13 @@ def cms_rollup_append_batch(
     same partitions with the same counters (the additive class's
     exactly-once contract), and because counter addition is exact the
     read-side SUM over (day, chunk) equals the one-shot sketch
-    bit-for-bit no matter how the stream batched the days."""
+    bit-for-bit no matter how the stream batched the days.  Batch ids
+    must be non-negative (negative = reserved for compaction)."""
+    if int(batch_id) < 0:
+        raise ValueError(
+            f"batch id {batch_id} is reserved: negative ids belong to "
+            "the compaction verb"
+        )
     rows = _cms_day_counters(batch_df, value_col, ts_col, w, d).withColumn(
         "chunk", F.lit(int(batch_id))
     )

@@ -24,6 +24,23 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "big-data-table-spark"
 
+_VIEW_SEQ = 0
+
+
+def register_temp_view(df, prefix: str) -> str:
+    """Register ``df`` as a temp view under a UNIQUE per-call name
+    (``{prefix}_{n}``) and return the name (r9 ADVICE: fixed
+    session-global view names let two concurrently-built lazy queries
+    read each other's replaced views).  Callers interpolate the
+    returned name into their SQL text; the dual-dialect ORACLE texts
+    keep their fixed names — DuckDB runs each oracle in its own
+    connection, where no collision exists."""
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    name = f"{prefix}_{_VIEW_SEQ}"
+    df.createOrReplaceTempView(name)
+    return name
+
 
 def default_parallelism() -> int:
     """Local-mode thread count; on a real cluster this is ignored."""

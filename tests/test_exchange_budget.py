@@ -75,7 +75,8 @@ BUDGET = {
     "theta_sketch_intersection": 4,  # final assembly over checkpointed
                                  # ≤k-row samples (sample build pays its
                                  # own exchanges once, before checkpoint)
-    "mg_heavy_hitters": 2,       # candidate distinct + recount agg;
+    "mg_heavy_hitters": 3,       # candidate distinct + recount agg +
+                                 # the r10 exactness-guard count pass;
                                  # top-k is TakeOrderedAndProject
     "hll_daily_rollup_range": 6, # assembly over the checkpointed daily
                                  # rollup + exact-audit distinct (which a

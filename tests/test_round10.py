@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pathlib
 
+from pyspark.sql import functions as F
+
 from big_data_table_spark import catalog
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
@@ -19,6 +21,50 @@ def test_coverage_md_mentions_every_entry():
     cov = (REPO / "COVERAGE.md").read_text()
     missing = [name for name in catalog.queries() if name not in cov]
     assert not missing, f"COVERAGE.md holes: {missing}"
+
+
+def test_bitmap_packing_exact_for_negative_ids(spark, tmp_path):
+    """r9 ADVICE: the old ``%``/DIV packing gave negative ids a negative
+    bit (undefined shiftleft).  pmod + consistent floor-div must keep
+    the store EXACT over ids of both signs."""
+    from big_data_table_spark.functions import bitmap_store as B
+
+    ids = [-125, -124, -63, -62, -61, -1, 0, 1, 61, 62, 123, -1, 0]
+    ev = spark.createDataFrame(
+        [(i, "2024-01-05 10:00:00") for i in ids], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "negbm")
+    B.bitmap_rollup_build(ev, path)
+    out = B.bitmap_rollup_range_daily(
+        spark, path, "2024-01-01", "2024-01-31"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["dau"] == out[0]["range_distinct"] == len(set(ids))
+    # bijection check: every packed bit is in [0, 62)
+    words = spark.read.parquet(path)
+    packed = B._packed_bitmaps(ev, "user_id", "ts", {})
+    assert words.count() == packed.count()
+
+
+def test_mg_exactness_guard_fails_loudly_when_capacity_undersized(spark):
+    """r9 ADVICE: the MG two-pass top-k must raise — not return a
+    silently wrong result — when capacity <= N / freq(k-th key).
+    Near-uniform keys with a tiny capacity violate the precondition."""
+    import pytest
+
+    from big_data_table_spark.functions.sketches import mg_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(k,) for k in range(5000) for _ in range(3)], "user_id long"
+    )
+    with pytest.raises(Exception, match="exactness precondition"):
+        mg_heavy_hitters(df, "user_id", capacity=8, topk=20).collect()
+    # and the guard is silent when the precondition holds
+    skew = df.union(
+        spark.createDataFrame([(7,)] * 20000, "user_id long")
+    )
+    out = mg_heavy_hitters(skew, "user_id", capacity=4096, topk=1).collect()
+    assert out[0]["key"] == 7 and out[0]["true_cnt"] == 20003
 
 
 def test_r10_window_staging():
