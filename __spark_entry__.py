@@ -24,7 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: TPC-H-Q1-shaped pricing
     summary over lineitem (the reference's canonical grouped-aggregation
     shape at full width)."""
-    return _catalog.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    return _catalog.CATALOG["q1_pricing_summary"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

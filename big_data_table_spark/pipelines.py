@@ -37,7 +37,7 @@ def exact_dedup_keepers(docs: DataFrame) -> DataFrame:
 def neardup_keepers(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Drop near-duplicates: MinHash-LSH candidates → connected
     components → keep min-id per cluster.  Iterative (bounded) stage."""
-    from .catalog import _minhash_lsh_pairs_fn
+    from .catalog_breadth import _minhash_lsh_pairs_fn
     from .operators.graph import connected_components
 
     pairs = _minhash_lsh_pairs_fn(spark, spark.conf.get("bdt.sf_dir"))

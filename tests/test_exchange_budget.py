@@ -574,6 +574,118 @@ BUDGET = {
                                  # pair self-join + median agg
     "text_collocations_pmi": 3,  # bigram counts checkpointed; marginal
                                  # aggs ride the vocab-bounded view
+    # round 10 backfill (VERDICT r9 #3): every remaining catalog entry,
+    # measured at sf0.001 — the gate now covers the WHOLE catalog, so
+    # any new exchange in any entry's static plan is a visible failure.
+    # Streaming entries pin the post-stream read-back query's plan.
+    "stream_mg_rollup_store": 4,
+    "stream_left_outer_join": 0,
+    "stream_full_outer_join": 0,
+    "stream_crawl_dedup": 1,
+    "stream_quality_monitor": 0,
+    "kmeans_ivf_train": 3,
+    "q3_shipping_priority": 1,
+    "q4_order_priority": 1,
+    "q14_promo_revenue": 1,
+    "q18_large_orders": 1,
+    "date_functions": 0,
+    "partitioned_etl_rollup": 1,
+    "text_top_bigrams": 2,
+    "events_funnel": 2,
+    "embedding_quantize_int8": 0,
+    "events_heatmap": 1,
+    "multimodal_frame_sample": 1,
+    "media_dedup_digest": 1,
+    "stream_foreachbatch_sink": 1,
+    "stream_asof_enrich": 0,
+    "stream_late_data_accounting": 0,
+    "hll_cardinality_grouped": 4,
+    "hll_union_audience": 6,
+    "multimodal_ppm_decode": 0,
+    "bucketed_etl_revenue": 1,
+    "stream_cms_rollup_store": 1,
+    "stream_hll_daily": 1,
+    "pandas_udaf_quantiles": 1,
+    "sample_fixed_k": 0,
+    "stratified_sample": 1,
+    "weighted_sample_per_group": 1,
+    "orders_by_month": 1,
+    "multimodal_features": 1,
+    "multimodal_resize_meta": 1,
+    "events_json_extract": 1,
+    "events_asof_forward": 1,
+    "stream_sliding_10x5": 0,
+    "stream_session_30min": 0,
+    "stream_tumbling_5min": 0,
+    "stream_click_purchase_join": 0,
+    "events_anomaly_zscore": 2,
+    "dedup_pipeline_summary": 6,
+    "dedup_exact": 1,
+    "dedup_minhash_signature": 2,
+    "dedup_minhash_lsh_pairs": 4,
+    "dedup_components": 0,
+    "dedup_simhash": 2,
+    "dedup_simhash_candidates": 16,
+    "text_winnow_fingerprint": 2,
+    "text_token_count": 0,
+    "text_lang_id": 0,
+    "text_quality_score": 0,
+    "text_fingerprint": 0,
+    "embedding_neardup": 1,
+    "ann_topk_cosine": 3,
+    "ann_lsh_pairs": 2,
+    "ann_ivf_topk": 11,
+    "stream_cms_heavy_hitters": 2,
+    "stream_tdigest_daily": 2,
+    "ann_ivfpq_topk": 19,
+    "stream_bloom_seen_index": 11,
+    "stream_packing_ledger": 6,
+    "stream_hll_cardinality": 2,
+    "stream_dedup_counts": 0,
+    "stream_dedup_watermark": 0,
+    "stream_stateful_counts": 0,
+    "stream_static_enrich": 0,
+    "quantile_sketch_grouped": 2,
+    "corpus_source_mix": 2,
+    "dedup_crosslingual_pairs": 5,
+    "embedding_label_centroids": 2,
+    "embedding_pca_power": 2,
+    "ann_ivf_trained_topk": 6,
+    "ann_pq_topk": 9,
+    "ann_pq_trained_topk": 3,
+    "text_bigram_cross_entropy": 10,
+    "text_lang_id_confusion": 1,
+    "text_repetition_ratio": 3,
+    "range_join_prices": 1,
+    "semi_join_orders": 1,
+    "anti_join_customers": 1,
+    "cross_join_region_nation": 0,
+    "grouped_mean": 1,
+    "agg_all_sd": 1,
+    "keyby_sorted": 2,
+    "distinct_segments": 1,
+    "count_distinct": 2,
+    "union_all_counts": 2,
+    "intersect_custkeys": 1,
+    "except_custkeys": 2,
+    "window_topk_per_group": 1,
+    "window_running_sum": 1,
+    "window_lag_lead": 1,
+    "rollup_agg": 1,
+    "cube_agg": 1,
+    "grouping_sets": 1,
+    "pivot_linestatus": 2,
+    "two_phase_agg": 2,
+    "percentile_exact": 1,
+    "part_brand_stats": 2,
+    "generator_source": 2,
+    "csv_roundtrip": 1,
+    "json_roundtrip": 1,
+    "balanced_sample_per_group": 1,
+    "clean_corpus_pipeline": 4,
+    "string_functions": 0,
+    "array_functions": 0,
+    "weighted_sample_topk": 0,
 }
 
 

@@ -17,6 +17,18 @@ from big_data_table_spark import catalog
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+def test_module_line_budget():
+    """The repo's own 2.5k-line module budget (the rule that split
+    sketches.py, the catalog chunks, and — in r10 — catalog.py into
+    catalog_oracles.py), made scriptable."""
+    over = []
+    for py in (REPO / "big_data_table_spark").rglob("*.py"):
+        n = len(py.read_text().splitlines())
+        if n > 2500:
+            over.append((str(py), n))
+    assert not over, f"modules over the 2.5k budget: {over}"
+
+
 def test_coverage_md_mentions_every_entry():
     cov = (REPO / "COVERAGE.md").read_text()
     missing = [name for name in catalog.queries() if name not in cov]

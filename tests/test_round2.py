@@ -283,7 +283,7 @@ def test_pq_trained_recall_beats_id_seed(duck):
     functions/similarity.py:ann_pq_topk_sql (0.16/0.08 id-seed vs
     0.32/0.36 trained at sf0.001/sf0.01 — uniform random data is PQ's
     worst case at 32 bits/vector)."""
-    from big_data_table_spark.catalog import _ann_pq_trained_oracle
+    from big_data_table_spark.catalog_breadth import _ann_pq_trained_oracle
     from big_data_table_spark.functions.similarity import ann_pq_topk_sql
 
     exact = set(
@@ -327,7 +327,7 @@ def test_pca_power_matches_numpy_eig():
     import numpy as np
     import pandas as pd
 
-    from big_data_table_spark.catalog import _embedding_pca_oracle
+    from big_data_table_spark.catalog_breadth import _embedding_pca_oracle
 
     rng = np.random.RandomState(0)
     u = rng.randn(64)
