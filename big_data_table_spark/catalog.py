@@ -2300,6 +2300,38 @@ CATALOG = {
 }
 
 # ------------------------------------------------------------------ #
+# round-10 registrations (builders in catalog_r10.py)
+# ------------------------------------------------------------------ #
+CATALOG.update(
+    {
+        "setjoin_index_persisted": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).setjoin_index_persisted_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).setjoin_index_persisted_oracle(),
+            doc="Persisted EXACT set-similarity (prefix-filter) index: "
+            "build (frozen rarity order) / append under the frozen "
+            "order (replayed) / compact (re-freeze) / exact J>=1/2 "
+            "pairs from the store alone — parity vs the brute "
+            "shared-shingle oracle proves lossless increments.",
+        ),
+        "stream_mg_grouped_store": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).stream_mg_grouped_store_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).stream_mg_grouped_store_oracle(),
+            doc="Streaming writer into the GROUPED SpaceSaving store "
+            "(chunk=<batch_id> partitions, batch-2 replay absorbed); "
+            "per-type range top-5 with provable bounds, exact-audited.",
+        ),
+    }
+)
+
+# ------------------------------------------------------------------ #
 # driver-window ordering (round 10) — VERDICT r9 #1: the 83 r9-new
 # entries (_R9_NEXT = 21 first-session + 24 _R9B_NEW + 38 _R9C_NEW)
 # are the only ones without a driver CORRECTNESS row; they exceed one
@@ -2309,7 +2341,10 @@ CATALOG = {
 # ------------------------------------------------------------------ #
 _R10_FRONT = _R9_NEXT[:50]
 _R10_SPILL = _R9_NEXT[50:]  # 33 _R9C_NEW spill-overs, staging order kept
-_R10_NEW: list[str] = []
+_R10_NEW: list[str] = [
+    "setjoin_index_persisted",
+    "stream_mg_grouped_store",
+]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 
 assert len(_R10_FRONT) == len(set(_R10_FRONT)) == 50, len(_R10_FRONT)

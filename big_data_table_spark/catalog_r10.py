@@ -1,0 +1,112 @@
+"""Round-10 catalog builders — depth entries closing real store-matrix
+gaps (r9 VERDICT #7): the persisted EXACT set-similarity index's full
+verb cycle, and the grouped SpaceSaving store's streaming edge.
+Registration + driver-window lists stay in catalog.py (the chunk
+convention)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog_base import register_views
+from .functions.portable import DUCK
+
+
+# ------------------------------------------------------------------ #
+# persisted set-similarity (prefix-filter) index — full verb cycle
+# ------------------------------------------------------------------ #
+
+def setjoin_index_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted EXACT set-similarity index, full verb cycle
+    (functions/dedup.py:setjoin_index_*): build on two thirds of the
+    corpus (freezing the global-rarity prefix order at build time),
+    append the remaining third ranked under the FROZEN order — with the
+    append REPLAYED (deterministic rows; the DISTINCT reads absorb
+    them) — then COMPACT (re-freeze: recompute df over the whole store
+    and rebuild every prefix), and answer the exact Jaccard >= 1/2 join
+    from the store alone.  Parity with the brute shared-shingle oracle
+    over ALL documents proves three things at once: the frozen-order
+    increment rule is lossless, replays are invisible, and compaction's
+    re-freeze is result-neutral (losslessness holds under ANY single
+    total order — the store's merge-law analogue).  At 100 TB: appends
+    shingle only the increment, candidates join prefix rows (each doc's
+    RAREST shingles — the inverse of boilerplate skew), verify joins
+    candidate pairs only; the corpus text is never rescanned by the
+    read path."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_setjoin_index_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.setjoin_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 != 2) _b"
+    )
+    for _ in range(2):  # second run = the replay; DISTINCT reads absorb
+        DD.setjoin_index_append(
+            spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a"
+        )
+    DD.setjoin_index_compact(spark, path)
+    return DD.setjoin_index_pairs(spark, path)
+
+
+def setjoin_index_persisted_oracle() -> str:
+    from .functions import dedup as DD
+
+    return DD.prefix_filter_jaccard_oracle_sql(DUCK)
+
+
+# ------------------------------------------------------------------ #
+# grouped SpaceSaving store — streaming edge
+# ------------------------------------------------------------------ #
+
+_MG_GRP_RANGE = ("2024-01-08", "2024-01-21")
+_MG_GRP_CAP = 16
+
+
+def stream_mg_grouped_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import stream_mg_grouped_store
+
+    register_views(spark, sf_dir)
+    return stream_mg_grouped_store(spark, sf_dir)
+
+
+def stream_mg_grouped_store_oracle() -> str:
+    """Oracle for the grouped MG streaming writer: the chunked grouped
+    range-read algebra with ``chunk_sql = user_id % 3`` modeling the
+    three micro-batches (batch membership is data-borne); the replayed
+    batch-2 append adds byte-identical rows the DISTINCT read absorbs,
+    so it does not appear in the oracle at all."""
+    from .functions import sketches as SK
+
+    lo, hi = _MG_GRP_RANGE
+    store = SK.mg_rollup_grouped_chunked_range_sql(
+        "events",
+        "event_type",
+        "user_id",
+        lo,
+        hi,
+        DUCK,
+        cap=_MG_GRP_CAP,
+        topk=5,
+        chunk_sql="CAST(user_id AS BIGINT) % 3",
+    )
+    return f"""
+WITH exact AS (
+  SELECT CAST(event_type AS STRING) AS g, CAST(user_id AS BIGINT) AS key,
+    CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events
+  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'
+  GROUP BY 1, 2)
+SELECT s.g, s.key, s.lower_cnt, s.upper_cnt, e.true_cnt,
+  (e.true_cnt BETWEEN s.lower_cnt AND s.upper_cnt) AS in_bounds
+FROM ({store}) s JOIN exact e ON e.g = s.g AND e.key = s.key
+"""

@@ -895,3 +895,167 @@ SELECT doc_a, doc_b, i,
 FROM inter WHERE 3 * i >= n_a + n_b
 """
     )
+
+
+# --------------------------------------------------------------------- #
+# Persisted EXACT set-similarity (prefix-filter) index — r10.  The LSH
+# index above answers "probably similar" from MinHash bucket keys; this
+# store answers the EXACT Jaccard >= 1/2 join incrementally, the way
+# the AllPairs/PPJoin family is deployed in production dedup loops:
+#
+#   shingles/  (doc_id, sh)      full shingle SETS (the verify side)
+#   order/     (sh, df)          the FROZEN global-rarity order
+#   prefix/    (doc_id, sh, n)   each doc's prefix under that order
+#
+# Losslessness under increments: the prefix guarantee only needs ALL
+# documents' prefixes built under ONE total order.  Build freezes the
+# order at (df_at_build, sh); appended docs rank their shingles under
+# the SAME frozen table with COALESCE(df, 0) for unseen shingles —
+# a total order that RESTRICTS to the build order on old shingles, so
+# old prefixes remain valid verbatim and the candidate rule stays
+# lossless across any append sequence.  Compaction re-freezes: it
+# recomputes df over the whole store and rebuilds every prefix — the
+# PAIRS RESULT IS BIT-IDENTICAL before and after (losslessness does
+# not depend on WHICH total order, only on consistency), the store's
+# merge-law analogue.  All verbs are deterministic functions of their
+# slice, so replayed appends write byte-identical rows absorbed by the
+# DISTINCT reads (SET class).  At 100 TB: appends shingle only the
+# increment; pairs/probe joins touch prefix rows (rarest shingles —
+# the inverse of boilerplate skew) and candidate pairs, never the
+# corpus text.
+# --------------------------------------------------------------------- #
+
+
+def _shingle_rel(spark, table_expr: str):
+    """(doc_id, sh) DISTINCT word-3-gram shingle sets of ``table_expr``
+    (a table name or an aliased subquery), eagerly checkpointed — every
+    index verb fans it into several consumers."""
+    return spark.sql(
+        f"WITH {_words_cte(SPARK, table=table_expr)}, {_shingles_cte(SPARK)} "
+        "SELECT doc_id, sh FROM shingles"
+    ).localCheckpoint(eager=True)
+
+
+def _prefix_under_order(sh, order):
+    """Per-doc prefixes of the (doc_id, sh) relation ``sh`` under the
+    frozen (df, sh) order table ``order``: (doc_id, sh, n) rows, prefix
+    length n - ceil(n/2) + 1 (the J >= 1/2 rule).  The rank window is
+    per-document — bounded by document size, never corpus size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keyed = sh.join(order, "sh", "left").select(
+        "doc_id", "sh", F.coalesce("df", F.lit(0)).alias("k")
+    )
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("k", "sh")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .join(n, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.col("n") / 2) + 1)
+        .select("doc_id", "sh", "n")
+    )
+
+
+def setjoin_index_build(spark, path: str, table_expr: str) -> None:
+    """Materialize the index for ``table_expr``: shingle sets, the
+    frozen rarity order (df at build time), and every doc's prefix
+    under it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sh = _shingle_rel(spark, table_expr)
+    order = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    order.write.mode("overwrite").parquet(os.path.join(path, "order"))
+    order = spark.read.parquet(os.path.join(path, "order"))
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    _prefix_under_order(sh, order).write.mode("overwrite").parquet(
+        os.path.join(path, "prefix")
+    )
+
+
+def setjoin_index_append(spark, path: str, table_expr: str) -> None:
+    """Incremental maintenance: shingle ONLY the increment, rank it
+    under the FROZEN order (unseen shingles get df 0 — still one
+    consistent total order, see module comment), and append shingle +
+    prefix rows.  Deterministic => replay-safe under the DISTINCT
+    reads."""
+    import os
+
+    sh = _shingle_rel(spark, table_expr)
+    order = spark.read.parquet(os.path.join(path, "order"))
+    sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+    _prefix_under_order(sh, order).write.mode("append").parquet(
+        os.path.join(path, "prefix")
+    )
+
+
+def setjoin_index_compact(spark, path: str) -> None:
+    """Maintenance pass: re-DISTINCT the shingle store, RE-FREEZE the
+    order (df over the whole corpus) and rebuild every prefix under it.
+    The pairs result is bit-identical before/after — the prefix rule is
+    lossless under ANY single total order — while candidate counts may
+    shrink (fresh df concentrates rarity better than frozen-df-0 for
+    append-era shingles).  Dot-tmp + rename swap, single-writer."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sketches import _swap_dir_in
+
+    sh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
+    sh = sh.localCheckpoint(eager=True)
+    order = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    order = order.localCheckpoint(eager=True)
+    for sub, df in (
+        ("shingles", sh),
+        ("order", order),
+        ("prefix", _prefix_under_order(sh, order)),
+    ):
+        tmp = os.path.join(path, f".{sub}.compact.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        _swap_dir_in(tmp, os.path.join(path, sub))
+
+
+def setjoin_index_pairs(spark, path: str):
+    """The EXACT Jaccard >= 1/2 join answered from the store alone:
+    prefix-to-prefix candidates (+ length filter), verified against the
+    full shingle sets — (doc_a, doc_b, i, n_a, n_b, jaccard), identical
+    to the one-shot ``prefix_filter_jaccard_pairs`` and to the brute
+    shared-shingle oracle, whatever build/append/replay sequence
+    produced the store.  Both store sides read with DISTINCT (replay
+    absorption); the corpus text is never rescanned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..session import register_temp_view
+
+    sh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
+    sh = sh.localCheckpoint(eager=True)
+    pref = spark.read.parquet(os.path.join(path, "prefix")).distinct()
+    vsh = register_temp_view(sh, "_sjx_sh")
+    vp = register_temp_view(pref, "_sjx_pref")
+    return spark.sql(
+        f"""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.n AS n_a, b.n AS n_b
+  FROM {vp} a JOIN {vp} b
+  ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN {vsh} x ON x.doc_id = c.doc_a
+  JOIN {vsh} y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b)
+SELECT doc_a, doc_b, i,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
+FROM inter WHERE 3 * i >= n_a + n_b
+"""
+    )

@@ -468,3 +468,194 @@ rk AS (
 SELECT g, v AS key, lower_cnt, upper_cnt
 FROM rk WHERE rn <= {topk}
 """
+
+
+# --------------------------------------------------------------------- #
+# GROUPED + CHUNKED dimension (r10) — the streaming edge of the grouped
+# store.  The batch-built grouped store above has ONE summary per
+# (day, g); a foreachBatch writer slices a day's traffic across
+# micro-batches, so its summaries need the chunk dimension the plain
+# day store already has: rows (g, v, c, thr) under (day, chunk)
+# partitions, one summary per (day, chunk, g).  The bound algebra is
+# the chunked one per group: lower = Σ kept counts; upper adds each
+# (day, chunk, g) summary's threshold where the key was absent.
+# Summaries stay deterministic functions of their slice, so replays
+# append byte-identical rows the DISTINCT read absorbs (SET class).
+# --------------------------------------------------------------------- #
+
+
+def _mg_grouped_day_summaries(
+    batch_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    cap: int,
+    chunk: int,
+) -> DataFrame:
+    """Per-(day, group) top-``cap`` summaries of ONE slice:
+    ``(day, chunk, g, v, c, thr)`` — exact counts, a (day, g)-
+    partitioned rank window (bounded by the slice's distinct keys, not
+    traffic), threshold = the group's largest dropped count."""
+    from pyspark.sql import Window
+
+    day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
+    counts = (
+        batch_df.select(
+            day,
+            F.col(group_col).cast("string").alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("day", "g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("day", "g").orderBy(F.col("c").desc(), "v")
+    ranked = counts.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    thr = ranked.groupBy("day", "g").agg(
+        F.coalesce(F.max(F.when(F.col("rn") > cap, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("thr")
+    )
+    return (
+        ranked.filter(F.col("rn") <= cap)
+        .drop("rn")
+        .join(F.broadcast(thr), ["day", "g"])
+        .select(
+            "day", F.lit(int(chunk)).alias("chunk"), "g", "v", "c", "thr"
+        )
+    )
+
+
+def mg_rollup_grouped_append_batch(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    cap: int = 16,
+) -> None:
+    """Streaming-side append into the grouped store: one micro-batch's
+    per-(day, group) summaries land as ``chunk=<batch_id>`` partitions
+    under every day the batch touched.  Deterministic rows + the read
+    path's DISTINCT = the SET-class at-least-once contract.  Batch ids
+    must be non-negative (negative = reserved for compaction) and
+    unique per day across appenders."""
+    _check_append_chunk(batch_id)
+    rows = _mg_grouped_day_summaries(
+        batch_df, group_col, value_col, ts_col, cap, chunk=batch_id
+    )
+    rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
+
+
+def mg_rollup_grouped_chunked_range_topk(
+    spark,
+    path: str,
+    lo: str,
+    hi: str,
+    topk: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-group range heavy hitters from the CHUNKED grouped summaries
+    alone: ``(g, key, lower_cnt, upper_cnt)``, top-``topk`` per group by
+    exact lower bound with the (lower DESC, key) tie-break.  Bounds per
+    key: lower = Σ kept counts over its summaries; upper adds every
+    (day, chunk, g) summary threshold the key was absent from (t − Σ
+    thresholds of containing summaries).  The per-group rank window
+    runs over the per-key aggregate (≤ days·chunks·cap rows per group —
+    bounded by store geometry, never traffic); the plan scans only
+    partition-pruned summary files."""
+    from pyspark.sql import Window
+
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col("day").cast("string").between(lo, hi))
+        .distinct()  # replay absorption (SET merge class)
+    )
+    if checkpoint:
+        rows = rows.localCheckpoint(eager=True)
+    thrs = rows.select(
+        F.col("day").cast("string").alias("day"), "chunk", "g", "thr"
+    ).distinct()
+    tot = thrs.groupBy("g").agg(F.sum("thr").cast("long").alias("t"))
+    per_key = (
+        rows.select(
+            F.col("day").cast("string").alias("day"), "chunk", "g", "v", "c"
+        )
+        .join(thrs, ["day", "chunk", "g"])
+        .groupBy("g", "v")
+        .agg(
+            F.sum("c").cast("long").alias("lower_cnt"),
+            F.sum("thr").cast("long").alias("pthr"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(F.col("lower_cnt").desc(), "v")
+    return (
+        per_key.join(F.broadcast(tot), "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(
+            "g",
+            F.col("v").alias("key"),
+            "lower_cnt",
+            (F.col("lower_cnt") + F.col("t") - F.col("pthr"))
+            .cast("long")
+            .alias("upper_cnt"),
+        )
+    )
+
+
+def mg_rollup_grouped_chunked_range_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    lo: str,
+    hi: str,
+    dialect: str,
+    cap: int = 16,
+    topk: int = 5,
+    chunk_sql: str = "0",
+) -> str:
+    """Oracle for the chunked grouped range read from RAW events —
+    replicates the deterministic per-(day, chunk, group) summary
+    construction and the per-group chunked bound algebra.
+    ``chunk_sql`` models how the store was sliced (data-borne batch
+    key), exactly like the plain store's ``mg_rollup_range_sql``."""
+    day = "CAST(CAST(ts AS DATE) AS STRING)"
+    return f"""
+WITH ev AS (
+  SELECT {day} AS day, {chunk_sql} AS chunk,
+    CAST({group_col} AS STRING) AS g, CAST({value_col} AS BIGINT) AS v
+  FROM {src}
+  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'),
+counts AS (
+  SELECT day, chunk, g, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY day, chunk, g, v),
+ranked AS (
+  SELECT day, chunk, g, v, c,
+    ROW_NUMBER() OVER (PARTITION BY day, chunk, g
+      ORDER BY c DESC, v) AS rn
+  FROM counts),
+kept AS (SELECT day, chunk, g, v, c FROM ranked WHERE rn <= {cap}),
+thr AS (
+  SELECT day, chunk, g,
+    CAST(COALESCE(MAX(CASE WHEN rn > {cap} THEN c END), 0) AS BIGINT)
+      AS thr
+  FROM ranked GROUP BY day, chunk, g),
+tot AS (SELECT g, CAST(SUM(thr) AS BIGINT) AS t FROM thr GROUP BY g),
+per_key AS (
+  SELECT k.g, k.v, CAST(SUM(k.c) AS BIGINT) AS lower_cnt,
+    CAST(SUM(th.thr) AS BIGINT) AS pthr
+  FROM kept k JOIN thr th
+    ON k.day = th.day AND k.chunk = th.chunk AND k.g = th.g
+  GROUP BY k.g, k.v),
+rk AS (
+  SELECT p.g, p.v, p.lower_cnt,
+    CAST(p.lower_cnt + tot.t - p.pthr AS BIGINT) AS upper_cnt,
+    ROW_NUMBER() OVER (PARTITION BY p.g
+      ORDER BY p.lower_cnt DESC, p.v) AS rn
+  FROM per_key p JOIN tot ON tot.g = p.g)
+SELECT g, v AS key, lower_cnt, upper_cnt
+FROM rk WHERE rn <= {topk}
+"""

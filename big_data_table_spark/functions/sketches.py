@@ -2448,7 +2448,10 @@ from .mg_store import (  # noqa: E402
     mg_rollup_append_chunk,
     mg_rollup_build,
     mg_rollup_compact,
+    mg_rollup_grouped_append_batch,
     mg_rollup_grouped_build,
+    mg_rollup_grouped_chunked_range_sql,
+    mg_rollup_grouped_chunked_range_topk,
     mg_rollup_grouped_range_sql,
     mg_rollup_grouped_range_topk,
     mg_rollup_range_sql,

@@ -1271,6 +1271,78 @@ def stream_mg_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_mg_grouped_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer INTO the GROUPED SpaceSaving store (r10: the
+    grouped store's streaming edge, completing the batch/streaming ×
+    plain/grouped matrix for the sixth family): three deterministic
+    micro-batches (user_id % 3, the shared `_batched_corpus_stream`
+    device) each append their per-(day, event_type) summaries as
+    ``chunk=<batch_id>`` partitions (`mg_rollup_grouped_append_batch`);
+    batch 2's append is then REPLAYED after the stream — grouped
+    summaries are deterministic functions of the batch slice, so the
+    replay writes byte-identical rows the chunked range read's DISTINCT
+    absorbs (SET class).  The 14-day PER-TYPE top-5 with provable
+    [lower, upper] bounds is answered from the summaries alone
+    (≤ days·chunks·cap rows per group) and audited in-row against the
+    exact per-(type, user) counts; the oracle replicates the batch
+    slicing via ``chunk_sql = user_id % 3``."""
+    import shutil
+    import tempfile
+
+    from ..functions import sketches as SK
+    from ..sources.readers import load_events
+
+    lo, hi = "2024-01-08", "2024-01-21"
+    ev = load_events(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_mggrp_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    n = 3
+    stream = _batched_corpus_stream(
+        spark, ev, root, src_dir, n=n, key_col="user_id", prefix="events"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        SK.mg_rollup_grouped_append_batch(batch_df, store, batch_id)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # replay batch 2 (reconstructible from the data-borne key): the
+    # appended rows are byte-identical, the DISTINCT read absorbs them
+    SK.mg_rollup_grouped_append_batch(
+        ev.filter(F.col("user_id") % n == 2), store, 2
+    )
+
+    top = SK.mg_rollup_grouped_chunked_range_topk(spark, store, lo, hi, topk=5)
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    exact = (
+        ev.filter(day.between(lo, hi))
+        .groupBy(
+            F.col("event_type").cast("string").alias("g"),
+            F.col("user_id").cast("long").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return exact.join(F.broadcast(top), ["g", "key"]).select(
+        "g",
+        "key",
+        "lower_cnt",
+        "upper_cnt",
+        "true_cnt",
+        F.col("true_cnt").between(F.col("lower_cnt"), F.col("upper_cnt"))
+        .alias("in_bounds"),
+    )
+
+
 def click_purchase_left_join(
     spark: SparkSession, sf_dir: str, within_minutes: int = 10
 ) -> DataFrame:

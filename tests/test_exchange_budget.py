@@ -686,6 +686,14 @@ BUDGET = {
     "string_functions": 0,
     "array_functions": 0,
     "weighted_sample_topk": 0,
+    # round 10 (depth entries)
+    "setjoin_index_persisted": 3,  # candidate distinct + verify agg over
+                                 # the checkpointed store reads (build/
+                                 # append/compact pay theirs pre-read)
+    "stream_mg_grouped_store": 6,  # post-stream read-back: summary
+                                 # distinct + thr distinct + per-g total
+                                 # + per-key agg + rank window + audit
+                                 # join, all store-geometry-bounded
 }
 
 

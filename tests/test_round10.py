@@ -79,6 +79,88 @@ def test_mg_exactness_guard_fails_loudly_when_capacity_undersized(spark):
     assert out[0]["key"] == 7 and out[0]["true_cnt"] == 20003
 
 
+def test_setjoin_index_compact_result_neutral_and_no_text_rescan(
+    spark, sf_dir, tmp_path
+):
+    """Two laws of the persisted set-similarity index in one lifecycle:
+    (1) COMPACTION IS RESULT-NEUTRAL — the exact J>=1/2 pairs are
+    bit-identical before and after the re-freeze (losslessness holds
+    under ANY single total order, so swapping the frozen build-time
+    order for the recomputed one cannot change the verified pairs);
+    (2) the pairs plan reads ONLY the store parquet — the corpus text
+    is never rescanned by the read path."""
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "sjx")
+    DD.setjoin_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 != 2) _b"
+    )
+    DD.setjoin_index_append(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a"
+    )
+    def rows():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["i"], r["n_a"], r["n_b"], r["jaccard"])
+            for r in DD.setjoin_index_pairs(spark, path).collect()
+        )
+
+    before = rows()
+    DD.setjoin_index_compact(spark, path)
+    after = rows()
+    assert before == after and len(after) > 0
+    plan = (
+        DD.setjoin_index_pairs(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # checkpointed store reads leave no FileScan of the documents table
+    assert "documents" not in plan
+
+
+def test_mg_grouped_chunked_bounds_contain_truth(spark, sf_dir, tmp_path):
+    """EVERY key's true range count must land in the chunked grouped
+    store's [lower, upper] — checked for all keys (topk wide open)
+    under a forcing cap small enough that pruning really happens."""
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "mggrp")
+    for b in range(3):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id") % 3 == b), path, b, cap=4
+        )
+    lo, hi = "2024-01-01", "2024-12-31"
+    store = MG.mg_rollup_grouped_chunked_range_topk(
+        spark, path, lo, hi, topk=10**6
+    )
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    exact = (
+        ev.filter(day.between(lo, hi))
+        .groupBy(
+            F.col("event_type").cast("string").alias("g"),
+            F.col("user_id").cast("long").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    joined = exact.join(store, ["g", "key"]).select(
+        F.col("true_cnt").between(F.col("lower_cnt"), F.col("upper_cnt"))
+        .alias("ok")
+    )
+    n_bad = joined.filter(~F.col("ok")).count()
+    assert n_bad == 0
+    # appenders reject the reserved compact id
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved"):
+        MG.mg_rollup_grouped_append_batch(ev, path, -1)
+
+
 def test_r10_window_staging():
     keys = list(catalog.queries())
     assert keys[:50] == catalog._R10_FRONT
