@@ -83,6 +83,10 @@ TIER2 = [
     # r9 second extension: the seventh store (exact bitmap,
     # idempotent-merge class) gets a baseline from its birth round
     ("bitmap_rollup_persisted", "bitmap_store"),
+    # r10: the persisted EXACT set-similarity (prefix-filter) index —
+    # full verb cycle (build / replayed append / compact / pairs) —
+    # gets a baseline from its birth round
+    ("setjoin_index_persisted", "setjoin_store"),
 ]
 
 

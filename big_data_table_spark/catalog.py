@@ -2317,6 +2317,18 @@ CATALOG.update(
             "pairs from the store alone — parity vs the brute "
             "shared-shingle oracle proves lossless increments.",
         ),
+        "setjoin_index_probe": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).setjoin_index_probe_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).setjoin_index_probe_oracle(),
+            doc="Probe-before-append against the persisted set-"
+            "similarity index: a new batch adjudicated under the "
+            "frozen order without mutating the store; oracle = brute "
+            "cross-pair exact join.",
+        ),
         "stream_mg_grouped_store": QuerySpec(
             __import__(
                 "big_data_table_spark.catalog_r10", fromlist=["x"]
@@ -2343,6 +2355,7 @@ _R10_FRONT = _R9_NEXT[:50]
 _R10_SPILL = _R9_NEXT[50:]  # 33 _R9C_NEW spill-overs, staging order kept
 _R10_NEW: list[str] = [
     "setjoin_index_persisted",
+    "setjoin_index_probe",
     "stream_mg_grouped_store",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW

@@ -64,6 +64,63 @@ def setjoin_index_persisted_oracle() -> str:
     return DD.prefix_filter_jaccard_oracle_sql(DUCK)
 
 
+def setjoin_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-before-append: the index is built on two thirds of the
+    corpus, then the remaining third arrives as a NEW batch and is
+    adjudicated against the store WITHOUT mutating it
+    (functions/dedup.py:setjoin_index_probe) — exactly the crawl-loop
+    step where a keep/drop decision must precede the append.  The
+    batch ranks its prefixes under the store's FROZEN order, so the
+    candidate rule stays lossless across the two sides; parity with
+    the brute cross-pair oracle (every corpus×batch pair with exact
+    J >= 1/2) proves it.  Batch work is |batch|-sized; the corpus text
+    is never rescanned."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_setjoin_probe_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.setjoin_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 != 2) _b"
+    )
+    return DD.setjoin_index_probe(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a"
+    )
+
+
+def setjoin_index_probe_oracle() -> str:
+    """Brute cross-pair oracle: exact J >= 1/2 pairs with exactly one
+    side in the probe batch (doc_id % 3 = 2) — the losslessness proof
+    for the frozen-order cross-side candidate rule."""
+    from .functions.dedup import _shingles_cte, _words_cte
+
+    return f"""
+WITH {_words_cte(DUCK)}, {_shingles_cte(DUCK)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS BIGINT) AS i
+  FROM shingles a JOIN shingles b
+  ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, i,
+  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 3 * i >= sa.n + sb.n
+  AND (doc_a % 3 = 2) <> (doc_b % 3 = 2)
+"""
+
+
 # ------------------------------------------------------------------ #
 # grouped SpaceSaving store — streaming edge
 # ------------------------------------------------------------------ #

@@ -7,8 +7,9 @@ Row schema (day, chunk, word, bm): user ids packed 62 per BIGINT word
 bitmap word per (day, chunk, word).  Packing uses pmod + the floor-div
 consistent with it (r9 ADVICE), so negative ids land on well-defined
 (word, bit) coordinates too — the bijection v = 62*word + bit holds
-over the whole BIGINT range, not just the dense non-negative case the
-store is sized for.  Store size per day is
+for every id above LONG_MIN + 61 (within 62 of LONG_MIN the exact
+``vid - pmod`` subtraction would underflow BIGINT), not just the dense
+non-negative case the store is sized for.  Store size per day is
 chunks * ceil(max_id / 62) rows — the roaring-bitmap idea without the
 compression tiers, sized for dense integer id spaces (the sparse-id
 case is the HLL store's territory; the two are deliberate companions).
@@ -118,11 +119,9 @@ def bitmap_rollup_append_chunk(
     compaction verb (the store-matrix-wide contract; for THIS store a
     collision would be absorbed by BIT_OR anyway, but the uniform rule
     keeps the verbs interchangeable across merge classes)."""
-    if int(chunk) < 0:
-        raise ValueError(
-            f"chunk id {chunk} is reserved: negative ids belong to the "
-            "compaction verb; append chunk ids must be non-negative"
-        )
+    from .mg_store import _check_append_chunk
+
+    _check_append_chunk(chunk)
     rows = bitmap_day_rows(ev_chunk, chunk, value_col, ts_col)
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 

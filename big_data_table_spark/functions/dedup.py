@@ -1030,8 +1030,6 @@ def setjoin_index_pairs(spark, path: str):
     absorption); the corpus text is never rescanned."""
     import os
 
-    from pyspark.sql import functions as F
-
     from ..session import register_temp_view
 
     sh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
@@ -1057,5 +1055,58 @@ SELECT doc_a, doc_b, i,
   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
   ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
 FROM inter WHERE 3 * i >= n_a + n_b
+"""
+    )
+
+
+def setjoin_index_probe(spark, path: str, table_expr: str):
+    """Adjudicate a NEW batch against the index WITHOUT mutating it —
+    the exact-join analogue of ``lsh_index_probe`` (probe first, append
+    after the keep decision): every (corpus_doc, batch_doc) pair with
+    exact Jaccard >= 1/2, canonicalized to (doc_a < doc_b).  The batch
+    ranks its prefixes under the store's FROZEN order (one consistent
+    total order across both sides — the losslessness precondition),
+    candidates come from the batch-prefix × store-prefix join, and the
+    verify joins batch shingles against store shingles for candidate
+    pairs only.  Corpus set sizes are read from the prefix rows'
+    carried ``n`` (no store-side recount); the corpus text is never
+    rescanned.  Batch work is |batch|-sized: at 100 TB the probe costs
+    the increment, not the corpus."""
+    import os
+
+    from ..session import register_temp_view
+
+    # bsh feeds TWO consumers (the prefix build and the verify join) —
+    # checkpointed by _shingle_rel.  bpref/spref/ssh are each consumed
+    # ONCE: they stay lazy so the store scans prune to candidate work
+    # instead of materializing corpus-scale relations per probe (r10
+    # review finding).
+    bsh = _shingle_rel(spark, table_expr)
+    order = spark.read.parquet(os.path.join(path, "order"))
+    bpref = _prefix_under_order(bsh, order)
+    spref = spark.read.parquet(os.path.join(path, "prefix")).distinct()
+    ssh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
+    vb = register_temp_view(bsh, "_sjp_bsh")
+    vbp = register_temp_view(bpref, "_sjp_bpref")
+    vsp = register_temp_view(spref, "_sjp_spref")
+    vss = register_temp_view(ssh, "_sjp_ssh")
+    return spark.sql(
+        f"""
+WITH cand AS (
+  SELECT DISTINCT s.doc_id AS cdoc, b.doc_id AS bdoc,
+    s.n AS n_c, b.n AS n_b
+  FROM {vsp} s JOIN {vbp} b ON s.sh = b.sh
+  WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)),
+inter AS (
+  SELECT c.cdoc, c.bdoc, c.n_c, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN {vss} x ON x.doc_id = c.cdoc
+  JOIN {vb} y ON y.doc_id = c.bdoc AND y.sh = x.sh
+  GROUP BY c.cdoc, c.bdoc, c.n_c, c.n_b)
+SELECT LEAST(cdoc, bdoc) AS doc_a, GREATEST(cdoc, bdoc) AS doc_b, i,
+  CAST(CASE WHEN cdoc < bdoc THEN n_c ELSE n_b END AS BIGINT) AS n_a,
+  CAST(CASE WHEN cdoc < bdoc THEN n_b ELSE n_c END AS BIGINT) AS n_b,
+  ROUND(CAST(i AS DOUBLE) / (n_c + n_b - i), 6) AS jaccard
+FROM inter WHERE 3 * i >= n_c + n_b
 """
     )

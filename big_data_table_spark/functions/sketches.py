@@ -1162,7 +1162,10 @@ def mg_heavy_hitters(
     )
     if not check_exact:
         return top
-    n_total = vals.agg(F.count(F.lit(1)).cast("long").alias("_n_total"))
+    # count NON-NULL values: the MG pass never sees NULLs (value_counts
+    # drops NaN and the recount join drops null keys), so guarding
+    # against count(*) would raise spuriously on mostly-null columns
+    n_total = vals.agg(F.count(F.col("v")).cast("long").alias("_n_total"))
     return (
         top.crossJoin(F.broadcast(n_total))
         .filter(
@@ -2200,11 +2203,9 @@ def cms_rollup_append_chunk(
     reserved for the compaction verb, and in THIS additive class the
     contract has teeth: an append overwriting the compacted partition
     would silently delete the merged counters."""
-    if int(chunk) < 0:
-        raise ValueError(
-            f"chunk id {chunk} is reserved: negative ids belong to the "
-            "compaction verb; append chunk ids must be non-negative"
-        )
+    from .mg_store import _check_append_chunk
+
+    _check_append_chunk(chunk)
     counters = cms_counter_table(ev_chunk, value_col, w=w, d=d)
     rows = counters.select(
         F.lit(day).alias("day"),
@@ -2421,11 +2422,9 @@ def cms_rollup_append_batch(
     read-side SUM over (day, chunk) equals the one-shot sketch
     bit-for-bit no matter how the stream batched the days.  Batch ids
     must be non-negative (negative = reserved for compaction)."""
-    if int(batch_id) < 0:
-        raise ValueError(
-            f"batch id {batch_id} is reserved: negative ids belong to "
-            "the compaction verb"
-        )
+    from .mg_store import _check_append_chunk
+
+    _check_append_chunk(batch_id)
     rows = _cms_day_counters(batch_df, value_col, ts_col, w, d).withColumn(
         "chunk", F.lit(int(batch_id))
     )

@@ -24,7 +24,9 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "big-data-table-spark"
 
+_VIEW_LOCK = __import__("threading").Lock()
 _VIEW_SEQ = 0
+_LAST_VIEW: dict[str, str] = {}
 
 
 def register_temp_view(df, prefix: str) -> str:
@@ -34,11 +36,28 @@ def register_temp_view(df, prefix: str) -> str:
     read each other's replaced views).  Callers interpolate the
     returned name into their SQL text; the dual-dialect ORACLE texts
     keep their fixed names — DuckDB runs each oracle in its own
-    connection, where no collision exists."""
+    connection, where no collision exists.
+
+    The PREVIOUS view of the same prefix is dropped (r10 review): a
+    never-dropped view pins its analyzed plan — and the eagerly
+    localCheckpoint'ed blocks under it — for the whole session, so a
+    330-entry sweep would accumulate one corpus-scale materialization
+    per call.  Sequential re-evaluation of an entry (the driver, the
+    parity suite, bench verb loops) therefore releases the prior
+    generation; a still-unexecuted older query of the SAME prefix
+    fails LOUDLY (view not found) instead of silently reading replaced
+    data — strictly better than both the fixed-name behavior and the
+    leak.  The counter is lock-protected (+= on a global is not
+    atomic)."""
     global _VIEW_SEQ
-    _VIEW_SEQ += 1
-    name = f"{prefix}_{_VIEW_SEQ}"
+    with _VIEW_LOCK:
+        _VIEW_SEQ += 1
+        name = f"{prefix}_{_VIEW_SEQ}"
+        prev = _LAST_VIEW.get(prefix)
+        _LAST_VIEW[prefix] = name
     df.createOrReplaceTempView(name)
+    if prev is not None:
+        df.sparkSession.catalog.dropTempView(prev)
     return name
 
 

@@ -690,6 +690,11 @@ BUDGET = {
     "setjoin_index_persisted": 3,  # candidate distinct + verify agg over
                                  # the checkpointed store reads (build/
                                  # append/compact pay theirs pre-read)
+    "setjoin_index_probe": 4,    # batch shingle agg + prefix window +
+                                 # candidate/verify aggs — store sides
+                                 # stay LAZY (pruned scans), only the
+                                 # twice-consumed batch shingles are
+                                 # checkpointed
     "stream_mg_grouped_store": 6,  # post-stream read-back: summary
                                  # distinct + thr distinct + per-g total
                                  # + per-key agg + rank window + audit

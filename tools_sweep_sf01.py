@@ -42,24 +42,29 @@ def main() -> int:
     only = set(sys.argv[1:])
 
     import duckdb
-    from pyspark.sql import SparkSession
 
     from big_data_table_spark.catalog import CATALOG
+    from big_data_table_spark.session import connect
     from conftest import FIXTURE_TABLES, assert_frames_match
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    # the engine's own connect(): 16g driver heap (a raw 1g-default
+    # builder OOMs local-mode sf0.1 work), AQE, UTC, shuffle sizing
+    spark = connect(
+        app_name="bdt-sweep",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for name in FIXTURE_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+
+    unknown = only - set(CATALOG)
+    if unknown:
+        print(f"unknown entries: {sorted(unknown)}", file=sys.stderr)
+        return 2
 
     passed, failed = [], {}
     t0 = time.time()
