@@ -2329,6 +2329,17 @@ CATALOG.update(
             "frozen order without mutating the store; oracle = brute "
             "cross-pair exact join.",
         ),
+        "stream_setjoin_crawl": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).stream_setjoin_crawl_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).stream_setjoin_crawl_oracle(),
+            doc="Crawl loop over the EXACT set-similarity index: "
+            "per-micro-batch probe-then-append under the batch-0 "
+            "frozen order; oracle = brute cross-batch exact pairs.",
+        ),
         "stream_mg_grouped_store": QuerySpec(
             __import__(
                 "big_data_table_spark.catalog_r10", fromlist=["x"]
@@ -2356,6 +2367,7 @@ _R10_SPILL = _R9_NEXT[50:]  # 33 _R9C_NEW spill-overs, staging order kept
 _R10_NEW: list[str] = [
     "setjoin_index_persisted",
     "setjoin_index_probe",
+    "stream_setjoin_crawl",
     "stream_mg_grouped_store",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW

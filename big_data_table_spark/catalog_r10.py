@@ -121,6 +121,38 @@ WHERE 3 * i >= sa.n + sb.n
 """
 
 
+def stream_setjoin_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import stream_setjoin_crawl
+
+    register_views(spark, sf_dir)
+    return stream_setjoin_crawl(spark, sf_dir)
+
+
+def stream_setjoin_crawl_oracle() -> str:
+    """Brute cross-BATCH oracle: every exact J >= 1/2 pair whose sides
+    land in different ``doc_id % 3`` batches — exactly the union of the
+    per-trigger probe results, whatever order the stream delivered."""
+    from .functions.dedup import _shingles_cte, _words_cte
+
+    return f"""
+WITH {_words_cte(DUCK)}, {_shingles_cte(DUCK)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS BIGINT) AS i
+  FROM shingles a JOIN shingles b
+  ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, i,
+  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 3 * i >= sa.n + sb.n
+  AND doc_a % 3 <> doc_b % 3
+"""
+
+
 # ------------------------------------------------------------------ #
 # grouped SpaceSaving store — streaming edge
 # ------------------------------------------------------------------ #

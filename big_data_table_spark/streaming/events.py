@@ -976,6 +976,75 @@ def _batched_corpus_stream(
     )
 
 
+def stream_setjoin_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier loop with the EXACT set-similarity index —
+    the exact-join twin of :func:`stream_crawl_dedup` (which probes the
+    approximate LSH index): documents arrive in three micro-batches
+    (``doc_id % 3``, file mtimes pin the order); each batch is probed
+    against the persisted prefix-filter index BEFORE being appended —
+    ``setjoin_index_probe`` → ``setjoin_index_append``.  Batch 0
+    bootstraps the store and FREEZES the prefix order; batches 1-2 rank
+    their prefixes under that frozen order, so every probe's candidate
+    rule stays lossless across the whole evolution (one consistent
+    total order, functions/dedup.py module comment).  The union of the
+    probe results is every CROSS-BATCH pair with exact Jaccard >= 1/2 —
+    pure-SQL reconstructible because batch membership is data-borne:
+    the oracle is the brute shared-shingle join filtered to pairs whose
+    sides land in different batches.  At 100 TB this is the exact-dedup
+    ingest topology: the parquet index is the only state, each trigger
+    costs |batch|-sized shingling + candidate-bounded verification, and
+    no Spark state store is involved."""
+    import shutil
+    import tempfile
+
+    from ..functions.dedup import (
+        setjoin_index_append,
+        setjoin_index_build,
+        setjoin_index_probe,
+    )
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_sjcrawl_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    idx = os.path.join(root, "index")
+    sink = os.path.join(root, "pairs")
+    os.makedirs(src_dir)
+
+    stream = _batched_corpus_stream(spark, docs, root, src_dir, n=3)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        view = f"sjcrawl_batch_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        bspark = batch_df.sparkSession
+        if not os.path.isdir(os.path.join(idx, "order")):
+            # bootstrap: the store is born from this batch, freezing
+            # the prefix order; there is no earlier corpus to probe
+            setjoin_index_build(bspark, idx, view)
+            return
+        pairs = setjoin_index_probe(bspark, idx, view)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+        setjoin_index_append(bspark, idx, view)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return (
+        spark.read.parquet(sink)
+        .select("doc_a", "doc_b", "i", "n_a", "n_b", "jaccard")
+    )
+
+
 def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CRAWL-FRONTIER dedup loop as a stream: documents arrive in
     four micro-batches (deterministic split ``doc_id % 4``, one file per

@@ -695,6 +695,9 @@ BUDGET = {
                                  # stay LAZY (pruned scans), only the
                                  # twice-consumed batch shingles are
                                  # checkpointed
+    "stream_setjoin_crawl": 0,   # read-back of the per-batch probe
+                                 # sinks is a pure scan; each trigger's
+                                 # probe paid its own exchanges in-batch
     "stream_mg_grouped_store": 6,  # post-stream read-back: summary
                                  # distinct + thr distinct + per-g total
                                  # + per-key agg + rank window + audit
