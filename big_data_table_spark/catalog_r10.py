@@ -7,7 +7,6 @@ convention)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .catalog_base import register_views
 from .functions.portable import DUCK
@@ -99,26 +98,14 @@ def setjoin_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setjoin_index_probe_oracle() -> str:
     """Brute cross-pair oracle: exact J >= 1/2 pairs with exactly one
     side in the probe batch (doc_id % 3 = 2) — the losslessness proof
-    for the frozen-order cross-side candidate rule."""
-    from .functions.dedup import _shingles_cte, _words_cte
+    for the frozen-order cross-side candidate rule.  ONE copy of the
+    brute formulation (functions/dedup.py) + the side predicate."""
+    from .functions.dedup import prefix_filter_jaccard_oracle_sql
 
-    return f"""
-WITH {_words_cte(DUCK)}, {_shingles_cte(DUCK)},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    CAST(COUNT(*) AS BIGINT) AS i
-  FROM shingles a JOIN shingles b
-  ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b, i,
-  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE 3 * i >= sa.n + sb.n
-  AND (doc_a % 3 = 2) <> (doc_b % 3 = 2)
-"""
+    return (
+        prefix_filter_jaccard_oracle_sql(DUCK)
+        + " AND (doc_a % 3 = 2) <> (doc_b % 3 = 2)"
+    )
 
 
 def stream_setjoin_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,26 +118,11 @@ def stream_setjoin_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_setjoin_crawl_oracle() -> str:
     """Brute cross-BATCH oracle: every exact J >= 1/2 pair whose sides
     land in different ``doc_id % 3`` batches — exactly the union of the
-    per-trigger probe results, whatever order the stream delivered."""
-    from .functions.dedup import _shingles_cte, _words_cte
+    per-trigger probe results, whatever order the stream delivered.
+    ONE copy of the brute formulation + the batch predicate."""
+    from .functions.dedup import prefix_filter_jaccard_oracle_sql
 
-    return f"""
-WITH {_words_cte(DUCK)}, {_shingles_cte(DUCK)},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    CAST(COUNT(*) AS BIGINT) AS i
-  FROM shingles a JOIN shingles b
-  ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b, i,
-  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE 3 * i >= sa.n + sb.n
-  AND doc_a % 3 <> doc_b % 3
-"""
+    return prefix_filter_jaccard_oracle_sql(DUCK) + " AND doc_a % 3 <> doc_b % 3"
 
 
 # ------------------------------------------------------------------ #

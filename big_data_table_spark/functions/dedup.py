@@ -975,15 +975,17 @@ def setjoin_index_build(spark, path: str, table_expr: str) -> None:
     )
 
 
-def setjoin_index_append(spark, path: str, table_expr: str) -> None:
+def setjoin_index_append(spark, path: str, table_expr: str, sh=None) -> None:
     """Incremental maintenance: shingle ONLY the increment, rank it
     under the FROZEN order (unseen shingles get df 0 — still one
     consistent total order, see module comment), and append shingle +
     prefix rows.  Deterministic => replay-safe under the DISTINCT
-    reads."""
+    reads.  ``sh`` lets a probe-then-append loop reuse ONE checkpointed
+    shingle relation instead of re-exploding the batch per verb."""
     import os
 
-    sh = _shingle_rel(spark, table_expr)
+    if sh is None:
+        sh = _shingle_rel(spark, table_expr)
     order = spark.read.parquet(os.path.join(path, "order"))
     sh.write.mode("append").parquet(os.path.join(path, "shingles"))
     _prefix_under_order(sh, order).write.mode("append").parquet(
@@ -1059,7 +1061,7 @@ FROM inter WHERE 3 * i >= n_a + n_b
     )
 
 
-def setjoin_index_probe(spark, path: str, table_expr: str):
+def setjoin_index_probe(spark, path: str, table_expr: str, sh=None):
     """Adjudicate a NEW batch against the index WITHOUT mutating it —
     the exact-join analogue of ``lsh_index_probe`` (probe first, append
     after the keep decision): every (corpus_doc, batch_doc) pair with
@@ -1081,7 +1083,7 @@ def setjoin_index_probe(spark, path: str, table_expr: str):
     # ONCE: they stay lazy so the store scans prune to candidate work
     # instead of materializing corpus-scale relations per probe (r10
     # review finding).
-    bsh = _shingle_rel(spark, table_expr)
+    bsh = sh if sh is not None else _shingle_rel(spark, table_expr)
     order = spark.read.parquet(os.path.join(path, "order"))
     bpref = _prefix_under_order(bsh, order)
     spref = spark.read.parquet(os.path.join(path, "prefix")).distinct()

@@ -1013,24 +1013,32 @@ def stream_setjoin_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(root, "src")
     idx = os.path.join(root, "index")
     sink = os.path.join(root, "pairs")
-    os.makedirs(src_dir)
 
     stream = _batched_corpus_stream(spark, docs, root, src_dir, n=3)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.dedup import _shingle_rel
+
         view = f"sjcrawl_batch_{batch_id}"
         batch_df.createOrReplaceTempView(view)
         bspark = batch_df.sparkSession
-        if not os.path.isdir(os.path.join(idx, "order")):
+        if batch_id == 0:
             # bootstrap: the store is born from this batch, freezing
-            # the prefix order; there is no earlier corpus to probe
+            # the prefix order; there is no earlier corpus to probe.
+            # Keyed on the BATCH ID, not filesystem state — a replayed
+            # batch 0 re-runs the idempotent overwrite build instead of
+            # probing a store that already contains itself
             setjoin_index_build(bspark, idx, view)
             return
-        pairs = setjoin_index_probe(bspark, idx, view)
+        # ONE checkpointed shingle relation per trigger, shared by the
+        # probe and the append (r10 review: each verb re-exploding the
+        # batch doubled the dominant per-trigger cost)
+        bsh = _shingle_rel(bspark, view)
+        pairs = setjoin_index_probe(bspark, idx, view, sh=bsh)
         pairs.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch={batch_id}")
         )
-        setjoin_index_append(bspark, idx, view)
+        setjoin_index_append(bspark, idx, view, sh=bsh)
 
     with _stream_shuffle_scope(spark):
         q = stream.writeStream.foreachBatch(write_batch).start()

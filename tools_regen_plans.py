@@ -48,6 +48,9 @@ PICKS = {
     "events_peak_concurrency": "Sessionize (user-partitioned windows) -> interval-to-grid-cell explode -> cell aggregate (checkpointed, calendar-bounded) -> day-max + earliest-cell witness join. No unbounded running sum.",
     "simhash_hamming_histogram": "Signature frame checkpointed once; band self-join builds candidates, two broadcast-sized signature lookups compute 16 CASE-term hamming, bounded 17-row histogram aggregate.",
     "embedding_anisotropy_report": "Id-bucket pair sampling: bucket equi-join (1/16 of all pairs, no n^2 predicate), rounded-cosine bin aggregate, share via window over the bounded 20-row bin table.",
+    "setjoin_index_persisted": "Exact set-similarity join from the persisted index: prefix-to-prefix candidate join over the store's rarest-shingle prefixes + length filter, exact verify against the checkpointed shingle sets. The corpus text is never rescanned; build/append/compact ran before this plan existed.",
+    "setjoin_index_probe": "Probe-before-append: batch shingles checkpointed once (two consumers), batch prefixes ranked under the store's FROZEN order, store prefix/shingle sides stay LAZY pruned scans — batch-sized work against a corpus-sized store.",
+    "stream_mg_grouped_store": "Chunked grouped SpaceSaving range read after the stream: partition-pruned summary scan, per-(day,chunk,g) threshold algebra, per-group rank over store-geometry-bounded rows, broadcast exact-audit join.",
     "setjoin_prefix_filter_pairs": "Exact similarity join via prefix filtering: ONE checkpointed shingle frame feeds sizes/df/ordering; rarest-shingle prefixes self-join for candidates (the boilerplate-skew inverse), exact verify touches candidate pairs only. The oracle's all-shared-shingle fan-out never appears.",
     "neardup_triangle_count": "Degree-oriented triangle counting: checkpointed edges/degrees/orientation, wedges generated at the lowest-degree apex (hub-proof), one equi-join closes triangles. 7 exchanges vs 20 for the inlined form.",
     "weighted_median_price": "Two-phase exact weighted median: 64-bucket routing aggregate + bounded bucket-cumsum window, finish window INSIDE the median bucket only. The oracle's per-group full-table cumulative window never appears.",
