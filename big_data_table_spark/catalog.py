@@ -2340,6 +2340,17 @@ CATALOG.update(
             "per-micro-batch probe-then-append under the batch-0 "
             "frozen order; oracle = brute cross-batch exact pairs.",
         ),
+        "bitmap_delete_compliance": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).bitmap_delete_compliance_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).bitmap_delete_compliance_oracle(),
+            doc="Tombstone deletion over the exact bitmap store: "
+            "BIT_OR-idempotent delete masks ANDed out at read time; "
+            "per-day + range distinct excluding deleted users.",
+        ),
         "stream_mg_grouped_store": QuerySpec(
             __import__(
                 "big_data_table_spark.catalog_r10", fromlist=["x"]
@@ -2369,6 +2380,7 @@ _R10_NEW: list[str] = [
     "setjoin_index_probe",
     "stream_setjoin_crawl",
     "stream_mg_grouped_store",
+    "bitmap_delete_compliance",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -125,6 +125,61 @@ def stream_setjoin_crawl_oracle() -> str:
     return prefix_filter_jaccard_oracle_sql(DUCK) + " AND doc_a % 3 <> doc_b % 3"
 
 
+def bitmap_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the EXACT bitmap presence store
+    (functions/bitmap_store.py tombstone verbs): build the day store,
+    DELETE every user with ``user_id % 7 = 3`` — issued TWICE, the
+    second call is the idempotence demo (tombstones merge by BIT_OR,
+    so re-deleting absorbs) — then answer per-day DAU and the
+    range-wide distinct count EXCLUDING the deleted ids from the store
+    + the tiny tombstone side table alone.  The scrub is bitwise
+    ``bm & ~mask`` before the popcounts, so exactness is inherited:
+    scrubbed word bitmaps ARE the presence bitmaps of the survivors.
+    No store partition is rewritten — deletion is a side-table append
+    that applies retroactively to every opted-in range read; at 100 TB
+    that is the compliance story (mask rows ≤ ceil(max_id/62),
+    broadcast).  The oracle is the plain distinct count over events
+    minus the deleted users — oracle simplicity is the exactness
+    proof, as for the store itself."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .functions import bitmap_store as B
+    from .sources.readers import Tables
+
+    lo, hi = _MG_GRP_RANGE
+    ev = Tables(spark, sf_dir).events
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_bitmap_del_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    B.bitmap_rollup_build(ev, path)
+    doomed = ev.filter(F.col("user_id") % 7 == 3).select("user_id")
+    for _ in range(2):  # second delete = the idempotence demo
+        B.bitmap_rollup_delete(doomed, path)
+    return B.bitmap_rollup_range_daily_scrubbed(spark, path, lo, hi)
+
+
+def bitmap_delete_compliance_oracle() -> str:
+    lo, hi = _MG_GRP_RANGE
+    return f"""
+WITH act AS (
+  SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+    CAST(user_id AS BIGINT) AS u
+  FROM events
+  WHERE CAST(CAST(ts AS DATE) AS STRING) BETWEEN '{lo}' AND '{hi}'
+    AND user_id % 7 <> 3)
+SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau,
+  (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM act) AS range_distinct
+FROM act GROUP BY day
+"""
+
+
 # ------------------------------------------------------------------ #
 # grouped SpaceSaving store — streaming edge
 # ------------------------------------------------------------------ #

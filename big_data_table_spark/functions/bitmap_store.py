@@ -42,6 +42,26 @@ from pyspark.sql import functions as F
 _WORD_BITS = 62
 
 
+def _word_expr(value_col: str):
+    """Word index = the floor-div CONSISTENT WITH pmod, computed in
+    exact integer arithmetic (vid - pmod is a multiple of 62, so
+    truncating DIV equals floor division; no double round-trip — ids
+    past 2^53 must not lose precision)."""
+    vid = f"CAST({value_col} AS BIGINT)"
+    return F.expr(
+        f"({vid} - pmod({vid}, {_WORD_BITS})) DIV {_WORD_BITS}"
+    ).alias("word")
+
+
+def _bit_expr(value_col: str):
+    """pmod keeps bit in [0, 62) for NEGATIVE ids too (Spark % follows
+    the dividend's sign, which would make shiftleft undefined).
+    (v -> (word, bit) stays a bijection: v = 62*word + bit.)"""
+    vid = f"CAST({value_col} AS BIGINT)"
+    return F.expr(f"CAST(pmod({vid}, {_WORD_BITS}) AS INT)").alias("bit")
+
+
+
 def _packed_bitmaps(
     ev: DataFrame,
     value_col: str,
@@ -56,21 +76,12 @@ def _packed_bitmaps(
     (day, *groups, word, bm)."""
     day = F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias("day")
     names = list(group_exprs)
-    # pmod keeps bit in [0, 62) for NEGATIVE ids too (Spark % follows
-    # the dividend's sign, which would make shiftleft undefined); the
-    # word index is the floor-div consistent with pmod, computed in
-    # exact integer arithmetic (vid - pmod is a multiple of 62, so
-    # truncating DIV equals floor division; no double round-trip —
-    # ids past 2^53 must not lose precision).  (v -> (word, bit) stays
-    # a bijection: v = 62*word + bit.)
-    vid_sql = f"CAST({value_col} AS BIGINT)"
-    bit_sql = f"pmod({vid_sql}, {_WORD_BITS})"
     return (
         ev.select(
             day,
             *[expr.alias(name) for name, expr in group_exprs.items()],
-            F.expr(f"({vid_sql} - {bit_sql}) DIV {_WORD_BITS}").alias("word"),
-            F.expr(f"CAST({bit_sql} AS INT)").alias("bit"),
+            _word_expr(value_col),
+            _bit_expr(value_col),
         )
         .distinct()
         .groupBy("day", *names, "word")
@@ -234,3 +245,83 @@ def bitmap_rollup_grouped_range(
         .groupBy("g")
         .agg(F.sum(F.bit_count("bm")).cast("long").alias("distinct_users"))
     )
+
+
+# --------------------------------------------------------------------- #
+# tombstone deletion (r10) — the right-to-be-forgotten verb.  The
+# presence store is EXACT, so deletion can be exact too: deleted ids
+# become a (word, mask) tombstone bitmap ANDed out at read time.
+# Tombstones live under the dot-prefixed ``.tombstones`` side dir —
+# invisible to the main store's partition discovery (the same rule the
+# compaction staging dirs rely on) — and merge by BIT_OR, so
+# re-deleting any subset is absorbed (idempotent, like the store's own
+# appends).  Deletion is GLOBAL across days (the compliance case); the
+# store rows themselves are untouched, so a deletion needs no
+# partition rewrites and applies retroactively to every range read
+# that opts in.  A compaction that wanted to physically purge would
+# AND the masks into the day bitmaps and drop the tombstones — the
+# read algebra is identical before and after by associativity.
+# --------------------------------------------------------------------- #
+
+_TOMBSTONE_DIR = ".tombstones"
+
+
+def bitmap_rollup_delete(ids, path: str, value_col: str = "user_id") -> None:
+    """Tombstone every id in ``ids`` (a DataFrame with ``value_col``):
+    pack to (word, mask) with the SAME pmod pipeline as the store and
+    append under ``.tombstones``.  Idempotent by the BIT_OR merge law —
+    replayed or overlapping delete batches OR to nothing new."""
+    import os
+
+    masks = (
+        ids.select(_word_expr(value_col), _bit_expr(value_col))
+        .distinct()
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"))
+    )
+    masks.write.mode("append").parquet(os.path.join(path, _TOMBSTONE_DIR))
+
+
+def bitmap_rollup_range_daily_scrubbed(
+    spark, path: str, lo: str, hi: str, checkpoint: bool = True
+) -> DataFrame:
+    """:func:`bitmap_rollup_range_daily` with tombstones applied:
+    per-day and range-wide EXACT distinct counts EXCLUDING every
+    deleted id — ``(day, dau, range_distinct)``.  The tombstone table
+    BIT_ORs to one mask per word (≤ ceil(max_id/62) rows — broadcast
+    against the store scan), and the scrub is a bitwise
+    ``bm & ~mask`` BEFORE the popcounts, so the exactness argument is
+    unchanged: the scrubbed word bitmaps ARE the presence bitmaps of
+    the surviving ids.  Plans scan only pruned store files + the tiny
+    tombstone side table; never events."""
+    import os
+
+    rows = spark.read.parquet(path).filter(
+        F.col("day").cast("string").between(lo, hi)
+    )
+    masks = (
+        spark.read.parquet(os.path.join(path, _TOMBSTONE_DIR))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    per_day_word = (
+        rows.groupBy(F.col("day").cast("string").alias("day"), "word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .join(F.broadcast(masks), "word", "left")
+        .select(
+            "day",
+            "word",
+            F.expr("bm & ~COALESCE(mask, CAST(0 AS BIGINT))").alias("bm"),
+        )
+    )
+    if checkpoint:
+        per_day_word = per_day_word.localCheckpoint(eager=True)
+    daily = per_day_word.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("dau")
+    )
+    total = (
+        per_day_word.groupBy("word")
+        .agg(F.bit_or("bm").alias("bm"))
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("range_distinct"))
+    )
+    return daily.crossJoin(F.broadcast(total))

@@ -2466,7 +2466,9 @@ from .bitmap_store import (  # noqa: E402
     bitmap_rollup_append_chunk,
     bitmap_rollup_build,
     bitmap_rollup_compact,
+    bitmap_rollup_delete,
     bitmap_rollup_grouped_build,
     bitmap_rollup_grouped_range,
     bitmap_rollup_range_daily,
+    bitmap_rollup_range_daily_scrubbed,
 )

@@ -698,6 +698,9 @@ BUDGET = {
     "stream_setjoin_crawl": 0,   # read-back of the per-batch probe
                                  # sinks is a pure scan; each trigger's
                                  # probe paid its own exchanges in-batch
+    "bitmap_delete_compliance": 3,  # (day,word) OR + range OR + total
+                                 # agg over the checkpointed scrubbed
+                                 # words; tombstone masks broadcast
     "stream_mg_grouped_store": 6,  # post-stream read-back: summary
                                  # distinct + thr distinct + per-g total
                                  # + per-key agg + rank window + audit

@@ -169,3 +169,47 @@ def test_r10_window_staging():
     assert keys[50 : 50 + len(catalog._R10_NEXT)] == catalog._R10_NEXT
     # every oracle key matches a query key, 1:1
     assert set(catalog.oracle_sql()) <= set(catalog.queries())
+
+
+def test_bitmap_tombstone_laws(spark, sf_dir, tmp_path):
+    """Three laws of the tombstone verb in one lifecycle: (1) the
+    scrubbed read is bit-identical after one delete and after the same
+    delete REPLAYED (BIT_OR idempotence); (2) deleting ids the store
+    never saw is a no-op; (3) the scrubbed plan reads only store +
+    tombstone files, never events."""
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import bitmap_store as B
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "bmdel")
+    B.bitmap_rollup_build(ev, path)
+    doomed = ev.filter(F.col("user_id") % 7 == 3).select("user_id")
+    lo, hi = "2024-01-01", "2024-12-31"
+
+    def rows():
+        return sorted(
+            (r["day"], r["dau"], r["range_distinct"])
+            for r in B.bitmap_rollup_range_daily_scrubbed(
+                spark, path, lo, hi
+            ).collect()
+        )
+
+    B.bitmap_rollup_delete(doomed, path)
+    once = rows()
+    B.bitmap_rollup_delete(doomed, path)  # replay
+    assert rows() == once
+    # unseen ids are a no-op
+    ghost = spark.range(10**9, 10**9 + 50).select(
+        F.col("id").alias("user_id")
+    )
+    B.bitmap_rollup_delete(ghost, path)
+    assert rows() == once
+    plan = (
+        B.bitmap_rollup_range_daily_scrubbed(spark, path, lo, hi, checkpoint=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "events" not in plan and "bmdel" in plan
