@@ -2351,6 +2351,17 @@ CATALOG.update(
             "BIT_OR-idempotent delete masks ANDed out at read time; "
             "per-day + range distinct excluding deleted users.",
         ),
+        "simhash_index_probe": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).simhash_index_probe_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).simhash_index_probe_oracle(),
+            doc="Persisted 32-bit SimHash signature index: build/append "
+            "(replayed)/probe; quarter-band candidates (lossless for "
+            "hamming<=1 by pigeonhole) + exact hamming verify.",
+        ),
         "stream_mg_grouped_store": QuerySpec(
             __import__(
                 "big_data_table_spark.catalog_r10", fromlist=["x"]
@@ -2381,6 +2392,7 @@ _R10_NEW: list[str] = [
     "stream_setjoin_crawl",
     "stream_mg_grouped_store",
     "bitmap_delete_compliance",
+    "simhash_index_probe",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -180,6 +180,82 @@ FROM act GROUP BY day
 """
 
 
+def simhash_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SimHash signature index, completing the dedup-index
+    matrix (MinHash-LSH buckets / EXACT prefix-filter / SimHash
+    hamming): build on the ``doc_id % 3 = 0`` third, append the
+    ``% 3 = 1`` third with the append REPLAYED (signatures are
+    deterministic; the probe's DISTINCT read absorbs the duplicate
+    rows), then probe the ``% 3 = 2`` third WITHOUT mutating the store:
+    every cross pair agreeing on >= 1 of the 4 signature quarters AND
+    within hamming 1 — lossless candidates by pigeonhole (1 flip over
+    4 quarters leaves three untouched), and at 32 bits an accidental
+    collision is ~1e-8 per pair, so a hit means a real near-duplicate
+    and the output stays pair-bounded as the corpus grows.  Index rows are 16
+    chars per doc; probe work is candidate-bounded; the corpus text is
+    never rescanned by the probe."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_simhash_idx_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.simhash_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 0) _b0"
+    )
+    for _ in range(2):  # second run = the replay; DISTINCT read absorbs
+        DD.simhash_index_append(
+            spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 1) _b1"
+        )
+    return DD.simhash_index_probe(
+        spark,
+        path,
+        "(SELECT * FROM documents WHERE doc_id % 3 = 2) _p",
+        max_hamming=1,
+    )
+
+
+def simhash_index_probe_oracle() -> str:
+    """One-shot reconstruction: signatures over ALL documents, quarter
+    bands, cross pairs (probe side % 3 = 2 vs indexed sides), exact
+    hamming <= 1 — the probe must equal it whatever build/append/replay
+    sequence produced the store."""
+    from .functions.dedup import simhash_sql
+
+    nbits, nbands = 32, 4
+    width = nbits // nbands
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"substr(simhash, {b * width + 1}, {width}) AS bs FROM sigs"
+        for b in range(nbands)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(sa, {p + 1}, 1) <> substr(sb2, {p + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for p in range(nbits)
+    )
+    return f"""
+WITH sigs AS ({simhash_sql(DUCK, nbits)}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+    b.doc_id AS doc_b, b.simhash AS sb2
+  FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+  WHERE (a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2)),
+ver AS (SELECT doc_a, doc_b, {ham} AS hamming FROM cand)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM ver WHERE hamming <= 1
+"""
+
+
 # ------------------------------------------------------------------ #
 # grouped SpaceSaving store — streaming edge
 # ------------------------------------------------------------------ #
