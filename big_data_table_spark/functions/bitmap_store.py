@@ -299,11 +299,19 @@ def bitmap_rollup_range_daily_scrubbed(
     rows = spark.read.parquet(path).filter(
         F.col("day").cast("string").between(lo, hi)
     )
-    masks = (
-        spark.read.parquet(os.path.join(path, _TOMBSTONE_DIR))
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("mask"))
-    )
+    tomb = os.path.join(path, _TOMBSTONE_DIR)
+    if os.path.isdir(tomb) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb)
+    ):
+        masks = (
+            spark.read.parquet(tomb)
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("mask"))
+        )
+    else:
+        # post-purge (or never-deleted) store: empty mask table — the
+        # scrub reduces to the plain read
+        masks = spark.createDataFrame([], "word long, mask long")
     per_day_word = (
         rows.groupBy(F.col("day").cast("string").alias("day"), "word")
         .agg(F.bit_or("bm").alias("bm"))
@@ -325,3 +333,54 @@ def bitmap_rollup_range_daily_scrubbed(
         .agg(F.sum(F.bit_count("bm")).cast("long").alias("range_distinct"))
     )
     return daily.crossJoin(F.broadcast(total))
+
+
+def bitmap_rollup_purge(spark, path: str) -> int:
+    """PHYSICAL purge: fold the tombstone masks into every day's
+    bitmaps (``bm & ~mask``, merging chunks to the reserved
+    ``chunk=-1`` in the same pass — purge subsumes compaction) and
+    DROP the tombstone table.  Result-neutral by associativity: the
+    scrubbed read before the purge, the scrubbed read after (empty
+    mask table), and the PLAIN read after are all bit-identical
+    (pinned).  This is the compliance end-state — the deleted ids'
+    bits no longer exist on disk, not merely masked at read time.
+    Same dot-tmp + rename-aside swap as the compactors
+    (single-writer maintenance verb).  Returns the day count
+    rewritten."""
+    import os
+    import shutil
+
+    from .sketches import _swap_dir_in
+
+    tomb = os.path.join(path, _TOMBSTONE_DIR)
+    masks = (
+        spark.read.parquet(tomb)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .localCheckpoint(eager=True)
+    )
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith("day=")
+    )
+    for day in days:
+        part_dir = os.path.join(path, f"day={day}")
+        scrubbed = (
+            spark.read.parquet(part_dir)
+            .groupBy("word")
+            .agg(F.bit_or("bm").alias("bm"))
+            .join(F.broadcast(masks), "word", "left")
+            .select(
+                "word",
+                F.expr("bm & ~COALESCE(mask, CAST(0 AS BIGINT))").alias("bm"),
+            )
+            .filter(F.col("bm") != 0)  # fully-deleted words vanish
+            .coalesce(1)
+        )
+        tmp = os.path.join(path, f".day={day}.purge.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        scrubbed.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
+        _swap_dir_in(tmp, part_dir)
+    shutil.rmtree(tomb, ignore_errors=True)
+    return len(days)

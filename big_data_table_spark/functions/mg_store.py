@@ -475,7 +475,7 @@ FROM rk WHERE rn <= {topk}
 # store.  The batch-built grouped store above has ONE summary per
 # (day, g); a foreachBatch writer slices a day's traffic across
 # micro-batches, so its summaries need the chunk dimension the plain
-# day store already has: rows (g, v, c, thr) under (day, chunk)
+# day store already has: rows (g, v, c, ube, thr) under (day, chunk)
 # partitions, one summary per (day, chunk, g).  The bound algebra is
 # the chunked one per group: lower = Σ kept counts; upper adds each
 # (day, chunk, g) summary's threshold where the key was absent.
@@ -493,7 +493,7 @@ def _mg_grouped_day_summaries(
     chunk: int,
 ) -> DataFrame:
     """Per-(day, group) top-``cap`` summaries of ONE slice:
-    ``(day, chunk, g, v, c, thr)`` — exact counts, a (day, g)-
+    ``(day, chunk, g, v, c, ube, thr)`` — exact counts, a (day, g)-
     partitioned rank window (bounded by the slice's distinct keys, not
     traffic), threshold = the group's largest dropped count."""
     from pyspark.sql import Window
@@ -522,7 +522,13 @@ def _mg_grouped_day_summaries(
         .drop("rn")
         .join(F.broadcast(thr), ["day", "g"])
         .select(
-            "day", F.lit(int(chunk)).alias("chunk"), "g", "v", "c", "thr"
+            "day",
+            F.lit(int(chunk)).alias("chunk"),
+            "g",
+            "v",
+            "c",
+            F.lit(0).cast("long").alias("ube"),
+            "thr",
         )
     )
 
@@ -581,12 +587,18 @@ def mg_rollup_grouped_chunked_range_topk(
     tot = thrs.groupBy("g").agg(F.sum("thr").cast("long").alias("t"))
     per_key = (
         rows.select(
-            F.col("day").cast("string").alias("day"), "chunk", "g", "v", "c"
+            F.col("day").cast("string").alias("day"),
+            "chunk",
+            "g",
+            "v",
+            "c",
+            "ube",
         )
         .join(thrs, ["day", "chunk", "g"])
         .groupBy("g", "v")
         .agg(
             F.sum("c").cast("long").alias("lower_cnt"),
+            F.sum("ube").cast("long").alias("ube"),
             F.sum("thr").cast("long").alias("pthr"),
         )
     )
@@ -599,7 +611,7 @@ def mg_rollup_grouped_chunked_range_topk(
             "g",
             F.col("v").alias("key"),
             "lower_cnt",
-            (F.col("lower_cnt") + F.col("t") - F.col("pthr"))
+            (F.col("lower_cnt") + F.col("ube") + F.col("t") - F.col("pthr"))
             .cast("long")
             .alias("upper_cnt"),
         )
@@ -637,7 +649,8 @@ ranked AS (
     ROW_NUMBER() OVER (PARTITION BY day, chunk, g
       ORDER BY c DESC, v) AS rn
   FROM counts),
-kept AS (SELECT day, chunk, g, v, c FROM ranked WHERE rn <= {cap}),
+kept AS (SELECT day, chunk, g, v, c, CAST(0 AS BIGINT) AS ube
+  FROM ranked WHERE rn <= {cap}),
 thr AS (
   SELECT day, chunk, g,
     CAST(COALESCE(MAX(CASE WHEN rn > {cap} THEN c END), 0) AS BIGINT)
@@ -646,16 +659,71 @@ thr AS (
 tot AS (SELECT g, CAST(SUM(thr) AS BIGINT) AS t FROM thr GROUP BY g),
 per_key AS (
   SELECT k.g, k.v, CAST(SUM(k.c) AS BIGINT) AS lower_cnt,
+    CAST(SUM(k.ube) AS BIGINT) AS ube,
     CAST(SUM(th.thr) AS BIGINT) AS pthr
   FROM kept k JOIN thr th
     ON k.day = th.day AND k.chunk = th.chunk AND k.g = th.g
   GROUP BY k.g, k.v),
 rk AS (
   SELECT p.g, p.v, p.lower_cnt,
-    CAST(p.lower_cnt + tot.t - p.pthr AS BIGINT) AS upper_cnt,
+    CAST(p.lower_cnt + p.ube + tot.t - p.pthr AS BIGINT) AS upper_cnt,
     ROW_NUMBER() OVER (PARTITION BY p.g
       ORDER BY p.lower_cnt DESC, p.v) AS rn
   FROM per_key p JOIN tot ON tot.g = p.g)
 SELECT g, v AS key, lower_cnt, upper_cnt
 FROM rk WHERE rn <= {topk}
 """
+
+
+def mg_rollup_grouped_compact(spark, path: str, day: str) -> int:
+    """Compaction verb for the CHUNKED grouped store: merge one day's
+    chunk summaries into a single per-group summary at the RESERVED
+    ``chunk=-1`` WITHOUT re-pruning — per (g, v): ``c`` sums over the
+    chunks containing the key, ``ube`` absorbs the thresholds of
+    sibling chunks of the SAME group the key was absent from (plus any
+    previously absorbed ube), and the merged ``thr`` is the group's
+    chunk-threshold sum.  The grouped range algebra is bit-identical
+    before and after (the merge law, pinned) — exactly the ungrouped
+    :func:`mg_rollup_compact` per group.  Same dot-tmp + rename-aside
+    swap (single-writer)."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"day={day}")
+    rows = spark.read.parquet(part_dir).distinct()
+    thrs = rows.select("chunk", "g", "thr").distinct().localCheckpoint(
+        eager=True
+    )
+    tot = thrs.groupBy("g").agg(F.sum("thr").cast("long").alias("t"))
+    merged = (
+        rows.groupBy("g", "v")
+        .agg(
+            F.sum("c").cast("long").alias("c"),
+            F.sum("ube").cast("long").alias("ube0"),
+            F.sum("thr").cast("long").alias("pthr"),
+        )
+        .join(F.broadcast(tot), "g")
+        .select(
+            "g",
+            "v",
+            "c",
+            (F.col("ube0") + F.col("t") - F.col("pthr")).cast("long").alias("ube"),
+            F.col("t").alias("thr"),
+        )
+        .coalesce(1)
+    )
+    tmp = os.path.join(path, f".day={day}.compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(tmp, f"chunk={COMPACT_CHUNK}")
+    )
+    from .sketches import _swap_dir_in
+
+    _swap_dir_in(tmp, part_dir)
+    return len(
+        [
+            f
+            for f in os.listdir(os.path.join(part_dir, f"chunk={COMPACT_CHUNK}"))
+            if f.endswith(".parquet")
+        ]
+    )

@@ -2449,6 +2449,7 @@ from .mg_store import (  # noqa: E402
     mg_rollup_compact,
     mg_rollup_grouped_append_batch,
     mg_rollup_grouped_build,
+    mg_rollup_grouped_compact,
     mg_rollup_grouped_chunked_range_sql,
     mg_rollup_grouped_chunked_range_topk,
     mg_rollup_grouped_range_sql,

@@ -1398,6 +1398,10 @@ def stream_mg_grouped_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     SK.mg_rollup_grouped_append_batch(
         ev.filter(F.col("user_id") % n == 2), store, 2
     )
+    # compact the last day (merge WITHOUT re-prune; the grouped range
+    # algebra is bit-identical before/after — the merge law — so the
+    # oracle's chunked model still holds)
+    SK.mg_rollup_grouped_compact(spark, store, hi)
 
     top = SK.mg_rollup_grouped_chunked_range_topk(spark, store, lo, hi, topk=5)
     day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")

@@ -213,3 +213,57 @@ def test_bitmap_tombstone_laws(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "events" not in plan and "bmdel" in plan
+    # (4) PHYSICAL PURGE is result-neutral: fold masks into the day
+    # bitmaps, drop the tombstones — scrubbed-before == scrubbed-after
+    # == PLAIN-after, and the tombstone table is gone from disk
+    import os
+
+    n_days = B.bitmap_rollup_purge(spark, path)
+    assert n_days > 0
+    assert not os.path.isdir(os.path.join(path, B._TOMBSTONE_DIR))
+    assert rows() == once  # scrubbed read post-purge (empty-mask path)
+    plain = sorted(
+        (r["day"], r["dau"], r["range_distinct"])
+        for r in B.bitmap_rollup_range_daily(spark, path, lo, hi).collect()
+    )
+    assert plain == once  # the deleted bits no longer exist on disk
+
+
+def test_mg_grouped_compaction_bit_neutral(spark, sf_dir, tmp_path):
+    """The chunked grouped store's merge law: compacting a day's chunks
+    (no re-prune; ube absorbs absent-sibling thresholds per group)
+    leaves the grouped range read BIT-IDENTICAL, and a replayed append
+    before the compact is absorbed by the DISTINCT read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "mggrpc")
+    for b in range(3):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id") % 3 == b), path, b, cap=4
+        )
+    MG.mg_rollup_grouped_append_batch(  # replay batch 1
+        ev.filter(F.col("user_id") % 3 == 1), path, 1, cap=4
+    )
+    lo, hi = "2024-01-01", "2024-12-31"
+
+    def rows():
+        return sorted(
+            (r["g"], r["key"], r["lower_cnt"], r["upper_cnt"])
+            for r in MG.mg_rollup_grouped_chunked_range_topk(
+                spark, path, lo, hi, topk=10**6
+            ).collect()
+        )
+
+    before = rows()
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    for day in days[:3]:  # compact a prefix of days — mixed store state
+        MG.mg_rollup_grouped_compact(spark, path, day)
+    assert rows() == before and len(before) > 0
