@@ -2373,6 +2373,19 @@ CATALOG.update(
             "(chunk=<batch_id> partitions, batch-2 replay absorbed); "
             "per-type range top-5 with provable bounds, exact-audited.",
         ),
+        "setjoin_delete_compliance": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).setjoin_delete_compliance_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).setjoin_delete_compliance_oracle(),
+            doc="Tombstone deletion over the persisted EXACT set-"
+            "similarity index: deleted doc_ids anti-joined out of both "
+            "store relations before candidate generation (idempotent "
+            "side-table append; physical purge law pinned); exact "
+            "J>=1/2 pairs over the survivors.",
+        ),
     }
 )
 
@@ -2393,6 +2406,7 @@ _R10_NEW: list[str] = [
     "stream_mg_grouped_store",
     "bitmap_delete_compliance",
     "simhash_index_probe",
+    "setjoin_delete_compliance",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -256,6 +256,61 @@ FROM ver WHERE hamming <= 1
 """
 
 
+def setjoin_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the persisted EXACT set-similarity
+    index (functions/dedup.py tombstone verbs) — the text-index sibling
+    of ``bitmap_delete_compliance``: build on two thirds of the corpus,
+    append the last third, DELETE every doc with ``doc_id % 5 = 1`` —
+    issued TWICE, the second call is the idempotence demo (tombstones
+    are a SET the scrubbed read DISTINCTs) — then answer the exact
+    Jaccard >= 1/2 join EXCLUDING the deleted docs from the store + the
+    tiny tombstone side table alone.  The scrub anti-joins deleted ids
+    out of BOTH store relations BEFORE candidate generation, so the
+    result is definitionally the rebuild-over-survivors answer (a
+    pair's candidates and verify touch only its two docs' rows); parity
+    with the brute oracle filtered to surviving sides proves it.  At
+    100 TB: deletion is a side-table append — no store rewrites — and
+    the physical purge end-state is a separate maintenance verb
+    (``setjoin_index_purge``; scrubbed-before == scrubbed-after ==
+    plain-after pinned in tests/test_round10.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_setjoin_del_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.setjoin_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 != 2) _b"
+    )
+    DD.setjoin_index_append(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a"
+    )
+    doomed = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 5 = 1")
+    for _ in range(2):  # second delete = the idempotence demo
+        DD.setjoin_index_delete(doomed, path)
+    return DD.setjoin_index_pairs_scrubbed(spark, path)
+
+
+def setjoin_delete_compliance_oracle() -> str:
+    """Brute exact-pairs oracle restricted to pairs whose BOTH sides
+    survive the deletion — equal to the rebuild over survivors because
+    every pair statistic (i, n_a, n_b) is pair-local.  ONE copy of the
+    brute formulation + the survivor predicate."""
+    from .functions.dedup import prefix_filter_jaccard_oracle_sql
+
+    return (
+        prefix_filter_jaccard_oracle_sql(DUCK)
+        + " AND doc_a % 5 <> 1 AND doc_b % 5 <> 1"
+    )
+
+
 # ------------------------------------------------------------------ #
 # grouped SpaceSaving store — streaming edge
 # ------------------------------------------------------------------ #

@@ -1023,21 +1023,15 @@ def setjoin_index_compact(spark, path: str) -> None:
         _swap_dir_in(tmp, os.path.join(path, sub))
 
 
-def setjoin_index_pairs(spark, path: str):
-    """The EXACT Jaccard >= 1/2 join answered from the store alone:
+def _setjoin_pairs_from(spark, sh, pref):
+    """The EXACT Jaccard >= 1/2 join from a (doc_id, sh) shingle relation
+    and a (doc_id, sh, n) prefix relation (both already deduplicated):
     prefix-to-prefix candidates (+ length filter), verified against the
-    full shingle sets — (doc_a, doc_b, i, n_a, n_b, jaccard), identical
-    to the one-shot ``prefix_filter_jaccard_pairs`` and to the brute
-    shared-shingle oracle, whatever build/append/replay sequence
-    produced the store.  Both store sides read with DISTINCT (replay
-    absorption); the corpus text is never rescanned."""
-    import os
-
+    full shingle sets — ONE copy of the store's read SQL, shared by the
+    plain and tombstone-scrubbed reads."""
     from ..session import register_temp_view
 
-    sh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
     sh = sh.localCheckpoint(eager=True)
-    pref = spark.read.parquet(os.path.join(path, "prefix")).distinct()
     vsh = register_temp_view(sh, "_sjx_sh")
     vp = register_temp_view(pref, "_sjx_pref")
     return spark.sql(
@@ -1060,6 +1054,20 @@ SELECT doc_a, doc_b, i,
 FROM inter WHERE 3 * i >= n_a + n_b
 """
     )
+
+
+def setjoin_index_pairs(spark, path: str):
+    """The EXACT Jaccard >= 1/2 join answered from the store alone —
+    (doc_a, doc_b, i, n_a, n_b, jaccard), identical to the one-shot
+    ``prefix_filter_jaccard_pairs`` and to the brute shared-shingle
+    oracle, whatever build/append/replay sequence produced the store.
+    Both store sides read with DISTINCT (replay absorption); the corpus
+    text is never rescanned."""
+    import os
+
+    sh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
+    pref = spark.read.parquet(os.path.join(path, "prefix")).distinct()
+    return _setjoin_pairs_from(spark, sh, pref)
 
 
 def setjoin_index_probe(spark, path: str, table_expr: str, sh=None):
@@ -1113,6 +1121,113 @@ SELECT LEAST(cdoc, bdoc) AS doc_a, GREATEST(cdoc, bdoc) AS doc_b, i,
 FROM inter WHERE 3 * i >= n_c + n_b
 """
     )
+
+
+# --------------------------------------------------------------------- #
+# setjoin tombstone deletion (r10) — right-to-be-forgotten for the TEXT
+# index, the exact-join sibling of the bitmap store's tombstone verbs
+# (bitmap_store.py).  Deleted doc_ids are appended under the dot-prefixed
+# ``.tombstones`` side dir (invisible to partition discovery, the same
+# rule the compaction staging dirs rely on) and anti-joined out of BOTH
+# store relations BEFORE candidate generation, so the scrubbed read is
+# definitionally the rebuild-over-survivors answer: a pair's candidates
+# and verify touch only its two docs' rows, so deleting a doc cannot
+# perturb surviving pairs.  SET merge class: the tombstone read is
+# DISTINCT, so replayed or overlapping delete batches absorb, and
+# deleting a doc the store never saw is a no-op.  The physical purge
+# drops the tombstoned rows from shingles/ and prefix/ and removes the
+# tombstone table — the frozen order/ is untouched (losslessness needs
+# only ONE consistent total order; re-freezing is compaction's job).
+# --------------------------------------------------------------------- #
+
+_SETJOIN_TOMBSTONE_DIR = ".tombstones"
+
+
+def setjoin_index_delete(ids, path: str) -> None:
+    """Tombstone every ``doc_id`` in ``ids``: a side-table append — no
+    store partition is rewritten, and the deletion applies retroactively
+    to every scrubbed read.  Idempotent under replay (SET class)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, _SETJOIN_TOMBSTONE_DIR))
+
+
+def _setjoin_tombstones(spark, path: str):
+    """The DISTINCT tombstoned doc_ids, or an empty relation when the
+    store was never deleted from (or was purged)."""
+    import os
+
+    tomb = os.path.join(path, _SETJOIN_TOMBSTONE_DIR)
+    if os.path.isdir(tomb) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb)
+    ):
+        return spark.read.parquet(tomb).distinct()
+    return spark.createDataFrame([], "doc_id long")
+
+
+def setjoin_index_pairs_scrubbed(spark, path: str):
+    """:func:`setjoin_index_pairs` EXCLUDING every tombstoned doc: both
+    store relations are anti-joined against the broadcast tombstone set
+    BEFORE the candidate join, so deleted docs generate no candidates at
+    all (not merely filtered from the output) and the result equals the
+    rebuild over the surviving corpus exactly.  Plans read pruned store
+    files + the tiny tombstone side table; never the corpus text."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    # TWO consumers (both anti-joins) — checkpoint the tiny DISTINCT
+    # once instead of re-shuffling it per join side
+    tomb = _setjoin_tombstones(spark, path).localCheckpoint(eager=True)
+    sh = (
+        spark.read.parquet(os.path.join(path, "shingles"))
+        .distinct()
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+    )
+    pref = (
+        spark.read.parquet(os.path.join(path, "prefix"))
+        .distinct()
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+    )
+    return _setjoin_pairs_from(spark, sh, pref)
+
+
+def setjoin_index_purge(spark, path: str) -> int:
+    """PHYSICAL purge: drop every tombstoned doc's rows from shingles/
+    and prefix/ and DROP the tombstone table — the compliance end-state
+    (the deleted docs' shingles no longer exist on disk, not merely
+    masked at read time).  Result-neutral: scrubbed-before ==
+    scrubbed-after == plain-after (pinned in tests/test_round10.py).
+    The frozen order/ keeps its stale df weights — any ONE total order
+    preserves losslessness, and compaction is the verb that re-freezes.
+    Dot-tmp + rename swap, single-writer.  Returns the tombstoned id
+    count purged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sketches import _swap_dir_in
+
+    tomb = _setjoin_tombstones(spark, path).localCheckpoint(eager=True)
+    n = tomb.count()
+    for sub in ("shingles", "prefix"):
+        kept = (
+            spark.read.parquet(os.path.join(path, sub))
+            .distinct()
+            .join(F.broadcast(tomb), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)  # fully read before the swap
+        )
+        tmp = os.path.join(path, f".{sub}.purge.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        _swap_dir_in(tmp, os.path.join(path, sub))
+    shutil.rmtree(os.path.join(path, _SETJOIN_TOMBSTONE_DIR), ignore_errors=True)
+    return n
 
 
 # --------------------------------------------------------------------- #

@@ -695,6 +695,11 @@ BUDGET = {
                                  # stay LAZY (pruned scans), only the
                                  # twice-consumed batch shingles are
                                  # checkpointed
+    "setjoin_delete_compliance": 3,  # same plan as the plain pairs read
+                                 # (candidate distinct + verify agg +
+                                 # lazy prefix distinct); tombstone
+                                 # anti-joins are broadcast, the tiny
+                                 # tombstone DISTINCT is checkpointed
     "stream_setjoin_crawl": 0,   # read-back of the per-batch probe
                                  # sinks is a pure scan; each trigger's
                                  # probe paid its own exchanges in-batch

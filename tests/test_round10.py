@@ -267,3 +267,49 @@ def test_mg_grouped_compaction_bit_neutral(spark, sf_dir, tmp_path):
     for day in days[:3]:  # compact a prefix of days — mixed store state
         MG.mg_rollup_grouped_compact(spark, path, day)
     assert rows() == before and len(before) > 0
+
+
+def test_setjoin_tombstone_purge_laws(spark, sf_dir, tmp_path):
+    """Tombstone laws for the EXACT set-similarity index: (1) deleting
+    unseen doc_ids is a no-op; (2) a replayed delete is absorbed (SET
+    class); (3) the PHYSICAL purge is result-neutral — scrubbed-before
+    == scrubbed-after == PLAIN-after — and drops the tombstone table
+    from disk."""
+    import os
+
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "sjdel")
+    DD.setjoin_index_build(spark, path, "documents")
+
+    def rows(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["i"], r["n_a"], r["n_b"])
+            for r in df.collect()
+        )
+
+    plain_before = rows(DD.setjoin_index_pairs(spark, path))
+    assert len(plain_before) > 0
+    # (1) unseen ids are a no-op
+    ghost = spark.range(10**9, 10**9 + 20).selectExpr("id AS doc_id")
+    DD.setjoin_index_delete(ghost, path)
+    assert rows(DD.setjoin_index_pairs_scrubbed(spark, path)) == plain_before
+    # (2) replayed delete absorbs
+    doomed = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 5 = 1")
+    DD.setjoin_index_delete(doomed, path)
+    once = rows(DD.setjoin_index_pairs_scrubbed(spark, path))
+    DD.setjoin_index_delete(doomed, path)
+    assert rows(DD.setjoin_index_pairs_scrubbed(spark, path)) == once
+    assert once != plain_before  # the delete actually removed pairs
+    # (3) purge: result-neutral, tombstones gone, deleted rows gone
+    n = DD.setjoin_index_purge(spark, path)
+    assert n > 0
+    assert not os.path.isdir(os.path.join(path, DD._SETJOIN_TOMBSTONE_DIR))
+    assert rows(DD.setjoin_index_pairs_scrubbed(spark, path)) == once
+    assert rows(DD.setjoin_index_pairs(spark, path)) == once
+    surviving = spark.read.parquet(os.path.join(path, "shingles")).where(
+        "doc_id % 5 = 1"
+    )
+    assert surviving.count() == 0  # the docs' shingles no longer exist
