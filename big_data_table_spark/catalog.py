@@ -2386,6 +2386,19 @@ CATALOG.update(
             "side-table append; physical purge law pinned); exact "
             "J>=1/2 pairs over the survivors.",
         ),
+        "stream_simhash_crawl": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).stream_simhash_crawl_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).stream_simhash_crawl_oracle(),
+            doc="Crawl loop over the persisted SimHash signature index "
+            "(the hamming member of the crawl trio): per-micro-batch "
+            "probe-then-append, one checkpointed signature relation "
+            "per trigger; oracle = one-shot signatures filtered to "
+            "cross-batch hamming<=1 pairs.",
+        ),
     }
 )
 
@@ -2407,6 +2420,7 @@ _R10_NEW: list[str] = [
     "bitmap_delete_compliance",
     "simhash_index_probe",
     "setjoin_delete_compliance",
+    "stream_simhash_crawl",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -222,11 +222,12 @@ def simhash_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_index_probe_oracle() -> str:
-    """One-shot reconstruction: signatures over ALL documents, quarter
-    bands, cross pairs (probe side % 3 = 2 vs indexed sides), exact
-    hamming <= 1 — the probe must equal it whatever build/append/replay
-    sequence produced the store."""
+def _simhash_brute_oracle(side_pred: str) -> str:
+    """One-shot reconstruction of a SimHash-index read: signatures over
+    ALL documents, quarter bands, candidate pairs restricted by
+    ``side_pred`` (the data-borne batch/side membership), exact
+    hamming <= 1 — ONE copy of the brute formulation shared by the
+    probe and crawl oracles; any store evolution must equal it."""
     from .functions.dedup import simhash_sql
 
     nbits, nbands = 32, 4
@@ -249,11 +250,31 @@ cand AS (
     b.doc_id AS doc_b, b.simhash AS sb2
   FROM bands a JOIN bands b
   ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
-  WHERE (a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2)),
+  WHERE {side_pred}),
 ver AS (SELECT doc_a, doc_b, {ham} AS hamming FROM cand)
 SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
 FROM ver WHERE hamming <= 1
 """
+
+
+def simhash_index_probe_oracle() -> str:
+    """Cross pairs with exactly one side in the probe batch
+    (``doc_id % 3 = 2``) vs the indexed sides."""
+    return _simhash_brute_oracle("(a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2)")
+
+
+def stream_simhash_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import stream_simhash_crawl
+
+    register_views(spark, sf_dir)
+    return stream_simhash_crawl(spark, sf_dir)
+
+
+def stream_simhash_crawl_oracle() -> str:
+    """Every hamming <= 1 pair whose sides land in DIFFERENT
+    ``doc_id % 3`` micro-batches — the union of the per-trigger probe
+    results, whatever order the stream delivered."""
+    return _simhash_brute_oracle("a.doc_id % 3 <> b.doc_id % 3")
 
 
 def setjoin_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1262,15 +1262,19 @@ def simhash_index_build(spark, path: str, table_expr: str) -> None:
     _simhash_rel(spark, table_expr).write.mode("overwrite").parquet(path)
 
 
-def simhash_index_append(spark, path: str, table_expr: str) -> None:
+def simhash_index_append(spark, path: str, table_expr: str, sig=None) -> None:
     """Incremental maintenance: signature ONLY the increment and append.
     Signatures are deterministic, so replayed appends write
-    byte-identical rows the probe's DISTINCT read absorbs."""
-    _simhash_rel(spark, table_expr).write.mode("append").parquet(path)
+    byte-identical rows the probe's DISTINCT read absorbs.  ``sig``
+    lets a probe-then-append loop reuse ONE checkpointed signature
+    relation instead of re-hashing the batch text per verb."""
+    (sig if sig is not None else _simhash_rel(spark, table_expr)).write.mode(
+        "append"
+    ).parquet(path)
 
 
 def simhash_index_probe(
-    spark, path: str, table_expr: str, max_hamming: int = 3
+    spark, path: str, table_expr: str, max_hamming: int = 3, sig=None
 ):
     """Adjudicate a NEW batch against the signature index WITHOUT
     mutating it: every (corpus_doc, batch_doc) pair agreeing on >= 1 of
@@ -1285,7 +1289,11 @@ def simhash_index_probe(
     from ..session import register_temp_view
 
     width = _SIMHASH_NBITS // _SIMHASH_NBANDS
-    bsig = _simhash_rel(spark, table_expr).localCheckpoint(eager=True)
+    bsig = (
+        sig
+        if sig is not None
+        else _simhash_rel(spark, table_expr).localCheckpoint(eager=True)
+    )
     ssig = spark.read.parquet(path).distinct()
     vb = register_temp_view(bsig, "_shx_b")
     vs = register_temp_view(ssig, "_shx_s")

@@ -1053,6 +1053,73 @@ def stream_setjoin_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_simhash_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier loop over the persisted SimHash signature
+    index — the hamming-distance member of the crawl trio
+    (:func:`stream_crawl_dedup` probes the MinHash-LSH buckets,
+    :func:`stream_setjoin_crawl` the EXACT prefix-filter store):
+    documents arrive in three micro-batches (``doc_id % 3``, file
+    mtimes pin the order); each batch is probed against the signature
+    index BEFORE being appended — ``simhash_index_probe`` (hamming
+    <= 1; quarter-band candidates lossless by pigeonhole) →
+    ``simhash_index_append``.  Batch 0 bootstraps the store, keyed on
+    the BATCH ID (a replayed batch 0 re-runs the idempotent overwrite
+    build); signatures are DETERMINISTIC, so replayed appends write
+    byte-identical rows the probe's DISTINCT read absorbs, and ONE
+    checkpointed signature relation per trigger feeds both verbs.  The
+    union of the probe results is every CROSS-BATCH pair within
+    hamming 1 — batch membership is data-borne, so the oracle is the
+    one-shot signature reconstruction filtered to cross-batch sides.
+    At 100 TB: per-trigger work is |batch| signature hashing +
+    candidate-bounded verification against 16-char index rows; the
+    parquet index is the only state, no Spark state store."""
+    import shutil
+    import tempfile
+
+    from ..functions.dedup import (
+        _simhash_rel,
+        simhash_index_append,
+        simhash_index_build,
+        simhash_index_probe,
+    )
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_shcrawl_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    idx = os.path.join(root, "index")
+    sink = os.path.join(root, "pairs")
+
+    stream = _batched_corpus_stream(spark, docs, root, src_dir, n=3)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        view = f"shcrawl_batch_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        bspark = batch_df.sparkSession
+        if batch_id == 0:
+            simhash_index_build(bspark, idx, view)
+            return
+        sig = _simhash_rel(bspark, view).localCheckpoint(eager=True)
+        pairs = simhash_index_probe(bspark, idx, view, max_hamming=1, sig=sig)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+        simhash_index_append(bspark, idx, view, sig=sig)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return spark.read.parquet(sink).select("doc_a", "doc_b", "hamming")
+
+
 def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CRAWL-FRONTIER dedup loop as a stream: documents arrive in
     four micro-batches (deterministic split ``doc_id % 4``, one file per

@@ -700,6 +700,8 @@ BUDGET = {
                                  # lazy prefix distinct); tombstone
                                  # anti-joins are broadcast, the tiny
                                  # tombstone DISTINCT is checkpointed
+    "stream_simhash_crawl": 0,   # read-back of the per-batch probe
+                                 # sinks is a pure scan (hamming pairs)
     "stream_setjoin_crawl": 0,   # read-back of the per-batch probe
                                  # sinks is a pure scan; each trigger's
                                  # probe paid its own exchanges in-batch
