@@ -2399,6 +2399,18 @@ CATALOG.update(
             "per trigger; oracle = one-shot signatures filtered to "
             "cross-batch hamming<=1 pairs.",
         ),
+        "bm25_topk_retrieval": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).bm25_topk_retrieval_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).bm25_topk_retrieval_oracle(),
+            doc="Okapi BM25 top-20 keyword retrieval (idf rounded "
+            "before arithmetic, DECIMAL-exact contribution sum, "
+            "TakeOrderedAndProject top-k; tf computed only for the "
+            "query terms — the inverted-index posting shape).",
+        ),
     }
 )
 
@@ -2421,6 +2433,7 @@ _R10_NEW: list[str] = [
     "simhash_index_probe",
     "setjoin_delete_compliance",
     "stream_simhash_crawl",
+    "bm25_topk_retrieval",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog_base import register_views
-from .functions.portable import DUCK
+from .functions.portable import DUCK, SPARK
 
 
 # ------------------------------------------------------------------ #
@@ -330,6 +330,36 @@ def setjoin_delete_compliance_oracle() -> str:
         prefix_filter_jaccard_oracle_sql(DUCK)
         + " AND doc_a % 5 <> 1 AND doc_b % 5 <> 1"
     )
+
+
+def bm25_topk_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval over the corpus for a fixed keyword
+    query (functions/text.py:bm25_score_sql) — the retrieval primitive
+    the text family was missing (TF-IDF fingerprints existed; scored
+    ranked retrieval did not).  The token stream, per-doc lengths and
+    the 1-row (N, avgdl) scalar are checkpointed once (Spark re-inlines
+    multi-referenced CTEs — tok feeds qtok AND dl; at 100 TB dl/corpus
+    ARE the precomputed index statistics a BM25 deployment reuses
+    across queries); the scoring SQL text is stage-identical to the
+    oracle's one-statement composition, so the algorithm is shared by
+    construction."""
+    from .functions.text import bm25_corpus_sql, bm25_dl_sql, bm25_score_sql, bm25_tok_sql
+    from .session import register_temp_view
+
+    register_views(spark, sf_dir)
+    tok = spark.sql(bm25_tok_sql(SPARK)).localCheckpoint(eager=True)
+    vtok = register_temp_view(tok, "_bm25_tok")
+    dl = spark.sql(bm25_dl_sql(vtok)).localCheckpoint(eager=True)
+    vdl = register_temp_view(dl, "_bm25_dl")
+    corpus = spark.sql(bm25_corpus_sql(vdl)).localCheckpoint(eager=True)
+    vcorpus = register_temp_view(corpus, "_bm25_corpus")
+    return spark.sql(bm25_score_sql(vtok, vdl, vcorpus))
+
+
+def bm25_topk_retrieval_oracle() -> str:
+    from .functions.text import bm25_topk_sql
+
+    return bm25_topk_sql(DUCK)
 
 
 # ------------------------------------------------------------------ #

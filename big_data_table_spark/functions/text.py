@@ -147,6 +147,107 @@ def tfidf_top_terms_sql(dialect: str, k: int = 5) -> str:
     )
 
 
+_BM25_QUERY_TERMS = ("spark", "merge", "window", "stream")
+_K1 = "CAST(1.2 AS DOUBLE)"   # bare 1.2 would type DECIMAL in Spark SQL
+_B = "CAST(0.75 AS DOUBLE)"
+
+
+def bm25_tok_sql(dialect: str) -> str:
+    """Per-occurrence token stream (doc_id, tk) — BM25's tf needs
+    occurrence counts, not the shingle pipeline's DISTINCT sets."""
+    w = split_ws("lower(text)", dialect)
+    return (
+        "SELECT /*+ REPARTITION(32) */ doc_id, tk "
+        f"FROM (SELECT doc_id, {w} AS w FROM documents) _w "
+        f"{lateral_arr('w', 'tk', dialect)}"
+    )
+
+
+def bm25_dl_sql(tok: str) -> str:
+    """Per-doc token length over the token relation ``tok`` — the
+    corpus statistic a production BM25 index precomputes once and
+    reuses across every query."""
+    return (
+        f"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM {tok} "
+        "GROUP BY doc_id"
+    )
+
+
+def bm25_corpus_sql(dl: str) -> str:
+    """The 1-row (N, avgdl) scalar over the doc-length relation."""
+    return (
+        "SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n, "
+        f"CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM {dl}"
+    )
+
+
+def bm25_score_sql(tok: str, dl: str, corpus: str, k: int = 20) -> str:
+    """Okapi BM25 top-k scoring over precomputed relations: ``tok`` the
+    per-occurrence token stream, ``dl`` per-doc lengths, ``corpus`` the
+    1-row (N, avgdl) scalar (CTE names for the oracle; checkpointed
+    temp views on the Spark side — Spark re-inlines multi-referenced
+    CTEs).
+
+    idf = ln(1 + (N − df + ½)/(df + ½)) (the non-negative Robertson
+    form); per-(doc, term) contribution idf · tf·(k1+1) / (tf +
+    k1·(1 − b + b·dl/avgdl)) with k1 = 1.2, b = 0.75.  IEEE
+    discipline: ln is ROUNDED to 6 dp before entering arithmetic and
+    each term contribution is ROUNDED to 6 dp then accumulated in
+    DECIMAL(18,6) (order-free exact sum) before ONE double cast, so
+    last-ulp ln() differences between engines cannot flip ranks; rank
+    ties break on doc_id (total order).
+
+    Scale shape (100 TB): tf is computed ONLY for the query terms —
+    the token stream is filtered BEFORE any aggregation (at scale this
+    is the inverted-index posting lookup); df ships (term, count) for
+    the query terms only; idf (|query| rows) and the corpus scalar are
+    broadcast sides of the scoring join; top-k is ORDER BY + LIMIT =
+    TakeOrderedAndProject, never a global sort."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    one = "CAST(1 AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    return (
+        f"WITH qtok AS (SELECT doc_id, tk FROM {tok} WHERE tk IN ({terms})), "
+        "tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf "
+        "  FROM qtok GROUP BY doc_id, tk), "
+        "df AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS df "
+        "  FROM tf GROUP BY tk), "
+        "idf AS (SELECT tk, "
+        f"    ROUND(ln({one} + (n - df + {half}) / (df + {half})), 6) AS idf "
+        f"  FROM df CROSS JOIN {corpus} _c1), "
+        "contrib AS (SELECT tf.doc_id, "
+        "    CAST(ROUND(idf.idf * "
+        f"      (CAST(tf.tf AS DOUBLE) * ({_K1} + {one})) / "
+        f"      (CAST(tf.tf AS DOUBLE) + {_K1} * ({one} - {_B} + "
+        f"        {_B} * CAST(dl.dl AS DOUBLE) / _c2.avgdl)), 6) "
+        "      AS DECIMAL(18,6)) AS c "
+        "  FROM tf JOIN idf ON idf.tk = tf.tk "
+        f"  JOIN {dl} dl ON dl.doc_id = tf.doc_id CROSS JOIN {corpus} _c2), "
+        "scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_terms_hit "
+        "  FROM contrib GROUP BY doc_id) "
+        f"SELECT doc_id, score, n_terms_hit FROM scored "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def bm25_topk_sql(dialect: str, k: int = 20) -> str:
+    """One-statement BM25 composition (the ORACLE form): token stream +
+    doc lengths + corpus scalar as CTEs feeding :func:`bm25_score_sql`.
+    The Spark entry checkpoints tok/dl/corpus instead (catalog_r10) —
+    same text per stage, so the algorithm is shared by construction."""
+    # multi-referenced CTE chains inline EXPONENTIALLY in DuckDB —
+    # materialize the shared stages (Spark never runs this composition)
+    mat = "MATERIALIZED " if dialect == DUCK else ""
+    return (
+        f"WITH tok AS {mat}({bm25_tok_sql(dialect)}), "
+        f"dl AS {mat}({bm25_dl_sql('tok')}), "
+        f"corpus AS {mat}({bm25_corpus_sql('dl')}), "
+        f"scored_q AS ({bm25_score_sql('tok', 'dl', 'corpus', k)}) "
+        "SELECT * FROM scored_q"
+    )
+
+
 def source_mix_sql(dialect: str) -> str:
     """Data-mixture report per (source, lang): doc count, char volume,
     distinct-content count — the table a training run's data card is

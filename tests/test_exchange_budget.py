@@ -700,6 +700,10 @@ BUDGET = {
                                  # lazy prefix distinct); tombstone
                                  # anti-joins are broadcast, the tiny
                                  # tombstone DISTINCT is checkpointed
+    "bm25_topk_retrieval": 4,    # qtok tf agg + df agg + dl scoring
+                                 # join + per-doc sum over checkpointed
+                                 # tok/dl/corpus stats; top-k is
+                                 # TakeOrderedAndProject
     "stream_simhash_crawl": 0,   # read-back of the per-batch probe
                                  # sinks is a pure scan (hamming pairs)
     "stream_setjoin_crawl": 0,   # read-back of the per-batch probe
