@@ -2411,6 +2411,17 @@ CATALOG.update(
             "TakeOrderedAndProject top-k; tf computed only for the "
             "query terms — the inverted-index posting shape).",
         ),
+        "semantic_dedup_clusters": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).semantic_dedup_clusters_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).semantic_dedup_clusters_oracle(),
+            doc="Cluster-scoped semantic dedup (SemDeDup): nearest-"
+            "centroid cells, within-cell cosine pairs only, keep-"
+            "earliest survivor per near-dup group; per-cell report.",
+        ),
     }
 )
 
@@ -2434,6 +2445,7 @@ _R10_NEW: list[str] = [
     "setjoin_delete_compliance",
     "stream_simhash_crawl",
     "bm25_topk_retrieval",
+    "semantic_dedup_clusters",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -362,6 +362,41 @@ def bm25_topk_retrieval_oracle() -> str:
     return bm25_topk_sql(DUCK)
 
 
+def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped SEMANTIC dedup (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540) — the embedding-space member of the dedup family
+    (exact hash / MinHash / SimHash / exact set-join / now semantic):
+    assign every embedding to its nearest coarse centroid, compare
+    cosine ONLY within a cell, and drop every vector dominated by a
+    smaller-id cell-mate within the threshold (keep-earliest — one
+    survivor per near-dup group, no extra clustering pass).  Per-cell
+    report (n_vecs, n_dup_pairs, n_dropped, n_kept).  The assignment
+    and pair stages are checkpointed (each feeds two consumers; Spark
+    re-inlines CTEs) — at 100 TB the assignment IS the persisted IVF
+    index the ANN entries already maintain, and the pair stage is
+    sum-of-cell-size² work, never corpus-quadratic (centroid count
+    scales with the corpus, so cells stay bounded)."""
+    from .functions.similarity import (
+        semantic_assign_sql,
+        semantic_pairs_sql,
+        semantic_report_sql,
+    )
+    from .session import register_temp_view
+
+    register_views(spark, sf_dir)
+    assign = spark.sql(semantic_assign_sql(SPARK)).localCheckpoint(eager=True)
+    va = register_temp_view(assign, "_sd_assign")
+    pairs = spark.sql(semantic_pairs_sql(SPARK, va)).localCheckpoint(eager=True)
+    vp = register_temp_view(pairs, "_sd_pairs")
+    return spark.sql(semantic_report_sql(va, vp))
+
+
+def semantic_dedup_clusters_oracle() -> str:
+    from .functions.similarity import semantic_dedup_sql
+
+    return semantic_dedup_sql(DUCK)
+
+
 # ------------------------------------------------------------------ #
 # grouped SpaceSaving store — streaming edge
 # ------------------------------------------------------------------ #

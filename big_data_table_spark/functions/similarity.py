@@ -338,6 +338,80 @@ def ann_ivf_topk_sql(
     )
 
 
+def semantic_assign_sql(dialect: str, n_centroids: int = 8) -> str:
+    """Coarse-cell assignment for cluster-scoped semantic dedup
+    (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): every vector keeps
+    its nearest of ``n_centroids`` deterministic centroids (the first
+    ids — the k-means stand-in the IVF entries established; training
+    runs once offline at scale).  Output carries (vec_id, cid, e, nrm)
+    so the pair stage needs no corpus re-join.  Ranking key is
+    (cosine rounded to 9 dp DESC, cid ASC) — a shared total order."""
+    cos_vc = f"({_dot_sql('v.e', 'c.e', dialect)} / (v.nrm * c.nrm))"
+    return (
+        f"WITH {_vecs_cte(dialect)}, "
+        f"cent AS (SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id < {n_centroids}) "
+        "SELECT vec_id, cid, e, nrm FROM ("
+        "  SELECT v.vec_id, c.cid, v.e, v.nrm, ROW_NUMBER() OVER ("
+        f"    PARTITION BY v.vec_id ORDER BY ROUND({cos_vc}, 9) DESC, c.cid ASC) AS rn "
+        "  FROM v JOIN cent c ON 1 = 1) _a WHERE rn = 1"
+    )
+
+
+def semantic_pairs_sql(dialect: str, assign: str, threshold: float = 0.3) -> str:
+    """Within-cell near-duplicate pairs: cosine >= threshold computed
+    ONLY for same-cell (cid) pairs — the SemDeDup bound that replaces
+    the corpus-quadratic compare with sum-of-cell-size-squared work (at
+    100 TB the centroid count scales with the corpus, so cells stay
+    bounded).  Canonicalized to id_a < id_b; cosine rounded to 6 dp."""
+    cos = f"({_dot_sql('a.e', 'b.e', dialect)} / (a.nrm * b.nrm))"
+    return (
+        "SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"ROUND({cos}, 6) AS cos_sim "
+        f"FROM {assign} a JOIN {assign} b "
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id "
+        f"WHERE ROUND({cos}, 6) >= {threshold}"
+    )
+
+
+def semantic_report_sql(assign: str, pairs: str) -> str:
+    """Per-cell dedup report over the assignment and pair relations:
+    a vector is DROPPED iff a smaller-id vector in its cell sits within
+    the threshold (the deterministic keep-earliest rule — SemDeDup's
+    keep-one-per-group without an extra clustering pass); kept = cell
+    size − dropped.  Pure counting — dialect-free."""
+    return (
+        f"WITH cstats AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs "
+        f"  FROM {assign} GROUP BY cid), "
+        f"pstats AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs "
+        f"  FROM {pairs} GROUP BY cid), "
+        "dstats AS (SELECT cid, CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped "
+        f"  FROM {pairs} GROUP BY cid) "
+        "SELECT c.cid, c.n_vecs, "
+        "  COALESCE(p.n_dup_pairs, CAST(0 AS BIGINT)) AS n_dup_pairs, "
+        "  COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_dropped, "
+        "  c.n_vecs - COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_kept "
+        "FROM cstats c "
+        "LEFT JOIN pstats p ON p.cid = c.cid "
+        "LEFT JOIN dstats d ON d.cid = c.cid"
+    )
+
+
+def semantic_dedup_sql(
+    dialect: str, n_centroids: int = 8, threshold: float = 0.3
+) -> str:
+    """One-statement SemDeDup composition (the ORACLE form); the Spark
+    entry checkpoints the assignment and pair stages instead
+    (catalog_r10) — same stage texts, algorithm shared by construction.
+    Multi-referenced CTEs are MATERIALIZED for DuckDB (exponential
+    inlining otherwise)."""
+    mat = "MATERIALIZED " if dialect == DUCK else ""
+    return (
+        f"WITH sd_assign AS {mat}({semantic_assign_sql(dialect, n_centroids)}), "
+        f"sd_pairs AS {mat}({semantic_pairs_sql(dialect, 'sd_assign', threshold)}) "
+        + semantic_report_sql("sd_assign", "sd_pairs").replace("WITH ", ", ", 1)
+    )
+
+
 def ann_recall_report_sql(dialect: str, k: int = 5) -> str:
     """Recall@k of the IVF search against exact brute-force cosine over
     the SAME query set — the honesty metric every ANN deployment tracks,

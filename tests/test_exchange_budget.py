@@ -700,6 +700,9 @@ BUDGET = {
                                  # lazy prefix distinct); tombstone
                                  # anti-joins are broadcast, the tiny
                                  # tombstone DISTINCT is checkpointed
+    "semantic_dedup_clusters": 4,  # cell-size agg + pair agg + dropped
+                                 # distinct-agg over the checkpointed
+                                 # assignment/pair stages + report join
     "bm25_topk_retrieval": 4,    # qtok tf agg + df agg + dl scoring
                                  # join + per-doc sum over checkpointed
                                  # tok/dl/corpus stats; top-k is
