@@ -2422,6 +2422,17 @@ CATALOG.update(
             "centroid cells, within-cell cosine pairs only, keep-"
             "earliest survivor per near-dup group; per-cell report.",
         ),
+        "hybrid_retrieval_rerank": QuerySpec(
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).hybrid_retrieval_rerank_q,
+            __import__(
+                "big_data_table_spark.catalog_r10", fromlist=["x"]
+            ).hybrid_retrieval_rerank_oracle(),
+            doc="Two-stage hybrid retrieval: BM25 top-20 recall, then "
+            "embedding-cosine rerank of ONLY those candidates to a "
+            "top-10 (rerank window bounded by construction).",
+        ),
     }
 )
 
@@ -2446,6 +2457,7 @@ _R10_NEW: list[str] = [
     "stream_simhash_crawl",
     "bm25_topk_retrieval",
     "semantic_dedup_clusters",
+    "hybrid_retrieval_rerank",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

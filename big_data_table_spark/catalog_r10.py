@@ -362,6 +362,39 @@ def bm25_topk_retrieval_oracle() -> str:
     return bm25_topk_sql(DUCK)
 
 
+def hybrid_retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage HYBRID retrieval — the deployment topology behind
+    RAG/decontamination lookups: stage 1 recalls the BM25 top-20
+    (checkpointed; ~20 rows), stage 2 reranks ONLY those candidates by
+    embedding cosine against one fixed query vector and emits the
+    top-10 with the lexical score carried through.  The rerank's
+    ROW_NUMBER window is bounded by construction (its input is stage
+    1's top-k, never the corpus); at 100 TB stage 2 costs |candidates|
+    dot products — the entire point of staging."""
+    from .functions.similarity import hybrid_rerank_sql
+    from .session import register_temp_view
+
+    register_views(spark, sf_dir)
+    bm25 = bm25_topk_retrieval_q(spark, sf_dir).localCheckpoint(eager=True)
+    vb = register_temp_view(bm25, "_hyb_bm25")
+    return spark.sql(hybrid_rerank_sql(SPARK, vb))
+
+
+def hybrid_retrieval_rerank_oracle() -> str:
+    """Same stage texts, one statement: the BM25 composition
+    MATERIALIZED as the candidate relation feeding the rerank."""
+    from .functions.similarity import hybrid_rerank_sql
+    from .functions.text import bm25_topk_sql
+
+    rerank = hybrid_rerank_sql(DUCK, "bm25_cand")
+    # splice the candidate CTE in front of the rerank's WITH chain
+    return rerank.replace(
+        "WITH ",
+        f"WITH bm25_cand AS MATERIALIZED ({bm25_topk_sql(DUCK)}), ",
+        1,
+    )
+
+
 def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-scoped SEMANTIC dedup (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540) — the embedding-space member of the dedup family

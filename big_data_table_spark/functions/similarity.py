@@ -412,6 +412,33 @@ def semantic_dedup_sql(
     )
 
 
+def hybrid_rerank_sql(
+    dialect: str, scored: str, query_vec_id: int = 100, k: int = 10
+) -> str:
+    """Second-stage embedding rerank over a lexical candidate relation
+    ``scored`` (doc_id, score, …) — the standard two-stage retrieval
+    topology (BM25 recall → dense rerank): join the candidates to
+    their embeddings (doc_id = vec_id, the fixtures' shared id space),
+    score cosine against ONE fixed query vector, and emit the top-k by
+    (cosine rounded to 9 dp DESC, doc_id ASC) with the lexical score
+    carried through.  The rerank window is PARTITION-free but bounded
+    BY CONSTRUCTION — its input is the first stage's top-k, never the
+    corpus; at 100 TB the rerank costs |candidates| dot products, which
+    is the entire point of staging."""
+    cos = f"({_dot_sql('q.e', 'v.e', dialect)} / (q.nrm * v.nrm))"
+    return (
+        f"WITH {_vecs_cte(dialect)}, "
+        f"qv AS (SELECT e, nrm FROM v WHERE vec_id = {query_vec_id}), "
+        f"rr AS (SELECT c.doc_id, c.score AS bm25_score, "
+        f"    ROUND({cos}, 9) AS cos_sim "
+        f"  FROM {scored} c JOIN v ON v.vec_id = c.doc_id CROSS JOIN qv q), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER "
+        "  (ORDER BY cos_sim DESC, doc_id ASC) AS rnk FROM rr) "
+        f"SELECT doc_id, bm25_score, cos_sim, CAST(rnk AS BIGINT) AS rnk "
+        f"FROM ranked WHERE rnk <= {k}"
+    )
+
+
 def ann_recall_report_sql(dialect: str, k: int = 5) -> str:
     """Recall@k of the IVF search against exact brute-force cosine over
     the SAME query set — the honesty metric every ANN deployment tracks,

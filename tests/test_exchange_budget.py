@@ -700,6 +700,10 @@ BUDGET = {
                                  # lazy prefix distinct); tombstone
                                  # anti-joins are broadcast, the tiny
                                  # tombstone DISTINCT is checkpointed
+    "hybrid_retrieval_rerank": 2,  # candidate-embedding join + the
+                                 # rerank window over stage-1's <=20
+                                 # checkpointed rows (bounded by
+                                 # construction, never the corpus)
     "semantic_dedup_clusters": 4,  # cell-size agg + pair agg + dropped
                                  # distinct-agg over the checkpointed
                                  # assignment/pair stages + report join
