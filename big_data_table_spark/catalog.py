@@ -2300,140 +2300,12 @@ CATALOG = {
 }
 
 # ------------------------------------------------------------------ #
-# round-10 registrations (builders in catalog_r10.py)
+# round-10 registrations (builders AND specs in catalog_r10.py — the
+# chunk convention, extended to the spec dict itself when this module
+# approached its own 2.5k budget)
 # ------------------------------------------------------------------ #
 CATALOG.update(
-    {
-        "setjoin_index_persisted": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).setjoin_index_persisted_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).setjoin_index_persisted_oracle(),
-            doc="Persisted EXACT set-similarity (prefix-filter) index: "
-            "build (frozen rarity order) / append under the frozen "
-            "order (replayed) / compact (re-freeze) / exact J>=1/2 "
-            "pairs from the store alone — parity vs the brute "
-            "shared-shingle oracle proves lossless increments.",
-        ),
-        "setjoin_index_probe": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).setjoin_index_probe_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).setjoin_index_probe_oracle(),
-            doc="Probe-before-append against the persisted set-"
-            "similarity index: a new batch adjudicated under the "
-            "frozen order without mutating the store; oracle = brute "
-            "cross-pair exact join.",
-        ),
-        "stream_setjoin_crawl": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).stream_setjoin_crawl_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).stream_setjoin_crawl_oracle(),
-            doc="Crawl loop over the EXACT set-similarity index: "
-            "per-micro-batch probe-then-append under the batch-0 "
-            "frozen order; oracle = brute cross-batch exact pairs.",
-        ),
-        "bitmap_delete_compliance": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).bitmap_delete_compliance_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).bitmap_delete_compliance_oracle(),
-            doc="Tombstone deletion over the exact bitmap store: "
-            "BIT_OR-idempotent delete masks ANDed out at read time; "
-            "per-day + range distinct excluding deleted users.",
-        ),
-        "simhash_index_probe": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).simhash_index_probe_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).simhash_index_probe_oracle(),
-            doc="Persisted 32-bit SimHash signature index: build/append "
-            "(replayed)/probe; quarter-band candidates (lossless for "
-            "hamming<=1 by pigeonhole) + exact hamming verify.",
-        ),
-        "stream_mg_grouped_store": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).stream_mg_grouped_store_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).stream_mg_grouped_store_oracle(),
-            doc="Streaming writer into the GROUPED SpaceSaving store "
-            "(chunk=<batch_id> partitions, batch-2 replay absorbed); "
-            "per-type range top-5 with provable bounds, exact-audited.",
-        ),
-        "setjoin_delete_compliance": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).setjoin_delete_compliance_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).setjoin_delete_compliance_oracle(),
-            doc="Tombstone deletion over the persisted EXACT set-"
-            "similarity index: deleted doc_ids anti-joined out of both "
-            "store relations before candidate generation (idempotent "
-            "side-table append; physical purge law pinned); exact "
-            "J>=1/2 pairs over the survivors.",
-        ),
-        "stream_simhash_crawl": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).stream_simhash_crawl_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).stream_simhash_crawl_oracle(),
-            doc="Crawl loop over the persisted SimHash signature index "
-            "(the hamming member of the crawl trio): per-micro-batch "
-            "probe-then-append, one checkpointed signature relation "
-            "per trigger; oracle = one-shot signatures filtered to "
-            "cross-batch hamming<=1 pairs.",
-        ),
-        "bm25_topk_retrieval": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).bm25_topk_retrieval_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).bm25_topk_retrieval_oracle(),
-            doc="Okapi BM25 top-20 keyword retrieval (idf rounded "
-            "before arithmetic, DECIMAL-exact contribution sum, "
-            "TakeOrderedAndProject top-k; tf computed only for the "
-            "query terms — the inverted-index posting shape).",
-        ),
-        "semantic_dedup_clusters": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).semantic_dedup_clusters_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).semantic_dedup_clusters_oracle(),
-            doc="Cluster-scoped semantic dedup (SemDeDup): nearest-"
-            "centroid cells, within-cell cosine pairs only, keep-"
-            "earliest survivor per near-dup group; per-cell report.",
-        ),
-        "hybrid_retrieval_rerank": QuerySpec(
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).hybrid_retrieval_rerank_q,
-            __import__(
-                "big_data_table_spark.catalog_r10", fromlist=["x"]
-            ).hybrid_retrieval_rerank_oracle(),
-            doc="Two-stage hybrid retrieval: BM25 top-20 recall, then "
-            "embedding-cosine rerank of ONLY those candidates to a "
-            "top-10 (rerank window bounded by construction).",
-        ),
-    }
+    __import__("big_data_table_spark.catalog_r10", fromlist=["x"]).r10_specs()
 )
 
 # ------------------------------------------------------------------ #
@@ -2458,6 +2330,7 @@ _R10_NEW: list[str] = [
     "bm25_topk_retrieval",
     "semantic_dedup_clusters",
     "hybrid_retrieval_rerank",
+    "stream_semantic_crawl",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

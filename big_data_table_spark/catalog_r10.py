@@ -395,6 +395,43 @@ def hybrid_retrieval_rerank_oracle() -> str:
     )
 
 
+def stream_semantic_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import stream_semantic_crawl
+
+    register_views(spark, sf_dir)
+    return stream_semantic_crawl(spark, sf_dir)
+
+
+def stream_semantic_crawl_oracle() -> str:
+    """One-shot reconstruction: freeze the quantizer as batch 0's 8
+    smallest vec_ids, assign the WHOLE corpus under it (ONE copy of the
+    assignment formulation — functions/similarity.py:
+    semantic_assign_under_sql), and keep same-cell cosine pairs whose
+    sides land in DIFFERENT ``vec_id % 3`` batches — the union of the
+    per-trigger probe results, whatever order the stream delivered."""
+    from .functions.similarity import (
+        _SEM_N_CENTROIDS,
+        _SEM_THRESHOLD,
+        _dot_sql,
+        _vecs_cte,
+        semantic_assign_under_sql,
+    )
+
+    cos = f"({_dot_sql('a.e', 'b.e', DUCK)} / (a.nrm * b.nrm))"
+    return f"""
+WITH {_vecs_cte(DUCK)},
+cent AS MATERIALIZED (SELECT vec_id AS cid, e, nrm FROM v
+  WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT {_SEM_N_CENTROIDS}),
+assign AS MATERIALIZED ({semantic_assign_under_sql(DUCK, "v", "cent")}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cos_sim
+  FROM assign a JOIN assign b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 3 <> b.vec_id % 3)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_SEM_THRESHOLD}
+"""
+
+
 def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-scoped SEMANTIC dedup (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540) — the embedding-space member of the dedup family
@@ -476,3 +513,107 @@ SELECT s.g, s.key, s.lower_cnt, s.upper_cnt, e.true_cnt,
   (e.true_cnt BETWEEN s.lower_cnt AND s.upper_cnt) AS in_bounds
 FROM ({store}) s JOIN exact e ON e.g = s.g AND e.key = s.key
 """
+
+
+def r10_specs():
+    """Round-10 QuerySpec registrations, merged into the catalog by
+    catalog.py (the chunk convention, extended to the spec dict itself
+    when catalog.py approached its own 2.5k module budget)."""
+    from .catalog_base import QuerySpec
+
+    return {
+        "setjoin_index_persisted": QuerySpec(
+            setjoin_index_persisted_q,
+            setjoin_index_persisted_oracle(),
+            doc="Persisted EXACT set-similarity (prefix-filter) index: "
+            "build (frozen rarity order) / append under the frozen "
+            "order (replayed) / compact (re-freeze) / exact J>=1/2 "
+            "pairs from the store alone — parity vs the brute "
+            "shared-shingle oracle proves lossless increments.",
+        ),
+        "setjoin_index_probe": QuerySpec(
+            setjoin_index_probe_q,
+            setjoin_index_probe_oracle(),
+            doc="Probe-before-append against the persisted set-"
+            "similarity index: a new batch adjudicated under the "
+            "frozen order without mutating the store; oracle = brute "
+            "cross-pair exact join.",
+        ),
+        "stream_setjoin_crawl": QuerySpec(
+            stream_setjoin_crawl_q,
+            stream_setjoin_crawl_oracle(),
+            doc="Crawl loop over the EXACT set-similarity index: "
+            "per-micro-batch probe-then-append under the batch-0 "
+            "frozen order; oracle = brute cross-batch exact pairs.",
+        ),
+        "bitmap_delete_compliance": QuerySpec(
+            bitmap_delete_compliance_q,
+            bitmap_delete_compliance_oracle(),
+            doc="Tombstone deletion over the exact bitmap store: "
+            "BIT_OR-idempotent delete masks ANDed out at read time; "
+            "per-day + range distinct excluding deleted users.",
+        ),
+        "simhash_index_probe": QuerySpec(
+            simhash_index_probe_q,
+            simhash_index_probe_oracle(),
+            doc="Persisted 32-bit SimHash signature index: build/append "
+            "(replayed)/probe; quarter-band candidates (lossless for "
+            "hamming<=1 by pigeonhole) + exact hamming verify.",
+        ),
+        "stream_mg_grouped_store": QuerySpec(
+            stream_mg_grouped_store_q,
+            stream_mg_grouped_store_oracle(),
+            doc="Streaming writer into the GROUPED SpaceSaving store "
+            "(chunk=<batch_id> partitions, batch-2 replay absorbed); "
+            "per-type range top-5 with provable bounds, exact-audited.",
+        ),
+        "setjoin_delete_compliance": QuerySpec(
+            setjoin_delete_compliance_q,
+            setjoin_delete_compliance_oracle(),
+            doc="Tombstone deletion over the persisted EXACT set-"
+            "similarity index: deleted doc_ids anti-joined out of both "
+            "store relations before candidate generation (idempotent "
+            "side-table append; physical purge law pinned); exact "
+            "J>=1/2 pairs over the survivors.",
+        ),
+        "stream_simhash_crawl": QuerySpec(
+            stream_simhash_crawl_q,
+            stream_simhash_crawl_oracle(),
+            doc="Crawl loop over the persisted SimHash signature index "
+            "(the hamming member of the crawl trio): per-micro-batch "
+            "probe-then-append, one checkpointed signature relation "
+            "per trigger; oracle = one-shot signatures filtered to "
+            "cross-batch hamming<=1 pairs.",
+        ),
+        "bm25_topk_retrieval": QuerySpec(
+            bm25_topk_retrieval_q,
+            bm25_topk_retrieval_oracle(),
+            doc="Okapi BM25 top-20 keyword retrieval (idf rounded "
+            "before arithmetic, DECIMAL-exact contribution sum, "
+            "TakeOrderedAndProject top-k; tf computed only for the "
+            "query terms — the inverted-index posting shape).",
+        ),
+        "semantic_dedup_clusters": QuerySpec(
+            semantic_dedup_clusters_q,
+            semantic_dedup_clusters_oracle(),
+            doc="Cluster-scoped semantic dedup (SemDeDup): nearest-"
+            "centroid cells, within-cell cosine pairs only, keep-"
+            "earliest survivor per near-dup group; per-cell report.",
+        ),
+        "hybrid_retrieval_rerank": QuerySpec(
+            hybrid_retrieval_rerank_q,
+            hybrid_retrieval_rerank_oracle(),
+            doc="Two-stage hybrid retrieval: BM25 top-20 recall, then "
+            "embedding-cosine rerank of ONLY those candidates to a "
+            "top-10 (rerank window bounded by construction).",
+        ),
+        "stream_semantic_crawl": QuerySpec(
+            stream_semantic_crawl_q,
+            stream_semantic_crawl_oracle(),
+            doc="Crawl loop over the persisted SEMANTIC index (frozen "
+            "coarse quantizer, nearest-centroid cells): per-micro-"
+            "batch assign-once → probe (same-cell cosine) → append; "
+            "oracle = one-shot assignment filtered to cross-batch "
+            "pairs.",
+        ),
+    }

@@ -52,17 +52,19 @@ def _dot_sql(a: str, b: str, dialect: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
-def _vecs_cte(dialect: str) -> str:
+def _vecs_cte(dialect: str, src: str = "embeddings") -> str:
     """Normalized-vector CTE: cast once, precompute the L2 norm once per
     vector — the pairwise stage then does ONE dot product per pair instead
-    of three (norms were the 3× hotspot in the all-pairs compare)."""
+    of three (norms were the 3× hotspot in the all-pairs compare).
+    ``src`` generalizes to any (vec_id, embedding, label) relation (the
+    semantic index verbs assign arriving micro-batches)."""
     cast = (
         "CAST(embedding AS ARRAY<DOUBLE>)" if dialect == SPARK else "CAST(embedding AS DOUBLE[])"
     )
     # REPARTITION spreads the single-file embeddings scan before the
     # quadratic pair stage; DuckDB reads the hint as a comment.
     return (
-        f"v0 AS (SELECT /*+ REPARTITION(32) */ vec_id, label, {cast} AS e FROM embeddings), "
+        f"v0 AS (SELECT /*+ REPARTITION(32) */ vec_id, label, {cast} AS e FROM {src}), "
         f"v AS (SELECT vec_id, label, e, sqrt({_dot_sql('e', 'e', dialect)}) AS nrm FROM v0)"
     )
 
@@ -346,14 +348,28 @@ def semantic_assign_sql(dialect: str, n_centroids: int = 8) -> str:
     runs once offline at scale).  Output carries (vec_id, cid, e, nrm)
     so the pair stage needs no corpus re-join.  Ranking key is
     (cosine rounded to 9 dp DESC, cid ASC) — a shared total order."""
-    cos_vc = f"({_dot_sql('v.e', 'c.e', dialect)} / (v.nrm * c.nrm))"
     return (
         f"WITH {_vecs_cte(dialect)}, "
         f"cent AS (SELECT vec_id AS cid, e, nrm FROM v WHERE vec_id < {n_centroids}) "
+        + semantic_assign_under_sql(dialect, "v", "cent")
+    )
+
+
+def semantic_assign_under_sql(dialect: str, vecs: str, cent: str) -> str:
+    """Nearest-centroid assignment of a vector relation ``vecs``
+    (vec_id, e, nrm) under a FROZEN centroid relation ``cent``
+    (cid, e, nrm) — ONE copy of the assignment formulation, shared by
+    the one-shot SemDeDup entry and the persisted semantic index verbs
+    (a frozen coarse quantizer is how production IVF evolves: the cell
+    geometry never moves under appends, so old assignments stay valid
+    verbatim).  The rank window is per-vector over |centroids| rows —
+    bounded by the centroid count, never the corpus."""
+    cos_vc = f"({_dot_sql('v.e', 'c.e', dialect)} / (v.nrm * c.nrm))"
+    return (
         "SELECT vec_id, cid, e, nrm FROM ("
         "  SELECT v.vec_id, c.cid, v.e, v.nrm, ROW_NUMBER() OVER ("
         f"    PARTITION BY v.vec_id ORDER BY ROUND({cos_vc}, 9) DESC, c.cid ASC) AS rn "
-        "  FROM v JOIN cent c ON 1 = 1) _a WHERE rn = 1"
+        f"  FROM {vecs} v JOIN {cent} c ON 1 = 1) _a WHERE rn = 1"
     )
 
 
@@ -409,6 +425,119 @@ def semantic_dedup_sql(
         f"WITH sd_assign AS {mat}({semantic_assign_sql(dialect, n_centroids)}), "
         f"sd_pairs AS {mat}({semantic_pairs_sql(dialect, 'sd_assign', threshold)}) "
         + semantic_report_sql("sd_assign", "sd_pairs").replace("WITH ", ", ", 1)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Persisted semantic (embedding) index — r10, extending the crawl-index
+# matrix to the embedding modality: MinHash-LSH buckets / EXACT
+# prefix-filter / SimHash hamming / now nearest-centroid cells.  The
+# store is centroids/ (the coarse quantizer, FROZEN at build — cell
+# geometry never moves under appends, so old assignments stay valid
+# verbatim; production IVF evolves exactly this way) and rows/
+# ((vec_id, cid, e, nrm) assignments).  Assignment is a deterministic
+# function of (vector, frozen centroids), so replayed appends write
+# byte-identical rows the probe's DISTINCT read absorbs (SET class).
+# The probe compares a batch ONLY against same-cell store rows —
+# batch-sized assignment work + sum-of-cell-intersection pair work,
+# never corpus-quadratic, and the corpus is never re-assigned.
+# --------------------------------------------------------------------- #
+
+_SEM_N_CENTROIDS = 8
+_SEM_THRESHOLD = 0.3
+
+
+def _semantic_vecs(spark, table_expr: str):
+    """(vec_id, e, nrm) normalized vectors of ``table_expr``."""
+    return spark.sql(
+        f"WITH {_vecs_cte(SPARK, src=table_expr)} SELECT vec_id, e, nrm FROM v"
+    )
+
+
+def semantic_index_assign(spark, path: str, table_expr: str):
+    """Assign a batch under the store's FROZEN centroids — the verb
+    probe and append share (one checkpointed assignment per trigger)."""
+    import os
+
+    from ..session import register_temp_view
+
+    vecs = _semantic_vecs(spark, table_expr)
+    cent = spark.read.parquet(os.path.join(path, "centroids"))
+    vv = register_temp_view(vecs, "_semx_v")
+    vc = register_temp_view(cent, "_semx_c")
+    return spark.sql(semantic_assign_under_sql(SPARK, vv, vc))
+
+
+def semantic_index_build(spark, path: str, table_expr: str) -> None:
+    """Bootstrap: FREEZE the coarse quantizer as the batch's
+    ``_SEM_N_CENTROIDS`` smallest vec_ids (the deterministic k-means
+    stand-in the IVF entries established; training runs once offline
+    at scale) and write the batch's assignments.  Idempotent
+    overwrite — a replayed bootstrap rebuilds the same store."""
+    import os
+
+    vecs = _semantic_vecs(spark, table_expr).localCheckpoint(eager=True)
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(_SEM_N_CENTROIDS)
+        .selectExpr("vec_id AS cid", "e", "nrm")
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    semantic_index_append(spark, path, table_expr, assigned=None, _vecs=vecs)
+
+
+def semantic_index_append(
+    spark, path: str, table_expr: str, assigned=None, _vecs=None
+) -> None:
+    """Incremental maintenance: assign ONLY the increment under the
+    frozen centroids and append.  Deterministic => replay-safe under
+    the probe's DISTINCT read."""
+    import os
+
+    from ..session import register_temp_view
+
+    if assigned is None:
+        if _vecs is not None:  # build path: reuse the checkpointed vecs
+            cent = spark.read.parquet(os.path.join(path, "centroids"))
+            vv = register_temp_view(_vecs, "_semx_v")
+            vc = register_temp_view(cent, "_semx_c")
+            assigned = spark.sql(semantic_assign_under_sql(SPARK, vv, vc))
+        else:
+            assigned = semantic_index_assign(spark, path, table_expr)
+    assigned.write.mode("append").parquet(os.path.join(path, "rows"))
+
+
+def semantic_index_probe(spark, path: str, table_expr: str, assigned=None):
+    """Adjudicate a NEW batch against the semantic index WITHOUT
+    mutating it: every (store_vec, batch_vec) pair in the SAME cell
+    with cosine >= the threshold — (id_a, id_b, cos_sim rounded to
+    6 dp), canonicalized to id_a < id_b.  Store rows read with DISTINCT
+    (replay absorption); batch work is |batch| assignment + same-cell
+    pair verification; the corpus is never re-assigned or rescanned."""
+    import os
+
+    from ..session import register_temp_view
+
+    b = (
+        assigned
+        if assigned is not None
+        else semantic_index_assign(spark, path, table_expr).localCheckpoint(
+            eager=True
+        )
+    )
+    store = spark.read.parquet(os.path.join(path, "rows")).distinct()
+    vb = register_temp_view(b, "_semp_b")
+    vs = register_temp_view(store, "_semp_s")
+    cos = f"({_dot_sql('s.e', 'b.e', SPARK)} / (s.nrm * b.nrm))"
+    return spark.sql(
+        f"""
+SELECT LEAST(s.vec_id, b.vec_id) AS id_a,
+  GREATEST(s.vec_id, b.vec_id) AS id_b,
+  ROUND({cos}, 6) AS cos_sim
+FROM {vs} s JOIN {vb} b
+ON s.cid = b.cid AND s.vec_id <> b.vec_id
+WHERE ROUND({cos}, 6) >= {_SEM_THRESHOLD}
+"""
     )
 
 

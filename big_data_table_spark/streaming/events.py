@@ -1120,6 +1120,77 @@ def stream_simhash_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("doc_a", "doc_b", "hamming")
 
 
+def stream_semantic_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier loop over the persisted SEMANTIC (embedding)
+    index — extending the crawl matrix to the embedding modality
+    (MinHash-LSH / EXACT prefix-filter / SimHash / nearest-centroid
+    cells): embeddings arrive in three micro-batches (``vec_id % 3``,
+    file mtimes pin the order); each batch is assigned ONCE under the
+    store's FROZEN coarse quantizer and that checkpointed assignment
+    feeds both the probe (same-cell cosine >= threshold vs the store)
+    and the append.  Batch 0 bootstraps, keyed on the BATCH ID: it
+    freezes the quantizer as its 8 smallest vec_ids and writes its own
+    assignments (idempotent overwrite).  Assignments are DETERMINISTIC
+    functions of (vector, frozen centroids), so replayed appends write
+    byte-identical rows the probe's DISTINCT read absorbs.  The union
+    of the probe results is every CROSS-BATCH same-cell pair within
+    the threshold — batch membership is data-borne, so the oracle is
+    the one-shot assignment of the whole corpus under the same frozen
+    centroids, filtered to cross-batch sides.  At 100 TB: per-trigger
+    work is |batch| assignment (|centroids| comparisons each) +
+    sum-of-cell-intersection pair verification; the corpus is never
+    re-assigned; the parquet index is the only state."""
+    import shutil
+    import tempfile
+
+    from ..functions.similarity import (
+        semantic_index_append,
+        semantic_index_assign,
+        semantic_index_build,
+        semantic_index_probe,
+    )
+    from ..sources.readers import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_semcrawl_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    idx = os.path.join(root, "index")
+    sink = os.path.join(root, "pairs")
+
+    stream = _batched_corpus_stream(
+        spark, vecs, root, src_dir, n=3, key_col="vec_id", prefix="semcrawl"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        view = f"semcrawl_batch_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        bspark = batch_df.sparkSession
+        if batch_id == 0:
+            semantic_index_build(bspark, idx, view)
+            return
+        assigned = semantic_index_assign(bspark, idx, view).localCheckpoint(
+            eager=True
+        )
+        pairs = semantic_index_probe(bspark, idx, view, assigned=assigned)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+        semantic_index_append(bspark, idx, view, assigned=assigned)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return spark.read.parquet(sink).select("id_a", "id_b", "cos_sim")
+
+
 def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CRAWL-FRONTIER dedup loop as a stream: documents arrive in
     four micro-batches (deterministic split ``doc_id % 4``, one file per

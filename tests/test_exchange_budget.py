@@ -711,6 +711,8 @@ BUDGET = {
                                  # join + per-doc sum over checkpointed
                                  # tok/dl/corpus stats; top-k is
                                  # TakeOrderedAndProject
+    "stream_semantic_crawl": 0,  # read-back of the per-batch probe
+                                 # sinks is a pure scan (cosine pairs)
     "stream_simhash_crawl": 0,   # read-back of the per-batch probe
                                  # sinks is a pure scan (hamming pairs)
     "stream_setjoin_crawl": 0,   # read-back of the per-batch probe
