@@ -87,6 +87,12 @@ TIER2 = [
     # full verb cycle (build / replayed append / compact / pairs) —
     # gets a baseline from its birth round
     ("setjoin_index_persisted", "setjoin_store"),
+    # r10 second extension: the SimHash signature index (build /
+    # replayed append / banded probe) and the semantic nearest-centroid
+    # index (the crawl loop: bootstrap + per-batch assign-probe-append)
+    # get baselines from their birth round
+    ("simhash_index_probe", "simhash_store"),
+    ("stream_semantic_crawl", "semantic_store"),
 ]
 
 

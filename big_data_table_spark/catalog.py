@@ -2331,6 +2331,7 @@ _R10_NEW: list[str] = [
     "semantic_dedup_clusters",
     "hybrid_retrieval_rerank",
     "stream_semantic_crawl",
+    "bm25_index_persisted",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

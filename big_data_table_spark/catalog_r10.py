@@ -395,6 +395,63 @@ def hybrid_retrieval_rerank_oracle() -> str:
     )
 
 
+def bm25_index_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 (inverted) index — the text-retrieval member of
+    the store matrix (functions/text.py:bm25_index_*): build = the
+    chunk-0 append over two thirds of the corpus (the store is born
+    additive; idf/avgdl derive at read time, so increments never go
+    stale), append the last third as chunk 1 — REPLAYED, absorbed by
+    the per-chunk dynamic partition overwrite (the CMS additive-class
+    contract) — then answer the SAME top-20 query from the store alone:
+    term-pruned postings scan (predicate pushdown, plan-pinned) +
+    SUM-merge across chunks + the shared scoring text.  Parity with the
+    one-shot corpus BM25 proves the additive read algebra exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import text as TX
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_bm25_index_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    TX.bm25_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 != 2) _b"
+    )
+    for _ in range(2):  # second run = the replay; chunk overwrite absorbs
+        TX.bm25_index_append(
+            spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a",
+            chunk=1,
+        )
+    return TX.bm25_index_topk(spark, path)
+
+
+def bm25_index_persisted_oracle() -> str:
+    """One-shot corpus BM25 with the STORE's corpus-scalar semantics
+    (N counted from the indexed dl relation, not the documents table —
+    the store's read path never touches documents); tf/dl over chunked
+    batches SUM to the whole-corpus counts because every doc lives in
+    exactly one chunk."""
+    from .functions.text import (
+        bm25_corpus_sql,
+        bm25_dl_sql,
+        bm25_score_sql,
+        bm25_tok_sql,
+    )
+
+    return (
+        f"WITH tok AS MATERIALIZED ({bm25_tok_sql(DUCK)}), "
+        f"dl AS MATERIALIZED ({bm25_dl_sql('tok')}), "
+        f"corpus AS MATERIALIZED ({bm25_corpus_sql('dl', n_src=None)}), "
+        f"scored_q AS ({bm25_score_sql('tok', 'dl', 'corpus')}) "
+        "SELECT * FROM scored_q"
+    )
+
+
 def stream_semantic_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import stream_semantic_crawl
 
@@ -615,5 +672,13 @@ def r10_specs():
             "batch assign-once → probe (same-cell cosine) → append; "
             "oracle = one-shot assignment filtered to cross-batch "
             "pairs.",
+        ),
+        "bm25_index_persisted": QuerySpec(
+            bm25_index_persisted_q,
+            bm25_index_persisted_oracle(),
+            doc="Persisted BM25 inverted index (postings + dl under "
+            "chunk partitions, ADDITIVE class, replayed append "
+            "absorbed by per-chunk overwrite); top-20 answered from "
+            "the term-pruned store alone, documents never rescanned.",
         ),
     }

@@ -152,13 +152,15 @@ _K1 = "CAST(1.2 AS DOUBLE)"   # bare 1.2 would type DECIMAL in Spark SQL
 _B = "CAST(0.75 AS DOUBLE)"
 
 
-def bm25_tok_sql(dialect: str) -> str:
+def bm25_tok_sql(dialect: str, src: str = "documents") -> str:
     """Per-occurrence token stream (doc_id, tk) — BM25's tf needs
-    occurrence counts, not the shingle pipeline's DISTINCT sets."""
+    occurrence counts, not the shingle pipeline's DISTINCT sets.
+    ``src`` generalizes to a batch subquery (the index store verbs
+    tokenize only the increment)."""
     w = split_ws("lower(text)", dialect)
     return (
         "SELECT /*+ REPARTITION(32) */ doc_id, tk "
-        f"FROM (SELECT doc_id, {w} AS w FROM documents) _w "
+        f"FROM (SELECT doc_id, {w} AS w FROM {src}) _w "
         f"{lateral_arr('w', 'tk', dialect)}"
     )
 
@@ -173,11 +175,51 @@ def bm25_dl_sql(tok: str) -> str:
     )
 
 
-def bm25_corpus_sql(dl: str) -> str:
-    """The 1-row (N, avgdl) scalar over the doc-length relation."""
+def bm25_corpus_sql(dl: str, n_src: str | None = "documents") -> str:
+    """The 1-row (N, avgdl) scalar over the doc-length relation.
+    ``n_src=None`` counts N from the dl relation itself — the index
+    store's definition (N = indexed docs; the store's read path never
+    touches the documents table)."""
+    n_expr = (
+        f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM {n_src})"
+        if n_src
+        else "CAST(COUNT(*) AS DOUBLE)"
+    )
     return (
-        "SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n, "
+        f"SELECT {n_expr} AS n, "
         f"CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM {dl}"
+    )
+
+
+def bm25_score_from_tf_sql(tf: str, dl: str, corpus: str, k: int = 20) -> str:
+    """Okapi BM25 top-k scoring from a PRECOMPUTED term-frequency
+    relation ``tf`` (doc_id, tk, tf — already restricted to the query
+    terms), per-doc lengths ``dl`` and the 1-row (N, avgdl) scalar
+    ``corpus`` — ONE copy of the scoring algebra, shared by the
+    one-shot retrieval entry (tf aggregated from the token stream) and
+    the persisted index store (tf read from term-filtered postings).
+    See :func:`bm25_score_sql` for the IEEE/rounding discipline."""
+    one = "CAST(1 AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
+    return (
+        "WITH df AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS df "
+        f"  FROM {tf} GROUP BY tk), "
+        "idf AS (SELECT tk, "
+        f"    ROUND(ln({one} + (n - df + {half}) / (df + {half})), 6) AS idf "
+        f"  FROM df CROSS JOIN {corpus} _c1), "
+        "contrib AS (SELECT tf.doc_id, "
+        "    CAST(ROUND(idf.idf * "
+        f"      (CAST(tf.tf AS DOUBLE) * ({_K1} + {one})) / "
+        f"      (CAST(tf.tf AS DOUBLE) + {_K1} * ({one} - {_B} + "
+        f"        {_B} * CAST(dl.dl AS DOUBLE) / _c2.avgdl)), 6) "
+        "      AS DECIMAL(18,6)) AS c "
+        f"  FROM {tf} tf JOIN idf ON idf.tk = tf.tk "
+        f"  JOIN {dl} dl ON dl.doc_id = tf.doc_id CROSS JOIN {corpus} _c2), "
+        "scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_terms_hit "
+        "  FROM contrib GROUP BY doc_id) "
+        f"SELECT doc_id, score, n_terms_hit FROM scored "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
     )
 
 
@@ -204,30 +246,11 @@ def bm25_score_sql(tok: str, dl: str, corpus: str, k: int = 20) -> str:
     broadcast sides of the scoring join; top-k is ORDER BY + LIMIT =
     TakeOrderedAndProject, never a global sort."""
     terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
-    one = "CAST(1 AS DOUBLE)"
-    half = "CAST(0.5 AS DOUBLE)"
     return (
         f"WITH qtok AS (SELECT doc_id, tk FROM {tok} WHERE tk IN ({terms})), "
         "tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf "
-        "  FROM qtok GROUP BY doc_id, tk), "
-        "df AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS df "
-        "  FROM tf GROUP BY tk), "
-        "idf AS (SELECT tk, "
-        f"    ROUND(ln({one} + (n - df + {half}) / (df + {half})), 6) AS idf "
-        f"  FROM df CROSS JOIN {corpus} _c1), "
-        "contrib AS (SELECT tf.doc_id, "
-        "    CAST(ROUND(idf.idf * "
-        f"      (CAST(tf.tf AS DOUBLE) * ({_K1} + {one})) / "
-        f"      (CAST(tf.tf AS DOUBLE) + {_K1} * ({one} - {_B} + "
-        f"        {_B} * CAST(dl.dl AS DOUBLE) / _c2.avgdl)), 6) "
-        "      AS DECIMAL(18,6)) AS c "
-        "  FROM tf JOIN idf ON idf.tk = tf.tk "
-        f"  JOIN {dl} dl ON dl.doc_id = tf.doc_id CROSS JOIN {corpus} _c2), "
-        "scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, "
-        "    CAST(COUNT(*) AS BIGINT) AS n_terms_hit "
-        "  FROM contrib GROUP BY doc_id) "
-        f"SELECT doc_id, score, n_terms_hit FROM scored "
-        f"ORDER BY score DESC, doc_id LIMIT {k}"
+        "  FROM qtok GROUP BY doc_id, tk)"
+        + bm25_score_from_tf_sql("tf", dl, corpus, k).replace("WITH ", ", ", 1)
     )
 
 
@@ -246,6 +269,110 @@ def bm25_topk_sql(dialect: str, k: int = 20) -> str:
         f"scored_q AS ({bm25_score_sql('tok', 'dl', 'corpus', k)}) "
         "SELECT * FROM scored_q"
     )
+
+
+# --------------------------------------------------------------------- #
+# Persisted BM25 (inverted) index — r10, the text-retrieval member of
+# the store matrix: postings/ ((doc_id, tk, tf) under chunk=<batch>
+# partitions) and dl/ ((doc_id, dl) likewise) — exactly what a
+# production BM25 deployment materializes once and queries many times.
+# ADDITIVE merge class: tf/dl merge by SUM across chunks, so the read
+# aggregates SUM over chunk rows, and the replay contract is the CMS
+# store's — dynamic partition overwrite makes a replayed append replace
+# its own chunk with byte-identical rows instead of doubling counts.
+# The query path reads the postings scan FILTERED to the query terms
+# (predicate pushdown — the posting-list lookup; plan-pinned) + the dl
+# relation + a 1-row (N, avgdl) scalar derived from dl; the documents
+# table is NEVER rescanned by a query.
+# --------------------------------------------------------------------- #
+
+
+def bm25_index_append(spark, path: str, table_expr: str, chunk: int) -> None:
+    """Index one batch into its own ``chunk`` partitions: tokenize ONLY
+    the increment (ONE checkpointed token stream feeds postings AND
+    dl), aggregate per-(doc, term) tf and per-doc length, and
+    dynamic-partition-overwrite ``chunk=<id>`` under postings/ and dl/.
+    Chunk ids must be NON-NEGATIVE (the shared reserved-compact-id
+    guard — in the additive class an append reusing a compact id would
+    silently delete merged counters)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .mg_store import _check_append_chunk
+
+    _check_append_chunk(chunk)
+    tok = spark.sql(bm25_tok_sql(SPARK, src=table_expr)).localCheckpoint(
+        eager=True
+    )
+    postings = tok.groupBy("doc_id", "tk").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    for sub, df in (("postings", postings), ("dl", dl)):
+        (
+            df.withColumn("chunk", F.lit(int(chunk)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk")
+            .parquet(os.path.join(path, sub))
+        )
+
+
+def bm25_index_build(spark, path: str, table_expr: str) -> None:
+    """Bootstrap: the build is the chunk-0 append (the store is born
+    additive; there is no frozen global state to initialize — idf/avgdl
+    are derived at read time, so increments never go stale)."""
+    bm25_index_append(spark, path, table_expr, chunk=0)
+
+
+def _bm25_store_tf(spark, path: str):
+    """The term-filtered additive tf read: postings scan PRUNED to the
+    query terms (parquet predicate pushdown — the posting-list lookup),
+    SUM-merged across chunks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("tk").isin(list(_BM25_QUERY_TERMS)))
+        .groupBy("doc_id", "tk")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+
+
+def bm25_index_topk(spark, path: str, k: int = 20):
+    """Answer the BM25 top-k from the store alone: the postings scan is
+    FILTERED to the query terms (parquet predicate pushdown — the
+    posting-list lookup), tf/dl SUM-merge across chunks (the additive
+    read algebra; replays were absorbed by the per-chunk overwrite),
+    the (N, avgdl) scalar derives from dl, and the scoring text is the
+    shared :func:`bm25_score_from_tf_sql`.  The documents table is
+    never rescanned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..session import register_temp_view
+
+    # tf feeds TWO consumers (the df aggregate and the scoring join) —
+    # checkpoint the term-pruned aggregate once; the pushdown pin in
+    # tests/test_round10.py asserts the scan shape on the lazy form
+    tf = _bm25_store_tf(spark, path).localCheckpoint(eager=True)
+    dl = (
+        spark.read.parquet(os.path.join(path, "dl"))
+        .groupBy("doc_id")
+        .agg(F.sum("dl").cast("long").alias("dl"))
+        .localCheckpoint(eager=True)  # feeds the corpus scalar AND scoring
+    )
+    vtf = register_temp_view(tf, "_bm25x_tf")
+    vdl = register_temp_view(dl, "_bm25x_dl")
+    corpus = spark.sql(bm25_corpus_sql(vdl, n_src=None)).localCheckpoint(
+        eager=True
+    )
+    vcorpus = register_temp_view(corpus, "_bm25x_corpus")
+    return spark.sql(bm25_score_from_tf_sql(vtf, vdl, vcorpus, k))
 
 
 def source_mix_sql(dialect: str) -> str:

@@ -707,6 +707,10 @@ BUDGET = {
     "semantic_dedup_clusters": 4,  # cell-size agg + pair agg + dropped
                                  # distinct-agg over the checkpointed
                                  # assignment/pair stages + report join
+    "bm25_index_persisted": 2,   # df agg + per-doc sum over the
+                                 # checkpointed term-pruned store
+                                 # reads (scoring joins broadcast);
+                                 # top-k is TakeOrderedAndProject
     "bm25_topk_retrieval": 4,    # qtok tf agg + df agg + dl scoring
                                  # join + per-doc sum over checkpointed
                                  # tok/dl/corpus stats; top-k is

