@@ -2332,6 +2332,7 @@ _R10_NEW: list[str] = [
     "hybrid_retrieval_rerank",
     "stream_semantic_crawl",
     "bm25_index_persisted",
+    "stream_bm25_index_store",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -452,6 +452,13 @@ def bm25_index_persisted_oracle() -> str:
     )
 
 
+def stream_bm25_index_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import stream_bm25_index_store
+
+    register_views(spark, sf_dir)
+    return stream_bm25_index_store(spark, sf_dir)
+
+
 def stream_semantic_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import stream_semantic_crawl
 
@@ -680,5 +687,16 @@ def r10_specs():
             "chunk partitions, ADDITIVE class, replayed append "
             "absorbed by per-chunk overwrite); top-20 answered from "
             "the term-pruned store alone, documents never rescanned.",
+        ),
+        "stream_bm25_index_store": QuerySpec(
+            stream_bm25_index_store_q,
+            # oracle shared VERBATIM with the batch verb-cycle entry:
+            # however the stream batched the corpus, SUM-merged
+            # postings equal the one-shot counts exactly
+            bm25_index_persisted_oracle(),
+            doc="Streaming writer into the persisted BM25 index "
+            "(chunk=<batch_id> appends, batch-1 replay absorbed by "
+            "the per-chunk overwrite, compacted to chunk=-1); top-20 "
+            "from the compacted store.",
         ),
     }

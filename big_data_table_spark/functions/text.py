@@ -326,6 +326,37 @@ def bm25_index_build(spark, path: str, table_expr: str) -> None:
     bm25_index_append(spark, path, table_expr, chunk=0)
 
 
+def bm25_index_compact(spark, path: str) -> int:
+    """Compaction: SUM-merge every chunk of postings/ and dl/ into one
+    file at the RESERVED ``chunk=-1`` (appenders reject negative ids —
+    in the additive class an append reusing the compact id would
+    silently delete the merged counts).  For the additive class
+    compaction IS the merge (exact integer addition), so the top-k
+    before and after is bit-identical (pinned in tests/test_round10).
+    Dot-tmp + rename-aside swap per sub-store (single-writer verb).
+    Returns the sub-store count rewritten (2)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sketches import _swap_dir_in
+
+    for sub, keys, val in (("postings", ["doc_id", "tk"], "tf"), ("dl", ["doc_id"], "dl")):
+        merged = (
+            spark.read.parquet(os.path.join(path, sub))
+            .groupBy(*keys)
+            .agg(F.sum(val).cast("long").alias(val))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # fully read before the swap
+        )
+        tmp = os.path.join(path, f".{sub}.compact.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
+        _swap_dir_in(tmp, os.path.join(path, sub))
+    return 2
+
+
 def _bm25_store_tf(spark, path: str):
     """The term-filtered additive tf read: postings scan PRUNED to the
     query terms (parquet predicate pushdown — the posting-list lookup),

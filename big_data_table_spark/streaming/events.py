@@ -1350,6 +1350,60 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_bm25_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer INTO the persisted BM25 inverted index — the
+    text-retrieval store joins the streaming-writer family (every
+    persisted store family has one; merge class drives the replay
+    contract).  Three deterministic micro-batches (``doc_id % 3``,
+    mtime-ordered single-file groups) each index themselves as
+    ``chunk=<batch_id>`` partitions (`bm25_index_append` — tokenize
+    ONLY the increment); batch 1's append is then REPLAYED after the
+    stream (additive class: the per-chunk dynamic overwrite must be a
+    no-op), the store is COMPACTED to the reserved ``chunk=-1``
+    (SUM-merge — for the additive class compaction IS the merge, so
+    the read is bit-identical), and the top-20 query is answered from
+    the compacted store alone.  Shares `bm25_index_persisted`'s
+    oracle VERBATIM: however the stream batched the corpus, the
+    SUM-merged postings equal the one-shot counts exactly."""
+    import shutil
+    import tempfile
+
+    from ..functions import text as TX
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_bm25_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    n = 3
+    stream = _batched_corpus_stream(
+        spark, docs, root, src_dir, n=n, key_col="doc_id", prefix="bm25"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        view = f"bm25_batch_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        TX.bm25_index_append(batch_df.sparkSession, store, view, chunk=batch_id)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # replay batch 1 (reconstructible from the data-borne key): the
+    # dynamic chunk=1 overwrite must be a no-op
+    docs.filter(F.col("doc_id") % n == 1).createOrReplaceTempView("bm25_replay")
+    TX.bm25_index_append(spark, store, "bm25_replay", chunk=1)
+    TX.bm25_index_compact(spark, store)
+    return TX.bm25_index_topk(spark, store)
+
+
 def stream_cms_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming writer INTO the persisted CMS day store — the missing
     edge of the matrix: `stream_cms_heavy_hitters` proved the additive

@@ -707,6 +707,8 @@ BUDGET = {
     "semantic_dedup_clusters": 4,  # cell-size agg + pair agg + dropped
                                  # distinct-agg over the checkpointed
                                  # assignment/pair stages + report join
+    "stream_bm25_index_store": 2,  # same read shape as the batch
+                                 # entry, over the compacted store
     "bm25_index_persisted": 2,   # df agg + per-doc sum over the
                                  # checkpointed term-pruned store
                                  # reads (scoring joins broadcast);

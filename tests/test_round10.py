@@ -399,6 +399,17 @@ def test_bm25_index_plan_pins(spark, sf_dir, tmp_path):
         spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 2) _a", chunk=1
     )
     assert rows() == once
+    # (4) compaction (SUM-merge to the reserved chunk=-1) is the
+    # additive merge itself — the top-k is bit-identical after it and
+    # the chunk partitions collapse to the single compacted one
+    import os
+
+    assert TX.bm25_index_compact(spark, path) == 2
+    assert rows() == once
+    assert sorted(
+        d for d in os.listdir(os.path.join(path, "postings"))
+        if d.startswith("chunk=")
+    ) == ["chunk=-1"]
     lazy = formatted_plan(TX._bm25_store_tf(spark, path))
     m = re.search(r"PushedFilters: \[In\(tk, \[[^\]]*\]", lazy)
     assert m, lazy[:2000]

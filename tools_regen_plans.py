@@ -59,6 +59,12 @@ PICKS = {
     "bitmap_rollup_persisted": "Exact bitmap store range read: partition-pruned (day, word) bitmap scan, BIT_OR merge absorbing chunks AND replays in the same aggregate, popcount sums. The events scan never appears — the oracle's COUNT(DISTINCT) is answered from the index alone.",
     "candidate_graph_pagerank": "Decimal-exact PageRank: every iteration checkpointed (the plan shows only the final top-20 TakeOrderedAndProject over the last rank table) — lineage truncation is the visible design.",
     "events_score_auc": "Exact ROC-AUC at the value grain: score-domain aggregate + bounded cumulative window per class pair; the raw-row global rank sort the textbook formula implies never appears.",
+    "setjoin_delete_compliance": "Tombstone-scrubbed exact pairs: deleted doc_ids (tiny checkpointed DISTINCT, broadcast) anti-joined out of BOTH store relations BEFORE the candidate join — same 3-exchange shape as the plain pairs read; no store rewrite appears anywhere.",
+    "bm25_topk_retrieval": "BM25 over checkpointed index statistics: query-term tf/df aggregates, broadcast idf + (N,avgdl) scalar into the dl scoring join, DECIMAL-exact per-doc sum, TakeOrderedAndProject top-20. The corpus token explode is paid once, before this plan.",
+    "bm25_index_persisted": "BM25 from the persisted inverted index: the tf read is a term-PRUNED postings scan (PushedFilters In(tk, ...)) SUM-merged across chunks; the final plan runs over checkpointed store aggregates only — no documents scan exists anywhere.",
+    "semantic_dedup_clusters": "SemDeDup report: per-cell stats + dominated-vector distinct over the CHECKPOINTED assignment and within-cell pair stages; the pair join is cell-bounded (sum of cell-size^2), never corpus-quadratic.",
+    "hybrid_retrieval_rerank": "Two-stage retrieval: the rerank joins the checkpointed <=20-row BM25 candidates to their embeddings and ranks in ONE bounded window — stage 2 costs |candidates| dot products by construction.",
+    "stream_semantic_crawl": "Crawl read-back: a pure scan of the per-trigger probe sinks — each trigger paid |batch| frozen-quantizer assignment + same-cell verification in its own micro-batch plan.",
 }
 
 if __name__ == "__main__":
