@@ -1,8 +1,12 @@
 """Round-10 catalog builders — depth entries closing real store-matrix
 gaps (r9 VERDICT #7): the persisted EXACT set-similarity index's full
-verb cycle, and the grouped SpaceSaving store's streaming edge.
-Registration + driver-window lists stay in catalog.py (the chunk
-convention)."""
+verb cycle (+ tombstone deletion), the grouped SpaceSaving store's
+streaming edge, the SimHash/semantic/BM25 index families and their
+crawl/streaming arms, SemDeDup, and two-stage hybrid retrieval.
+QuerySpec registrations live HERE too (``r10_specs``, merged by
+catalog.py — the chunk convention, extended to the spec dict when
+catalog.py approached its own 2.5k module budget); the driver-window
+lists stay in catalog.py."""
 
 from __future__ import annotations
 
@@ -191,7 +195,7 @@ def simhash_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     within hamming 1 — lossless candidates by pigeonhole (1 flip over
     4 quarters leaves three untouched), and at 32 bits an accidental
     collision is ~1e-8 per pair, so a hit means a real near-duplicate
-    and the output stays pair-bounded as the corpus grows.  Index rows are 16
+    and the output stays pair-bounded as the corpus grows.  Index rows are 32
     chars per doc; probe work is candidate-bounded; the corpus text is
     never rescanned by the probe."""
     import os

@@ -1234,12 +1234,12 @@ def setjoin_index_purge(spark, path: str) -> int:
 # Persisted SimHash signature index — r10, completing the dedup-index
 # matrix: MinHash-LSH buckets (approximate Jaccard), the prefix-filter
 # store (EXACT Jaccard), and now SimHash signatures (hamming-bounded
-# near-dup).  A signature is 16 chars — the index is tiny relative to
+# near-dup).  A signature is 32 chars — the index is tiny relative to
 # the corpus — and is a DETERMINISTIC function of the document, so
 # appends are replay-safe under the DISTINCT reads (SET class).  The
 # probe joins batch signatures against stored signatures on ANY shared
 # quarter (the standard recall-oriented blocking), then verifies the
-# exact hamming distance with 16 CASE terms — candidate-bounded work,
+# exact hamming distance with 32 CASE terms — candidate-bounded work,
 # the corpus text is never rescanned.
 # --------------------------------------------------------------------- #
 

@@ -454,14 +454,17 @@ def _semantic_vecs(spark, table_expr: str):
     )
 
 
-def semantic_index_assign(spark, path: str, table_expr: str):
+def semantic_index_assign(spark, path: str, table_expr: str, vecs=None):
     """Assign a batch under the store's FROZEN centroids — the verb
-    probe and append share (one checkpointed assignment per trigger)."""
+    probe and append share (one checkpointed assignment per trigger).
+    ``vecs`` lets the build reuse its already-checkpointed vector
+    relation instead of re-projecting the batch."""
     import os
 
     from ..session import register_temp_view
 
-    vecs = _semantic_vecs(spark, table_expr)
+    if vecs is None:
+        vecs = _semantic_vecs(spark, table_expr)
     cent = spark.read.parquet(os.path.join(path, "centroids"))
     vv = register_temp_view(vecs, "_semx_v")
     vc = register_temp_view(cent, "_semx_c")
@@ -483,27 +486,19 @@ def semantic_index_build(spark, path: str, table_expr: str) -> None:
         .selectExpr("vec_id AS cid", "e", "nrm")
     )
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    semantic_index_append(spark, path, table_expr, assigned=None, _vecs=vecs)
+    semantic_index_assign(spark, path, table_expr, vecs=vecs).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "rows"))
 
 
-def semantic_index_append(
-    spark, path: str, table_expr: str, assigned=None, _vecs=None
-) -> None:
+def semantic_index_append(spark, path: str, table_expr: str, assigned=None) -> None:
     """Incremental maintenance: assign ONLY the increment under the
     frozen centroids and append.  Deterministic => replay-safe under
     the probe's DISTINCT read."""
     import os
 
-    from ..session import register_temp_view
-
     if assigned is None:
-        if _vecs is not None:  # build path: reuse the checkpointed vecs
-            cent = spark.read.parquet(os.path.join(path, "centroids"))
-            vv = register_temp_view(_vecs, "_semx_v")
-            vc = register_temp_view(cent, "_semx_c")
-            assigned = spark.sql(semantic_assign_under_sql(SPARK, vv, vc))
-        else:
-            assigned = semantic_index_assign(spark, path, table_expr)
+        assigned = semantic_index_assign(spark, path, table_expr)
     assigned.write.mode("append").parquet(os.path.join(path, "rows"))
 
 

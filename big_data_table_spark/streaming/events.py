@@ -1071,7 +1071,7 @@ def stream_simhash_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming 1 — batch membership is data-borne, so the oracle is the
     one-shot signature reconstruction filtered to cross-batch sides.
     At 100 TB: per-trigger work is |batch| signature hashing +
-    candidate-bounded verification against 16-char index rows; the
+    candidate-bounded verification against 32-char index rows; the
     parquet index is the only state, no Spark state store."""
     import shutil
     import tempfile
