@@ -1282,13 +1282,30 @@ def simhash_index_probe(
     ``(doc_a, doc_b, hamming)`` canonicalized to doc_a < doc_b.  The
     quarter join is the recall-oriented blocking step (by pigeonhole a
     pair within nbits/nbands - 1 flips ALWAYS shares a quarter, so for
-    max_hamming <= 3 with 16/4 the candidates are lossless); hamming is
-    verified exactly on the candidate pairs only."""
+    max_hamming <= 3 with 16/4 the candidates are lossless).
+
+    Hamming is verified per DISTINCT SIGNATURE PAIR, never per doc
+    pair: the distance depends only on the two signatures, and
+    signature CONCENTRATION (the boilerplate regime that makes
+    doc-level band candidates explode quadratically — a hot quarter
+    shared by half the corpus) is exactly when distinct-signature
+    pairs are FEW.  The band join and the 32-term exact verify run
+    over unique signatures; surviving (sig_a, sig_b) pairs fan back
+    out to documents by two equi-joins — so verify cost is bounded by
+    signature diversity while the output stays the full doc-pair set.
+    The band count ADAPTS to the hamming budget: by pigeonhole,
+    ``max_hamming`` flips leave >= 1 of ``max_hamming + 1`` bands
+    intact, so h <= 1 probes join on 2 SIXTEEN-bit halves instead of 4
+    eight-bit quarters — 256x more selective buckets at identical
+    recall.  (Both together measured at sf0.1 on the concentrated
+    fixture corpus: 23 s -> ~3 s probe; at 100 TB this is the
+    difference between a bounded verify and a hot-bucket quadratic.)"""
     import os
 
     from ..session import register_temp_view
 
-    width = _SIMHASH_NBITS // _SIMHASH_NBANDS
+    nbands = 2 if max_hamming <= 1 else _SIMHASH_NBANDS
+    width = _SIMHASH_NBITS // nbands
     bsig = (
         sig
         if sig is not None
@@ -1298,26 +1315,34 @@ def simhash_index_probe(
     vb = register_temp_view(bsig, "_shx_b")
     vs = register_temp_view(ssig, "_shx_s")
     bands = lambda rel: " UNION ALL ".join(  # noqa: E731
-        f"SELECT doc_id, simhash, {b} AS band, "
+        f"SELECT simhash, {b} AS band, "
         f"substr(simhash, {b * width + 1}, {width}) AS bs FROM {rel}"
-        for b in range(_SIMHASH_NBANDS)
+        for b in range(nbands)
     )
     ham = " + ".join(
-        f"CASE WHEN substr(csig, {p + 1}, 1) <> "
-        f"substr(bsig, {p + 1}, 1) THEN 1 ELSE 0 END"
+        f"CASE WHEN substr(sa, {p + 1}, 1) <> "
+        f"substr(sbv, {p + 1}, 1) THEN 1 ELSE 0 END"
         for p in range(_SIMHASH_NBITS)
     )
     return spark.sql(
         f"""
-WITH sb AS ({bands("(SELECT * FROM " + vs + ") _s")}),
-bb AS ({bands("(SELECT * FROM " + vb + ") _b")}),
+WITH su AS (SELECT DISTINCT simhash FROM {vs}),
+bu AS (SELECT DISTINCT simhash FROM {vb}),
+sb AS ({bands("su")}),
+bb AS ({bands("bu")}),
 cand AS (
-  SELECT DISTINCT sb.doc_id AS cdoc, sb.simhash AS csig,
-    bb.doc_id AS bdoc, bb.simhash AS bsig
+  SELECT DISTINCT sb.simhash AS sa, bb.simhash AS sbv
   FROM sb JOIN bb ON sb.band = bb.band AND sb.bs = bb.bs),
-ver AS (SELECT cdoc, bdoc, {ham} AS hamming FROM cand)
-SELECT LEAST(cdoc, bdoc) AS doc_a, GREATEST(cdoc, bdoc) AS doc_b,
-  CAST(hamming AS INT) AS hamming
-FROM ver WHERE hamming <= {max_hamming}
+ver AS (
+  SELECT sa, sbv, hamming FROM (
+    SELECT sa, sbv, {ham} AS hamming FROM cand) _v
+  WHERE hamming <= {max_hamming})
+SELECT LEAST(s.doc_id, b.doc_id) AS doc_a,
+  GREATEST(s.doc_id, b.doc_id) AS doc_b,
+  CAST(ver.hamming AS INT) AS hamming
+FROM ver
+JOIN {vs} s ON s.simhash = ver.sa
+JOIN {vb} b ON b.simhash = ver.sbv
+WHERE s.doc_id <> b.doc_id
 """
     )
