@@ -1252,6 +1252,15 @@ _SIMHASH_NBITS = 32
 _SIMHASH_NBANDS = 4
 
 
+def _simhash_band_geometry(max_hamming: int) -> tuple[int, int]:
+    """(nbands, band width) for a probe's hamming budget: pigeonhole
+    needs only ``max_hamming + 1`` bands (h flips damage <= h of them),
+    so h <= 1 probes use 2 SIXTEEN-bit halves — 256x more selective
+    buckets than the 4 eight-bit quarters, at identical recall."""
+    nbands = 2 if max_hamming <= 1 else _SIMHASH_NBANDS
+    return nbands, _SIMHASH_NBITS // nbands
+
+
 def _simhash_rel(spark, table_expr: str):
     """(doc_id, simhash) signature relation of ``table_expr``."""
     return spark.sql(simhash_sql(SPARK, _SIMHASH_NBITS, src=table_expr))
@@ -1304,8 +1313,7 @@ def simhash_index_probe(
 
     from ..session import register_temp_view
 
-    nbands = 2 if max_hamming <= 1 else _SIMHASH_NBANDS
-    width = _SIMHASH_NBITS // nbands
+    nbands, width = _simhash_band_geometry(max_hamming)
     bsig = (
         sig
         if sig is not None

@@ -420,3 +420,35 @@ def test_bm25_index_plan_pins(spark, sf_dir, tmp_path):
     assert "documents" not in topk_plan, [
         line for line in topk_plan.splitlines() if "documents" in line
     ]
+
+
+def test_simhash_probe_band_width_adapts(spark, sf_dir, tmp_path):
+    """The probe's pigeonhole blocking must widen its bands when the
+    hamming budget allows: h <= 1 joins on 2 sixteen-bit halves (the
+    selectivity fix for concentrated signature spaces), h > 1 falls
+    back to the 4 eight-bit quarters; both return the same pairs for
+    hamming <= 1 (the wider bands are lossless by pigeonhole)."""
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "shband")
+    DD.simhash_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 2 = 0) _b"
+    )
+    probe_src = "(SELECT * FROM documents WHERE doc_id % 2 = 1) _p"
+    # geometry: h <= 1 -> 2 sixteen-bit halves; h > 1 -> 4 quarters
+    assert DD._simhash_band_geometry(0) == (2, 16)
+    assert DD._simhash_band_geometry(1) == (2, 16)
+    assert DD._simhash_band_geometry(3) == (4, 8)
+    narrow = DD.simhash_index_probe(spark, path, probe_src, max_hamming=1)
+    wide = DD.simhash_index_probe(spark, path, probe_src, max_hamming=3)
+
+    def rows(df, h):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in df.collect()
+            if r["hamming"] <= h
+        )
+
+    assert rows(narrow, 1) == rows(wide, 1)  # wider bands are lossless
