@@ -727,9 +727,10 @@ BUDGET = {
     "bitmap_delete_compliance": 3,  # (day,word) OR + range OR + total
                                  # agg over the checkpointed scrubbed
                                  # words; tombstone masks broadcast
-    "simhash_index_probe": 5,    # batch signature agg + band distinct
-                                 # + verify projection; store side is a
-                                 # 16-chars-per-doc scan
+    "simhash_index_probe": 5,    # unique-sig distincts both sides +
+                                 # sig-pair candidate distinct + the
+                                 # doc fan-out joins; store side is a
+                                 # 32-chars-per-doc scan
     "stream_mg_grouped_store": 6,  # post-stream read-back: summary
                                  # distinct + thr distinct + per-g total
                                  # + per-key agg + rank window + audit
