@@ -340,7 +340,14 @@ def ann_ivf_topk_sql(
     )
 
 
-def semantic_assign_sql(dialect: str, n_centroids: int = 8) -> str:
+# ONE source for the semantic-dedup geometry: the SemDeDup entry, the
+# persisted semantic index and the streaming crawl all share it (the
+# crawl oracle reconstructs assignments under the same numbers).
+_SEM_N_CENTROIDS = 8
+_SEM_THRESHOLD = 0.3
+
+
+def semantic_assign_sql(dialect: str, n_centroids: int = _SEM_N_CENTROIDS) -> str:
     """Coarse-cell assignment for cluster-scoped semantic dedup
     (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): every vector keeps
     its nearest of ``n_centroids`` deterministic centroids (the first
@@ -373,7 +380,9 @@ def semantic_assign_under_sql(dialect: str, vecs: str, cent: str) -> str:
     )
 
 
-def semantic_pairs_sql(dialect: str, assign: str, threshold: float = 0.3) -> str:
+def semantic_pairs_sql(
+    dialect: str, assign: str, threshold: float = _SEM_THRESHOLD
+) -> str:
     """Within-cell near-duplicate pairs: cosine >= threshold computed
     ONLY for same-cell (cid) pairs — the SemDeDup bound that replaces
     the corpus-quadratic compare with sum-of-cell-size-squared work (at
@@ -413,7 +422,9 @@ def semantic_report_sql(assign: str, pairs: str) -> str:
 
 
 def semantic_dedup_sql(
-    dialect: str, n_centroids: int = 8, threshold: float = 0.3
+    dialect: str,
+    n_centroids: int = _SEM_N_CENTROIDS,
+    threshold: float = _SEM_THRESHOLD,
 ) -> str:
     """One-statement SemDeDup composition (the ORACLE form); the Spark
     entry checkpoints the assignment and pair stages instead
@@ -442,9 +453,6 @@ def semantic_dedup_sql(
 # batch-sized assignment work + sum-of-cell-intersection pair work,
 # never corpus-quadratic, and the corpus is never re-assigned.
 # --------------------------------------------------------------------- #
-
-_SEM_N_CENTROIDS = 8
-_SEM_THRESHOLD = 0.3
 
 
 def _semantic_vecs(spark, table_expr: str):
