@@ -1282,6 +1282,40 @@ def simhash_index_append(spark, path: str, table_expr: str, sig=None) -> None:
     ).parquet(path)
 
 
+def simhash_index_delete(ids, path: str) -> None:
+    """Tombstone every ``doc_id`` in ``ids`` — the SimHash sibling of
+    ``setjoin_index_delete`` (the index stores per-doc signature rows,
+    so doc-level deletion is the same dot-prefixed SET-class side
+    table; the LSH bucket index, which stores NO doc ids, is the one
+    family where this pattern does not apply).  Idempotent under
+    replay; unseen ids are a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, _SETJOIN_TOMBSTONE_DIR))
+
+
+def _simhash_store_rows(spark, path: str):
+    """The DISTINCT store signatures with tombstoned docs anti-joined
+    out BEFORE banding — deleted docs generate no candidates at all,
+    so the scrubbed probe equals the rebuild over survivors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = spark.read.parquet(path).distinct()
+    tomb = os.path.join(path, _SETJOIN_TOMBSTONE_DIR)
+    if os.path.isdir(tomb) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb)
+    ):
+        doomed = spark.read.parquet(tomb).distinct()
+        rows = rows.join(F.broadcast(doomed), "doc_id", "left_anti")
+    return rows
+
+
 def simhash_index_probe(
     spark, path: str, table_expr: str, max_hamming: int = 3, sig=None
 ):
@@ -1319,7 +1353,7 @@ def simhash_index_probe(
         if sig is not None
         else _simhash_rel(spark, table_expr).localCheckpoint(eager=True)
     )
-    ssig = spark.read.parquet(path).distinct()
+    ssig = _simhash_store_rows(spark, path)
     vb = register_temp_view(bsig, "_shx_b")
     vs = register_temp_view(ssig, "_shx_s")
     bands = lambda rel: " UNION ALL ".join(  # noqa: E731

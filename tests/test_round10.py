@@ -452,3 +452,55 @@ def test_simhash_probe_band_width_adapts(spark, sf_dir, tmp_path):
         )
 
     assert rows(narrow, 1) == rows(wide, 1)  # wider bands are lossless
+
+
+def test_simhash_tombstone_laws(spark, sf_dir, tmp_path):
+    """SimHash-index deletion laws: the scrubbed probe equals the
+    rebuild over survivors (deleted docs generate no candidates),
+    replayed deletes absorb, unseen ids are a no-op."""
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "shdel")
+    DD.simhash_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 2 = 0) _b"
+    )
+    probe_src = "(SELECT * FROM documents WHERE doc_id % 2 = 1) _p"
+
+    def rows():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in DD.simhash_index_probe(
+                spark, path, probe_src, max_hamming=1
+            ).collect()
+        )
+
+    plain = rows()
+    assert len(plain) > 0
+    ghost = spark.range(10**9, 10**9 + 9).selectExpr("id AS doc_id")
+    DD.simhash_index_delete(ghost, path)
+    assert rows() == plain  # unseen ids are a no-op
+    doomed = spark.sql(
+        "SELECT doc_id FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 1"
+    )
+    DD.simhash_index_delete(doomed, path)
+    once = rows()
+    DD.simhash_index_delete(doomed, path)  # replay
+    assert rows() == once
+    # rebuild-equivalence: a store born without the doomed docs probes
+    # identically
+    path2 = str(tmp_path / "shdel2")
+    DD.simhash_index_build(
+        spark,
+        path2,
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0 "
+        "AND NOT (doc_id % 5 = 1)) _s",
+    )
+    assert sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in DD.simhash_index_probe(
+            spark, path2, probe_src, max_hamming=1
+        ).collect()
+    ) == once
+    assert once != plain  # the delete actually removed pairs
