@@ -2333,6 +2333,7 @@ _R10_NEW: list[str] = [
     "stream_semantic_crawl",
     "bm25_index_persisted",
     "stream_bm25_index_store",
+    "simhash_delete_compliance",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -267,6 +267,62 @@ def simhash_index_probe_oracle() -> str:
     return _simhash_brute_oracle("(a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2)")
 
 
+def simhash_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the persisted SimHash signature index
+    (functions/dedup.py:simhash_index_delete) — the third tombstone
+    family beside the bitmap and setjoin stores (the LSH bucket index
+    is the one family where doc-level tombstones cannot apply: it
+    stores no doc ids).  Build on the ``% 3 = 0`` third, append the
+    ``% 3 = 1`` third, DELETE every doc with ``doc_id % 5 = 1`` —
+    issued TWICE (idempotence demo; the tombstone set is DISTINCT'd) —
+    then probe the ``% 3 = 2`` third: the store read anti-joins the
+    deleted docs out BEFORE banding, so deleted docs generate no
+    candidates at all and the scrubbed probe is definitionally the
+    rebuild-over-survivors answer (law-pinned in test_round10).  At
+    100 TB deletion is a tiny side-table append — no signature
+    partition is rewritten."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_simhash_del_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.simhash_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 0) _b0"
+    )
+    DD.simhash_index_append(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 3 = 1) _b1"
+    )
+    doomed = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 5 = 1")
+    for _ in range(2):  # second delete = the idempotence demo
+        DD.simhash_index_delete(doomed, path)
+    return DD.simhash_index_probe(
+        spark,
+        path,
+        "(SELECT * FROM documents WHERE doc_id % 3 = 2) _p",
+        max_hamming=1,
+    )
+
+
+def simhash_delete_compliance_oracle() -> str:
+    """Cross pairs whose INDEXED side survives the deletion (the probe
+    side is the arriving batch — tombstones scrub only the store read,
+    so a batch doc with ``doc_id % 5 = 1`` still probes normally).
+    ONE copy of the brute formulation + the survivor predicate."""
+    return _simhash_brute_oracle(
+        "(a.doc_id % 3 = 2) <> (b.doc_id % 3 = 2) AND "
+        "(CASE WHEN a.doc_id % 3 = 2 THEN b.doc_id ELSE a.doc_id END) "
+        "% 5 <> 1"
+    )
+
+
 def stream_simhash_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import stream_simhash_crawl
 
@@ -691,6 +747,15 @@ def r10_specs():
             "chunk partitions, ADDITIVE class, replayed append "
             "absorbed by per-chunk overwrite); top-20 answered from "
             "the term-pruned store alone, documents never rescanned.",
+        ),
+        "simhash_delete_compliance": QuerySpec(
+            simhash_delete_compliance_q,
+            simhash_delete_compliance_oracle(),
+            doc="Tombstone deletion over the persisted SimHash index: "
+            "deleted doc_ids anti-joined out of the store read before "
+            "banding (idempotent side-table append; rebuild-"
+            "equivalence law pinned); hamming<=1 probe over the "
+            "survivors.",
         ),
         "stream_bm25_index_store": QuerySpec(
             stream_bm25_index_store_q,

@@ -1353,7 +1353,9 @@ def simhash_index_probe(
         if sig is not None
         else _simhash_rel(spark, table_expr).localCheckpoint(eager=True)
     )
-    ssig = _simhash_store_rows(spark, path)
+    # TWO consumers (the unique-sig band side and the doc fan-out join)
+    # — checkpoint the scrubbed store read once
+    ssig = _simhash_store_rows(spark, path).localCheckpoint(eager=True)
     vb = register_temp_view(bsig, "_shx_b")
     vs = register_temp_view(ssig, "_shx_s")
     bands = lambda rel: " UNION ALL ".join(  # noqa: E731

@@ -727,10 +727,13 @@ BUDGET = {
     "bitmap_delete_compliance": 3,  # (day,word) OR + range OR + total
                                  # agg over the checkpointed scrubbed
                                  # words; tombstone masks broadcast
-    "simhash_index_probe": 5,    # unique-sig distincts both sides +
+    "simhash_index_probe": 4,    # batch unique-sig distinct +
                                  # sig-pair candidate distinct + the
-                                 # doc fan-out joins; store side is a
-                                 # 32-chars-per-doc scan
+                                 # doc fan-out joins over the
+                                 # CHECKPOINTED scrubbed store read
+    "simhash_delete_compliance": 4,  # same probe shape; the tombstone
+                                 # anti-join is broadcast inside the
+                                 # checkpointed store read
     "stream_mg_grouped_store": 6,  # post-stream read-back: summary
                                  # distinct + thr distinct + per-g total
                                  # + per-key agg + rank window + audit
