@@ -2334,6 +2334,7 @@ _R10_NEW: list[str] = [
     "bm25_index_persisted",
     "stream_bm25_index_store",
     "simhash_delete_compliance",
+    "semantic_delete_compliance",
 ]
 _R10_NEXT = _R10_SPILL + _R10_NEW
 

@@ -526,13 +526,13 @@ def stream_semantic_crawl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_semantic_crawl(spark, sf_dir)
 
 
-def stream_semantic_crawl_oracle() -> str:
-    """One-shot reconstruction: freeze the quantizer as batch 0's 8
-    smallest vec_ids, assign the WHOLE corpus under it (ONE copy of the
-    assignment formulation — functions/similarity.py:
-    semantic_assign_under_sql), and keep same-cell cosine pairs whose
-    sides land in DIFFERENT ``vec_id % 3`` batches — the union of the
-    per-trigger probe results, whatever order the stream delivered."""
+def _semantic_brute_oracle(side_pred: str) -> str:
+    """One-shot reconstruction of a semantic-index read: freeze the
+    quantizer as batch 0's 8 smallest vec_ids, assign the WHOLE corpus
+    under it (ONE copy of the assignment formulation —
+    functions/similarity.py:semantic_assign_under_sql), and keep
+    same-cell cosine pairs restricted by ``side_pred`` (the data-borne
+    batch/side membership) — shared by the crawl and delete oracles."""
     from .functions.similarity import (
         _SEM_N_CENTROIDS,
         _SEM_THRESHOLD,
@@ -551,9 +551,68 @@ pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cos_sim
   FROM assign a JOIN assign b
   ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE a.vec_id % 3 <> b.vec_id % 3)
+  WHERE {side_pred})
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {_SEM_THRESHOLD}
 """
+
+
+def stream_semantic_crawl_oracle() -> str:
+    """Same-cell pairs whose sides land in DIFFERENT ``vec_id % 3``
+    batches — the union of the per-trigger probe results, whatever
+    order the stream delivered."""
+    return _semantic_brute_oracle("a.vec_id % 3 <> b.vec_id % 3")
+
+
+def semantic_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the persisted semantic index
+    (functions/similarity.py:semantic_index_delete) — the fourth and
+    last tombstone family (bitmap / setjoin / SimHash / semantic; the
+    LSH bucket index is the documented design exception, it stores no
+    doc ids).  Build on the ``vec_id % 3 = 0`` third (freezing the
+    quantizer), append the ``% 3 = 1`` third, DELETE every vector with
+    ``vec_id % 5 = 1`` — issued TWICE (idempotence demo) — then probe
+    the ``% 3 = 2`` third: the store read anti-joins deleted vectors
+    out BEFORE the cell join, so the scrubbed probe is definitionally
+    the rebuild-over-survivors answer.  At 100 TB deletion is a tiny
+    side-table append — no assignment partition is rewritten, and the
+    frozen quantizer is untouched (cell geometry is id-free)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import similarity as S
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_semantic_del_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    S.semantic_index_build(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) _b0"
+    )
+    S.semantic_index_append(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 1) _b1"
+    )
+    doomed = spark.sql("SELECT vec_id FROM embeddings WHERE vec_id % 5 = 1")
+    for _ in range(2):  # second delete = the idempotence demo
+        S.semantic_index_delete(doomed, path)
+    return S.semantic_index_probe(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 2) _p"
+    )
+
+
+def semantic_delete_compliance_oracle() -> str:
+    """Same-cell cross pairs whose INDEXED side survives the deletion
+    (the probe side is the arriving batch — tombstones scrub only the
+    store read).  ONE copy of the brute formulation + the survivor
+    predicate."""
+    return _semantic_brute_oracle(
+        "(a.vec_id % 3 = 2) <> (b.vec_id % 3 = 2) AND "
+        "(CASE WHEN a.vec_id % 3 = 2 THEN b.vec_id ELSE a.vec_id END) "
+        "% 5 <> 1"
+    )
 
 
 def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,6 +806,15 @@ def r10_specs():
             "chunk partitions, ADDITIVE class, replayed append "
             "absorbed by per-chunk overwrite); top-20 answered from "
             "the term-pruned store alone, documents never rescanned.",
+        ),
+        "semantic_delete_compliance": QuerySpec(
+            semantic_delete_compliance_q,
+            semantic_delete_compliance_oracle(),
+            doc="Tombstone deletion over the persisted semantic index: "
+            "deleted vec_ids anti-joined out of the store read before "
+            "the cell join (idempotent side-table append; rebuild-"
+            "equivalence law pinned); same-cell cosine probe over the "
+            "survivors.",
         ),
         "simhash_delete_compliance": QuerySpec(
             simhash_delete_compliance_q,

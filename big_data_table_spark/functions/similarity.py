@@ -510,6 +510,39 @@ def semantic_index_append(spark, path: str, table_expr: str, assigned=None) -> N
     assigned.write.mode("append").parquet(os.path.join(path, "rows"))
 
 
+_SEM_TOMBSTONE_DIR = ".tombstones"
+
+
+def semantic_index_delete(ids, path: str) -> None:
+    """Tombstone every ``vec_id`` in ``ids`` — the embedding sibling of
+    the bitmap/setjoin/SimHash tombstone verbs (the semantic index
+    stores per-vector rows, so doc-level deletion is the same
+    dot-prefixed SET-class side table).  Idempotent under replay;
+    unseen ids are a no-op; no store partition is rewritten."""
+    import os
+
+    ids.select(F.col("vec_id").cast("long").alias("vec_id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, _SEM_TOMBSTONE_DIR))
+
+
+def _semantic_store_rows(spark, path: str):
+    """The DISTINCT store assignments with tombstoned vectors
+    anti-joined out BEFORE the cell join — deleted vectors generate no
+    candidates at all, so the scrubbed probe equals the rebuild over
+    survivors (pinned in tests/test_round10.py)."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "rows")).distinct()
+    tomb = os.path.join(path, _SEM_TOMBSTONE_DIR)
+    if os.path.isdir(tomb) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb)
+    ):
+        doomed = spark.read.parquet(tomb).distinct()
+        rows = rows.join(F.broadcast(doomed), "vec_id", "left_anti")
+    return rows
+
+
 def semantic_index_probe(spark, path: str, table_expr: str, assigned=None):
     """Adjudicate a NEW batch against the semantic index WITHOUT
     mutating it: every (store_vec, batch_vec) pair in the SAME cell
@@ -528,7 +561,7 @@ def semantic_index_probe(spark, path: str, table_expr: str, assigned=None):
             eager=True
         )
     )
-    store = spark.read.parquet(os.path.join(path, "rows")).distinct()
+    store = _semantic_store_rows(spark, path)
     vb = register_temp_view(b, "_semp_b")
     vs = register_temp_view(store, "_semp_s")
     cos = f"({_dot_sql('s.e', 'b.e', SPARK)} / (s.nrm * b.nrm))"

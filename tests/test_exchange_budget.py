@@ -734,6 +734,9 @@ BUDGET = {
     "simhash_delete_compliance": 4,  # same probe shape; the tombstone
                                  # anti-join is broadcast inside the
                                  # checkpointed store read
+    "semantic_delete_compliance": 2,  # batch assignment window + the
+                                 # scrubbed same-cell pair join (store
+                                 # + tombstone sides broadcast-scale)
     "stream_mg_grouped_store": 6,  # post-stream read-back: summary
                                  # distinct + thr distinct + per-g total
                                  # + per-key agg + rank window + audit

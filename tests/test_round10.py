@@ -504,3 +504,56 @@ def test_simhash_tombstone_laws(spark, sf_dir, tmp_path):
         ).collect()
     ) == once
     assert once != plain  # the delete actually removed pairs
+
+
+def test_semantic_tombstone_laws(spark, sf_dir, tmp_path):
+    """Semantic-index deletion laws: the scrubbed probe equals the
+    rebuild over survivors (the frozen quantizer is id-free, so the
+    rebuild comparison is exact as long as the centroid batch is kept
+    intact), replayed deletes absorb, unseen ids are a no-op."""
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import similarity as S
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "semdel")
+    S.semantic_index_build(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) _b0"
+    )
+    S.semantic_index_append(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 1) _b1"
+    )
+    probe_src = "(SELECT * FROM embeddings WHERE vec_id % 3 = 2) _p"
+
+    def rows(pth):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in S.semantic_index_probe(spark, pth, probe_src).collect()
+        )
+
+    plain = rows(path)
+    assert len(plain) > 0
+    ghost = spark.range(10**9, 10**9 + 9).selectExpr("id AS vec_id")
+    S.semantic_index_delete(ghost, path)
+    assert rows(path) == plain  # unseen ids are a no-op
+    # delete appended-batch vectors only, so the frozen quantizer's
+    # centroid batch stays comparable in the rebuild arm
+    doomed = spark.sql(
+        "SELECT vec_id FROM embeddings WHERE vec_id % 3 = 1 AND vec_id % 5 = 1"
+    )
+    S.semantic_index_delete(doomed, path)
+    once = rows(path)
+    S.semantic_index_delete(doomed, path)  # replay
+    assert rows(path) == once
+    assert once != plain  # the delete actually removed pairs
+    # rebuild-equivalence: a store born without the doomed vectors
+    path2 = str(tmp_path / "semdel2")
+    S.semantic_index_build(
+        spark, path2, "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) _c0"
+    )
+    S.semantic_index_append(
+        spark,
+        path2,
+        "(SELECT * FROM embeddings WHERE vec_id % 3 = 1 "
+        "AND NOT (vec_id % 5 = 1)) _c1",
+    )
+    assert rows(path2) == once
