@@ -2353,6 +2353,43 @@ CATALOG = {
     **{name: spec for name, spec in CATALOG.items() if name not in set(_head10)},
 }
 
+# ------------------------------------------------------------------ #
+# round-11 registrations (builders AND specs in catalog_r11.py — the
+# chunk convention)
+# ------------------------------------------------------------------ #
+CATALOG.update(
+    __import__("big_data_table_spark.catalog_r11", fromlist=["x"]).r11_specs()
+)
+
+# ------------------------------------------------------------------ #
+# driver-window ordering (round 11) — VERDICT r10 #1: the 49 entries
+# of _R10_NEXT (33 _R9C_NEW spill-overs + 16 _R10_NEW) are the only
+# ones without a driver CORRECTNESS row; they fit one 50-entry window
+# with a slot spare, filled with the stalest-evidence refresh entry
+# (range_join_prices — first entry of the r5 window never re-sampled
+# since; the r8 refresh precedent).  New r11 entries head _R11_NEXT.
+# ------------------------------------------------------------------ #
+_R11_FRONT = _R10_NEXT + ["range_join_prices"]
+_R11_NEW: list[str] = []  # grows as r11 entries land (catalog_r11.r11_specs)
+_R11_NEW += list(
+    __import__("big_data_table_spark.catalog_r11", fromlist=["x"]).r11_specs()
+)
+_R11_NEXT = list(_R11_NEW)
+
+assert len(_R11_FRONT) == len(set(_R11_FRONT)) == 50, len(_R11_FRONT)
+assert set(_R11_FRONT + _R11_NEXT) <= set(CATALOG), sorted(
+    set(_R11_FRONT + _R11_NEXT) - set(CATALOG)
+)
+assert not set(_R11_FRONT) & set(_R11_NEXT)
+
+_head11 = _R11_FRONT + _R11_NEXT + [
+    n for n in CATALOG if n not in set(_R11_FRONT + _R11_NEXT)
+]
+CATALOG = {
+    **{name: CATALOG[name] for name in _head11},
+    **{name: spec for name, spec in CATALOG.items() if name not in set(_head11)},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}

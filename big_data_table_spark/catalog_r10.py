@@ -437,7 +437,20 @@ def hybrid_retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     bm25 = bm25_topk_retrieval_q(spark, sf_dir).localCheckpoint(eager=True)
     vb = register_temp_view(bm25, "_hyb_bm25")
-    return spark.sql(hybrid_rerank_sql(SPARK, vb))
+    out = spark.sql(hybrid_rerank_sql(SPARK, vb)).localCheckpoint(eager=True)
+    # r10 ADVICE: the rerank hard-codes query_vec_id=100 and
+    # inner-joins candidates to embeddings — a fixture change could
+    # silently shrink/empty the result and the dual-dialect parity
+    # would pass vacuously.  Fail LOUDLY instead: the query vector must
+    # exist and the rerank must keep a real candidate set.
+    n = out.count()
+    if n < 5:
+        raise AssertionError(
+            f"hybrid rerank returned {n} rows (< 5): the fixture lost "
+            "query_vec_id=100 or the BM25 candidates lost their "
+            "embeddings — parity would be vacuous"
+        )
+    return out
 
 
 def hybrid_retrieval_rerank_oracle() -> str:

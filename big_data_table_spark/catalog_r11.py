@@ -1,0 +1,240 @@
+"""Round-11 catalog builders — the last structural depth items from
+the r10 VERDICT: right-to-be-forgotten over the LSH bucket index (the
+one store family that kept no doc ids), the semantic index's
+re-quantize compact (recall-parity, not bit-equality — the result
+SHAPE changes when centroids re-freeze), and expire/retention verbs
+for the two newest text indexes (setjoin + BM25).  QuerySpec
+registrations live HERE (``r11_specs``, merged by catalog.py — the
+chunk convention); the driver-window lists stay in catalog.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog_base import register_views
+from .functions.portable import DUCK, SPARK
+
+
+# ------------------------------------------------------------------ #
+# LSH-index tombstone deletion — the last right-to-be-forgotten hole
+# ------------------------------------------------------------------ #
+
+def lsh_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the persisted MinHash-LSH dedup index
+    (functions/dedup.py:lsh_index_delete) — the FIFTH and final
+    doc-id-bearing store family to gain tombstone deletion, closing the
+    r10 VERDICT's last structural hole.  The r10 layout stored bare
+    keys (digests + bucket keys, no doc ids), which made deletion
+    impossible: a key shared by a deleted and a surviving doc must
+    outlive the delete.  r11 redesigns the layout to OWNERSHIP rows
+    ((h, doc_id) / (band, sig, doc_id)) — probe output over the plain
+    store is bit-identical (keys are DISTINCT-projected) and the store
+    grows only where docs share keys, exactly the duplicate mass the
+    index exists to find.
+
+    The cycle: build on the corpus (doc_id % 4 <> 3), DELETE every
+    corpus doc with doc_id % 5 = 1 — issued TWICE, the second call is
+    the idempotence demo (tombstones are a SET the scrubbed read
+    DISTINCTs) — then adjudicate the batch (doc_id % 4 = 3 plus the
+    standard simulated recrawls) against the scrubbed store.  The
+    scrub anti-joins tombstoned owners out of BOTH store relations
+    BEFORE the key projection, so a key survives iff some surviving
+    doc owns it — definitionally the rebuild-over-survivors answer;
+    parity with ``incremental_dedup_sql(corpus_pred=...)`` (the
+    self-contained formulation with the corpus filtered to survivors)
+    proves it.  Deleted recrawl SOURCES flip their recrawl's decision
+    from exact_vs_corpus toward keep/neardup — the oracle covers both
+    regimes.  At 100 TB: deletion is a side-table append — no store
+    partition rewrites — and the physical purge end-state is a separate
+    maintenance verb (``lsh_index_purge``; scrubbed-before ==
+    scrubbed-after == plain-after pinned in tests/test_round11.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _ldc_corpus AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _ldc_batch AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 7 = 0"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_lsh_del_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.lsh_index_build(spark, path, "_ldc_corpus")
+    doomed = spark.sql(
+        "SELECT doc_id FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 5 = 1"
+    )
+    for _ in range(2):  # second delete = the idempotence demo
+        DD.lsh_index_delete(doomed, path)
+    return DD.lsh_index_probe(spark, path, "_ldc_batch")
+
+
+def lsh_delete_compliance_oracle() -> str:
+    """The self-contained incremental-dedup formulation with the CORPUS
+    side restricted to deletion survivors — equal to store-backed
+    scrubbed adjudication because a store key survives the scrub iff
+    some surviving doc owns it.  ONE copy of the adjudication text +
+    the survivor predicate."""
+    from .functions import dedup as DD
+
+    return DD.incremental_dedup_sql(DUCK, corpus_pred="doc_id % 5 <> 1")
+
+
+# ------------------------------------------------------------------ #
+# semantic-index re-quantize compact — the IVF retrain verb
+# ------------------------------------------------------------------ #
+
+def semantic_requantize_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-QUANTIZE compact over the persisted semantic index
+    (functions/similarity.py:semantic_index_requantize — r10 VERDICT
+    #3): build on two thirds of the embeddings (frozen fixture-scale
+    8-centroid quantizer), append the last third under the frozen
+    geometry, then RE-FREEZE — re-derive the centroid count from the
+    store size (``sem_n_centroids_for``: smallest power of two k with
+    k² >= n, the copy-the-rule-not-the-constant treatment of
+    ``bucket_count_for``) and re-assign every row in one corpus pass,
+    exactly how production IVF periodically retrains.  The result
+    SHAPE changes (cells move), so the correctness statement is NOT
+    bit-equality with the old store; it is (a) requantize == rebuild-
+    over-survivors under the same quantizer rule — both deterministic
+    functions of the vector set, pinned in tests/test_round11.py —
+    and (b) this entry's RECALL REPORT: same-cell pairs found under
+    the new geometry vs the brute cosine-threshold truth, with the
+    oracle re-deriving k through the identical integer-pure SQL rule
+    (``sem_k_rule_sql`` — no float log/sqrt at power boundaries).  At
+    100 TB: appends stay geometry-frozen cheap between re-freezes; the
+    re-freeze is the one corpus-pass maintenance verb and amortizes
+    over every probe until the next one."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import similarity as S
+    from .functions.portable import SPARK as SPK
+    from .functions.similarity import (
+        _SEM_THRESHOLD,
+        _dot_sql,
+        _vecs_cte,
+        semantic_pairs_sql,
+    )
+    from .session import register_temp_view
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_sem_requant_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _srq_a AS "
+        "SELECT * FROM embeddings WHERE vec_id % 3 != 2"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _srq_b AS "
+        "SELECT * FROM embeddings WHERE vec_id % 3 = 2"
+    )
+    S.semantic_index_build(spark, path, "_srq_a")
+    S.semantic_index_append(spark, path, "_srq_b")
+    k = S.semantic_index_requantize(spark, path)
+    # v feeds the brute join twice + the count — checkpoint once (Spark
+    # re-inlines multi-referenced CTEs; each inline would repeat the
+    # normalize-and-repartition scan)
+    v = spark.sql(
+        f"WITH {_vecs_cte(SPK)} SELECT vec_id, e, nrm FROM v"
+    ).localCheckpoint(eager=True)
+    vv = register_temp_view(v, "_srq_v")
+    rows = spark.read.parquet(os.path.join(path, "rows")).distinct()
+    vrows = register_temp_view(rows, "_srq_rows")
+    cos = f"({_dot_sql('a.e', 'b.e', SPK)} / (a.nrm * b.nrm))"
+    return spark.sql(
+        f"""
+WITH pairs AS ({semantic_pairs_sql(SPK, vrows)}),
+brute AS (
+  SELECT a.vec_id FROM {vv} a JOIN {vv} b ON a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 6) >= {_SEM_THRESHOLD})
+SELECT CAST((SELECT COUNT(*) FROM {vv}) AS BIGINT) AS n_vecs,
+  CAST({k} AS BIGINT) AS k,
+  CAST((SELECT COUNT(DISTINCT cid) FROM {vrows}) AS BIGINT) AS n_cells_used,
+  CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS pairs_found,
+  CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS pairs_brute,
+  ROUND(CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+    / (SELECT COUNT(*) FROM brute), 6) AS recall
+"""
+    )
+
+
+def semantic_requantize_recall_oracle() -> str:
+    """One-statement reconstruction: k re-derived through the SAME
+    integer-pure rule (``sem_k_rule_sql``), centroids = the k smallest
+    vec_ids (rank form — LIMIT takes no subquery portably), assignment
+    and pair stages the shared dialect texts, brute truth all-pairs."""
+    from .functions.similarity import (
+        _SEM_THRESHOLD,
+        _dot_sql,
+        _vecs_cte,
+        sem_k_rule_sql,
+        semantic_assign_under_sql,
+        semantic_pairs_sql,
+    )
+
+    k_scalar = sem_k_rule_sql("SELECT COUNT(*) FROM v")
+    cos = f"({_dot_sql('a.e', 'b.e', DUCK)} / (a.nrm * b.nrm))"
+    return f"""
+WITH {_vecs_cte(DUCK)},
+kk AS MATERIALIZED (SELECT {k_scalar} AS k),
+cent AS MATERIALIZED (
+  SELECT vec_id AS cid, e, nrm FROM (
+    SELECT vec_id, e, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v) _r
+  WHERE rn <= (SELECT k FROM kk)),
+assign AS MATERIALIZED ({semantic_assign_under_sql(DUCK, "v", "cent")}),
+pairs AS MATERIALIZED ({semantic_pairs_sql(DUCK, "assign")}),
+brute AS MATERIALIZED (
+  SELECT a.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 6) >= {_SEM_THRESHOLD})
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vecs,
+  CAST((SELECT k FROM kk) AS BIGINT) AS k,
+  CAST((SELECT COUNT(DISTINCT cid) FROM assign) AS BIGINT) AS n_cells_used,
+  CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS pairs_found,
+  CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS pairs_brute,
+  ROUND(CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
+    / (SELECT COUNT(*) FROM brute), 6) AS recall
+"""
+
+
+def r11_specs():
+    """Round-11 QuerySpec registrations, merged into the catalog by
+    catalog.py (the chunk convention)."""
+    from .catalog_base import QuerySpec
+
+    return {
+        "lsh_delete_compliance": QuerySpec(
+            lsh_delete_compliance_q,
+            lsh_delete_compliance_oracle(),
+            doc="Tombstone deletion over the persisted MinHash-LSH "
+            "dedup index (r11 ownership-row layout): deleted owners "
+            "anti-joined out of both store relations before the key "
+            "projection; scrubbed probe == adjudication vs the "
+            "surviving corpus.",
+        ),
+        "semantic_requantize_recall": QuerySpec(
+            semantic_requantize_recall_q,
+            semantic_requantize_recall_oracle(),
+            doc="Re-quantize compact over the semantic index: re-freeze "
+            "a size-derived centroid count over the whole store and "
+            "re-assign in one corpus pass (the IVF retrain verb); "
+            "recall report vs the brute cosine truth, k re-derived by "
+            "the identical integer-pure SQL rule.",
+        ),
+    }

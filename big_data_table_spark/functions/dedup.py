@@ -384,7 +384,7 @@ def decontamination_sql(
     )
 
 
-def incremental_dedup_sql(dialect: str) -> str:
+def incremental_dedup_sql(dialect: str, corpus_pred: str = "TRUE") -> str:
     """Incremental (cross-run) dedup: adjudicate every NEW-batch document
     against the existing corpus and its own batch, with a reason —
     the decision table a continuous-ingestion pipeline writes before
@@ -409,19 +409,43 @@ def incremental_dedup_sql(dialect: str) -> str:
     ``doc_id % 7 = 0`` text re-ingested under id+1000000) — exercising
     the exact arms; recrawls carry no band signatures because the
     exact-dup short-circuit precedes signature computation in the
-    pipeline."""
+    pipeline.
+
+    ``corpus_pred`` (a doc_id predicate, default TRUE) restricts the
+    CORPUS side to survivors — the oracle arm of the LSH-index
+    tombstone-deletion entry (``lsh_delete_compliance``): adjudication
+    against a store whose deleted owners are scrubbed equals this
+    formulation with the corpus filtered to the survivors, because
+    every corpus-side key survives iff some surviving doc owns it.
+    Under a deletion predicate the band table must range over the
+    AUGMENTED set (recrawls included): a recrawl whose corpus source
+    was deleted no longer short-circuits on the exact arm, so its
+    near-dup adjudication becomes decision-relevant — the store-backed
+    probe computes batch signatures for every batch doc, recrawls
+    included.  (With the default TRUE the recrawl band rows are
+    unreachable behind the exact short-circuit, so the leaner
+    documents-only band table keeps the legacy entries' plans.)"""
+    bands_src = (
+        "documents"
+        if corpus_pred == "TRUE"
+        else "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 7 = 0) _aug"
+    )
     return (
         "WITH aug AS (SELECT doc_id, text, doc_id % 4 = 3 AS is_new "
         "  FROM documents "
         "  UNION ALL SELECT doc_id + 1000000, text, TRUE "
         "  FROM documents WHERE doc_id % 7 = 0), "
         "flags AS (SELECT doc_id, md5(text) AS h, is_new FROM aug), "
-        f"bands AS ({minhash_bands_sql(dialect)}), "
-        "corpus_h AS (SELECT DISTINCT h FROM flags WHERE NOT is_new), "
+        f"bands AS ({minhash_bands_sql(dialect, src=bands_src)}), "
+        "corpus_ids AS (SELECT doc_id, h FROM flags "
+        f"  WHERE NOT is_new AND ({corpus_pred})), "
+        "corpus_h AS (SELECT DISTINCT h FROM corpus_ids), "
         "batch_min AS (SELECT h, MIN(doc_id) AS first_id FROM flags "
         "  WHERE is_new GROUP BY h), "
         "corpus_bands AS (SELECT DISTINCT band, sig FROM bands b "
-        "  JOIN flags f ON b.doc_id = f.doc_id WHERE NOT f.is_new), "
+        "  JOIN corpus_ids f ON b.doc_id = f.doc_id), "
         "nd AS (SELECT DISTINCT b.doc_id FROM bands b "
         "  JOIN flags f ON b.doc_id = f.doc_id AND f.is_new "
         "  JOIN corpus_bands c ON b.band = c.band AND b.sig = c.sig) "
@@ -446,23 +470,33 @@ def incremental_dedup_sql(dialect: str) -> str:
 # same build/append/probe verb triad as the HLL rollup store
 # (sketches.py): build once, probe every increment, append the kept
 # docs so the next increment sees them — the continuous-ingestion loop.
+# r11: the store keeps OWNERSHIP rows ((h, doc_id) / (band, sig,
+# doc_id)) instead of bare keys, which makes tombstone deletion
+# expressible (lsh_index_delete/purge — the last store family to gain
+# right-to-be-forgotten); probes DISTINCT-project the keys, so probe
+# output is bit-identical to the keys-only layout.
 # --------------------------------------------------------------------- #
 
 
 def lsh_index_build(spark, path: str, src: str) -> None:
     """Materialize the dedup index for the ``src`` (doc_id, text)
-    relation: ``digests`` (distinct md5 content hashes — the exact arm)
-    and ``bands`` (distinct (band, sig) MinHash-LSH bucket keys — the
-    near-dup arm), both parquet, bands partitioned by band.  Doc ids
-    are NOT stored: adjudication only needs set membership, so the
-    index is |corpus| digests + ≤ N_BANDS·|corpus| bucket keys —
-    orders of magnitude smaller than the corpus text."""
+    relation: ``digests`` ((h, doc_id) md5 content-hash ownership rows —
+    the exact arm) and ``bands`` ((band, sig, doc_id) MinHash-LSH bucket
+    ownership rows — the near-dup arm), both parquet, bands partitioned
+    by band.  r11 layout change: rows carry the OWNING doc_id so the
+    family supports right-to-be-forgotten (the r10 layout kept bare
+    keys, which made tombstones impossible — a key shared by a deleted
+    and a surviving doc must outlive the delete, and only ownership
+    rows can express that).  Probes project DISTINCT keys, so probe
+    output is bit-identical to the keys-only layout; the store grows
+    only where docs SHARE keys — exactly the duplicate mass the index
+    exists to find."""
     import os
 
-    digests = spark.sql(f"SELECT DISTINCT md5(text) AS h FROM {src}")
-    bands = (
-        spark.sql(minhash_bands_sql(SPARK, src=src)).select("band", "sig").distinct()
-    )
+    digests = spark.sql(f"SELECT DISTINCT md5(text) AS h, doc_id FROM {src}")
+    bands = spark.sql(minhash_bands_sql(SPARK, src=src)).select(
+        "band", "sig", "doc_id"
+    ).distinct()
     digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
     bands.write.mode("overwrite").partitionBy("band").parquet(
         os.path.join(path, "bands")
@@ -470,20 +504,20 @@ def lsh_index_build(spark, path: str, src: str) -> None:
 
 
 def lsh_index_append(spark, path: str, src: str) -> None:
-    """Incremental maintenance: add ``src``'s digests and band keys to
-    the store (the post-adjudication step that makes the NEXT increment
-    see this batch's kept docs).  Plain appends — duplicate digests or
-    bucket keys are harmless because probes are set-membership joins
-    against DISTINCT'd reads, the same idempotence-under-replay the
-    HLL store gets from register MAX; compaction = re-DISTINCT, left to
-    a maintenance pass."""
+    """Incremental maintenance: add ``src``'s digest and band ownership
+    rows to the store (the post-adjudication step that makes the NEXT
+    increment see this batch's kept docs).  Plain appends — duplicate
+    rows are harmless because probes are set-membership joins against
+    DISTINCT'd reads, the same idempotence-under-replay the HLL store
+    gets from register MAX; compaction = re-DISTINCT, left to a
+    maintenance pass."""
     import os
 
-    spark.sql(f"SELECT DISTINCT md5(text) AS h FROM {src}").write.mode(
+    spark.sql(f"SELECT DISTINCT md5(text) AS h, doc_id FROM {src}").write.mode(
         "append"
     ).parquet(os.path.join(path, "digests"))
     spark.sql(minhash_bands_sql(SPARK, src=src)).select(
-        "band", "sig"
+        "band", "sig", "doc_id"
     ).distinct().write.mode("append").partitionBy("band").parquet(
         os.path.join(path, "bands")
     )
@@ -521,24 +555,52 @@ def lsh_index_compact(spark, path: str) -> None:
         _swap_dir_in(tmp, cur)
 
 
-def lsh_index_probe(spark, path: str, src: str):
+def lsh_index_probe(spark, path: str, src: str, exclude=None):
     """Adjudicate the ``src`` batch against the persisted index:
     ``(doc_id, decision)`` with incremental_dedup's decision priority —
     exact_vs_corpus > exact_in_batch > neardup_vs_corpus > keep.  The
     corpus never rescans: the exact arm joins |batch| digests against
     the digest store, the near-dup arm joins the batch's band table
     against the bucket store on (band, sig).  Both index sides are
-    DISTINCT'd on read so replayed appends don't multiply rows."""
+    DISTINCT'd on read so replayed appends don't multiply rows.
+
+    Two ownership-row scrubs compose into the store read BEFORE the
+    key projection (both anti-joins against broadcast id sets):
+    tombstoned docs (``lsh_index_delete``) are always excluded, and
+    ``exclude`` (a doc_id DataFrame) drops the listed owners for this
+    probe only — the crawl loops pass the current batch's ids so a
+    replayed trigger whose append committed but whose checkpoint did
+    not re-adjudicates against the store AS IT WAS, making the probe
+    itself replay-idempotent."""
     import os
 
     from pyspark.sql import functions as F
 
     flags = spark.sql(f"SELECT doc_id, md5(text) AS h FROM {src}")
     batch_bands = spark.sql(minhash_bands_sql(SPARK, src=src))
-    corpus_h = spark.read.parquet(os.path.join(path, "digests")).distinct()
+
+    def _scrub(df):
+        out = df.join(F.broadcast(_lsh_tombstones(spark, path)), "doc_id", "left_anti")
+        if exclude is not None:
+            out = out.join(
+                F.broadcast(exclude.select("doc_id").distinct()),
+                "doc_id",
+                "left_anti",
+            )
+        return out
+
+    corpus_h = (
+        _scrub(spark.read.parquet(os.path.join(path, "digests")))
+        .select("h")
+        .distinct()
+    )
     corpus_bands = (
-        spark.read.parquet(os.path.join(path, "bands"))
-        .select(F.col("band").cast("int").alias("band"), "sig")
+        _scrub(
+            spark.read.parquet(os.path.join(path, "bands")).select(
+                F.col("band").cast("int").alias("band"), "sig", "doc_id"
+            )
+        )
+        .select("band", "sig")
         .distinct()
     )
     batch_min = flags.groupBy("h").agg(F.min("doc_id").alias("first_id"))
@@ -561,6 +623,83 @@ def lsh_index_probe(spark, path: str, src: str):
             .alias("decision"),
         )
     )
+
+
+_LSH_TOMBSTONE_DIR = ".tombstones"
+
+
+def _lsh_tombstones(spark, path: str):
+    """The DISTINCT tombstoned doc_ids for an LSH index, or an empty
+    relation when the store was never deleted from (or was purged)."""
+    import os
+
+    tomb = os.path.join(path, _LSH_TOMBSTONE_DIR)
+    if os.path.isdir(tomb) and any(f.endswith(".parquet") for f in os.listdir(tomb)):
+        return spark.read.parquet(tomb).distinct()
+    return spark.createDataFrame([], "doc_id long")
+
+
+def lsh_index_delete(ids, path: str) -> None:
+    """Tombstone every ``doc_id`` in ``ids`` — right-to-be-forgotten
+    over the LSH index, the verb the r10 keys-only layout could not
+    support (VERDICT r10 #2: a bare bucket key shared by a deleted and
+    a surviving doc must outlive the delete; only the r11 ownership
+    rows can express that).  A side-table append — no store partition
+    is rewritten, the delete applies retroactively to every scrubbed
+    read, and replays are idempotent (SET class): probes anti-join the
+    DISTINCT tombstone set out of the ownership rows BEFORE projecting
+    keys, so a key survives iff some SURVIVING doc owns it — exactly
+    the rebuild-over-survivors semantics."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, _LSH_TOMBSTONE_DIR))
+
+
+def lsh_index_purge(spark, path: str) -> int:
+    """PHYSICAL purge: drop every tombstoned doc's ownership rows from
+    digests/ and bands/ and DROP the tombstone table — the compliance
+    end-state (the deleted docs' digests and bucket keys no longer
+    exist on disk, not merely masked at read time).  Result-neutral:
+    scrubbed-before == scrubbed-after == plain-after (pinned in
+    tests/test_round11.py).  Dot-tmp + rename swap, single-writer.
+    Returns the tombstoned id count purged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .sketches import _swap_dir_in
+
+    tomb = _lsh_tombstones(spark, path).localCheckpoint(eager=True)
+    n = tomb.count()
+    for sub, part in (("digests", None), ("bands", "band")):
+        cur = os.path.join(path, sub)
+        kept = (
+            spark.read.parquet(cur)
+            .distinct()
+            .join(F.broadcast(tomb), "doc_id", "left_anti")
+        )
+        tmp = os.path.join(path, f".{sub}.purge.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        if part:
+            kept = kept.select(
+                F.col(part).cast("int").alias(part),
+                *[c for c in kept.columns if c != part],
+            ).localCheckpoint(eager=True)  # fully read before the swap
+            kept.repartition(part).write.mode("overwrite").partitionBy(part).parquet(
+                tmp
+            )
+        else:
+            kept.localCheckpoint(eager=True).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        _swap_dir_in(tmp, cur)
+    shutil.rmtree(os.path.join(path, _LSH_TOMBSTONE_DIR), ignore_errors=True)
+    return n
 
 
 def substring_perdoc_ctes(dialect: str, w: int = 8) -> str:
@@ -1070,7 +1209,7 @@ def setjoin_index_pairs(spark, path: str):
     return _setjoin_pairs_from(spark, sh, pref)
 
 
-def setjoin_index_probe(spark, path: str, table_expr: str, sh=None):
+def setjoin_index_probe(spark, path: str, table_expr: str, sh=None, exclude=None):
     """Adjudicate a NEW batch against the index WITHOUT mutating it —
     the exact-join analogue of ``lsh_index_probe`` (probe first, append
     after the keep decision): every (corpus_doc, batch_doc) pair with
@@ -1082,8 +1221,16 @@ def setjoin_index_probe(spark, path: str, table_expr: str, sh=None):
     pairs only.  Corpus set sizes are read from the prefix rows'
     carried ``n`` (no store-side recount); the corpus text is never
     rescanned.  Batch work is |batch|-sized: at 100 TB the probe costs
-    the increment, not the corpus."""
+    the increment, not the corpus.
+
+    ``exclude`` (a doc_id DataFrame) drops the listed docs from BOTH
+    store relations for this probe only — the crawl loop passes the
+    current batch's ids so a replayed trigger whose append committed
+    but whose streaming checkpoint did not re-adjudicates against the
+    store AS IT WAS (probe-level replay idempotence; r10 ADVICE)."""
     import os
+
+    from pyspark.sql import functions as F
 
     from ..session import register_temp_view
 
@@ -1097,6 +1244,10 @@ def setjoin_index_probe(spark, path: str, table_expr: str, sh=None):
     bpref = _prefix_under_order(bsh, order)
     spref = spark.read.parquet(os.path.join(path, "prefix")).distinct()
     ssh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
+    if exclude is not None:
+        exc = exclude.select("doc_id").distinct()
+        spref = spref.join(F.broadcast(exc), "doc_id", "left_anti")
+        ssh = ssh.join(F.broadcast(exc), "doc_id", "left_anti")
     vb = register_temp_view(bsh, "_sjp_bsh")
     vbp = register_temp_view(bpref, "_sjp_bpref")
     vsp = register_temp_view(spref, "_sjp_spref")
@@ -1317,7 +1468,7 @@ def _simhash_store_rows(spark, path: str):
 
 
 def simhash_index_probe(
-    spark, path: str, table_expr: str, max_hamming: int = 3, sig=None
+    spark, path: str, table_expr: str, max_hamming: int = 3, sig=None, exclude=None
 ):
     """Adjudicate a NEW batch against the signature index WITHOUT
     mutating it: every (corpus_doc, batch_doc) pair agreeing on >= 1 of
@@ -1342,8 +1493,16 @@ def simhash_index_probe(
     eight-bit quarters — 256x more selective buckets at identical
     recall.  (Both together measured at sf0.1 on the concentrated
     fixture corpus: 23 s -> ~3 s probe; at 100 TB this is the
-    difference between a bounded verify and a hot-bucket quadratic.)"""
+    difference between a bounded verify and a hot-bucket quadratic.)
+
+    ``exclude`` (a doc_id DataFrame) drops the listed docs from the
+    STORE side for this probe only — the crawl loop passes the current
+    batch's ids so a replayed trigger whose append committed but whose
+    streaming checkpoint did not re-adjudicates against the store AS
+    IT WAS (probe-level replay idempotence; r10 ADVICE)."""
     import os
+
+    from pyspark.sql import functions as F
 
     from ..session import register_temp_view
 
@@ -1355,7 +1514,12 @@ def simhash_index_probe(
     )
     # TWO consumers (the unique-sig band side and the doc fan-out join)
     # — checkpoint the scrubbed store read once
-    ssig = _simhash_store_rows(spark, path).localCheckpoint(eager=True)
+    ssig = _simhash_store_rows(spark, path)
+    if exclude is not None:
+        ssig = ssig.join(
+            F.broadcast(exclude.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
+    ssig = ssig.localCheckpoint(eager=True)
     vb = register_temp_view(bsig, "_shx_b")
     vs = register_temp_view(ssig, "_shx_s")
     bands = lambda rel: " UNION ALL ".join(  # noqa: E731

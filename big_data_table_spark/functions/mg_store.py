@@ -42,13 +42,61 @@ merge two different ``thr`` prune lines into one summary and corrupt
 the [lower, upper] bound algebra."""
 
 
-def _check_append_chunk(chunk: int) -> None:
+def _check_append_chunk(chunk: int, store_path: str | None = None) -> None:
+    """Reject chunk ids the additive merge class cannot absorb: negative
+    ids are the compactor's (an append reusing the compact id would
+    dynamic-overwrite merged counters — a silent DELETE), and when
+    ``store_path`` carries a compaction watermark, ids at or below it
+    are rejected too (r10 ADVICE: after compaction collapses chunks into
+    the reserved id, a pre-compaction chunk id names a now-EMPTY
+    partition while the merged copy of its counts lives on — re-using
+    it would silently double-count)."""
     if int(chunk) < 0:
         raise ValueError(
             f"chunk id {chunk} is reserved: negative ids belong to the "
             "compaction verb (COMPACT_CHUNK); append chunk ids must be "
             "non-negative and unique per day"
         )
+    if store_path is not None:
+        wm = _read_compact_watermark(store_path)
+        if wm is not None and int(chunk) <= wm:
+            raise ValueError(
+                f"chunk id {chunk} is at or below the compaction "
+                f"watermark {wm}: those chunks were merged into the "
+                "reserved compact partition, so re-using the id would "
+                "silently double-count; use a fresh id above the "
+                "watermark"
+            )
+
+
+_COMPACT_WATERMARK_FILE = ".compact_watermark"
+
+
+def _read_compact_watermark(store_path: str) -> int | None:
+    """The max chunk id a compaction has merged for this store, or None
+    when the store was never compacted (file lives at the store ROOT —
+    the rename-aside swap replaces sub-stores wholesale, so state that
+    must survive compaction cannot live inside one)."""
+    import os
+
+    f = os.path.join(store_path, _COMPACT_WATERMARK_FILE)
+    if os.path.isfile(f):
+        with open(f) as fh:
+            return int(fh.read().strip())
+    return None
+
+
+def _write_compact_watermark(store_path: str, max_chunk: int) -> None:
+    """Persist the compaction watermark, MONOTONE — a replayed compact
+    that saw fewer chunks must never lower the guard."""
+    import os
+
+    prev = _read_compact_watermark(store_path)
+    if prev is not None and prev >= int(max_chunk):
+        return
+    os.makedirs(store_path, exist_ok=True)
+    with open(os.path.join(store_path, _COMPACT_WATERMARK_FILE), "w") as fh:
+        fh.write(str(int(max_chunk)))
 
 
 def mg_chunk_summary(

@@ -347,6 +347,33 @@ _SEM_N_CENTROIDS = 8
 _SEM_THRESHOLD = 0.3
 
 
+def sem_n_centroids_for(n_vecs: int) -> int:
+    """Size-derived coarse-quantizer width (r10 VERDICT #3 — the
+    ``bucket_count_for`` treatment for the semantic index: copy the
+    RULE, not the 8): the smallest power of two k with k² >= n_vecs,
+    floor 8, cap 2²⁶.  k ~ sqrt(n) keeps the mean cell ~ sqrt(n)
+    vectors, so within-cell pair work stays ~ n^1.5 instead of n² —
+    the SemDeDup/IVF sizing convention.  Powers of two keep re-freezes
+    stable as corpora grow.  Integer-pure (no float log/sqrt) so the
+    SQL oracle arm (``sem_k_rule_sql``) derives the identical k."""
+    k = 8
+    while k * k < n_vecs and k < (1 << 26):
+        k <<= 1
+    return k
+
+
+def sem_k_rule_sql(n_expr: str) -> str:
+    """The same size-derived rule as a dialect-free SQL scalar over a
+    count expression — smallest power-of-two k in [8, 2²⁶] with
+    k² >= n (integer comparisons only; float LOG2/SQRT round-trips
+    differ at exact-power boundaries across engines)."""
+    ks = ", ".join(f"({1 << p})" for p in range(3, 27))
+    return (
+        f"(SELECT MIN(k) FROM (VALUES {ks}) _kt(k) "
+        f"WHERE CAST(k AS BIGINT) * k >= ({n_expr}))"
+    )
+
+
 def semantic_assign_sql(dialect: str, n_centroids: int = _SEM_N_CENTROIDS) -> str:
     """Coarse-cell assignment for cluster-scoped semantic dedup
     (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): every vector keeps
@@ -543,13 +570,19 @@ def _semantic_store_rows(spark, path: str):
     return rows
 
 
-def semantic_index_probe(spark, path: str, table_expr: str, assigned=None):
+def semantic_index_probe(spark, path: str, table_expr: str, assigned=None, exclude=None):
     """Adjudicate a NEW batch against the semantic index WITHOUT
     mutating it: every (store_vec, batch_vec) pair in the SAME cell
     with cosine >= the threshold — (id_a, id_b, cos_sim rounded to
     6 dp), canonicalized to id_a < id_b.  Store rows read with DISTINCT
     (replay absorption); batch work is |batch| assignment + same-cell
-    pair verification; the corpus is never re-assigned or rescanned."""
+    pair verification; the corpus is never re-assigned or rescanned.
+
+    ``exclude`` (a vec_id DataFrame) drops the listed vectors from the
+    STORE side for this probe only — the crawl loop passes the current
+    batch's ids so a replayed trigger whose append committed but whose
+    streaming checkpoint did not re-adjudicates against the store AS
+    IT WAS (probe-level replay idempotence; r10 ADVICE)."""
     import os
 
     from ..session import register_temp_view
@@ -562,6 +595,10 @@ def semantic_index_probe(spark, path: str, table_expr: str, assigned=None):
         )
     )
     store = _semantic_store_rows(spark, path)
+    if exclude is not None:
+        store = store.join(
+            F.broadcast(exclude.select("vec_id").distinct()), "vec_id", "left_anti"
+        )
     vb = register_temp_view(b, "_semp_b")
     vs = register_temp_view(store, "_semp_s")
     cos = f"({_dot_sql('s.e', 'b.e', SPARK)} / (s.nrm * b.nrm))"
@@ -575,6 +612,81 @@ ON s.cid = b.cid AND s.vec_id <> b.vec_id
 WHERE ROUND({cos}, 6) >= {_SEM_THRESHOLD}
 """
     )
+
+
+def semantic_index_requantize(
+    spark, path: str, n_centroids: int | None = None, trained: bool = False,
+    n_iter: int = 2,
+) -> int:
+    """RE-QUANTIZE compact (r10 VERDICT #3 — the verb the frozen-
+    quantizer design was missing): re-freeze the coarse quantizer over
+    the WHOLE surviving store and re-assign every row under it, in one
+    corpus pass.  Production IVF periodically retrains exactly this
+    way — appends stay cheap because the geometry is frozen between
+    re-freezes, and the re-freeze amortizes over every query until the
+    next one.
+
+    Quantizer source: ``trained=True`` runs distributed Lloyd
+    (``clustering.kmeans_fit`` — OFF the query path, the trained-IVF
+    discipline); default is the deterministic smallest-vec_id
+    convention the build uses.  ``n_centroids=None`` derives k from
+    the store size via :func:`sem_n_centroids_for` — the build's
+    ``_SEM_N_CENTROIDS = 8`` is the fixture-scale oracle constant,
+    not the production rule.
+
+    Pin semantics (tests/test_round11.py): the result SHAPE changes —
+    cells move, so same-cell pair sets before and after are NOT
+    comparable bit-for-bit.  The law that IS exact: requantize ==
+    REBUILD-over-survivors under the same quantizer source (both arms
+    are deterministic functions of the surviving vector set), and a
+    REPLAYED requantize is a no-op.  Tombstoned rows are dropped and
+    the tombstone table cleared (re-assignment rewrites rows/ anyway,
+    so the purge rides along free).  Dot-tmp + rename swap,
+    single-writer.  Returns the new centroid count."""
+    import os
+    import shutil
+
+    from ..session import register_temp_view
+    from .sketches import _swap_dir_in
+
+    rows = _semantic_store_rows(spark, path).localCheckpoint(eager=True)
+    k = n_centroids if n_centroids is not None else sem_n_centroids_for(rows.count())
+    if trained:
+        from .clustering import kmeans_fit
+
+        cents = (
+            kmeans_fit(rows.select("vec_id", "e"), k=k, n_iter=n_iter)
+            .select(
+                F.col("cid"),
+                F.col("c").alias("e"),
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("c", "c", lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("nrm"),
+            )
+            .filter(F.col("nrm") > 0)  # a degenerate zero centroid can
+            # never be a nearest neighbour anyway; keep the cosine finite
+        )
+    else:
+        cents = rows.orderBy("vec_id").limit(k).selectExpr(
+            "vec_id AS cid", "e", "nrm"
+        )
+    cents = cents.localCheckpoint(eager=True)  # feeds the swap AND the assign
+    vv = register_temp_view(rows, "_semrq_v")
+    vc = register_temp_view(cents, "_semrq_c")
+    assigned = spark.sql(semantic_assign_under_sql(SPARK, vv, vc)).localCheckpoint(
+        eager=True  # fully read before the swap rewrites its inputs
+    )
+    for sub, df in (("centroids", cents), ("rows", assigned)):
+        tmp = os.path.join(path, f".{sub}.requant.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        _swap_dir_in(tmp, os.path.join(path, sub))
+    shutil.rmtree(os.path.join(path, _SEM_TOMBSTONE_DIR), ignore_errors=True)
+    return cents.count()
 
 
 def hybrid_rerank_sql(

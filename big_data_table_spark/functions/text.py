@@ -176,17 +176,27 @@ def bm25_dl_sql(tok: str) -> str:
 
 
 def bm25_corpus_sql(dl: str, n_src: str | None = "documents") -> str:
-    """The 1-row (N, avgdl) scalar over the doc-length relation.
-    ``n_src=None`` counts N from the dl relation itself — the index
-    store's definition (N = indexed docs; the store's read path never
-    touches the documents table)."""
-    n_expr = (
-        f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM {n_src})"
-        if n_src
-        else "CAST(COUNT(*) AS DOUBLE)"
-    )
+    """The 1-row (N, avgdl) scalar over the doc-length relation.  With
+    ``n_src``, N and avgdl BOTH derive from the SAME joined relation —
+    every ``n_src`` doc left-joined to its dl row, missing dl counted
+    as 0 — so N covers every doc and zero-token docs drag avgdl down:
+    one internally consistent corpus statistic (r10 ADVICE: the old
+    form counted N over all docs but averaged dl only over
+    token-bearing ones, an inconsistency dual-dialect parity could
+    never catch because both arms shared the text).  ``n_src=None``
+    derives both from the dl relation alone — the index store's
+    definition (N = indexed docs; the store's read path never touches
+    the documents table)."""
+    if n_src:
+        return (
+            "SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(COALESCE(d.dl, 0)) AS DOUBLE) / "
+            "CAST(COUNT(*) AS DOUBLE) AS avgdl "
+            f"FROM (SELECT doc_id FROM {n_src}) _s "
+            f"LEFT JOIN {dl} d ON _s.doc_id = d.doc_id"
+        )
     return (
-        f"SELECT {n_expr} AS n, "
+        "SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
         f"CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM {dl}"
     )
 
@@ -294,14 +304,17 @@ def bm25_index_append(spark, path: str, table_expr: str, chunk: int) -> None:
     dynamic-partition-overwrite ``chunk=<id>`` under postings/ and dl/.
     Chunk ids must be NON-NEGATIVE (the shared reserved-compact-id
     guard — in the additive class an append reusing a compact id would
-    silently delete merged counters)."""
+    silently delete merged counters) and ABOVE the store's compaction
+    watermark (r10 ADVICE: a pre-compaction id names a now-empty
+    partition whose merged counts live in ``chunk=-1`` — re-using it
+    would silently double-count tf/dl)."""
     import os
 
     from pyspark.sql import functions as F
 
     from .mg_store import _check_append_chunk
 
-    _check_append_chunk(chunk)
+    _check_append_chunk(chunk, store_path=path)
     tok = spark.sql(bm25_tok_sql(SPARK, src=table_expr)).localCheckpoint(
         eager=True
     )
@@ -334,14 +347,27 @@ def bm25_index_compact(spark, path: str) -> int:
     compaction IS the merge (exact integer addition), so the top-k
     before and after is bit-identical (pinned in tests/test_round10).
     Dot-tmp + rename-aside swap per sub-store (single-writer verb).
-    Returns the sub-store count rewritten (2)."""
+    Persists the COMPACTION WATERMARK (max chunk id merged, monotone)
+    at the store root so appends can never re-use a merged id and
+    double-count (r10 ADVICE; guard shared via
+    ``mg_store._check_append_chunk``).  Returns the sub-store count
+    rewritten (2)."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
+    from .mg_store import _write_compact_watermark
     from .sketches import _swap_dir_in
 
+    chunks = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(path, "postings"))
+        if d.startswith("chunk=")
+    ]
+    merged_max = max((c for c in chunks if c >= 0), default=None)
+    if merged_max is not None:
+        _write_compact_watermark(path, merged_max)
     for sub, keys, val in (("postings", ["doc_id", "tk"], "tf"), ("dl", ["doc_id"], "dl")):
         merged = (
             spark.read.parquet(os.path.join(path, sub))

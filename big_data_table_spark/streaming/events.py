@@ -1032,9 +1032,14 @@ def stream_setjoin_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         # ONE checkpointed shingle relation per trigger, shared by the
         # probe and the append (r10 review: each verb re-exploding the
-        # batch doubled the dominant per-trigger cost)
+        # batch doubled the dominant per-trigger cost).  exclude= makes
+        # the probe itself replay-idempotent: if this trigger's append
+        # committed but the checkpoint didn't, the replayed probe still
+        # adjudicates against the store AS IT WAS (r10 ADVICE)
         bsh = _shingle_rel(bspark, view)
-        pairs = setjoin_index_probe(bspark, idx, view, sh=bsh)
+        pairs = setjoin_index_probe(
+            bspark, idx, view, sh=bsh, exclude=batch_df.select("doc_id")
+        )
         pairs.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch={batch_id}")
         )
@@ -1104,7 +1109,13 @@ def stream_simhash_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             simhash_index_build(bspark, idx, view)
             return
         sig = _simhash_rel(bspark, view).localCheckpoint(eager=True)
-        pairs = simhash_index_probe(bspark, idx, view, max_hamming=1, sig=sig)
+        # exclude= the batch's own ids: a replayed trigger whose append
+        # committed but whose checkpoint didn't re-adjudicates against
+        # the store AS IT WAS (probe-level replay idempotence)
+        pairs = simhash_index_probe(
+            bspark, idx, view, max_hamming=1, sig=sig,
+            exclude=batch_df.select("doc_id"),
+        )
         pairs.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch={batch_id}")
         )
@@ -1175,7 +1186,13 @@ def stream_semantic_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = semantic_index_assign(bspark, idx, view).localCheckpoint(
             eager=True
         )
-        pairs = semantic_index_probe(bspark, idx, view, assigned=assigned)
+        # exclude= the batch's own ids: a replayed trigger whose append
+        # committed but whose checkpoint didn't re-adjudicates against
+        # the store AS IT WAS (probe-level replay idempotence)
+        pairs = semantic_index_probe(
+            bspark, idx, view, assigned=assigned,
+            exclude=batch_df.select("vec_id"),
+        )
         pairs.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch={batch_id}")
         )
@@ -1257,7 +1274,12 @@ def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).parquet(os.path.join(sink, f"batch={batch_id}"))
             lsh_index_build(bspark, idx, view)
         else:
-            dec = lsh_index_probe(bspark, idx, view)
+            # exclude= the batch's own ids: a replayed trigger whose
+            # append committed but whose checkpoint didn't
+            # re-adjudicates against the store AS IT WAS
+            dec = lsh_index_probe(
+                bspark, idx, view, exclude=batch_df.select("doc_id")
+            )
             dec.withColumn("batch", (F.col("doc_id") % 4).cast("long")).write.mode(
                 "overwrite"
             ).parquet(os.path.join(sink, f"batch={batch_id}"))

@@ -741,6 +741,13 @@ BUDGET = {
                                  # distinct + thr distinct + per-g total
                                  # + per-key agg + rank window + audit
                                  # join, all store-geometry-bounded
+    "lsh_delete_compliance": 9,  # batch signature agg + band explode
+                                 # distinct + store key projections
+                                 # (2 DISTINCTs) + decision joins; the
+                                 # tombstone anti-joins are broadcast
+    "semantic_requantize_recall": 11,  # store-rows distinct + same-cell
+                                 # pair join + brute pair join over the
+                                 # CHECKPOINTED v + 1-row scalar aggs
 }
 
 

@@ -162,11 +162,14 @@ def test_mg_grouped_chunked_bounds_contain_truth(spark, sf_dir, tmp_path):
 
 
 def test_r10_window_staging():
-    keys = list(catalog.queries())
-    assert keys[:50] == catalog._R10_FRONT
+    # r11 re-staged the window head (catalog.py _R11_FRONT); the r10
+    # lists remain the provenance record: FRONT was _R9_NEXT[:50] and
+    # NEXT the 33 spill-overs + 16 r10-new, disjoint and all present.
+    keys = set(catalog.queries())
     assert len(catalog._R10_FRONT) == 50
-    # the 33 r9 spill-overs keep their staging order at the head of NEXT
-    assert keys[50 : 50 + len(catalog._R10_NEXT)] == catalog._R10_NEXT
+    assert len(catalog._R10_NEXT) == 49
+    assert not set(catalog._R10_FRONT) & set(catalog._R10_NEXT)
+    assert set(catalog._R10_FRONT + catalog._R10_NEXT) <= keys
     # every oracle key matches a query key, 1:1
     assert set(catalog.oracle_sql()) <= set(catalog.queries())
 
