@@ -213,6 +213,130 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vecs,
 """
 
 
+# ------------------------------------------------------------------ #
+# expire/retention for the two newest text indexes (r10 VERDICT #4)
+# ------------------------------------------------------------------ #
+
+# one cutoff rule for both entries and both dialects: drop the oldest
+# quartile of doc ids (ingestion-ordered ids make the id cutoff the
+# time cutoff); FLOOR keeps the arithmetic engine-identical
+_RETENTION_CUTOFF_SQL = (
+    "SELECT CAST(FLOOR((MAX(doc_id) + 1) / 4.0) AS BIGINT) AS cut FROM documents"
+)
+
+
+def setjoin_expire_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over the persisted EXACT set-similarity index
+    (functions/dedup.py:setjoin_index_expire — r10 VERDICT #4): build
+    on the whole corpus, EXPIRE the oldest quartile of doc ids —
+    issued TWICE, plus once with a LOWER cutoff (both no-ops: the
+    marker is monotone) — then answer the exact Jaccard >= 1/2 join
+    from the store.  Expiry is METADATA-ONLY (a store-root marker; no
+    scan, no partition rewrite — O(1) at any store size, the
+    ``rollup_expire`` discipline carried to a doc-keyed store); every
+    read filters ``doc_id >= cutoff`` BEFORE candidate generation, so
+    parquet min/max pruning skips expired row groups for free and the
+    result is definitionally the rebuild over the retained docs —
+    parity with the brute oracle filtered to retained sides proves it.
+    Physical reclaim rides the next compact (result-neutrality pinned
+    in tests/test_round11.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_setjoin_exp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.setjoin_index_build(spark, path, "documents")
+    cut = spark.sql(_RETENTION_CUTOFF_SQL).collect()[0]["cut"]
+    for _ in range(2):  # second call = the idempotence demo
+        DD.setjoin_index_expire(path, cut)
+    DD.setjoin_index_expire(path, cut // 2)  # lower cutoff: monotone no-op
+    return DD.setjoin_index_pairs(spark, path)
+
+
+def setjoin_expire_retention_oracle() -> str:
+    """Brute exact-pairs oracle restricted to pairs whose BOTH sides
+    survive the retention cutoff — the rebuild-over-retained answer,
+    cutoff re-derived by the same FLOOR arithmetic."""
+    from .functions.dedup import prefix_filter_jaccard_oracle_sql
+
+    return (
+        prefix_filter_jaccard_oracle_sql(DUCK)
+        + f" AND doc_a >= ({_RETENTION_CUTOFF_SQL})"
+        + f" AND doc_b >= ({_RETENTION_CUTOFF_SQL})"
+    )
+
+
+def bm25_expire_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over the persisted BM25 inverted index
+    (functions/text.py:bm25_index_expire — r10 VERDICT #4): build =
+    chunk-0 append over the even doc ids, append the odd ids as chunk
+    1, EXPIRE the oldest quartile (twice + a lower cutoff — monotone
+    no-ops), then answer the top-20 from the store.  The cutoff is a
+    METADATA-ONLY store-root marker; the read path filters
+    ``doc_id >= cutoff`` on postings AND dl, so tf, dl, and the
+    derived (N, avgdl, idf) corpus statistics all shrink with the
+    retained corpus — retention changes SCORES, not just membership,
+    and parity with the one-shot BM25 over the retained docs proves
+    the whole statistic chain re-derives correctly.  Physical reclaim
+    rides the next compact (result-neutrality pinned in
+    tests/test_round11.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import text as TX
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_bm25_exp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    TX.bm25_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 2 = 0) _e"
+    )
+    TX.bm25_index_append(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 2 = 1) _o", chunk=1
+    )
+    cut = spark.sql(_RETENTION_CUTOFF_SQL).collect()[0]["cut"]
+    for _ in range(2):  # second call = the idempotence demo
+        TX.bm25_index_expire(path, cut)
+    TX.bm25_index_expire(path, cut // 2)  # lower cutoff: monotone no-op
+    return TX.bm25_index_topk(spark, path)
+
+
+def bm25_expire_retention_oracle() -> str:
+    """One-shot BM25 over ONLY the retained docs, with the STORE's
+    corpus-scalar semantics (N from the indexed dl relation) — the
+    rebuild-over-retained answer the store read must equal."""
+    from .functions.text import (
+        bm25_corpus_sql,
+        bm25_dl_sql,
+        bm25_score_sql,
+        bm25_tok_sql,
+    )
+
+    survivors = (
+        f"(SELECT * FROM documents WHERE doc_id >= ({_RETENTION_CUTOFF_SQL})) _r"
+    )
+    return (
+        f"WITH tok AS MATERIALIZED ({bm25_tok_sql(DUCK, src=survivors)}), "
+        f"dl AS MATERIALIZED ({bm25_dl_sql('tok')}), "
+        f"corpus AS MATERIALIZED ({bm25_corpus_sql('dl', n_src=None)}), "
+        f"scored_q AS ({bm25_score_sql('tok', 'dl', 'corpus')}) "
+        "SELECT * FROM scored_q"
+    )
+
+
 def r11_specs():
     """Round-11 QuerySpec registrations, merged into the catalog by
     catalog.py (the chunk convention)."""
@@ -236,5 +360,19 @@ def r11_specs():
             "re-assign in one corpus pass (the IVF retrain verb); "
             "recall report vs the brute cosine truth, k re-derived by "
             "the identical integer-pure SQL rule.",
+        ),
+        "setjoin_expire_retention": QuerySpec(
+            setjoin_expire_retention_q,
+            setjoin_expire_retention_oracle(),
+            doc="Metadata-only retention cutoff over the set-similarity "
+            "index: reads filter doc_id >= cutoff before candidate "
+            "generation; exact pairs == rebuild over retained docs.",
+        ),
+        "bm25_expire_retention": QuerySpec(
+            bm25_expire_retention_q,
+            bm25_expire_retention_oracle(),
+            doc="Metadata-only retention cutoff over the BM25 index: tf, "
+            "dl and the derived (N, avgdl, idf) all shrink with the "
+            "retained corpus; top-k == rebuild over retained docs.",
         ),
     }

@@ -1147,7 +1147,9 @@ def setjoin_index_compact(spark, path: str) -> None:
 
     from .sketches import _swap_dir_in
 
-    sh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
+    sh = _setjoin_retained(
+        spark, path, spark.read.parquet(os.path.join(path, "shingles"))
+    ).distinct()
     sh = sh.localCheckpoint(eager=True)
     order = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     order = order.localCheckpoint(eager=True)
@@ -1204,8 +1206,12 @@ def setjoin_index_pairs(spark, path: str):
     text is never rescanned."""
     import os
 
-    sh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
-    pref = spark.read.parquet(os.path.join(path, "prefix")).distinct()
+    sh = _setjoin_retained(
+        spark, path, spark.read.parquet(os.path.join(path, "shingles"))
+    ).distinct()
+    pref = _setjoin_retained(
+        spark, path, spark.read.parquet(os.path.join(path, "prefix"))
+    ).distinct()
     return _setjoin_pairs_from(spark, sh, pref)
 
 
@@ -1242,8 +1248,12 @@ def setjoin_index_probe(spark, path: str, table_expr: str, sh=None, exclude=None
     bsh = sh if sh is not None else _shingle_rel(spark, table_expr)
     order = spark.read.parquet(os.path.join(path, "order"))
     bpref = _prefix_under_order(bsh, order)
-    spref = spark.read.parquet(os.path.join(path, "prefix")).distinct()
-    ssh = spark.read.parquet(os.path.join(path, "shingles")).distinct()
+    spref = _setjoin_retained(
+        spark, path, spark.read.parquet(os.path.join(path, "prefix"))
+    ).distinct()
+    ssh = _setjoin_retained(
+        spark, path, spark.read.parquet(os.path.join(path, "shingles"))
+    ).distinct()
     if exclude is not None:
         exc = exclude.select("doc_id").distinct()
         spref = spref.join(F.broadcast(exc), "doc_id", "left_anti")
@@ -1294,6 +1304,41 @@ FROM inter WHERE 3 * i >= n_c + n_b
 _SETJOIN_TOMBSTONE_DIR = ".tombstones"
 
 
+_SETJOIN_RETENTION_FILE = ".retention"
+
+
+def setjoin_index_expire(path: str, before_doc_id: int) -> None:
+    """Retention cutoff for the set-similarity index — drop every doc
+    with ``doc_id < before_doc_id`` (ids are ingestion-ordered, so an
+    id cutoff IS the time cutoff), METADATA-ONLY: writes a monotone
+    store-root marker, no scan, no partition rewrite — O(1) however
+    large the store, exactly like the day-partitioned stores' directory
+    expiry (``rollup_expire``).  Every read (pairs / scrubbed pairs /
+    probe / compact) filters ``doc_id >= cutoff`` BEFORE candidate
+    generation — parquet min/max pruning skips whole expired row groups
+    for free — so expired docs generate no candidates and the result
+    equals the rebuild over the retained docs (pinned in
+    tests/test_round11.py).  Physical reclaim rides the next COMPACT
+    (which re-freezes over survivors only); the marker persists so a
+    late append of pre-cutoff docs stays excluded — retention is a
+    policy, not a one-shot delete."""
+    from .mg_store import _write_int_marker_monotone
+
+    _write_int_marker_monotone(path, _SETJOIN_RETENTION_FILE, before_doc_id)
+
+
+def _setjoin_retained(spark, path: str, df):
+    """Apply the retention cutoff (if any) to a store-side relation."""
+    from .mg_store import _read_int_marker
+
+    cut = _read_int_marker(path, _SETJOIN_RETENTION_FILE)
+    if cut is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("doc_id") >= cut)
+    return df
+
+
 def setjoin_index_delete(ids, path: str) -> None:
     """Tombstone every ``doc_id`` in ``ids``: a side-table append — no
     store partition is rewritten, and the deletion applies retroactively
@@ -1335,12 +1380,12 @@ def setjoin_index_pairs_scrubbed(spark, path: str):
     # once instead of re-shuffling it per join side
     tomb = _setjoin_tombstones(spark, path).localCheckpoint(eager=True)
     sh = (
-        spark.read.parquet(os.path.join(path, "shingles"))
+        _setjoin_retained(spark, path, spark.read.parquet(os.path.join(path, "shingles")))
         .distinct()
         .join(F.broadcast(tomb), "doc_id", "left_anti")
     )
     pref = (
-        spark.read.parquet(os.path.join(path, "prefix"))
+        _setjoin_retained(spark, path, spark.read.parquet(os.path.join(path, "prefix")))
         .distinct()
         .join(F.broadcast(tomb), "doc_id", "left_anti")
     )
@@ -1368,7 +1413,7 @@ def setjoin_index_purge(spark, path: str) -> int:
     n = tomb.count()
     for sub in ("shingles", "prefix"):
         kept = (
-            spark.read.parquet(os.path.join(path, sub))
+            _setjoin_retained(spark, path, spark.read.parquet(os.path.join(path, sub)))
             .distinct()
             .join(F.broadcast(tomb), "doc_id", "left_anti")
             .localCheckpoint(eager=True)  # fully read before the swap

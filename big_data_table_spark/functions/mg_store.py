@@ -72,31 +72,44 @@ def _check_append_chunk(chunk: int, store_path: str | None = None) -> None:
 _COMPACT_WATERMARK_FILE = ".compact_watermark"
 
 
-def _read_compact_watermark(store_path: str) -> int | None:
-    """The max chunk id a compaction has merged for this store, or None
-    when the store was never compacted (file lives at the store ROOT —
-    the rename-aside swap replaces sub-stores wholesale, so state that
-    must survive compaction cannot live inside one)."""
+def _read_int_marker(store_path: str, name: str) -> int | None:
+    """A store-root integer side marker (compaction watermark,
+    retention cutoff), or None when never written.  Markers live at
+    the store ROOT — the rename-aside swap replaces sub-stores
+    wholesale, so state that must survive compaction cannot live
+    inside one."""
     import os
 
-    f = os.path.join(store_path, _COMPACT_WATERMARK_FILE)
+    f = os.path.join(store_path, name)
     if os.path.isfile(f):
         with open(f) as fh:
             return int(fh.read().strip())
     return None
 
 
+def _write_int_marker_monotone(store_path: str, name: str, v: int) -> None:
+    """Persist an integer marker, MONOTONE non-decreasing — a replayed
+    or stale writer must never lower an established guard."""
+    import os
+
+    prev = _read_int_marker(store_path, name)
+    if prev is not None and prev >= int(v):
+        return
+    os.makedirs(store_path, exist_ok=True)
+    with open(os.path.join(store_path, name), "w") as fh:
+        fh.write(str(int(v)))
+
+
+def _read_compact_watermark(store_path: str) -> int | None:
+    """The max chunk id a compaction has merged for this store, or None
+    when the store was never compacted."""
+    return _read_int_marker(store_path, _COMPACT_WATERMARK_FILE)
+
+
 def _write_compact_watermark(store_path: str, max_chunk: int) -> None:
     """Persist the compaction watermark, MONOTONE — a replayed compact
     that saw fewer chunks must never lower the guard."""
-    import os
-
-    prev = _read_compact_watermark(store_path)
-    if prev is not None and prev >= int(max_chunk):
-        return
-    os.makedirs(store_path, exist_ok=True)
-    with open(os.path.join(store_path, _COMPACT_WATERMARK_FILE), "w") as fh:
-        fh.write(str(int(max_chunk)))
+    _write_int_marker_monotone(store_path, _COMPACT_WATERMARK_FILE, max_chunk)
 
 
 def mg_chunk_summary(

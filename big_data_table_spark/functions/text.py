@@ -370,7 +370,7 @@ def bm25_index_compact(spark, path: str) -> int:
         _write_compact_watermark(path, merged_max)
     for sub, keys, val in (("postings", ["doc_id", "tk"], "tf"), ("dl", ["doc_id"], "dl")):
         merged = (
-            spark.read.parquet(os.path.join(path, sub))
+            _bm25_retained(path, spark.read.parquet(os.path.join(path, sub)))
             .groupBy(*keys)
             .agg(F.sum(val).cast("long").alias(val))
             .coalesce(1)
@@ -383,16 +383,51 @@ def bm25_index_compact(spark, path: str) -> int:
     return 2
 
 
+_BM25_RETENTION_FILE = ".retention"
+
+
+def bm25_index_expire(path: str, before_doc_id: int) -> None:
+    """Retention cutoff for the BM25 index — drop every doc with
+    ``doc_id < before_doc_id`` (ids are ingestion-ordered, so an id
+    cutoff IS the time cutoff), METADATA-ONLY: a monotone store-root
+    marker, no scan, no partition rewrite — O(1) however large the
+    store (the day-partitioned stores' ``rollup_expire`` discipline,
+    carried to a store whose partitions are chunks, not days).  Every
+    read (tf, dl, and therefore N/avgdl/idf — the corpus statistics
+    honestly shrink with the corpus) filters ``doc_id >= cutoff``;
+    parquet min/max pruning skips whole expired row groups for free.
+    The result equals the rebuild over the retained docs (pinned in
+    tests/test_round11.py).  Physical reclaim rides the next COMPACT;
+    the marker persists so a late append of pre-cutoff docs stays
+    excluded — retention is a policy, not a one-shot delete."""
+    from .mg_store import _write_int_marker_monotone
+
+    _write_int_marker_monotone(path, _BM25_RETENTION_FILE, before_doc_id)
+
+
+def _bm25_retained(path: str, df):
+    """Apply the retention cutoff (if any) to a store-side relation."""
+    from pyspark.sql import functions as F
+
+    from .mg_store import _read_int_marker
+
+    cut = _read_int_marker(path, _BM25_RETENTION_FILE)
+    if cut is not None:
+        df = df.filter(F.col("doc_id") >= cut)
+    return df
+
+
 def _bm25_store_tf(spark, path: str):
     """The term-filtered additive tf read: postings scan PRUNED to the
     query terms (parquet predicate pushdown — the posting-list lookup),
-    SUM-merged across chunks."""
+    SUM-merged across chunks; retention-expired docs filtered before
+    the merge."""
     import os
 
     from pyspark.sql import functions as F
 
     return (
-        spark.read.parquet(os.path.join(path, "postings"))
+        _bm25_retained(path, spark.read.parquet(os.path.join(path, "postings")))
         .filter(F.col("tk").isin(list(_BM25_QUERY_TERMS)))
         .groupBy("doc_id", "tk")
         .agg(F.sum("tf").cast("long").alias("tf"))
@@ -418,7 +453,7 @@ def bm25_index_topk(spark, path: str, k: int = 20):
     # tests/test_round10.py asserts the scan shape on the lazy form
     tf = _bm25_store_tf(spark, path).localCheckpoint(eager=True)
     dl = (
-        spark.read.parquet(os.path.join(path, "dl"))
+        _bm25_retained(path, spark.read.parquet(os.path.join(path, "dl")))
         .groupBy("doc_id")
         .agg(F.sum("dl").cast("long").alias("dl"))
         .localCheckpoint(eager=True)  # feeds the corpus scalar AND scoring

@@ -748,6 +748,12 @@ BUDGET = {
     "semantic_requantize_recall": 11,  # store-rows distinct + same-cell
                                  # pair join + brute pair join over the
                                  # CHECKPOINTED v + 1-row scalar aggs
+    "setjoin_expire_retention": 3,  # the plain 3-exchange pairs read;
+                                 # the retention filter is a pushed
+                                 # scan predicate, zero new exchanges
+    "bm25_expire_retention": 2,  # the plain store top-k read; the
+                                 # retention filter is a pushed scan
+                                 # predicate, zero new exchanges
 }
 
 

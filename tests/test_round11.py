@@ -215,6 +215,107 @@ def test_bm25_compaction_watermark_guard(spark, sf_dir, tmp_path):
     assert _read_compact_watermark(path) == 1
 
 
+def test_setjoin_expire_laws(spark, sf_dir, tmp_path):
+    """Retention laws for the set-similarity index: (1) expiry is
+    metadata-only — store files untouched, results re-derive; (2) the
+    marker is MONOTONE (a lower cutoff is a no-op); (3) COMPACT after
+    expiry is result-neutral AND physically reclaims the expired rows;
+    (4) retention composes with tombstones (the scrubbed read honours
+    both)."""
+    import os
+
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "sjexp")
+    DD.setjoin_index_build(spark, path, "documents")
+
+    def rows(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["i"], r["n_a"], r["n_b"])
+            for r in df.collect()
+        )
+
+    plain = rows(DD.setjoin_index_pairs(spark, path))
+    cut = spark.sql(
+        "SELECT CAST(FLOOR((MAX(doc_id) + 1) / 4.0) AS BIGINT) AS c "
+        "FROM documents"
+    ).collect()[0]["c"]
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(os.path.join(path, "shingles")))
+    DD.setjoin_index_expire(path, cut)
+    # (1) metadata-only: no store file was rewritten
+    assert (
+        sum(len(fs) for _, _, fs in os.walk(os.path.join(path, "shingles")))
+        == n_files_before
+    )
+    expired = rows(DD.setjoin_index_pairs(spark, path))
+    assert expired != plain
+    assert all(a >= cut and b >= cut for a, b, *_ in expired)
+    # (2) monotone: a lower cutoff cannot resurrect expired docs
+    DD.setjoin_index_expire(path, cut // 2)
+    assert rows(DD.setjoin_index_pairs(spark, path)) == expired
+    # (3) compact physically reclaims, result-neutral
+    DD.setjoin_index_compact(spark, path)
+    assert rows(DD.setjoin_index_pairs(spark, path)) == expired
+    left = spark.read.parquet(os.path.join(path, "shingles")).where(
+        f"doc_id < {cut}"
+    )
+    assert left.count() == 0
+    # (4) composes with tombstones
+    doomed = spark.sql(f"SELECT doc_id FROM documents WHERE doc_id % 5 = 1")
+    DD.setjoin_index_delete(doomed, path)
+    scrubbed = rows(DD.setjoin_index_pairs_scrubbed(spark, path))
+    assert all(
+        a >= cut and b >= cut and a % 5 != 1 and b % 5 != 1
+        for a, b, *_ in scrubbed
+    )
+
+
+def test_bm25_expire_laws(spark, sf_dir, tmp_path):
+    """Retention laws for the BM25 index: (1) expiry is metadata-only
+    and the whole statistic chain (tf, dl, N, avgdl, idf) re-derives
+    over the retained corpus; (2) the marker is monotone; (3) COMPACT
+    after expiry is result-neutral and physically reclaims."""
+    import os
+
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import text as TX
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "bm25exp")
+    TX.bm25_index_build(spark, path, "documents")
+
+    def rows():
+        return [
+            (r["doc_id"], r["score"])
+            for r in TX.bm25_index_topk(spark, path).collect()
+        ]
+
+    plain = rows()
+    cut = spark.sql(
+        "SELECT CAST(FLOOR((MAX(doc_id) + 1) / 4.0) AS BIGINT) AS c "
+        "FROM documents"
+    ).collect()[0]["c"]
+    TX.bm25_index_expire(path, cut)
+    expired = rows()
+    assert expired != plain
+    assert all(d >= cut for d, _ in expired)
+    # (2) monotone no-op
+    TX.bm25_index_expire(path, cut // 2)
+    assert rows() == expired
+    # (3) compact: result-neutral + physical reclaim
+    assert TX.bm25_index_compact(spark, path) == 2
+    assert rows() == expired
+    for sub in ("postings", "dl"):
+        assert (
+            spark.read.parquet(os.path.join(path, sub))
+            .where(f"doc_id < {cut}")
+            .count()
+            == 0
+        )
+
+
 def test_lsh_index_probe_exclude_is_replay_idempotent(spark, sf_dir, tmp_path):
     """The crawl-loop replay contract (r10 ADVICE): if a trigger's
     APPEND committed but the streaming checkpoint did not, the replayed
