@@ -108,6 +108,10 @@ TIER2 = [
     # get baselines from their birth round
     ("simhash_index_probe", "simhash_store"),
     ("stream_semantic_crawl", "semantic_store"),
+    # r11: the semantic re-quantize compact (build / frozen append /
+    # re-freeze over the whole store / recall report) gets a baseline
+    # from its birth round
+    ("semantic_requantize_recall", "requant_store"),
 ]
 
 

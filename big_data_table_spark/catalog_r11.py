@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog_base import register_views
-from .functions.portable import DUCK, SPARK
+from .functions.portable import DUCK
 
 
 # ------------------------------------------------------------------ #
@@ -337,6 +337,122 @@ def bm25_expire_retention_oracle() -> str:
     )
 
 
+def lsh_expire_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over the persisted MinHash-LSH dedup index
+    (functions/dedup.py:lsh_index_expire) — the verb the r11
+    ownership-row layout unlocked alongside deletion, completing the
+    delete × expire lifecycle matrix across every index family: build
+    on the corpus (doc_id % 4 <> 3), EXPIRE the oldest quartile
+    (metadata-only monotone marker; issued twice + once lower — all
+    no-ops), then adjudicate the standard batch (+ recrawls).  Store
+    reads filter ``doc_id >= cutoff`` BEFORE the key projection, so a
+    digest/bucket key survives iff some RETAINED doc owns it; recrawls
+    of expired sources correctly fall through the exact arm to near-dup
+    adjudication — parity with the self-contained formulation under the
+    retention corpus predicate proves both regimes."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import dedup as DD
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _lxr_corpus AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _lxr_batch AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 7 = 0"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_lsh_exp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    DD.lsh_index_build(spark, path, "_lxr_corpus")
+    cut = spark.sql(_RETENTION_CUTOFF_SQL).collect()[0]["cut"]
+    for _ in range(2):  # second call = the idempotence demo
+        DD.lsh_index_expire(path, cut)
+    DD.lsh_index_expire(path, cut // 2)  # lower cutoff: monotone no-op
+    return DD.lsh_index_probe(spark, path, "_lxr_batch")
+
+
+def lsh_expire_retention_oracle() -> str:
+    """The self-contained adjudication with the CORPUS side restricted
+    to retained docs — the same shared text as the delete-compliance
+    oracle, retention predicate instead of tombstone predicate."""
+    from .functions import dedup as DD
+
+    return DD.incremental_dedup_sql(
+        DUCK, corpus_pred=f"doc_id >= ({_RETENTION_CUTOFF_SQL})"
+    )
+
+
+def semantic_expire_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over the persisted semantic index
+    (functions/similarity.py:semantic_index_expire): build on the
+    ``vec_id % 3 = 0`` third (freezing the quantizer), append the
+    ``% 3 = 1`` third, EXPIRE the oldest quartile of vec_ids
+    (metadata-only monotone marker; twice + lower — no-ops), then
+    probe the ``% 3 = 2`` third.  The store read filters
+    ``vec_id >= cutoff`` BEFORE the cell join; the FROZEN quantizer is
+    untouched — expired CENTROID vectors still define their cells,
+    exactly as a trained k-means centroid is not a corpus row (the
+    oracle keeps the same frozen-centroid reconstruction and filters
+    only the indexed pair side).  Physical reclaim rides the next
+    re-quantize, which rewrites rows/ over survivors anyway."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import similarity as S
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_sem_exp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    S.semantic_index_build(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) _b0"
+    )
+    S.semantic_index_append(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 1) _b1"
+    )
+    cut = spark.sql(
+        "SELECT CAST(FLOOR((MAX(vec_id) + 1) / 4.0) AS BIGINT) AS cut "
+        "FROM embeddings"
+    ).collect()[0]["cut"]
+    for _ in range(2):  # second call = the idempotence demo
+        S.semantic_index_expire(path, cut)
+    S.semantic_index_expire(path, cut // 2)  # lower cutoff: monotone no-op
+    return S.semantic_index_probe(
+        spark, path, "(SELECT * FROM embeddings WHERE vec_id % 3 = 2) _p"
+    )
+
+
+def semantic_expire_retention_oracle() -> str:
+    """Same-cell cross pairs whose INDEXED side survives the retention
+    cutoff (the probe side is the arriving batch) — ONE copy of the
+    shared brute formulation + the retention predicate, the
+    delete-compliance oracle's exact shape."""
+    from .catalog_r10 import _semantic_brute_oracle
+
+    cut = (
+        "(SELECT CAST(FLOOR((MAX(vec_id) + 1) / 4.0) AS BIGINT) "
+        "FROM embeddings)"
+    )
+    return _semantic_brute_oracle(
+        "(a.vec_id % 3 = 2) <> (b.vec_id % 3 = 2) AND "
+        f"(CASE WHEN a.vec_id % 3 = 2 THEN b.vec_id ELSE a.vec_id END) >= {cut}"
+    )
+
+
 def r11_specs():
     """Round-11 QuerySpec registrations, merged into the catalog by
     catalog.py (the chunk convention)."""
@@ -374,5 +490,20 @@ def r11_specs():
             doc="Metadata-only retention cutoff over the BM25 index: tf, "
             "dl and the derived (N, avgdl, idf) all shrink with the "
             "retained corpus; top-k == rebuild over retained docs.",
+        ),
+        "lsh_expire_retention": QuerySpec(
+            lsh_expire_retention_q,
+            lsh_expire_retention_oracle(),
+            doc="Metadata-only retention cutoff over the LSH dedup index "
+            "(ownership rows): a key survives iff a retained doc owns "
+            "it; adjudication == the self-contained formulation under "
+            "the retention corpus predicate.",
+        ),
+        "semantic_expire_retention": QuerySpec(
+            semantic_expire_retention_q,
+            semantic_expire_retention_oracle(),
+            doc="Metadata-only retention cutoff over the semantic index: "
+            "store read filters vec_id >= cutoff before the cell join; "
+            "frozen quantizer untouched (cell geometry is id-free).",
         ),
     }

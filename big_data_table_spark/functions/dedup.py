@@ -539,7 +539,7 @@ def lsh_index_compact(spark, path: str) -> None:
 
     for sub, part in (("digests", None), ("bands", "band")):
         cur = os.path.join(path, sub)
-        df = spark.read.parquet(cur).distinct()
+        df = _lsh_retained(spark, path, spark.read.parquet(cur)).distinct()
         tmp = os.path.join(path, f".{sub}.compact.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         if part:
@@ -580,7 +580,9 @@ def lsh_index_probe(spark, path: str, src: str, exclude=None):
     batch_bands = spark.sql(minhash_bands_sql(SPARK, src=src))
 
     def _scrub(df):
-        out = df.join(F.broadcast(_lsh_tombstones(spark, path)), "doc_id", "left_anti")
+        out = _lsh_retained(spark, path, df).join(
+            F.broadcast(_lsh_tombstones(spark, path)), "doc_id", "left_anti"
+        )
         if exclude is not None:
             out = out.join(
                 F.broadcast(exclude.select("doc_id").distinct()),
@@ -626,6 +628,35 @@ def lsh_index_probe(spark, path: str, src: str, exclude=None):
 
 
 _LSH_TOMBSTONE_DIR = ".tombstones"
+_LSH_RETENTION_FILE = ".retention"
+
+
+def lsh_index_expire(path: str, before_doc_id: int) -> None:
+    """Retention cutoff for the LSH index — drop every doc with
+    ``doc_id < before_doc_id`` from adjudication, METADATA-ONLY (a
+    monotone store-root marker; no scan, no partition rewrite — the
+    same O(1) verb as ``setjoin_index_expire``/``bm25_index_expire``,
+    possible here only since the r11 ownership-row layout).  Probe
+    store reads filter ``doc_id >= cutoff`` BEFORE the key projection,
+    so a key survives iff some RETAINED doc owns it — the rebuild-over-
+    retained semantics; physical reclaim rides ``lsh_index_purge`` or
+    the next compact.  With delete + expire, every text/embedding index
+    family now carries the full lifecycle verb set."""
+    from .mg_store import _write_int_marker_monotone
+
+    _write_int_marker_monotone(path, _LSH_RETENTION_FILE, before_doc_id)
+
+
+def _lsh_retained(spark, path: str, df):
+    """Apply the retention cutoff (if any) to a store-side relation."""
+    from .mg_store import _read_int_marker
+
+    cut = _read_int_marker(path, _LSH_RETENTION_FILE)
+    if cut is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("doc_id") >= cut)
+    return df
 
 
 def _lsh_tombstones(spark, path: str):
@@ -679,7 +710,7 @@ def lsh_index_purge(spark, path: str) -> int:
     for sub, part in (("digests", None), ("bands", "band")):
         cur = os.path.join(path, sub)
         kept = (
-            spark.read.parquet(cur)
+            _lsh_retained(spark, path, spark.read.parquet(cur))
             .distinct()
             .join(F.broadcast(tomb), "doc_id", "left_anti")
         )

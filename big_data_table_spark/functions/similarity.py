@@ -538,6 +538,33 @@ def semantic_index_append(spark, path: str, table_expr: str, assigned=None) -> N
 
 
 _SEM_TOMBSTONE_DIR = ".tombstones"
+_SEM_RETENTION_FILE = ".retention"
+
+
+def semantic_index_expire(path: str, before_vec_id: int) -> None:
+    """Retention cutoff for the semantic index — drop every vector with
+    ``vec_id < before_vec_id`` from adjudication, METADATA-ONLY (a
+    monotone store-root marker, the same O(1) verb as the other index
+    families').  The scrubbed store read filters ``vec_id >= cutoff``
+    BEFORE the cell join; the frozen quantizer is untouched (cell
+    geometry is id-free — expired CENTROID vectors still define their
+    cells, exactly as a trained k-means centroid is not a corpus row).
+    Physical reclaim rides ``semantic_index_purge`` behaviour inside
+    the next ``semantic_index_requantize`` (which rewrites rows/ over
+    survivors anyway)."""
+    from .mg_store import _write_int_marker_monotone
+
+    _write_int_marker_monotone(path, _SEM_RETENTION_FILE, before_vec_id)
+
+
+def _sem_retained(path: str, df):
+    """Apply the retention cutoff (if any) to a store-side relation."""
+    from .mg_store import _read_int_marker
+
+    cut = _read_int_marker(path, _SEM_RETENTION_FILE)
+    if cut is not None:
+        df = df.filter(F.col("vec_id") >= cut)
+    return df
 
 
 def semantic_index_delete(ids, path: str) -> None:
@@ -560,7 +587,9 @@ def _semantic_store_rows(spark, path: str):
     survivors (pinned in tests/test_round10.py)."""
     import os
 
-    rows = spark.read.parquet(os.path.join(path, "rows")).distinct()
+    rows = _sem_retained(
+        path, spark.read.parquet(os.path.join(path, "rows"))
+    ).distinct()
     tomb = os.path.join(path, _SEM_TOMBSTONE_DIR)
     if os.path.isdir(tomb) and any(
         f.endswith(".parquet") for f in os.listdir(tomb)

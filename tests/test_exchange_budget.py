@@ -754,6 +754,12 @@ BUDGET = {
     "bm25_expire_retention": 2,  # the plain store top-k read; the
                                  # retention filter is a pushed scan
                                  # predicate, zero new exchanges
+    "lsh_expire_retention": 7,   # the plain probe shape (batch sig agg
+                                 # + band distinct + key projections +
+                                 # decision joins); retention is a
+                                 # pushed scan predicate
+    "semantic_expire_retention": 1,  # batch assignment window; the
+                                 # same-cell join sides broadcast-scale
 }
 
 

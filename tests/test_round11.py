@@ -316,6 +316,95 @@ def test_bm25_expire_laws(spark, sf_dir, tmp_path):
         )
 
 
+def test_lsh_and_semantic_expire_laws(spark, sf_dir, tmp_path):
+    """Retention laws for the LSH and semantic indexes (the r11
+    ownership-row layout made both possible): (1) the marker is
+    monotone; (2) LSH compact after expiry is result-neutral and
+    physically reclaims expired ownership rows; (3) semantic
+    re-quantize after expiry rebuilds rows/ over the retained vectors
+    only; (4) expiry composes with tombstones."""
+    import os
+
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import dedup as DD
+    from big_data_table_spark.functions import similarity as S
+
+    register_views(spark, sf_dir)
+    # --- LSH arm ---
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _xl_corpus AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _xl_batch AS "
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3"
+    )
+    lp = str(tmp_path / "lshx")
+    DD.lsh_index_build(spark, lp, "_xl_corpus")
+
+    def ldec():
+        return sorted(
+            (r["doc_id"], r["decision"])
+            for r in DD.lsh_index_probe(spark, lp, "_xl_batch").collect()
+        )
+
+    plain = ldec()
+    cut = spark.sql(
+        "SELECT CAST(FLOOR((MAX(doc_id) + 1) / 4.0) AS BIGINT) AS c "
+        "FROM documents"
+    ).collect()[0]["c"]
+    DD.lsh_index_expire(lp, cut)
+    expired = ldec()
+    assert expired != plain
+    DD.lsh_index_expire(lp, cut // 2)  # (1) monotone no-op
+    assert ldec() == expired
+    DD.lsh_index_compact(spark, lp)  # (2) result-neutral + reclaim
+    assert ldec() == expired
+    assert (
+        spark.read.parquet(os.path.join(lp, "digests"))
+        .where(f"doc_id < {cut}")
+        .count()
+        == 0
+    )
+    # (4) composes with tombstones: retention + delete together equal
+    # the rebuild over docs that are retained AND not deleted
+    doomed = spark.sql(
+        "SELECT doc_id FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 5 = 1"
+    )
+    DD.lsh_index_delete(doomed, lp)
+    composed = ldec()
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _xl_corpus2 AS "
+        f"SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3 "
+        f"AND doc_id >= {cut} AND doc_id % 5 <> 1"
+    )
+    lp2 = str(tmp_path / "lshx2")
+    DD.lsh_index_build(spark, lp2, "_xl_corpus2")
+    rebuilt = sorted(
+        (r["doc_id"], r["decision"])
+        for r in DD.lsh_index_probe(spark, lp2, "_xl_batch").collect()
+    )
+    assert composed == rebuilt
+    # --- semantic arm ---
+    sp = str(tmp_path / "semx")
+    S.semantic_index_build(
+        spark, sp, "(SELECT * FROM embeddings WHERE vec_id % 3 = 0) _b0"
+    )
+    S.semantic_index_append(
+        spark, sp, "(SELECT * FROM embeddings WHERE vec_id % 3 = 1) _b1"
+    )
+    vcut = spark.sql(
+        "SELECT CAST(FLOOR((MAX(vec_id) + 1) / 4.0) AS BIGINT) AS c "
+        "FROM embeddings"
+    ).collect()[0]["c"]
+    S.semantic_index_expire(sp, vcut)
+    # (3) re-quantize rewrites rows/ over retained vectors only
+    S.semantic_index_requantize(spark, sp, n_centroids=8)
+    kept = spark.read.parquet(os.path.join(sp, "rows"))
+    assert kept.where(f"vec_id < {vcut}").count() == 0
+    assert kept.count() > 0
+
+
 def test_lsh_index_probe_exclude_is_replay_idempotent(spark, sf_dir, tmp_path):
     """The crawl-loop replay contract (r10 ADVICE): if a trigger's
     APPEND committed but the streaming checkpoint did not, the replayed
