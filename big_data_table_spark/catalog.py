@@ -2357,9 +2357,8 @@ CATALOG = {
 # round-11 registrations (builders AND specs in catalog_r11.py — the
 # chunk convention)
 # ------------------------------------------------------------------ #
-CATALOG.update(
-    __import__("big_data_table_spark.catalog_r11", fromlist=["x"]).r11_specs()
-)
+_r11 = __import__("big_data_table_spark.catalog_r11", fromlist=["x"]).r11_specs()
+CATALOG.update(_r11)
 
 # ------------------------------------------------------------------ #
 # driver-window ordering (round 11) — VERDICT r10 #1: the 49 entries
@@ -2370,10 +2369,7 @@ CATALOG.update(
 # since; the r8 refresh precedent).  New r11 entries head _R11_NEXT.
 # ------------------------------------------------------------------ #
 _R11_FRONT = _R10_NEXT + ["range_join_prices"]
-_R11_NEW: list[str] = []  # grows as r11 entries land (catalog_r11.r11_specs)
-_R11_NEW += list(
-    __import__("big_data_table_spark.catalog_r11", fromlist=["x"]).r11_specs()
-)
+_R11_NEW = list(_r11)
 _R11_NEXT = list(_R11_NEW)
 
 assert len(_R11_FRONT) == len(set(_R11_FRONT)) == 50, len(_R11_FRONT)
@@ -2382,13 +2378,12 @@ assert set(_R11_FRONT + _R11_NEXT) <= set(CATALOG), sorted(
 )
 assert not set(_R11_FRONT) & set(_R11_NEXT)
 
+# _head11 enumerates every catalog key (window head + the rest), so
+# rebuilding from it alone is complete
 _head11 = _R11_FRONT + _R11_NEXT + [
     n for n in CATALOG if n not in set(_R11_FRONT + _R11_NEXT)
 ]
-CATALOG = {
-    **{name: CATALOG[name] for name in _head11},
-    **{name: spec for name, spec in CATALOG.items() if name not in set(_head11)},
-}
+CATALOG = {name: CATALOG[name] for name in _head11}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

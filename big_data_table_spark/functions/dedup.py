@@ -425,13 +425,12 @@ def incremental_dedup_sql(dialect: str, corpus_pred: str = "TRUE") -> str:
     included.  (With the default TRUE the recrawl band rows are
     unreachable behind the exact short-circuit, so the leaner
     documents-only band table keeps the legacy entries' plans.)"""
-    bands_src = (
-        "documents"
-        if corpus_pred == "TRUE"
-        else "(SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
-        "WHERE doc_id % 7 = 0) _aug"
-    )
+    # under a predicate the band table ranges over the adjacent aug CTE
+    # (ONE copy of the recrawl rule; the nested WITH sees the outer CTE
+    # — the predicate branch runs only in the DuckDB oracle arm).  The
+    # default-TRUE branch keeps the leaner documents-only band table
+    # for the legacy dual-dialect entries' plans.
+    bands_src = "documents" if corpus_pred == "TRUE" else "aug"
     return (
         "WITH aug AS (SELECT doc_id, text, doc_id % 4 = 3 AS is_new "
         "  FROM documents "
@@ -490,9 +489,14 @@ def lsh_index_build(spark, path: str, src: str) -> None:
     rows can express that).  Probes project DISTINCT keys, so probe
     output is bit-identical to the keys-only layout; the store grows
     only where docs SHARE keys — exactly the duplicate mass the index
-    exists to find."""
+    exists to find.  The build clears the whole store dir first: a
+    store is BORN fresh, so stale side state from a prior life
+    (tombstones, a retention marker) must not leak into it (r11
+    review)."""
     import os
+    import shutil
 
+    shutil.rmtree(path, ignore_errors=True)
     digests = spark.sql(f"SELECT DISTINCT md5(text) AS h, doc_id FROM {src}")
     bands = spark.sql(minhash_bands_sql(SPARK, src=src)).select(
         "band", "sig", "doc_id"
@@ -1131,11 +1135,15 @@ def _prefix_under_order(sh, order):
 def setjoin_index_build(spark, path: str, table_expr: str) -> None:
     """Materialize the index for ``table_expr``: shingle sets, the
     frozen rarity order (df at build time), and every doc's prefix
-    under it."""
+    under it.  Clears the whole store dir first — a store is BORN
+    fresh, so stale side state from a prior life (tombstones, a
+    retention marker) must not leak into it (r11 review)."""
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
+    shutil.rmtree(path, ignore_errors=True)
     sh = _shingle_rel(spark, table_expr)
     order = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     order.write.mode("overwrite").parquet(os.path.join(path, "order"))

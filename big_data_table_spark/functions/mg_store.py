@@ -42,7 +42,9 @@ merge two different ``thr`` prune lines into one summary and corrupt
 the [lower, upper] bound algebra."""
 
 
-def _check_append_chunk(chunk: int, store_path: str | None = None) -> None:
+def _check_append_chunk(
+    chunk: int, store_path: str | None = None, scope: str | None = None
+) -> None:
     """Reject chunk ids the additive merge class cannot absorb: negative
     ids are the compactor's (an append reusing the compact id would
     dynamic-overwrite merged counters — a silent DELETE), and when
@@ -50,7 +52,13 @@ def _check_append_chunk(chunk: int, store_path: str | None = None) -> None:
     are rejected too (r10 ADVICE: after compaction collapses chunks into
     the reserved id, a pre-compaction chunk id names a now-EMPTY
     partition while the merged copy of its counts lives on — re-using
-    it would silently double-count)."""
+    it would silently double-count).  ``scope`` selects a per-day
+    watermark for the day-partitioned stores (chunk ids are unique PER
+    DAY there; a global mark would wrongly block other days).  Raising
+    (not skipping) is deliberate: a silent no-op would DROP genuinely
+    new data appended under a stale id, and compaction is a documented
+    single-writer maintenance verb run with writers quiesced — so a
+    hit here is a real id-reuse bug, not a racing replay."""
     if int(chunk) < 0:
         raise ValueError(
             f"chunk id {chunk} is reserved: negative ids belong to the "
@@ -58,7 +66,11 @@ def _check_append_chunk(chunk: int, store_path: str | None = None) -> None:
             "non-negative and unique per day"
         )
     if store_path is not None:
-        wm = _read_compact_watermark(store_path)
+        wm = (
+            _max_compact_watermark(store_path)
+            if scope == "*"
+            else _read_compact_watermark(store_path, scope=scope)
+        )
         if wm is not None and int(chunk) <= wm:
             raise ValueError(
                 f"chunk id {chunk} is at or below the compaction "
@@ -89,27 +101,72 @@ def _read_int_marker(store_path: str, name: str) -> int | None:
 
 def _write_int_marker_monotone(store_path: str, name: str, v: int) -> None:
     """Persist an integer marker, MONOTONE non-decreasing — a replayed
-    or stale writer must never lower an established guard."""
+    or stale writer must never lower an established guard.  Written via
+    dot-tmp + atomic rename (the store swap discipline): an in-place
+    truncate-then-write would expose concurrent readers to an empty or
+    half-flushed value, and a crash in that window would brick the
+    store behind int('')."""
     import os
 
     prev = _read_int_marker(store_path, name)
     if prev is not None and prev >= int(v):
         return
     os.makedirs(store_path, exist_ok=True)
-    with open(os.path.join(store_path, name), "w") as fh:
+    tmp = os.path.join(store_path, f".{name}.tmp")
+    with open(tmp, "w") as fh:
         fh.write(str(int(v)))
+    os.replace(tmp, os.path.join(store_path, name))
 
 
-def _read_compact_watermark(store_path: str) -> int | None:
-    """The max chunk id a compaction has merged for this store, or None
-    when the store was never compacted."""
-    return _read_int_marker(store_path, _COMPACT_WATERMARK_FILE)
+def _read_compact_watermark(store_path: str, scope: str | None = None) -> int | None:
+    """The max chunk id a compaction has merged for this store (or for
+    one ``scope`` — a day key in the day-partitioned stores), or None
+    when never compacted."""
+    name = _COMPACT_WATERMARK_FILE if scope is None else f"{_COMPACT_WATERMARK_FILE}.{scope}"
+    return _read_int_marker(store_path, name)
 
 
-def _write_compact_watermark(store_path: str, max_chunk: int) -> None:
+def _write_compact_watermark(
+    store_path: str, max_chunk: int, scope: str | None = None
+) -> None:
     """Persist the compaction watermark, MONOTONE — a replayed compact
     that saw fewer chunks must never lower the guard."""
-    _write_int_marker_monotone(store_path, _COMPACT_WATERMARK_FILE, max_chunk)
+    name = _COMPACT_WATERMARK_FILE if scope is None else f"{_COMPACT_WATERMARK_FILE}.{scope}"
+    _write_int_marker_monotone(store_path, name, max_chunk)
+
+
+def _max_compact_watermark(store_path: str) -> int | None:
+    """The max watermark across every scope (day) plus the global one —
+    the guard a MULTI-day batch appender checks: its batch id must
+    clear every day it might touch."""
+    import os
+
+    vals = []
+    if os.path.isdir(store_path):
+        for f in os.listdir(store_path):
+            if f == _COMPACT_WATERMARK_FILE or f.startswith(
+                _COMPACT_WATERMARK_FILE + "."
+            ):
+                v = _read_int_marker(store_path, f)
+                if v is not None:
+                    vals.append(v)
+    return max(vals) if vals else None
+
+
+def _mark_compacted_chunks(store_path: str, part_dir: str, scope: str) -> None:
+    """Record the max non-negative chunk id present in ``part_dir``
+    BEFORE a compaction collapses it — the appender guard's source of
+    truth.  No-op when only the reserved compact partition exists."""
+    import os
+
+    chunks = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(part_dir)
+        if d.startswith("chunk=")
+    ]
+    merged_max = max((c for c in chunks if c >= 0), default=None)
+    if merged_max is not None:
+        _write_compact_watermark(store_path, merged_max, scope=scope)
 
 
 def mg_chunk_summary(
@@ -216,8 +273,10 @@ def mg_rollup_append_batch(
     path's DISTINCT absorbs them (SET class — no overwrite
     choreography needed, the simplest replay contract in the store
     matrix).  Batch ids must be non-negative (negative = reserved for
-    compaction) and unique per day across appenders."""
-    _check_append_chunk(batch_id)
+    compaction), unique per day across appenders, and above every
+    day's compaction watermark (a multi-day batch checks the max
+    across days)."""
+    _check_append_chunk(batch_id, store_path=path, scope="*")
     rows = _mg_day_summaries(batch_df, value_col, ts_col, cap, chunk=batch_id)
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
@@ -237,8 +296,11 @@ def mg_rollup_append_chunk(
     contract as the theta store's samples).  Chunk ids must be
     non-negative (negative = reserved for compaction) and unique per
     day across appenders — two slices under one (day, chunk) would mix
-    summaries with different thresholds."""
-    _check_append_chunk(chunk)
+    summaries with different thresholds — and above the day's
+    compaction watermark (a replay of a merged slice after compaction
+    cannot be DISTINCT-absorbed: its merged copy in chunk=-1 carries
+    different thr/ube, so it would double-count)."""
+    _check_append_chunk(chunk, store_path=path, scope=day)
     rows = mg_chunk_summary(ev_chunk, day, chunk, value_col, cap)
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
@@ -258,6 +320,7 @@ def mg_rollup_compact(spark, path: str, day: str) -> int:
     import shutil
 
     part_dir = os.path.join(path, f"day={day}")
+    _mark_compacted_chunks(path, part_dir, scope=day)  # appender guard
     rows = spark.read.parquet(part_dir).distinct()
     thrs = rows.select("chunk", "thr").distinct().localCheckpoint(eager=True)
     tot = thrs.agg(F.sum("thr").cast("long").alias("t"))
@@ -608,8 +671,9 @@ def mg_rollup_grouped_append_batch(
     under every day the batch touched.  Deterministic rows + the read
     path's DISTINCT = the SET-class at-least-once contract.  Batch ids
     must be non-negative (negative = reserved for compaction) and
-    unique per day across appenders."""
-    _check_append_chunk(batch_id)
+    unique per day across appenders, and above every day's
+    compaction watermark."""
+    _check_append_chunk(batch_id, store_path=path, scope="*")
     rows = _mg_grouped_day_summaries(
         batch_df, group_col, value_col, ts_col, cap, chunk=batch_id
     )
@@ -751,6 +815,7 @@ def mg_rollup_grouped_compact(spark, path: str, day: str) -> int:
     import shutil
 
     part_dir = os.path.join(path, f"day={day}")
+    _mark_compacted_chunks(path, part_dir, scope=day)  # appender guard
     rows = spark.read.parquet(part_dir).distinct()
     thrs = rows.select("chunk", "g", "thr").distinct().localCheckpoint(
         eager=True

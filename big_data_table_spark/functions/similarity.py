@@ -366,11 +366,14 @@ def sem_k_rule_sql(n_expr: str) -> str:
     """The same size-derived rule as a dialect-free SQL scalar over a
     count expression — smallest power-of-two k in [8, 2²⁶] with
     k² >= n (integer comparisons only; float LOG2/SQRT round-trips
-    differ at exact-power boundaries across engines)."""
+    differ at exact-power boundaries across engines).  COALESCE pins
+    the 2²⁶ cap for n > 2⁵² — the Python twin caps there too, so the
+    rules stay identical over the whole domain, not just below the
+    cap."""
     ks = ", ".join(f"({1 << p})" for p in range(3, 27))
     return (
-        f"(SELECT MIN(k) FROM (VALUES {ks}) _kt(k) "
-        f"WHERE CAST(k AS BIGINT) * k >= ({n_expr}))"
+        f"COALESCE((SELECT MIN(k) FROM (VALUES {ks}) _kt(k) "
+        f"WHERE CAST(k AS BIGINT) * k >= ({n_expr})), {1 << 26})"
     )
 
 
@@ -511,9 +514,14 @@ def semantic_index_build(spark, path: str, table_expr: str) -> None:
     ``_SEM_N_CENTROIDS`` smallest vec_ids (the deterministic k-means
     stand-in the IVF entries established; training runs once offline
     at scale) and write the batch's assignments.  Idempotent
-    overwrite — a replayed bootstrap rebuilds the same store."""
+    overwrite — a replayed bootstrap rebuilds the same store.  Clears
+    the whole store dir first: a store is BORN fresh, so stale side
+    state from a prior life (tombstones, a retention marker) must not
+    leak into it (r11 review)."""
     import os
+    import shutil
 
+    shutil.rmtree(path, ignore_errors=True)
     vecs = _semantic_vecs(spark, table_expr).localCheckpoint(eager=True)
     cent = (
         vecs.orderBy("vec_id")

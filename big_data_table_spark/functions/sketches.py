@@ -2205,7 +2205,7 @@ def cms_rollup_append_chunk(
     would silently delete the merged counters."""
     from .mg_store import _check_append_chunk
 
-    _check_append_chunk(chunk)
+    _check_append_chunk(chunk, store_path=path, scope=day)
     counters = cms_counter_table(ev_chunk, value_col, w=w, d=d)
     rows = counters.select(
         F.lit(day).alias("day"),
@@ -2236,7 +2236,10 @@ def cms_rollup_compact(spark, path: str, day: str) -> int:
     import os
     import shutil
 
+    from .mg_store import _mark_compacted_chunks
+
     part_dir = os.path.join(path, f"day={day}")
+    _mark_compacted_chunks(path, part_dir, scope=day)  # appender guard
     merged = (
         spark.read.parquet(part_dir)
         .groupBy("rw", "cl")
@@ -2424,7 +2427,7 @@ def cms_rollup_append_batch(
     must be non-negative (negative = reserved for compaction)."""
     from .mg_store import _check_append_chunk
 
-    _check_append_chunk(batch_id)
+    _check_append_chunk(batch_id, store_path=path, scope="*")
     rows = _cms_day_counters(batch_df, value_col, ts_col, w, d).withColumn(
         "chunk", F.lit(int(batch_id))
     )

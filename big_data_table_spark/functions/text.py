@@ -333,9 +333,17 @@ def bm25_index_append(spark, path: str, table_expr: str, chunk: int) -> None:
 
 
 def bm25_index_build(spark, path: str, table_expr: str) -> None:
-    """Bootstrap: the build is the chunk-0 append (the store is born
-    additive; there is no frozen global state to initialize — idf/avgdl
-    are derived at read time, so increments never go stale)."""
+    """Bootstrap: the build is the chunk-0 append into a CLEARED dir
+    (the store is born additive; there is no frozen global state to
+    initialize — idf/avgdl are derived at read time, so increments
+    never go stale).  Clearing first keeps the replayed-bootstrap
+    contract honest: without it a prior life's compaction watermark
+    would reject the chunk-0 append, and a stale retention marker or
+    merged chunk=-1 partition would leak into the logically fresh
+    store (r11 review)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     bm25_index_append(spark, path, table_expr, chunk=0)
 
 

@@ -405,6 +405,49 @@ def test_lsh_and_semantic_expire_laws(spark, sf_dir, tmp_path):
     assert kept.count() > 0
 
 
+def test_mg_cms_compaction_watermark_guard(spark, sf_dir, tmp_path):
+    """The BM25 compaction-watermark guard generalized to the other
+    vulnerable chunked stores (r11 review): MG (a replayed merged slice
+    cannot be DISTINCT-absorbed — its merged copy carries different
+    thr/ube) and CMS (additive — a re-used id would re-add merged
+    counters).  Per-DAY scope: day A's compaction must not block day
+    B's appends; multi-day batch appenders check the max across days.
+    Bitmap is exempt by algebra (BIT_OR is idempotent)."""
+    import pytest
+
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    d1, d2 = "2024-01-05", "2024-01-06"
+    ev1 = ev.where(f"to_date(ts) = '{d1}'")
+    ev2 = ev.where(f"to_date(ts) = '{d2}'")
+
+    # --- MG arm ---
+    mp = str(tmp_path / "mgwm")
+    MG.mg_rollup_append_chunk(ev1, mp, d1, chunk=0)
+    MG.mg_rollup_append_chunk(ev2, mp, d2, chunk=0)
+    MG.mg_rollup_compact(spark, mp, d1)
+    with pytest.raises(ValueError, match="watermark"):
+        MG.mg_rollup_append_chunk(ev1, mp, d1, chunk=0)
+    # per-day scope: day 2 (uncompacted) still accepts its ids
+    MG.mg_rollup_append_chunk(ev2, mp, d2, chunk=1)
+    # fresh id above the watermark still appends into day 1
+    MG.mg_rollup_append_chunk(ev1, mp, d1, chunk=1)
+    # the multi-day batch appender checks the MAX across days
+    with pytest.raises(ValueError, match="watermark"):
+        MG.mg_rollup_append_batch(ev, mp, batch_id=0)
+
+    # --- CMS arm ---
+    cp = str(tmp_path / "cmswm")
+    SK.cms_rollup_append_chunk(ev1, cp, d1, chunk=0)
+    SK.cms_rollup_compact(spark, cp, d1)
+    with pytest.raises(ValueError, match="watermark"):
+        SK.cms_rollup_append_chunk(ev1, cp, d1, chunk=0)
+    SK.cms_rollup_append_chunk(ev2, cp, d1, chunk=1)  # fresh id fine
+
+
 def test_lsh_index_probe_exclude_is_replay_idempotent(spark, sf_dir, tmp_path):
     """The crawl-loop replay contract (r10 ADVICE): if a trigger's
     APPEND committed but the streaming checkpoint did not, the replayed
