@@ -583,10 +583,12 @@ def lsh_index_probe(spark, path: str, src: str, exclude=None):
     flags = spark.sql(f"SELECT doc_id, md5(text) AS h FROM {src}")
     batch_bands = spark.sql(minhash_bands_sql(SPARK, src=src))
 
+    tomb = _lsh_tombstones(spark, path)
+
     def _scrub(df):
-        out = _lsh_retained(spark, path, df).join(
-            F.broadcast(_lsh_tombstones(spark, path)), "doc_id", "left_anti"
-        )
+        out = _lsh_retained(spark, path, df)
+        if tomb is not None:
+            out = out.join(F.broadcast(tomb), "doc_id", "left_anti")
         if exclude is not None:
             out = out.join(
                 F.broadcast(exclude.select("doc_id").distinct()),
@@ -664,14 +666,16 @@ def _lsh_retained(spark, path: str, df):
 
 
 def _lsh_tombstones(spark, path: str):
-    """The DISTINCT tombstoned doc_ids for an LSH index, or an empty
-    relation when the store was never deleted from (or was purged)."""
+    """The DISTINCT tombstoned doc_ids for an LSH index, or None when
+    the store was never deleted from (or was purged) — callers skip
+    the anti-join entirely for None, keeping the never-deleted probe's
+    plan identical to the pre-tombstone era's."""
     import os
 
     tomb = os.path.join(path, _LSH_TOMBSTONE_DIR)
     if os.path.isdir(tomb) and any(f.endswith(".parquet") for f in os.listdir(tomb)):
         return spark.read.parquet(tomb).distinct()
-    return spark.createDataFrame([], "doc_id long")
+    return None
 
 
 def lsh_index_delete(ids, path: str) -> None:
@@ -709,7 +713,10 @@ def lsh_index_purge(spark, path: str) -> int:
 
     from .sketches import _swap_dir_in
 
-    tomb = _lsh_tombstones(spark, path).localCheckpoint(eager=True)
+    tomb = _lsh_tombstones(spark, path)
+    if tomb is None:
+        tomb = spark.createDataFrame([], "doc_id long")
+    tomb = tomb.localCheckpoint(eager=True)
     n = tomb.count()
     for sub, part in (("digests", None), ("bands", "band")):
         cur = os.path.join(path, sub)
