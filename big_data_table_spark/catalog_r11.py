@@ -21,9 +21,10 @@ from .functions.portable import DUCK
 
 def lsh_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten over the persisted MinHash-LSH dedup index
-    (functions/dedup.py:lsh_index_delete) — the FIFTH and final
+    (functions/dedup.py:lsh_index_delete) — the FIFTH
     doc-id-bearing store family to gain tombstone deletion, closing the
-    r10 VERDICT's last structural hole.  The r10 layout stored bare
+    r10 VERDICT's last structural hole (BM25, born r10, joined as the
+    sixth later this round — see ``bm25_delete_compliance``).  The r10 layout stored bare
     keys (digests + bucket keys, no doc ids), which made deletion
     impossible: a key shared by a deleted and a surviving doc must
     outlive the delete.  r11 redesigns the layout to OWNERSHIP rows
@@ -453,6 +454,69 @@ def semantic_expire_retention_oracle() -> str:
     )
 
 
+def bm25_delete_compliance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the persisted BM25 inverted index
+    (functions/text.py:bm25_index_delete) — the SIXTH and final
+    doc-id-bearing store family with tombstone deletion, truly closing
+    the matrix (bitmap / setjoin / SimHash / semantic / LSH / BM25):
+    build = chunk-0 append over the even doc ids, append the odd ids
+    as chunk 1, DELETE every doc with ``doc_id % 5 = 1`` — issued
+    TWICE (idempotence demo; tombstones are a SET the scrubbed read
+    DISTINCTs) — then answer the top-20 from the scrubbed store.  The
+    scrub anti-joins deleted docs out of postings AND dl BEFORE the
+    additive merge, so tf, dl and the derived (N, avgdl, idf) all
+    shrink — deletion changes SCORES exactly as a rebuild over the
+    survivors would, and parity with the one-shot BM25 over the
+    survivors proves the whole statistic chain re-derives.  At 100 TB:
+    deletion is a tiny side-table append — no postings partition is
+    rewritten — and physical reclaim rides the next compact
+    (result-neutrality pinned in tests/test_round11.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import text as TX
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_bm25_del_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    TX.bm25_index_build(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 2 = 0) _e"
+    )
+    TX.bm25_index_append(
+        spark, path, "(SELECT * FROM documents WHERE doc_id % 2 = 1) _o", chunk=1
+    )
+    doomed = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 5 = 1")
+    for _ in range(2):  # second delete = the idempotence demo
+        TX.bm25_index_delete(doomed, path)
+    return TX.bm25_index_topk(spark, path)
+
+
+def bm25_delete_compliance_oracle() -> str:
+    """One-shot BM25 over ONLY the surviving docs, with the STORE's
+    corpus-scalar semantics (N from the indexed dl relation) — the
+    rebuild-over-survivors answer the scrubbed store read must equal."""
+    from .functions.text import (
+        bm25_corpus_sql,
+        bm25_dl_sql,
+        bm25_score_sql,
+        bm25_tok_sql,
+    )
+
+    survivors = "(SELECT * FROM documents WHERE doc_id % 5 <> 1) _s"
+    return (
+        f"WITH tok AS MATERIALIZED ({bm25_tok_sql(DUCK, src=survivors)}), "
+        f"dl AS MATERIALIZED ({bm25_dl_sql('tok')}), "
+        f"corpus AS MATERIALIZED ({bm25_corpus_sql('dl', n_src=None)}), "
+        f"scored_q AS ({bm25_score_sql('tok', 'dl', 'corpus')}) "
+        "SELECT * FROM scored_q"
+    )
+
+
 def r11_specs():
     """Round-11 QuerySpec registrations, merged into the catalog by
     catalog.py (the chunk convention)."""
@@ -505,5 +569,14 @@ def r11_specs():
             doc="Metadata-only retention cutoff over the semantic index: "
             "store read filters vec_id >= cutoff before the cell join; "
             "frozen quantizer untouched (cell geometry is id-free).",
+        ),
+        "bm25_delete_compliance": QuerySpec(
+            bm25_delete_compliance_q,
+            bm25_delete_compliance_oracle(),
+            doc="Tombstone deletion over the BM25 inverted index (the "
+            "sixth and final doc-id-bearing family): deleted docs "
+            "anti-joined out of postings AND dl before the additive "
+            "merge, so tf/dl/(N, avgdl, idf) all re-derive; top-k == "
+            "rebuild over survivors.",
         ),
     }

@@ -680,7 +680,8 @@ def _lsh_tombstones(spark, path: str):
 
 def lsh_index_delete(ids, path: str) -> None:
     """Tombstone every ``doc_id`` in ``ids`` — right-to-be-forgotten
-    over the LSH index, the verb the r10 keys-only layout could not
+    over the LSH index (the fifth store family to gain it; BM25 joined
+    as the sixth), the verb the r10 keys-only layout could not
     support (VERDICT r10 #2: a bare bucket key shared by a deleted and
     a surviving doc must outlive the delete; only the r11 ownership
     rows can express that).  A side-table append — no store partition

@@ -378,7 +378,7 @@ def bm25_index_compact(spark, path: str) -> int:
         _write_compact_watermark(path, merged_max)
     for sub, keys, val in (("postings", ["doc_id", "tk"], "tf"), ("dl", ["doc_id"], "dl")):
         merged = (
-            _bm25_retained(path, spark.read.parquet(os.path.join(path, sub)))
+            _bm25_retained(path, spark.read.parquet(os.path.join(path, sub)), spark=spark)
             .groupBy(*keys)
             .agg(F.sum(val).cast("long").alias(val))
             .coalesce(1)
@@ -388,10 +388,46 @@ def bm25_index_compact(spark, path: str) -> int:
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
         _swap_dir_in(tmp, os.path.join(path, sub))
+    # the merged copies excluded tombstoned docs (scrubbed read), so
+    # compaction doubles as the physical purge — drop the side table
+    shutil.rmtree(os.path.join(path, _BM25_TOMBSTONE_DIR), ignore_errors=True)
     return 2
 
 
 _BM25_RETENTION_FILE = ".retention"
+_BM25_TOMBSTONE_DIR = ".tombstones"
+
+
+def bm25_index_delete(ids, path: str) -> None:
+    """Tombstone every ``doc_id`` in ``ids`` — right-to-be-forgotten
+    for the BM25 index, completing the deletion matrix across ALL SIX
+    doc-id-bearing store families (bitmap / setjoin / SimHash /
+    semantic / LSH / BM25).  A dot-prefixed SET-class side-table
+    append: no postings partition is rewritten, replays are idempotent
+    (the scrubbed read DISTINCTs), unseen ids are a no-op.  The
+    scrubbed read drops the docs from postings AND dl BEFORE the
+    additive merge, so tf, dl and the derived (N, avgdl, idf) all
+    shrink — deletion changes SCORES exactly as a rebuild over the
+    survivors would.  Physical reclaim rides the next compact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, _BM25_TOMBSTONE_DIR))
+
+
+def _bm25_tombstones(spark, path: str):
+    """The DISTINCT tombstoned doc_ids, or None when the store was
+    never deleted from (callers skip the anti-join for None, keeping
+    the never-deleted read plan unchanged)."""
+    import os
+
+    tomb = os.path.join(path, _BM25_TOMBSTONE_DIR)
+    if os.path.isdir(tomb) and any(f.endswith(".parquet") for f in os.listdir(tomb)):
+        return spark.read.parquet(tomb).distinct()
+    return None
 
 
 def bm25_index_expire(path: str, before_doc_id: int) -> None:
@@ -413,8 +449,11 @@ def bm25_index_expire(path: str, before_doc_id: int) -> None:
     _write_int_marker_monotone(path, _BM25_RETENTION_FILE, before_doc_id)
 
 
-def _bm25_retained(path: str, df):
-    """Apply the retention cutoff (if any) to a store-side relation."""
+def _bm25_retained(path: str, df, spark=None):
+    """Apply the retention cutoff and (when ``spark`` is passed) the
+    tombstone scrub to a store-side relation — deleted/expired docs
+    drop BEFORE the additive merge, so every derived statistic
+    re-derives over the survivors."""
     from pyspark.sql import functions as F
 
     from .mg_store import _read_int_marker
@@ -422,20 +461,26 @@ def _bm25_retained(path: str, df):
     cut = _read_int_marker(path, _BM25_RETENTION_FILE)
     if cut is not None:
         df = df.filter(F.col("doc_id") >= cut)
+    if spark is not None:
+        tomb = _bm25_tombstones(spark, path)
+        if tomb is not None:
+            df = df.join(F.broadcast(tomb), "doc_id", "left_anti")
     return df
 
 
 def _bm25_store_tf(spark, path: str):
     """The term-filtered additive tf read: postings scan PRUNED to the
     query terms (parquet predicate pushdown — the posting-list lookup),
-    SUM-merged across chunks; retention-expired docs filtered before
-    the merge."""
+    SUM-merged across chunks; retention-expired and tombstoned docs
+    filtered before the merge."""
     import os
 
     from pyspark.sql import functions as F
 
     return (
-        _bm25_retained(path, spark.read.parquet(os.path.join(path, "postings")))
+        _bm25_retained(
+            path, spark.read.parquet(os.path.join(path, "postings")), spark=spark
+        )
         .filter(F.col("tk").isin(list(_BM25_QUERY_TERMS)))
         .groupBy("doc_id", "tk")
         .agg(F.sum("tf").cast("long").alias("tf"))
@@ -461,7 +506,7 @@ def bm25_index_topk(spark, path: str, k: int = 20):
     # tests/test_round10.py asserts the scan shape on the lazy form
     tf = _bm25_store_tf(spark, path).localCheckpoint(eager=True)
     dl = (
-        _bm25_retained(path, spark.read.parquet(os.path.join(path, "dl")))
+        _bm25_retained(path, spark.read.parquet(os.path.join(path, "dl")), spark=spark)
         .groupBy("doc_id")
         .agg(F.sum("dl").cast("long").alias("dl"))
         .localCheckpoint(eager=True)  # feeds the corpus scalar AND scoring

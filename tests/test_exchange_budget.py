@@ -760,6 +760,9 @@ BUDGET = {
                                  # pushed scan predicate
     "semantic_expire_retention": 1,  # batch assignment window; the
                                  # same-cell join sides broadcast-scale
+    "bm25_delete_compliance": 2,  # the plain store top-k read; the
+                                 # tombstone scrub is a broadcast
+                                 # anti-join, zero new exchanges
 }
 
 

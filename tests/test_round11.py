@@ -405,6 +405,62 @@ def test_lsh_and_semantic_expire_laws(spark, sf_dir, tmp_path):
     assert kept.count() > 0
 
 
+def test_bm25_tombstone_purge_laws(spark, sf_dir, tmp_path):
+    """Tombstone laws for the BM25 index: (1) deleting unseen doc_ids
+    is a no-op; (2) a replayed delete absorbs (SET class); (3) the
+    scrubbed top-k re-derives EVERY corpus statistic — scores change,
+    not just membership; (4) COMPACT after deletion is result-neutral,
+    physically drops the deleted docs' postings/dl rows, and clears
+    the tombstone table."""
+    import os
+
+    import pytest
+
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import text as TX
+
+    register_views(spark, sf_dir)
+    path = str(tmp_path / "bm25del")
+    TX.bm25_index_build(spark, path, "documents")
+
+    def rows():
+        return [
+            (r["doc_id"], r["score"])
+            for r in TX.bm25_index_topk(spark, path).collect()
+        ]
+
+    plain = rows()
+    # (1) unseen ids are a no-op
+    ghost = spark.range(10**9, 10**9 + 20).selectExpr("id AS doc_id")
+    TX.bm25_index_delete(ghost, path)
+    assert rows() == plain
+    # (2) replayed delete absorbs
+    doomed = spark.sql("SELECT doc_id FROM documents WHERE doc_id % 5 = 1")
+    TX.bm25_index_delete(doomed, path)
+    once = rows()
+    TX.bm25_index_delete(doomed, path)
+    assert rows() == once
+    assert once != plain
+    # (3) surviving docs' SCORES changed too (idf/avgdl re-derived),
+    # not merely the deleted docs filtered out of the old ranking
+    survivors_old = {d: s for d, s in plain if d % 5 != 1}
+    survivors_new = dict(once)
+    changed = [d for d in survivors_new if d in survivors_old
+               and survivors_new[d] != survivors_old[d]]
+    assert changed, "deletion must re-derive scores, not post-filter"
+    # (4) compact: result-neutral, physical reclaim, tombstones gone
+    assert TX.bm25_index_compact(spark, path) == 2
+    assert rows() == once
+    assert not os.path.isdir(os.path.join(path, TX._BM25_TOMBSTONE_DIR))
+    for sub in ("postings", "dl"):
+        assert (
+            spark.read.parquet(os.path.join(path, sub))
+            .where("doc_id % 5 = 1")
+            .count()
+            == 0
+        )
+
+
 def test_mg_cms_compaction_watermark_guard(spark, sf_dir, tmp_path):
     """The BM25 compaction-watermark guard generalized to the other
     vulnerable chunked stores (r11 review): MG (a replayed merged slice
