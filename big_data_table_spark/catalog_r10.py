@@ -437,12 +437,15 @@ def hybrid_retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     bm25 = bm25_topk_retrieval_q(spark, sf_dir).localCheckpoint(eager=True)
     vb = register_temp_view(bm25, "_hyb_bm25")
-    out = spark.sql(hybrid_rerank_sql(SPARK, vb)).localCheckpoint(eager=True)
+    out = spark.sql(hybrid_rerank_sql(SPARK, vb))
     # r10 ADVICE: the rerank hard-codes query_vec_id=100 and
     # inner-joins candidates to embeddings — a fixture change could
     # silently shrink/empty the result and the dual-dialect parity
     # would pass vacuously.  Fail LOUDLY instead: the query vector must
-    # exist and the rerank must keep a real candidate set.
+    # exist and the rerank must keep a real candidate set.  The guard
+    # count runs on the side; the RETURNED frame stays the lazy plan so
+    # the exchange-budget gate and PLANS.md keep seeing the real shape
+    # (an eager checkpoint here collapsed both to `Scan ExistingRDD`).
     n = out.count()
     if n < 5:
         raise AssertionError(
