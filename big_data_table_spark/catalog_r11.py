@@ -214,6 +214,85 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vecs,
 """
 
 
+def semantic_requantize_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED arm of the re-quantize compact, oracle-paired —
+    distributed Lloyd (``clustering.kmeans_fit``) as the quantizer
+    source instead of the deterministic smallest-ids convention: build
+    on two thirds of the embeddings, append the last third under the
+    frozen geometry, RE-FREEZE with ``trained=True`` (k=8, 2 Lloyd
+    iterations — the ``ann_ivf_trained`` training recipe: euclidean
+    rounded-distance argmin, decimal-exact elementwise means, so both
+    engines walk the identical IEEE sequence), then emit every
+    same-cell cosine pair under the retrained cells.  The oracle
+    unrolls the same two Lloyd iterations as CTEs
+    (catalog_breadth._kmeans_ctes — ONE copy of the training
+    formulation, shared with the ANN entries), derives centroid norms,
+    and re-assigns the corpus under the shared cosine-ranking text —
+    parity proves the trained retrain is a deterministic function of
+    the vector set END TO END, upgrading test_round11's
+    determinism-only pin to full cross-engine evidence.  At 100 TB:
+    training runs on the store's own vectors OFF the probe path, and
+    the retrain amortizes exactly like the deterministic arm."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import similarity as S
+    from .functions.similarity import semantic_pairs_sql
+    from .functions.portable import SPARK as SPK
+    from .session import register_temp_view
+
+    register_views(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_sem_rqt_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _srt_a AS "
+        "SELECT * FROM embeddings WHERE vec_id % 3 != 2"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _srt_b AS "
+        "SELECT * FROM embeddings WHERE vec_id % 3 = 2"
+    )
+    S.semantic_index_build(spark, path, "_srt_a")
+    S.semantic_index_append(spark, path, "_srt_b")
+    S.semantic_index_requantize(spark, path, n_centroids=8, trained=True)
+    rows = spark.read.parquet(os.path.join(path, "rows")).distinct()
+    vrows = register_temp_view(rows, "_srt_rows")
+    return spark.sql(
+        f"WITH pairs AS ({semantic_pairs_sql(SPK, vrows)}) "
+        "SELECT cid, id_a, id_b, cos_sim FROM pairs"
+    )
+
+
+def semantic_requantize_trained_oracle() -> str:
+    """Unrolled 2-iteration Lloyd (the shared _kmeans_ctes text) →
+    centroid norms → the shared cosine-ranking assignment → same-cell
+    pairs.  The zero-norm centroid filter mirrors the verb's guard."""
+    from .catalog_breadth import _kmeans_ctes
+    from .functions.similarity import (
+        _dot_sql,
+        semantic_assign_under_sql,
+        semantic_pairs_sql,
+    )
+
+    ctes, cents, _ = _kmeans_ctes(k=8, n_iter=2)
+    nrm = f"sqrt({_dot_sql('c', 'c', DUCK)})"
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        "vv AS (SELECT vec_id, e, "
+        f"  sqrt({_dot_sql('e', 'e', DUCK)}) AS nrm FROM v0), "
+        f"centx AS (SELECT cid, c AS e, {nrm} AS nrm FROM {cents} "
+        f"  WHERE {nrm} > 0), "
+        f"assign AS MATERIALIZED ({semantic_assign_under_sql(DUCK, 'vv', 'centx')}), "
+        f"pairs AS ({semantic_pairs_sql(DUCK, 'assign')}) "
+        "SELECT cid, id_a, id_b, cos_sim FROM pairs"
+    )
+
+
 # ------------------------------------------------------------------ #
 # expire/retention for the two newest text indexes (r10 VERDICT #4)
 # ------------------------------------------------------------------ #
@@ -578,5 +657,15 @@ def r11_specs():
             "anti-joined out of postings AND dl before the additive "
             "merge, so tf/dl/(N, avgdl, idf) all re-derive; top-k == "
             "rebuild over survivors.",
+        ),
+        "semantic_requantize_trained": QuerySpec(
+            semantic_requantize_trained_q,
+            semantic_requantize_trained_oracle(),
+            doc="The trained (distributed-Lloyd) arm of the semantic "
+            "re-quantize compact, oracle-paired: the oracle unrolls "
+            "the same 2 Lloyd iterations, derives centroid norms and "
+            "re-assigns under the shared cosine-ranking text — full "
+            "cross-engine evidence that the retrain is a deterministic "
+            "function of the vector set.",
         ),
     }

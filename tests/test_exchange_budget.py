@@ -763,6 +763,9 @@ BUDGET = {
     "bm25_delete_compliance": 2,  # the plain store top-k read; the
                                  # tombstone scrub is a broadcast
                                  # anti-join, zero new exchanges
+    "semantic_requantize_trained": 2,  # store-rows distinct + same-cell
+                                 # pair join (training paid off-plan
+                                 # inside the requantize verb)
 }
 
 
