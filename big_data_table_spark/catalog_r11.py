@@ -1,9 +1,13 @@
 """Round-11 catalog builders — the last structural depth items from
-the r10 VERDICT: right-to-be-forgotten over the LSH bucket index (the
-one store family that kept no doc ids), the semantic index's
-re-quantize compact (recall-parity, not bit-equality — the result
-SHAPE changes when centroids re-freeze), and expire/retention verbs
-for the two newest text indexes (setjoin + BM25).  QuerySpec
+the r10 VERDICT, which together complete the store lifecycle matrix:
+right-to-be-forgotten over the LSH index (ownership-row layout) and
+the BM25 index (the fifth and sixth doc-id-bearing families — every
+such family now has tombstone deletion), the semantic index's
+re-quantize compact in BOTH arms (deterministic size-derived rule and
+oracle-paired distributed Lloyd; recall-parity and
+rebuild-equivalence, not bit-equality — the result SHAPE changes when
+centroids re-freeze), and metadata-only expire/retention verbs for
+ALL FOUR index families (setjoin / BM25 / LSH / semantic).  QuerySpec
 registrations live HERE (``r11_specs``, merged by catalog.py — the
 chunk convention); the driver-window lists stay in catalog.py."""
 
