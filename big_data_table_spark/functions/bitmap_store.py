@@ -150,27 +150,36 @@ def bitmap_rollup_append_batch(
     bitmap_rollup_append_chunk(batch_df, path, batch_id, value_col, ts_col)
 
 
-def bitmap_rollup_compact(spark, path: str, day: str) -> int:
-    """Compaction verb: BIT_OR one day's chunk bitmaps into a single
-    bitmap at the RESERVED ``chunk=-1`` (<= ceil(max_id/62) rows;
+def bitmap_rollup_compact(
+    spark, path: str, day: str, target_file_bytes: int = 256 << 20
+) -> int:
+    """Compaction verb: BIT_OR one day's chunk bitmaps into the
+    RESERVED ``chunk=-1`` (<= ceil(max_id/62) rows per word;
     appenders reject negative ids, so no append collides with it).  The range-read algebra is
     bit-identical before and after — BIT_OR is associative, so merging
     chunks early changes nothing (the store's merge law, pinned).  Same
     dot-tmp + rename-aside swap as the other compactors
-    (single-writer)."""
+    (single-writer).  The per-day relation is VOCABULARY cardinality
+    (one row per distinct word), so the rewrite uses a size-derived
+    file count hash-partitioned on word (``store_layout``) — 1 file at
+    fixture scale, never one task for a TB vocabulary."""
     import os
     import shutil
 
+    from .store_layout import write_store_relation
+
     part_dir = os.path.join(path, f"day={day}")
-    merged = (
-        spark.read.parquet(part_dir)
-        .groupBy("word")
-        .agg(F.bit_or("bm").alias("bm"))
-        .coalesce(1)
-    )
+    raw = spark.read.parquet(part_dir)
+    merged = raw.groupBy("word").agg(F.bit_or("bm").alias("bm"))
     tmp = os.path.join(path, f".day={day}.compact.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
+    write_store_relation(
+        merged,
+        os.path.join(tmp, "chunk=-1"),
+        "word",
+        sized_on=raw,
+        target_file_bytes=target_file_bytes,
+    )
     from .sketches import _swap_dir_in
 
     _swap_dir_in(tmp, part_dir)
@@ -335,7 +344,9 @@ def bitmap_rollup_range_daily_scrubbed(
     return daily.crossJoin(F.broadcast(total))
 
 
-def bitmap_rollup_purge(spark, path: str) -> int:
+def bitmap_rollup_purge(
+    spark, path: str, target_file_bytes: int = 256 << 20
+) -> int:
     """PHYSICAL purge: fold the tombstone masks into every day's
     bitmaps (``bm & ~mask``, merging chunks to the reserved
     ``chunk=-1`` in the same pass — purge subsumes compaction) and
@@ -345,12 +356,14 @@ def bitmap_rollup_purge(spark, path: str) -> int:
     (pinned).  This is the compliance end-state — the deleted ids'
     bits no longer exist on disk, not merely masked at read time.
     Same dot-tmp + rename-aside swap as the compactors
-    (single-writer maintenance verb).  Returns the day count
-    rewritten."""
+    (single-writer maintenance verb); per-day rewrites use the
+    size-derived vocabulary-cardinality layout (``store_layout``).
+    Returns the day count rewritten."""
     import os
     import shutil
 
     from .sketches import _swap_dir_in
+    from .store_layout import write_store_relation
 
     tomb = os.path.join(path, _TOMBSTONE_DIR)
     masks = (
@@ -366,9 +379,9 @@ def bitmap_rollup_purge(spark, path: str) -> int:
     )
     for day in days:
         part_dir = os.path.join(path, f"day={day}")
+        raw = spark.read.parquet(part_dir)
         scrubbed = (
-            spark.read.parquet(part_dir)
-            .groupBy("word")
+            raw.groupBy("word")
             .agg(F.bit_or("bm").alias("bm"))
             .join(F.broadcast(masks), "word", "left")
             .select(
@@ -376,11 +389,16 @@ def bitmap_rollup_purge(spark, path: str) -> int:
                 F.expr("bm & ~COALESCE(mask, CAST(0 AS BIGINT))").alias("bm"),
             )
             .filter(F.col("bm") != 0)  # fully-deleted words vanish
-            .coalesce(1)
         )
         tmp = os.path.join(path, f".day={day}.purge.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
-        scrubbed.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
+        write_store_relation(
+            scrubbed,
+            os.path.join(tmp, "chunk=-1"),
+            "word",
+            sized_on=raw,
+            target_file_bytes=target_file_bytes,
+        )
         _swap_dir_in(tmp, part_dir)
     shutil.rmtree(tomb, ignore_errors=True)
     return len(days)

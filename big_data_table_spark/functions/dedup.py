@@ -527,7 +527,7 @@ def lsh_index_append(spark, path: str, src: str) -> None:
     )
 
 
-def lsh_index_compact(spark, path: str) -> None:
+def lsh_index_compact(spark, path: str, target_file_bytes: int = 256 << 20) -> None:
     """Maintenance pass: re-DISTINCT both stores and rewrite them —
     collapses the duplicate rows that replayed/overlapping appends
     accumulate, exactly as the HLL store's compaction re-MAX-merges
@@ -535,15 +535,22 @@ def lsh_index_compact(spark, path: str) -> None:
     read with set semantics); what compaction buys is the store's SIZE
     and the probe-side join input going back to one row per key.  The
     rewrite stages through dot-prefixed temp dirs (invisible to
-    concurrent parquet readers) and swaps via rename."""
+    concurrent parquet readers) and swaps via rename.  The digests
+    relation is CORPUS cardinality, so it rewrites with a size-derived
+    file count hash-partitioned on doc_id (``store_layout``; r11
+    VERDICT's coalesce(1) straggler fix) — 1 file at fixture scale,
+    never one task for a TB store."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
+    from .store_layout import write_store_relation
+
     for sub, part in (("digests", None), ("bands", "band")):
         cur = os.path.join(path, sub)
-        df = _lsh_retained(spark, path, spark.read.parquet(cur)).distinct()
+        raw = spark.read.parquet(cur)
+        df = _lsh_retained(spark, path, raw).distinct()
         tmp = os.path.join(path, f".{sub}.compact.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         if part:
@@ -553,7 +560,9 @@ def lsh_index_compact(spark, path: str) -> None:
             )
             df.repartition(part).write.mode("overwrite").partitionBy(part).parquet(tmp)
         else:
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            write_store_relation(
+                df, tmp, "doc_id", sized_on=raw, target_file_bytes=target_file_bytes
+            )
         from .sketches import _swap_dir_in
 
         _swap_dir_in(tmp, cur)
@@ -699,20 +708,23 @@ def lsh_index_delete(ids, path: str) -> None:
     ).parquet(os.path.join(path, _LSH_TOMBSTONE_DIR))
 
 
-def lsh_index_purge(spark, path: str) -> int:
+def lsh_index_purge(spark, path: str, target_file_bytes: int = 256 << 20) -> int:
     """PHYSICAL purge: drop every tombstoned doc's ownership rows from
     digests/ and bands/ and DROP the tombstone table — the compliance
     end-state (the deleted docs' digests and bucket keys no longer
     exist on disk, not merely masked at read time).  Result-neutral:
     scrubbed-before == scrubbed-after == plain-after (pinned in
     tests/test_round11.py).  Dot-tmp + rename swap, single-writer.
-    Returns the tombstoned id count purged."""
+    The digests rewrite is CORPUS cardinality — size-derived file
+    count hash-partitioned on doc_id (``store_layout``), never one
+    task.  Returns the tombstoned id count purged."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
     from .sketches import _swap_dir_in
+    from .store_layout import write_store_relation
 
     tomb = _lsh_tombstones(spark, path)
     if tomb is None:
@@ -721,8 +733,9 @@ def lsh_index_purge(spark, path: str) -> int:
     n = tomb.count()
     for sub, part in (("digests", None), ("bands", "band")):
         cur = os.path.join(path, sub)
+        raw = spark.read.parquet(cur)
         kept = (
-            _lsh_retained(spark, path, spark.read.parquet(cur))
+            _lsh_retained(spark, path, raw)
             .distinct()
             .join(F.broadcast(tomb), "doc_id", "left_anti")
         )
@@ -737,9 +750,13 @@ def lsh_index_purge(spark, path: str) -> int:
                 tmp
             )
         else:
-            kept.localCheckpoint(eager=True).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            write_store_relation(
+                kept.localCheckpoint(eager=True),
+                tmp,
+                "doc_id",
+                sized_on=raw,
+                target_file_bytes=target_file_bytes,
+            )
         _swap_dir_in(tmp, cur)
     shutil.rmtree(os.path.join(path, _LSH_TOMBSTONE_DIR), ignore_errors=True)
     return n

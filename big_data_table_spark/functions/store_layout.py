@@ -1,0 +1,69 @@
+"""Size-derived output layout for doc-keyed store rewrites.
+
+The bounded-cardinality stores (HLL registers <= 2^p/day, MG/CMS <=
+sketch geometry, Bloom <= m rows) can rewrite through ``coalesce(1)``
+forever — their merged relation is a few KB by construction.  The
+CORPUS-cardinality stores (LSH digests/band ownership rows, BM25
+postings at doc x term cardinality, winnowing fingerprints) cannot: at
+100 TB the merged relation is itself TB-scale, and a single-task
+single-file rewrite is a multi-hour straggler and an executor-disk
+hazard (r11 VERDICT's one scale finding).  This module holds the ONE
+sizing rule those rewrites share, the file-count twin of
+``catalog_r4.bucket_count_for``'s bucket rule: one output file per
+``target_file_bytes`` of Catalyst's free ``sizeInBytes`` estimate,
+floor 1 (fixture-scale stores keep their single file, so every pinned
+file-count and plan assertion is unchanged at test scale).  No
+power-of-two rounding — plain files need no divisibility, only bucket
+counts of co-bucketed tables do.
+
+Reference parity note: the reference (jangorecki/big.data.table,
+R/big.data.table.R) has no persisted index stores at all — this is
+extension surface; the rule exists so the maintenance verbs scale the
+same way the query paths already do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def store_file_count_for(df: DataFrame, target_file_bytes: int = 256 << 20) -> int:
+    """Output-file count for a store rewrite: one file per
+    ``target_file_bytes`` of the relation's Catalyst ``sizeInBytes``
+    estimate (parquet footer stats through the optimizer, no job),
+    floor 1.  Copy the RULE, not a constant — a hard-coded 1 is only
+    right at fixture scale.  The private PyJava surface is guarded the
+    same way ``bucket_count_for`` guards it: a signature change across
+    Spark builds degrades to the fixture-scale floor, never a crash."""
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 1
+    return max(1, -(-est // target_file_bytes))
+
+
+def write_store_relation(
+    df: DataFrame,
+    dest: str,
+    *keys: str,
+    sized_on: DataFrame | None = None,
+    target_file_bytes: int = 256 << 20,
+) -> None:
+    """Rewrite ``df`` to ``dest`` with a size-derived file count, hash-
+    partitioned on ``keys`` (so one key's rows land in one file — the
+    probe-side join input stays as clustered as the coalesce(1) layout
+    kept it) and sorted within files on ``keys`` (parquet row-group
+    min/max stats stay tight, so pushed-down key filters — e.g. the
+    BM25 term-pruned ``In(tk, ...)`` read — skip whole files).  Sizing
+    defaults to ``df`` itself; pass ``sized_on`` to size on the raw
+    store read instead (footer stats beat a post-aggregate estimate,
+    and over-counting files for a shrinking merge is the safe side).
+    Every store read already SUM-merges or DISTINCTs, so a multi-file
+    layout changes nothing semantically — pinned result-neutral by the
+    compact/purge law tests."""
+    n = store_file_count_for(sized_on if sized_on is not None else df, target_file_bytes)
+    df.repartition(n, *keys).sortWithinPartitions(*keys).write.mode(
+        "overwrite"
+    ).parquet(dest)

@@ -347,9 +347,9 @@ def bm25_index_build(spark, path: str, table_expr: str) -> None:
     bm25_index_append(spark, path, table_expr, chunk=0)
 
 
-def bm25_index_compact(spark, path: str) -> int:
-    """Compaction: SUM-merge every chunk of postings/ and dl/ into one
-    file at the RESERVED ``chunk=-1`` (appenders reject negative ids —
+def bm25_index_compact(spark, path: str, target_file_bytes: int = 256 << 20) -> int:
+    """Compaction: SUM-merge every chunk of postings/ and dl/ into the
+    RESERVED ``chunk=-1`` (appenders reject negative ids —
     in the additive class an append reusing the compact id would
     silently delete the merged counts).  For the additive class
     compaction IS the merge (exact integer addition), so the top-k
@@ -358,7 +358,14 @@ def bm25_index_compact(spark, path: str) -> int:
     Persists the COMPACTION WATERMARK (max chunk id merged, monotone)
     at the store root so appends can never re-use a merged id and
     double-count (r10 ADVICE; guard shared via
-    ``mg_store._check_append_chunk``).  Returns the sub-store count
+    ``mg_store._check_append_chunk``).  The merged postings relation is
+    doc x term cardinality — the LARGEST persisted relation in the repo
+    — so both sub-stores rewrite with a size-derived file count
+    (``store_layout``, sized on the RAW pre-merge read so a shrinking
+    merge errs toward more files), hash-partitioned and sorted on the
+    merge keys so the term-pruned probe's pushed-down ``In(tk, ...)``
+    keeps tight row-group stats; 1 file at fixture scale (r11 VERDICT's
+    coalesce(1) straggler fix).  Returns the sub-store count
     rewritten (2)."""
     import os
     import shutil
@@ -367,6 +374,7 @@ def bm25_index_compact(spark, path: str) -> int:
 
     from .mg_store import _write_compact_watermark
     from .sketches import _swap_dir_in
+    from .store_layout import write_store_relation
 
     chunks = [
         int(d.split("=", 1)[1])
@@ -376,17 +384,26 @@ def bm25_index_compact(spark, path: str) -> int:
     merged_max = max((c for c in chunks if c >= 0), default=None)
     if merged_max is not None:
         _write_compact_watermark(path, merged_max)
-    for sub, keys, val in (("postings", ["doc_id", "tk"], "tf"), ("dl", ["doc_id"], "dl")):
+    for sub, keys, lay, val in (
+        ("postings", ["doc_id", "tk"], ["tk", "doc_id"], "tf"),
+        ("dl", ["doc_id"], ["doc_id"], "dl"),
+    ):
+        raw = spark.read.parquet(os.path.join(path, sub))
         merged = (
-            _bm25_retained(path, spark.read.parquet(os.path.join(path, sub)), spark=spark)
+            _bm25_retained(path, raw, spark=spark)
             .groupBy(*keys)
             .agg(F.sum(val).cast("long").alias(val))
-            .coalesce(1)
             .localCheckpoint(eager=True)  # fully read before the swap
         )
         tmp = os.path.join(path, f".{sub}.compact.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(os.path.join(tmp, "chunk=-1"))
+        write_store_relation(
+            merged,
+            os.path.join(tmp, "chunk=-1"),
+            *lay,  # tk-first layout: the probe prunes on tk
+            sized_on=raw,
+            target_file_bytes=target_file_bytes,
+        )
         _swap_dir_in(tmp, os.path.join(path, sub))
     # the merged copies excluded tombstoned docs (scrubbed read), so
     # compaction doubles as the physical purge — drop the side table
@@ -941,19 +958,27 @@ def winnow_index_probe(spark, path: str, table: str):
     )
 
 
-def winnow_index_compact(spark, path: str) -> int:
-    """Rewrite the accumulated per-append files as ONE distinct
-    (doc_id, fp) file — same dot-tmp + rename swap as the other stores;
-    replayed appends (duplicate fact rows) are absorbed here exactly as
-    the probe's DISTINCT read absorbs them, so compaction never changes
-    a probe decision.  Returns the data-file count after (1)."""
+def winnow_index_compact(spark, path: str, target_file_bytes: int = 256 << 20) -> int:
+    """Rewrite the accumulated per-append files as distinct (doc_id,
+    fp) rows — same dot-tmp + rename swap as the other stores; replayed
+    appends (duplicate fact rows) are absorbed here exactly as the
+    probe's DISTINCT read absorbs them, so compaction never changes a
+    probe decision.  The fingerprint relation is corpus cardinality, so
+    the rewrite uses a size-derived file count hash-partitioned on
+    doc_id (``store_layout``; 1 file at fixture scale, never one task
+    for a TB store).  Returns the data-file count after."""
     import os
     import shutil
 
-    merged = spark.read.parquet(path).distinct().coalesce(1)
+    from .store_layout import write_store_relation
+
+    raw = spark.read.parquet(path)
+    merged = raw.distinct()
     tmp = path.rstrip("/") + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(tmp)
+    write_store_relation(
+        merged, tmp, "doc_id", sized_on=raw, target_file_bytes=target_file_bytes
+    )
     from .sketches import _swap_dir_in
 
     _swap_dir_in(tmp, path)
