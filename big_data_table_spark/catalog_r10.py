@@ -446,7 +446,13 @@ def hybrid_retrieval_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count runs on the side; the RETURNED frame stays the lazy plan so
     # the exchange-budget gate and PLANS.md keep seeing the real shape
     # (an eager checkpoint here collapsed both to `Scan ExistingRDD`).
-    n = out.count()
+    # r11 ADVICE: probe through LIMIT 5, not a full count — plan-only
+    # consumers (budget gate, PLANS generation) and the drivers, which
+    # execute the returned frame themselves, should not pay a second
+    # full rerank at build time (stage 1 is already paid once via the
+    # eager checkpoint above; the probe reranks only the <= 20
+    # checkpointed candidates and short-circuits at 5 rows).
+    n = out.limit(5).count()
     if n < 5:
         raise AssertionError(
             f"hybrid rerank returned {n} rows (< 5): the fixture lost "

@@ -175,7 +175,7 @@ SELECT CAST((SELECT COUNT(*) FROM {vv}) AS BIGINT) AS n_vecs,
   CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS pairs_found,
   CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS pairs_brute,
   ROUND(CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
-    / (SELECT COUNT(*) FROM brute), 6) AS recall
+    / NULLIF((SELECT COUNT(*) FROM brute), 0), 6) AS recall
 """
     )
 
@@ -214,7 +214,7 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vecs,
   CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS pairs_found,
   CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS pairs_brute,
   ROUND(CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE)
-    / (SELECT COUNT(*) FROM brute), 6) AS recall
+    / NULLIF((SELECT COUNT(*) FROM brute), 0), 6) AS recall
 """
 
 

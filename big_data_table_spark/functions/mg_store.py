@@ -58,7 +58,18 @@ def _check_append_chunk(
     (not skipping) is deliberate: a silent no-op would DROP genuinely
     new data appended under a stale id, and compaction is a documented
     single-writer maintenance verb run with writers quiesced — so a
-    hit here is a real id-reuse bug, not a racing replay."""
+    hit here is a real id-reuse bug, not a racing replay.
+
+    OPERATIONAL REQUIREMENT (r11 ADVICE): for STREAMING writers,
+    "quiesced" means the stream's checkpoint is fully COMMITTED, not
+    merely that the query is stopped — a trigger whose append landed
+    but whose checkpoint did not will replay its (now sub-watermark)
+    chunk id on restart and land here.  Either drain the stream
+    (awaitTermination after the last trigger completes) before
+    compacting, or make the replay-aware caller catch this ValueError,
+    verify the merged chunk=-1 partition already contains the chunk's
+    counts (it does, by the watermark's construction — the compactor
+    merged them), and drop the replayed batch."""
     if int(chunk) < 0:
         raise ValueError(
             f"chunk id {chunk} is reserved: negative ids belong to the "
@@ -105,7 +116,16 @@ def _write_int_marker_monotone(store_path: str, name: str, v: int) -> None:
     dot-tmp + atomic rename (the store swap discipline): an in-place
     truncate-then-write would expose concurrent readers to an empty or
     half-flushed value, and a crash in that window would brick the
-    store behind int('')."""
+    store behind int('').
+
+    SINGLE-WRITER ONLY (r11 ADVICE): the read-check-replace sequence is
+    not atomic as a whole — two CONCURRENT writers of the same marker
+    can interleave so a stale writer's os.replace lands after a newer
+    value, regressing the monotone guarantee.  All marker writers are
+    maintenance verbs documented single-writer (the same discipline the
+    rename-aside store swaps already require); if these verbs ever run
+    concurrently, add an O_EXCL lock file around the sequence or
+    re-read after replace and retry on regression."""
     import os
 
     prev = _read_int_marker(store_path, name)
