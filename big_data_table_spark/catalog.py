@@ -2385,6 +2385,58 @@ _head11 = _R11_FRONT + _R11_NEXT + [
 ]
 CATALOG = {name: CATALOG[name] for name in _head11}
 
+# ------------------------------------------------------------------ #
+# round-12 registrations (builders AND specs in catalog_r12.py — the
+# chunk convention)
+# ------------------------------------------------------------------ #
+_r12 = __import__("big_data_table_spark.catalog_r12", fromlist=["x"]).r12_specs()
+CATALOG.update(_r12)
+
+# ------------------------------------------------------------------ #
+# driver-window ordering (round 12) — VERDICT r11 #1: the 8 entries of
+# _R11_NEXT (the r11 lifecycle family) are the only ones the driver
+# has never seen; they fit one window with 42 slots spare, filled with
+# the stalest-evidence refreshes — the r5-window entries whose latest
+# green driver row is still round 5 (CORRECTNESS_r05 keys minus every
+# later round), taken in catalog order.  47 such entries exist, so 42
+# head the window and the remaining 5 spill to _R12_NEXT ahead of the
+# new r12 entries.  After this window, no entry's newest driver
+# evidence predates round 6.
+# ------------------------------------------------------------------ #
+_R5_STALE = [
+    "multimodal_wav_decode", "multimodal_png_decode", "sequence_packing",
+    "bloom_membership_audience", "cms_heavy_hitters", "q1_pricing_summary",
+    "q6_revenue", "join3_revenue_by_segment", "filter_project", "topk_orders",
+    "lookup_join_nation_region", "semi_join_orders", "anti_join_customers",
+    "cross_join_region_nation", "grouped_sum_by_year", "group_count",
+    "grouped_mean", "agg_all_sd", "multi_key_group", "keyby_sorted",
+    "distinct_segments", "count_distinct", "union_all_counts",
+    "intersect_custkeys", "except_custkeys", "window_topk_per_group",
+    "window_running_sum", "window_lag_lead", "rollup_agg", "cube_agg",
+    "grouping_sets", "pivot_linestatus", "two_phase_agg", "merge_upsert",
+    "percentile_exact", "part_brand_stats", "supplier_chain",
+    "sample_by_hash", "train_val_test_split", "generator_source",
+    "csv_roundtrip", "json_roundtrip", "balanced_sample_per_group",
+    "clean_corpus_pipeline", "string_functions", "array_functions",
+    "weighted_sample_topk",
+]
+_R12_FRONT = _R11_NEXT + _R5_STALE[:42]
+_R12_NEW = list(_r12)
+_R12_NEXT = _R5_STALE[42:] + _R12_NEW
+
+assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50, len(_R12_FRONT)
+assert set(_R12_FRONT + _R12_NEXT) <= set(CATALOG), sorted(
+    set(_R12_FRONT + _R12_NEXT) - set(CATALOG)
+)
+assert not set(_R12_FRONT) & set(_R12_NEXT)
+
+# _head12 enumerates every catalog key (window head + the rest), so
+# rebuilding from it alone is complete
+_head12 = _R12_FRONT + _R12_NEXT + [
+    n for n in CATALOG if n not in set(_R12_FRONT + _R12_NEXT)
+]
+CATALOG = {name: CATALOG[name] for name in _head12}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}

@@ -1086,11 +1086,17 @@ def _kmeans_dist_sql(e: str, c: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int, n_iter: int) -> tuple[list[str], str, str]:
+def _kmeans_ctes(
+    k: int, n_iter: int, where: str = ""
+) -> tuple[list[str], str, str]:
     """Unrolled Lloyd iterations as DuckDB CTEs — the same init,
     rounded-distance argmin, and decimal-exact elementwise means as
     functions/clustering.py.  Returns (ctes, final_centroids_cte,
-    final_assignment_cte) so IVF oracles can reuse the trained state."""
+    final_assignment_cte) so IVF oracles can reuse the trained state.
+    ``where`` (e.g. ``" WHERE vec_id % 5 <> 3"``) restricts the vector
+    source — the SURVIVING set for the re-quantize oracles; the init
+    filter ``vec_id < k`` then selects over survivors in both engines
+    (kmeans_fit applies it to whatever relation it is given)."""
     def assign(name, cents):
         return (
             f"{name} AS (SELECT vec_id, cid, e FROM ("
@@ -1109,7 +1115,8 @@ def _kmeans_ctes(k: int, n_iter: int) -> tuple[list[str], str, str]:
         )
 
     ctes = [
-        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        f"FROM embeddings{where})",
         f"c0 AS (SELECT vec_id AS cid, e AS c FROM v0 WHERE vec_id < {k})",
     ]
     for i in range(1, n_iter + 1):
@@ -1209,9 +1216,14 @@ def _ann_ivf_trained_oracle(
     n_probe: int = 2,
     n_queries: int = 5,
     k: int = 5,
+    where: str = "",
 ) -> str:
-    """Unrolled k-means (same CTEs as _kmeans_oracle) + probe + rank."""
-    ctes, cents, afinal = _kmeans_ctes(n_centroids, n_iter)
+    """Unrolled k-means (same CTEs as _kmeans_oracle) + probe + rank.
+    ``where`` restricts the vector source to the surviving set — the
+    re-quantize oracle (catalog_r12) reuses this WHOLE text, so the
+    persisted-retrain entry and the in-query trained entry share one
+    formulation by construction."""
+    ctes, cents, afinal = _kmeans_ctes(n_centroids, n_iter, where=where)
     cos = (
         "ROUND(list_dot_product(q.e, cd.e) / "
         "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cd.e, cd.e))), 9)"
@@ -1406,6 +1418,7 @@ def _pq_ctes(
     n_iter: int = 2,
     prefix: str = "",
     src: str | None = None,
+    where: str = "",
 ) -> tuple[list[str], str, str]:
     """Unrolled per-subspace Lloyd as DuckDB CTEs (the grouped analogue
     of _kmeans_ctes — subspace ``s`` rides every key).  Returns (ctes,
@@ -1440,7 +1453,8 @@ def _pq_ctes(
         )
 
     ctes = [] if src else [
-        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+        "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        f"FROM embeddings{where})"
     ]
     ctes += [
         f"{subs0} AS (SELECT vec_id, s, "
@@ -1463,8 +1477,12 @@ def _ann_pq_trained_oracle(
     n_iter: int = 2,
     n_queries: int = 5,
     k: int = 5,
+    where: str = "",
 ) -> str:
-    ctes, cb, afinal = _pq_ctes(n_subs, sub_len, n_codes, n_iter)
+    """``where`` restricts the vector source — the PQ re-quantize
+    oracle (catalog_r12) reuses this whole text over the surviving
+    set, pairing the persisted retrain with the in-query formulation."""
+    ctes, cb, afinal = _pq_ctes(n_subs, sub_len, n_codes, n_iter, where=where)
     q_lo, q_hi = n_codes, n_codes + n_queries
     d_query = (
         "ROUND(list_dot_product(q.e, q.e) - 2 * list_dot_product(q.e, c.c)"

@@ -1,0 +1,279 @@
+"""Round-12 catalog builders — the retrain/retention depth items from
+the r11 VERDICT: the RE-QUANTIZE verb for the persisted ANN stores
+(IVF retrain over survivors, PQ re-encode over survivors — the
+semantic index's retrain discipline, similarity.py:
+semantic_index_requantize, applied to the FAISS-shaped family) and
+CHUNK-dimension retention for the day-partitioned grouped stores
+(drop batches inside retained days — the missing axis of the
+retention matrix next to ``rollup_expire``'s whole-day drops).
+QuerySpec registrations live HERE (``r12_specs``, merged by
+catalog.py — the chunk convention); the driver-window lists stay in
+catalog.py.
+
+Reference parity note: the reference (jangorecki/big.data.table,
+R/big.data.table.R:1-648) has no persisted index stores — this is
+declared extension surface for the 100 TB training-data pipeline;
+every entry is oracle-paired so the extensions meet the same
+correctness bar as the forwarded reference surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog_base import register_views
+from .sources.readers import Tables
+
+
+# ------------------------------------------------------------------ #
+# ANN IVF store: full lifecycle ending in RE-QUANTIZE (r11 VERDICT #3)
+# ------------------------------------------------------------------ #
+
+_IVF_RQ_DELETE_PRED = "vec_id % 5 = 3"  # the tombstoned stride
+_IVF_RQ_SURVIVOR_SQL = " WHERE vec_id % 5 <> 3"  # oracle's v0 filter
+
+
+def ann_ivf_requantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-QUANTIZE over the persisted IVF ANN store
+    (functions/clustering.py:ivf_requantize — r11 VERDICT #3, the
+    semantic index's retrain verb applied to the FAISS-shaped family):
+    build the index on two thirds of the embeddings (trained k-means,
+    the ``ann_ivf_persisted_topk`` recipe), APPEND the last third under
+    the FROZEN centroids (``ivf_append`` — broadcast assignment, no
+    Lloyd), tombstone-DELETE the ``vec_id % 5 = 3`` stride — issued
+    TWICE, the replay is absorbed (SET class) — then RE-QUANTIZE:
+    retrain the coarse quantizer over the surviving store rows and
+    re-assign them in one pass (the purge rides along; the tombstone
+    table is cleared).  The search answers from the re-frozen store
+    alone.
+
+    The oracle is ``_ann_ivf_trained_oracle`` — the SAME unrolled-Lloyd
+    text the in-query trained entry uses — over the SURVIVING vector
+    set, so parity proves requantize == rebuild-over-survivors END TO
+    END across engines: same deterministic init (smallest surviving
+    ids under k), same decimal-exact means, same probe/rank.  At
+    100 TB: appends stay frozen-geometry cheap between re-freezes, the
+    retrain is one corpus pass OFF the query path, and the re-frozen
+    inverted file keeps the cid partitioning probes prune on."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.clustering import (
+        ann_ivf_persisted_search,
+        ivf_append,
+        ivf_build,
+        ivf_delete,
+        ivf_requantize,
+    )
+
+    register_views(spark, sf_dir)
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_ivf_rq_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ivf_build(vecs.filter("vec_id % 3 != 2"), path, k=8, n_iter=2)
+    ivf_append(spark, path, vecs.filter("vec_id % 3 = 2"))
+    doomed = vecs.filter(_IVF_RQ_DELETE_PRED).select("vec_id")
+    ivf_delete(doomed, path)
+    ivf_delete(doomed, path)  # replayed delete — absorbed
+    ivf_requantize(spark, path, k=8, n_iter=2)
+    q = vecs.filter(f"vec_id < 5 AND NOT ({_IVF_RQ_DELETE_PRED})").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ann_ivf_persisted_search(spark, path, q, n_probe=2, topk=5)
+
+
+def ann_ivf_requantize_oracle() -> str:
+    from .catalog_breadth import _ann_ivf_trained_oracle
+
+    return _ann_ivf_trained_oracle(
+        n_centroids=8, n_iter=2, n_probe=2, n_queries=5, k=5,
+        where=_IVF_RQ_SURVIVOR_SQL,
+    )
+
+
+# ------------------------------------------------------------------ #
+# ANN PQ store: re-encode re-quantize (the lossy-store arm)
+# ------------------------------------------------------------------ #
+
+_PQ_RQ_DELETE_PRED = "vec_id % 7 = 3"
+_PQ_RQ_SURVIVOR_SQL = " WHERE vec_id % 7 <> 3"
+
+
+def ann_pq_requantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-QUANTIZE over the persisted PQ store
+    (functions/clustering.py:pq_requantize): build the codebook+codes
+    store on a STALE subset (``vec_id % 4 != 3``), then retrain and
+    re-encode over the CURRENT surviving corpus (``vec_id % 7 != 3`` —
+    upstream deletion plus the previously-missing vectors) in one
+    pass, and answer ADC top-k from the re-frozen store alone.
+    Unlike IVF the PQ store is LOSSY (codes cannot reconstruct their
+    subvectors), so the retrain takes the source subvector relation
+    explicitly — exactly how a production PQ retrain re-reads the
+    corpus to re-encode it.  Oracle = ``_ann_pq_trained_oracle`` over
+    the surviving set (the same per-subspace unrolled-Lloyd text as
+    the in-query trained entry), so parity proves the retrained store
+    serves bit-identically to a fresh build over the survivors —
+    rebuild-equivalence cross-engine, with the stale initial build
+    demonstrably leaving no residue."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.clustering import ann_pq_persisted_search, pq_build, pq_requantize
+
+    dim, n_subs, n_codes = 64, 8, 16
+    sub_len = dim // n_subs
+    register_views(spark, sf_dir)
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("fe"))
+
+    def to_subs(v):
+        return v.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+            "fe",
+        ).select(
+            "vec_id",
+            "s",
+            F.expr(f"slice(fe, 1 + s * {sub_len}, {sub_len})").alias("e"),
+        )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_pq_rq_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    pq_build(to_subs(vecs.filter("vec_id % 4 != 3")), path, k=n_codes, n_iter=2)
+    survivors = to_subs(vecs.filter(f"NOT ({_PQ_RQ_DELETE_PRED})"))
+    pq_requantize(spark, path, survivors, k=n_codes, n_iter=2)
+    q_lo, q_hi = n_codes, n_codes + 5
+    qsubs = survivors.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(F.col("vec_id").alias("qid"), "s", F.col("e").alias("qe"))
+    return ann_pq_persisted_search(spark, path, qsubs, topk=5)
+
+
+def ann_pq_requantize_oracle() -> str:
+    from .catalog_breadth import _ann_pq_trained_oracle
+
+    return _ann_pq_trained_oracle(
+        n_subs=8, sub_len=8, n_codes=16, n_iter=2, n_queries=5, k=5,
+        where=_PQ_RQ_SURVIVOR_SQL,
+    )
+
+
+# ------------------------------------------------------------------ #
+# Chunk-dimension retention for the grouped day stores (VERDICT #5)
+# ------------------------------------------------------------------ #
+
+_MG_CR_RANGE = ("2024-01-08", "2024-01-21")
+_MG_CR_CAP = 16
+
+
+def mg_chunk_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-dimension retention over the grouped SpaceSaving day store
+    (functions/mg_store.py:chunk_expire — r11 VERDICT #5, completing
+    the retention matrix: ``rollup_expire`` drops whole days, this
+    drops batches INSIDE retained days): three data-borne batches
+    (``user_id % 3``) land as per-day chunk partitions, then batch 0 is
+    forgotten — ``chunk_expire(before_chunk=1)``, issued TWICE plus
+    once with a LOWER cutoff (all no-ops after the first: the marker is
+    monotone and the dirs are gone) — and the per-group range top-k is
+    answered from the surviving chunks.  Expiry is directory removal
+    plus a monotone store-root marker the shared appender guard
+    enforces (a late replay of the forgotten batch raises instead of
+    resurrecting it — pinned in tests/test_round12.py).  The oracle
+    re-derives the chunked grouped bound algebra from raw events WITH
+    BATCH 0 EXCLUDED at the source — parity proves the post-expiry
+    read equals the rebuild over the retained batches (the bound
+    algebra never assumed a dense chunk sequence).  At 100 TB: no
+    scan, no rewrite — O(days) directory ops, like a partition-level
+    TimescaleDB drop_chunks along the batch axis."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import mg_store as MG
+    from .sources.readers import load_events
+
+    register_views(spark, sf_dir)
+    lo, hi = _MG_CR_RANGE
+    ev = load_events(spark, sf_dir).filter(
+        F.to_date("ts").cast("string").between(lo, hi)
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_mg_cr_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for b in range(3):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 3 == b),
+            path,
+            batch_id=b,
+            cap=_MG_CR_CAP,
+        )
+    MG.chunk_expire(path, before_chunk=1)
+    MG.chunk_expire(path, before_chunk=1)  # replay — no-op
+    MG.chunk_expire(path, before_chunk=0)  # lower cutoff — marker monotone
+    return MG.mg_rollup_grouped_chunked_range_topk(spark, path, lo, hi, topk=5)
+
+
+def mg_chunk_retention_oracle() -> str:
+    from .functions import mg_store as MG
+    from .functions.portable import DUCK
+
+    lo, hi = _MG_CR_RANGE
+    return MG.mg_rollup_grouped_chunked_range_sql(
+        "(SELECT * FROM events WHERE CAST(user_id AS BIGINT) % 3 >= 1)",
+        "event_type",
+        "user_id",
+        lo,
+        hi,
+        DUCK,
+        cap=_MG_CR_CAP,
+        topk=5,
+        chunk_sql="CAST(user_id AS BIGINT) % 3",
+    )
+
+
+def r12_specs():
+    """Round-12 QuerySpec registrations, merged into the catalog by
+    catalog.py (the chunk convention)."""
+    from .catalog_base import QuerySpec
+
+    return {
+        "ann_ivf_requantize": QuerySpec(
+            ann_ivf_requantize_q,
+            ann_ivf_requantize_oracle(),
+            doc="Re-quantize the persisted IVF ANN store: frozen-"
+            "geometry appends + tombstone deletes, then one-pass "
+            "retrain+reassign over the survivors; search == the "
+            "in-query trained formulation over the surviving set "
+            "(shared unrolled-Lloyd oracle).",
+        ),
+        "ann_pq_requantize": QuerySpec(
+            ann_pq_requantize_q,
+            ann_pq_requantize_oracle(),
+            doc="Re-quantize the persisted PQ store (lossy — the "
+            "retrain re-encodes from the source subvectors): stale "
+            "build leaves no residue; ADC top-k == fresh build over "
+            "the survivors (shared per-subspace Lloyd oracle).",
+        ),
+        "mg_chunk_retention": QuerySpec(
+            mg_chunk_retention_q,
+            mg_chunk_retention_oracle(),
+            doc="Chunk-dimension retention inside retained days of the "
+            "grouped SpaceSaving store: directory-removal expiry + "
+            "monotone marker the appender guard enforces; range "
+            "top-k == rebuild over the retained batches.",
+        ),
+    }

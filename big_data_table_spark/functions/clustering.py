@@ -161,13 +161,20 @@ def ivf_build(vecs: DataFrame, path: str, k: int = 8, n_iter: int = 2) -> None:
 
 def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(centroids, inverted) read back from the persisted index — no
-    Lloyd iterations anywhere downstream of these plans."""
+    Lloyd iterations anywhere downstream of these plans.  When the
+    store carries tombstones (``ivf_delete``), deleted vectors are
+    anti-joined out of the inverted file (broadcast — the id set is a
+    compliance queue, not a corpus); a never-deleted store skips the
+    scrub entirely, keeping its exact pre-tombstone plan."""
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     inverted = spark.read.parquet(os.path.join(path, "inverted")).select(
         "vec_id", F.col("cid").cast("long").alias("cid"), "e"
     )
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        inverted = inverted.join(F.broadcast(tomb), "vec_id", "left_anti")
     return cents, inverted
 
 
@@ -435,3 +442,152 @@ def ann_ivfpq_persisted_search(
             "rnk",
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# IVF / PQ store lifecycle (round 12) — append, delete, re-quantize.
+# The semantic index's retrain discipline (similarity.py:
+# semantic_index_requantize) applied to the ANN stores: appends stay
+# frozen-geometry cheap, deletion is a tombstone side table, and the
+# RE-QUANTIZE verb re-freezes the trained state over the surviving
+# vectors in one corpus pass — the production IVF/PQ retrain.
+# ------------------------------------------------------------------ #
+
+_IVF_TOMBSTONE_DIR = ".tombstones"
+
+
+def _ivf_tombstones(spark, path: str):
+    """The store's deleted-id set, or None when nothing was ever
+    deleted — the None arm lets never-deleted probes keep their exact
+    pre-tombstone plan (the LSH no-tombstone scrub-skip discipline)."""
+    import os
+
+    d = os.path.join(path, _IVF_TOMBSTONE_DIR)
+    if not os.path.isdir(d) or not any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ):
+        return None
+    return spark.read.parquet(d).select("vec_id").distinct()
+
+
+def ivf_append(spark, path: str, vecs: DataFrame) -> None:
+    """Incremental maintenance under the FROZEN coarse quantizer: assign
+    the new vectors against the stored centroids (broadcast — no corpus
+    shuffle, no Lloyd) and append them to the cid-partitioned inverted
+    file.  This is what keeps ingestion cheap between re-quantizes; the
+    drift it accumulates (new vectors quantized under stale geometry)
+    is exactly what :func:`ivf_requantize` repays.  Replayed appends
+    duplicate rows; the re-quantize's DISTINCT absorbs them and a
+    replay between re-quantizes only duplicates candidates inside the
+    probed cell (rank output unchanged: ROW_NUMBER ties break on
+    neighbor id, and duplicate (id, score) rows collapse to one rank
+    run — still, run appends exactly-once where possible)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assign_clusters(vecs, cents).write.mode("append").partitionBy("cid").parquet(
+        os.path.join(path, "inverted")
+    )
+
+
+def ivf_delete(ids: DataFrame, path: str) -> None:
+    """Right-to-be-forgotten for the IVF store: a SET-class tombstone
+    side-table append (dot-prefixed — invisible to partition discovery;
+    replays idempotent via the scrubbed read's DISTINCT; unseen ids a
+    no-op).  ``ivf_load`` anti-joins tombstoned vectors out of the
+    inverted file, so searches stop returning them immediately;
+    physical reclaim rides the next :func:`ivf_requantize`."""
+    import os
+
+    ids.select(F.col("vec_id").cast("long").alias("vec_id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(path, _IVF_TOMBSTONE_DIR))
+
+
+def ivf_requantize(
+    spark,
+    path: str,
+    k: int | None = None,
+    n_iter: int = 2,
+) -> int:
+    """RE-QUANTIZE the persisted IVF store (r11 VERDICT #3 — the
+    semantic index's retrain verb applied to the ANN family): retrain
+    the coarse quantizer over the WHOLE surviving vector set
+    (distributed Lloyd, :func:`kmeans_fit` — deterministic init, so
+    the retrain is a pure function of the survivors) and re-assign
+    every row under it in one corpus pass.  ``k=None`` derives the
+    centroid count from the surviving store size via the shared
+    ``sem_n_centroids_for`` rule (k ~ sqrt(n)); pass an explicit k to
+    match a fixed-width oracle.
+
+    Laws (tests/test_round12.py): requantize == REBUILD over the
+    survivors (same init, same vectors — bit-identical centroids and
+    search results); a REPLAYED requantize is a no-op; tombstoned
+    vectors are dropped and the tombstone table cleared (the purge
+    rides along — re-assignment rewrites inverted/ anyway).  Dot-tmp +
+    rename swap, single-writer.  The inverted rewrite stays
+    cid-partitioned (multi-task — one task per cell partition, the
+    same layout the probes prune on); centroids are k rows, bounded.
+    Returns the new centroid count."""
+    import os
+    import shutil
+
+    from .similarity import sem_n_centroids_for
+    from .sketches import _swap_dir_in
+
+    rows = (
+        ivf_load(spark, path)[1]
+        .select("vec_id", "e")
+        .distinct()
+        .localCheckpoint(eager=True)  # fully read before the swap
+    )
+    kk = k if k is not None else sem_n_centroids_for(rows.count())
+    cents = kmeans_fit(rows, k=kk, n_iter=n_iter).localCheckpoint(eager=True)
+    assigned = assign_clusters(rows, cents).localCheckpoint(eager=True)
+    for sub, df, part in (("centroids", cents, None), ("inverted", assigned, "cid")):
+        tmp = os.path.join(path, f".{sub}.requant.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        if part:
+            df.repartition(part).write.mode("overwrite").partitionBy(part).parquet(
+                tmp
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+        _swap_dir_in(tmp, os.path.join(path, sub))
+    shutil.rmtree(os.path.join(path, _IVF_TOMBSTONE_DIR), ignore_errors=True)
+    return cents.count()
+
+
+def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 2) -> int:
+    """RE-QUANTIZE the persisted PQ store: retrain the per-subspace
+    codebook and re-encode the corpus in one pass.  Unlike the IVF
+    store (whose inverted file keeps the raw vectors), the PQ store is
+    LOSSY — codes cannot reconstruct their subvectors — so the retrain
+    takes the CURRENT source subvector relation ``subs`` (vec_id, s, e)
+    explicitly, exactly as a production PQ retrain re-reads the corpus
+    to re-encode it.  Deletions are therefore upstream: pass the
+    surviving subvectors and the rewritten store IS the
+    rebuild-over-survivors.
+
+    Laws (tests/test_round12.py): requantize(subs) leaves the store
+    serving bit-identically to pq_build(subs) — same deterministic
+    init, same decimal-exact means; a replayed requantize is a no-op.
+    Dot-tmp + rename swap, single-writer.  Returns the codeword count
+    (n_subs * k rows)."""
+    import os
+    import shutil
+
+    from .sketches import _swap_dir_in
+
+    cb = pq_fit(subs, k, n_iter).localCheckpoint(eager=True)
+    codes = (
+        assign_codebook(subs, cb)
+        .select("vec_id", "s", "cid")
+        .localCheckpoint(eager=True)  # fully read before the swap
+    )
+    for sub, df in (("codebook", cb), ("codes", codes)):
+        tmp = os.path.join(path, f".{sub}.requant.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        _swap_dir_in(tmp, os.path.join(path, sub))
+    return cb.count()

@@ -90,9 +90,33 @@ def _check_append_chunk(
                 "silently double-count; use a fresh id above the "
                 "watermark"
             )
+        cut = (
+            _max_chunk_retention(store_path)
+            if scope == "*"
+            else max(
+                (
+                    c
+                    for c in (
+                        _read_chunk_retention(store_path),
+                        _read_chunk_retention(store_path, scope=scope)
+                        if scope is not None
+                        else None,
+                    )
+                    if c is not None
+                ),
+                default=None,
+            )
+        )
+        if cut is not None and int(chunk) < cut:
+            raise ValueError(
+                f"chunk id {chunk} is below the chunk-retention cutoff "
+                f"{cut} (chunk_expire): the batch was forgotten — a "
+                "late-arriving replay must not resurrect expired data"
+            )
 
 
 _COMPACT_WATERMARK_FILE = ".compact_watermark"
+_CHUNK_RETENTION_FILE = ".chunk_retention"
 
 
 def _read_int_marker(store_path: str, name: str) -> int | None:
@@ -171,6 +195,100 @@ def _max_compact_watermark(store_path: str) -> int | None:
                 if v is not None:
                     vals.append(v)
     return max(vals) if vals else None
+
+
+def _read_chunk_retention(store_path: str, scope: str | None = None) -> int | None:
+    """The chunk-id retention cutoff (chunks with id < cutoff were
+    forgotten), globally or for one ``scope`` day, or None when never
+    expired."""
+    name = (
+        _CHUNK_RETENTION_FILE
+        if scope is None
+        else f"{_CHUNK_RETENTION_FILE}.{scope}"
+    )
+    return _read_int_marker(store_path, name)
+
+
+def _max_chunk_retention(store_path: str) -> int | None:
+    """The max retention cutoff across every scope (day) plus the
+    global one — the guard a MULTI-day batch appender checks (the
+    ``_max_compact_watermark`` discipline): its batch id must clear
+    every day it might touch, or it could resurrect one day's
+    forgotten chunk."""
+    import os
+
+    vals = []
+    if os.path.isdir(store_path):
+        for f in os.listdir(store_path):
+            if f == _CHUNK_RETENTION_FILE or f.startswith(
+                _CHUNK_RETENTION_FILE + "."
+            ):
+                v = _read_int_marker(store_path, f)
+                if v is not None:
+                    vals.append(v)
+    return max(vals) if vals else None
+
+
+def chunk_expire(path: str, before_chunk: int, day: str | None = None) -> list[str]:
+    """CHUNK-dimension retention WITHIN retained days (r11 VERDICT #5 —
+    the missing axis of the retention matrix: ``rollup_expire`` drops
+    whole days; this drops batches inside a day): remove every
+    ``chunk=<id>`` partition with ``0 <= id < before_chunk`` under
+    ``day=<day>`` (or under EVERY day when ``day is None`` — the
+    batch-ids-are-global convention the streaming writers use).  Like
+    day expiry it is directory removal — no engine, no scan, and the
+    range readers re-derive honestly from the surviving chunks (the
+    per-(day, chunk, g) bound algebra never assumed a dense chunk
+    sequence).  Persists a MONOTONE retention marker
+    (``.chunk_retention`` / ``.chunk_retention.<day>``) that the shared
+    appender guard enforces, so a late-arriving replay of a forgotten
+    batch cannot resurrect it; replayed or lower-cutoff expires are
+    no-ops (marker monotone, dirs already gone).
+
+    REFUSES (ValueError) when an affected day carries a compaction
+    watermark: chunks at or below the watermark live only inside the
+    merged ``chunk=-1`` partition, where a chunk-granular drop is
+    physically impossible — run chunk retention BEFORE compaction, or
+    rebuild the day.  Returns the dropped partition paths (relative)."""
+    import os
+    import shutil
+
+    days = (
+        [f"day={day}"]
+        if day is not None
+        else sorted(d for d in os.listdir(path) if d.startswith("day="))
+    )
+    for d in days:
+        sc = d.split("=", 1)[1]
+        wm_scoped = _read_compact_watermark(path, scope=sc)
+        wm_global = _read_compact_watermark(path)
+        wm = max((w for w in (wm_scoped, wm_global) if w is not None), default=None)
+        if wm is not None and before_chunk > 0:
+            raise ValueError(
+                f"day {sc} carries compaction watermark {wm}: chunks "
+                "<= the watermark were merged into chunk=-1 and cannot "
+                "be dropped at chunk granularity; run chunk_expire "
+                "before compaction or rebuild the day"
+            )
+    dropped: list[str] = []
+    for d in days:
+        part_dir = os.path.join(path, d)
+        if not os.path.isdir(part_dir):
+            continue
+        for c in sorted(os.listdir(part_dir)):
+            if not c.startswith("chunk="):
+                continue
+            cid = int(c.split("=", 1)[1])
+            if 0 <= cid < before_chunk:
+                shutil.rmtree(os.path.join(part_dir, c))
+                dropped.append(f"{d}/{c}")
+    name = (
+        _CHUNK_RETENTION_FILE
+        if day is None
+        else f"{_CHUNK_RETENTION_FILE}.{day}"
+    )
+    _write_int_marker_monotone(path, name, before_chunk)
+    return dropped
 
 
 def _mark_compacted_chunks(store_path: str, part_dir: str, scope: str) -> None:

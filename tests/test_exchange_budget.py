@@ -766,6 +766,19 @@ BUDGET = {
     "semantic_requantize_trained": 2,  # store-rows distinct + same-cell
                                  # pair join (training paid off-plan
                                  # inside the requantize verb)
+    # round 12 (retrain/retention verbs — VERDICT r11 #3/#5)
+    "ann_ivf_requantize": 3,     # probe window + rank window over the
+                                 # re-frozen store (training paid
+                                 # off-plan inside the requantize verb;
+                                 # same shape as ann_ivf_persisted_topk)
+    "ann_pq_requantize": 2,      # ADC per-(query, vector) agg + rank
+                                 # window; codebook broadcast (same
+                                 # shape as ann_pq_persisted_topk)
+    "mg_chunk_retention": 5,     # summary distinct + thr distinct +
+                                 # per-group total + per-key agg + rank
+                                 # window — all store-geometry-bounded
+                                 # (same shape as stream_mg_grouped's
+                                 # read-back, one less audit join)
 }
 
 

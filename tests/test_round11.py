@@ -14,14 +14,16 @@ from big_data_table_spark import catalog
 
 
 def test_r11_window_staging():
-    keys = list(catalog.queries())
-    assert keys[:50] == catalog._R11_FRONT
+    # r12 re-staged the window head (catalog.py _R12_FRONT); the r11
+    # lists remain the provenance record: FRONT was the 49 r10
+    # spill-overs + the stalest refresh, NEXT the 8 r11-new entries.
+    keys = set(catalog.queries())
     assert len(catalog._R11_FRONT) == 50
-    # the 49 r10 spill-overs + the stalest refresh head the window;
-    # new r11 entries follow in staging order
     assert catalog._R11_FRONT[:49] == catalog._R10_NEXT
     assert catalog._R11_FRONT[49] == "range_join_prices"
-    assert keys[50 : 50 + len(catalog._R11_NEXT)] == catalog._R11_NEXT
+    assert len(catalog._R11_NEXT) == 8
+    assert not set(catalog._R11_FRONT) & set(catalog._R11_NEXT)
+    assert set(catalog._R11_FRONT + catalog._R11_NEXT) <= keys
     # every oracle key matches a query key, 1:1
     assert set(catalog.oracle_sql()) <= set(catalog.queries())
 

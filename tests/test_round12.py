@@ -176,3 +176,238 @@ def test_bitmap_compact_purge_multifile_neutral(spark, tmp_path):
     B.bitmap_rollup_purge(spark, path, target_file_bytes=1 << 10)
     assert _nfiles(os.path.join(path, "day=2024-01-05", "chunk=-1")) > 1
     assert rows() == scrubbed
+
+
+def test_r12_window_staging():
+    from big_data_table_spark import catalog
+
+    keys = list(catalog.queries())
+    assert keys[:50] == catalog._R12_FRONT
+    assert len(catalog._R12_FRONT) == 50
+    # the 8 never-driven r11 lifecycle entries head the window; the 42
+    # stalest-evidence r5 refreshes fill it; the 5 spill-overs + the
+    # new r12 entries follow in staging order
+    assert catalog._R12_FRONT[:8] == catalog._R11_NEXT
+    assert catalog._R12_FRONT[8:] == catalog._R5_STALE[:42]
+    assert keys[50 : 50 + len(catalog._R12_NEXT)] == catalog._R12_NEXT
+    assert catalog._R12_NEXT == catalog._R5_STALE[42:] + list(catalog._R12_NEW)
+    assert set(catalog.oracle_sql()) <= set(catalog.queries())
+
+
+def test_ivf_requantize_laws(spark, sf_dir, tmp_path):
+    """IVF store retrain laws (the semantic requantize pin set applied
+    to the ANN family): (1) deleting unseen ids is a no-op and a
+    replayed delete absorbs; (2) deletion takes effect at READ time
+    (the ivf_load scrub) before any requantize; (3) requantize ==
+    REBUILD over the survivors — bit-identical centroids AND search;
+    (4) a replayed requantize is a no-op; (5) the tombstone table is
+    cleared (the purge rides along)."""
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import clustering as C
+    from big_data_table_spark.sources.readers import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    path = str(tmp_path / "ivf12")
+    C.ivf_build(vecs.filter("vec_id % 3 != 2"), path, k=8, n_iter=2)
+    C.ivf_append(spark, path, vecs.filter("vec_id % 3 = 2"))
+    q = vecs.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in C.ann_ivf_persisted_search(spark, path, q).collect()
+        )
+
+    base = rows()
+    assert base
+    # (1) ghost delete is a no-op
+    ghost = spark.range(10**9, 10**9 + 5).selectExpr("id AS vec_id")
+    C.ivf_delete(ghost, path)
+    assert rows() == base
+    # (2) real deletes scrub the search immediately, pre-requantize
+    doomed = vecs.filter("vec_id % 5 = 3").select("vec_id")
+    C.ivf_delete(doomed, path)
+    C.ivf_delete(doomed, path)  # replay absorbs
+    scrubbed = rows()
+    assert scrubbed != base
+    gone = {r.vec_id for r in doomed.collect()}
+    assert not any(t[1] in gone for t in scrubbed)
+    # (3) requantize == rebuild over survivors
+    C.ivf_requantize(spark, path, k=8, n_iter=2)
+    after = rows()
+    ref_path = str(tmp_path / "ivf12_ref")
+    C.ivf_build(vecs.filter("vec_id % 5 != 3"), ref_path, k=8, n_iter=2)
+    ref = sorted(
+        tuple(r)
+        for r in C.ann_ivf_persisted_search(spark, ref_path, q).collect()
+    )
+    assert after == ref
+    cents = sorted(
+        (r.cid, tuple(r.c))
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    ref_cents = sorted(
+        (r.cid, tuple(r.c))
+        for r in spark.read.parquet(os.path.join(ref_path, "centroids")).collect()
+    )
+    assert cents == ref_cents
+    # (5) tombstones cleared
+    assert not os.path.isdir(os.path.join(path, C._IVF_TOMBSTONE_DIR))
+    # (4) replayed requantize is a no-op
+    C.ivf_requantize(spark, path, k=8, n_iter=2)
+    assert rows() == after
+    # size-derived k: the default arm derives k from the store via the
+    # shared rule; Lloyd may empty cells, so the surviving centroid
+    # count is bounded by (and here close to) the derived k
+    from big_data_table_spark.functions.similarity import sem_n_centroids_for
+
+    n = spark.read.parquet(os.path.join(path, "inverted")).count()
+    got = C.ivf_requantize(spark, path)
+    assert 0 < got <= sem_n_centroids_for(n)
+
+
+def test_pq_requantize_laws(spark, sf_dir, tmp_path):
+    """PQ store retrain laws: the re-encode over the current source
+    leaves the store serving bit-identically to a fresh build over the
+    same source (stale build leaves NO residue), and a replayed
+    requantize is a no-op.  The verb takes the source subvectors
+    explicitly because the codes table is lossy."""
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import clustering as C
+    from big_data_table_spark.sources.readers import Tables
+
+    n_subs, sub_len, n_codes = 8, 8, 16
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("fe"))
+
+    def to_subs(v):
+        return v.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_subs - 1))).alias("s"),
+            "fe",
+        ).select(
+            "vec_id",
+            "s",
+            F.expr(f"slice(fe, 1 + s * {sub_len}, {sub_len})").alias("e"),
+        )
+
+    survivors = to_subs(vecs.filter("vec_id % 7 != 3"))
+    path = str(tmp_path / "pq12")
+    C.pq_build(to_subs(vecs.filter("vec_id % 4 != 3")), path, k=n_codes, n_iter=2)
+    assert C.pq_requantize(spark, path, survivors, k=n_codes, n_iter=2) > 0
+    ref_path = str(tmp_path / "pq12_ref")
+    C.pq_build(survivors, ref_path, k=n_codes, n_iter=2)
+
+    def store(p):
+        cb = sorted(
+            (r.s, r.cid, tuple(r.c))
+            for r in spark.read.parquet(os.path.join(p, "codebook")).collect()
+        )
+        codes = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(p, "codes")).collect()
+        )
+        return cb, codes
+
+    assert store(path) == store(ref_path)
+    qsubs = survivors.filter("vec_id >= 16 AND vec_id < 21").select(
+        F.col("vec_id").alias("qid"), "s", F.col("e").alias("qe")
+    )
+    out = sorted(
+        tuple(r) for r in C.ann_pq_persisted_search(spark, path, qsubs).collect()
+    )
+    ref_out = sorted(
+        tuple(r)
+        for r in C.ann_pq_persisted_search(spark, ref_path, qsubs).collect()
+    )
+    assert out == ref_out and out
+    # replayed requantize is a no-op
+    C.pq_requantize(spark, path, survivors, k=n_codes, n_iter=2)
+    assert store(path) == store(ref_path)
+
+
+def test_chunk_expire_laws(spark, sf_dir, tmp_path):
+    """Chunk-dimension retention laws: (1) post-expiry read == rebuild
+    over the retained batches; (2) replayed and lower-cutoff expires
+    are no-ops (monotone marker, dirs gone); (3) the appender guard
+    REJECTS a late replay of a forgotten batch id — global and
+    day-scoped markers both enforced for multi-day appenders; (4)
+    chunk expiry after compaction refuses (the merged chunk=-1 cannot
+    be dropped at chunk granularity)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.sources.readers import load_events
+
+    lo, hi = "2024-01-08", "2024-01-21"
+    ev = load_events(spark, sf_dir).filter(
+        F.to_date("ts").cast("string").between(lo, hi)
+    )
+    path = str(tmp_path / "mgcr")
+    for b in range(3):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 3 == b), path, batch_id=b
+        )
+    dropped = MG.chunk_expire(path, before_chunk=1)
+    assert dropped and all(d.endswith("chunk=0") for d in dropped)
+    # (2) replay + lower cutoff: no-ops
+    assert MG.chunk_expire(path, before_chunk=1) == []
+    assert MG.chunk_expire(path, before_chunk=0) == []
+    assert MG._read_chunk_retention(path) == 1
+
+    def rows(p):
+        return sorted(
+            tuple(r)
+            for r in MG.mg_rollup_grouped_chunked_range_topk(
+                spark, p, lo, hi
+            ).collect()
+        )
+
+    # (1) rebuild equivalence over retained batches
+    ref_path = str(tmp_path / "mgcr_ref")
+    for b in (1, 2):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 3 == b), ref_path, batch_id=b
+        )
+    assert rows(path) == rows(ref_path)
+    # (3) a late replay of the forgotten batch raises — not resurrects
+    with pytest.raises(ValueError, match="retention cutoff"):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 3 == 0), path, batch_id=0
+        )
+    assert rows(path) == rows(ref_path)
+    # day-scoped marker blocks the multi-day appender too
+    day_path = str(tmp_path / "mgcr_day")
+    for b in range(2):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 3 == b), day_path, batch_id=b
+        )
+    MG.chunk_expire(day_path, before_chunk=1, day=lo)
+    assert MG._read_chunk_retention(day_path, scope=lo) == 1
+    assert MG._read_chunk_retention(day_path) is None
+    with pytest.raises(ValueError, match="retention cutoff"):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 3 == 0),
+            day_path,
+            batch_id=0,
+        )
+    # (4) after compaction, chunk-granular retention refuses
+    comp_path = str(tmp_path / "mgcr_comp")
+    for b in range(2):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 3 == b), comp_path, batch_id=b
+        )
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(comp_path)
+        if d.startswith("day=")
+    )
+    MG.mg_rollup_grouped_compact(spark, comp_path, days[0])
+    with pytest.raises(ValueError, match="compaction watermark"):
+        MG.chunk_expire(comp_path, before_chunk=1)
