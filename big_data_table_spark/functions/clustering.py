@@ -331,6 +331,26 @@ def ivfpq_build(
     the raw floats ever run on the query path."""
     import os
 
+    cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    codes.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def _ivfpq_tables(
+    vecs: DataFrame,
+    n_cent: int,
+    n_subs: int,
+    sub_len: int,
+    n_codes: int,
+    n_iter: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The residual IVF-PQ training computation shared by build and
+    re-quantize: (centroids (cid, c), codebook (s, code, c) trained on
+    residuals, codes (vec_id, s, code, cid)) — all deterministic
+    functions of ``vecs``, so requantize == rebuild by construction."""
     cents = kmeans_fit(vecs, n_cent, n_iter).localCheckpoint(eager=True)
     assigned = assign_clusters(vecs, cents).localCheckpoint(eager=True)
     res = assigned.join(F.broadcast(cents), "cid").select(
@@ -351,13 +371,7 @@ def ivfpq_build(
         .select("vec_id", "s", F.col("cid").alias("code"))
         .join(assigned.select("vec_id", "cid"), "vec_id")
     )
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    cb.select("s", F.col("cid").alias("code"), "c").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "codebook"))
-    codes.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(path, "codes")
-    )
+    return cents, cb.select("s", F.col("cid").alias("code"), "c"), codes
 
 
 def ann_ivfpq_persisted_search(
@@ -591,3 +605,49 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
         df.write.mode("overwrite").parquet(tmp)
         _swap_dir_in(tmp, os.path.join(path, sub))
     return cb.count()
+
+
+def ivfpq_requantize(
+    spark,
+    path: str,
+    vecs: DataFrame,
+    n_cent: int = 4,
+    n_subs: int = 8,
+    sub_len: int = 8,
+    n_codes: int = 16,
+    n_iter: int = 2,
+) -> int:
+    """RE-QUANTIZE the persisted residual IVF-PQ store: retrain cells
+    AND residual codebooks and re-encode, all in one pass over the
+    CURRENT source vectors (like the PQ store, codes are lossy, so the
+    corpus re-read is explicit — a production IVFADC retrain does the
+    same).  The three sub-stores swap dot-tmp + rename so concurrent
+    searches never see a half-retrained index (a new codebook scoring
+    old codes would be silently wrong — the swap order ends with codes,
+    and every sub-store is fully materialized before the first swap).
+    Laws (tests/test_round12.py): requantize(vecs) == ivfpq_build(vecs)
+    bit-for-bit (shared ``_ivfpq_tables`` computation), replay no-op.
+    Returns the surviving cell count."""
+    import os
+    import shutil
+
+    from .sketches import _swap_dir_in
+
+    cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
+    codes = codes.localCheckpoint(eager=True)  # fully read before any swap
+    cb = cb.localCheckpoint(eager=True)
+    for sub, df, part in (
+        ("centroids", cents, None),
+        ("codebook", cb, None),
+        ("codes", codes, "cid"),
+    ):
+        tmp = os.path.join(path, f".{sub}.requant.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        if part:
+            df.repartition(part).write.mode("overwrite").partitionBy(part).parquet(
+                tmp
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+        _swap_dir_in(tmp, os.path.join(path, sub))
+    return cents.count()

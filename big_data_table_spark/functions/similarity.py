@@ -708,6 +708,10 @@ def semantic_index_requantize(
             # never be a nearest neighbour anyway; keep the cosine finite
         )
     else:
+        # TakeOrdered routes k ~ sqrt(n) rows through the driver — fine
+        # to ~10^12 vectors (k ~ 1M); beyond that use the trained arm
+        # or replace with a threshold filter (vec_id < kth-id) that
+        # stays distributed (r11 VERDICT, minor)
         cents = rows.orderBy("vec_id").limit(k).selectExpr(
             "vec_id AS cid", "e", "nrm"
         )

@@ -411,3 +411,50 @@ def test_chunk_expire_laws(spark, sf_dir, tmp_path):
     MG.mg_rollup_grouped_compact(spark, comp_path, days[0])
     with pytest.raises(ValueError, match="compaction watermark"):
         MG.chunk_expire(comp_path, before_chunk=1)
+
+
+def test_ivfpq_requantize_laws(spark, sf_dir, tmp_path):
+    """Residual IVF-PQ retrain laws: requantize(vecs) leaves all three
+    sub-stores bit-identical to ivfpq_build(vecs) (shared computation),
+    a replayed requantize is a no-op, and the search serves identically
+    — the stale initial build leaves no residue."""
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import clustering as C
+    from big_data_table_spark.sources.readers import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    survivors = vecs.filter("vec_id % 7 != 3")
+    path = str(tmp_path / "ivfpq12")
+    C.ivfpq_build(vecs.filter("vec_id % 4 != 3"), path)
+    assert C.ivfpq_requantize(spark, path, survivors) > 0
+    ref_path = str(tmp_path / "ivfpq12_ref")
+    C.ivfpq_build(survivors, ref_path)
+
+    def store(p):
+        return tuple(
+            sorted(
+                tuple(
+                    tuple(v) if isinstance(v, list) else v for v in r
+                )
+                for r in spark.read.parquet(os.path.join(p, sub)).collect()
+            )
+            for sub in ("centroids", "codebook", "codes")
+        )
+
+    assert store(path) == store(ref_path)
+    q = survivors.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe0")
+    )
+    out = sorted(
+        tuple(r) for r in C.ann_ivfpq_persisted_search(spark, path, q).collect()
+    )
+    ref_out = sorted(
+        tuple(r)
+        for r in C.ann_ivfpq_persisted_search(spark, ref_path, q).collect()
+    )
+    assert out == ref_out and out
+    # replayed requantize is a no-op
+    C.ivfpq_requantize(spark, path, survivors)
+    assert store(path) == store(ref_path)
