@@ -65,6 +65,8 @@ PICKS = {
     "semantic_dedup_clusters": "SemDeDup report: per-cell stats + dominated-vector distinct over the CHECKPOINTED assignment and within-cell pair stages; the pair join is cell-bounded (sum of cell-size^2), never corpus-quadratic.",
     "hybrid_retrieval_rerank": "Two-stage retrieval: the rerank joins the checkpointed <=20-row BM25 candidates to their embeddings and ranks in ONE bounded window — stage 2 costs |candidates| dot products by construction.",
     "stream_semantic_crawl": "Crawl read-back: a pure scan of the per-trigger probe sinks — each trigger paid |batch| frozen-quantizer assignment + same-cell verification in its own micro-batch plan.",
+    "ann_ivf_requantize": "Search over the RE-QUANTIZED IVF store: broadcast re-frozen centroids pick cells, cid-partitioned inverted scan + rank window — the retrain (Lloyd over survivors) ran inside the verb, before this plan existed; no tombstone scrub remains (the purge rode along).",
+    "mg_chunk_retention": "Grouped range read after chunk expiry: the partition-pruned summary scan simply no longer lists the dropped chunk dirs — retention is invisible to the plan, exactly like day-level expiry; bound algebra unchanged over the surviving (day, chunk, g) summaries.",
 }
 
 if __name__ == "__main__":
