@@ -245,6 +245,89 @@ def mg_chunk_retention_oracle() -> str:
     )
 
 
+_CMS_CR_RANGE = ("2024-01-10", "2024-01-12")
+
+
+def cms_chunk_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-dimension retention on the ADDITIVE merge class
+    (functions/sketches.py CMS store — the semantically distinct arm
+    next to ``mg_chunk_retention``'s SET class): three data-borne
+    batches per day land as (day, chunk) counter partitions via the
+    idempotent dynamic-partition-overwrite append, batch 0 is
+    forgotten (``chunk_expire(before_chunk=1)``, replayed + a lower
+    cutoff — both no-ops), and the range top-k estimate is answered
+    from the surviving counters.  Counter addition is exact, so the
+    SUM-merged post-expiry sketch is bit-for-bit the sketch a one-shot
+    pass over the RETAINED events would build — the oracle
+    (``cms_heavy_hitters_sql`` with the expired batch excluded at the
+    source) proves the whole estimate chain re-derives, not merely
+    membership.  A late replay of the forgotten batch raises at the
+    shared appender guard instead of resurrecting counts — in the
+    additive class that guard has teeth: the replayed counters would
+    silently DOUBLE every retained estimate (pinned in
+    test_round12.py).  At 100 TB: directory removal + a marker, no
+    counter rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions import mg_store as MG
+    from .functions import sketches as SK
+    from .sources.readers import load_events
+
+    register_views(spark, sf_dir)
+    lo, hi = _CMS_CR_RANGE
+    day_col = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    ev = load_events(spark, sf_dir).filter(day_col.between(lo, hi))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_cms_cr_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    days = [r[0] for r in ev.select(day_col.alias("d")).distinct().collect()]
+    for d in sorted(days):
+        ev_day = ev.filter(day_col == d)
+        for b in range(3):
+            SK.cms_rollup_append_chunk(
+                ev_day.filter(F.col("user_id").cast("long") % 3 == b),
+                path,
+                d,
+                b,
+            )
+    MG.chunk_expire(path, before_chunk=1)
+    MG.chunk_expire(path, before_chunk=1)  # replay — no-op
+    MG.chunk_expire(path, before_chunk=0)  # lower cutoff — marker monotone
+    retained = ev.filter(F.col("user_id").cast("long") % 3 >= 1)
+    top = (
+        retained.groupBy(F.col("user_id").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "v")
+        .limit(20)
+        .localCheckpoint(eager=True)  # feeds both the probe and the audit
+    )
+    est = SK.cms_rollup_range_estimates(spark, path, lo, hi, top.select("v"))
+    return top.join(est, "v").select(
+        F.col("v").alias("key"),
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+def cms_chunk_retention_oracle() -> str:
+    from .functions import sketches as SK
+    from .functions.portable import DUCK
+
+    lo, hi = _CMS_CR_RANGE
+    src = (
+        f"(SELECT * FROM events "
+        f"WHERE CAST(ts AS DATE) BETWEEN DATE '{lo}' AND DATE '{hi}' "
+        f"AND CAST(user_id AS BIGINT) % 3 >= 1)"
+    )
+    return SK.cms_heavy_hitters_sql(src, "user_id", topk=20, dialect=DUCK)
+
+
 def r12_specs():
     """Round-12 QuerySpec registrations, merged into the catalog by
     catalog.py (the chunk convention)."""
@@ -275,5 +358,14 @@ def r12_specs():
             "grouped SpaceSaving store: directory-removal expiry + "
             "monotone marker the appender guard enforces; range "
             "top-k == rebuild over the retained batches.",
+        ),
+        "cms_chunk_retention": QuerySpec(
+            cms_chunk_retention_q,
+            cms_chunk_retention_oracle(),
+            doc="Chunk-dimension retention on the ADDITIVE class (CMS "
+            "counter store): post-expiry SUM-merged sketch is bit-"
+            "identical to a one-shot pass over the retained events; "
+            "the appender guard prevents the double-count a replayed "
+            "forgotten batch would cause.",
         ),
     }

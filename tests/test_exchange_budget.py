@@ -779,6 +779,10 @@ BUDGET = {
                                  # window — all store-geometry-bounded
                                  # (same shape as stream_mg_grouped's
                                  # read-back, one less audit join)
+    "cms_chunk_retention": 1,    # top-k audit agg; the SUM-merged
+                                 # sketch read and probe are broadcast-
+                                 # scale (same shape as
+                                 # cms_rollup_persisted)
 }
 
 

@@ -458,3 +458,61 @@ def test_ivfpq_requantize_laws(spark, sf_dir, tmp_path):
     # replayed requantize is a no-op
     C.ivfpq_requantize(spark, path, survivors)
     assert store(path) == store(ref_path)
+
+
+def test_cms_chunk_expire_additive_guard(spark, sf_dir, tmp_path):
+    """Chunk retention on the ADDITIVE class: (1) post-expiry range
+    estimates == a fresh store built from the retained batches only
+    (exact counter addition); (2) the appender guard REJECTS a replay
+    of the forgotten batch id — in this class the guard has teeth: the
+    replayed counters would silently DOUBLE every retained estimate
+    (dynamic-partition overwrite absorbs same-id replays only while
+    the partition still exists)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.sources.readers import load_events
+
+    lo, hi = "2024-01-10", "2024-01-11"
+    day_col = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    ev = load_events(spark, sf_dir).filter(day_col.between(lo, hi))
+    keys = (
+        ev.select(F.col("user_id").cast("long").alias("v")).distinct().limit(10)
+    ).localCheckpoint(eager=True)
+
+    def build(p, batches):
+        for d in [lo, hi]:
+            ev_day = ev.filter(day_col == d)
+            for b in batches:
+                SK.cms_rollup_append_chunk(
+                    ev_day.filter(F.col("user_id").cast("long") % 3 == b),
+                    p,
+                    d,
+                    b,
+                )
+
+    def est(p):
+        return sorted(
+            tuple(r)
+            for r in SK.cms_rollup_range_estimates(spark, p, lo, hi, keys).collect()
+        )
+
+    path = str(tmp_path / "cmscr")
+    build(path, [0, 1, 2])
+    MG.chunk_expire(path, before_chunk=1)
+    ref_path = str(tmp_path / "cmscr_ref")
+    build(ref_path, [1, 2])
+    assert est(path) == est(ref_path)
+    # the forgotten batch cannot come back — raises, estimates stable
+    with pytest.raises(ValueError, match="retention cutoff"):
+        SK.cms_rollup_append_chunk(
+            ev.filter(day_col == lo).filter(
+                F.col("user_id").cast("long") % 3 == 0
+            ),
+            path,
+            lo,
+            0,
+        )
+    assert est(path) == est(ref_path)
