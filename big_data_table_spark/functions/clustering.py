@@ -192,7 +192,17 @@ def ann_ivf_persisted_search(
     dynamic partition pruning on the scan).  Identical ranking math to
     the in-query trained variant (catalog.ann_ivf_trained_q), so the
     same seed yields bit-identical top-k — pinned by sharing that
-    entry's oracle."""
+    entry's oracle.
+
+    Replay absorption (r12, with ``ivf_append``): an at-least-once
+    replayed append duplicates inverted rows, and ROW_NUMBER would
+    hand a duplicated neighbor two rank slots.  Duplicates of one
+    neighbor are ADJACENT under the rank window's own (cos DESC, id
+    ASC) order — identical vectors score identically — so a LAG over
+    the SAME window spec drops them before ranking: one more Window
+    node, ZERO new exchanges (pinned by the unchanged budget row), a
+    no-op for exactly-once stores, and the same DISTINCT-on-read
+    contract every other store family gives its probes."""
     from pyspark.sql import Window
 
     cents, inverted = ivf_load(spark, path)
@@ -228,8 +238,13 @@ def ann_ivf_persisted_search(
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
+    deduped = (
+        scored.withColumn("_prev", F.lag("neighbor_id").over(wr))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("neighbor_id")))
+        .drop("_prev")
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        deduped.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
@@ -490,12 +505,11 @@ def ivf_append(spark, path: str, vecs: DataFrame) -> None:
     shuffle, no Lloyd) and append them to the cid-partitioned inverted
     file.  This is what keeps ingestion cheap between re-quantizes; the
     drift it accumulates (new vectors quantized under stale geometry)
-    is exactly what :func:`ivf_requantize` repays.  Replayed appends
-    duplicate rows; the re-quantize's DISTINCT absorbs them and a
-    replay between re-quantizes only duplicates candidates inside the
-    probed cell (rank output unchanged: ROW_NUMBER ties break on
-    neighbor id, and duplicate (id, score) rows collapse to one rank
-    run — still, run appends exactly-once where possible)."""
+    is exactly what :func:`ivf_requantize` repays.  At-least-once
+    safe: replayed appends duplicate rows, the search's same-window
+    LAG dedupe absorbs them at probe time (see
+    :func:`ann_ivf_persisted_search`) and the re-quantize's DISTINCT
+    reclaims them physically."""
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))

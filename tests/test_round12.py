@@ -224,6 +224,11 @@ def test_ivf_requantize_laws(spark, sf_dir, tmp_path):
 
     base = rows()
     assert base
+    # replayed append: the probe's same-window LAG dedupe absorbs the
+    # duplicated inverted rows — top-k unchanged, no duplicate
+    # neighbor occupying two rank slots
+    C.ivf_append(spark, path, vecs.filter("vec_id % 3 = 2"))
+    assert rows() == base
     # (1) ghost delete is a no-op
     ghost = spark.range(10**9, 10**9 + 5).selectExpr("id AS vec_id")
     C.ivf_delete(ghost, path)
