@@ -1087,7 +1087,7 @@ def _kmeans_dist_sql(e: str, c: str) -> str:
 
 
 def _kmeans_ctes(
-    k: int, n_iter: int, where: str = ""
+    k: int, n_iter: int, where: str = "", train_where: str = ""
 ) -> tuple[list[str], str, str]:
     """Unrolled Lloyd iterations as DuckDB CTEs — the same init,
     rounded-distance argmin, and decimal-exact elementwise means as
@@ -1096,13 +1096,18 @@ def _kmeans_ctes(
     ``where`` (e.g. ``" WHERE vec_id % 5 <> 3"``) restricts the vector
     source — the SURVIVING set for the re-quantize oracles; the init
     filter ``vec_id < k`` then selects over survivors in both engines
-    (kmeans_fit applies it to whatever relation it is given)."""
-    def assign(name, cents):
+    (kmeans_fit applies it to whatever relation it is given).
+    ``train_where`` (bare predicate, no WHERE) restricts init and the
+    Lloyd ITERATIONS to a training subset while the FINAL assignment
+    still covers all of v0 — the bootstrap-then-frozen-append topology
+    of the streaming IVF store (train on batch 0, assign everything
+    under the frozen centroids)."""
+    def assign(name, cents, src="v0"):
         return (
             f"{name} AS (SELECT vec_id, cid, e FROM ("
             f"SELECT v.vec_id, c.cid, v.e, ROW_NUMBER() OVER (PARTITION BY v.vec_id "
             f"ORDER BY {_kmeans_dist_sql('v.e', 'c.c')} ASC, c.cid ASC) AS rn "
-            f"FROM v0 v JOIN {cents} c ON 1 = 1) _t WHERE rn = 1)"
+            f"FROM {src} v JOIN {cents} c ON 1 = 1) _t WHERE rn = 1)"
         )
 
     def update(aname, mname, cname):
@@ -1117,10 +1122,16 @@ def _kmeans_ctes(
     ctes = [
         "v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
         f"FROM embeddings{where})",
-        f"c0 AS (SELECT vec_id AS cid, e AS c FROM v0 WHERE vec_id < {k})",
     ]
+    tsrc = "v0"
+    if train_where:
+        ctes.append(f"v0t AS (SELECT vec_id, e FROM v0 WHERE {train_where})")
+        tsrc = "v0t"
+    ctes.append(
+        f"c0 AS (SELECT vec_id AS cid, e AS c FROM {tsrc} WHERE vec_id < {k})"
+    )
     for i in range(1, n_iter + 1):
-        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(assign(f"a{i}", f"c{i - 1}", tsrc))
         ctes.append(update(f"a{i}", f"m{i}", f"c{i}"))
     ctes.append(assign("afinal", f"c{n_iter}"))
     return ctes, f"c{n_iter}", "afinal"
@@ -1217,13 +1228,18 @@ def _ann_ivf_trained_oracle(
     n_queries: int = 5,
     k: int = 5,
     where: str = "",
+    train_where: str = "",
 ) -> str:
     """Unrolled k-means (same CTEs as _kmeans_oracle) + probe + rank.
     ``where`` restricts the vector source to the surviving set — the
     re-quantize oracle (catalog_r12) reuses this WHOLE text, so the
     persisted-retrain entry and the in-query trained entry share one
-    formulation by construction."""
-    ctes, cents, afinal = _kmeans_ctes(n_centroids, n_iter, where=where)
+    formulation by construction.  ``train_where`` restricts training
+    (not assignment) — the streaming-store oracle's bootstrap-frozen
+    topology."""
+    ctes, cents, afinal = _kmeans_ctes(
+        n_centroids, n_iter, where=where, train_where=train_where
+    )
     cos = (
         "ROUND(list_dot_product(q.e, cd.e) / "
         "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cd.e, cd.e))), 9)"

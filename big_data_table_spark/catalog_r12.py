@@ -245,6 +245,22 @@ def mg_chunk_retention_oracle() -> str:
     )
 
 
+def stream_ivf_index_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import stream_ivf_index_store
+
+    register_views(spark, sf_dir)
+    return stream_ivf_index_store(spark, sf_dir)
+
+
+def stream_ivf_index_store_oracle() -> str:
+    from .catalog_breadth import _ann_ivf_trained_oracle
+
+    return _ann_ivf_trained_oracle(
+        n_centroids=8, n_iter=2, n_probe=2, n_queries=5, k=5,
+        train_where="vec_id % 3 = 0",
+    )
+
+
 _CMS_CR_RANGE = ("2024-01-10", "2024-01-12")
 
 
@@ -367,5 +383,16 @@ def r12_specs():
             "identical to a one-shot pass over the retained events; "
             "the appender guard prevents the double-count a replayed "
             "forgotten batch would cause.",
+        ),
+        "stream_ivf_index_store": QuerySpec(
+            stream_ivf_index_store_q,
+            stream_ivf_index_store_oracle(),
+            doc="Streaming writer for the IVF ANN store (the ANN arm "
+            "of the crawl matrix): batch 0 bootstraps the trained "
+            "quantizer, later batches append frozen-geometry (one "
+            "deliberately replayed — the probe-side dedupe absorbs "
+            "it); search == the one-shot train-on-batch-0 "
+            "reconstruction (shared unrolled-Lloyd oracle, "
+            "train_where arm).",
         ),
     }

@@ -1799,3 +1799,77 @@ def click_purchase_full_join(
             "gap_seconds"
         ),
     )
+
+
+def stream_ivf_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writer for the persisted IVF ANN store — the ANN arm
+    of the crawl matrix (MinHash-LSH / prefix-filter / SimHash /
+    nearest-centroid / BM25 / now IVF): embeddings arrive in three
+    micro-batches (``vec_id % 3``, file mtimes pin the order); batch 0
+    BOOTSTRAPS the store (``ivf_build`` — distributed Lloyd trains the
+    coarse quantizer on the bootstrap batch alone), later batches
+    append under the FROZEN centroids (``ivf_append`` — broadcast
+    assignment, no Lloyd ever again).  Batch 2's append is issued
+    TWICE: the at-least-once replay the probe-side LAG dedupe absorbs
+    (ann_ivf_persisted_search, r12) — the top-k is pinned unchanged by
+    the oracle.  The read-back is the standard persisted search over
+    the full store.
+
+    The oracle is ``_ann_ivf_trained_oracle(train_where=...)`` — the
+    SAME unrolled-Lloyd text, with init + iterations restricted to the
+    bootstrap batch and the FINAL assignment over the whole corpus —
+    proving the stream's train-once-append-frozen evolution equals the
+    one-shot reconstruction.  At 100 TB: per-trigger work is |batch| x
+    |centroids| broadcast comparisons + a cid-partitioned append; the
+    corpus is never re-assigned, the parquet index is the only state,
+    and the periodic ``ivf_requantize`` retrain (catalog_r12) repays
+    the quantizer drift this topology accumulates."""
+    import shutil
+    import tempfile
+
+    from ..functions.clustering import (
+        ann_ivf_persisted_search,
+        ivf_append,
+        ivf_build,
+    )
+    from ..sources.readers import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_stream_ivf_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    idx = os.path.join(root, "index")
+
+    stream = _batched_corpus_stream(
+        spark, vecs, root, src_dir, n=3, key_col="vec_id", prefix="ivfstore"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        bvecs = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        if batch_id == 0:
+            ivf_build(bvecs, idx, k=8, n_iter=2)
+            return
+        ivf_append(bspark, idx, bvecs)
+        if batch_id == 2:  # the deliberate at-least-once replay
+            ivf_append(bspark, idx, bvecs)
+
+    with _stream_shuffle_scope(spark):
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    full = vecs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qdf = full.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ann_ivf_persisted_search(spark, idx, qdf, n_probe=2, topk=5)

@@ -783,6 +783,11 @@ BUDGET = {
                                  # sketch read and probe are broadcast-
                                  # scale (same shape as
                                  # cms_rollup_persisted)
+    "stream_ivf_index_store": 3,  # post-stream read-back: probe window
+                                 # + dedupe/rank windows over the
+                                 # cid-pruned store scan (same shape
+                                 # as ann_ivf_persisted_topk; training
+                                 # paid per-trigger inside the stream)
 }
 
 
