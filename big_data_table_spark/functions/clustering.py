@@ -552,11 +552,16 @@ def ivf_requantize(
     survivors (same init, same vectors — bit-identical centroids and
     search results); a REPLAYED requantize is a no-op; tombstoned
     vectors are dropped and the tombstone table cleared (the purge
-    rides along — re-assignment rewrites inverted/ anyway).  Dot-tmp +
-    rename swap, single-writer.  The inverted rewrite stays
-    cid-partitioned (multi-task — one task per cell partition, the
-    same layout the probes prune on); centroids are k rows, bounded.
-    Returns the new centroid count."""
+    rides along — the whole-root swap leaves the tombstone dir
+    behind).  Both sub-stores stage inside ONE sibling dot-tmp root
+    and the STORE ROOT swaps in a single rename pair (r12 hardening):
+    a concurrent search can race the swap into a brief absent-root
+    window — the same window every store compactor already has — but
+    can never pair new centroids with an old inverted file (a
+    cross-version read would silently mis-prune cells).  The inverted
+    rewrite stays cid-partitioned (multi-task — one task per cell
+    partition, the same layout the probes prune on); centroids are k
+    rows, bounded.  Returns the new centroid count."""
     import os
     import shutil
 
@@ -572,17 +577,14 @@ def ivf_requantize(
     kk = k if k is not None else sem_n_centroids_for(rows.count())
     cents = kmeans_fit(rows, k=kk, n_iter=n_iter).localCheckpoint(eager=True)
     assigned = assign_clusters(rows, cents).localCheckpoint(eager=True)
-    for sub, df, part in (("centroids", cents, None), ("inverted", assigned, "cid")):
-        tmp = os.path.join(path, f".{sub}.requant.tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        if part:
-            df.repartition(part).write.mode("overwrite").partitionBy(part).parquet(
-                tmp
-            )
-        else:
-            df.write.mode("overwrite").parquet(tmp)
-        _swap_dir_in(tmp, os.path.join(path, sub))
-    shutil.rmtree(os.path.join(path, _IVF_TOMBSTONE_DIR), ignore_errors=True)
+    head, tail = os.path.split(path.rstrip("/"))
+    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
+    assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(tmp_root, "inverted")
+    )
+    _swap_dir_in(tmp_root, path)
     return cents.count()
 
 
@@ -600,8 +602,11 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
     Laws (tests/test_round12.py): requantize(subs) leaves the store
     serving bit-identically to pq_build(subs) — same deterministic
     init, same decimal-exact means; a replayed requantize is a no-op.
-    Dot-tmp + rename swap, single-writer.  Returns the codeword count
-    (n_subs * k rows)."""
+    Both sub-stores stage inside ONE sibling dot-tmp root and the
+    STORE ROOT swaps in a single rename pair (r12 hardening): a racing
+    reader can never pair the new codebook with old codes — ADC with a
+    cross-version codebook would be silently wrong.  Single-writer.
+    Returns the codeword count (n_subs * k rows)."""
     import os
     import shutil
 
@@ -613,11 +618,12 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
         .select("vec_id", "s", "cid")
         .localCheckpoint(eager=True)  # fully read before the swap
     )
-    for sub, df in (("codebook", cb), ("codes", codes)):
-        tmp = os.path.join(path, f".{sub}.requant.tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        _swap_dir_in(tmp, os.path.join(path, sub))
+    head, tail = os.path.split(path.rstrip("/"))
+    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(tmp_root, "codes"))
+    _swap_dir_in(tmp_root, path)
     return cb.count()
 
 
@@ -635,10 +641,11 @@ def ivfpq_requantize(
     AND residual codebooks and re-encode, all in one pass over the
     CURRENT source vectors (like the PQ store, codes are lossy, so the
     corpus re-read is explicit — a production IVFADC retrain does the
-    same).  The three sub-stores swap dot-tmp + rename so concurrent
-    searches never see a half-retrained index (a new codebook scoring
-    old codes would be silently wrong — the swap order ends with codes,
-    and every sub-store is fully materialized before the first swap).
+    same).  All three sub-stores stage inside ONE sibling dot-tmp root
+    and the STORE ROOT swaps in a single rename pair (r12 hardening):
+    a racing search can never mix sub-store versions — a new codebook
+    scoring old codes would be silently wrong, and per-sub-store swaps
+    left exactly that window open between renames.
     Laws (tests/test_round12.py): requantize(vecs) == ivfpq_build(vecs)
     bit-for-bit (shared ``_ivfpq_tables`` computation), replay no-op.
     Returns the surviving cell count."""
@@ -648,20 +655,15 @@ def ivfpq_requantize(
     from .sketches import _swap_dir_in
 
     cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
-    codes = codes.localCheckpoint(eager=True)  # fully read before any swap
+    codes = codes.localCheckpoint(eager=True)  # fully read before the swap
     cb = cb.localCheckpoint(eager=True)
-    for sub, df, part in (
-        ("centroids", cents, None),
-        ("codebook", cb, None),
-        ("codes", codes, "cid"),
-    ):
-        tmp = os.path.join(path, f".{sub}.requant.tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        if part:
-            df.repartition(part).write.mode("overwrite").partitionBy(part).parquet(
-                tmp
-            )
-        else:
-            df.write.mode("overwrite").parquet(tmp)
-        _swap_dir_in(tmp, os.path.join(path, sub))
+    head, tail = os.path.split(path.rstrip("/"))
+    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook"))
+    codes.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(tmp_root, "codes")
+    )
+    _swap_dir_in(tmp_root, path)
     return cents.count()

@@ -134,6 +134,14 @@ def _read_int_marker(store_path: str, name: str) -> int | None:
     return None
 
 
+_MARKER_LOCK_WAIT_SEC = 10.0
+"""Bound on waiting for a marker lock.  The critical section is a
+read + a tiny write + two renames — microseconds — so a holder alive
+this long is gone (crashed mid-section, lock file leaked); raising
+with the lock path beats silently stealing (two stealers could both
+"win" and recreate the exact race the lock exists to close)."""
+
+
 def _write_int_marker_monotone(store_path: str, name: str, v: int) -> None:
     """Persist an integer marker, MONOTONE non-decreasing — a replayed
     or stale writer must never lower an established guard.  Written via
@@ -142,24 +150,48 @@ def _write_int_marker_monotone(store_path: str, name: str, v: int) -> None:
     half-flushed value, and a crash in that window would brick the
     store behind int('').
 
-    SINGLE-WRITER ONLY (r11 ADVICE): the read-check-replace sequence is
-    not atomic as a whole — two CONCURRENT writers of the same marker
-    can interleave so a stale writer's os.replace lands after a newer
-    value, regressing the monotone guarantee.  All marker writers are
-    maintenance verbs documented single-writer (the same discipline the
-    rename-aside store swaps already require); if these verbs ever run
-    concurrently, add an O_EXCL lock file around the sequence or
-    re-read after replace and retry on regression."""
+    Concurrency-safe (r11 ADVICE, hardened r12): the read-check-replace
+    sequence is serialized by an O_EXCL lock file, so two CONCURRENT
+    writers can no longer interleave a stale value over a newer one —
+    monotonicity holds even if maintenance verbs ever race (they are
+    still documented single-writer for the STORE swaps; this closes the
+    marker-only hazard).  Readers never block: they see either the old
+    or the new value through the atomic rename, lock or no lock.  A
+    lock older than ``_MARKER_LOCK_WAIT_SEC`` means a holder crashed
+    between acquire and release; the writer raises naming the lock file
+    rather than stealing it (two stealers would recreate the race —
+    and a crashed MARKER writer also means a crashed maintenance verb,
+    which needs operator eyes anyway)."""
     import os
+    import time
 
-    prev = _read_int_marker(store_path, name)
-    if prev is not None and prev >= int(v):
-        return
     os.makedirs(store_path, exist_ok=True)
-    tmp = os.path.join(store_path, f".{name}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(int(v)))
-    os.replace(tmp, os.path.join(store_path, name))
+    lock = os.path.join(store_path, f".{name}.lock")
+    deadline = time.monotonic() + _MARKER_LOCK_WAIT_SEC
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"marker lock {lock} held longer than "
+                    f"{_MARKER_LOCK_WAIT_SEC}s — a marker writer crashed "
+                    "mid-section; verify no maintenance verb is running, "
+                    "then remove the lock file manually"
+                )
+            time.sleep(0.005)
+    try:
+        prev = _read_int_marker(store_path, name)
+        if prev is not None and prev >= int(v):
+            return
+        tmp = os.path.join(store_path, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(int(v)))
+        os.replace(tmp, os.path.join(store_path, name))
+    finally:
+        os.unlink(lock)
 
 
 def _read_compact_watermark(store_path: str, scope: str | None = None) -> int | None:

@@ -521,3 +521,64 @@ def test_cms_chunk_expire_additive_guard(spark, sf_dir, tmp_path):
             0,
         )
     assert est(path) == est(ref_path)
+
+
+def test_marker_monotone_under_concurrent_writers(tmp_path):
+    """The O_EXCL-locked marker writer (r11 ADVICE, hardened r12):
+    64 interleaved writers racing shuffled values leave the marker at
+    the MAX, and a concurrent reader never observes a regression —
+    the exact interleave the unlocked read-check-replace allowed.
+    A leaked lock (crashed holder) raises naming the file instead of
+    silently stealing."""
+    import random
+    import threading
+
+    import pytest
+
+    from big_data_table_spark.functions import mg_store as MG
+
+    store = str(tmp_path / "mstore")
+    vals = list(range(64))
+    random.Random(7).shuffle(vals)
+    seen: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            v = MG._read_int_marker(store, "m")
+            if v is not None:
+                seen.append(v)
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    try:
+        threads = [
+            threading.Thread(
+                target=MG._write_int_marker_monotone, args=(store, "m", v)
+            )
+            for v in vals
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        stop.set()
+        rt.join()
+    assert MG._read_int_marker(store, "m") == 63
+    assert seen == sorted(seen), "reader observed a monotonicity regression"
+    assert not os.path.exists(os.path.join(store, ".m.lock"))
+
+    # leaked lock (simulated crash between acquire and release): the
+    # next writer raises naming the lock rather than stealing it
+    lock = os.path.join(store, ".m.lock")
+    open(lock, "w").close()
+    old = MG._MARKER_LOCK_WAIT_SEC
+    MG._MARKER_LOCK_WAIT_SEC = 0.2
+    try:
+        with pytest.raises(RuntimeError, match=re.escape(lock)):
+            MG._write_int_marker_monotone(store, "m", 99)
+    finally:
+        MG._MARKER_LOCK_WAIT_SEC = old
+        os.unlink(lock)
+    assert MG._read_int_marker(store, "m") == 63
