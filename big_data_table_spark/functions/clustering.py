@@ -566,7 +566,7 @@ def ivf_requantize(
     import shutil
 
     from .similarity import sem_n_centroids_for
-    from .sketches import _swap_dir_in
+    from .sketches import _swap_store_root
 
     rows = (
         ivf_load(spark, path)[1]
@@ -584,7 +584,7 @@ def ivf_requantize(
     assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(tmp_root, "inverted")
     )
-    _swap_dir_in(tmp_root, path)
+    _swap_store_root(tmp_root, path)
     return cents.count()
 
 
@@ -610,7 +610,7 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
     import os
     import shutil
 
-    from .sketches import _swap_dir_in
+    from .sketches import _swap_store_root
 
     cb = pq_fit(subs, k, n_iter).localCheckpoint(eager=True)
     codes = (
@@ -623,7 +623,7 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
     shutil.rmtree(tmp_root, ignore_errors=True)
     cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook"))
     codes.write.mode("overwrite").parquet(os.path.join(tmp_root, "codes"))
-    _swap_dir_in(tmp_root, path)
+    _swap_store_root(tmp_root, path)
     return cb.count()
 
 
@@ -652,7 +652,7 @@ def ivfpq_requantize(
     import os
     import shutil
 
-    from .sketches import _swap_dir_in
+    from .sketches import _swap_store_root
 
     cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
     codes = codes.localCheckpoint(eager=True)  # fully read before the swap
@@ -665,5 +665,5 @@ def ivfpq_requantize(
     codes.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(tmp_root, "codes")
     )
-    _swap_dir_in(tmp_root, path)
+    _swap_store_root(tmp_root, path)
     return cents.count()

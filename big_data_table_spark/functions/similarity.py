@@ -678,13 +678,20 @@ def semantic_index_requantize(
     are deterministic functions of the surviving vector set), and a
     REPLAYED requantize is a no-op.  Tombstoned rows are dropped and
     the tombstone table cleared (re-assignment rewrites rows/ anyway,
-    so the purge rides along free).  Dot-tmp + rename swap,
-    single-writer.  Returns the new centroid count."""
+    so the purge rides along free — the whole-root swap leaves the
+    tombstone dir behind).  Both sub-stores stage inside ONE sibling
+    dot-tmp root and the STORE ROOT swaps in a single rename pair
+    (``_swap_store_root``, r12 hardening): a racing probe can never
+    assign its batch under NEW centroids while comparing against rows
+    assigned under the OLD geometry — per-sub-store swaps left exactly
+    that window open.  The ``.retention`` marker rides the swap
+    (markers survive every verb except build).  Single-writer.
+    Returns the new centroid count."""
     import os
     import shutil
 
     from ..session import register_temp_view
-    from .sketches import _swap_dir_in
+    from .sketches import _swap_store_root
 
     rows = _semantic_store_rows(spark, path).localCheckpoint(eager=True)
     k = n_centroids if n_centroids is not None else sem_n_centroids_for(rows.count())
@@ -721,12 +728,12 @@ def semantic_index_requantize(
     assigned = spark.sql(semantic_assign_under_sql(SPARK, vv, vc)).localCheckpoint(
         eager=True  # fully read before the swap rewrites its inputs
     )
-    for sub, df in (("centroids", cents), ("rows", assigned)):
-        tmp = os.path.join(path, f".{sub}.requant.tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        _swap_dir_in(tmp, os.path.join(path, sub))
-    shutil.rmtree(os.path.join(path, _SEM_TOMBSTONE_DIR), ignore_errors=True)
+    head, tail = os.path.split(path.rstrip("/"))
+    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
+    assigned.write.mode("overwrite").parquet(os.path.join(tmp_root, "rows"))
+    _swap_store_root(tmp_root, path)
     return cents.count()
 
 

@@ -582,3 +582,36 @@ def test_marker_monotone_under_concurrent_writers(tmp_path):
         MG._MARKER_LOCK_WAIT_SEC = old
         os.unlink(lock)
     assert MG._read_int_marker(store, "m") == 63
+
+
+def test_store_root_swap_carries_markers(spark, sf_dir, tmp_path):
+    """``_swap_store_root`` (r12): the multi-sub-store requantize swap
+    carries root-level marker FILES across (markers survive every verb
+    except build), leaves side-table DIRECTORIES behind (tombstones
+    were folded into the rewrite), and cleans up its staged sibling
+    root."""
+    from big_data_table_spark.catalog_base import register_views
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.functions import similarity as S
+
+    register_views(spark, sf_dir)
+    sp = str(tmp_path / "semroot")
+    S.semantic_index_build(
+        spark, sp, "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) _b0"
+    )
+    doomed = spark.sql("SELECT vec_id FROM embeddings WHERE vec_id % 10 = 4")
+    S.semantic_index_delete(doomed, sp)
+    S.semantic_index_expire(sp, 7)
+    assert MG._read_int_marker(sp, S._SEM_RETENTION_FILE) == 7
+    S.semantic_index_requantize(spark, sp, n_centroids=8)
+    # marker survived the whole-root swap; tombstones did not
+    assert MG._read_int_marker(sp, S._SEM_RETENTION_FILE) == 7
+    assert not os.path.isdir(os.path.join(sp, S._SEM_TOMBSTONE_DIR))
+    # the staged sibling root is gone (swap consumed it)
+    head, tail = os.path.split(sp)
+    assert not os.path.exists(os.path.join(head, f".{tail}.requant.tmp"))
+    assert not os.path.exists(os.path.join(head, f".{tail}.compact.old"))
+    # and the cutoff still has teeth after the swap: a later expire
+    # below the carried marker stays a no-op (monotone)
+    S.semantic_index_expire(sp, 3)
+    assert MG._read_int_marker(sp, S._SEM_RETENTION_FILE) == 7
