@@ -715,11 +715,22 @@ def semantic_index_requantize(
             # never be a nearest neighbour anyway; keep the cosine finite
         )
     else:
-        # TakeOrdered routes k ~ sqrt(n) rows through the driver — fine
-        # to ~10^12 vectors (k ~ 1M); beyond that use the trained arm
-        # or replace with a threshold filter (vec_id < kth-id) that
-        # stays distributed (r11 VERDICT, minor)
-        cents = rows.orderBy("vec_id").limit(k).selectExpr(
+        # threshold-filter selection (r11 VERDICT, minor — landed r12):
+        # the k-th smallest vec_id is found executor-side (GlobalLimit
+        # shuffles k 8-byte ids to one task, then MAX — only the 1-row
+        # cutoff crosses to the driver), and the centroid rows are a
+        # distributed filter against it.  Same selection set as the
+        # old TakeOrdered(k) — store vec_ids are unique — but the
+        # VECTORS never route through the driver, so the arm scales
+        # past the ~10^12 ceiling the TakeOrdered form had.
+        kth = (
+            rows.select("vec_id")
+            .orderBy("vec_id")
+            .limit(k)
+            .agg(F.max("vec_id"))
+            .collect()[0][0]
+        )
+        cents = rows.filter(F.col("vec_id") <= kth).selectExpr(
             "vec_id AS cid", "e", "nrm"
         )
     cents = cents.localCheckpoint(eager=True)  # feeds the swap AND the assign
