@@ -1668,8 +1668,13 @@ def _ann_ivfpq_residual_oracle(
     n_iter: int = 2,
     n_queries: int = 5,
     k: int = 5,
+    where: str = "",
 ) -> str:
-    kctes, cents, afinal = _kmeans_ctes(n_cent, n_iter)
+    """``where`` (e.g. ``" WHERE vec_id % 6 <> 2"``) restricts the
+    vector source to the SURVIVING set — the IVF-PQ re-quantize oracle
+    (catalog_r12) reuses this whole text over survivors, exactly as the
+    IVF/PQ retrain oracles reuse theirs."""
+    kctes, cents, afinal = _kmeans_ctes(n_cent, n_iter, where=where)
     res = (
         "res0 AS (SELECT a.vec_id, a.cid, "
         "list_transform(range(1, len(a.e) + 1), i -> a.e[i] - c.c[i]) AS e "

@@ -170,6 +170,71 @@ def ann_pq_requantize_oracle() -> str:
 
 
 # ------------------------------------------------------------------ #
+# IVF-PQ store: composed re-quantize (the residual production store)
+# ------------------------------------------------------------------ #
+
+_IVFPQ_RQ_DELETE_PRED = "vec_id % 6 = 2"
+_IVFPQ_RQ_SURVIVOR_SQL = " WHERE vec_id % 6 <> 2"
+
+
+def ann_ivfpq_requantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-QUANTIZE over the persisted residual IVF-PQ store
+    (functions/clustering.py:ivfpq_requantize — the composed production
+    store, completing the retrain trio next to ``ann_ivf_requantize``
+    and ``ann_pq_requantize``): build the three-part store (coarse
+    cells + residual codebooks + codes) on a STALE subset
+    (``vec_id % 4 != 1``), then retrain cells AND codebooks and
+    re-encode over the CURRENT surviving corpus (``vec_id % 6 != 2``)
+    in one pass — all three sub-stores staged in one dot-tmp root and
+    swapped as a single rename pair, so a racing search can never pair
+    a new codebook with old codes.  ADC top-k answers from the
+    re-frozen store alone.  Oracle = ``_ann_ivfpq_residual_oracle``
+    over the surviving set (the same unrolled coarse-Lloyd +
+    per-subspace residual-Lloyd text as the in-query entry), so parity
+    proves requantize == fresh build over survivors END TO END, with
+    the stale initial build demonstrably leaving no residue."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.clustering import ann_ivfpq_persisted_search, ivfpq_build, ivfpq_requantize
+
+    dim, n_cent, n_subs, n_codes, n_iter, n_probe = 64, 4, 8, 16, 2, 2
+    sub_len = dim // n_subs
+    register_views(spark, sf_dir)
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_ivfpq_rq_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ivfpq_build(
+        vecs.filter("vec_id % 4 != 1"), path, n_cent, n_subs, sub_len, n_codes, n_iter
+    )
+    survivors = vecs.filter(f"NOT ({_IVFPQ_RQ_DELETE_PRED})")
+    ivfpq_requantize(
+        spark, path, survivors, n_cent, n_subs, sub_len, n_codes, n_iter
+    )
+    q_lo = max(n_cent, n_codes)
+    q_hi = q_lo + 5
+    q = survivors.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe0"))
+    return ann_ivfpq_persisted_search(spark, path, q, n_subs, sub_len, n_probe, topk=5)
+
+
+def ann_ivfpq_requantize_oracle() -> str:
+    from .catalog_breadth import _ann_ivfpq_residual_oracle
+
+    return _ann_ivfpq_residual_oracle(
+        n_cent=4, n_probe=2, n_subs=8, sub_len=8, n_codes=16, n_iter=2,
+        n_queries=5, k=5, where=_IVFPQ_RQ_SURVIVOR_SQL,
+    )
+
+
+# ------------------------------------------------------------------ #
 # Chunk-dimension retention for the grouped day stores (VERDICT #5)
 # ------------------------------------------------------------------ #
 
@@ -366,6 +431,15 @@ def r12_specs():
             "retrain re-encodes from the source subvectors): stale "
             "build leaves no residue; ADC top-k == fresh build over "
             "the survivors (shared per-subspace Lloyd oracle).",
+        ),
+        "ann_ivfpq_requantize": QuerySpec(
+            ann_ivfpq_requantize_q,
+            ann_ivfpq_requantize_oracle(),
+            doc="Re-quantize the composed residual IVF-PQ store "
+            "(cells + codebooks + codes retrained and re-encoded in "
+            "one pass, swapped as one root): stale build leaves no "
+            "residue; ADC top-k == fresh build over the survivors "
+            "(shared residual-Lloyd oracle).",
         ),
         "mg_chunk_retention": QuerySpec(
             mg_chunk_retention_q,

@@ -774,6 +774,11 @@ BUDGET = {
     "ann_pq_requantize": 2,      # ADC per-(query, vector) agg + rank
                                  # window; codebook broadcast (same
                                  # shape as ann_pq_persisted_topk)
+    "ann_ivfpq_requantize": 4,   # probe window + residual dtab + ADC
+                                 # agg + rank window over the re-frozen
+                                 # three-part store (same shape as
+                                 # ann_ivfpq_persisted_topk; retrain
+                                 # paid off-plan inside the verb)
     "mg_chunk_retention": 5,     # summary distinct + thr distinct +
                                  # per-group total + per-key agg + rank
                                  # window — all store-geometry-bounded
