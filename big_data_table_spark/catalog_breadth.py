@@ -1094,9 +1094,11 @@ def _kmeans_ctes(
     functions/clustering.py.  Returns (ctes, final_centroids_cte,
     final_assignment_cte) so IVF oracles can reuse the trained state.
     ``where`` (e.g. ``" WHERE vec_id % 5 <> 3"``) restricts the vector
-    source — the SURVIVING set for the re-quantize oracles; the init
-    filter ``vec_id < k`` then selects over survivors in both engines
-    (kmeans_fit applies it to whatever relation it is given).
+    source — the SURVIVING set for the re-quantize oracles; init then
+    selects the k SMALLEST surviving ids in both engines (r12, the
+    kmeans_fit init fix — the old ``vec_id < k`` filter thinned or
+    emptied the init whenever the survivors' low ids were gone;
+    identical on dense ids, so full-table oracles are unchanged).
     ``train_where`` (bare predicate, no WHERE) restricts init and the
     Lloyd ITERATIONS to a training subset while the FINAL assignment
     still covers all of v0 — the bootstrap-then-frozen-append topology
@@ -1128,7 +1130,11 @@ def _kmeans_ctes(
         ctes.append(f"v0t AS (SELECT vec_id, e FROM v0 WHERE {train_where})")
         tsrc = "v0t"
     ctes.append(
-        f"c0 AS (SELECT vec_id AS cid, e AS c FROM {tsrc} WHERE vec_id < {k})"
+        # k SMALLEST ids present (kmeans_fit's init twin, r12): rank,
+        # not a dense-id threshold
+        f"c0 AS (SELECT vec_id AS cid, e AS c FROM (SELECT vec_id, e, "
+        f"ROW_NUMBER() OVER (ORDER BY vec_id) AS _rn FROM {tsrc}) _i0 "
+        f"WHERE _rn <= {k})"
     )
     for i in range(1, n_iter + 1):
         ctes.append(assign(f"a{i}", f"c{i - 1}", tsrc))
@@ -1229,6 +1235,7 @@ def _ann_ivf_trained_oracle(
     k: int = 5,
     where: str = "",
     train_where: str = "",
+    serve_where: str = "",
 ) -> str:
     """Unrolled k-means (same CTEs as _kmeans_oracle) + probe + rank.
     ``where`` restricts the vector source to the surviving set — the
@@ -1236,7 +1243,10 @@ def _ann_ivf_trained_oracle(
     persisted-retrain entry and the in-query trained entry share one
     formulation by construction.  ``train_where`` restricts training
     (not assignment) — the streaming-store oracle's bootstrap-frozen
-    topology."""
+    topology.  ``serve_where`` (bare predicate over ``a.vec_id``)
+    restricts only the SERVED candidate side while training covers the
+    full set — the retention-cutoff topology (``ivf_expire``: frozen
+    geometry, read-time filter)."""
     ctes, cents, afinal = _kmeans_ctes(
         n_centroids, n_iter, where=where, train_where=train_where
     )
@@ -1244,6 +1254,7 @@ def _ann_ivf_trained_oracle(
         "ROUND(list_dot_product(q.e, cd.e) / "
         "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cd.e, cd.e))), 9)"
     )
+    serve_and = f" AND {serve_where}" if serve_where else ""
     ctes = ctes + [
         f"q AS (SELECT vec_id AS qid, e FROM v0 WHERE vec_id < {n_queries})",
         "probes AS (SELECT qid, cid FROM ("
@@ -1251,7 +1262,7 @@ def _ann_ivf_trained_oracle(
         f"  ORDER BY {_kmeans_dist_sql('q.e', 'c.c')} ASC, c.cid ASC) AS rn "
         f"  FROM q JOIN {cents} c ON 1 = 1) _p WHERE rn <= {n_probe})",
         f"cands AS (SELECT p.qid, a.vec_id, a.e FROM probes p "
-        f"  JOIN {afinal} a ON a.cid = p.cid AND a.vec_id <> p.qid)",
+        f"  JOIN {afinal} a ON a.cid = p.cid AND a.vec_id <> p.qid{serve_and})",
         "scored AS (SELECT cd.qid AS query_id, cd.vec_id AS neighbor_id, "
         f"  {cos} AS cos_sim FROM cands cd JOIN q ON q.qid = cd.qid)",
         "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
@@ -1476,8 +1487,11 @@ def _pq_ctes(
         f"{subs0} AS (SELECT vec_id, s, "
         f"list_slice(e, 1 + s * {sub_len}, {sub_len} + s * {sub_len}) AS e "
         f"FROM {src or 'v0'}, UNNEST(range(0, {n_subs})) AS _t(s))",
+        # subvectors of the k SMALLEST distinct vec_ids present
+        # (pq_fit's init twin, r12): rank, not a dense-id threshold
         f"{P}cb0 AS (SELECT s, vec_id AS cid, e AS c FROM {subs0} "
-        f"WHERE vec_id < {k})",
+        f"WHERE vec_id <= (SELECT MAX(vec_id) FROM (SELECT DISTINCT vec_id "
+        f"FROM {subs0} ORDER BY vec_id LIMIT {k}) _i0))",
     ]
     for i in range(1, n_iter + 1):
         ctes.append(assign(f"{P}a{i}", f"{P}cb{i - 1}"))

@@ -67,10 +67,34 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _k_smallest_id_cutoff(ids: DataFrame, k: int):
+    """The k-th smallest id in ``ids`` (a 1-column frame) — the init
+    threshold shared by :func:`kmeans_fit` and :func:`pq_fit`.  Found
+    executor-side (GlobalLimit ships k 8-byte ids to one task, then
+    MAX; only the 1-row cutoff crosses to the driver), so init stays
+    distributed at any corpus size.  Raises on an empty relation — an
+    empty init would silently train an empty model (the failure a
+    retention cutoff above every id used to cause)."""
+    col = ids.columns[0]
+    kth = ids.orderBy(col).limit(k).agg(F.max(col)).collect()[0][0]
+    if kth is None:
+        raise ValueError(
+            "k-means init: the vector source is empty — nothing to train on"
+        )
+    return kth
+
+
 def kmeans_fit(vecs: DataFrame, k: int = 4, n_iter: int = 2) -> DataFrame:
-    """Lloyd iterations with deterministic init (first k ids).
+    """Lloyd iterations with deterministic init: the first k vectors BY
+    ID — the k SMALLEST vec_ids present (r12: the old ``vec_id < k``
+    filter only matched that spec when ids were dense from 0; a
+    survivor-filtered or retention-expired source whose ids all exceed
+    k trained an EMPTY — or thinner-than-k — model).  Identical on
+    dense ids, so every full-table entry is unchanged; the SQL oracle
+    twin (_kmeans_ctes) ranks the same way.
     Returns (cid, c).  ``vecs``: (vec_id, e: array<double>)."""
-    cents = vecs.filter(F.col("vec_id") < k).select(
+    kth = _k_smallest_id_cutoff(vecs.select("vec_id"), k)
+    cents = vecs.filter(F.col("vec_id") <= kth).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
     for _ in range(n_iter):
@@ -129,8 +153,10 @@ def pq_fit(subs: DataFrame, k: int = 16, n_iter: int = 2) -> DataFrame:
     """Per-subspace Lloyd training of a product-quantization codebook —
     ALL subspaces in one distributed computation (the subspace id is a
     grouping column, not a driver loop).  Init: the subvectors of the
-    first ``k`` vectors by id.  Returns (s, cid, c)."""
-    cb = subs.filter(F.col("vec_id") < k).select(
+    first ``k`` vectors by id — the k SMALLEST distinct vec_ids present
+    (r12, the :func:`kmeans_fit` init fix).  Returns (s, cid, c)."""
+    kth = _k_smallest_id_cutoff(subs.select("vec_id").distinct(), k)
+    cb = subs.filter(F.col("vec_id") <= kth).select(
         "s", F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
     for _ in range(n_iter):
@@ -164,14 +190,22 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     Lloyd iterations anywhere downstream of these plans.  When the
     store carries tombstones (``ivf_delete``), deleted vectors are
     anti-joined out of the inverted file (broadcast — the id set is a
-    compliance queue, not a corpus); a never-deleted store skips the
-    scrub entirely, keeping its exact pre-tombstone plan."""
+    compliance queue, not a corpus); when it carries a retention marker
+    (``ivf_expire``), expired ids are filtered out (a pushed-down range
+    predicate — row-group stats skip whole files).  A never-deleted,
+    never-expired store skips both scrubs entirely, keeping its exact
+    pre-lifecycle plan."""
     import os
+
+    from .mg_store import _read_int_marker
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     inverted = spark.read.parquet(os.path.join(path, "inverted")).select(
         "vec_id", F.col("cid").cast("long").alias("cid"), "e"
     )
+    cut = _read_int_marker(path, _IVF_RETENTION_FILE)
+    if cut is not None:
+        inverted = inverted.filter(F.col("vec_id") >= cut)
     tomb = _ivf_tombstones(spark, path)
     if tomb is not None:
         inverted = inverted.join(F.broadcast(tomb), "vec_id", "left_anti")
@@ -497,6 +531,31 @@ def _ivf_tombstones(spark, path: str):
     ):
         return None
     return spark.read.parquet(d).select("vec_id").distinct()
+
+
+_IVF_RETENTION_FILE = ".retention"
+
+
+def ivf_expire(path: str, before_vec_id: int) -> None:
+    """Retention cutoff for the persisted IVF store — drop every vector
+    with ``vec_id < before_vec_id`` from search results, METADATA-ONLY
+    (a monotone store-root marker, the same O(1) verb as the LSH /
+    setjoin / BM25 / semantic families').  ``ivf_load`` filters
+    ``vec_id >= cutoff`` before anything downstream; the frozen coarse
+    quantizer is untouched (cell geometry is id-free — expired vectors
+    still defined their cells, exactly as a trained centroid is not a
+    corpus row).  Physical reclaim rides the next
+    :func:`ivf_requantize`, which rewrites inverted/ over the scrubbed
+    read anyway and carries the marker across its whole-root swap.
+
+    The LOSSY stores (PQ, IVF-PQ) deliberately have no read-time
+    retention verb: their requantize takes the CURRENT source relation
+    explicitly, so retention — like deletion — is applied upstream and
+    the re-encode IS the reclaim; only the IVF store, which keeps raw
+    vectors, can honor a cutoff at read time."""
+    from .mg_store import _write_int_marker_monotone
+
+    _write_int_marker_monotone(path, _IVF_RETENTION_FILE, before_vec_id)
 
 
 def ivf_append(spark, path: str, vecs: DataFrame) -> None:
