@@ -97,6 +97,73 @@ def ann_ivf_requantize_oracle() -> str:
     )
 
 
+def ann_ivf_expire_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention over the persisted IVF ANN store
+    (functions/clustering.py:ivf_expire — the metadata-only O(1) verb
+    the LSH / setjoin / BM25 / semantic families already have, applied
+    to the ANN arm): build on two thirds of the embeddings, APPEND the
+    last third frozen-geometry, EXPIRE the oldest quartile of vec_ids
+    (monotone marker — issued twice plus once with a lower cutoff, all
+    no-ops after the first), then search.  The store read filters
+    ``vec_id >= cutoff`` as a pushed-down range predicate; the frozen
+    coarse quantizer is untouched (cell geometry is id-free).  The
+    oracle keeps the full training (the centroids were trained before
+    the expiry) and filters only the SERVED candidate side
+    (``serve_where``) — parity proves read-time retention equals
+    serving the rebuild-minus-expired WITHOUT retraining, exactly the
+    production semantics of a cutoff that arrives between re-quantizes.
+    Physical reclaim rides the next ``ivf_requantize`` (pinned in
+    tests/test_round12.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.clustering import (
+        ann_ivf_persisted_search,
+        ivf_append,
+        ivf_build,
+        ivf_expire,
+    )
+
+    register_views(spark, sf_dir)
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_ivf_exp_{spark.sparkContext.applicationId}_{sf_tag}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ivf_build(vecs.filter("vec_id % 3 != 2"), path, k=8, n_iter=2)
+    ivf_append(spark, path, vecs.filter("vec_id % 3 = 2"))
+    cut = spark.sql(
+        "SELECT CAST(FLOOR((MAX(vec_id) + 1) / 4.0) AS BIGINT) AS cut "
+        "FROM embeddings"
+    ).collect()[0]["cut"]
+    for _ in range(2):  # second call = the idempotence demo
+        ivf_expire(path, cut)
+    ivf_expire(path, cut // 2)  # lower cutoff: monotone no-op
+    q = vecs.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    return ann_ivf_persisted_search(spark, path, q, n_probe=2, topk=5)
+
+
+def ann_ivf_expire_retention_oracle() -> str:
+    from .catalog_breadth import _ann_ivf_trained_oracle
+
+    cut = (
+        "(SELECT CAST(FLOOR((MAX(vec_id) + 1) / 4.0) AS BIGINT) "
+        "FROM embeddings)"
+    )
+    return _ann_ivf_trained_oracle(
+        n_centroids=8, n_iter=2, n_probe=2, n_queries=5, k=5,
+        train_where="vec_id % 3 <> 2",  # the build subset; the append
+        # lands frozen-geometry, so training never saw it
+        serve_where=f"a.vec_id >= {cut}",
+    )
+
+
 # ------------------------------------------------------------------ #
 # ANN PQ store: re-encode re-quantize (the lossy-store arm)
 # ------------------------------------------------------------------ #
@@ -431,6 +498,16 @@ def r12_specs():
             "retrain re-encodes from the source subvectors): stale "
             "build leaves no residue; ADC top-k == fresh build over "
             "the survivors (shared per-subspace Lloyd oracle).",
+        ),
+        "ann_ivf_expire_retention": QuerySpec(
+            ann_ivf_expire_retention_q,
+            ann_ivf_expire_retention_oracle(),
+            doc="Retention cutoff over the persisted IVF ANN store: "
+            "metadata-only monotone marker, read-time pushed-down "
+            "range filter under the frozen quantizer; search == the "
+            "full-trained formulation served over the retained set "
+            "(serve_where oracle arm); physical reclaim rides the "
+            "next re-quantize.",
         ),
         "ann_ivfpq_requantize": QuerySpec(
             ann_ivfpq_requantize_q,

@@ -779,6 +779,11 @@ BUDGET = {
                                  # three-part store (same shape as
                                  # ann_ivfpq_persisted_topk; retrain
                                  # paid off-plan inside the verb)
+    "ann_ivf_expire_retention": 3,  # probe window + dedupe/rank windows
+                                 # — the retention cutoff is a pushed-
+                                 # down filter on the inverted scan,
+                                 # zero new exchanges (same shape as
+                                 # ann_ivf_persisted_topk)
     "mg_chunk_retention": 5,     # summary distinct + thr distinct +
                                  # per-group total + per-key agg + rank
                                  # window — all store-geometry-bounded

@@ -615,3 +615,69 @@ def test_store_root_swap_carries_markers(spark, sf_dir, tmp_path):
     # below the carried marker stays a no-op (monotone)
     S.semantic_index_expire(sp, 3)
     assert MG._read_int_marker(sp, S._SEM_RETENTION_FILE) == 7
+
+
+def test_ivf_expire_laws(spark, sf_dir, tmp_path):
+    """IVF store retention laws (ivf_expire — the O(1) metadata verb
+    the other index families already have): (1) expiry takes effect at
+    READ time under the frozen quantizer; (2) a replayed expire and a
+    lower cutoff are no-ops (marker monotone); (3) expiry composes
+    with tombstones; (4) the next requantize physically reclaims
+    expired rows AND carries the marker across its whole-root swap."""
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import clustering as C
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.sources.readers import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    path = str(tmp_path / "ivfexp")
+    C.ivf_build(vecs, path, k=8, n_iter=2)
+    q = vecs.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in C.ann_ivf_persisted_search(spark, path, q).collect()
+        )
+
+    base = rows()
+    cut = vecs.agg(
+        F.floor((F.max("vec_id") + 1) / 4).cast("long").alias("c")
+    ).collect()[0]["c"]
+    # (1) read-time effect: expired ids vanish from the top-k
+    C.ivf_expire(path, cut)
+    expired = rows()
+    assert expired != base
+    assert not any(t[1] < cut for t in expired)
+    # (2) replay + lower cutoff are no-ops
+    C.ivf_expire(path, cut)
+    C.ivf_expire(path, cut // 2)
+    assert rows() == expired
+    assert MG._read_int_marker(path, C._IVF_RETENTION_FILE) == cut
+    # (3) composes with tombstones
+    doomed = vecs.filter(f"vec_id >= {cut} AND vec_id % 7 = 5").select("vec_id")
+    C.ivf_delete(doomed, path)
+    composed = rows()
+    gone = {r.vec_id for r in doomed.collect()}
+    assert not any(t[1] in gone or t[1] < cut for t in composed)
+    # (4) requantize reclaims physically and the marker survives
+    C.ivf_requantize(spark, path, k=8, n_iter=2)
+    inv = spark.read.parquet(os.path.join(path, "inverted"))
+    assert inv.where(f"vec_id < {cut}").count() == 0
+    assert MG._read_int_marker(path, C._IVF_RETENTION_FILE) == cut
+    # requantize == rebuild over the retained survivors
+    ref_path = str(tmp_path / "ivfexp_ref")
+    C.ivf_build(
+        vecs.filter(f"vec_id >= {cut} AND NOT (vec_id % 7 = 5)"),
+        ref_path,
+        k=8,
+        n_iter=2,
+    )
+    assert rows() == sorted(
+        tuple(r)
+        for r in C.ann_ivf_persisted_search(spark, ref_path, q).collect()
+    )
