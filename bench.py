@@ -116,6 +116,10 @@ TIER2 = [
     # re-freeze over the whole store / recall report) gets a baseline
     # from its birth round
     ("semantic_requantize_recall", "requant_store"),
+    # r12: the ANN-store retrain lifecycle (build / frozen append /
+    # replayed tombstone delete / re-quantize / search) gets a
+    # baseline from its birth round
+    ("ann_ivf_requantize", "ivf_requant"),
 ]
 
 
