@@ -154,8 +154,12 @@ def pq_fit(subs: DataFrame, k: int = 16, n_iter: int = 2) -> DataFrame:
     ALL subspaces in one distributed computation (the subspace id is a
     grouping column, not a driver loop).  Init: the subvectors of the
     first ``k`` vectors by id — the k SMALLEST distinct vec_ids present
-    (r12, the :func:`kmeans_fit` init fix).  Returns (s, cid, c)."""
-    kth = _k_smallest_id_cutoff(subs.select("vec_id").distinct(), k)
+    (r12, the :func:`kmeans_fit` init fix).  Subspace 0 carries each
+    vec_id exactly once by construction (rows are one per (vector,
+    subspace), subspaces 0..n_subs-1), so the cutoff scan filters
+    ``s = 0`` instead of paying a DISTINCT shuffle over all n_subs
+    copies.  Returns (s, cid, c)."""
+    kth = _k_smallest_id_cutoff(subs.filter(F.col("s") == 0).select("vec_id"), k)
     cb = subs.filter(F.col("vec_id") <= kth).select(
         "s", F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
@@ -625,7 +629,7 @@ def ivf_requantize(
     import shutil
 
     from .similarity import sem_n_centroids_for
-    from .sketches import _swap_store_root
+    from .sketches import _stage_store_root, _swap_store_root
 
     rows = (
         ivf_load(spark, path)[1]
@@ -636,9 +640,7 @@ def ivf_requantize(
     kk = k if k is not None else sem_n_centroids_for(rows.count())
     cents = kmeans_fit(rows, k=kk, n_iter=n_iter).localCheckpoint(eager=True)
     assigned = assign_clusters(rows, cents).localCheckpoint(eager=True)
-    head, tail = os.path.split(path.rstrip("/"))
-    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    tmp_root = _stage_store_root(path)
     cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
     assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         os.path.join(tmp_root, "inverted")
@@ -669,7 +671,7 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
     import os
     import shutil
 
-    from .sketches import _swap_store_root
+    from .sketches import _stage_store_root, _swap_store_root
 
     cb = pq_fit(subs, k, n_iter).localCheckpoint(eager=True)
     codes = (
@@ -677,9 +679,7 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
         .select("vec_id", "s", "cid")
         .localCheckpoint(eager=True)  # fully read before the swap
     )
-    head, tail = os.path.split(path.rstrip("/"))
-    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    tmp_root = _stage_store_root(path)
     cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook"))
     codes.write.mode("overwrite").parquet(os.path.join(tmp_root, "codes"))
     _swap_store_root(tmp_root, path)
@@ -711,14 +711,12 @@ def ivfpq_requantize(
     import os
     import shutil
 
-    from .sketches import _swap_store_root
+    from .sketches import _stage_store_root, _swap_store_root
 
     cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
     codes = codes.localCheckpoint(eager=True)  # fully read before the swap
     cb = cb.localCheckpoint(eager=True)
-    head, tail = os.path.split(path.rstrip("/"))
-    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    tmp_root = _stage_store_root(path)
     cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
     cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook"))
     codes.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(

@@ -691,7 +691,7 @@ def semantic_index_requantize(
     import shutil
 
     from ..session import register_temp_view
-    from .sketches import _swap_store_root
+    from .sketches import _stage_store_root, _swap_store_root
 
     rows = _semantic_store_rows(spark, path).localCheckpoint(eager=True)
     k = n_centroids if n_centroids is not None else sem_n_centroids_for(rows.count())
@@ -716,20 +716,17 @@ def semantic_index_requantize(
         )
     else:
         # threshold-filter selection (r11 VERDICT, minor — landed r12):
-        # the k-th smallest vec_id is found executor-side (GlobalLimit
-        # shuffles k 8-byte ids to one task, then MAX — only the 1-row
-        # cutoff crosses to the driver), and the centroid rows are a
-        # distributed filter against it.  Same selection set as the
-        # old TakeOrdered(k) — store vec_ids are unique — but the
+        # the k-th smallest vec_id is found executor-side (the shared
+        # ``_k_smallest_id_cutoff`` — only the 1-row cutoff crosses to
+        # the driver, and an EMPTY surviving store raises instead of
+        # silently swapping in an empty index), and the centroid rows
+        # are a distributed filter against it.  Same selection set as
+        # the old TakeOrdered(k) — store vec_ids are unique — but the
         # VECTORS never route through the driver, so the arm scales
         # past the ~10^12 ceiling the TakeOrdered form had.
-        kth = (
-            rows.select("vec_id")
-            .orderBy("vec_id")
-            .limit(k)
-            .agg(F.max("vec_id"))
-            .collect()[0][0]
-        )
+        from .clustering import _k_smallest_id_cutoff
+
+        kth = _k_smallest_id_cutoff(rows.select("vec_id"), k)
         cents = rows.filter(F.col("vec_id") <= kth).selectExpr(
             "vec_id AS cid", "e", "nrm"
         )
@@ -739,9 +736,7 @@ def semantic_index_requantize(
     assigned = spark.sql(semantic_assign_under_sql(SPARK, vv, vc)).localCheckpoint(
         eager=True  # fully read before the swap rewrites its inputs
     )
-    head, tail = os.path.split(path.rstrip("/"))
-    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
+    tmp_root = _stage_store_root(path)
     cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
     assigned.write.mode("overwrite").parquet(os.path.join(tmp_root, "rows"))
     _swap_store_root(tmp_root, path)

@@ -1750,6 +1750,20 @@ def _swap_dir_in(tmp: str, dst: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _stage_store_root(path: str) -> str:
+    """The sibling dot-tmp staging root for a whole-root store swap —
+    ONE copy of the ``.{name}.requant.tmp`` naming convention the four
+    requantize verbs share (and tests pin).  Clears any leftover from a
+    crashed prior run and returns the path to stage into."""
+    import os
+    import shutil
+
+    head, tail = os.path.split(path.rstrip("/"))
+    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return tmp_root
+
+
 def _swap_store_root(tmp_root: str, path: str) -> None:
     """Swap a fully-staged STORE ROOT into place — the multi-sub-store
     variant of :func:`_swap_dir_in` (r12 hardening).  Per-sub-store
