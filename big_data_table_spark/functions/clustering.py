@@ -629,7 +629,7 @@ def ivf_requantize(
     import shutil
 
     from .similarity import sem_n_centroids_for
-    from .sketches import _stage_store_root, _swap_store_root
+    from .store_layout import _stage_store_root, _swap_store_root
 
     rows = (
         ivf_load(spark, path)[1]
@@ -671,7 +671,7 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
     import os
     import shutil
 
-    from .sketches import _stage_store_root, _swap_store_root
+    from .store_layout import _stage_store_root, _swap_store_root
 
     cb = pq_fit(subs, k, n_iter).localCheckpoint(eager=True)
     codes = (
@@ -711,7 +711,7 @@ def ivfpq_requantize(
     import os
     import shutil
 
-    from .sketches import _stage_store_root, _swap_store_root
+    from .store_layout import _stage_store_root, _swap_store_root
 
     cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
     codes = codes.localCheckpoint(eager=True)  # fully read before the swap

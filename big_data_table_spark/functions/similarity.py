@@ -691,7 +691,7 @@ def semantic_index_requantize(
     import shutil
 
     from ..session import register_temp_view
-    from .sketches import _stage_store_root, _swap_store_root
+    from .store_layout import _stage_store_root, _swap_store_root
 
     rows = _semantic_store_rows(spark, path).localCheckpoint(eager=True)
     k = n_centroids if n_centroids is not None else sem_n_centroids_for(rows.count())

@@ -1750,46 +1750,6 @@ def _swap_dir_in(tmp: str, dst: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def _stage_store_root(path: str) -> str:
-    """The sibling dot-tmp staging root for a whole-root store swap —
-    ONE copy of the ``.{name}.requant.tmp`` naming convention the four
-    requantize verbs share (and tests pin).  Clears any leftover from a
-    crashed prior run and returns the path to stage into."""
-    import os
-    import shutil
-
-    head, tail = os.path.split(path.rstrip("/"))
-    tmp_root = os.path.join(head, f".{tail}.requant.tmp")
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    return tmp_root
-
-
-def _swap_store_root(tmp_root: str, path: str) -> None:
-    """Swap a fully-staged STORE ROOT into place — the multi-sub-store
-    variant of :func:`_swap_dir_in` (r12 hardening).  Per-sub-store
-    swaps leave a window between renames where a racing reader pairs
-    sub-stores from DIFFERENT versions; for geometry-coupled stores
-    (a codebook scoring codes it did not encode, centroids pruning an
-    inverted file assigned under other centroids) that read is silently
-    wrong, so the requantize verbs stage every sub-store inside ONE
-    sibling dot-tmp root and swap the root in a single rename pair.
-
-    Root-level side-marker FILES (compaction watermarks, retention
-    cutoffs — state documented to survive every verb except build) are
-    carried into the staged root first; half-written ``.tmp`` and
-    ``.lock`` files are not.  Side-table DIRECTORIES (tombstones) are
-    deliberately left behind: a verb that stages a whole root has
-    already folded them into the rewrite."""
-    import os
-    import shutil
-
-    for f in os.listdir(path):
-        p = os.path.join(path, f)
-        if os.path.isfile(p) and not f.endswith((".tmp", ".lock")):
-            shutil.copy2(p, os.path.join(tmp_root, f))
-    _swap_dir_in(tmp_root, path)
-
-
 def rollup_expire(path: str, before_day: str) -> list[str]:
     """Retention enforcement — the day-partitioned stores' fourth verb
     (build / append / compact / EXPIRE): drop every ``day=`` partition
