@@ -14,6 +14,12 @@ Usage::
     python tools_sweep_sf01.py              # all entries at sf0.1
     python tools_sweep_sf01.py name1 name2  # just these entries
     BDT_SWEEP_SF_DIR=/root/testdata/sf0.01 python tools_sweep_sf01.py
+    BDT_SWEEP_SHUFFLE_PARTITIONS=5 python tools_sweep_sf01.py
+        # adversarial-partitioning arm: results must be bit-identical
+        # under ANY shuffle-partition count (prime, < the chunk counts
+        # the stores write) — order-dependent float accumulation or a
+        # partition-count assumption fails HERE before it fails on a
+        # 1000-executor cluster
 
 Equivalent pytest arm (same comparison code)::
 
@@ -52,7 +58,9 @@ def main() -> int:
     spark = connect(
         app_name="bdt-sweep",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        shuffle_partitions=32,
+        shuffle_partitions=int(
+            os.environ.get("BDT_SWEEP_SHUFFLE_PARTITIONS", "32")
+        ),
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
