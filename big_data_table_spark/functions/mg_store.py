@@ -211,22 +211,27 @@ def _write_compact_watermark(
     _write_int_marker_monotone(store_path, name, max_chunk)
 
 
-def _max_compact_watermark(store_path: str) -> int | None:
-    """The max watermark across every scope (day) plus the global one —
-    the guard a MULTI-day batch appender checks: its batch id must
-    clear every day it might touch."""
+def _max_marker_scan(store_path: str, base_name: str) -> int | None:
+    """The max value across a marker family — the global ``base_name``
+    file plus every ``base_name.<scope>`` day variant.  The guard a
+    MULTI-day batch appender checks: its batch id must clear every
+    scope it might touch.  ONE copy of the listdir/prefix/max shape
+    (r12 review: the watermark and retention scans had drifted into
+    near-verbatim duplicates)."""
     import os
 
     vals = []
     if os.path.isdir(store_path):
         for f in os.listdir(store_path):
-            if f == _COMPACT_WATERMARK_FILE or f.startswith(
-                _COMPACT_WATERMARK_FILE + "."
-            ):
+            if f == base_name or f.startswith(base_name + "."):
                 v = _read_int_marker(store_path, f)
                 if v is not None:
                     vals.append(v)
     return max(vals) if vals else None
+
+
+def _max_compact_watermark(store_path: str) -> int | None:
+    return _max_marker_scan(store_path, _COMPACT_WATERMARK_FILE)
 
 
 def _read_chunk_retention(store_path: str, scope: str | None = None) -> int | None:
@@ -242,23 +247,7 @@ def _read_chunk_retention(store_path: str, scope: str | None = None) -> int | No
 
 
 def _max_chunk_retention(store_path: str) -> int | None:
-    """The max retention cutoff across every scope (day) plus the
-    global one — the guard a MULTI-day batch appender checks (the
-    ``_max_compact_watermark`` discipline): its batch id must clear
-    every day it might touch, or it could resurrect one day's
-    forgotten chunk."""
-    import os
-
-    vals = []
-    if os.path.isdir(store_path):
-        for f in os.listdir(store_path):
-            if f == _CHUNK_RETENTION_FILE or f.startswith(
-                _CHUNK_RETENTION_FILE + "."
-            ):
-                v = _read_int_marker(store_path, f)
-                if v is not None:
-                    vals.append(v)
-    return max(vals) if vals else None
+    return _max_marker_scan(store_path, _CHUNK_RETENTION_FILE)
 
 
 def chunk_expire(path: str, before_chunk: int, day: str | None = None) -> list[str]:
@@ -281,7 +270,16 @@ def chunk_expire(path: str, before_chunk: int, day: str | None = None) -> list[s
     watermark: chunks at or below the watermark live only inside the
     merged ``chunk=-1`` partition, where a chunk-granular drop is
     physically impossible — run chunk retention BEFORE compaction, or
-    rebuild the day.  Returns the dropped partition paths (relative)."""
+    rebuild the day.  Returns the dropped partition paths (relative).
+
+    Crash ordering (r12 review): the marker is persisted BEFORE the
+    directory removals.  A crash between the two leaves the chunks on
+    disk but the guard armed — re-running the verb completes the drop
+    (marker write is a monotone no-op), and a late replay of the
+    forgotten batch already RAISES.  The reverse order had the
+    unacceptable window: dirs gone, no marker, so a replay could
+    silently resurrect forgotten data — the exact failure the marker
+    exists to prevent."""
     import os
     import shutil
 
@@ -302,6 +300,12 @@ def chunk_expire(path: str, before_chunk: int, day: str | None = None) -> list[s
                 "be dropped at chunk granularity; run chunk_expire "
                 "before compaction or rebuild the day"
             )
+    name = (
+        _CHUNK_RETENTION_FILE
+        if day is None
+        else f"{_CHUNK_RETENTION_FILE}.{day}"
+    )
+    _write_int_marker_monotone(path, name, before_chunk)
     dropped: list[str] = []
     for d in days:
         part_dir = os.path.join(path, d)
@@ -314,12 +318,6 @@ def chunk_expire(path: str, before_chunk: int, day: str | None = None) -> list[s
             if 0 <= cid < before_chunk:
                 shutil.rmtree(os.path.join(part_dir, c))
                 dropped.append(f"{d}/{c}")
-    name = (
-        _CHUNK_RETENTION_FILE
-        if day is None
-        else f"{_CHUNK_RETENTION_FILE}.{day}"
-    )
-    _write_int_marker_monotone(path, name, before_chunk)
     return dropped
 
 

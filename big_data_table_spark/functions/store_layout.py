@@ -52,19 +52,24 @@ def write_store_relation(
     target_file_bytes: int = 256 << 20,
 ) -> None:
     """Rewrite ``df`` to ``dest`` with a size-derived file count, hash-
-    partitioned on ``keys`` (so one key's rows land in one file — the
-    probe-side join input stays as clustered as the coalesce(1) layout
-    kept it) and sorted within files on ``keys`` (parquet row-group
-    min/max stats stay tight, so pushed-down key filters — e.g. the
-    BM25 term-pruned ``In(tk, ...)`` read — skip whole files).  Sizing
-    defaults to ``df`` itself; pass ``sized_on`` to size on the raw
-    store read instead (footer stats beat a post-aggregate estimate,
-    and over-counting files for a shrinking merge is the safe side).
-    Every store read already SUM-merges or DISTINCTs, so a multi-file
-    layout changes nothing semantically — pinned result-neutral by the
-    compact/purge law tests."""
+    partitioned on the LEADING key only (r12 review fix: hashing the
+    full composite tuple scattered one ``tk``'s rows across every file,
+    so the documented file-level skip for the BM25 term-pruned
+    ``In(tk, ...)`` read was only row-group-level; partitioning on the
+    probe key alone puts each key's rows in exactly one file) and
+    sorted within files on ALL ``keys`` (parquet row-group min/max
+    stats stay tight for the trailing keys too).  A pathologically hot
+    leading key concentrates in its one file — acceptable for these
+    stores: the leading key is the probe key, and probe selectivity is
+    the point of the layout.  Sizing defaults to ``df`` itself; pass
+    ``sized_on`` to size on the raw store read instead (footer stats
+    beat a post-aggregate estimate, and over-counting files for a
+    shrinking merge is the safe side).  Every store read already
+    SUM-merges or DISTINCTs, so a multi-file layout changes nothing
+    semantically — pinned result-neutral by the compact/purge law
+    tests."""
     n = store_file_count_for(sized_on if sized_on is not None else df, target_file_bytes)
-    df.repartition(n, *keys).sortWithinPartitions(*keys).write.mode(
+    df.repartition(n, keys[0]).sortWithinPartitions(*keys).write.mode(
         "overwrite"
     ).parquet(dest)
 

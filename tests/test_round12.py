@@ -681,3 +681,54 @@ def test_ivf_expire_laws(spark, sf_dir, tmp_path):
         tuple(r)
         for r in C.ann_ivf_persisted_search(spark, ref_path, q).collect()
     )
+
+
+def test_chunk_expire_marker_before_removal(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash ordering (r12 review): chunk_expire persists the retention
+    marker BEFORE removing chunk dirs, so a crash mid-verb leaves the
+    guard armed (replay still raises; re-run completes the drop) —
+    never the reverse window where dirs are gone but a replay could
+    resurrect the forgotten batch."""
+    import shutil as _shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir).filter(
+        F.to_date("ts").cast("string") == "2024-01-10"
+    )
+    path = str(tmp_path / "crashmg")
+    for b in range(2):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 2 == b),
+            path,
+            batch_id=b,
+            cap=16,
+        )
+
+    real_rmtree = _shutil.rmtree
+    def exploding_rmtree(p, **kw):
+        raise OSError("simulated crash mid-expire")
+
+    monkeypatch.setattr(MG.shutil if hasattr(MG, "shutil") else _shutil, "rmtree", exploding_rmtree)
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            MG.chunk_expire(path, before_chunk=1)
+    finally:
+        monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    # the marker landed BEFORE the (crashed) removal...
+    assert MG._read_chunk_retention(path) == 1
+    # ...so the replay of the forgotten batch already raises
+    with pytest.raises(ValueError, match="retention cutoff"):
+        MG.mg_rollup_grouped_append_batch(
+            ev.filter(F.col("user_id").cast("long") % 2 == 0),
+            path,
+            batch_id=0,
+            cap=16,
+        )
+    # and re-running the verb completes the drop (marker write no-op)
+    dropped = MG.chunk_expire(path, before_chunk=1)
+    assert dropped, "re-run should remove the surviving chunk=0 dirs"
