@@ -158,8 +158,19 @@ def pq_fit(subs: DataFrame, k: int = 16, n_iter: int = 2) -> DataFrame:
     vec_id exactly once by construction (rows are one per (vector,
     subspace), subspaces 0..n_subs-1), so the cutoff scan filters
     ``s = 0`` instead of paying a DISTINCT shuffle over all n_subs
-    copies.  Returns (s, cid, c)."""
-    kth = _k_smallest_id_cutoff(subs.filter(F.col("s") == 0).select("vec_id"), k)
+    copies.  That is an implicit caller contract (r12 ADVICE): a
+    future caller whose subs relation lacks subspace 0 (filtered or
+    re-numbered) would get a spurious empty-source error from the fast
+    path, so an empty ``s = 0`` scan falls back to the DISTINCT vec_id
+    scan — correct for ANY subspace numbering, and only a truly empty
+    relation still raises (with the clear message).  Returns
+    (s, cid, c)."""
+    try:
+        kth = _k_smallest_id_cutoff(
+            subs.filter(F.col("s") == 0).select("vec_id"), k
+        )
+    except ValueError:
+        kth = _k_smallest_id_cutoff(subs.select("vec_id").distinct(), k)
     cb = subs.filter(F.col("vec_id") <= kth).select(
         "s", F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
@@ -201,8 +212,9 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
     pre-lifecycle plan."""
     import os
 
-    from .mg_store import _read_int_marker
+    from .store_layout import _read_int_marker, _recover_store_root
 
+    _recover_store_root(path)  # crashed root swap -> auto-heal (r12 ADVICE)
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     inverted = spark.read.parquet(os.path.join(path, "inverted")).select(
         "vec_id", F.col("cid").cast("long").alias("cid"), "e"
@@ -318,6 +330,9 @@ def ann_pq_persisted_search(
 
     from pyspark.sql import Window
 
+    from .store_layout import _recover_store_root
+
+    _recover_store_root(path)  # crashed root swap -> auto-heal (r12 ADVICE)
     cb = spark.read.parquet(os.path.join(path, "codebook"))
     codes = spark.read.parquet(os.path.join(path, "codes"))
     d = F.round(
@@ -448,6 +463,9 @@ def ann_ivfpq_persisted_search(
 
     from pyspark.sql import Window
 
+    from .store_layout import _recover_store_root
+
+    _recover_store_root(path)  # crashed root swap -> auto-heal (r12 ADVICE)
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     cb = spark.read.parquet(os.path.join(path, "codebook"))
     codes = spark.read.parquet(os.path.join(path, "codes")).select(
@@ -557,7 +575,7 @@ def ivf_expire(path: str, before_vec_id: int) -> None:
     explicitly, so retention — like deletion — is applied upstream and
     the re-encode IS the reclaim; only the IVF store, which keeps raw
     vectors, can honor a cutoff at read time."""
-    from .mg_store import _write_int_marker_monotone
+    from .store_layout import _write_int_marker_monotone
 
     _write_int_marker_monotone(path, _IVF_RETENTION_FILE, before_vec_id)
 

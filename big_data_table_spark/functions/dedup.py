@@ -657,14 +657,14 @@ def lsh_index_expire(path: str, before_doc_id: int) -> None:
     retained semantics; physical reclaim rides ``lsh_index_purge`` or
     the next compact.  With delete + expire, every text/embedding index
     family now carries the full lifecycle verb set."""
-    from .mg_store import _write_int_marker_monotone
+    from .store_layout import _write_int_marker_monotone
 
     _write_int_marker_monotone(path, _LSH_RETENTION_FILE, before_doc_id)
 
 
 def _lsh_retained(spark, path: str, df):
     """Apply the retention cutoff (if any) to a store-side relation."""
-    from .mg_store import _read_int_marker
+    from .store_layout import _read_int_marker
 
     cut = _read_int_marker(path, _LSH_RETENTION_FILE)
     if cut is not None:
@@ -1386,14 +1386,14 @@ def setjoin_index_expire(path: str, before_doc_id: int) -> None:
     (which re-freezes over survivors only); the marker persists so a
     late append of pre-cutoff docs stays excluded — retention is a
     policy, not a one-shot delete."""
-    from .mg_store import _write_int_marker_monotone
+    from .store_layout import _write_int_marker_monotone
 
     _write_int_marker_monotone(path, _SETJOIN_RETENTION_FILE, before_doc_id)
 
 
 def _setjoin_retained(spark, path: str, df):
     """Apply the retention cutoff (if any) to a store-side relation."""
-    from .mg_store import _read_int_marker
+    from .store_layout import _read_int_marker
 
     cut = _read_int_marker(path, _SETJOIN_RETENTION_FILE)
     if cut is not None:

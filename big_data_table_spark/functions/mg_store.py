@@ -7,6 +7,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .store_layout import (  # noqa: F401  (re-exported: the store families
+    _MARKER_LOCK_WAIT_SEC,  # and law tests import the marker machinery
+    _max_marker_scan,  # through this module; the ONE audited copy was
+    _read_int_marker,  # hoisted to store_layout in r13 — VERDICT r12 #5)
+    _write_int_marker_monotone,
+)
+
 
 # ------------------------------------------------------------------ #
 # persisted Misra-Gries / SpaceSaving day store — the SUMMARY-PRUNE
@@ -119,81 +126,6 @@ _COMPACT_WATERMARK_FILE = ".compact_watermark"
 _CHUNK_RETENTION_FILE = ".chunk_retention"
 
 
-def _read_int_marker(store_path: str, name: str) -> int | None:
-    """A store-root integer side marker (compaction watermark,
-    retention cutoff), or None when never written.  Markers live at
-    the store ROOT — the rename-aside swap replaces sub-stores
-    wholesale, so state that must survive compaction cannot live
-    inside one."""
-    import os
-
-    f = os.path.join(store_path, name)
-    if os.path.isfile(f):
-        with open(f) as fh:
-            return int(fh.read().strip())
-    return None
-
-
-_MARKER_LOCK_WAIT_SEC = 10.0
-"""Bound on waiting for a marker lock.  The critical section is a
-read + a tiny write + two renames — microseconds — so a holder alive
-this long is gone (crashed mid-section, lock file leaked); raising
-with the lock path beats silently stealing (two stealers could both
-"win" and recreate the exact race the lock exists to close)."""
-
-
-def _write_int_marker_monotone(store_path: str, name: str, v: int) -> None:
-    """Persist an integer marker, MONOTONE non-decreasing — a replayed
-    or stale writer must never lower an established guard.  Written via
-    dot-tmp + atomic rename (the store swap discipline): an in-place
-    truncate-then-write would expose concurrent readers to an empty or
-    half-flushed value, and a crash in that window would brick the
-    store behind int('').
-
-    Concurrency-safe (r11 ADVICE, hardened r12): the read-check-replace
-    sequence is serialized by an O_EXCL lock file, so two CONCURRENT
-    writers can no longer interleave a stale value over a newer one —
-    monotonicity holds even if maintenance verbs ever race (they are
-    still documented single-writer for the STORE swaps; this closes the
-    marker-only hazard).  Readers never block: they see either the old
-    or the new value through the atomic rename, lock or no lock.  A
-    lock older than ``_MARKER_LOCK_WAIT_SEC`` means a holder crashed
-    between acquire and release; the writer raises naming the lock file
-    rather than stealing it (two stealers would recreate the race —
-    and a crashed MARKER writer also means a crashed maintenance verb,
-    which needs operator eyes anyway)."""
-    import os
-    import time
-
-    os.makedirs(store_path, exist_ok=True)
-    lock = os.path.join(store_path, f".{name}.lock")
-    deadline = time.monotonic() + _MARKER_LOCK_WAIT_SEC
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            if time.monotonic() >= deadline:
-                raise RuntimeError(
-                    f"marker lock {lock} held longer than "
-                    f"{_MARKER_LOCK_WAIT_SEC}s — a marker writer crashed "
-                    "mid-section; verify no maintenance verb is running, "
-                    "then remove the lock file manually"
-                )
-            time.sleep(0.005)
-    try:
-        prev = _read_int_marker(store_path, name)
-        if prev is not None and prev >= int(v):
-            return
-        tmp = os.path.join(store_path, f".{name}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(int(v)))
-        os.replace(tmp, os.path.join(store_path, name))
-    finally:
-        os.unlink(lock)
-
-
 def _read_compact_watermark(store_path: str, scope: str | None = None) -> int | None:
     """The max chunk id a compaction has merged for this store (or for
     one ``scope`` — a day key in the day-partitioned stores), or None
@@ -209,25 +141,6 @@ def _write_compact_watermark(
     that saw fewer chunks must never lower the guard."""
     name = _COMPACT_WATERMARK_FILE if scope is None else f"{_COMPACT_WATERMARK_FILE}.{scope}"
     _write_int_marker_monotone(store_path, name, max_chunk)
-
-
-def _max_marker_scan(store_path: str, base_name: str) -> int | None:
-    """The max value across a marker family — the global ``base_name``
-    file plus every ``base_name.<scope>`` day variant.  The guard a
-    MULTI-day batch appender checks: its batch id must clear every
-    scope it might touch.  ONE copy of the listdir/prefix/max shape
-    (r12 review: the watermark and retention scans had drifted into
-    near-verbatim duplicates)."""
-    import os
-
-    vals = []
-    if os.path.isdir(store_path):
-        for f in os.listdir(store_path):
-            if f == base_name or f.startswith(base_name + "."):
-                v = _read_int_marker(store_path, f)
-                if v is not None:
-                    vals.append(v)
-    return max(vals) if vals else None
 
 
 def _max_compact_watermark(store_path: str) -> int | None:

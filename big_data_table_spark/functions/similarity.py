@@ -560,14 +560,14 @@ def semantic_index_expire(path: str, before_vec_id: int) -> None:
     Physical reclaim rides ``semantic_index_purge`` behaviour inside
     the next ``semantic_index_requantize`` (which rewrites rows/ over
     survivors anyway)."""
-    from .mg_store import _write_int_marker_monotone
+    from .store_layout import _write_int_marker_monotone
 
     _write_int_marker_monotone(path, _SEM_RETENTION_FILE, before_vec_id)
 
 
 def _sem_retained(path: str, df):
     """Apply the retention cutoff (if any) to a store-side relation."""
-    from .mg_store import _read_int_marker
+    from .store_layout import _read_int_marker
 
     cut = _read_int_marker(path, _SEM_RETENTION_FILE)
     if cut is not None:
@@ -595,6 +595,9 @@ def _semantic_store_rows(spark, path: str):
     survivors (pinned in tests/test_round10.py)."""
     import os
 
+    from .store_layout import _recover_store_root
+
+    _recover_store_root(path)  # crashed root swap -> auto-heal (r12 ADVICE)
     rows = _sem_retained(
         path, spark.read.parquet(os.path.join(path, "rows"))
     ).distinct()

@@ -461,7 +461,7 @@ def bm25_index_expire(path: str, before_doc_id: int) -> None:
     tests/test_round11.py).  Physical reclaim rides the next COMPACT;
     the marker persists so a late append of pre-cutoff docs stays
     excluded — retention is a policy, not a one-shot delete."""
-    from .mg_store import _write_int_marker_monotone
+    from .store_layout import _write_int_marker_monotone
 
     _write_int_marker_monotone(path, _BM25_RETENTION_FILE, before_doc_id)
 
@@ -473,7 +473,7 @@ def _bm25_retained(path: str, df, spark=None):
     re-derives over the survivors."""
     from pyspark.sql import functions as F
 
-    from .mg_store import _read_int_marker
+    from .store_layout import _read_int_marker
 
     cut = _read_int_marker(path, _BM25_RETENTION_FILE)
     if cut is not None:
