@@ -2437,6 +2437,62 @@ _head12 = _R12_FRONT + _R12_NEXT + [
 ]
 CATALOG = {name: CATALOG[name] for name in _head12}
 
+# ------------------------------------------------------------------ #
+# round-13 registrations (builders AND specs in catalog_r13.py — the
+# chunk convention)
+# ------------------------------------------------------------------ #
+_r13 = __import__("big_data_table_spark.catalog_r13", fromlist=["x"]).r13_specs()
+CATALOG.update(_r13)
+
+# ------------------------------------------------------------------ #
+# driver-window ordering (round 13) — VERDICT r12 #2: the 12 entries of
+# _R12_NEXT are the only ones without a driver row (the 7 r12-new) or
+# whose newest row is round 5 (the 5 refresh spill-overs); they fit one
+# window with 38 slots spare, filled with the stalest remaining
+# evidence — the r6-window entries whose latest green driver row is
+# still round 6 (CORRECTNESS_r06 keys minus every later round), taken
+# in catalog order.  50 such entries exist, so 38 head the window and
+# the remaining 12 spill to _R13_NEXT ahead of the new r13 entry.
+# After this window, no entry's newest driver evidence predates
+# round 6 — and only 13 entries' predates round 7.
+# ------------------------------------------------------------------ #
+_R6_STALE = [
+    "theta_sketch_intersection", "mg_heavy_hitters", "stream_hll_cardinality",
+    "sequence_packing_by_lang", "hll_daily_rollup_range", "hll_rollup_persisted",
+    "theta_overlap_by_source", "text_token_count_subword", "sequence_packing_subword",
+    "q2_min_cost_supplier", "q5_local_supplier_volume", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q10_returned_items",
+    "q11_important_stock", "q12_late_shipment_priority", "q13_customer_distribution",
+    "q15_top_supplier", "q16_parts_supplier_relationship",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity", "stream_dedup_counts", "stream_dedup_watermark",
+    "stream_stateful_counts", "stream_static_enrich", "quantile_sketch_grouped",
+    "tdigest_quantiles_grouped", "grouped_correlation", "cohort_retention",
+    "events_dau_wau", "events_audience_overlap", "vocab_growth_curve",
+    "corpus_source_mix", "decontamination_report", "dedup_crosslingual_pairs",
+    "dedup_rate_trend", "incremental_dedup", "embedding_label_centroids",
+    "embedding_pca_power", "ann_ivf_trained_topk", "ann_pq_topk",
+    "ann_pq_trained_topk", "text_bigram_cross_entropy", "text_lang_id_confusion",
+    "text_repetition_ratio", "tfidf_top_terms",
+]
+_R13_FRONT = _R12_NEXT + _R6_STALE[:38]
+_R13_NEW = list(_r13)
+_R13_NEXT = _R6_STALE[38:] + _R13_NEW
+
+assert len(_R13_FRONT) == len(set(_R13_FRONT)) == 50, len(_R13_FRONT)
+assert set(_R13_FRONT + _R13_NEXT) <= set(CATALOG), sorted(
+    set(_R13_FRONT + _R13_NEXT) - set(CATALOG)
+)
+assert not set(_R13_FRONT) & set(_R13_NEXT)
+
+# _head13 enumerates every catalog key (window head + the rest), so
+# rebuilding from it alone is complete
+_head13 = _R13_FRONT + _R13_NEXT + [
+    n for n in CATALOG if n not in set(_R13_FRONT + _R13_NEXT)
+]
+CATALOG = {name: CATALOG[name] for name in _head13}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}

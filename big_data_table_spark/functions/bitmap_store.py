@@ -131,9 +131,12 @@ def bitmap_rollup_append_chunk(
     collision would be absorbed by BIT_OR anyway, but the uniform rule
     keeps the verbs interchangeable across merge classes)."""
     from .mg_store import _check_append_chunk
+    from .store_layout import _guard_expired_days
 
     _check_append_chunk(chunk)
-    rows = bitmap_day_rows(ev_chunk, chunk, value_col, ts_col)
+    rows = _guard_expired_days(
+        bitmap_day_rows(ev_chunk, chunk, value_col, ts_col), path
+    )
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
 

@@ -356,9 +356,16 @@ def mg_rollup_append_batch(
     matrix).  Batch ids must be non-negative (negative = reserved for
     compaction), unique per day across appenders, and above every
     day's compaction watermark (a multi-day batch checks the max
-    across days)."""
+    across days).  Days are data-borne here, so the day-retention
+    cutoff (``rollup_expire``) is enforced executor-side
+    (``store_layout._guard_expired_days`` — a replayed batch touching
+    a forgotten day raises inside the write job, landing nothing)."""
+    from .store_layout import _guard_expired_days
+
     _check_append_chunk(batch_id, store_path=path, scope="*")
-    rows = _mg_day_summaries(batch_df, value_col, ts_col, cap, chunk=batch_id)
+    rows = _guard_expired_days(
+        _mg_day_summaries(batch_df, value_col, ts_col, cap, chunk=batch_id), path
+    )
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
 
@@ -380,8 +387,12 @@ def mg_rollup_append_chunk(
     summaries with different thresholds — and above the day's
     compaction watermark (a replay of a merged slice after compaction
     cannot be DISTINCT-absorbed: its merged copy in chunk=-1 carries
-    different thr/ube, so it would double-count)."""
+    different thr/ube, so it would double-count).  Rejects a FORGOTTEN
+    day (the ``rollup_expire`` day-retention marker)."""
+    from .store_layout import _check_append_day
+
     _check_append_chunk(chunk, store_path=path, scope=day)
+    _check_append_day(day, path)
     rows = mg_chunk_summary(ev_chunk, day, chunk, value_col, cap)
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 
@@ -753,10 +764,16 @@ def mg_rollup_grouped_append_batch(
     path's DISTINCT = the SET-class at-least-once contract.  Batch ids
     must be non-negative (negative = reserved for compaction) and
     unique per day across appenders, and above every day's
-    compaction watermark."""
+    compaction watermark.  Data-borne days: the day-retention cutoff
+    is enforced executor-side (``_guard_expired_days``)."""
+    from .store_layout import _guard_expired_days
+
     _check_append_chunk(batch_id, store_path=path, scope="*")
-    rows = _mg_grouped_day_summaries(
-        batch_df, group_col, value_col, ts_col, cap, chunk=batch_id
+    rows = _guard_expired_days(
+        _mg_grouped_day_summaries(
+            batch_df, group_col, value_col, ts_col, cap, chunk=batch_id
+        ),
+        path,
     )
     rows.write.mode("append").partitionBy("day", "chunk").parquet(path)
 

@@ -312,7 +312,13 @@ def tdigest_rollup_append_day(
     REPLAYING a slice double-counts its weight.  At-least-once delivery
     needs a dedup step in front of this verb; the HLL store tolerates it
     natively.  Documented here because it is the load-bearing contract
-    difference between max-mergeable and sum-mergeable sketch stores."""
+    difference between max-mergeable and sum-mergeable sketch stores.
+    Rejects a FORGOTTEN day (r13: the ``rollup_expire`` day-retention
+    marker — in THIS additive-weight family a resurrected day does not
+    merely reappear, it can double-count against any surviving copy)."""
+    from ..functions.store_layout import _check_append_day
+
+    _check_append_day(day, path)
     narrow = df_day.select(
         F.lit(day).alias("day"), F.col(value_col).cast("double").alias("__v")
     ).filter(F.col("__v").isNotNull())

@@ -798,6 +798,12 @@ BUDGET = {
                                  # cid-pruned store scan (same shape
                                  # as ann_ivf_persisted_topk; training
                                  # paid per-trigger inside the stream)
+    "rollup_day_retention": 1,   # per-day estimate agg over the
+                                 # partition-pruned register store —
+                                 # the retention marker and guard are
+                                 # metadata-only (same shape as
+                                 # stream_hll_daily's read-back;
+                                 # appends paid per-day off-plan)
 }
 
 

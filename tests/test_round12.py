@@ -179,18 +179,19 @@ def test_bitmap_compact_purge_multifile_neutral(spark, tmp_path):
 
 
 def test_r12_window_staging():
+    """Provenance pin (the r10/r11 precedent): the r12 window has been
+    DRIVEN (CORRECTNESS_r12 is 50/50 green on exactly _R12_FRONT), so
+    the lists remain the provenance record while the live CATALOG
+    ordering now leads with _R13_FRONT (pinned in test_round13)."""
     from big_data_table_spark import catalog
 
-    keys = list(catalog.queries())
-    assert keys[:50] == catalog._R12_FRONT
+    keys = set(catalog.queries())
     assert len(catalog._R12_FRONT) == 50
-    # the 8 never-driven r11 lifecycle entries head the window; the 42
-    # stalest-evidence r5 refreshes fill it; the 5 spill-overs + the
-    # new r12 entries follow in staging order
     assert catalog._R12_FRONT[:8] == catalog._R11_NEXT
     assert catalog._R12_FRONT[8:] == catalog._R5_STALE[:42]
-    assert keys[50 : 50 + len(catalog._R12_NEXT)] == catalog._R12_NEXT
     assert catalog._R12_NEXT == catalog._R5_STALE[42:] + list(catalog._R12_NEW)
+    assert not set(catalog._R12_FRONT) & set(catalog._R12_NEXT)
+    assert set(catalog._R12_FRONT + catalog._R12_NEXT) <= keys
     assert set(catalog.oracle_sql()) <= set(catalog.queries())
 
 

@@ -1,0 +1,415 @@
+"""Round-13 pins.
+
+1. DAY-dimension retention durability (r12 VERDICT #1 — the round's one
+   weak component): ``rollup_expire`` now persists a MONOTONE
+   ``.day_retention`` marker BEFORE its directory drops, and every
+   day-store append verb enforces it — the law trio (expire →
+   replay-append raises; replayed/lower-cutoff expire no-op;
+   retained-range reads bit-identical pre/post) pinned across the
+   explicit-day appenders AND the data-borne-day batch appenders the
+   streaming foreachBatch sinks write through (VERDICT #4: one pin per
+   merge class — additive CMS, SET MG/grouped-MG, OR bitmap,
+   additive-weight t-digest, MAX HLL, SET theta).
+2. The r12 ADVICE hardening of the hoisted store_layout machinery:
+   root-swap marker re-merge, crashed-swap auto-recovery, lock-release
+   FileNotFoundError suppression, the low-cardinality leading-key
+   fallback in ``write_store_relation``, and ``pq_fit``'s subspace-0
+   contract fallback.
+3. The r13 driver-window staging invariants.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+DAYS_LO, DAYS_HI = "2024-01-08", "2024-01-14"
+CUT = "2024-01-11"  # expire days strictly below this
+
+
+def _events_window(spark, sf_dir):
+    from big_data_table_spark.sources.readers import load_events
+
+    return load_events(spark, sf_dir).filter(
+        F.to_date("ts").cast("string").between(DAYS_LO, DAYS_HI)
+    )
+
+
+def _day_of(ev, day):
+    return ev.filter(F.to_date("ts").cast("string") == day)
+
+
+def test_rollup_expire_day_retention_laws(spark, sf_dir, tmp_path):
+    """The day-retention law trio on the HLL rollup store:
+    (1) retained-range reads are bit-identical before and after expiry;
+    (2) replayed and lower-cutoff expires are no-ops (monotone marker,
+    dirs already gone); (3) a late replay of an expired day's append
+    RAISES at the guard instead of resurrecting the day — and the
+    full-span read proves nothing landed."""
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.functions.store_layout import _read_day_retention
+
+    ev = _events_window(spark, sf_dir)
+    path = str(tmp_path / "hll_day")
+    days = sorted(
+        r[0] for r in ev.select(F.to_date("ts").cast("string").alias("d")).distinct().collect()
+    )
+    assert days[0] < CUT < days[-1], "fixture window must straddle the cutoff"
+    for d in days:
+        SK.hll_rollup_append_day(_day_of(ev, d), path, d)
+
+    def read_range(lo, hi):
+        store = spark.read.parquet(path).filter(
+            F.col("day").cast("string").between(lo, hi)
+        ).select(F.col("day").cast("string").alias("day"), "bucket", "reg")
+        return sorted(
+            tuple(r) for r in SK.hll_estimate(store, ["day"]).select("day", "hll_est").collect()
+        )
+
+    before = read_range(CUT, DAYS_HI)
+    dropped = SK.rollup_expire(path, CUT)
+    assert dropped == [d for d in days if d < CUT]
+    assert _read_day_retention(path) == CUT
+    # (1) retained range bit-identical
+    assert read_range(CUT, DAYS_HI) == before
+    # (2) replay + lower cutoff: no-ops, marker monotone
+    assert SK.rollup_expire(path, CUT) == []
+    assert SK.rollup_expire(path, DAYS_LO) == []
+    assert _read_day_retention(path) == CUT
+    # (3) replay-append of a forgotten day raises; nothing resurrects
+    with pytest.raises(ValueError, match="day-retention"):
+        SK.hll_rollup_append_day(_day_of(ev, days[0]), path, days[0])
+    assert read_range(DAYS_LO, DAYS_HI) == before
+
+
+def test_day_retention_guard_explicit_day_appenders(spark, sf_dir, tmp_path):
+    """Every EXPLICIT-day appender (day is an argument — the driver-side
+    guard, no job launched) rejects a forgotten day: theta (SET),
+    t-digest (additive weights — a resurrected day double-counts), CMS
+    chunk (additive counters), MG chunk (summary-prune)."""
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.operators import tdigest as TD
+
+    ev = _events_window(spark, sf_dir)
+    old, new = "2024-01-09", "2024-01-12"
+
+    p = str(tmp_path / "theta")
+    SK.theta_rollup_append_day(_day_of(ev, old), p, old)
+    SK.theta_rollup_append_day(_day_of(ev, new), p, new)
+    SK.rollup_expire(p, CUT)
+    with pytest.raises(ValueError, match="day-retention"):
+        SK.theta_rollup_append_day(_day_of(ev, old), p, old)
+    SK.theta_rollup_append_day(_day_of(ev, new), p, new)  # retained day still appends
+
+    p = str(tmp_path / "td")
+    TD.tdigest_rollup_append_day(
+        _day_of(ev, old).select(F.col("value")), p, old
+    )
+    SK.rollup_expire(p, CUT)
+    with pytest.raises(ValueError, match="day-retention"):
+        TD.tdigest_rollup_append_day(_day_of(ev, old).select("value"), p, old)
+
+    p = str(tmp_path / "cms")
+    SK.cms_rollup_append_chunk(_day_of(ev, old), p, old, 0)
+    SK.rollup_expire(p, CUT)
+    with pytest.raises(ValueError, match="day-retention"):
+        SK.cms_rollup_append_chunk(_day_of(ev, old), p, old, 1)
+    SK.cms_rollup_append_chunk(_day_of(ev, new), p, new, 1)  # retained ok
+
+    p = str(tmp_path / "mg")
+    MG.mg_rollup_append_chunk(_day_of(ev, old), p, old, 0)
+    SK.rollup_expire(p, CUT)
+    with pytest.raises(ValueError, match="day-retention"):
+        MG.mg_rollup_append_chunk(_day_of(ev, old), p, old, 1)
+
+
+def test_day_retention_guard_batch_appenders(spark, sf_dir, tmp_path):
+    """The data-borne-day BATCH appenders — the verbs the streaming
+    foreachBatch sinks write through (VERDICT r12 #4) — enforce the
+    cutoff EXECUTOR-side (``_guard_expired_days``: the write job itself
+    raises and commits nothing).  One pin per merge class: additive
+    CMS, SET MG, SET grouped-MG, OR bitmap.  After the failed replay,
+    the store is bit-identical — no partial resurrection — and a batch
+    of only-retained days still lands."""
+    from big_data_table_spark.functions import bitmap_store as BS
+    from big_data_table_spark.functions import mg_store as MG
+    from big_data_table_spark.functions import sketches as SK
+
+    ev = _events_window(spark, sf_dir)
+    expired_batch = ev.filter(F.to_date("ts").cast("string") < CUT)
+    retained_batch = ev.filter(F.to_date("ts").cast("string") >= CUT)
+
+    def snapshot(p):
+        return sorted(tuple(r) for r in spark.read.parquet(p).collect())
+
+    cases = [
+        (
+            "cmsb",
+            lambda df, p, b: SK.cms_rollup_append_batch(df, p, b),
+        ),
+        (
+            "mgb",
+            lambda df, p, b: MG.mg_rollup_append_batch(df, p, b),
+        ),
+        (
+            "mggb",
+            lambda df, p, b: MG.mg_rollup_grouped_append_batch(df, p, b),
+        ),
+        (
+            "bmb",
+            lambda df, p, b: BS.bitmap_rollup_append_batch(df, p, b),
+        ),
+    ]
+    for tag, append in cases:
+        p = str(tmp_path / tag)
+        append(ev, p, 0)
+        SK.rollup_expire(p, CUT)
+        before = snapshot(p)
+        # a replayed batch touching a forgotten day raises in the job
+        with pytest.raises(Exception, match="day-retention"):
+            append(expired_batch, p, 1)
+        assert snapshot(p) == before, f"{tag}: failed append left residue"
+        append(retained_batch, p, 2)  # only-retained batch still lands
+        assert len(snapshot(p)) > len(before), f"{tag}: retained append lost"
+
+
+def test_rollup_expire_marker_before_removal(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash ordering: rollup_expire persists the day-retention marker
+    BEFORE removing day dirs — a crash mid-verb leaves the guard armed
+    (replay raises; re-run completes the drop), never the reverse
+    window where dirs are gone but a replay could resurrect the day."""
+    import shutil as _shutil
+
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.functions.store_layout import _read_day_retention
+
+    ev = _events_window(spark, sf_dir)
+    old, new = "2024-01-09", "2024-01-12"
+    path = str(tmp_path / "crashhll")
+    SK.hll_rollup_append_day(_day_of(ev, old), path, old)
+    SK.hll_rollup_append_day(_day_of(ev, new), path, new)
+
+    real_rmtree = _shutil.rmtree
+
+    def exploding_rmtree(p, **kw):
+        raise OSError("simulated crash mid-expire")
+
+    monkeypatch.setattr(_shutil, "rmtree", exploding_rmtree)
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            SK.rollup_expire(path, CUT)
+    finally:
+        monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    # marker landed before the (crashed) removal...
+    assert _read_day_retention(path) == CUT
+    assert os.path.isdir(os.path.join(path, f"day={old}"))  # dir survived the crash
+    # ...so the replay already raises
+    with pytest.raises(ValueError, match="day-retention"):
+        SK.hll_rollup_append_day(_day_of(ev, old), path, old)
+    # and re-running the verb completes the drop (marker write no-op)
+    assert SK.rollup_expire(path, CUT) == [old]
+    assert not os.path.isdir(os.path.join(path, f"day={old}"))
+
+
+def test_day_retention_marker_survives_compaction(spark, sf_dir, tmp_path):
+    """The marker lives at the store ROOT; per-day compaction swaps only
+    ``day=`` sub-dirs — so the guard stays armed across a compact of a
+    retained day (the documented markers-survive-everything-but-build
+    contract, now including the day axis)."""
+    from big_data_table_spark.functions import sketches as SK
+    from big_data_table_spark.functions.store_layout import _read_day_retention
+
+    ev = _events_window(spark, sf_dir)
+    old, new = "2024-01-09", "2024-01-12"
+    path = str(tmp_path / "hllc")
+    SK.hll_rollup_append_day(_day_of(ev, old), path, old)
+    SK.hll_rollup_append_day(_day_of(ev, new), path, new)
+    SK.hll_rollup_append_day(_day_of(ev, new), path, new)  # 2 files to compact
+    SK.rollup_expire(path, CUT)
+    assert SK.hll_rollup_compact(spark, path, new) == 1
+    assert _read_day_retention(path) == CUT
+    with pytest.raises(ValueError, match="day-retention"):
+        SK.hll_rollup_append_day(_day_of(ev, old), path, old)
+
+
+def test_root_swap_remerges_window_marker(tmp_path, monkeypatch):
+    """r12 ADVICE: a marker write landing between _swap_store_root's
+    file-copy loop and its rename pair used to be silently discarded
+    with the old root (a lost retention cutoff resurrects expired
+    data).  The swap now re-merges markers found in the parked old root
+    through the locked MONOTONE writer — reproduced here by injecting
+    the marker write exactly inside the window via an os.rename shim."""
+    from big_data_table_spark.functions import store_layout as SL
+
+    root = str(tmp_path / "store")
+    os.makedirs(root + "/sub")
+    with open(root + "/sub/a.txt", "w") as fh:
+        fh.write("old")
+    SL._write_int_marker_monotone(root, ".retention", 5)
+    tmp = SL._stage_store_root(root)
+    os.makedirs(tmp + "/sub")
+    with open(tmp + "/sub/a.txt", "w") as fh:
+        fh.write("new")
+
+    real_rename = os.rename
+    state = {"hit": False}
+
+    def inject(src, dst):
+        if not state["hit"] and src == root:
+            state["hit"] = True
+            monkeypatch.setattr(os, "rename", real_rename)
+            SL._write_int_marker_monotone(root, ".retention", 99)
+            monkeypatch.setattr(os, "rename", inject)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", inject)
+    try:
+        SL._swap_store_root(tmp, root)
+    finally:
+        monkeypatch.setattr(os, "rename", real_rename)
+    assert state["hit"], "the injection must have fired"
+    assert SL._read_int_marker(root, ".retention") == 99
+    with open(root + "/sub/a.txt") as fh:
+        assert fh.read() == "new"
+    assert not os.path.isdir(SL._aside_root_for(root))
+
+
+def test_recover_store_root_crash_window(spark, sf_dir, tmp_path):
+    """r12 ADVICE: a crash between the root swap's two renames leaves
+    the store root ABSENT with the old copy stranded in the dot-aside
+    sibling.  Loads and stagings now auto-heal: the IVF search path
+    recovers the parked root instead of raising, and _stage_store_root
+    recovers before staging."""
+    from big_data_table_spark.functions import clustering as C
+    from big_data_table_spark.functions import store_layout as SL
+    from big_data_table_spark.sources.readers import Tables
+
+    e = Tables(spark, sf_dir).embeddings
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    path = str(tmp_path / "ivf")
+    C.ivf_build(vecs.filter("vec_id < 40"), path, k=2, n_iter=1)
+    q = vecs.filter("vec_id < 2").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    before = sorted(
+        tuple(r)
+        for r in C.ann_ivf_persisted_search(spark, path, q, n_probe=1, topk=3).collect()
+    )
+    # simulate the mid-swap crash: root parked in the aside sibling
+    os.rename(path, SL._aside_root_for(path))
+    assert not os.path.isdir(path)
+    after = sorted(
+        tuple(r)
+        for r in C.ann_ivf_persisted_search(spark, path, q, n_probe=1, topk=3).collect()
+    )
+    assert after == before
+    assert os.path.isdir(path)
+    # _stage_store_root also recovers (idempotent when already healed)
+    os.rename(path, SL._aside_root_for(path))
+    SL._stage_store_root(path)
+    assert os.path.isdir(path)
+
+
+def test_marker_lock_release_suppresses_external_cleanup(tmp_path, monkeypatch):
+    """r12 ADVICE: if an operator removed the lock file mid-section, the
+    release must not mask the section's outcome — a successful write
+    still lands, and a section error propagates AS ITSELF rather than
+    as FileNotFoundError from the finally."""
+    from big_data_table_spark.functions import store_layout as SL
+
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    real_read = SL._read_raw_marker
+
+    def steal_lock_then_read(store_path, name):
+        lock = os.path.join(store_path, f".{name}.lock")
+        if os.path.isfile(lock):
+            os.unlink(lock)  # external cleanup mid-section
+        return real_read(store_path, name)
+
+    monkeypatch.setattr(SL, "_read_raw_marker", steal_lock_then_read)
+    SL._write_int_marker_monotone(root, ".m", 7)  # must not raise
+    monkeypatch.setattr(SL, "_read_raw_marker", real_read)
+    assert SL._read_int_marker(root, ".m") == 7
+
+    def steal_lock_then_boom(store_path, name):
+        lock = os.path.join(store_path, f".{name}.lock")
+        if os.path.isfile(lock):
+            os.unlink(lock)
+        raise RuntimeError("section error")
+
+    monkeypatch.setattr(SL, "_read_raw_marker", steal_lock_then_boom)
+    with pytest.raises(RuntimeError, match="section error"):
+        SL._write_int_marker_monotone(root, ".m", 9)
+
+
+def test_write_store_relation_low_cardinality_fallback(spark, tmp_path):
+    """r12 ADVICE: when the size rule asks for more files than the
+    leading key has distinct values, the rewrite falls back to
+    composite-key hashing (multi-key stores — write parallelism
+    restored) or caps the file count at the key cardinality
+    (single-key stores — no empty files), result-neutrally.  A
+    high-cardinality leading key keeps the leading-key-only layout."""
+    from big_data_table_spark.functions.store_layout import write_store_relation
+
+    def nfiles(d):
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    hot = spark.range(0, 20000).select(
+        F.lit("k1").alias("tk"), F.col("id").alias("doc")
+    )
+    dest = str(tmp_path / "hot")
+    write_store_relation(hot, dest, "tk", "doc", target_file_bytes=1 << 12)
+    assert nfiles(dest) > 1  # composite fallback: not one task for the hot key
+    assert spark.read.parquet(dest).count() == 20000
+
+    two = spark.range(0, 20000).select((F.col("id") % 2).cast("string").alias("tk"))
+    dest2 = str(tmp_path / "two")
+    write_store_relation(two, dest2, "tk", target_file_bytes=1 << 12)
+    assert nfiles(dest2) == 2  # capped at the key cardinality — no empty files
+
+    hi = spark.range(0, 4000).select(
+        F.col("id").cast("string").alias("tk"), F.col("id").alias("doc")
+    )
+    dest3 = str(tmp_path / "hi")
+    write_store_relation(hi, dest3, "tk", "doc", target_file_bytes=1 << 12)
+    assert nfiles(dest3) > 1  # high-cardinality: size-derived multi-file holds
+
+
+def test_pq_fit_subspace_zero_contract(spark):
+    """r12 ADVICE: pq_fit's fast init cutoff scans subspace 0 only — a
+    caller whose subs relation lacks s=0 (filtered / re-numbered
+    subspaces) now falls back to the DISTINCT vec_id scan instead of a
+    spurious empty-source error; a truly empty relation still raises
+    the clear message."""
+    from big_data_table_spark.functions.clustering import pq_fit
+
+    subs = spark.createDataFrame(
+        [(i, s, [float(i), float(s)]) for i in range(6) for s in (1, 2)],
+        "vec_id long, s int, e array<double>",
+    )
+    cb = pq_fit(subs, k=2, n_iter=1)
+    assert cb.count() > 0  # fallback path trains
+    with pytest.raises(ValueError, match="empty"):
+        pq_fit(subs.filter("vec_id < 0"), k=2, n_iter=1)
+
+
+def test_r13_window_staging():
+    """Driver-window staging invariants for round 13 (VERDICT r12 #2):
+    the window leads with the 12 entries of _R12_NEXT — the only ones
+    without a driver CORRECTNESS row (7 r12-new) or whose newest row is
+    round 5 (5 spill-overs) — then the 38 stalest r6-window refreshes;
+    the remaining r6-stale entries spill to _R13_NEXT ahead of the new
+    r13 entries.  CATALOG iteration order leads with the window."""
+    from big_data_table_spark import catalog as C
+
+    assert len(C._R13_FRONT) == len(set(C._R13_FRONT)) == 50
+    assert C._R13_FRONT[:12] == C._R12_NEXT
+    assert not set(C._R13_FRONT) & set(C._R13_NEXT)
+    assert set(C._R13_FRONT + C._R13_NEXT) <= set(C.CATALOG)
+    assert list(C.CATALOG)[:50] == C._R13_FRONT
+    # every new r13 entry is staged (front or next) — none dangles
+    assert set(C._R13_NEW) <= set(C._R13_FRONT + C._R13_NEXT)
