@@ -397,6 +397,80 @@ def test_pq_fit_subspace_zero_contract(spark):
         pq_fit(subs.filter("vec_id < 0"), k=2, n_iter=1)
 
 
+def test_jpeg_codec_laws():
+    """The r13 baseline-JPEG codec pair (the last algorithmic media gap):
+    (1) block-constant even-gray images round-trip EXACTLY (the DC-only
+    tie-free regime the catalog oracle exploits); (2) smooth gradients
+    round-trip within a tight lossy tolerance AND actually lose
+    information (the AC/quantization path is genuinely exercised, not
+    bypassed); (3) non-multiple-of-8 dims pad and crop correctly;
+    (4) flat extremes clamp exactly; (5) encoding is deterministic;
+    (6) unsupported features raise with the feature named."""
+    import numpy as np
+
+    from big_data_table_spark.functions.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # (1) exact regime: the catalog entry's pixel model
+    for did in (0, 3, 7, 11):
+        w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+        bxs, bys = np.arange(w // 8), np.arange(h // 8)
+        vals = 2 * ((did * 7 + bxs[None, :] * 13 + bys[:, None] * 31) % 128)
+        gray = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        rgb = np.stack([gray] * 3, -1).tobytes()
+        w2, h2, out = decode_jpeg(encode_jpeg(w, h, rgb))
+        assert (w2, h2) == (w, h) and out == rgb
+
+    # (2) lossy tolerance on a smooth gradient — and genuinely lossy
+    w, h = 32, 24
+    x, y = np.arange(w), np.arange(h)
+    img = np.stack(
+        [
+            ((x[None, :] * 3 + y[:, None] * 2) % 256),
+            np.broadcast_to((x[None, :] * 5 + 40) % 256, (h, w)),
+            np.broadcast_to((y[:, None] * 7 + 90) % 256, (h, w)),
+        ],
+        -1,
+    ).astype(np.uint8)
+    blob = encode_jpeg(w, h, img.tobytes())
+    w2, h2, out = decode_jpeg(blob)
+    dec = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    err = np.abs(dec - img.astype(int))
+    assert (w2, h2) == (w, h)
+    assert err.max() <= 20, f"gradient max err {err.max()}"
+    assert err.max() > 0, "AC path bypassed: lossy codec decoded losslessly"
+
+    # (3) padding + crop
+    w, h = 13, 9
+    r = ((x[None, :13] * 3 + y[:9, None] * 2) % 200).astype(np.uint8)
+    odd = np.stack([r, r // 2 + 30, r // 3 + 60], -1).astype(np.uint8)
+    w2, h2, out = decode_jpeg(encode_jpeg(w, h, odd.tobytes()))
+    dec = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(int)
+    assert (w2, h2) == (w, h)
+    assert np.abs(dec - odd.astype(int)).max() <= 20
+
+    # (4) flat extremes clamp exactly
+    for v in (0, 255):
+        flat = np.full((8, 8, 3), v, np.uint8)
+        assert decode_jpeg(encode_jpeg(8, 8, flat.tobytes()))[2] == flat.tobytes()
+
+    # (5) deterministic bytes
+    assert encode_jpeg(w, h, odd.tobytes()) == encode_jpeg(w, h, odd.tobytes())
+
+    # (6) honest gates + magic routing
+    assert decode_image(encode_jpeg(8, 8, bytes(192))) == (8, 8, "RGB")
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\nxxxx")
+    blob = bytearray(encode_jpeg(8, 8, bytes(192)))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(blob))
+
+
 def test_r13_window_staging():
     """Driver-window staging invariants for round 13 (VERDICT r12 #2):
     the window leads with the 12 entries of _R12_NEXT — the only ones
