@@ -2445,16 +2445,13 @@ _r13 = __import__("big_data_table_spark.catalog_r13", fromlist=["x"]).r13_specs(
 CATALOG.update(_r13)
 
 # ------------------------------------------------------------------ #
-# driver-window ordering (round 13) — VERDICT r12 #2: the 12 entries of
-# _R12_NEXT are the only ones without a driver row (the 7 r12-new) or
-# whose newest row is round 5 (the 5 refresh spill-overs); they fit one
-# window with 38 slots spare, filled with the stalest remaining
-# evidence — the r6-window entries whose latest green driver row is
-# still round 6 (CORRECTNESS_r06 keys minus every later round), taken
-# in catalog order.  50 such entries exist, so 38 head the window and
-# the remaining 12 spill to _R13_NEXT ahead of the new r13 entry.
-# After this window, no entry's newest driver evidence predates
-# round 6 — and only 13 entries' predates round 7.
+# driver-window ordering (round 13) — VERDICT r12 #2: _R12_NEXT's 12
+# entries are the only ones without a driver row (7 r12-new) or whose
+# newest row is round 5 (5 spill-overs); the 38 spare slots take the
+# stalest remaining evidence — the r6-window entries whose latest green
+# driver row is round 6 (CORRECTNESS_r06 keys minus every later round),
+# in catalog order.  50 exist, so 38 head the window and 12 spill to
+# _R13_NEXT ahead of the new r13 entries.
 # ------------------------------------------------------------------ #
 _R6_STALE = [
     "theta_sketch_intersection", "mg_heavy_hitters", "stream_hll_cardinality",

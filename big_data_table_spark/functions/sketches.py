@@ -1296,9 +1296,8 @@ def hll_rollup_append_day(
     and append its ≤ 2^p register rows as a new ``day=`` partition.
     ``mode("append")`` + ``partitionBy`` only creates the new day's
     directory — prior days' files are never rewritten (pinned in
-    tests/test_round6.py).  Rejects a FORGOTTEN day (r13: the
-    ``rollup_expire`` day-retention marker — a late replay of an
-    expired day's append must raise, not resurrect)."""
+    tests/test_round6.py).  Rejects a FORGOTTEN day (r13: replays
+    must not resurrect days dropped by ``rollup_expire``)."""
     from .store_layout import _check_append_day
 
     _check_append_day(day, path)
@@ -1767,20 +1766,15 @@ def rollup_expire(path: str, before_day: str) -> list[str]:
     expiry see only the retained days (partition pruning already never
     touched the dropped ones).  Returns the dropped day keys.
 
-    Durability (r12 VERDICT #1 — the round's one weak component):
-    before any directory drops, a MONOTONE ``.day_retention`` marker is
-    persisted at the store root (``store_layout`` locked writer —
-    lexicographic string order IS date order for ISO days), and every
-    day-store append verb enforces it: a late at-least-once replay of
-    an expired day's append now RAISES instead of silently
-    RESURRECTING forgotten data — the hazard class ``chunk_expire``
-    already guards at the chunk axis.  Crash ordering is
-    marker-BEFORE-drop, like ``chunk_expire``: a crash between the two
-    leaves the days on disk but the guard armed — re-running the verb
-    completes the drop (the marker write is a monotone no-op), while
-    the reverse order had the unacceptable window (dirs gone, no
-    marker, replays resurrect).  Replayed or lower-cutoff expires are
-    no-ops: the marker is monotone and the dirs are already gone."""
+    Durability (r12 VERDICT #1): before any drops, a MONOTONE
+    ``.day_retention`` marker is persisted at the store root
+    (``store_layout`` locked writer — ISO-day lexicographic order IS
+    date order) and every day-store append verb enforces it, so a
+    replay of an expired day RAISES instead of resurrecting it (the
+    ``chunk_expire`` hazard class, day axis).  Crash ordering is
+    marker-BEFORE-drop: a mid-verb crash leaves the guard armed,
+    re-running completes the drop; replayed/lower-cutoff expires are
+    no-ops (monotone marker, dirs gone)."""
     import os
     import shutil
 
@@ -1870,7 +1864,7 @@ def theta_rollup_append_day(
     ≤partitions·k-row reduce), NOT a day-partitioned rank window: with a
     literal day the partition expression is foldable, Catalyst removes
     it, and the 'partitioned' window silently becomes a single-task
-    global sort of the whole day."""
+    global sort of the whole day.  Rejects a FORGOTTEN day."""
     from .store_layout import _check_append_day
 
     _check_append_day(day, path)
@@ -2457,9 +2451,8 @@ def cms_rollup_append_batch(
     from .store_layout import _guard_expired_days
 
     _check_append_chunk(batch_id, store_path=path, scope="*")
-    rows = _guard_expired_days(
-        _cms_day_counters(batch_df, value_col, ts_col, w, d), path
-    ).withColumn("chunk", F.lit(int(batch_id)))
+    counters = _cms_day_counters(batch_df, value_col, ts_col, w, d)
+    rows = _guard_expired_days(counters, path).withColumn("chunk", F.lit(int(batch_id)))
     (
         rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
