@@ -475,15 +475,18 @@ def test_r13_window_staging():
     """Driver-window staging invariants for round 13 (VERDICT r12 #2):
     the window leads with the 12 entries of _R12_NEXT — the only ones
     without a driver CORRECTNESS row (7 r12-new) or whose newest row is
-    round 5 (5 spill-overs) — then the 38 stalest r6-window refreshes;
-    the remaining r6-stale entries spill to _R13_NEXT ahead of the new
-    r13 entries.  CATALOG iteration order leads with the window."""
+    round 5 (5 spill-overs) — then the 2 NEW r13 entries (VERDICT #1:
+    rollup_day_retention needs a driver row this round), then the 36
+    stalest r6-window refreshes; the remaining 14 r6-stale entries
+    spill to _R13_NEXT.  CATALOG iteration order leads with the
+    window."""
     from big_data_table_spark import catalog as C
 
     assert len(C._R13_FRONT) == len(set(C._R13_FRONT)) == 50
     assert C._R13_FRONT[:12] == C._R12_NEXT
+    assert C._R13_FRONT[12:14] == C._R13_NEW
+    assert C._R13_FRONT[14:] == C._R6_STALE[:36]
+    assert C._R13_NEXT == C._R6_STALE[36:]
     assert not set(C._R13_FRONT) & set(C._R13_NEXT)
     assert set(C._R13_FRONT + C._R13_NEXT) <= set(C.CATALOG)
     assert list(C.CATALOG)[:50] == C._R13_FRONT
-    # every new r13 entry is staged (front or next) — none dangles
-    assert set(C._R13_NEW) <= set(C._R13_FRONT + C._R13_NEXT)
