@@ -2447,12 +2447,12 @@ CATALOG.update(_r13)
 # ------------------------------------------------------------------ #
 # driver-window ordering (round 13) — VERDICT r12 #2: _R12_NEXT's 12
 # entries are the only ones without a driver row (7 r12-new) or whose
-# newest row is round 5 (5 spill-overs); the 2 NEW r13 entries follow
+# newest row is round 5 (5 spill-overs); the 3 NEW r13 entries follow
 # (VERDICT #1 wants rollup_day_retention driver-green THIS round); the
-# 36 remaining slots take the stalest evidence — the r6-window entries
+# 35 remaining slots take the stalest evidence — the r6-window entries
 # whose latest green driver row is round 6 (CORRECTNESS_r06 keys minus
-# every later round), in catalog order.  50 such entries exist, so 36
-# head the window and 14 spill to _R13_NEXT.
+# every later round), in catalog order.  50 such entries exist, so 35
+# head the window and 15 spill to _R13_NEXT.
 # ------------------------------------------------------------------ #
 _R6_STALE = [
     "theta_sketch_intersection", "mg_heavy_hitters", "stream_hll_cardinality",
@@ -2475,8 +2475,8 @@ _R6_STALE = [
     "text_repetition_ratio", "tfidf_top_terms",
 ]
 _R13_NEW = list(_r13)
-_R13_FRONT = _R12_NEXT + _R13_NEW + _R6_STALE[:36]
-_R13_NEXT = _R6_STALE[36:]
+_R13_FRONT = _R12_NEXT + _R13_NEW + _R6_STALE[: 50 - 12 - len(_R13_NEW)]
+_R13_NEXT = _R6_STALE[50 - 12 - len(_R13_NEW):]
 
 assert len(_R13_FRONT) == len(set(_R13_FRONT)) == 50, len(_R13_FRONT)
 assert set(_R13_FRONT + _R13_NEXT) <= set(CATALOG), sorted(

@@ -149,12 +149,63 @@ FROM v GROUP BY doc_id, width, height
 """
 
 
+def multimodal_resize_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decode→RESIZE media pipeline, library-free end to end
+    (r13 — `resize_image` un-gated from PIL): synthetic baseline JPEGs
+    decoded through the real codec, then bilinear-downscaled by their
+    8x8 block grid (functions/multimodal.py:resize_rgb — half-pixel-
+    center sampling, 4-tap interpolation, edge clamp) and reduced to
+    per-channel sums of the RESIZED raster.  The block-constant pixel
+    model keeps the chain exact: every output center lands at
+    sx = 8*dx + 3.5 — strictly inside one constant block, so the
+    fractional two-tap lerp mixes two EQUAL pixels and the closed-form
+    oracle (one value per block, no 64x) can only match if decode,
+    coordinate mapping, interpolation and rounding are all right.
+    Arrow-batched mapInPandas all the way — zero exchanges."""
+    from .functions.multimodal import resize_jpeg_block_stats, synth_jpeg_media
+
+    register_views(spark, sf_dir)
+    docs = Tables(spark, sf_dir).documents
+    return resize_jpeg_block_stats(synth_jpeg_media(docs))
+
+
+def multimodal_resize_pipeline_oracle() -> str:
+    from .functions.portable import DUCK, lateral_seq
+
+    lat = lateral_seq("0", "(width // 8) * (height // 8) - 1", "j", DUCK)
+    return f"""
+WITH dims AS (
+  SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS height
+  FROM documents),
+blk AS (SELECT doc_id, width, height, j FROM dims {lat}),
+v AS (SELECT doc_id, width, height,
+        2 * ((doc_id * 7 + (j % (width // 8)) * 13
+              + (j // (width // 8)) * 31) % 128) AS val
+      FROM blk)
+SELECT doc_id AS media_id,
+  CAST(width // 8 AS INT) AS out_w, CAST(height // 8 AS INT) AS out_h,
+  CAST(SUM(val) AS BIGINT) AS sum_r,
+  CAST(SUM(val) AS BIGINT) AS sum_g,
+  CAST(SUM(val) AS BIGINT) AS sum_b
+FROM v GROUP BY doc_id, width, height
+"""
+
+
 def r13_specs():
     """Round-13 QuerySpec registrations, merged into the catalog by
     catalog.py (the chunk convention)."""
     from .catalog_base import QuerySpec
 
     return {
+        "multimodal_resize_pipeline": QuerySpec(
+            multimodal_resize_pipeline_q,
+            multimodal_resize_pipeline_oracle(),
+            doc="Decode->bilinear-resize media pipeline, library-free: "
+            "real JPEG decode + half-pixel-center 4-tap resample; the "
+            "block-grid downscale of block-constant sources keeps the "
+            "lossy chain exact for the closed-form oracle.",
+        ),
         "multimodal_jpeg_decode": QuerySpec(
             multimodal_jpeg_decode_q,
             multimodal_jpeg_decode_oracle(),

@@ -14,11 +14,13 @@ Design for 100 TB of media:
   multi-GB partitions into one task.
 
 The decode libraries (PIL / torchaudio / av) are NOT in this
-environment, so each decoder resolves at import time: the real
-implementation when its library exists, else a clearly-marked stub that
-raises ``NotImplementedError`` — while :func:`fake_decode_features`
-provides a deterministic, library-free stand-in that keeps the Spark-side
-plumbing (schemas, batching, partitioning) fully testable.
+environment.  Since r13 the IMAGE verbs no longer need them: real
+pure-Python codecs cover PPM/PNG/baseline-JPEG and bilinear resize
+(:func:`resize_rgb`).  Exotic image formats fall back to a PIL gate and
+VIDEO frame extraction stays av-gated — each resolves at import time to
+the real implementation or a clearly-marked ``NotImplementedError``
+stub — while :func:`fake_decode_features` keeps the Spark-side plumbing
+(schemas, batching, partitioning) testable library-free.
 """
 
 from __future__ import annotations
@@ -151,20 +153,6 @@ def decode_image(blob: bytes):
 
     img = Image.open(io.BytesIO(blob))
     return img.width, img.height, img.mode
-
-
-def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """STUB — see :func:`decode_image`."""
-    if not _HAS_PIL:
-        raise NotImplementedError("image resize requires PIL")
-    import io
-
-    from PIL import Image
-
-    img = Image.open(io.BytesIO(blob)).resize((width, height))
-    out = io.BytesIO()
-    img.save(out, format="PNG")
-    return out.getvalue()
 
 
 def frame_sample(blob: bytes, every_ms: int) -> list[bytes]:
@@ -881,23 +869,29 @@ def _blockify(plane, h: int, w: int):
     )
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
-    """Encode raw interleaved RGB8 as a REAL baseline JPEG (SOF0, 4:4:4,
+def encode_jpeg(width: int, height: int, rgb: bytes, subsample: bool = False) -> bytes:
+    """Encode raw interleaved RGB8 as a REAL baseline JPEG (SOF0,
     Annex-K quant tables, per-image optimized canonical Huffman tables)
-    — pure Python + numpy.  Two passes: collect DC/AC symbol counts,
-    build the four DHT tables, then emit the entropy-coded scan with
-    0xFF byte stuffing.  Quantization is half-away-from-zero
-    (sign * floor(|F|/q + 0.5)), the libjpeg convention the decoder and
-    the catalog oracle mirror."""
+    — pure Python + numpy.  ``subsample=False`` emits 4:4:4;
+    ``subsample=True`` emits 4:2:0 (Y sampling 2x2, chroma 2x2-mean
+    downsampled, the MCU interleave real-world encoders default to).
+    Two passes: collect DC/AC symbol counts, build the four DHT tables,
+    then emit the entropy-coded scan with 0xFF byte stuffing.
+    Quantization is half-away-from-zero (sign * floor(|F|/q + 0.5)),
+    the libjpeg convention the decoder and the catalog oracle mirror."""
     import struct
 
     import numpy as np
 
     if len(rgb) != 3 * width * height:
         raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
     ycc = _rgb_to_ycbcr(img)
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    mw, mh = 8 * hmax, 8 * vmax
+    ph, pw = -(-height // mh) * mh, -(-width // mw) * mw
     padded = np.empty((ph, pw, 3))
     padded[:height, :width] = ycc
     padded[height:, :width] = ycc[height - 1 : height, :]  # edge replicate
@@ -906,42 +900,53 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     qt = [np.array(_JPEG_QY, dtype=np.float64).reshape(8, 8),
           np.array(_JPEG_QC, dtype=np.float64).reshape(8, 8)]
     comp_q = [0, 1, 1]
-    quantized = []  # per component: (n_blocks, 64) int zigzagged
+    mcus_x, mcus_y = pw // mw, ph // mh
+    quantized = []  # per component: (blocks_y, blocks_x, 64) int zigzagged
     for c in range(3):
-        blocks = _blockify(padded[..., c] - 128.0, ph, pw)
+        h_i, v_i = samp[c]
+        fy, fx = vmax // v_i, hmax // h_i
+        plane = padded[..., c]
+        if fy > 1 or fx > 1:  # chroma mean-downsample
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        bh, bw2 = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = _blockify(plane - 128.0, *plane.shape)
         coefs = np.einsum("ij,njk,lk->nil", t, blocks, t)
         q = qt[comp_q[c]]
         sign = np.sign(coefs)
         qcoef = (sign * np.floor(np.abs(coefs) / q + 0.5)).astype(np.int64)
-        quantized.append(qcoef.reshape(-1, 64)[:, _ZIGZAG])
+        quantized.append(qcoef.reshape(bh, bw2, 64)[:, :, _ZIGZAG])
 
     def scan(emit_dc, emit_ac):
         pred = [0, 0, 0]
-        for b in range(quantized[0].shape[0]):
-            for c in range(3):
-                zz = quantized[c][b]
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                emit_dc(c, diff)
-                run = 0
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if zz[k] != 0:
-                        last_nz = k
-                        break
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        emit_ac(c, 0xF0, 0, 0)  # ZRL
-                        run -= 16
-                    s = _jpeg_size_cat(v)
-                    emit_ac(c, (run << 4) | s, v, s)
-                    run = 0
-                if last_nz < 63:
-                    emit_ac(c, 0x00, 0, 0)  # EOB
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in range(3):
+                    h_i, v_i = samp[c]
+                    for vb in range(v_i):
+                        for hb in range(h_i):
+                            zz = quantized[c][my * v_i + vb][mx * h_i + hb]
+                            diff = int(zz[0]) - pred[c]
+                            pred[c] = int(zz[0])
+                            emit_dc(c, diff)
+                            run = 0
+                            last_nz = 0
+                            for k in range(63, 0, -1):
+                                if zz[k] != 0:
+                                    last_nz = k
+                                    break
+                            for k in range(1, last_nz + 1):
+                                v = int(zz[k])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    emit_ac(c, 0xF0, 0, 0)  # ZRL
+                                    run -= 16
+                                s = _jpeg_size_cat(v)
+                                emit_ac(c, (run << 4) | s, v, s)
+                                run = 0
+                            if last_nz < 63:
+                                emit_ac(c, 0x00, 0, 0)  # EOB
 
     dc_freq = [{}, {}]
     ac_freq = [{}, {}]
@@ -986,8 +991,8 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     for tid, table in ((0, _JPEG_QY), (1, _JPEG_QC)):
         out += _seg(0xFFDB, bytes([tid]) + bytes(table[i] for i in _ZIGZAG))
     sof = struct.pack(">BHHB", 8, height, width, 3)
-    for cid, qsel in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, qsel])
+    for c, (cid, qsel) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (samp[c][0] << 4) | samp[c][1], qsel])
     out += _seg(0xFFC0, sof)
     for cls, tid, (counts, symbols) in (
         (0, 0, dc_tabs[0]), (0, 1, dc_tabs[1]), (1, 0, ac_tabs[0]), (1, 1, ac_tabs[1]),
@@ -1020,13 +1025,14 @@ def _read_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     """REAL lossy-image decode, pure Python + numpy: marker walk, 8-bit
-    DQT, SOF0 (baseline, 4:4:4), canonical DHT reconstruction
-    (multi-length — any valid baseline table, not only this encoder's),
-    byte-unstuffed Huffman scan decode (DC prediction + run/size AC +
-    ZRL/EOB), dequantization, orthonormal IDCT, level shift and
-    YCbCr->RGB with floor(x+0.5) rounding -> (width, height,
-    rgb_bytes).  Progressive/12-bit/subsampled/restart streams raise
-    with the unsupported feature named."""
+    DQT, SOF0 (baseline; 4:4:4 AND 4:2:0 — the interleave real-world
+    encoders default to), canonical DHT reconstruction (multi-length —
+    any valid baseline table, not only this encoder's), byte-unstuffed
+    Huffman scan decode (DC prediction + run/size AC + ZRL/EOB),
+    dequantization, orthonormal IDCT, chroma upsample and YCbCr->RGB
+    with floor(x+0.5) rounding -> (width, height, rgb_bytes).
+    Progressive/12-bit/restart and other sampling grids raise with the
+    unsupported feature named."""
     import struct
 
     import numpy as np
@@ -1038,6 +1044,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
     comp_q: list[int] = []
+    comp_samp: list[tuple[int, int]] = []
     scan_sel: list[tuple[int, int]] = []
     entropy = None
     while pos + 4 <= len(blob):
@@ -1062,9 +1069,12 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("only 8-bit 3-component baseline supported")
             for c in range(3):
                 cid, samp, qsel = data[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError("chroma subsampling not supported (4:4:4 only)")
+                comp_samp.append((samp >> 4, samp & 0xF))
                 comp_q.append(qsel)
+            if comp_samp not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+                raise ValueError(
+                    f"unsupported sampling grid {comp_samp} (4:4:4 and 4:2:0 only)"
+                )
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFC4:
@@ -1105,39 +1115,55 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
         pos += 2 + seglen
     if width is None or entropy is None:
         raise ValueError("missing SOF0 or SOS")
-    bw, bh = -(-width // 8), -(-height // 8)
+    hmax = max(s[0] for s in comp_samp)
+    vmax = max(s[1] for s in comp_samp)
+    mw, mh = 8 * hmax, 8 * vmax
+    mcus_x, mcus_y = -(-width // mw), -(-height // mh)
     t = _dct_matrix()
     reader = _BitReader(entropy)
     pred = [0, 0, 0]
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(3)]
-    for by in range(bh):
-        for bx in range(bw):
+    planes = [
+        np.zeros((mcus_y * 8 * comp_samp[c][1], mcus_x * 8 * comp_samp[c][0]))
+        for c in range(3)
+    ]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for c in range(3):
+                h_i, v_i = comp_samp[c]
                 dc_tab = huff[(0, scan_sel[c][0])]
                 ac_tab = huff[(1, scan_sel[c][1])]
-                zz = np.zeros(64, dtype=np.int64)
-                s = _read_huff(reader, dc_tab)
-                pred[c] += _huff_extend(reader.take(s), s) if s else 0
-                zz[0] = pred[c]
-                k = 1
-                while k <= 63:
-                    sym = _read_huff(reader, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _huff_extend(reader.take(size), size)
-                    k += 1
-                q = np.array(qt[comp_q[c]], dtype=np.float64)
-                coefs = np.zeros(64)
-                coefs[_ZIGZAG] = zz * q[np.arange(64)]
-                block = t.T @ coefs.reshape(8, 8) @ t
-                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+                for vb in range(v_i):
+                    for hb in range(h_i):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_huff(reader, dc_tab)
+                        pred[c] += _huff_extend(reader.take(s), s) if s else 0
+                        zz[0] = pred[c]
+                        k = 1
+                        while k <= 63:
+                            sym = _read_huff(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[k] = _huff_extend(reader.take(size), size)
+                            k += 1
+                        q = np.array(qt[comp_q[c]], dtype=np.float64)
+                        coefs = np.zeros(64)
+                        coefs[_ZIGZAG] = zz * q[np.arange(64)]
+                        block = t.T @ coefs.reshape(8, 8) @ t
+                        r0 = (my * v_i + vb) * 8
+                        c0 = (mx * h_i + hb) * 8
+                        planes[c][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
+    # upsample subsampled components to the full padded grid (nearest)
+    for c in range(3):
+        fy, fx = vmax // comp_samp[c][1], hmax // comp_samp[c][0]
+        if fy > 1 or fx > 1:
+            planes[c] = np.repeat(np.repeat(planes[c], fy, axis=0), fx, axis=1)
     y = planes[0][:height, :width]
     cb = planes[1][:height, :width]
     cr = planes[2][:height, :width]
@@ -1212,6 +1238,96 @@ def decode_jpeg_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+# --------------------------------------------------------------------- #
+# Image resize — pure-numpy bilinear (r13): the last PIL-gated IMAGE
+# verb un-gated.  Half-pixel-center sampling (align_corners=False, the
+# torchvision/OpenCV default), edge clamp, floor(x+0.5) rounding — the
+# same rounding convention the JPEG codec uses, because the catalog
+# entry's closed-form oracle reproduces it.
+# --------------------------------------------------------------------- #
+
+
+def resize_rgb(width: int, height: int, rgb: bytes, out_w: int, out_h: int) -> bytes:
+    """Bilinear-resample raw interleaved RGB8 to ``out_w x out_h`` —
+    vectorized numpy (separable gather + lerp, no Python pixel loop).
+    Source coordinate of output center: ``(d + 0.5) * src/out - 0.5``,
+    clamped to the edge (replicate)."""
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
+    src = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+
+    def axis_points(n_out, n_src):
+        x = (np.arange(n_out) + 0.5) * (n_src / n_out) - 0.5
+        x = np.clip(x, 0.0, n_src - 1.0)
+        lo = np.floor(x).astype(np.int64)
+        hi = np.minimum(lo + 1, n_src - 1)
+        return lo, hi, x - lo
+
+    ylo, yhi, fy = axis_points(out_h, height)
+    xlo, xhi, fx = axis_points(out_w, width)
+    top = src[ylo][:, xlo] * (1 - fx)[None, :, None] + src[ylo][:, xhi] * fx[None, :, None]
+    bot = src[yhi][:, xlo] * (1 - fx)[None, :, None] + src[yhi][:, xhi] * fx[None, :, None]
+    out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8).tobytes()
+
+
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """Resize an image blob to ``width x height`` and return it as a
+    PNG — fully library-free since r13: decode through the real
+    PPM/PNG/baseline-JPEG codecs, bilinear-resample
+    (:func:`resize_rgb`), re-encode with :func:`encode_png`."""
+    if blob[:2] == b"P6":
+        w, h, _maxval, px = decode_ppm(blob)
+    elif blob[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, px = decode_png(blob)
+    elif blob[:2] == b"\xff\xd8":
+        w, h, px = decode_jpeg(blob)
+    else:
+        raise ValueError("unsupported image container for resize")
+    return encode_png(width, height, resize_rgb(w, h, px, width, height))
+
+
+def resize_jpeg_block_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
+    """The full decode→resize pipeline reduced to exact statistics:
+    decode each baseline JPEG, bilinear-downscale by its 8x8 block grid
+    (out = blocks_x x blocks_y), and emit per-channel sums of the
+    RESIZED raster.  With block-constant sources every output center
+    samples strictly inside one constant block (sx = 8*dx + 3.5 — both
+    taps in the block), so the resize is exercised with genuinely
+    fractional 4-tap interpolation yet stays closed-form for the
+    oracle."""
+    out_schema = (
+        "media_id long, out_w int, out_h int, sum_r long, sum_g long, sum_b long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                w, h, px = decode_jpeg(bytes(blob))
+                ow, oh = w // 8, h // 8
+                small = np.frombuffer(
+                    resize_rgb(w, h, px, ow, oh), dtype=np.uint8
+                ).astype(np.int64).reshape(-1, 3)
+                rows.append(
+                    (
+                        int(mid), ow, oh,
+                        int(small[:, 0].sum()), int(small[:, 1].sum()),
+                        int(small[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b"],
             )
 
     return media.mapInPandas(kernel, schema=out_schema)

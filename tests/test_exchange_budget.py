@@ -798,6 +798,8 @@ BUDGET = {
                                  # cid-pruned store scan (same shape
                                  # as ann_ivf_persisted_topk; training
                                  # paid per-trigger inside the stream)
+    "multimodal_resize_pipeline": 0,  # synth + decode + resize are
+                                 # map-only mapInPandas
     "multimodal_jpeg_decode": 0,  # synth + decode are map-only
                                  # mapInPandas (the PNG/WAV shape)
     "rollup_day_retention": 1,   # per-day estimate agg over the

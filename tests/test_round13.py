@@ -470,23 +470,97 @@ def test_jpeg_codec_laws():
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(blob))
 
+    # (7) the 4:2:0 arm (the sampling grid real-world encoders default
+    # to): MCU-constant even gray round-trips EXACTLY through the 4-Y +
+    # subsampled-chroma interleave; a colored gradient stays within the
+    # wider chroma-subsampling tolerance AND compresses smaller than
+    # 4:4:4; odd dims pad to the 16px MCU grid and crop back.
+    mvals = 2 * ((np.arange(2)[None, :] * 13 + np.arange(2)[:, None] * 31 + 9) % 128)
+    gray = np.repeat(np.repeat(mvals, 16, 0), 16, 1).astype(np.uint8)
+    rgb = np.stack([gray] * 3, -1).tobytes()
+    assert decode_jpeg(encode_jpeg(32, 32, rgb, subsample=True))[2] == rgb
+    w, h = 48, 32
+    x, y = np.arange(w), np.arange(h)
+    img = np.stack(
+        [
+            ((x[None, :] * 2 + y[:, None] * 2) % 200),
+            np.broadcast_to((x[None, :] * 3 + 40) % 200, (h, w)),
+            np.broadcast_to((y[:, None] * 4 + 90) % 200, (h, w)),
+        ],
+        -1,
+    ).astype(np.uint8)
+    b420 = encode_jpeg(w, h, img.tobytes(), subsample=True)
+    b444 = encode_jpeg(w, h, img.tobytes())
+    dec = np.frombuffer(decode_jpeg(b420)[2], np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(dec - img.astype(int)).max() <= 40
+    assert len(b420) < len(b444), "4:2:0 must spend fewer bits than 4:4:4"
+    w2, h2, out = decode_jpeg(encode_jpeg(21, 13, bytes(21 * 13 * 3), subsample=True))
+    assert (w2, h2) == (21, 13) and out == bytes(21 * 13 * 3)
+    blob = bytearray(encode_jpeg(16, 16, bytes(16 * 16 * 3), subsample=True))
+    i = blob.find(b"\xff\xc0")
+    # marker(2) + len(2) + prec(1) + h(2) + w(2) + ncomp(1) + cid(1) -> samp
+    blob[i + 11] = 0x21  # Y sampling 2x2 -> 2x1 (unsupported grid)
+    with pytest.raises(ValueError, match="sampling grid"):
+        decode_jpeg(bytes(blob))
+
+
+def test_bilinear_resize_laws():
+    """The r13 pure-numpy bilinear resize (resize_image un-gated from
+    PIL): identity resize is byte-exact; downscaling a block-constant
+    image by its block grid returns the block-value matrix exactly
+    (every output center samples strictly inside one constant block —
+    the catalog entry's regime); the full decode→resize→re-encode path
+    round-trips through real JPEG in / PNG out; output range is always
+    clamped to u8."""
+    import numpy as np
+
+    from big_data_table_spark.functions.multimodal import (
+        decode_png,
+        encode_jpeg,
+        resize_image,
+        resize_rgb,
+    )
+
+    did = 4
+    w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+    bxs, bys = np.arange(w // 8), np.arange(h // 8)
+    vals = 2 * ((did * 7 + bxs[None, :] * 13 + bys[:, None] * 31) % 128)
+    gray = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    rgb = np.stack([gray] * 3, -1).tobytes()
+    assert resize_rgb(w, h, rgb, w, h) == rgb  # identity exact
+    small = np.frombuffer(
+        resize_rgb(w, h, rgb, w // 8, h // 8), np.uint8
+    ).reshape(h // 8, w // 8, 3)
+    assert (small[..., 0] == vals).all()  # block downscale exact
+    # full pipeline: JPEG in, bilinear, PNG out
+    out = resize_image(encode_jpeg(w, h, rgb), w // 8, h // 8)
+    w2, h2, px2 = decode_png(out)
+    assert (w2, h2) == (w // 8, h // 8)
+    assert (np.frombuffer(px2, np.uint8).reshape(h // 8, w // 8, 3)[..., 2] == vals).all()
+    # fractional upscale: right shape, clamped
+    up = np.frombuffer(resize_rgb(w, h, rgb, 31, 23), np.uint8)
+    assert len(up) == 31 * 23 * 3
+    with pytest.raises(ValueError, match="unsupported image container"):
+        resize_image(b"GIF89a....", 4, 4)
+
 
 def test_r13_window_staging():
     """Driver-window staging invariants for round 13 (VERDICT r12 #2):
     the window leads with the 12 entries of _R12_NEXT — the only ones
     without a driver CORRECTNESS row (7 r12-new) or whose newest row is
-    round 5 (5 spill-overs) — then the 2 NEW r13 entries (VERDICT #1:
-    rollup_day_retention needs a driver row this round), then the 36
-    stalest r6-window refreshes; the remaining 14 r6-stale entries
-    spill to _R13_NEXT.  CATALOG iteration order leads with the
-    window."""
+    round 5 (5 spill-overs) — then the NEW r13 entries (VERDICT #1:
+    rollup_day_retention needs a driver row this round), then the
+    stalest r6-window refreshes filling the 50 slots; the remaining
+    r6-stale entries spill to _R13_NEXT.  CATALOG iteration order
+    leads with the window."""
     from big_data_table_spark import catalog as C
 
+    n_new = len(C._R13_NEW)
     assert len(C._R13_FRONT) == len(set(C._R13_FRONT)) == 50
     assert C._R13_FRONT[:12] == C._R12_NEXT
-    assert C._R13_FRONT[12:14] == C._R13_NEW
-    assert C._R13_FRONT[14:] == C._R6_STALE[:36]
-    assert C._R13_NEXT == C._R6_STALE[36:]
+    assert C._R13_FRONT[12 : 12 + n_new] == C._R13_NEW
+    assert C._R13_FRONT[12 + n_new :] == C._R6_STALE[: 38 - n_new]
+    assert C._R13_NEXT == C._R6_STALE[38 - n_new :]
     assert not set(C._R13_FRONT) & set(C._R13_NEXT)
     assert set(C._R13_FRONT + C._R13_NEXT) <= set(C.CATALOG)
     assert list(C.CATALOG)[:50] == C._R13_FRONT
