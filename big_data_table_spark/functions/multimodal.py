@@ -773,10 +773,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # 1-fill, per spec
+
+    def restart(self, n: int) -> None:
+        """Emit an RSTn marker: byte-align (stuffed padding), then the
+        raw two marker bytes — markers are never stuffed."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -869,13 +878,22 @@ def _blockify(plane, h: int, w: int):
     )
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode raw interleaved RGB8 as a REAL baseline JPEG (SOF0,
     Annex-K quant tables, per-image optimized canonical Huffman tables)
     — pure Python + numpy.  ``subsample=False`` emits 4:4:4;
     ``subsample=True`` emits 4:2:0 (Y sampling 2x2, chroma 2x2-mean
     downsampled, the MCU interleave real-world encoders default to).
-    Two passes: collect DC/AC symbol counts, build the four DHT tables,
+    ``restart_interval=N`` emits a DRI segment and an RSTn marker
+    every N MCUs (byte-aligned, DC predictors reset — what makes
+    real-world streams resync-able and parallel-decodable).  Two
+    passes: collect DC/AC symbol counts, build the four DHT tables,
     then emit the entropy-coded scan with 0xFF byte stuffing.
     Quantization is half-away-from-zero (sign * floor(|F|/q + 0.5)),
     the libjpeg convention the decoder and the catalog oracle mirror."""
@@ -916,10 +934,20 @@ def encode_jpeg(width: int, height: int, rgb: bytes, subsample: bool = False) ->
         qcoef = (sign * np.floor(np.abs(coefs) / q + 0.5)).astype(np.int64)
         quantized.append(qcoef.reshape(bh, bw2, 64)[:, :, _ZIGZAG])
 
-    def scan(emit_dc, emit_ac):
+    def scan(emit_dc, emit_ac, emit_rst=None):
         pred = [0, 0, 0]
+        mcu_i = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    if emit_rst is not None:
+                        emit_rst((mcu_i // restart_interval - 1) & 7)
+                    pred = [0, 0, 0]
+                mcu_i += 1
                 for c in range(3):
                     h_i, v_i = samp[c]
                     for vb in range(v_i):
@@ -983,7 +1011,7 @@ def encode_jpeg(width: int, height: int, rgb: bytes, subsample: bool = False) ->
         if s:
             w.put(v if v > 0 else v + (1 << s) - 1, s)
 
-    scan(emit_dc, emit_ac)
+    scan(emit_dc, emit_ac, emit_rst=w.restart)
     entropy = w.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1000,6 +1028,8 @@ def encode_jpeg(width: int, height: int, rgb: bytes, subsample: bool = False) ->
         out += _seg(
             0xFFC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
         )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += _seg(0xFFDA, sos)
     out += entropy
@@ -1030,8 +1060,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     any valid baseline table, not only this encoder's), byte-unstuffed
     Huffman scan decode (DC prediction + run/size AC + ZRL/EOB),
     dequantization, orthonormal IDCT, chroma upsample and YCbCr->RGB
-    with floor(x+0.5) rounding -> (width, height, rgb_bytes).
-    Progressive/12-bit/restart and other sampling grids raise with the
+    with floor(x+0.5) rounding -> (width, height, rgb_bytes).  DRI /
+    RSTn restart intervals are honored (segment split, DC-predictor
+    reset, byte re-alignment — real-world encoders emit them).
+    Progressive/12-bit and other sampling grids raise with the
     unsupported feature named."""
     import struct
 
@@ -1047,6 +1079,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     comp_samp: list[tuple[int, int]] = []
     scan_sel: list[tuple[int, int]] = []
     entropy = None
+    restart_interval = 0
+    segments: list[bytes] = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -1087,13 +1121,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                 huff[(cls, tid)] = _dht_decoder(counts, symbols)
                 off += 17 + n
         elif marker == 0xFFDD:
-            raise ValueError("restart intervals not supported")
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xFFDA:
             ns = data[0]
             for c in range(ns):
                 cid, sel = data[1 + 2 * c], data[2 + 2 * c]
                 scan_sel.append((sel >> 4, sel & 0xF))
-            # entropy-coded data runs from here to EOI; unstuff
+            # entropy-coded data runs from here to EOI; unstuff and
+            # split on RSTn markers into restart segments
             raw = blob[pos + 2 + seglen :]
             payload = bytearray()
             i = 0
@@ -1105,12 +1140,18 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                         payload.append(0xFF)
                         i += 2
                         continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                        segments.append(bytes(payload))
+                        payload = bytearray()
+                        i += 2
+                        continue
                     if nxt == 0xD9:
                         break
                     raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
                 payload.append(b)
                 i += 1
-            entropy = bytes(payload)
+            segments.append(bytes(payload))
+            entropy = segments[0]
             break
         pos += 2 + seglen
     if width is None or entropy is None:
@@ -1119,15 +1160,26 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     vmax = max(s[1] for s in comp_samp)
     mw, mh = 8 * hmax, 8 * vmax
     mcus_x, mcus_y = -(-width // mw), -(-height // mh)
+    if len(segments) > 1 and not restart_interval:
+        raise ValueError("RSTn markers in scan but no DRI segment")
     t = _dct_matrix()
-    reader = _BitReader(entropy)
+    reader = _BitReader(segments[0])
     pred = [0, 0, 0]
+    seg_i = 0
+    mcu_i = 0
     planes = [
         np.zeros((mcus_y * 8 * comp_samp[c][1], mcus_x * 8 * comp_samp[c][0]))
         for c in range(3)
     ]
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                seg_i += 1  # next restart segment: re-align, reset DC
+                if seg_i >= len(segments):
+                    raise ValueError("missing restart segment in scan")
+                reader = _BitReader(segments[seg_i])
+                pred = [0, 0, 0]
+            mcu_i += 1
             for c in range(3):
                 h_i, v_i = comp_samp[c]
                 dc_tab = huff[(0, scan_sel[c][0])]

@@ -503,6 +503,26 @@ def test_jpeg_codec_laws():
     with pytest.raises(ValueError, match="sampling grid"):
         decode_jpeg(bytes(blob))
 
+    # (8) DRI/RSTn restart intervals (real-world encoders emit them):
+    # the restarted stream decodes BIT-IDENTICALLY to the restartless
+    # one (same coefficients; only the DC prediction chain and byte
+    # alignment differ) in both sampling grids, and orphan RSTn
+    # markers without a DRI segment raise.
+    w, h = 48, 32
+    plain = decode_jpeg(encode_jpeg(w, h, img.tobytes()))
+    for ri in (1, 3):
+        blob = encode_jpeg(w, h, img.tobytes(), restart_interval=ri)
+        assert b"\xff\xdd" in blob
+        assert decode_jpeg(blob) == plain
+    plain420 = decode_jpeg(encode_jpeg(w, h, img.tobytes(), subsample=True))
+    rst420 = encode_jpeg(w, h, img.tobytes(), subsample=True, restart_interval=2)
+    assert decode_jpeg(rst420) == plain420
+    blob = bytearray(encode_jpeg(w, h, img.tobytes(), restart_interval=2))
+    d = blob.find(b"\xff\xdd")
+    del blob[d : d + 6]  # strip the DRI segment, leave the RSTn markers
+    with pytest.raises(ValueError, match="no DRI"):
+        decode_jpeg(bytes(blob))
+
 
 def test_bilinear_resize_laws():
     """The r13 pure-numpy bilinear resize (resize_image un-gated from
