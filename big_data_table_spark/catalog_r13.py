@@ -53,6 +53,7 @@ def rollup_day_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import uuid
 
     from .functions import sketches as SK
 
@@ -61,9 +62,17 @@ def rollup_day_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
     ev = Tables(spark, sf_dir).events.filter(day.between(lo, hi))
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    # per-invocation unique suffix (r13 ADVICE): this store is MUTATED
+    # across the whole lifecycle (rmtree → appends → expires → blocked
+    # replay), so two concurrent executions in one application must not
+    # share a path.  The returned frame reads the store lazily, so the
+    # dir must outlive the call — it lives in the process tempdir and
+    # is reclaimed with it (bounded by invocations, not accumulated
+    # across test sessions).
     path = os.path.join(
         tempfile.gettempdir(),
-        f"bdt_day_ret_{spark.sparkContext.applicationId}_{sf_tag}",
+        f"bdt_day_ret_{spark.sparkContext.applicationId}_{sf_tag}_"
+        f"{uuid.uuid4().hex[:8]}",
     )
     shutil.rmtree(path, ignore_errors=True)
     days = sorted(r[0] for r in ev.select(day.alias("d")).distinct().collect())

@@ -90,11 +90,22 @@ def write_store_relation(
     parallelism), or, for a single-key store, caps the file count at
     the key cardinality.  Every store read already SUM-merges or
     DISTINCTs, so the layout changes nothing semantically — pinned
-    result-neutral by the compact/purge law tests."""
-    n = store_file_count_for(sized_on if sized_on is not None else df, target_file_bytes)
+    result-neutral by the compact/purge law tests.
+
+    The probe runs on ``sized_on`` when provided (r13 ADVICE): for the
+    corpus-scale merge rewrites this verb exists for, ``df`` is a
+    post-aggregate/merged relation, so probing it re-runs the whole
+    merge as an extra shuffle+aggregate job; ``sized_on`` is the raw
+    store read, where the probe really is one column off parquet.  A
+    merge never invents leading-key values, so the raw read's key
+    cardinality is an upper bound on ``df``'s — using it can only SKIP
+    the low-cardinality fallback near the boundary (a few empty
+    files), never take it wrongly."""
+    probe = sized_on if sized_on is not None else df
+    n = store_file_count_for(probe, target_file_bytes)
     part_cols = [keys[0]]
     if n > 1:
-        acd = df.agg(F.approx_count_distinct(keys[0])).first()[0]
+        acd = probe.agg(F.approx_count_distinct(keys[0])).first()[0]
         if acd is not None and 0 < int(acd) < n:
             if len(keys) > 1:
                 part_cols = list(keys)
@@ -330,6 +341,19 @@ def _guard_expired_days(
 # ------------------------------------------------------------------ #
 
 
+def _is_marker_file(name: str) -> bool:
+    """True for store-root side-MARKER files only: dot-prefixed (every
+    marker family is — ``.retention``, ``.day_retention``,
+    ``.chunk_retention``, ``.compact_watermark[.<day>]``) and not the
+    machinery's own ``.tmp``/``.lock`` droppings.  The root-swap copy
+    and re-merge loops filter on this (r13 ADVICE): pushing an
+    arbitrary future root-level file (a ``_SUCCESS``, a JSON metadata
+    sidecar) through the monotone marker writer would strip whitespace
+    and apply marker ordering semantics to it — non-marker files are
+    left to the swap's normal replace-the-root semantics instead."""
+    return name.startswith(".") and not name.endswith((".tmp", ".lock"))
+
+
 def _aside_root_for(path: str) -> str:
     """The dot-prefixed rename-aside sibling a root swap parks the old
     store in — ONE copy of the ``.{name}.compact.old`` convention
@@ -389,8 +413,10 @@ def _swap_store_root(tmp_root: str, path: str) -> None:
 
     Root-level side-marker FILES (compaction watermarks, retention
     cutoffs — state documented to survive every verb except build) are
-    carried into the staged root first; half-written ``.tmp`` and
-    ``.lock`` files are not.  A marker write landing BETWEEN that copy
+    carried into the staged root first; both the copy and the re-merge
+    filter on :func:`_is_marker_file` (dot-prefixed, not ``.tmp`` /
+    ``.lock`` — r13 ADVICE), so a non-marker root-level file can never
+    be pushed through marker write semantics.  A marker write landing BETWEEN that copy
     loop and the rename pair goes into the outgoing root — so after
     the renames, any marker found in the parked old root is re-merged
     into the new root through the locked MONOTONE writer (r12 ADVICE:
@@ -410,7 +436,7 @@ def _swap_store_root(tmp_root: str, path: str) -> None:
 
     for f in os.listdir(path):
         p = os.path.join(path, f)
-        if os.path.isfile(p) and not f.endswith((".tmp", ".lock")):
+        if os.path.isfile(p) and _is_marker_file(f):
             shutil.copy2(p, os.path.join(tmp_root, f))
     aside = _aside_root_for(path)
     shutil.rmtree(aside, ignore_errors=True)
@@ -418,7 +444,7 @@ def _swap_store_root(tmp_root: str, path: str) -> None:
     os.rename(tmp_root, path)
     for f in os.listdir(aside):
         p = os.path.join(aside, f)
-        if os.path.isfile(p) and not f.endswith((".tmp", ".lock")):
+        if os.path.isfile(p) and _is_marker_file(f):
             raw = _read_raw_marker(aside, f)
             if raw is not None:
                 _write_marker_monotone(path, f, raw)
