@@ -122,13 +122,96 @@ def decode_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
     return width, height, maxval, pixels
 
 
-def decode_image(blob: bytes):
-    """Decode an image blob → (width, height, mode).
+def _png_dims(blob: bytes) -> tuple[int, int]:
+    """PNG dimensions from the IHDR header alone — no inflate, no
+    filter reversal (r13 ADVICE: the dims-only verb must not pay the
+    full decode).  IHDR is required to be the FIRST chunk (PNG spec
+    §5.6), so this is a fixed-offset parse; the chunk is still
+    CRC-checked and the support gates match :func:`decode_png` exactly
+    (RGB8 non-interlaced), so dims-only never accepts a blob the pixel
+    path would reject on its header."""
+    import struct
+    import zlib
 
-    PPM (P6) decodes for real via the pure-Python :func:`decode_ppm`,
-    PNG (RGB8) via :func:`decode_png`, baseline JPEG via
-    :func:`decode_jpeg` (r13) — all library-free; remaining formats
-    need PIL, which is not available in this environment — the call
+    if blob[12:16] != b"IHDR" or len(blob) < 33:
+        raise ValueError("missing IHDR")
+    data = blob[16:29]
+    (crc,) = struct.unpack(">I", blob[29:33])
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        raise ValueError("bad CRC in b'IHDR' chunk")
+    width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", data
+    )
+    if (depth, ctype_id) != (8, 2):
+        raise ValueError("only RGB8 (color type 2) supported")
+    if interlace:
+        raise ValueError("Adam7 interlacing not supported")
+    return width, height
+
+
+def _jpeg_dims(blob: bytes) -> tuple[int, int, int]:
+    """JPEG (width, height, n_components) from the SOF0 header alone —
+    the marker walk stops at the frame header, so no entropy decode /
+    dequant / IDCT / color conversion runs (r13 ADVICE).  Same
+    fill-byte tolerance and support gates as :func:`decode_jpeg`
+    (baseline SOF0, 8-bit, 1- or 3-component, 4:4:4 / 4:2:0 /
+    grayscale), so dims-only never accepts a frame header the pixel
+    path would reject."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG blob")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(
+                f"marker sync lost at offset {pos}: expected 0xFF before a "
+                f"marker code, found 0x{blob[pos]:02X}"
+            )
+        while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        marker = (blob[pos] << 8) | blob[pos + 1]
+        if marker in (0xFFD9, 0xFFDA):
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        data = blob[pos + 4 : pos + 2 + seglen]
+        if marker == 0xFFC0:
+            prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError(
+                    "only 8-bit 1- or 3-component baseline supported"
+                )
+            comp_samp = [
+                (data[7 + 3 * c] >> 4, data[7 + 3 * c] & 0xF)
+                for c in range(ncomp)
+            ]
+            if comp_samp not in (
+                [(1, 1)],
+                [(1, 1)] * 3,
+                [(2, 2), (1, 1), (1, 1)],
+            ):
+                raise ValueError(
+                    f"unsupported sampling grid {comp_samp} (4:4:4 and 4:2:0 only)"
+                )
+            return width, height, ncomp
+        if marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        pos += 2 + seglen
+    raise ValueError("missing SOF0")
+
+
+def decode_image(blob: bytes):
+    """Decode an image blob's metadata → (width, height, mode).
+
+    Dims come from a HEADER parse only (r13 ADVICE: the old route ran
+    the full entropy decode + dequant + IDCT + color conversion just to
+    report dimensions — at media scale that made the cheapest verb pay
+    the dearest cost): PPM reads its ASCII header, PNG its CRC-checked
+    IHDR (:func:`_png_dims`), JPEG walks markers to SOF0
+    (:func:`_jpeg_dims`).  The support gates match the pixel decoders
+    (:func:`decode_png` / :func:`decode_jpeg`), which remain the REAL
+    full decode for every pixel-consuming path; remaining formats need
+    PIL, which is not available in this environment — the call
     signature, batching, and schema plumbing around them are real and
     tested via :func:`fake_decode_features`.
     """
@@ -136,11 +219,11 @@ def decode_image(blob: bytes):
         w, h, _maxval, _px = decode_ppm(blob)
         return w, h, "RGB"
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h, _px = decode_png(blob)
+        w, h = _png_dims(blob)
         return w, h, "RGB"
     if blob[:2] == b"\xff\xd8":
-        w, h, _px = decode_jpeg(blob)
-        return w, h, "RGB"
+        w, h, ncomp = _jpeg_dims(blob)
+        return w, h, "L" if ncomp == 1 else "RGB"
     if not _HAS_PIL:
         raise NotImplementedError(
             "image decode beyond PPM/PNG/baseline-JPEG requires PIL; "
@@ -884,16 +967,21 @@ def encode_jpeg(
     rgb: bytes,
     subsample: bool = False,
     restart_interval: int = 0,
+    grayscale: bool = False,
 ) -> bytes:
     """Encode raw interleaved RGB8 as a REAL baseline JPEG (SOF0,
     Annex-K quant tables, per-image optimized canonical Huffman tables)
     — pure Python + numpy.  ``subsample=False`` emits 4:4:4;
     ``subsample=True`` emits 4:2:0 (Y sampling 2x2, chroma 2x2-mean
     downsampled, the MCU interleave real-world encoders default to).
+    ``grayscale=True`` emits a 1-COMPONENT frame (r14): the luma plane
+    only — one DQT, one DC/AC table pair, no chroma MCU slots — the
+    shape real-world encoders produce for mode-L sources (input stays
+    interleaved RGB8; the JFIF luma transform reduces it).
     ``restart_interval=N`` emits a DRI segment and an RSTn marker
     every N MCUs (byte-aligned, DC predictors reset — what makes
     real-world streams resync-able and parallel-decodable).  Two
-    passes: collect DC/AC symbol counts, build the four DHT tables,
+    passes: collect DC/AC symbol counts, build the DHT tables,
     then emit the entropy-coded scan with 0xFF byte stuffing.
     Quantization is half-away-from-zero (sign * floor(|F|/q + 0.5)),
     the libjpeg convention the decoder and the catalog oracle mirror."""
@@ -903,7 +991,10 @@ def encode_jpeg(
 
     if len(rgb) != 3 * width * height:
         raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
-    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    if grayscale and subsample:
+        raise ValueError("grayscale has no chroma planes to subsample")
+    ncomp = 1 if grayscale else 3
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * ncomp
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
@@ -920,7 +1011,7 @@ def encode_jpeg(
     comp_q = [0, 1, 1]
     mcus_x, mcus_y = pw // mw, ph // mh
     quantized = []  # per component: (blocks_y, blocks_x, 64) int zigzagged
-    for c in range(3):
+    for c in range(ncomp):
         h_i, v_i = samp[c]
         fy, fx = vmax // v_i, hmax // h_i
         plane = padded[..., c]
@@ -948,7 +1039,7 @@ def encode_jpeg(
                         emit_rst((mcu_i // restart_interval - 1) & 7)
                     pred = [0, 0, 0]
                 mcu_i += 1
-                for c in range(3):
+                for c in range(ncomp):
                     h_i, v_i = samp[c]
                     for vb in range(v_i):
                         for hb in range(h_i):
@@ -989,8 +1080,9 @@ def encode_jpeg(
         tbl[sym] = tbl.get(sym, 0) + 1
 
     scan(count_dc, count_ac)
-    dc_tabs = [_optimized_table(f) for f in dc_freq]
-    ac_tabs = [_optimized_table(f) for f in ac_freq]
+    n_tabs = 1 if grayscale else 2
+    dc_tabs = [_optimized_table(f) for f in dc_freq[:n_tabs]]
+    ac_tabs = [_optimized_table(f) for f in ac_freq[:n_tabs]]
     dc_codes = [_canonical_codes(*tab) for tab in dc_tabs]
     ac_codes = [_canonical_codes(*tab) for tab in ac_tabs]
 
@@ -1016,21 +1108,35 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, table in ((0, _JPEG_QY), (1, _JPEG_QC)):
+    q_emit = ((0, _JPEG_QY),) if grayscale else ((0, _JPEG_QY), (1, _JPEG_QC))
+    for tid, table in q_emit:
         out += _seg(0xFFDB, bytes([tid]) + bytes(table[i] for i in _ZIGZAG))
-    sof = struct.pack(">BHHB", 8, height, width, 3)
-    for c, (cid, qsel) in enumerate(((1, 0), (2, 1), (3, 1))):
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    comp_ids = ((1, 0),) if grayscale else ((1, 0), (2, 1), (3, 1))
+    for c, (cid, qsel) in enumerate(comp_ids):
         sof += bytes([cid, (samp[c][0] << 4) | samp[c][1], qsel])
     out += _seg(0xFFC0, sof)
-    for cls, tid, (counts, symbols) in (
-        (0, 0, dc_tabs[0]), (0, 1, dc_tabs[1]), (1, 0, ac_tabs[0]), (1, 1, ac_tabs[1]),
-    ):
+    dht_emit = (
+        [(0, 0, dc_tabs[0]), (1, 0, ac_tabs[0])]
+        if grayscale
+        else [
+            (0, 0, dc_tabs[0]),
+            (0, 1, dc_tabs[1]),
+            (1, 0, ac_tabs[0]),
+            (1, 1, ac_tabs[1]),
+        ]
+    )
+    for cls, tid, (counts, symbols) in dht_emit:
         out += _seg(
             0xFFC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
         )
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    sos = (
+        bytes([1, 1, 0x00, 0, 63, 0])
+        if grayscale
+        else bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
     out += _seg(0xFFDA, sos)
     out += entropy
     out += b"\xff\xd9"  # EOI
@@ -1055,8 +1161,10 @@ def _read_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     """REAL lossy-image decode, pure Python + numpy: marker walk, 8-bit
-    DQT, SOF0 (baseline; 4:4:4 AND 4:2:0 — the interleave real-world
-    encoders default to), canonical DHT reconstruction (multi-length —
+    DQT, SOF0 (baseline; 4:4:4, 4:2:0 AND 1-component grayscale — the
+    shapes real-world encoders emit; grayscale output is luma
+    replicated to RGB so downstream consumers keep one channel shape),
+    canonical DHT reconstruction (multi-length —
     any valid baseline table, not only this encoder's), byte-unstuffed
     Huffman scan decode (DC prediction + run/size AC + ZRL/EOB),
     dequantization, orthonormal IDCT, chroma upsample and YCbCr->RGB
@@ -1083,7 +1191,15 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     segments: list[bytes] = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
-            raise ValueError("marker sync lost")
+            raise ValueError(
+                f"marker sync lost at offset {pos}: expected 0xFF before a "
+                f"marker code, found 0x{blob[pos]:02X}"
+            )
+        # ISO 10918-1 B.1.1.2: any number of 0xFF FILL bytes may pad the
+        # stream before a marker code — conforming third-party encoders
+        # emit them, so skip repeats before reading the code (r13 ADVICE).
+        while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = (blob[pos] << 8) | blob[pos + 1]
         if marker == 0xFFD9:
             break
@@ -1098,14 +1214,20 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                 qt[tq] = list(data[off + 1 : off + 65])
                 off += 65
         elif marker == 0xFFC0:
-            prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
-            if prec != 8 or ncomp != 3:
-                raise ValueError("only 8-bit 3-component baseline supported")
-            for c in range(3):
+            prec, height, width, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError(
+                    "only 8-bit 1- or 3-component baseline supported"
+                )
+            for c in range(nc):
                 cid, samp, qsel = data[6 + 3 * c : 9 + 3 * c]
                 comp_samp.append((samp >> 4, samp & 0xF))
                 comp_q.append(qsel)
-            if comp_samp not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+            if comp_samp not in (
+                [(1, 1)],  # grayscale (r14)
+                [(1, 1)] * 3,
+                [(2, 2), (1, 1), (1, 1)],
+            ):
                 raise ValueError(
                     f"unsupported sampling grid {comp_samp} (4:4:4 and 4:2:0 only)"
                 )
@@ -1156,6 +1278,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
         pos += 2 + seglen
     if width is None or entropy is None:
         raise ValueError("missing SOF0 or SOS")
+    ncomp = len(comp_samp)
     hmax = max(s[0] for s in comp_samp)
     vmax = max(s[1] for s in comp_samp)
     mw, mh = 8 * hmax, 8 * vmax
@@ -1169,7 +1292,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     mcu_i = 0
     planes = [
         np.zeros((mcus_y * 8 * comp_samp[c][1], mcus_x * 8 * comp_samp[c][0]))
-        for c in range(3)
+        for c in range(ncomp)
     ]
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -1180,7 +1303,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                 reader = _BitReader(segments[seg_i])
                 pred = [0, 0, 0]
             mcu_i += 1
-            for c in range(3):
+            for c in range(ncomp):
                 h_i, v_i = comp_samp[c]
                 dc_tab = huff[(0, scan_sel[c][0])]
                 ac_tab = huff[(1, scan_sel[c][1])]
@@ -1212,16 +1335,21 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                         c0 = (mx * h_i + hb) * 8
                         planes[c][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
     # upsample subsampled components to the full padded grid (nearest)
-    for c in range(3):
+    for c in range(ncomp):
         fy, fx = vmax // comp_samp[c][1], hmax // comp_samp[c][0]
         if fy > 1 or fx > 1:
             planes[c] = np.repeat(np.repeat(planes[c], fy, axis=0), fx, axis=1)
     y = planes[0][:height, :width]
-    cb = planes[1][:height, :width]
-    cr = planes[2][:height, :width]
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    if ncomp == 1:
+        # grayscale frame (r14): luma replicated into RGB so every
+        # downstream consumer (stats, resize) keeps its 3-channel shape
+        r = g = b = y
+    else:
+        cb = planes[1][:height, :width]
+        cr = planes[2][:height, :width]
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     return width, height, rgb.tobytes()
