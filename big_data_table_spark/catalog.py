@@ -2386,110 +2386,17 @@ _head11 = _R11_FRONT + _R11_NEXT + [
 CATALOG = {name: CATALOG[name] for name in _head11}
 
 # ------------------------------------------------------------------ #
-# round-12 registrations (builders AND specs in catalog_r12.py — the
-# chunk convention)
+# round-12+ registrations and driver-window orderings live in
+# catalog_windows.py (r14 module-budget split — this module sat at
+# 2499/2500 lines, VERDICT r13 #2); the _R* staging names are
+# re-exported here so law tests keep their historical import path.
 # ------------------------------------------------------------------ #
-_r12 = __import__("big_data_table_spark.catalog_r12", fromlist=["x"]).r12_specs()
-CATALOG.update(_r12)
+from big_data_table_spark import catalog_windows as _windows
 
-# ------------------------------------------------------------------ #
-# driver-window ordering (round 12) — VERDICT r11 #1: the 8 entries of
-# _R11_NEXT (the r11 lifecycle family) are the only ones the driver
-# has never seen; they fit one window with 42 slots spare, filled with
-# the stalest-evidence refreshes — the r5-window entries whose latest
-# green driver row is still round 5 (CORRECTNESS_r05 keys minus every
-# later round), taken in catalog order.  47 such entries exist, so 42
-# head the window and the remaining 5 spill to _R12_NEXT ahead of the
-# new r12 entries.  After this window, no entry's newest driver
-# evidence predates round 6.
-# ------------------------------------------------------------------ #
-_R5_STALE = [
-    "multimodal_wav_decode", "multimodal_png_decode", "sequence_packing",
-    "bloom_membership_audience", "cms_heavy_hitters", "q1_pricing_summary",
-    "q6_revenue", "join3_revenue_by_segment", "filter_project", "topk_orders",
-    "lookup_join_nation_region", "semi_join_orders", "anti_join_customers",
-    "cross_join_region_nation", "grouped_sum_by_year", "group_count",
-    "grouped_mean", "agg_all_sd", "multi_key_group", "keyby_sorted",
-    "distinct_segments", "count_distinct", "union_all_counts",
-    "intersect_custkeys", "except_custkeys", "window_topk_per_group",
-    "window_running_sum", "window_lag_lead", "rollup_agg", "cube_agg",
-    "grouping_sets", "pivot_linestatus", "two_phase_agg", "merge_upsert",
-    "percentile_exact", "part_brand_stats", "supplier_chain",
-    "sample_by_hash", "train_val_test_split", "generator_source",
-    "csv_roundtrip", "json_roundtrip", "balanced_sample_per_group",
-    "clean_corpus_pipeline", "string_functions", "array_functions",
-    "weighted_sample_topk",
-]
-_R12_FRONT = _R11_NEXT + _R5_STALE[:42]
-_R12_NEW = list(_r12)
-_R12_NEXT = _R5_STALE[42:] + _R12_NEW
-
-assert len(_R12_FRONT) == len(set(_R12_FRONT)) == 50, len(_R12_FRONT)
-assert set(_R12_FRONT + _R12_NEXT) <= set(CATALOG), sorted(
-    set(_R12_FRONT + _R12_NEXT) - set(CATALOG)
+CATALOG = _windows.stage(CATALOG, _R11_NEXT)
+globals().update(
+    {k: v for k, v in vars(_windows).items() if k.startswith("_R")}
 )
-assert not set(_R12_FRONT) & set(_R12_NEXT)
-
-# _head12 enumerates every catalog key (window head + the rest), so
-# rebuilding from it alone is complete
-_head12 = _R12_FRONT + _R12_NEXT + [
-    n for n in CATALOG if n not in set(_R12_FRONT + _R12_NEXT)
-]
-CATALOG = {name: CATALOG[name] for name in _head12}
-
-# ------------------------------------------------------------------ #
-# round-13 registrations (builders AND specs in catalog_r13.py — the
-# chunk convention)
-# ------------------------------------------------------------------ #
-_r13 = __import__("big_data_table_spark.catalog_r13", fromlist=["x"]).r13_specs()
-CATALOG.update(_r13)
-
-# ------------------------------------------------------------------ #
-# driver-window ordering (round 13) — VERDICT r12 #2: _R12_NEXT's 12
-# entries are the only ones without a driver row (7 r12-new) or whose
-# newest row is round 5 (5 spill-overs); the 3 NEW r13 entries follow
-# (VERDICT #1 wants rollup_day_retention driver-green THIS round); the
-# 35 remaining slots take the stalest evidence — the r6-window entries
-# whose latest green driver row is round 6 (CORRECTNESS_r06 keys minus
-# every later round), in catalog order.  50 such entries exist, so 35
-# head the window and 15 spill to _R13_NEXT.
-# ------------------------------------------------------------------ #
-_R6_STALE = [
-    "theta_sketch_intersection", "mg_heavy_hitters", "stream_hll_cardinality",
-    "sequence_packing_by_lang", "hll_daily_rollup_range", "hll_rollup_persisted",
-    "theta_overlap_by_source", "text_token_count_subword", "sequence_packing_subword",
-    "q2_min_cost_supplier", "q5_local_supplier_volume", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q10_returned_items",
-    "q11_important_stock", "q12_late_shipment_priority", "q13_customer_distribution",
-    "q15_top_supplier", "q16_parts_supplier_relationship",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_sales_opportunity", "stream_dedup_counts", "stream_dedup_watermark",
-    "stream_stateful_counts", "stream_static_enrich", "quantile_sketch_grouped",
-    "tdigest_quantiles_grouped", "grouped_correlation", "cohort_retention",
-    "events_dau_wau", "events_audience_overlap", "vocab_growth_curve",
-    "corpus_source_mix", "decontamination_report", "dedup_crosslingual_pairs",
-    "dedup_rate_trend", "incremental_dedup", "embedding_label_centroids",
-    "embedding_pca_power", "ann_ivf_trained_topk", "ann_pq_topk",
-    "ann_pq_trained_topk", "text_bigram_cross_entropy", "text_lang_id_confusion",
-    "text_repetition_ratio", "tfidf_top_terms",
-]
-_R13_NEW = list(_r13)
-_R13_FRONT = _R12_NEXT + _R13_NEW + _R6_STALE[: 50 - 12 - len(_R13_NEW)]
-_R13_NEXT = _R6_STALE[50 - 12 - len(_R13_NEW):]
-
-assert len(_R13_FRONT) == len(set(_R13_FRONT)) == 50, len(_R13_FRONT)
-assert set(_R13_FRONT + _R13_NEXT) <= set(CATALOG), sorted(
-    set(_R13_FRONT + _R13_NEXT) - set(CATALOG)
-)
-assert not set(_R13_FRONT) & set(_R13_NEXT)
-
-# _head13 enumerates every catalog key (window head + the rest), so
-# rebuilding from it alone is complete
-_head13 = _R13_FRONT + _R13_NEXT + [
-    n for n in CATALOG if n not in set(_R13_FRONT + _R13_NEXT)
-]
-CATALOG = {name: CATALOG[name] for name in _head13}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

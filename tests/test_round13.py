@@ -571,8 +571,10 @@ def test_r13_window_staging():
     round 5 (5 spill-overs) — then the NEW r13 entries (VERDICT #1:
     rollup_day_retention needs a driver row this round), then the
     stalest r6-window refreshes filling the 50 slots; the remaining
-    r6-stale entries spill to _R13_NEXT.  CATALOG iteration order
-    leads with the window."""
+    r6-stale entries spill to _R13_NEXT.  The r13 window WAS DRIVEN
+    (CORRECTNESS_r13 is 50/50 green on exactly _R13_FRONT), so the
+    frozen lists stay pinned; the CATALOG iteration order now leads
+    with _R14_FRONT (pinned in test_round14)."""
     from big_data_table_spark import catalog as C
 
     n_new = len(C._R13_NEW)
@@ -583,4 +585,3 @@ def test_r13_window_staging():
     assert C._R13_NEXT == C._R6_STALE[38 - n_new :]
     assert not set(C._R13_FRONT) & set(C._R13_NEXT)
     assert set(C._R13_FRONT + C._R13_NEXT) <= set(C.CATALOG)
-    assert list(C.CATALOG)[:50] == C._R13_FRONT
