@@ -28,9 +28,21 @@ the host was idle.  The repo's idle rule: cite headline numbers only
 from runs whose 1-AND-5-min start load is < 0.5; otherwise re-run idle
 and cite that.  r11 VERDICT #4 gives the rule teeth: the harness WAITS
 for idleness before starting (up to $SPARK_GRAFT_IDLE_WAIT seconds,
-default 600; 0 disables), so the committed artifact IS the idle run by
-default — a still-busy host degrades to the old record-and-run
-behavior, with ``idle_waited_sec`` and ``loadavg_start`` exposing it.
+default 1800 — raised from 600 in r14 after two consecutive driver
+artifacts exhausted the budget under co-tenant residue; 0 disables),
+so the committed artifact IS the idle run by default — a still-busy
+host degrades to the old record-and-run behavior, with
+``idle_waited_sec`` and ``loadavg_start`` exposing it.
+
+Artifact-grain re-run (r14, VERDICT r13 #3): each measurement pass is
+bracketed by EXACT CPU accounting — /proc/stat host-busy seconds minus
+this process tree's seconds = what co-tenants burned during the pass
+(loadavg_end cannot make that separation: the bench's own 32-thread
+bursts inflate it identically).  If co-tenants averaged more than
+$SPARK_GRAFT_COTENANT_CORES cores (default 0.5), the whole pass re-runs
+ONCE and every query keeps its min across passes — the per-query
+min-of-runs discipline applied at artifact grain.  ``passes`` and
+``cotenant_cores`` (one entry per pass) land in both JSON lines.
 
 Gating discipline (r10 VERDICT #6, measured): same-code tier2 totals
 varied 42.8-74.4 s across three judge runs — dozens of small store
@@ -123,6 +135,67 @@ TIER2 = [
 ]
 
 
+def _host_cpu_busy_sec() -> float | None:
+    """Total non-idle CPU seconds across the whole host since boot
+    (/proc/stat first line: user+nice+system+irq+softirq+steal).  With
+    :func:`_tree_cpu_sec` this yields an EXACT co-tenant meter — r13
+    VERDICT #3: two consecutive driver artifacts ran under co-tenant
+    load, and ``loadavg_end`` alone cannot separate a co-tenant burst
+    from the bench's own 32-thread bursts (self-load inflates the same
+    number), so the artifact-grain re-run check uses CPU accounting
+    instead: host busy seconds minus our own process tree's seconds IS
+    the co-tenants' consumption, no calibration needed."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        vals = [int(v) for v in parts[1:9]]
+        busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6] + vals[7]
+        return busy / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def _tree_cpu_sec() -> float | None:
+    """CPU seconds consumed by THIS process tree (bench python + the
+    live Spark JVM + its children), via one /proc pass: utime+stime of
+    every live process whose ancestry reaches us, plus cutime+cstime
+    (already-reaped descendants — those left /proc, so no double
+    count)."""
+    try:
+        me = os.getpid()
+        stats: dict[int, tuple[int, float]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue  # raced a process exit
+            # comm may contain spaces/parens: fields resume after ')'
+            rest = raw.rsplit(")", 1)[1].split()
+            ppid = int(rest[1])
+            cpu = (
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            )  # utime stime cutime cstime
+            stats[int(d)] = (ppid, cpu)
+        total, frontier = 0.0, {me}
+        while frontier:
+            nxt = set()
+            for pid, (ppid, cpu) in stats.items():
+                if ppid in frontier:
+                    nxt.add(pid)
+            for pid in frontier:
+                if pid in stats:
+                    total += stats[pid][1]
+            stats = {p: v for p, v in stats.items() if p not in frontier}
+            frontier = nxt
+        return total / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
 def _wait_for_idle(max_wait_sec: float, threshold: float = 0.5) -> float:
     """Block until the 1-AND-5-min load averages are below ``threshold``
     (the repo's idle rule), or ``max_wait_sec`` elapses — r11 VERDICT
@@ -144,11 +217,65 @@ def _wait_for_idle(max_wait_sec: float, threshold: float = 0.5) -> float:
     return round(time.monotonic() - start, 1)
 
 
+def _measure_pass(
+    CATALOG, spark, sf_dir: str
+) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
+    """One full measurement pass: every headline query 3-5 runs, every
+    tier2 entry 2 runs.  Returns the raw run lists ({key: [sec, ...]})
+    so the artifact-grain re-run can merge passes with per-query min —
+    the same discipline the per-query min-of-runs already applies."""
+    high_variance = {"simhash", "minhash", "neardup", "components"}
+    head_runs: dict[str, list[float]] = {}
+    for name, key in HEADLINE:
+        fn = CATALOG[name].fn
+        runs: list[float] = []
+        for _ in range(5 if key in high_variance else 3):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        head_runs[key] = runs
+    # tier 2: min-of-2 (store builds at sf0.1 are seconds each; two runs
+    # bound wall time while still absorbing the codegen-compile first run)
+    t2_runs: dict[str, list[float]] = {}
+    for name, key in TIER2:
+        fn = CATALOG[name].fn
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        t2_runs[key] = runs
+    return head_runs, t2_runs
+
+
+def _summarize(run_lists: dict[str, list[float]]):
+    timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
+    for key, runs in run_lists.items():
+        runs = sorted(runs)
+        timings[key] = round(runs[0], 3)
+        stats[key] = {
+            "min": round(runs[0], 3),
+            # statistics.median stays a true median whatever the run
+            # count — runs[len//2] labeled the MAX as median for 2 runs
+            "median": round(statistics.median(runs), 3),
+            "spread": round(runs[-1] - runs[0], 3),
+            "runs": len(runs),
+        }
+    return timings, stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # r13 VERDICT #3: two consecutive driver artifacts exhausted the old
+    # 600 s idle budget and started with 5-min load residue — the budget
+    # now defaults to 1800 s so the wait outlives a co-tenant gate
+    # marathon instead of giving up at its tail.
     idle_waited = _wait_for_idle(
-        float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "600"))
+        float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "1800"))
     )
     try:
         load_start = [round(v, 2) for v in os.getloadavg()]
@@ -175,50 +302,40 @@ def main() -> None:
     # The known high-variance lines get min-of-5; everything else
     # min-of-3 — and the artifact records min/median/spread per query so
     # a noisy window is diagnosable from the JSON alone.
-    high_variance = {"simhash", "minhash", "neardup", "components"}
-    timings: dict[str, float] = {}
-    stats: dict[str, dict[str, float]] = {}
-    for name, key in HEADLINE:
-        fn = CATALOG[name].fn
-        runs: list[float] = []
-        for _ in range(5 if key in high_variance else 3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        timings[key] = round(runs[0], 3)
-        stats[key] = {
-            "min": round(runs[0], 3),
-            "median": round(statistics.median(runs), 3),
-            "spread": round(runs[-1] - runs[0], 3),
-            "runs": len(runs),
-        }
+    #
+    # Artifact-grain re-run (r13 VERDICT #3 — the per-query min
+    # discipline applied at artifact grain): bracket each pass with the
+    # exact CPU accounting above; if co-tenants averaged more than
+    # SPARK_GRAFT_COTENANT_CORES cores (default 0.5 — far above idle-
+    # host daemon noise, far below the multi-core bursts that inflated
+    # the r12/r13 artifacts) during the pass, run ONE more pass and keep
+    # the per-query min across passes.  Bounded at 2 passes total.
+    cotenant_limit = float(os.environ.get("SPARK_GRAFT_COTENANT_CORES", "0.5"))
+    passes = 0
+    cotenant_cores: list[float] = []
+    head_runs: dict[str, list[float]] = {}
+    t2_runs: dict[str, list[float]] = {}
+    while passes < 2:
+        host0, tree0 = _host_cpu_busy_sec(), _tree_cpu_sec()
+        wall0 = time.perf_counter()
+        h, t2 = _measure_pass(CATALOG, spark, sf_dir)
+        wall = time.perf_counter() - wall0
+        host1, tree1 = _host_cpu_busy_sec(), _tree_cpu_sec()
+        for key, runs in h.items():
+            head_runs.setdefault(key, []).extend(runs)
+        for key, runs in t2.items():
+            t2_runs.setdefault(key, []).extend(runs)
+        passes += 1
+        if None in (host0, tree0, host1, tree1):  # pragma: no cover
+            break  # no /proc accounting — old single-pass behavior
+        other = max(0.0, (host1 - host0) - (tree1 - tree0))
+        cotenant_cores.append(round(other / max(wall, 1e-9), 3))
+        if cotenant_cores[-1] <= cotenant_limit:
+            break
 
+    timings, stats = _summarize(head_runs)
     total = round(sum(timings.values()), 3)
-
-    # tier 2: min-of-2 (store builds at sf0.1 are seconds each; two runs
-    # bound wall time while still absorbing the codegen-compile first run)
-    t2_timings: dict[str, float] = {}
-    t2_stats: dict[str, dict[str, float]] = {}
-    for name, key in TIER2:
-        fn = CATALOG[name].fn
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        t2_timings[key] = round(runs[0], 3)
-        t2_stats[key] = {
-            "min": round(runs[0], 3),
-            # statistics.median stays a true median whatever the run
-            # count — runs[len//2] labeled the MAX as median for 2 runs
-            "median": round(statistics.median(runs), 3),
-            "spread": round(runs[-1] - runs[0], 3),
-            "runs": len(runs),
-        }
+    t2_timings, t2_stats = _summarize(t2_runs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -259,6 +376,8 @@ def main() -> None:
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
                 "idle_waited_sec": idle_waited,
+                "passes": passes,
+                "cotenant_cores": cotenant_cores,
             }
         )
     )
@@ -273,6 +392,8 @@ def main() -> None:
                 "sf": sf_val,
                 "loadavg_start": load_start,
                 "idle_waited_sec": idle_waited,
+                "passes": passes,
+                "cotenant_cores": cotenant_cores,
             }
         )
     )
