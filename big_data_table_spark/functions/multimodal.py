@@ -15,7 +15,8 @@ Design for 100 TB of media:
 
 The decode libraries (PIL / torchaudio / av) are NOT in this
 environment.  Since r13 the IMAGE verbs no longer need them: real
-pure-Python codecs cover PPM/PNG/baseline-JPEG and bilinear resize
+pure-Python codecs cover PPM/PNG/JPEG (baseline 4:4:4/4:2:0/4:2:2/
+grayscale AND progressive spectral selection, r14) and bilinear resize
 (:func:`resize_rgb`).  Exotic image formats fall back to a PIL gate and
 VIDEO frame extraction stays av-gated — each resolves at import time to
 the real implementation or a clearly-marked ``NotImplementedError``
@@ -175,11 +176,11 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int, int]:
             break
         (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
         data = blob[pos + 4 : pos + 2 + seglen]
-        if marker == 0xFFC0:
+        if marker in (0xFFC0, 0xFFC2):  # baseline or progressive (r14)
             prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
             if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "only 8-bit 1- or 3-component baseline supported"
+                    "only 8-bit 1- or 3-component frames supported"
                 )
             comp_samp = [
                 (data[7 + 3 * c] >> 4, data[7 + 3 * c] & 0xF)
@@ -189,13 +190,18 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int, int]:
                 [(1, 1)],
                 [(1, 1)] * 3,
                 [(2, 2), (1, 1), (1, 1)],
+                [(2, 1), (1, 1), (1, 1)],
             ):
                 raise ValueError(
-                    f"unsupported sampling grid {comp_samp} (4:4:4 and 4:2:0 only)"
+                    f"unsupported sampling grid {comp_samp} "
+                    "(4:4:4, 4:2:0, 4:2:2 and grayscale only)"
                 )
             return width, height, ncomp
-        if marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        if marker in (0xFFC1, 0xFFC3):
+            raise ValueError(
+                "only baseline sequential (SOF0) and progressive (SOF2) "
+                "frames supported"
+            )
         pos += 2 + seglen
     raise ValueError("missing SOF0")
 
@@ -226,7 +232,7 @@ def decode_image(blob: bytes):
         return w, h, "L" if ncomp == 1 else "RGB"
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode beyond PPM/PNG/baseline-JPEG requires PIL; "
+            "image decode beyond PPM/PNG/JPEG requires PIL; "
             "not available in this "
             "environment (plumbing tested via fake_decode_features)"
         )
@@ -765,16 +771,19 @@ def documents_as_timed_media(docs: DataFrame, ms_per_byte: int = 10) -> DataFram
 # per-image OPTIMIZED canonical Huffman tables (two-pass, like
 # `cjpeg -optimize`) emitted in DHT — every symbol that occurs gets an
 # equal-length canonical code with the all-ones codeword reserved, a
-# valid JPEG table by construction.  Decoder: a GENERAL baseline
-# decoder — marker walk, 8-bit DQT, SOF0, canonical DHT reconstruction
+# valid JPEG table by construction.  Decoder: a GENERAL decoder for
+# BOTH frame types — marker walk, 8-bit DQT, SOF0 and SOF2
+# (progressive spectral selection, r14), canonical DHT reconstruction
 # (any valid multi-length table, not just the ones this encoder
-# writes), byte-unstuffed scan decode, dequant, IDCT, YCbCr->RGB —
-# so standard-table baseline JPEGs from other encoders decode too.
-# Rounding is floor(x + 0.5) everywhere (spelled out because the
-# closed-form oracle of the catalog entry reproduces it in SQL).
-# Progressive (SOF2), 12-bit, subsampled, and restart-interval streams
-# raise with a clear message — honest scope, like the PNG decoder's
-# Adam7 gate.
+# writes), byte-unstuffed scan decode (EOBRUN band coding in
+# progressive scans), dequant, IDCT, YCbCr->RGB — so standard-table
+# JPEGs from other encoders decode too.  Sampling grids: 4:4:4, 4:2:0,
+# 4:2:2, and 1-component grayscale; DRI/RSTn restart intervals in both
+# frame types.  Rounding is floor(x + 0.5) everywhere (spelled out
+# because the closed-form oracle of the catalog entry reproduces it in
+# SQL).  12-bit and successive-approximation (Ah/Al) streams raise
+# with a clear message — honest scope, like the PNG decoder's Adam7
+# gate.
 # --------------------------------------------------------------------- #
 
 _JPEG_QY = [
@@ -972,8 +981,10 @@ def encode_jpeg(
     """Encode raw interleaved RGB8 as a REAL baseline JPEG (SOF0,
     Annex-K quant tables, per-image optimized canonical Huffman tables)
     — pure Python + numpy.  ``subsample=False`` emits 4:4:4;
-    ``subsample=True`` emits 4:2:0 (Y sampling 2x2, chroma 2x2-mean
-    downsampled, the MCU interleave real-world encoders default to).
+    ``subsample=True`` (or ``"420"``) emits 4:2:0 (Y sampling 2x2,
+    chroma 2x2-mean downsampled, the MCU interleave real-world encoders
+    default to); ``subsample="422"`` emits 4:2:2 (r14 — Y 2x1, chroma
+    halved horizontally only, the digital-video/scanner grid).
     ``grayscale=True`` emits a 1-COMPONENT frame (r14): the luma plane
     only — one DQT, one DC/AC table pair, no chroma MCU slots — the
     shape real-world encoders produce for mode-L sources (input stays
@@ -994,7 +1005,14 @@ def encode_jpeg(
     if grayscale and subsample:
         raise ValueError("grayscale has no chroma planes to subsample")
     ncomp = 1 if grayscale else 3
-    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * ncomp
+    if subsample in (False, None):
+        samp = [(1, 1)] * ncomp
+    elif subsample in (True, "420"):
+        samp = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling request {subsample!r}")
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
@@ -1143,6 +1161,205 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    grayscale: bool = False,
+    bands: tuple = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw interleaved RGB8 as a PROGRESSIVE (SOF2) JPEG with a
+    SPECTRAL-SELECTION scan script (r14): one interleaved DC scan, then
+    per component one AC scan per ``bands`` entry (default the
+    libjpeg-style low/high split 1-5 / 6-63) — the multi-pass shape
+    real-world web encoders emit.  4:4:4 (or 1-component grayscale)
+    only: there the padded MCU grid equals every component's
+    non-interleaved block grid, so the interleaved DC scan and the
+    non-interleaved AC scans cover the same blocks by construction.
+    Quantization is IDENTICAL to :func:`encode_jpeg`, and when the
+    bands cover 1..63 completely the decoder reconstructs the SAME
+    coefficients — so the progressive stream decodes BIT-IDENTICALLY
+    to the baseline encoding of the same image (the law the r14 pins
+    hold).  AC band scans use the G.1.2.2 EOBRUN coding (EOBn = r<<4
+    plus r raw bits, capped at 0x7FFF); each scan gets its own
+    optimized canonical DHT emitted just before it; ``restart_interval``
+    emits DRI + RSTn every N MCUs (DC scan) / blocks (AC scans), with
+    the EOBRUN flushed before every restart as T.81 requires."""
+    import struct
+
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
+    prev_hi = 0
+    for ss, se in bands:
+        if not (1 <= ss <= se <= 63) or ss <= prev_hi:
+            raise ValueError(f"invalid spectral bands {bands}")
+        prev_hi = se
+    ncomp = 1 if grayscale else 3
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ycc = _rgb_to_ycbcr(img)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.empty((ph, pw, 3))
+    padded[:height, :width] = ycc
+    padded[height:, :width] = ycc[height - 1 : height, :]  # edge replicate
+    padded[:, width:] = padded[:, width - 1 : width]
+    t = _dct_matrix()
+    qtabs = [
+        np.array(_JPEG_QY, dtype=np.float64).reshape(8, 8),
+        np.array(_JPEG_QC, dtype=np.float64).reshape(8, 8),
+    ]
+    comp_q = [0, 1, 1][:ncomp]
+    bh, bw = ph // 8, pw // 8
+    quantized = []
+    for c in range(ncomp):
+        blocks = _blockify(padded[..., c] - 128.0, ph, pw)
+        coefs = np.einsum("ij,njk,lk->nil", t, blocks, t)
+        q = qtabs[comp_q[c]]
+        qc = (np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5)).astype(np.int64)
+        quantized.append(qc.reshape(bh, bw, 64)[:, :, _ZIGZAG])
+
+    def dc_scan(emit_dc, emit_rst=None):
+        pred = [0] * ncomp
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if emit_rst is not None:
+                        emit_rst((unit // restart_interval - 1) & 7)
+                    pred = [0] * ncomp
+                unit += 1
+                for c in range(ncomp):
+                    v = int(quantized[c][by, bx, 0])
+                    emit_dc(c, v - pred[c])
+                    pred[c] = v
+
+    def ac_scan(c, ss, se, emit_sym, emit_bits, emit_rst=None):
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                emit_sym(r << 4)
+                emit_bits(eobrun - (1 << r), r)
+                eobrun = 0
+
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush()  # an EOB run never crosses a restart
+                    if emit_rst is not None:
+                        emit_rst((unit // restart_interval - 1) & 7)
+                unit += 1
+                zz = quantized[c][by, bx]
+                last = ss - 1
+                for k in range(se, ss - 1, -1):
+                    if zz[k]:
+                        last = k
+                        break
+                if last < ss:  # whole band zero: extend the EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                for k in range(ss, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emit_sym(0xF0)  # ZRL
+                        run -= 16
+                    s = _jpeg_size_cat(v)
+                    emit_sym((run << 4) | s)
+                    emit_bits(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < se:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    q_emit = ((0, _JPEG_QY),) if grayscale else ((0, _JPEG_QY), (1, _JPEG_QC))
+    for tid, table in q_emit:
+        out += _seg(0xFFDB, bytes([tid]) + bytes(table[i] for i in _ZIGZAG))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    comp_ids = ((1, 0),) if grayscale else ((1, 0), (2, 1), (3, 1))
+    for _c, (cid, qsel) in enumerate(comp_ids):
+        sof += bytes([cid, 0x11, qsel])
+    out += _seg(0xFFC2, sof)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    # ---- DC scan: count, build per-class tables, emit ----
+    n_tabs = 1 if grayscale else 2
+    dc_freq: list[dict] = [{} for _ in range(n_tabs)]
+
+    def count_dc(c, diff):
+        tbl = dc_freq[0 if c == 0 else 1]
+        s = _jpeg_size_cat(diff)
+        tbl[s] = tbl.get(s, 0) + 1
+
+    dc_scan(count_dc)
+    dc_tabs = [_optimized_table(f) for f in dc_freq]
+    dc_codes = [_canonical_codes(*tab) for tab in dc_tabs]
+    for tid in range(n_tabs):
+        counts, symbols = dc_tabs[tid]
+        out += _seg(0xFFC4, bytes([tid]) + bytes(counts) + bytes(symbols))
+    w = _BitWriter()
+
+    def emit_dc(c, diff):
+        t_i = 0 if c == 0 else 1
+        s = _jpeg_size_cat(diff)
+        code, length = dc_codes[t_i][s]
+        w.put(code, length)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    sos = bytes([ncomp])
+    for i, (cid, _q) in enumerate(comp_ids):
+        sos += bytes([cid, ((0 if i == 0 else 1) << 4) | 0])
+    sos += bytes([0, 0, 0])  # Ss=0, Se=0, AhAl=0
+    out += _seg(0xFFDA, sos)
+    dc_scan(emit_dc, emit_rst=w.restart)
+    out += w.flush()
+
+    # ---- AC band scans: one component per scan, fresh DHT each ----
+    for c in range(ncomp):
+        for ss, se in bands:
+            freq: dict[int, int] = {}
+            ac_scan(
+                c, ss, se,
+                lambda sym: freq.__setitem__(sym, freq.get(sym, 0) + 1),
+                lambda v, n: None,
+            )
+            counts, symbols = _optimized_table(freq)
+            ac_codes = _canonical_codes(counts, symbols)
+            out += _seg(0xFFC4, bytes([0x10]) + bytes(counts) + bytes(symbols))
+            w = _BitWriter()
+
+            def emit_sym(sym, _codes=ac_codes, _w=w):
+                code, length = _codes[sym]
+                _w.put(code, length)
+
+            def emit_bits(v, n, _w=w):
+                if n:
+                    _w.put(v, n)
+
+            out += _seg(0xFFDA, bytes([1, comp_ids[c][0], 0x00, ss, se, 0]))
+            ac_scan(c, ss, se, emit_sym, emit_bits, emit_rst=w.restart)
+            out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def _dht_decoder(counts: list[int], symbols: list[int]):
     """(code, length) -> symbol lookup for the general canonical case."""
     return {v: k for k, v in _canonical_codes(counts, symbols).items()}
@@ -1159,20 +1376,53 @@ def _read_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in JPEG scan")
 
 
+def _unstuff_entropy(blob: bytes, start: int):
+    """Unstuff entropy-coded data from ``start`` until a non-RST
+    marker: (restart segments, index of the terminating 0xFF, marker
+    code).  Stuffed 0xFF00 pairs collapse to 0xFF; RSTn markers split
+    segments; end-of-blob without a terminator behaves as EOI (the
+    lenient baseline path).  Shared by the baseline single-scan read
+    and the progressive multi-scan walk (r14)."""
+    segments: list[bytes] = []
+    payload = bytearray()
+    i = start
+    while i < len(blob):
+        b = blob[i]
+        if b == 0xFF:
+            nxt = blob[i + 1] if i + 1 < len(blob) else 0xD9
+            if nxt == 0x00:
+                payload.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(payload))
+                payload = bytearray()
+                i += 2
+                continue
+            segments.append(bytes(payload))
+            return segments, i, nxt
+        payload.append(b)
+        i += 1
+    segments.append(bytes(payload))
+    return segments, len(blob), 0xD9
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     """REAL lossy-image decode, pure Python + numpy: marker walk, 8-bit
-    DQT, SOF0 (baseline; 4:4:4, 4:2:0 AND 1-component grayscale — the
-    shapes real-world encoders emit; grayscale output is luma
-    replicated to RGB so downstream consumers keep one channel shape),
-    canonical DHT reconstruction (multi-length —
-    any valid baseline table, not only this encoder's), byte-unstuffed
-    Huffman scan decode (DC prediction + run/size AC + ZRL/EOB),
-    dequantization, orthonormal IDCT, chroma upsample and YCbCr->RGB
-    with floor(x+0.5) rounding -> (width, height, rgb_bytes).  DRI /
-    RSTn restart intervals are honored (segment split, DC-predictor
-    reset, byte re-alignment — real-world encoders emit them).
-    Progressive/12-bit and other sampling grids raise with the
-    unsupported feature named."""
+    DQT, SOF0 AND SOF2 (baseline and PROGRESSIVE spectral selection —
+    r14; 4:4:4, 4:2:0, 4:2:2 and 1-component grayscale — the shapes
+    real-world encoders emit; grayscale output is luma replicated to
+    RGB so downstream consumers keep one channel shape), canonical DHT
+    reconstruction (multi-length — any valid baseline table, not only
+    this encoder's), byte-unstuffed Huffman scan decode (DC prediction
+    + run/size AC + ZRL/EOB; progressive scans add the EOBRUN band
+    coding over per-component coefficient buffers), dequantization,
+    orthonormal IDCT, chroma upsample and YCbCr->RGB with floor(x+0.5)
+    rounding -> (width, height, rgb_bytes).  DRI / RSTn restart
+    intervals are honored in both frame types (segment split,
+    DC-predictor and EOBRUN reset, byte re-alignment).  12-bit,
+    successive approximation (Ah/Al), and other sampling grids raise
+    with the unsupported feature named."""
     import struct
 
     import numpy as np
@@ -1185,10 +1435,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     width = height = None
     comp_q: list[int] = []
     comp_samp: list[tuple[int, int]] = []
+    comp_ids: list[int] = []
     scan_sel: list[tuple[int, int]] = []
     entropy = None
     restart_interval = 0
     segments: list[bytes] = []
+    progressive = False
+    prog_scans: list[dict] = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(
@@ -1213,26 +1466,33 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("only 8-bit DQT supported")
                 qt[tq] = list(data[off + 1 : off + 65])
                 off += 65
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             prec, height, width, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8 or nc not in (1, 3):
                 raise ValueError(
-                    "only 8-bit 1- or 3-component baseline supported"
+                    "only 8-bit 1- or 3-component frames supported"
                 )
             for c in range(nc):
                 cid, samp, qsel = data[6 + 3 * c : 9 + 3 * c]
+                comp_ids.append(cid)
                 comp_samp.append((samp >> 4, samp & 0xF))
                 comp_q.append(qsel)
             if comp_samp not in (
                 [(1, 1)],  # grayscale (r14)
                 [(1, 1)] * 3,
                 [(2, 2), (1, 1), (1, 1)],
+                [(2, 1), (1, 1), (1, 1)],  # 4:2:2 (r14)
             ):
                 raise ValueError(
-                    f"unsupported sampling grid {comp_samp} (4:4:4 and 4:2:0 only)"
+                    f"unsupported sampling grid {comp_samp} "
+                    "(4:4:4, 4:2:0, 4:2:2 and grayscale only)"
                 )
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker in (0xFFC1, 0xFFC3):
+            raise ValueError(
+                "only baseline sequential (SOF0) and progressive (SOF2) "
+                "frames supported"
+            )
         elif marker == 0xFFC4:
             off = 0
             while off < len(data):
@@ -1246,36 +1506,50 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xFFDA:
             ns = data[0]
+            scomps = []
             for c in range(ns):
                 cid, sel = data[1 + 2 * c], data[2 + 2 * c]
-                scan_sel.append((sel >> 4, sel & 0xF))
-            # entropy-coded data runs from here to EOI; unstuff and
-            # split on RSTn markers into restart segments
-            raw = blob[pos + 2 + seglen :]
-            payload = bytearray()
-            i = 0
-            while i < len(raw):
-                b = raw[i]
-                if b == 0xFF:
-                    nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
-                    if nxt == 0x00:
-                        payload.append(0xFF)
-                        i += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-                        segments.append(bytes(payload))
-                        payload = bytearray()
-                        i += 2
-                        continue
-                    if nxt == 0xD9:
-                        break
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-                payload.append(b)
-                i += 1
-            segments.append(bytes(payload))
+                idx = comp_ids.index(cid) if cid in comp_ids else c
+                scomps.append((idx, sel >> 4, sel & 0xF))
+            # entropy-coded data runs from here to the next marker;
+            # unstuff and split on RSTn markers into restart segments
+            segs, end, term = _unstuff_entropy(blob, pos + 2 + seglen)
+            if progressive:
+                # record the scan (tables SNAPSHOT at scan time — later
+                # DHT segments may redefine the same table ids) and
+                # resume the marker walk at the terminator
+                ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+                ahal = data[3 + 2 * ns]
+                prog_scans.append(
+                    {
+                        "comps": scomps,
+                        "ss": ss,
+                        "se": se,
+                        "ah": ahal >> 4,
+                        "al": ahal & 0xF,
+                        "tabs": dict(huff),
+                        "ri": restart_interval,
+                        "segs": segs,
+                    }
+                )
+                pos = end
+                continue
+            if term != 0xD9:
+                raise ValueError(f"unexpected marker 0xFF{term:02X} in scan")
+            scan_sel = [(0, 0)] * len(comp_samp)
+            for idx, td, ta in scomps:
+                scan_sel[idx] = (td, ta)
+            segments = segs
             entropy = segments[0]
             break
         pos += 2 + seglen
+    if progressive:
+        if width is None or not prog_scans:
+            raise ValueError("missing SOF0 or SOS")
+        planes = _decode_progressive_planes(
+            width, height, comp_samp, comp_q, qt, prog_scans
+        )
+        return _planes_to_rgb(planes, comp_samp, width, height)
     if width is None or entropy is None:
         raise ValueError("missing SOF0 or SOS")
     ncomp = len(comp_samp)
@@ -1334,7 +1608,18 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                         r0 = (my * v_i + vb) * 8
                         c0 = (mx * h_i + hb) * 8
                         planes[c][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
-    # upsample subsampled components to the full padded grid (nearest)
+    return _planes_to_rgb(planes, comp_samp, width, height)
+
+
+def _planes_to_rgb(planes, comp_samp, width: int, height: int):
+    """Shared reconstruction tail of both frame types: nearest-neighbor
+    chroma upsample to the padded luma grid, crop, YCbCr->RGB (or luma
+    replication for grayscale), floor(x+0.5) rounding, clamp."""
+    import numpy as np
+
+    ncomp = len(comp_samp)
+    hmax = max(s[0] for s in comp_samp)
+    vmax = max(s[1] for s in comp_samp)
     for c in range(ncomp):
         fy, fx = vmax // comp_samp[c][1], hmax // comp_samp[c][0]
         if fy > 1 or fx > 1:
@@ -1353,6 +1638,186 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     rgb = np.stack([r, g, b], axis=-1)
     rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     return width, height, rgb.tobytes()
+
+
+def _noninterleaved_blocks(
+    width: int, height: int, samp: tuple[int, int], hmax: int, vmax: int
+) -> tuple[int, int]:
+    """(blocks wide, blocks high) of a NON-INTERLEAVED scan for one
+    component (T.81 A.1.1/A.2.2: component dims are ceil-scaled by its
+    sampling factors; a non-interleaved scan covers exactly those
+    blocks — NOT the MCU-padded grid an interleaved scan covers)."""
+    h_i, v_i = samp
+    cw = -(-width * h_i // hmax)
+    ch = -(-height * v_i // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_progressive_planes(
+    width: int, height: int, comp_samp, comp_q, qt, scans
+):
+    """Decode a PROGRESSIVE (SOF2) scan sequence with SPECTRAL
+    SELECTION (r14): every scan deposits its band of quantized
+    coefficients into per-component buffers — DC scans run the baseline
+    DC-difference chain (interleaved over the MCU grid or single-
+    component over the non-interleaved grid), AC band scans are
+    single-component with the G.1.2.2 EOBRUN coding (EOBn = r<<4 with r
+    raw extra bits, ZRL, run/size) — then one shared dequant + IDCT
+    reconstructs the planes.  Successive approximation (Ah/Al != 0)
+    raises naming the feature; restart intervals reset the DC chain and
+    the EOBRUN at segment boundaries, per-MCU for interleaved scans and
+    per-block for non-interleaved ones (a non-interleaved MCU IS one
+    data unit)."""
+    import numpy as np
+
+    ncomp = len(comp_samp)
+    hmax = max(s[0] for s in comp_samp)
+    vmax = max(s[1] for s in comp_samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    coef = [
+        np.zeros(
+            (mcus_y * comp_samp[c][1], mcus_x * comp_samp[c][0], 64),
+            dtype=np.int64,
+        )
+        for c in range(ncomp)
+    ]
+    for sc in scans:
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        if ah or al:
+            raise ValueError(
+                "progressive successive approximation (Ah/Al refinement "
+                "scans) not supported — spectral selection only"
+            )
+        segs, ri = sc["segs"], sc["ri"]
+        if len(segs) > 1 and not ri:
+            raise ValueError("RSTn markers in scan but no DRI segment")
+        reader = _BitReader(segs[0])
+        seg_i = 0
+        unit_i = 0
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError(
+                    "invalid progressive scan: DC band must be Ss=Se=0"
+                )
+            pred = [0] * ncomp
+            if len(sc["comps"]) > 1:  # interleaved: MCU grid
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if ri and unit_i and unit_i % ri == 0:
+                            seg_i += 1
+                            if seg_i >= len(segs):
+                                raise ValueError(
+                                    "missing restart segment in scan"
+                                )
+                            reader = _BitReader(segs[seg_i])
+                            pred = [0] * ncomp
+                        unit_i += 1
+                        for c, td, _ta in sc["comps"]:
+                            h_i, v_i = comp_samp[c]
+                            dc_tab = sc["tabs"].get((0, td))
+                            if dc_tab is None:
+                                raise ValueError(
+                                    "missing DC Huffman table for scan"
+                                )
+                            for vb in range(v_i):
+                                for hb in range(h_i):
+                                    s = _read_huff(reader, dc_tab)
+                                    pred[c] += (
+                                        _huff_extend(reader.take(s), s)
+                                        if s
+                                        else 0
+                                    )
+                                    coef[c][
+                                        my * v_i + vb, mx * h_i + hb, 0
+                                    ] = pred[c]
+            else:  # single component: non-interleaved block grid
+                c, td, _ta = sc["comps"][0]
+                dc_tab = sc["tabs"].get((0, td))
+                if dc_tab is None:
+                    raise ValueError("missing DC Huffman table for scan")
+                bw, bh = _noninterleaved_blocks(
+                    width, height, comp_samp[c], hmax, vmax
+                )
+                p = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        if ri and unit_i and unit_i % ri == 0:
+                            seg_i += 1
+                            if seg_i >= len(segs):
+                                raise ValueError(
+                                    "missing restart segment in scan"
+                                )
+                            reader = _BitReader(segs[seg_i])
+                            p = 0
+                        unit_i += 1
+                        s = _read_huff(reader, dc_tab)
+                        p += _huff_extend(reader.take(s), s) if s else 0
+                        coef[c][by, bx, 0] = p
+        else:  # AC band scan: single component, EOBRUN coding
+            if len(sc["comps"]) != 1:
+                raise ValueError(
+                    "invalid progressive scan: AC bands must be "
+                    "single-component"
+                )
+            if not 1 <= ss <= se <= 63:
+                raise ValueError("invalid progressive spectral band")
+            c, _td, ta = sc["comps"][0]
+            ac_tab = sc["tabs"].get((1, ta))
+            if ac_tab is None:
+                raise ValueError("missing AC Huffman table for scan")
+            bw, bh = _noninterleaved_blocks(
+                width, height, comp_samp[c], hmax, vmax
+            )
+            eobrun = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and unit_i and unit_i % ri == 0:
+                        seg_i += 1
+                        if seg_i >= len(segs):
+                            raise ValueError("missing restart segment in scan")
+                        reader = _BitReader(segs[seg_i])
+                        eobrun = 0
+                    unit_i += 1
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _read_huff(reader, ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            # EOBn: run of (1<<r)+extra blocks ending
+                            eobrun = (1 << r) - 1 + (
+                                reader.take(r) if r else 0
+                            )
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC coefficient index overflow")
+                        coef[c][by, bx, k] = _huff_extend(reader.take(s), s)
+                        k += 1
+    # shared reconstruction: dequant (zigzag-space) + IDCT, vectorized
+    # over each component's whole block grid
+    t = _dct_matrix()
+    planes = []
+    for c in range(ncomp):
+        q = np.array(qt[comp_q[c]], dtype=np.float64)
+        bh_, bw_ = coef[c].shape[:2]
+        zz = coef[c].reshape(-1, 64).astype(np.float64)
+        dez = np.zeros_like(zz)
+        dez[:, _ZIGZAG] = zz * q[None, :]
+        blocks = np.einsum("ji,njk,kl->nil", t, dez.reshape(-1, 8, 8), t)
+        plane = (
+            blocks.reshape(bh_, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_ * 8, bw_ * 8)
+        )
+        planes.append(plane + 128.0)
+    return planes
 
 
 def synth_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -1461,7 +1926,7 @@ def resize_rgb(width: int, height: int, rgb: bytes, out_w: int, out_h: int) -> b
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
     """Resize an image blob to ``width x height`` and return it as a
     PNG — fully library-free since r13: decode through the real
-    PPM/PNG/baseline-JPEG codecs, bilinear-resample
+    PPM/PNG/JPEG codecs, bilinear-resample
     (:func:`resize_rgb`), re-encode with :func:`encode_png`."""
     if blob[:2] == b"P6":
         w, h, _maxval, px = decode_ppm(blob)

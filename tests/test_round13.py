@@ -466,7 +466,9 @@ def test_jpeg_codec_laws():
         decode_jpeg(b"\x89PNG\r\n\x1a\nxxxx")
     blob = bytearray(encode_jpeg(8, 8, bytes(192)))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    # (r14 made SOF2 progressive a SUPPORTED frame type, so this gate
+    # pin now flips to SOF3 lossless — still outside the supported set)
+    blob[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(blob))
 
@@ -499,7 +501,9 @@ def test_jpeg_codec_laws():
     blob = bytearray(encode_jpeg(16, 16, bytes(16 * 16 * 3), subsample=True))
     i = blob.find(b"\xff\xc0")
     # marker(2) + len(2) + prec(1) + h(2) + w(2) + ncomp(1) + cid(1) -> samp
-    blob[i + 11] = 0x21  # Y sampling 2x2 -> 2x1 (unsupported grid)
+    # (r14 made 2x1 = 4:2:2 a SUPPORTED grid, so this gate pin now
+    # flips to 1x2 = 4:4:0 — still outside the supported set)
+    blob[i + 11] = 0x12  # Y sampling 2x2 -> 1x2 (unsupported grid)
     with pytest.raises(ValueError, match="sampling grid"):
         decode_jpeg(bytes(blob))
 

@@ -218,11 +218,12 @@ def test_decode_image_parses_header_only():
     with pytest.raises(ValueError):
         decode_png(png[:33])
 
-    # gates match the pixel decoders: progressive JPEG and a corrupted
-    # IHDR CRC raise from the header parse itself
-    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # gates match the pixel decoders: a lossless (SOF3) frame and a
+    # corrupted IHDR CRC raise from the header parse itself (SOF2
+    # progressive became a SUPPORTED frame type in r14)
+    lossless = blob.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(ValueError, match="baseline"):
-        decode_image(prog)
+        decode_image(lossless)
     bad_png = png[:29] + b"\x00\x00\x00\x00" + png[33:]
     with pytest.raises(ValueError, match="CRC"):
         decode_image(bad_png)
@@ -278,6 +279,152 @@ def test_rollup_day_retention_store_path_unique(spark, sf_dir, monkeypatch):
     assert seen, "store path took no per-invocation unique suffix"
     assert df.count() > 0
     assert df.filter("NOT replay_blocked").count() == 0
+
+
+def test_jpeg_progressive_arm():
+    """r14 depth (VERDICT #6's named candidate): PROGRESSIVE (SOF2)
+    spectral selection, both codec sides.  The load-bearing law:
+    progressive quantizes IDENTICALLY to baseline, so whenever the scan
+    script's bands cover 1..63 completely, the progressive stream must
+    decode BIT-IDENTICALLY to the baseline encoding of the same image —
+    across band splits, grayscale, restart intervals, and odd
+    (padded/cropped) dims.  Partial coverage decodes as the legal
+    low-frequency preview (different pixels, no error).  Successive
+    approximation raises naming the feature."""
+    import numpy as np
+
+    from big_data_table_spark.functions.multimodal import (
+        _jpeg_dims,
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    x, y = np.arange(24), np.arange(16)
+    img = np.stack(
+        [
+            (x[None, :] * 3 + y[:, None] * 2) % 256,
+            np.broadcast_to((x[None, :] * 5 + 40) % 256, (16, 24)),
+            np.broadcast_to((y[:, None] * 7 + 90) % 256, (16, 24)),
+        ],
+        -1,
+    ).astype(np.uint8)
+    rgb = img.tobytes()
+    base = decode_jpeg(encode_jpeg(24, 16, rgb))
+
+    # bit-identity across scan scripts
+    prog = encode_jpeg_progressive(24, 16, rgb)
+    assert decode_jpeg(prog) == base
+    assert decode_jpeg(encode_jpeg_progressive(24, 16, rgb, bands=((1, 63),))) == base
+    assert (
+        decode_jpeg(
+            encode_jpeg_progressive(
+                24, 16, rgb, bands=((1, 1), (2, 9), (10, 62), (63, 63))
+            )
+        )
+        == base
+    )
+    # grayscale progressive == grayscale baseline
+    g = bytes(b for px in range(24 * 16) for b in ((px * 3) % 256,) * 3)
+    assert decode_jpeg(encode_jpeg_progressive(24, 16, g, grayscale=True)) == (
+        decode_jpeg(encode_jpeg(24, 16, g, grayscale=True))
+    )
+    # restart intervals: DRI emitted, EOBRUN flushed at every RST,
+    # decode bit-identical
+    rst = encode_jpeg_progressive(24, 16, rgb, restart_interval=2)
+    assert b"\xff\xdd" in rst and decode_jpeg(rst) == base
+    # odd dims pad and crop like baseline
+    odd = bytes(21 * 13 * 3)
+    assert decode_jpeg(encode_jpeg_progressive(21, 13, odd)) == decode_jpeg(
+        encode_jpeg(21, 13, odd)
+    )
+    # header-only dims + fill-byte tolerance hold for SOF2 streams
+    assert _jpeg_dims(prog) == (24, 16, 3)
+    assert decode_image(prog) == (24, 16, "RGB")
+    i = prog.index(b"\xff\xc2")
+    assert decode_jpeg(prog[:i] + b"\xff" * 2 + prog[i:]) == base
+
+    # PARTIAL coverage is the legal low-frequency preview: decodes
+    # cleanly, differs from the full reconstruction (checkerboard —
+    # high-frequency energy lives ABOVE the preview band; the smooth
+    # gradient would be identical because its tail quantizes to zero)
+    check = bytes(
+        b
+        for yy in range(16)
+        for xx in range(24)
+        for b in ((255 if (xx + yy) % 2 else 0),) * 3
+    )
+    full = decode_jpeg(encode_jpeg_progressive(24, 16, check))
+    assert full == decode_jpeg(encode_jpeg(24, 16, check))
+    preview = decode_jpeg(encode_jpeg_progressive(24, 16, check, bands=((1, 5),)))
+    assert preview[:2] == (24, 16) and preview[2] != full[2]
+
+    # gates: successive approximation named; malformed DC band named;
+    # overlapping bands rejected at encode
+    sos2 = prog.index(b"\xff\xda", prog.index(b"\xff\xda") + 2)
+    armed = bytearray(prog)
+    armed[sos2 + 9] = 0x01  # first AC scan: Al=1 (refinement)
+    with pytest.raises(ValueError, match="successive approximation"):
+        decode_jpeg(bytes(armed))
+    flipped = bytearray(encode_jpeg(24, 16, rgb))
+    flipped[flipped.index(b"\xff\xc0") + 1] = 0xC2  # baseline scan under SOF2
+    with pytest.raises(ValueError, match="DC band"):
+        decode_jpeg(bytes(flipped))
+    with pytest.raises(ValueError, match="invalid spectral bands"):
+        encode_jpeg_progressive(24, 16, rgb, bands=((1, 10), (5, 63)))
+
+
+def test_jpeg_422_arm():
+    """r14 depth: the 4:2:2 sampling grid (Y 2x1, chroma halved
+    horizontally — the digital-video/scanner grid).  Laws mirror the
+    r13 4:2:0 pins: (1) MCU-constant even gray round-trips EXACTLY
+    (one 16x8 MCU of constant gray is DC-only in every plane); (2) a
+    colored gradient holds the subsampled-chroma tolerance and
+    compresses smaller than 4:4:4; (3) odd widths pad and crop
+    correctly (chroma pair straddles the crop edge); (4) restarted
+    streams decode bit-identically; (5) header dims parse."""
+    import numpy as np
+
+    from big_data_table_spark.functions.multimodal import (
+        _jpeg_dims,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # (1) exact on MCU-constant even gray (MCU = 16x8)
+    vals = np.array([[2 * ((7 + 13 * mx + 31 * my) % 128) for mx in range(2)]
+                     for my in range(2)])
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 16, axis=1).astype(np.uint8)
+    rgb = np.stack([gray] * 3, -1).tobytes()
+    blob = encode_jpeg(32, 16, rgb, subsample="422")
+    assert decode_jpeg(blob) == (32, 16, rgb)
+    # (2) gradient tolerance + fewer bits than 4:4:4
+    x, y = np.arange(32), np.arange(16)
+    img = np.stack(
+        [
+            (x[None, :] * 3 + y[:, None] * 2) % 256,
+            np.broadcast_to((x[None, :] * 5 + 40) % 256, (16, 32)),
+            np.broadcast_to((y[:, None] * 7 + 90) % 256, (16, 32)),
+        ],
+        -1,
+    ).astype(np.uint8)
+    b422 = encode_jpeg(32, 16, img.tobytes(), subsample="422")
+    _, _, out = decode_jpeg(b422)
+    dec = np.frombuffer(out, np.uint8).reshape(16, 32, 3).astype(int)
+    assert np.abs(dec - img.astype(int)).max() <= 40  # the 4:2:0 budget
+    assert len(b422) < len(encode_jpeg(32, 16, img.tobytes()))
+    # (3) odd width pads and crops
+    w2, h2, out = decode_jpeg(encode_jpeg(21, 13, bytes(21 * 13 * 3), subsample="422"))
+    assert (w2, h2) == (21, 13) and out == bytes(21 * 13 * 3)
+    # (4) restart intervals bit-identical
+    assert decode_jpeg(
+        encode_jpeg(32, 16, img.tobytes(), subsample="422", restart_interval=1)
+    ) == decode_jpeg(b422)
+    # (5) header-only dims see the 4:2:2 grid as 3-component
+    assert _jpeg_dims(b422) == (32, 16, 3)
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        encode_jpeg(32, 16, img.tobytes(), subsample="411")
 
 
 def test_jpeg_grayscale_arm():
