@@ -779,11 +779,12 @@ def documents_as_timed_media(docs: DataFrame, ms_per_byte: int = 10) -> DataFram
 # progressive scans), dequant, IDCT, YCbCr->RGB — so standard-table
 # JPEGs from other encoders decode too.  Sampling grids: 4:4:4, 4:2:0,
 # 4:2:2, and 1-component grayscale; DRI/RSTn restart intervals in both
-# frame types.  Rounding is floor(x + 0.5) everywhere (spelled out
-# because the closed-form oracle of the catalog entry reproduces it in
-# SQL).  12-bit and successive-approximation (Ah/Al) streams raise
-# with a clear message — honest scope, like the PNG decoder's Adam7
-# gate.
+# frame types, successive approximation (Ah/Al refinement scans, the
+# libjpeg default-script shape) on both sides.  Rounding is
+# floor(x + 0.5) everywhere (spelled out because the closed-form
+# oracle of the catalog entry reproduces it in SQL).  12-bit streams
+# raise with a clear message — honest scope, like the PNG decoder's
+# Adam7 gate.
 # --------------------------------------------------------------------- #
 
 _JPEG_QY = [
@@ -1168,24 +1169,32 @@ def encode_jpeg_progressive(
     grayscale: bool = False,
     bands: tuple = ((1, 5), (6, 63)),
     restart_interval: int = 0,
+    successive: bool = False,
 ) -> bytes:
     """Encode raw interleaved RGB8 as a PROGRESSIVE (SOF2) JPEG with a
     SPECTRAL-SELECTION scan script (r14): one interleaved DC scan, then
     per component one AC scan per ``bands`` entry (default the
     libjpeg-style low/high split 1-5 / 6-63) — the multi-pass shape
-    real-world web encoders emit.  4:4:4 (or 1-component grayscale)
+    real-world web encoders emit.  ``successive=True`` adds SUCCESSIVE
+    APPROXIMATION: the first passes code at point transform Al=1 and a
+    per-bit refinement round (DC raw-bit scan, AC correction-bit scans
+    with the G.1.2.3 buffered-bits discipline) restores full precision
+    — the two-dimension script libjpeg's default progressive mode
+    uses.  4:4:4 (or 1-component grayscale)
     only: there the padded MCU grid equals every component's
     non-interleaved block grid, so the interleaved DC scan and the
     non-interleaved AC scans cover the same blocks by construction.
     Quantization is IDENTICAL to :func:`encode_jpeg`, and when the
     bands cover 1..63 completely the decoder reconstructs the SAME
     coefficients — so the progressive stream decodes BIT-IDENTICALLY
-    to the baseline encoding of the same image (the law the r14 pins
-    hold).  AC band scans use the G.1.2.2 EOBRUN coding (EOBn = r<<4
-    plus r raw bits, capped at 0x7FFF); each scan gets its own
-    optimized canonical DHT emitted just before it; ``restart_interval``
-    emits DRI + RSTn every N MCUs (DC scan) / blocks (AC scans), with
-    the EOBRUN flushed before every restart as T.81 requires."""
+    to the baseline encoding of the same image — with or without
+    ``successive`` (the law the r14 pins hold).  AC band scans use the
+    G.1.2.2 EOBRUN coding (EOBn = r<<4 plus r raw bits, capped at
+    0x7FFF); each Huffman-coded scan gets its own optimized canonical
+    DHT emitted just before it (DC refinement scans carry raw bits, no
+    DHT); ``restart_interval`` emits DRI + RSTn every N MCUs (DC
+    scans) / blocks (AC scans), with the EOBRUN flushed before every
+    restart as T.81 requires."""
     import struct
 
     import numpy as np
@@ -1220,7 +1229,7 @@ def encode_jpeg_progressive(
         qc = (np.sign(coefs) * np.floor(np.abs(coefs) / q + 0.5)).astype(np.int64)
         quantized.append(qc.reshape(bh, bw, 64)[:, :, _ZIGZAG])
 
-    def dc_scan(emit_dc, emit_rst=None):
+    def dc_scan(emit_dc, al, emit_rst=None):
         pred = [0] * ncomp
         unit = 0
         for by in range(bh):
@@ -1231,11 +1240,24 @@ def encode_jpeg_progressive(
                     pred = [0] * ncomp
                 unit += 1
                 for c in range(ncomp):
-                    v = int(quantized[c][by, bx, 0])
+                    v = int(quantized[c][by, bx, 0]) >> al
                     emit_dc(c, v - pred[c])
                     pred[c] = v
 
-    def ac_scan(c, ss, se, emit_sym, emit_bits, emit_rst=None):
+    def dc_refine_scan(emit_bit, al, emit_rst=None):
+        # DC refinement: one raw bit per block per component, no
+        # Huffman coding at all (T.81 G.1.2.1)
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    if emit_rst is not None:
+                        emit_rst((unit // restart_interval - 1) & 7)
+                unit += 1
+                for c in range(ncomp):
+                    emit_bit((int(quantized[c][by, bx, 0]) >> al) & 1)
+
+    def ac_scan(c, ss, se, al, emit_sym, emit_bits, emit_rst=None):
         eobrun = 0
 
         def flush():
@@ -1257,10 +1279,10 @@ def encode_jpeg_progressive(
                 zz = quantized[c][by, bx]
                 last = ss - 1
                 for k in range(se, ss - 1, -1):
-                    if zz[k]:
+                    if abs(int(zz[k])) >> al:
                         last = k
                         break
-                if last < ss:  # whole band zero: extend the EOB run
+                if last < ss:  # whole band zero at this precision
                     eobrun += 1
                     if eobrun == 0x7FFF:
                         flush()
@@ -1269,20 +1291,84 @@ def encode_jpeg_progressive(
                 run = 0
                 for k in range(ss, last + 1):
                     v = int(zz[k])
-                    if v == 0:
+                    m = abs(v) >> al  # point-transformed magnitude
+                    if m == 0:
                         run += 1
                         continue
                     while run > 15:
                         emit_sym(0xF0)  # ZRL
                         run -= 16
-                    s = _jpeg_size_cat(v)
+                    s = _jpeg_size_cat(m)
                     emit_sym((run << 4) | s)
-                    emit_bits(v if v > 0 else v + (1 << s) - 1, s)
+                    emit_bits(m if v > 0 else -m + (1 << s) - 1, s)
                     run = 0
                 if last < se:
                     eobrun += 1
                     if eobrun == 0x7FFF:
                         flush()
+        flush()
+
+    def ac_refine_scan(c, ss, se, al, emit_sym, emit_bits, emit_rst=None):
+        # T.81 G.1.2.3 / the libjpeg encode_mcu_AC_refine shape:
+        # correction bits buffer behind the next emitted symbol (br
+        # within a block, be across an EOB run)
+        eobrun = 0
+        be: list[int] = []
+
+        def flush():
+            nonlocal eobrun, be
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                emit_sym(r << 4)
+                emit_bits(eobrun - (1 << r), r)
+            for bit in be:
+                emit_bits(bit, 1)
+            eobrun = 0
+            be = []
+
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush()
+                    if emit_rst is not None:
+                        emit_rst((unit // restart_interval - 1) & 7)
+                unit += 1
+                zz = quantized[c][by, bx]
+                eob = ss - 1  # last NEWLY-significant position
+                for k in range(se, ss - 1, -1):
+                    if abs(int(zz[k])) >> al == 1:
+                        eob = k
+                        break
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t = abs(int(zz[k])) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        flush()
+                        emit_sym(0xF0)
+                        r -= 16
+                        for bit in br:
+                            emit_bits(bit, 1)
+                        br = []
+                    if t > 1:  # history coefficient: one correction bit
+                        br.append(t & 1)
+                        continue
+                    flush()  # newly significant at this precision
+                    emit_sym((r << 4) | 1)
+                    emit_bits(1 if int(zz[k]) > 0 else 0, 1)
+                    for bit in br:
+                        emit_bits(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF or len(be) > 937:
+                        flush()  # the libjpeg MAX_CORR_BITS discipline
         flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1298,64 +1384,93 @@ def encode_jpeg_progressive(
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
 
-    # ---- DC scan: count, build per-class tables, emit ----
+    # ---- scan script emission ----
     n_tabs = 1 if grayscale else 2
-    dc_freq: list[dict] = [{} for _ in range(n_tabs)]
+    al1 = 1 if successive else 0
 
-    def count_dc(c, diff):
-        tbl = dc_freq[0 if c == 0 else 1]
-        s = _jpeg_size_cat(diff)
-        tbl[s] = tbl.get(s, 0) + 1
+    def write_dc_first(al):
+        dc_freq: list[dict] = [{} for _ in range(n_tabs)]
 
-    dc_scan(count_dc)
-    dc_tabs = [_optimized_table(f) for f in dc_freq]
-    dc_codes = [_canonical_codes(*tab) for tab in dc_tabs]
-    for tid in range(n_tabs):
-        counts, symbols = dc_tabs[tid]
-        out += _seg(0xFFC4, bytes([tid]) + bytes(counts) + bytes(symbols))
-    w = _BitWriter()
+        def count_dc(c, diff):
+            tbl = dc_freq[0 if c == 0 else 1]
+            s = _jpeg_size_cat(diff)
+            tbl[s] = tbl.get(s, 0) + 1
 
-    def emit_dc(c, diff):
-        t_i = 0 if c == 0 else 1
-        s = _jpeg_size_cat(diff)
-        code, length = dc_codes[t_i][s]
-        w.put(code, length)
-        if s:
-            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        dc_scan(count_dc, al)
+        dc_tabs = [_optimized_table(f) for f in dc_freq]
+        dc_codes = [_canonical_codes(*tab) for tab in dc_tabs]
+        for tid in range(n_tabs):
+            counts, symbols = dc_tabs[tid]
+            out.extend(
+                _seg(0xFFC4, bytes([tid]) + bytes(counts) + bytes(symbols))
+            )
+        w = _BitWriter()
 
-    sos = bytes([ncomp])
-    for i, (cid, _q) in enumerate(comp_ids):
-        sos += bytes([cid, ((0 if i == 0 else 1) << 4) | 0])
-    sos += bytes([0, 0, 0])  # Ss=0, Se=0, AhAl=0
-    out += _seg(0xFFDA, sos)
-    dc_scan(emit_dc, emit_rst=w.restart)
-    out += w.flush()
+        def emit_dc(c, diff):
+            t_i = 0 if c == 0 else 1
+            s = _jpeg_size_cat(diff)
+            code, length = dc_codes[t_i][s]
+            w.put(code, length)
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
 
-    # ---- AC band scans: one component per scan, fresh DHT each ----
+        sos = bytes([ncomp])
+        for i, (cid, _q) in enumerate(comp_ids):
+            sos += bytes([cid, (0 if i == 0 else 1) << 4])
+        sos += bytes([0, 0, al])  # Ss=0, Se=0, Ah=0
+        out.extend(_seg(0xFFDA, sos))
+        dc_scan(emit_dc, al, emit_rst=w.restart)
+        out.extend(w.flush())
+
+    def write_dc_refine(ah, al):
+        # raw bits only — no DHT emitted, tables unused (G.1.2.1)
+        w = _BitWriter()
+        sos = bytes([ncomp])
+        for _i, (cid, _q) in enumerate(comp_ids):
+            sos += bytes([cid, 0])
+        sos += bytes([0, 0, (ah << 4) | al])
+        out.extend(_seg(0xFFDA, sos))
+        dc_refine_scan(lambda bit: w.put(bit, 1), al, emit_rst=w.restart)
+        out.extend(w.flush())
+
+    def write_ac(c, ss, se, ah, al):
+        scan_fn = ac_refine_scan if ah else ac_scan
+        freq: dict[int, int] = {}
+        scan_fn(
+            c, ss, se, al,
+            lambda sym: freq.__setitem__(sym, freq.get(sym, 0) + 1),
+            lambda v, n: None,
+        )
+        counts, symbols = _optimized_table(freq)
+        ac_codes = _canonical_codes(counts, symbols)
+        out.extend(_seg(0xFFC4, bytes([0x10]) + bytes(counts) + bytes(symbols)))
+        w = _BitWriter()
+
+        def emit_sym(sym):
+            code, length = ac_codes[sym]
+            w.put(code, length)
+
+        def emit_bits(v, n):
+            if n:
+                w.put(v, n)
+
+        out.extend(
+            _seg(0xFFDA, bytes([1, comp_ids[c][0], 0x00, ss, se, (ah << 4) | al]))
+        )
+        scan_fn(c, ss, se, al, emit_sym, emit_bits, emit_rst=w.restart)
+        out.extend(w.flush())
+
+    write_dc_first(al1)
     for c in range(ncomp):
         for ss, se in bands:
-            freq: dict[int, int] = {}
-            ac_scan(
-                c, ss, se,
-                lambda sym: freq.__setitem__(sym, freq.get(sym, 0) + 1),
-                lambda v, n: None,
-            )
-            counts, symbols = _optimized_table(freq)
-            ac_codes = _canonical_codes(counts, symbols)
-            out += _seg(0xFFC4, bytes([0x10]) + bytes(counts) + bytes(symbols))
-            w = _BitWriter()
-
-            def emit_sym(sym, _codes=ac_codes, _w=w):
-                code, length = _codes[sym]
-                _w.put(code, length)
-
-            def emit_bits(v, n, _w=w):
-                if n:
-                    _w.put(v, n)
-
-            out += _seg(0xFFDA, bytes([1, comp_ids[c][0], 0x00, ss, se, 0]))
-            ac_scan(c, ss, se, emit_sym, emit_bits, emit_rst=w.restart)
-            out += w.flush()
+            write_ac(c, ss, se, 0, al1)
+    if successive:
+        # one refinement pass per approximation bit: Ah=Al+1 chains
+        # down to Al=0 (here al1=1, so exactly one refinement round)
+        write_dc_refine(1, 0)
+        for c in range(ncomp):
+            for ss, se in bands:
+                write_ac(c, ss, se, 1, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1420,9 +1535,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     orthonormal IDCT, chroma upsample and YCbCr->RGB with floor(x+0.5)
     rounding -> (width, height, rgb_bytes).  DRI / RSTn restart
     intervals are honored in both frame types (segment split,
-    DC-predictor and EOBRUN reset, byte re-alignment).  12-bit,
-    successive approximation (Ah/Al), and other sampling grids raise
-    with the unsupported feature named."""
+    DC-predictor and EOBRUN reset, byte re-alignment); so is
+    SUCCESSIVE APPROXIMATION (Ah/Al — first passes at a point
+    transform, then per-bit DC/AC refinement scans, the shape
+    libjpeg's default progressive script emits).  12-bit and other
+    sampling grids raise with the unsupported feature named."""
     import struct
 
     import numpy as np
@@ -1653,6 +1770,57 @@ def _noninterleaved_blocks(
     return -(-cw // 8), -(-ch // 8)
 
 
+def _ac_refine_block(reader, ac_tab, zz, ss: int, se: int, al: int, eobrun: int) -> int:
+    """One block of an AC SUCCESSIVE-APPROXIMATION refinement scan
+    (T.81 G.1.2.3): already-significant coefficients take one
+    correction bit each as the band is walked; newly-significant ones
+    arrive as (run<<4)|1 symbols whose run counts ZERO-HISTORY
+    positions only, with the new value ±(1<<Al) signed by one raw bit;
+    ZRL skips 16 zero-history positions (correcting the nonzero ones it
+    passes); EOBn hands the REST of this block and the next
+    (1<<r)+extra-1 whole blocks over to correction-bits-only
+    processing.  ``zz`` is the block's zigzag coefficient view, mutated
+    in place; returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_huff(reader, ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r != 15:  # EOBn (includes this block)
+                    eobrun = (1 << r) + (reader.take(r) if r else 0)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid magnitude in AC refinement scan"
+                    )
+                newval = p1 if reader.take(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.take(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB region: correction bits only
+            if zz[k] != 0:
+                if reader.take(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_progressive_planes(
     width: int, height: int, comp_samp, comp_q, qt, scans
 ):
@@ -1684,11 +1852,6 @@ def _decode_progressive_planes(
     ]
     for sc in scans:
         ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
-        if ah or al:
-            raise ValueError(
-                "progressive successive approximation (Ah/Al refinement "
-                "scans) not supported — spectral selection only"
-            )
         segs, ri = sc["segs"], sc["ri"]
         if len(segs) > 1 and not ri:
             raise ValueError("RSTn markers in scan but no DRI segment")
@@ -1715,27 +1878,33 @@ def _decode_progressive_planes(
                         unit_i += 1
                         for c, td, _ta in sc["comps"]:
                             h_i, v_i = comp_samp[c]
-                            dc_tab = sc["tabs"].get((0, td))
-                            if dc_tab is None:
-                                raise ValueError(
-                                    "missing DC Huffman table for scan"
-                                )
+                            if ah == 0:
+                                dc_tab = sc["tabs"].get((0, td))
+                                if dc_tab is None:
+                                    raise ValueError(
+                                        "missing DC Huffman table for scan"
+                                    )
                             for vb in range(v_i):
                                 for hb in range(h_i):
-                                    s = _read_huff(reader, dc_tab)
-                                    pred[c] += (
-                                        _huff_extend(reader.take(s), s)
-                                        if s
-                                        else 0
-                                    )
-                                    coef[c][
-                                        my * v_i + vb, mx * h_i + hb, 0
-                                    ] = pred[c]
+                                    r0 = my * v_i + vb
+                                    c0 = mx * h_i + hb
+                                    if ah == 0:  # first pass: diffs << Al
+                                        s = _read_huff(reader, dc_tab)
+                                        pred[c] += (
+                                            _huff_extend(reader.take(s), s)
+                                            if s
+                                            else 0
+                                        )
+                                        coef[c][r0, c0, 0] = pred[c] << al
+                                    elif reader.take(1):  # refinement bit
+                                        coef[c][r0, c0, 0] |= 1 << al
             else:  # single component: non-interleaved block grid
                 c, td, _ta = sc["comps"][0]
-                dc_tab = sc["tabs"].get((0, td))
-                if dc_tab is None:
-                    raise ValueError("missing DC Huffman table for scan")
+                dc_tab = None
+                if ah == 0:
+                    dc_tab = sc["tabs"].get((0, td))
+                    if dc_tab is None:
+                        raise ValueError("missing DC Huffman table for scan")
                 bw, bh = _noninterleaved_blocks(
                     width, height, comp_samp[c], hmax, vmax
                 )
@@ -1751,9 +1920,12 @@ def _decode_progressive_planes(
                             reader = _BitReader(segs[seg_i])
                             p = 0
                         unit_i += 1
-                        s = _read_huff(reader, dc_tab)
-                        p += _huff_extend(reader.take(s), s) if s else 0
-                        coef[c][by, bx, 0] = p
+                        if ah == 0:
+                            s = _read_huff(reader, dc_tab)
+                            p += _huff_extend(reader.take(s), s) if s else 0
+                            coef[c][by, bx, 0] = p << al
+                        elif reader.take(1):
+                            coef[c][by, bx, 0] |= 1 << al
         else:  # AC band scan: single component, EOBRUN coding
             if len(sc["comps"]) != 1:
                 raise ValueError(
@@ -1779,6 +1951,11 @@ def _decode_progressive_planes(
                         reader = _BitReader(segs[seg_i])
                         eobrun = 0
                     unit_i += 1
+                    if ah != 0:  # refinement (G.1.2.3 correction bits)
+                        eobrun = _ac_refine_block(
+                            reader, ac_tab, coef[c][by, bx], ss, se, al, eobrun
+                        )
+                        continue
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -1798,7 +1975,9 @@ def _decode_progressive_planes(
                         k += r
                         if k > se:
                             raise ValueError("AC coefficient index overflow")
-                        coef[c][by, bx, k] = _huff_extend(reader.take(s), s)
+                        coef[c][by, bx, k] = (
+                            _huff_extend(reader.take(s), s) << al
+                        )
                         k += 1
     # shared reconstruction: dequant (zigzag-space) + IDCT, vectorized
     # over each component's whole block grid

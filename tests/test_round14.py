@@ -283,14 +283,16 @@ def test_rollup_day_retention_store_path_unique(spark, sf_dir, monkeypatch):
 
 def test_jpeg_progressive_arm():
     """r14 depth (VERDICT #6's named candidate): PROGRESSIVE (SOF2)
-    spectral selection, both codec sides.  The load-bearing law:
-    progressive quantizes IDENTICALLY to baseline, so whenever the scan
-    script's bands cover 1..63 completely, the progressive stream must
-    decode BIT-IDENTICALLY to the baseline encoding of the same image —
-    across band splits, grayscale, restart intervals, and odd
-    (padded/cropped) dims.  Partial coverage decodes as the legal
-    low-frequency preview (different pixels, no error).  Successive
-    approximation raises naming the feature."""
+    JPEG, both codec sides — spectral selection AND successive
+    approximation (the two dimensions libjpeg's default progressive
+    script combines).  The load-bearing law: progressive quantizes
+    IDENTICALLY to baseline, so whenever the scan script's bands cover
+    1..63 completely, the progressive stream must decode
+    BIT-IDENTICALLY to the baseline encoding of the same image —
+    across band splits, refinement rounds, grayscale, restart
+    intervals, and odd (padded/cropped) dims.  Partial coverage
+    decodes as the legal low-frequency preview (different pixels, no
+    error)."""
     import numpy as np
 
     from big_data_table_spark.functions.multimodal import (
@@ -360,13 +362,25 @@ def test_jpeg_progressive_arm():
     preview = decode_jpeg(encode_jpeg_progressive(24, 16, check, bands=((1, 5),)))
     assert preview[:2] == (24, 16) and preview[2] != full[2]
 
-    # gates: successive approximation named; malformed DC band named;
-    # overlapping bands rejected at encode
-    sos2 = prog.index(b"\xff\xda", prog.index(b"\xff\xda") + 2)
-    armed = bytearray(prog)
-    armed[sos2 + 9] = 0x01  # first AC scan: Al=1 (refinement)
-    with pytest.raises(ValueError, match="successive approximation"):
-        decode_jpeg(bytes(armed))
+    # SUCCESSIVE APPROXIMATION: first passes at Al=1, then the per-bit
+    # DC raw-bit and AC correction-bit refinement round — still
+    # bit-identical to baseline, across content shapes that exercise
+    # the newly-significant / history-correction / ZRL / EOB-run arms
+    rng_img = np.stack(
+        [(x[None, :] * 71 + y[:, None] * 137 + c * 53) % 256 for c in range(3)],
+        -1,
+    ).astype(np.uint8)
+    for content in (rgb, check, rng_img.tobytes()):
+        sa = encode_jpeg_progressive(24, 16, content, successive=True)
+        assert decode_jpeg(sa) == decode_jpeg(encode_jpeg(24, 16, content))
+    assert decode_jpeg(
+        encode_jpeg_progressive(24, 16, g, grayscale=True, successive=True)
+    ) == decode_jpeg(encode_jpeg(24, 16, g, grayscale=True))
+    assert decode_jpeg(
+        encode_jpeg_progressive(24, 16, rgb, successive=True, restart_interval=2)
+    ) == base
+
+    # gates: malformed DC band named; overlapping bands rejected
     flipped = bytearray(encode_jpeg(24, 16, rgb))
     flipped[flipped.index(b"\xff\xc0") + 1] = 0xC2  # baseline scan under SOF2
     with pytest.raises(ValueError, match="DC band"):
