@@ -130,14 +130,22 @@ def stage(CATALOG: dict, _R11_NEXT: list[str]) -> dict:
     CATALOG = {name: CATALOG[name] for name in _head13}
 
     # -------------------------------------------------------------- #
-    # driver-window ordering (round 14) — VERDICT r13 #1: no new
-    # registrations (the surface is in confirmed diminishing returns;
-    # r14 is hygiene + hardening).  The window is _R13_NEXT (15 — the
-    # only entries whose newest driver row predates round 7) + the 35
-    # stalest r7-window entries (CORRECTNESS_r07 keys minus every later
-    # round — all 50 of the r7 window, none re-sampled since), in
-    # catalog order; the remaining 15 spill to _R14_NEXT.  After this
-    # window lands, no entry's driver evidence predates round 8.
+    # round-14 registrations (builders AND specs in catalog_r14.py —
+    # the chunk convention)
+    # -------------------------------------------------------------- #
+    _r14 = __import__("big_data_table_spark.catalog_r14", fromlist=["x"]).r14_specs()
+    CATALOG.update(_r14)
+
+    # -------------------------------------------------------------- #
+    # driver-window ordering (round 14) — VERDICT r13 #1: the window is
+    # EXACTLY as prescribed — _R13_NEXT (15, the only entries whose
+    # newest driver row predates round 7) + the 35 stalest r7-window
+    # entries (CORRECTNESS_r07 keys minus every later round — all 50 of
+    # the r7 window, none re-sampled since), in catalog order; the
+    # remaining 15 spill to _R14_NEXT, and the NEW r14 entry follows
+    # them there (the r12 precedent: new entries take their driver row
+    # the round after their pytest round).  After this window lands, no
+    # entry's driver evidence predates round 8.
     # -------------------------------------------------------------- #
     _R7_STALE = [
         "hll_rollup_incremental", "hll_rolling_7day", "stream_hll_daily",
@@ -158,8 +166,9 @@ def stage(CATALOG: dict, _R11_NEXT: list[str]) -> dict:
         "text_quality_score", "text_fingerprint", "embedding_neardup",
         "ann_topk_cosine", "ann_lsh_pairs", "ann_ivf_topk",
     ]
+    _R14_NEW = list(_r14)
     _R14_FRONT = _R13_NEXT + _R7_STALE[:35]
-    _R14_NEXT = _R7_STALE[35:]
+    _R14_NEXT = _R7_STALE[35:] + _R14_NEW
 
     assert len(_R14_FRONT) == len(set(_R14_FRONT)) == 50, len(_R14_FRONT)
     assert set(_R14_FRONT + _R14_NEXT) <= set(CATALOG), sorted(

@@ -2037,6 +2037,45 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(kernel, schema=out_schema)
 
 
+def synth_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PROGRESSIVE (SOF2) JPEGs keyed off
+    ``doc_id`` (r14): the same block-constant EVEN-GRAY pixel-model
+    trick as :func:`synth_jpeg_media` — constant blocks are DC-only and
+    even gray round-trips the quantizer exactly — but encoded through
+    the full two-dimension progressive script (spectral-selection bands
+    AND successive approximation: first passes at Al=1, per-bit DC/AC
+    refinement round).  Successive approximation is LOSSLESS on the
+    quantized coefficients, so the closed-form oracle holds for any
+    script: the decoded sums can only match if the multi-scan walk,
+    EOBRUN coding, refinement bits, and reconstruction are all right.
+    Model: width ``8*(1 + id % 2)``, height ``8*(1 + id % 3)``, block
+    (bx, by) gray ``2*((id*11 + bx*17 + by*29) % 128)`` — deliberately
+    different dims/multipliers from the baseline entry so a result swap
+    between the two codec paths cannot hash-match."""
+    out_schema = "media_id long, media binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 2), 8 * (1 + did % 3)
+                bxs = np.arange(w // 8)
+                bys = np.arange(h // 8)
+                vals = 2 * ((did * 11 + bxs[None, :] * 17 + bys[:, None] * 29) % 128)
+                gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                rgb = np.stack([gray, gray, gray], axis=-1).tobytes()
+                ids.append(did)
+                blobs.append(encode_jpeg_progressive(w, h, rgb, successive=True))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=out_schema)
+
+
 def decode_jpeg_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
     """Decode JPEG blobs with the real baseline decoder and emit
     per-image channel sums — numbers that only come out right if the

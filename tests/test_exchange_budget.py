@@ -801,6 +801,10 @@ BUDGET = {
     "multimodal_resize_pipeline": 0,  # synth + decode + resize are
                                  # map-only mapInPandas
     "multimodal_jpeg_decode": 0,  # synth + decode are map-only
+    "multimodal_jpeg_progressive": 0,  # multi-scan codec complexity
+                                 # lives inside the Arrow kernels —
+                                 # the plan stays two back-to-back
+                                 # mapInPandas stages, zero exchanges
                                  # mapInPandas (the PNG/WAV shape)
     "rollup_day_retention": 1,   # per-day estimate agg over the
                                  # partition-pruned register store —
@@ -809,6 +813,15 @@ BUDGET = {
                                  # stream_hll_daily's read-back;
                                  # appends paid per-day off-plan)
 }
+
+
+def test_budget_covers_whole_catalog():
+    """The gate's 'whole catalog' claim, made scriptable (r14): every
+    registered entry has an exchange budget — a new entry cannot land
+    without declaring its shuffle contract."""
+    assert set(BUDGET) == set(CATALOG), (
+        sorted(set(CATALOG) ^ set(BUDGET))
+    )
 
 
 @pytest.mark.parametrize("name", sorted(BUDGET))

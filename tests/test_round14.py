@@ -40,17 +40,19 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 def test_r14_window_staging():
     """Driver-window staging invariants for round 14 (VERDICT r13 #1):
-    no new registrations (hygiene round); the window is _R13_NEXT (15)
-    + the 35 stalest r7-window entries in catalog order, the remaining
-    15 spill to _R14_NEXT.  CATALOG iteration order leads with the
-    window."""
+    the window is EXACTLY as prescribed — _R13_NEXT (15) + the 35
+    stalest r7-window entries in catalog order; the remaining 15 spill
+    to _R14_NEXT, followed by the one NEW r14 entry (the r12
+    precedent: new entries take their driver row next round).  CATALOG
+    iteration order leads with the window."""
     from big_data_table_spark import catalog as C
 
     assert len(C._R14_FRONT) == len(set(C._R14_FRONT)) == 50
     assert C._R14_FRONT[:15] == C._R13_NEXT
     assert len(C._R7_STALE) == len(set(C._R7_STALE)) == 50
     assert C._R14_FRONT[15:] == C._R7_STALE[:35]
-    assert C._R14_NEXT == C._R7_STALE[35:]
+    assert C._R14_NEXT == C._R7_STALE[35:] + C._R14_NEW
+    assert C._R14_NEW == ["multimodal_jpeg_progressive"]
     assert not set(C._R14_FRONT) & set(C._R14_NEXT)
     assert set(C._R14_FRONT + C._R14_NEXT) <= set(C.CATALOG)
     assert list(C.CATALOG)[:50] == C._R14_FRONT
