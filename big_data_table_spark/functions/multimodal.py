@@ -129,8 +129,8 @@ def _png_dims(blob: bytes) -> tuple[int, int]:
     full decode).  IHDR is required to be the FIRST chunk (PNG spec
     §5.6), so this is a fixed-offset parse; the chunk is still
     CRC-checked and the support gates match :func:`decode_png` exactly
-    (RGB8 non-interlaced), so dims-only never accepts a blob the pixel
-    path would reject on its header."""
+    (RGB8, either interlace mode since r14), so dims-only never accepts
+    a blob the pixel path would reject on its header."""
     import struct
     import zlib
 
@@ -145,8 +145,8 @@ def _png_dims(blob: bytes) -> tuple[int, int]:
     )
     if (depth, ctype_id) != (8, 2):
         raise ValueError("only RGB8 (color type 2) supported")
-    if interlace:
-        raise ValueError("Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     return width, height
 
 
@@ -447,23 +447,23 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, rgb: bytes, filter_seed: int = 0) -> bytes:
-    """Encode raw interleaved RGB8 as a real PNG (color type 2, no
-    interlace) — pure Python + stdlib zlib.  The scanline filter CYCLES
-    through all five PNG filter types (``(filter_seed + row) % 5``), so
-    a decoder must implement genuine Sub/Up/Average/Paeth prediction
-    reversal, not just strip filter byte 0."""
-    import struct
-    import zlib
+_ADAM7 = (
+    # (x0, dx, y0, dy) per pass — PNG spec §8.2
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
 
-    if len(rgb) != 3 * width * height:
-        raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
-    bpp, stride = 3, 3 * width
-    raw = memoryview(rgb)
+
+def _png_filter_rows(rows: list[bytes], filter_seed: int) -> bytearray:
+    """Filter a SELF-CONTAINED scanline group (the whole image, or one
+    Adam7 pass — each pass restarts prediction from a zero prior row,
+    PNG spec §8.2): one filter-type byte + filtered bytes per row,
+    cycling through all five filter types."""
+    bpp = 3
+    stride = len(rows[0]) if rows else 0
     prev = bytes(stride)
     out = bytearray()
-    for r in range(height):
-        row = bytes(raw[r * stride : (r + 1) * stride])
+    for r, row in enumerate(rows):
         ft = (filter_seed + r) % 5
         out.append(ft)
         for x in range(stride):
@@ -482,57 +482,19 @@ def encode_png(width: int, height: int, rgb: bytes, filter_seed: int = 0) -> byt
                 v = row[x] - _paeth(left, up, ul)
             out.append(v & 0xFF)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return out
 
 
-def decode_png(blob: bytes) -> tuple[int, int, bytes]:
-    """REAL compressed-image decode, pure Python + stdlib zlib: verify
-    the signature, walk CRC-checked chunks, inflate the concatenated
-    IDAT stream, and reverse the per-scanline filters (all five types)
-    → (width, height, rgb_bytes).  RGB8 non-interlaced only — other
-    color types would need the same loop with a different bpp;
-    interlacing (Adam7) raises."""
-    import struct
-    import zlib
-
-    if blob[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG blob")
-    pos, width, height, idat = 8, None, None, bytearray()
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        ctype = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if (depth, ctype_id) != (8, 2):
-                raise ValueError("only RGB8 (color type 2) supported")
-            if interlace:
-                raise ValueError("Adam7 interlacing not supported")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or not idat:
-        raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
-    bpp, stride = 3, 3 * width
-    if len(raw) != height * (stride + 1):
+def _png_unfilter(raw: bytes, nrows: int, stride: int) -> bytearray:
+    """Reverse the per-scanline filters of one self-contained group
+    (whole image or one Adam7 pass): ``raw`` is nrows * (stride + 1)
+    bytes, returns nrows * stride reconstructed bytes."""
+    bpp = 3
+    if len(raw) != nrows * (stride + 1):
         raise ValueError("scanline payload size mismatch")
     prev = bytearray(stride)
     out = bytearray()
-    for r in range(height):
+    for r in range(nrows):
         ft = raw[r * (stride + 1)]
         line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
         recon = bytearray(stride)
@@ -555,6 +517,120 @@ def decode_png(blob: bytes) -> tuple[int, int, bytes]:
             recon[x] = v & 0xFF
         out += recon
         prev = recon
+    return out
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: bytes,
+    filter_seed: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode raw interleaved RGB8 as a real PNG (color type 2) — pure
+    Python + stdlib zlib.  The scanline filter CYCLES through all five
+    PNG filter types (``(filter_seed + row) % 5``), so a decoder must
+    implement genuine Sub/Up/Average/Paeth prediction reversal, not
+    just strip filter byte 0.  ``interlace=True`` emits ADAM7 (r14):
+    the seven reduced images of the spec's 8x8 sampling grid, each
+    pass filtered as its own scanline group (prediction restarts per
+    pass), empty passes of small images contributing zero bytes —
+    the progressive-render layout real-world web PNGs use."""
+    import struct
+    import zlib
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
+    stride = 3 * width
+    if not interlace:
+        rows = [rgb[r * stride : (r + 1) * stride] for r in range(height)]
+        out = _png_filter_rows(rows, filter_seed)
+    else:
+        out = bytearray()
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass on a small image
+            rows = []
+            for py in range(ph):
+                y = y0 + py * dy
+                row = bytearray()
+                for px in range(pw):
+                    x = x0 + px * dx
+                    row += rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                rows.append(bytes(row))
+            out += _png_filter_rows(rows, filter_seed)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL compressed-image decode, pure Python + stdlib zlib: verify
+    the signature, walk CRC-checked chunks, inflate the concatenated
+    IDAT stream, and reverse the per-scanline filters (all five types)
+    → (width, height, rgb_bytes).  BOTH interlace modes (r14): the
+    sequential layout and ADAM7 — seven reduced images, each its own
+    filter group, scattered back onto the 8x8 sampling grid (empty
+    passes of small images consume zero bytes).  RGB8 only — other
+    color types would need the same loop with a different bpp."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG blob")
+    pos, width, height, idat = 8, None, None, bytearray()
+    interlace = 0
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype_id) != (8, 2):
+                raise ValueError("only RGB8 (color type 2) supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if not interlace:
+        return width, height, bytes(_png_unfilter(raw, height, stride))
+    out = bytearray(stride * height)
+    off = 0
+    for x0, dx, y0, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = 3 * pw
+        plane = _png_unfilter(raw[off : off + ph * (pstride + 1)], ph, pstride)
+        off += ph * (pstride + 1)
+        for py in range(ph):
+            y = y0 + py * dy
+            for px in range(pw):
+                x = x0 + px * dx
+                out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = plane[
+                    py * pstride + 3 * px : py * pstride + 3 * px + 3
+                ]
+    if off != len(raw):
+        raise ValueError("scanline payload size mismatch")
     return width, height, bytes(out)
 
 

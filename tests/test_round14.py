@@ -283,6 +283,41 @@ def test_rollup_day_retention_store_path_unique(spark, sf_dir, monkeypatch):
     assert df.filter("NOT replay_blocked").count() == 0
 
 
+def test_png_adam7_interlacing():
+    """r14 depth: ADAM7 interlaced PNG, both codec sides — the
+    progressive-render layout real-world web PNGs use.  Laws: (1) PNG
+    is lossless, so the interlaced encoding decodes IDENTICALLY to the
+    sequential one across sizes that exercise empty passes (1x1 has
+    six empty passes) and partial passes; (2) each pass is its own
+    filter group (the 5-type cycle restarts per pass — covered by
+    filter_seed variation); (3) header-only dims accept interlaced
+    blobs; (4) a corrupt interlace method still raises."""
+    from big_data_table_spark.functions.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    for w, h in [(1, 1), (2, 2), (3, 2), (5, 4), (8, 8), (9, 5), (16, 9)]:
+        px = bytes((i * 7 + 13) % 256 for i in range(3 * w * h))
+        for seed in (0, 3):
+            blob = encode_png(w, h, px, filter_seed=seed, interlace=True)
+            assert decode_png(blob) == (w, h, px), (w, h, seed)
+    blob = encode_png(16, 9, bytes(16 * 9 * 3), interlace=True)
+    assert blob[28] == 1  # IHDR interlace byte really set
+    assert decode_image(blob) == (16, 9, "RGB")  # header-only parse
+    bad = bytearray(encode_png(4, 4, bytes(48)))
+    bad[28] = 2  # unknown interlace method
+    import struct
+    import zlib
+
+    (l,) = struct.unpack(">I", bytes(bad[8:12]))
+    crc = zlib.crc32(bytes(bad[12 : 16 + l])) & 0xFFFFFFFF
+    bad[16 + l : 20 + l] = struct.pack(">I", crc)  # re-CRC the IHDR
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(bytes(bad))
+
+
 def test_jpeg_progressive_arm():
     """r14 depth (VERDICT #6's named candidate): PROGRESSIVE (SOF2)
     JPEG, both codec sides — spectral selection AND successive
