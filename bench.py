@@ -196,6 +196,25 @@ def _tree_cpu_sec() -> float | None:
         return None
 
 
+def _buff_cache_gb() -> float | None:
+    """Page-cache size in GB (/proc/meminfo Buffers+Cached) — the r14
+    end-of-day brackets isolated COLD page cache as the second variance
+    driver after co-tenant CPU: a run with the day's lowest
+    cotenant_cores (0.066) still read tier2 at 1.7x band because the
+    sf0.1 parquet and store files were no longer resident.  Recording
+    it makes a cache-cold artifact self-diagnosing."""
+    try:
+        vals = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("Buffers", "Cached"):
+                    vals[k] = int(v.split()[0])
+        return round((vals["Buffers"] + vals["Cached"]) / (1 << 20), 2)
+    except (OSError, KeyError, ValueError):  # pragma: no cover
+        return None
+
+
 def _wait_for_idle(max_wait_sec: float, threshold: float = 0.5) -> float:
     """Block until the 1-AND-5-min load averages are below ``threshold``
     (the repo's idle rule), or ``max_wait_sec`` elapses — r11 VERDICT
@@ -281,6 +300,7 @@ def main() -> None:
         load_start = [round(v, 2) for v in os.getloadavg()]
     except OSError:  # pragma: no cover
         load_start = None
+    buff_cache = _buff_cache_gb()  # pre-run page-cache state
 
     from big_data_table_spark.catalog import CATALOG, register_views
     from big_data_table_spark.session import connect
@@ -378,6 +398,7 @@ def main() -> None:
                 "idle_waited_sec": idle_waited,
                 "passes": passes,
                 "cotenant_cores": cotenant_cores,
+                "buff_cache_gb": buff_cache,
             }
         )
     )
@@ -394,6 +415,7 @@ def main() -> None:
                 "idle_waited_sec": idle_waited,
                 "passes": passes,
                 "cotenant_cores": cotenant_cores,
+                "buff_cache_gb": buff_cache,
             }
         )
     )
