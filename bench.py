@@ -39,8 +39,9 @@ bracketed by EXACT CPU accounting — /proc/stat host-busy seconds minus
 this process tree's seconds = what co-tenants burned during the pass
 (loadavg_end cannot make that separation: the bench's own 32-thread
 bursts inflate it identically).  If co-tenants averaged more than
-$SPARK_GRAFT_COTENANT_CORES cores (default 0.5), the whole pass re-runs
-ONCE and every query keeps its min across passes — the per-query
+$SPARK_GRAFT_COTENANT_CORES cores (default 0.2 since r15 — the known
+bad runs read 0.29-0.45 and slipped under the old 0.5), the whole pass
+re-runs ONCE and every query keeps its min across passes — the per-query
 min-of-runs discipline applied at artifact grain.  ``passes`` and
 ``cotenant_cores`` (one entry per pass) land in both JSON lines.
 
@@ -161,7 +162,11 @@ def _tree_cpu_sec() -> float | None:
     live Spark JVM + its children), via one /proc pass: utime+stime of
     every live process whose ancestry reaches us, plus cutime+cstime
     (already-reaped descendants — those left /proc, so no double
-    count)."""
+    count).  Known caveat (r14 ADVICE): a descendant that daemonizes
+    (reparents to PID 1) leaves the tree and its CPU counts as
+    co-tenant load — acceptable for this heuristic because the Spark
+    local-mode JVM keeps its children attached; if spurious re-runs
+    appear, cgroup CPU accounting is the upgrade path."""
     try:
         me = os.getpid()
         stats: dict[int, tuple[int, float]] = {}
@@ -213,6 +218,35 @@ def _buff_cache_gb() -> float | None:
         return round((vals["Buffers"] + vals["Cached"]) / (1 << 20), 2)
     except (OSError, KeyError, ValueError):  # pragma: no cover
         return None
+
+
+def _preread_fixtures(sf_dir: str) -> float:
+    """Read every fixture byte under ``sf_dir`` to warm the page cache,
+    returning MB read — r14 VERDICT #2(b): the end-of-day brackets
+    proved a COLD page cache alone swings tier2 from 47 s to 80 s at
+    0.066 co-tenant cores (the store lifecycles are small-file-I/O
+    bound), so an artifact taken after a reboot or a memory-pressure
+    eviction measured the disk, not the engine.  Pre-reading the
+    inputs makes the artifact measure compute; ``buff_cache_warm_gb``
+    records the post-read cache so a still-cold run is self-diagnosing.
+    The tier2 stores themselves are written DURING the run, so they are
+    warm by construction."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    with open(os.path.join(root, f), "rb") as fh:
+                        while True:
+                            chunk = fh.read(1 << 22)
+                            if not chunk:
+                                break
+                            total += len(chunk)
+                except OSError:  # pragma: no cover - raced/unreadable file
+                    continue
+    except OSError:  # pragma: no cover
+        pass
+    return round(total / (1 << 20), 1)
 
 
 def _wait_for_idle(max_wait_sec: float, threshold: float = 0.5) -> float:
@@ -301,6 +335,10 @@ def main() -> None:
     except OSError:  # pragma: no cover
         load_start = None
     buff_cache = _buff_cache_gb()  # pre-run page-cache state
+    # warm the page cache over the fixtures BEFORE the JVM warm-up so
+    # the measured passes never pay cold-disk I/O (r14 VERDICT #2b)
+    preread_mb = _preread_fixtures(sf_dir)
+    buff_cache_warm = _buff_cache_gb()
 
     from big_data_table_spark.catalog import CATALOG, register_views
     from big_data_table_spark.session import connect
@@ -326,11 +364,14 @@ def main() -> None:
     # Artifact-grain re-run (r13 VERDICT #3 — the per-query min
     # discipline applied at artifact grain): bracket each pass with the
     # exact CPU accounting above; if co-tenants averaged more than
-    # SPARK_GRAFT_COTENANT_CORES cores (default 0.5 — far above idle-
-    # host daemon noise, far below the multi-core bursts that inflated
-    # the r12/r13 artifacts) during the pass, run ONE more pass and keep
-    # the per-query min across passes.  Bounded at 2 passes total.
-    cotenant_limit = float(os.environ.get("SPARK_GRAFT_COTENANT_CORES", "0.5"))
+    # SPARK_GRAFT_COTENANT_CORES cores during the pass, run ONE more
+    # pass and keep the per-query min across passes.  Bounded at 2
+    # passes total.
+    # r14 VERDICT #2a: threshold lowered 0.5 → 0.2 — the measured idle
+    # floor is ~0.03 cores and the three known-inflated artifacts read
+    # 0.29-0.45, all of which slipped UNDER the old 0.5; 0.2 separates
+    # them from every known-good run (0.07-0.15) with margin both ways.
+    cotenant_limit = float(os.environ.get("SPARK_GRAFT_COTENANT_CORES", "0.2"))
     passes = 0
     cotenant_cores: list[float] = []
     head_runs: dict[str, list[float]] = {}
@@ -399,6 +440,8 @@ def main() -> None:
                 "passes": passes,
                 "cotenant_cores": cotenant_cores,
                 "buff_cache_gb": buff_cache,
+                "buff_cache_warm_gb": buff_cache_warm,
+                "preread_mb": preread_mb,
             }
         )
     )
@@ -416,6 +459,8 @@ def main() -> None:
                 "passes": passes,
                 "cotenant_cores": cotenant_cores,
                 "buff_cache_gb": buff_cache,
+                "buff_cache_warm_gb": buff_cache_warm,
+                "preread_mb": preread_mb,
             }
         )
     )
