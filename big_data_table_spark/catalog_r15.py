@@ -1,0 +1,112 @@
+"""Round-15 catalog builders — PNG COLOR TYPES beyond RGB8.
+
+r14 completed the JPEG frame-type surface (baseline grids + progressive
+SOF2 both script dimensions); r15 completes the PNG color-type surface
+the same way: all five 8-bit layouts of spec §11.2.2 — 0 grayscale,
+2 RGB, 3 palette-indexed (PLTE), 4 gray+alpha, 6 RGBA — on BOTH codec
+sides, in BOTH interlace modes (the Adam7 scatter and the five scanline
+filters now run at every pixel width).  PNG is lossless, so the
+load-bearing law is exact round-trip of the RAW samples per color type
+(alpha preserved, palette indices preserved — pinned in
+tests/test_round15.py); the catalog entry proves the RGB VIEW of the
+whole chain against a closed-form SQL oracle.
+
+QuerySpec registrations live HERE (``r15_specs``, merged by
+catalog_windows.py — the chunk convention).
+
+Reference parity note: the reference (jangorecki/big.data.table,
+R/big.data.table.R:1-648) has no media surface — this is declared
+extension surface for the 100 TB training-data pipeline, held to the
+same oracle-paired correctness bar as the forwarded reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog_base import register_views
+from .sources.readers import Tables
+
+
+def multimodal_png_color_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five 8-bit PNG color types end-to-end (r15 — VERDICT r14
+    #6's named depth candidate): synthetic PNGs cycling grayscale /
+    RGB / palette / gray+alpha / RGBA across the corpus, odd ids Adam7
+    interlaced, every filter type seeded in — decoded back through the
+    real inflate + per-bpp unfilter + PLTE dereference + alpha-drop
+    RGB view.  The closed-form pixel model makes every arm exact: a
+    wrong left-neighbor distance in the Sub/Paeth filters, a dropped
+    PLTE byte, a mis-scattered Adam7 pass, or alpha bleeding into the
+    RGB view flips the channel sums and the hash.  Map-only plan:
+    synth and decode are back-to-back Arrow-batched mapInPandas
+    stages, zero exchanges — the 100 TB media-ETL shape."""
+    from .functions.multimodal import (
+        decode_png_typed_stats,
+        synth_png_typed_media,
+    )
+
+    register_views(spark, sf_dir)
+    docs = Tables(spark, sf_dir).documents
+    return decode_png_typed_stats(synth_png_typed_media(docs))
+
+
+def multimodal_png_color_types_oracle() -> str:
+    from .functions.portable import DUCK, lateral_seq
+
+    lat = lateral_seq("0", "width * height - 1", "p", DUCK)
+    # the synth model (multimodal.synth_png_typed_media): sample byte j
+    # is (id*11 + j*19) % 256; per color type the RGB view reads sample
+    # j = bpp*p (+channel) of pixel p — palette dereferences index
+    # (id*11 + p*19) % 16 through k -> (16k, 16k+5, 16k+10)
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 9 AS INT) AS width,
+         CAST(3 + doc_id % 5 AS INT) AS height,
+         CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+                              WHEN 3 THEN 4 ELSE 6 END AS INT) AS color_type
+  FROM documents),
+px AS (SELECT doc_id, width, height, color_type, p FROM dims {lat}),
+v AS (SELECT doc_id, width, height, color_type,
+  CASE color_type
+    WHEN 0 THEN (doc_id*11 + p*19) % 256
+    WHEN 2 THEN (doc_id*11 + (3*p)*19) % 256
+    WHEN 3 THEN ((doc_id*11 + p*19) % 16) * 16
+    WHEN 4 THEN (doc_id*11 + (2*p)*19) % 256
+    ELSE (doc_id*11 + (4*p)*19) % 256 END AS vr,
+  CASE color_type
+    WHEN 0 THEN (doc_id*11 + p*19) % 256
+    WHEN 2 THEN (doc_id*11 + (3*p+1)*19) % 256
+    WHEN 3 THEN ((doc_id*11 + p*19) % 16) * 16 + 5
+    WHEN 4 THEN (doc_id*11 + (2*p)*19) % 256
+    ELSE (doc_id*11 + (4*p+1)*19) % 256 END AS vg,
+  CASE color_type
+    WHEN 0 THEN (doc_id*11 + p*19) % 256
+    WHEN 2 THEN (doc_id*11 + (3*p+2)*19) % 256
+    WHEN 3 THEN ((doc_id*11 + p*19) % 16) * 16 + 10
+    WHEN 4 THEN (doc_id*11 + (2*p)*19) % 256
+    ELSE (doc_id*11 + (4*p+2)*19) % 256 END AS vb
+FROM px)
+SELECT doc_id AS media_id, color_type, width, height,
+  CAST(SUM(vr) AS BIGINT) AS sum_r,
+  CAST(SUM(vg) AS BIGINT) AS sum_g,
+  CAST(SUM(vb) AS BIGINT) AS sum_b
+FROM v GROUP BY doc_id, color_type, width, height
+"""
+
+
+def r15_specs():
+    """Round-15 QuerySpec registrations, merged into the catalog by
+    catalog_windows.py (the chunk convention)."""
+    from .catalog_base import QuerySpec
+
+    return {
+        "multimodal_png_color_types": QuerySpec(
+            multimodal_png_color_types_q,
+            multimodal_png_color_types_oracle(),
+            doc="PNG color-type surface: grayscale / RGB / palette / "
+            "gray+alpha / RGBA on both codec sides, both interlace "
+            "modes; closed-form pixel model proves the per-bpp filter "
+            "reversal, PLTE dereference, and alpha-drop RGB view.",
+        ),
+    }

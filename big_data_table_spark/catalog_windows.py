@@ -183,6 +183,62 @@ def stage(CATALOG: dict, _R11_NEXT: list[str]) -> dict:
     ]
     CATALOG = {name: CATALOG[name] for name in _head14}
 
+    # -------------------------------------------------------------- #
+    # round-15 registrations (builders AND specs in catalog_r15.py —
+    # the chunk convention)
+    # -------------------------------------------------------------- #
+    _r15 = __import__("big_data_table_spark.catalog_r15", fromlist=["x"]).r15_specs()
+    CATALOG.update(_r15)
+
+    # -------------------------------------------------------------- #
+    # driver-window ordering (round 15) — VERDICT r14 #1: the window is
+    # EXACTLY as prescribed — _R14_NEXT (16: the 15 entries whose
+    # newest driver row is round 7 plus `multimodal_jpeg_progressive`,
+    # which has no driver row yet) + the 34 stalest r8-window entries
+    # (CORRECTNESS_r08 keys minus every later round — 50 such entries
+    # exist, none re-sampled since), in catalog order; the remaining 16
+    # spill to _R15_NEXT, and the NEW r15 entry follows them there (the
+    # r12 precedent: new entries take their driver row the round after
+    # their pytest round).  After this window lands, no entry's driver
+    # evidence predates round 9.
+    # -------------------------------------------------------------- #
+    _R8_STALE = [
+        "cms_rolling_heavy_hitters", "ann_pq_persisted_topk", "corpus_filter_cascade",
+        "tdigest_rollup_range", "tdigest_rollup_compacted", "tdigest_rolling_quantiles",
+        "bloom_index_persisted", "training_order_shuffle", "corpus_data_card",
+        "stream_cms_heavy_hitters", "stream_tdigest_daily", "ann_ivfpq_topk",
+        "dedup_keep_best_quality", "stream_bloom_seen_index", "source_overlap_matrix",
+        "embedding_drift_by_label", "packing_boundaries", "quality_decile_curve",
+        "table_profile", "dedup_containment_pairs", "winnow_attribution",
+        "events_asof_tolerance", "tdigest_rollup_grouped_range",
+        "hll_rollup_grouped_range", "bloom_rolling_membership",
+        "ann_ivfpq_residual_topk", "ann_ivfpq_persisted_topk",
+        "curriculum_serving_order", "tokenizer_fertility", "dedup_substring_fraction",
+        "theta_rollup_persisted", "hll_monthly_from_daily", "stream_packing_ledger",
+        "theta_rollup_grouped_range", "dedup_substring_scrub",
+        "curriculum_packed_batches", "ann_recall_report", "embedding_threshold_curve",
+        "dedup_lsh_recall_report", "mixture_token_plan", "window_rank_family",
+        "parts_abc_analysis", "events_rfm_segments", "packing_efficiency_curve",
+        "shipping_delay_profile", "customer_order_gaps", "events_top_paths",
+        "events_markov_transitions", "events_ewma_daily", "grouped_mad_outliers",
+    ]
+    _R15_NEW = list(_r15)
+    _R15_FRONT = _R14_NEXT + _R8_STALE[:34]
+    _R15_NEXT = _R8_STALE[34:] + _R15_NEW
+
+    assert len(_R15_FRONT) == len(set(_R15_FRONT)) == 50, len(_R15_FRONT)
+    assert set(_R15_FRONT + _R15_NEXT) <= set(CATALOG), sorted(
+        set(_R15_FRONT + _R15_NEXT) - set(CATALOG)
+    )
+    assert not set(_R15_FRONT) & set(_R15_NEXT)
+
+    # _head15 enumerates every catalog key (window head + the rest), so
+    # rebuilding from it alone is complete
+    _head15 = _R15_FRONT + _R15_NEXT + [
+        n for n in CATALOG if n not in set(_R15_FRONT + _R15_NEXT)
+    ]
+    CATALOG = {name: CATALOG[name] for name in _head15}
+
     # publish the staging names for catalog.py to re-export (law tests
     # import them through big_data_table_spark.catalog, the historical
     # path)

@@ -123,14 +123,15 @@ def decode_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
     return width, height, maxval, pixels
 
 
-def _png_dims(blob: bytes) -> tuple[int, int]:
-    """PNG dimensions from the IHDR header alone — no inflate, no
-    filter reversal (r13 ADVICE: the dims-only verb must not pay the
-    full decode).  IHDR is required to be the FIRST chunk (PNG spec
-    §5.6), so this is a fixed-offset parse; the chunk is still
-    CRC-checked and the support gates match :func:`decode_png` exactly
-    (RGB8, either interlace mode since r14), so dims-only never accepts
-    a blob the pixel path would reject on its header."""
+def _png_dims(blob: bytes) -> tuple[int, int, int]:
+    """PNG (width, height, color_type) from the IHDR header alone — no
+    inflate, no filter reversal (r13 ADVICE: the dims-only verb must
+    not pay the full decode).  IHDR is required to be the FIRST chunk
+    (PNG spec §5.6), so this is a fixed-offset parse; the chunk is
+    still CRC-checked and the support gates match :func:`decode_png`
+    exactly (all five 8-bit color types since r15, either interlace
+    mode since r14), so dims-only never accepts a blob the pixel path
+    would reject on its header."""
     import struct
     import zlib
 
@@ -143,11 +144,13 @@ def _png_dims(blob: bytes) -> tuple[int, int]:
     width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", data
     )
-    if (depth, ctype_id) != (8, 2):
-        raise ValueError("only RGB8 (color type 2) supported")
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
+    if ctype_id not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_id}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown interlace method {interlace}")
-    return width, height
+    return width, height, ctype_id
 
 
 def _jpeg_dims(blob: bytes) -> tuple[int, int, int]:
@@ -225,8 +228,8 @@ def decode_image(blob: bytes):
         w, h, _maxval, _px = decode_ppm(blob)
         return w, h, "RGB"
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h = _png_dims(blob)
-        return w, h, "RGB"
+        w, h, ctype_id = _png_dims(blob)
+        return w, h, _PNG_MODE[ctype_id]
     if blob[:2] == b"\xff\xd8":
         w, h, ncomp = _jpeg_dims(blob)
         return w, h, "L" if ncomp == 1 else "RGB"
@@ -454,12 +457,20 @@ _ADAM7 = (
 )
 
 
-def _png_filter_rows(rows: list[bytes], filter_seed: int) -> bytearray:
+# PNG color types (spec §11.2.2, all at bit depth 8 — r15 completes
+# the color-type surface the way r14 completed JPEG frame types):
+# 0 grayscale, 2 RGB, 3 palette-indexed (PLTE), 4 gray+alpha, 6 RGBA.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_MODE = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def _png_filter_rows(rows: list[bytes], filter_seed: int, bpp: int = 3) -> bytearray:
     """Filter a SELF-CONTAINED scanline group (the whole image, or one
     Adam7 pass — each pass restarts prediction from a zero prior row,
     PNG spec §8.2): one filter-type byte + filtered bytes per row,
-    cycling through all five filter types."""
-    bpp = 3
+    cycling through all five filter types.  ``bpp`` is bytes per pixel
+    (the filter's left-neighbor distance, spec §9.2 — 1 for
+    grayscale/palette, 2 gray+alpha, 3 RGB, 4 RGBA)."""
     stride = len(rows[0]) if rows else 0
     prev = bytes(stride)
     out = bytearray()
@@ -485,11 +496,10 @@ def _png_filter_rows(rows: list[bytes], filter_seed: int) -> bytearray:
     return out
 
 
-def _png_unfilter(raw: bytes, nrows: int, stride: int) -> bytearray:
+def _png_unfilter(raw: bytes, nrows: int, stride: int, bpp: int = 3) -> bytearray:
     """Reverse the per-scanline filters of one self-contained group
     (whole image or one Adam7 pass): ``raw`` is nrows * (stride + 1)
     bytes, returns nrows * stride reconstructed bytes."""
-    bpp = 3
     if len(raw) != nrows * (stride + 1):
         raise ValueError("scanline payload size mismatch")
     prev = bytearray(stride)
@@ -523,28 +533,48 @@ def _png_unfilter(raw: bytes, nrows: int, stride: int) -> bytearray:
 def encode_png(
     width: int,
     height: int,
-    rgb: bytes,
+    pixels: bytes,
     filter_seed: int = 0,
     interlace: bool = False,
+    color_type: int = 2,
+    palette: bytes | None = None,
 ) -> bytes:
-    """Encode raw interleaved RGB8 as a real PNG (color type 2) — pure
-    Python + stdlib zlib.  The scanline filter CYCLES through all five
-    PNG filter types (``(filter_seed + row) % 5``), so a decoder must
-    implement genuine Sub/Up/Average/Paeth prediction reversal, not
-    just strip filter byte 0.  ``interlace=True`` emits ADAM7 (r14):
-    the seven reduced images of the spec's 8x8 sampling grid, each
-    pass filtered as its own scanline group (prediction restarts per
-    pass), empty passes of small images contributing zero bytes —
-    the progressive-render layout real-world web PNGs use."""
+    """Encode raw interleaved 8-bit samples as a real PNG — pure Python
+    + stdlib zlib.  ``color_type`` selects the sample layout (spec
+    §11.2.2; r15 completes the surface): 0 grayscale (1 byte/px),
+    2 RGB (3, the default — the historical signature is unchanged),
+    3 palette-indexed (1 byte/px + a ``palette`` of packed RGB triples,
+    ≤ 256 entries, emitted as PLTE), 4 gray+alpha (2), 6 RGBA (4).
+    The scanline filter CYCLES through all five PNG filter types
+    (``(filter_seed + row) % 5``) with the left-neighbor distance set
+    by the pixel width, so a decoder must implement genuine
+    Sub/Up/Average/Paeth reversal per color type.  ``interlace=True``
+    emits ADAM7 (r14): the seven reduced images of the spec's 8x8
+    sampling grid, each pass filtered as its own scanline group
+    (prediction restarts per pass), empty passes of small images
+    contributing zero bytes."""
     import struct
     import zlib
 
-    if len(rgb) != 3 * width * height:
-        raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
-    stride = 3 * width
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    bpp = _PNG_CHANNELS[color_type]
+    if len(pixels) != bpp * width * height:
+        raise ValueError(
+            f"expected {bpp * width * height} sample bytes for color type "
+            f"{color_type}, got {len(pixels)}"
+        )
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
+            raise ValueError("palette PNG needs 1-256 packed RGB triples")
+        if pixels and max(pixels) >= len(palette) // 3:
+            raise ValueError("palette index out of range")
+    elif palette is not None:
+        raise ValueError("palette only valid for color type 3")
+    stride = bpp * width
     if not interlace:
-        rows = [rgb[r * stride : (r + 1) * stride] for r in range(height)]
-        out = _png_filter_rows(rows, filter_seed)
+        rows = [pixels[r * stride : (r + 1) * stride] for r in range(height)]
+        out = _png_filter_rows(rows, filter_seed, bpp)
     else:
         out = bytearray()
         for x0, dx, y0, dy in _ADAM7:
@@ -558,34 +588,38 @@ def encode_png(
                 row = bytearray()
                 for px in range(pw):
                     x = x0 + px * dx
-                    row += rgb[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                    row += pixels[(y * width + x) * bpp : (y * width + x) * bpp + bpp]
                 rows.append(bytes(row))
-            out += _png_filter_rows(rows, filter_seed)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
-        + _png_chunk(b"IEND", b"")
+            out += _png_filter_rows(rows, filter_seed, bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    blob = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        blob += _png_chunk(b"PLTE", bytes(palette))
+    return blob + _png_chunk(b"IDAT", zlib.compress(bytes(out))) + _png_chunk(b"IEND", b"")
 
 
-def decode_png(blob: bytes) -> tuple[int, int, bytes]:
+def decode_png_samples(blob: bytes) -> tuple[int, int, int, bytes | None, bytes]:
     """REAL compressed-image decode, pure Python + stdlib zlib: verify
     the signature, walk CRC-checked chunks, inflate the concatenated
     IDAT stream, and reverse the per-scanline filters (all five types)
-    → (width, height, rgb_bytes).  BOTH interlace modes (r14): the
-    sequential layout and ADAM7 — seven reduced images, each its own
+    → (width, height, color_type, palette, samples) — ``samples`` are
+    the RAW reconstructed bytes of the color type's layout (palette
+    INDICES for type 3, gray+alpha / RGBA pairs kept intact), so the
+    round-trip law ``decode_png_samples(encode_png(...)) == input`` is
+    exact for every color type including alpha.  BOTH interlace modes
+    (r14): sequential and ADAM7 — seven reduced images, each its own
     filter group, scattered back onto the 8x8 sampling grid (empty
-    passes of small images consume zero bytes).  RGB8 only — other
-    color types would need the same loop with a different bpp."""
+    passes of small images consume zero bytes).  All five 8-bit color
+    types (r15); 16-bit raises naming the gap."""
     import struct
     import zlib
 
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG blob")
     pos, width, height, idat = 8, None, None, bytearray()
-    interlace = 0
+    interlace, ctype_id, palette = 0, 2, None
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         ctype = blob[pos + 4 : pos + 8]
@@ -597,10 +631,16 @@ def decode_png(blob: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, ctype_id) != (8, 2):
-                raise ValueError("only RGB8 (color type 2) supported")
+            if depth != 8:
+                raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
+            if ctype_id not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {ctype_id}")
             if interlace not in (0, 1):
                 raise ValueError(f"unknown interlace method {interlace}")
+        elif ctype == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError("bad PLTE length")
+            palette = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -608,10 +648,15 @@ def decode_png(blob: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR or IDAT")
+    if ctype_id == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = 3 * width
+    bpp = _PNG_CHANNELS[ctype_id]
+    stride = bpp * width
     if not interlace:
-        return width, height, bytes(_png_unfilter(raw, height, stride))
+        return width, height, ctype_id, palette, bytes(
+            _png_unfilter(raw, height, stride, bpp)
+        )
     out = bytearray(stride * height)
     off = 0
     for x0, dx, y0, dy in _ADAM7:
@@ -619,19 +664,44 @@ def decode_png(blob: bytes) -> tuple[int, int, bytes]:
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        pstride = 3 * pw
-        plane = _png_unfilter(raw[off : off + ph * (pstride + 1)], ph, pstride)
+        pstride = bpp * pw
+        plane = _png_unfilter(raw[off : off + ph * (pstride + 1)], ph, pstride, bpp)
         off += ph * (pstride + 1)
         for py in range(ph):
             y = y0 + py * dy
             for px in range(pw):
                 x = x0 + px * dx
-                out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = plane[
-                    py * pstride + 3 * px : py * pstride + 3 * px + 3
+                out[(y * width + x) * bpp : (y * width + x) * bpp + bpp] = plane[
+                    py * pstride + bpp * px : py * pstride + bpp * px + bpp
                 ]
     if off != len(raw):
         raise ValueError("scanline payload size mismatch")
-    return width, height, bytes(out)
+    return width, height, ctype_id, palette, bytes(out)
+
+
+def decode_png(blob: bytes) -> tuple[int, int, bytes]:
+    """The RGB VIEW of :func:`decode_png_samples` → (width, height,
+    rgb_bytes), keeping the historical RGB8 signature every caller
+    already uses: grayscale replicates the luma to three channels,
+    palette indices dereference through PLTE, and the alpha channel of
+    gray+alpha / RGBA is DROPPED (the view is the opaque raster;
+    alpha-preserving callers use :func:`decode_png_samples`)."""
+    width, height, ctype_id, palette, samples = decode_png_samples(blob)
+    if ctype_id == 2:
+        return width, height, samples
+    import numpy as np
+
+    arr = np.frombuffer(samples, dtype=np.uint8)
+    if ctype_id == 0:
+        rgb = np.repeat(arr, 3)
+    elif ctype_id == 4:
+        rgb = np.repeat(arr.reshape(-1, 2)[:, 0], 3)
+    elif ctype_id == 6:
+        rgb = arr.reshape(-1, 4)[:, :3].reshape(-1)
+    else:  # 3: palette lookup
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[arr].reshape(-1)
+    return width, height, rgb.tobytes()
 
 
 def synth_png_media(docs: DataFrame) -> DataFrame:
@@ -685,6 +755,91 @@ def decode_png_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+def synth_png_typed_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic PNGs cycling ALL FIVE 8-bit color types
+    (r15): ``doc_id % 5`` picks {0 grayscale, 2 RGB, 3 palette,
+    4 gray+alpha, 6 RGBA}, width ``4 + id % 9``, height ``3 + id % 5``,
+    odd ids Adam7-interlaced, filter seed ``id`` (every filter type and
+    both layouts exercised across the corpus).  Sample byte ``j`` is
+    ``(id*11 + j*19) % 256``; the palette arm instead stores index
+    ``(id*11 + j*19) % 16`` into the fixed 16-entry palette
+    ``k -> (16k, 16k+5, 16k+10)``.  Closed-form pixel model → an
+    external oracle computes the decoded RGB-view statistics from
+    arithmetic while the Spark side round-trips REAL zlib-compressed,
+    filtered, interlaced bytes of every color type."""
+    out_schema = "media_id long, media binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = bytes(
+            b for k in range(16) for b in (16 * k, 16 * k + 5, 16 * k + 10)
+        )
+        ctypes = [0, 2, 3, 4, 6]
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ct = ctypes[did % 5]
+                w, h = 4 + did % 9, 3 + did % 5
+                bpp = _PNG_CHANNELS[ct]
+                j = np.arange(bpp * w * h, dtype=np.int64)
+                raw = (did * 11 + j * 19) % (16 if ct == 3 else 256)
+                px = raw.astype(np.uint8).tobytes()
+                ids.append(did)
+                blobs.append(
+                    encode_png(
+                        w, h, px,
+                        filter_seed=did,
+                        interlace=bool(did % 2),
+                        color_type=ct,
+                        palette=pal if ct == 3 else None,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=out_schema)
+
+
+def decode_png_typed_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Decode PNG blobs of ANY supported color type with the real
+    inflate+unfilter parser and emit the header color type plus
+    per-image RGB-view channel sums — numbers that only come out right
+    if the type-specific bpp filtering, the PLTE dereference, the
+    alpha-drop view, and the Adam7 scatter all reversed correctly."""
+    out_schema = (
+        "media_id long, color_type int, width int, height int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                blob = bytes(blob)
+                w, h, ct = _png_dims(blob)
+                dw, dh, px = decode_png(blob)
+                assert (dw, dh) == (w, h)
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+                rows.append(
+                    (
+                        int(mid), ct, w, h,
+                        int(arr[:, 0].sum()), int(arr[:, 1].sum()), int(arr[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "color_type", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
             )
 
     return media.mapInPandas(kernel, schema=out_schema)

@@ -806,6 +806,11 @@ BUDGET = {
                                  # the plan stays two back-to-back
                                  # mapInPandas stages, zero exchanges
                                  # mapInPandas (the PNG/WAV shape)
+    "multimodal_png_color_types": 0,  # r15: all five color types —
+                                 # per-bpp filtering / PLTE / Adam7
+                                 # live inside the Arrow kernels; the
+                                 # plan stays two back-to-back
+                                 # mapInPandas stages, zero exchanges
     "rollup_day_retention": 1,   # per-day estimate agg over the
                                  # partition-pruned register store —
                                  # the retention marker and guard are
