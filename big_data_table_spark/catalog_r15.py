@@ -95,6 +95,53 @@ FROM v GROUP BY doc_id, color_type, width, height
 """
 
 
+def multimodal_jpeg12_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT (SOF1 extended sequential) JPEG end-to-end (r15 — the
+    longest-named in-format depth candidate, VERDICT r12-r14): T.81
+    baseline is 8-bit by definition, so 12-bit samples ride the
+    extended sequential Huffman process — the same DCT / Annex-K
+    quantization / optimized-DHT machinery at a 2048 level shift and
+    wider magnitude categories, the frame shape medical/scientific
+    pipelines emit.  Decoded back at FULL precision (decode_jpeg12 —
+    little-endian uint16 samples; the 8-bit view would read 16x
+    smaller sums, so the oracle catches a silently downshifted path).
+    The block-constant even-gray model makes the lossy chain exact at
+    12 bits (the r13 argument with 128 -> 2048), so the closed-form
+    oracle proves the SOF1 gate, level shift and clamp.  Map-only
+    plan: synth and decode are back-to-back Arrow-batched mapInPandas
+    stages, zero exchanges."""
+    from .functions.multimodal import (
+        decode_jpeg12_stats,
+        synth_jpeg12_media,
+    )
+
+    register_views(spark, sf_dir)
+    docs = Tables(spark, sf_dir).documents
+    return decode_jpeg12_stats(synth_jpeg12_media(docs))
+
+
+def multimodal_jpeg12_decode_oracle() -> str:
+    from .functions.portable import DUCK, lateral_seq
+
+    lat = lateral_seq("0", "(width // 8) * (height // 8) - 1", "j", DUCK)
+    return f"""
+WITH dims AS (
+  SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+         CAST(8 * (1 + doc_id % 2) AS INT) AS height
+  FROM documents),
+blk AS (SELECT doc_id, width, height, j FROM dims {lat}),
+v AS (SELECT doc_id, width, height,
+        2 * ((doc_id * 11 + (j % (width // 8)) * 17
+              + (j // (width // 8)) * 29) % 2048) AS val
+      FROM blk)
+SELECT doc_id AS media_id, width, height,
+  CAST(64 * SUM(val) AS BIGINT) AS sum_r,
+  CAST(64 * SUM(val) AS BIGINT) AS sum_g,
+  CAST(64 * SUM(val) AS BIGINT) AS sum_b
+FROM v GROUP BY doc_id, width, height
+"""
+
+
 def r15_specs():
     """Round-15 QuerySpec registrations, merged into the catalog by
     catalog_windows.py (the chunk convention)."""
@@ -108,5 +155,14 @@ def r15_specs():
             "gray+alpha / RGBA on both codec sides, both interlace "
             "modes; closed-form pixel model proves the per-bpp filter "
             "reversal, PLTE dereference, and alpha-drop RGB view.",
+        ),
+        "multimodal_jpeg12_decode": QuerySpec(
+            multimodal_jpeg12_decode_q,
+            multimodal_jpeg12_decode_oracle(),
+            doc="12-bit (SOF1 extended sequential) JPEG codec pair at "
+            "full sample precision: 2048 level shift, wider magnitude "
+            "categories, uint16 wire format; block-constant even-gray "
+            "model keeps the lossy chain exact so the closed-form "
+            "oracle proves the extended-sequential path.",
         ),
     }

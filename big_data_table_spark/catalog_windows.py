@@ -197,10 +197,10 @@ def stage(CATALOG: dict, _R11_NEXT: list[str]) -> dict:
     # which has no driver row yet) + the 34 stalest r8-window entries
     # (CORRECTNESS_r08 keys minus every later round — 50 such entries
     # exist, none re-sampled since), in catalog order; the remaining 16
-    # spill to _R15_NEXT, and the NEW r15 entry follows them there (the
-    # r12 precedent: new entries take their driver row the round after
-    # their pytest round).  After this window lands, no entry's driver
-    # evidence predates round 9.
+    # spill to _R15_NEXT, and the NEW r15 entries (PNG color types,
+    # 12-bit JPEG) follow them there (the r12 precedent: new entries
+    # take their driver row the round after their pytest round).  After
+    # this window lands, no entry's driver evidence predates round 9.
     # -------------------------------------------------------------- #
     _R8_STALE = [
         "cms_rolling_heavy_hitters", "ann_pq_persisted_topk", "corpus_filter_cascade",

@@ -34,19 +34,23 @@ import struct
 # `cjpeg -optimize`) emitted in DHT — every symbol that occurs gets an
 # equal-length canonical code with the all-ones codeword reserved, a
 # valid JPEG table by construction.  Decoder: a GENERAL decoder for
-# BOTH frame types — marker walk, 8-bit DQT, SOF0 and SOF2
+# ALL THREE Huffman frame types — marker walk, 8- and 16-bit DQT,
+# SOF0, SOF1 (extended sequential — the 12-bit carrier, r15) and SOF2
 # (progressive spectral selection, r14), canonical DHT reconstruction
 # (any valid multi-length table, not just the ones this encoder
 # writes), byte-unstuffed scan decode (EOBRUN band coding in
 # progressive scans), dequant, IDCT, YCbCr->RGB — so standard-table
 # JPEGs from other encoders decode too.  Sampling grids: 4:4:4, 4:2:0,
-# 4:2:2, and 1-component grayscale; DRI/RSTn restart intervals in both
+# 4:2:2, and 1-component grayscale; DRI/RSTn restart intervals in all
 # frame types, successive approximation (Ah/Al refinement scans, the
-# libjpeg default-script shape) on both sides.  Rounding is
+# libjpeg default-script shape) on both sides; 12-bit samples in the
+# sequential path (encode precision=12 / decode_jpeg12 — level shift
+# and chroma center at 2048, uint16-LE wire format).  Rounding is
 # floor(x + 0.5) everywhere (spelled out because the closed-form
-# oracle of the catalog entry reproduces it in SQL).  12-bit streams
+# oracle of the catalog entry reproduces it in SQL).  12-bit
+# PROGRESSIVE, arithmetic coding, hierarchical and lossless modes
 # raise with a clear message — honest scope, like the PNG decoder's
-# Adam7 gate.
+# 16-bit gate.
 # --------------------------------------------------------------------- #
 
 _JPEG_QY = [
@@ -213,15 +217,18 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def _rgb_to_ycbcr(rgb):
+def _rgb_to_ycbcr(rgb, center: float = 128.0):
+    """JFIF color transform; ``center`` is the chroma zero point —
+    2^(P-1) for precision P (T.81 level-shift convention), so the same
+    matrix serves 8-bit (128) and 12-bit (2048) frames."""
     import numpy as np
 
     r = rgb[..., 0].astype(np.float64)
     g = rgb[..., 1].astype(np.float64)
     b = rgb[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
     return np.stack([y, cb, cr], axis=-1)
 
 
@@ -240,6 +247,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     grayscale: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode raw interleaved RGB8 as a REAL baseline JPEG (SOF0,
     Annex-K quant tables, per-image optimized canonical Huffman tables)
@@ -258,12 +266,28 @@ def encode_jpeg(
     passes: collect DC/AC symbol counts, build the DHT tables,
     then emit the entropy-coded scan with 0xFF byte stuffing.
     Quantization is half-away-from-zero (sign * floor(|F|/q + 0.5)),
-    the libjpeg convention the decoder and the catalog oracle mirror."""
+    the libjpeg convention the decoder and the catalog oracle mirror.
+    ``precision=12`` (r15) emits an EXTENDED SEQUENTIAL frame (SOF1 —
+    T.81 baseline is 8-bit by definition, so 12-bit rides the extended
+    process real medical/scientific encoders use): input becomes
+    little-endian uint16 interleaved RGB samples in [0, 4095]
+    (``6 * width * height`` bytes), the level shift and chroma center
+    move to 2048, and everything else — the DCT, Annex-K tables,
+    optimized Huffman coding, subsampling grids, DRI/RSTn — is the
+    same machinery at the wider sample width."""
     import struct
 
     import numpy as np
 
-    if len(rgb) != 3 * width * height:
+    if precision not in (8, 12):
+        raise ValueError(f"unsupported sample precision {precision} (8 or 12)")
+    if precision == 12:
+        if len(rgb) != 6 * width * height:
+            raise ValueError(
+                f"expected {6 * width * height} bytes of little-endian "
+                f"uint16 rgb samples, got {len(rgb)}"
+            )
+    elif len(rgb) != 3 * width * height:
         raise ValueError(f"expected {3 * width * height} rgb bytes, got {len(rgb)}")
     if grayscale and subsample:
         raise ValueError("grayscale has no chroma planes to subsample")
@@ -278,8 +302,14 @@ def encode_jpeg(
         raise ValueError(f"unsupported subsampling request {subsample!r}")
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
-    ycc = _rgb_to_ycbcr(img)
+    center = float(1 << (precision - 1))
+    if precision == 12:
+        img = np.frombuffer(rgb, dtype="<u2").reshape(height, width, 3)
+        if img.max(initial=0) >= 4096:
+            raise ValueError("12-bit samples must be < 4096")
+    else:
+        img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ycc = _rgb_to_ycbcr(img, center)
     mw, mh = 8 * hmax, 8 * vmax
     ph, pw = -(-height // mh) * mh, -(-width // mw) * mw
     padded = np.empty((ph, pw, 3))
@@ -299,7 +329,7 @@ def encode_jpeg(
         if fy > 1 or fx > 1:  # chroma mean-downsample
             plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
         bh, bw2 = plane.shape[0] // 8, plane.shape[1] // 8
-        blocks = _blockify(plane - 128.0, *plane.shape)
+        blocks = _blockify(plane - center, *plane.shape)
         coefs = np.einsum("ij,njk,lk->nil", t, blocks, t)
         q = qt[comp_q[c]]
         sign = np.sign(coefs)
@@ -392,11 +422,13 @@ def encode_jpeg(
     q_emit = ((0, _JPEG_QY),) if grayscale else ((0, _JPEG_QY), (1, _JPEG_QC))
     for tid, table in q_emit:
         out += _seg(0xFFDB, bytes([tid]) + bytes(table[i] for i in _ZIGZAG))
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sof = struct.pack(">BHHB", precision, height, width, ncomp)
     comp_ids = ((1, 0),) if grayscale else ((1, 0), (2, 1), (3, 1))
     for c, (cid, qsel) in enumerate(comp_ids):
         sof += bytes([cid, (samp[c][0] << 4) | samp[c][1], qsel])
-    out += _seg(0xFFC0, sof)
+    # T.81: baseline (SOF0) is 8-bit by definition; 12-bit samples ride
+    # the extended sequential Huffman process (SOF1)
+    out += _seg(0xFFC1 if precision == 12 else 0xFFC0, sof)
     dht_emit = (
         [(0, 0, dc_tabs[0]), (1, 0, ac_tabs[0])]
         if grayscale
@@ -785,9 +817,37 @@ def _unstuff_entropy(blob: bytes, start: int):
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
-    """REAL lossy-image decode, pure Python + numpy: marker walk, 8-bit
-    DQT, SOF0 AND SOF2 (baseline and PROGRESSIVE spectral selection —
-    r14; 4:4:4, 4:2:0, 4:2:2 and 1-component grayscale — the shapes
+    """The 8-BIT VIEW of :func:`_decode_jpeg_impl`, keeping the
+    historical signature every caller uses → (width, height,
+    rgb8_bytes).  8-bit streams pass through; 12-bit (SOF1) streams
+    downshift by 4 bits (the opaque-raster view, mirroring PNG's
+    RGB view) — full-precision callers use :func:`decode_jpeg12`."""
+    import numpy as np
+
+    width, height, prec, arr = _decode_jpeg_impl(blob)
+    if prec == 12:
+        arr = arr >> 4
+    return width, height, arr.astype(np.uint8).tobytes()
+
+
+def decode_jpeg12(blob: bytes) -> tuple[int, int, bytes]:
+    """Full-precision decode of a 12-bit (SOF1) stream → (width,
+    height, little-endian uint16 interleaved RGB samples in
+    [0, 4095]) — the exact wire format :func:`encode_jpeg`
+    (precision=12) consumes, so the even-gray exactness law holds at
+    the full sample width.  8-bit streams raise (use
+    :func:`decode_jpeg`)."""
+    width, height, prec, arr = _decode_jpeg_impl(blob)
+    if prec != 12:
+        raise ValueError(f"{prec}-bit stream (use decode_jpeg for 8-bit)")
+    return width, height, arr.astype("<u2").tobytes()
+
+
+def _decode_jpeg_impl(blob: bytes) -> tuple[int, int, int, "object"]:
+    """REAL lossy-image decode, pure Python + numpy: marker walk, 8- or
+    16-bit DQT, SOF0/SOF1/SOF2 (baseline, extended sequential — the
+    12-bit carrier, r15 — and PROGRESSIVE spectral selection, r14;
+    4:4:4, 4:2:0, 4:2:2 and 1-component grayscale — the shapes
     real-world encoders emit; grayscale output is luma replicated to
     RGB so downstream consumers keep one channel shape), canonical DHT
     reconstruction (multi-length — any valid baseline table, not only
@@ -795,13 +855,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     + run/size AC + ZRL/EOB; progressive scans add the EOBRUN band
     coding over per-component coefficient buffers), dequantization,
     orthonormal IDCT, chroma upsample and YCbCr->RGB with floor(x+0.5)
-    rounding -> (width, height, rgb_bytes).  DRI / RSTn restart
-    intervals are honored in both frame types (segment split,
+    rounding -> (width, height, precision, rgb int array).  DRI / RSTn
+    restart intervals are honored in all frame types (segment split,
     DC-predictor and EOBRUN reset, byte re-alignment); so is
     SUCCESSIVE APPROXIMATION (Ah/Al — first passes at a point
     transform, then per-bit DC/AC refinement scans, the shape
-    libjpeg's default progressive script emits).  12-bit and other
-    sampling grids raise with the unsupported feature named."""
+    libjpeg's default progressive script emits).  12-bit progressive
+    and other sampling grids raise with the unsupported feature
+    named."""
     import struct
 
     import numpy as np
@@ -812,6 +873,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
+    prec = 8
     comp_q: list[int] = []
     comp_samp: list[tuple[int, int]] = []
     comp_ids: list[int] = []
@@ -841,17 +903,32 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
             off = 0
             while off < len(data):
                 pq, tq = data[off] >> 4, data[off] & 0xF
-                if pq != 0:
-                    raise ValueError("only 8-bit DQT supported")
-                qt[tq] = list(data[off + 1 : off + 65])
-                off += 65
-        elif marker in (0xFFC0, 0xFFC2):
+                if pq == 0:
+                    qt[tq] = list(data[off + 1 : off + 65])
+                elif pq == 1:  # 16-bit entries (legal with 12-bit frames)
+                    qt[tq] = [
+                        (data[off + 1 + 2 * k] << 8) | data[off + 2 + 2 * k]
+                        for k in range(64)
+                    ]
+                else:
+                    raise ValueError(f"unknown DQT element precision Pq={pq}")
+                off += 1 + 64 * (pq + 1)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             progressive = marker == 0xFFC2
             prec, height, width, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8 or nc not in (1, 3):
+            if nc not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            if marker == 0xFFC0 and prec != 8:
                 raise ValueError(
-                    "only 8-bit 1- or 3-component frames supported"
+                    "baseline (SOF0) frames are 8-bit by definition; "
+                    "12-bit needs extended sequential (SOF1)"
                 )
+            if marker == 0xFFC1 and prec not in (8, 12):
+                raise ValueError(
+                    f"unsupported SOF1 precision {prec} (8 or 12)"
+                )
+            if marker == 0xFFC2 and prec != 8:
+                raise ValueError("12-bit progressive frames not supported")
             for c in range(nc):
                 cid, samp, qsel = data[6 + 3 * c : 9 + 3 * c]
                 comp_ids.append(cid)
@@ -867,10 +944,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                     f"unsupported sampling grid {comp_samp} "
                     "(4:4:4, 4:2:0, 4:2:2 and grayscale only)"
                 )
-        elif marker in (0xFFC1, 0xFFC3):
+        elif marker == 0xFFC3:
             raise ValueError(
-                "only baseline sequential (SOF0) and progressive (SOF2) "
-                "frames supported"
+                "only baseline (SOF0), extended sequential (SOF1) and "
+                "progressive (SOF2) frames supported — not lossless (SOF3)"
             )
         elif marker == 0xFFC4:
             off = 0
@@ -937,7 +1014,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
         planes = _decode_progressive_planes(
             width, height, comp_samp, comp_q, qt, prog_scans
         )
-        return _planes_to_rgb(planes, comp_samp, width, height)
+        return (width, height, prec,
+                _planes_to_rgb(planes, comp_samp, width, height, prec))
     if width is None or entropy is None:
         raise ValueError("missing SOF0 or SOS")
     ncomp = len(comp_samp)
@@ -995,16 +1073,23 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                         block = t.T @ coefs.reshape(8, 8) @ t
                         r0 = (my * v_i + vb) * 8
                         c0 = (mx * h_i + hb) * 8
-                        planes[c][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
-    return _planes_to_rgb(planes, comp_samp, width, height)
+                        planes[c][r0 : r0 + 8, c0 : c0 + 8] = block + float(
+                            1 << (prec - 1)
+                        )
+    return (width, height, prec,
+            _planes_to_rgb(planes, comp_samp, width, height, prec))
 
 
-def _planes_to_rgb(planes, comp_samp, width: int, height: int):
-    """Shared reconstruction tail of both frame types: nearest-neighbor
+def _planes_to_rgb(planes, comp_samp, width: int, height: int, prec: int = 8):
+    """Shared reconstruction tail of all frame types: nearest-neighbor
     chroma upsample to the padded luma grid, crop, YCbCr->RGB (or luma
-    replication for grayscale), floor(x+0.5) rounding, clamp."""
+    replication for grayscale), floor(x+0.5) rounding, clamp to the
+    sample range of ``prec``.  Returns the clamped integer RGB array;
+    the decode views (:func:`decode_jpeg` / :func:`decode_jpeg12`)
+    pick the byte layout."""
     import numpy as np
 
+    center = float(1 << (prec - 1))
     ncomp = len(comp_samp)
     hmax = max(s[0] for s in comp_samp)
     vmax = max(s[1] for s in comp_samp)
@@ -1020,12 +1105,11 @@ def _planes_to_rgb(planes, comp_samp, width: int, height: int):
     else:
         cb = planes[1][:height, :width]
         cr = planes[2][:height, :width]
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=-1)
-    rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
-    return width, height, rgb.tobytes()
+    return np.clip(np.floor(rgb + 0.5), 0, (1 << prec) - 1).astype(np.int32)
 
 
 def _noninterleaved_blocks(

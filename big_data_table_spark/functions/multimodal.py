@@ -158,9 +158,9 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int, int]:
     the marker walk stops at the frame header, so no entropy decode /
     dequant / IDCT / color conversion runs (r13 ADVICE).  Same
     fill-byte tolerance and support gates as :func:`decode_jpeg`
-    (baseline SOF0, 8-bit, 1- or 3-component, 4:4:4 / 4:2:0 /
-    grayscale), so dims-only never accepts a frame header the pixel
-    path would reject."""
+    (SOF0 8-bit / SOF1 8- or 12-bit / SOF2 8-bit, 1- or 3-component,
+    the supported sampling grids), so dims-only never accepts a frame
+    header the pixel path would reject."""
     import struct
 
     if blob[:2] != b"\xff\xd8":
@@ -179,12 +179,23 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int, int]:
             break
         (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
         data = blob[pos + 4 : pos + 2 + seglen]
-        if marker in (0xFFC0, 0xFFC2):  # baseline or progressive (r14)
+        if marker in (0xFFC0, 0xFFC1, 0xFFC2):
+            # baseline / extended sequential (12-bit carrier, r15) /
+            # progressive (r14) — gates MATCH decode_jpeg exactly
             prec, height, width, ncomp = struct.unpack(">BHHB", data[:6])
-            if prec != 8 or ncomp not in (1, 3):
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            if marker == 0xFFC0 and prec != 8:
                 raise ValueError(
-                    "only 8-bit 1- or 3-component frames supported"
+                    "baseline (SOF0) frames are 8-bit by definition; "
+                    "12-bit needs extended sequential (SOF1)"
                 )
+            if marker == 0xFFC1 and prec not in (8, 12):
+                raise ValueError(
+                    f"unsupported SOF1 precision {prec} (8 or 12)"
+                )
+            if marker == 0xFFC2 and prec != 8:
+                raise ValueError("12-bit progressive frames not supported")
             comp_samp = [
                 (data[7 + 3 * c] >> 4, data[7 + 3 * c] & 0xF)
                 for c in range(ncomp)
@@ -200,10 +211,10 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int, int]:
                     "(4:4:4, 4:2:0, 4:2:2 and grayscale only)"
                 )
             return width, height, ncomp
-        if marker in (0xFFC1, 0xFFC3):
+        if marker == 0xFFC3:
             raise ValueError(
-                "only baseline sequential (SOF0) and progressive (SOF2) "
-                "frames supported"
+                "only baseline (SOF0), extended sequential (SOF1) and "
+                "progressive (SOF2) frames supported — not lossless (SOF3)"
             )
         pos += 2 + seglen
     raise ValueError("missing SOF0")
@@ -1002,6 +1013,7 @@ def documents_as_timed_media(docs: DataFrame, ms_per_byte: int = 10) -> DataFram
 # --------------------------------------------------------------------- #
 from .jpeg_codec import (  # noqa: F401
     decode_jpeg,
+    decode_jpeg12,
     encode_jpeg,
     encode_jpeg_progressive,
 )
@@ -1100,6 +1112,72 @@ def decode_jpeg_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
             for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
                 w, h, px = decode_jpeg(bytes(blob))
                 arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+                rows.append(
+                    (
+                        int(mid), w, h,
+                        int(arr[:, 0].sum()), int(arr[:, 1].sum()), int(arr[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+def synth_jpeg12_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic 12-BIT (SOF1 extended sequential) JPEGs
+    keyed off ``doc_id`` (r15): same dims as the baseline entry (width
+    ``8*(1 + id % 3)``, height ``8*(1 + id % 2)``), every 8x8 block a
+    CONSTANT EVEN GRAY ``v = 2*((id*11 + bx*17 + by*29) % 2048)`` —
+    the full 12-bit range.  The r13 exactness argument carries to the
+    wider width: gray makes Cb = Cr = 2048 exactly, a constant block
+    is DC-only, and with Q_Y[0,0] = 16 the DC round-trip
+    ``2*floor((v-2048)/2 + 0.5) + 2048 = v`` is tie-free for even v —
+    so the closed-form oracle proves the extended-sequential chain at
+    full sample precision."""
+    out_schema = "media_id long, media binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                bxs = np.arange(w // 8)
+                bys = np.arange(h // 8)
+                vals = 2 * ((did * 11 + bxs[None, :] * 17 + bys[:, None] * 29) % 2048)
+                gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    "<u2"
+                )
+                rgb = np.stack([gray, gray, gray], axis=-1).astype("<u2").tobytes()
+                ids.append(did)
+                blobs.append(encode_jpeg(w, h, rgb, precision=12))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=out_schema)
+
+
+def decode_jpeg12_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Decode 12-bit JPEG blobs at FULL precision (decode_jpeg12) and
+    emit per-image channel sums over the uint16 samples — numbers that
+    only come out right if the SOF1 gate, the 2048 level shift, the
+    wider Huffman size categories and the 12-bit clamp are all
+    correct (an 8-bit-view decode would read 16x smaller sums)."""
+    out_schema = (
+        "media_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                w, h, px = decode_jpeg12(bytes(blob))
+                arr = np.frombuffer(px, dtype="<u2").astype(np.int64).reshape(-1, 3)
                 rows.append(
                     (
                         int(mid), w, h,

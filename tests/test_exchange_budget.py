@@ -811,6 +811,9 @@ BUDGET = {
                                  # live inside the Arrow kernels; the
                                  # plan stays two back-to-back
                                  # mapInPandas stages, zero exchanges
+    "multimodal_jpeg12_decode": 0,  # r15: 12-bit SOF1 codec pair —
+                                 # same two back-to-back mapInPandas
+                                 # stages, zero exchanges
     "rollup_day_retention": 1,   # per-day estimate agg over the
                                  # partition-pruned register store —
                                  # the retention marker and guard are

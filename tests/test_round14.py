@@ -55,7 +55,9 @@ def test_r14_window_staging():
     assert C._R14_NEW == ["multimodal_jpeg_progressive"]
     assert not set(C._R14_FRONT) & set(C._R14_NEXT)
     assert set(C._R14_FRONT + C._R14_NEXT) <= set(C.CATALOG)
-    assert list(C.CATALOG)[:50] == C._R14_FRONT
+    # (the live-head assert `list(CATALOG)[:50] == _R14_FRONT` migrated
+    # to test_round15 — each round's ordering supersedes the last, so
+    # only the NEWEST window owns the iteration-order pin)
 
 
 def test_r14_stale_evidence_claim():

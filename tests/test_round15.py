@@ -47,9 +47,9 @@ def test_r15_window_staging():
     """Driver-window staging invariants for round 15 (VERDICT r14 #1):
     the window is EXACTLY as prescribed — _R14_NEXT (16) + the 34
     stalest r8-window entries in catalog order; the remaining 16 spill
-    to _R15_NEXT, followed by the one NEW r15 entry (the r12
-    precedent: new entries take their driver row next round).  CATALOG
-    iteration order leads with the window."""
+    to _R15_NEXT, followed by the NEW r15 entries (the r12 precedent:
+    new entries take their driver row next round).  CATALOG iteration
+    order leads with the window."""
     from big_data_table_spark import catalog as C
 
     assert len(C._R15_FRONT) == len(set(C._R15_FRONT)) == 50
@@ -57,7 +57,9 @@ def test_r15_window_staging():
     assert len(C._R8_STALE) == len(set(C._R8_STALE)) == 50
     assert C._R15_FRONT[16:] == C._R8_STALE[:34]
     assert C._R15_NEXT == C._R8_STALE[34:] + C._R15_NEW
-    assert C._R15_NEW == ["multimodal_png_color_types"]
+    assert C._R15_NEW == [
+        "multimodal_png_color_types", "multimodal_jpeg12_decode"
+    ]
     assert not set(C._R15_FRONT) & set(C._R15_NEXT)
     assert set(C._R15_FRONT + C._R15_NEXT) <= set(C.CATALOG)
     assert list(C.CATALOG)[:50] == C._R15_FRONT
@@ -288,7 +290,143 @@ def test_png_rgb8_signature_back_compat():
 
 
 # ------------------------------------------------------------------ #
-# 5. bench credibility loop
+# 5. 12-bit (SOF1 extended sequential) JPEG
+# ------------------------------------------------------------------ #
+
+
+def test_jpeg12_even_gray_exact_roundtrip():
+    """THE load-bearing 12-bit law: T.81 baseline is 8-bit by
+    definition, so 12-bit rides SOF1 — and the r13 exactness argument
+    carries to the wider width: block-constant EVEN gray (Cb = Cr =
+    2048 exactly, DC-only blocks, tie-free DC quantization with
+    Q_Y[0,0] = 16) round-trips BIT-EXACTLY through the full-precision
+    decode, across dims, the full 12-bit value range, grayscale
+    frames, subsampled grids and restart intervals."""
+    import numpy as np
+
+    from big_data_table_spark.functions.jpeg_codec import (
+        decode_jpeg12,
+        encode_jpeg,
+    )
+
+    for w, h in [(8, 8), (16, 8), (24, 16)]:
+        bx, by = w // 8, h // 8
+        img = np.zeros((h, w, 3), dtype=np.uint16)
+        for j in range(by):
+            for i in range(bx):
+                img[8 * j : 8 * j + 8, 8 * i : 8 * i + 8, :] = (
+                    2 * (((j * bx + i) * 321 + 7) % 2048)
+                )
+        blob = encode_jpeg(w, h, img.astype("<u2").tobytes(), precision=12)
+        dw, dh, out = decode_jpeg12(blob)
+        dec = np.frombuffer(out, dtype="<u2").reshape(h, w, 3)
+        assert (dw, dh) == (w, h) and np.array_equal(dec, img), (w, h)
+    # grayscale frame + restart interval, full-range value
+    g = np.full((8, 16, 3), 4094, dtype=np.uint16)
+    blob = encode_jpeg(
+        16, 8, g.astype("<u2").tobytes(),
+        precision=12, grayscale=True, restart_interval=1,
+    )
+    dec = np.frombuffer(decode_jpeg12(blob)[2], dtype="<u2").reshape(8, 16, 3)
+    assert (dec == 4094).all()
+    # 4:2:0 subsampled grid, MCU-constant even gray
+    img = np.zeros((16, 32, 3), dtype=np.uint16)
+    img[:, :16], img[:, 16:] = 2048, 2056
+    blob = encode_jpeg(32, 16, img.astype("<u2").tobytes(), precision=12, subsample=True)
+    dec = np.frombuffer(decode_jpeg12(blob)[2], dtype="<u2").reshape(16, 32, 3)
+    assert np.array_equal(dec, img)
+
+
+def test_jpeg12_tolerance_and_8bit_view():
+    """General 12-bit content holds the quantization-error bound (the
+    Annex-K tables cap any coefficient error), and decode_jpeg of a
+    12-bit stream is the 4-bit-downshifted view of the full-precision
+    decode — the PNG RGB-view discipline applied to JPEG precision."""
+    import numpy as np
+
+    from big_data_table_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        decode_jpeg12,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, size=(16, 24, 3)).astype(np.uint16)
+    blob = encode_jpeg(24, 16, img.astype("<u2").tobytes(), precision=12)
+    w, h, out = decode_jpeg12(blob)
+    full = np.frombuffer(out, dtype="<u2").reshape(16, 24, 3)
+    assert np.abs(full.astype(int) - img.astype(int)).max() < 1200
+    view = np.frombuffer(decode_jpeg(blob)[2], dtype=np.uint8).reshape(16, 24, 3)
+    assert np.array_equal(view, (full >> 4).astype(np.uint8))
+
+
+def test_jpeg12_gates_and_16bit_dqt():
+    """Support gates: precision requests other than 8/12 raise,
+    out-of-range 12-bit samples raise, a 12-bit SOF0 raises (baseline
+    is 8-bit by definition), a 12-bit SOF2 raises (progressive stays
+    8-bit scope), decode_jpeg12 of an 8-bit stream raises, the SOF3
+    message still names baseline (the r14 pin's anchor), and _jpeg_dims
+    matches every one of decode_jpeg's verdicts.  Plus: a 16-bit
+    (Pq=1) DQT — legal in 12-bit streams from third-party encoders —
+    parses to the same tables as the 8-bit emission."""
+    import numpy as np
+
+    from big_data_table_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        decode_jpeg12,
+        encode_jpeg,
+    )
+    from big_data_table_spark.functions.multimodal import _jpeg_dims
+
+    with pytest.raises(ValueError, match="unsupported sample precision"):
+        encode_jpeg(2, 2, bytes(24), precision=10)
+    with pytest.raises(ValueError, match="12-bit samples must be"):
+        encode_jpeg(
+            8, 8, np.full((8, 8, 3), 4096, dtype="<u2").tobytes(), precision=12
+        )
+    img = np.full((8, 8, 3), 2050, dtype="<u2")
+    blob12 = encode_jpeg(8, 8, img.tobytes(), precision=12)
+    assert blob12.count(b"\xff\xc1") >= 1 and b"\xff\xc0" not in blob12[:200]
+    sof0_12 = blob12.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    for fn in (decode_jpeg, _jpeg_dims):
+        with pytest.raises(ValueError, match="baseline .SOF0. frames are 8-bit"):
+            fn(sof0_12)
+    sof2_12 = blob12.replace(b"\xff\xc1", b"\xff\xc2", 1)
+    for fn in (decode_jpeg, _jpeg_dims):
+        with pytest.raises(ValueError, match="12-bit progressive"):
+            fn(sof2_12)
+    blob8 = encode_jpeg(16, 8, bytes(16 * 8 * 3))
+    with pytest.raises(ValueError, match="8-bit stream"):
+        decode_jpeg12(blob8)
+    lossless = blob8.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    for fn in (decode_jpeg, _jpeg_dims):
+        with pytest.raises(ValueError, match="baseline"):
+            fn(lossless)
+    # 8-bit frames ride SOF1 too (extended sequential allows both):
+    # patching the marker alone decodes identically
+    assert decode_jpeg(blob8.replace(b"\xff\xc0", b"\xff\xc1", 1)) == decode_jpeg(blob8)
+    # Pq=1 DQT: widen both table segments to 16-bit entries in place
+    patched, pos = blob12, 0
+    for _ in range(2):
+        pos = patched.find(b"\xff\xdb", pos)
+        (seglen,) = struct.unpack(">H", patched[pos + 2 : pos + 4])
+        assert seglen == 2 + 65  # one 8-bit table per segment
+        tid = patched[pos + 4]
+        entries = patched[pos + 5 : pos + 5 + 64]
+        wide = bytes([0x10 | tid]) + b"".join(
+            struct.pack(">H", v) for v in entries
+        )
+        patched = (
+            patched[:pos]
+            + b"\xff\xdb" + struct.pack(">H", 2 + len(wide)) + wide
+            + patched[pos + 2 + seglen :]
+        )
+        pos += 4 + len(wide)  # resume past the rewritten segment
+    assert decode_jpeg12(patched) == decode_jpeg12(blob12)
+
+
+# ------------------------------------------------------------------ #
+# 6. bench credibility loop
 # ------------------------------------------------------------------ #
 
 
