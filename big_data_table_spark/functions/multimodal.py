@@ -144,10 +144,7 @@ def _png_dims(blob: bytes) -> tuple[int, int, int]:
     width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", data
     )
-    if depth != 8:
-        raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
-    if ctype_id not in _PNG_CHANNELS:
-        raise ValueError(f"unknown PNG color type {ctype_id}")
+    _png_check_depth(depth, ctype_id)
     if interlace not in (0, 1):
         raise ValueError(f"unknown interlace method {interlace}")
     return width, height, ctype_id
@@ -468,11 +465,25 @@ _ADAM7 = (
 )
 
 
-# PNG color types (spec §11.2.2, all at bit depth 8 — r15 completes
-# the color-type surface the way r14 completed JPEG frame types):
-# 0 grayscale, 2 RGB, 3 palette-indexed (PLTE), 4 gray+alpha, 6 RGBA.
+# PNG color types (spec §11.2.2 — r15 completes the color-type surface
+# the way r14 completed JPEG frame types): 0 grayscale, 2 RGB,
+# 3 palette-indexed (PLTE), 4 gray+alpha, 6 RGBA.  Bit depths 8 and 16
+# (16-bit is legal for every type EXCEPT palette, spec table 11.1 —
+# indices cap at 8 bits); sub-byte depths (1/2/4) stay out of scope and
+# raise naming the gap.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _PNG_MODE = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def _png_check_depth(depth: int, ctype_id: int) -> None:
+    """The spec's legal (depth, color type) matrix, shared by encode,
+    decode and the dims-only verb so the gates can never drift."""
+    if ctype_id not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_id}")
+    if depth not in (8, 16):
+        raise ValueError(f"{depth}-bit PNG not supported (8- or 16-bit)")
+    if depth == 16 and ctype_id == 3:
+        raise ValueError("16-bit palette PNG is illegal (indices are <= 8 bits)")
 
 
 def _png_filter_rows(rows: list[bytes], filter_seed: int, bpp: int = 3) -> bytearray:
@@ -549,31 +560,35 @@ def encode_png(
     interlace: bool = False,
     color_type: int = 2,
     palette: bytes | None = None,
+    bit_depth: int = 8,
 ) -> bytes:
-    """Encode raw interleaved 8-bit samples as a real PNG — pure Python
-    + stdlib zlib.  ``color_type`` selects the sample layout (spec
-    §11.2.2; r15 completes the surface): 0 grayscale (1 byte/px),
+    """Encode raw interleaved samples as a real PNG — pure Python +
+    stdlib zlib.  ``color_type`` selects the sample layout (spec
+    §11.2.2; r15 completes the surface): 0 grayscale (1 sample/px),
     2 RGB (3, the default — the historical signature is unchanged),
     3 palette-indexed (1 byte/px + a ``palette`` of packed RGB triples,
     ≤ 256 entries, emitted as PLTE), 4 gray+alpha (2), 6 RGBA (4).
-    The scanline filter CYCLES through all five PNG filter types
+    ``bit_depth=16`` (r15, legal for every type except palette) takes
+    BIG-ENDIAN uint16 samples — the wire order, so encode is a pure
+    pass-through of the sample bytes into the filter chain.  The
+    scanline filter CYCLES through all five PNG filter types
     (``(filter_seed + row) % 5``) with the left-neighbor distance set
-    by the pixel width, so a decoder must implement genuine
-    Sub/Up/Average/Paeth reversal per color type.  ``interlace=True``
-    emits ADAM7 (r14): the seven reduced images of the spec's 8x8
-    sampling grid, each pass filtered as its own scanline group
-    (prediction restarts per pass), empty passes of small images
-    contributing zero bytes."""
+    by the pixel width IN BYTES (spec §9.2 — filters operate on bytes
+    whatever the depth), so a decoder must implement genuine
+    Sub/Up/Average/Paeth reversal per (type, depth).
+    ``interlace=True`` emits ADAM7 (r14): the seven reduced images of
+    the spec's 8x8 sampling grid, each pass filtered as its own
+    scanline group (prediction restarts per pass), empty passes of
+    small images contributing zero bytes."""
     import struct
     import zlib
 
-    if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unknown PNG color type {color_type}")
-    bpp = _PNG_CHANNELS[color_type]
+    _png_check_depth(bit_depth, color_type)
+    bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
     if len(pixels) != bpp * width * height:
         raise ValueError(
             f"expected {bpp * width * height} sample bytes for color type "
-            f"{color_type}, got {len(pixels)}"
+            f"{color_type} at depth {bit_depth}, got {len(pixels)}"
         )
     if color_type == 3:
         if palette is None or len(palette) % 3 or not 3 <= len(palette) <= 768:
@@ -603,7 +618,8 @@ def encode_png(
                 rows.append(bytes(row))
             out += _png_filter_rows(rows, filter_seed, bpp)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     blob = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
@@ -611,26 +627,30 @@ def encode_png(
     return blob + _png_chunk(b"IDAT", zlib.compress(bytes(out))) + _png_chunk(b"IEND", b"")
 
 
-def decode_png_samples(blob: bytes) -> tuple[int, int, int, bytes | None, bytes]:
+def decode_png_samples(
+    blob: bytes,
+) -> tuple[int, int, int, int, bytes | None, bytes]:
     """REAL compressed-image decode, pure Python + stdlib zlib: verify
     the signature, walk CRC-checked chunks, inflate the concatenated
     IDAT stream, and reverse the per-scanline filters (all five types)
-    → (width, height, color_type, palette, samples) — ``samples`` are
-    the RAW reconstructed bytes of the color type's layout (palette
-    INDICES for type 3, gray+alpha / RGBA pairs kept intact), so the
-    round-trip law ``decode_png_samples(encode_png(...)) == input`` is
-    exact for every color type including alpha.  BOTH interlace modes
+    → (width, height, color_type, bit_depth, palette, samples) —
+    ``samples`` are the RAW reconstructed bytes of the color type's
+    wire layout (palette INDICES for type 3, gray+alpha / RGBA pairs
+    kept intact, BIG-ENDIAN uint16 at depth 16), so the round-trip law
+    ``decode_png_samples(encode_png(...)) == input`` is exact for
+    every (color type, depth) including alpha.  BOTH interlace modes
     (r14): sequential and ADAM7 — seven reduced images, each its own
     filter group, scattered back onto the 8x8 sampling grid (empty
-    passes of small images consume zero bytes).  All five 8-bit color
-    types (r15); 16-bit raises naming the gap."""
+    passes of small images consume zero bytes).  All five color types
+    at depth 8 and the four legal ones at depth 16 (r15); sub-byte
+    depths raise naming the gap."""
     import struct
     import zlib
 
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG blob")
     pos, width, height, idat = 8, None, None, bytearray()
-    interlace, ctype_id, palette = 0, 2, None
+    interlace, ctype_id, palette, depth = 0, 2, None, 8
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         ctype = blob[pos + 4 : pos + 8]
@@ -642,10 +662,7 @@ def decode_png_samples(blob: bytes) -> tuple[int, int, int, bytes | None, bytes]
             width, height, depth, ctype_id, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise ValueError(f"{depth}-bit PNG not supported (8-bit only)")
-            if ctype_id not in _PNG_CHANNELS:
-                raise ValueError(f"unknown PNG color type {ctype_id}")
+            _png_check_depth(depth, ctype_id)
             if interlace not in (0, 1):
                 raise ValueError(f"unknown interlace method {interlace}")
         elif ctype == b"PLTE":
@@ -662,10 +679,10 @@ def decode_png_samples(blob: bytes) -> tuple[int, int, int, bytes | None, bytes]
     if ctype_id == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    bpp = _PNG_CHANNELS[ctype_id]
+    bpp = _PNG_CHANNELS[ctype_id] * (depth // 8)
     stride = bpp * width
     if not interlace:
-        return width, height, ctype_id, palette, bytes(
+        return width, height, ctype_id, depth, palette, bytes(
             _png_unfilter(raw, height, stride, bpp)
         )
     out = bytearray(stride * height)
@@ -687,24 +704,31 @@ def decode_png_samples(blob: bytes) -> tuple[int, int, int, bytes | None, bytes]
                 ]
     if off != len(raw):
         raise ValueError("scanline payload size mismatch")
-    return width, height, ctype_id, palette, bytes(out)
+    return width, height, ctype_id, depth, palette, bytes(out)
 
 
 def decode_png(blob: bytes) -> tuple[int, int, bytes]:
-    """The RGB VIEW of :func:`decode_png_samples` → (width, height,
+    """The RGB8 VIEW of :func:`decode_png_samples` → (width, height,
     rgb_bytes), keeping the historical RGB8 signature every caller
     already uses: grayscale replicates the luma to three channels,
-    palette indices dereference through PLTE, and the alpha channel of
-    gray+alpha / RGBA is DROPPED (the view is the opaque raster;
-    alpha-preserving callers use :func:`decode_png_samples`)."""
-    width, height, ctype_id, palette, samples = decode_png_samples(blob)
-    if ctype_id == 2:
+    palette indices dereference through PLTE, the alpha channel of
+    gray+alpha / RGBA is DROPPED, and 16-bit samples downshift by 8
+    bits (the JPEG decode_jpeg/decode_jpeg12 discipline — the view is
+    the opaque 8-bit raster; full-precision and alpha-preserving
+    callers use :func:`decode_png_samples`)."""
+    width, height, ctype_id, depth, palette, samples = decode_png_samples(blob)
+    if (ctype_id, depth) == (2, 8):
         return width, height, samples
     import numpy as np
 
-    arr = np.frombuffer(samples, dtype=np.uint8)
+    if depth == 16:
+        arr = (np.frombuffer(samples, dtype=">u2") >> 8).astype(np.uint8)
+    else:
+        arr = np.frombuffer(samples, dtype=np.uint8)
     if ctype_id == 0:
         rgb = np.repeat(arr, 3)
+    elif ctype_id == 2:
+        rgb = arr
     elif ctype_id == 4:
         rgb = np.repeat(arr.reshape(-1, 2)[:, 0], 3)
     elif ctype_id == 6:

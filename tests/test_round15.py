@@ -166,18 +166,22 @@ def _typed_pixels(ct: int, bpp: int, w: int, h: int, seed: int) -> bytes:
 
 
 def test_png_color_types_roundtrip_lossless():
-    """THE load-bearing law: PNG is lossless, so every color type
-    round-trips its RAW samples exactly — alpha bytes preserved,
-    palette indices preserved, in BOTH interlace modes (the Adam7
-    scatter now runs at every pixel width), across filter-seed cycles
-    and sizes down to 1x1 (six empty passes)."""
+    """THE load-bearing law: PNG is lossless, so every (color type,
+    bit depth) round-trips its RAW samples exactly — alpha bytes
+    preserved, palette indices preserved, big-endian 16-bit samples
+    byte-identical — in BOTH interlace modes (the Adam7 scatter now
+    runs at every pixel width), across filter-seed cycles and sizes
+    down to 1x1 (six empty passes)."""
     from big_data_table_spark.functions.multimodal import (
         _PNG_CHANNELS,
         decode_png_samples,
         encode_png,
     )
 
-    for ct, bpp in sorted(_PNG_CHANNELS.items()):
+    combos = [(ct, ch, 8) for ct, ch in sorted(_PNG_CHANNELS.items())]
+    combos += [(ct, ch, 16) for ct, ch in sorted(_PNG_CHANNELS.items()) if ct != 3]
+    for ct, channels, depth in combos:
+        bpp = channels * (depth // 8)
         for w, h in [(1, 1), (3, 2), (8, 8), (9, 5), (16, 9)]:
             for seed in (0, 3):
                 for interlace in (False, True):
@@ -188,10 +192,13 @@ def test_png_color_types_roundtrip_lossless():
                         interlace=interlace,
                         color_type=ct,
                         palette=_PAL16 if ct == 3 else None,
+                        bit_depth=depth,
                     )
-                    dw, dh, dct, pal, samples = decode_png_samples(blob)
-                    assert (dw, dh, dct) == (w, h, ct), (ct, w, h, seed, interlace)
-                    assert samples == px, (ct, w, h, seed, interlace)
+                    dw, dh, dct, dd, pal, samples = decode_png_samples(blob)
+                    assert (dw, dh, dct, dd) == (w, h, ct, depth), (
+                        ct, depth, w, h, seed, interlace,
+                    )
+                    assert samples == px, (ct, depth, w, h, seed, interlace)
                     if ct == 3:
                         assert pal == _PAL16
 
@@ -236,10 +243,13 @@ def test_png_rgb_view_mapping():
 
 def test_png_gates():
     """Support gates stay honest and MATCH between the dims-only verb
-    and the pixel path: 16-bit raises naming the gap, an unknown color
-    type raises, palette encode without PLTE raises, an out-of-range
-    palette index raises, and a palette stream whose PLTE chunk was
-    stripped raises at decode."""
+    and the pixel path: sub-byte depths raise naming the gap, 16-bit
+    palette raises (illegal per spec table 11.1 — the r15 16-bit
+    landing migrated the old 16-bit-unsupported pin to these two,
+    which STAY out of scope), an unknown color type raises, palette
+    encode without PLTE raises, an out-of-range palette index raises,
+    and a palette stream whose PLTE chunk was stripped raises at
+    decode."""
     from big_data_table_spark.functions.multimodal import (
         _png_dims,
         decode_png,
@@ -253,10 +263,16 @@ def test_png_gates():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     for fn in (decode_png, _png_dims):
-        with pytest.raises(ValueError, match="16-bit PNG not supported"):
-            fn(sig + chunk(b"IHDR", ihdr16))
+        with pytest.raises(ValueError, match="4-bit PNG not supported"):
+            fn(sig + chunk(b"IHDR", ihdr4))
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    for fn in (decode_png, _png_dims):
+        with pytest.raises(ValueError, match="16-bit palette PNG is illegal"):
+            fn(sig + chunk(b"IHDR", ihdr16p))
+    with pytest.raises(ValueError, match="16-bit palette PNG is illegal"):
+        encode_png(2, 2, bytes(8), color_type=3, palette=_PAL16, bit_depth=16)
     ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
     for fn in (decode_png, _png_dims):
         with pytest.raises(ValueError, match="unknown PNG color type 5"):
@@ -274,6 +290,44 @@ def test_png_gates():
     stripped = blob[:pos] + blob[pos + 12 + plen :]
     with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(stripped)
+
+
+def test_png16_rgb_view_and_dims():
+    """The RGB8 view of 16-bit streams downshifts each big-endian
+    sample by 8 bits before the per-type mapping (the decode_jpeg /
+    decode_jpeg12 precision discipline applied to PNG), and the
+    dims-only verb + decode_image accept 16-bit headers with the
+    same mode strings."""
+    import numpy as np
+
+    from big_data_table_spark.functions.multimodal import (
+        _png_dims,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    w, h = 4, 3
+    rng = np.random.default_rng(3)
+    for ct, channels, mode in [(0, 1, "L"), (2, 3, "RGB"), (4, 2, "LA"), (6, 4, "RGBA")]:
+        samples = rng.integers(0, 65536, size=channels * w * h).astype(">u2")
+        blob = encode_png(
+            w, h, samples.tobytes(), color_type=ct, bit_depth=16, interlace=True
+        )
+        assert _png_dims(blob) == (w, h, ct)
+        assert decode_image(blob) == (w, h, mode)
+        dw, dh, rgb = decode_png(blob)
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+        hi = (samples >> 8).astype(np.uint8).reshape(w * h, channels)
+        if ct == 0:
+            want = np.repeat(hi, 3, axis=1)
+        elif ct == 2:
+            want = hi
+        elif ct == 4:
+            want = np.repeat(hi[:, :1], 3, axis=1)
+        else:
+            want = hi[:, :3]
+        assert (dw, dh) == (w, h) and np.array_equal(got, want), ct
 
 
 def test_png_rgb8_signature_back_compat():
