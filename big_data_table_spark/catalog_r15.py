@@ -142,6 +142,74 @@ FROM v GROUP BY doc_id, width, height
 """
 
 
+def multimodal_png16_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT PNG end-to-end (r15 — PNG's last named depth gap, the
+    in-format analogue of the 12-bit JPEG arm): synthetic depth-16
+    streams cycling the four legal color types (palette is 8-bit-only
+    per spec table 11.1), odd ids Adam7 interlaced, every filter type
+    seeded in — decoded back through the real inflate + byte-distance
+    unfilter at FULL sample precision (decode_png_samples; the RGB8
+    view would read ~256x smaller sums, so the oracle catches a
+    silently downshifted path).  PNG is lossless, so the closed-form
+    big-endian uint16 sample model makes every arm exact: a low-byte
+    truncation, an endianness swap, a wrong filter byte distance at
+    bpp 2/4/6/8, or a mis-scattered Adam7 pass flips the channel sums
+    and the hash.  Map-only plan: synth and decode are back-to-back
+    Arrow-batched mapInPandas stages, zero exchanges — the 100 TB
+    media-ETL shape."""
+    from .functions.multimodal import (
+        decode_png16_stats,
+        synth_png16_media,
+    )
+
+    register_views(spark, sf_dir)
+    docs = Tables(spark, sf_dir).documents
+    return decode_png16_stats(synth_png16_media(docs))
+
+
+def multimodal_png16_decode_oracle() -> str:
+    from .functions.portable import DUCK, lateral_seq
+
+    lat = lateral_seq("0", "width * height - 1", "p", DUCK)
+    # the synth model (multimodal.synth_png16_media): big-endian uint16
+    # sample j is (id*211 + j*4093) % 65536; the full-precision RGB
+    # view reads sample j = channels*p (+channel) of pixel p, with
+    # grayscale/luma replicated and alpha dropped
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 9 AS INT) AS width,
+         CAST(3 + doc_id % 5 AS INT) AS height,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
+                              WHEN 2 THEN 4 ELSE 6 END AS INT) AS color_type
+  FROM documents),
+px AS (SELECT doc_id, width, height, color_type, p FROM dims {lat}),
+v AS (SELECT doc_id, width, height, color_type,
+  CASE color_type
+    WHEN 0 THEN (doc_id*211 + p*4093) % 65536
+    WHEN 2 THEN (doc_id*211 + (3*p)*4093) % 65536
+    WHEN 4 THEN (doc_id*211 + (2*p)*4093) % 65536
+    ELSE (doc_id*211 + (4*p)*4093) % 65536 END AS vr,
+  CASE color_type
+    WHEN 0 THEN (doc_id*211 + p*4093) % 65536
+    WHEN 2 THEN (doc_id*211 + (3*p+1)*4093) % 65536
+    WHEN 4 THEN (doc_id*211 + (2*p)*4093) % 65536
+    ELSE (doc_id*211 + (4*p+1)*4093) % 65536 END AS vg,
+  CASE color_type
+    WHEN 0 THEN (doc_id*211 + p*4093) % 65536
+    WHEN 2 THEN (doc_id*211 + (3*p+2)*4093) % 65536
+    WHEN 4 THEN (doc_id*211 + (2*p)*4093) % 65536
+    ELSE (doc_id*211 + (4*p+2)*4093) % 65536 END AS vb
+FROM px)
+SELECT doc_id AS media_id, color_type, CAST(16 AS INT) AS bit_depth,
+  width, height,
+  CAST(SUM(vr) AS BIGINT) AS sum_r,
+  CAST(SUM(vg) AS BIGINT) AS sum_g,
+  CAST(SUM(vb) AS BIGINT) AS sum_b
+FROM v GROUP BY doc_id, color_type, width, height
+"""
+
+
 def r15_specs():
     """Round-15 QuerySpec registrations, merged into the catalog by
     catalog_windows.py (the chunk convention)."""
@@ -155,6 +223,15 @@ def r15_specs():
             "gray+alpha / RGBA on both codec sides, both interlace "
             "modes; closed-form pixel model proves the per-bpp filter "
             "reversal, PLTE dereference, and alpha-drop RGB view.",
+        ),
+        "multimodal_png16_decode": QuerySpec(
+            multimodal_png16_decode_q,
+            multimodal_png16_decode_oracle(),
+            doc="16-bit PNG codec pair at full sample precision: "
+            "big-endian uint16 wire format across the four legal color "
+            "types, byte-distance filters at bpp 2/4/6/8, both "
+            "interlace modes; lossless round-trip makes the closed-form "
+            "oracle exact and downshift/endianness bugs visible.",
         ),
         "multimodal_jpeg12_decode": QuerySpec(
             multimodal_jpeg12_decode_q,

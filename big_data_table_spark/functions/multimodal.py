@@ -880,6 +880,99 @@ def decode_png_typed_stats(media: DataFrame, blob_col: str = "media") -> DataFra
     return media.mapInPandas(kernel, schema=out_schema)
 
 
+def synth_png16_media(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic 16-BIT PNGs (r15): ``doc_id % 4`` picks
+    the four depth-16-legal color types {0 grayscale, 2 RGB,
+    4 gray+alpha, 6 RGBA} (palette is 8-bit-only per spec table 11.1),
+    width ``4 + id % 9``, height ``3 + id % 5``, odd ids
+    Adam7-interlaced, filter seed ``id``.  Big-endian uint16 sample
+    ``j`` is ``(id*211 + j*4093) % 65536`` — the multipliers sweep the
+    full 16-bit range so a decoder that truncates to the low byte or
+    swaps endianness cannot reproduce the sums.  Closed-form sample
+    model → an external oracle computes the FULL-PRECISION channel
+    statistics from arithmetic while the Spark side round-trips REAL
+    zlib-compressed, byte-filtered, interlaced 16-bit wire bytes."""
+    out_schema = "media_id long, media binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ctypes = [0, 2, 4, 6]
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ct = ctypes[did % 4]
+                w, h = 4 + did % 9, 3 + did % 5
+                j = np.arange(_PNG_CHANNELS[ct] * w * h, dtype=np.int64)
+                samples = ((did * 211 + j * 4093) % 65536).astype(">u2")
+                ids.append(did)
+                blobs.append(
+                    encode_png(
+                        w, h, samples.tobytes(),
+                        filter_seed=did,
+                        interlace=bool(did % 2),
+                        color_type=ct,
+                        bit_depth=16,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, schema=out_schema)
+
+
+def decode_png16_stats(media: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Decode 16-bit PNG blobs at FULL sample precision
+    (:func:`decode_png_samples`, not the downshifting RGB8 view — the
+    decode_jpeg12 discipline: an 8-bit path would read ~256x smaller
+    sums, so the oracle catches a silently truncated pipeline) and emit
+    the header (color type, bit depth) plus per-image 16-bit RGB-view
+    channel sums: grayscale replicates the luma, gray+alpha / RGBA drop
+    alpha, all at uint16 resolution."""
+    out_schema = (
+        "media_id long, color_type int, bit_depth int, width int, height int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                w, h, ct, depth, _pal, samples = decode_png_samples(bytes(blob))
+                if depth != 16:
+                    raise ValueError(f"expected a 16-bit stream, got {depth}")
+                arr = (
+                    np.frombuffer(samples, dtype=">u2")
+                    .astype(np.int64)
+                    .reshape(-1, _PNG_CHANNELS[ct])
+                )
+                if ct == 0:
+                    rgb = np.repeat(arr, 3, axis=1)
+                elif ct == 2:
+                    rgb = arr
+                elif ct == 4:
+                    rgb = np.repeat(arr[:, :1], 3, axis=1)
+                else:
+                    rgb = arr[:, :3]
+                rows.append(
+                    (
+                        int(mid), ct, depth, w, h,
+                        int(rgb[:, 0].sum()), int(rgb[:, 1].sum()), int(rgb[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "color_type", "bit_depth", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
 # --------------------------------------------------------------------- #
 # WAV (RIFF/PCM) — the audio analogue of the PPM path: a REAL pure-Python
 # codec so the audio modality decodes end-to-end without torchaudio/av

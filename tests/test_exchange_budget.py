@@ -814,6 +814,10 @@ BUDGET = {
     "multimodal_jpeg12_decode": 0,  # r15: 12-bit SOF1 codec pair —
                                  # same two back-to-back mapInPandas
                                  # stages, zero exchanges
+    "multimodal_png16_decode": 0,  # r15: 16-bit PNG codec pair at
+                                 # full sample precision — same two
+                                 # back-to-back mapInPandas stages,
+                                 # zero exchanges
     "rollup_day_retention": 1,   # per-day estimate agg over the
                                  # partition-pruned register store —
                                  # the retention marker and guard are

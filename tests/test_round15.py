@@ -58,7 +58,8 @@ def test_r15_window_staging():
     assert C._R15_FRONT[16:] == C._R8_STALE[:34]
     assert C._R15_NEXT == C._R8_STALE[34:] + C._R15_NEW
     assert C._R15_NEW == [
-        "multimodal_png_color_types", "multimodal_jpeg12_decode"
+        "multimodal_png_color_types", "multimodal_png16_decode",
+        "multimodal_jpeg12_decode",
     ]
     assert not set(C._R15_FRONT) & set(C._R15_NEXT)
     assert set(C._R15_FRONT + C._R15_NEXT) <= set(C.CATALOG)
