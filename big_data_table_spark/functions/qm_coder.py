@@ -254,3 +254,55 @@ def qm_decode_bits(blob: bytes, ctx_ids: list[int], n_ctx: int) -> list[int]:
     dec = QmDecoder(blob)
     ctxs = [QmContext() for _ in range(n_ctx)]
     return [dec.decode(ctxs[cid]) for cid in ctx_ids]
+
+
+class QmIntBank:
+    """Context bank for one signed-integer coding site, shaped like
+    T.81 Annex F.1.4's decision tree (the structure the DC-difference
+    and AC-coefficient models share): a zero/nonzero context, a sign
+    context, one context per magnitude-category decision ("is the
+    magnitude's bit length > k"), and one per mantissa-bit position.
+    JPEG's full models allocate MANY banks (per DC classification
+    band, per AC coefficient index) — that allocation is the r16
+    integration; the tree below is the per-site machinery."""
+
+    __slots__ = ("zero", "sign", "cat", "mant")
+
+    def __init__(self, max_bits: int = 32) -> None:
+        self.zero = QmContext()
+        self.sign = QmContext()
+        self.cat = [QmContext() for _ in range(max_bits)]
+        self.mant = [QmContext() for _ in range(max_bits)]
+
+
+def qm_encode_int(enc: QmEncoder, bank: QmIntBank, v: int) -> None:
+    """Code a signed integer through ``bank``'s adaptive tree: the
+    nonzero decision, the sign, then Sz = |v| - 1 as a unary-coded
+    magnitude category (Annex F's X-decisions: one adaptive bit per
+    doubling) followed by Sz's remaining mantissa bits, each in a
+    per-position adaptive context."""
+    enc.encode(bank.zero, 1 if v else 0)
+    if not v:
+        return
+    enc.encode(bank.sign, 1 if v < 0 else 0)
+    sz = abs(v) - 1
+    nbits = sz.bit_length()
+    for k in range(nbits):
+        enc.encode(bank.cat[k], 1)       # bit length > k
+    enc.encode(bank.cat[nbits], 0)       # category terminator
+    for k in range(nbits - 2, -1, -1):   # mantissa below the top bit
+        enc.encode(bank.mant[k], (sz >> k) & 1)
+
+
+def qm_decode_int(dec: QmDecoder, bank: QmIntBank) -> int:
+    if not dec.decode(bank.zero):
+        return 0
+    neg = dec.decode(bank.sign)
+    nbits = 0
+    while dec.decode(bank.cat[nbits]):
+        nbits += 1
+    sz = 0 if nbits == 0 else 1 << (nbits - 1)
+    for k in range(nbits - 2, -1, -1):
+        sz |= dec.decode(bank.mant[k]) << k
+    v = sz + 1
+    return -v if neg else v

@@ -76,6 +76,47 @@ def test_qm_wire_marker_safety():
         assert got == bits
 
 
+def test_qm_int_tree_roundtrip():
+    """The Annex-F-shaped signed-integer tree is exact over zeros,
+    units, random magnitudes and 2^30-scale extremes, across multiple
+    interleaved banks (the DC/AC allocation shape), and a skewed
+    stream of small values compresses well below its raw cost."""
+    from big_data_table_spark.functions.qm_coder import (
+        QmDecoder,
+        QmEncoder,
+        QmIntBank,
+        qm_decode_int,
+        qm_encode_int,
+    )
+
+    rng = random.Random(11)
+    vals, bank_ids = [], []
+    extremes = [0, 1, -1, 2, -2, 2**30, -(2**30), 2**31 - 1, -(2**31 - 1)]
+    for i in range(4000):
+        if i < len(extremes):
+            vals.append(extremes[i])
+        elif rng.random() < 0.6:
+            vals.append(rng.choice([0, 0, 1, -1, 2, -3]))
+        else:
+            vals.append(rng.randrange(-(2**20), 2**20))
+        bank_ids.append(rng.randrange(3))
+    enc = QmEncoder()
+    ebanks = [QmIntBank() for _ in range(3)]
+    for bid, v in zip(bank_ids, vals):
+        qm_encode_int(enc, ebanks[bid], v)
+    blob = enc.flush()
+    dec = QmDecoder(blob)
+    dbanks = [QmIntBank() for _ in range(3)]
+    got = [qm_decode_int(dec, dbanks[bid]) for bid in bank_ids]
+    assert got == vals
+    # skewed small-value stream: far below the 4-byte raw cost
+    small = [rng.choice([0, 0, 0, 1, -1]) for _ in range(20000)]
+    enc2, b2 = QmEncoder(), QmIntBank()
+    for v in small:
+        qm_encode_int(enc2, b2, v)
+    assert len(enc2.flush()) < 20000 // 2
+
+
 def test_qm_table_is_spec_d3():
     assert len(QE_TABLE) == 113
     for qe, nmps, nlps, sw in QE_TABLE:
