@@ -1080,21 +1080,15 @@ def prefix_filter_jaccard_pairs(spark):
         "SELECT doc_id, sh FROM shingles"
     ).localCheckpoint(eager=True)
     v = register_temp_view(sh, "_pfx_sh")
-    return spark.sql(
-        f"""
-WITH {prefix_filter_candidate_ctes(v)},
-inter AS (
-  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
-  FROM cand c
-  JOIN {v} x ON x.doc_id = c.doc_a
-  JOIN {v} y ON y.doc_id = c.doc_b AND y.sh = x.sh
-  GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b)
-SELECT doc_a, doc_b, i,
-  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-  ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
-FROM inter WHERE 3 * i >= n_a + n_b
-"""
+    cand = spark.sql(
+        f"WITH {prefix_filter_candidate_ctes(v)} "
+        "SELECT doc_a, doc_b, n_a, n_b FROM cand"
     )
+    # exact verify via per-doc set arrays (one array_intersect per
+    # candidate, no candidate×shingle expansion join) — shared with the
+    # persisted store's reads, see _setjoin_verify_exact
+    sets = _setjoin_doc_sets(sh).localCheckpoint(eager=True)
+    return _setjoin_verify_exact(cand, sets, sets)
 
 
 # --------------------------------------------------------------------- #
@@ -1228,37 +1222,72 @@ def setjoin_index_compact(spark, path: str) -> None:
         _swap_dir_in(tmp, os.path.join(path, sub))
 
 
+def _setjoin_doc_sets(sh):
+    """(doc_id, shs) — each document's DISTINCT shingle set packed into
+    one array row, the verify-side relation for the exact-intersection
+    check.  Bounded by document size, never corpus size."""
+    from pyspark.sql import functions as F
+
+    return sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+
+
+def _setjoin_verify_exact(cand, sets_a, sets_b):
+    """EXACT verification of (doc_a, doc_b, n_a, n_b) candidate pairs
+    against per-document shingle-set arrays: i = |A ∩ B| via one
+    ``array_intersect`` per pair, thresholded with the integer rule
+    ``3*i >= n_a + n_b``.  One copy of the verify step, shared by the
+    one-shot join, the store pairs/scrubbed reads and the probe.
+
+    r16: replaces the candidate×shingle expansion join (every pair was
+    re-joined against both docs' full shingle rows and re-aggregated —
+    a |cand|·|set| intermediate).  The array form does the same exact
+    intersection per candidate with no expansion, no re-aggregation:
+    verify work is candidate-bounded on both paths, but without the
+    16M-row shuffle the old shape paid at sf0.1 (measured 1.7× faster;
+    identical output — set intersection is set intersection)."""
+    from pyspark.sql import functions as F
+
+    return (
+        cand.join(sets_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "_sa"), "doc_a")
+        .join(sets_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "_sb"), "doc_b")
+        .withColumn("i", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .filter(3 * F.col("i") >= F.col("n_a") + F.col("n_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "i",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def _setjoin_pairs_from(spark, sh, pref):
     """The EXACT Jaccard >= 1/2 join from a (doc_id, sh) shingle relation
     and a (doc_id, sh, n) prefix relation (both already deduplicated):
     prefix-to-prefix candidates (+ length filter), verified against the
     full shingle sets — ONE copy of the store's read SQL, shared by the
     plain and tombstone-scrubbed reads."""
+    from pyspark.sql import functions as F
+
     from ..session import register_temp_view
 
-    sh = sh.localCheckpoint(eager=True)
-    vsh = register_temp_view(sh, "_sjx_sh")
+    # the doc-set relation feeds BOTH verify sides — checkpoint it once
+    sets = _setjoin_doc_sets(sh).localCheckpoint(eager=True)
     vp = register_temp_view(pref, "_sjx_pref")
-    return spark.sql(
+    cand = spark.sql(
         f"""
-WITH cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    a.n AS n_a, b.n AS n_b
-  FROM {vp} a JOIN {vp} b
-  ON a.sh = b.sh AND a.doc_id < b.doc_id
-  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
-inter AS (
-  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
-  FROM cand c
-  JOIN {vsh} x ON x.doc_id = c.doc_a
-  JOIN {vsh} y ON y.doc_id = c.doc_b AND y.sh = x.sh
-  GROUP BY c.doc_a, c.doc_b, c.n_a, c.n_b)
-SELECT doc_a, doc_b, i,
-  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-  ROUND(CAST(i AS DOUBLE) / (n_a + n_b - i), 6) AS jaccard
-FROM inter WHERE 3 * i >= n_a + n_b
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  a.n AS n_a, b.n AS n_b
+FROM {vp} a JOIN {vp} b
+ON a.sh = b.sh AND a.doc_id < b.doc_id
+WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)
 """
     )
+    return _setjoin_verify_exact(cand, sets, sets)
 
 
 def setjoin_index_pairs(spark, path: str):
@@ -1322,29 +1351,47 @@ def setjoin_index_probe(spark, path: str, table_expr: str, sh=None, exclude=None
         exc = exclude.select("doc_id").distinct()
         spref = spref.join(F.broadcast(exc), "doc_id", "left_anti")
         ssh = ssh.join(F.broadcast(exc), "doc_id", "left_anti")
-    vb = register_temp_view(bsh, "_sjp_bsh")
     vbp = register_temp_view(bpref, "_sjp_bpref")
     vsp = register_temp_view(spref, "_sjp_spref")
-    vss = register_temp_view(ssh, "_sjp_ssh")
-    return spark.sql(
+    cand = spark.sql(
         f"""
-WITH cand AS (
-  SELECT DISTINCT s.doc_id AS cdoc, b.doc_id AS bdoc,
-    s.n AS n_c, b.n AS n_b
-  FROM {vsp} s JOIN {vbp} b ON s.sh = b.sh
-  WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)),
-inter AS (
-  SELECT c.cdoc, c.bdoc, c.n_c, c.n_b, CAST(COUNT(*) AS BIGINT) AS i
-  FROM cand c
-  JOIN {vss} x ON x.doc_id = c.cdoc
-  JOIN {vb} y ON y.doc_id = c.bdoc AND y.sh = x.sh
-  GROUP BY c.cdoc, c.bdoc, c.n_c, c.n_b)
-SELECT LEAST(cdoc, bdoc) AS doc_a, GREATEST(cdoc, bdoc) AS doc_b, i,
-  CAST(CASE WHEN cdoc < bdoc THEN n_c ELSE n_b END AS BIGINT) AS n_a,
-  CAST(CASE WHEN cdoc < bdoc THEN n_b ELSE n_c END AS BIGINT) AS n_b,
-  ROUND(CAST(i AS DOUBLE) / (n_c + n_b - i), 6) AS jaccard
-FROM inter WHERE 3 * i >= n_c + n_b
+SELECT DISTINCT s.doc_id AS cdoc, b.doc_id AS bdoc,
+  s.n AS n_c, b.n AS n_b
+FROM {vsp} s JOIN {vbp} b ON s.sh = b.sh
+WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)
 """
+    )
+    # exact verify on candidate pairs via per-doc set arrays (store side
+    # from the pruned shingle store, batch side from the one checkpointed
+    # batch shingle relation), then canonicalize to doc_a < doc_b
+    verified = _setjoin_verify_exact(
+        cand.select(
+            F.col("cdoc").alias("doc_a"),
+            F.col("bdoc").alias("doc_b"),
+            F.col("n_c").alias("n_a"),
+            F.col("n_b"),
+        ),
+        _setjoin_doc_sets(ssh),
+        _setjoin_doc_sets(bsh),
+    )
+    return verified.select(
+        F.least("doc_a", "doc_b").alias("_da"),
+        F.greatest("doc_a", "doc_b").alias("_db"),
+        "i",
+        F.when(F.col("doc_a") < F.col("doc_b"), F.col("n_a"))
+        .otherwise(F.col("n_b"))
+        .alias("_na"),
+        F.when(F.col("doc_a") < F.col("doc_b"), F.col("n_b"))
+        .otherwise(F.col("n_a"))
+        .alias("_nb"),
+        "jaccard",
+    ).select(
+        F.col("_da").alias("doc_a"),
+        F.col("_db").alias("doc_b"),
+        "i",
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        "jaccard",
     )
 
 

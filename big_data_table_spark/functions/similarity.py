@@ -275,16 +275,39 @@ def embedding_neardup_lsh(
     vb = vecs.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    scored = (
-        cand.join(hint(va), "vec_a")
-        .join(hint(vb), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos_sim"),
-        )
+    pairs = cand.join(hint(va), "vec_a").join(hint(vb), "vec_b")
+
+    # exact-verify dot products batched through numpy (one einsum per
+    # Arrow batch) instead of a per-pair interpreted zip_with/aggregate
+    # fold — the r16 measurement put ~45% of the query in that fold.
+    # Only the raw Σ aᵢ·bᵢ crosses the boundary; the ROUND(·, 6) and the
+    # threshold filter stay in Spark SQL so rounding semantics (HALF_UP)
+    # are bit-identical to the previous formulation and the oracle.
+    def _dot_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ea = np.stack(pdf["ea"].to_numpy())
+            eb = np.stack(pdf["eb"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "dt": np.einsum("ij,ij->i", ea, eb),
+                    "na": pdf["na"],
+                    "nb": pdf["nb"],
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        _dot_batches, "vec_a long, vec_b long, dt double, na double, nb double"
+    ).select(
+        "vec_a",
+        "vec_b",
+        F.round(F.col("dt") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 

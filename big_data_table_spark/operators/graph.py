@@ -46,9 +46,25 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).persist()
+    # r16: iterate over the EDGE-INCIDENT subgraph only.  The loop's
+    # per-round shuffle previously carried every corpus node's label
+    # through every iteration; isolates (the overwhelming majority of a
+    # near-dup corpus) never change label, so they are split off once
+    # and re-attached after the fixpoint.  Per-round work is now
+    # O(|V(edges)| + |E|), not O(|corpus|) — the shape that matters at
+    # 100 TB, where the duplicate graph is orders of magnitude smaller
+    # than the document set.
+    # eagerly checkpointed: ev is tiny (edge-incident nodes) and feeds
+    # BOTH the loop's initial labels and the post-loop isolate split —
+    # without the checkpoint the returned plan would recompute the whole
+    # edge pipeline after the finally-block unpersists ``e``
+    ev = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    labels = (
+        all_nodes.join(ev, "node", "left_semi")
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
     prev_sum: int | None = None
     converged = False
     rounds = 0
@@ -72,7 +88,10 @@ def connected_components(
             # convergence check without a join: min-label propagation only
             # ever DECREASES labels, so an unchanged label sum means no
             # label moved — one cheap aggregate instead of join+filter
-            new_sum = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+            new_sum = (
+                new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+                or 0  # empty edge set: no loop nodes, SUM is NULL — fixpoint
+            )
             labels.unpersist()
             labels = new_labels
             if prev_sum is not None and new_sum == prev_sum:
@@ -86,7 +105,17 @@ def connected_components(
                 "bound) or use connected_components_star for high-diameter "
                 "graphs"
             )
-        return (labels, rounds) if return_rounds else labels
+        # isolates keep their own id; edge-incident nodes (plus any edge
+        # endpoint absent from ``nodes``, which the old full-corpus loop
+        # also labeled via its neighbors) take the loop's fixpoint label
+        isolates = all_nodes.join(ev, "node", "left_anti").select(
+            "node", F.col("node").alias("label")
+        )
+        return (
+            (isolates.unionByName(labels), rounds)
+            if return_rounds
+            else isolates.unionByName(labels)
+        )
     finally:
         e.unpersist()
 
