@@ -31,23 +31,89 @@ def _dot(a, b):
     )
 
 
+def _py_dot(a, b) -> float:
+    """Driver-side left-to-right double fold — the SAME accumulation
+    order as :func:`_dot`'s ``aggregate`` (acc = acc + x*y per element),
+    so a centroid's self-dot precomputed here is bit-identical to the
+    old in-plan ``_dot(c, c)``."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _sql_double(x) -> str:
+    """A double literal in Spark SQL text: ``repr(float)`` is the
+    shortest exact round-trip form, and a string→double CAST parses it
+    correctly rounded, so the parsed literal is bit-identical to the
+    driver-side value."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_sql(vec_col: str, c) -> str:
+    """SQL text of :func:`_dot` against a literal vector — the same
+    ``aggregate(zip_with(...))`` left-to-right fold, so the parsed
+    expression is operation-for-operation the old column form."""
+    arr = ",".join(_sql_double(x) for x in c)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), (x, y) -> x * y), "
+        f"{_sql_double(0.0)}, (acc, x) -> acc + x)"
+    )
+
+
+def _argmin_dist_sql(model_rows, vec_col: str, id_cast: str) -> str:
+    """Map-only nearest-centroid expression over MODEL-LITERAL rows
+    ``[(cid, c), ...]`` (sorted by cid), as SQL TEXT parsed in ONE
+    ``expr()`` round trip (building it column-op-by-column-op costs
+    hundreds of py4j calls — measured 10-16 s of driver time per
+    assignment at dim 64).  The argmin is
+    ``array_min(zip_with(dists, cids, (d, c) -> struct(d, c))).c`` —
+    struct ordering compares the distance first, then the cid, so the
+    minimum struct IS the old window's ``(dist asc, cid asc)``
+    row_number tie-break, and the distance array appears exactly once
+    in the tree.  Each distance keeps the identical fold/rounding
+    (``ROUND(e·e - 2·e·c + c·c, 6)``; the ``c·c`` term is precomputed
+    with the same fold — see :func:`_py_dot`), so assignments are
+    bit-identical to the crossJoin+window formulation this replaces."""
+    ee_sql = (
+        f"aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> x * y), "
+        f"{_sql_double(0.0)}, (acc, x) -> acc + x)"
+    )
+    dists = [
+        f"round({ee_sql} - 2 * {_dot_sql(vec_col, c)} + {_sql_double(_py_dot(c, c))}, 6)"
+        for _, c in model_rows
+    ]
+    cids = ",".join(f"CAST({cid} AS {id_cast})" for cid, _ in model_rows)
+    return (
+        f"array_min(zip_with(array({','.join(dists)}), array({cids}), "
+        f"(d, c) -> struct(d, c))).c"
+    )
+
+
 def assign_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cid) nearest-centroid assignment.  ``vecs``: (vec_id, e);
-    ``cents``: (cid, c) — both double arrays."""
-    from pyspark.sql import Window
+    ``cents``: (cid, c) — both double arrays.
 
-    dist = F.round(
-        _dot(F.col("e"), F.col("e"))
-        - 2 * _dot(F.col("e"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
-        6,
+    r16: the k centroids are MODEL PARAMETERS (k <= 16 rows — the same
+    relation the old formulation collected into a broadcast), so the
+    argmin is evaluated as one map-side expression over centroid
+    literals instead of a k-way crossJoin + per-vec_id row_number
+    window.  That removes the Exchange+Sort that shuffled every vector
+    payload k-fold per Lloyd iteration — assignment is now ZERO-exchange
+    at any corpus size.  Output is bit-identical (same rounded-distance
+    fold, same lowest-cid tie-break — see :func:`_argmin_dist_expr`)."""
+    cent_rows = sorted(
+        ((r["cid"], r["c"]) for r in cents.collect()), key=lambda t: t[0]
     )
-    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cid").asc())
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "e")
+    id_type = cents.schema["cid"].dataType.simpleString()
+    if not cent_rows:
+        return vecs.select(
+            "vec_id", F.lit(None).cast(id_type).alias("cid"), "e"
+        ).limit(0)
+    return vecs.select(
+        "vec_id",
+        F.expr(_argmin_dist_sql(cent_rows, "e", id_type)).alias("cid"),
+        "e",
     )
 
 
@@ -113,21 +179,35 @@ def assign_codebook(subs: DataFrame, cb: DataFrame) -> DataFrame:
     ``cb`` is (s, cid, c); each subvector meets only its own subspace's
     codewords (join key ``s``, broadcast: the whole codebook is
     k·n_subs·sub_len doubles).  Same rounded-distance total order as
-    :func:`assign_clusters`."""
-    from pyspark.sql import Window
+    :func:`assign_clusters`.
 
-    dist = F.round(
-        _dot(F.col("e"), F.col("e"))
-        - 2 * _dot(F.col("e"), F.col("c"))
-        + _dot(F.col("c"), F.col("c")),
-        6,
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy(dist.asc(), F.col("cid").asc())
+    r16: same map-only argmin rewrite as :func:`assign_clusters` — the
+    codebook is n_subs·k model rows, collected once and expanded into a
+    per-subspace literal argmin selected by a CASE on ``s``.  The old
+    broadcast join + per-(vec_id, s) row_number window shuffled every
+    subvector k-fold per training iteration; assignment is now
+    zero-exchange, output bit-identical (same fold/round/tie-break)."""
+    by_s: dict = {}
+    for r in cb.collect():
+        by_s.setdefault(r["s"], []).append((r["cid"], r["c"]))
+    id_type = cb.schema["cid"].dataType.simpleString()
+    if not by_s:
+        return subs.select(
+            "vec_id", "s", F.lit(None).cast(id_type).alias("cid"), "e"
+        ).limit(0)
+    # one CASE over s, each arm that subspace's literal argmin — parsed
+    # in one expr() round trip
+    pick_arms = [
+        f"WHEN s = {s} THEN "
+        + _argmin_dist_sql(sorted(by_s[s], key=lambda t: t[0]), "e", id_type)
+        for s in sorted(by_s)
+    ]
+    pick_case = f"CASE {' '.join(pick_arms)} END"
+    # the old inner join dropped subs rows with no codebook subspace;
+    # the literal form must drop them too
     return (
-        subs.join(F.broadcast(cb), "s")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cid", "e")
+        subs.filter(F.col("s").isin(list(by_s)))
+        .select("vec_id", "s", F.expr(pick_case).alias("cid"), "e")
     )
 
 

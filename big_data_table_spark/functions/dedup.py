@@ -1225,13 +1225,15 @@ def setjoin_index_compact(spark, path: str) -> None:
 def _setjoin_doc_sets(sh):
     """(doc_id, shs) — each document's DISTINCT shingle set packed into
     one array row, the verify-side relation for the exact-intersection
-    check.  Bounded by document size, never corpus size."""
+    check.  Bounded by document size, never corpus size.  ``collect_set``
+    dedups INSIDE the aggregation, so callers need no upstream DISTINCT
+    (one exchange instead of two) — replayed store appends still absorb."""
     from pyspark.sql import functions as F
 
-    return sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    return sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
 
 
-def _setjoin_verify_exact(cand, sets_a, sets_b):
+def _setjoin_verify_exact(cand, sets_a, sets_b, broadcast_sets=False):
     """EXACT verification of (doc_a, doc_b, n_a, n_b) candidate pairs
     against per-document shingle-set arrays: i = |A ∩ B| via one
     ``array_intersect`` per pair, thresholded with the integer rule
@@ -1244,12 +1246,17 @@ def _setjoin_verify_exact(cand, sets_a, sets_b):
     intersection per candidate with no expansion, no re-aggregation:
     verify work is candidate-bounded on both paths, but without the
     16M-row shuffle the old shape paid at sf0.1 (measured 1.7× faster;
-    identical output — set intersection is set intersection)."""
+    identical output — set intersection is set intersection).
+
+    ``broadcast_sets``: the probe passes candidate-bounded set
+    relations (semi-joined to the candidate doc ids first), small by
+    construction — broadcast them so the verify join never shuffles."""
     from pyspark.sql import functions as F
 
+    hint = F.broadcast if broadcast_sets else (lambda d: d)
     return (
-        cand.join(sets_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "_sa"), "doc_a")
-        .join(sets_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "_sb"), "doc_b")
+        cand.join(hint(sets_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "_sa")), "doc_a")
+        .join(hint(sets_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "_sb")), "doc_b")
         .withColumn("i", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
         .filter(3 * F.col("i") >= F.col("n_a") + F.col("n_b"))
         .select(
@@ -1295,13 +1302,14 @@ def setjoin_index_pairs(spark, path: str):
     (doc_a, doc_b, i, n_a, n_b, jaccard), identical to the one-shot
     ``prefix_filter_jaccard_pairs`` and to the brute shared-shingle
     oracle, whatever build/append/replay sequence produced the store.
-    Both store sides read with DISTINCT (replay absorption); the corpus
-    text is never rescanned."""
+    Both store sides read with replay absorption (prefix DISTINCT; the
+    shingle side dedups inside ``_setjoin_doc_sets``'s collect_set);
+    the corpus text is never rescanned."""
     import os
 
     sh = _setjoin_retained(
         spark, path, spark.read.parquet(os.path.join(path, "shingles"))
-    ).distinct()
+    )
     pref = _setjoin_retained(
         spark, path, spark.read.parquet(os.path.join(path, "prefix"))
     ).distinct()
@@ -1344,15 +1352,19 @@ def setjoin_index_probe(spark, path: str, table_expr: str, sh=None, exclude=None
     spref = _setjoin_retained(
         spark, path, spark.read.parquet(os.path.join(path, "prefix"))
     ).distinct()
+    # no .distinct(): ssh only feeds _setjoin_doc_sets, whose
+    # collect_set dedups inside the aggregation (replay absorption kept)
     ssh = _setjoin_retained(
         spark, path, spark.read.parquet(os.path.join(path, "shingles"))
-    ).distinct()
+    )
     if exclude is not None:
         exc = exclude.select("doc_id").distinct()
         spref = spref.join(F.broadcast(exc), "doc_id", "left_anti")
         ssh = ssh.join(F.broadcast(exc), "doc_id", "left_anti")
     vbp = register_temp_view(bpref, "_sjp_bpref")
     vsp = register_temp_view(spref, "_sjp_spref")
+    # three consumers (two id sides + the verify join) and bounded by
+    # the prefix blocking — checkpoint the candidate pairs once
     cand = spark.sql(
         f"""
 SELECT DISTINCT s.doc_id AS cdoc, b.doc_id AS bdoc,
@@ -1360,10 +1372,27 @@ SELECT DISTINCT s.doc_id AS cdoc, b.doc_id AS bdoc,
 FROM {vsp} s JOIN {vbp} b ON s.sh = b.sh
 WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)
 """
+    ).localCheckpoint(eager=True)
+    # exact verify on candidate pairs via per-doc set arrays — built for
+    # CANDIDATE docs only (broadcast semi-join first), so the store's
+    # shingle relation is never grouped corpus-wide per probe: probe
+    # verify work stays |batch|-bounded however large the store
+    # no .distinct() on the id sides: a broadcast semi-join build side
+    # dedups in the hashed relation for free
+    sets_s = _setjoin_doc_sets(
+        ssh.join(
+            F.broadcast(cand.select(F.col("cdoc").alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
     )
-    # exact verify on candidate pairs via per-doc set arrays (store side
-    # from the pruned shingle store, batch side from the one checkpointed
-    # batch shingle relation), then canonicalize to doc_a < doc_b
+    sets_b = _setjoin_doc_sets(
+        bsh.join(
+            F.broadcast(cand.select(F.col("bdoc").alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+    )
     verified = _setjoin_verify_exact(
         cand.select(
             F.col("cdoc").alias("doc_a"),
@@ -1371,8 +1400,9 @@ WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)
             F.col("n_c").alias("n_a"),
             F.col("n_b"),
         ),
-        _setjoin_doc_sets(ssh),
-        _setjoin_doc_sets(bsh),
+        sets_s,
+        sets_b,
+        broadcast_sets=True,
     )
     return verified.select(
         F.least("doc_a", "doc_b").alias("_da"),
@@ -1492,7 +1522,6 @@ def setjoin_index_pairs_scrubbed(spark, path: str):
     tomb = _setjoin_tombstones(spark, path).localCheckpoint(eager=True)
     sh = (
         _setjoin_retained(spark, path, spark.read.parquet(os.path.join(path, "shingles")))
-        .distinct()
         .join(F.broadcast(tomb), "doc_id", "left_anti")
     )
     pref = (
