@@ -1203,7 +1203,13 @@ def ann_ivf_trained_q(
         .filter(F.col("rn") <= n_probe)
         .select("qid", "cid")
     )
-    cands = probes.join(inverted, "cid").filter(F.col("vec_id") != F.col("qid"))
+    # broadcast: probes is n_queries·n_probe rows, but its window+crossJoin
+    # lineage defeats the size estimate — without the hint the planner
+    # sorts the whole inverted file for a SortMergeJoin (the persisted
+    # variant already hints this join; r16 plan audit)
+    cands = F.broadcast(probes).join(inverted, "cid").filter(
+        F.col("vec_id") != F.col("qid")
+    )
     cos = F.round(
         _dot(F.col("qe"), F.col("e"))
         / (

@@ -351,7 +351,11 @@ def ann_ivf_topk_sql(
         "  SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid "
         f"  ORDER BY ROUND({cos_qc}, 9) DESC, c.cid ASC) AS rn "
         f"  FROM q JOIN cent c ON 1 = 1) _p WHERE rn <= {n_probe}), "
-        "cands AS (SELECT p.qid, a.vec_id FROM probes p "
+        # broadcast hint (Spark arm only — DuckDB reads it as a plain
+        # block comment): probes is n_queries·n_probe rows, but its
+        # window lineage defeats the size estimate and the planner sorts
+        # the whole assign table for a SortMergeJoin without it (r16)
+        "cands AS (SELECT /*+ BROADCAST(p) */ p.qid, a.vec_id FROM probes p "
         "  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid), "
         "scored AS (SELECT cd.qid AS query_id, v.vec_id AS neighbor_id, "
         f"  ROUND({cos_qv}, 9) AS cos_sim "
@@ -1081,7 +1085,11 @@ def ann_ivfpq_topk_sql(
         "dtab AS (SELECT q.qid, cb.s, cb.cid, "
         f"  CAST(ROUND({d_query}, 9) AS DECIMAL(18,9)) AS d "
         "  FROM q JOIN cb ON q.s = cb.s), "
-        "cands AS (SELECT p.qid, a.vec_id FROM probes p "
+        # broadcast hint (Spark arm only — DuckDB reads it as a plain
+        # block comment): probes is n_queries·n_probe rows, but its
+        # window lineage defeats the size estimate and the planner sorts
+        # the whole assign table for a SortMergeJoin without it (r16)
+        "cands AS (SELECT /*+ BROADCAST(p) */ p.qid, a.vec_id FROM probes p "
         "  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid), "
         "adc AS (SELECT dt.qid, c.vec_id AS nid, CAST(SUM(dt.d) AS DOUBLE) AS dist "
         "  FROM cands cd JOIN codes c ON c.vec_id = cd.vec_id "
