@@ -426,14 +426,42 @@ def semantic_assign_under_sql(dialect: str, vecs: str, cent: str) -> str:
     the one-shot SemDeDup entry and the persisted semantic index verbs
     (a frozen coarse quantizer is how production IVF evolves: the cell
     geometry never moves under appends, so old assignments stay valid
-    verbatim).  The rank window is per-vector over |centroids| rows —
-    bounded by the centroid count, never the corpus."""
+    verbatim).
+
+    Spark arm (r16): a ZERO-exchange fold — the centroid relation is
+    packed into one cid-sorted array by an uncorrelated scalar subquery
+    (evaluated once per query), ``transform`` computes each centroid's
+    rounded cosine exactly once, and the fold keeps the max-cosine /
+    lowest-cid struct — the same (ROUND(cos, 9) DESC, cid ASC) pick as
+    the rank window it replaces, evaluated entirely map-side.  The old
+    crossJoin + per-vector ROW_NUMBER shape shuffled |vecs|·|centroids|
+    payload rows per assignment (Spark's -0.0 = 0.0 comparison
+    semantics match the window sort's normalization, so ties break
+    identically).  DuckDB arm keeps the rank-window formulation — the
+    engines stay value-identical, oracle-checked."""
     cos_vc = f"({_dot_sql('v.e', 'c.e', dialect)} / (v.nrm * c.nrm))"
+    if dialect != SPARK:
+        return (
+            "SELECT vec_id, cid, e, nrm FROM ("
+            "  SELECT v.vec_id, c.cid, v.e, v.nrm, ROW_NUMBER() OVER ("
+            f"    PARTITION BY v.vec_id ORDER BY ROUND({cos_vc}, 9) DESC, c.cid ASC) AS rn "
+            f"  FROM {vecs} v JOIN {cent} c ON 1 = 1) _a WHERE rn = 1"
+        )
+    best = (
+        "aggregate("
+        "  transform(_ca.ca, c -> named_struct("
+        f"    'r', ROUND({cos_vc}, 9), 'cid', c.cid)), "
+        "  CAST(NULL AS STRUCT<r: DOUBLE, cid: BIGINT>), "
+        "  (acc, x) -> CASE WHEN acc IS NULL OR x.r > acc.r "
+        "    OR (x.r = acc.r AND x.cid < acc.cid) THEN x ELSE acc END)"
+    )
     return (
-        "SELECT vec_id, cid, e, nrm FROM ("
-        "  SELECT v.vec_id, c.cid, v.e, v.nrm, ROW_NUMBER() OVER ("
-        f"    PARTITION BY v.vec_id ORDER BY ROUND({cos_vc}, 9) DESC, c.cid ASC) AS rn "
-        f"  FROM {vecs} v JOIN {cent} c ON 1 = 1) _a WHERE rn = 1"
+        "SELECT vec_id, _best.cid AS cid, e, nrm FROM ("
+        f"  SELECT v.vec_id, v.e, v.nrm, {best} AS _best "
+        f"  FROM {vecs} v CROSS JOIN ("
+        "    SELECT sort_array(collect_list(named_struct("
+        f"      'cid', c.cid, 'e', c.e, 'nrm', c.nrm))) AS ca FROM {cent} c) _ca"
+        ") _a WHERE _best IS NOT NULL"
     )
 
 
