@@ -861,7 +861,12 @@ def decode_png_typed_stats(media: DataFrame, blob_col: str = "media") -> DataFra
                 blob = bytes(blob)
                 w, h, ct = _png_dims(blob)
                 dw, dh, px = decode_png(blob)
-                assert (dw, dh) == (w, h)
+                if (dw, dh) != (w, h):
+                    # explicit raise, not assert: the header-vs-decode
+                    # cross-check must survive ``python -O`` (r16 ADVICE)
+                    raise ValueError(
+                        f"PNG decode dims {(dw, dh)} != header dims {(w, h)}"
+                    )
                 arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
                 rows.append(
                     (

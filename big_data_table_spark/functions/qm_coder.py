@@ -287,6 +287,11 @@ def qm_encode_int(enc: QmEncoder, bank: QmIntBank, v: int) -> None:
     enc.encode(bank.sign, 1 if v < 0 else 0)
     sz = abs(v) - 1
     nbits = sz.bit_length()
+    if nbits >= len(bank.cat):
+        raise ValueError(
+            f"qm_encode_int: |v|={abs(v)} needs {nbits} magnitude bits, "
+            f"bank holds {len(bank.cat)} category contexts"
+        )
     for k in range(nbits):
         enc.encode(bank.cat[k], 1)       # bit length > k
     enc.encode(bank.cat[nbits], 0)       # category terminator
@@ -299,8 +304,14 @@ def qm_decode_int(dec: QmDecoder, bank: QmIntBank) -> int:
         return 0
     neg = dec.decode(bank.sign)
     nbits = 0
+    max_bits = len(bank.cat)
     while dec.decode(bank.cat[nbits]):
         nbits += 1
+        if nbits >= max_bits:
+            raise ValueError(
+                "qm_decode_int: corrupt magnitude category (unary run "
+                f"exceeds the bank's {max_bits} contexts)"
+            )
     sz = 0 if nbits == 0 else 1 << (nbits - 1)
     for k in range(nbits - 2, -1, -1):
         sz |= dec.decode(bank.mant[k]) << k

@@ -117,6 +117,47 @@ def test_qm_int_tree_roundtrip():
     assert len(enc2.flush()) < 20000 // 2
 
 
+def test_qm_int_bounds_raise_value_error():
+    """Out-of-range values and corrupt magnitude categories raise a clean
+    ValueError instead of indexing past the bank's 32 contexts (r16
+    ADVICE): encode rejects |v| > 2^31 up front; decode bounds the unary
+    category loop at the bank size, so a corrupt/garbage stream cannot
+    IndexError."""
+    import pytest
+
+    from big_data_table_spark.functions.qm_coder import (
+        QmDecoder,
+        QmEncoder,
+        QmIntBank,
+        qm_decode_int,
+        qm_encode_int,
+    )
+
+    enc, bank = QmEncoder(), QmIntBank()
+    with pytest.raises(ValueError, match="magnitude bits"):
+        qm_encode_int(enc, bank, 2**31 + 1)
+    with pytest.raises(ValueError, match="magnitude bits"):
+        qm_encode_int(enc, bank, -(2**31 + 1))
+    # 2^31 is the largest encodable magnitude (sz = 2^31 - 1, 31 bits)
+    enc2, b2 = QmEncoder(), QmIntBank()
+    qm_encode_int(enc2, b2, 2**31)
+    dec = QmDecoder(enc2.flush())
+    assert qm_decode_int(dec, QmIntBank()) == 2**31
+    # corrupt stream: hand-build one record whose unary category run
+    # never terminates (zero=1, sign=1, then 1 on every cat context).
+    # The encode side adapts the same fresh-bank context sequence the
+    # decoder will walk, so the decoder reproduces exactly those
+    # decisions — and must refuse at the bank edge, not IndexError.
+    ones, ob = QmEncoder(), QmIntBank()
+    ones.encode(ob.zero, 1)
+    ones.encode(ob.sign, 1)
+    for c in ob.cat:
+        ones.encode(c, 1)
+    dec2 = QmDecoder(ones.flush())
+    with pytest.raises(ValueError, match="corrupt magnitude"):
+        qm_decode_int(dec2, QmIntBank())
+
+
 def test_qm_table_is_spec_d3():
     assert len(QE_TABLE) == 113
     for qe, nmps, nlps, sw in QE_TABLE:
