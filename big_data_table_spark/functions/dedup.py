@@ -83,6 +83,30 @@ def _minhash_expr(k: int) -> str:
     return f"substr(md5(concat('{seed}|', sh)), {1 + 8 * quarter}, 8)"
 
 
+def _min_cols(dialect: str) -> str:
+    """The N_HASHES per-seed signature minima as a select list.
+
+    Spark (r16, guide §2.3): MIN over the 32-bit INTEGER value of each
+    8-hex window instead of over the hex string.  The two orders are
+    isomorphic on fixed-width lowercase hex (char order 0-9a-f follows
+    digit value), and a bigint MIN has a mutable aggregation buffer, so
+    Spark plans a map-side-partial HashAggregate instead of the
+    Sort + SortAggregate pair a string MIN forces — the sort of every
+    shingle row disappears from the signature pipeline.  The hex
+    spelling is restored byte-identically with lower(lpad(hex(v), 8,
+    '0')) (md5 windows are lowercase, zero-padded, width 8).
+
+    DuckDB (the oracle) keeps the direct string MIN — results are equal
+    by the isomorphism, and every minhash entry is oracle-hash-checked."""
+    if dialect == SPARK:
+        return ", ".join(
+            "lower(lpad(hex(MIN(CAST(conv("
+            f"{_minhash_expr(k)}, 16, 10) AS BIGINT))), 8, '0')) AS h{k}"
+            for k in range(N_HASHES)
+        )
+    return ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
+
+
 def exact_dedup_sql(dialect: str) -> str:
     """Exact duplicate groups by content hash: one row per distinct text,
     keeper = min doc_id.  ``unique(x, by=)`` lifted to content identity."""
@@ -96,9 +120,10 @@ def exact_dedup_sql(dialect: str) -> str:
 
 def minhash_signature_sql(dialect: str) -> str:
     """Per-document MinHash signature (N_HASHES seeded-md5 minima over the
-    shingle set).  The minimum is taken over 16-hex-char strings — a
-    deterministic total order shared by both engines."""
-    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
+    shingle set).  The minimum order is the 8-hex window's value — taken
+    as a string min in DuckDB and as the isomorphic integer min in Spark
+    (see :func:`_min_cols`); both engines emit the identical hex text."""
+    mins = _min_cols(dialect)
     return (
         f"WITH {_words_cte(dialect)}, {_shingles_cte(dialect, distinct=False)} "
         f"SELECT doc_id, {mins} FROM shingles GROUP BY doc_id"
@@ -109,7 +134,7 @@ def minhash_lsh_pairs_sql(dialect: str) -> str:
     """LSH candidate pairs: documents agreeing on ≥1 of N_BANDS bands
     (each band = concat of ROWS_PER_BAND signature rows).  Output is the
     deduplicated (doc_a < doc_b) candidate set."""
-    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
+    mins = _min_cols(dialect)
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM minh".format(
             b=b,
@@ -136,7 +161,7 @@ def minhash_bands_sql(dialect: str, src: str = "documents") -> str:
     runtime is irrelevant and duck's optimizer materializes CTEs.)
     ``src`` is any (doc_id, text) relation — the persisted-index verbs
     point it at corpus/batch views."""
-    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
+    mins = _min_cols(dialect)
     base = (
         f"WITH {_words_cte(dialect, src)}, {_shingles_cte(dialect, distinct=False)}, "
         f"minh AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
@@ -299,7 +324,7 @@ def crosslingual_lsh_pairs_sql(dialect: str) -> str:
     statement form is the shared-algorithm oracle."""
     from .text import lang_select_sql
 
-    mins = ", ".join(f"MIN({_minhash_expr(k)}) AS h{k}" for k in range(N_HASHES))
+    mins = _min_cols(dialect)
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM minh".format(
             b=b,
