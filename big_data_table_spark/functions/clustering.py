@@ -61,6 +61,24 @@ def _dot_sql(vec_col: str, c) -> str:
     )
 
 
+# Literal-inline argmin is only 100-TB-safe when k is a bounded model
+# parameter: every centroid becomes ~dim double literals of SQL text, so
+# derived-k callers (ivf_requantize: k ~ sqrt(n)) would blow past
+# codegen's 64 KB method limit and eventually the parser itself (r16
+# VERDICT #1).  Above this bound the argmin switches to the chunked
+# array-fold below — same fold, same rounding, same tie-break ordering,
+# centroids carried as DATA (one packed broadcast row), not as plan text.
+_ARGMIN_LITERAL_MAX_K = 64
+# Centroids per packed array column on the fold path.  Bounds any single
+# array VALUE to ~4096·(dim+2) doubles (~2 MB at dim 64) — far under
+# Spark's 2 GiB single-value ceiling — while keeping the expression tree
+# small (one fold per chunk).  The whole packed row is the model size,
+# which the broadcast must carry anyway (the pre-r16 crossJoin broadcast
+# shipped the same bytes); the 8 GiB broadcast-relation cap is therefore
+# the real k ceiling (~10M centroids at dim 64), documented here.
+_ARGMIN_FOLD_CHUNK = 4096
+
+
 def _argmin_dist_sql(model_rows, vec_col: str, id_cast: str) -> str:
     """Map-only nearest-centroid expression over MODEL-LITERAL rows
     ``[(cid, c), ...]`` (sorted by cid), as SQL TEXT parsed in ONE
@@ -90,26 +108,107 @@ def _argmin_dist_sql(model_rows, vec_col: str, id_cast: str) -> str:
     )
 
 
+_CC_FOLD_SQL = (
+    "aggregate(zip_with(c, c, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _argmin_fold_sql(arr_cols, vec_col: str, id_cast: str, ee_col: str) -> str:
+    """Map-only nearest-centroid expression over PACKED centroid-array
+    columns (each ``struct<cid, c, cc>``; ``cc`` is the centroid's
+    self-dot, computed with the same left-to-right fold as
+    :func:`_py_dot`) — the derived-k twin of :func:`_argmin_dist_sql`.
+    Each chunk folds to its least ``struct(d, c)`` via a CASE keeping
+    the smaller struct (``x < acc`` uses the SAME struct ordering —
+    distance first, then cid — that ``array_min`` applies on the
+    literal path), and ``array_min`` over the per-chunk minima (NULL
+    for an empty chunk — skipped) picks the global one.  Distances keep
+    the identical ``ROUND(e·e − 2·e·c + c·c, 6)`` fold, so assignments
+    are bit-identical to the literal path (pinned by a law test)."""
+    folds = []
+    for col in arr_cols:
+        d = (
+            f"round({ee_col} - 2 * aggregate(zip_with({vec_col}, c.c, "
+            f"(x, y) -> x * y), {_sql_double(0.0)}, (acc, x) -> acc + x) "
+            f"+ c.cc, 6)"
+        )
+        folds.append(
+            f"aggregate(transform({col}, c -> named_struct("
+            f"'d', {d}, 'c', CAST(c.cid AS {id_cast}))), "
+            f"CAST(NULL AS STRUCT<d: DOUBLE, c: {id_cast}>), "
+            "(acc, x) -> CASE WHEN acc IS NULL OR x < acc THEN x ELSE acc END)"
+        )
+    return f"array_min(array({','.join(folds)})).c"
+
+
+def _pack_centroid_chunks(cents: DataFrame, n_chunks: int, prefix: str = "_ca"):
+    """ONE packed row with ``n_chunks`` array columns ``{prefix}{i}``,
+    chunk membership ``pmod(cid, n_chunks)`` (deterministic, no window;
+    cids are roughly uniform residues, so chunks stay near k/n_chunks).
+    Arrays are cid-sorted so the fold order is deterministic; the
+    centroid self-dot ``cc`` rides each struct (in-plan fold — the same
+    accumulation order as the literal path's driver-side precompute)."""
+    aggs = [
+        F.expr(
+            f"sort_array(collect_list(CASE WHEN pmod(cid, {n_chunks}) = {i} "
+            f"THEN named_struct('cid', cid, 'c', c, 'cc', {_CC_FOLD_SQL}) END)) "
+            f"AS {prefix}{i}"
+        )
+        for i in range(n_chunks)
+    ]
+    return cents.agg(*aggs)
+
+
+def _assign_fold(vecs: DataFrame, cents: DataFrame, k: int, id_type: str) -> DataFrame:
+    """The derived-k assignment path: centroids cross-joined in as ONE
+    packed broadcast row of chunked arrays, argmin evaluated by the
+    chunked fold — still zero-exchange over the corpus, but the model
+    is DATA, so the plan stays bounded at any k (guide §5: no 64 KB
+    codegen blowup, no multi-MB expression trees)."""
+    n_chunks = max(1, -(-k // _ARGMIN_FOLD_CHUNK))
+    packed = _pack_centroid_chunks(cents, n_chunks)
+    ee = (
+        "aggregate(zip_with(e, e, (x, y) -> x * y), "
+        f"{_sql_double(0.0)}, (acc, x) -> acc + x)"
+    )
+    pick = _argmin_fold_sql(
+        [f"_ca{i}" for i in range(n_chunks)], "e", id_type, "_ee"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(packed))
+        .withColumn("_ee", F.expr(ee))
+        .select("vec_id", F.expr(pick).alias("cid"), "e")
+    )
+
+
 def assign_clusters(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cid) nearest-centroid assignment.  ``vecs``: (vec_id, e);
     ``cents``: (cid, c) — both double arrays.
 
-    r16: the k centroids are MODEL PARAMETERS (k <= 16 rows — the same
-    relation the old formulation collected into a broadcast), so the
-    argmin is evaluated as one map-side expression over centroid
-    literals instead of a k-way crossJoin + per-vec_id row_number
-    window.  That removes the Exchange+Sort that shuffled every vector
-    payload k-fold per Lloyd iteration — assignment is now ZERO-exchange
-    at any corpus size.  Output is bit-identical (same rounded-distance
-    fold, same lowest-cid tie-break — see :func:`_argmin_dist_expr`)."""
-    cent_rows = sorted(
-        ((r["cid"], r["c"]) for r in cents.collect()), key=lambda t: t[0]
-    )
+    r16: the k centroids are MODEL PARAMETERS, so the argmin is
+    evaluated as one map-side expression over centroid literals instead
+    of a k-way crossJoin + per-vec_id row_number window.  That removes
+    the Exchange+Sort that shuffled every vector payload k-fold per
+    Lloyd iteration — assignment is now ZERO-exchange at any corpus
+    size.  Output is bit-identical (same rounded-distance fold, same
+    lowest-cid tie-break — see :func:`_argmin_dist_sql`).
+
+    r17: literals are only safe while k is bounded (``ivf_requantize``
+    derives k ~ sqrt(n)), so above ``_ARGMIN_LITERAL_MAX_K`` the argmin
+    switches to the chunked array-fold (:func:`_assign_fold`) — same
+    math carried as data, plan size O(n_chunks) instead of O(k·dim).
+    The ``limit(max+1)`` probe decides the path in ONE action: if it
+    returns <= max rows it already holds the whole model."""
     id_type = cents.schema["cid"].dataType.simpleString()
-    if not cent_rows:
+    probe = cents.limit(_ARGMIN_LITERAL_MAX_K + 1).collect()
+    if not probe:
         return vecs.select(
             "vec_id", F.lit(None).cast(id_type).alias("cid"), "e"
         ).limit(0)
+    if len(probe) > _ARGMIN_LITERAL_MAX_K:
+        return _assign_fold(vecs, cents, cents.count(), id_type)
+    cent_rows = sorted(((r["cid"], r["c"]) for r in probe), key=lambda t: t[0])
     return vecs.select(
         "vec_id",
         F.expr(_argmin_dist_sql(cent_rows, "e", id_type)).alias("cid"),
@@ -186,28 +285,74 @@ def assign_codebook(subs: DataFrame, cb: DataFrame) -> DataFrame:
     per-subspace literal argmin selected by a CASE on ``s``.  The old
     broadcast join + per-(vec_id, s) row_number window shuffled every
     subvector k-fold per training iteration; assignment is now
-    zero-exchange, output bit-identical (same fold/round/tie-break)."""
-    by_s: dict = {}
-    for r in cb.collect():
-        by_s.setdefault(r["s"], []).append((r["cid"], r["c"]))
+    zero-exchange, output bit-identical (same fold/round/tie-break).
+
+    r17: literals stay the fast path while the codebook is small (every
+    subspace <= ``_ARGMIN_LITERAL_MAX_K`` codewords and the whole model
+    within the probe bound); a derived/oversized codebook switches to
+    the chunked array-fold — per-(subspace, chunk) packed columns in
+    one broadcast row, a CASE over ``s`` picking that subspace's fold —
+    so the plan stays bounded at any k (r16 VERDICT #1)."""
     id_type = cb.schema["cid"].dataType.simpleString()
-    if not by_s:
+    # one action decides the path: <= bound rows -> we hold the model
+    probe_bound = 16 * _ARGMIN_LITERAL_MAX_K
+    probe = cb.limit(probe_bound + 1).collect()
+    if not probe:
         return subs.select(
             "vec_id", "s", F.lit(None).cast(id_type).alias("cid"), "e"
         ).limit(0)
-    # one CASE over s, each arm that subspace's literal argmin — parsed
-    # in one expr() round trip
-    pick_arms = [
-        f"WHEN s = {s} THEN "
-        + _argmin_dist_sql(sorted(by_s[s], key=lambda t: t[0]), "e", id_type)
-        for s in sorted(by_s)
-    ]
-    pick_case = f"CASE {' '.join(pick_arms)} END"
-    # the old inner join dropped subs rows with no codebook subspace;
-    # the literal form must drop them too
+    by_s: dict = {}
+    if len(probe) <= probe_bound:
+        for r in probe:
+            by_s.setdefault(r["s"], []).append((r["cid"], r["c"]))
+    if by_s and max(len(v) for v in by_s.values()) <= _ARGMIN_LITERAL_MAX_K:
+        # one CASE over s, each arm that subspace's literal argmin —
+        # parsed in one expr() round trip
+        pick_arms = [
+            f"WHEN s = {s} THEN "
+            + _argmin_dist_sql(sorted(by_s[s], key=lambda t: t[0]), "e", id_type)
+            for s in sorted(by_s)
+        ]
+        pick_case = f"CASE {' '.join(pick_arms)} END"
+        # the old inner join dropped subs rows with no codebook
+        # subspace; the literal form must drop them too
+        return (
+            subs.filter(F.col("s").isin(list(by_s)))
+            .select("vec_id", "s", F.expr(pick_case).alias("cid"), "e")
+        )
+    # chunked-fold path: per-(s, chunk) packed columns in one broadcast
+    # row, the CASE arm for each subspace folding its own chunks
+    counts = {r["s"]: r["n"] for r in cb.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    aggs, arms = [], []
+    for s in sorted(counts):
+        n_chunks = max(1, -(-counts[s] // _ARGMIN_FOLD_CHUNK))
+        cols = []
+        for i in range(n_chunks):
+            col = f"_cb{s}_{i}"
+            cols.append(col)
+            aggs.append(
+                F.expr(
+                    f"sort_array(collect_list(CASE WHEN s = {s} AND "
+                    f"pmod(cid, {n_chunks}) = {i} THEN named_struct("
+                    f"'cid', cid, 'c', c, 'cc', {_CC_FOLD_SQL}) END)) AS {col}"
+                )
+            )
+        arms.append(
+            f"WHEN s = {s} THEN "
+            + _argmin_fold_sql(cols, "e", id_type, "_ee")
+        )
+    packed = cb.agg(*aggs)
+    ee = (
+        "aggregate(zip_with(e, e, (x, y) -> x * y), "
+        f"{_sql_double(0.0)}, (acc, x) -> acc + x)"
+    )
     return (
-        subs.filter(F.col("s").isin(list(by_s)))
-        .select("vec_id", "s", F.expr(pick_case).alias("cid"), "e")
+        subs.filter(F.col("s").isin(list(counts)))
+        .crossJoin(F.broadcast(packed))
+        .withColumn("_ee", F.expr(ee))
+        .select(
+            "vec_id", "s", F.expr(f"CASE {' '.join(arms)} END").alias("cid"), "e"
+        )
     )
 
 

@@ -1,0 +1,160 @@
+"""Round-17 optimization laws.
+
+The r16 literal-inline argmin (clustering.py) is only safe while k is a
+bounded model parameter; ``ivf_requantize`` derives k ~ sqrt(n), so r17
+adds a chunked array-fold path above ``_ARGMIN_LITERAL_MAX_K``.  These
+laws pin the switch invisible: fold == literal == the original
+crossJoin+window ground truth, on clusters and codebooks, chunked and
+unchunked, including a forced-large-k (>= 4096) run that the literal
+path could not plan safely.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_table_spark.functions import clustering as C
+
+
+def _lcg_vecs(n: int, dim: int, seed: int = 12345):
+    """Deterministic pseudo-random double arrays in [0, 1)."""
+    state = seed
+    out = []
+    for i in range(n):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 11) / float(1 << 53))
+        out.append((i, row))
+    return out
+
+
+def _window_argmin(spark, vecs_df, cents_df):
+    """The ORIGINAL (pre-r16) formulation — crossJoin + row_number over
+    (ROUND(dist, 6) ASC, cid ASC) — as ground truth for both rewrites."""
+    dist = F.round(
+        C._dot(F.col("e"), F.col("e"))
+        - 2 * C._dot(F.col("e"), F.col("c"))
+        + C._dot(F.col("c"), F.col("c")),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cid").asc())
+    return (
+        vecs_df.crossJoin(F.broadcast(cents_df))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+@pytest.fixture(scope="module")
+def small_model(spark):
+    vecs = spark.createDataFrame(
+        [(i, v) for i, v in _lcg_vecs(80, 6, seed=7)], "vec_id long, e array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(100 + i, v) for i, v in _lcg_vecs(130, 6, seed=99)],
+        "cid long, c array<double>",
+    )
+    return vecs, cents
+
+
+def test_assign_fold_matches_literal_and_window(spark, small_model, monkeypatch):
+    """k = 130 > 64 -> fold path; raising the literal bound must yield
+    bit-identical assignments, and both must equal the original window
+    formulation."""
+    vecs, cents = small_model
+    fold = {r["vec_id"]: r["cid"] for r in C.assign_clusters(vecs, cents).collect()}
+    monkeypatch.setattr(C, "_ARGMIN_LITERAL_MAX_K", 1000)
+    lit = {r["vec_id"]: r["cid"] for r in C.assign_clusters(vecs, cents).collect()}
+    truth = {r["vec_id"]: r["cid"] for r in _window_argmin(spark, vecs, cents).collect()}
+    assert fold == lit == truth
+    assert len(fold) == 80
+
+
+def test_assign_fold_chunked_identical(spark, small_model, monkeypatch):
+    """Forcing tiny chunks (5 chunks of ~26 centroids) must not change a
+    single assignment — chunk membership is irrelevant to a global min."""
+    vecs, cents = small_model
+    one = {r["vec_id"]: r["cid"] for r in C.assign_clusters(vecs, cents).collect()}
+    monkeypatch.setattr(C, "_ARGMIN_FOLD_CHUNK", 32)
+    many = {r["vec_id"]: r["cid"] for r in C.assign_clusters(vecs, cents).collect()}
+    assert one == many
+
+
+def test_assign_fold_large_k_completes(spark):
+    """Forced large k (4096 — the r16 VERDICT #1 done-criterion): the
+    fold path plans and runs with a bounded expression (1 chunk at the
+    default chunk size) and matches the window ground truth."""
+    vecs = spark.createDataFrame(
+        [(i, v) for i, v in _lcg_vecs(40, 4, seed=3)], "vec_id long, e array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in _lcg_vecs(4096, 4, seed=17)],
+        "cid long, c array<double>",
+    )
+    fold = {r["vec_id"]: r["cid"] for r in C.assign_clusters(vecs, cents).collect()}
+    truth = {r["vec_id"]: r["cid"] for r in _window_argmin(spark, vecs, cents).collect()}
+    assert fold == truth
+    # the plan carries the model as ONE packed broadcast row, not as
+    # inline literals: the parsed expression stays k-independent
+    plan = C.assign_clusters(vecs, cents)._jdf.queryExecution().toString()
+    assert "CrossJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_codebook_fold_matches_literal_and_window(spark, monkeypatch):
+    """Per-subspace fold == literal == window ground truth when one
+    subspace exceeds the literal bound (k = 70 > 64)."""
+    rows = []
+    for s in range(3):
+        for cid, v in _lcg_vecs(70, 4, seed=50 + s):
+            rows.append((s, cid + 10, v))
+    cb = spark.createDataFrame(rows, "s int, cid long, c array<double>")
+    subs = spark.createDataFrame(
+        [(i, s, v) for s in range(3) for i, v in _lcg_vecs(30, 4, seed=80 + s)],
+        "vec_id long, s int, e array<double>",
+    )
+    fold = {
+        (r["vec_id"], r["s"]): r["cid"]
+        for r in C.assign_codebook(subs, cb).collect()
+    }
+    monkeypatch.setattr(C, "_ARGMIN_LITERAL_MAX_K", 1000)
+    lit = {
+        (r["vec_id"], r["s"]): r["cid"]
+        for r in C.assign_codebook(subs, cb).collect()
+    }
+    # window ground truth, keyed by subspace
+    dist = F.round(
+        C._dot(F.col("e"), F.col("e"))
+        - 2 * C._dot(F.col("e"), F.col("c"))
+        + C._dot(F.col("c"), F.col("c")),
+        6,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(dist.asc(), F.col("cid").asc())
+    truth = {
+        (r["vec_id"], r["s"]): r["cid"]
+        for r in subs.join(F.broadcast(cb), "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+        .collect()
+    }
+    assert fold == lit == truth
+    assert len(fold) == 90
+
+
+def test_codebook_fold_drops_unknown_subspace(spark):
+    """The fold path keeps the literal path's inner-join semantics:
+    subs rows whose subspace has no codebook entries are dropped."""
+    cb = spark.createDataFrame(
+        [(0, cid, v) for cid, v in _lcg_vecs(70, 4, seed=5)],
+        "s int, cid long, c array<double>",
+    )
+    subs = spark.createDataFrame(
+        [(1, 0, [0.1, 0.2, 0.3, 0.4]), (2, 9, [0.5, 0.6, 0.7, 0.8])],
+        "vec_id long, s int, e array<double>",
+    )
+    out = C.assign_codebook(subs, cb).collect()
+    assert [r["vec_id"] for r in out] == [1]
