@@ -374,33 +374,46 @@ _SEM_N_CENTROIDS = 8
 _SEM_THRESHOLD = 0.3
 
 
+# The k cap must be a size the ASSIGNMENT IMPLEMENTATION can carry: the
+# Spark arm packs the whole centroid relation into ONE array row
+# (``semantic_assign_under_sql``), and a single Spark value is capped at
+# 2 GiB — at dim 64 a (cid, e, nrm) struct is ~540 B, so ~4M centroids
+# is the hard ceiling and 2²¹ (~2M, ~1.1 GiB packed) leaves 2× headroom
+# (r16 VERDICT #7: the old 2²⁶ cap advertised a size the fold could not
+# hold).  The cap binds only for n > 2⁴² vectors; below that the rule is
+# unchanged, so every derived k at any tested scale is identical.
+_SEM_K_CAP_POW = 21
+
+
 def sem_n_centroids_for(n_vecs: int) -> int:
     """Size-derived coarse-quantizer width (r10 VERDICT #3 — the
     ``bucket_count_for`` treatment for the semantic index: copy the
     RULE, not the 8): the smallest power of two k with k² >= n_vecs,
-    floor 8, cap 2²⁶.  k ~ sqrt(n) keeps the mean cell ~ sqrt(n)
-    vectors, so within-cell pair work stays ~ n^1.5 instead of n² —
-    the SemDeDup/IVF sizing convention.  Powers of two keep re-freezes
-    stable as corpora grow.  Integer-pure (no float log/sqrt) so the
-    SQL oracle arm (``sem_k_rule_sql``) derives the identical k."""
+    floor 8, cap 2²¹ (see ``_SEM_K_CAP_POW`` — sized to the packed
+    single-row centroid array the Spark assignment fold carries).
+    k ~ sqrt(n) keeps the mean cell ~ sqrt(n) vectors, so within-cell
+    pair work stays ~ n^1.5 instead of n² — the SemDeDup/IVF sizing
+    convention.  Powers of two keep re-freezes stable as corpora grow.
+    Integer-pure (no float log/sqrt) so the SQL oracle arm
+    (``sem_k_rule_sql``) derives the identical k."""
     k = 8
-    while k * k < n_vecs and k < (1 << 26):
+    while k * k < n_vecs and k < (1 << _SEM_K_CAP_POW):
         k <<= 1
     return k
 
 
 def sem_k_rule_sql(n_expr: str) -> str:
     """The same size-derived rule as a dialect-free SQL scalar over a
-    count expression — smallest power-of-two k in [8, 2²⁶] with
+    count expression — smallest power-of-two k in [8, 2²¹] with
     k² >= n (integer comparisons only; float LOG2/SQRT round-trips
     differ at exact-power boundaries across engines).  COALESCE pins
-    the 2²⁶ cap for n > 2⁵² — the Python twin caps there too, so the
-    rules stay identical over the whole domain, not just below the
+    the cap for n past its square — the Python twin caps there too, so
+    the rules stay identical over the whole domain, not just below the
     cap."""
-    ks = ", ".join(f"({1 << p})" for p in range(3, 27))
+    ks = ", ".join(f"({1 << p})" for p in range(3, _SEM_K_CAP_POW + 1))
     return (
         f"COALESCE((SELECT MIN(k) FROM (VALUES {ks}) _kt(k) "
-        f"WHERE CAST(k AS BIGINT) * k >= ({n_expr})), {1 << 26})"
+        f"WHERE CAST(k AS BIGINT) * k >= ({n_expr})), {1 << _SEM_K_CAP_POW})"
     )
 
 

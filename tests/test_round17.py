@@ -158,3 +158,26 @@ def test_codebook_fold_drops_unknown_subspace(spark):
     )
     out = C.assign_codebook(subs, cb).collect()
     assert [r["vec_id"] for r in out] == [1]
+
+
+def test_sem_k_rule_cap_matches_both_engines(spark, duck):
+    """The semantic-k cap is lowered to 2**21 (r16 VERDICT #7: the packed
+    single-row centroid array caps at the 2 GiB value limit ~4M structs
+    at dim 64; 2**26 advertised a size the fold could not carry).  The
+    Python rule and the SQL rule must agree at every boundary, on both
+    engines, including past the cap's square."""
+    from big_data_table_spark.functions.similarity import (
+        _SEM_K_CAP_POW,
+        sem_k_rule_sql,
+        sem_n_centroids_for,
+    )
+
+    assert _SEM_K_CAP_POW == 21
+    cap = 1 << 21
+    probes = [0, 1, 64, 65, 4096, 4097, cap * cap - 1, cap * cap, cap * cap + 1, 1 << 52, (1 << 62)]
+    for n in probes:
+        py_k = sem_n_centroids_for(n)
+        duck_k = duck.execute(f"SELECT {sem_k_rule_sql(str(n))}").fetchone()[0]
+        spark_k = spark.sql(f"SELECT {sem_k_rule_sql(str(n))}").collect()[0][0]
+        assert py_k == duck_k == spark_k, (n, py_k, duck_k, spark_k)
+        assert 8 <= py_k <= cap
