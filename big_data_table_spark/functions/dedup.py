@@ -1341,6 +1341,21 @@ def setjoin_index_pairs(spark, path: str):
     return _setjoin_pairs_from(spark, sh, pref)
 
 
+# Broadcast guard for the probe verify (r16 VERDICT #6): the
+# candidate-bounded set relations are "small by construction" only while
+# a probe batch matches a bounded slice of the store — a batch of
+# common-shingle docs can pull a large store fraction through prefix
+# blocking, and a FORCED broadcast then OOMs the driver/executors.  The
+# probe therefore sums the candidate docs' set sizes (exact, one tiny
+# action on the checkpointed candidate relation — the pair-level sum
+# overcounts hub docs ~75x at sf0.1, so the distinct-doc sum is the
+# usable signal) and only hints broadcast under this many shingles
+# (~250 MB at ~60 B/shingle — guide §3.1's comfortable broadcast zone;
+# the sf0.1 fixture probe measures ~258k).  Above it the hints drop and
+# AQE picks the strategy from the semi-join's runtime stats.
+_SETJOIN_PROBE_BROADCAST_SHINGLES = 4_000_000
+
+
 def setjoin_index_probe(spark, path: str, table_expr: str, sh=None, exclude=None):
     """Adjudicate a NEW batch against the index WITHOUT mutating it —
     the exact-join analogue of ``lsh_index_probe`` (probe first, append
@@ -1398,6 +1413,19 @@ FROM {vsp} s JOIN {vbp} b ON s.sh = b.sh
 WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)
 """
     ).localCheckpoint(eager=True)
+    # broadcast guard (r16 VERDICT #6): exact candidate-doc set-size sum
+    # over the checkpointed candidates — cheap, and the safe direction
+    # is a fallback to AQE-planned joins, never a forced huge broadcast
+    est = (
+        cand.select(F.col("cdoc").alias("d"), F.col("n_c").alias("n"))
+        .union(cand.select(F.col("bdoc").alias("d"), F.col("n_b").alias("n")))
+        .groupBy("d")
+        .agg(F.max("n").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    ) or 0
+    small = est <= _SETJOIN_PROBE_BROADCAST_SHINGLES
+    hint = F.broadcast if small else (lambda d: d)
     # exact verify on candidate pairs via per-doc set arrays — built for
     # CANDIDATE docs only (broadcast semi-join first), so the store's
     # shingle relation is never grouped corpus-wide per probe: probe
@@ -1406,14 +1434,14 @@ WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)
     # dedups in the hashed relation for free
     sets_s = _setjoin_doc_sets(
         ssh.join(
-            F.broadcast(cand.select(F.col("cdoc").alias("doc_id"))),
+            hint(cand.select(F.col("cdoc").alias("doc_id"))),
             "doc_id",
             "left_semi",
         )
     )
     sets_b = _setjoin_doc_sets(
         bsh.join(
-            F.broadcast(cand.select(F.col("bdoc").alias("doc_id"))),
+            hint(cand.select(F.col("bdoc").alias("doc_id"))),
             "doc_id",
             "left_semi",
         )
@@ -1427,7 +1455,7 @@ WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)
         ),
         sets_s,
         sets_b,
-        broadcast_sets=True,
+        broadcast_sets=small,
     )
     return verified.select(
         F.least("doc_a", "doc_b").alias("_da"),

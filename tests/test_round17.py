@@ -181,3 +181,28 @@ def test_sem_k_rule_cap_matches_both_engines(spark, duck):
         spark_k = spark.sql(f"SELECT {sem_k_rule_sql(str(n))}").collect()[0][0]
         assert py_k == duck_k == spark_k, (n, py_k, duck_k, spark_k)
         assert 8 <= py_k <= cap
+
+
+def test_setjoin_probe_broadcast_guard(spark, monkeypatch, tmp_path):
+    """r16 VERDICT #6: the probe's verify broadcast is guarded by an
+    exact candidate-doc set-size estimate.  An adversarial high-overlap
+    batch (every doc shares most shingles with the store) pushed over a
+    forced-zero threshold must take the no-hint fallback and return
+    bit-identical pairs."""
+    from big_data_table_spark.functions import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} tail{i % 3}") for i in range(24)]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "_t17_docs"
+    )
+    path = str(tmp_path / "sj_guard")
+    DD.setjoin_index_build(
+        spark, path, "(SELECT * FROM _t17_docs WHERE doc_id % 2 = 0) _b"
+    )
+    probe_expr = "(SELECT * FROM _t17_docs WHERE doc_id % 2 = 1) _a"
+    fast = sorted(map(tuple, DD.setjoin_index_probe(spark, path, probe_expr).collect()))
+    monkeypatch.setattr(DD, "_SETJOIN_PROBE_BROADCAST_SHINGLES", 0)
+    slow = sorted(map(tuple, DD.setjoin_index_probe(spark, path, probe_expr).collect()))
+    assert fast == slow
+    assert len(fast) > 0  # the overlap batch really produces pairs
