@@ -1196,6 +1196,12 @@ def setjoin_index_build(spark, path: str, table_expr: str) -> None:
     _prefix_under_order(sh, order).write.mode("overwrite").parquet(
         os.path.join(path, "prefix")
     )
+    # r17 (VERDICT #3): the verify-side doc-set arrays are STORE STATE —
+    # maintained here and by append/compact — so the pairs read joins
+    # pre-built sets instead of re-grouping the corpus shingles per read
+    _setjoin_doc_sets(sh).write.mode("overwrite").parquet(
+        os.path.join(path, "sets")
+    )
 
 
 def setjoin_index_append(spark, path: str, table_expr: str, sh=None) -> None:
@@ -1214,6 +1220,14 @@ def setjoin_index_append(spark, path: str, table_expr: str, sh=None) -> None:
     _prefix_under_order(sh, order).write.mode("append").parquet(
         os.path.join(path, "prefix")
     )
+    # increment-sized set rows; replays write duplicate rows the read's
+    # union-merge absorbs.  Only maintained when the store HAS a sets/
+    # relation — appending increments into a legacy store without one
+    # would leave it incomplete and silently wrong on read.
+    if os.path.isdir(os.path.join(path, "sets")):
+        _setjoin_doc_sets(sh).write.mode("append").parquet(
+            os.path.join(path, "sets")
+        )
 
 
 def setjoin_index_compact(spark, path: str) -> None:
@@ -1240,6 +1254,9 @@ def setjoin_index_compact(spark, path: str) -> None:
         ("shingles", sh),
         ("order", order),
         ("prefix", _prefix_under_order(sh, order)),
+        # re-freeze also collapses sets/ back to one row per doc (and
+        # heals a legacy store that never had the relation)
+        ("sets", _setjoin_doc_sets(sh)),
     ):
         tmp = os.path.join(path, f".{sub}.compact.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1256,6 +1273,35 @@ def _setjoin_doc_sets(sh):
     from pyspark.sql import functions as F
 
     return sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+
+
+def _setjoin_merge_sets(sets):
+    """Union-merge persisted per-doc set rows to ONE set per doc:
+    ``array_distinct(flatten(collect_list(shs)))`` — a replayed append's
+    duplicate row and a doc whose shingles arrived across several
+    appends both collapse to exactly the set ``collect_set`` over the
+    doc's shingle rows would build (set union is set union), so reads
+    from the persisted ``sets/`` relation are value-identical to the
+    shingle-grouping formulation (pinned by the store laws)."""
+    from pyspark.sql import functions as F
+
+    return sets.groupBy("doc_id").agg(
+        F.array_distinct(F.flatten(F.collect_list("shs"))).alias("shs")
+    )
+
+
+def _setjoin_sets_raw(spark, path: str):
+    """The persisted (doc_id, shs) set rows (retention-filtered), or
+    ``None`` for a store whose ``sets/`` relation does not exist — the
+    reads then fall back to grouping the shingle rows, so a pre-r17
+    store stays fully served (and the next compact/purge heals it by
+    rebuilding ``sets/`` from the shingle relation)."""
+    import os
+
+    d = os.path.join(path, "sets")
+    if not os.path.isdir(d) or not any(f.endswith(".parquet") for f in os.listdir(d)):
+        return None
+    return _setjoin_retained(spark, path, spark.read.parquet(d))
 
 
 def _setjoin_verify_exact(cand, sets_a, sets_b, broadcast_sets=False):
@@ -1297,18 +1343,22 @@ def _setjoin_verify_exact(cand, sets_a, sets_b, broadcast_sets=False):
     )
 
 
-def _setjoin_pairs_from(spark, sh, pref):
+def _setjoin_pairs_from(spark, sh, pref, sets=None):
     """The EXACT Jaccard >= 1/2 join from a (doc_id, sh) shingle relation
     and a (doc_id, sh, n) prefix relation (both already deduplicated):
     prefix-to-prefix candidates (+ length filter), verified against the
     full shingle sets — ONE copy of the store's read SQL, shared by the
-    plain and tombstone-scrubbed reads."""
+    plain and tombstone-scrubbed reads.  ``sets`` (r17): pre-merged
+    per-doc set arrays from the persisted ``sets/`` relation; when given,
+    the shingle relation is not touched (``sh`` may be None)."""
     from pyspark.sql import functions as F
 
     from ..session import register_temp_view
 
     # the doc-set relation feeds BOTH verify sides — checkpoint it once
-    sets = _setjoin_doc_sets(sh).localCheckpoint(eager=True)
+    if sets is None:
+        sets = _setjoin_doc_sets(sh)
+    sets = sets.localCheckpoint(eager=True)
     vp = register_temp_view(pref, "_sjx_pref")
     cand = spark.sql(
         f"""
@@ -1328,16 +1378,24 @@ def setjoin_index_pairs(spark, path: str):
     ``prefix_filter_jaccard_pairs`` and to the brute shared-shingle
     oracle, whatever build/append/replay sequence produced the store.
     Both store sides read with replay absorption (prefix DISTINCT; the
-    shingle side dedups inside ``_setjoin_doc_sets``'s collect_set);
-    the corpus text is never rescanned."""
+    set side union-merges the persisted per-doc set rows — r17: the
+    verify sets come from the store's ``sets/`` relation, so the read
+    no longer re-groups the corpus-scale shingle relation; a legacy
+    store without ``sets/`` falls back to it); the corpus text is never
+    rescanned."""
     import os
 
-    sh = _setjoin_retained(
-        spark, path, spark.read.parquet(os.path.join(path, "shingles"))
-    )
     pref = _setjoin_retained(
         spark, path, spark.read.parquet(os.path.join(path, "prefix"))
     ).distinct()
+    raw_sets = _setjoin_sets_raw(spark, path)
+    if raw_sets is not None:
+        return _setjoin_pairs_from(
+            spark, None, pref, sets=_setjoin_merge_sets(raw_sets)
+        )
+    sh = _setjoin_retained(
+        spark, path, spark.read.parquet(os.path.join(path, "shingles"))
+    )
     return _setjoin_pairs_from(spark, sh, pref)
 
 
@@ -1392,15 +1450,26 @@ def setjoin_index_probe(spark, path: str, table_expr: str, sh=None, exclude=None
     spref = _setjoin_retained(
         spark, path, spark.read.parquet(os.path.join(path, "prefix"))
     ).distinct()
-    # no .distinct(): ssh only feeds _setjoin_doc_sets, whose
-    # collect_set dedups inside the aggregation (replay absorption kept)
-    ssh = _setjoin_retained(
-        spark, path, spark.read.parquet(os.path.join(path, "shingles"))
+    # store verify side (r17): the persisted sets/ rows when the store
+    # has them — the probe then never scans the corpus-scale shingle
+    # relation; union-merge after the candidate semi-join keeps replay
+    # absorption.  Legacy fallback: group the shingle rows (no
+    # .distinct(): collect_set dedups inside the aggregation).
+    raw_sets = _setjoin_sets_raw(spark, path)
+    ssh = (
+        None
+        if raw_sets is not None
+        else _setjoin_retained(
+            spark, path, spark.read.parquet(os.path.join(path, "shingles"))
+        )
     )
     if exclude is not None:
         exc = exclude.select("doc_id").distinct()
         spref = spref.join(F.broadcast(exc), "doc_id", "left_anti")
-        ssh = ssh.join(F.broadcast(exc), "doc_id", "left_anti")
+        if raw_sets is not None:
+            raw_sets = raw_sets.join(F.broadcast(exc), "doc_id", "left_anti")
+        else:
+            ssh = ssh.join(F.broadcast(exc), "doc_id", "left_anti")
     vbp = register_temp_view(bpref, "_sjp_bpref")
     vsp = register_temp_view(spref, "_sjp_spref")
     # three consumers (two id sides + the verify join) and bounded by
@@ -1432,13 +1501,15 @@ WHERE GREATEST(s.n, b.n) <= 2 * LEAST(s.n, b.n)
     # verify work stays |batch|-bounded however large the store
     # no .distinct() on the id sides: a broadcast semi-join build side
     # dedups in the hashed relation for free
-    sets_s = _setjoin_doc_sets(
-        ssh.join(
-            hint(cand.select(F.col("cdoc").alias("doc_id"))),
-            "doc_id",
-            "left_semi",
+    cand_cdocs = cand.select(F.col("cdoc").alias("doc_id"))
+    if raw_sets is not None:
+        sets_s = _setjoin_merge_sets(
+            raw_sets.join(hint(cand_cdocs), "doc_id", "left_semi")
         )
-    )
+    else:
+        sets_s = _setjoin_doc_sets(
+            ssh.join(hint(cand_cdocs), "doc_id", "left_semi")
+        )
     sets_b = _setjoin_doc_sets(
         bsh.join(
             hint(cand.select(F.col("bdoc").alias("doc_id"))),
@@ -1573,13 +1644,19 @@ def setjoin_index_pairs_scrubbed(spark, path: str):
     # TWO consumers (both anti-joins) — checkpoint the tiny DISTINCT
     # once instead of re-shuffling it per join side
     tomb = _setjoin_tombstones(spark, path).localCheckpoint(eager=True)
-    sh = (
-        _setjoin_retained(spark, path, spark.read.parquet(os.path.join(path, "shingles")))
-        .join(F.broadcast(tomb), "doc_id", "left_anti")
-    )
     pref = (
         _setjoin_retained(spark, path, spark.read.parquet(os.path.join(path, "prefix")))
         .distinct()
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+    )
+    raw_sets = _setjoin_sets_raw(spark, path)
+    if raw_sets is not None:
+        scrubbed = raw_sets.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return _setjoin_pairs_from(
+            spark, None, pref, sets=_setjoin_merge_sets(scrubbed)
+        )
+    sh = (
+        _setjoin_retained(spark, path, spark.read.parquet(os.path.join(path, "shingles")))
         .join(F.broadcast(tomb), "doc_id", "left_anti")
     )
     return _setjoin_pairs_from(spark, sh, pref)
@@ -1615,6 +1692,20 @@ def setjoin_index_purge(spark, path: str) -> int:
         shutil.rmtree(tmp, ignore_errors=True)
         kept.write.mode("overwrite").parquet(tmp)
         _swap_dir_in(tmp, os.path.join(path, sub))
+    # sets/ is rebuilt from the purged shingle relation (one row per
+    # surviving doc — also heals a legacy store without the relation):
+    # replayed set rows need not be byte-identical (collect_set array
+    # order), so a row-level DISTINCT cannot collapse them like the
+    # row-relations above
+    kept_sets = _setjoin_doc_sets(
+        _setjoin_retained(
+            spark, path, spark.read.parquet(os.path.join(path, "shingles"))
+        )
+    ).localCheckpoint(eager=True)
+    tmp = os.path.join(path, ".sets.purge.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept_sets.write.mode("overwrite").parquet(tmp)
+    _swap_dir_in(tmp, os.path.join(path, "sets"))
     shutil.rmtree(os.path.join(path, _SETJOIN_TOMBSTONE_DIR), ignore_errors=True)
     return n
 

@@ -1749,8 +1749,9 @@ def _swap_dir_in(tmp: str, dst: str) -> None:
     head, tail = os.path.split(dst.rstrip("/"))
     old = os.path.join(head, f".{tail}.compact.old")
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(dst, old)
-    os.rename(tmp, dst)
+    if os.path.exists(dst):  # r17: a swap may CREATE the relation
+        os.rename(dst, old)  # (setjoin compact/purge healing a legacy
+    os.rename(tmp, dst)      # store's absent sets/ sub-dir)
     shutil.rmtree(old, ignore_errors=True)
 
 

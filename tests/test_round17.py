@@ -206,3 +206,93 @@ def test_setjoin_probe_broadcast_guard(spark, monkeypatch, tmp_path):
     slow = sorted(map(tuple, DD.setjoin_index_probe(spark, path, probe_expr).collect()))
     assert fast == slow
     assert len(fast) > 0  # the overlap batch really produces pairs
+
+
+def _sj_pairs_sorted(spark, path):
+    from big_data_table_spark.functions import dedup as DD
+
+    return sorted(map(tuple, DD.setjoin_index_pairs(spark, path).collect()))
+
+
+def test_setjoin_sets_relation_reads_identical(spark, tmp_path):
+    """r17 (VERDICT #3): the persisted sets/ relation must serve the
+    pairs read value-identically to grouping the shingle rows — under
+    replayed appends AND a doc whose shingles arrive across two appends
+    with different text (the union-merge case).  Deleting sets/ forces
+    the legacy fallback; the results must match bit-for-bit."""
+    import shutil
+
+    from big_data_table_spark.functions import dedup as DD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} tail{i % 4} extra{i % 2}") for i in range(20)]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "_t17_sets_docs"
+    )
+    # a second batch RE-APPENDS doc 3 with different text: its set is
+    # the union of both appends' shingles
+    spark.createDataFrame(
+        [(3, f"{base} omicron pi rho sigma")], "doc_id long, text string"
+    ).createOrReplaceTempView("_t17_sets_extra")
+    path = str(tmp_path / "sj_sets")
+    DD.setjoin_index_build(
+        spark, path, "(SELECT * FROM _t17_sets_docs WHERE doc_id < 10) _b"
+    )
+    for _ in range(2):  # replayed append
+        DD.setjoin_index_append(
+            spark, path, "(SELECT * FROM _t17_sets_docs WHERE doc_id >= 10) _a"
+        )
+    DD.setjoin_index_append(spark, path, "(SELECT * FROM _t17_sets_extra) _c")
+    with_sets = _sj_pairs_sorted(spark, path)
+    shutil.rmtree(f"{path}/sets")
+    fallback = _sj_pairs_sorted(spark, path)
+    assert with_sets == fallback
+    assert len(with_sets) > 0
+    # compact HEALS the missing sets/ relation, and the healed relation
+    # still reads identically to the shingle fallback (the split-doc
+    # re-append legitimately changes prefix n at re-freeze, so the law
+    # is sets-read == fallback-read, not post-compact == pre-compact)
+    DD.setjoin_index_compact(spark, path)
+    import os
+
+    assert os.path.isdir(f"{path}/sets")
+    healed = _sj_pairs_sorted(spark, path)
+    shutil.rmtree(f"{path}/sets")
+    assert healed == _sj_pairs_sorted(spark, path)
+
+
+def test_setjoin_sets_purge_and_probe_consistent(spark, tmp_path):
+    """Purge rebuilds sets/ over the survivors; the probe served from
+    sets/ equals the probe served from the shingle fallback."""
+    import shutil
+
+    from big_data_table_spark.functions import dedup as DD
+
+    base = "one two three four five six seven eight nine ten"
+    rows = [(i, f"{base} suffix{i % 3}") for i in range(18)]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "_t17_purge_docs"
+    )
+    path = str(tmp_path / "sj_purge")
+    DD.setjoin_index_build(
+        spark, path, "(SELECT * FROM _t17_purge_docs WHERE doc_id % 2 = 0) _b"
+    )
+    probe_expr = "(SELECT * FROM _t17_purge_docs WHERE doc_id % 2 = 1) _a"
+    via_sets = sorted(map(tuple, DD.setjoin_index_probe(spark, path, probe_expr).collect()))
+    shutil.rmtree(f"{path}/sets")
+    via_shingles = sorted(
+        map(tuple, DD.setjoin_index_probe(spark, path, probe_expr).collect())
+    )
+    assert via_sets == via_shingles and len(via_sets) > 0
+    # delete + purge: scrubbed-before == plain-after, and sets/ is back
+    DD.setjoin_index_delete(
+        spark.createDataFrame([(0,), (2,)], "doc_id long"), path
+    )
+    scrubbed = sorted(
+        map(tuple, DD.setjoin_index_pairs_scrubbed(spark, path).collect())
+    )
+    DD.setjoin_index_purge(spark, path)
+    import os
+
+    assert os.path.isdir(f"{path}/sets")
+    assert _sj_pairs_sorted(spark, path) == scrubbed
