@@ -12,7 +12,14 @@ Prints TWO JSON lines (r9 — the r8 single line outgrew the driver's
     always fully inside the driver's tail window.
 
 ``queries``/``value`` stay min-per-query (comparable to every earlier
-BENCH_r0N.json); ``query_stats`` makes host noise visible — the r2 and
+BENCH_r0N.json).  r17 adds ``cpu_cores`` to BOTH lines (headline-only
+on the compact line; tier2's rides the verbose line): per-query mean
+busy cores — this process tree's CPU seconds over the query's runs
+divided by their wall time — so the scaling detector can separate
+"parallel but per-action-overhead-bound" (ratio >> 1 with flat wall
+across core counts) from "serial" (ratio ~ 1) at a scale factor where
+wall time alone cannot (r16 VERDICT #2).  ``query_stats`` makes host
+noise visible — the r2 and
 r4 driver windows both recorded 20-22 s totals that did not reproduce
 on a quiet host (14.4 s judge re-run, r4 verdict), and nothing in the
 old JSON could show it was noise.  A large ``spread`` (max−min over
@@ -272,35 +279,58 @@ def _wait_for_idle(max_wait_sec: float, threshold: float = 0.5) -> float:
 
 def _measure_pass(
     CATALOG, spark, sf_dir: str
-) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
+) -> tuple[
+    dict[str, list[float]],
+    dict[str, list[float]],
+    dict[str, float],
+    dict[str, float],
+]:
     """One full measurement pass: every headline query 3-5 runs, every
     tier2 entry 2 runs.  Returns the raw run lists ({key: [sec, ...]})
     so the artifact-grain re-run can merge passes with per-query min —
-    the same discipline the per-query min-of-runs already applies."""
+    the same discipline the per-query min-of-runs already applies.
+
+    Also returns per-query MEAN BUSY CORES (r16 VERDICT #2 — the
+    driver's 8-vs-32-core wall-clock ratios all read ~1 at sf0.1
+    because every query is per-action-overhead-bound, so the scaling
+    detector cannot tell "parallel but overhead-bound" from "serial"):
+    this process tree's CPU seconds consumed during the query's runs,
+    divided by their wall time.  A compute-bound parallel query shows
+    ~cores; a serial one ~1 — task-time evidence the wall clock cannot
+    carry, directly in the artifact."""
     high_variance = {"simhash", "minhash", "neardup", "components"}
-    head_runs: dict[str, list[float]] = {}
-    for name, key in HEADLINE:
-        fn = CATALOG[name].fn
+
+    def _timed(fn, n_runs: int) -> tuple[list[float], float | None]:
+        tree0 = _tree_cpu_sec()
         runs: list[float] = []
-        for _ in range(5 if key in high_variance else 3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        tree1 = _tree_cpu_sec()
+        cpu = None
+        if tree0 is not None and tree1 is not None:
+            cpu = round((tree1 - tree0) / max(sum(runs), 1e-9), 1)
+        return runs, cpu
+
+    head_runs: dict[str, list[float]] = {}
+    head_cpu: dict[str, float] = {}
+    for name, key in HEADLINE:
+        runs, cpu = _timed(CATALOG[name].fn, 5 if key in high_variance else 3)
         head_runs[key] = runs
+        if cpu is not None:
+            head_cpu[key] = cpu
     # tier 2: min-of-2 (store builds at sf0.1 are seconds each; two runs
     # bound wall time while still absorbing the codegen-compile first run)
     t2_runs: dict[str, list[float]] = {}
+    t2_cpu: dict[str, float] = {}
     for name, key in TIER2:
-        fn = CATALOG[name].fn
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        runs, cpu = _timed(CATALOG[name].fn, 2)
         t2_runs[key] = runs
-    return head_runs, t2_runs
+        if cpu is not None:
+            t2_cpu[key] = cpu
+    return head_runs, t2_runs, head_cpu, t2_cpu
 
 
 def _summarize(run_lists: dict[str, list[float]]):
@@ -376,16 +406,24 @@ def main() -> None:
     cotenant_cores: list[float] = []
     head_runs: dict[str, list[float]] = {}
     t2_runs: dict[str, list[float]] = {}
+    head_cpu: dict[str, float] = {}
+    t2_cpu: dict[str, float] = {}
     while passes < 2:
         host0, tree0 = _host_cpu_busy_sec(), _tree_cpu_sec()
         wall0 = time.perf_counter()
-        h, t2 = _measure_pass(CATALOG, spark, sf_dir)
+        h, t2, hc, t2c = _measure_pass(CATALOG, spark, sf_dir)
         wall = time.perf_counter() - wall0
         host1, tree1 = _host_cpu_busy_sec(), _tree_cpu_sec()
         for key, runs in h.items():
             head_runs.setdefault(key, []).extend(runs)
         for key, runs in t2.items():
             t2_runs.setdefault(key, []).extend(runs)
+        # keep the highest observed busy-core ratio per query: co-tenant
+        # CPU is excluded by construction (tree-scoped), so a lower
+        # ratio only means the pass was more overhead/IO-stalled
+        for key, cpu in list(hc.items()) + list(t2c.items()):
+            tgt = head_cpu if key in hc else t2_cpu
+            tgt[key] = max(tgt.get(key, 0.0), cpu)
         passes += 1
         if None in (host0, tree0, host1, tree1):  # pragma: no cover
             break  # no /proc accounting — old single-pass behavior
@@ -431,8 +469,14 @@ def main() -> None:
                     "value": t2_total,
                     "queries": t2_timings,
                     "query_stats": t2_stats,
+                    "cpu_cores": t2_cpu,
                 },
                 "query_stats": stats,
+                # mean busy cores per query (tree CPU / wall) — r16
+                # VERDICT #2: lets the driver separate parallel-but-
+                # overhead-bound from serial when wall-clock core
+                # ratios read ~1 at sf0.1
+                "cpu_cores": head_cpu,
                 "sf": sf_val,
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
@@ -453,6 +497,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tier2": {"value": t2_total, "queries": t2_timings},
+                # headline-only here (the scaling detector reads the
+                # headline list; tier2 ratios ride the verbose line) so
+                # the compact line stays inside the 2000-char tail
+                "cpu_cores": head_cpu,
                 "sf": sf_val,
                 "loadavg_start": load_start,
                 "idle_waited_sec": idle_waited,

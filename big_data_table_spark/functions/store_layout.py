@@ -41,6 +41,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def parallel_store_writes(*thunks) -> None:
+    """Run INDEPENDENT store-write jobs concurrently from a small driver
+    thread pool (guide §2.6 "overlap independent jobs"): Spark happily
+    schedules several jobs at once — actions are only sequential because
+    driver code calls them sequentially — and FIFO scheduling lets the
+    later jobs' tasks back-fill executors freed by the earlier jobs'
+    tails.  A store verb that writes 3-4 sub-relations of ONE
+    checkpointed source pays ~max() of the writes instead of the sum;
+    at fixture scale that is most of the per-action floor the tier2
+    cycles sit on.  Callers must pass writes with no ordering dependency
+    (e.g. everything downstream of an already-written/checkpointed
+    ``order``); any failure propagates (``pool.map`` re-raises)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        list(pool.map(lambda f: f(), thunks))
+
+
 def store_file_count_for(df: DataFrame, target_file_bytes: int = 256 << 20) -> int:
     """Output-file count for a store rewrite: one file per
     ``target_file_bytes`` of the relation's Catalyst ``sizeInBytes``
