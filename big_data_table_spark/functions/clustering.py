@@ -415,13 +415,21 @@ def ivf_build(vecs: DataFrame, path: str, k: int = 8, n_iter: int = 2) -> None:
     point: a probe joins against the cid partition column, so the scan
     reads ONLY the probed cells' files — |corpus|·n_probe/k bytes, the
     IVF contract expressed as partition pruning."""
-    cents = kmeans_fit(vecs, k, n_iter).localCheckpoint(eager=True)
+    # kmeans_fit's output is already checkpointed; the two writes are
+    # independent — overlap them (guide §2.6)
+    cents = kmeans_fit(vecs, k, n_iter)
     assigned = assign_clusters(vecs, cents)
     import os
 
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(path, "inverted")
+    from .store_layout import parallel_store_writes
+
+    parallel_store_writes(
+        lambda: cents.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        ),
+        lambda: assigned.write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "inverted")),
     )
 
 
@@ -535,10 +543,15 @@ def pq_build(subs: DataFrame, path: str, k: int = 16, n_iter: int = 2) -> None:
     scanning the ~1%-sized code table."""
     import os
 
-    cb = pq_fit(subs, k, n_iter).localCheckpoint(eager=True)
+    from .store_layout import parallel_store_writes
+
+    # pq_fit's output is already checkpointed; independent writes overlap
+    cb = pq_fit(subs, k, n_iter)
     codes = assign_codebook(subs, cb).select("vec_id", "s", "cid")
-    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
-    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    parallel_store_writes(
+        lambda: cb.write.mode("overwrite").parquet(os.path.join(path, "codebook")),
+        lambda: codes.write.mode("overwrite").parquet(os.path.join(path, "codes")),
+    )
 
 
 def ann_pq_persisted_search(
@@ -624,11 +637,17 @@ def ivfpq_build(
     the raw floats ever run on the query path."""
     import os
 
+    from .store_layout import parallel_store_writes
+
     cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
-    codes.write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(path, "codes")
+    parallel_store_writes(
+        lambda: cents.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        ),
+        lambda: cb.write.mode("overwrite").parquet(os.path.join(path, "codebook")),
+        lambda: codes.write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(path, "codes")),
     )
 
 
@@ -881,12 +900,24 @@ def ivf_requantize(
         .localCheckpoint(eager=True)  # fully read before the swap
     )
     kk = k if k is not None else sem_n_centroids_for(rows.count())
-    cents = kmeans_fit(rows, k=kk, n_iter=n_iter).localCheckpoint(eager=True)
-    assigned = assign_clusters(rows, cents).localCheckpoint(eager=True)
+    # kmeans_fit's last Lloyd round already checkpoints its output, and
+    # the assignment reads only checkpointed relations, so the staged
+    # inverted/ write is already "fully read before the swap" — r17
+    # drops the two redundant eager checkpoints (each re-materialized a
+    # corpus-scale relation) and overlaps the independent staged writes
+    cents = kmeans_fit(rows, k=kk, n_iter=n_iter)
+    assigned = assign_clusters(rows, cents)
     tmp_root = _stage_store_root(path)
-    cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
-    assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(tmp_root, "inverted")
+    from .store_layout import parallel_store_writes
+
+    parallel_store_writes(
+        lambda: cents.write.mode("overwrite").parquet(
+            os.path.join(tmp_root, "centroids")
+        ),
+        lambda: assigned.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(tmp_root, "inverted")),
     )
     _swap_store_root(tmp_root, path)
     return cents.count()
@@ -916,15 +947,19 @@ def pq_requantize(spark, path: str, subs: DataFrame, k: int = 16, n_iter: int = 
 
     from .store_layout import _stage_store_root, _swap_store_root
 
-    cb = pq_fit(subs, k, n_iter).localCheckpoint(eager=True)
-    codes = (
-        assign_codebook(subs, cb)
-        .select("vec_id", "s", "cid")
-        .localCheckpoint(eager=True)  # fully read before the swap
-    )
+    # pq_fit's last round already checkpoints the codebook; the codes
+    # derive from the CALLER's ``subs`` (not the store being swapped),
+    # so both staged writes are safe without extra materializations and
+    # can overlap (guide §2.6)
+    cb = pq_fit(subs, k, n_iter)
+    codes = assign_codebook(subs, cb).select("vec_id", "s", "cid")
     tmp_root = _stage_store_root(path)
-    cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook"))
-    codes.write.mode("overwrite").parquet(os.path.join(tmp_root, "codes"))
+    from .store_layout import parallel_store_writes
+
+    parallel_store_writes(
+        lambda: cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook")),
+        lambda: codes.write.mode("overwrite").parquet(os.path.join(tmp_root, "codes")),
+    )
     _swap_store_root(tmp_root, path)
     return cb.count()
 
@@ -956,14 +991,23 @@ def ivfpq_requantize(
 
     from .store_layout import _stage_store_root, _swap_store_root
 
+    # every _ivfpq_tables output derives from the CALLER's ``vecs`` and
+    # internally checkpointed training state — never the store being
+    # swapped — so the staged writes need no extra materializations and
+    # can overlap (guide §2.6)
     cents, cb, codes = _ivfpq_tables(vecs, n_cent, n_subs, sub_len, n_codes, n_iter)
-    codes = codes.localCheckpoint(eager=True)  # fully read before the swap
-    cb = cb.localCheckpoint(eager=True)
     tmp_root = _stage_store_root(path)
-    cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
-    cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook"))
-    codes.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
-        os.path.join(tmp_root, "codes")
+    from .store_layout import parallel_store_writes
+
+    parallel_store_writes(
+        lambda: cents.write.mode("overwrite").parquet(
+            os.path.join(tmp_root, "centroids")
+        ),
+        lambda: cb.write.mode("overwrite").parquet(os.path.join(tmp_root, "codebook")),
+        lambda: codes.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(tmp_root, "codes")),
     )
     _swap_store_root(tmp_root, path)
     return cents.count()

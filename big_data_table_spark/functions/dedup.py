@@ -521,14 +521,21 @@ def lsh_index_build(spark, path: str, src: str) -> None:
     import os
     import shutil
 
+    from .store_layout import parallel_store_writes
+
     shutil.rmtree(path, ignore_errors=True)
     digests = spark.sql(f"SELECT DISTINCT md5(text) AS h, doc_id FROM {src}")
     bands = spark.sql(minhash_bands_sql(SPARK, src=src)).select(
         "band", "sig", "doc_id"
     ).distinct()
-    digests.write.mode("overwrite").parquet(os.path.join(path, "digests"))
-    bands.write.mode("overwrite").partitionBy("band").parquet(
-        os.path.join(path, "bands")
+    # independent output relations — overlap the writes (guide §2.6)
+    parallel_store_writes(
+        lambda: digests.write.mode("overwrite").parquet(
+            os.path.join(path, "digests")
+        ),
+        lambda: bands.write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "bands")),
     )
 
 
@@ -542,13 +549,18 @@ def lsh_index_append(spark, path: str, src: str) -> None:
     maintenance pass."""
     import os
 
-    spark.sql(f"SELECT DISTINCT md5(text) AS h, doc_id FROM {src}").write.mode(
-        "append"
-    ).parquet(os.path.join(path, "digests"))
-    spark.sql(minhash_bands_sql(SPARK, src=src)).select(
-        "band", "sig", "doc_id"
-    ).distinct().write.mode("append").partitionBy("band").parquet(
-        os.path.join(path, "bands")
+    from .store_layout import parallel_store_writes
+
+    parallel_store_writes(
+        lambda: spark.sql(f"SELECT DISTINCT md5(text) AS h, doc_id FROM {src}")
+        .write.mode("append")
+        .parquet(os.path.join(path, "digests")),
+        lambda: spark.sql(minhash_bands_sql(SPARK, src=src))
+        .select("band", "sig", "doc_id")
+        .distinct()
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "bands")),
     )
 
 
@@ -572,7 +584,10 @@ def lsh_index_compact(spark, path: str, target_file_bytes: int = 256 << 20) -> N
 
     from .store_layout import write_store_relation
 
-    for sub, part in (("digests", None), ("bands", "band")):
+    from .sketches import _swap_dir_in
+    from .store_layout import parallel_store_writes
+
+    def _compact_one(sub, part):
         cur = os.path.join(path, sub)
         raw = spark.read.parquet(cur)
         df = _lsh_retained(spark, path, raw).distinct()
@@ -588,9 +603,15 @@ def lsh_index_compact(spark, path: str, target_file_bytes: int = 256 << 20) -> N
             write_store_relation(
                 df, tmp, "doc_id", sized_on=raw, target_file_bytes=target_file_bytes
             )
-        from .sketches import _swap_dir_in
 
-        _swap_dir_in(tmp, cur)
+    # independent sub-relations: write both tmp dirs concurrently
+    # (guide §2.6), swap sequentially (renames are instant)
+    parallel_store_writes(
+        lambda: _compact_one("digests", None),
+        lambda: _compact_one("bands", "band"),
+    )
+    for sub in ("digests", "bands"):
+        _swap_dir_in(os.path.join(path, f".{sub}.compact.tmp"), os.path.join(path, sub))
 
 
 def lsh_index_probe(spark, path: str, src: str, exclude=None):

@@ -804,12 +804,23 @@ def semantic_index_requantize(
     cents = cents.localCheckpoint(eager=True)  # feeds the swap AND the assign
     vv = register_temp_view(rows, "_semrq_v")
     vc = register_temp_view(cents, "_semrq_c")
-    assigned = spark.sql(semantic_assign_under_sql(SPARK, vv, vc)).localCheckpoint(
-        eager=True  # fully read before the swap rewrites its inputs
-    )
+    # the assignment reads only the two checkpointed relations, so the
+    # rows/ write into the staged root is already "fully read before
+    # the swap" — r17 drops the redundant eager checkpoint that
+    # materialized the whole assignment a second time, and overlaps the
+    # two independent staged writes (guide §2.6)
+    assigned = spark.sql(semantic_assign_under_sql(SPARK, vv, vc))
     tmp_root = _stage_store_root(path)
-    cents.write.mode("overwrite").parquet(os.path.join(tmp_root, "centroids"))
-    assigned.write.mode("overwrite").parquet(os.path.join(tmp_root, "rows"))
+    from .store_layout import parallel_store_writes
+
+    parallel_store_writes(
+        lambda: cents.write.mode("overwrite").parquet(
+            os.path.join(tmp_root, "centroids")
+        ),
+        lambda: assigned.write.mode("overwrite").parquet(
+            os.path.join(tmp_root, "rows")
+        ),
+    )
     _swap_store_root(tmp_root, path)
     return cents.count()
 

@@ -322,7 +322,8 @@ def bm25_index_append(spark, path: str, table_expr: str, chunk: int) -> None:
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    for sub, df in (("postings", postings), ("dl", dl)):
+
+    def _write(sub, df):
         (
             df.withColumn("chunk", F.lit(int(chunk)))
             .write.mode("overwrite")
@@ -330,6 +331,14 @@ def bm25_index_append(spark, path: str, table_expr: str, chunk: int) -> None:
             .partitionBy("chunk")
             .parquet(os.path.join(path, sub))
         )
+
+    from .store_layout import parallel_store_writes
+
+    # two independent sub-stores over one checkpointed token stream —
+    # overlap the writes (guide §2.6)
+    parallel_store_writes(
+        lambda: _write("postings", postings), lambda: _write("dl", dl)
+    )
 
 
 def bm25_index_build(spark, path: str, table_expr: str) -> None:
